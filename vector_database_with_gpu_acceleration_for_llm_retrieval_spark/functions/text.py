@@ -1,0 +1,84 @@
+"""Text expression library: tokenization, shingles, stats.
+
+The reference's only text operator is fixed-size word chunking
+(rag_demo/ingest.py:22-25). We generalize to the primitives a training-
+data pipeline needs — all as built-in-function expressions so they stay
+JVM-side and are mirrorable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "n_tokens",
+    "shingles",
+    "word_chunks",
+    "EN_STOPWORDS",
+    "stopword_ratio",
+]
+
+#: Small deterministic English stopword list for language-ID heuristics
+#: and quality scoring. Public-knowledge word list (most frequent English
+#: function words).
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are",
+]
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>.
+
+    Matches the reference chunker's ``text.split()``
+    (rag_demo/ingest.py:23) — Python str.split() semantics on trimmed
+    input (split on runs of whitespace, no empty tokens).
+    """
+    return F.split(F.trim(_as_col(text)), r"\s+")
+
+
+def n_tokens(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(_as_col(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def shingles(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows.
+
+    For docs shorter than ``n`` tokens, emits the whole doc as one
+    shingle (so every doc has ≥1 shingle and MinHash is defined).
+    """
+    toks = _as_col(toks)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), cnt)
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def word_chunks(text: Column | str, max_words: int = 120) -> Column:
+    """Fixed-size word chunking — the reference's ``chunk()``
+    (rag_demo/ingest.py:22-25): split on whitespace, emit
+    ``max_words``-word windows; empty text → no chunks.
+
+    Returns array<string>; pair with ``posexplode`` for (chunk_idx,
+    chunk_text) rows.
+    """
+    toks = tokens(text)
+    n_chunks = F.ceil(F.size(toks) / F.lit(max_words)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    out = F.transform(idx, lambda i: F.array_join(F.slice(toks, i * max_words + 1, max_words), " "))
+    return F.when(F.trim(_as_col(text)) == "", F.array().cast("array<string>")).otherwise(out)
+
+
+def stopword_ratio(toks: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (lowercased match)."""
+    toks = _as_col(toks)
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")

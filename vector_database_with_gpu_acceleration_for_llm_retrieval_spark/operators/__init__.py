@@ -1,0 +1,10 @@
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    dedup,
+    ingest,
+    multimodal,
+    relational,
+    search,
+    textstats,
+)
+
+__all__ = ["search", "ingest", "dedup", "textstats", "relational", "multimodal"]

@@ -1,0 +1,377 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference has no dedup (append-only inserts, SURVEY.md §1.4); these
+are the north-star extensions (SURVEY.md §2.3 X2/X3) built for 100 TB:
+
+* exact dedup — hash-groupBy, one shuffle of (hash, id), never the
+  payload;
+* MinHash + LSH banding — shingle → minhash signature → band buckets →
+  candidate pair join → exact-Jaccard verify; only bucket-colliding
+  pairs are ever joined, so cost tracks collisions, not N²;
+* SimHash — 64-bit signed-bit-aggregate signature, Hamming-ball
+  candidates;
+* n-gram Jaccard — exact set similarity on shingles for verification
+  and small corpora;
+* embedding cosine near-dup — threshold self-join, LSH-prefiltered at
+  scale.
+
+Two shingle-id paths: ``shingle_tids_hash`` (xxhash64 — production, no
+global state) and ``shingle_tids_vocab`` (dense vocabulary ids via a
+rank join — engine-independent arithmetic, used by the DuckDB-checked
+queries; same MinHash math either way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+
+__all__ = [
+    "exact_dedup",
+    "minhash_perms",
+    "shingle_tids_hash",
+    "shingle_tids_vocab",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "near_dup_pairs",
+    "simhash",
+    "simhash_candidate_pairs",
+    "embedding_near_dup_pairs",
+    "dedup_clusters",
+]
+
+#: Mersenne-ish prime > 2^32 for the universal-hash family
+#: h_i(x) = (a_i·x + b_i) mod P — classic MinHash construction
+#: (Broder 1997). Fits int64 products for token ids < 2^30.
+MINHASH_PRIME = 4_294_967_311
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (lowest id) per distinct value of ``cols`` (X2).
+
+    Shape: rank within ``sha2`` groups, keep rank 1. At scale the
+    window shuffles (hash, id) pairs only after column pruning; for
+    wide payloads, dedup on the hash then semi-join back.
+    """
+    key = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    w = Window.partitionBy(key).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_perms(n_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the hash family."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, size=n_hashes)
+    b = rng.integers(0, MINHASH_PRIME, size=n_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def shingle_tids_hash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, tids: array<long>) with shingle ids from xxhash64 — the
+    production path: stateless, no global vocabulary, scales linearly.
+    Ids are folded into [0, 2^30) so the universal-hash products stay
+    in int64."""
+    toks = TX.tokens(F.col(text_col))
+    sh = TX.shingles(toks, n=n)
+    tids = F.array_distinct(
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 30)))
+    )
+    return docs.select(F.col(id_col), tids.alias("tids"))
+
+
+def shingle_tids_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, tids) with *dense vocabulary* shingle ids: rank of the
+    shingle in the sorted global shingle vocabulary. One extra
+    aggregate + broadcast join vs the hash path, but the arithmetic is
+    reproducible in any engine (the DuckDB oracle mirrors it 1:1).
+    """
+    toks = TX.tokens(F.col(text_col))
+    sh = docs.select(F.col(id_col), F.explode(F.array_distinct(TX.shingles(toks, n=n))).alias("shingle"))
+    vocab = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("shingle")))
+    )
+    return (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_set("tid").alias("tids"))
+    )
+
+
+def minhash_signature(tids_df: DataFrame, perms: list[tuple[int, int]], id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature: sig[i] = min over shingle ids x of
+    (aᵢ·x + bᵢ) mod P. Pure higher-order-function expression — one
+    narrow projection, no shuffle, no UDF."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("tids"),
+                    lambda t, a=a, b=b: F.pmod(
+                        F.lit(a) * t.cast("long") + F.lit(b), F.lit(MINHASH_PRIME)
+                    ),
+                )
+            )
+            for a, b in perms
+        ]
+    )
+    return tids_df.select(F.col(id_col), F.col("tids"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, n_bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: split the signature into ``n_bands`` bands, bucket
+    by (band index, band values); docs sharing any bucket become a
+    candidate pair (a < b).
+
+    This is the scale move: the only join is an equi-join on band
+    buckets, so work is proportional to true collisions. Hot buckets
+    (boilerplate docs) are the skew risk — AQE skew-join handles
+    moderate cases; extreme ones get a bucket-size cap upstream.
+    """
+    n_hashes = int(sig_df.select(F.size("sig")).first()[0])
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws("-", *[
+                    F.element_at(F.col("sig"), j * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    buckets = sig_df.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    tids_df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact set Jaccard on shingle-id sets.
+
+    With ``pairs`` given (LSH candidates), verifies just those pairs via
+    two broadcast-able joins. Without, generates all colliding pairs
+    through an explode-join on shared shingles — |intersection| counted
+    by groupBy, union by inclusion-exclusion; never a full cross join.
+    """
+    if pairs is not None:
+        t = tids_df.select(F.col(id_col), F.col("tids"))
+        out = (
+            pairs.join(t.withColumnRenamed(id_col, "id_a").withColumnRenamed("tids", "tids_a"), "id_a")
+            .join(t.withColumnRenamed(id_col, "id_b").withColumnRenamed("tids", "tids_b"), "id_b")
+        )
+        inter = F.size(F.array_intersect("tids_a", "tids_b"))
+        union = F.size("tids_a") + F.size("tids_b") - inter
+        return out.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    ex = tids_df.select(F.col(id_col), F.size("tids").alias("n"), F.explode("tids").alias("tid"))
+    a, b = ex.alias("a"), ex.alias("b")
+    joined = a.join(b, "tid").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    agg = joined.groupBy(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    ).agg(F.count("*").alias("inter"))
+    return agg.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tid_path: str = "hash",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (X3): shingle → signature →
+    band buckets → candidate pairs → exact-Jaccard verify ≥ threshold.
+    False negatives are bounded by the (bands, rows) S-curve; verified
+    pairs have *exact* Jaccard, so no false positives."""
+    tids_fn = shingle_tids_hash if tid_path == "hash" else shingle_tids_vocab
+    tids = tids_fn(docs, id_col=id_col, text_col=text_col, n=shingle_n)
+    sig = minhash_signature(tids, minhash_perms(n_hashes), id_col=id_col)
+    cand = lsh_candidate_pairs(sig, n_bands=n_bands, id_col=id_col)
+    verified = jaccard_pairs(sig.select(id_col, "tids"), pairs=cand, id_col=id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per token, take ``bits`` bits of
+    xxhash64(token); signature bit j is the sign of Σ_tokens (±1).
+    Entirely expression-level: aggregate over the token array with an
+    int-array accumulator (no explode — token lists never leave the
+    row)."""
+    toks = TX.tokens(F.col(text_col))
+    zero = F.array(*[F.lit(0)] * bits).cast("array<long>")
+    counts = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1,
+            ),
+            lambda x, y: x + y.cast("long"),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, j: F.when(c >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseXOR(v),
+    )
+    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_candidate_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pairs are generated by banding the 64-bit fingerprint into 4
+    16-bit blocks (pigeonhole: Hamming ≤ 3 ⇒ at least one block equal),
+    joining on block equality, then filtering by exact popcount — the
+    same collide-then-verify shape as MinHash-LSH, never N².
+    """
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for j in range(4)
+        ]
+    )
+    ex = sim_df.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")).select(
+        id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ τ).
+
+    Default is the exact self-join (range-partitioned by Spark; fine to
+    ~1e5 rows). With ``lsh_planes`` the join is restricted to equal LSH
+    buckets first — the scale path: bucket at ingest, partition by
+    bucket, and the candidate join becomes bucket-local.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if lsh_planes is not None:
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import lsh_bucket
+
+        a = a.withColumn("bucket", lsh_bucket("va", lsh_planes))
+        b = b.withColumn("bucket", lsh_bucket("vb", lsh_planes))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = V.cosine_sim(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Collapse near-dup pairs into clusters: label propagation to the
+    minimum reachable id (connected components), iterated to a fixed
+    point (≤ ``max_iter`` rounds; each round is one shuffle —
+    alternating-algorithm CC à la Kiveris et al. for the full-scale
+    variant).
+
+    Input: (id_a, id_b) edges. Output: (doc_id, canonical_id); rows
+    whose ``doc_id != canonical_id`` are the drop set.
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    labels = sym.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.least(F.min("id_b"), F.first("id_a")).alias("canonical_id")
+    )
+    for _ in range(max_iter):
+        relabeled = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("canonical_id"),
+                    F.col("canonical_id").alias("parent"),
+                ).alias("p"),
+                "canonical_id",
+            )
+            .select("doc_id", F.least("canonical_id", "parent").alias("canonical_id"))
+        )
+        relabeled = relabeled.localCheckpoint(eager=True)
+        changed = (
+            relabeled.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .limit(1)
+            .count()
+        )
+        labels = relabeled
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,163 @@
+"""Ingestion pipeline: validation, normalize-on-write, sharding,
+chunking, join-back, context assembly.
+
+Reference write path (SURVEY.md §3.2): coordinator md5-routes each
+record to a shard (coordinator/main.py:43-45,50), the shard validates
+the dimension (shard/server.py:62-64) and appends the L2-normalized row
+(fallback_numpy_index.py:10-13). The RAG demo front-end chunks
+documents into fixed word windows with generated ids
+(rag_demo/ingest.py:22-34).
+
+Spark mapping: one batch DataFrame write replaces the record-at-a-time
+HTTP path; placement-by-hash is ``repartition(n, shard)`` (or
+``bucketBy`` for a durable co-located layout); ``meta`` is KEPT as a
+real column (the reference silently drops it, shard/server.py:67 — the
+RAG demo's id2text.json sidecar exists only to work around that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+
+__all__ = [
+    "validate_dim",
+    "normalized",
+    "assign_shard",
+    "prepare_vectors",
+    "write_collection",
+    "chunk_documents",
+    "join_back",
+    "assemble_context",
+]
+
+
+def validate_dim(df: DataFrame, dim: int, vec_col: str = "embedding", reject: bool = True) -> DataFrame:
+    """Dimension check at ingest — the reference's per-record HTTP 400
+    (shard/server.py:62-64; intended semantics of the buggy
+    ``index.dim()`` call, SURVEY.md §2.1 defects).
+
+    ``reject=True`` filters bad rows out (dataflow equivalent of
+    rejecting the request); ``reject=False`` tags them with a boolean
+    ``dim_ok`` column for a quarantine sink instead.
+    """
+    ok = F.size(F.col(vec_col)) == F.lit(dim)
+    if reject:
+        return df.filter(ok)
+    return df.withColumn("dim_ok", ok)
+
+
+def normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Normalize-on-write (reference O4): store unit vectors so cosine
+    at query time is a plain dot product — the reference's one real
+    physical optimization (fallback_numpy_index.py:10-13), carried over
+    as a pipeline design choice."""
+    return df.withColumn(vec_col, V.l2_normalize(vec_col))
+
+
+def assign_shard(df: DataFrame, n_shards: int, id_col: str = "vec_id", how: str = "hash") -> DataFrame:
+    """Placement by key hash — the coordinator's
+    ``pick_shard = md5(id) % n`` (coordinator/main.py:43-45).
+
+    ``how='hash'`` uses ``xxhash64`` (fast JVM hash; same role as md5 —
+    the reference's md5 choice is about determinism, not crypto).
+    ``how='mod'`` uses ``pmod(id, n)`` for numeric ids — deterministic
+    across engines, used by oracle-checked demos.
+    """
+    if how == "mod":
+        shard = F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    return df.withColumn("shard", shard.cast("int"))
+
+
+def prepare_vectors(df: DataFrame, dim: int, n_shards: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Full insert pipeline O1+O3+O4: validate dim → normalize → assign
+    shard. The physical repartition happens in :func:`write_collection`."""
+    out = validate_dim(df, dim, vec_col=vec_col)
+    out = normalized(out, vec_col=vec_col)
+    return assign_shard(out, n_shards, id_col=id_col)
+
+
+def write_collection(df: DataFrame, path: str, n_shards: int, mode: str = "append") -> None:
+    """Durable sharded collection: partitioned parquet, one directory
+    per shard (upgrade over the reference's ephemeral in-memory matrix,
+    SURVEY.md §1.3 — a shard restart there loses all data).
+
+    ``partitionBy('shard')`` gives partition pruning for shard-local
+    scans; appends are incremental (no full re-upload like the GPU
+    path's re-upload-the-matrix MVP, shard_binding.cpp:40-49).
+    """
+    (
+        df.repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_words: int = 120,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size word chunking with deterministic chunk ids.
+
+    Reference: ``chunk(text, 120)`` (rag_demo/ingest.py:22-25) and id
+    ``f"{title}::chunk{j}::{uuid4().hex[:8]}"`` (ingest.py:34). The
+    uuid suffix is nondeterministic, so (SURVEY.md §7 hard-parts c) the
+    suffix here is a content hash — stable across runs and engines.
+
+    Returns ``(doc_id, chunk_idx, chunk_id, chunk_text)``.
+    """
+    chunks = TX.word_chunks(F.col(text_col), max_words=max_words)
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    chunk_id = F.concat_ws(
+        "::",
+        F.col(id_col).cast("string"),
+        F.concat(F.lit("chunk"), F.col("chunk_idx").cast("string")),
+        F.substring(F.md5(F.col("chunk_text")), 1, 8),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        chunk_id.alias("chunk_id"),
+        "chunk_text",
+    )
+
+
+def join_back(hits: DataFrame, chunks: DataFrame, on: str = "chunk_id") -> DataFrame:
+    """id→text join-back (reference O17): the demo's ``id2text`` dict
+    lookup (rag_demo/ask.py:13,24) as a broadcast equi-join. The chunk
+    side is the small dimension → broadcast, no shuffle of ``hits``."""
+    return hits.join(F.broadcast(chunks), on=on, how="inner")
+
+
+def assemble_context(
+    hits_with_text: DataFrame,
+    group_col: str = "qid",
+    text_col: str = "chunk_text",
+    order_col: str = "score",
+) -> DataFrame:
+    """Context assembly (reference O18): top-k hit texts joined in score
+    order as ``"- <text>"`` bullets separated by blank lines
+    (rag_demo/ask.py:24). sort_array over (order desc, text) structs →
+    transform → array_join, all JVM-side."""
+    pair = F.struct((-F.col(order_col)).alias("neg"), F.col(text_col).alias("t"))
+    return (
+        hits_with_text.groupBy(group_col)
+        .agg(F.sort_array(F.collect_list(pair)).alias("ordered"))
+        .select(
+            group_col,
+            F.array_join(
+                F.transform(F.col("ordered"), lambda s: F.concat(F.lit("- "), s["t"])),
+                "\n\n",
+            ).alias("context"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Relational analytics operators (SURVEY.md X6): TPC-H-style
+join/aggregate/window queries over the star schema, proving the engine
+is a general analytics engine and exercising Catalyst's join planning.
+
+Each function takes a table dict (from ``sources.catalog.load_tables``)
+and returns a DataFrame; every computed column is aliased so the DuckDB
+oracle hash-matches. Scale notes are on each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "customer_order_stats",
+    "parts_rollup",
+    "supplier_share",
+]
+
+
+def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy on lineitem with derived
+    measures. One wide scan, map-side partial agg, 6-row result — the
+    shuffle carries only (flag, status) partials. Filter on shipdate is
+    pushed to parquet."""
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join → revenue per nation.
+
+    Join order: fact table last-joined against broadcast dims.
+    region/nation/supplier/customer are tiny → explicit
+    ``broadcast()`` so the only shuffle is lineitem⋈orders (both big at
+    scale; co-partition/bucket by orderkey in a real warehouse to make
+    it shuffle-free)."""
+    li, o, c, s, n, r = (
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"], t["region"],
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), (c["c_nationkey"] == n["n_nationkey"]) & (s["s_nationkey"] == n["n_nationkey"]))
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def top_orders_per_segment(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """Per-group top-k via window: k highest-value orders per market
+    segment. Same bounded-top-k idea as vector search, on relational
+    keys; the window shuffles by segment only after the projection is
+    pruned to 4 columns."""
+    o, c = t["orders"], t["customer"]
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+def customer_order_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Group-by-then-join shape (TPC-H Q13-lite): orders per customer →
+    distribution of customers by order count, including zero-order
+    customers via left join."""
+    o, c = t["orders"], t["customer"]
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    dist = (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+    return dist
+
+
+def parts_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP aggregate over part brand/type: grouping-set totals in one
+    pass (Catalyst expands to a single Expand+Aggregate — no
+    re-scan per level)."""
+    p = t["part"]
+    return (
+        p.rollup("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy(F.asc_nulls_first("p_brand"), F.asc_nulls_first("p_type"))
+    )
+
+
+def supplier_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Window-over-aggregate: each supplier's revenue and its share of
+    nation revenue (sum over a nation window) — classic ratio-to-report."""
+    li, s, n = t["lineitem"], t["supplier"], t["nation"]
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    joined = (
+        rev.join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "n_name", "rev")
+    )
+    w = Window.partitionBy("n_name")
+    return joined.select(
+        "s_suppkey",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("nation_share"),
+    ).orderBy("n_name", F.desc("revenue"), F.asc("s_suppkey"))

@@ -1,0 +1,339 @@
+"""Exact and approximate top-k vector search, Spark-first.
+
+Reference read path (SURVEY.md §3.1): coordinator fans a query out to
+every shard (coordinator/main.py:58-73), each shard scores its dense
+matrix and returns a local top-k (shard/server.py:70-84), the
+coordinator merges partials with a bounded heap (coordinator/main.py:75-86).
+
+Spark mapping: shards are partitions; fan-out is task parallelism;
+"local top-k then merge" is exactly Catalyst's ``TakeOrderedAndProject``
+(per-partition bounded priority queue + driver merge), so the flagship
+single-query search is a plain ``ORDER BY score DESC LIMIT k`` — no
+hand-built coordinator needed. For *batch* kNN (a query table instead of
+one query) we add the one bespoke physical shape Spark lacks: a
+per-partition local-top-k prune inside ``mapInPandas`` (vectorized numpy
+matmul per Arrow batch — the idiomatic analogue of the reference's CUDA
+batch kernel flat_kernels.cu:4-45) before a cheap global window, so the
+shuffle carries O(parts·|Q|·k) rows instead of O(|Q|·N).
+
+Scale notes (100 TB): the single-query path scans partitions in
+parallel and ships ≤k rows per partition to the driver. The batch path
+broadcasts the query matrix (must be the small side), prunes locally,
+and shuffles only survivors; for |Q| too big to broadcast, chunk the
+query table and union the results.  Ties always break by id so results
+are deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+
+__all__ = [
+    "topk",
+    "sharded_topk",
+    "knn_join",
+    "knn_join_expr",
+    "lsh_bucket",
+    "random_hyperplanes",
+    "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "recall_at_k",
+]
+
+
+def topk(
+    corpus: DataFrame,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query exact top-k — the reference's ``POST /search``
+    (coordinator/main.py:58-86 + shard/server.py:70-84) as one Catalyst
+    plan.
+
+    Compiles to ``TakeOrderedAndProject``: every partition computes a
+    bounded top-k during its scan (the shard's heap, flat_index.hpp:39-53)
+    and the driver merges (the coordinator's heap, main.py:77-84). Score
+    is higher-is-better for both metrics; k is clamped by LIMIT
+    semantics (reference O12); empty corpus → empty result (O11).
+    """
+    q = V.vec_lit(query_vec)
+    scored = corpus.select(
+        F.col(id_col),
+        V.score(F.col(vec_col), q, metric).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def sharded_topk(
+    corpus: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_shards: int = 8,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """Explicit shard-local top-k → global merge, proving the
+    coordinator property (merge of per-shard top-k == global top-k).
+
+    Reproduces the reference topology explicitly: O1 hash placement
+    (coordinator/main.py:43-45), O7 per-shard top-k (shard/server.py:79),
+    O9 global merge (coordinator/main.py:75-86). ``shard_expr`` defaults
+    to ``pmod(id, n_shards)`` (deterministic & oracle-mirrorable; use
+    ``pmod(xxhash64(id), n)`` in production ingest — see
+    ``ingest.assign_shard``).
+    """
+    shard = shard_expr if shard_expr is not None else F.pmod(F.col(id_col), F.lit(n_shards))
+    q = V.vec_lit(query_vec)
+    scored = corpus.select(
+        F.col(id_col),
+        shard.cast("int").alias("shard"),
+        V.score(F.col(vec_col), q, metric).alias("score"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("score"), F.asc(id_col))
+    local = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return (
+        local.select(id_col, "shard", "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.maximum(n, 1e-12)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    query_id: str = "qid",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN similarity join: for every query row, the exact top-k
+    corpus neighbors. Generalizes the reference's one-query search to a
+    query *table* (SURVEY.md X1).
+
+    Physical shape: the query matrix is collected (small side — the
+    caller's contract, same as the reference holding the query in RAM)
+    and closed over into a ``mapInPandas`` scorer; each corpus Arrow
+    batch is scored with one float64 numpy matmul (the vectorized
+    analogue of the reference's per-block CUDA kernel,
+    flat_kernels.cu:4-24) and pruned to the per-batch top-k **per
+    query** before any shuffle. The global stage then windows over
+    O(parts·|Q|·k) survivors instead of O(|Q|·N) pairs.
+
+    The local prune keeps every row tied with the k-th score, so the
+    global window's deterministic tie-break (score desc, id asc) gives
+    exactly the same set as an unpruned cross join — this is the
+    coordinator merge property, per batch.
+
+    Returns columns ``(qid, neighbor_id, score, rank)``.
+    """
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        schema = "qid long, neighbor_id long, score double, rank int"
+        return queries.sparkSession.createDataFrame([], schema)
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qs = _normalize_rows(Q) if metric == "cosine" else Q
+    q_sq = (Qs * Qs).sum(axis=1)
+
+    qid_type = dict(queries.dtypes)[query_id]
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"qid {qid_type}, neighbor_id {id_type}, score double"
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            if metric == "cosine":
+                Xn = _normalize_rows(X)
+                S = Qs @ Xn.T  # |Q| x B
+            else:
+                x_sq = (X * X).sum(axis=1)
+                S = 2.0 * (Qs @ X.T) - q_sq[:, None] - x_sq[None, :]
+            kk = min(k, S.shape[1])
+            # kth best score per query; keep ties so the global
+            # deterministic tie-break stays exact.
+            thresh = np.partition(S, kk - 1, axis=1)[:, kk - 1] if kk < S.shape[1] else S.min(axis=1)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(S.shape[0]):
+                keep = np.nonzero(S[qi] >= thresh[qi])[0]
+                out_q.extend([qids[qi]] * len(keep))
+                out_i.extend(ids[keep])
+                out_s.extend(S[qi, keep])
+            yield pd.DataFrame({"qid": out_q, "neighbor_id": out_i, "score": out_s})
+
+    pruned = corpus.select(id_col, vec_col).mapInPandas(score_partition, schema=out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", "rank")
+    )
+
+
+def knn_join_expr(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-expression batch kNN: broadcast cross join → higher-order-
+    function scoring → per-query window. No Python workers at all —
+    everything whole-stage-codegen — but shuffles O(|Q|·N) scored pairs,
+    so prefer :func:`knn_join` once |Q|·N is large. Kept as the
+    declarative baseline the optimizer can see through, and for oracle
+    parity.
+    """
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = c.join(F.broadcast(q)).select(
+        "qid",
+        "neighbor_id",
+        V.score(F.col("__cvec"), F.col("__qvec"), metric).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate search: random-hyperplane LSH and IVF (fixed centroids)
+# ---------------------------------------------------------------------------
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (SimHash for
+    dense vectors). Seeded so Spark and the SQL oracle share the exact
+    same literals."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Bucket id = integer of sign bits of ⟨x, plane_j⟩ — random
+    hyperplane LSH. Pure expression, codegen'd, oracle-mirrorable."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        bit = (V.dot(c, V.vec_lit(p)) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << j).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec,
+    planes: list[list[float]],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: score only the corpus rows in the query's LSH bucket, then
+    exact top-k rerank inside the bucket.
+
+    At scale the bucket column is materialized at ingest and the table
+    is partitioned by it, so this becomes a partition-pruned scan
+    (filter on bucket reaches the parquet reader) — the candidate set
+    read from disk is ~N/2^planes instead of N.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for j, p in enumerate(planes):
+        if float(q @ np.asarray(p)) > 0:
+            qbucket |= 1 << j
+    candidates = corpus.filter(lsh_bucket(vec_col, planes) == F.lit(qbucket))
+    return topk(candidates, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: each vector → nearest centroid (min L2²,
+    ties to lowest centroid id). Centroids are given (e.g. sampled or
+    trained offline); pure expression via an array of centroid
+    distances + ``array_position(min)``.
+
+    At 100 TB: write the corpus partitioned/bucketed by ``ivf_cell`` so
+    probe queries prune partitions.
+    """
+    dists = F.array(
+        *[
+            F.struct(
+                V.l2sq(F.col(vec_col), V.vec_lit(cv)).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    best = F.array_min(dists)
+    return corpus.withColumn("ivf_cell", best["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest centroids' cells, exact
+    rerank within. Recall < 1 by design; measure with
+    :func:`recall_at_k`."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        centroids, key=lambda c: (float(((q - np.asarray(c[1])) ** 2).sum()), c[0])
+    )
+    probe = [int(cid) for cid, _ in order[:nprobe]]
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    candidates = assigned.filter(F.col("ivf_cell").isin(probe))
+    return topk(candidates, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:
+    """recall@k of an approximate result vs the exact one (SURVEY.md X7):
+    |approx ∩ exact| / k, grouped by query id when ``by`` is given
+    (expects both frames to carry ``qid``/``neighbor_id``; for
+    single-query results pass the id column name)."""
+    keys = by or ["neighbor_id"]
+    hit = approx.select(*keys).join(exact.select(*keys), on=keys, how="inner")
+    group = [c for c in keys if c == "qid"]
+    if group:
+        return hit.groupBy(*group).agg((F.count("*") / F.lit(k)).alias("recall"))
+    return hit.agg((F.count("*") / F.lit(k)).alias("recall"))

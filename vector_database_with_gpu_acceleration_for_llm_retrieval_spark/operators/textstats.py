@@ -1,0 +1,148 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting (SURVEY.md §2.3 X4 + north-star text
+analysis).
+
+All pure Column expressions over the ``documents`` table — no UDFs, so
+they stay in whole-stage codegen and mirror 1:1 into the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "rolling_fingerprint",
+    "corpus_stats",
+]
+
+#: rolling-hash base/modulus for k-gram fingerprints (Rabin-Karp style);
+#: int64-safe for token ids < 2^30.
+FP_BASE = 1_000_003
+FP_PRIME = 2_147_483_647
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics: whitespace token count, a BPE-ish
+    subword-regex token count (runs of letters / digits / single
+    punctuation — a tokenizer-rate proxy), char length, average token
+    length."""
+    toks = TX.tokens(F.col(text_col))
+    bpeish = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        TX.n_tokens(text_col).alias("n_tokens"),
+        bpeish.cast("int").alias("n_subword_tokens"),
+        (
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: blend of length band,
+    stopword presence, alphabetic ratio, and repetition (distinct-token
+    ratio) — the standard cheap pre-filter signals for LLM training
+    corpora (C4/Gopher-style rules, public literature)."""
+    toks = TX.tokens(F.col(text_col))
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    ).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    sw_ratio = TX.stopword_ratio(toks)
+    len_ok = (F.size(toks) >= 20) & (F.size(toks) <= 10000)
+    score = (
+        F.when(len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(sw_ratio > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * distinct_ratio
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit-rate per language wordlist,
+    argmax wins (n-gram-free variant of the classic stopword profile
+    method; 'und' when nothing matches). Wordlists are tiny broadcast
+    literals — the scan stays one narrow projection."""
+    wordlists = {
+        "en": TX.EN_STOPWORDS,
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+        "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pour"],
+        "es": ["el", "la", "los", "las", "es", "una", "uno", "para", "con", "por"],
+    }
+    toks = F.transform(TX.tokens(F.col(text_col)), F.lower)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in wordlists.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def rolling_fingerprint(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document fingerprint: minimum Rabin-Karp rolling hash over
+    k-token windows (winnowing-style min-sampling, Schleimer et al.).
+    Token → int via xxhash64 folded to 2^30; window hash =
+    Σ tid·BASEʲ mod P; fingerprint = min window hash. One projection,
+    no shuffle."""
+    toks = TX.tokens(F.col(text_col))
+    tids = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 30)))
+    n_win = F.greatest(F.size(tids) - F.lit(k - 1), F.lit(1))
+    win_hash = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.aggregate(
+            F.slice(tids, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(acc * F.lit(FP_BASE) + t, F.lit(FP_PRIME)),
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(win_hash).alias("fingerprint"),
+        F.size(F.array_distinct(win_hash)).alias("n_distinct_windows"),
+    )
+
+
+def corpus_stats(docs: DataFrame, group_cols: list[str] | None = None, text_col: str = "text") -> DataFrame:
+    """Corpus-level rollup: docs, chars, tokens, avg doc length per
+    group (default: lang × source). Partial aggregation (map-side
+    combine) makes this one narrow shuffle of the group keys."""
+    groups = group_cols or ["lang", "source"]
+    return (
+        docs.groupBy(*groups)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.sum(TX.n_tokens(text_col)).alias("total_tokens"),
+            F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+        )
+        .orderBy(*groups)
+    )

@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed; the config is written so the same session
+settings hold on a real cluster: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), Arrow on (fast pandas UDF transfer),
+shuffle partitions sized to cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "vdb_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract);
+    defaults to ``local[*]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

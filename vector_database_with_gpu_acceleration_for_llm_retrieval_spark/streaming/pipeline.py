@@ -1,0 +1,134 @@
+"""Structured Streaming pipelines (SURVEY.md X5).
+
+The reference's ingest IS a stream — scripts/load.py:18-25 posts an
+unbounded sequence of single-record inserts over HTTP. Here that
+becomes ``readStream`` → validate/normalize → ``writeStream`` into the
+sharded collection, with exactly-once file-sink semantics instead of
+the reference's fire-and-forget appends.
+
+Windowed event statistics come in two forms with ONE shared logical
+definition: the batch form (oracle-checkable by DuckDB) and the
+streaming form (same expressions + watermark). Keeping them the same
+expression tree is the point — Structured Streaming is just incremental
+execution of the batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ingest import (
+    assign_shard,
+    normalized,
+    validate_dim,
+)
+
+__all__ = [
+    "events_tumbling_stats",
+    "events_sessionized",
+    "stream_vector_ingest",
+    "stream_event_window_counts",
+]
+
+
+def events_tumbling_stats(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window stats per event type: count + value sum/avg.
+
+    Batch form of the streaming aggregation — ``window()`` here and in
+    the stream below are the same Catalyst expression, so the oracle
+    that validates this validates the streaming logic too (modulo
+    watermark-dropped late rows)."""
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization by inactivity gap (per user): classic
+    lag → gap-flag → running-sum session id, then per-session stats.
+    Two window shuffles over (user_id); at scale pre-partition the
+    events table by user_id to make both local."""
+    from pyspark.sql import Window as W
+
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sessions = events.withColumn(
+        "session_id", F.sum(new_sess).over(by_user.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def stream_vector_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    n_shards: int = 8,
+    schema: str = "vec_id long, embedding array<float>, label int",
+):
+    """The reference's insert stream as Structured Streaming: file
+    source → dim validation (O3) → L2 normalize (O4) → shard assignment
+    (O1) → partitioned parquet sink, exactly-once via checkpoint.
+
+    Returns the started StreamingQuery (caller awaits/stops). Use
+    ``trigger(availableNow=True)`` semantics in tests via
+    ``.processAllAvailable()``.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    prepared = assign_shard(normalized(validate_dim(stream, dim)), n_shards)
+    return (
+        prepared.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("shard")
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_event_window_counts(
+    spark: SparkSession,
+    source_dir: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """Streaming windowed aggregation with late-data watermark: the
+    incremental form of :func:`events_tumbling_stats`. Caller attaches
+    a sink (tests use the memory sink with outputMode=complete/update)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
