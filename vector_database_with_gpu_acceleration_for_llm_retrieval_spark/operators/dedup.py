@@ -39,6 +39,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "near_dup_pairs",
+    "portable_token_hash",
     "simhash",
     "simhash_candidate_pairs",
     "embedding_near_dup_pairs",
@@ -51,6 +52,18 @@ __all__ = [
 MINHASH_PRIME = 4_294_967_311
 
 
+def _dedup_key(cols: list[str]) -> Column:
+    """Collision-free row key over ``cols``: each column is encoded as
+    ``<len>#<payload>`` with an explicit null sentinel, so (x, NULL) vs
+    (NULL, x) and separator-embedding values stay distinct (plain
+    ``concat_ws`` silently skips NULLs and can't distinguish them)."""
+    parts = []
+    for c in cols:
+        s = F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
+        parts.append(F.concat(F.length(s).cast("string"), F.lit("#"), s))
+    return F.sha2(F.concat(*parts), 256)
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
     """Keep one row (lowest id) per distinct value of ``cols`` (X2).
 
@@ -58,7 +71,7 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataF
     window shuffles (hash, id) pairs only after column pruning; for
     wide payloads, dedup on the hash then semi-join back.
     """
-    key = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    key = _dedup_key(cols)
     w = Window.partitionBy(key).orderBy(F.asc(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -108,28 +121,27 @@ def shingle_tids_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def _perm_hash(a: int, b: int):
+    """Unary lambda factory for one universal-hash permutation.
+
+    (A plain ``lambda t, a=a, b=b`` would make PySpark see a 3-parameter
+    lambda and demand a ternary higher-order function —
+    INVALID_LAMBDA_FUNCTION_CALL.NUM_ARGS_MISMATCH.)"""
+    return lambda t: F.pmod(F.lit(a) * t.cast("long") + F.lit(b), F.lit(MINHASH_PRIME))
+
+
 def minhash_signature(tids_df: DataFrame, perms: list[tuple[int, int]], id_col: str = "doc_id") -> DataFrame:
     """MinHash signature: sig[i] = min over shingle ids x of
     (aᵢ·x + bᵢ) mod P. Pure higher-order-function expression — one
     narrow projection, no shuffle, no UDF."""
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("tids"),
-                    lambda t, a=a, b=b: F.pmod(
-                        F.lit(a) * t.cast("long") + F.lit(b), F.lit(MINHASH_PRIME)
-                    ),
-                )
-            )
-            for a, b in perms
-        ]
+        *[F.array_min(F.transform(F.col("tids"), _perm_hash(a, b))) for a, b in perms]
     )
     return tids_df.select(F.col(id_col), F.col("tids"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, n_bands: int, id_col: str = "doc_id"
+    sig_df: DataFrame, n_bands: int, n_hashes: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """LSH banding: split the signature into ``n_bands`` bands, bucket
     by (band index, band values); docs sharing any bucket become a
@@ -139,8 +151,14 @@ def lsh_candidate_pairs(
     buckets, so work is proportional to true collisions. Hot buckets
     (boilerplate docs) are the skew risk — AQE skew-join handles
     moderate cases; extreme ones get a bucket-size cap upstream.
+
+    ``n_hashes`` is passed explicitly (len of the perms list) instead of
+    probed with an action, so empty inputs are fine and no job runs at
+    plan-build time. It must divide evenly into ``n_bands`` — trailing
+    signature entries would otherwise be silently dropped from banding.
     """
-    n_hashes = int(sig_df.select(F.size("sig")).first()[0])
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} must be divisible by n_bands={n_bands}")
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -231,58 +249,86 @@ def near_dup_pairs(
     tids_fn = shingle_tids_hash if tid_path == "hash" else shingle_tids_vocab
     tids = tids_fn(docs, id_col=id_col, text_col=text_col, n=shingle_n)
     sig = minhash_signature(tids, minhash_perms(n_hashes), id_col=id_col)
-    cand = lsh_candidate_pairs(sig, n_bands=n_bands, id_col=id_col)
+    cand = lsh_candidate_pairs(sig, n_bands=n_bands, n_hashes=n_hashes, id_col=id_col)
     verified = jaccard_pairs(sig.select(id_col, "tids"), pairs=cand, id_col=id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """SimHash fingerprint: per token, take ``bits`` bits of
-    xxhash64(token); signature bit j is the sign of Σ_tokens (±1).
+def portable_token_hash(c: Column) -> Column:
+    """60-bit token hash every engine can reproduce: first 15 hex chars
+    of md5, parsed as an integer. Slower than ``xxhash64`` but exactly
+    mirrorable in the DuckDB oracle
+    (``CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)``); use
+    xxhash64 (``shingle_tids_hash``) on hot production paths."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48) -> DataFrame:
+    """SimHash fingerprint: per token, take ``bits`` low bits of the
+    portable token hash; signature bit j is set iff Σ_tokens (±1) ≥ 0.
     Entirely expression-level: aggregate over the token array with an
     int-array accumulator (no explode — token lists never leave the
-    row)."""
-    toks = TX.tokens(F.col(text_col))
+    row). Bit shifts are unrolled over *Python* ints (``bits`` ≤ 60 is
+    a literal; Spark's shift functions don't take Column shift
+    amounts)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (portable hash is 60 bits)")
+    hashes = F.transform(TX.tokens(F.col(text_col)), portable_token_hash)
     zero = F.array(*[F.lit(0)] * bits).cast("array<long>")
     counts = F.aggregate(
-        toks,
+        hashes,
         zero,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1,
+            F.array(
+                *[
+                    (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for j in range(bits)
+                ]
             ),
-            lambda x, y: x + y.cast("long"),
+            lambda x, y: x + y,
         ),
     )
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     fingerprint = F.aggregate(
         F.zip_with(
             counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, j: F.when(c >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")),
+            weights,
+            lambda c, w: F.when(c >= 0, w).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseXOR(v),
+        lambda acc, v: acc + v,
     )
     return docs.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
-def simhash_candidate_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+def simhash_candidate_pairs(
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bits: int = 48,
+    n_blocks: int = 4,
+) -> DataFrame:
     """Near-dup candidates by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pairs are generated by banding the 64-bit fingerprint into 4
-    16-bit blocks (pigeonhole: Hamming ≤ 3 ⇒ at least one block equal),
-    joining on block equality, then filtering by exact popcount — the
-    same collide-then-verify shape as MinHash-LSH, never N².
+    Pairs are generated by banding the fingerprint into ``n_blocks``
+    equal blocks (pigeonhole: Hamming ≤ n_blocks-1 ⇒ at least one block
+    equal), joining on block equality, then filtering by exact popcount
+    — the same collide-then-verify shape as MinHash-LSH, never N².
     """
+    if bits % n_blocks != 0:
+        raise ValueError(f"bits={bits} must be divisible by n_blocks={n_blocks}")
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
     blocks = F.array(
         *[
             F.struct(
                 F.lit(j).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftrightunsigned(F.col("simhash"), j * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
             )
-            for j in range(4)
+            for j in range(n_blocks)
         ]
     )
     ex = sim_df.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")).select(
@@ -345,7 +391,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 
     Input: (id_a, id_b) edges. Output: (doc_id, canonical_id); rows
     whose ``doc_id != canonical_id`` are the drop set.
+
+    Pointer-jumping halves the longest chain every round, so
+    ``max_iter`` rounds converge for components of diameter ≤ 2^max_iter;
+    if the loop exits without reaching the fixed point a warning is
+    emitted (results would under-merge silently otherwise).
     """
+    import warnings
+
     edges = pairs.select("id_a", "id_b")
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     labels = sym.groupBy(F.col("id_a").alias("doc_id")).agg(
@@ -374,4 +427,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = relabeled
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"dedup_clusters exhausted max_iter={max_iter} before convergence; "
+            "canonical ids may be under-merged — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

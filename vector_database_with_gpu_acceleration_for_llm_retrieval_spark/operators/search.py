@@ -116,6 +116,11 @@ def _normalize_rows(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(n, 1e-12)
 
 
+#: knn_join collects the query side to the driver in chunks of this
+#: size; chunk results are unioned. Bounds driver memory at any |Q|.
+KNN_JOIN_QUERY_CHUNK = 4096
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -125,39 +130,84 @@ def knn_join(
     query_vec: str = "embedding",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_chunk: int = KNN_JOIN_QUERY_CHUNK,
 ) -> DataFrame:
     """Batch kNN similarity join: for every query row, the exact top-k
     corpus neighbors. Generalizes the reference's one-query search to a
     query *table* (SURVEY.md X1).
 
-    Physical shape: the query matrix is collected (small side — the
-    caller's contract, same as the reference holding the query in RAM)
-    and closed over into a ``mapInPandas`` scorer; each corpus Arrow
-    batch is scored with one float64 numpy matmul (the vectorized
-    analogue of the reference's per-block CUDA kernel,
-    flat_kernels.cu:4-24) and pruned to the per-batch top-k **per
-    query** before any shuffle. The global stage then windows over
-    O(parts·|Q|·k) survivors instead of O(|Q|·N) pairs.
+    Physical shape: the query matrix is pulled to the driver in chunks
+    of ``query_chunk`` rows (``toLocalIterator`` — never more than one
+    chunk of vectors in driver memory) and closed over into a
+    ``mapInPandas`` scorer; each corpus Arrow batch is scored with one
+    float64 numpy matmul (the vectorized analogue of the reference's
+    per-block CUDA kernel, flat_kernels.cu:4-24) and pruned to the
+    per-batch top-k **per query** before any shuffle. The global stage
+    then windows over O(parts·|Q_chunk|·k) survivors instead of
+    O(|Q|·N) pairs; chunk results are unioned (per-qid results are
+    independent, so the union is exact).
 
-    The local prune keeps every row tied with the k-th score, so the
-    global window's deterministic tie-break (score desc, id asc) gives
-    exactly the same set as an unpruned cross join — this is the
-    coordinator merge property, per batch.
+    The local prune keeps every row whose score ties the k-th *largest*
+    per-batch score, so the global window's deterministic tie-break
+    (score desc, id asc) gives exactly the same set as an unpruned
+    cross join — this is the coordinator merge property, per batch.
 
     Returns columns ``(qid, neighbor_id, score, rank)``.
     """
-    qrows = queries.select(query_id, query_vec).collect()
-    if not qrows:
-        schema = "qid long, neighbor_id long, score double, rank int"
-        return queries.sparkSession.createDataFrame([], schema)
-    qids = [r[0] for r in qrows]
-    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    Qs = _normalize_rows(Q) if metric == "cosine" else Q
-    q_sq = (Qs * Qs).sum(axis=1)
-
     qid_type = dict(queries.dtypes)[query_id]
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = f"qid {qid_type}, neighbor_id {id_type}, score double"
+    corpus_slim = corpus.select(id_col, vec_col)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+
+    chunks: list[DataFrame] = []
+    qids: list = []
+    qvecs: list = []
+
+    def flush() -> None:
+        if not qids:
+            return
+        chunks.append(_knn_join_chunk(
+            corpus_slim, list(qids), np.asarray(qvecs, dtype=np.float64),
+            k, metric, id_col, vec_col, out_schema,
+        ))
+        qids.clear()
+        qvecs.clear()
+
+    for row in queries.select(query_id, query_vec).toLocalIterator():
+        qids.append(row[0])
+        qvecs.append(np.asarray(row[1], dtype=np.float64))
+        if len(qids) >= query_chunk:
+            flush()
+    flush()
+
+    if not chunks:
+        empty = "qid long, neighbor_id long, score double, rank int"
+        return queries.sparkSession.createDataFrame([], empty)
+
+    pruned = chunks[0]
+    for extra in chunks[1:]:
+        pruned = pruned.unionByName(extra)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", "rank")
+    )
+
+
+def _knn_join_chunk(
+    corpus_slim: DataFrame,
+    qids: list,
+    Q: np.ndarray,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    out_schema: str,
+) -> DataFrame:
+    """One query chunk's pruned candidate frame (see :func:`knn_join`)."""
+    Qs = _normalize_rows(Q) if metric == "cosine" else Q
+    q_sq = (Qs * Qs).sum(axis=1)
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,9 +222,10 @@ def knn_join(
                 x_sq = (X * X).sum(axis=1)
                 S = 2.0 * (Qs @ X.T) - q_sq[:, None] - x_sq[None, :]
             kk = min(k, S.shape[1])
-            # kth best score per query; keep ties so the global
-            # deterministic tie-break stays exact.
-            thresh = np.partition(S, kk - 1, axis=1)[:, kk - 1] if kk < S.shape[1] else S.min(axis=1)
+            # kth *largest* score per query (index B-kk after an
+            # ascending partition); keep >= so ties survive and the
+            # global deterministic tie-break stays exact.
+            thresh = np.partition(S, S.shape[1] - kk, axis=1)[:, S.shape[1] - kk]
             out_q, out_i, out_s = [], [], []
             for qi in range(S.shape[0]):
                 keep = np.nonzero(S[qi] >= thresh[qi])[0]
@@ -183,13 +234,7 @@ def knn_join(
                 out_s.extend(S[qi, keep])
             yield pd.DataFrame({"qid": out_q, "neighbor_id": out_i, "score": out_s})
 
-    pruned = corpus.select(id_col, vec_col).mapInPandas(score_partition, schema=out_schema)
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "neighbor_id", "score", "rank")
-    )
+    return corpus_slim.mapInPandas(score_partition, schema=out_schema)
 
 
 def knn_join_expr(

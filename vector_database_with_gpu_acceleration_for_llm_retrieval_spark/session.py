@@ -31,6 +31,10 @@ def get_spark(app_name: str = "vdb_spark", shuffle_partitions: int | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver's events.parquet stores TIMESTAMP(NANOS) which Spark
+        # rejects by default; read it as a long (ns since epoch) and let
+        # the catalog derive a microsecond timestamp column (catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -28,15 +29,54 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one table. ``events`` needs special handling: the parquet
+    stores TIMESTAMP(NANOS), which Spark 4.x rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py).
+    With that flag ``ts`` arrives as a long of nanoseconds; we keep it
+    as ``ts_ns`` (exact, for integer-arithmetic oracle queries) and
+    derive ``ts`` as a microsecond timestamp via integer division —
+    exactly the truncation DuckDB applies when it reads the same file,
+    so both engines see identical microsecond values.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+class LazyCatalog(dict):
+    """Mapping table-name → DataFrame that reads each parquet on first
+    access, so one unreadable file cannot take down unrelated queries."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        df = load_table(self._spark, name, self._sf_dir)
+        self[name] = df
+        return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None) -> dict[str, DataFrame]:
-    return {n: load_table(spark, n, sf_dir) for n in (names or TABLES)}
+    """Lazy by default: tables are read on first access. Pass ``names``
+    to eagerly materialize a specific subset."""
+    if names is not None:
+        return {n: load_table(spark, n, sf_dir) for n in names}
+    return LazyCatalog(spark, sf_dir)
 
 
-def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None) -> None:
     """Register every table as a temp view so ``spark.sql`` works over
-    the same names the DuckDB oracle uses."""
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    the same names the DuckDB oracle uses. Skips (but reports) tables
+    that fail to read instead of failing the whole catalog."""
+    import sys
+
+    for name in names or TABLES:
+        try:
+            load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"register_views: skipping {name}: {exc}", file=sys.stderr)
