@@ -1,0 +1,896 @@
+"""Driver-contract implementation: ``entry``/``queries``/``oracle_sql``.
+
+Every operator from SURVEY.md §2 that this engine implements gets
+
+* a ``queries()`` entry — a callable ``(spark, sf_dir) -> DataFrame``
+  running the Spark-first implementation over the driver's parquet
+  tables, and
+* an ``oracle_sql()`` entry — the equivalent ANSI SQL DuckDB runs on
+  the same parquet (views pre-registered by the driver), built from the
+  fragment helpers below so the float math (sequential double folds)
+  and integer hashing (md5-hex 60-bit) are *bit-identical* across
+  engines.
+
+Cross-engine determinism rules (SURVEY.md §7 hard parts):
+
+* every computed column is aliased identically on both sides;
+* every float output is ``round(x, 6) + 0.0`` (the ``+ 0.0``
+  normalizes ``-0.0``);
+* rankings order by the *raw* score and round only in the outer
+  projection;
+* token/shingle hashing uses the portable md5-derived 60-bit hash
+  (functions/text.py) — never engine-private hashes like xxhash64;
+* timestamps never cross the boundary: the nanos column is reduced
+  with integer arithmetic (``ts_ns div 1000`` == DuckDB ``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    dedup as D,
+    ingest as I,
+    multimodal as M,
+    relational as R,
+    search as S,
+    textstats as T,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import load_tables
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import pipeline as P
+
+# ---------------------------------------------------------------------------
+# knobs shared by the Spark query and its SQL oracle
+# ---------------------------------------------------------------------------
+
+TOPK_K = 10
+KNN_QUERIES = 8
+KNN_K = 5
+N_SHARDS = 8
+LSH_PLANES = S.random_hyperplanes(n_planes=6, dim=64, seed=7)
+IVF_N_CENTROIDS = 4
+IVF_NPROBE = 2
+CHUNK_WORDS = 32
+NEAR_DUP_THRESHOLD = 0.8
+MINHASH_N = 16
+MINHASH_BANDS = 4
+SHINGLE_N = 3
+JACCARD_MIN = 0.5
+SIMHASH_BITS = 48
+SIMHASH_BLOCKS = 4
+SIMHASH_MAX_HAMMING = 6
+EMB_NEAR_DUP_TAU = 0.4
+SESSION_GAP_MIN = 30
+
+_PERMS = D.minhash_perms(MINHASH_N)
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring the Spark expression library
+# ---------------------------------------------------------------------------
+
+
+def _sq_dot(a: str, b: str) -> str:
+    """Sequential-fold double dot product (mirrors functions.vector.dot)."""
+    return (
+        f"list_sum(list_transform({a}, (x, i) ->"
+        f" CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sq_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _sq_cosine(a: str, b: str) -> str:
+    return f"({_sq_dot(a, b)} / greatest({_sq_norm(a)} * {_sq_norm(b)}, 1e-12))"
+
+
+def _sq_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform({a}, (x, i) ->"
+        f" (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _sq_score(a: str, b: str, metric: str) -> str:
+    if metric == "cosine":
+        return _sq_cosine(a, b)
+    return f"(- {_sq_l2sq(a, b)})"
+
+
+def _sq_vec(vec) -> str:
+    return "([" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[])"
+
+
+#: whitespace tokenization of trimmed text (mirrors functions.text.tokens)
+_SQ_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+#: portable 60-bit token hash (mirrors functions.text.portable_token_hash)
+def _sq_tok_hash(t: str) -> str:
+    return f"CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT)"
+
+
+def _sq_shingles(toks: str, n: int) -> str:
+    """Word n-gram shingles (mirrors functions.text.shingles)."""
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def _sq_minhash_sig() -> str:
+    """MinHash signature list literal over column ``tids`` (mirrors
+    operators.dedup.minhash_signature with the shared perms)."""
+    mins = ", ".join(
+        f"list_min(list_transform(tids, x -> ({a} * x + {b}) % {D.MINHASH_PRIME}))"
+        for a, b in _PERMS
+    )
+    return f"[{mins}]"
+
+
+#: shingle → dense-vocab tids CTEs over ``documents`` (mirrors
+#: operators.dedup.shingle_tids_vocab); exposes CTE ``tids(doc_id, tids)``
+_SQ_TIDS_CTES = f"""
+__toks AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+__sh AS (SELECT doc_id, unnest(list_distinct({_sq_shingles('t', SHINGLE_N)})) AS shingle FROM __toks),
+__vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
+            FROM (SELECT DISTINCT shingle FROM __sh)),
+tids AS (SELECT doc_id, list(tid) AS tids FROM __sh JOIN __vocab USING (shingle) GROUP BY doc_id)
+"""
+
+#: near-dup candidate+verify CTEs on top of ``tids``; exposes
+#: ``near_pairs(id_a, id_b, jaccard)`` (unrounded jaccard, thresholded)
+_SQ_NEAR_DUP_CTES = f"""
+__sig AS (SELECT doc_id, tids, {_sq_minhash_sig()} AS sig FROM tids),
+__bands AS (SELECT doc_id, j AS band,
+                   array_to_string(list_transform(list_slice(sig, j * {MINHASH_N // MINHASH_BANDS} + 1,
+                        (j + 1) * {MINHASH_N // MINHASH_BANDS}), x -> CAST(x AS VARCHAR)), '-') AS key
+            FROM __sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)),
+__cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM __bands a JOIN __bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+near_pairs AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(ta.tids, tb.tids)) AS DOUBLE)
+           / (len(ta.tids) + len(tb.tids) - len(list_intersect(ta.tids, tb.tids))) AS jaccard
+  FROM __cand JOIN tids ta ON ta.doc_id = id_a JOIN tids tb ON tb.doc_id = id_b
+  WHERE CAST(len(list_intersect(ta.tids, tb.tids)) AS DOUBLE)
+           / (len(ta.tids) + len(tb.tids) - len(list_intersect(ta.tids, tb.tids))) >= {NEAR_DUP_THRESHOLD}
+)
+"""
+
+#: simhash CTE; exposes ``sim(doc_id, simhash)`` (mirrors operators.dedup.simhash)
+_SQ_SIMHASH_CTES = f"""
+__h AS (SELECT doc_id, list_transform({_SQ_TOKS}, t -> {_sq_tok_hash('t')}) AS hs FROM documents),
+__c AS (SELECT doc_id, list_transform(range(0, {SIMHASH_BITS}),
+             j -> list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1))) AS counts FROM __h),
+sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
+             j -> CASE WHEN counts[j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        FROM __c)
+"""
+
+
+def _round6(c, name: str):
+    """Normalized 6-decimal rounding: matches SQL ``round(x, 6) + 0.0``."""
+    return (F.round(c, 6) + F.lit(0.0)).alias(name)
+
+
+def _r6(expr: str, name: str) -> str:
+    return f"round({expr}, 6) + 0.0 AS {name}"
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential double fold — the exact arithmetic both engines run."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return emb.filter(F.col("vec_id") == vec_id).head()["embedding"]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = S.topk(t["embeddings"], _query_vec(spark, sf_dir), k=TOPK_K, metric="cosine")
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = S.topk(t["embeddings"], _query_vec(spark, sf_dir), k=TOPK_K, metric="l2")
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = S.sharded_topk(
+        t["embeddings"], _query_vec(spark, sf_dir), k=TOPK_K, n_shards=N_SHARDS
+    )
+    return res.select("vec_id", "shard", _round6(F.col("score"), "score"))
+
+
+def _knn_queries(t) -> DataFrame:
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < KNN_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = S.knn_join(_knn_queries(t), t["embeddings"], k=KNN_K)
+    return res.select("qid", "neighbor_id", _round6(F.col("score"), "score"), "rank")
+
+
+def q_knn_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    q = _knn_queries(t).withColumnRenamed("embedding", "qvec")
+    res = S.knn_join_expr(q, t["embeddings"], k=KNN_K)
+    return res.select("qid", "neighbor_id", _round6(F.col("score"), "score"), "rank")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = S.lsh_topk(t["embeddings"], _query_vec(spark, sf_dir), LSH_PLANES, k=TOPK_K)
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).orderBy("vec_id").collect()
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = S.ivf_topk(
+        t["embeddings"],
+        _query_vec(spark, sf_dir),
+        _ivf_centroids(spark, sf_dir),
+        k=TOPK_K,
+        nprobe=IVF_NPROBE,
+    )
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.topk(t["embeddings"], qv, k=TOPK_K)
+    approx = S.lsh_topk(t["embeddings"], qv, LSH_PLANES, k=TOPK_K)
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
+def q_prepare_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = I.validate_dim(t["embeddings"], 64)
+    out = I.assign_shard(out, N_SHARDS, how="mod")
+    return out.select("vec_id", "label", "shard")
+
+
+def q_normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    norm = I.normalized(t["embeddings"].filter(F.col("vec_id") < 50))
+    return norm.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", _round6(F.col("val"), "val"))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return I.chunk_documents(t["documents"], max_words=CHUNK_WORDS)
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.exact_dedup(t["documents"], ["text"]).select("doc_id", "lang")
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = D.near_dup_pairs(
+        t["documents"],
+        threshold=NEAR_DUP_THRESHOLD,
+        n_hashes=MINHASH_N,
+        n_bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        tid_path="vocab",
+    )
+    return res.select("id_a", "id_b", _round6(F.col("jaccard"), "jaccard"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tids = D.shingle_tids_vocab(t["documents"], n=SHINGLE_N)
+    res = D.jaccard_pairs(tids).filter(F.col("jaccard") >= JACCARD_MIN)
+    return res.select("id_a", "id_b", _round6(F.col("jaccard"), "jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.simhash(t["documents"], bits=SIMHASH_BITS)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sim = D.simhash(t["documents"], bits=SIMHASH_BITS)
+    res = D.simhash_candidate_pairs(
+        sim, max_hamming=SIMHASH_MAX_HAMMING, bits=SIMHASH_BITS, n_blocks=SIMHASH_BLOCKS
+    )
+    return res.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = D.embedding_near_dup_pairs(t["embeddings"], threshold=EMB_NEAR_DUP_TAU)
+    return res.select("id_a", "id_b", _round6(F.col("cosine"), "cosine"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs = D.near_dup_pairs(
+        t["documents"],
+        threshold=NEAR_DUP_THRESHOLD,
+        n_hashes=MINHASH_N,
+        n_bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        tid_path="vocab",
+    )
+    return D.dedup_clusters(pairs)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = T.token_stats(t["documents"])
+    return res.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subword_tokens").cast("long").alias("n_subword_tokens"),
+        _round6(F.col("avg_token_len"), "avg_token_len"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = T.quality_score(t["documents"])
+    return res.select(
+        "doc_id",
+        _round6(F.col("stopword_ratio"), "stopword_ratio"),
+        _round6(F.col("alpha_ratio"), "alpha_ratio"),
+        _round6(F.col("distinct_token_ratio"), "distinct_token_ratio"),
+        _round6(F.col("quality"), "quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = T.lang_id(t["documents"])
+    return res.select(
+        "doc_id", "pred_lang", F.col("stopword_hits").cast("int").alias("stopword_hits")
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = T.rolling_fingerprint(t["documents"], k=SHINGLE_N, hash_path="portable")
+    return res.select(
+        "doc_id",
+        "fingerprint",
+        F.col("n_distinct_windows").cast("long").alias("n_distinct_windows"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    res = T.corpus_stats(t["documents"])
+    return res.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        _round6(F.col("avg_chars"), "avg_chars"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(load_tables(spark, sf_dir))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.revenue_by_nation(load_tables(spark, sf_dir))
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_orders_per_segment(load_tables(spark, sf_dir))
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_order_stats(load_tables(spark, sf_dir))
+
+
+def q_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.parts_rollup(load_tables(spark, sf_dir))
+
+
+def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.supplier_share(load_tables(spark, sf_dir))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return P.events_hourly_buckets(t["events"])
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return P.events_sessionized_us(t["events"], gap_minutes=SESSION_GAP_MIN)
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary plumbing demo: text bytes stand in for an opaque image
+    # payload; decode is the documented deterministic stub.
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("payload", F.encode("text", "UTF-8"))
+    return M.decode_image_features(docs, bin_col="payload", dim=16)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("payload", F.encode("text", "UTF-8"))
+    return M.sample_video_frames(docs, bin_col="payload")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _oracle_topk(metric: str) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT vec_id, {_sq_score('embedding', 'qv', metric)} AS s FROM embeddings, q)
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_sharded_topk() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT vec_id, CAST(vec_id % {N_SHARDS} AS INT) AS shard,
+                  {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY s DESC, vec_id) AS rn FROM scored)
+SELECT vec_id, shard, {_r6('s', 'score')} FROM ranked
+WHERE rn <= {TOPK_K} ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_knn() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+scored AS (SELECT qid, e.vec_id AS neighbor_id, {_sq_cosine('e.embedding', 'qv')} AS s
+           FROM embeddings e, q),
+ranked AS (SELECT qid, neighbor_id, s,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+SELECT qid, neighbor_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _sq_bucket(vec_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN {_sq_dot(vec_expr, _sq_vec(p))} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j, p in enumerate(LSH_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_lsh_topk() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
+cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_sq_bucket('embedding')} = qb.qbucket),
+scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_ivf_topk() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (SELECT e.vec_id, e.embedding,
+                  c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
+           FROM embeddings e, cent c),
+cells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM assign WHERE rn = 1),
+probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
+                           FROM cent c, q) WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT vec_id, embedding FROM cells WHERE ivf_cell IN (SELECT cid FROM probe)),
+scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_recall_lsh() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
+cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_sq_bucket('embedding')} = qb.qbucket),
+approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
+           ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
+
+def _oracle_prepare_vectors() -> str:
+    return f"""
+SELECT vec_id, label, CAST(vec_id % {N_SHARDS} AS INT) AS shard
+FROM embeddings WHERE len(embedding) = 64
+"""
+
+
+def _oracle_normalized_vectors() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding, greatest({_sq_norm('embedding')}, 1e-12) AS nrm
+           FROM embeddings WHERE vec_id < 50)
+SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       round(CAST(embedding[i] AS DOUBLE) / nrm, 6) + 0.0 AS val
+FROM n, (SELECT unnest(range(1, 65)) AS i)
+"""
+
+
+def _oracle_chunk_documents() -> str:
+    w = CHUNK_WORDS
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(0, greatest(CAST(ceil(len(t) / {float(w)}) AS BIGINT), 1))) AS i FROM toks),
+chunks AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                  array_to_string(list_slice(t, i * {w} + 1, i * {w} + {w}), ' ') AS chunk_text
+           FROM idx)
+SELECT doc_id, chunk_idx,
+       concat(CAST(doc_id AS VARCHAR), '::chunk', CAST(chunk_idx AS VARCHAR), '::',
+              substr(md5(chunk_text), 1, 8)) AS chunk_id,
+       chunk_text
+FROM chunks
+"""
+
+
+def _oracle_exact_dedup() -> str:
+    return """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
+) WHERE rn = 1
+"""
+
+
+def _oracle_near_dup_pairs() -> str:
+    return f"""
+WITH {_SQ_TIDS_CTES.strip()},
+{_SQ_NEAR_DUP_CTES.strip()}
+SELECT id_a, id_b, {_r6('jaccard', 'jaccard')} FROM near_pairs
+"""
+
+
+def _oracle_jaccard_pairs() -> str:
+    return f"""
+WITH {_SQ_TIDS_CTES.strip()},
+ex AS (SELECT doc_id, len(tids) AS n, unnest(tids) AS tid FROM tids),
+agg AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS inter
+        FROM ex a JOIN ex b ON a.tid = b.tid AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, {_r6('CAST(inter AS DOUBLE) / (na + nb - inter)', 'jaccard')}
+FROM agg WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_MIN}
+"""
+
+
+def _oracle_simhash() -> str:
+    return f"""
+WITH {_SQ_SIMHASH_CTES.strip()}
+SELECT doc_id, simhash FROM sim
+"""
+
+
+def _oracle_simhash_near_dups() -> str:
+    bb = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << bb) - 1
+    return f"""
+WITH {_SQ_SIMHASH_CTES.strip()},
+blocks AS (SELECT doc_id, simhash, j AS blk, (simhash >> (j * {bb})) & {mask} AS key
+           FROM sim, (SELECT unnest(range(0, {SIMHASH_BLOCKS})) AS j)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+          FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def _oracle_embedding_near_dup() -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_r6(_sq_cosine('a.embedding', 'b.embedding'), 'cosine')}
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_sq_cosine('a.embedding', 'b.embedding')} >= {EMB_NEAR_DUP_TAU}
+"""
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_SQ_TIDS_CTES.strip()},
+{_SQ_NEAR_DUP_CTES.strip()},
+edges AS (SELECT id_a AS s, id_b AS d FROM near_pairs
+          UNION SELECT id_b, id_a FROM near_pairs),
+reach (s, d) AS (SELECT s, d FROM edges
+                 UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+SELECT s AS doc_id, least(min(d), s) AS canonical_id FROM reach GROUP BY s
+"""
+
+
+def _oracle_token_stats() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword_tokens,
+       {_r6("CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) / greatest(len(toks), 1)", 'avg_token_len')}
+FROM t
+"""
+
+
+_SQ_SW = "[" + ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
+
+
+def _oracle_quality_score() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+             len(toks) AS n_tok
+      FROM t)
+SELECT doc_id,
+       {_r6('sw_ratio', 'stopword_ratio')},
+       {_r6('alpha_ratio', 'alpha_ratio')},
+       {_r6('distinct_ratio', 'distinct_token_ratio')},
+       {_r6("(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
+            " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
+            " + 0.25 * alpha_ratio + 0.25 * distinct_ratio)", 'quality')}
+FROM m
+"""
+
+
+def _oracle_lang_id() -> str:
+    wordlists = {
+        "en": TX.EN_STOPWORDS,
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+        "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pour"],
+        "es": ["el", "la", "los", "las", "es", "una", "uno", "para", "con", "por"],
+    }
+    values = ", ".join(
+        "('" + lang + "', [" + ", ".join(f"'{w}'" for w in words) + "])"
+        for lang, words in wordlists.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct(list_transform({_SQ_TOKS}, tk -> lower(tk))) AS lt FROM documents),
+hits AS (SELECT doc_id, l.lang,
+                len(list_filter(lt, tk -> list_contains(l.words, tk))) AS h
+         FROM t, (SELECT * FROM (VALUES {values}) AS v(lang, words)) l),
+best AS (SELECT doc_id, lang, h,
+                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+         FROM hits)
+SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pred_lang, CAST(h AS INT) AS stopword_hits
+FROM best WHERE rn = 1
+"""
+
+
+def _oracle_rolling_fingerprint() -> str:
+    k, base, prime = SHINGLE_N, T.FP_BASE, T.FP_PRIME
+    return f"""
+WITH t AS (SELECT doc_id, list_transform({_SQ_TOKS}, tok -> {_sq_tok_hash('tok')} % {1 << 30}) AS tids
+           FROM documents),
+w AS (SELECT doc_id, list_transform(range(1, greatest(len(tids) - {k - 1}, 1) + 1),
+             i -> list_reduce(list_prepend(0::BIGINT, list_slice(tids, i, i + {k - 1})),
+                              (acc, x) -> (acc * {base} + x) % {prime})) AS wh
+      FROM t)
+SELECT doc_id, list_min(wh) AS fingerprint, CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows
+FROM w
+"""
+
+
+def _oracle_corpus_stats() -> str:
+    return f"""
+WITH t AS (SELECT lang, source, text,
+                  CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQ_TOKS}) END AS ntok
+           FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       {_r6('avg(length(text))', 'avg_chars')}
+FROM t GROUP BY lang, source
+"""
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLE_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+_ORACLE_TOP_ORDERS = """
+SELECT c_mktsegment, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+_ORACLE_CUST_ORDER_STATS = """
+WITH per_cust AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT coalesce(n_orders, 0) AS n_orders, count(*) AS n_customers
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY coalesce(n_orders, 0)
+"""
+
+_ORACLE_PARTS_ROLLUP = """
+SELECT p_brand, p_type, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+FROM part GROUP BY ROLLUP (p_brand, p_type)
+"""
+
+_ORACLE_SUPPLIER_SHARE = """
+WITH rev AS (SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+             FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, n_name, round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY n_name), 6) AS nation_share
+FROM rev JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+"""
+
+_ORACLE_EVENTS_HOURLY = """
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+_ORACLE_EVENTS_SESSIONIZED = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       round(sum(value), 6) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# public contract
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query: exact top-k cosine search over the sf0.001
+    embeddings (the reference's ``POST /search`` read path, SURVEY.md
+    §3.1) — compiles to a single ``TakeOrderedAndProject``."""
+    return q_topk_cosine(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "topk_cosine": q_topk_cosine,
+        "topk_l2": q_topk_l2,
+        "sharded_topk": q_sharded_topk,
+        "knn_join": q_knn_join,
+        "knn_join_expr": q_knn_join_expr,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "recall_lsh": q_recall_lsh,
+        "prepare_vectors": q_prepare_vectors,
+        "normalized_vectors": q_normalized_vectors,
+        "chunk_documents": q_chunk_documents,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "near_dup_pairs_minhash": q_near_dup_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash_fingerprints": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dedup_clusters": q_dedup_clusters,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "corpus_stats": q_corpus_stats,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "customer_order_stats": q_customer_order_stats,
+        "parts_rollup": q_parts_rollup,
+        "supplier_share": q_supplier_share,
+        "events_hourly": q_events_hourly,
+        "events_sessionized": q_events_sessionized,
+        "image_features": q_image_features,
+        "video_frames": q_video_frames,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    # image_features / video_frames are deliberately absent: the decode
+    # stub is not SQL-expressible → driver records the rows-only check.
+    return {
+        "topk_cosine": _oracle_topk("cosine"),
+        "topk_l2": _oracle_topk("l2"),
+        "sharded_topk": _oracle_sharded_topk(),
+        "knn_join": _oracle_knn(),
+        "knn_join_expr": _oracle_knn(),
+        "lsh_topk": _oracle_lsh_topk(),
+        "ivf_topk": _oracle_ivf_topk(),
+        "recall_lsh": _oracle_recall_lsh(),
+        "prepare_vectors": _oracle_prepare_vectors(),
+        "normalized_vectors": _oracle_normalized_vectors(),
+        "chunk_documents": _oracle_chunk_documents(),
+        "exact_dedup_docs": _oracle_exact_dedup(),
+        "near_dup_pairs_minhash": _oracle_near_dup_pairs(),
+        "jaccard_pairs": _oracle_jaccard_pairs(),
+        "simhash_fingerprints": _oracle_simhash(),
+        "simhash_near_dups": _oracle_simhash_near_dups(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "token_stats": _oracle_token_stats(),
+        "quality_score": _oracle_quality_score(),
+        "lang_id": _oracle_lang_id(),
+        "rolling_fingerprint": _oracle_rolling_fingerprint(),
+        "corpus_stats": _oracle_corpus_stats(),
+        "pricing_summary": _ORACLE_PRICING,
+        "revenue_by_nation": _ORACLE_REVENUE,
+        "top_orders_per_segment": _ORACLE_TOP_ORDERS,
+        "customer_order_stats": _ORACLE_CUST_ORDER_STATS,
+        "parts_rollup": _ORACLE_PARTS_ROLLUP,
+        "supplier_share": _ORACLE_SUPPLIER_SHARE,
+        "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
+    }

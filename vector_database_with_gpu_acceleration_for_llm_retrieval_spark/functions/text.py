@@ -18,6 +18,7 @@ __all__ = [
     "word_chunks",
     "EN_STOPWORDS",
     "stopword_ratio",
+    "portable_token_hash",
 ]
 
 #: Small deterministic English stopword list for language-ID heuristics
@@ -74,6 +75,16 @@ def word_chunks(text: Column | str, max_words: int = 120) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
     out = F.transform(idx, lambda i: F.array_join(F.slice(toks, i * max_words + 1, max_words), " "))
     return F.when(F.trim(_as_col(text)) == "", F.array().cast("array<string>")).otherwise(out)
+
+
+def portable_token_hash(c: Column | str) -> Column:
+    """60-bit token hash every engine can reproduce: first 15 hex chars
+    of md5, parsed as an integer. Slower than ``xxhash64`` but exactly
+    mirrorable in the DuckDB oracle
+    (``CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)``); use
+    xxhash64 on hot production paths where no cross-engine parity is
+    needed."""
+    return F.conv(F.substring(F.md5(_as_col(c)), 1, 15), 16, 10).cast("long")
 
 
 def stopword_ratio(toks: Column | str, stopwords: list[str] | None = None) -> Column:

@@ -254,13 +254,9 @@ def near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def portable_token_hash(c: Column) -> Column:
-    """60-bit token hash every engine can reproduce: first 15 hex chars
-    of md5, parsed as an integer. Slower than ``xxhash64`` but exactly
-    mirrorable in the DuckDB oracle
-    (``CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)``); use
-    xxhash64 (``shingle_tids_hash``) on hot production paths."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+# canonical definition lives in functions.text; re-exported here because
+# dedup is where cross-engine hashing is most often needed.
+portable_token_hash = TX.portable_token_hash
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48) -> DataFrame:

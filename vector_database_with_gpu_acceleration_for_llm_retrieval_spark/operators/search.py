@@ -312,10 +312,14 @@ def lsh_topk(
     (filter on bucket reaches the parquet reader) — the candidate set
     read from disk is ~N/2^planes instead of N.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
+    # sequential fold (not numpy dot) so the bucket bit matches the
+    # engine-side expression arithmetic exactly, even for near-zero dots
     qbucket = 0
     for j, p in enumerate(planes):
-        if float(q @ np.asarray(p)) > 0:
+        s = 0.0
+        for x, y in zip(query_vec, p):
+            s += float(x) * float(y)
+        if s > 0:
             qbucket |= 1 << j
     candidates = corpus.filter(lsh_bucket(vec_col, planes) == F.lit(qbucket))
     return topk(candidates, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)

@@ -107,14 +107,17 @@ def rolling_fingerprint(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_path: str = "portable",
 ) -> DataFrame:
     """Document fingerprint: minimum Rabin-Karp rolling hash over
     k-token windows (winnowing-style min-sampling, Schleimer et al.).
-    Token → int via xxhash64 folded to 2^30; window hash =
-    Σ tid·BASEʲ mod P; fingerprint = min window hash. One projection,
-    no shuffle."""
+    Token → int folded to 2^30 (``hash_path='portable'`` = md5-derived,
+    exactly mirrorable by the DuckDB oracle; ``'xxhash'`` = faster
+    JVM xxhash64 for production); window hash = Σ tid·BASEʲ mod P;
+    fingerprint = min window hash. One projection, no shuffle."""
     toks = TX.tokens(F.col(text_col))
-    tids = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 30)))
+    token_hash = TX.portable_token_hash if hash_path == "portable" else F.xxhash64
+    tids = F.transform(toks, lambda t: F.pmod(token_hash(t), F.lit(1 << 30)))
     n_win = F.greatest(F.size(tids) - F.lit(k - 1), F.lit(1))
     win_hash = F.transform(
         F.sequence(F.lit(1), n_win),

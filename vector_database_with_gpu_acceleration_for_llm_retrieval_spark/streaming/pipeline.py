@@ -26,10 +26,30 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ing
 
 __all__ = [
     "events_tumbling_stats",
+    "events_hourly_buckets",
     "events_sessionized",
+    "events_sessionized_us",
     "stream_vector_ingest",
     "stream_event_window_counts",
 ]
+
+
+def events_hourly_buckets(events: DataFrame) -> DataFrame:
+    """Tumbling hourly stats keyed by an *integer* hour bucket computed
+    from the exact nanosecond column (``ts_ns div 3.6e12``) — pure
+    integer arithmetic, so any engine reading the same parquet computes
+    bit-identical buckets (the oracle-checked form of
+    :func:`events_tumbling_stats`)."""
+    bucket = F.expr("ts_ns div 3600000000000").alias("hour_bucket")
+    return (
+        events.groupBy(bucket, F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
 
 
 def events_tumbling_stats(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -77,6 +97,36 @@ def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def events_sessionized_us(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization on exact microsecond integers (``ts_ns div 1000``
+    — the same truncation DuckDB applies reading the nanos parquet, so
+    the oracle matches bit-for-bit). Same lag → gap-flag → running-sum
+    shape as :func:`events_sessionized`; outputs integer µs bounds
+    instead of timestamps."""
+    from pyspark.sql import Window as W
+
+    ts_us = F.expr("ts_ns div 1000")
+    by_user = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    base = events.select("event_id", "user_id", ts_us.alias("ts_us"), "value")
+    gap = F.col("ts_us") - F.lag("ts_us").over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sessions = base.withColumn(
+        "session_id",
+        F.sum(new_sess).over(by_user.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
             F.round(F.sum("value"), 6).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
