@@ -1,0 +1,118 @@
+"""Dedup operator correctness: NULL-safe exact dedup, MinHash-LSH
+planted near-dups, exact Jaccard values, SimHash, and connected
+components (incl. the non-convergence warning)."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import dedup as D
+
+
+def test_exact_dedup_null_vs_value_distinct(spark):
+    """(x, NULL) and (NULL, x) are different rows — the concat_ws
+    NULL-skip collision (ADVICE) must not merge them."""
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", None), (4, "a#b", None), (5, "a", "b")],
+        "doc_id int, c1 string, c2 string",
+    )
+    kept = {r.doc_id for r in D.exact_dedup(df, ["c1", "c2"]).collect()}
+    assert kept == {1, 2, 4, 5}  # only 3 (dup of 1) dropped
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(9, "same"), (2, "same"), (5, "other")], "doc_id int, text string"
+    )
+    kept = {r.doc_id for r in D.exact_dedup(df, ["text"]).collect()}
+    assert kept == {2, 5}
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("field", "meadow")  # 1-word edit: high Jaccard
+    far = "completely different content about spark catalyst optimizer internals"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],  # 4 = exact dup of 1
+        "doc_id int, text string",
+    )
+
+
+def test_minhash_near_dup_finds_planted(planted_docs):
+    pairs = D.near_dup_pairs(planted_docs, threshold=0.5, n_hashes=16, n_bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup: jaccard 1.0 always survives
+    assert (1, 2) in got or (2, 4) in got  # planted near-dup collides
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30, 40]), (2, [20, 30, 40, 50])], "doc_id int, tids array<long>"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    j = D.jaccard_pairs(df, pairs=pairs).collect()[0].jaccard
+    assert j == pytest.approx(3 / 5)  # |∩|=3, |∪|=5
+
+
+def test_jaccard_all_pairs_no_cross_join(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, [20, 30]), (3, [99])], "doc_id int, tids array<long>"
+    )
+    rows = D.jaccard_pairs(df).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert got == {(1, 2): pytest.approx(1 / 3)}  # doc 3 shares nothing → absent
+
+
+def test_lsh_candidate_pairs_empty_input(spark):
+    sig = spark.createDataFrame([], "doc_id int, tids array<long>, sig array<long>")
+    assert D.lsh_candidate_pairs(sig, n_bands=4, n_hashes=16).count() == 0
+
+
+def test_lsh_candidate_pairs_rejects_uneven_bands(spark):
+    sig = spark.createDataFrame([], "doc_id int, tids array<long>, sig array<long>")
+    with pytest.raises(ValueError, match="divisible"):
+        D.lsh_candidate_pairs(sig, n_bands=5, n_hashes=16)
+
+
+def test_simhash_identical_docs_same_fingerprint(planted_docs):
+    fp = {r.doc_id: r.simhash for r in D.simhash(planted_docs, bits=48).collect()}
+    assert fp[1] == fp[4]
+    pairs = D.simhash_candidate_pairs(
+        D.simhash(planted_docs, bits=48), max_hamming=3, bits=48, n_blocks=4
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 4)] == 0
+
+
+def test_embedding_near_dup_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    pairs = D.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_dedup_clusters_chain(spark):
+    """Chain 1-2-3-4 plus island 8-9 → min-label components."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "id_a int, id_b int"
+    )
+    got = {r.doc_id: r.canonical_id for r in D.dedup_clusters(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_dedup_clusters_warns_without_convergence(spark):
+    """A long chain with max_iter=1 cannot reach the fixed point; the
+    silent-under-merge case must warn (ADVICE)."""
+    chain = [(i, i + 1) for i in range(1, 12)]
+    edges = spark.createDataFrame(chain, "id_a int, id_b int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        D.dedup_clusters(edges, max_iter=1)
+        assert any("max_iter" in str(x.message) for x in w)

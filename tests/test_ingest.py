@@ -1,0 +1,69 @@
+"""Ingestion pipeline: dim validation, normalize-on-write, shard
+assignment, chunk ids, join-back + context assembly (reference write
+path §3.2 and RAG demo §3.3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import ingest as I
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+
+
+def test_validate_dim_filters_and_tags(vecs):
+    assert {r.vec_id for r in I.validate_dim(vecs, 2).collect()} == {1, 3}
+    tagged = {r.vec_id: r.dim_ok for r in I.validate_dim(vecs, 2, reject=False).collect()}
+    assert tagged == {1: True, 2: False, 3: True}
+
+
+def test_prepare_vectors_normalizes_and_shards(vecs):
+    out = I.prepare_vectors(vecs, dim=2, n_shards=4, id_col="vec_id").collect()
+    assert {r.vec_id for r in out} == {1, 3}
+    for r in out:
+        assert math.isclose(sum(x * x for x in r.embedding), 1.0, rel_tol=1e-12)
+        assert 0 <= r.shard < 4
+
+
+def test_assign_shard_mod_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "vec_id int")
+    got = {r.vec_id: r.shard for r in I.assign_shard(df, 4, how="mod").collect()}
+    assert got == {i: i % 4 for i in range(10)}
+
+
+def test_chunk_documents_ids_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(7, "one two three four five")], "doc_id int, text string"
+    )
+    a = I.chunk_documents(docs, max_words=2).collect()
+    b = I.chunk_documents(docs, max_words=2).collect()
+    assert [r.chunk_id for r in a] == [r.chunk_id for r in b]  # no uuid nondeterminism
+    assert [r.chunk_text for r in sorted(a, key=lambda r: r.chunk_idx)] == [
+        "one two", "three four", "five",
+    ]
+    assert all(r.chunk_id.startswith(f"7::chunk{r.chunk_idx}::") for r in a)
+
+
+def test_join_back_and_assemble_context(spark):
+    """RAG tail: hits joined to chunk text, assembled as score-ordered
+    bullets (reference rag_demo/ask.py:24)."""
+    hits = spark.createDataFrame(
+        [(0, "c1", 0.9), (0, "c2", 0.95), (0, "c3", 0.1)],
+        "qid int, chunk_id string, score double",
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "first"), ("c2", "second"), ("c3", "third")],
+        "chunk_id string, chunk_text string",
+    )
+    ctx = I.assemble_context(I.join_back(hits, chunks)).collect()[0].context
+    assert ctx == "- second\n\n- first\n\n- third"

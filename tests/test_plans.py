@@ -1,0 +1,62 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the scale contract is
+what the plan *does*, not what the code intends. Enforced here so a
+regression that silently de-optimizes a path fails CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    relational as R,
+    search as S,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+    assert_plan_contains,
+)
+
+
+def test_topk_compiles_to_take_ordered(tables):
+    """Flagship search must be TakeOrderedAndProject — per-partition
+    bounded top-k + driver merge, no global sort, no shuffle."""
+    df = S.topk(tables["embeddings"], [0.1] * 64, k=10)
+    assert_plan_contains(df, "TakeOrderedAndProject", absent=("Exchange",))
+
+
+def test_pricing_summary_pushes_filter_and_partial_agg(tables):
+    plan = assert_plan_contains(
+        R.pricing_summary(tables), "HashAggregate", "PushedFilters"
+    )
+    # the shipdate predicate must reach the parquet scan, not sit in a
+    # post-scan Filter only
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_pricing_summary_prunes_columns(tables):
+    plan = assert_plan_contains(R.pricing_summary(tables), "ReadSchema")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema  # wide column pruned from scan
+    assert "l_quantity" in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(tables):
+    plan = assert_plan_contains(R.revenue_by_nation(tables), "BroadcastHashJoin")
+    # the only sort-merge-or-shuffle join allowed is lineitem ⋈ orders
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_join_back_is_broadcast(spark, tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import ingest as I
+
+    hits = spark.createDataFrame([(0, "x", 1.0)], "qid int, chunk_id string, score double")
+    chunks = I.chunk_documents(tables["documents"], max_words=50)
+    df = I.join_back(hits, chunks.withColumnRenamed("chunk_id", "chunk_id"))
+    assert_plan_contains(df, "BroadcastHashJoin", absent=("SortMergeJoin",))
+
+
+def test_embeddings_scan_prunes_label(tables):
+    """Column pruning: a 2-column projection must not read `label`."""
+    df = tables["embeddings"].select("vec_id", "embedding").limit(5)
+    plan = assert_plan_contains(df, "ReadSchema")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "label" not in read_schema

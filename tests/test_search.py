@@ -1,0 +1,134 @@
+"""Top-k search invariants (SURVEY.md §5.3): sorted/size/recall vs a
+numpy brute-force oracle, the coordinator merge property, batch kNN
+parity including the chunked driver path, and ANN sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(tables):
+    return tables["embeddings"].select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def np_corpus(corpus):
+    rows = corpus.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def _np_topk_cosine(ids, X, q, k):
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / max(np.linalg.norm(qn), 1e-12)
+    s = Xn @ qn
+    order = np.lexsort((ids, -s))[:k]
+    return list(ids[order])
+
+
+def test_topk_sorted_size_recall(corpus, np_corpus):
+    ids, X = np_corpus
+    q = list(X[0])
+    got = S.topk(corpus, q, k=K).collect()
+    assert len(got) == K
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # exact index ⇒ recall 1.0 against the brute-force oracle
+    assert [r.vec_id for r in got] == _np_topk_cosine(ids, X, q, K)
+
+
+def test_topk_k_clamped_and_empty(corpus, spark):
+    small = corpus.limit(3)
+    q = [1.0] * 64
+    assert S.topk(small, q, k=K).count() == 3  # O12 k-clamping
+    empty = corpus.filter("vec_id < 0")
+    assert S.topk(empty, q, k=K).count() == 0  # O11 short-circuit
+
+
+def test_sharded_merge_equals_global(corpus, np_corpus):
+    """The coordinator property (reference coordinator/main.py:75-86):
+    merge of per-shard top-k == global top-k."""
+    ids, X = np_corpus
+    q = list(X[7])
+    global_ids = [r.vec_id for r in S.topk(corpus, q, k=K).collect()]
+    sharded_ids = [r.vec_id for r in S.sharded_topk(corpus, q, k=K, n_shards=8).collect()]
+    assert sharded_ids == global_ids
+
+
+def test_topk_l2_metric(corpus, np_corpus):
+    ids, X = np_corpus
+    q = list(X[3])
+    got = S.topk(corpus, q, k=K, metric="l2").collect()
+    d = ((X - np.asarray(q)) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d))[:K]
+    assert [r.vec_id for r in got] == list(ids[order])
+    assert all(r.score <= 1e-9 for r in got)  # neg distance: higher is better
+
+
+def test_knn_join_matches_expr_baseline(corpus, tables):
+    """Pruned mapInPandas path == pure-expression window baseline."""
+    queries = corpus.filter("vec_id < 6").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    fast = S.knn_join(queries, corpus, k=5, query_id="qid", query_vec="qvec")
+    slow = S.knn_join_expr(queries, corpus, k=5)
+    f = {(r.qid, r.rank): r.neighbor_id for r in fast.collect()}
+    s = {(r.qid, r.rank): r.neighbor_id for r in slow.collect()}
+    assert f == s
+
+
+def test_knn_join_chunked_equals_unchunked(corpus):
+    """|Q| above the driver-collect chunk cap: chunk-and-union must be
+    exact (per-qid independence)."""
+    queries = corpus.filter("vec_id < 9").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    whole = S.knn_join(queries, corpus, k=3, query_id="qid", query_vec="qvec")
+    chunked = S.knn_join(queries, corpus, k=3, query_id="qid", query_vec="qvec", query_chunk=2)
+    w = {(r.qid, r.rank): r.neighbor_id for r in whole.collect()}
+    c = {(r.qid, r.rank): r.neighbor_id for r in chunked.collect()}
+    assert w == c and len(w) == 9 * 3
+
+
+def test_knn_join_empty_queries(corpus, spark):
+    queries = corpus.filter("vec_id < 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert S.knn_join(queries, corpus, k=3, query_id="qid", query_vec="qvec").count() == 0
+
+
+def test_lsh_topk_subset_of_corpus_and_recall(corpus, np_corpus):
+    """ANN results are a subset of the exact candidate set; recall@k is
+    measurable and ≤ 1."""
+    ids, X = np_corpus
+    q = list(X[0])
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    approx = S.lsh_topk(corpus, q, planes, k=K)
+    exact = S.topk(corpus, q, k=K)
+    rec = S.recall_at_k(
+        exact.withColumnRenamed("vec_id", "neighbor_id"),
+        approx.withColumnRenamed("vec_id", "neighbor_id"),
+        k=K,
+    ).collect()[0].recall
+    assert 0.0 <= rec <= 1.0
+    approx_ids = {r.vec_id for r in approx.collect()}
+    assert approx_ids <= set(ids.tolist())
+
+
+def test_ivf_topk_probes_cells(corpus, np_corpus):
+    ids, X = np_corpus
+    q = list(X[1])
+    centroids = [(i, list(X[i * 37 % len(X)])) for i in range(4)]
+    out = S.ivf_topk(corpus, q, centroids, k=K, nprobe=2).collect()
+    assert 0 < len(out) <= K
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)

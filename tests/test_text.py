@@ -1,0 +1,102 @@
+"""Text function/operator correctness vs plain-Python oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import textstats as T
+
+SAMPLES = [
+    (1, "the quick brown fox"),
+    (2, "  leading and trailing   spaces  "),
+    (3, "one"),
+    (4, ""),
+    (5, "der hund ist nicht mit der katze und das ist gut"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(SAMPLES, "doc_id int, text string")
+
+
+def test_n_tokens_matches_python_split(docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", TX.n_tokens("text").alias("n")).collect()}
+    for doc_id, text in SAMPLES:
+        assert got[doc_id] == len(text.split()), (doc_id, text)
+
+
+def test_shingles_window_count_and_short_doc(docs):
+    rows = docs.select(
+        "doc_id", TX.shingles(TX.tokens("text"), n=3).alias("sh")
+    ).collect()
+    got = {r.doc_id: r.sh for r in rows}
+    assert got[1] == ["the quick brown", "quick brown fox"]
+    assert got[3] == ["one"]  # shorter than n → whole doc is one shingle
+
+
+def test_word_chunks_reconstruct(docs):
+    """Chunks of size 2 concatenated give back the whitespace-normalized
+    text (reference chunk() semantics, rag_demo/ingest.py:22-25)."""
+    rows = docs.select("doc_id", TX.word_chunks("text", max_words=2).alias("ch")).collect()
+    got = {r.doc_id: r.ch for r in rows}
+    for doc_id, text in SAMPLES:
+        norm = " ".join(text.split())
+        assert " ".join(got[doc_id]) == norm
+        for chunk in got[doc_id][:-1]:
+            assert len(chunk.split()) == 2
+    assert got[4] == []  # empty text → no chunks
+
+
+def test_portable_token_hash_matches_md5(spark):
+    import hashlib
+
+    words = ["hello", "spark", "ü-umlaut"]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {r.t: r.h for r in df.select("t", TX.portable_token_hash("t").alias("h")).collect()}
+    for w in words:
+        expect = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        assert got[w] == expect
+
+
+def test_stopword_ratio(docs):
+    got = {
+        r.doc_id: r.sw
+        for r in docs.select(
+            "doc_id", TX.stopword_ratio(TX.tokens("text")).alias("sw")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1 / 4)  # "the" of 4 tokens
+
+
+def test_lang_id_picks_planted_language(docs):
+    got = {r.doc_id: r.pred_lang for r in T.lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+
+
+def test_token_stats_columns(docs):
+    row = {r.doc_id: r for r in T.token_stats(docs).collect()}[1]
+    assert row.n_tokens == 4
+    assert row.n_chars == len("the quick brown fox")
+    assert row.avg_token_len == pytest.approx((3 + 5 + 5 + 3) / 4)
+
+
+def test_quality_score_bounds(tables):
+    rows = T.quality_score(tables["documents"]).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert len(rows) == tables["documents"].count()
+
+
+def test_rolling_fingerprint_deterministic_and_shift_invariant(spark):
+    """Same text → same fingerprint; winnowing min-hash changes when
+    content changes."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.fingerprint for r in T.rolling_fingerprint(df, k=3).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
