@@ -1,0 +1,81 @@
+"""Materialized ANN index: write partitioned, read pruned — the scale
+contract is that the bucket/cell filter is a PARTITION filter (files
+outside the probe are never opened), asserted on the physical plan."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    ann_index as A,
+    search as S,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+    physical_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tables):
+    return tables["embeddings"].select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def qvec(corpus):
+    return corpus.filter("vec_id = 0").collect()[0].embedding
+
+
+def test_lsh_index_prunes_partitions_and_matches_query_time(corpus, qvec, spark):
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        A.write_lsh_index(corpus, tmp, planes)
+        df = A.lsh_topk_indexed(spark, tmp, qvec, k=10)
+        plan = physical_plan(df)
+        assert "PartitionFilters" in plan
+        part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "bucket" in part_filters  # pruning reaches the scan
+        # pruned result == query-time LSH over the same planes
+        expect = [r.vec_id for r in S.lsh_topk(corpus, qvec, planes, k=10).collect()]
+        got = [r.vec_id for r in df.collect()]
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lsh_index_multi_probe_improves_candidates(corpus, qvec, spark):
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        A.write_lsh_index(corpus, tmp, planes)
+        one = A.lsh_topk_indexed(spark, tmp, qvec, k=50, n_probe_buckets=1).count()
+        multi = A.lsh_topk_indexed(spark, tmp, qvec, k=50, n_probe_buckets=3).count()
+        assert multi >= one
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivf_index_prunes_and_matches_query_time(corpus, qvec, spark):
+    centroids = A.train_centroids(corpus, n_centroids=4, sample_fraction=1.0)
+    tmp = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        A.write_ivf_index(corpus, tmp, centroids)
+        df = A.ivf_topk_indexed(spark, tmp, qvec, k=10, nprobe=2)
+        plan = physical_plan(df)
+        assert "PartitionFilters" in plan
+        assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+        expect = [r.vec_id for r in S.ivf_topk(corpus, qvec, centroids, k=10, nprobe=2).collect()]
+        assert [r.vec_id for r in df.collect()] == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_train_centroids_deterministic(corpus):
+    a = A.train_centroids(corpus, n_centroids=3, sample_fraction=1.0)
+    b = A.train_centroids(corpus, n_centroids=3, sample_fraction=1.0)
+    assert a == b
+    assert len(a) == 3 and all(len(c[1]) == 64 for c in a)

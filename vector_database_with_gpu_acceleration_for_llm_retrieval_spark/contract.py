@@ -268,6 +268,55 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", _round6(F.col("score"), "score"))
 
 
+def q_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-LSH-index variant: writes the bucket-partitioned
+    table to a scratch dir and answers from the pruned read — result is
+    provably identical to the query-time path (same planes, exact rerank
+    inside the bucket), so it shares lsh_topk's oracle."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        ann_index as A,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_contract_")
+    try:
+        A.write_lsh_index(t["embeddings"].select("vec_id", "embedding"), tmp, LSH_PLANES)
+        res = A.lsh_topk_indexed(spark, tmp, _query_vec(spark, sf_dir), k=TOPK_K)
+        out = res.select("vec_id", _round6(F.col("score"), "score"))
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-IVF-index variant of q_ivf_topk (same centroids and
+    probes → same result → same oracle)."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        ann_index as A,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ivf_idx_contract_")
+    try:
+        A.write_ivf_index(
+            t["embeddings"].select("vec_id", "embedding"), tmp, _ivf_centroids(spark, sf_dir)
+        )
+        res = A.ivf_topk_indexed(
+            spark, tmp, _query_vec(spark, sf_dir), k=TOPK_K, nprobe=IVF_NPROBE
+        )
+        out = res.select("vec_id", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
@@ -828,7 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_join_expr": q_knn_join_expr,
         "lsh_topk": q_lsh_topk,
+        "lsh_topk_indexed": q_lsh_topk_indexed,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_lsh": q_recall_lsh,
         "prepare_vectors": q_prepare_vectors,
         "normalized_vectors": q_normalized_vectors,
@@ -868,7 +919,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _oracle_knn(),
         "knn_join_expr": _oracle_knn(),
         "lsh_topk": _oracle_lsh_topk(),
+        "lsh_topk_indexed": _oracle_lsh_topk(),
         "ivf_topk": _oracle_ivf_topk(),
+        "ivf_topk_indexed": _oracle_ivf_topk(),
         "recall_lsh": _oracle_recall_lsh(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

@@ -1,0 +1,194 @@
+"""Materialized ANN index: bucket/cell computed at ingest, persisted as
+partitioned parquet, pruned at query time.
+
+This is the scale path the query-time ANN operators (search.lsh_topk /
+search.ivf_topk) document: computing the bucket over the full corpus at
+query time still scans N rows; materializing it at ingest turns the
+candidate scan into a *partition-pruned* read — the files outside the
+probed buckets are never opened. On a 1000-executor cluster over 100 TB
+that is the difference between a full-table scan per query and reading
+~N/2^planes (LSH) or ~N·nprobe/n_cells (IVF) bytes.
+
+The reference has no ANN at all (its index is an exact flat scan,
+SURVEY.md §2.2); this is the north-star extension built the
+Spark-native way: the "index" is just a partitioned table layout plus a
+sidecar JSON carrying the hash family, so any reader re-derives the
+same bucket for a query vector without a driver-side model object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+    ivf_assign,
+    lsh_bucket,
+    topk,
+)
+
+__all__ = [
+    "write_lsh_index",
+    "lsh_topk_indexed",
+    "write_ivf_index",
+    "ivf_topk_indexed",
+    "train_centroids",
+]
+
+_META = "_ann_meta.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as f:
+        return json.load(f)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus partitioned by its LSH bucket.
+
+    ``partitionBy("bucket")`` gives one directory per bucket (≤ 2^planes
+    directories); a reader filtering on ``bucket`` prunes partitions at
+    planning time — the scan never opens non-matching files. Appends are
+    incremental: new vectors land in their bucket directory without
+    touching the rest (unlike the reference GPU path's full-matrix
+    re-upload, shard_binding.cpp:40-49).
+    """
+    out = df.withColumn("bucket", lsh_bucket(vec_col, planes))
+    # one file per bucket per batch: repartition by the partition column
+    # so writers don't produce 2^planes tiny files each
+    out.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(path)
+    _write_meta(path, {"kind": "lsh", "planes": planes, "vec_col": vec_col})
+
+
+def _query_bucket(query_vec, planes: list[list[float]]) -> int:
+    """Same sequential fold as the engine-side lsh_bucket expression."""
+    bucket = 0
+    for j, p in enumerate(planes):
+        s = 0.0
+        for x, y in zip(query_vec, p):
+            s += float(x) * float(y)
+        if s > 0:
+            bucket |= 1 << j
+    return bucket
+
+
+def lsh_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_buckets: int = 1,
+) -> DataFrame:
+    """ANN top-k over a materialized LSH index: compute the query's
+    bucket from the sidecar planes, read ONLY that partition (plus the
+    ``n_probe_buckets-1`` nearest-by-Hamming buckets for better recall),
+    exact-rerank inside.
+
+    The bucket filter is a partition filter — `.explain` shows it under
+    ``PartitionFilters`` and the scan's file count drops accordingly
+    (asserted in tests/test_ann_index.py).
+    """
+    meta = _read_meta(path)
+    planes = meta["planes"]
+    qb = _query_bucket(query_vec, planes)
+    if n_probe_buckets <= 1:
+        probe = [qb]
+    else:
+        # probe nearest buckets by Hamming distance on the sign bits —
+        # flipping the weakest-margin bits first would be better; this
+        # simple variant flips each single bit
+        candidates = [qb] + [qb ^ (1 << j) for j in range(len(planes))]
+        probe = candidates[:n_probe_buckets]
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    return topk(corpus, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.1,
+    n_iter: int = 5,
+    seed: int = 13,
+) -> list[tuple[int, list[float]]]:
+    """Offline k-means on a driver-side sample (standard IVF training:
+    centroids come from a small sample, assignment runs distributed).
+
+    The sample is capped by ``sample_fraction`` — at 100 TB you train on
+    ~1e5 sampled rows, never the full table. Deterministic via seed.
+    """
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(100_000)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [(int(i), [round(float(v), 6) for v in c]) for i, c in enumerate(C)]
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus partitioned by IVF cell (nearest centroid).
+
+    Same layout idea as :func:`write_lsh_index`: ``ivf_cell`` is a
+    partition column, probes prune partitions.
+    """
+    out = ivf_assign(df, centroids, vec_col=vec_col)
+    out.repartition("ivf_cell").write.mode(mode).partitionBy("ivf_cell").parquet(path)
+    _write_meta(path, {"kind": "ivf", "centroids": centroids, "vec_col": vec_col})
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a materialized index: nearest ``nprobe`` cells by
+    centroid distance, partition-pruned scan, exact rerank."""
+    meta = _read_meta(path)
+    centroids = meta["centroids"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        centroids, key=lambda c: (float(((q - np.asarray(c[1])) ** 2).sum()), c[0])
+    )
+    probe = [int(cid) for cid, _ in order[:nprobe]]
+    corpus = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    return topk(corpus, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
