@@ -345,6 +345,24 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return I.chunk_documents(t["documents"], max_words=CHUNK_WORDS)
 
 
+#: fixed question for the end-to-end RAG retrieval pipeline — words from
+#: the synthetic documents vocabulary so retrieval is non-trivial.
+RAG_QUESTION = "spark window join performance"
+RAG_K = 4
+RAG_DIM = 64
+
+
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole RAG ask-path (SURVEY.md §3.3) as one plan: chunk →
+    hash-embed → cosine top-4 → join-back → ordered context + prompt."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import rag
+
+    t = load_tables(spark, sf_dir)
+    return rag.rag_context(
+        t["documents"], RAG_QUESTION, k=RAG_K, dim=RAG_DIM, max_words=CHUNK_WORDS
+    )
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return D.exact_dedup(t["documents"], ["text"]).select("doc_id", "lang")
@@ -623,6 +641,47 @@ FROM chunks
 """
 
 
+def _oracle_rag_context() -> str:
+    """DuckDB mirror of the full RAG retrieval tail. The hash embedding
+    is re-derived in SQL (same md5-derived bucket/sign, same ε-guarded
+    normalization); the question vector is the same Python-computed
+    literal the Spark side closes over."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.rag import (
+        PROMPT_TEMPLATE,
+    )
+
+    d = RAG_DIM
+    qv = _sq_vec(hash_embed_py(RAG_QUESTION, dim=d))
+    th = _sq_tok_hash("t")
+    chunk_sql = _oracle_chunk_documents().strip()
+    prompt = PROMPT_TEMPLATE.replace("'", "''")
+    # raw[j] = Σ_tokens ±1[bucket==j]; emb = raw / max(‖raw‖, 1e-12)
+    return f"""
+WITH chunked AS ({chunk_sql}),
+ct AS (SELECT chunk_id, chunk_text, regexp_split_to_array(trim(chunk_text), '\\s+') AS w FROM chunked),
+raw AS (SELECT chunk_id, chunk_text,
+  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
+    list_transform(w, t -> CASE WHEN {th} % {d} = j
+      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
+      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
+  FROM ct),
+emb AS (SELECT chunk_id, chunk_text,
+  list_transform(rawv, x -> x / greatest({_sq_norm('rawv')}, 1e-12)) AS e
+  FROM raw),
+hits AS (SELECT chunk_id, chunk_text, {_sq_cosine('e', qv)} AS score
+  FROM emb ORDER BY score DESC, chunk_id LIMIT {RAG_K}),
+ctx AS (SELECT 0 AS qid,
+  string_agg('- ' || chunk_text, chr(10) || chr(10) ORDER BY score DESC, chunk_text) AS context
+  FROM hits)
+SELECT qid, context,
+       printf('{prompt}', context, '{RAG_QUESTION}') AS prompt
+FROM ctx
+"""
+
+
 def _oracle_exact_dedup() -> str:
     return """
 SELECT doc_id, lang FROM (
@@ -884,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_vectors": q_prepare_vectors,
         "normalized_vectors": q_normalized_vectors,
         "chunk_documents": q_chunk_documents,
+        "rag_context": q_rag_context,
         "exact_dedup_docs": q_exact_dedup_docs,
         "near_dup_pairs_minhash": q_near_dup_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -926,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),
         "chunk_documents": _oracle_chunk_documents(),
+        "rag_context": _oracle_rag_context(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "near_dup_pairs_minhash": _oracle_near_dup_pairs(),
         "jaccard_pairs": _oracle_jaccard_pairs(),

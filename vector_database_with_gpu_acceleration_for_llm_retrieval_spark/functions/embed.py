@@ -1,0 +1,81 @@
+"""Deterministic text embeddings (O16 stand-in).
+
+The reference embeds with SentenceTransformer ``all-MiniLM-L6-v2``
+(rag_demo/ingest.py:27,33; ask.py:15-16) — a heavy, non-deterministic
+model dependency this container doesn't ship. The engine-level concern
+is the *dataflow*: text column → fixed-dim unit vector column, same
+function applied to corpus and query. This module provides that as a
+feature-hashing bag-of-words embedding (the classic hashing trick:
+token → (bucket, sign) from a hash, sum, L2-normalize):
+
+* fully deterministic and engine-independent (md5-derived token hash →
+  the DuckDB oracle reproduces the vectors bit-for-bit);
+* a pure Column expression — JVM-side, codegen'd, no Python workers;
+* drop-in replaceable by a real model UDF (`pandas_udf` batch
+  inference) without touching any downstream operator — every consumer
+  sees only an ``array<double>`` column.
+
+``hash_embed_py`` is the same function on a Python string, used to
+embed the *question* driver-side (reference ask.py:15-16 embeds the
+question in the client process too).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+__all__ = ["hash_embedding", "hash_embed_py"]
+
+
+def hash_embedding(text: Column | str, dim: int = 64) -> Column:
+    """Feature-hashed unit-norm embedding of whitespace tokens.
+
+    bucket = hash(token) mod dim, sign = ±1 from the next hash bit;
+    vector = L2-normalized sum of signed one-hots. Same accumulator
+    shape as dedup.simhash: aggregate over the token array with an
+    array accumulator — tokens never leave the row, no explode.
+    """
+    toks = TX.tokens(text)
+    zero = F.array(*[F.lit(0.0)] * dim)
+    # materialize the md5-derived hash ONCE per token: the per-dimension
+    # branches below run `dim` times per token, and expression lambdas
+    # don't CSE — inlining the hash there would compute md5 ~2·dim times
+    # per token (measured: 100× slower at sf0.01)
+    hashes = F.transform(toks, TX.portable_token_hash)
+
+    def contrib(h: Column) -> Column:
+        bucket = F.pmod(h, F.lit(dim))
+        # sign bit = floor(h/dim) mod 2, expressed with pure modular
+        # arithmetic (h mod 2dim ≥ dim) — no float division of a 60-bit
+        # int, and a 1:1 SQL mirror (CASE WHEN h % 2d >= d ...)
+        sign = F.when(F.pmod(h, F.lit(2 * dim)) >= dim, F.lit(1.0)).otherwise(F.lit(-1.0))
+        return F.array(
+            *[F.when(bucket == j, sign).otherwise(F.lit(0.0)) for j in range(dim)]
+        )
+
+    acc = F.aggregate(hashes, zero, lambda a, h: F.zip_with(a, contrib(h), lambda x, y: x + y))
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.vector import (
+        l2_normalize,
+    )
+
+    return l2_normalize(acc)
+
+
+def hash_embed_py(text: str, dim: int = 64) -> list[float]:
+    """Driver-side mirror of :func:`hash_embedding` (bit-identical
+    semantics: same md5-derived 60-bit hash, same bucket/sign, same
+    ε-guarded normalization)."""
+    vec = [0.0] * dim
+    for t in text.split():
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        bucket = h % dim
+        sign = 1.0 if h % (2 * dim) >= dim else -1.0
+        vec[bucket] += sign
+    norm = max(math.sqrt(sum(x * x for x in vec)), 1e-12)
+    return [x / norm for x in vec]
