@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partitioning import fan_out
 
 __all__ = [
     "exact_dedup",
@@ -98,7 +99,9 @@ def shingle_tids_hash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     tids = F.array_distinct(
         F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 30)))
     )
-    return docs.select(F.col(id_col), tids.alias("tids"))
+    # shingling + hashing is per-row CPU-bound: spread an under-split
+    # source across cores (no-op on a properly row-grouped table)
+    return fan_out(docs).select(F.col(id_col), tids.alias("tids"))
 
 
 def shingle_tids_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
@@ -108,7 +111,9 @@ def shingle_tids_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     reproducible in any engine (the DuckDB oracle mirrors it 1:1).
     """
     toks = TX.tokens(F.col(text_col))
-    sh = docs.select(F.col(id_col), F.explode(F.array_distinct(TX.shingles(toks, n=n))).alias("shingle"))
+    sh = fan_out(docs).select(
+        F.col(id_col), F.explode(F.array_distinct(TX.shingles(toks, n=n))).alias("shingle")
+    )
     vocab = (
         sh.select("shingle")
         .distinct()
@@ -248,7 +253,12 @@ def near_dup_pairs(
     pairs have *exact* Jaccard, so no false positives."""
     tids_fn = shingle_tids_hash if tid_path == "hash" else shingle_tids_vocab
     tids = tids_fn(docs, id_col=id_col, text_col=text_col, n=shingle_n)
-    sig = minhash_signature(tids, minhash_perms(n_hashes), id_col=id_col)
+    # the signature frame feeds FOUR plan branches (both sides of the
+    # bucket self-join + both sides of the Jaccard verify join); without
+    # persist the shingle→hash→min-fold subtree — the expensive part —
+    # is recomputed per branch. At 100 TB the same move is writing the
+    # signature table to parquet once and joining against that.
+    sig = minhash_signature(tids, minhash_perms(n_hashes), id_col=id_col).persist()
     cand = lsh_candidate_pairs(sig, n_bands=n_bands, n_hashes=n_hashes, id_col=id_col)
     verified = jaccard_pairs(sig.select(id_col, "tids"), pairs=cand, id_col=id_col)
     return verified.filter(F.col("jaccard") >= threshold)
@@ -295,7 +305,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+    # per-row cost is tokens × bits md5+branch work — fan out under-split
+    # sources (no-op when the scan already parallelizes)
+    return fan_out(docs).select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_candidate_pairs(

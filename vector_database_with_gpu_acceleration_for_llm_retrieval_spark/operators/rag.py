@@ -63,7 +63,13 @@ def rag_context(
     chunk table would be written once at ingest (write_collection) and
     this becomes a scan of that table instead of re-embedding.
     """
-    chunks = chunk_documents(docs, max_words=max_words, id_col=id_col, text_col=text_col)
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partitioning import (
+        fan_out,
+    )
+
+    chunks = chunk_documents(
+        fan_out(docs), max_words=max_words, id_col=id_col, text_col=text_col
+    )
     embedded = chunks.select(
         "chunk_id", "chunk_text", hash_embedding("chunk_text", dim=dim).alias("emb")
     )

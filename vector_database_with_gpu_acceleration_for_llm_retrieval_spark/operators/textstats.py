@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partitioning import fan_out
 
 __all__ = [
     "token_stats",
@@ -127,7 +128,9 @@ def rolling_fingerprint(
             lambda acc, t: F.pmod(acc * F.lit(FP_BASE) + t, F.lit(FP_PRIME)),
         ),
     )
-    return docs.select(
+    # portable path = one md5 per token per row: CPU-bound projection —
+    # fan out under-split sources (no-op on real multi-row-group tables)
+    return fan_out(docs).select(
         F.col(id_col),
         F.array_min(win_hash).alias("fingerprint"),
         F.size(F.array_distinct(win_hash)).alias("n_distinct_windows"),
