@@ -52,6 +52,37 @@ def _run_once(fn, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
+def _duckdb_yardstick(names: list[str], oracles: dict[str, str]) -> dict[str, float]:
+    """BASELINE.md yardstick: DuckDB running the matching oracle SQL on
+    the same parquet, same machine, warm — medians per query."""
+    try:
+        import duckdb
+
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+            TABLES,
+        )
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        out: dict[str, float] = {}
+        for n in names:
+            if n not in oracles:
+                continue
+            con.execute(oracles[n]).fetchall()  # warm
+            times = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                con.execute(oracles[n]).fetchall()
+                times.append(time.perf_counter() - t0)
+            out[n] = round(statistics.median(times), 4)
+        return out
+    except Exception:
+        return {}
+
+
 def main() -> None:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.session import get_spark
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark import contract
@@ -87,6 +118,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    duck = _duckdb_yardstick(names, contract.oracle_sql())
     result = {
         "metric": "headline_median_total",
         "value": total,
@@ -97,6 +129,8 @@ def main() -> None:
         "p95_ms": pct(95),
         "p99_ms": pct(99),
         "qps": round(len(all_lat) / sum(all_lat), 2) if all_lat else 0.0,
+        "duckdb_yardstick": duck,
+        "duckdb_total": round(sum(duck.values()), 4) if duck else None,
     }
     print(json.dumps(result))
     spark.stop()

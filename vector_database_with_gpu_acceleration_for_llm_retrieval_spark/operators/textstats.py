@@ -35,7 +35,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     length."""
     toks = TX.tokens(F.col(text_col))
     bpeish = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         TX.n_tokens(text_col).alias("n_tokens"),
@@ -67,7 +67,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + F.lit(0.25) * alpha_ratio
         + F.lit(0.25) * distinct_ratio
     )
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col),
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -96,7 +96,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         for lang, words in wordlists.items()
     ]
     best = F.array_max(F.array(*scores))
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["hits"].alias("stopword_hits"),
