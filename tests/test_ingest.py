@@ -54,6 +54,46 @@ def test_chunk_documents_ids_deterministic(spark):
     assert all(r.chunk_id.startswith(f"7::chunk{r.chunk_idx}::") for r in a)
 
 
+def test_bulk_random_vectors_deterministic_unit(spark):
+    """O20: distributed generation, deterministic under seed, unit norm."""
+    a = I.bulk_random_vectors(spark, 50, dim=8, seed=42).collect()
+    b = I.bulk_random_vectors(spark, 50, dim=8, seed=42).collect()
+    assert [r.embedding for r in a] == [r.embedding for r in b]
+    c = I.bulk_random_vectors(spark, 50, dim=8, seed=43).collect()
+    assert [r.embedding for r in a] != [r.embedding for r in c]
+    assert len(a) == 50
+    for r in a:
+        assert math.isclose(sum(x * x for x in r.embedding), 1.0, rel_tol=1e-12)
+
+
+def test_collection_stats(tables):
+    """O10: count/dim accessors; dim_min==dim_max on a consistent corpus."""
+    row = I.collection_stats(tables["embeddings"]).collect()[0]
+    assert row.n_vectors == tables["embeddings"].count()
+    assert row.dim_min == row.dim_max == 64
+
+
+def test_write_collection_append(spark, tmp_path):
+    """O2: partitioned durable write; append is incremental (no
+    full-matrix rewrite like the reference GPU path)."""
+    df1 = I.prepare_vectors(
+        spark.createDataFrame([(i, [float(i + 1), 1.0]) for i in range(8)],
+                              "vec_id int, embedding array<double>"),
+        dim=2, n_shards=4,
+    )
+    path = str(tmp_path / "coll")
+    I.write_collection(df1, path, n_shards=4)
+    assert spark.read.parquet(path).count() == 8
+    df2 = I.prepare_vectors(
+        spark.createDataFrame([(100, [3.0, 4.0])], "vec_id int, embedding array<double>"),
+        dim=2, n_shards=4,
+    )
+    I.write_collection(df2, path, n_shards=4, mode="append")
+    out = spark.read.parquet(path)
+    assert out.count() == 9
+    assert "shard" in out.columns  # partition column survives the round-trip
+
+
 def test_join_back_and_assemble_context(spark):
     """RAG tail: hits joined to chunk text, assembled as score-ordered
     bullets (reference rag_demo/ask.py:24)."""

@@ -533,14 +533,102 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, value-checked: the binary frames
+    produced by the ``mapInPandas`` stub are projected to (length, md5)
+    so the oracle can hash-match them (the corpus is ASCII, so DuckDB's
+    VARCHAR slicing sees the same bytes)."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].withColumn("payload", F.encode("text", "UTF-8"))
-    return M.sample_video_frames(docs, bin_col="payload")
+    frames = M.sample_video_frames(docs, bin_col="payload")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_payload").alias("n_frame_bytes"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path (attach_binary_meta): byte length +
+    sha256 content id computed WITHOUT decoding — the columns dedup and
+    filtering use so the payload is never touched."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("payload", F.encode("text", "UTF-8"))
+    return M.attach_binary_meta(docs, bin_col="payload").select(
+        "doc_id", "n_bytes", "content_id"
+    )
+
+
+BULK_N = 500
+BULK_DIM = 16
+
+
+def q_bulk_random_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20 bulk random load (reference scripts/load.py): distributed
+    deterministic unit-vector generation; components rounded for the
+    cross-engine hash."""
+    out = I.bulk_random_vectors(spark, BULK_N, dim=BULK_DIM, seed=42)
+    return out.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x, 6) + 0.0).alias("embedding"),
+    )
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 count/dim accessors over the vector collection."""
+    t = load_tables(spark, sf_dir)
+    return I.collection_stats(t["embeddings"])
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
+
+
+def _oracle_video_frames() -> str:
+    # stub strides: frame_bytes=64, every_n=10 → stride 640; one frame
+    # per stride offset over max(len, 1) bytes (ASCII corpus: VARCHAR
+    # slicing == byte slicing)
+    stride, fb = 64 * 10, 64
+    return f"""
+WITH p AS (SELECT doc_id, text AS s, greatest(octet_length(encode(text)), 1) AS n FROM documents),
+idx AS (SELECT doc_id, s, unnest(range(0, CAST(ceil(n / {float(stride)}) AS BIGINT))) AS i FROM p)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       octet_length(encode(substring(s, CAST(i * {stride} + 1 AS BIGINT), {fb}))) AS n_frame_bytes,
+       md5(substring(s, CAST(i * {stride} + 1 AS BIGINT), {fb})) AS frame_md5
+FROM idx
+"""
+
+
+def _oracle_binary_meta() -> str:
+    return """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_id
+FROM documents
+"""
+
+
+def _oracle_bulk_random_load() -> str:
+    n, d = BULK_N, BULK_DIM
+    h = "CAST(concat('0x', substr(md5(concat_ws('-', '42', CAST(vec_id AS VARCHAR), CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)"
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {n})) AS vec_id),
+raw AS (SELECT vec_id,
+  list_transform(range(0, {d}), j ->
+    (CAST({h} AS DOUBLE) / 1152921504606846976.0) * 2.0 - 1.0) AS c
+  FROM ids)
+SELECT vec_id,
+  list_transform(c, x -> round(x / greatest({_sq_norm('c')}, 1e-12), 6) + 0.0) AS embedding
+FROM raw
+"""
+
+
+def _oracle_collection_stats() -> str:
+    return """
+SELECT count(*) AS n_vectors,
+       min(len(embedding)) AS dim_min,
+       max(len(embedding)) AS dim_max
+FROM embeddings
+"""
 
 
 def _oracle_topk(metric: str) -> str:
@@ -980,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": q_events_sessionized,
         "image_features": q_image_features,
         "video_frames": q_video_frames,
+        "binary_meta": q_binary_meta,
+        "bulk_random_load": q_bulk_random_load,
+        "collection_stats": q_collection_stats,
     }
 
 
@@ -1021,4 +1112,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_share": _ORACLE_SUPPLIER_SHARE,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
+        "video_frames": _oracle_video_frames(),
+        "binary_meta": _oracle_binary_meta(),
+        "bulk_random_load": _oracle_bulk_random_load(),
+        "collection_stats": _oracle_collection_stats(),
     }

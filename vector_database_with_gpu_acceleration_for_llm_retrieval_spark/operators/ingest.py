@@ -32,6 +32,8 @@ __all__ = [
     "chunk_documents",
     "join_back",
     "assemble_context",
+    "bulk_random_vectors",
+    "collection_stats",
 ]
 
 
@@ -96,6 +98,51 @@ def write_collection(df: DataFrame, path: str, n_shards: int, mode: str = "appen
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+def bulk_random_vectors(spark, n: int, dim: int = 64, seed: int = 42) -> DataFrame:
+    """Bulk deterministic pseudo-random unit-vector load (reference O20,
+    scripts/load.py:12-26: ``n`` random unit vectors POSTed in batches).
+
+    ``spark.range(n)`` + a hash-based uniform per component — fully
+    distributed generation (each partition generates its own rows; no
+    driver-side data), deterministic under ``seed``, and mirrorable by
+    the SQL oracle (md5-derived uniforms, not engine-private RNG).
+    Components are uniform in [-1, 1) then L2-normalized, which is
+    distribution-different from the reference's Gaussian but serves the
+    same role (random unit vectors for load/bench).
+    """
+    comps = F.array(
+        *[
+            (
+                TX.portable_token_hash(
+                    F.concat_ws("-", F.lit(seed), F.col("id"), F.lit(j))
+                ).cast("double")
+                / F.lit(float(1 << 60))
+            )
+            * 2.0
+            - 1.0
+            for j in range(dim)
+        ]
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), V.l2_normalize(comps).alias("embedding")
+    )
+    return base
+
+
+def collection_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Count/dim accessors (reference O10: ``index.count()`` /
+    ``index.dim()``, fallback_numpy_index.py:17-18, surfaced by
+    ``/health`` shard/server.py:52) as one aggregate row
+    ``(n_vectors, dim_min, dim_max)`` — ``dim_min == dim_max`` iff the
+    collection is dimensionally consistent (the invariant the
+    reference's per-insert check enforces)."""
+    return df.agg(
+        F.count("*").alias("n_vectors"),
+        F.min(F.size(vec_col)).alias("dim_min"),
+        F.max(F.size(vec_col)).alias("dim_max"),
     )
 
 
