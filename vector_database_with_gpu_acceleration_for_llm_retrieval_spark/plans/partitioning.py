@@ -18,9 +18,10 @@ row copy qualify.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["fan_out"]
+__all__ = ["fan_out", "salted_agg"]
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -31,3 +32,62 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    A hot key (one group holding a large fraction of all rows) makes
+    one reducer the straggler of a plain ``groupBy``. Salting splits
+    every group into ``n_salts`` subgroups for the first (heavy)
+    shuffle, then merges the tiny partials in a second shuffle of at
+    most ``n_salts`` rows per group:
+
+        groupBy(keys + salt).agg(partial) → groupBy(keys).agg(merge)
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {'sum', 'count', 'min', 'max'} — the algebraic aggregates whose
+    partials merge exactly (count merges by sum). avg = sum/count at
+    the call site. ``salt_on`` defaults to a deterministic hash of all
+    columns (salt must only spread rows, any value works); pass a
+    Column (e.g. ``F.col('event_id')``) to pin determinism explicitly.
+
+    Spark's AQE skew handling covers *join* skew at runtime; aggregate
+    skew with a truly hot key still benefits from explicit salting
+    because the map-side partial agg for the hot group is bounded by
+    partition count, while the shuffled partials per group go from
+    #map-partitions to n_salts.
+    """
+    allowed = {"sum", "count", "min", "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in allowed:
+            raise ValueError(f"{out}: fn must be one of {sorted(allowed)} (mergeable)")
+    salt = (
+        F.pmod(salt_on.cast("long"), F.lit(n_salts))
+        if salt_on is not None
+        else F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+    )
+    partial_exprs = []
+    merge_exprs = []
+    for out, (col, fn) in aggs.items():
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(col).alias(p))
+            merge_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            merge_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            merge_exprs.append(F.min(p).alias(out))
+        else:
+            partial_exprs.append(F.max(col).alias(p))
+            merge_exprs.append(F.max(p).alias(out))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*merge_exprs)
