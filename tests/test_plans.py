@@ -54,6 +54,28 @@ def test_join_back_is_broadcast(spark, tables):
     assert_plan_contains(df, "BroadcastHashJoin", absent=("SortMergeJoin",))
 
 
+def test_anti_join_pushes_date_filter(tables):
+    """customers_without_orders: the orderdate filter must reach the
+    orders scan, and the join must be an anti join (no full outer
+    materialization)."""
+    plan = assert_plan_contains(
+        R.customers_without_orders(tables), "LeftAnti", "PushedFilters"
+    )
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg[:200] for seg in pushed[1:])
+
+
+def test_cube_is_single_expand_pass(tables):
+    """CUBE compiles to one Expand + Aggregate — no per-grouping-set
+    re-scan of orders."""
+    import re
+
+    plan = assert_plan_contains(R.order_priority_cube(tables), "Expand")
+    # formatted explain prints each node in the tree AND a details
+    # section — count scan node headers "(n) Scan parquet"
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
 def test_embeddings_scan_prunes_label(tables):
     """Column pruning: a 2-column projection must not read `label`."""
     df = tables["embeddings"].select("vec_id", "embedding").limit(5)

@@ -514,6 +514,22 @@ def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.supplier_share(load_tables(spark, sf_dir))
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_without_orders(load_tables(spark, sf_dir))
+
+
+def q_segment_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.segment_churn(load_tables(spark, sf_dir))
+
+
+def q_order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_priority_cube(load_tables(spark, sf_dir))
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.price_percentiles(load_tables(spark, sf_dir))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return P.events_hourly_buckets(t["events"])
@@ -994,6 +1010,32 @@ SELECT s_suppkey, n_name, round(rev, 2) AS revenue,
 FROM rev JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
 """
 
+_ORACLE_CUST_NO_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '2001-01-01')
+"""
+
+_ORACLE_SEGMENT_CHURN = """
+SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+"""
+
+_ORACLE_ORDER_PRIORITY_CUBE = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+_ORACLE_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
 _ORACLE_EVENTS_HOURLY = """
 SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
        count(*) AS n_events,
@@ -1064,6 +1106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_stats": q_customer_order_stats,
         "parts_rollup": q_parts_rollup,
         "supplier_share": q_supplier_share,
+        "customers_without_orders": q_customers_without_orders,
+        "segment_churn": q_segment_churn,
+        "order_priority_cube": q_order_priority_cube,
+        "price_percentiles": q_price_percentiles,
         "events_hourly": q_events_hourly,
         "events_sessionized": q_events_sessionized,
         "image_features": q_image_features,
@@ -1110,6 +1156,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_stats": _ORACLE_CUST_ORDER_STATS,
         "parts_rollup": _ORACLE_PARTS_ROLLUP,
         "supplier_share": _ORACLE_SUPPLIER_SHARE,
+        "customers_without_orders": _ORACLE_CUST_NO_ORDERS,
+        "segment_churn": _ORACLE_SEGMENT_CHURN,
+        "order_priority_cube": _ORACLE_ORDER_PRIORITY_CUBE,
+        "price_percentiles": _ORACLE_PRICE_PERCENTILES,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
         "video_frames": _oracle_video_frames(),

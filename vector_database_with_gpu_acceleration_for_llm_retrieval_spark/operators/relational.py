@@ -19,6 +19,10 @@ __all__ = [
     "customer_order_stats",
     "parts_rollup",
     "supplier_share",
+    "customers_without_orders",
+    "segment_churn",
+    "order_priority_cube",
+    "price_percentiles",
 ]
 
 
@@ -116,6 +120,70 @@ def parts_rollup(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
         )
         .orderBy(F.asc_nulls_first("p_brand"), F.asc_nulls_first("p_type"))
+    )
+
+
+def customers_without_orders(t: dict[str, DataFrame], since: str = "2001-01-01") -> DataFrame:
+    """Anti-join shape (TPC-H Q22 flavor): customers with no order on
+    or after ``since`` (the testdata spans 1995–2001, so the tail year
+    leaves a real dormant set). ``left_anti`` shuffles only the
+    filtered order keys — the date filter is pushed to the parquet
+    scan before the join."""
+    o, c = t["orders"], t["customer"]
+    recent = o.filter(F.col("o_orderdate") >= since)
+    return (
+        c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def segment_churn(t: dict[str, DataFrame]) -> DataFrame:
+    """Set-operation shape (EXCEPT DISTINCT): customers who ordered in
+    1995 but not in 1996. Set ops are distinct-based — each side
+    shuffles only the projected key column, and the filters sit on the
+    orderdate scan (pushed to parquet)."""
+    o = t["orders"]
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.subtract(y96).orderBy("o_custkey")
+
+
+def order_priority_cube(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE over (priority, status): all 2^2 grouping sets in one
+    Expand+Aggregate pass — no per-level re-scan."""
+    o = t["orders"]
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
+
+
+def price_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return
+    flag. ``percentile`` (exact) keeps cross-engine parity with
+    DuckDB's ``quantile_cont``; at 100 TB swap for
+    ``percentile_approx`` (t-digest, bounded memory) and drop the
+    oracle to rows-only — exact percentiles need a per-group sort."""
+    li = t["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
