@@ -1,0 +1,45 @@
+"""Curation composite: stage semantics (gate → dedup → near-dup) and
+the audit report."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs through the field "
+        "with great speed and a lot of joy for all to see in the morning light"
+    )
+    rows = [
+        (1, good),                              # survives
+        (2, good),                              # exact dup of 1 → dropped
+        (3, good.replace("morning", "evening")),  # near-dup of 1 → dropped
+        (4, "x y z"),                           # too short → quality gate drops
+        (5, "der hund und die katze sind nicht mit dem vogel und der maus und dem pferd "
+            "und das wetter ist gut und die sonne ist hell und alles ist schoen heute"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_curate_corpus_stages(corpus):
+    out = curation.curate_corpus(
+        corpus, min_quality=0.5, langs=["en", "de"], near_dup_threshold=0.5,
+        n_hashes=16, n_bands=8,
+    )
+    kept = {r.doc_id: r.pred_lang for r in out.collect()}
+    assert set(kept) == {1, 5}
+    assert kept[1] == "en" and kept[5] == "de"
+
+
+def test_curation_report(corpus):
+    curated = curation.curate_corpus(
+        corpus, min_quality=0.5, langs=["en", "de"], near_dup_threshold=0.5,
+        n_hashes=16, n_bands=8,
+    )
+    row = curation.curation_report(corpus, curated).collect()[0]
+    assert (row.n_input, row.n_survived) == (5, 2)
+    assert row.drop_rate == pytest.approx(0.6)

@@ -135,15 +135,20 @@ def _sq_minhash_sig() -> str:
     return f"[{mins}]"
 
 
-#: shingle → dense-vocab tids CTEs over ``documents`` (mirrors
-#: operators.dedup.shingle_tids_vocab); exposes CTE ``tids(doc_id, tids)``
-_SQ_TIDS_CTES = f"""
-__toks AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+def _sq_tids_ctes_from(src: str) -> str:
+    """shingle → dense-vocab tids CTEs over ``src`` (mirrors
+    operators.dedup.shingle_tids_vocab — the vocabulary is built over
+    exactly the rows the Spark side sees); exposes ``tids(doc_id, tids)``."""
+    return f"""
+__toks AS (SELECT doc_id, {_SQ_TOKS} AS t FROM {src}),
 __sh AS (SELECT doc_id, unnest(list_distinct({_sq_shingles('t', SHINGLE_N)})) AS shingle FROM __toks),
 __vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
             FROM (SELECT DISTINCT shingle FROM __sh)),
 tids AS (SELECT doc_id, list(tid) AS tids FROM __sh JOIN __vocab USING (shingle) GROUP BY doc_id)
 """
+
+
+_SQ_TIDS_CTES = _sq_tids_ctes_from("documents")
 
 #: near-dup candidate+verify CTEs on top of ``tids``; exposes
 #: ``near_pairs(id_a, id_b, jaccard)`` (unrounded jaccard, thresholded)
@@ -375,6 +380,31 @@ def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag.rag_context(
         t["documents"], RAG_QUESTION, k=RAG_K, dim=RAG_DIM, max_words=CHUNK_WORDS
     )
+
+
+CURATE_MIN_QUALITY = 0.5
+CURATE_LANGS = ["en", "de", "fr", "es"]
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation composite: quality gate →
+    language filter → exact dedup → MinHash near-dup removal, one plan."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = curation.curate_corpus(
+        t["documents"],
+        min_quality=CURATE_MIN_QUALITY,
+        langs=CURATE_LANGS,
+        near_dup_threshold=NEAR_DUP_THRESHOLD,
+        n_hashes=MINHASH_N,
+        n_bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        tid_path="vocab",
+    )
+    return out.select("doc_id", _round6(F.col("quality"), "quality"), "pred_lang")
 
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,6 +846,50 @@ SELECT id_a, id_b, {_r6('jaccard', 'jaccard')} FROM near_pairs
 """
 
 
+def _oracle_curate_corpus() -> str:
+    """Curation composite mirror: quality + lang over documents, gate,
+    exact dedup, then the near-dup CTEs rebuilt over the SURVIVOR set
+    (the vocabulary is rebuilt over the same rows the Spark pipeline
+    hashes)."""
+    langs = ", ".join(f"'{x}'" for x in CURATE_LANGS)
+    quality = (
+        "(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
+        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
+        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio)"
+    )
+    return f"""
+WITH __qt AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
+__qm AS (SELECT doc_id,
+             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+             len(toks) AS n_tok
+      FROM __qt),
+__q AS (SELECT doc_id, round({quality}, 6) AS quality FROM __qm),
+__lt AS (SELECT doc_id, list_distinct(list_transform({_SQ_TOKS}, tk -> lower(tk))) AS lt FROM documents),
+__lh AS (SELECT doc_id, l.lang, len(list_filter(lt, tk -> list_contains(l.words, tk))) AS h
+         FROM __lt, (SELECT * FROM (VALUES {_SQ_LANG_VALUES}) AS v(lang, words)) l),
+__lb AS (SELECT doc_id, lang, h,
+                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+         FROM __lh),
+__l AS (SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pred_lang FROM __lb WHERE rn = 1),
+__gated AS (SELECT d.doc_id, d.text, q.quality, l.pred_lang
+            FROM documents d JOIN __q q USING (doc_id) JOIN __l l USING (doc_id)
+            WHERE q.quality >= {CURATE_MIN_QUALITY} AND l.pred_lang IN ({langs})),
+curated0 AS (SELECT doc_id, text, quality, pred_lang FROM (
+               SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM __gated
+             ) WHERE rn = 1),
+{_sq_tids_ctes_from('curated0').strip()},
+{_SQ_NEAR_DUP_CTES.strip()},
+__losers AS (SELECT DISTINCT id_b FROM near_pairs)
+SELECT doc_id, quality + 0.0 AS quality, pred_lang
+FROM curated0
+WHERE NOT EXISTS (SELECT 1 FROM __losers WHERE __losers.id_b = curated0.doc_id)
+"""
+
+
 def _oracle_jaccard_pairs() -> str:
     return f"""
 WITH {_SQ_TIDS_CTES.strip()},
@@ -883,6 +957,19 @@ FROM t
 
 
 _SQ_SW = "[" + ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
+
+#: language → wordlist VALUES rows (shared by lang_id + curation oracles);
+#: must stay in sync with operators.textstats.lang_id's wordlists
+_LANG_WORDLISTS = {
+    "en": TX.EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "uno", "para", "con", "por"],
+}
+_SQ_LANG_VALUES = ", ".join(
+    "('" + lang + "', [" + ", ".join(f"'{w}'" for w in words) + "])"
+    for lang, words in _LANG_WORDLISTS.items()
+)
 
 
 def _oracle_quality_score() -> str:
@@ -1060,6 +1147,62 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+#: closed sessions only — the batch sessionization minus each user's
+#: final (still-open-in-state) session; mirrors streaming.stateful
+_ORACLE_EVENTS_SESSIONIZED_STREAM = (
+    _ORACLE_EVENTS_SESSIONIZED.rstrip()
+    + """
+QUALIFY session_id <> max(session_id) OVER (PARTITION BY user_id)
+"""
+)
+
+_STREAM_QUERY_SEQ = [0]
+
+
+def q_events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState) sessionization
+    over the events table, run as an availableNow stream into a memory
+    sink. Emits CLOSED sessions (gap rollover); each user's final open
+    session stays in state — exactly the rows the oracle drops with its
+    QUALIFY clause."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        stateful as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"].select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "user_id", "value"
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    qname = f"__sess_stream_{_STREAM_QUERY_SEQ[0]}"
+    tmp = tempfile.mkdtemp(prefix="sess_stream_contract_")
+    try:
+        events.write.mode("overwrite").parquet(tmp + "/src")
+        q = (
+            ST.stream_sessionize(spark, tmp + "/src")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(qname).select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+            _round6(F.col("session_value"), "session_value"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
@@ -1089,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "rag_context": q_rag_context,
         "exact_dedup_docs": q_exact_dedup_docs,
+        "curate_corpus": q_curate_corpus,
         "near_dup_pairs_minhash": q_near_dup_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
@@ -1112,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "events_hourly": q_events_hourly,
         "events_sessionized": q_events_sessionized,
+        "events_sessionized_stream": q_events_sessionized_stream,
         "image_features": q_image_features,
         "video_frames": q_video_frames,
         "binary_meta": q_binary_meta,
@@ -1139,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _oracle_chunk_documents(),
         "rag_context": _oracle_rag_context(),
         "exact_dedup_docs": _oracle_exact_dedup(),
+        "curate_corpus": _oracle_curate_corpus(),
         "near_dup_pairs_minhash": _oracle_near_dup_pairs(),
         "jaccard_pairs": _oracle_jaccard_pairs(),
         "simhash_fingerprints": _oracle_simhash(),
@@ -1162,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": _ORACLE_PRICE_PERCENTILES,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
+        "events_sessionized_stream": _ORACLE_EVENTS_SESSIONIZED_STREAM,
         "video_frames": _oracle_video_frames(),
         "binary_meta": _oracle_binary_meta(),
         "bulk_random_load": _oracle_bulk_random_load(),

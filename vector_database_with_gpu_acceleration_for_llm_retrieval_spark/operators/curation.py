@@ -1,0 +1,88 @@
+"""Corpus curation: the end-to-end training-data filter pipeline.
+
+This is the composite the individual operators exist for — the standard
+LLM pre-training data flow (C4/Gopher/RefinedWeb-style, public
+literature): quality gate → language filter → exact dedup → near-dup
+removal, emitting the surviving documents plus a per-stage audit count.
+
+Each stage is one of this engine's checked operators (textstats
+quality_score / lang_id, dedup exact + MinHash-LSH), composed so
+Catalyst sees ONE plan: the quality/language predicates prune before
+any hashing happens, exact dedup runs before the (more expensive)
+near-dup stage, and the near-dup join only ever touches the already-
+filtered survivor set.
+
+Scale: the flow is filter → filter → one window shuffle (exact dedup)
+→ collide-verify joins on the reduced set. Nothing scans the corpus
+twice except the final anti-join of near-dup losers, which joins on
+doc_id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    dedup as D,
+    textstats as T,
+)
+
+__all__ = ["curate_corpus", "curation_report"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    near_dup_threshold: float = 0.8,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tid_path: str = "hash",
+) -> DataFrame:
+    """Surviving documents after the full curation chain.
+
+    Near-dup pairs keep the LOWER doc_id (the canonical copy survives,
+    later copies drop) — the same keep-min rule as exact dedup, so the
+    pipeline is deterministic end to end. Returns the surviving rows of
+    ``docs`` with ``quality`` and ``pred_lang`` audit columns attached.
+    """
+    q = T.quality_score(docs, id_col=id_col, text_col=text_col).select(id_col, "quality")
+    lang = T.lang_id(docs, id_col=id_col, text_col=text_col).select(id_col, "pred_lang")
+    enriched = docs.join(q, id_col).join(lang, id_col)
+    gated = enriched.filter(F.col("quality") >= min_quality)
+    if langs:
+        gated = gated.filter(F.col("pred_lang").isin(list(langs)))
+
+    deduped = D.exact_dedup(gated, [text_col], id_col=id_col)
+
+    pairs = D.near_dup_pairs(
+        deduped,
+        threshold=near_dup_threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+        tid_path=tid_path,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return deduped.join(losers, id_col, "left_anti")
+
+
+def curation_report(
+    docs: DataFrame,
+    curated: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row audit: input count, surviving count, drop rate."""
+    n_in = docs.select(F.count("*").alias("n_input"))
+    n_out = curated.select(F.count("*").alias("n_survived"))
+    return n_in.crossJoin(n_out).select(
+        "n_input",
+        "n_survived",
+        F.round(1.0 - F.col("n_survived") / F.col("n_input"), 6).alias("drop_rate"),
+    )
