@@ -565,6 +565,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.events_hourly_buckets(t["events"])
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return P.events_sliding_stats(t["events"])
+
+
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return P.events_sessionized_us(t["events"], gap_minutes=SESSION_GAP_MIN)
@@ -643,6 +648,20 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx,
        octet_length(encode(substring(s, CAST(i * {stride} + 1 AS BIGINT), {fb}))) AS n_frame_bytes,
        md5(substring(s, CAST(i * {stride} + 1 AS BIGINT), {fb})) AS frame_md5
 FROM idx
+"""
+
+
+def _oracle_image_features() -> str:
+    # stub decode: feature j = sha256 digest byte j scaled to [-1, 1];
+    # digest byte j = hex pair (2j+1, 2j+2) of the hex digest
+    d = 16
+    return f"""
+SELECT doc_id,
+  list_transform(range(0, {d}), j ->
+    (CAST(CAST(concat('0x', substr(sha256(text), CAST(j * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS DOUBLE)
+     / 255.0) * 2.0 - 1.0) AS feature,
+  octet_length(encode(text)) AS n_bytes
+FROM documents
 """
 
 
@@ -1131,6 +1150,16 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# each event at hour h is in the two 2h-wide 1h-sliding windows starting
+# at h-1 and h — mirrored by unnesting both starts per event
+_ORACLE_EVENTS_SLIDING = """
+WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type, value FROM events),
+x AS (SELECT h - o AS win_start_hr, event_type, value
+      FROM e, (SELECT unnest([0, 1]) AS o))
+SELECT win_start_hr, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
 _ORACLE_EVENTS_SESSIONIZED = f"""
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
 g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
@@ -1255,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_cube": q_order_priority_cube,
         "price_percentiles": q_price_percentiles,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "events_sessionized": q_events_sessionized,
         "events_sessionized_stream": q_events_sessionized_stream,
         "image_features": q_image_features,
@@ -1266,8 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # image_features / video_frames are deliberately absent: the decode
-    # stub is not SQL-expressible → driver records the rows-only check.
+    # every queries() entry has a mirror: the multimodal decode stub was
+    # made digest-derived precisely so the full pipeline value-checks.
     return {
         "topk_cosine": _oracle_topk("cosine"),
         "topk_l2": _oracle_topk("l2"),
@@ -1307,8 +1337,10 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_cube": _ORACLE_ORDER_PRIORITY_CUBE,
         "price_percentiles": _ORACLE_PRICE_PERCENTILES,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
         "events_sessionized_stream": _ORACLE_EVENTS_SESSIONIZED_STREAM,
+        "image_features": _oracle_image_features(),
         "video_frames": _oracle_video_frames(),
         "binary_meta": _oracle_binary_meta(),
         "bulk_random_load": _oracle_bulk_random_load(),

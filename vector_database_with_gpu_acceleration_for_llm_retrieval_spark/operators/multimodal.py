@@ -39,18 +39,22 @@ def attach_binary_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-    """STUB decode: deterministic pseudo-features from the content hash.
+    """STUB decode: deterministic pseudo-features from the content hash
+    — feature j is sha256 digest byte j scaled to [-1, 1].
 
     Raises nothing — a real deployment replaces this with
     `PIL.Image.open` / `torchaudio.load`; it is isolated so that swap
     touches one function. Marked fake so no one mistakes the features
-    for real embeddings.
+    for real embeddings. Chosen over an RNG fake because any engine can
+    reproduce it (the DuckDB oracle value-checks the whole decode
+    pipeline); dim ≤ 32 (sha256 digest length).
     """
     if HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("real codec path not available in this container")
+    if dim > 32:
+        raise ValueError("stub features support dim <= 32 (sha256 digest bytes)")
     digest = hashlib.sha256(payload or b"").digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-    return rng.standard_normal(dim).astype(np.float32)
+    return np.array([(b / 255.0) * 2.0 - 1.0 for b in digest[:dim]], dtype=np.float64)
 
 
 def decode_image_features(
@@ -64,7 +68,7 @@ def decode_image_features(
     bounds batch memory when payloads are MBs each (set ``batch_limit``
     accordingly on a real cluster)."""
     id_type = dict(df.dtypes)[id_col]
-    schema = f"{id_col} {id_type}, feature array<float>, n_bytes int"
+    schema = f"{id_col} {id_type}, feature array<double>, n_bytes int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

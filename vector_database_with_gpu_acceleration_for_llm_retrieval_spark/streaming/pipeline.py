@@ -27,6 +27,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ing
 __all__ = [
     "events_tumbling_stats",
     "events_hourly_buckets",
+    "events_sliding_stats",
     "events_sessionized",
     "events_sessionized_us",
     "stream_vector_ingest",
@@ -75,6 +76,30 @@ def events_tumbling_stats(events: DataFrame, width: str = "1 hour") -> DataFrame
             "avg_value",
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+def events_sliding_stats(events: DataFrame, width_hours: int = 2, slide_hours: int = 1) -> DataFrame:
+    """Sliding-window stats via the real ``window(ts, width, slide)``
+    operator — each event lands in width/slide overlapping windows
+    (Catalyst expands to a generator + aggregate; one shuffle of the
+    window-keyed partials). The window start is emitted as an integer
+    epoch-hour so the value-hash crosses engines exactly (UTC session,
+    hour-aligned starts)."""
+    w = F.window("ts", f"{width_hours} hours", f"{slide_hours} hours")
+    return (
+        events.groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("win.start")) / 3600).cast("long").alias("win_start_hr"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start_hr", "event_type")
     )
 
 
