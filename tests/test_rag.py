@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
     hash_embed_py,
     hash_embedding,
+    hash_embedding_udf,
 )
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import rag
 
@@ -22,6 +23,16 @@ def test_hash_embedding_matches_python_mirror(spark):
     for t in texts:
         expect = hash_embed_py(t, dim=16)
         assert got[t] == pytest.approx(expect, rel=1e-12), t
+
+
+def test_hash_embedding_udf_bit_identical_to_expression(tables):
+    """The Arrow-batched UDF form (hot path) must produce EXACTLY the
+    expression form's vectors — guaranteed because every intermediate
+    sum is a small integer; this test locks that in."""
+    docs = tables["documents"].limit(40)
+    expr = {r.doc_id: r.e for r in docs.select("doc_id", hash_embedding("text", dim=64).alias("e")).collect()}
+    udf = {r.doc_id: r.e for r in docs.select("doc_id", hash_embedding_udf(dim=64)("text").alias("e")).collect()}
+    assert expr == udf  # bitwise, no tolerance
 
 
 def test_hash_embedding_unit_norm_and_deterministic(spark):

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
     hash_embed_py,
-    hash_embedding,
+    hash_embedding_udf,
 )
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ingest import (
     assemble_context,
@@ -71,7 +71,7 @@ def rag_context(
         fan_out(docs), max_words=max_words, id_col=id_col, text_col=text_col
     )
     embedded = chunks.select(
-        "chunk_id", "chunk_text", hash_embedding("chunk_text", dim=dim).alias("emb")
+        "chunk_id", "chunk_text", hash_embedding_udf(dim=dim)("chunk_text").alias("emb")
     )
     qvec = hash_embed_py(question, dim=dim)
     hits = topk(embedded, qvec, k=k, id_col="chunk_id", vec_col="emb").withColumn(
