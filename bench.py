@@ -31,7 +31,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 #: the headline subset — one per pillar (flagship search, batch kNN,
-#: dedup, text, relational joins/aggs, events windowing).
+#: dedup, text, relational joins/aggs, events windowing, plus the two
+#: end-to-end composites: RAG retrieval and corpus curation).
 HEADLINE = [
     "topk_cosine",
     "knn_join",
@@ -41,6 +42,8 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "events_hourly",
+    "rag_context",
+    "curate_corpus",
 ]
 
 
