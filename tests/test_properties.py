@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): the coordinator merge property,
+normalization idempotence, and prune-exactness hold for ARBITRARY
+vector sets, not just the fixtures (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S
+
+DIM = 4
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+)
+vec = st.lists(finite, min_size=DIM, max_size=DIM)
+corpus_strategy = st.lists(vec, min_size=3, max_size=40)
+
+PROP_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(vecs=corpus_strategy, q=vec)
+@settings(**PROP_SETTINGS)
+def test_sharded_merge_equals_global_property(spark, vecs, q):
+    """Coordinator property on arbitrary corpora: merge of per-shard
+    top-k == global top-k (ids in order), any shard assignment."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    k = min(5, len(vecs))
+    global_ids = [r.vec_id for r in S.topk(df, q, k=k).collect()]
+    sharded_ids = [r.vec_id for r in S.sharded_topk(df, q, k=k, n_shards=3).collect()]
+    assert sharded_ids == global_ids
+
+
+@given(v=vec)
+@settings(**PROP_SETTINGS)
+def test_normalize_idempotent_property(spark, v):
+    """normalize(normalize(x)) == normalize(x) for arbitrary finite x,
+    including zero and denormal-adjacent vectors (ε guard, no NaN)."""
+    df = spark.createDataFrame([(v,)], "v array<double>")
+    row = df.select(
+        V.l2_normalize("v").alias("n1"),
+        V.l2_normalize(V.l2_normalize("v")).alias("n2"),
+    ).collect()[0]
+    assert not any(math.isnan(x) for x in row.n1)
+    assert row.n1 == pytest.approx(row.n2, rel=1e-9, abs=1e-300)
+
+
+@given(vecs=corpus_strategy)
+@settings(**PROP_SETTINGS)
+def test_knn_prune_equals_window_baseline_property(spark, vecs):
+    """The pruned mapInPandas kNN equals the exhaustive window baseline
+    on arbitrary corpora (first 2 vectors double as queries)."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    queries = df.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    k = min(3, len(vecs))
+    fast = S.knn_join(queries, df, k=k, query_id="qid", query_vec="qvec")
+    slow = S.knn_join_expr(queries, df, k=k)
+    f = {(r.qid, r.rank): r.neighbor_id for r in fast.collect()}
+    s = {(r.qid, r.rank): r.neighbor_id for r in slow.collect()}
+    assert f == s

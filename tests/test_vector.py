@@ -49,13 +49,13 @@ def test_l2_normalize_idempotent(vecs):
 
 
 def test_cosine_self_is_one(vecs):
-    # id=2 (zero vector) and id=4 (norm² ~3e-16 < ε=1e-12) hit the
-    # epsilon denominator guard — same behavior as the reference's
-    # `norms[norms==0]=1e-12`; they score ≈0 instead of NaN/1.
+    # per-side zero-only ε guard (the reference's `norms[norms==0]=1e-12`
+    # rule): every nonzero vector — however tiny — has self-cosine 1;
+    # only the exact zero vector (id=2) scores 0 instead of NaN.
     rows = vecs.select("id", V.cosine_sim("v", "v").alias("c")).collect()
     for r in rows:
-        if r.id in (2, 4):
-            assert abs(r.c) < 1e-3 and not math.isnan(r.c)
+        if r.id == 2:
+            assert r.c == 0.0 and not math.isnan(r.c)
         else:
             assert math.isclose(r.c, 1.0, rel_tol=1e-12)
 

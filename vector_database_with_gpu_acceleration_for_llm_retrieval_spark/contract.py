@@ -88,7 +88,11 @@ def _sq_norm(a: str) -> str:
 
 
 def _sq_cosine(a: str, b: str) -> str:
-    return f"({_sq_dot(a, b)} / greatest({_sq_norm(a)} * {_sq_norm(b)}, 1e-12))"
+    # per-side zero-only ε guard, mirroring functions.vector.cosine_sim
+    return (
+        f"({_sq_dot(a, b)} / (coalesce(nullif({_sq_norm(a)}, 0), 1e-12)"
+        f" * coalesce(nullif({_sq_norm(b)}, 0), 1e-12)))"
+    )
 
 
 def _sq_l2sq(a: str, b: str) -> str:
@@ -570,6 +574,11 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.events_sliding_stats(t["events"])
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return P.events_props_stats(t["events"])
+
+
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return P.events_sessionized_us(t["events"], gap_minutes=SESSION_GAP_MIN)
@@ -682,7 +691,7 @@ raw AS (SELECT vec_id,
     (CAST({h} AS DOUBLE) / 1152921504606846976.0) * 2.0 - 1.0) AS c
   FROM ids)
 SELECT vec_id,
-  list_transform(c, x -> round(x / greatest({_sq_norm('c')}, 1e-12), 6) + 0.0) AS embedding
+  list_transform(c, x -> round(x / coalesce(nullif({_sq_norm('c')}, 0), 1e-12), 6) + 0.0) AS embedding
 FROM raw
 """
 
@@ -784,7 +793,7 @@ FROM embeddings WHERE len(embedding) = 64
 
 def _oracle_normalized_vectors() -> str:
     return f"""
-WITH n AS (SELECT vec_id, embedding, greatest({_sq_norm('embedding')}, 1e-12) AS nrm
+WITH n AS (SELECT vec_id, embedding, coalesce(nullif({_sq_norm('embedding')}, 0), 1e-12) AS nrm
            FROM embeddings WHERE vec_id < 50)
 SELECT vec_id, CAST(i - 1 AS INT) AS pos,
        round(CAST(embedding[i] AS DOUBLE) / nrm, 6) + 0.0 AS val
@@ -836,7 +845,7 @@ raw AS (SELECT chunk_id, chunk_text,
       ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
   FROM ct),
 emb AS (SELECT chunk_id, chunk_text,
-  list_transform(rawv, x -> x / greatest({_sq_norm('rawv')}, 1e-12)) AS e
+  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
   FROM raw),
 hits AS (SELECT chunk_id, chunk_text, {_sq_cosine('e', qv)} AS score
   FROM emb ORDER BY score DESC, chunk_id LIMIT {RAG_K}),
@@ -1150,6 +1159,15 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_ORACLE_EVENTS_PROPS = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
 # each event at hour h is in the two 2h-wide 1h-sliding windows starting
 # at h-1 and h — mirrored by unnesting both starts per event
 _ORACLE_EVENTS_SLIDING = """
@@ -1285,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
+        "events_props": q_events_props,
         "events_sessionized": q_events_sessionized,
         "events_sessionized_stream": q_events_sessionized_stream,
         "image_features": q_image_features,
@@ -1338,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": _ORACLE_PRICE_PERCENTILES,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
+        "events_props": _ORACLE_EVENTS_PROPS,
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
         "events_sessionized_stream": _ORACLE_EVENTS_SESSIONIZED_STREAM,
         "image_features": _oracle_image_features(),

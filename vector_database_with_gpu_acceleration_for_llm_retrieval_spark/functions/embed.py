@@ -103,5 +103,7 @@ def hash_embed_py(text: str, dim: int = 64) -> list[float]:
         bucket = h % dim
         sign = 1.0 if h % (2 * dim) >= dim else -1.0
         vec[bucket] += sign
-    norm = max(math.sqrt(sum(x * x for x in vec)), 1e-12)
+    # zero-norm rule matches functions.vector.l2_normalize (ε only when
+    # the norm is exactly zero; accumulator norms are 0 or ≥ 1 anyway)
+    norm = math.sqrt(sum(x * x for x in vec)) or 1e-12
     return [x / norm for x in vec]

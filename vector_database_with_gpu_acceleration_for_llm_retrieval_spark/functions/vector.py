@@ -75,28 +75,39 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """Scale to unit norm with an epsilon guard.
+    """Scale to unit norm; zero vectors stay zero (ε substituted for
+    the zero norm only, never clamping a tiny-but-nonzero norm).
 
-    The reference applies this at insert time in every backend
-    (fallback_numpy_index.py:11-13, flat_index.hpp:21-26,
-    shard_binding.cpp:34-38); we expose it as an expression usable both
-    at ingest (normalize-on-write) and at query time.
+    This is the reference's exact rule (`norms[norms==0]=1e-12`,
+    fallback_numpy_index.py:11-13): a vector with norm 1e-38 still
+    normalizes to a unit vector. A ``greatest(norm, ε)`` clamp instead
+    silently under-scales sub-ε vectors and breaks idempotence —
+    caught by the hypothesis property test with v=[0,0,0,1.18e-38].
     """
     a = _as_col(a)
-    n = F.greatest(l2_norm(a), F.lit(_EPS))
-    return F.transform(a, lambda x: x.cast("double") / n)
+    n = l2_norm(a)
+    denom = F.when(n == 0.0, F.lit(_EPS)).otherwise(n)
+    return F.transform(a, lambda x: x.cast("double") / denom)
 
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity — dot over the product of norms.
+    """Cosine similarity — dot over the product of per-side guarded
+    norms (ε substituted only for an exactly-zero norm, same rule as
+    :func:`l2_normalize`).
 
     On pre-normalized corpora this reduces to ``dot`` (what the
     reference exploits: normalize-on-insert makes cosine a plain matmul,
     fallback_numpy_index.py:22-24); this form is correct for raw inputs
-    too.
+    too. Guarding per side (not the product) keeps it consistent with
+    normalize-then-dot — a sub-ε-norm vector still gets its true
+    cosine; only genuine zero vectors score ~0.
     """
     a, b = _as_col(a), _as_col(b)
-    denom = F.greatest(l2_norm(a) * l2_norm(b), F.lit(_EPS))
+    na, nb = l2_norm(a), l2_norm(b)
+    denom = (
+        F.when(na == 0.0, F.lit(_EPS)).otherwise(na)
+        * F.when(nb == 0.0, F.lit(_EPS)).otherwise(nb)
+    )
     return dot(a, b) / denom
 
 

@@ -112,8 +112,11 @@ def sharded_topk(
 
 
 def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    # ε only for exactly-zero norms (functions.vector.l2_normalize rule;
+    # clamping tiny-but-nonzero norms would diverge from the expression
+    # path's cosine for sub-ε vectors — caught by hypothesis)
     n = np.linalg.norm(X, axis=1, keepdims=True)
-    return X / np.maximum(n, 1e-12)
+    return X / np.where(n == 0.0, 1e-12, n)
 
 
 #: knn_join collects the query side to the driver in chunks of this

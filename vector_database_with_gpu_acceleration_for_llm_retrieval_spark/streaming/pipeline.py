@@ -28,6 +28,7 @@ __all__ = [
     "events_tumbling_stats",
     "events_hourly_buckets",
     "events_sliding_stats",
+    "events_props_stats",
     "events_sessionized",
     "events_sessionized_us",
     "stream_vector_ingest",
@@ -100,6 +101,25 @@ def events_sliding_stats(events: DataFrame, width_hours: int = 2, slide_hours: i
             "sum_value",
         )
         .orderBy("win_start_hr", "event_type")
+    )
+
+
+def events_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column with
+    a typed schema (``from_json`` — JVM-side, no UDF) and aggregate the
+    extracted field per event type. At scale prefer parsing once at
+    ingest into a real column; this operator is the query-time form."""
+    parsed = F.from_json(F.col("props"), "k int")
+    return (
+        events.select("event_type", parsed["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
     )
 
 
