@@ -579,6 +579,50 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.events_props_stats(t["events"])
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's most recent purchase
+    at-or-before it (µs-exact integer timestamps across engines)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_type", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us", "value")
+    out = temporal.asof_join(clicks, purchases, on="ts_us", by="user_id", value_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts_us", _round6(F.col("value_asof"), "value_asof")
+    )
+
+
+PRICE_BANDS = [(0.0, 50_000.0, "low"), (50_000.0, 150_000.0, "mid"), (150_000.0, 1e9, "high")]
+
+
+def q_orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders bucketed into price bands via a broadcast
+    non-equi join against a tiny interval dimension, then aggregated."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal,
+    )
+
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, band string")
+    joined = temporal.range_join_bands(
+        t["orders"].select("o_orderkey", "o_totalprice"), bands, value_col="o_totalprice"
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("band")
+    )
+
+
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return P.events_sessionized_us(t["events"], gap_minutes=SESSION_GAP_MIN)
@@ -1159,6 +1203,27 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_ORACLE_EVENTS_ASOF = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts_us, value FROM e WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts_us, round(p.value, 6) + 0.0 AS value_asof
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+def _oracle_orders_price_bands() -> str:
+    cases = " ".join(
+        f"WHEN o_totalprice >= {lo} AND o_totalprice < {hi} THEN '{b}'"
+        for lo, hi, b in PRICE_BANDS
+    )
+    return f"""
+SELECT CASE {cases} END AS band, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
 _ORACLE_EVENTS_PROPS = """
 SELECT event_type,
        count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
@@ -1304,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_props": q_events_props,
+        "events_asof": q_events_asof,
+        "orders_price_bands": q_orders_price_bands,
         "events_sessionized": q_events_sessionized,
         "events_sessionized_stream": q_events_sessionized_stream,
         "image_features": q_image_features,
@@ -1358,6 +1425,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_props": _ORACLE_EVENTS_PROPS,
+        "events_asof": _ORACLE_EVENTS_ASOF,
+        "orders_price_bands": _oracle_orders_price_bands(),
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
         "events_sessionized_stream": _ORACLE_EVENTS_SESSIONIZED_STREAM,
         "image_features": _oracle_image_features(),
