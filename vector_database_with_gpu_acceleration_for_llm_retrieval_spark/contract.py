@@ -623,6 +623,22 @@ def q_orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.status_priority_pivot(load_tables(spark, sf_dir))
+
+
+def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.distinct_user_counts(load_tables(spark, sf_dir))
+
+
+def q_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = P.user_gap_stats(t["events"])
+    return out.select(
+        "user_id", "n_events", _round6(F.col("median_gap_us"), "median_gap_us"), "max_gap_us"
+    )
+
+
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return P.events_sessionized_us(t["events"], gap_minutes=SESSION_GAP_MIN)
@@ -1203,6 +1219,29 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_ORACLE_STATUS_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS "F",
+       count(*) FILTER (o_orderstatus = 'O') AS "O",
+       count(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+_ORACLE_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+_ORACLE_USER_GAPS = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+g AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+      FROM e),
+s AS (SELECT user_id, count(*) + 1 AS n_events,
+             quantile_cont(gap, 0.5) AS med, max(gap) AS max_gap_us
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_events, round(med, 6) + 0.0 AS median_gap_us, max_gap_us FROM s
+"""
+
 _ORACLE_EVENTS_ASOF = """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
 c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
@@ -1371,6 +1410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "events_asof": q_events_asof,
         "orders_price_bands": q_orders_price_bands,
+        "status_priority_pivot": q_status_priority_pivot,
+        "distinct_user_counts": q_distinct_user_counts,
+        "user_gap_stats": q_user_gap_stats,
         "events_sessionized": q_events_sessionized,
         "events_sessionized_stream": q_events_sessionized_stream,
         "image_features": q_image_features,
@@ -1427,6 +1469,9 @@ def oracle_sql() -> dict[str, str]:
         "events_props": _ORACLE_EVENTS_PROPS,
         "events_asof": _ORACLE_EVENTS_ASOF,
         "orders_price_bands": _oracle_orders_price_bands(),
+        "status_priority_pivot": _ORACLE_STATUS_PIVOT,
+        "distinct_user_counts": _ORACLE_DISTINCT_USERS,
+        "user_gap_stats": _ORACLE_USER_GAPS,
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
         "events_sessionized_stream": _ORACLE_EVENTS_SESSIONIZED_STREAM,
         "image_features": _oracle_image_features(),

@@ -23,6 +23,8 @@ __all__ = [
     "segment_churn",
     "order_priority_cube",
     "price_percentiles",
+    "status_priority_pivot",
+    "distinct_user_counts",
 ]
 
 
@@ -184,6 +186,33 @@ def price_percentiles(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def status_priority_pivot(t: dict[str, DataFrame]) -> DataFrame:
+    """PIVOT shape: order counts with one column per order status.
+    Spark's pivot enumerates the distinct values (given explicitly here
+    so the plan needs no extra discovery pass — always pass the value
+    list at scale)."""
+    o = t["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+
+
+def distinct_user_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact distinct aggregation: users per event type. COUNT(DISTINCT)
+    expands to a two-phase aggregate (distinct shuffle then count) —
+    at 100 TB swap for approx_count_distinct (HLL, one pass) when ±2%
+    is acceptable."""
+    e = t["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
     )
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "events_props_stats",
     "events_sessionized",
     "events_sessionized_us",
+    "user_gap_stats",
     "stream_vector_ingest",
     "stream_event_window_counts",
 ]
@@ -175,6 +176,45 @@ def events_sessionized_us(events: DataFrame, gap_minutes: int = 30) -> DataFrame
             F.round(F.sum("value"), 6).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
+    )
+
+
+def user_gap_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics via ``applyInPandas``
+    (grouped-map): each user's events arrive as one pandas frame, gaps
+    are one vectorized ``diff``. The custom-aggregate escape hatch for
+    logic where built-in aggregates get awkward (here: quantiles of a
+    *derived* lag sequence). Users with fewer than two events have no
+    gaps and are omitted.
+
+    Scale: one shuffle on user_id; per-group memory is that user's
+    event count — bounded for human-scale activity. The same logic as
+    a built-in composition (lag window + percentile) is the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        gaps = np.diff(pdf["ts_us"].to_numpy())
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "median_gap_us", "max_gap_us"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "median_gap_us": [float(np.median(gaps))],
+                "max_gap_us": [int(gaps.max())],
+            }
+        )
+
+    base = events.select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "user_id"
+    )
+    return base.groupBy("user_id").applyInPandas(
+        stats, schema="user_id long, n_events long, median_gap_us double, max_gap_us long"
     )
 
 
