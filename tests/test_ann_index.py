@@ -74,6 +74,26 @@ def test_ivf_index_prunes_and_matches_query_time(corpus, qvec, spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_lsh_index_incremental_append(corpus, qvec, spark):
+    """Appends land in their bucket directories only (no full rewrite —
+    unlike the reference GPU path's re-upload); queries see old+new."""
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        first = corpus.filter("vec_id < 1000")
+        rest = corpus.filter("vec_id >= 1000")
+        A.write_lsh_index(first, tmp, planes)
+        n1 = spark.read.parquet(tmp).count()
+        A.write_lsh_index(rest, tmp, planes, mode="append")
+        n2 = spark.read.parquet(tmp).count()
+        assert (n1, n2) == (first.count(), corpus.count())
+        got = [r.vec_id for r in A.lsh_topk_indexed(spark, tmp, qvec, k=10).collect()]
+        expect = [r.vec_id for r in S.lsh_topk(corpus, qvec, planes, k=10).collect()]
+        assert got == expect  # post-append results == full-corpus query-time LSH
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_train_centroids_deterministic(corpus):
     a = A.train_centroids(corpus, n_centroids=3, sample_fraction=1.0)
     b = A.train_centroids(corpus, n_centroids=3, sample_fraction=1.0)
