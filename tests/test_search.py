@@ -106,6 +106,27 @@ def test_knn_join_empty_queries(corpus, spark):
     assert S.knn_join(queries, corpus, k=3, query_id="qid", query_vec="qvec").count() == 0
 
 
+def test_collection_topk_shard_is_partition_pruned(corpus, spark, tmp_path):
+    """Single-shard search over the durable collection opens only that
+    shard's partition directory (reference per-shard endpoint)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import ingest as I
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    prepared = I.assign_shard(I.normalized(corpus), 4, how="mod")
+    path = str(tmp_path / "coll")
+    I.write_collection(prepared, path, n_shards=4, mode="overwrite")
+    q = [0.1] * 64
+    df = S.collection_topk(spark, path, q, k=5, shard=2)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    got = {r.vec_id for r in df.collect()}
+    expect_universe = {r.vec_id for r in prepared.filter("shard = 2").collect()}
+    assert got <= expect_universe and len(got) == 5
+
+
 def test_lsh_topk_subset_of_corpus_and_recall(corpus, np_corpus):
     """ANN results are a subset of the exact candidate set; recall@k is
     measurable and ≤ 1."""

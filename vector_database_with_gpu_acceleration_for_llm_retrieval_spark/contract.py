@@ -340,6 +340,34 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+SHARD_PROBE = 3
+
+
+def q_shard_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable sharded collection round-trip: prepare (validate →
+    normalize → mod-shard) → partitioned write → partition-pruned
+    single-shard top-k (the reference's per-shard search endpoint)."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    # deterministic mod placement for the oracle (assign_shard how='mod');
+    # production ingest uses the xxhash path (prepare_vectors)
+    prepared = I.assign_shard(
+        I.normalized(I.validate_dim(t["embeddings"], 64)), N_SHARDS, how="mod"
+    )
+    tmp = tempfile.mkdtemp(prefix="shard_coll_contract_")
+    try:
+        I.write_collection(prepared, tmp, n_shards=N_SHARDS, mode="overwrite")
+        res = S.collection_topk(
+            spark, tmp, _query_vec(spark, sf_dir), k=TOPK_K, shard=SHARD_PROBE
+        )
+        out = res.select("vec_id", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
@@ -769,6 +797,22 @@ def _oracle_topk(metric: str) -> str:
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (SELECT vec_id, {_sq_score('embedding', 'qv', metric)} AS s FROM embeddings, q)
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_shard_pruned_topk() -> str:
+    # stored vectors are NORMALIZED at write (prepare: normalize-on-write),
+    # so the mirror scores the normalized list against the raw query
+    norm_e = (
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)"
+        f" / coalesce(nullif({_sq_norm('embedding')}, 0), 1e-12))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+n AS (SELECT vec_id, {norm_e} AS e FROM embeddings
+      WHERE len(embedding) = 64 AND vec_id % {N_SHARDS} = {SHARD_PROBE}),
+scored AS (SELECT vec_id, {_sq_cosine('e', 'qv')} AS s FROM n, q)
 SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
 """
 
@@ -1371,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "topk_l2": q_topk_l2,
         "sharded_topk": q_sharded_topk,
+        "shard_pruned_topk": q_shard_pruned_topk,
         "knn_join": q_knn_join,
         "knn_join_expr": q_knn_join_expr,
         "lsh_topk": q_lsh_topk,
@@ -1430,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine": _oracle_topk("cosine"),
         "topk_l2": _oracle_topk("l2"),
         "sharded_topk": _oracle_sharded_topk(),
+        "shard_pruned_topk": _oracle_shard_pruned_topk(),
         "knn_join": _oracle_knn(),
         "knn_join_expr": _oracle_knn(),
         "lsh_topk": _oracle_lsh_topk(),

@@ -38,6 +38,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 __all__ = [
     "topk",
     "sharded_topk",
+    "collection_topk",
     "knn_join",
     "knn_join_expr",
     "lsh_bucket",
@@ -109,6 +110,32 @@ def sharded_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def collection_topk(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    shard: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a durable sharded collection (ingest.write_collection
+    layout: parquet partitioned by ``shard``).
+
+    ``shard=None`` queries the whole collection — the coordinator's
+    broadcast fan-out (main.py:58-73), realized as a parallel scan of
+    all shard directories. ``shard=s`` queries ONE shard — the
+    reference's per-shard endpoint (shard/server.py:70-84) — and the
+    shard filter is a PARTITION filter: only that directory's files
+    are opened (plan-asserted in tests).
+    """
+    corpus = spark.read.parquet(path)
+    if shard is not None:
+        corpus = corpus.filter(F.col("shard") == shard)
+    return topk(corpus, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
 
 
 def _normalize_rows(X: np.ndarray) -> np.ndarray:
