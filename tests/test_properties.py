@@ -17,9 +17,15 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
 
 DIM = 4
 
+#: magnitudes where x² cannot underflow float64 (|x| ≥ 1e-150 or exact
+#: zero). Below that, Σx² underflows to 0 while x ≠ 0, the zero-norm ε
+#: path rescales by 1e12 per pass, and NO float64 implementation of the
+#: reference's `norms[norms==0]=1e-12` rule is idempotent (numpy
+#: underflows identically) — that regime is outside the property's
+#: precondition, not a bug.
 finite = st.floats(
     min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
-)
+).map(lambda x: 0.0 if 0 < abs(x) < 1e-150 else x)
 vec = st.lists(finite, min_size=DIM, max_size=DIM)
 corpus_strategy = st.lists(vec, min_size=3, max_size=40)
 

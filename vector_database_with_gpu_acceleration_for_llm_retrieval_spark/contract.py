@@ -414,6 +414,32 @@ def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+PACK_SEQ_LEN = 256
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (data mixing)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return sampling.stratified_sample(t["documents"], SAMPLE_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed token budgets per language."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return sampling.pack_sequences(t["documents"], seq_len=PACK_SEQ_LEN, by="lang")
+
+
 CURATE_MIN_QUALITY = 0.5
 CURATE_LANGS = ["en", "de", "fr", "es"]
 
@@ -978,6 +1004,32 @@ SELECT id_a, id_b, {_r6('jaccard', 'jaccard')} FROM near_pairs
 """
 
 
+def _oracle_stratified_sample() -> str:
+    mod = 1_000_000
+    rate = "0.0"
+    for s, r in SAMPLE_RATES.items():
+        rate = f"CASE WHEN lang = '{s}' THEN {float(r)} ELSE {rate} END"
+    h = _sq_tok_hash("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} % {mod} < CAST(({rate}) * {mod} AS BIGINT)
+"""
+
+
+def _oracle_pack_sequences() -> str:
+    return f"""
+WITH t AS (SELECT lang, doc_id,
+                  CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQ_TOKS}) END AS n_tokens
+           FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((cum - n_tokens) / {PACK_SEQ_LEN}) AS BIGINT) AS bin_id,
+       CAST(cum - n_tokens - floor((cum - n_tokens) / {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 def _oracle_curate_corpus() -> str:
     """Curation composite mirror: quality + lang over documents, gate,
     exact dedup, then the near-dup CTEs rebuilt over the SURVIVOR set
@@ -1429,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context": q_rag_context,
         "exact_dedup_docs": q_exact_dedup_docs,
         "curate_corpus": q_curate_corpus,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "near_dup_pairs_minhash": q_near_dup_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
@@ -1489,6 +1543,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_context": _oracle_rag_context(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),
+        "stratified_sample": _oracle_stratified_sample(),
+        "pack_sequences": _oracle_pack_sequences(),
         "near_dup_pairs_minhash": _oracle_near_dup_pairs(),
         "jaccard_pairs": _oracle_jaccard_pairs(),
         "simhash_fingerprints": _oracle_simhash(),

@@ -1,0 +1,80 @@
+"""Training-data sampling and sequence packing.
+
+Two operations every LLM data-mixing pipeline runs after curation:
+
+* **deterministic stratified sampling** — down/up-weight strata (e.g.
+  languages, sources) to hit a target mixture. Implemented as a pure
+  hash filter (`portable hash(id) mod M < rate·M`) instead of
+  ``sampleBy``: the kept set depends only on ids and the rate — stable
+  across runs, partitionings, and engines (``sampleBy`` draws from a
+  partition-ordered RNG stream, so its output changes when the
+  partitioning does; that nondeterminism is unacceptable for
+  reproducible training corpora).
+
+* **sequence packing** — greedily pack documents into fixed token
+  budgets (context windows): running token cumsum per stratum →
+  ``bin = floor((cumsum - n) / seq_len)``. One window shuffle; the
+  classic concat-and-chunk approximation of bin packing (documents are
+  not split across bins here; oversized docs get their own bin).
+  At 100 TB partition by the ordering key range so the window is
+  range-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+__all__ = ["stratified_sample", "pack_sequences"]
+
+_SAMPLE_MOD = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum s with probability ``rates[s]``,
+    deterministically: hash(id) mod M < rate·M. Strata absent from
+    ``rates`` use ``default_rate``."""
+    h = F.pmod(TX.portable_token_hash(F.col(id_col).cast("string")), F.lit(_SAMPLE_MOD))
+    rate: Column = F.lit(float(default_rate))
+    for s, r in rates.items():
+        rate = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.filter(h < (rate * _SAMPLE_MOD).cast("long"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training-sequence bin of ``seq_len``
+    tokens (greedy, id order, no doc splitting). Returns
+    ``(doc_id, n_tokens, bin_id, bin_offset)`` where ``bin_offset`` is
+    the token position the doc starts at within its bin."""
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_counts = docs.select(
+        *( [F.col(by)] if by else [] ),
+        F.col(id_col),
+        TX.n_tokens(F.col(text_col)).alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    bin_id = F.floor((cum - F.col("n_tokens")) / F.lit(seq_len)).cast("long")
+    return with_counts.select(
+        *( [F.col(by)] if by else [] ),
+        id_col,
+        "n_tokens",
+        bin_id.alias("bin_id"),
+        (cum - F.col("n_tokens") - bin_id * seq_len).cast("long").alias("bin_offset"),
+    )
