@@ -510,6 +510,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", _round6(F.col("cosine"), "cosine"))
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup: candidate pairs restricted
+    to equal LSH buckets before scoring (bucket-local join instead of
+    the all-pairs self-join; recall < 1 by design, measured vs the
+    exact variant by the shared oracle family)."""
+    t = load_tables(spark, sf_dir)
+    res = D.embedding_near_dup_pairs(
+        t["embeddings"], threshold=EMB_NEAR_DUP_TAU, lsh_planes=LSH_PLANES
+    )
+    return res.select("id_a", "id_b", _round6(F.col("cosine"), "cosine"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pairs = D.near_dup_pairs(
@@ -1030,6 +1042,16 @@ FROM c
 """
 
 
+def _oracle_embedding_near_dup_lsh() -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_sq_bucket('embedding')} AS bk FROM embeddings),
+pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 {_sq_cosine('x.embedding', 'y.embedding')} AS c
+          FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id)
+SELECT id_a, id_b, {_r6('c', 'cosine')} FROM pairs WHERE c >= {EMB_NEAR_DUP_TAU}
+"""
+
+
 def _oracle_curate_corpus() -> str:
     """Curation composite mirror: quality + lang over documents, gate,
     exact dedup, then the near-dup CTEs rebuilt over the SURVIVOR set
@@ -1488,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "dedup_clusters": q_dedup_clusters,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1550,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _oracle_simhash(),
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
+        "embedding_near_dup_lsh": _oracle_embedding_near_dup_lsh(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "token_stats": _oracle_token_stats(),
         "quality_score": _oracle_quality_score(),
