@@ -689,6 +689,19 @@ def q_orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.segment_retention(load_tables(spark, sf_dir))
+
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.monthly_revenue(load_tables(spark, sf_dir))
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return P.events_moving_avg(t["events"])
+
+
 def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.status_priority_pivot(load_tables(spark, sf_dir))
 
@@ -1337,6 +1350,25 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_ORACLE_SEGMENT_RETENTION = """
+SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+"""
+
+_ORACLE_MONTHLY_REVENUE = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mon,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+_ORACLE_EVENTS_MOVING_AVG = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events
+"""
+
 _ORACLE_STATUS_PIVOT = """
 SELECT o_orderpriority,
        count(*) FILTER (o_orderstatus = 'F') AS "F",
@@ -1534,6 +1566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_bands": q_orders_price_bands,
         "status_priority_pivot": q_status_priority_pivot,
         "distinct_user_counts": q_distinct_user_counts,
+        "segment_retention": q_segment_retention,
+        "monthly_revenue": q_monthly_revenue,
+        "events_moving_avg": q_events_moving_avg,
         "user_gap_stats": q_user_gap_stats,
         "events_sessionized": q_events_sessionized,
         "events_sessionized_stream": q_events_sessionized_stream,
@@ -1597,6 +1632,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands": _oracle_orders_price_bands(),
         "status_priority_pivot": _ORACLE_STATUS_PIVOT,
         "distinct_user_counts": _ORACLE_DISTINCT_USERS,
+        "segment_retention": _ORACLE_SEGMENT_RETENTION,
+        "monthly_revenue": _ORACLE_MONTHLY_REVENUE,
+        "events_moving_avg": _ORACLE_EVENTS_MOVING_AVG,
         "user_gap_stats": _ORACLE_USER_GAPS,
         "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
         "events_sessionized_stream": _ORACLE_EVENTS_SESSIONIZED_STREAM,

@@ -25,6 +25,8 @@ __all__ = [
     "price_percentiles",
     "status_priority_pivot",
     "distinct_user_counts",
+    "segment_retention",
+    "monthly_revenue",
 ]
 
 
@@ -186,6 +188,35 @@ def price_percentiles(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def segment_retention(t: dict[str, DataFrame]) -> DataFrame:
+    """INTERSECT shape: customers active in BOTH 1995 and 1996 —
+    the retained complement of segment_churn's EXCEPT."""
+    o = t["orders"]
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.intersect(y96).orderBy("o_custkey")
+
+
+def monthly_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Calendar bucketing: revenue per (year, month) as integers —
+    date parts cross engines exactly where raw timestamps wouldn't."""
+    o = t["orders"]
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "mon")
     )
 
 

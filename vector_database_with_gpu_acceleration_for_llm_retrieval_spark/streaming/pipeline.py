@@ -32,6 +32,7 @@ __all__ = [
     "events_sessionized",
     "events_sessionized_us",
     "user_gap_stats",
+    "events_moving_avg",
     "stream_vector_ingest",
     "stream_event_window_counts",
 ]
@@ -176,6 +177,25 @@ def events_sessionized_us(events: DataFrame, gap_minutes: int = 30) -> DataFrame
             F.round(F.sum("value"), 6).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
+    )
+
+
+def events_moving_avg(events: DataFrame, frame_rows: int = 3) -> DataFrame:
+    """Bounded window frame: per-user moving average of ``value`` over
+    the last ``frame_rows`` events (ROWS BETWEEN n-1 PRECEDING AND
+    CURRENT ROW) — the rolling-metric shape; one shuffle on user_id."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr("ts_ns div 1000"), "event_id")
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
     )
 
 
