@@ -28,6 +28,25 @@ TABLES = [
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-provided SparkSession able to run this catalog's
+    queries deterministically — both confs are runtime-settable:
+
+    * ``nanosAsLong``: the events parquet stores TIMESTAMP(NANOS), which
+      Spark rejects outright without it (the driver's harness builds its
+      OWN session, not ours, so relying on session.py alone would break
+      every events query there);
+    * UTC session timezone: calendar extractions (year/month, window
+      starts) must not shift with the host timezone, or date-part
+      results diverge from the oracle for midnight-boundary rows.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf locked down: proceed as-is
+        pass
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one table. ``events`` needs special handling: the parquet
     stores TIMESTAMP(NANOS), which Spark 4.x rejects unless
@@ -38,6 +57,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     exactly the truncation DuckDB applies when it reads the same file,
     so both engines see identical microsecond values.
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
