@@ -32,6 +32,10 @@ corpus_strategy = st.lists(vec, min_size=3, max_size=40)
 PROP_SETTINGS = dict(
     max_examples=12,
     deadline=None,
+    # deterministic example generation: CI must not discover a novel
+    # last-ulp edge case on a random seed — new edges are hunted in dev
+    # runs (set HYPOTHESIS_SEED/derandomize off locally), not in gates
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
