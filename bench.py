@@ -74,9 +74,14 @@ def _duckdb_yardstick(names: list[str], oracles: dict[str, str]) -> dict[str, fl
         for n in names:
             if n not in oracles:
                 continue
-            con.execute(oracles[n]).fetchall()  # warm
+            t0 = time.perf_counter()
+            con.execute(oracles[n]).fetchall()  # warm (also a cost probe)
+            warm = time.perf_counter() - t0
+            # slow oracle mirrors (heavy composites) get fewer reps so the
+            # whole bench stays well under any harness timeout
+            reps = REPS if warm < 2.0 else 2
             times = []
-            for _ in range(REPS):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 con.execute(oracles[n]).fetchall()
                 times.append(time.perf_counter() - t0)
