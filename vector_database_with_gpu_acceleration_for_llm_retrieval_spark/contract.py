@@ -368,6 +368,30 @@ def q_shard_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+FILTER_LABEL = 1
+
+
+def q_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search — the capability the reference DROPS
+    (meta is accepted then discarded, SURVEY §1.1): filter on the
+    metadata column prunes BEFORE scoring, so the scan reads only
+    matching rows' vectors."""
+    t = load_tables(spark, sf_dir)
+    corpus = t["embeddings"].filter(F.col("label") == FILTER_LABEL)
+    res = S.topk(corpus, _query_vec(spark, sf_dir), k=TOPK_K)
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.topk(t["embeddings"], qv, k=TOPK_K)
+    approx = S.ivf_topk(
+        t["embeddings"], qv, _ivf_centroids(spark, sf_dir), k=TOPK_K, nprobe=IVF_NPROBE
+    )
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
 def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
@@ -923,6 +947,34 @@ probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('
 cand AS (SELECT vec_id, embedding FROM cells WHERE ivf_cell IN (SELECT cid FROM probe)),
 scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
 SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_topk_filtered() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s
+           FROM embeddings, q WHERE label = {FILTER_LABEL})
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_recall_ivf() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+assign AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
+           FROM embeddings e, cent c),
+cells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM assign WHERE rn = 1),
+probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('q.qv', 'c.cv')}, c.cid) AS rn
+                           FROM cent c, q) WHERE rn <= {IVF_NPROBE}),
+approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s
+                               FROM cells, q WHERE ivf_cell IN (SELECT cid FROM probe))
+           ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
 
 
@@ -1529,6 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_lsh": q_recall_lsh,
+        "recall_ivf": q_recall_ivf,
+        "topk_filtered": q_topk_filtered,
         "prepare_vectors": q_prepare_vectors,
         "normalized_vectors": q_normalized_vectors,
         "chunk_documents": q_chunk_documents,
@@ -1595,6 +1649,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _oracle_ivf_topk(),
         "ivf_topk_indexed": _oracle_ivf_topk(),
         "recall_lsh": _oracle_recall_lsh(),
+        "recall_ivf": _oracle_recall_ivf(),
+        "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),
         "chunk_documents": _oracle_chunk_documents(),
