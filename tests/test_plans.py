@@ -76,6 +76,25 @@ def test_cube_is_single_expand_pass(tables):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
 
 
+def test_knn_join_scans_corpus_once(tables):
+    """Multi-chunk batch kNN must NOT rescan the corpus per query
+    chunk: all chunks ride one broadcast into a single mapInPandas, so
+    the plan has exactly one corpus scan and one Python worker stage
+    regardless of |Q|/query_chunk."""
+    import re
+
+    q = (
+        tables["embeddings"]
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    # query_chunk=3 → 3 chunks of the 8 queries; still one scan
+    df = S.knn_join(q, tables["embeddings"], k=3, query_chunk=3)
+    plan = assert_plan_contains(df, "MapInPandas")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+
+
 def test_embeddings_scan_prunes_label(tables):
     """Column pruning: a 2-column projection must not read `label`."""
     df = tables["embeddings"].select("vec_id", "embedding").limit(5)

@@ -44,7 +44,8 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    qs, oracles = contract.queries(), contract.oracle_sql()
+    qs = {**contract.queries(), **contract.extra_queries()}
+    oracles = contract.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -167,20 +167,28 @@ def knn_join(
     query *table* (SURVEY.md X1).
 
     Physical shape: the query matrix is pulled to the driver in chunks
-    of ``query_chunk`` rows (``toLocalIterator`` — never more than one
-    chunk of vectors in driver memory) and closed over into a
-    ``mapInPandas`` scorer; each corpus Arrow batch is scored with one
-    float64 numpy matmul (the vectorized analogue of the reference's
-    per-block CUDA kernel, flat_kernels.cu:4-24) and pruned to the
-    per-batch top-k **per query** before any shuffle. The global stage
-    then windows over O(parts·|Q_chunk|·k) survivors instead of
-    O(|Q|·N) pairs; chunk results are unioned (per-qid results are
-    independent, so the union is exact).
+    of ``query_chunk`` rows (``toLocalIterator`` — one Arrow partition
+    at a time) and shipped to executors ONCE via a Spark broadcast; a
+    single ``mapInPandas`` over the corpus scores every chunk against
+    each corpus Arrow batch with one float64 numpy matmul per chunk
+    (the vectorized analogue of the reference's per-block CUDA kernel,
+    flat_kernels.cu:4-24) and prunes to the per-batch top-k **per
+    query** before any shuffle. The corpus is scanned exactly once for
+    any |Q| — the plan has ONE scan node (plan-asserted in
+    tests/test_plans.py) — and the global stage windows over
+    O(parts·|Q|·k) survivors instead of O(|Q|·N) pairs. Chunking
+    bounds the per-batch score matrix at |chunk|×B regardless of |Q|.
 
     The local prune keeps every row whose score ties the k-th *largest*
     per-batch score, so the global window's deterministic tie-break
     (score desc, id asc) gives exactly the same set as an unpruned
     cross join — this is the coordinator merge property, per batch.
+
+    Scale bounds: the broadcast holds the full normalized query matrix
+    (|Q|·dim·8 bytes — ~3 GB at |Q|=1e6, dim=384). Beyond what one
+    executor comfortably holds, split the query table and run this
+    operator per split (corpus scans = |Q|·dim·8 / broadcast budget,
+    not |Q|/query_chunk).
 
     Returns columns ``(qid, neighbor_id, score, rank)``.
     """
@@ -190,17 +198,18 @@ def knn_join(
     corpus_slim = corpus.select(id_col, vec_col)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
 
-    chunks: list[DataFrame] = []
+    # chunk list: [(qids, Qs, q_sq)] — normalization/norms precomputed
+    # once on the driver, not per corpus batch
+    chunks: list[tuple[list, np.ndarray, np.ndarray]] = []
     qids: list = []
     qvecs: list = []
 
     def flush() -> None:
         if not qids:
             return
-        chunks.append(_knn_join_chunk(
-            corpus_slim, list(qids), np.asarray(qvecs, dtype=np.float64),
-            k, metric, id_col, vec_col, out_schema,
-        ))
+        Q = np.asarray(qvecs, dtype=np.float64)
+        Qs = _normalize_rows(Q) if metric == "cosine" else Q
+        chunks.append((list(qids), Qs, (Qs * Qs).sum(axis=1)))
         qids.clear()
         qvecs.clear()
 
@@ -215,29 +224,7 @@ def knn_join(
         empty = "qid long, neighbor_id long, score double, rank int"
         return queries.sparkSession.createDataFrame([], empty)
 
-    pruned = chunks[0]
-    for extra in chunks[1:]:
-        pruned = pruned.unionByName(extra)
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "neighbor_id", "score", "rank")
-    )
-
-
-def _knn_join_chunk(
-    corpus_slim: DataFrame,
-    qids: list,
-    Q: np.ndarray,
-    k: int,
-    metric: str,
-    id_col: str,
-    vec_col: str,
-    out_schema: str,
-) -> DataFrame:
-    """One query chunk's pruned candidate frame (see :func:`knn_join`)."""
-    Qs = _normalize_rows(Q) if metric == "cosine" else Q
-    q_sq = (Qs * Qs).sum(axis=1)
+    bc = corpus_slim.sparkSession.sparkContext.broadcast(chunks)
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,25 +233,35 @@ def _knn_join_chunk(
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             ids = pdf[id_col].to_numpy()
             if metric == "cosine":
-                Xn = _normalize_rows(X)
-                S = Qs @ Xn.T  # |Q| x B
+                Xc = _normalize_rows(X)
+                x_sq = None
             else:
+                Xc = X
                 x_sq = (X * X).sum(axis=1)
-                S = 2.0 * (Qs @ X.T) - q_sq[:, None] - x_sq[None, :]
-            kk = min(k, S.shape[1])
-            # kth *largest* score per query (index B-kk after an
-            # ascending partition); keep >= so ties survive and the
-            # global deterministic tie-break stays exact.
-            thresh = np.partition(S, S.shape[1] - kk, axis=1)[:, S.shape[1] - kk]
-            out_q, out_i, out_s = [], [], []
-            for qi in range(S.shape[0]):
-                keep = np.nonzero(S[qi] >= thresh[qi])[0]
-                out_q.extend([qids[qi]] * len(keep))
-                out_i.extend(ids[keep])
-                out_s.extend(S[qi, keep])
-            yield pd.DataFrame({"qid": out_q, "neighbor_id": out_i, "score": out_s})
+            for c_qids, Qs, q_sq in bc.value:
+                if metric == "cosine":
+                    S = Qs @ Xc.T  # |chunk| x B
+                else:
+                    S = 2.0 * (Qs @ Xc.T) - q_sq[:, None] - x_sq[None, :]
+                kk = min(k, S.shape[1])
+                # kth *largest* score per query (index B-kk after an
+                # ascending partition); keep >= so ties survive and the
+                # global deterministic tie-break stays exact.
+                thresh = np.partition(S, S.shape[1] - kk, axis=1)[:, S.shape[1] - kk]
+                out_q, out_i, out_s = [], [], []
+                for qi in range(S.shape[0]):
+                    keep = np.nonzero(S[qi] >= thresh[qi])[0]
+                    out_q.extend([c_qids[qi]] * len(keep))
+                    out_i.extend(ids[keep])
+                    out_s.extend(S[qi, keep])
+                yield pd.DataFrame({"qid": out_q, "neighbor_id": out_i, "score": out_s})
 
-    return corpus_slim.mapInPandas(score_partition, schema=out_schema)
+    pruned = corpus_slim.mapInPandas(score_partition, schema=out_schema)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", "rank")
+    )
 
 
 def knn_join_expr(

@@ -117,9 +117,12 @@ def events_props_stats(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n_with_k"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
+            # pin all extremes/sums to int64: DuckDB's sum(INT) is HUGEINT
+            # and min/max(INT) are INT32 — explicit casts on BOTH engines
+            # keep the cross-engine value-hash dtype-stable
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
         )
         .orderBy("event_type")
     )
