@@ -39,17 +39,21 @@ __all__ = [
     "train_centroids",
 ]
 
-_META = "_ann_meta.json"
+#: sidecar subdirectory (underscore prefix → invisible to parquet
+#: readers of the parent path). Written/read THROUGH Spark so it lands
+#: on the same filesystem as the data — a local open() would silently
+#: misplace it for hdfs:///s3:// index paths, the actual 100 TB target.
+_META = "_ann_meta"
 
 
-def _write_meta(path: str, meta: dict) -> None:
-    with open(os.path.join(path, _META), "w") as f:
-        json.dump(meta, f)
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(os.path.join(path, _META))
 
 
-def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as f:
-        return json.load(f)
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    return json.loads(spark.read.text(os.path.join(path, _META)).head()["value"])
 
 
 def write_lsh_index(
@@ -72,7 +76,7 @@ def write_lsh_index(
     # one file per bucket per batch: repartition by the partition column
     # so writers don't produce 2^planes tiny files each
     out.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(path)
-    _write_meta(path, {"kind": "lsh", "planes": planes, "vec_col": vec_col})
+    _write_meta(df.sparkSession, path, {"kind": "lsh", "planes": planes, "vec_col": vec_col})
 
 
 def _query_bucket(query_vec, planes: list[list[float]]) -> int:
@@ -106,7 +110,7 @@ def lsh_topk_indexed(
     ``PartitionFilters`` and the scan's file count drops accordingly
     (asserted in tests/test_ann_index.py).
     """
-    meta = _read_meta(path)
+    meta = _read_meta(spark, path)
     planes = meta["planes"]
     qb = _query_bucket(query_vec, planes)
     if n_probe_buckets <= 1:
@@ -168,7 +172,7 @@ def write_ivf_index(
     """
     out = ivf_assign(df, centroids, vec_col=vec_col)
     out.repartition("ivf_cell").write.mode(mode).partitionBy("ivf_cell").parquet(path)
-    _write_meta(path, {"kind": "ivf", "centroids": centroids, "vec_col": vec_col})
+    _write_meta(df.sparkSession, path, {"kind": "ivf", "centroids": centroids, "vec_col": vec_col})
 
 
 def ivf_topk_indexed(
@@ -183,7 +187,7 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """IVF top-k over a materialized index: nearest ``nprobe`` cells by
     centroid distance, partition-pruned scan, exact rerank."""
-    meta = _read_meta(path)
+    meta = _read_meta(spark, path)
     centroids = meta["centroids"]
     q = np.asarray(query_vec, dtype=np.float64)
     order = sorted(

@@ -237,6 +237,24 @@ def jaccard_pairs(
     )
 
 
+#: last persisted signature frame — the result is lazy, so the cache
+#: cannot be released inside near_dup_pairs itself; instead each call
+#: unpersists the PREVIOUS generation, bounding executor cache at one
+#: signature frame no matter how many times the operator runs (bench
+#: loops were accumulating cached blocks until LRU eviction).
+_SIG_GENERATION: list[DataFrame] = []
+
+
+def _persist_signature(sig: DataFrame) -> DataFrame:
+    while _SIG_GENERATION:
+        try:
+            _SIG_GENERATION.pop().unpersist(False)
+        except Exception:  # pragma: no cover - session already gone
+            pass
+    _SIG_GENERATION.append(sig.persist())
+    return sig
+
+
 def near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -258,7 +276,7 @@ def near_dup_pairs(
     # persist the shingle→hash→min-fold subtree — the expensive part —
     # is recomputed per branch. At 100 TB the same move is writing the
     # signature table to parquet once and joining against that.
-    sig = minhash_signature(tids, minhash_perms(n_hashes), id_col=id_col).persist()
+    sig = _persist_signature(minhash_signature(tids, minhash_perms(n_hashes), id_col=id_col))
     cand = lsh_candidate_pairs(sig, n_bands=n_bands, n_hashes=n_hashes, id_col=id_col)
     verified = jaccard_pairs(sig.select(id_col, "tids"), pairs=cand, id_col=id_col)
     return verified.filter(F.col("jaccard") >= threshold)

@@ -59,10 +59,17 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # at equal ts the right row must sort BEFORE the left row so the
-    # carry-forward includes it ("at or before" semantics)
+    # carry-forward includes it ("at or before" semantics); right rows
+    # tying on (by, on) get a deterministic final order by their value
+    # columns, so the carried row is stable across runs/engines (the
+    # greatest value tuple wins) instead of partition-order-dependent
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col(on).asc(),
+            F.col("__is_left").asc(),
+            *[F.asc_nulls_first(f"__r_{c}") for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -24,12 +24,31 @@ from pyspark.sql import functions as F
 __all__ = ["fan_out", "salted_agg"]
 
 
+def _plan_partitions(df: DataFrame) -> int | None:
+    """Partition count of the *planned* (pre-adaptive) physical plan.
+
+    ``df.rdd.getNumPartitions()`` would finalize AQE query stages —
+    which can EXECUTE upstream shuffle subtrees at plan-build time
+    (measured: ``fan_out`` inside the curation composite re-ran the
+    dedup join/window). ``sparkPlan().execute()`` bypasses the AQE
+    wrapper and only *builds* the (lazy) RDD — file listing but no
+    job, no stage execution. Returns None if the probe fails (exotic
+    plan nodes), in which case the caller leaves the frame untouched.
+    """
+    try:
+        return df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return None
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition up to ``min_parts`` (default: cluster
     default parallelism) — no-op when the plan already has that many
-    partitions. Plan-time check only; no job is triggered."""
+    partitions. Plan-time check only; no job is triggered (the probe
+    deliberately bypasses AQE, see :func:`_plan_partitions`)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    n = _plan_partitions(df)
+    if n is None or n >= target:
         return df
     return df.repartition(target)
 
