@@ -52,3 +52,53 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tables):
         assert len(got) > 0  # the dataset must actually exercise rollover
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_sessionize_evicts_expired_keys(spark):
+    """EventTimeTimeout eviction: a user who goes quiet must have their
+    open session emitted as final (and state dropped) once the
+    watermark passes last-event + gap — without any further events for
+    that user."""
+    T0 = 1_600_000_000_000_000  # µs
+    H = 3_600 * 1_000_000
+    tmp = tempfile.mkdtemp(prefix="stateful_evict_")
+    src, ckpt = tmp + "/src", tmp + "/ckpt"
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    try:
+        # batch 1: user 1 (will go quiet) + user 2, both at T0
+        feed([(1, T0, 1, 1.0), (2, T0, 2, 2.0)])
+        q = (
+            ST.stream_sessionize(spark, src, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("evict_sessions")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # watermark after batch: T0 - 1h
+            # batch 2: user 2 far in the future → watermark jumps ahead
+            feed([(3, T0 + 10 * H, 2, 3.0)])
+            q.processAllAvailable()  # watermark now T0 + 9h
+            # batch 3: any event; during it, user 1's timeout
+            # (T0 + gap) < watermark → eviction fires
+            feed([(4, T0 + 10 * H + 60_000_000, 2, 4.0)])
+            q.processAllAvailable()
+            rows = {
+                (r.user_id, r.session_id): (r.n_events, r.session_start_us, r.session_end_us)
+                for r in spark.sql("select * from evict_sessions").collect()
+            }
+        finally:
+            q.stop()
+        # user 1's only session was emitted by eviction, not by rollover
+        assert rows[(1, 1)] == (1, T0, T0)
+        # user 2's first session closed normally via the gap break
+        assert rows[(2, 1)] == (1, T0, T0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

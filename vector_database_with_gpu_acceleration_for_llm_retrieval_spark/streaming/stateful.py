@@ -32,16 +32,36 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "session_id int, start_us long, end_us long, n long, value double"
 
 
+GAP_US = 30 * 60 * 1_000_000
+
+_OUT_COLS = [
+    "user_id", "session_id", "n_events",
+    "session_start_us", "session_end_us", "session_value",
+]
+
+
 def _sessionize_user(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state,
+    evict: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """Per-user rollover: merge the micro-batch's events (sorted by
     time) into the open session; every gap break emits the closed
-    session and bumps the ordinal."""
-    gap_us = 30 * 60 * 1_000_000
+    session and bumps the ordinal. With ``evict``, a key whose
+    event-time timeout fired emits its open session as FINAL and drops
+    its state — dead keys cost nothing once the watermark passes
+    their last event + gap."""
     (user_id,) = key
+    if evict and state.hasTimedOut:
+        if state.exists:
+            sess_id, start_us, end_us, n, value = state.get
+            state.remove()
+            if start_us is not None:
+                yield pd.DataFrame(
+                    [(user_id, sess_id, n, start_us, end_us, value)], columns=_OUT_COLS
+                )
+        return
     events = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"])
     if state.exists:
         sess_id, start_us, end_us, n, value = state.get
@@ -53,7 +73,7 @@ def _sessionize_user(
         ts_us = int(ts_us)
         if start_us is None:
             start_us, end_us, n, value = ts_us, ts_us, 1, float(val)
-        elif ts_us - end_us > gap_us:
+        elif ts_us - end_us > GAP_US:
             closed.append((user_id, sess_id, n, start_us, end_us, value))
             sess_id += 1
             start_us, end_us, n, value = ts_us, ts_us, 1, float(val)
@@ -61,34 +81,62 @@ def _sessionize_user(
             end_us, n, value = ts_us, n + 1, value + float(val)
 
     state.update((sess_id, start_us, end_us, n, value))
+    if evict:
+        # close once the watermark passes last event + gap; the guard
+        # keeps Spark's "timeout must exceed watermark" contract when
+        # this key's events arrived far behind the global watermark
+        timeout_ms = (end_us + GAP_US) // 1000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
     if closed:
-        yield pd.DataFrame(
-            closed,
-            columns=[
-                "user_id", "session_id", "n_events",
-                "session_start_us", "session_end_us", "session_value",
-            ],
-        )
+        yield pd.DataFrame(closed, columns=_OUT_COLS)
 
 
-def stream_sessionize(spark, source_dir: str, schema: str = "event_id long, ts_us long, user_id long, value double"):
+def _sessionize_user_evicting(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    yield from _sessionize_user(key, pdfs, state, evict=True)
+
+
+def stream_sessionize(
+    spark,
+    source_dir: str,
+    schema: str = "event_id long, ts_us long, user_id long, value double",
+    watermark: str | None = None,
+):
     """Streaming inactivity-gap sessionization: file source → grouped
     custom state → closed-session rows. Returns the unstarted streaming
     DataFrame; callers attach a sink (tests use the memory sink with
     ``trigger(availableNow=True)``).
 
     Emits a session row when the session CLOSES (a later event for the
-    same user breaks the gap); the final open session per user stays in
-    state — identical semantics to the reference's append-only insert
-    stream feeding a windowed consumer.
+    same user breaks the gap). Without ``watermark`` the final open
+    session per user stays in state forever — identical semantics to
+    the reference's append-only insert stream feeding a windowed
+    consumer, but state grows with the key set. With ``watermark``
+    (e.g. ``"1 hour"``), ``GroupStateTimeout.EventTimeTimeout`` evicts
+    each key once the watermark passes its last event + gap: the open
+    session is emitted as final and the key's state is dropped — the
+    production posture for unbounded key sets.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    return stream.groupBy("user_id").applyInPandasWithState(
-        _sessionize_user,
+    if watermark is None:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    with_ts = stream.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).withWatermark(
+        "ts", watermark
+    )
+    return with_ts.groupBy("user_id").applyInPandasWithState(
+        _sessionize_user_evicting,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
