@@ -31,7 +31,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ing
 )
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import topk
 
-__all__ = ["rag_context", "generate_stub"]
+__all__ = ["rag_context", "generate_stub", "generate_with_model", "TinyExtractiveModel"]
 
 PROMPT_TEMPLATE = (
     "Answer the question using only the context.\n\n"
@@ -96,3 +96,39 @@ def generate_stub(prompts: DataFrame, prompt_col: str = "prompt") -> DataFrame:
     """
     first_bullet = F.regexp_extract(F.col(prompt_col), r"- ([^\n]*)", 1)
     return prompts.withColumn("answer", first_bullet)
+
+
+def generate_with_model(
+    prompts: DataFrame,
+    loader,
+    cache_key: str = "generator",
+    prompt_col: str = "prompt",
+) -> DataFrame:
+    """The real generation stage (O19, reference rag_demo/ask.py:35-39
+    runs FLAN-T5): batch inference through the same per-executor model
+    seam as embedding — ``loader()`` must return an object with
+    ``.generate(list[str]) -> list[str]`` (e.g. a transformers
+    pipeline wrapper). Loaded once per Python worker, inferred per
+    Arrow batch; see functions.embed.model_inference_udf."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        model_inference_udf,
+    )
+
+    gen = model_inference_udf(loader, cache_key, "string", "generate")
+    return prompts.withColumn("answer", gen(F.col(prompt_col)))
+
+
+class TinyExtractiveModel:
+    """Deterministic generation stand-in with the batch ``.generate``
+    call shape: extracts the first context bullet — by construction the
+    same answer as :func:`generate_stub`, so the model-seam path is
+    value-checkable against the expression path."""
+
+    def generate(self, prompts: list[str]) -> list[str]:
+        import re
+
+        out = []
+        for p in prompts:
+            m = re.search(r"- ([^\n]*)", p or "")
+            out.append(m.group(1) if m else "")
+        return out
