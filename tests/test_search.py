@@ -145,6 +145,49 @@ def test_lsh_topk_subset_of_corpus_and_recall(corpus, np_corpus):
     assert approx_ids <= set(ids.tolist())
 
 
+def test_lsh_probe_buckets_weakest_margin_order(np_corpus):
+    """Probe list: query bucket first, then single-bit flips ordered by
+    ascending |margin|, all distinct; two-bit flips appear only after
+    every single flip."""
+    ids, X = np_corpus
+    q = list(X[0])
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    all_probes = S.lsh_probe_buckets(q, planes, n_probe_buckets=16)
+    assert sorted(all_probes) == list(range(16))  # full coverage, no dups
+    qb = all_probes[0]
+    assert qb == S.lsh_probe_buckets(q, planes, 1)[0]
+    # margins, same sequential fold
+    margins = []
+    for p in planes:
+        s = 0.0
+        for x, y in zip(q, p):
+            s += float(x) * float(y)
+        margins.append(abs(s))
+    flipped_bits = [(qb ^ b).bit_length() - 1 for b in all_probes[1:5]]
+    assert [margins[j] for j in flipped_bits] == sorted(margins)
+
+
+def test_lsh_multiprobe_recall_is_monotone(corpus, np_corpus):
+    """More probed buckets → candidate superset → recall and result
+    quality can only improve (multi ≥ single, exact ⊇ both)."""
+    ids, X = np_corpus
+    q = list(X[0])
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    exact = S.topk(corpus, q, k=K)
+
+    def recall(n_probe):
+        approx = S.lsh_topk(corpus, q, planes, k=K, n_probe_buckets=n_probe)
+        return S.recall_at_k(
+            exact.withColumnRenamed("vec_id", "neighbor_id"),
+            approx.withColumnRenamed("vec_id", "neighbor_id"),
+            k=K,
+        ).collect()[0].recall
+
+    r1, r4, rall = recall(1), recall(4), recall(2 ** 4)
+    assert r1 <= r4 <= rall
+    assert rall == 1.0  # probing every one of the 2^4 buckets IS exact
+
+
 def test_ivf_topk_probes_cells(corpus, np_corpus):
     ids, X = np_corpus
     q = list(X[1])

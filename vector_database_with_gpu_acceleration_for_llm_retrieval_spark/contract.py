@@ -400,6 +400,26 @@ def q_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
 
 
+#: multi-probe bucket budget: query bucket + 3 weakest-margin flips
+#: (must stay ≤ len(LSH_PLANES)+1 — the SQL oracle mirrors single-bit
+#: flips only)
+MULTIPROBE_BUCKETS = 4
+
+
+def q_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of weakest-margin multi-probe LSH — probing the
+    query's bucket plus its 3 most-uncertain bit-flip buckets; recall
+    is ≥ the single-probe figure by construction (candidate superset,
+    asserted in tests/test_search.py)."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.topk(t["embeddings"], qv, k=TOPK_K)
+    approx = S.lsh_topk(
+        t["embeddings"], qv, LSH_PLANES, k=TOPK_K, n_probe_buckets=MULTIPROBE_BUCKETS
+    )
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
 def q_prepare_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = I.validate_dim(t["embeddings"], 64)
@@ -985,6 +1005,31 @@ exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS 
           ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
 qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
 cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_sq_bucket('embedding')} = qb.qbucket),
+approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
+           ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
+
+def _oracle_recall_lsh_multiprobe() -> str:
+    # mirror of search.lsh_probe_buckets: rank planes by |⟨q, p_j⟩|
+    # ascending (ties by j), flip the weakest MULTIPROBE_BUCKETS-1 bits
+    margin_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, abs({_sq_dot('qv', _sq_vec(p))}) AS m FROM q"
+        for j, p in enumerate(LSH_PLANES)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
+margins AS ({margin_rows}),
+flips AS (SELECT j FROM (SELECT j, row_number() OVER (ORDER BY m ASC, j) AS rn FROM margins)
+          WHERE rn <= {MULTIPROBE_BUCKETS - 1}),
+probes AS (SELECT qbucket AS b FROM qb
+           UNION ALL SELECT xor(qbucket, (1::BIGINT << j)) AS b FROM qb, flips),
+cand AS (SELECT vec_id, embedding FROM embeddings
+         WHERE {_sq_bucket('embedding')} IN (SELECT b FROM probes)),
 approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
            ORDER BY s DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
@@ -1650,6 +1695,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_indexed": q_lsh_topk_indexed,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
+        "recall_lsh_multiprobe": q_recall_lsh_multiprobe,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1675,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_indexed": _oracle_ivf_topk(),
         "recall_lsh": _oracle_recall_lsh(),
         "recall_ivf": _oracle_recall_ivf(),
+        "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

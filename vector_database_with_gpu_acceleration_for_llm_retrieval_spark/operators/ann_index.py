@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
     ivf_assign,
     lsh_bucket,
+    lsh_probe_buckets,
     topk,
 )
 
@@ -79,18 +80,6 @@ def write_lsh_index(
     _write_meta(df.sparkSession, path, {"kind": "lsh", "planes": planes, "vec_col": vec_col})
 
 
-def _query_bucket(query_vec, planes: list[list[float]]) -> int:
-    """Same sequential fold as the engine-side lsh_bucket expression."""
-    bucket = 0
-    for j, p in enumerate(planes):
-        s = 0.0
-        for x, y in zip(query_vec, p):
-            s += float(x) * float(y)
-        if s > 0:
-            bucket |= 1 << j
-    return bucket
-
-
 def lsh_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -103,8 +92,8 @@ def lsh_topk_indexed(
 ) -> DataFrame:
     """ANN top-k over a materialized LSH index: compute the query's
     bucket from the sidecar planes, read ONLY that partition (plus the
-    ``n_probe_buckets-1`` nearest-by-Hamming buckets for better recall),
-    exact-rerank inside.
+    ``n_probe_buckets-1`` weakest-margin flip buckets for better
+    recall — search.lsh_probe_buckets), exact-rerank inside.
 
     The bucket filter is a partition filter — `.explain` shows it under
     ``PartitionFilters`` and the scan's file count drops accordingly
@@ -112,15 +101,7 @@ def lsh_topk_indexed(
     """
     meta = _read_meta(spark, path)
     planes = meta["planes"]
-    qb = _query_bucket(query_vec, planes)
-    if n_probe_buckets <= 1:
-        probe = [qb]
-    else:
-        # probe nearest buckets by Hamming distance on the sign bits —
-        # flipping the weakest-margin bits first would be better; this
-        # simple variant flips each single bit
-        candidates = [qb] + [qb ^ (1 << j) for j in range(len(planes))]
-        probe = candidates[:n_probe_buckets]
+    probe = lsh_probe_buckets(query_vec, planes, n_probe_buckets)
     corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
     return topk(corpus, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
 

@@ -43,6 +43,7 @@ __all__ = [
     "knn_join_expr",
     "lsh_bucket",
     "random_hyperplanes",
+    "lsh_probe_buckets",
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
@@ -322,6 +323,51 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_probe_buckets(
+    query_vec, planes: list[list[float]], n_probe_buckets: int = 1
+) -> list[int]:
+    """Multi-probe LSH bucket order, weakest margin first.
+
+    The query's own bucket, then single-bit flips ordered by ascending
+    |⟨q, plane_j⟩| — the hyperplanes the query is *closest* to are the
+    ones whose sign bit is most likely wrong for its true neighbors, so
+    flipping them first maximizes recall per probed bucket (multi-probe
+    LSH, Lv et al. VLDB'07). When more probes are requested than
+    planes+1, the remaining flip masks follow ordered by total flipped
+    margin (requesting all 2^planes buckets degrades gracefully to the
+    exact search).
+
+    Dot products are sequential double folds (not numpy) so the bucket
+    bits match the engine-side ``lsh_bucket`` expression arithmetic
+    exactly, even for near-zero dots.
+    """
+    dots: list[float] = []
+    qbucket = 0
+    for j, p in enumerate(planes):
+        s = 0.0
+        for x, y in zip(query_vec, p):
+            s += float(x) * float(y)
+        dots.append(s)
+        if s > 0:
+            qbucket |= 1 << j
+    singles = sorted(range(len(planes)), key=lambda j: (abs(dots[j]), j))
+    probes = [qbucket] + [qbucket ^ (1 << j) for j in singles]
+    if n_probe_buckets > len(probes):
+        # deep-probe tail (rare: caller wants a large share of all
+        # 2^planes buckets): every remaining flip mask by margin sum
+        seen = set(probes)
+        masked = sorted(
+            (sum(abs(dots[j]) for j in range(len(planes)) if (m >> j) & 1), m)
+            for m in range(1, 1 << len(planes))
+        )
+        for _, m in masked:
+            b = qbucket ^ m
+            if b not in seen:
+                seen.add(b)
+                probes.append(b)
+    return probes[:n_probe_buckets]
+
+
 def lsh_topk(
     corpus: DataFrame,
     query_vec,
@@ -330,25 +376,22 @@ def lsh_topk(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_buckets: int = 1,
 ) -> DataFrame:
-    """ANN: score only the corpus rows in the query's LSH bucket, then
-    exact top-k rerank inside the bucket.
+    """ANN: score only the corpus rows in the query's LSH bucket(s),
+    then exact top-k rerank inside. ``n_probe_buckets > 1`` probes
+    extra buckets in weakest-margin order (:func:`lsh_probe_buckets`)
+    for higher recall at proportionally higher read cost.
 
     At scale the bucket column is materialized at ingest and the table
     is partitioned by it, so this becomes a partition-pruned scan
     (filter on bucket reaches the parquet reader) — the candidate set
-    read from disk is ~N/2^planes instead of N.
+    read from disk is ~n_probe·N/2^planes instead of N.
     """
-    # sequential fold (not numpy dot) so the bucket bit matches the
-    # engine-side expression arithmetic exactly, even for near-zero dots
-    qbucket = 0
-    for j, p in enumerate(planes):
-        s = 0.0
-        for x, y in zip(query_vec, p):
-            s += float(x) * float(y)
-        if s > 0:
-            qbucket |= 1 << j
-    candidates = corpus.filter(lsh_bucket(vec_col, planes) == F.lit(qbucket))
+    probes = lsh_probe_buckets(query_vec, planes, n_probe_buckets)
+    bucket = lsh_bucket(vec_col, planes)
+    cond = bucket == F.lit(probes[0]) if len(probes) == 1 else bucket.isin(probes)
+    candidates = corpus.filter(cond)
     return topk(candidates, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
 
 
