@@ -239,18 +239,29 @@ def jaccard_pairs(
 
 #: last persisted signature frame — the result is lazy, so the cache
 #: cannot be released inside near_dup_pairs itself; instead each call
-#: unpersists the PREVIOUS generation, bounding executor cache at one
-#: signature frame no matter how many times the operator runs (bench
-#: loops were accumulating cached blocks until LRU eviction).
+#: either REUSES the previous generation (same logical plan → same
+#: data; repeated runs over one corpus stay warm) or unpersists it and
+#: caches the new one — executor cache stays bounded at one signature
+#: frame no matter how many times the operator runs (bench loops were
+#: accumulating cached blocks until LRU eviction).
 _SIG_GENERATION: list[DataFrame] = []
 
 
 def _persist_signature(sig: DataFrame) -> DataFrame:
-    while _SIG_GENERATION:
+    if _SIG_GENERATION:
+        prev = _SIG_GENERATION[0]
         try:
-            _SIG_GENERATION.pop().unpersist(False)
+            if prev._jdf.queryExecution().analyzed().sameResult(
+                sig._jdf.queryExecution().analyzed()
+            ):
+                return prev
+        except Exception:  # pragma: no cover - prev's session gone
+            pass
+        try:
+            prev.unpersist(False)
         except Exception:  # pragma: no cover - session already gone
             pass
+        _SIG_GENERATION.clear()
     _SIG_GENERATION.append(sig.persist())
     return sig
 
