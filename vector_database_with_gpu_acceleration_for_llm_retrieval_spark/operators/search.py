@@ -167,9 +167,13 @@ def knn_join(
     corpus neighbors. Generalizes the reference's one-query search to a
     query *table* (SURVEY.md X1).
 
-    Physical shape: the query matrix is pulled to the driver in chunks
-    of ``query_chunk`` rows (``toLocalIterator`` — one Arrow partition
-    at a time) and shipped to executors ONCE via a Spark broadcast; a
+    Physical shape: the query matrix is pulled to the driver in ONE
+    Arrow transfer (``toPandas`` — the driver must hold the full
+    matrix regardless, to broadcast it; a per-partition
+    ``toLocalIterator`` costs one sequential job round-trip per
+    partition, measured 1.9 s vs 0.04 s at 32 partitions), split into
+    ``query_chunk``-row chunks, and shipped to executors ONCE via a
+    Spark broadcast; a
     single ``mapInPandas`` over the corpus scores every chunk against
     each corpus Arrow batch with one float64 numpy matmul per chunk
     (the vectorized analogue of the reference's per-block CUDA kernel,
@@ -201,25 +205,15 @@ def knn_join(
 
     # chunk list: [(qids, Qs, q_sq)] — normalization/norms precomputed
     # once on the driver, not per corpus batch
+    qpdf = queries.select(query_id, query_vec).toPandas()
     chunks: list[tuple[list, np.ndarray, np.ndarray]] = []
-    qids: list = []
-    qvecs: list = []
-
-    def flush() -> None:
-        if not qids:
-            return
-        Q = np.asarray(qvecs, dtype=np.float64)
+    for lo in range(0, len(qpdf), query_chunk):
+        part = qpdf.iloc[lo : lo + query_chunk]
+        Q = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in part[query_vec]]
+        )
         Qs = _normalize_rows(Q) if metric == "cosine" else Q
-        chunks.append((list(qids), Qs, (Qs * Qs).sum(axis=1)))
-        qids.clear()
-        qvecs.clear()
-
-    for row in queries.select(query_id, query_vec).toLocalIterator():
-        qids.append(row[0])
-        qvecs.append(np.asarray(row[1], dtype=np.float64))
-        if len(qids) >= query_chunk:
-            flush()
-    flush()
+        chunks.append((part[query_id].tolist(), Qs, (Qs * Qs).sum(axis=1)))
 
     if not chunks:
         empty = "qid long, neighbor_id long, score double, rank int"
