@@ -54,6 +54,52 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tables):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_dedup_ingest_drops_in_watermark_duplicates(spark):
+    """Duplicate texts arriving within the watermark are dropped across
+    micro-batches; distinct texts all pass."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, ckpt = tmp + "/src", tmp + "/ckpt"
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    try:
+        feed([(1, ts(0), "alpha"), (2, ts(1), "beta"), (3, ts(2), "alpha")])
+        q = (
+            P.stream_dedup_ingest(spark, src, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: one new text + one in-watermark duplicate
+            feed([(4, ts(3), "gamma"), (5, ts(4), "beta")])
+            q.processAllAvailable()
+            rows = spark.sql("select * from dedup_stream").collect()
+        finally:
+            q.stop()
+        texts = sorted(r.text for r in rows)
+        assert texts == ["alpha", "beta", "gamma"]
+        survivors = {r.text: r.doc_id for r in rows}
+        assert survivors["alpha"] == 1  # first copy wins, later dup dropped
+        assert survivors["beta"] == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_sessionize_evicts_expired_keys(spark):
     """EventTimeTimeout eviction: a user who goes quiet must have their
     open session emitted as final (and state dropped) once the

@@ -28,6 +28,22 @@ def test_asof_join_at_or_before(spark):
     assert out[4] is None  # no predecessor for user 200
 
 
+def test_asof_join_duplicate_right_timestamps_deterministic(spark):
+    """Multiple right rows at the SAME (key, ts): the carried value must
+    be the greatest value tuple (the documented tie rule) and identical
+    across physical layouts — partition order must not leak through."""
+    left = spark.createDataFrame([(1, 100, 10)], "event_id int, user_id int, ts long")
+    dup_rows = [(100, 5, float(v)) for v in (3, 1, 2)]
+    for n_parts in (1, 3):
+        right = spark.createDataFrame(
+            dup_rows, "user_id int, ts long, value double"
+        ).repartition(n_parts)
+        out = temporal.asof_join(
+            left, right, on="ts", by="user_id", value_cols=["value"]
+        ).collect()
+        assert out[0].value_asof == 3.0, f"n_parts={n_parts}"
+
+
 def test_asof_join_keeps_left_columns(spark):
     left = spark.createDataFrame([(1, 7, 10, "x")], "id int, k int, ts long, tag string")
     right = spark.createDataFrame([(7, 3, 0.5)], "k int, ts long, v double")

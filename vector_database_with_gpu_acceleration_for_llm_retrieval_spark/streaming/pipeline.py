@@ -35,6 +35,7 @@ __all__ = [
     "events_moving_avg",
     "stream_vector_ingest",
     "stream_event_window_counts",
+    "stream_dedup_ingest",
 ]
 
 
@@ -267,6 +268,33 @@ def stream_vector_ingest(
         .partitionBy("shard")
         .outputMode("append")
         .start()
+    )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "1 hour",
+    schema: str = "doc_id long, ts timestamp, text string",
+    content_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup at ingest — the training-pipeline front
+    door: arriving documents are keyed by content hash (sha256, the
+    same key batch ``exact_dedup`` uses) and duplicates are dropped
+    with ``dropDuplicatesWithinWatermark``, so dedup state is bounded
+    by the watermark window instead of growing with all history (a
+    plain ``dropDuplicates`` on a stream retains every key forever).
+
+    Guarantee: a duplicate arriving within the watermark of the first
+    copy is dropped; a copy arriving after the original's state expired
+    may pass (exactly the documented engine semantics) — the downstream
+    batch dedup (operators/dedup.py) remains the global backstop.
+    Caller attaches the sink.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = stream.withColumn("content_id", F.sha2(F.col(content_col), 256))
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_id"]
     )
 
 
