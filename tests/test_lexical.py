@@ -1,0 +1,54 @@
+"""BM25 and reciprocal-rank-fusion semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import lexical
+
+
+def test_bm25_scores_and_ranks(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join join"),        # high tf for 'join'
+            (2, "spark join"),                  # both terms, short doc
+            (3, "spark window function guide"), # one term
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = lexical.bm25_topk(docs, "spark join", k=10).collect()
+    got = {r.doc_id: r.score for r in out}
+    assert 4 not in got            # no matching term → no row
+    assert set(got) == {1, 2, 3}
+    assert all(s > 0 for s in got.values())
+    ranked = [r.doc_id for r in out]
+    assert ranked[0] in (1, 2)     # both-term docs beat the one-term doc
+    assert ranked[-1] == 3
+    # hand-check doc 3: one term 'spark', tf=1
+    n, df_spark = 4, 3
+    dls = {1: 4, 2: 2, 3: 4, 4: 5}
+    avgdl = sum(dls.values()) / n
+    idf = math.log(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * dls[3] / avgdl))
+    assert abs(got[3] - expect) < 1e-12
+
+
+def test_bm25_empty_query_and_k_clamp(spark, tables):
+    docs = tables["documents"]
+    assert lexical.bm25_topk(docs, "   ", k=5).count() == 0
+    assert lexical.bm25_topk(docs, "zzz_not_a_word_zzz", k=5).count() == 0
+    assert lexical.bm25_topk(docs, "the", k=10**6).count() <= docs.count()
+
+
+def test_rrf_fuse_prefers_doubly_ranked(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r.rrf_score for r in lexical.rrf_fuse(a, b, k=10).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    # 20 is in both lists → highest fused score
+    assert max(out, key=out.get) == 20
+    assert abs(out[20] - (1 / 62 + 1 / 61)) < 1e-15
+    assert abs(out[10] - 1 / 61) < 1e-15  # absent list contributes 0

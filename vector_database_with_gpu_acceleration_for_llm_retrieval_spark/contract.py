@@ -458,6 +458,60 @@ def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+HYBRID_K_EACH = 20
+RRF_C = 60
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-k over the documents table (query = the fixed
+    RAG question, so dense and lexical retrieval are comparable)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = lexical.bm25_topk(t["documents"], RAG_QUESTION, k=TOPK_K, k1=BM25_K1, b=BM25_B)
+    return out.select("doc_id", _round6(F.col("score"), "score"))
+
+
+def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense (hash-embedding cosine) and lexical
+    (BM25) top-20 lists fused by reciprocal rank — the standard hybrid
+    baseline, rank-only so engine float scales can't skew the mix."""
+    from pyspark.sql import Window as W
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+        hash_embedding_udf,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    qv = hash_embed_py(RAG_QUESTION, dim=RAG_DIM)
+    dense = docs.select(
+        "doc_id", hash_embedding_udf(dim=RAG_DIM)("text").alias("e")
+    )
+    dense_hits = S.topk(dense, qv, k=HYBRID_K_EACH, id_col="doc_id", vec_col="e")
+    # ranking the k survivors is a k-row window — trivial after the
+    # TakeOrderedAndProject top-k
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    dense_ranked = dense_hits.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    lex_ranked = (
+        lexical.bm25_topk(docs, RAG_QUESTION, k=HYBRID_K_EACH, k1=BM25_K1, b=BM25_B)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    fused = lexical.rrf_fuse(dense_ranked, lex_ranked, k=TOPK_K, c=RRF_C)
+    return fused.select("doc_id", _round6(F.col("rrf_score"), "rrf_score"))
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 PACK_SEQ_LEN = 256
 
@@ -1110,6 +1164,72 @@ FROM ctx
 """
 
 
+def _sq_bm25_ctes() -> str:
+    """BM25 CTEs over ``documents``; exposes ``bm25(doc_id, score)``.
+    Mirrors operators.lexical.bm25_topk: same left-associated double
+    arithmetic, same term-ordered sequential score fold (list_sum over
+    ``list(s ORDER BY term)`` ≡ sort_array + F.aggregate)."""
+    terms = sorted(set(RAG_QUESTION.split()))
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+__bl AS (SELECT doc_id, len({_SQ_TOKS}) AS dl, {_SQ_TOKS} AS t FROM documents),
+__const AS (SELECT count(*) AS n, sum(dl) AS sdl FROM __bl),
+__terms AS (SELECT doc_id, dl, unnest(t) AS term FROM __bl),
+__tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM __terms
+         WHERE term IN ({term_list}) GROUP BY 1, 2, 3),
+__dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM __tf GROUP BY 1),
+__sc AS (SELECT doc_id, term,
+           ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / (CAST(sdl AS DOUBLE) / n))) AS s
+         FROM __tf JOIN __dfreq USING (term), __const),
+bm25 AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score FROM __sc GROUP BY doc_id)
+"""
+
+
+def _oracle_bm25_topk() -> str:
+    return f"""
+WITH {_sq_bm25_ctes().strip()}
+SELECT doc_id, {_r6('score', 'score')} FROM bm25
+ORDER BY score DESC, doc_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_hybrid_topk_rrf() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+    )
+
+    d = RAG_DIM
+    qv = _sq_vec(hash_embed_py(RAG_QUESTION, dim=d))
+    th = _sq_tok_hash("t")
+    return f"""
+WITH {_sq_bm25_ctes().strip()},
+__w AS (SELECT doc_id, {_SQ_TOKS} AS w FROM documents),
+__raw AS (SELECT doc_id,
+  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
+    list_transform(w, t -> CASE WHEN {th} % {d} = j
+      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
+      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
+  FROM __w),
+__emb AS (SELECT doc_id,
+  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
+  FROM __raw),
+__dense AS (SELECT doc_id, {_sq_cosine('e', qv)} AS score FROM __emb
+            ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
+__dr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM __dense),
+__lex AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
+__lr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM __lex),
+__fused AS (SELECT coalesce(__dr.doc_id, __lr.doc_id) AS doc_id,
+              coalesce(1.0 / ({RRF_C} + __dr.r), 0.0)
+              + coalesce(1.0 / ({RRF_C} + __lr.r), 0.0) AS rrf_score
+            FROM __dr FULL OUTER JOIN __lr ON __dr.doc_id = __lr.doc_id)
+SELECT doc_id, {_r6('rrf_score', 'rrf_score')} FROM __fused
+ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_K}
+"""
+
+
 def _oracle_exact_dedup() -> str:
     return """
 SELECT doc_id, lang FROM (
@@ -1637,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_vectors": q_prepare_vectors,
         "chunk_documents": q_chunk_documents,
         "rag_context": q_rag_context,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_topk_rrf": q_hybrid_topk_rrf,
         "exact_dedup_docs": q_exact_dedup_docs,
         "near_dup_pairs_minhash": q_near_dup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1667,14 +1789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_topk": q_sharded_topk,
         "normalized_vectors": q_normalized_vectors,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "corpus_stats": q_corpus_stats,
         "customer_order_stats": q_customer_order_stats,
         "parts_rollup": q_parts_rollup,
         "supplier_share": q_supplier_share,
         "customers_without_orders": q_customers_without_orders,
         "order_priority_cube": q_order_priority_cube,
         "price_percentiles": q_price_percentiles,
-        "status_priority_pivot": q_status_priority_pivot,
         "distinct_user_counts": q_distinct_user_counts,
         "segment_retention": q_segment_retention,
         "events_moving_avg": q_events_moving_avg,
@@ -1702,6 +1822,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_churn": q_segment_churn,
         "monthly_revenue": q_monthly_revenue,
         "events_sliding": q_events_sliding,
+        "status_priority_pivot": q_status_priority_pivot,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -1727,6 +1849,8 @@ def oracle_sql() -> dict[str, str]:
         "normalized_vectors": _oracle_normalized_vectors(),
         "chunk_documents": _oracle_chunk_documents(),
         "rag_context": _oracle_rag_context(),
+        "bm25_topk": _oracle_bm25_topk(),
+        "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),
         "stratified_sample": _oracle_stratified_sample(),

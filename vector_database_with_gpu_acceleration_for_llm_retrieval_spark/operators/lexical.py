@@ -1,0 +1,116 @@
+"""Lexical retrieval: BM25 scoring and reciprocal-rank fusion.
+
+The reference retrieves by dense embedding only (rag_demo/ask.py); a
+production RAG engine pairs that with lexical retrieval and fuses the
+two rankings. Both operators are pure DataFrame compositions:
+
+* **BM25** — tokenize → per-doc term frequencies for the query's terms
+  → document frequencies (broadcast: one row per query term) → per-term
+  Okapi score → per-doc sum. The scan is one pass; the only wide ops
+  are a (doc, term) partial-agg groupBy and the final per-doc groupBy —
+  both shuffle O(matched docs · |q terms|) rows, never the corpus. At
+  100 TB, materialize (term → df) once at ingest as a tiny dimension
+  table and this becomes scan + broadcast join + groupBy.
+
+* **RRF** — rank-only fusion (score = Σ 1/(c + rank)): integer ranks
+  make it engine-exact and immune to score-scale mismatches between
+  the dense and lexical sides (the reason RRF is the default hybrid
+  baseline).
+
+Cross-engine determinism: the per-doc score sum folds the per-term
+scores IN TERM ORDER (sort_array + F.aggregate — same sequential
+double fold as the SQL mirror's ``list_sum(list(s ORDER BY term))``),
+so float addition order cannot differ between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+__all__ = ["bm25_topk", "rrf_fuse"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k: ``idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    summed over the query's distinct terms, ``idf = ln(1 + (N-df+0.5)/
+    (df+0.5))``. Returns ``(id, score)``, score desc / id asc.
+
+    N and avgdl are corpus constants fetched in one tiny aggregate job
+    (like the query vector in dense search — workload constants, not
+    per-row state)."""
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    base = docs.select(
+        F.col(id_col), F.size(TX.tokens(F.col(text_col))).alias("dl"),
+        TX.tokens(F.col(text_col)).alias("__toks"),
+    )
+    row = base.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    n_docs = int(row["n"])
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    avgdl = int(row["sdl"]) / n_docs
+
+    terms = base.select(id_col, "dl", F.explode("__toks").alias("term")).filter(
+        F.col("term").isin(q_terms)
+    )
+    tf = terms.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    per_term = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).alias("s"),
+    )
+    # fold per-term scores in term order — deterministic double addition
+    summed = per_term.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("term", "s"))), lambda x: x["s"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    return summed.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (``(id, rank)`` with
+    1-based ranks): ``score = Σ_lists 1/(c + rank)``, absent list
+    contributes 0. Returns ``(id, rrf_score)`` top-k, ties to id asc."""
+    fa = a.select(F.col(id_col), F.col(rank_col).alias("__ra"))
+    fb = b.select(F.col(id_col), F.col(rank_col).alias("__rb"))
+    joined = fa.join(fb, id_col, "full_outer")
+    score = F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__ra")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col("__rb")), F.lit(0.0)
+    )
+    return (
+        joined.select(F.col(id_col), score.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
