@@ -44,6 +44,7 @@ HEADLINE = [
     "events_hourly",
     "rag_context",
     "curate_corpus",
+    "hybrid_topk_rrf",
 ]
 
 

@@ -95,6 +95,18 @@ def test_knn_join_scans_corpus_once(tables):
     assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
 
 
+def test_bm25_broadcasts_term_stats(tables):
+    """BM25: the per-term document-frequency dimension (≤ |q| rows)
+    must broadcast — the corpus side never shuffles for that join."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    df = lexical.bm25_topk(tables["documents"], "spark join window", k=5)
+    plan = assert_plan_contains(df, "BroadcastHashJoin", "TakeOrderedAndProject")
+    assert "SortMergeJoin" not in plan
+
+
 def test_embeddings_scan_prunes_label(tables):
     """Column pruning: a 2-column projection must not read `label`."""
     df = tables["embeddings"].select("vec_id", "embedding").limit(5)

@@ -85,3 +85,48 @@ def test_knn_prune_equals_window_baseline_property(spark, vecs):
     f = {(r.qid, r.rank): r.neighbor_id for r in fast.collect()}
     s = {(r.qid, r.rank): r.neighbor_id for r in slow.collect()}
     assert f == s
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join)
+_docs_strategy = st.lists(_doc, min_size=1, max_size=12)
+
+
+@given(texts=_docs_strategy)
+@settings(**PROP_SETTINGS)
+def test_bm25_matches_python_reference_property(spark, texts):
+    """Distributed BM25 equals a straight-line python scorer on
+    arbitrary small corpora (same formula, same term-ordered sum)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    query = "alpha beta"
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in lexical.bm25_topk(df, query, k=len(texts)).collect()
+    }
+    toks = [t.split() for t in texts]
+    n, dls = len(texts), [len(t) for t in toks]
+    avgdl = sum(dls) / n
+    q_terms = sorted(set(query.split()))
+    dfreq = {w: sum(1 for t in toks if w in t) for w in q_terms}
+    expect = {}
+    for i, t in enumerate(toks):
+        s = 0.0
+        matched = False
+        for w in q_terms:
+            tf = t.count(w)
+            if tf == 0:
+                continue
+            matched = True
+            idf = math.log(1.0 + (float(n) - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[i] / avgdl))
+        if matched:
+            expect[i] = s
+    assert set(got) == set(expect)
+    for i in got:
+        assert got[i] == pytest.approx(expect[i], rel=1e-12)
