@@ -99,7 +99,15 @@ def _duckdb_yardstick(names: list[str], oracles: dict[str, str]) -> dict[str, fl
 #: data grows — the trend that matters for the 100 TB target.
 SCALE_EMB_N = int(os.environ.get("SPARK_GRAFT_SCALE_EMB", "100000"))
 SCALE_DOC_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_DOC_REPL", "10"))
-SCALE_QUERIES = ["topk_cosine", "knn_join", "exact_dedup_docs", "token_stats"]
+SCALE_FACT_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_FACT_REPL", "10"))
+SCALE_QUERIES = [
+    "topk_cosine",
+    "knn_join",
+    "exact_dedup_docs",
+    "token_stats",
+    "pricing_summary",
+    "events_hourly",
+]
 SCALE_REPS = 3
 
 
@@ -140,6 +148,23 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
         big_docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
         doc_rows = spark.read.parquet(f"{tmp}/documents.parquet").count()
 
+        # fact tables: replicate verbatim (pure aggregates — both engines
+        # see the same scaled data, which is all a ratio needs)
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+            load_table,
+        )
+
+        frepl = F.explode(
+            F.array(*[F.lit(i) for i in range(SCALE_FACT_REPL)])
+        ).alias("rep")
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("*", frepl).drop(
+            "rep"
+        ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        # events goes through the catalog so ts_ns/µs-ts are materialized
+        load_table(spark, "events", SF_DIR).select("*", frepl).drop("rep").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/events.parquet")
+
         spark_times: dict[str, float] = {}
         for n in SCALE_QUERIES:
             _run_once(qs[n], spark, tmp)  # warm
@@ -151,7 +176,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             import duckdb
 
             con = duckdb.connect()
-            for t in ("embeddings", "documents"):
+            for t in ("embeddings", "documents", "lineitem", "events"):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet/*.parquet')"
                 )
