@@ -145,6 +145,21 @@ def test_lsh_topk_subset_of_corpus_and_recall(corpus, np_corpus):
     assert approx_ids <= set(ids.tolist())
 
 
+def test_knn_join_broadcast_budget_split_is_exact(corpus, spark):
+    """|Q| over the broadcast budget → per-split scans whose union has
+    exactly the same ids/ranks as the single-broadcast path."""
+    queries = corpus.filter("vec_id < 8").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    whole = S.knn_join(queries, corpus, k=3, query_id="qid", query_vec="qvec")
+    split = S.knn_join(
+        queries, corpus, k=3, query_id="qid", query_vec="qvec", max_broadcast_rows=3
+    )
+    w = {(r.qid, r.rank): r.neighbor_id for r in whole.collect()}
+    s = {(r.qid, r.rank): r.neighbor_id for r in split.collect()}
+    assert w == s and len(w) == 8 * 3
+
+
 def test_lsh_probe_buckets_weakest_margin_order(np_corpus):
     """Probe list: query bucket first, then single-bit flips ordered by
     ascending |margin|, all distinct; two-bit flips appear only after

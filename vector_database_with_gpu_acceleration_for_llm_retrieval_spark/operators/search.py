@@ -152,6 +152,11 @@ def _normalize_rows(X: np.ndarray) -> np.ndarray:
 KNN_JOIN_QUERY_CHUNK = 4096
 
 
+#: query rows per corpus scan: bounds executor broadcast memory
+#: (rows·dim·8 bytes); at dim 384 the default is ~800 MB per scan.
+KNN_JOIN_MAX_BROADCAST_ROWS = 262_144
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -162,6 +167,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_chunk: int = KNN_JOIN_QUERY_CHUNK,
+    max_broadcast_rows: int = KNN_JOIN_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Batch kNN similarity join: for every query row, the exact top-k
     corpus neighbors. Generalizes the reference's one-query search to a
@@ -190,10 +196,12 @@ def knn_join(
     cross join — this is the coordinator merge property, per batch.
 
     Scale bounds: the broadcast holds the full normalized query matrix
-    (|Q|·dim·8 bytes — ~3 GB at |Q|=1e6, dim=384). Beyond what one
-    executor comfortably holds, split the query table and run this
-    operator per split (corpus scans = |Q|·dim·8 / broadcast budget,
-    not |Q|/query_chunk).
+    (|Q|·dim·8 bytes — ~3 GB at |Q|=1e6, dim=384). When |Q| exceeds
+    ``max_broadcast_rows``, the query table is split and the scan runs
+    once per split (corpus scans = |Q|/max_broadcast_rows, NOT
+    |Q|/query_chunk — the budget, not the matmul tile, decides scan
+    count). Per-qid results are independent, so the split union is
+    exact.
 
     Returns columns ``(qid, neighbor_id, score, rank)``.
     """
@@ -206,6 +214,21 @@ def knn_join(
     # chunk list: [(qids, Qs, q_sq)] — normalization/norms precomputed
     # once on the driver, not per corpus batch
     qpdf = queries.select(query_id, query_vec).toPandas()
+    if len(qpdf) > max_broadcast_rows:
+        # over the broadcast budget: one scan per budget-sized split
+        out = None
+        for lo in range(0, len(qpdf), max_broadcast_rows):
+            split = queries.sparkSession.createDataFrame(
+                qpdf.iloc[lo : lo + max_broadcast_rows]
+            )
+            part = knn_join(
+                split, corpus, k=k, metric=metric, query_id=query_id,
+                query_vec=query_vec, id_col=id_col, vec_col=vec_col,
+                query_chunk=query_chunk, max_broadcast_rows=max_broadcast_rows,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     chunks: list[tuple[list, np.ndarray, np.ndarray]] = []
     for lo in range(0, len(qpdf), query_chunk):
         part = qpdf.iloc[lo : lo + query_chunk]
