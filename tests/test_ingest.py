@@ -107,3 +107,25 @@ def test_join_back_and_assemble_context(spark):
     )
     ctx = I.assemble_context(I.join_back(hits, chunks)).collect()[0].context
     assert ctx == "- second\n\n- first\n\n- third"
+
+
+def test_mean_pool_embeddings_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ingest import (
+        mean_pool_embeddings,
+    )
+
+    rows = [
+        (1, "c1", [1.0, 2.0, 3.0]),
+        (1, "c0", [0.5, -1.0, 2.0]),
+        (1, "c2", [4.0, 0.0, -3.0]),
+        (2, "c9", [7.0, 7.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id string, emb array<double>")
+    out = {r.doc_id: (r.doc_emb, r.n_chunks) for r in mean_pool_embeddings(df).collect()}
+    expect1 = np.mean([[0.5, -1.0, 2.0], [1.0, 2.0, 3.0], [4.0, 0.0, -3.0]], axis=0)
+    assert out[1][1] == 3 and out[2][1] == 1
+    assert out[1][0] == pytest.approx(list(expect1), rel=1e-12)
+    assert out[2][0] == [7.0, 7.0, 7.0]

@@ -145,6 +145,23 @@ def test_lsh_topk_subset_of_corpus_and_recall(corpus, np_corpus):
     assert approx_ids <= set(ids.tolist())
 
 
+def test_topk_per_group_equals_filtered_topk(corpus, np_corpus):
+    """Per-group window rank == running topk() on each group's filter —
+    one scan replacing G scans, same results."""
+    ids, X = np_corpus
+    q = list(X[0])
+    grouped = corpus.withColumn("g", (F.col("vec_id") % 3).cast("int"))
+    got = {}
+    for r in S.topk_per_group(grouped, q, "g", k=4).collect():
+        got.setdefault(r.g, []).append(r.vec_id)
+    for g in range(3):
+        expect = [
+            r.vec_id
+            for r in S.topk(grouped.filter(F.col("g") == g), q, k=4).collect()
+        ]
+        assert got[g] == expect
+
+
 def test_knn_join_broadcast_budget_split_is_exact(corpus, spark):
     """|Q| over the broadcast budget → per-split scans whose union has
     exactly the same ids/ranks as the single-broadcast path."""

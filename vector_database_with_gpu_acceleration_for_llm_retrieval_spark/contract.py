@@ -458,6 +458,40 @@ def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_TOPK_K = 5
+POOL_DOC_LIMIT = 50
+
+
+def q_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespace-scoped search: exact top-k per metadata label from one
+    corpus scan (per-group window rank)."""
+    t = load_tables(spark, sf_dir)
+    res = S.topk_per_group(
+        t["embeddings"], _query_vec(spark, sf_dir), "label", k=GROUP_TOPK_K
+    )
+    return res.select("label", "vec_id", _round6(F.col("score"), "score"), "rank")
+
+
+def q_doc_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → document embedding roll-up: chunk, hash-embed, mean-pool
+    per doc (order-pinned float fold), exploded per dimension for the
+    value hash."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embedding_udf,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < POOL_DOC_LIMIT)
+    chunks = I.chunk_documents(docs, max_words=CHUNK_WORDS)
+    embedded = chunks.select(
+        "doc_id", "chunk_id", hash_embedding_udf(dim=RAG_DIM)("chunk_text").alias("emb")
+    )
+    pooled = I.mean_pool_embeddings(embedded)
+    return pooled.select(
+        "doc_id", F.posexplode("doc_emb").alias("pos", "val")
+    ).select("doc_id", "pos", _round6(F.col("val"), "val"))
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 HYBRID_K_EACH = 20
@@ -1062,6 +1096,43 @@ cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_sq_bucket('embeddi
 approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
            ORDER BY s DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
+
+def _oracle_topk_per_label() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT label, vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q),
+ranked AS (SELECT label, vec_id, s,
+                  CAST(row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS INT) AS rank
+           FROM scored)
+SELECT label, vec_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {GROUP_TOPK_K}
+"""
+
+
+def _oracle_doc_mean_pool() -> str:
+    d = RAG_DIM
+    th = _sq_tok_hash("t")
+    chunk_sql = _oracle_chunk_documents().strip()
+    return f"""
+WITH chunked AS ({chunk_sql}),
+ct AS (SELECT doc_id, chunk_id, regexp_split_to_array(trim(chunk_text), '\\s+') AS w
+       FROM chunked WHERE doc_id < {POOL_DOC_LIMIT}),
+raw AS (SELECT doc_id, chunk_id,
+  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
+    list_transform(w, t -> CASE WHEN {th} % {d} = j
+      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
+      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
+  FROM ct),
+emb AS (SELECT doc_id, chunk_id,
+  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
+  FROM raw),
+g AS (SELECT doc_id, list(e ORDER BY chunk_id) AS es, count(*) AS n FROM emb GROUP BY doc_id),
+pool AS (SELECT doc_id,
+  list_transform(range(0, {d}), j -> list_sum(list_transform(es, v -> v[j + 1])) / n) AS de
+  FROM g)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, round(de[i], 6) + 0.0 AS val
+FROM pool, (SELECT unnest(range(1, {d + 1})) AS i)
 """
 
 
@@ -1824,6 +1895,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "status_priority_pivot": q_status_priority_pivot,
         "corpus_stats": q_corpus_stats,
+        "topk_per_label": q_topk_per_label,
+        "doc_mean_pool": q_doc_mean_pool,
     }
 
 
@@ -1844,6 +1917,8 @@ def oracle_sql() -> dict[str, str]:
         "recall_lsh": _oracle_recall_lsh(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
+        "topk_per_label": _oracle_topk_per_label(),
+        "doc_mean_pool": _oracle_doc_mean_pool(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

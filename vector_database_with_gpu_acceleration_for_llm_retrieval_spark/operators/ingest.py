@@ -34,6 +34,7 @@ __all__ = [
     "assemble_context",
     "bulk_random_vectors",
     "collection_stats",
+    "mean_pool_embeddings",
 ]
 
 
@@ -176,6 +177,40 @@ def chunk_documents(
         "chunk_idx",
         chunk_id.alias("chunk_id"),
         "chunk_text",
+    )
+
+
+def mean_pool_embeddings(
+    chunks: DataFrame,
+    group_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    vec_col: str = "emb",
+    out_col: str = "doc_emb",
+) -> DataFrame:
+    """Chunk embeddings → one document embedding by mean pooling (the
+    standard doc-level representation when retrieval indexed chunks).
+
+    Cross-engine determinism: the per-dimension sums fold the chunks in
+    ``order_col`` order (sort_array over (order, vec) structs, then a
+    sequential zip_with accumulation) — float addition order is pinned,
+    so any engine summing the same chunks in the same order gets the
+    same doubles. One groupBy shuffle of (group, vec) rows.
+    """
+    collected = chunks.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(F.struct(F.col(order_col), F.col(vec_col)))).alias(
+            "__cv"
+        ),
+        F.count("*").alias("__n"),
+    )
+    vecs = F.transform(F.col("__cv"), lambda s: s[vec_col])
+    # fold from a zero vector of the right width (element 1 exists: a
+    # group always has ≥ 1 chunk)
+    zero = F.transform(F.element_at(vecs, 1), lambda _: F.lit(0.0))
+    summed = F.aggregate(vecs, zero, lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y))
+    return collected.select(
+        group_col,
+        F.transform(summed, lambda x: x / F.col("__n")).alias(out_col),
+        F.col("__n").alias("n_chunks"),
     )
 
 

@@ -113,6 +113,40 @@ def sharded_topk(
     )
 
 
+def topk_per_group(
+    corpus: DataFrame,
+    query_vec,
+    group_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group exact top-k — namespace/tenant-scoped search (every
+    group gets its own result list from ONE corpus scan).
+
+    A window rank per group instead of G separate topk() calls: Spark's
+    WindowGroupLimit pushes the k-limit into each partition before the
+    shuffle, so the exchange carries O(parts·G·k) rows. At scale,
+    partition the table by the group column and the shuffle disappears
+    entirely (group-local windows).
+
+    Returns ``(group, id, score, rank)`` with rank 1..k per group.
+    """
+    q = V.vec_lit(query_vec)
+    scored = corpus.select(
+        F.col(group_col),
+        F.col(id_col),
+        V.score(F.col(vec_col), q, metric).alias("score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, id_col, "score", "rank")
+    )
+
+
 def collection_topk(
     spark,
     path: str,
