@@ -1,0 +1,153 @@
+"""Product quantization: encode determinism, ADC vs a numpy oracle,
+rerank recovering exact results, and the materialized codes table."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    pq as PQ,
+    search as S,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+    physical_plan,
+)
+
+M = 8
+KSUB = 16
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(tables):
+    return tables["embeddings"].select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def np_corpus(corpus):
+    rows = corpus.orderBy("vec_id").collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+@pytest.fixture(scope="module")
+def books(np_corpus):
+    ids, X = np_corpus
+    return PQ.codebooks_from_rows(X[:KSUB].tolist(), M)
+
+
+@pytest.fixture(scope="module")
+def qvec(np_corpus):
+    ids, X = np_corpus
+    return X[0].tolist()
+
+
+def _np_codes(X, books):
+    m, ksub = len(books), len(books[0])
+    dsub = X.shape[1] // m
+    C = np.asarray(books)  # m × ksub × dsub
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)  # argmin takes lowest index on ties
+    return codes
+
+
+def test_encode_matches_numpy_argmin(corpus, np_corpus, books):
+    ids, X = np_corpus
+    got = {r.vec_id: list(r.code) for r in PQ.pq_encode(corpus, books).collect()}
+    want = _np_codes(X, books)
+    for i, vid in enumerate(ids):
+        assert got[vid] == list(want[i]), f"vec {vid}"
+
+
+def test_adc_topk_matches_numpy_lut(corpus, np_corpus, books, qvec):
+    ids, X = np_corpus
+    codes = PQ.pq_encode(corpus, books)
+    got = PQ.pq_adc_topk(codes, books, qvec, k=K).collect()
+    # numpy oracle: LUT scores, top-k by (-score, id)
+    lut = np.asarray(PQ.adc_lut(books, qvec))  # m × ksub
+    nc = _np_codes(X, books)
+    scores = lut[np.arange(M)[None, :], nc].sum(axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:K]
+    assert [r.vec_id for r in got] == [int(ids[i]) for i in order]
+    for r, i in zip(got, order):
+        assert r.score == pytest.approx(scores[i], abs=1e-9)
+    # sorted desc, ties by id
+    ss = [r.score for r in got]
+    assert ss == sorted(ss, reverse=True)
+
+
+def test_rerank_recovers_exact_topk(corpus, books, qvec):
+    """Rerank with a full-corpus budget IS the exact search (ADC only
+    orders the shortlist); with a partial budget its recall can only
+    improve on plain ADC (exact ordering over an ADC superset)."""
+    codes = PQ.pq_encode(corpus, books)
+    n = corpus.count()
+    exact = [r.vec_id for r in S.topk(corpus, qvec, k=K).collect()]
+    full = [
+        r.vec_id
+        for r in PQ.pq_rerank_topk(codes, corpus, books, qvec, k=K, rerank=n).collect()
+    ]
+    assert full == exact
+
+    adc = {r.vec_id for r in PQ.pq_adc_topk(codes, books, qvec, k=K).collect()}
+    partial = {
+        r.vec_id
+        for r in PQ.pq_rerank_topk(codes, corpus, books, qvec, k=K, rerank=50).collect()
+    }
+    assert len(partial & set(exact)) >= len(adc & set(exact))
+
+
+def test_trained_codebooks_reduce_quantization_error(corpus, np_corpus):
+    """k-means codebooks beat the slices-of-first-rows codebooks on
+    reconstruction error — the trainer actually trains."""
+    ids, X = np_corpus
+    naive = PQ.codebooks_from_rows(X[:KSUB].tolist(), M)
+    trained = PQ.train_pq_codebooks(
+        corpus, M, ksub=KSUB, sample_fraction=1.0, n_iter=10, seed=13
+    )
+
+    def recon_err(books):
+        C = np.asarray(books)
+        codes = _np_codes(X, books)
+        dsub = X.shape[1] // M
+        err = 0.0
+        for j in range(M):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            err += ((sub - C[j][codes[:, j]]) ** 2).sum()
+        return err
+
+    assert recon_err(trained) < recon_err(naive)
+
+
+def test_pq_index_roundtrip_and_codes_only_scan(corpus, books, qvec, spark):
+    tmp = tempfile.mkdtemp(prefix="pq_idx_")
+    try:
+        PQ.write_pq_index(corpus, tmp, books)
+        # indexed ADC == query-time ADC
+        codes = PQ.pq_encode(corpus, books)
+        want = [(r.vec_id, r.score) for r in PQ.pq_adc_topk(codes, books, qvec, k=K).collect()]
+        df = PQ.pq_topk_indexed(spark, tmp, qvec, k=K)
+        got = [(r.vec_id, r.score) for r in df.collect()]
+        assert got == want
+        # the scan reads the CODES table, not the vectors: schema on disk
+        # is (vec_id, code) only
+        assert set(spark.read.parquet(tmp).columns) == {"vec_id", "code"}
+        # rerank variant with a full budget reproduces the exact search
+        rer = PQ.pq_topk_indexed(
+            spark, tmp, qvec, k=K, rerank_corpus=corpus, rerank=corpus.count()
+        )
+        exact = [r.vec_id for r in S.topk(corpus, qvec, k=K).collect()]
+        assert [r.vec_id for r in rer.collect()] == exact
+        # the ADC scan plan stays Python-free (no UDF/Arrow eval nodes)
+        plan = physical_plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -38,6 +38,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
     dedup as D,
     ingest as I,
     multimodal as M,
+    pq as PQ,
     relational as R,
     search as S,
     textstats as T,
@@ -417,6 +418,81 @@ def q_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.lsh_topk(
         t["embeddings"], qv, LSH_PLANES, k=TOPK_K, n_probe_buckets=MULTIPROBE_BUCKETS
     )
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
+#: product quantization: 64 dims → PQ_M subspaces of 8 dims, PQ_KSUB
+#: centroids per subspace (codebooks = sub-slices of the first PQ_KSUB
+#: corpus rows — the oracle-expressible trainer; production uses
+#: pq.train_pq_codebooks' per-subspace k-means)
+PQ_M = 8
+PQ_KSUB = 16
+PQ_RERANK = 50
+
+_PQ_CODEBOOK_CACHE: dict[str, list] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _PQ_CODEBOOK_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        rows = emb.filter(F.col("vec_id") < PQ_KSUB).orderBy("vec_id").collect()
+        _PQ_CODEBOOK_CACHE[sf_dir] = PQ.codebooks_from_rows(
+            [list(r["embedding"]) for r in rows], PQ_M
+        )
+    return _PQ_CODEBOOK_CACHE[sf_dir]
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: PQ-encode the corpus (m one-byte codes
+    per vector instead of 4·D bytes) and rank by asymmetric-distance
+    lookup — the scan that survives 100 TB."""
+    t = load_tables(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    codes = PQ.pq_encode(t["embeddings"], books)
+    res = PQ.pq_adc_topk(codes, books, _query_vec(spark, sf_dir), k=TOPK_K)
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ read path: ADC shortlist of PQ_RERANK
+    candidates over the codes, exact rerank over only those rows."""
+    t = load_tables(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    codes = PQ.pq_encode(t["embeddings"], books)
+    res = PQ.pq_rerank_topk(
+        codes, t["embeddings"], books, _query_vec(spark, sf_dir), k=TOPK_K, rerank=PQ_RERANK
+    )
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-codes variant: the ADC scan reads the persisted
+    codes table (32× smaller than the vectors) — provably identical to
+    q_pq_topk (same codebooks, same LUT), so it shares its oracle."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="pq_idx_contract_")
+    try:
+        PQ.write_pq_index(t["embeddings"].select("vec_id", "embedding"), tmp, books)
+        res = PQ.pq_topk_indexed(spark, tmp, _query_vec(spark, sf_dir), k=TOPK_K)
+        out = res.select("vec_id", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of plain ADC ranking vs the exact scan (rerank recovers
+    the gap — asserted in tests/test_pq.py)."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    exact = S.topk(t["embeddings"], qv, k=TOPK_K)
+    codes = PQ.pq_encode(t["embeddings"], books)
+    approx = PQ.pq_adc_topk(codes, books, qv, k=TOPK_K)
     return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
 
 
@@ -1095,6 +1171,63 @@ qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
 cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_sq_bucket('embedding')} = qb.qbucket),
 approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
            ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
+
+def _sq_pq_ctes() -> str:
+    """PQ CTEs mirroring operators.pq: codebooks = subspace slices of
+    the first PQ_KSUB corpus rows; codes = per-subspace argmin (ties →
+    lowest centroid id); LUT = subspace dot products against the query;
+    exposes ``pq_scored(vec_id, s)`` with the ADC score — the same
+    double-precision folds, in the same order, as the Spark side."""
+    dsub = 64 // PQ_M
+    sl_e = f"list_slice(e.embedding, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    sl_c = f"list_slice(c.cv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    sl_q = f"list_slice(q.qv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    return f"""
+cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {PQ_KSUB}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sub AS (SELECT unnest(range(0, {PQ_M})) AS j),
+__pqd AS (SELECT e.vec_id, s.j, c.cid, {_sq_l2sq(sl_e, sl_c)} AS d
+          FROM embeddings e, sub s, cb c),
+__pqc AS (SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+            FROM __pqd) WHERE rn = 1),
+__pqcode AS (SELECT vec_id, list(cid ORDER BY j) AS code FROM __pqc GROUP BY vec_id),
+__pqlutv AS (SELECT s.j, c.cid, {_sq_dot(sl_q, sl_c)} AS v FROM sub s, cb c, q),
+__pqlut AS (SELECT list(l ORDER BY j) AS lut FROM (
+              SELECT j, list(v ORDER BY cid) AS l FROM __pqlutv GROUP BY j) ),
+pq_scored AS (SELECT vec_id,
+                     list_sum(list_transform(range(0, {PQ_M}),
+                              j -> lut[j + 1][code[j + 1] + 1])) AS s
+              FROM __pqcode, __pqlut)
+"""
+
+
+def _oracle_pq_topk() -> str:
+    return f"""
+WITH {_sq_pq_ctes()}
+SELECT vec_id, {_r6('s', 'score')} FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_pq_rerank_topk() -> str:
+    return f"""
+WITH {_sq_pq_ctes()},
+shortlist AS (SELECT vec_id FROM pq_scored ORDER BY s DESC, vec_id LIMIT {PQ_RERANK}),
+exact AS (SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s
+          FROM embeddings e JOIN shortlist USING (vec_id), q)
+SELECT vec_id, {_r6('s', 'score')} FROM exact ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_recall_pq() -> str:
+    return f"""
+WITH {_sq_pq_ctes()},
+exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+approx AS (SELECT vec_id FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
 
@@ -1823,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "recall_lsh": q_recall_lsh,
         "topk_filtered": q_topk_filtered,
         "prepare_vectors": q_prepare_vectors,
@@ -1858,7 +1992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining shapes within each family
         "topk_l2": q_topk_l2,
         "sharded_topk": q_sharded_topk,
-        "normalized_vectors": q_normalized_vectors,
         "rolling_fingerprint": q_rolling_fingerprint,
         "customer_order_stats": q_customer_order_stats,
         "parts_rollup": q_parts_rollup,
@@ -1881,6 +2014,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_contract_extras.py against the same ``oracle_sql()``
     mirrors."""
     return {
+        "normalized_vectors": q_normalized_vectors,
+        "pq_rerank_topk": q_pq_rerank_topk,
+        "pq_topk_indexed": q_pq_topk_indexed,
+        "recall_pq": q_recall_pq,
         "shard_pruned_topk": q_shard_pruned_topk,
         "knn_join_expr": q_knn_join_expr,
         "lsh_topk_indexed": q_lsh_topk_indexed,
@@ -1914,6 +2051,10 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_indexed": _oracle_lsh_topk(),
         "ivf_topk": _oracle_ivf_topk(),
         "ivf_topk_indexed": _oracle_ivf_topk(),
+        "pq_topk": _oracle_pq_topk(),
+        "pq_topk_indexed": _oracle_pq_topk(),
+        "pq_rerank_topk": _oracle_pq_rerank_topk(),
+        "recall_pq": _oracle_recall_pq(),
         "recall_lsh": _oracle_recall_lsh(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),

@@ -1,0 +1,296 @@
+"""Product quantization (PQ): compressed-domain ANN scoring.
+
+The reference scores full float32 vectors on every query (its flat
+index streams the whole N×D matrix per search, shard/fallback_
+numpy_index.py:22-28).  At 100 TB of embeddings that scan is the cost
+that dominates everything else, and the classic fix (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011) is to
+scan *codes* instead of vectors:
+
+* split each D-dim vector into ``m`` contiguous subvectors;
+* quantize every subvector to its nearest centroid from a per-subspace
+  codebook of ``ksub`` entries (``ksub ≤ 256`` → one byte per
+  subspace);
+* at query time build a lookup table ``LUT[j][c] = <q_j, C[j][c]>``
+  (m·ksub dot products — microscopic) and score a vector as
+  ``Σ_j LUT[j][code_j]`` — the *asymmetric distance computation* (ADC).
+
+Storage drops from ``4·D`` bytes to ``m`` bytes per vector (32× at
+D=64, m=8) and the per-row score is ``m`` table lookups instead of a
+D-term dot product.  On a 1000-executor cluster the codes table for a
+100 TB corpus is ~3 TB — small enough to keep hot — and the exact
+vectors are touched only to rerank the handful of ADC survivors.
+
+Spark-first shape:
+
+* **encode** is a pure Column expression (argmin over ``ksub`` struct
+  comparisons per subspace) — JVM codegen, no Python, and a DuckDB
+  oracle can mirror it term for term;
+* **ADC top-k** is ``aggregate(sequence(0,m-1), …)`` over the code
+  array against a broadcast LUT literal → ``TakeOrderedAndProject``,
+  identical physical shape to the exact `search.topk`;
+* **rerank** joins the ADC survivors (tiny) back to the full vectors —
+  a broadcast equi-join, never a second corpus scan.
+
+All arithmetic is double-precision sequential folds, matching
+``functions.vector`` and the DuckDB mirrors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import topk
+
+__all__ = [
+    "codebooks_from_rows",
+    "train_pq_codebooks",
+    "pq_encode",
+    "adc_lut",
+    "pq_adc_topk",
+    "pq_rerank_topk",
+    "write_pq_index",
+    "pq_topk_indexed",
+]
+
+
+def codebooks_from_rows(rows, m: int) -> list[list[list[float]]]:
+    """Codebooks whose subspace-``j`` centroids are the ``j``-th slices
+    of the given vectors: ``C[j][c] = rows[c][j·dsub : (j+1)·dsub]``.
+
+    The deterministic, oracle-expressible trainer (same trick as the
+    contract's IVF centroids = the first ``n`` corpus rows): any SQL
+    engine can rebuild the identical codebooks from the corpus itself.
+    Production training belongs to :func:`train_pq_codebooks`.
+    """
+    ksub = len(rows)
+    d = len(rows[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [[float(rows[c][j * dsub + t]) for t in range(dsub)] for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.1,
+    n_iter: int = 10,
+    seed: int = 13,
+) -> list[list[list[float]]]:
+    """Production codebooks: independent k-means per subspace on a
+    driver-side sample (standard PQ training — codebooks come from a
+    ≤1e5-row sample, never a full-table pass; encoding then runs
+    distributed).  Deterministic via seed."""
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(100_000)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        for _ in range(n_iter):
+            dist = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[round(float(v), 6) for v in c] for c in C])
+    return books
+
+
+def _sub_l2sq(vec: Column, j: int, dsub: int, centroid: list[float]) -> Column:
+    """Squared L2 between subspace ``j`` of ``vec`` and a centroid —
+    the same sequential double fold as ``functions.vector.l2sq``."""
+    sub = F.slice(vec, j * dsub + 1, dsub)
+    return V.l2sq(sub, V.vec_lit(centroid))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """``(id, code)`` where ``code[j]`` is the index of the nearest
+    subspace-``j`` centroid (ties → lowest index, so the encoding is
+    deterministic and engine-independent).
+
+    Pure expression: per subspace, ``array_min`` over ``ksub``
+    ``struct(dist, idx)`` terms — struct comparison is lexicographic,
+    giving argmin-with-tie-break natively in codegen.  No shuffle: the
+    encode is a map-only projection of the corpus scan.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    code_terms = []
+    for j in range(m):
+        candidates = F.array(
+            *[
+                F.struct(
+                    _sub_l2sq(vec, j, dsub, codebooks[j][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(len(codebooks[j]))
+            ]
+        )
+        code_terms.append(F.array_min(candidates)["c"])
+    return df.select(F.col(id_col), F.array(*code_terms).alias(code_col))
+
+
+def adc_lut(codebooks: list[list[list[float]]], query_vec) -> list[list[float]]:
+    """``LUT[j][c] = <q_j, C[j][c]>`` as plain Python doubles — the
+    same sequential fold both engines use, so a SQL oracle recomputing
+    the LUT from the corpus gets bit-identical values."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    lut: list[list[float]] = []
+    for j in range(m):
+        qj = q[j * dsub : (j + 1) * dsub]
+        row = []
+        for cent in codebooks[j]:
+            s = 0.0
+            for x, y in zip(qj, cent):
+                s += float(x) * float(y)
+            row.append(s)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """Compressed-domain top-k: score every code row as
+    ``Σ_j LUT[j][code_j]`` (inner-product ADC) and take the global
+    top-k.
+
+    The LUT rides into the plan as a literal (m·ksub doubles — bytes,
+    not a broadcast join), the fold is ``aggregate`` over
+    ``sequence(0, m-1)`` so whole-stage codegen keeps the scan
+    Python-free, and ORDER BY+LIMIT compiles to TakeOrderedAndProject
+    exactly like the exact path.  The scan it replaces read 4·D bytes
+    per row; this one reads m bytes.
+    """
+    lut = adc_lut(codebooks, query_vec)
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    m = len(codebooks)
+    code = F.col(code_col)
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at(lut_col, j + 1), code[j] + 1),
+    )
+    scored = codes.select(F.col(id_col), score.alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def pq_rerank_topk(
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+    rerank: int = 50,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist → exact rerank: take the top ``rerank`` candidates
+    in the compressed domain, join back to the full vectors
+    (broadcast — the shortlist is ≤ rerank rows), score exactly, keep
+    the top ``k``.
+
+    This is the production read path at scale: the 100 TB vector table
+    is touched only through an id equi-join on ~50 rows; the scan that
+    ranks the whole corpus ran over the ~3 TB codes table.  Recall is
+    ≥ plain ADC by construction (exact ordering over an ADC candidate
+    superset — asserted in tests/test_pq.py).
+    """
+    shortlist = pq_adc_topk(
+        codes, codebooks, query_vec, k=rerank, id_col=id_col
+    ).select(id_col)
+    candidates = corpus.join(F.broadcast(shortlist), id_col)
+    return topk(candidates, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+# -- materialized codes table ------------------------------------------------
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (  # noqa: E402
+    _read_meta,
+    _write_meta,
+)
+
+
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the codes table + codebook sidecar.  Appends are
+    incremental (new vectors encode against the frozen codebooks and
+    land as new files); the codebooks travel with the index via the
+    same Spark-written sidecar as the LSH/IVF indexes, so hdfs:///s3://
+    paths work."""
+    pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col).write.mode(mode).parquet(path)
+    _write_meta(df.sparkSession, path, {"kind": "pq", "codebooks": codebooks, "vec_col": vec_col})
+
+
+def pq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank_corpus: DataFrame | None = None,
+    rerank: int = 50,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a materialized PQ codes table: ADC scan of the codes
+    (m bytes/row), optional exact rerank against ``rerank_corpus``."""
+    meta = _read_meta(spark, path)
+    codebooks = meta["codebooks"]
+    codes = spark.read.parquet(path)
+    if rerank_corpus is None:
+        return pq_adc_topk(codes, codebooks, query_vec, k=k, id_col=id_col)
+    return pq_rerank_topk(
+        codes,
+        rerank_corpus,
+        codebooks,
+        query_vec,
+        k=k,
+        rerank=rerank,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
