@@ -104,3 +104,38 @@ def test_stream_vector_ingest_end_to_end(spark):
             assert math.isclose(sum(x * x for x in r.embedding), 1.0, rel_tol=1e-6)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_view_click_join_matches_batch(spark, tables):
+    """Watermarked stream-stream inner join, availableNow over the
+    events parquet == the batch interval-join definition (on-time data
+    → no watermark drops → identical pair sets)."""
+    batch = {
+        (r.user_id, r.view_id, r.click_id, r.gap_us)
+        for r in P.view_click_pairs(tables["events"], window_minutes=120).collect()
+    }
+    assert batch, "fixture should produce at least one attribution pair"
+
+    tmp = tempfile.mkdtemp(prefix="ss_join_src_")
+    try:
+        tables["events"].select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").parquet(tmp + "/src")
+        sdf = P.stream_view_click_join(
+            spark, tmp + "/src", window_minutes=120, watermark="10 seconds"
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("vc_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.view_id, r.click_id, r.gap_us)
+            for r in spark.sql("select * from vc_join").collect()
+        }
+        assert got == batch
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

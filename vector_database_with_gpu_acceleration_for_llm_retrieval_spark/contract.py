@@ -872,6 +872,18 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIEW_CLICK_WINDOW_MIN = 30
+
+
+def q_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attribution join (the batch definition of the
+    watermarked stream-stream join, streaming/pipeline.py
+    stream_view_click_join): view→click pairs of the same user within
+    30 minutes, exact integer µs gaps."""
+    t = load_tables(spark, sf_dir)
+    return P.view_click_pairs(t["events"], window_minutes=VIEW_CLICK_WINDOW_MIN)
+
+
 PRICE_BANDS = [(0.0, 50_000.0, "low"), (50_000.0, 150_000.0, "mid"), (150_000.0, 1e9, "high")]
 
 
@@ -1822,6 +1834,18 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
 """
 
 
+def _oracle_view_click_attrib() -> str:
+    win_us = VIEW_CLICK_WINDOW_MIN * 60 * 1_000_000
+    return f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+v AS (SELECT event_id AS view_id, user_id, ts_us AS vts FROM e WHERE event_type = 'view'),
+c AS (SELECT event_id AS click_id, user_id, ts_us AS cts FROM e WHERE event_type = 'click')
+SELECT user_id, view_id, click_id, cts - vts AS gap_us
+FROM v JOIN c USING (user_id)
+WHERE cts > vts AND cts <= vts + {win_us}
+"""
+
+
 def _oracle_orders_price_bands() -> str:
     cases = " ".join(
         f"WHEN o_totalprice >= {lo} AND o_totalprice < {hi} THEN '{b}'"
@@ -2030,6 +2054,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_churn": q_segment_churn,
         "monthly_revenue": q_monthly_revenue,
         "events_sliding": q_events_sliding,
+        "view_click_attrib": q_view_click_attrib,
         "status_priority_pivot": q_status_priority_pivot,
         "corpus_stats": q_corpus_stats,
         "topk_per_label": q_topk_per_label,
@@ -2097,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_props": _ORACLE_EVENTS_PROPS,
         "events_asof": _ORACLE_EVENTS_ASOF,
+        "view_click_attrib": _oracle_view_click_attrib(),
         "orders_price_bands": _oracle_orders_price_bands(),
         "status_priority_pivot": _ORACLE_STATUS_PIVOT,
         "distinct_user_counts": _ORACLE_DISTINCT_USERS,

@@ -33,6 +33,8 @@ __all__ = [
     "events_sessionized_us",
     "user_gap_stats",
     "events_moving_avg",
+    "view_click_pairs",
+    "stream_view_click_join",
     "stream_vector_ingest",
     "stream_event_window_counts",
     "stream_dedup_ingest",
@@ -239,6 +241,99 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
     )
     return base.groupBy("user_id").applyInPandas(
         stats, schema="user_id long, n_events long, median_gap_us double, max_gap_us long"
+    )
+
+
+def view_click_pairs(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Attribution pairs: every (view, click) of the same user where the
+    click lands within ``window_minutes`` strictly after the view — the
+    batch definition the streaming join below executes incrementally.
+
+    The join key is ``user_id`` (equi), the interval is a post-join
+    band filter, so the physical plan is a plain key-shuffled join —
+    never an unbounded theta join. Exact integer µs arithmetic
+    (``ts_ns div 1000``) keeps the pair set engine-independent.
+    """
+    ev = events.select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_type"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts_us").alias("view_ts_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts_us").alias("click_ts_us")
+    )
+    win_us = window_minutes * 60 * 1_000_000
+    cond = (F.col("click_ts_us") > F.col("view_ts_us")) & (
+        F.col("click_ts_us") <= F.col("view_ts_us") + win_us
+    )
+    return (
+        v.join(c, "user_id").filter(cond)
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.col("click_ts_us") - F.col("view_ts_us")).alias("gap_us"),
+        )
+    )
+
+
+def stream_view_click_join(
+    spark: SparkSession,
+    source_dir: str,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """The same attribution as a watermarked STREAM-STREAM inner join —
+    the canonical Structured Streaming shape the batch form above
+    defines: two readStreams of the event feed, watermarks on both
+    sides, and a time-bound join condition.  The watermark + interval
+    bound the join state: a buffered view can be dropped once the
+    click-side watermark passes ``view.ts + window``, so state is
+    O(events in the window), not O(history).
+
+    Caller attaches the sink (tests run availableNow into a memory
+    sink and compare against :func:`view_click_pairs` on the same
+    data — on-time input → identical pair sets).
+    """
+    win_s = window_minutes * 60
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {win_s} SECONDS")),
+        "inner",
+    )
+    return joined.select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))
+        ).alias("gap_us"),
     )
 
 
