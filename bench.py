@@ -36,6 +36,7 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 HEADLINE = [
     "topk_cosine",
     "knn_join",
+    "pq_topk",
     "exact_dedup_docs",
     "near_dup_pairs_minhash",
     "token_stats",

@@ -129,3 +129,60 @@ def test_mean_pool_embeddings_matches_numpy(spark):
     assert out[1][1] == 3 and out[2][1] == 1
     assert out[1][0] == pytest.approx(list(expect1), rel=1e-12)
     assert out[2][0] == [7.0, 7.0, 7.0]
+
+
+def test_upsert_collection_partition_pruned_merge(spark, tables):
+    """Upsert replaces existing ids and appends new ones, rewriting
+    ONLY the touched shard directories (untouched shards' files are
+    byte-identical afterwards)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"].select("vec_id", "embedding", "label")
+    tmp = tempfile.mkdtemp(prefix="upsert_")
+    path = tmp + "/coll"
+    try:
+        prepared = I.prepare_vectors(emb, dim=64, n_shards=4, how="mod")
+        I.write_collection(prepared, path, n_shards=4, mode="overwrite")
+        n0 = spark.read.parquet(path).count()
+
+        def shard_files():
+            return {
+                s: sorted(
+                    (os.path.basename(f), os.path.getmtime(f))
+                    for f in glob.glob(f"{path}/shard={s}/*.parquet")
+                )
+                for s in range(4)
+            }
+
+        before = shard_files()
+
+        # update vec_id=0 (shard 0 under mod placement) with a changed
+        # vector, insert a brand-new id landing in the same shard
+        upd = spark.createDataFrame(
+            [(0, [float(i) for i in range(64)], 9),
+             (100004, [1.0] * 64, 9)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        stats = I.upsert_collection(spark, path, upd, n_shards=4, dim=64, how="mod")
+        assert stats["touched_shards"] == [0]
+
+        after_df = spark.read.parquet(path)
+        assert after_df.count() == n0 + 1  # one replace + one insert
+        got = after_df.filter(F.col("vec_id") == 0).collect()
+        assert len(got) == 1 and got[0].label == 9
+        # the replaced vector was re-normalized on write
+        import numpy as np
+
+        assert np.isclose(np.linalg.norm(got[0].embedding), 1.0, atol=1e-5)
+
+        after = shard_files()
+        for s in (1, 2, 3):
+            assert after[s] == before[s], f"untouched shard {s} was rewritten"
+        assert after[0] != before[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

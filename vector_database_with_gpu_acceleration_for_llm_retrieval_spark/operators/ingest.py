@@ -29,6 +29,7 @@ __all__ = [
     "assign_shard",
     "prepare_vectors",
     "write_collection",
+    "upsert_collection",
     "chunk_documents",
     "join_back",
     "assemble_context",
@@ -77,12 +78,12 @@ def assign_shard(df: DataFrame, n_shards: int, id_col: str = "vec_id", how: str 
     return df.withColumn("shard", shard.cast("int"))
 
 
-def prepare_vectors(df: DataFrame, dim: int, n_shards: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def prepare_vectors(df: DataFrame, dim: int, n_shards: int, id_col: str = "vec_id", vec_col: str = "embedding", how: str = "hash") -> DataFrame:
     """Full insert pipeline O1+O3+O4: validate dim → normalize → assign
     shard. The physical repartition happens in :func:`write_collection`."""
     out = validate_dim(df, dim, vec_col=vec_col)
     out = normalized(out, vec_col=vec_col)
-    return assign_shard(out, n_shards, id_col=id_col)
+    return assign_shard(out, n_shards, id_col=id_col, how=how)
 
 
 def write_collection(df: DataFrame, path: str, n_shards: int, mode: str = "append") -> None:
@@ -100,6 +101,64 @@ def write_collection(df: DataFrame, path: str, n_shards: int, mode: str = "appen
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def upsert_collection(
+    spark,
+    path: str,
+    updates: DataFrame,
+    n_shards: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    how: str = "hash",
+) -> dict:
+    """Keyed upsert into a sharded collection: rows with existing ids
+    replace the stored rows, new ids append — the update/delete surface
+    the reference lacks entirely (its store is append-only,
+    SURVEY.md §1.4 "no deletes/updates").
+
+    Partition-pruned merge: updates are routed to their shards first,
+    so only the TOUCHED shard directories are read (partition filter),
+    merged (anti-join on the id, then union), and rewritten — with
+    ``partitionOverwriteMode=dynamic`` the untouched shards' files are
+    never opened or replaced.  Cost scales with the updated shards'
+    data, not the table: upserting 1k vectors into a 100 TB collection
+    rewrites a few shard directories.
+
+    Returns ``{"touched_shards": [...], "rows_written": n}``.
+    """
+    prepared = prepare_vectors(updates, dim, n_shards, id_col=id_col, vec_col=vec_col, how=how)
+    touched = sorted(r["shard"] for r in prepared.select("shard").distinct().collect())
+    if not touched:
+        return {"touched_shards": [], "rows_written": 0}
+    current = spark.read.parquet(path).filter(F.col("shard").isin(touched))
+    keep = current.join(prepared.select(id_col).distinct(), id_col, "left_anti")
+    # localCheckpoint cuts the lineage back to the source path, so the
+    # overwrite below doesn't read from the directory it replaces; the
+    # materialized set is only the touched shards' rows, which is the
+    # working set of the merge anyway.
+    merged = keep.unionByName(prepared).localCheckpoint(eager=True)
+    rows = merged.count()
+    conf = spark.conf
+    try:
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:
+        prev = None
+    try:
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.repartition(len(touched), "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_shards": touched, "rows_written": rows}
 
 
 def bulk_random_vectors(spark, n: int, dim: int = 64, seed: int = 42) -> DataFrame:
