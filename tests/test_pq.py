@@ -59,9 +59,13 @@ def _np_codes(X, books):
     return codes
 
 
-def test_encode_matches_numpy_argmin(corpus, np_corpus, books):
+@pytest.mark.parametrize("encode", [PQ.pq_encode, PQ.pq_encode_expr])
+def test_encode_matches_numpy_argmin(corpus, np_corpus, books, encode):
+    """Both the vectorized production encode and the pure-expression
+    specification produce the numpy argmin codes — i.e. the two
+    implementations are value-identical."""
     ids, X = np_corpus
-    got = {r.vec_id: list(r.code) for r in PQ.pq_encode(corpus, books).collect()}
+    got = {r.vec_id: list(r.code) for r in encode(corpus, books).collect()}
     want = _np_codes(X, books)
     for i, vid in enumerate(ids):
         assert got[vid] == list(want[i]), f"vec {vid}"

@@ -49,6 +49,7 @@ __all__ = [
     "codebooks_from_rows",
     "train_pq_codebooks",
     "pq_encode",
+    "pq_encode_expr",
     "adc_lut",
     "pq_adc_topk",
     "pq_rerank_topk",
@@ -124,21 +125,23 @@ def _sub_l2sq(vec: Column, j: int, dsub: int, centroid: list[float]) -> Column:
     return V.l2sq(sub, V.vec_lit(centroid))
 
 
-def pq_encode(
+def pq_encode_expr(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     code_col: str = "code",
 ) -> DataFrame:
-    """``(id, code)`` where ``code[j]`` is the index of the nearest
-    subspace-``j`` centroid (ties → lowest index, so the encoding is
-    deterministic and engine-independent).
-
-    Pure expression: per subspace, ``array_min`` over ``ksub``
+    """Pure-expression encode: per subspace, ``array_min`` over ``ksub``
     ``struct(dist, idx)`` terms — struct comparison is lexicographic,
-    giving argmin-with-tie-break natively in codegen.  No shuffle: the
-    encode is a map-only projection of the corpus scan.
+    giving argmin-with-tie-break natively, and the whole thing mirrors
+    the DuckDB oracle term for term.
+
+    The m·ksub distance folds make a LARGE expression tree (128 terms
+    at m=8, ksub=16) that Catalyst executes slowly; this form exists as
+    the semantic specification and for small codebooks — the production
+    path is :func:`pq_encode` (vectorized, same values, asserted equal
+    in tests/test_pq.py).
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
@@ -156,6 +159,47 @@ def pq_encode(
         )
         code_terms.append(F.array_min(candidates)["c"])
     return df.select(F.col(id_col), F.array(*code_terms).alias(code_col))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """``(id, code)`` where ``code[j]`` is the index of the nearest
+    subspace-``j`` centroid (ties → lowest index: numpy ``argmin``
+    keeps the first minimum, the same rule as the expression form and
+    the SQL oracle).
+
+    Vectorized Arrow-batched encode — one ``(n, m, ksub)`` distance
+    tensor per batch, the idiomatic analogue of the reference's batch
+    CUDA kernel (flat_kernels.cu:4-45) and the same physical shape as
+    ``search.knn_join``.  Map-only: no shuffle, the encode rides the
+    corpus scan.  Distances are float64 elementwise ``(x-c)²`` sums
+    over ``dsub`` elements, bit-matching the sequential fold both the
+    expression form and DuckDB compute (asserted in tests/test_pq.py).
+    """
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    C = np.asarray(codebooks, dtype=np.float64)  # m × ksub × dsub
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Xs = X.reshape(len(X), m, dsub)
+            d = ((Xs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=-1)
+            codes = d.argmin(axis=-1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], code_col: list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, {code_col} array<int>"
+    )
 
 
 def adc_lut(codebooks: list[list[list[float]]], query_vec) -> list[list[float]]:
