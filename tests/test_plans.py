@@ -113,3 +113,25 @@ def test_embeddings_scan_prunes_label(tables):
     plan = assert_plan_contains(df, "ReadSchema")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "label" not in read_schema
+
+
+def test_pq_adc_plan_shape(tables):
+    """PQ read path: encode is ONE MapInPandas riding the scan (no
+    shuffle before it), ADC scoring + top-k stay JVM-side as
+    TakeOrderedAndProject — no second Python stage."""
+    import re
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        pq as PQ,
+    )
+
+    corpus = tables["embeddings"].select("vec_id", "embedding")
+    rows = corpus.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    books = PQ.codebooks_from_rows([list(r.embedding) for r in rows], 8)
+    qvec = rows[0].embedding
+    df = PQ.pq_adc_topk(PQ.pq_encode(corpus, books), books, qvec, k=10)
+    plan = assert_plan_contains(df, "MapInPandas", "TakeOrderedAndProject")
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+    # map-only encode + per-partition top-k merge at the driver: the
+    # whole single-query PQ search plan needs zero shuffles
+    assert "Exchange" not in plan
