@@ -1,0 +1,111 @@
+"""Continuous vector-search serving (the reference's long-lived read
+path as a stream).
+
+The reference coordinator is a server answering an unbounded sequence
+of ``POST /search`` requests (coordinator/main.py:58-86); its bench
+drives exactly that loop (scripts/bench.py:16-35). The Spark-native
+equivalent is a Structured Streaming flow: queries arrive on a stream,
+each micro-batch is answered with the *batch* kNN operator against the
+served collection, and results go to a sink — same logical operator,
+incremental driver.
+
+Physical shape per micro-batch: ``foreachBatch`` hands us a plain
+DataFrame, so the exact :func:`operators.search.knn_join` plan runs —
+broadcast query matrix, one corpus scan, per-batch local top-k prune
+before the global per-query window. The corpus should be persisted (or
+a partition-pruned ANN/PQ collection) so repeated micro-batches do not
+re-read parquet from cold storage; pass it pre-``.persist()``-ed.
+
+Why ``foreachBatch`` and not a stream-static join: per-query top-k
+needs a rank window over the scored pairs, which streaming append mode
+cannot express — while inside ``foreachBatch`` the full batch toolbox
+(windows, mapInPandas, broadcasts) is legal. This is the documented
+idiom for reusing batch writers/operators in streams.
+
+Scale: state-free (each query is answered once; no watermarks needed).
+Throughput scales with the corpus scan, exactly like the batch path;
+latency is micro-batch scheduling (~trigger interval + one knn_join).
+The 100 TB serving posture is the materialized ANN/PQ collection as
+``corpus`` so each micro-batch reads the probed partitions only.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+    knn_join,
+)
+
+__all__ = ["stream_search", "stream_search_to_parquet"]
+
+
+def stream_search(
+    spark: SparkSession,
+    source_dir: str,
+    corpus: DataFrame,
+    on_batch: Callable[[DataFrame, int], None],
+    k: int = 10,
+    metric: str = "cosine",
+    schema: str = "qid long, embedding array<float>",
+    query_id: str = "qid",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reader_options: dict | None = None,
+):
+    """Answer a file-source stream of query vectors against a static
+    ``corpus``; each micro-batch's results (``qid, neighbor_id, score,
+    rank``) are handed to ``on_batch(results_df, batch_id)``.
+
+    ``reader_options`` passes through to the file source (e.g.
+    ``{"maxFilesPerTrigger": 1}`` to bound per-micro-batch query load).
+    Returns the started StreamingQuery (caller awaits/stops). Empty
+    micro-batches are skipped (no corpus scan).
+    """
+
+    def answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hits = knn_join(
+            batch_df,
+            corpus,
+            k=k,
+            metric=metric,
+            query_id=query_id,
+            query_vec=query_vec,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        on_batch(hits, batch_id)
+
+    reader = spark.readStream.schema(schema)
+    for key, val in (reader_options or {}).items():
+        reader = reader.option(key, val)
+    stream = reader.parquet(source_dir)
+    return stream.writeStream.foreachBatch(answer).outputMode("append").start()
+
+
+def stream_search_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    corpus: DataFrame,
+    sink_dir: str,
+    k: int = 10,
+    metric: str = "cosine",
+    schema: str = "qid long, embedding array<float>",
+    **kwargs,
+):
+    """:func:`stream_search` with a parquet result sink — the serving
+    loop as a durable request/response log. Appends are atomic per
+    micro-batch (one write job each); replay safety comes from the
+    stream checkpoint the caller configures on the returned query."""
+
+    def sink(hits: DataFrame, batch_id: int) -> None:
+        hits.write.mode("append").parquet(sink_dir)
+
+    return stream_search(
+        spark, source_dir, corpus, sink, k=k, metric=metric, schema=schema, **kwargs
+    )
