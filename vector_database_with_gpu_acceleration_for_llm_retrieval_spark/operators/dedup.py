@@ -237,32 +237,37 @@ def jaccard_pairs(
     )
 
 
-#: last persisted signature frame — the result is lazy, so the cache
-#: cannot be released inside near_dup_pairs itself; instead each call
-#: either REUSES the previous generation (same logical plan → same
-#: data; repeated runs over one corpus stay warm) or unpersists it and
-#: caches the new one — executor cache stays bounded at one signature
-#: frame no matter how many times the operator runs (bench loops were
-#: accumulating cached blocks until LRU eviction).
-_SIG_GENERATION: list[DataFrame] = []
+#: recently persisted signature frames — the result is lazy, so the
+#: cache cannot be released inside near_dup_pairs itself; instead each
+#: call either REUSES a live generation (sameResult logical plan →
+#: same data; repeated runs over one corpus stay warm) or evicts the
+#: oldest and caches the new one. Capacity TWO, not one: callers
+#: alternate in practice (the raw-corpus near-dup and the curation
+#: composite's filtered near-dup interleave in any bench/pipeline
+#: loop), and a single slot made every alternation a full
+#: shingle→minhash recompute (measured as 10-40 s first-rep spikes at
+#: sf0.1). Executor cache stays bounded at two signature frames no
+#: matter how many times the operator runs.
+_SIG_GENERATIONS: list[DataFrame] = []
+_SIG_CACHE_CAP = 2
 
 
 def _persist_signature(sig: DataFrame) -> DataFrame:
-    if _SIG_GENERATION:
-        prev = _SIG_GENERATION[0]
+    new_plan = sig._jdf.queryExecution().analyzed()
+    for i, prev in enumerate(_SIG_GENERATIONS):
         try:
-            if prev._jdf.queryExecution().analyzed().sameResult(
-                sig._jdf.queryExecution().analyzed()
-            ):
+            if prev._jdf.queryExecution().analyzed().sameResult(new_plan):
+                # LRU: move the hit to the front
+                _SIG_GENERATIONS.insert(0, _SIG_GENERATIONS.pop(i))
                 return prev
         except Exception:  # pragma: no cover - prev's session gone
             pass
+    while len(_SIG_GENERATIONS) >= _SIG_CACHE_CAP:
         try:
-            prev.unpersist(False)
+            _SIG_GENERATIONS.pop().unpersist(False)
         except Exception:  # pragma: no cover - session already gone
             pass
-        _SIG_GENERATION.clear()
-    _SIG_GENERATION.append(sig.persist())
+    _SIG_GENERATIONS.insert(0, sig.persist())
     return sig
 
 
