@@ -1,0 +1,63 @@
+"""Streaming LSH index maintenance: vectors streamed across
+micro-batches land in their bucket partitions; the indexed reader sees
+exactly what a batch-built index would, and the partition-pruned read
+survives the streaming file-sink log."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    ann_index as A,
+    ingest as I,
+    search as S,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+    physical_plan,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+    pipeline as P,
+)
+
+
+def test_stream_lsh_index_matches_batch_index(spark, tables):
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    corpus = tables["embeddings"].select("vec_id", "embedding", F.lit(0).alias("label"))
+    qvec = corpus.filter("vec_id = 0").first().embedding
+
+    tmp = tempfile.mkdtemp(prefix="stream_lsh_")
+    try:
+        src, idx, ckpt = tmp + "/src", tmp + "/idx", tmp + "/ckpt"
+        # two appends → two micro-batches worth of files
+        corpus.filter(F.col("vec_id") < 250).write.mode("append").parquet(src)
+        corpus.filter(F.col("vec_id") >= 250).write.mode("append").parquet(src)
+
+        q = P.stream_lsh_index_ingest(spark, src, idx, ckpt, planes, dim=64)
+        q.processAllAvailable()
+        q.stop()
+
+        # the live index answers identically to the query-time ANN over
+        # the same (normalized) corpus
+        expect = S.lsh_topk(
+            I.normalized(corpus), qvec, planes, k=10
+        ).collect()
+        got = A.lsh_topk_indexed(spark, idx, qvec, k=10).collect()
+        assert [(r.vec_id, round(r.score, 6)) for r in got] == [
+            (r.vec_id, round(r.score, 6)) for r in expect
+        ]
+
+        # pruned read: bucket filter reaches PartitionFilters even when
+        # the scan goes through the streaming sink's metadata log
+        df = A.lsh_topk_indexed(spark, idx, qvec, k=10)
+        plan = physical_plan(df)
+        assert "PartitionFilters" in plan
+        part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "bucket" in part_filters
+
+        # full count landed exactly once
+        assert spark.read.parquet(idx).count() == corpus.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

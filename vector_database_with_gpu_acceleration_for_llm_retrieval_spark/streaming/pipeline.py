@@ -36,6 +36,7 @@ __all__ = [
     "view_click_pairs",
     "stream_view_click_join",
     "stream_vector_ingest",
+    "stream_lsh_index_ingest",
     "stream_event_window_counts",
     "stream_dedup_ingest",
 ]
@@ -361,6 +362,56 @@ def stream_vector_ingest(
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("shard")
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_lsh_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    planes: list[list[float]],
+    dim: int,
+    schema: str = "vec_id long, embedding array<float>, label int",
+):
+    """Streaming maintenance of the materialized LSH ANN index
+    (operators/ann_index.py): arriving vectors are validated,
+    normalized, bucketed by the frozen hyperplane family, and appended
+    DIRECTLY into their bucket partition of the index table — the index
+    stays query-fresh under continuous ingest with no rebuild step
+    (versus the reference GPU path re-uploading the whole matrix per
+    insert batch, shard_binding.cpp:40-49).
+
+    ``lsh_topk_indexed`` reads the live index unchanged: the bucket
+    filter still prunes partitions (the streaming file-sink log is
+    partition-aware), so query cost stays ~N/2^planes as N grows.
+    The sidecar is written up front so readers can probe from the
+    first micro-batch; the plane family is frozen for the index's
+    lifetime (same invariant as batch ``write_lsh_index`` appends).
+
+    Returns the started StreamingQuery (exactly-once via checkpoint).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        lsh_bucket,
+    )
+
+    _write_meta(
+        spark, index_path, {"kind": "lsh", "planes": planes, "vec_col": "embedding"}
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    prepared = normalized(validate_dim(stream, dim)).withColumn(
+        "bucket", lsh_bucket("embedding", planes)
+    )
+    return (
+        prepared.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("bucket")
         .outputMode("append")
         .start()
     )
