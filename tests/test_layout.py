@@ -1,0 +1,90 @@
+"""Clustered layout: per-file min/max ranges are near-disjoint (the
+zone-map property readers skip by), the range filter reaches the
+parquet scan as a pushed filter, and the data round-trips identically."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+    physical_plan,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.layout import (
+    write_clustered,
+)
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    out = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        out.append((min(los), max(his)))
+    return out
+
+
+def test_write_clustered_zone_maps_and_pushdown(spark, tables):
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_extendedprice")
+    tmp = tempfile.mkdtemp(prefix="layout_")
+    try:
+        write_clustered(
+            li, tmp + "/clustered", ["l_orderkey"],
+            max_records_per_file=20_000, n_partitions=6,
+        )
+        li.repartition(8).write.parquet(tmp + "/shuffled")
+
+        ranges = _file_ranges(tmp + "/clustered", "l_orderkey")
+        assert len(ranges) >= 3  # several skipping units exist
+        # clustered: files cover near-disjoint slices — sorted by lo,
+        # each file's hi must not reach into the file after next
+        ranges.sort()
+        overlaps = sum(1 for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]) if hi_a > lo_b)
+        assert overlaps == 0
+
+        # unclustered: every file spans ~the whole domain (no skipping)
+        bad = _file_ranges(tmp + "/shuffled", "l_orderkey")
+        domain_lo = min(lo for lo, _ in bad)
+        domain_hi = max(hi for _, hi in bad)
+        assert all(hi - lo > (domain_hi - domain_lo) * 0.5 for lo, hi in bad)
+
+        # a range predicate on the cluster key is pushed to the scan
+        df = spark.read.parquet(tmp + "/clustered").filter(
+            (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 2000)
+        )
+        plan = physical_plan(df)
+        assert "PushedFilters" in plan
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "l_orderkey" in pushed
+
+        # identical data after the rewrite (price summed as exact
+        # decimal — double sums are partition-order-dependent)
+        exact = [
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("price"),
+            F.sum("l_orderkey").alias("keys"),
+        ]
+        a = spark.read.parquet(tmp + "/clustered").agg(*exact).collect()
+        b = li.agg(*exact).collect()
+        assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_write_clustered_rejects_overlapping_partition_keys(tables):
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_clustered(
+            tables["lineitem"], "/tmp/unused", ["l_orderkey"], partition_by=["l_orderkey"]
+        )
