@@ -70,6 +70,43 @@ def test_stream_search_matches_batch(spark, tables):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_search_custom_search_fn(spark, tables):
+    """ANN-backed serving: search_fn swaps the per-micro-batch
+    retrieval — here a tiny exact closure tagging its own rank — and
+    the sink sees exactly its output."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        knn_join_expr,
+    )
+
+    corpus = tables["embeddings"].select("vec_id", "embedding")
+    queries = (
+        tables["embeddings"]
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_search_fn_")
+    try:
+        src, sink = tmp + "/src", tmp + "/sink"
+        queries.write.mode("overwrite").parquet(src)
+
+        def ann(batch_df):
+            return knn_join_expr(
+                batch_df, corpus, k=4, query_vec="embedding"
+            )
+
+        def sink_fn(hits, batch_id):
+            hits.write.mode("append").parquet(sink)
+
+        q = S.stream_search(spark, src, corpus, sink_fn, search_fn=ann)
+        q.processAllAvailable()
+        q.stop()
+        got = _result_set(spark.read.parquet(sink))
+        expect = _result_set(knn_join_expr(queries, corpus, k=4, query_vec="embedding"))
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_search_to_parquet_smoke(spark, tables):
     corpus = tables["embeddings"].select("vec_id", "embedding")
     queries = (

@@ -23,6 +23,37 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming imp
 )
 
 
+def test_stream_ivf_index_matches_query_time(spark, tables):
+    corpus = tables["embeddings"].select("vec_id", "embedding", F.lit(0).alias("label"))
+    normed = I.normalized(corpus)
+    qvec = corpus.filter("vec_id = 0").first().embedding
+    # frozen centroids = first 4 normalized corpus rows (deterministic)
+    cents = [
+        (i, list(r.embedding))
+        for i, r in enumerate(normed.filter(F.col("vec_id") < 4).orderBy("vec_id").collect())
+    ]
+
+    tmp = tempfile.mkdtemp(prefix="stream_ivf_")
+    try:
+        src, idx, ckpt = tmp + "/src", tmp + "/idx", tmp + "/ckpt"
+        corpus.write.mode("append").parquet(src)
+        q = P.stream_ivf_index_ingest(spark, src, idx, ckpt, cents, dim=64)
+        q.processAllAvailable()
+        q.stop()
+
+        expect = S.ivf_topk(normed, qvec, cents, k=10, nprobe=2).collect()
+        got = A.ivf_topk_indexed(spark, idx, qvec, k=10, nprobe=2).collect()
+        assert [(r.vec_id, round(r.score, 6)) for r in got] == [
+            (r.vec_id, round(r.score, 6)) for r in expect
+        ]
+
+        plan = physical_plan(A.ivf_topk_indexed(spark, idx, qvec, k=10, nprobe=2))
+        assert "PartitionFilters" in plan
+        assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_lsh_index_matches_batch_index(spark, tables):
     planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
     corpus = tables["embeddings"].select("vec_id", "embedding", F.lit(0).alias("label"))

@@ -37,6 +37,7 @@ __all__ = [
     "stream_view_click_join",
     "stream_vector_ingest",
     "stream_lsh_index_ingest",
+    "stream_ivf_index_ingest",
     "stream_event_window_counts",
     "stream_dedup_ingest",
 ]
@@ -412,6 +413,48 @@ def stream_lsh_index_ingest(
         .option("path", index_path)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("bucket")
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_ivf_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    dim: int,
+    schema: str = "vec_id long, embedding array<float>, label int",
+):
+    """IVF twin of :func:`stream_lsh_index_ingest`: arriving vectors
+    are assigned to their nearest frozen centroid's cell and appended
+    into that cell partition of the materialized IVF index. Queries via
+    ``ivf_topk_indexed`` stay partition-pruned on the live table.
+
+    Centroid drift is the operational caveat (same as batch appends):
+    the cell assignment is frozen with the centroids — retrain + rewrite
+    (e.g. via sources.maintenance compaction) when recall decays.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        ivf_assign,
+    )
+
+    _write_meta(
+        spark,
+        index_path,
+        {"kind": "ivf", "centroids": centroids, "vec_col": "embedding"},
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    prepared = ivf_assign(normalized(validate_dim(stream, dim)), centroids)
+    return (
+        prepared.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("ivf_cell")
         .outputMode("append")
         .start()
     )

@@ -55,6 +55,7 @@ def stream_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     reader_options: dict | None = None,
+    search_fn: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Answer a file-source stream of query vectors against a static
     ``corpus``; each micro-batch's results (``qid, neighbor_id, score,
@@ -62,6 +63,10 @@ def stream_search(
 
     ``reader_options`` passes through to the file source (e.g.
     ``{"maxFilesPerTrigger": 1}`` to bound per-micro-batch query load).
+    ``search_fn`` swaps the retrieval strategy: given the micro-batch's
+    query DataFrame it returns the hits frame — e.g. a closure over
+    ``pq_rerank_topk`` or ``lsh_topk_indexed`` for ANN-backed serving
+    against a materialized index; default is the exact ``knn_join``.
     Returns the started StreamingQuery (caller awaits/stops). Empty
     micro-batches are skipped (no corpus scan).
     """
@@ -69,16 +74,19 @@ def stream_search(
     def answer(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hits = knn_join(
-            batch_df,
-            corpus,
-            k=k,
-            metric=metric,
-            query_id=query_id,
-            query_vec=query_vec,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
+        if search_fn is not None:
+            hits = search_fn(batch_df)
+        else:
+            hits = knn_join(
+                batch_df,
+                corpus,
+                k=k,
+                metric=metric,
+                query_id=query_id,
+                query_vec=query_vec,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
         on_batch(hits, batch_id)
 
     reader = spark.readStream.schema(schema)
