@@ -86,6 +86,37 @@ def test_knn_join_matches_expr_baseline(corpus, tables):
     assert f == s
 
 
+def test_knn_join_grouped_scopes_to_namespace(tables):
+    """Grouped kNN == per-group filter + ungrouped kNN, and every
+    neighbor shares its query's group; physically the group key is an
+    equi-join (BroadcastHashJoin), never a cross product."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    emb = tables["embeddings"]
+    queries = emb.filter("vec_id < 6").select(
+        "label", F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = S.knn_join_grouped(queries, emb, group_col="label", k=4)
+    rows = res.collect()
+    qlabel = {r.qid: r.label for r in queries.collect()}
+    assert all(r.label == qlabel[r.qid] for r in rows)
+    # parity vs scoping by hand, one group at a time
+    for g in {r.label for r in queries.collect()}:
+        byhand = S.knn_join_expr(
+            queries.filter(F.col("label") == g),
+            emb.filter(F.col("label") == g),
+            k=4,
+        )
+        got = {(r.qid, r.rank): r.neighbor_id for r in rows if r.label == g}
+        exp = {(r.qid, r.rank): r.neighbor_id for r in byhand.collect()}
+        assert got == exp
+    plan = physical_plan(res)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_knn_join_chunked_equals_unchunked(corpus):
     """|Q| above the driver-collect chunk cap: chunk-and-union must be
     exact (per-qid independence)."""

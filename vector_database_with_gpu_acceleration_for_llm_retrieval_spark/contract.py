@@ -264,6 +264,22 @@ def q_knn_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "neighbor_id", _round6(F.col("score"), "score"), "rank")
 
 
+def q_knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespace-scoped batch kNN: each query searches only its own
+    label's corpus slice — the group equi-join prunes the cross
+    product before any scoring."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < KNN_QUERIES)
+        .select("label", F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    res = S.knn_join_grouped(q, t["embeddings"], group_col="label", k=KNN_K)
+    return res.select(
+        "label", "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     res = S.lsh_topk(t["embeddings"], _query_vec(spark, sf_dir), LSH_PLANES, k=TOPK_K)
@@ -1165,6 +1181,18 @@ ranked AS (SELECT qid, neighbor_id, s,
                   CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS INT) AS rank
            FROM scored)
 SELECT qid, neighbor_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _oracle_knn_grouped() -> str:
+    return f"""
+WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+scored AS (SELECT q.label, qid, e.vec_id AS neighbor_id, {_sq_cosine('e.embedding', 'qv')} AS s
+           FROM embeddings e JOIN q ON e.label = q.label),
+ranked AS (SELECT label, qid, neighbor_id, s,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+SELECT label, qid, neighbor_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
@@ -2161,6 +2189,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_pq": q_recall_pq,
         "shard_pruned_topk": q_shard_pruned_topk,
         "knn_join_expr": q_knn_join_expr,
+        "knn_join_grouped": q_knn_join_grouped,
         "lsh_topk_indexed": q_lsh_topk_indexed,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
@@ -2189,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_pruned_topk": _oracle_shard_pruned_topk(),
         "knn_join": _oracle_knn(),
         "knn_join_expr": _oracle_knn(),
+        "knn_join_grouped": _oracle_knn_grouped(),
         "lsh_topk": _oracle_lsh_topk(),
         "lsh_topk_indexed": _oracle_lsh_topk(),
         "ivf_topk": _oracle_ivf_topk(),

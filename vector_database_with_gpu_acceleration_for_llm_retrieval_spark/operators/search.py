@@ -41,6 +41,7 @@ __all__ = [
     "collection_topk",
     "knn_join",
     "knn_join_expr",
+    "knn_join_grouped",
     "lsh_bucket",
     "random_hyperplanes",
     "lsh_probe_buckets",
@@ -313,6 +314,55 @@ def knn_join(
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "score", "rank")
+    )
+
+
+def knn_join_grouped(
+    queries: DataFrame,
+    corpus: DataFrame,
+    group_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Namespace-scoped batch kNN: each query row searches ONLY the
+    corpus rows sharing its ``group_col`` (tenant / collection /
+    language) — the multi-tenant form of the batch similarity join.
+
+    The group key is an EQUI-join condition, so the physical plan is a
+    hash join on the key (broadcast when the query side is small), and
+    the scored pair count is Σ_g |Q_g|·|C_g| instead of |Q|·N — the
+    join itself does the namespace pruning. The per-query window then
+    ranks within (qid) as usual. At scale, partition the corpus by the
+    group column: the join co-locates and the window's shuffle
+    disappears into it.
+
+    Returns ``(group, qid, neighbor_id, score, rank)``.
+    """
+    q = queries.select(
+        F.col(group_col).alias("__g"),
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("__qvec"),
+    )
+    c = corpus.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = c.join(F.broadcast(q), "__g").select(
+        F.col("__g").alias(group_col),
+        "qid",
+        "neighbor_id",
+        V.score(F.col("__cvec"), F.col("__qvec"), metric).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "qid", "neighbor_id", "score", "rank")
     )
 
 
