@@ -1018,10 +1018,16 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary plumbing demo: text bytes stand in for an opaque image
-    # payload; decode is the documented deterministic stub.
+    # payload; decode is the documented deterministic stub. The feature
+    # vector is posexploded to scalar (pos, val) rows because the
+    # driver's canonicalizer cannot sort/hash array cells
+    # (CORRECTNESS_r03: "unhashable type: 'list'").
     t = load_tables(spark, sf_dir)
     docs = t["documents"].withColumn("payload", F.encode("text", "UTF-8"))
-    return M.decode_image_features(docs, bin_col="payload", dim=16)
+    feats = M.decode_image_features(docs, bin_col="payload", dim=16)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("pos", "val")
+    ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,13 +1063,14 @@ BULK_DIM = 16
 
 def q_bulk_random_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O20 bulk random load (reference scripts/load.py): distributed
-    deterministic unit-vector generation; components rounded for the
+    deterministic unit-vector generation. Components are posexploded to
+    scalar (pos, val) rows — the driver's canonicalizer cannot
+    sort/hash array cells (CORRECTNESS_r03) — and rounded for the
     cross-engine hash."""
     out = I.bulk_random_vectors(spark, BULK_N, dim=BULK_DIM, seed=42)
     return out.select(
-        "vec_id",
-        F.transform("embedding", lambda x: F.round(x, 6) + 0.0).alias("embedding"),
-    )
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", _round6(F.col("val"), "val"))
 
 
 def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,15 +1101,20 @@ FROM idx
 
 def _oracle_image_features() -> str:
     # stub decode: feature j = sha256 digest byte j scaled to [-1, 1];
-    # digest byte j = hex pair (2j+1, 2j+2) of the hex digest
+    # digest byte j = hex pair (2j+1, 2j+2) of the hex digest.
+    # Exploded to scalar rows to mirror the Spark side's posexplode.
     d = 16
+    byte_j = (
+        "CAST(CAST(concat('0x', substr(sha256(text), CAST(j * 2 + 1 AS BIGINT), 2))"
+        " AS BIGINT) AS DOUBLE)"
+    )
     return f"""
+WITH j AS (SELECT unnest(range(0, {d})) AS j)
 SELECT doc_id,
-  list_transform(range(0, {d}), j ->
-    (CAST(CAST(concat('0x', substr(sha256(text), CAST(j * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS DOUBLE)
-     / 255.0) * 2.0 - 1.0) AS feature,
-  octet_length(encode(text)) AS n_bytes
-FROM documents
+  octet_length(encode(text)) AS n_bytes,
+  CAST(j AS INT) AS pos,
+  {_r6(f'({byte_j} / 255.0) * 2.0 - 1.0', 'val')}
+FROM documents, j
 """
 
 
@@ -1114,6 +1126,8 @@ FROM documents
 
 
 def _oracle_bulk_random_load() -> str:
+    # Exploded to scalar (pos, val) rows to mirror the Spark side's
+    # posexplode (driver canon cannot hash array cells).
     n, d = BULK_N, BULK_DIM
     h = "CAST(concat('0x', substr(md5(concat_ws('-', '42', CAST(vec_id AS VARCHAR), CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)"
     return f"""
@@ -1121,10 +1135,15 @@ WITH ids AS (SELECT unnest(range(0, {n})) AS vec_id),
 raw AS (SELECT vec_id,
   list_transform(range(0, {d}), j ->
     (CAST({h} AS DOUBLE) / 1152921504606846976.0) * 2.0 - 1.0) AS c
-  FROM ids)
-SELECT vec_id,
-  list_transform(c, x -> round(x / coalesce(nullif({_sq_norm('c')}, 0), 1e-12), 6) + 0.0) AS embedding
-FROM raw
+  FROM ids),
+norm AS (SELECT vec_id,
+  list_transform(c, x -> x / coalesce(nullif({_sq_norm('c')}, 0), 1e-12)) AS e
+  FROM raw),
+expl AS (SELECT vec_id, unnest(range(0, {d})) AS pos FROM norm),
+j AS (SELECT e.vec_id, x.pos, e.e[x.pos + 1] AS v
+      FROM norm e JOIN expl x ON e.vec_id = x.vec_id)
+SELECT vec_id, CAST(pos AS INT) AS pos, {_r6('v', 'val')}
+FROM j
 """
 
 

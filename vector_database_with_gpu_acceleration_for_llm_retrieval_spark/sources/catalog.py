@@ -59,10 +59,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file read under nanosAsLong: keep the
+            # exact nanos and derive the microsecond timestamp.
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type and ts_type.startswith("timestamp"):
+            # TIMESTAMP(MICROS) file: synthesize the nanos column so
+            # integer-arithmetic consumers (ts_ns div ...) keep working;
+            # micros*1000 is exactly what DuckDB's epoch_ns(ts) yields
+            # for the same file. A file with isAdjustedToUTC=false
+            # arrives as TIMESTAMP_NTZ; the session is pinned to UTC
+            # (above), so the cast to TIMESTAMP is an exact
+            # reinterpretation matching DuckDB's naive-as-UTC epoch.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
     return df
 
 
