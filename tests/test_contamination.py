@@ -1,0 +1,116 @@
+"""Contamination, repetition, and PII operators vs hand-computed
+oracles on tiny crafted corpora."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    contamination as C,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import pii as PII
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    textstats as T,
+)
+
+TRAIN = [
+    # doc 1 fully contains the probe sentence (verbatim contamination)
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    # doc 2 shares nothing with the probe
+    (2, "one two three four five six seven eight nine ten"),
+    # doc 3 shares a partial window of the probe
+    (3, "gamma delta epsilon zeta eta unrelated words trail here now"),
+]
+PROBES = [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    return spark.createDataFrame(TRAIN, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def probes(spark):
+    return spark.createDataFrame(PROBES, "doc_id int, text string")
+
+
+def test_contamination_flags_verbatim_superset(train, probes):
+    # probe has 8 tokens → 4 distinct 5-grams; doc 1 contains all 4
+    rows = C.contamination_pairs(train, probes, n=5, threshold=0.99).collect()
+    assert [(r.train_id, r.probe_id, r.n_common, r.containment) for r in rows] == [
+        (1, 100, 4, 1.0)
+    ]
+
+
+def test_contamination_partial_overlap_thresholds(train, probes):
+    # doc 3 contains exactly one of the probe's 4 5-grams → containment 0.25
+    rows = {
+        r.train_id: r.containment
+        for r in C.contamination_pairs(train, probes, n=5, threshold=0.2).collect()
+    }
+    assert rows == {1: 1.0, 3: 0.25}
+    # and a higher threshold drops the partial hit
+    rows = {
+        r.train_id
+        for r in C.contamination_pairs(train, probes, n=5, threshold=0.3).collect()
+    }
+    assert rows == {1}
+
+
+def test_contaminated_docs_distinct_ids(train, probes):
+    ids = {
+        r.doc_id for r in C.contaminated_docs(train, probes, n=5, threshold=0.2).collect()
+    }
+    assert ids == {1, 3}
+
+
+def test_stop_shingle_filter_drops_common_ngrams(spark):
+    # every probe shares the same 5-gram → probe df of that ngram is 2 >
+    # max_probe_df=1, so it is removed and nothing can collide on it
+    probes = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id int, text string"
+    )
+    pn = C.probe_ngrams(probes, n=5, max_probe_df=1)
+    assert pn.count() == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    # tokens: x y x y x y → 2-grams: [x y, y x, x y, y x, x y]
+    docs = spark.createDataFrame([(1, "x y x y x y")], "doc_id int, text string")
+    r = T.repetition_stats(docs, n=2).collect()[0]
+    assert r.n_ngrams == 5
+    assert r.n_distinct_ngrams == 2
+    assert r.dup_ngram_ratio == pytest.approx(1 - 2 / 5)
+    assert r.top_ngram_ratio == pytest.approx(3 / 5)
+
+
+def test_pii_stats_and_redact_roundtrip(spark):
+    text = "Mail a@b.io or c.d+e@f-g.org, call 555-123-4567 or 555.987.6543, host 10.0.0.1."
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    s = PII.pii_stats(docs).collect()[0]
+    assert (s.n_emails, s.n_phones, s.n_ipv4, s.has_pii) == (2, 2, 1, True)
+
+    red = PII.pii_redact(docs).collect()[0].redacted
+    assert "[EMAIL]" in red and "[PHONE]" in red and "[IP]" in red
+    assert "a@b.io" not in red and "555-123-4567" not in red and "10.0.0.1" not in red
+    # dotted phone must be eaten by the phone pass, not the ipv4 pass
+    assert red.count("[PHONE]") == 2
+
+    clean = spark.createDataFrame([(2, "no pii here at all")], "doc_id int, text string")
+    s2 = PII.pii_stats(clean).collect()[0]
+    assert (s2.n_emails, s2.n_phones, s2.n_ipv4, s2.has_pii) == (0, 0, 0, False)
+    assert PII.pii_redact(clean).collect()[0].redacted == "no pii here at all"
+
+
+def test_contamination_plan_broadcasts_probe_side(train, probes):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        assert_plan_contains,
+    )
+
+    # the 100 TB side never shuffles for the join
+    assert_plan_contains(
+        C.contamination_pairs(train, probes, n=5, threshold=0.5), "BroadcastHashJoin"
+    )

@@ -1,0 +1,132 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and a (small) probe/benchmark set.
+
+The standard pre-training hygiene step (GPT-3 appendix-C-style 13-gram
+collision checks, public literature): a training document is flagged
+when it shares at least ``threshold`` of a probe document's word
+n-grams. Nothing in the reference covers this; it belongs to the
+north-star "LLM-data-pipeline operators" mandate next to dedup
+(operators/dedup.py), which it deliberately mirrors in shape.
+
+Scale design (the part that matters at 100 TB):
+
+* The probe side is a benchmark suite — thousands of documents, a few
+  million distinct n-grams at most. It is therefore **broadcast**: the
+  train corpus is scanned once, map-side hash-joined against the probe
+  n-gram table, and only colliding (train_id, probe_id) pairs enter the
+  one aggregation shuffle. No shuffle of the 100 TB side ever happens.
+* Collisions are counted per (train_id, probe_id) — the aggregate is
+  partial (map-side combine), so a boilerplate n-gram shared by many
+  train docs fans out into *distinct* train-doc keys rather than one
+  hot reducer key.
+* ``max_probe_df`` drops n-grams that appear in more than that many
+  probe docs ("stop-shingles": common phrases that would otherwise
+  dominate the collision count without indicating contamination) —
+  computed on the tiny probe side before the broadcast.
+
+All expression-level (no UDFs); mirrored term-for-term by a DuckDB
+oracle in the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+__all__ = [
+    "probe_ngrams",
+    "contamination_pairs",
+    "contaminated_docs",
+]
+
+
+def probe_ngrams(
+    probes: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_probe_df: int | None = None,
+) -> DataFrame:
+    """Distinct word n-grams per probe doc → ``(probe_id, ngram)`` rows,
+    with stop-shingles (probe document frequency > ``max_probe_df``)
+    removed. Small by construction; the caller broadcasts it."""
+    ex = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
+        ).alias("ngram"),
+    )
+    if max_probe_df is not None:
+        keep = (
+            ex.groupBy("ngram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_probe_df)
+            .select("ngram")
+        )
+        ex = ex.join(keep, "ngram").select("probe_id", "ngram")
+    return ex
+
+
+def contamination_pairs(
+    train: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_probe_df: int | None = None,
+) -> DataFrame:
+    """(train_id, probe_id, n_common, containment) for every pair whose
+    n-gram containment — shared distinct n-grams over the probe's
+    distinct n-gram count — reaches ``threshold``.
+
+    Containment (not Jaccard) is the right asymmetry here: a 100-page
+    training doc that embeds a whole benchmark question must flag even
+    though its own n-gram set is huge.
+    """
+    pr = probe_ngrams(probes, n=n, id_col=id_col, text_col=text_col,
+                      max_probe_df=max_probe_df)
+    # denominator BEFORE stop-shingle removal would undercount; after is
+    # correct — containment over the n-grams that can actually collide
+    denom = pr.groupBy("probe_id").agg(F.count("*").alias("n_probe_ngrams"))
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
+        ).alias("ngram"),
+    )
+    hits = (
+        tr.join(F.broadcast(pr), "ngram")
+        .groupBy("train_id", "probe_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = hits.join(F.broadcast(denom), "probe_id").select(
+        "train_id",
+        "probe_id",
+        "n_common",
+        F.round(
+            F.col("n_common") / F.col("n_probe_ngrams").cast("double"), 6
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
+def contaminated_docs(
+    train: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_probe_df: int | None = None,
+) -> DataFrame:
+    """Distinct train doc ids to drop: any probe pushed them over the
+    containment threshold. The drop step is then an anti-join
+    (``train.join(flagged, id, "left_anti")``) — one broadcast."""
+    pairs = contamination_pairs(
+        train, probes, n=n, threshold=threshold,
+        id_col=id_col, text_col=text_col, max_probe_df=max_probe_df,
+    )
+    return pairs.select(F.col("train_id").alias(id_col)).distinct()

@@ -20,6 +20,7 @@ __all__ = [
     "lang_id",
     "rolling_fingerprint",
     "corpus_stats",
+    "repetition_stats",
 ]
 
 #: rolling-hash base/modulus for k-gram fingerprints (Rabin-Karp style);
@@ -134,6 +135,44 @@ def rolling_fingerprint(
         F.col(id_col),
         F.array_min(win_hash).alias("fingerprint"),
         F.size(F.array_distinct(win_hash)).alias("n_distinct_windows"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repeated-n-gram repetition signals per document — the standard
+    boilerplate/loop detector for LLM training corpora (Gopher-style
+    "fraction of duplicate n-grams" and "fraction in the most frequent
+    n-gram" rules, public literature).
+
+    Emits ``(id, n_ngrams, n_distinct_ngrams, dup_ngram_ratio,
+    top_ngram_ratio)`` where ``dup_ngram_ratio = 1 − distinct/total``
+    and ``top_ngram_ratio = count(mode n-gram)/total``.
+
+    Shape for scale: explode n-grams → two partial-aggregated groupBys
+    keyed by (doc, n-gram) then doc. Both shuffles are keyed by doc id
+    (the n-gram only widens the first key), so skew is bounded by the
+    longest single document, not by corpus-wide n-gram popularity —
+    unlike a global n-gram count, this never builds a hot key.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(TX.shingles(TX.tokens(F.col(text_col)), n)).alias("ngram"),
+    )
+    counts = sh.groupBy(id_col, "ngram").agg(F.count("*").alias("cnt"))
+    per = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count("*").alias("n_distinct_ngrams"),
+        F.max("cnt").alias("top_ngram_count"),
+    )
+    total = F.col("n_ngrams").cast("double")
+    return per.select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.col("n_distinct_ngrams"),
+        F.round(F.lit(1.0) - F.col("n_distinct_ngrams") / total, 6).alias("dup_ngram_ratio"),
+        F.round(F.col("top_ngram_count") / total, 6).alias("top_ngram_ratio"),
     )
 
 
