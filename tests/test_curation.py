@@ -43,3 +43,46 @@ def test_curation_report(corpus):
     row = curation.curation_report(corpus, curated).collect()[0]
     assert (row.n_input, row.n_survived) == (5, 2)
     assert row.drop_rate == pytest.approx(0.6)
+
+
+def test_curate_corpus_full_all_stages(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs through the field "
+        "with great speed and a lot of joy for all to see in the morning light"
+    )
+    rows = [
+        (1, base),                                   # survives
+        (2, base),                                   # exact dup -> dropped
+        (3, base.replace("morning", "evening")),     # near-dup -> dropped
+        (4, "x y z"),                                # quality gate
+        # repetitive: one 3-gram looped -> repetition gate
+        (5, " ".join(["spam and eggs"] * 40)),
+        # PII: same as 1 apart from an email -> redacts, then exact-dups 1
+        (6, base + " reach me at someone@example.com"),
+        # contaminated: contains the probe excerpt verbatim inside other text
+        (7, "totally different words surround the probe here "
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "and then trail off into more unique content for the quality gate "
+            "to accept this document with the usual and necessary length of it"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    out = curation.curate_corpus_full(
+        docs, probes=probes, min_quality=0.5, langs=["en"],
+        max_dup_ngram_ratio=0.5, near_dup_threshold=0.5,
+        contam_n=5, contam_threshold=0.5, n_hashes=16, n_bands=8,
+    )
+    rows_out = {r.doc_id: r for r in out.collect()}
+    assert set(rows_out) == {1}
+    # redaction precedes dedup: alone, doc 6 survives with the email
+    # replaced by the typed placeholder
+    out2 = curation.curate_corpus_full(
+        docs.filter("doc_id = 6"), probes=probes, min_quality=0.5, langs=["en"],
+        max_dup_ngram_ratio=0.5, near_dup_threshold=0.5,
+        contam_n=5, contam_threshold=0.5, n_hashes=16, n_bands=8,
+    )
+    texts = {r.doc_id: r.text for r in out2.collect()}
+    assert 6 in texts and "[EMAIL]" in texts[6] and "someone@example.com" not in texts[6]

@@ -728,6 +728,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURATE_MIN_QUALITY = 0.5
 CURATE_LANGS = ["en", "de", "fr", "es"]
+#: repetition-gate ceiling for the full composite — dup 3-gram ratio in
+#: this corpus tops out at ~0.07, so 0.05 trims the top ~2% of docs.
+CURATE_MAX_DUP = 0.05
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,6 +752,41 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         tid_path="vocab",
     )
     return out.select("doc_id", _round6(F.col("quality"), "quality"), "pred_lang")
+
+
+def q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hygiene chain: quality → lang → repetition gate → PII
+    redaction → exact dedup → near-dup removal → benchmark
+    decontamination, one plan. ``redacted_md5`` pins the surviving
+    (redacted) text bytes for the cross-engine hash."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    out = curation.curate_corpus_full(
+        docs,
+        probes=_contam_probes(docs),
+        min_quality=CURATE_MIN_QUALITY,
+        langs=CURATE_LANGS,
+        max_dup_ngram_ratio=CURATE_MAX_DUP,
+        repeat_n=REPEAT_N,
+        near_dup_threshold=NEAR_DUP_THRESHOLD,
+        contam_n=CONTAM_N,
+        contam_threshold=CONTAM_THRESHOLD,
+        n_hashes=MINHASH_N,
+        n_bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        tid_path="vocab",
+    )
+    return out.select(
+        "doc_id",
+        _round6(F.col("quality"), "quality"),
+        "pred_lang",
+        _round6(F.col("dup_ngram_ratio"), "dup_ngram_ratio"),
+        F.md5(F.col("text")).alias("redacted_md5"),
+    )
 
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1784,6 +1822,87 @@ WHERE NOT EXISTS (SELECT 1 FROM __losers WHERE __losers.id_b = curated0.doc_id)
 """
 
 
+def _oracle_curate_corpus_full() -> str:
+    """Full-hygiene composite mirror: the curate mirror plus a
+    repetition-gate CTE, the PII regexp_replace chain (identity on this
+    corpus — the md5 pins that), and decontamination CTEs over the
+    survivor set."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    langs = ", ".join(f"'{x}'" for x in CURATE_LANGS)
+    quality = (
+        "(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
+        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
+        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio)"
+    )
+    redact = (
+        "regexp_replace(regexp_replace(regexp_replace(text, '"
+        + PHONE_RE
+        + "', '[PHONE]', 'g'), '"
+        + EMAIL_RE
+        + "', '[EMAIL]', 'g'), '"
+        + IPV4_RE
+        + "', '[IP]', 'g')"
+    )
+    probe_text = (
+        f"array_to_string(list_slice({_SQ_TOKS}, 1, {CONTAM_PROBE_TOKENS}), ' ')"
+    )
+    return f"""
+WITH __qt AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
+__qm AS (SELECT doc_id,
+             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+             len(toks) AS n_tok
+      FROM __qt),
+__q AS (SELECT doc_id, round({quality}, 6) AS quality FROM __qm),
+__lt AS (SELECT doc_id, list_distinct(list_transform({_SQ_TOKS}, tk -> lower(tk))) AS lt FROM documents),
+__lh AS (SELECT doc_id, l.lang, len(list_filter(lt, tk -> list_contains(l.words, tk))) AS h
+         FROM __lt, (SELECT * FROM (VALUES {_SQ_LANG_VALUES}) AS v(lang, words)) l),
+__lb AS (SELECT doc_id, lang, h,
+                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+         FROM __lh),
+__l AS (SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pred_lang FROM __lb WHERE rn = 1),
+__rt AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+__rsh AS (SELECT doc_id, unnest({_sq_shingles('t', REPEAT_N)}) AS ngram FROM __rt),
+__rc AS (SELECT doc_id, ngram, count(*) AS cnt FROM __rsh GROUP BY 1, 2),
+__rp AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ng, count(*) AS n_d FROM __rc GROUP BY 1),
+__rep AS (SELECT doc_id, round(1.0 - n_d / CAST(n_ng AS DOUBLE), 6) AS dup_ngram_ratio FROM __rp),
+__gated AS (SELECT d.doc_id, {redact} AS text, q.quality, l.pred_lang, r.dup_ngram_ratio
+            FROM documents d JOIN __q q USING (doc_id) JOIN __l l USING (doc_id)
+                 JOIN __rep r USING (doc_id)
+            WHERE q.quality >= {CURATE_MIN_QUALITY} AND l.pred_lang IN ({langs})
+              AND r.dup_ngram_ratio <= {CURATE_MAX_DUP}),
+curated0 AS (SELECT doc_id, text, quality, pred_lang, dup_ngram_ratio FROM (
+               SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM __gated
+             ) WHERE rn = 1),
+{_sq_tids_ctes_from('curated0').strip()},
+{_SQ_NEAR_DUP_CTES.strip()},
+__losers AS (SELECT DISTINCT id_b FROM near_pairs),
+__surv AS (SELECT * FROM curated0
+           WHERE NOT EXISTS (SELECT 1 FROM __losers WHERE __losers.id_b = curated0.doc_id)),
+__pb AS (SELECT doc_id, {probe_text} AS text FROM documents WHERE doc_id % {CONTAM_PROBE_MOD} = 0),
+__pt AS (SELECT doc_id AS probe_id, {_SQ_TOKS} AS t FROM __pb),
+__png AS (SELECT probe_id, unnest(list_distinct({_sq_shingles('t', CONTAM_N)})) AS ngram FROM __pt),
+__pden AS (SELECT probe_id, count(*) AS n_probe FROM __png GROUP BY 1),
+__tt AS (SELECT doc_id AS train_id, {_SQ_TOKS} AS t FROM __surv),
+__tng AS (SELECT train_id, unnest(list_distinct({_sq_shingles('t', CONTAM_N)})) AS ngram FROM __tt),
+__hits AS (SELECT train_id, probe_id, count(*) AS c FROM __tng JOIN __png USING (ngram) GROUP BY 1, 2),
+__flag AS (SELECT DISTINCT train_id FROM __hits JOIN __pden USING (probe_id)
+           WHERE round(c / CAST(n_probe AS DOUBLE), 6) + 0.0 >= {CONTAM_THRESHOLD})
+SELECT doc_id, quality + 0.0 AS quality, pred_lang,
+       dup_ngram_ratio + 0.0 AS dup_ngram_ratio, md5(text) AS redacted_md5
+FROM __surv
+WHERE NOT EXISTS (SELECT 1 FROM __flag WHERE __flag.train_id = __surv.doc_id)
+"""
+
+
 def _oracle_jaccard_pairs() -> str:
     return f"""
 WITH {_SQ_TIDS_CTES.strip()},
@@ -2373,6 +2492,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "curate_corpus_full": q_curate_corpus_full,
         "supplier_share": q_supplier_share,
         "price_percentiles": q_price_percentiles,
         "distinct_user_counts": q_distinct_user_counts,
@@ -2423,6 +2543,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),
+        "curate_corpus_full": _oracle_curate_corpus_full(),
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
         "near_dup_pairs_minhash": _oracle_near_dup_pairs(),

@@ -24,11 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    contamination as C,
     dedup as D,
+    pii as PII,
     textstats as T,
 )
 
-__all__ = ["curate_corpus", "curation_report"]
+__all__ = ["curate_corpus", "curate_corpus_full", "curation_report"]
 
 
 def curate_corpus(
@@ -71,6 +73,78 @@ def curate_corpus(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return deduped.join(losers, id_col, "left_anti")
+
+
+def curate_corpus_full(
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    max_dup_ngram_ratio: float = 1.0,
+    repeat_n: int = 3,
+    near_dup_threshold: float = 0.8,
+    contam_n: int = 5,
+    contam_threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tid_path: str = "hash",
+) -> DataFrame:
+    """The full hygiene chain a pre-training pipeline runs, as ONE plan:
+
+    quality gate → language filter → repetition gate (Gopher-style
+    duplicate-n-gram ceiling) → PII redaction → exact dedup → near-dup
+    removal → benchmark decontamination (when ``probes`` is given).
+
+    Ordering rationale: the cheap per-row gates (quality, lang,
+    repetition — pure projections/doc-local aggregations) prune before
+    anything joins; PII redaction rewrites the text BEFORE dedup so two
+    copies differing only in, say, a contact address still collapse;
+    decontamination runs last, on the survivor set, because its
+    broadcast-collision cost scales with surviving rows.
+
+    Returns survivors with audit columns ``(quality, pred_lang,
+    dup_ngram_ratio)`` and ``text_col`` holding the REDACTED text.
+    """
+    q = T.quality_score(docs, id_col=id_col, text_col=text_col).select(id_col, "quality")
+    lang = T.lang_id(docs, id_col=id_col, text_col=text_col).select(id_col, "pred_lang")
+    rep = T.repetition_stats(docs, n=repeat_n, id_col=id_col, text_col=text_col).select(
+        id_col, "dup_ngram_ratio"
+    )
+    enriched = docs.join(q, id_col).join(lang, id_col).join(rep, id_col)
+    gated = enriched.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("dup_ngram_ratio") <= max_dup_ngram_ratio)
+    )
+    if langs:
+        gated = gated.filter(F.col("pred_lang").isin(list(langs)))
+
+    red = PII.pii_redact(gated, id_col=id_col, text_col=text_col, out_col="__red")
+    red = red.drop(text_col).withColumnRenamed("__red", text_col)
+
+    deduped = D.exact_dedup(red, [text_col], id_col=id_col)
+    pairs = D.near_dup_pairs(
+        deduped,
+        threshold=near_dup_threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+        tid_path=tid_path,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = deduped.join(losers, id_col, "left_anti")
+
+    if probes is not None:
+        flagged = C.contaminated_docs(
+            survivors, probes, n=contam_n, threshold=contam_threshold,
+            id_col=id_col, text_col=text_col,
+        )
+        survivors = survivors.join(flagged, id_col, "left_anti")
+    return survivors
 
 
 def curation_report(
