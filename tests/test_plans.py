@@ -135,3 +135,33 @@ def test_pq_adc_plan_shape(tables):
     # map-only encode + per-partition top-k merge at the driver: the
     # whole single-query PQ search plan needs zero shuffles
     assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_single_scan_projection(spark):
+    """PII counts + redaction + digest must stay one scan, one
+    projection: no Exchange, no join, no Python stage."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark import contract
+
+    df = contract.q_pii_scrub(spark, "/root/testdata/sf0.001")
+    plan = assert_plan_contains(
+        df, "Scan parquet", absent=("Exchange", "Join", "Python")
+    )
+    tree = plan.split("(1)")[0]  # the tree block, before the node details
+    assert tree.count("Scan parquet") == 1
+
+
+def test_repetition_shuffles_are_doc_keyed(tables):
+    """Both aggregation exchanges must hash-partition on keys that
+    include doc_id — repetition skew is bounded by the longest doc,
+    never by a corpus-wide hot n-gram."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        textstats as T,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    plan = physical_plan(T.repetition_stats(tables["documents"]))
+    parts = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert len(parts) >= 2
+    assert all("doc_id" in ln for ln in parts)

@@ -981,12 +981,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(did % 11 == 0, F.lit(" Host 10.0.0.1 up.")).otherwise(F.lit("")),
         ).alias("text"),
     )
-    stats = PII.pii_stats(aug)
-    red = PII.pii_redact(aug).select(
-        "doc_id", F.md5(F.col("redacted")).alias("redacted_md5")
-    )
-    return stats.join(red, "doc_id").select(
-        "doc_id", "n_emails", "n_phones", "n_ipv4", "has_pii", "redacted_md5"
+    # counts + redacted digest in ONE projection over one scan (the
+    # counts read the pre-redaction text still present beside the
+    # redacted column)
+    red = PII.pii_redact(aug)
+    return red.select(
+        "doc_id",
+        *PII.pii_count_columns("text"),
+        F.md5(F.col("redacted")).alias("redacted_md5"),
     )
 
 

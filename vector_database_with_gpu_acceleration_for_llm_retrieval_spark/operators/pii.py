@@ -27,6 +27,7 @@ __all__ = [
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
+    "pii_count_columns",
     "pii_stats",
     "pii_redact",
 ]
@@ -43,24 +44,29 @@ def _count(text: Column, pattern: str) -> Column:
     return F.regexp_count(text, F.lit(pattern)).cast("int")
 
 
+def pii_count_columns(text_col: str = "text") -> list[Column]:
+    """The named count/flag columns — composable into any projection
+    (``df.select(id, *pii_count_columns(), ...)``) so one scan can
+    carry counts next to other derived columns."""
+    t = F.col(text_col)
+    n_em = _count(t, EMAIL_RE)
+    n_ph = _count(t, PHONE_RE)
+    n_ip = _count(t, IPV4_RE)
+    return [
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        n_ip.alias("n_ipv4"),
+        ((n_em + n_ph + n_ip) > 0).alias("has_pii"),
+    ]
+
+
 def pii_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-doc PII hit counts: ``(id, n_emails, n_phones, n_ipv4,
     has_pii)`` — the filter/routing columns (e.g. quarantine docs with
     ``has_pii`` before human review)."""
-    t = F.col(text_col)
-    return docs.select(
-        F.col(id_col),
-        _count(t, EMAIL_RE).alias("n_emails"),
-        _count(t, PHONE_RE).alias("n_phones"),
-        _count(t, IPV4_RE).alias("n_ipv4"),
-        (
-            (F.regexp_count(t, F.lit(EMAIL_RE))
-             + F.regexp_count(t, F.lit(PHONE_RE))
-             + F.regexp_count(t, F.lit(IPV4_RE))) > 0
-        ).alias("has_pii"),
-    )
+    return docs.select(F.col(id_col), *pii_count_columns(text_col))
 
 
 def pii_redact(
