@@ -47,3 +47,38 @@ def test_pack_sequences_invariants(spark):
     assert got == [(1, 0, 0), (2, 0, 3), (3, 0, 5), (4, 1, 1), (5, 3, 5)]
     # every doc's start offset is inside the budget
     assert all(0 <= r.bin_offset < 8 for r in rows)
+
+
+def test_budget_select_equals_naive_global_cumsum(spark):
+    """The distributed prefix-sum (range partitions + offsets) must
+    reproduce the single-partition global cumsum exactly — exercised
+    with n_parts=4 so the offset path actually runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(["w"] * ((i * 7) % 13 + 1)), float((i * 3) % 5)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, quality double")
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in sampling.budget_select(docs, 150, n_parts=4).collect()
+    }
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        docs.withColumn("n", F.size(F.split(F.trim("text"), r"\s+")))
+        .withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= 150)
+    )
+    want = {(r.doc_id, r.cum) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_budget_select_respects_budget_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", 0.9), (2, "d e f g", 0.8), (3, "h i", 0.99), (4, "j k l m n", 0.1)],
+        "doc_id int, text string, quality double",
+    )
+    rows = sorted(sampling.budget_select(docs, 8).collect(), key=lambda r: r.cum_tokens)
+    # order: 3(2) -> 1(3) -> 2(4 would hit 9 > 8, dropped) -> 4 dropped
+    assert [(r.doc_id, r.cum_tokens) for r in rows] == [(3, 2), (1, 5)]

@@ -259,3 +259,44 @@ def test_ivf_topk_probes_cells(corpus, np_corpus):
     assert 0 < len(out) <= K
     scores = [r.score for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_classify_majority_and_weighted(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S
+
+    # corpus: 2 tight clusters on orthogonal axes with labels 0/1; one
+    # noise point of label 9 near cluster 0
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0], 0),
+            (2, [0.98, 0.15, 0.0], 9),
+            (10, [0.0, 1.0, 0.0], 1),
+            (11, [0.1, 0.99, 0.0], 1),
+            (12, [0.15, 0.98, 0.0], 1),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0]), (200, [0.05, 1.0, 0.0])],
+        "qid int, embedding array<double>",
+    )
+    out = {r.qid: (r.pred_label, r.votes) for r in S.knn_classify(queries, corpus, k=3).collect()}
+    assert out[100] == (0, 2)  # labels {0,0,9} -> majority 0
+    assert out[200] == (1, 3)
+
+    # weighted mode ranks by summed similarity first: two weak votes for
+    # label 7 (0.4 + 0.4 = 0.8) lose to one strong vote for label 5 (1.0)
+    corpus2 = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 5),          # sim 1.0 to the query
+            (1, [0.4, 0.9165151], 7),    # sim 0.4
+            (2, [0.4, -0.9165151], 7),   # sim 0.4
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    q2 = spark.createDataFrame([(1, [1.0, 0.0])], "qid int, embedding array<double>")
+    plain = S.knn_classify(q2, corpus2, k=3).collect()[0]
+    assert (plain.pred_label, plain.votes) == (7, 2)
+    weighted = S.knn_classify(q2, corpus2, k=3, weighted=True).collect()[0]
+    assert weighted.pred_label == 5 and abs(weighted.vote_score - 1.0) < 1e-6

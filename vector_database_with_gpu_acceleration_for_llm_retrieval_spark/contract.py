@@ -70,6 +70,7 @@ SIMHASH_MAX_HAMMING = 6
 EMB_NEAR_DUP_TAU = 0.4
 SESSION_GAP_MIN = 30
 REPEAT_N = 3
+BUDGET_TOKENS = 12_000
 CONTAM_N = 5
 CONTAM_THRESHOLD = 0.5
 CONTAM_PROBE_MOD = 89
@@ -713,6 +714,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return sampling.stratified_sample(t["documents"], SAMPLE_RATES).select(
         "doc_id", "lang"
+    )
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: best-quality docs first until the
+    cumulative token count reaches the budget — distributed prefix-sum
+    over range partitions (no single-partition window)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    q = T.quality_score(docs).select("doc_id", "quality")
+    res = sampling.budget_select(
+        docs.join(q, "doc_id"), BUDGET_TOKENS, order_col="quality"
+    )
+    return res.select(
+        "doc_id",
+        _round6(F.col("quality"), "quality"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label vote over the batch kNN
+    join's neighbors (one corpus scan; the |Q|·k neighbor frame
+    broadcasts back for the label lookup)."""
+    t = load_tables(spark, sf_dir)
+    res = S.knn_classify(
+        _knn_queries(t), t["embeddings"], k=KNN_K, label_col="label"
+    )
+    return res.select(
+        "qid",
+        F.col("pred_label").cast("int").alias("pred_label"),
+        F.col("votes").cast("long").alias("votes"),
+        _round6(F.col("vote_score"), "vote_score"),
     )
 
 
@@ -1987,6 +2026,54 @@ _SQ_LANG_VALUES = ", ".join(
 )
 
 
+def _oracle_budget_select() -> str:
+    quality = (
+        "round(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
+        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
+        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio, 6)"
+    )
+    ws_tokens = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQ_TOKS}) END"
+    return f"""
+WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+             len(toks) AS n_tok
+      FROM t),
+j AS (SELECT d.doc_id, {quality} AS quality, {ws_tokens} AS ntk
+      FROM documents d JOIN m USING (doc_id)),
+c AS (SELECT doc_id, quality, ntk,
+             sum(ntk) OVER (ORDER BY quality DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM j)
+SELECT doc_id, quality + 0.0 AS quality, CAST(ntk AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {BUDGET_TOKENS}
+"""
+
+
+def _oracle_knn_classify() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+scored AS (SELECT qid, e.vec_id AS neighbor_id, {_sq_cosine('e.embedding', 'qv')} AS s
+           FROM embeddings e, q),
+ranked AS (SELECT qid, neighbor_id, s,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS rank
+           FROM scored),
+nn AS (SELECT qid, neighbor_id, s FROM ranked WHERE rank <= {KNN_K}),
+lv AS (SELECT qid, e.label, count(*) AS votes, sum(s) AS vote_score
+       FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2),
+best AS (SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY votes DESC, vote_score DESC, label) AS rn FROM lv)
+SELECT qid, CAST(label AS INT) AS pred_label, CAST(votes AS BIGINT) AS votes,
+       {_r6('vote_score', 'vote_score')}
+FROM best WHERE rn = 1
+"""
+
+
 def _oracle_quality_score() -> str:
     return f"""
 WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
@@ -2495,6 +2582,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "curate_corpus_full": q_curate_corpus_full,
+        "budget_select": q_budget_select,
+        "knn_classify": q_knn_classify,
         "supplier_share": q_supplier_share,
         "price_percentiles": q_price_percentiles,
         "distinct_user_counts": q_distinct_user_counts,
@@ -2547,6 +2636,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _oracle_curate_corpus(),
         "curate_corpus_full": _oracle_curate_corpus_full(),
         "stratified_sample": _oracle_stratified_sample(),
+        "budget_select": _oracle_budget_select(),
+        "knn_classify": _oracle_knn_classify(),
         "pack_sequences": _oracle_pack_sequences(),
         "near_dup_pairs_minhash": _oracle_near_dup_pairs(),
         "jaccard_pairs": _oracle_jaccard_pairs(),

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["stratified_sample", "pack_sequences"]
+__all__ = ["stratified_sample", "pack_sequences", "budget_select"]
 
 _SAMPLE_MOD = 1_000_000
 
@@ -47,6 +47,64 @@ def stratified_sample(
     for s, r in rates.items():
         rate = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(rate)
     return df.filter(h < (rate * _SAMPLE_MOD).cast("long"))
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    order_col: str = "quality",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Token-budget data selection: take documents in descending
+    ``order_col`` order (ties: ``id_col`` asc) until the cumulative
+    token count would exceed ``budget_tokens`` — "best data first until
+    the budget is spent", the standard selection step once a quality
+    score exists.
+
+    A global ordered cumsum is inherently sequential, so the naive
+    single-partition window dies at scale. This uses the distributed
+    prefix-sum shape instead: range-partition on the order key, running
+    sum *within* each partition, then add each partition's preceding-
+    partition total (a tiny P-row frame, broadcast back). One range
+    shuffle of the data, one P-row aggregate — exact global cumsum with
+    no single-partition stage over the corpus.
+
+    Returns the selected rows with ``n_tokens`` and ``cum_tokens``
+    (inclusive) columns.
+    """
+    key = [F.col(order_col).desc(), F.col(id_col).asc()]
+    base = docs.withColumn("__tok", TX.n_tokens(F.col(text_col)).cast("long"))
+    if n_parts is None:
+        n_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    rp = base.repartitionByRange(n_parts, *key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rp = rp.withColumn("__run", F.sum("__tok").over(w_in))
+    # P rows: per-partition totals → exclusive prefix over partition ids
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        rp.groupBy("__pid")
+        .agg(F.sum("__tok").alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    out = rp.join(F.broadcast(offsets), "__pid").withColumn(
+        "cum_tokens", F.col("__run") + F.col("__off")
+    )
+    return (
+        out.filter(F.col("cum_tokens") <= budget_tokens)
+        .withColumnRenamed("__tok", "n_tokens")
+        .drop("__pid", "__run")
+    )
 
 
 def pack_sequences(

@@ -42,6 +42,7 @@ __all__ = [
     "knn_join",
     "knn_join_expr",
     "knn_join_grouped",
+    "knn_classify",
     "lsh_bucket",
     "random_hyperplanes",
     "lsh_probe_buckets",
@@ -397,6 +398,59 @@ def knn_join_expr(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "score", "rank")
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    weighted: bool = False,
+    label_col: str = "label",
+    query_id: str = "qid",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN classification — label each query by majority vote of its k
+    nearest corpus neighbors (the classic similarity-search application;
+    ``weighted=True`` votes by summed similarity instead of count).
+
+    Shape for scale: neighbors come from :func:`knn_join` (one corpus
+    scan, local prune), producing a |Q|·k frame; that SMALL frame is
+    broadcast back onto the corpus for the label lookup, so the corpus
+    never shuffles. The vote aggregation then groups |Q|·k rows by
+    (qid, label) — partial-aggregated, trivially small.
+
+    Tie-break is fully deterministic: vote count desc, summed score
+    desc, label asc. Returns ``(qid, pred_label, votes, vote_score)``.
+    """
+    nn = knn_join(
+        queries, corpus, k=k, metric=metric, query_id=query_id,
+        query_vec=query_vec, id_col=id_col, vec_col=vec_col,
+    )
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col))
+    labeled = labels.join(F.broadcast(nn), "neighbor_id")
+    votes = labeled.groupBy("qid", label_col).agg(
+        F.count("*").alias("votes"),
+        F.sum("score").alias("vote_score"),
+    )
+    order = (
+        [F.desc("vote_score"), F.desc("votes")]
+        if weighted
+        else [F.desc("votes"), F.desc("vote_score")]
+    )
+    w = Window.partitionBy("qid").orderBy(*order, F.asc(label_col))
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "qid",
+            F.col(label_col).alias("pred_label"),
+            "votes",
+            "vote_score",
+        )
     )
 
 
