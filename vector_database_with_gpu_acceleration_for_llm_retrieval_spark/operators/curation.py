@@ -52,9 +52,11 @@ def curate_corpus(
     pipeline is deterministic end to end. Returns the surviving rows of
     ``docs`` with ``quality`` and ``pred_lang`` audit columns attached.
     """
-    q = T.quality_score(docs, id_col=id_col, text_col=text_col).select(id_col, "quality")
-    lang = T.lang_id(docs, id_col=id_col, text_col=text_col).select(id_col, "pred_lang")
-    enriched = docs.join(q, id_col).join(lang, id_col)
+    # quality + lang are pure per-row expressions: attach them in ONE
+    # projection on the scan — no enrichment joins, no shuffle
+    quality = T.quality_columns(text_col)[-1]
+    pred_lang = T.lang_columns(text_col)[0]
+    enriched = docs.select("*", quality, pred_lang)
     gated = enriched.filter(F.col("quality") >= min_quality)
     if langs:
         gated = gated.filter(F.col("pred_lang").isin(list(langs)))
@@ -108,12 +110,14 @@ def curate_corpus_full(
     Returns survivors with audit columns ``(quality, pred_lang,
     dup_ngram_ratio)`` and ``text_col`` holding the REDACTED text.
     """
-    q = T.quality_score(docs, id_col=id_col, text_col=text_col).select(id_col, "quality")
-    lang = T.lang_id(docs, id_col=id_col, text_col=text_col).select(id_col, "pred_lang")
+    # quality + lang attach as pure expressions (one projection); only
+    # the repetition signal needs its aggregation, so only IT joins back
+    quality = T.quality_columns(text_col)[-1]
+    pred_lang = T.lang_columns(text_col)[0]
     rep = T.repetition_stats(docs, n=repeat_n, id_col=id_col, text_col=text_col).select(
         id_col, "dup_ngram_ratio"
     )
-    enriched = docs.join(q, id_col).join(lang, id_col).join(rep, id_col)
+    enriched = docs.select("*", quality, pred_lang).join(rep, id_col)
     gated = enriched.filter(
         (F.col("quality") >= min_quality)
         & (F.col("dup_ngram_ratio") <= max_dup_ngram_ratio)

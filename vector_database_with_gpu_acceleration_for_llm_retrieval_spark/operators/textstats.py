@@ -16,7 +16,9 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partiti
 
 __all__ = [
     "token_stats",
+    "quality_columns",
     "quality_score",
+    "lang_columns",
     "lang_id",
     "rolling_fingerprint",
     "corpus_stats",
@@ -48,11 +50,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic document quality in [0,1]: blend of length band,
-    stopword presence, alphabetic ratio, and repetition (distinct-token
-    ratio) — the standard cheap pre-filter signals for LLM training
-    corpora (C4/Gopher-style rules, public literature)."""
+def quality_columns(text_col: str = "text") -> list[Column]:
+    """The quality-signal expressions as named columns — composable
+    into any projection (no join needed to attach them to a row)."""
     toks = TX.tokens(F.col(text_col))
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     alpha_ratio = (
@@ -68,13 +68,46 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + F.lit(0.25) * alpha_ratio
         + F.lit(0.25) * distinct_ratio
     )
-    return fan_out(docs).select(
-        F.col(id_col),
+    return [
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
         F.round(score, 6).alias("quality"),
-    )
+    ]
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: blend of length band,
+    stopword presence, alphabetic ratio, and repetition (distinct-token
+    ratio) — the standard cheap pre-filter signals for LLM training
+    corpora (C4/Gopher-style rules, public literature)."""
+    return fan_out(docs).select(F.col(id_col), *quality_columns(text_col))
+
+
+_LANG_WORDLISTS = {
+    "en": TX.EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "uno", "para", "con", "por"],
+}
+
+
+def lang_columns(text_col: str = "text") -> list[Column]:
+    """Language-ID expressions as named columns — composable into any
+    projection (no join needed to attach them to a row)."""
+    toks = F.transform(TX.tokens(F.col(text_col)), F.lower)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in _LANG_WORDLISTS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return [
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].alias("stopword_hits"),
+    ]
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -82,26 +115,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     argmax wins (n-gram-free variant of the classic stopword profile
     method; 'und' when nothing matches). Wordlists are tiny broadcast
     literals — the scan stays one narrow projection."""
-    wordlists = {
-        "en": TX.EN_STOPWORDS,
-        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
-        "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pour"],
-        "es": ["el", "la", "los", "las", "es", "una", "uno", "para", "con", "por"],
-    }
-    toks = F.transform(TX.tokens(F.col(text_col)), F.lower)
-    scores = [
-        F.struct(
-            F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang, words in wordlists.items()
-    ]
-    best = F.array_max(F.array(*scores))
-    return fan_out(docs).select(
-        F.col(id_col),
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
-        best["hits"].alias("stopword_hits"),
-    )
+    return fan_out(docs).select(F.col(id_col), *lang_columns(text_col))
 
 
 def rolling_fingerprint(
