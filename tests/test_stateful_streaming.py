@@ -148,3 +148,55 @@ def test_stream_sessionize_evicts_expired_keys(spark):
         assert rows[(2, 1)] == (1, T0, T0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_curate_ingest_matches_batch_gate(spark):
+    """A doc passes the streaming hygiene gate iff it passes the same
+    batch expressions; PII is redacted in flight; the in-watermark
+    duplicate of a redaction-equal doc is dropped."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs through the field "
+        "with great speed and a lot of joy for all to see in the morning light"
+    )
+    rows1 = [
+        (1, t0, good),
+        (2, t0, "x y z"),                                   # quality gate drops
+        (3, t0, good + " mail someone@example.com please"),  # redacts, passes
+    ]
+    rows2 = [
+        # same as 3 apart from the email address -> redaction-equal dup
+        (4, t0 + datetime.timedelta(minutes=1), good + " mail other@example.org please"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_curate_")
+    src, ckpt = tmp + "/src", tmp + "/ckpt"
+    try:
+        spark.createDataFrame(rows1, "doc_id long, ts timestamp, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q = (
+            P.stream_curate_ingest(
+                spark, src, min_quality=0.5, langs=["en"], dedup_watermark="1 hour"
+            )
+            .writeStream.format("memory")
+            .queryName("curate_stream")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                rows2, "doc_id long, ts timestamp, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = {r.doc_id: r.text for r in spark.sql("select * from curate_stream").collect()}
+        finally:
+            q.stop()
+        assert set(got) == {1, 3}  # 2 failed quality; 4 deduped against 3
+        assert "[EMAIL]" in got[3] and "someone@example.com" not in got[3]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -40,6 +40,7 @@ __all__ = [
     "stream_ivf_index_ingest",
     "stream_event_window_counts",
     "stream_dedup_ingest",
+    "stream_curate_ingest",
 ]
 
 
@@ -485,6 +486,57 @@ def stream_dedup_ingest(
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["content_id"]
     )
+
+
+def stream_curate_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    redact: bool = True,
+    dedup_watermark: str | None = None,
+    schema: str = "doc_id long, ts timestamp, text string",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming hygiene at the ingest front door: quality gate →
+    language filter → PII redaction — all pure per-row expressions, so
+    they apply to a stream with NO state at all — optionally followed by
+    watermark-bounded exact dedup on the *redacted* content (pass
+    ``dedup_watermark`` to enable; same state-bounding semantics as
+    :func:`stream_dedup_ingest`, and redaction-first means two copies
+    differing only in contact details still collapse).
+
+    Identical expressions to the batch composite
+    (operators/curation.py ``curate_corpus_full``'s gate stages), so a
+    document passes the stream gate iff it passes the batch gate —
+    pytest asserts that parity. Caller attaches the sink.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        pii as PII,
+        textstats as T,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    quality = T.quality_columns(text_col)[-1]
+    pred_lang = T.lang_columns(text_col)[0]
+    out = stream.select("*", quality, pred_lang).filter(
+        F.col("quality") >= min_quality
+    )
+    if langs:
+        out = out.filter(F.col("pred_lang").isin(list(langs)))
+    if redact:
+        out = (
+            PII.pii_redact(out, text_col=text_col, out_col="__red")
+            .drop(text_col)
+            .withColumnRenamed("__red", text_col)
+        )
+    if dedup_watermark is not None:
+        out = (
+            out.withColumn("content_id", F.sha2(F.col(text_col), 256))
+            .withWatermark("ts", dedup_watermark)
+            .dropDuplicatesWithinWatermark(["content_id"])
+        )
+    return out
 
 
 def stream_event_window_counts(
