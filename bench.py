@@ -109,6 +109,11 @@ SCALE_QUERIES = [
     "token_stats",
     "pricing_summary",
     "events_hourly",
+    # hygiene ops on the 10x documents table: their small-SF ratios
+    # (4-8x) collapse toward parity here (measured 1.8-2.4x at 50k
+    # docs, Spark scaling sublinearly vs DuckDB's linear growth)
+    "repetition_stats",
+    "contamination_pairs",
 ]
 SCALE_REPS = 3
 
