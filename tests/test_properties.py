@@ -130,3 +130,38 @@ def test_bm25_matches_python_reference_property(spark, texts):
     assert set(got) == set(expect)
     for i in got:
         assert got[i] == pytest.approx(expect[i], rel=1e-12)
+
+
+_budget_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),      # tokens per doc
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=64),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_budget_rows, budget=st.integers(min_value=0, max_value=300), parts=st.integers(min_value=1, max_value=5))
+@settings(**PROP_SETTINGS)
+def test_budget_select_partition_invariance_property(spark, rows, budget, parts):
+    """budget_select's distributed prefix sum must produce the same
+    selection for ANY partition count — and exactly match the
+    sequential greedy selection computed in Python."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    data = [(i, " ".join(["w"] * n) if n else "", q) for i, (n, q) in enumerate(rows)]
+    docs = spark.createDataFrame(data, "doc_id long, text string, quality double")
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in sampling.budget_select(docs, budget, n_parts=parts).collect()
+    }
+    # sequential oracle: quality desc, doc_id asc, running inclusive sum
+    cum, want = 0, set()
+    for i, (n, q) in sorted(enumerate(rows), key=lambda t: (-t[1][1], t[0])):
+        cum += n
+        if cum <= budget:
+            want.add((i, cum))
+    assert got == want
