@@ -155,3 +155,50 @@ def test_pq_index_roundtrip_and_codes_only_scan(corpus, books, qvec, spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivfpq_index_prunes_cells_and_scores_adc(corpus, np_corpus, books, qvec, spark):
+    """IVF-PQ: the read must carry a PartitionFilters prune on
+    ivf_cell; the result must equal ADC scoring restricted to the
+    probed cells; full-budget rerank recovers the exact top-k of the
+    probed subset."""
+    from pyspark.sql import functions as F
+
+    ids, X = np_corpus
+    cents = [(int(ids[i]), X[i].tolist()) for i in range(4)]
+    nprobe = 2
+    tmp = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        PQ.write_ivfpq_index(corpus, tmp, cents, books)
+        df = PQ.ivfpq_topk_indexed(spark, tmp, qvec, k=K, nprobe=nprobe)
+        got = [(r.vec_id, round(r.score, 6)) for r in df.collect()]
+
+        # oracle: numpy cell assignment -> probe cells -> ADC over subset
+        C = np.asarray([c[1] for c in cents])
+        d_all = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cell = d_all.argmin(axis=1)
+        qd = ((np.asarray(qvec)[None, :] - C) ** 2).sum(axis=1)
+        probe = set(np.argsort(qd, kind="stable")[:nprobe])
+        mask = np.isin(cell, list(probe))
+        codes = _np_codes(X[mask], books)
+        lut = np.asarray(PQ.adc_lut(books, qvec))
+        scores = lut[np.arange(len(books))[None, :], codes].sum(axis=1)
+        sub_ids = ids[mask]
+        order = sorted(zip(sub_ids, scores), key=lambda t: (-t[1], t[0]))[:K]
+        want = [(int(i), round(float(s), 6)) for i, s in order]
+        assert got == want
+
+        # partition pruning visible in the plan
+        plan = physical_plan(df)
+        assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+        # full-budget rerank == exact top-k over the probed subset
+        rer = PQ.ivfpq_topk_indexed(
+            spark, tmp, qvec, k=K, nprobe=nprobe,
+            rerank_corpus=corpus, rerank=int(mask.sum()),
+        )
+        probed = corpus.filter(F.col("vec_id").isin([int(i) for i in sub_ids]))
+        exact = [r.vec_id for r in S.topk(probed, qvec, k=K).collect()]
+        assert [r.vec_id for r in rer.collect()] == exact
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

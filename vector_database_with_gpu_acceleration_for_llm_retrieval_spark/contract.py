@@ -364,6 +364,32 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC): coarse-cell partition pruning stacked on the
+    compressed-domain ADC scan — the classic billion-scale layout.
+    Shares q_ivf_topk's centroids and q_pq_topk's codebooks so the SQL
+    oracle composes their mirrors."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_idx_contract_")
+    try:
+        PQ.write_ivfpq_index(
+            t["embeddings"].select("vec_id", "embedding"),
+            tmp,
+            _ivf_centroids(spark, sf_dir),
+            _pq_codebooks(spark, sf_dir),
+        )
+        res = PQ.ivfpq_topk_indexed(
+            spark, tmp, _query_vec(spark, sf_dir), k=TOPK_K, nprobe=IVF_NPROBE
+        )
+        out = res.select("vec_id", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SHARD_PROBE = 3
 
 
@@ -1451,12 +1477,14 @@ SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id
 """
 
 
-def _sq_pq_ctes() -> str:
+def _sq_pq_ctes(src: str = "embeddings") -> str:
     """PQ CTEs mirroring operators.pq: codebooks = subspace slices of
     the first PQ_KSUB corpus rows; codes = per-subspace argmin (ties →
     lowest centroid id); LUT = subspace dot products against the query;
     exposes ``pq_scored(vec_id, s)`` with the ADC score — the same
-    double-precision folds, in the same order, as the Spark side."""
+    double-precision folds, in the same order, as the Spark side.
+    ``src`` is the (vec_id, embedding) relation to encode — the full
+    corpus by default, a pre-pruned candidate CTE for IVF-PQ."""
     dsub = 64 // PQ_M
     sl_e = f"list_slice(e.embedding, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
     sl_c = f"list_slice(c.cv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
@@ -1466,7 +1494,7 @@ cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {PQ_
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 sub AS (SELECT unnest(range(0, {PQ_M})) AS j),
 __pqd AS (SELECT e.vec_id, s.j, c.cid, {_sq_l2sq(sl_e, sl_c)} AS d
-          FROM embeddings e, sub s, cb c),
+          FROM {src} e, sub s, cb c),
 __pqc AS (SELECT vec_id, j, cid FROM (
             SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
             FROM __pqd) WHERE rn = 1),
@@ -1484,6 +1512,25 @@ pq_scored AS (SELECT vec_id,
 def _oracle_pq_topk() -> str:
     return f"""
 WITH {_sq_pq_ctes()}
+SELECT vec_id, {_r6('s', 'score')} FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_ivfpq_topk() -> str:
+    """IVF mirror (assign + probe) restricted to the probed cells, then
+    the PQ mirror encoding/scoring only those candidates — encoding is
+    per-row independent, so encode-then-filter ≡ filter-then-encode."""
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+iq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+__iassign AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
+           FROM embeddings e, cent c),
+__icells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM __iassign WHERE rn = 1),
+__iprobe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
+                           FROM cent c, iq) WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT vec_id, embedding FROM __icells WHERE ivf_cell IN (SELECT cid FROM __iprobe)),
+{_sq_pq_ctes('cand').strip()}
 SELECT vec_id, {_r6('s', 'score')} FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
 """
 
@@ -2570,6 +2617,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_sq": q_recall_sq,
         "pq_rerank_topk": q_pq_rerank_topk,
         "pq_topk_indexed": q_pq_topk_indexed,
+        "ivfpq_topk": q_ivfpq_topk,
         "recall_pq": q_recall_pq,
         "shard_pruned_topk": q_shard_pruned_topk,
         "knn_join_expr": q_knn_join_expr,
@@ -2616,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _oracle_pq_topk(),
         "pq_topk_indexed": _oracle_pq_topk(),
         "pq_rerank_topk": _oracle_pq_rerank_topk(),
+        "ivfpq_topk": _oracle_ivfpq_topk(),
         "recall_pq": _oracle_recall_pq(),
         "sq_topk": _oracle_sq_topk(),
         "sq_rerank_topk": _oracle_sq_rerank_topk(),
