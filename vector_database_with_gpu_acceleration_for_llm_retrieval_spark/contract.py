@@ -545,6 +545,30 @@ def q_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
 
 
+def q_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-PQ path (cell pruning + ADC) vs the exact
+    scan — the quality number that justifies the two-level layout."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.topk(t["embeddings"], qv, k=TOPK_K)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_recall_contract_")
+    try:
+        PQ.write_ivfpq_index(
+            t["embeddings"].select("vec_id", "embedding"),
+            tmp,
+            _ivf_centroids(spark, sf_dir),
+            _pq_codebooks(spark, sf_dir),
+        )
+        approx = PQ.ivfpq_topk_indexed(spark, tmp, qv, k=TOPK_K, nprobe=IVF_NPROBE)
+        out = S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 #: scalar quantization: one byte per dimension against per-dimension
 #: [lo, hi] ranges learned from the corpus itself (exact min/max — any
 #: engine reproduces them bit-for-bit from the same parquet).
@@ -1532,6 +1556,25 @@ __iprobe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2s
 cand AS (SELECT vec_id, embedding FROM __icells WHERE ivf_cell IN (SELECT cid FROM __iprobe)),
 {_sq_pq_ctes('cand').strip()}
 SELECT vec_id, {_r6('s', 'score')} FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_recall_ivfpq() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+iq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+__iassign AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
+           FROM embeddings e, cent c),
+__icells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM __iassign WHERE rn = 1),
+__iprobe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
+                           FROM cent c, iq) WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT vec_id, embedding FROM __icells WHERE ivf_cell IN (SELECT cid FROM __iprobe)),
+{_sq_pq_ctes('cand').strip()},
+exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+approx AS (SELECT vec_id FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
 
 
@@ -2618,6 +2661,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": q_pq_rerank_topk,
         "pq_topk_indexed": q_pq_topk_indexed,
         "ivfpq_topk": q_ivfpq_topk,
+        "recall_ivfpq": q_recall_ivfpq,
         "recall_pq": q_recall_pq,
         "shard_pruned_topk": q_shard_pruned_topk,
         "knn_join_expr": q_knn_join_expr,
@@ -2665,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_indexed": _oracle_pq_topk(),
         "pq_rerank_topk": _oracle_pq_rerank_topk(),
         "ivfpq_topk": _oracle_ivfpq_topk(),
+        "recall_ivfpq": _oracle_recall_ivfpq(),
         "recall_pq": _oracle_recall_pq(),
         "sq_topk": _oracle_sq_topk(),
         "sq_rerank_topk": _oracle_sq_rerank_topk(),
