@@ -83,6 +83,17 @@ AUDITED = {
         "PII scrub: counts + redaction + digest are ONE projection over one scan — "
         "no Exchange, no join; regexes ride the parquet scan inside codegen."
     ),
+    "budget_select": (
+        "Token-budget selection: distributed prefix sum — RangePartitioning exchange "
+        "on the order key, per-partition running-sum window, P-row offset aggregate "
+        "broadcast back. No single-partition window over the corpus."
+    ),
+    "knn_classify": (
+        "kNN classification: knn_join's single pruned corpus scan produces the "
+        "|Q|·k neighbor frame, which BROADCASTS back onto the corpus for the label "
+        "lookup — the big side never shuffles; the vote aggregate is |Q|·k rows."
+    ),
+    "ivfpq_topk": None,  # scratch-dir index: audited in tests/test_pq.py instead
     "lsh_topk_indexed": None,  # written by the ann_index section below
 }
 
@@ -100,7 +111,7 @@ def main() -> None:
         "",
     ]
     for name, note in AUDITED.items():
-        if name == "lsh_topk_indexed":
+        if note is None:
             continue
         df = qs[name](spark, SF_DIR)
         out += [f"## {name}", "", note, "", "```", physical_plan(df).strip(), "```", ""]
