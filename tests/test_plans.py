@@ -165,3 +165,31 @@ def test_repetition_shuffles_are_doc_keyed(tables):
     parts = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
     assert len(parts) >= 2
     assert all("doc_id" in ln for ln in parts)
+
+
+def test_pack_sequences_no_stratum_sequential_window(tables):
+    """The data-sized window must partition by (stratum, __pid) — never
+    by the stratum alone — so one dominant language can't serialize the
+    cumsum through a single task. The only stratum-partitioned window
+    allowed is the tiny strata x P offsets frame (input is __ptot)."""
+    import re
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    plan = physical_plan(
+        sampling.pack_sequences(tables["documents"], seq_len=512, by="lang")
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, plan
+    for spec in specs:
+        # partition spec = everything before the first ordering term
+        part = spec.split(" ASC")[0].split(" DESC")[0]
+        if "__pid" in part:
+            continue  # the (stratum, __pid)-keyed data window: fine
+        # a stratum-only window is only legal over the offsets frame
+        assert "__ptot" in spec or "_w" in spec, f"stratum-sequential window: {spec}\n{plan}"

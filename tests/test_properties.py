@@ -165,3 +165,47 @@ def test_budget_select_partition_invariance_property(spark, rows, budget, parts)
         if cum <= budget:
             want.add((i, cum))
     assert got == want
+
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),          # tokens per doc
+        st.sampled_from(["en", "de", None]),             # stratum (incl. NULL)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(
+    rows=_pack_rows,
+    seq_len=st.integers(min_value=1, max_value=30),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(**PROP_SETTINGS)
+def test_pack_sequences_partition_invariance_property(spark, rows, seq_len, parts):
+    """pack_sequences' distributed prefix sum must produce the same
+    (bin_id, bin_offset) assignment for ANY partition count — and
+    exactly match the sequential per-stratum greedy packing computed in
+    Python, including NULL-stratum docs."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    data = [(i, " ".join(["w"] * n) if n else "", s) for i, (n, s) in enumerate(rows)]
+    docs = spark.createDataFrame(data, "doc_id long, text string, lang string")
+    got = {
+        (r.lang, r.doc_id, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in sampling.pack_sequences(
+            docs, seq_len=seq_len, by="lang", n_parts=parts
+        ).collect()
+    }
+    # sequential oracle: per stratum, id order, greedy concat-and-chunk
+    cums: dict = {}
+    want = set()
+    for i, (n, s) in enumerate(rows):
+        cum = cums.get(s, 0) + n
+        cums[s] = cum
+        b = (cum - n) // seq_len
+        want.add((s, i, n, b, cum - n - b * seq_len))
+    assert got == want

@@ -13,11 +13,14 @@ Two operations every LLM data-mixing pipeline runs after curation:
 
 * **sequence packing** — greedily pack documents into fixed token
   budgets (context windows): running token cumsum per stratum →
-  ``bin = floor((cumsum - n) / seq_len)``. One window shuffle; the
-  classic concat-and-chunk approximation of bin packing (documents are
-  not split across bins here; oversized docs get their own bin).
-  At 100 TB partition by the ordering key range so the window is
-  range-local.
+  ``bin = floor((cumsum - n) / seq_len)``. The classic concat-and-chunk
+  approximation of bin packing (documents are not split across bins
+  here; oversized docs get their own bin). Built on the same
+  distributed prefix-sum shape as :func:`budget_select` — range
+  partition on ``(stratum, id)``, running sum within each physical
+  partition, per-stratum partition offsets broadcast back — so a
+  mostly-one-stratum corpus never serializes through a single
+  ``Window.partitionBy(stratum)`` task.
 """
 
 from __future__ import annotations
@@ -80,6 +83,16 @@ def budget_select(
         n_parts = int(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    # NOTE on lineage determinism: `rp` feeds TWO subplans (the offsets
+    # aggregate and the final join). Correctness needs both to see the
+    # same partition boundaries. That holds because (a) Catalyst reuses
+    # the range Exchange when both branches share its canonical plan
+    # (ReusedExchange in the physical plan), and (b) even without reuse,
+    # RangePartitioner's boundary sampling is seeded deterministically
+    # from the partition index, so a recompute over the same input
+    # yields identical boundaries. Do not insert a nondeterministic
+    # narrow op (e.g. sample, rand) between the repartition and either
+    # consumer — that would break (b).
     rp = base.repartitionByRange(n_parts, *key).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -113,24 +126,77 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     by: str | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training-sequence bin of ``seq_len``
     tokens (greedy, id order, no doc splitting). Returns
     ``(doc_id, n_tokens, bin_id, bin_offset)`` where ``bin_offset`` is
-    the token position the doc starts at within its bin."""
-    part = [by] if by else []
-    w = Window.partitionBy(*part).orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    the token position the doc starts at within its bin.
+
+    The per-stratum cumsum uses the distributed prefix-sum shape (same
+    as :func:`budget_select`): range-partition on ``(by, id)``, running
+    sum within each ``(by, physical-partition)`` group, then add each
+    group's preceding-partition total from a tiny ``strata × P``-row
+    offset frame broadcast back. No window is ever partitioned by the
+    stratum alone, so a 100 TB mostly-English corpus parallelizes across
+    all range partitions instead of serializing through one task.
+    """
+    part_cols = [F.col(by)] if by else []
     with_counts = docs.select(
-        *( [F.col(by)] if by else [] ),
+        *part_cols,
         F.col(id_col),
         TX.n_tokens(F.col(text_col)).alias("n_tokens"),
     )
-    cum = F.sum("n_tokens").over(w)
+    if n_parts is None:
+        n_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    key = [*part_cols, F.col(id_col).asc()]
+    # Same lineage-determinism contract as budget_select: the range
+    # Exchange is either reused (canonical-plan match) or recomputed
+    # with identical, deterministically-sampled boundaries.
+    rp = with_counts.repartitionByRange(n_parts, *key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    grp = [*([by] if by else []), "__pid"]
+    # Running sum inside each (stratum, physical partition) slice. Range
+    # partitioning on (by, id) guarantees that within a stratum, slice
+    # p's ids all precede slice p+1's ids, so slices stitch into the
+    # exact per-stratum cumsum once offsets are added. Each window group
+    # is bounded by the range-partition size, never by the stratum size.
+    w_in = (
+        Window.partitionBy(*grp)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rp = rp.withColumn("__run", F.sum("n_tokens").over(w_in))
+    # strata × P rows: per-slice totals → exclusive prefix over pids.
+    w_off = (
+        Window.partitionBy(*([by] if by else []))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        rp.groupBy(*grp)
+        .agg(F.sum("n_tokens").alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
+        .select(
+            *[F.col(c).alias(f"__o_{c}") for c in grp],
+            "__off",
+        )
+    )
+    # eqNullSafe on the stratum so NULL-stratum rows (their own window
+    # group in the old shape) survive the join instead of being dropped.
+    cond = F.col("__pid") == F.col("__o___pid")
+    if by:
+        cond = F.col(by).eqNullSafe(F.col(f"__o_{by}")) & cond
+    out = rp.join(F.broadcast(offsets), cond).drop(
+        *[f"__o_{c}" for c in grp]
+    )
+    cum = F.col("__run") + F.col("__off")
     bin_id = F.floor((cum - F.col("n_tokens")) / F.lit(seq_len)).cast("long")
-    return with_counts.select(
-        *( [F.col(by)] if by else [] ),
+    return out.select(
+        *part_cols,
         id_col,
         "n_tokens",
         bin_id.alias("bin_id"),
