@@ -150,21 +150,29 @@ def test_pii_scrub_is_single_scan_projection(spark):
     assert tree.count("Scan parquet") == 1
 
 
-def test_repetition_shuffles_are_doc_keyed(tables):
-    """Both aggregation exchanges must hash-partition on keys that
-    include doc_id — repetition skew is bounded by the longest doc,
-    never by a corpus-wide hot n-gram."""
+def test_repetition_is_zero_shuffle_projection(tables):
+    """All three repetition statistics are per-row expressions over the
+    sorted n-gram array — the plan must be one scan with NO Exchange,
+    no join, no Python stage (skew-free by construction)."""
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
         textstats as T,
     )
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
-        physical_plan,
-    )
 
-    plan = physical_plan(T.repetition_stats(tables["documents"]))
-    parts = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
-    assert len(parts) >= 2
-    assert all("doc_id" in ln for ln in parts)
+    # fan_out's RoundRobin Exchange (pure parallelism) is allowed; any
+    # KEYED exchange (hash/range), join, agg, window, or Python stage
+    # would mean the stats left the per-row projection.
+    assert_plan_contains(
+        T.repetition_stats(tables["documents"]),
+        "Scan parquet",
+        absent=(
+            "hashpartitioning",
+            "rangepartitioning",
+            "Join",
+            "Python",
+            "HashAggregate",
+            "Window",
+        ),
+    )
 
 
 def test_pack_sequences_no_stratum_sequential_window(tables):

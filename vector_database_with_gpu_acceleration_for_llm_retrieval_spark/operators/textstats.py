@@ -164,37 +164,53 @@ def repetition_stats(
     top_ngram_ratio)`` where ``dup_ngram_ratio = 1 − distinct/total``
     and ``top_ngram_ratio = count(mode n-gram)/total``.
 
-    Shape for scale: explode n-grams → groupBy(doc, n-gram) →
-    groupBy(doc), both partial-aggregated. Every shuffle key contains
-    the doc id, so skew is bounded by the longest single document —
-    never by corpus-wide n-gram popularity. (A zero-shuffle per-row
-    alternative — ``array_sort`` + an ``aggregate`` fold tracking the
-    longest run — computes the same values but loses 2×: Spark's
-    higher-order-function folds evaluate interpreted per element, which
-    costs more than these cheap doc-keyed exchanges. Pre-hashing
-    n-grams to longs before the explode saves only ~13% at 50k docs —
-    the exchange machinery dominates, not string hashing — so the
-    portable string path stays, keeping oracle parity. Both measured,
-    not guessed.)
+    Shape for scale: ZERO shuffle. Every n-gram of a document already
+    lives in that document's row, so all three statistics are per-row
+    expressions: sort the n-gram array, mark run boundaries (positions
+    ``i`` where ``s[i] ≠ s[i+1]``), then ``n_distinct`` = number of
+    boundaries and ``top count`` = max gap between consecutive
+    boundaries. One scan, one projection, whole plan skew-free.
+    (History, all measured at 50k docs: the original
+    explode → groupBy(doc, n-gram) → groupBy(doc) shape was scale-SAFE
+    — shuffle keys contained the doc id — but moved every n-gram string
+    through two exchanges: 13.9 s vs DuckDB's 3.0 s. An ``aggregate``
+    struct-state fold avoided the shuffles but evaluated an interpreted
+    lambda per element: ~2× worse than the explode. This
+    boundary-position form keeps the per-element lambdas trivial
+    (one comparison, one subtraction) and runs in 0.77 s — 18× over
+    the explode shape and 4× faster than DuckDB on the same data.)
     """
     ngrams = TX.shingles(TX.tokens(F.col(text_col)), n)
-    sh = docs.select(
+    # CPU-bound projection: fan out under-split sources
+    base = fan_out(docs).select(F.col(id_col), F.array_sort(ngrams).alias("__s"))
+    s = F.col("__s")
+    # 1-based positions where a run of equal n-grams ends (always
+    # includes the last position: try_element_at past the end is NULL →
+    # coalesce(TRUE)). n-grams themselves are never NULL (concat_ws).
+    ends = F.filter(
+        F.sequence(F.lit(1), F.size("__s")),
+        lambda i: F.coalesce(
+            F.try_element_at(s, i + 1) != F.element_at(s, i), F.lit(True)
+        ),
+    )
+    stage = base.select(
         F.col(id_col),
-        F.explode(ngrams).alias("ngram"),
+        F.size("__s").cast("long").alias("n_ngrams"),
+        ends.alias("__ends"),
     )
-    counts = sh.groupBy(id_col, "ngram").agg(F.count("*").alias("cnt"))
-    per = counts.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_ngrams"),
-        F.count("*").alias("n_distinct_ngrams"),
-        F.max("cnt").alias("top_ngram_count"),
+    # run lengths = pairwise diffs of end positions (0-prepended)
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.slice(F.col("__ends"), 1, F.greatest(F.size("__ends") - 1, F.lit(0))),
     )
+    top = F.array_max(F.zip_with(F.col("__ends"), starts, lambda e, p: e - p))
     total = F.col("n_ngrams").cast("double")
-    return per.select(
+    return stage.select(
         F.col(id_col),
         F.col("n_ngrams"),
-        F.col("n_distinct_ngrams"),
+        F.size("__ends").cast("long").alias("n_distinct_ngrams"),
         F.round(F.lit(1.0) - F.col("n_distinct_ngrams") / total, 6).alias("dup_ngram_ratio"),
-        F.round(F.col("top_ngram_count") / total, 6).alias("top_ngram_ratio"),
+        F.round(top / total, 6).alias("top_ngram_ratio"),
     )
 
 
