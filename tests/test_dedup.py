@@ -116,3 +116,60 @@ def test_dedup_clusters_warns_without_convergence(spark):
         warnings.simplefilter("always")
         D.dedup_clusters(edges, max_iter=1)
         assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_lsh_bucket_cap_bounds_boilerplate_pairs(spark):
+    """A pathological boilerplate corpus (30 identical docs) explodes
+    into B*(B-1)/2 candidate pairs uncapped; with max_bucket_size the
+    hot bucket is dropped from pair generation and the audit frame
+    reports exactly the over-cap buckets."""
+    boiler = "subscribe to our newsletter for updates terms of service apply here"
+    uniq = [
+        f"unique document number {i} with its own distinct words alpha{i} beta{i}"
+        for i in range(6)
+    ]
+    rows = [(i, boiler) for i in range(30)] + [
+        (100 + i, t) for i, t in enumerate(uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        lsh_over_cap_buckets,
+        minhash_perms,
+        minhash_signature,
+        shingle_tids_hash,
+    )
+
+    sig = minhash_signature(
+        shingle_tids_hash(docs), minhash_perms(16), id_col="doc_id"
+    )
+    uncapped = D.lsh_candidate_pairs(sig, n_bands=4, n_hashes=16)
+    capped = D.lsh_candidate_pairs(sig, n_bands=4, n_hashes=16, max_bucket_size=10)
+    assert uncapped.count() >= 30 * 29 // 2  # quadratic blowup is real
+    assert capped.count() == 0  # the 30-member buckets all exceed the cap
+    audit = lsh_over_cap_buckets(sig, n_bands=4, n_hashes=16, max_bucket_size=10)
+    arows = audit.collect()
+    assert len(arows) == 4 and all(r.size == 30 for r in arows)
+
+
+def test_lsh_bucket_cap_noop_when_under_cap(planted_docs):
+    """With no bucket over the cap, capped output == uncapped output."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        minhash_perms,
+        minhash_signature,
+        shingle_tids_hash,
+    )
+
+    sig = minhash_signature(
+        shingle_tids_hash(planted_docs), minhash_perms(16), id_col="doc_id"
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(sig, n_bands=8, n_hashes=16).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(
+            sig, n_bands=8, n_hashes=16, max_bucket_size=100
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0

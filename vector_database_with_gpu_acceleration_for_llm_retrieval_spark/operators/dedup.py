@@ -38,6 +38,7 @@ __all__ = [
     "shingle_tids_vocab",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "lsh_over_cap_buckets",
     "jaccard_pairs",
     "near_dup_pairs",
     "portable_token_hash",
@@ -109,6 +110,12 @@ def shingle_tids_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     shingle in the sorted global shingle vocabulary. One extra
     aggregate + broadcast join vs the hash path, but the arithmetic is
     reproducible in any engine (the DuckDB oracle mirrors it 1:1).
+
+    .. warning:: Oracle/test path ONLY. The vocabulary is built with a
+       single-partition ``row_number`` window and broadcast whole — both
+       die once distinct shingles outgrow one executor (~10⁷). At scale
+       use :func:`shingle_tids_hash`, which is stateless and identical
+       for dedup purposes (MinHash only needs distinct, stable ids).
     """
     toks = TX.tokens(F.col(text_col))
     sh = fan_out(docs).select(
@@ -145,23 +152,10 @@ def minhash_signature(tids_df: DataFrame, perms: list[tuple[int, int]], id_col: 
     return tids_df.select(F.col(id_col), F.col("tids"), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame, n_bands: int, n_hashes: int, id_col: str = "doc_id"
+def _band_buckets(
+    sig_df: DataFrame, n_bands: int, n_hashes: int, id_col: str
 ) -> DataFrame:
-    """LSH banding: split the signature into ``n_bands`` bands, bucket
-    by (band index, band values); docs sharing any bucket become a
-    candidate pair (a < b).
-
-    This is the scale move: the only join is an equi-join on band
-    buckets, so work is proportional to true collisions. Hot buckets
-    (boilerplate docs) are the skew risk — AQE skew-join handles
-    moderate cases; extreme ones get a bucket-size cap upstream.
-
-    ``n_hashes`` is passed explicitly (len of the perms list) instead of
-    probed with an action, so empty inputs are fine and no job runs at
-    plan-build time. It must divide evenly into ``n_bands`` — trailing
-    signature entries would otherwise be silently dropped from banding.
-    """
+    """(id, band, key) bucket membership rows for LSH banding."""
     if n_hashes % n_bands != 0:
         raise ValueError(f"n_hashes={n_hashes} must be divisible by n_bands={n_bands}")
     rows_per_band = n_hashes // n_bands
@@ -177,9 +171,54 @@ def lsh_candidate_pairs(
             for j in range(n_bands)
         ]
     )
-    buckets = sig_df.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    n_bands: int,
+    n_hashes: int,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: split the signature into ``n_bands`` bands, bucket
+    by (band index, band values); docs sharing any bucket become a
+    candidate pair (a < b).
+
+    This is the scale move: the only join is an equi-join on band
+    buckets, so work is proportional to true collisions. Hot buckets
+    (boilerplate docs) are the skew risk — AQE skew-join handles
+    moderate cases; ``max_bucket_size`` caps the extreme ones: buckets
+    with more than that many members are dropped from pair generation
+    BEFORE the self-join (a bucket of B members yields B·(B−1)/2 pairs,
+    so one million-doc boilerplate bucket is ~5·10¹¹ pairs — the cap
+    turns that into zero). Docs in an over-cap bucket still pair through
+    their other, sub-cap bands; the drop is auditable via
+    :func:`lsh_over_cap_buckets` (same inputs), which a pipeline should
+    count/log alongside its run. Default ``None`` = no cap (exhaustive,
+    oracle-mirrorable).
+
+    ``n_hashes`` is passed explicitly (len of the perms list) instead of
+    probed with an action, so empty inputs are fine and no job runs at
+    plan-build time. It must divide evenly into ``n_bands`` — trailing
+    signature entries would otherwise be silently dropped from banding.
+    """
+    buckets = _band_buckets(sig_df, n_bands, n_hashes, id_col)
+    if max_bucket_size is not None:
+        # membership count per bucket, then anti-join the over-cap ones
+        # out. Both sides shuffle on (band, key) — the same exchange the
+        # self-join needs, so AQE/exchange-reuse keeps the extra cost to
+        # the small aggregate, and the quadratic hot-bucket blowup never
+        # materializes.
+        over = (
+            buckets.groupBy("band", "key")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "key")
+        )
+        buckets = buckets.join(over, ["band", "key"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -190,6 +229,25 @@ def lsh_candidate_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def lsh_over_cap_buckets(
+    sig_df: DataFrame,
+    n_bands: int,
+    n_hashes: int,
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit frame for the ``max_bucket_size`` cap: the (band, key,
+    size) buckets that :func:`lsh_candidate_pairs` would drop. Count or
+    sink this next to a capped dedup run so dropped collisions are
+    logged, not silent."""
+    return (
+        _band_buckets(sig_df, n_bands, n_hashes, id_col)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_bucket_size)
     )
 
 
@@ -280,11 +338,14 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     tid_path: str = "hash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline (X3): shingle → signature →
     band buckets → candidate pairs → exact-Jaccard verify ≥ threshold.
     False negatives are bounded by the (bands, rows) S-curve; verified
-    pairs have *exact* Jaccard, so no false positives."""
+    pairs have *exact* Jaccard, so no false positives.
+    ``max_bucket_size`` (optional) caps pathological LSH buckets — see
+    :func:`lsh_candidate_pairs`."""
     tids_fn = shingle_tids_hash if tid_path == "hash" else shingle_tids_vocab
     tids = tids_fn(docs, id_col=id_col, text_col=text_col, n=shingle_n)
     # the signature frame feeds FOUR plan branches (both sides of the
@@ -293,7 +354,13 @@ def near_dup_pairs(
     # is recomputed per branch. At 100 TB the same move is writing the
     # signature table to parquet once and joining against that.
     sig = _persist_signature(minhash_signature(tids, minhash_perms(n_hashes), id_col=id_col))
-    cand = lsh_candidate_pairs(sig, n_bands=n_bands, n_hashes=n_hashes, id_col=id_col)
+    cand = lsh_candidate_pairs(
+        sig,
+        n_bands=n_bands,
+        n_hashes=n_hashes,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
     verified = jaccard_pairs(sig.select(id_col, "tids"), pairs=cand, id_col=id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
