@@ -114,3 +114,19 @@ def test_contamination_plan_broadcasts_probe_side(train, probes):
     assert_plan_contains(
         C.contamination_pairs(train, probes, n=5, threshold=0.5), "BroadcastHashJoin"
     )
+
+
+def test_pii_redact_email_subsumes_phone_shaped_local_part(spark):
+    """'555-123-4567@example.com' is ONE email: the email pass must run
+    first so the whole address collapses to [EMAIL] instead of the
+    phone pass leaving '[PHONE]@example.com' with the domain intact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "mail 555-123-4567@example.com or call 555-123-4567 now"),
+            (2, "server 10.0.0.1 and fax 555.123.4567"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.redacted for r in PII.pii_redact(docs).collect()}
+    assert got[1] == "mail [EMAIL] or call [PHONE] now"
+    assert got[2] == "server [IP] and fax [PHONE]"

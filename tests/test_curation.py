@@ -86,3 +86,21 @@ def test_curate_corpus_full_all_stages(spark):
     )
     texts = {r.doc_id: r.text for r in out2.collect()}
     assert 6 in texts and "[EMAIL]" in texts[6] and "someone@example.com" not in texts[6]
+
+
+def test_curate_corpus_full_null_text_gated_not_joined_away(spark):
+    """A NULL-text doc must flow through the pipeline (left-joined
+    repetition signal, coalesced to 0) and be rejected by the QUALITY
+    gate — not silently vanish in an inner join."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs through the "
+        "field with great speed and a lot of joy for all to see in the light"
+    )
+    docs = spark.createDataFrame(
+        [(1, good), (2, None)], "doc_id int, text string"
+    )
+    out = curation.curate_corpus_full(
+        docs, min_quality=0.5, langs=["en"], max_dup_ngram_ratio=0.5,
+        near_dup_threshold=0.5, n_hashes=16, n_bands=8,
+    )
+    assert {r.doc_id for r in out.collect()} == {1}

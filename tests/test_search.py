@@ -300,3 +300,23 @@ def test_knn_classify_majority_and_weighted(spark):
     assert (plain.pred_label, plain.votes) == (7, 2)
     weighted = S.knn_classify(q2, corpus2, k=3, weighted=True).collect()[0]
     assert weighted.pred_label == 5 and abs(weighted.vote_score - 1.0) < 1e-6
+
+
+def test_knn_classify_excludes_null_labels(spark):
+    """NULL-labeled corpus rows carry no class information: they must
+    not form a vote group (or win ties — NULL sorts first under asc)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.99, 0.05], None),
+            (2, [0.98, 0.1], None),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], "qid int, embedding array<double>")
+    rows = S.knn_classify(queries, corpus, k=3).collect()
+    assert len(rows) == 1
+    # 2 NULL neighbors vs 1 labeled: NULLs excluded, label 7 wins with 1 vote
+    assert rows[0].pred_label == 7 and rows[0].votes == 1

@@ -100,3 +100,21 @@ def test_rolling_fingerprint_deterministic_and_shift_invariant(spark):
     got = {r.doc_id: r.fingerprint for r in T.rolling_fingerprint(df, k=3).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_shingles_accepts_named_columns(spark):
+    """shingles() must work on a named column/attribute, not just
+    unnamed expressions — arrays_zip names struct fields after source
+    columns unless pinned (regression: 'no such struct field 0')."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d",)], "text string").withColumn(
+        "toks", TX.tokens("text")
+    )
+    rows = df.select(
+        TX.shingles(F.col("toks")).alias("by_col"),
+        TX.shingles("toks").alias("by_name"),
+        TX.shingles(TX.tokens("text")).alias("by_expr"),
+    ).collect()
+    want = ["a b c", "b c d"]
+    assert rows[0].by_col == want and rows[0].by_name == want and rows[0].by_expr == want

@@ -1972,10 +1972,10 @@ def _oracle_curate_corpus_full() -> str:
     )
     redact = (
         "regexp_replace(regexp_replace(regexp_replace(text, '"
-        + PHONE_RE
-        + "', '[PHONE]', 'g'), '"
         + EMAIL_RE
         + "', '[EMAIL]', 'g'), '"
+        + PHONE_RE
+        + "', '[PHONE]', 'g'), '"
         + IPV4_RE
         + "', '[IP]', 'g')"
     )
@@ -2290,10 +2290,10 @@ def _oracle_pii_scrub() -> str:
     )
     red = (
         "regexp_replace(regexp_replace(regexp_replace(text, '"
-        + PHONE_RE
-        + "', '[PHONE]', 'g'), '"
         + EMAIL_RE
         + "', '[EMAIL]', 'g'), '"
+        + PHONE_RE
+        + "', '[PHONE]', 'g'), '"
         + IPV4_RE
         + "', '[IP]', 'g')"
     )

@@ -69,7 +69,10 @@ def shingles(toks: Column | str, n: int = 3) -> Column:
         F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
         for i in range(1, n)
     ]
-    z = F.arrays_zip(*shifted)
+    # pin the struct field names: arrays_zip names fields after the
+    # source column when given a named column/attribute (e.g. a plain
+    # F.col("toks")), which would break the s[str(i)] accesses below
+    z = F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)])
     cnt = F.size(toks) - F.lit(n - 1)
     full = F.transform(
         F.slice(z, 1, F.greatest(cnt, F.lit(1))),

@@ -117,7 +117,16 @@ def curate_corpus_full(
     rep = T.repetition_stats(docs, n=repeat_n, id_col=id_col, text_col=text_col).select(
         id_col, "dup_ngram_ratio"
     )
-    enriched = docs.select("*", quality, pred_lang).join(rep, id_col)
+    # LEFT join + coalesce(0): repetition_stats emits a row for every
+    # doc whose text tokenizes (shingles guarantees ≥1 shingle for
+    # non-null text), but a NULL-text doc has no repetition row — an
+    # inner join would silently drop it here instead of letting the
+    # quality gate count/reject it like every other gate does.
+    enriched = (
+        docs.select("*", quality, pred_lang)
+        .join(rep, id_col, "left")
+        .withColumn("dup_ngram_ratio", F.coalesce(F.col("dup_ngram_ratio"), F.lit(0.0)))
+    )
     gated = enriched.filter(
         (F.col("quality") >= min_quality)
         & (F.col("dup_ngram_ratio") <= max_dup_ngram_ratio)

@@ -13,9 +13,11 @@ belongs in the per-executor model seam (functions/embed.py
 ``model_inference_udf``) and is out of scope here.
 
 Scale: one narrow projection per document — no shuffle, no join; the
-regexes ride the parquet scan. Redaction order is phone → email → ipv4
-(phone first so dotted phone separators are never half-eaten by the
-ipv4 pass; the patterns are mutually exclusive on the remaining text).
+regexes ride the parquet scan. Redaction order is email → phone → ipv4:
+email first because an email can CONTAIN a phone-shaped local part
+(``555-123-4567@example.com`` must become ``[EMAIL]``, not
+``[PHONE]@example.com`` with the domain surviving), and phone before
+ipv4 so dotted phone separators are never half-eaten by the ipv4 pass.
 """
 
 from __future__ import annotations
@@ -79,7 +81,7 @@ def pii_redact(
     ``[EMAIL]``, ``[IP]`` — keeping the rest of the text byte-identical.
     Adds ``out_col`` next to the original columns."""
     t = F.col(text_col)
-    red = F.regexp_replace(t, PHONE_RE, "[PHONE]")
-    red = F.regexp_replace(red, EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PHONE_RE, "[PHONE]")
     red = F.regexp_replace(red, IPV4_RE, "[IP]")
     return docs.withColumn(out_col, red)

@@ -425,12 +425,19 @@ def knn_classify(
 
     Tie-break is fully deterministic: vote count desc, summed score
     desc, label asc. Returns ``(qid, pred_label, votes, vote_score)``.
+
+    NULL-labeled corpus rows are excluded from voting: they carry no
+    class information, and letting them through would both form a
+    phantom NULL vote group and win ties (Spark sorts NULLs first under
+    ``asc``), predicting ``pred_label = NULL``.
     """
     nn = knn_join(
         queries, corpus, k=k, metric=metric, query_id=query_id,
         query_vec=query_vec, id_col=id_col, vec_col=vec_col,
     )
-    labels = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col))
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col)).filter(
+        F.col(label_col).isNotNull()
+    )
     labeled = labels.join(F.broadcast(nn), "neighbor_id")
     votes = labeled.groupBy("qid", label_col).agg(
         F.count("*").alias("votes"),
