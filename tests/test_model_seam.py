@@ -72,3 +72,50 @@ def test_generation_seam_matches_expression_stub(spark):
     via_expr = {r.qid: r.answer for r in rag.generate_stub(prompts).collect()}
     assert via_model == via_expr
     assert via_model[0] == "first fact"
+
+
+def test_trained_numpy_head_artifact_roundtrip_and_inference(spark, tmp_path):
+    """A REAL trained model through the seam: fit the softmax head on
+    labeled samples, serialize to .npz, load executor-side via the
+    iterator UDF (accumulator proves at-most-once-per-task), and check
+    the learned weights actually separate the training languages."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark import contract
+
+    samples = contract._lang_head_samples()
+    path = str(tmp_path / "head.npz")
+    classes = E.train_lang_head(samples, path, dim=64)
+    assert classes == sorted({lab for _, lab in samples})
+
+    head = E.NumpyLogisticHead(path, dim=64)
+    preds = head.predict([t for t, _ in samples])
+    train_acc = sum(p == lab for p, (_, lab) in zip(preds, samples)) / len(samples)
+    assert train_acc == 1.0  # linearly separable wordlist rotations
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def loader():
+        acc.add(1)
+        return E.NumpyLogisticHead(path, dim=64)
+
+    udf = E.model_inference_udf(
+        loader, cache_key=f"test-head:{path}", return_type="string", method="predict"
+    )
+    df = spark.createDataFrame(
+        [(i, t, lab) for i, (t, lab) in enumerate(samples)],
+        "i int, text string, lab string",
+    ).repartition(N_PARTS)
+    rows = df.select("lab", udf("text").alias("pred")).collect()
+    assert all(r.pred == r.lab for r in rows)
+    assert 1 <= acc.value <= N_PARTS  # loaded per task at most, never per row
+
+
+def test_model_lang_id_contract_entry_runs(spark):
+    """The extras entry wires the trained head end-to-end on real
+    documents (rows-only smoke here; the value check vs the SQL-literal
+    weight mirror lives in test_contract_extras)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark import contract
+
+    out = contract.q_model_lang_id(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    langs = {r.model_lang for r in out}
+    assert langs <= {"de", "en", "es", "fr"}

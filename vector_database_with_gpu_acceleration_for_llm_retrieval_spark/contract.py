@@ -697,6 +697,110 @@ def q_doc_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pos", _round6(F.col("val"), "val"))
 
 
+#: the trained-head artifact is keyed by a digest of its training
+#: configuration so stale /tmp artifacts from older code never load.
+LANG_HEAD_DIM = 64
+
+
+def _lang_head_samples() -> list[tuple[str, str]]:
+    """Deterministic labeled training sentences: rotations of each
+    language's wordlist (10 per language) — fixed by code, so the
+    trained weights are a pure function of the repo."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.textstats import (
+        _LANG_WORDLISTS,
+    )
+
+    samples = []
+    for lang, words in sorted(_LANG_WORDLISTS.items()):
+        for i in range(len(words)):
+            samples.append((" ".join(words[i:] + words[:i]), lang))
+    return samples
+
+
+def _lang_head_artifact() -> str:
+    """Train (once per machine+config) the real numpy softmax head and
+    return its .npz artifact path — executors load weights from THIS
+    path, the checkpoint-download flow in miniature."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        train_lang_head,
+    )
+
+    samples = _lang_head_samples()
+    key = _hl.md5(repr((samples, LANG_HEAD_DIM)).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vdbspark_lang_head_{key}.npz")
+    if not os.path.exists(path):
+        train_lang_head(samples, path, dim=LANG_HEAD_DIM)
+    return path
+
+
+def q_model_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL model inference through the per-executor seam (O16/O19,
+    reference rag_demo/ingest.py:27 flow): a trained softmax
+    classification head, serialized to an .npz weights artifact, loaded
+    at most once per Python worker by ``model_inference_udf``, batch-
+    classifying every document's language. Unlike `lang_id` (wordlist
+    heuristic) this runs actual learned-weight matmul inference; the
+    oracle replays the same weights as SQL literals."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        NumpyLogisticHead,
+        model_inference_udf,
+    )
+
+    path = _lang_head_artifact()
+    dim = LANG_HEAD_DIM
+    udf = model_inference_udf(
+        lambda: NumpyLogisticHead(path, dim=dim),
+        cache_key=f"lang_head:{path}",
+        return_type="string",
+        method="predict",
+    )
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", udf("text").alias("model_lang"))
+
+
+def _oracle_model_lang_id() -> str:
+    """Mirror of the trained head: hash-embed each doc in SQL, dot with
+    the LITERAL weight columns from the same artifact, argmax with
+    numpy's first-max tie rule (CASE chain in class order)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        NumpyLogisticHead,
+    )
+
+    head = NumpyLogisticHead(_lang_head_artifact(), dim=LANG_HEAD_DIM)
+    d = LANG_HEAD_DIM
+    th = _sq_tok_hash("t")
+    scores = []
+    for ci, cls in enumerate(head.classes):
+        wc = _sq_vec(head.W[:, ci])
+        scores.append(f"({_sq_dot('e', wc)} + {float(head.b[ci])!r}) AS s{ci}")
+    # numpy argmax = first index attaining the max
+    case = "CASE "
+    for ci, cls in enumerate(head.classes):
+        conds = [f"s{ci} >= s{cj}" for cj in range(len(head.classes)) if cj != ci]
+        case += f"WHEN {' AND '.join(conds)} THEN '{cls}' " if conds else ""
+    case += f"ELSE '{head.classes[-1]}' END"
+    return f"""
+WITH w AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE {_SQ_TOKS} END AS w
+  FROM documents),
+raw AS (SELECT doc_id,
+  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
+    list_transform(w, t -> CASE WHEN {th} % {d} = j
+      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
+      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
+  FROM w),
+emb AS (SELECT doc_id,
+  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
+  FROM raw),
+sc AS (SELECT doc_id, {', '.join(scores)} FROM emb)
+SELECT doc_id, {case} AS model_lang FROM sc
+"""
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 HYBRID_K_EACH = 20
@@ -2687,6 +2791,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "topk_per_label": q_topk_per_label,
         "doc_mean_pool": q_doc_mean_pool,
+        "model_lang_id": q_model_lang_id,
     }
 
 
@@ -2719,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
         "topk_per_label": _oracle_topk_per_label(),
         "doc_mean_pool": _oracle_doc_mean_pool(),
+        "model_lang_id": _oracle_model_lang_id(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

@@ -37,6 +37,8 @@ __all__ = [
     "model_inference_udf",
     "model_embedding_udf",
     "TinyProjectionModel",
+    "NumpyLogisticHead",
+    "train_lang_head",
 ]
 
 
@@ -180,6 +182,71 @@ class TinyProjectionModel:
         n = np.linalg.norm(Y, axis=1, keepdims=True)
         Y = Y / np.where(n == 0.0, 1e-12, n)
         return [[float(v) for v in row] for row in Y]
+
+
+def train_lang_head(
+    samples: list[tuple[str, str]],
+    path: str,
+    dim: int = 64,
+    lr: float = 0.5,
+    iters: int = 300,
+) -> list[str]:
+    """Train a REAL (weights-fitted, artifact-serialized) softmax
+    classification head over the hash embedding and save it as an
+    ``.npz`` artifact — the in-container stand-in for downloading a
+    published checkpoint (no torch/transformers ship here).
+
+    ``samples`` = [(text, label)]. Deterministic: zero-init weights,
+    fixed-iteration full-batch gradient descent in float64 (no RNG, no
+    data-order dependence beyond the caller's, which should sort).
+    Returns the sorted class list. The artifact holds only
+    ``W [dim, C]``, ``b [C]``, ``classes`` — exactly what
+    :class:`NumpyLogisticHead` loads executor-side.
+    """
+    import numpy as np
+
+    classes = sorted({lab for _, lab in samples})
+    idx = {c: i for i, c in enumerate(classes)}
+    X = np.asarray([hash_embed_py(t, dim) for t, _ in samples])
+    y = np.asarray([idx[lab] for _, lab in samples])
+    Y = np.eye(len(classes))[y]
+    W = np.zeros((dim, len(classes)))
+    b = np.zeros(len(classes))
+    n = len(samples)
+    for _ in range(iters):
+        logits = X @ W + b
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        g = (p - Y) / n
+        W -= lr * (X.T @ g)
+        b -= lr * g.sum(axis=0)
+    np.savez(path, W=W, b=b, classes=np.array(classes))
+    return classes
+
+
+class NumpyLogisticHead:
+    """A real trained model behind the inference seam: loads softmax
+    weights from an ``.npz`` artifact (the load-a-checkpoint flow of the
+    reference's module-level SentenceTransformer, rag_demo/ingest.py:27
+    — weights travel as an artifact path, never as pickled bytes) and
+    batch-classifies text. ``predict`` is the seam method: one numpy
+    matmul per Arrow batch."""
+
+    def __init__(self, path: str, dim: int = 64):
+        import numpy as np
+
+        d = np.load(path)
+        self.W, self.b = d["W"], d["b"]
+        self.classes = [str(c) for c in d["classes"]]
+        self.dim = dim
+
+    def predict(self, texts: list[str]) -> list[str]:
+        import numpy as np
+
+        X = np.asarray([hash_embed_py(t or "", self.dim) for t in texts])
+        logits = X @ self.W + self.b
+        return [self.classes[i] for i in np.argmax(logits, axis=1)]
 
 
 def hash_embed_py(text: str, dim: int = 64) -> list[float]:
