@@ -1344,6 +1344,108 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
 
 
+#: synthetic P6 image geometry for the REAL-decode check; pixel value
+#: (x, y, channel c) = (doc_id*31 + y*W + x + 7c) mod 256 — analytic,
+#: so the oracle computes expected features WITHOUT parsing binary
+#: while the Spark side genuinely parses the bytes it built.
+PPM_W, PPM_H = 8, 4
+PPM_HEADER = b"P6\n# synthetic\n8 4\n255\n"
+
+
+def _make_ppm_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w, h = PPM_W, PPM_H
+
+    def _make(ids):
+        def one(doc_id: int) -> bytes:
+            base = int(doc_id) * 31
+            raster = bytes(
+                (base + y * w + x + 7 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            return PPM_HEADER + raster
+
+        return ids.map(one)
+
+    _make.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(_make)
+
+
+def q_ppm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-checked: build a genuine binary P6 PPM
+    per document (header + raw RGB raster), parse it back with the
+    pure-Python decoder, and emit real pixel-statistics features. The
+    oracle never sees the binary — it recomputes the expected features
+    analytically from the pixel formula, so a parser bug (offset,
+    comment handling, channel order) breaks the hash match."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id").withColumn(
+        "payload", _make_ppm_udf()("doc_id")
+    )
+    feats = M.decode_image_features(docs, bin_col="payload", dim=16)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("pos", "val")
+    ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
+
+
+def _oracle_ppm_image_features() -> str:
+    w, h = PPM_W, PPM_H
+    n_bytes = len(PPM_HEADER) + w * h * 3
+    pix = f"CAST((doc_id * 31 + y * {w} + x + 7 * c) % 256 AS DOUBLE)"
+    lum_c = lambda c: f"CAST((doc_id * 31 + y * {w} + x + {7 * c}) % 256 AS DOUBLE)"  # noqa: E731
+    luma = f"((0.299 * {lum_c(0)} + 0.587 * {lum_c(1)}) + 0.114 * {lum_c(2)})"
+    return f"""
+WITH px AS (
+  SELECT doc_id, x, y, c, {pix} AS v
+  FROM documents, range(0, {w}) tx(x), range(0, {h}) ty(y), range(0, 3) tc(c)
+),
+chan AS (SELECT doc_id, c, avg(v) AS m FROM px GROUP BY 1, 2),
+chansd AS (
+  SELECT px.doc_id, px.c, sqrt(avg(pow(px.v - chan.m, 2))) AS sd
+  FROM px JOIN chan ON px.doc_id = chan.doc_id AND px.c = chan.c
+  GROUP BY 1, 2
+),
+lum AS (
+  SELECT doc_id, x, y, {luma} AS l
+  FROM documents, range(0, {w}) tx(x), range(0, {h}) ty(y)
+),
+lstats AS (
+  SELECT doc_id, avg(l) AS ml,
+         avg(CASE WHEN floor(l / 64.0) = 0 THEN 1.0 ELSE 0.0 END) AS h0,
+         avg(CASE WHEN floor(l / 64.0) = 1 THEN 1.0 ELSE 0.0 END) AS h1,
+         avg(CASE WHEN floor(l / 64.0) = 2 THEN 1.0 ELSE 0.0 END) AS h2,
+         avg(CASE WHEN floor(l / 64.0) = 3 THEN 1.0 ELSE 0.0 END) AS h3
+  FROM lum GROUP BY 1
+),
+mm AS (SELECT doc_id, min(v) AS mn, max(v) AS mx FROM px GROUP BY 1),
+fv AS (
+  SELECT c0.doc_id, [
+    {float(w)!r}, {float(h)!r}, {float(w) / float(h)!r},
+    c0.m / 255.0, c1.m / 255.0, c2.m / 255.0,
+    s0.sd / 255.0, s1.sd / 255.0, s2.sd / 255.0,
+    l.ml / 255.0, l.h0, l.h1, l.h2, l.h3,
+    mm.mn / 255.0, mm.mx / 255.0
+  ]::DOUBLE[] AS f
+  FROM chan c0
+  JOIN chan c1 ON c0.doc_id = c1.doc_id AND c1.c = 1
+  JOIN chan c2 ON c0.doc_id = c2.doc_id AND c2.c = 2
+  JOIN chansd s0 ON c0.doc_id = s0.doc_id AND s0.c = 0
+  JOIN chansd s1 ON c0.doc_id = s1.doc_id AND s1.c = 1
+  JOIN chansd s2 ON c0.doc_id = s2.doc_id AND s2.c = 2
+  JOIN lstats l ON c0.doc_id = l.doc_id
+  JOIN mm ON c0.doc_id = mm.doc_id
+  WHERE c0.c = 0
+)
+SELECT doc_id, {n_bytes} AS n_bytes, CAST(j AS INT) AS pos,
+       {_r6('f[CAST(j + 1 AS BIGINT)]', 'val')}
+FROM fv, range(0, 16) tj(j)
+"""
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing, value-checked: the binary frames
     produced by the ``mapInPandas`` stub are projected to (length, md5)
@@ -2792,6 +2894,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_label": q_topk_per_label,
         "doc_mean_pool": q_doc_mean_pool,
         "model_lang_id": q_model_lang_id,
+        "ppm_image_features": q_ppm_image_features,
     }
 
 
@@ -2825,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_label": _oracle_topk_per_label(),
         "doc_mean_pool": _oracle_doc_mean_pool(),
         "model_lang_id": _oracle_model_lang_id(),
+        "ppm_image_features": _oracle_ppm_image_features(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

@@ -1,12 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container ships no image/audio codecs, so the *decode* step is a
-clearly-marked stub (deterministic fake features keyed on the content
-hash — the Spark-side plumbing, schema, batching and partitioning are
-real and tested; swap ``_fake_decode`` for PIL/torchaudio on a real
-cluster). Pattern per the north-star spec: binary payload stays opaque
-to Catalyst; metadata columns (mime, width/height, duration) are real
+Decode paths, by format:
+
+* **binary PPM (P6)** — REALLY decoded, pure Python/numpy (the format
+  is a whitespace header + raw RGB bytes; no codec library needed).
+  Features are genuine pixel statistics (dimensions, channel moments,
+  luma histogram) — see :func:`ppm_features`.
+* **everything else** (JPEG/PNG/audio/video) — the container ships no
+  codec libraries, so those fall back to a clearly-marked stub
+  (deterministic fake features keyed on the content hash). The
+  Spark-side plumbing — schema, Arrow batching, partitioning — is
+  identical for both paths; a real cluster swaps the fallback for
+  PIL/torchaudio inside ``_fake_decode`` and nothing else changes.
+
+Pattern per the north-star spec: binary payload stays opaque to
+Catalyst; metadata columns (mime, width/height, duration) are real
 columns so filters on them prune before any decode runs.
 """
 
@@ -22,11 +31,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "attach_binary_meta",
+    "decode_ppm",
+    "ppm_features",
     "decode_image_features",
     "sample_video_frames",
 ]
 
-HAS_CODECS = False  # no PIL/libav in this container; stubs below are deterministic fakes
+HAS_CODECS = False  # no PIL/libav in this container; non-PPM formats use the digest stub
 
 
 def attach_binary_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
@@ -36,6 +47,95 @@ def attach_binary_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     return df.withColumn("n_bytes", F.length(F.col(bin_col))).withColumn(
         "content_id", F.sha2(F.col(bin_col), 256)
     )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL image decode for binary PPM (P6) — no codec library needed.
+
+    Parses the header (magic, optional ``#`` comments, width, height,
+    maxval, one whitespace byte) and returns ``(width, height, pixels)``
+    with ``pixels`` a ``(h, w, 3)`` uint8 array, or ``None`` when the
+    payload is not a well-formed 8-bit P6 image (wrong magic, truncated
+    data, maxval ≠ 255)."""
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    i, n, vals = 2, len(payload), []
+    while len(vals) < 3 and i < n:
+        ch = payload[i : i + 1]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == b"#":
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(payload[i:j]))
+        i = j
+    if len(vals) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    w, h, maxval = vals
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # exactly one whitespace byte separates header from raster
+    data = payload[i : i + w * h * 3]
+    if len(data) < w * h * 3:
+        return None
+    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _popstd(a: np.ndarray) -> float:
+    m = a.mean()
+    return float(np.sqrt(np.mean((a - m) ** 2)))
+
+
+def ppm_features(payload: bytes, dim: int) -> np.ndarray | None:
+    """Real pixel-statistics features from a decoded P6 image (``None``
+    if the payload isn't one). Fixed 16-slot layout, zero-padded /
+    truncated to ``dim``:
+
+    ``[w, h, aspect, mean_r/255, mean_g/255, mean_b/255, std_r/255,
+    std_g/255, std_b/255, mean_luma/255, luma_hist_0..3 (fractions in
+    64-wide bins), min/255, max/255]``
+
+    Every op is plain IEEE arithmetic with a fixed evaluation order
+    (luma = ``(0.299r + 0.587g) + 0.114b``), so an external oracle that
+    knows the pixel values reproduces the features bit-for-bit.
+    """
+    parsed = decode_ppm(payload)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    pxf = px.astype(np.float64)
+    r, g, b = pxf[..., 0], pxf[..., 1], pxf[..., 2]
+    luma = (0.299 * r + 0.587 * g) + 0.114 * b
+    bins = np.floor(luma / 64.0)
+    feats = [
+        float(w),
+        float(h),
+        w / h,
+        r.mean() / 255.0,
+        g.mean() / 255.0,
+        b.mean() / 255.0,
+        _popstd(r) / 255.0,
+        _popstd(g) / 255.0,
+        _popstd(b) / 255.0,
+        luma.mean() / 255.0,
+        float((bins == 0).mean()),
+        float((bins == 1).mean()),
+        float((bins == 2).mean()),
+        float((bins == 3).mean()),
+        pxf.min() / 255.0,
+        pxf.max() / 255.0,
+    ]
+    out = np.zeros(dim, dtype=np.float64)
+    k = min(dim, len(feats))
+    out[:k] = feats[:k]
+    return out
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
@@ -63,18 +163,24 @@ def decode_image_features(
     """Decode + featurize binary images via ``mapInPandas``.
 
     Real plumbing: Arrow batches in, one vectorized pass per batch,
-    schema ``(id, feature: array<float>, n_bytes: int)``. The stub
-    keeps it deterministic. ``spark.sql.execution.arrow.maxRecordsPerBatch``
-    bounds batch memory when payloads are MBs each (set ``batch_limit``
-    accordingly on a real cluster)."""
+    schema ``(id, feature: array<float>, n_bytes: int)``. Payloads that
+    parse as binary PPM (P6) get REAL pixel-statistics features
+    (:func:`ppm_features`); other formats fall back to the
+    deterministic digest stub. ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` bounds batch memory when payloads are MBs each
+    (set ``batch_limit`` accordingly on a real cluster)."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, feature array<double>, n_bytes int"
+
+    def _decode(p: bytes) -> list[float]:
+        real = ppm_features(p, dim)
+        return (real if real is not None else _fake_decode(p, dim)).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [_fake_decode(p, dim).tolist() for p in pdf[bin_col]]
+            feats = [_decode(p) for p in pdf[bin_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
