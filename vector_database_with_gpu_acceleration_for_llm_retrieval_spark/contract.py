@@ -83,114 +83,29 @@ _PERMS = D.minhash_perms(MINHASH_N)
 # ---------------------------------------------------------------------------
 
 
-def _sq_dot(a: str, b: str) -> str:
-    """Sequential-fold double dot product (mirrors functions.vector.dot)."""
-    return (
-        f"list_sum(list_transform({a}, (x, i) ->"
-        f" CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
 
 
-def _sq_norm(a: str) -> str:
-    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
 
-def _sq_cosine(a: str, b: str) -> str:
-    # per-side zero-only ε guard, mirroring functions.vector.cosine_sim
-    return (
-        f"({_sq_dot(a, b)} / (coalesce(nullif({_sq_norm(a)}, 0), 1e-12)"
-        f" * coalesce(nullif({_sq_norm(b)}, 0), 1e-12)))"
-    )
 
 
-def _sq_l2sq(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform({a}, (x, i) ->"
-        f" (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-        f" * (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
-    )
 
 
-def _sq_score(a: str, b: str, metric: str) -> str:
-    if metric == "cosine":
-        return _sq_cosine(a, b)
-    return f"(- {_sq_l2sq(a, b)})"
 
 
-def _sq_vec(vec) -> str:
-    return "([" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[])"
 
 
-#: whitespace tokenization of trimmed text (mirrors functions.text.tokens)
-_SQ_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
-
-#: portable 60-bit token hash (mirrors functions.text.portable_token_hash)
-def _sq_tok_hash(t: str) -> str:
-    return f"CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT)"
 
 
-def _sq_shingles(toks: str, n: int) -> str:
-    """Word n-gram shingles (mirrors functions.text.shingles)."""
-    return (
-        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
-        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
-    )
 
 
-def _sq_minhash_sig() -> str:
-    """MinHash signature list literal over column ``tids`` (mirrors
-    operators.dedup.minhash_signature with the shared perms)."""
-    mins = ", ".join(
-        f"list_min(list_transform(tids, x -> ({a} * x + {b}) % {D.MINHASH_PRIME}))"
-        for a, b in _PERMS
-    )
-    return f"[{mins}]"
 
 
-def _sq_tids_ctes_from(src: str) -> str:
-    """shingle → dense-vocab tids CTEs over ``src`` (mirrors
-    operators.dedup.shingle_tids_vocab — the vocabulary is built over
-    exactly the rows the Spark side sees); exposes ``tids(doc_id, tids)``."""
-    return f"""
-__toks AS (SELECT doc_id, {_SQ_TOKS} AS t FROM {src}),
-__sh AS (SELECT doc_id, unnest(list_distinct({_sq_shingles('t', SHINGLE_N)})) AS shingle FROM __toks),
-__vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
-            FROM (SELECT DISTINCT shingle FROM __sh)),
-tids AS (SELECT doc_id, list(tid) AS tids FROM __sh JOIN __vocab USING (shingle) GROUP BY doc_id)
-"""
 
 
-_SQ_TIDS_CTES = _sq_tids_ctes_from("documents")
 
-#: near-dup candidate+verify CTEs on top of ``tids``; exposes
-#: ``near_pairs(id_a, id_b, jaccard)`` (unrounded jaccard, thresholded)
-_SQ_NEAR_DUP_CTES = f"""
-__sig AS (SELECT doc_id, tids, {_sq_minhash_sig()} AS sig FROM tids),
-__bands AS (SELECT doc_id, j AS band,
-                   array_to_string(list_transform(list_slice(sig, j * {MINHASH_N // MINHASH_BANDS} + 1,
-                        (j + 1) * {MINHASH_N // MINHASH_BANDS}), x -> CAST(x AS VARCHAR)), '-') AS key
-            FROM __sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS j)),
-__cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM __bands a JOIN __bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-near_pairs AS (
-  SELECT id_a, id_b,
-         CAST(len(list_intersect(ta.tids, tb.tids)) AS DOUBLE)
-           / (len(ta.tids) + len(tb.tids) - len(list_intersect(ta.tids, tb.tids))) AS jaccard
-  FROM __cand JOIN tids ta ON ta.doc_id = id_a JOIN tids tb ON tb.doc_id = id_b
-  WHERE CAST(len(list_intersect(ta.tids, tb.tids)) AS DOUBLE)
-           / (len(ta.tids) + len(tb.tids) - len(list_intersect(ta.tids, tb.tids))) >= {NEAR_DUP_THRESHOLD}
-)
-"""
 
-#: simhash CTE; exposes ``sim(doc_id, simhash)`` (mirrors operators.dedup.simhash)
-_SQ_SIMHASH_CTES = f"""
-__h AS (SELECT doc_id, list_transform({_SQ_TOKS}, t -> {_sq_tok_hash('t')}) AS hs FROM documents),
-__c AS (SELECT doc_id, list_transform(range(0, {SIMHASH_BITS}),
-             j -> list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1))) AS counts FROM __h),
-sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
-             j -> CASE WHEN counts[j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-        FROM __c)
-"""
+
 
 
 def _round6(c, name: str):
@@ -198,16 +113,8 @@ def _round6(c, name: str):
     return (F.round(c, 6) + F.lit(0.0)).alias(name)
 
 
-def _r6(expr: str, name: str) -> str:
-    return f"round({expr}, 6) + 0.0 AS {name}"
 
 
-def _seq_dot(a, b) -> float:
-    """Sequential double fold — the exact arithmetic both engines run."""
-    s = 0.0
-    for x, y in zip(a, b):
-        s += float(x) * float(y)
-    return s
 
 
 #: (sf_dir, vec_id) → embedding; the query vector is a fixed input of
@@ -762,43 +669,6 @@ def q_model_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select("doc_id", udf("text").alias("model_lang"))
 
 
-def _oracle_model_lang_id() -> str:
-    """Mirror of the trained head: hash-embed each doc in SQL, dot with
-    the LITERAL weight columns from the same artifact, argmax with
-    numpy's first-max tie rule (CASE chain in class order)."""
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
-        NumpyLogisticHead,
-    )
-
-    head = NumpyLogisticHead(_lang_head_artifact(), dim=LANG_HEAD_DIM)
-    d = LANG_HEAD_DIM
-    th = _sq_tok_hash("t")
-    scores = []
-    for ci, cls in enumerate(head.classes):
-        wc = _sq_vec(head.W[:, ci])
-        scores.append(f"({_sq_dot('e', wc)} + {float(head.b[ci])!r}) AS s{ci}")
-    # numpy argmax = first index attaining the max
-    case = "CASE "
-    for ci, cls in enumerate(head.classes):
-        conds = [f"s{ci} >= s{cj}" for cj in range(len(head.classes)) if cj != ci]
-        case += f"WHEN {' AND '.join(conds)} THEN '{cls}' " if conds else ""
-    case += f"ELSE '{head.classes[-1]}' END"
-    return f"""
-WITH w AS (SELECT doc_id,
-  CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE {_SQ_TOKS} END AS w
-  FROM documents),
-raw AS (SELECT doc_id,
-  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
-    list_transform(w, t -> CASE WHEN {th} % {d} = j
-      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
-      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
-  FROM w),
-emb AS (SELECT doc_id,
-  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
-  FROM raw),
-sc AS (SELECT doc_id, {', '.join(scores)} FROM emb)
-SELECT doc_id, {case} AS model_lang FROM sc
-"""
 
 
 BM25_K1 = 1.2
@@ -1392,58 +1262,6 @@ def q_ppm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
 
 
-def _oracle_ppm_image_features() -> str:
-    w, h = PPM_W, PPM_H
-    n_bytes = len(PPM_HEADER) + w * h * 3
-    pix = f"CAST((doc_id * 31 + y * {w} + x + 7 * c) % 256 AS DOUBLE)"
-    lum_c = lambda c: f"CAST((doc_id * 31 + y * {w} + x + {7 * c}) % 256 AS DOUBLE)"  # noqa: E731
-    luma = f"((0.299 * {lum_c(0)} + 0.587 * {lum_c(1)}) + 0.114 * {lum_c(2)})"
-    return f"""
-WITH px AS (
-  SELECT doc_id, x, y, c, {pix} AS v
-  FROM documents, range(0, {w}) tx(x), range(0, {h}) ty(y), range(0, 3) tc(c)
-),
-chan AS (SELECT doc_id, c, avg(v) AS m FROM px GROUP BY 1, 2),
-chansd AS (
-  SELECT px.doc_id, px.c, sqrt(avg(pow(px.v - chan.m, 2))) AS sd
-  FROM px JOIN chan ON px.doc_id = chan.doc_id AND px.c = chan.c
-  GROUP BY 1, 2
-),
-lum AS (
-  SELECT doc_id, x, y, {luma} AS l
-  FROM documents, range(0, {w}) tx(x), range(0, {h}) ty(y)
-),
-lstats AS (
-  SELECT doc_id, avg(l) AS ml,
-         avg(CASE WHEN floor(l / 64.0) = 0 THEN 1.0 ELSE 0.0 END) AS h0,
-         avg(CASE WHEN floor(l / 64.0) = 1 THEN 1.0 ELSE 0.0 END) AS h1,
-         avg(CASE WHEN floor(l / 64.0) = 2 THEN 1.0 ELSE 0.0 END) AS h2,
-         avg(CASE WHEN floor(l / 64.0) = 3 THEN 1.0 ELSE 0.0 END) AS h3
-  FROM lum GROUP BY 1
-),
-mm AS (SELECT doc_id, min(v) AS mn, max(v) AS mx FROM px GROUP BY 1),
-fv AS (
-  SELECT c0.doc_id, [
-    {float(w)!r}, {float(h)!r}, {float(w) / float(h)!r},
-    c0.m / 255.0, c1.m / 255.0, c2.m / 255.0,
-    s0.sd / 255.0, s1.sd / 255.0, s2.sd / 255.0,
-    l.ml / 255.0, l.h0, l.h1, l.h2, l.h3,
-    mm.mn / 255.0, mm.mx / 255.0
-  ]::DOUBLE[] AS f
-  FROM chan c0
-  JOIN chan c1 ON c0.doc_id = c1.doc_id AND c1.c = 1
-  JOIN chan c2 ON c0.doc_id = c2.doc_id AND c2.c = 2
-  JOIN chansd s0 ON c0.doc_id = s0.doc_id AND s0.c = 0
-  JOIN chansd s1 ON c0.doc_id = s1.doc_id AND s1.c = 1
-  JOIN chansd s2 ON c0.doc_id = s2.doc_id AND s2.c = 2
-  JOIN lstats l ON c0.doc_id = l.doc_id
-  JOIN mm ON c0.doc_id = mm.doc_id
-  WHERE c0.c = 0
-)
-SELECT doc_id, {n_bytes} AS n_bytes, CAST(j AS INT) AS pos,
-       {_r6('f[CAST(j + 1 AS BIGINT)]', 'val')}
-FROM fv, range(0, 16) tj(j)
-"""
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,1231 +1318,152 @@ def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _oracle_video_frames() -> str:
-    # stub strides: frame_bytes=64, every_n=10 → stride 640; one frame
-    # per stride offset over max(len, 1) bytes (ASCII corpus: VARCHAR
-    # slicing == byte slicing)
-    stride, fb = 64 * 10, 64
-    return f"""
-WITH p AS (SELECT doc_id, text AS s, greatest(octet_length(encode(text)), 1) AS n FROM documents),
-idx AS (SELECT doc_id, s, unnest(range(0, CAST(ceil(n / {float(stride)}) AS BIGINT))) AS i FROM p)
-SELECT doc_id, CAST(i AS INT) AS frame_idx,
-       octet_length(encode(substring(s, CAST(i * {stride} + 1 AS BIGINT), {fb}))) AS n_frame_bytes,
-       md5(substring(s, CAST(i * {stride} + 1 AS BIGINT), {fb})) AS frame_md5
-FROM idx
-"""
-
-
-def _oracle_image_features() -> str:
-    # stub decode: feature j = sha256 digest byte j scaled to [-1, 1];
-    # digest byte j = hex pair (2j+1, 2j+2) of the hex digest.
-    # Exploded to scalar rows to mirror the Spark side's posexplode.
-    d = 16
-    byte_j = (
-        "CAST(CAST(concat('0x', substr(sha256(text), CAST(j * 2 + 1 AS BIGINT), 2))"
-        " AS BIGINT) AS DOUBLE)"
-    )
-    return f"""
-WITH j AS (SELECT unnest(range(0, {d})) AS j)
-SELECT doc_id,
-  octet_length(encode(text)) AS n_bytes,
-  CAST(j AS INT) AS pos,
-  {_r6(f'({byte_j} / 255.0) * 2.0 - 1.0', 'val')}
-FROM documents, j
-"""
-
-
-def _oracle_binary_meta() -> str:
-    return """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_id
-FROM documents
-"""
-
-
-def _oracle_bulk_random_load() -> str:
-    # Exploded to scalar (pos, val) rows to mirror the Spark side's
-    # posexplode (driver canon cannot hash array cells).
-    n, d = BULK_N, BULK_DIM
-    h = "CAST(concat('0x', substr(md5(concat_ws('-', '42', CAST(vec_id AS VARCHAR), CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)"
-    return f"""
-WITH ids AS (SELECT unnest(range(0, {n})) AS vec_id),
-raw AS (SELECT vec_id,
-  list_transform(range(0, {d}), j ->
-    (CAST({h} AS DOUBLE) / 1152921504606846976.0) * 2.0 - 1.0) AS c
-  FROM ids),
-norm AS (SELECT vec_id,
-  list_transform(c, x -> x / coalesce(nullif({_sq_norm('c')}, 0), 1e-12)) AS e
-  FROM raw),
-expl AS (SELECT vec_id, unnest(range(0, {d})) AS pos FROM norm),
-j AS (SELECT e.vec_id, x.pos, e.e[x.pos + 1] AS v
-      FROM norm e JOIN expl x ON e.vec_id = x.vec_id)
-SELECT vec_id, CAST(pos AS INT) AS pos, {_r6('v', 'val')}
-FROM j
-"""
-
-
-def _oracle_collection_stats() -> str:
-    return """
-SELECT count(*) AS n_vectors,
-       min(len(embedding)) AS dim_min,
-       max(len(embedding)) AS dim_max
-FROM embeddings
-"""
-
-
-def _oracle_topk(metric: str) -> str:
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-scored AS (SELECT vec_id, {_sq_score('embedding', 'qv', metric)} AS s FROM embeddings, q)
-SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_shard_pruned_topk() -> str:
-    # stored vectors are NORMALIZED at write (prepare: normalize-on-write),
-    # so the mirror scores the normalized list against the raw query
-    norm_e = (
-        f"list_transform(embedding, x -> CAST(x AS DOUBLE)"
-        f" / coalesce(nullif({_sq_norm('embedding')}, 0), 1e-12))"
-    )
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-n AS (SELECT vec_id, {norm_e} AS e FROM embeddings
-      WHERE len(embedding) = 64 AND vec_id % {N_SHARDS} = {SHARD_PROBE}),
-scored AS (SELECT vec_id, {_sq_cosine('e', 'qv')} AS s FROM n, q)
-SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_sharded_topk() -> str:
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-scored AS (SELECT vec_id, CAST(vec_id % {N_SHARDS} AS INT) AS shard,
-                  {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q),
-ranked AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY s DESC, vec_id) AS rn FROM scored)
-SELECT vec_id, shard, {_r6('s', 'score')} FROM ranked
-WHERE rn <= {TOPK_K} ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_knn() -> str:
-    return f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
-scored AS (SELECT qid, e.vec_id AS neighbor_id, {_sq_cosine('e.embedding', 'qv')} AS s
-           FROM embeddings e, q),
-ranked AS (SELECT qid, neighbor_id, s,
-                  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS INT) AS rank
-           FROM scored)
-SELECT qid, neighbor_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
-"""
-
-
-def _oracle_knn_grouped() -> str:
-    return f"""
-WITH q AS (SELECT label, vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
-scored AS (SELECT q.label, qid, e.vec_id AS neighbor_id, {_sq_cosine('e.embedding', 'qv')} AS s
-           FROM embeddings e JOIN q ON e.label = q.label),
-ranked AS (SELECT label, qid, neighbor_id, s,
-                  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS INT) AS rank
-           FROM scored)
-SELECT label, qid, neighbor_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
-"""
-
-
-def _sq_bucket(vec_expr: str) -> str:
-    terms = [
-        f"(CASE WHEN {_sq_dot(vec_expr, _sq_vec(p))} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
-        for j, p in enumerate(LSH_PLANES)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
-def _oracle_lsh_topk() -> str:
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
-cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_sq_bucket('embedding')} = qb.qbucket),
-scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
-SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_ivf_topk() -> str:
-    return f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-assign AS (SELECT e.vec_id, e.embedding,
-                  c.cid,
-                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
-           FROM embeddings e, cent c),
-cells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM assign WHERE rn = 1),
-probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
-                           FROM cent c, q) WHERE rn <= {IVF_NPROBE}),
-cand AS (SELECT vec_id, embedding FROM cells WHERE ivf_cell IN (SELECT cid FROM probe)),
-scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
-SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_topk_filtered() -> str:
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s
-           FROM embeddings, q WHERE label = {FILTER_LABEL})
-SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_recall_ivf() -> str:
-    return f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q)
-          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
-assign AS (SELECT e.vec_id, e.embedding, c.cid,
-                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
-           FROM embeddings e, cent c),
-cells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM assign WHERE rn = 1),
-probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('q.qv', 'c.cv')}, c.cid) AS rn
-                           FROM cent c, q) WHERE rn <= {IVF_NPROBE}),
-approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s
-                               FROM cells, q WHERE ivf_cell IN (SELECT cid FROM probe))
-           ORDER BY s DESC, vec_id LIMIT {TOPK_K})
-SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
-"""
-
-
-def _oracle_recall_lsh() -> str:
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q)
-          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
-qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
-cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_sq_bucket('embedding')} = qb.qbucket),
-approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
-           ORDER BY s DESC, vec_id LIMIT {TOPK_K})
-SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
-"""
-
-
-def _sq_pq_ctes(src: str = "embeddings") -> str:
-    """PQ CTEs mirroring operators.pq: codebooks = subspace slices of
-    the first PQ_KSUB corpus rows; codes = per-subspace argmin (ties →
-    lowest centroid id); LUT = subspace dot products against the query;
-    exposes ``pq_scored(vec_id, s)`` with the ADC score — the same
-    double-precision folds, in the same order, as the Spark side.
-    ``src`` is the (vec_id, embedding) relation to encode — the full
-    corpus by default, a pre-pruned candidate CTE for IVF-PQ."""
-    dsub = 64 // PQ_M
-    sl_e = f"list_slice(e.embedding, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
-    sl_c = f"list_slice(c.cv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
-    sl_q = f"list_slice(q.qv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
-    return f"""
-cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {PQ_KSUB}),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-sub AS (SELECT unnest(range(0, {PQ_M})) AS j),
-__pqd AS (SELECT e.vec_id, s.j, c.cid, {_sq_l2sq(sl_e, sl_c)} AS d
-          FROM {src} e, sub s, cb c),
-__pqc AS (SELECT vec_id, j, cid FROM (
-            SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
-            FROM __pqd) WHERE rn = 1),
-__pqcode AS (SELECT vec_id, list(cid ORDER BY j) AS code FROM __pqc GROUP BY vec_id),
-__pqlutv AS (SELECT s.j, c.cid, {_sq_dot(sl_q, sl_c)} AS v FROM sub s, cb c, q),
-__pqlut AS (SELECT list(l ORDER BY j) AS lut FROM (
-              SELECT j, list(v ORDER BY cid) AS l FROM __pqlutv GROUP BY j) ),
-pq_scored AS (SELECT vec_id,
-                     list_sum(list_transform(range(0, {PQ_M}),
-                              j -> lut[j + 1][code[j + 1] + 1])) AS s
-              FROM __pqcode, __pqlut)
-"""
-
-
-def _oracle_pq_topk() -> str:
-    return f"""
-WITH {_sq_pq_ctes()}
-SELECT vec_id, {_r6('s', 'score')} FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_ivfpq_topk() -> str:
-    """IVF mirror (assign + probe) restricted to the probed cells, then
-    the PQ mirror encoding/scoring only those candidates — encoding is
-    per-row independent, so encode-then-filter ≡ filter-then-encode."""
-    return f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
-iq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-__iassign AS (SELECT e.vec_id, e.embedding, c.cid,
-                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
-           FROM embeddings e, cent c),
-__icells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM __iassign WHERE rn = 1),
-__iprobe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
-                           FROM cent c, iq) WHERE rn <= {IVF_NPROBE}),
-cand AS (SELECT vec_id, embedding FROM __icells WHERE ivf_cell IN (SELECT cid FROM __iprobe)),
-{_sq_pq_ctes('cand').strip()}
-SELECT vec_id, {_r6('s', 'score')} FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_recall_ivfpq() -> str:
-    return f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
-iq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-__iassign AS (SELECT e.vec_id, e.embedding, c.cid,
-                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
-           FROM embeddings e, cent c),
-__icells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM __iassign WHERE rn = 1),
-__iprobe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
-                           FROM cent c, iq) WHERE rn <= {IVF_NPROBE}),
-cand AS (SELECT vec_id, embedding FROM __icells WHERE ivf_cell IN (SELECT cid FROM __iprobe)),
-{_sq_pq_ctes('cand').strip()},
-exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
-          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
-approx AS (SELECT vec_id FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
-SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
-"""
-
-
-def _oracle_pq_rerank_topk() -> str:
-    return f"""
-WITH {_sq_pq_ctes()},
-shortlist AS (SELECT vec_id FROM pq_scored ORDER BY s DESC, vec_id LIMIT {PQ_RERANK}),
-exact AS (SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s
-          FROM embeddings e JOIN shortlist USING (vec_id), q)
-SELECT vec_id, {_r6('s', 'score')} FROM exact ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_recall_pq() -> str:
-    return f"""
-WITH {_sq_pq_ctes()},
-exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
-          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
-approx AS (SELECT vec_id FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
-SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
-"""
-
-
-def _sq_sq_ctes() -> str:
-    """Scalar-quantization CTEs mirroring operators.sq: per-dimension
-    exact min/max ranges from the corpus; codes = HALF_UP-rounded
-    offsets against (hi−lo)/255 steps (constant dims → 0); the score is
-    the affine fold c0 + Σ a_d·code_d with a_d = q_d·step_d — the same
-    double arithmetic, in the same sequential order, as the Spark side.
-    Exposes ``sq_scored(vec_id, s)``."""
-    return """
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-__sqdims AS (SELECT unnest(range(1, 65)) AS i),
-__sqrng AS (SELECT i, CAST(min(e.embedding[i]) AS DOUBLE) AS lo,
-                   CAST(max(e.embedding[i]) AS DOUBLE) AS hi
-            FROM embeddings e, __sqdims GROUP BY i),
-__sqrl AS (SELECT list(lo ORDER BY i) AS los,
-                  list((hi - lo) / 255.0 ORDER BY i) AS steps
-           FROM __sqrng),
-__sqcodes AS (SELECT e.vec_id,
-                list_transform(e.embedding, (x, i) ->
-                  least(255, greatest(0, CAST(CASE WHEN steps[i] = 0 THEN 0.0
-                    ELSE round((CAST(x AS DOUBLE) - los[i]) / steps[i]) END AS INT)))) AS code
-              FROM embeddings e, __sqrl),
-__sqcoef AS (SELECT list_transform(qv, (x, i) -> CAST(x AS DOUBLE) * steps[i]) AS a,
-                    list_sum(list_transform(qv, (x, i) -> CAST(x AS DOUBLE) * los[i])) AS c0
-             FROM q, __sqrl),
-sq_scored AS (SELECT vec_id,
-                     c0 + list_sum(list_transform(code, (c, i) -> CAST(c AS DOUBLE) * a[i])) AS s
-              FROM __sqcodes, __sqcoef)
-"""
-
-
-def _oracle_sq_topk() -> str:
-    return f"""
-WITH {_sq_sq_ctes()}
-SELECT vec_id, {_r6('s', 'score')} FROM sq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_sq_rerank_topk() -> str:
-    return f"""
-WITH {_sq_sq_ctes()},
-shortlist AS (SELECT vec_id FROM sq_scored ORDER BY s DESC, vec_id LIMIT {SQ_RERANK}),
-exact AS (SELECT e.vec_id, {_sq_dot('e.embedding', 'q.qv')} AS s
-          FROM embeddings e JOIN shortlist USING (vec_id), q)
-SELECT vec_id, {_r6('s', 'score')} FROM exact ORDER BY s DESC, vec_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_recall_sq() -> str:
-    return f"""
-WITH {_sq_sq_ctes()},
-exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_dot('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
-          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
-approx AS (SELECT vec_id FROM sq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
-SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
-"""
-
-
-def _oracle_topk_per_label() -> str:
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-scored AS (SELECT label, vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q),
-ranked AS (SELECT label, vec_id, s,
-                  CAST(row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS INT) AS rank
-           FROM scored)
-SELECT label, vec_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {GROUP_TOPK_K}
-"""
-
-
-def _oracle_doc_mean_pool() -> str:
-    d = RAG_DIM
-    th = _sq_tok_hash("t")
-    chunk_sql = _oracle_chunk_documents().strip()
-    return f"""
-WITH chunked AS ({chunk_sql}),
-ct AS (SELECT doc_id, chunk_id, regexp_split_to_array(trim(chunk_text), '\\s+') AS w
-       FROM chunked WHERE doc_id < {POOL_DOC_LIMIT}),
-raw AS (SELECT doc_id, chunk_id,
-  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
-    list_transform(w, t -> CASE WHEN {th} % {d} = j
-      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
-      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
-  FROM ct),
-emb AS (SELECT doc_id, chunk_id,
-  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
-  FROM raw),
-g AS (SELECT doc_id, list(e ORDER BY chunk_id) AS es, count(*) AS n FROM emb GROUP BY doc_id),
-pool AS (SELECT doc_id,
-  list_transform(range(0, {d}), j -> list_sum(list_transform(es, v -> v[j + 1])) / n) AS de
-  FROM g)
-SELECT doc_id, CAST(i - 1 AS INT) AS pos, round(de[i], 6) + 0.0 AS val
-FROM pool, (SELECT unnest(range(1, {d + 1})) AS i)
-"""
-
-
-def _oracle_recall_lsh_multiprobe() -> str:
-    # mirror of search.lsh_probe_buckets: rank planes by |⟨q, p_j⟩|
-    # ascending (ties by j), flip the weakest MULTIPROBE_BUCKETS-1 bits
-    margin_rows = " UNION ALL ".join(
-        f"SELECT {j} AS j, abs({_sq_dot('qv', _sq_vec(p))}) AS m FROM q"
-        for j, p in enumerate(LSH_PLANES)
-    )
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM embeddings, q)
-          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
-qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
-margins AS ({margin_rows}),
-flips AS (SELECT j FROM (SELECT j, row_number() OVER (ORDER BY m ASC, j) AS rn FROM margins)
-          WHERE rn <= {MULTIPROBE_BUCKETS - 1}),
-probes AS (SELECT qbucket AS b FROM qb
-           UNION ALL SELECT xor(qbucket, (1::BIGINT << j)) AS b FROM qb, flips),
-cand AS (SELECT vec_id, embedding FROM embeddings
-         WHERE {_sq_bucket('embedding')} IN (SELECT b FROM probes)),
-approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
-           ORDER BY s DESC, vec_id LIMIT {TOPK_K})
-SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
-"""
-
-
-def _oracle_prepare_vectors() -> str:
-    return f"""
-SELECT vec_id, label, CAST(vec_id % {N_SHARDS} AS INT) AS shard
-FROM embeddings WHERE len(embedding) = 64
-"""
-
-
-def _oracle_normalized_vectors() -> str:
-    return f"""
-WITH n AS (SELECT vec_id, embedding, coalesce(nullif({_sq_norm('embedding')}, 0), 1e-12) AS nrm
-           FROM embeddings WHERE vec_id < 50)
-SELECT vec_id, CAST(i - 1 AS INT) AS pos,
-       round(CAST(embedding[i] AS DOUBLE) / nrm, 6) + 0.0 AS val
-FROM n, (SELECT unnest(range(1, 65)) AS i)
-"""
-
-
-def _oracle_chunk_documents() -> str:
-    w = CHUNK_WORDS
-    return f"""
-WITH toks AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
-idx AS (SELECT doc_id, t, unnest(range(0, greatest(CAST(ceil(len(t) / {float(w)}) AS BIGINT), 1))) AS i FROM toks),
-chunks AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-                  array_to_string(list_slice(t, i * {w} + 1, i * {w} + {w}), ' ') AS chunk_text
-           FROM idx)
-SELECT doc_id, chunk_idx,
-       concat(CAST(doc_id AS VARCHAR), '::chunk', CAST(chunk_idx AS VARCHAR), '::',
-              substr(md5(chunk_text), 1, 8)) AS chunk_id,
-       chunk_text
-FROM chunks
-"""
-
-
-def _oracle_rag_context() -> str:
-    """DuckDB mirror of the full RAG retrieval tail. The hash embedding
-    is re-derived in SQL (same md5-derived bucket/sign, same ε-guarded
-    normalization); the question vector is the same Python-computed
-    literal the Spark side closes over."""
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
-        hash_embed_py,
-    )
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.rag import (
-        PROMPT_TEMPLATE,
-    )
-
-    d = RAG_DIM
-    qv = _sq_vec(hash_embed_py(RAG_QUESTION, dim=d))
-    th = _sq_tok_hash("t")
-    chunk_sql = _oracle_chunk_documents().strip()
-    prompt = PROMPT_TEMPLATE.replace("'", "''")
-    # raw[j] = Σ_tokens ±1[bucket==j]; emb = raw / max(‖raw‖, 1e-12)
-    return f"""
-WITH chunked AS ({chunk_sql}),
-ct AS (SELECT chunk_id, chunk_text, regexp_split_to_array(trim(chunk_text), '\\s+') AS w FROM chunked),
-raw AS (SELECT chunk_id, chunk_text,
-  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
-    list_transform(w, t -> CASE WHEN {th} % {d} = j
-      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
-      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
-  FROM ct),
-emb AS (SELECT chunk_id, chunk_text,
-  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
-  FROM raw),
-hits AS (SELECT chunk_id, chunk_text, {_sq_cosine('e', qv)} AS score
-  FROM emb ORDER BY score DESC, chunk_id LIMIT {RAG_K}),
-ctx AS (SELECT 0 AS qid,
-  string_agg('- ' || chunk_text, chr(10) || chr(10) ORDER BY score DESC, chunk_text) AS context
-  FROM hits)
-SELECT qid, context,
-       printf('{prompt}', context, '{RAG_QUESTION}') AS prompt
-FROM ctx
-"""
-
-
-def _sq_bm25_ctes() -> str:
-    """BM25 CTEs over ``documents``; exposes ``bm25(doc_id, score)``.
-    Mirrors operators.lexical.bm25_topk: same left-associated double
-    arithmetic, same term-ordered sequential score fold (list_sum over
-    ``list(s ORDER BY term)`` ≡ sort_array + F.aggregate)."""
-    terms = sorted(set(RAG_QUESTION.split()))
-    term_list = ", ".join(f"'{t}'" for t in terms)
-    k1, b = BM25_K1, BM25_B
-    return f"""
-__bl AS (SELECT doc_id, len({_SQ_TOKS}) AS dl, {_SQ_TOKS} AS t FROM documents),
-__const AS (SELECT count(*) AS n, sum(dl) AS sdl FROM __bl),
-__terms AS (SELECT doc_id, dl, unnest(t) AS term FROM __bl),
-__tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM __terms
-         WHERE term IN ({term_list}) GROUP BY 1, 2, 3),
-__dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM __tf GROUP BY 1),
-__sc AS (SELECT doc_id, term,
-           ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
-           * (tf * ({k1} + 1.0))
-           / (tf + {k1} * (1.0 - {b} + {b} * dl / (CAST(sdl AS DOUBLE) / n))) AS s
-         FROM __tf JOIN __dfreq USING (term), __const),
-bm25 AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score FROM __sc GROUP BY doc_id)
-"""
-
-
-def _oracle_bm25_topk() -> str:
-    return f"""
-WITH {_sq_bm25_ctes().strip()}
-SELECT doc_id, {_r6('score', 'score')} FROM bm25
-ORDER BY score DESC, doc_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_hybrid_topk_rrf() -> str:
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
-        hash_embed_py,
-    )
-
-    d = RAG_DIM
-    qv = _sq_vec(hash_embed_py(RAG_QUESTION, dim=d))
-    th = _sq_tok_hash("t")
-    return f"""
-WITH {_sq_bm25_ctes().strip()},
-__w AS (SELECT doc_id, {_SQ_TOKS} AS w FROM documents),
-__raw AS (SELECT doc_id,
-  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
-    list_transform(w, t -> CASE WHEN {th} % {d} = j
-      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
-      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
-  FROM __w),
-__emb AS (SELECT doc_id,
-  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
-  FROM __raw),
-__dense AS (SELECT doc_id, {_sq_cosine('e', qv)} AS score FROM __emb
-            ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
-__dr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM __dense),
-__lex AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
-__lr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM __lex),
-__fused AS (SELECT coalesce(__dr.doc_id, __lr.doc_id) AS doc_id,
-              coalesce(1.0 / ({RRF_C} + __dr.r), 0.0)
-              + coalesce(1.0 / ({RRF_C} + __lr.r), 0.0) AS rrf_score
-            FROM __dr FULL OUTER JOIN __lr ON __dr.doc_id = __lr.doc_id)
-SELECT doc_id, {_r6('rrf_score', 'rrf_score')} FROM __fused
-ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_K}
-"""
-
-
-def _oracle_exact_dedup() -> str:
-    return """
-SELECT doc_id, lang FROM (
-  SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
-) WHERE rn = 1
-"""
-
-
-def _oracle_near_dup_pairs() -> str:
-    return f"""
-WITH {_SQ_TIDS_CTES.strip()},
-{_SQ_NEAR_DUP_CTES.strip()}
-SELECT id_a, id_b, {_r6('jaccard', 'jaccard')} FROM near_pairs
-"""
-
-
-def _oracle_stratified_sample() -> str:
-    mod = 1_000_000
-    rate = "0.0"
-    for s, r in SAMPLE_RATES.items():
-        rate = f"CASE WHEN lang = '{s}' THEN {float(r)} ELSE {rate} END"
-    h = _sq_tok_hash("CAST(doc_id AS VARCHAR)")
-    return f"""
-SELECT doc_id, lang FROM documents
-WHERE {h} % {mod} < CAST(({rate}) * {mod} AS BIGINT)
-"""
-
-
-def _oracle_pack_sequences() -> str:
-    return f"""
-WITH t AS (SELECT lang, doc_id,
-                  CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQ_TOKS}) END AS n_tokens
-           FROM documents),
-c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
-       CAST(floor((cum - n_tokens) / {PACK_SEQ_LEN}) AS BIGINT) AS bin_id,
-       CAST(cum - n_tokens - floor((cum - n_tokens) / {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS BIGINT) AS bin_offset
-FROM c
-"""
-
-
-def _oracle_embedding_near_dup_lsh() -> str:
-    return f"""
-WITH b AS (SELECT vec_id, embedding, {_sq_bucket('embedding')} AS bk FROM embeddings),
-pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-                 {_sq_cosine('x.embedding', 'y.embedding')} AS c
-          FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id)
-SELECT id_a, id_b, {_r6('c', 'cosine')} FROM pairs WHERE c >= {EMB_NEAR_DUP_TAU}
-"""
-
-
-def _oracle_curate_corpus() -> str:
-    """Curation composite mirror: quality + lang over documents, gate,
-    exact dedup, then the near-dup CTEs rebuilt over the SURVIVOR set
-    (the vocabulary is rebuilt over the same rows the Spark pipeline
-    hashes)."""
-    langs = ", ".join(f"'{x}'" for x in CURATE_LANGS)
-    quality = (
-        "(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
-        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
-        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio)"
-    )
-    return f"""
-WITH __qt AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
-__qm AS (SELECT doc_id,
-             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
-               / greatest(len(toks), 1) AS sw_ratio,
-             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) AS alpha_ratio,
-             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
-             len(toks) AS n_tok
-      FROM __qt),
-__q AS (SELECT doc_id, round({quality}, 6) AS quality FROM __qm),
-__lt AS (SELECT doc_id, list_distinct(list_transform({_SQ_TOKS}, tk -> lower(tk))) AS lt FROM documents),
-__lh AS (SELECT doc_id, l.lang, len(list_filter(lt, tk -> list_contains(l.words, tk))) AS h
-         FROM __lt, (SELECT * FROM (VALUES {_SQ_LANG_VALUES}) AS v(lang, words)) l),
-__lb AS (SELECT doc_id, lang, h,
-                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
-         FROM __lh),
-__l AS (SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pred_lang FROM __lb WHERE rn = 1),
-__gated AS (SELECT d.doc_id, d.text, q.quality, l.pred_lang
-            FROM documents d JOIN __q q USING (doc_id) JOIN __l l USING (doc_id)
-            WHERE q.quality >= {CURATE_MIN_QUALITY} AND l.pred_lang IN ({langs})),
-curated0 AS (SELECT doc_id, text, quality, pred_lang FROM (
-               SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM __gated
-             ) WHERE rn = 1),
-{_sq_tids_ctes_from('curated0').strip()},
-{_SQ_NEAR_DUP_CTES.strip()},
-__losers AS (SELECT DISTINCT id_b FROM near_pairs)
-SELECT doc_id, quality + 0.0 AS quality, pred_lang
-FROM curated0
-WHERE NOT EXISTS (SELECT 1 FROM __losers WHERE __losers.id_b = curated0.doc_id)
-"""
-
-
-def _oracle_curate_corpus_full() -> str:
-    """Full-hygiene composite mirror: the curate mirror plus a
-    repetition-gate CTE, the PII regexp_replace chain (identity on this
-    corpus — the md5 pins that), and decontamination CTEs over the
-    survivor set."""
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.pii import (
-        EMAIL_RE,
-        IPV4_RE,
-        PHONE_RE,
-    )
-
-    langs = ", ".join(f"'{x}'" for x in CURATE_LANGS)
-    quality = (
-        "(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
-        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
-        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio)"
-    )
-    redact = (
-        "regexp_replace(regexp_replace(regexp_replace(text, '"
-        + EMAIL_RE
-        + "', '[EMAIL]', 'g'), '"
-        + PHONE_RE
-        + "', '[PHONE]', 'g'), '"
-        + IPV4_RE
-        + "', '[IP]', 'g')"
-    )
-    probe_text = (
-        f"array_to_string(list_slice({_SQ_TOKS}, 1, {CONTAM_PROBE_TOKENS}), ' ')"
-    )
-    return f"""
-WITH __qt AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
-__qm AS (SELECT doc_id,
-             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
-               / greatest(len(toks), 1) AS sw_ratio,
-             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) AS alpha_ratio,
-             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
-             len(toks) AS n_tok
-      FROM __qt),
-__q AS (SELECT doc_id, round({quality}, 6) AS quality FROM __qm),
-__lt AS (SELECT doc_id, list_distinct(list_transform({_SQ_TOKS}, tk -> lower(tk))) AS lt FROM documents),
-__lh AS (SELECT doc_id, l.lang, len(list_filter(lt, tk -> list_contains(l.words, tk))) AS h
-         FROM __lt, (SELECT * FROM (VALUES {_SQ_LANG_VALUES}) AS v(lang, words)) l),
-__lb AS (SELECT doc_id, lang, h,
-                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
-         FROM __lh),
-__l AS (SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pred_lang FROM __lb WHERE rn = 1),
-__rt AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
-__rsh AS (SELECT doc_id, unnest({_sq_shingles('t', REPEAT_N)}) AS ngram FROM __rt),
-__rc AS (SELECT doc_id, ngram, count(*) AS cnt FROM __rsh GROUP BY 1, 2),
-__rp AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ng, count(*) AS n_d FROM __rc GROUP BY 1),
-__rep AS (SELECT doc_id, round(1.0 - n_d / CAST(n_ng AS DOUBLE), 6) AS dup_ngram_ratio FROM __rp),
-__gated AS (SELECT d.doc_id, {redact} AS text, q.quality, l.pred_lang, r.dup_ngram_ratio
-            FROM documents d JOIN __q q USING (doc_id) JOIN __l l USING (doc_id)
-                 JOIN __rep r USING (doc_id)
-            WHERE q.quality >= {CURATE_MIN_QUALITY} AND l.pred_lang IN ({langs})
-              AND r.dup_ngram_ratio <= {CURATE_MAX_DUP}),
-curated0 AS (SELECT doc_id, text, quality, pred_lang, dup_ngram_ratio FROM (
-               SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM __gated
-             ) WHERE rn = 1),
-{_sq_tids_ctes_from('curated0').strip()},
-{_SQ_NEAR_DUP_CTES.strip()},
-__losers AS (SELECT DISTINCT id_b FROM near_pairs),
-__surv AS (SELECT * FROM curated0
-           WHERE NOT EXISTS (SELECT 1 FROM __losers WHERE __losers.id_b = curated0.doc_id)),
-__pb AS (SELECT doc_id, {probe_text} AS text FROM documents WHERE doc_id % {CONTAM_PROBE_MOD} = 0),
-__pt AS (SELECT doc_id AS probe_id, {_SQ_TOKS} AS t FROM __pb),
-__png AS (SELECT probe_id, unnest(list_distinct({_sq_shingles('t', CONTAM_N)})) AS ngram FROM __pt),
-__pden AS (SELECT probe_id, count(*) AS n_probe FROM __png GROUP BY 1),
-__tt AS (SELECT doc_id AS train_id, {_SQ_TOKS} AS t FROM __surv),
-__tng AS (SELECT train_id, unnest(list_distinct({_sq_shingles('t', CONTAM_N)})) AS ngram FROM __tt),
-__hits AS (SELECT train_id, probe_id, count(*) AS c FROM __tng JOIN __png USING (ngram) GROUP BY 1, 2),
-__flag AS (SELECT DISTINCT train_id FROM __hits JOIN __pden USING (probe_id)
-           WHERE round(c / CAST(n_probe AS DOUBLE), 6) + 0.0 >= {CONTAM_THRESHOLD})
-SELECT doc_id, quality + 0.0 AS quality, pred_lang,
-       dup_ngram_ratio + 0.0 AS dup_ngram_ratio, md5(text) AS redacted_md5
-FROM __surv
-WHERE NOT EXISTS (SELECT 1 FROM __flag WHERE __flag.train_id = __surv.doc_id)
-"""
-
-
-def _oracle_jaccard_pairs() -> str:
-    return f"""
-WITH {_SQ_TIDS_CTES.strip()},
-ex AS (SELECT doc_id, len(tids) AS n, unnest(tids) AS tid FROM tids),
-agg AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS inter
-        FROM ex a JOIN ex b ON a.tid = b.tid AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4)
-SELECT id_a, id_b, {_r6('CAST(inter AS DOUBLE) / (na + nb - inter)', 'jaccard')}
-FROM agg WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_MIN}
-"""
-
-
-def _oracle_simhash() -> str:
-    return f"""
-WITH {_SQ_SIMHASH_CTES.strip()}
-SELECT doc_id, simhash FROM sim
-"""
-
-
-def _oracle_simhash_near_dups() -> str:
-    bb = SIMHASH_BITS // SIMHASH_BLOCKS
-    mask = (1 << bb) - 1
-    return f"""
-WITH {_SQ_SIMHASH_CTES.strip()},
-blocks AS (SELECT doc_id, simhash, j AS blk, (simhash >> (j * {bb})) & {mask} AS key
-           FROM sim, (SELECT unnest(range(0, {SIMHASH_BLOCKS})) AS j)),
-pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
-          FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
-"""
-
-
-def _oracle_embedding_near_dup() -> str:
-    return f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_r6(_sq_cosine('a.embedding', 'b.embedding'), 'cosine')}
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_sq_cosine('a.embedding', 'b.embedding')} >= {EMB_NEAR_DUP_TAU}
-"""
-
-
-def _oracle_dedup_clusters() -> str:
-    return f"""
-WITH RECURSIVE {_SQ_TIDS_CTES.strip()},
-{_SQ_NEAR_DUP_CTES.strip()},
-edges AS (SELECT id_a AS s, id_b AS d FROM near_pairs
-          UNION SELECT id_b, id_a FROM near_pairs),
-reach (s, d) AS (SELECT s, d FROM edges
-                 UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-SELECT s AS doc_id, least(min(d), s) AS canonical_id FROM reach GROUP BY s
-"""
-
-
-def _oracle_token_stats() -> str:
-    return f"""
-WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents)
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword_tokens,
-       {_r6("CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) / greatest(len(toks), 1)", 'avg_token_len')}
-FROM t
-"""
-
-
-_SQ_SW = "[" + ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
-
-#: language → wordlist VALUES rows (shared by lang_id + curation oracles);
-#: must stay in sync with operators.textstats.lang_id's wordlists
-_LANG_WORDLISTS = {
-    "en": TX.EN_STOPWORDS,
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
-    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pour"],
-    "es": ["el", "la", "los", "las", "es", "una", "uno", "para", "con", "por"],
-}
-_SQ_LANG_VALUES = ", ".join(
-    "('" + lang + "', [" + ", ".join(f"'{w}'" for w in words) + "])"
-    for lang, words in _LANG_WORDLISTS.items()
-)
-
-
-def _oracle_budget_select() -> str:
-    quality = (
-        "round(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
-        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
-        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio, 6)"
-    )
-    ws_tokens = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQ_TOKS}) END"
-    return f"""
-WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
-m AS (SELECT doc_id,
-             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
-               / greatest(len(toks), 1) AS sw_ratio,
-             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) AS alpha_ratio,
-             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
-             len(toks) AS n_tok
-      FROM t),
-j AS (SELECT d.doc_id, {quality} AS quality, {ws_tokens} AS ntk
-      FROM documents d JOIN m USING (doc_id)),
-c AS (SELECT doc_id, quality, ntk,
-             sum(ntk) OVER (ORDER BY quality DESC, doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM j)
-SELECT doc_id, quality + 0.0 AS quality, CAST(ntk AS BIGINT) AS n_tokens,
-       CAST(cum AS BIGINT) AS cum_tokens
-FROM c WHERE cum <= {BUDGET_TOKENS}
-"""
-
-
-def _oracle_knn_classify() -> str:
-    return f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
-scored AS (SELECT qid, e.vec_id AS neighbor_id, {_sq_cosine('e.embedding', 'qv')} AS s
-           FROM embeddings e, q),
-ranked AS (SELECT qid, neighbor_id, s,
-                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS rank
-           FROM scored),
-nn AS (SELECT qid, neighbor_id, s FROM ranked WHERE rank <= {KNN_K}),
-lv AS (SELECT qid, e.label, count(*) AS votes, sum(s) AS vote_score
-       FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2),
-best AS (SELECT *, row_number() OVER (PARTITION BY qid
-                   ORDER BY votes DESC, vote_score DESC, label) AS rn FROM lv)
-SELECT qid, CAST(label AS INT) AS pred_label, CAST(votes AS BIGINT) AS votes,
-       {_r6('vote_score', 'vote_score')}
-FROM best WHERE rn = 1
-"""
-
-
-def _oracle_quality_score() -> str:
-    return f"""
-WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
-m AS (SELECT doc_id,
-             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
-               / greatest(len(toks), 1) AS sw_ratio,
-             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) AS alpha_ratio,
-             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
-             len(toks) AS n_tok
-      FROM t)
-SELECT doc_id,
-       {_r6('sw_ratio', 'stopword_ratio')},
-       {_r6('alpha_ratio', 'alpha_ratio')},
-       {_r6('distinct_ratio', 'distinct_token_ratio')},
-       {_r6("(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
-            " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
-            " + 0.25 * alpha_ratio + 0.25 * distinct_ratio)", 'quality')}
-FROM m
-"""
-
-
-def _oracle_lang_id() -> str:
-    wordlists = {
-        "en": TX.EN_STOPWORDS,
-        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
-        "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "pour"],
-        "es": ["el", "la", "los", "las", "es", "una", "uno", "para", "con", "por"],
-    }
-    values = ", ".join(
-        "('" + lang + "', [" + ", ".join(f"'{w}'" for w in words) + "])"
-        for lang, words in wordlists.items()
-    )
-    return f"""
-WITH t AS (SELECT doc_id, list_distinct(list_transform({_SQ_TOKS}, tk -> lower(tk))) AS lt FROM documents),
-hits AS (SELECT doc_id, l.lang,
-                len(list_filter(lt, tk -> list_contains(l.words, tk))) AS h
-         FROM t, (SELECT * FROM (VALUES {values}) AS v(lang, words)) l),
-best AS (SELECT doc_id, lang, h,
-                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
-         FROM hits)
-SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pred_lang, CAST(h AS INT) AS stopword_hits
-FROM best WHERE rn = 1
-"""
-
-
-def _oracle_rolling_fingerprint() -> str:
-    k, base, prime = SHINGLE_N, T.FP_BASE, T.FP_PRIME
-    return f"""
-WITH t AS (SELECT doc_id, list_transform({_SQ_TOKS}, tok -> {_sq_tok_hash('tok')} % {1 << 30}) AS tids
-           FROM documents),
-w AS (SELECT doc_id, list_transform(range(1, greatest(len(tids) - {k - 1}, 1) + 1),
-             i -> list_reduce(list_prepend(0::BIGINT, list_slice(tids, i, i + {k - 1})),
-                              (acc, x) -> (acc * {base} + x) % {prime})) AS wh
-      FROM t)
-SELECT doc_id, list_min(wh) AS fingerprint, CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows
-FROM w
-"""
-
-
-def _oracle_corpus_stats() -> str:
-    return f"""
-WITH t AS (SELECT lang, source, text,
-                  CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQ_TOKS}) END AS ntok
-           FROM documents)
-SELECT lang, source, count(*) AS n_docs,
-       CAST(sum(length(text)) AS BIGINT) AS total_chars,
-       CAST(sum(ntok) AS BIGINT) AS total_tokens,
-       {_r6('avg(length(text))', 'avg_chars')}
-FROM t GROUP BY lang, source
-"""
-
-
-def _oracle_repetition_stats() -> str:
-    return f"""
-WITH t AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, unnest({_sq_shingles('t', REPEAT_N)}) AS ngram FROM t),
-c AS (SELECT doc_id, ngram, count(*) AS cnt FROM sh GROUP BY 1, 2),
-p AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
-             count(*) AS n_distinct_ngrams, max(cnt) AS top FROM c GROUP BY 1)
-SELECT doc_id, n_ngrams, n_distinct_ngrams,
-       {_r6('1.0 - n_distinct_ngrams / CAST(n_ngrams AS DOUBLE)', 'dup_ngram_ratio')},
-       {_r6('top / CAST(n_ngrams AS DOUBLE)', 'top_ngram_ratio')}
-FROM p
-"""
-
-
-def _oracle_contamination_pairs() -> str:
-    probe_text = (
-        f"array_to_string(list_slice({_SQ_TOKS}, 1, {CONTAM_PROBE_TOKENS}), ' ')"
-    )
-    return f"""
-WITH probes AS (SELECT doc_id, {probe_text} AS text
-                FROM documents WHERE doc_id % {CONTAM_PROBE_MOD} = 0),
-pt AS (SELECT doc_id AS probe_id, {_SQ_TOKS} AS t FROM probes),
-png AS (SELECT probe_id, unnest(list_distinct({_sq_shingles('t', CONTAM_N)})) AS ngram FROM pt),
-pden AS (SELECT probe_id, count(*) AS n_probe_ngrams FROM png GROUP BY 1),
-tt AS (SELECT doc_id AS train_id, {_SQ_TOKS} AS t FROM documents),
-tng AS (SELECT train_id, unnest(list_distinct({_sq_shingles('t', CONTAM_N)})) AS ngram FROM tt),
-hits AS (SELECT train_id, probe_id, count(*) AS n_common
-         FROM tng JOIN png USING (ngram) GROUP BY 1, 2),
-j AS (SELECT train_id, probe_id, n_common,
-             round(n_common / CAST(n_probe_ngrams AS DOUBLE), 6) + 0.0 AS containment
-      FROM hits JOIN pden USING (probe_id))
-SELECT train_id, probe_id, n_common, containment
-FROM j WHERE containment >= {CONTAM_THRESHOLD}
-"""
-
-
-def _oracle_pii_scrub() -> str:
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.pii import (
-        EMAIL_RE,
-        IPV4_RE,
-        PHONE_RE,
-    )
-
-    # the patterns contain regex braces — keep them OUT of f-string bodies
-    aug = (
-        "SELECT doc_id, concat(text,"
-        " CASE WHEN doc_id % 5 = 0 THEN concat(' Contact user', CAST(doc_id AS VARCHAR), '@example.com now.') ELSE '' END,"
-        " CASE WHEN doc_id % 7 = 0 THEN ' Call 555-123-4567.' ELSE '' END,"
-        " CASE WHEN doc_id % 11 = 0 THEN ' Host 10.0.0.1 up.' ELSE '' END) AS text"
-        " FROM documents"
-    )
-    red = (
-        "regexp_replace(regexp_replace(regexp_replace(text, '"
-        + EMAIL_RE
-        + "', '[EMAIL]', 'g'), '"
-        + PHONE_RE
-        + "', '[PHONE]', 'g'), '"
-        + IPV4_RE
-        + "', '[IP]', 'g')"
-    )
-    n_em = "len(regexp_extract_all(text, '" + EMAIL_RE + "'))"
-    n_ph = "len(regexp_extract_all(text, '" + PHONE_RE + "'))"
-    n_ip = "len(regexp_extract_all(text, '" + IPV4_RE + "'))"
-    return (
-        "WITH aug AS (" + aug + ")\n"
-        "SELECT doc_id,\n"
-        "  CAST(" + n_em + " AS INT) AS n_emails,\n"
-        "  CAST(" + n_ph + " AS INT) AS n_phones,\n"
-        "  CAST(" + n_ip + " AS INT) AS n_ipv4,\n"
-        "  (" + n_em + " + " + n_ph + " + " + n_ip + ") > 0 AS has_pii,\n"
-        "  md5(" + red + ") AS redacted_md5\n"
-        "FROM aug"
-    )
-
-
-_ORACLE_PRICING = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-_ORACLE_REVENUE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY n_name
-"""
-
-_ORACLE_TOP_ORDERS = """
-SELECT c_mktsegment, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
-  SELECT c_mktsegment, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rank
-  FROM orders JOIN customer ON o_custkey = c_custkey
-) WHERE rank <= 3
-"""
-
-_ORACLE_CUST_ORDER_STATS = """
-WITH per_cust AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
-SELECT coalesce(n_orders, 0) AS n_orders, count(*) AS n_customers
-FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
-GROUP BY coalesce(n_orders, 0)
-"""
-
-_ORACLE_PARTS_ROLLUP = """
-SELECT p_brand, p_type, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
-FROM part GROUP BY ROLLUP (p_brand, p_type)
-"""
-
-_ORACLE_SUPPLIER_SHARE = """
-WITH rev AS (SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
-             FROM lineitem GROUP BY l_suppkey)
-SELECT s_suppkey, n_name, round(rev, 2) AS revenue,
-       round(rev / sum(rev) OVER (PARTITION BY n_name), 6) AS nation_share
-FROM rev JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
-"""
-
-_ORACLE_CUST_NO_ORDERS = """
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderdate >= '2001-01-01')
-"""
-
-_ORACLE_SEGMENT_CHURN = """
-SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
-"""
-
-_ORACLE_ORDER_PRIORITY_CUBE = """
-SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
-FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-"""
-
-_ORACLE_PRICE_PERCENTILES = """
-SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
-       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
-FROM lineitem GROUP BY l_returnflag
-"""
-
-_ORACLE_EVENTS_HOURLY = """
-SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
-       count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value
-FROM events GROUP BY 1, 2
-"""
-
-_ORACLE_SEGMENT_RETENTION = """
-SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
-"""
-
-_ORACLE_MONTHLY_REVENUE = """
-SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mon,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-FROM orders GROUP BY 1, 2
-"""
-
-_ORACLE_EVENTS_MOVING_AVG = """
-SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
-FROM events
-"""
-
-_ORACLE_STATUS_PIVOT = """
-SELECT o_orderpriority,
-       count(*) FILTER (o_orderstatus = 'F') AS "F",
-       count(*) FILTER (o_orderstatus = 'O') AS "O",
-       count(*) FILTER (o_orderstatus = 'P') AS "P"
-FROM orders GROUP BY o_orderpriority
-"""
-
-_ORACLE_DISTINCT_USERS = """
-SELECT event_type, count(DISTINCT user_id) AS n_users
-FROM events GROUP BY event_type
-"""
-
-_ORACLE_USER_GAPS = """
-WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-g AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
-      FROM e),
-s AS (SELECT user_id, count(*) + 1 AS n_events,
-             quantile_cont(gap, 0.5) AS med, max(gap) AS max_gap_us
-      FROM g WHERE gap IS NOT NULL GROUP BY user_id)
-SELECT user_id, n_events, round(med, 6) + 0.0 AS median_gap_us, max_gap_us FROM s
-"""
-
-_ORACLE_EVENTS_ASOF = """
-WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
-c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
-p AS (SELECT user_id, ts_us, value FROM e WHERE event_type = 'purchase')
-SELECT c.event_id, c.user_id, c.ts_us, round(p.value, 6) + 0.0 AS value_asof
-FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
-"""
-
-
-def _oracle_view_click_attrib() -> str:
-    win_us = VIEW_CLICK_WINDOW_MIN * 60 * 1_000_000
-    return f"""
-WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
-v AS (SELECT event_id AS view_id, user_id, ts_us AS vts FROM e WHERE event_type = 'view'),
-c AS (SELECT event_id AS click_id, user_id, ts_us AS cts FROM e WHERE event_type = 'click')
-SELECT user_id, view_id, click_id, cts - vts AS gap_us
-FROM v JOIN c USING (user_id)
-WHERE cts > vts AND cts <= vts + {win_us}
-"""
-
-
-def _oracle_orders_price_bands() -> str:
-    cases = " ".join(
-        f"WHEN o_totalprice >= {lo} AND o_totalprice < {hi} THEN '{b}'"
-        for lo, hi, b in PRICE_BANDS
-    )
-    return f"""
-SELECT CASE {cases} END AS band, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
-FROM orders GROUP BY 1
-"""
-
-
-#  sum/min/max pinned to BIGINT on both engines (Spark side casts to
-#  long too): DuckDB sum(INT) is HUGEINT and min/max(INT) INT32, which
-#  value-hash differently even when every value is equal.
-_ORACLE_EVENTS_PROPS = """
-SELECT event_type,
-       count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
-       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS min_k,
-       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k
-FROM events GROUP BY event_type
-"""
-
-# each event at hour h is in the two 2h-wide 1h-sliding windows starting
-# at h-1 and h — mirrored by unnesting both starts per event
-_ORACLE_EVENTS_SLIDING = """
-WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type, value FROM events),
-x AS (SELECT h - o AS win_start_hr, event_type, value
-      FROM e, (SELECT unnest([0, 1]) AS o))
-SELECT win_start_hr, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
-FROM x GROUP BY 1, 2
-"""
-
-_ORACLE_EVENTS_SESSIONIZED = f"""
-WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
-g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-                       OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
-                     THEN 1 ELSE 0 END AS new_sess
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM g)
-SELECT user_id, session_id, count(*) AS n_events,
-       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-       round(sum(value), 6) AS session_value
-FROM s GROUP BY user_id, session_id
-"""
-
-
-#: closed sessions only — the batch sessionization minus each user's
-#: final (still-open-in-state) session; mirrors streaming.stateful
-_ORACLE_EVENTS_SESSIONIZED_STREAM = (
-    _ORACLE_EVENTS_SESSIONIZED.rstrip()
-    + """
-QUALIFY session_id <> max(session_id) OVER (PARTITION BY user_id)
-"""
-)
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
 
 _STREAM_QUERY_SEQ = [0]
 
@@ -2899,92 +1638,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # every queries() entry has a mirror: the multimodal decode stub was
-    # made digest-derived precisely so the full pipeline value-checks.
-    return {
-        "topk_cosine": _oracle_topk("cosine"),
-        "topk_l2": _oracle_topk("l2"),
-        "sharded_topk": _oracle_sharded_topk(),
-        "shard_pruned_topk": _oracle_shard_pruned_topk(),
-        "knn_join": _oracle_knn(),
-        "knn_join_expr": _oracle_knn(),
-        "knn_join_grouped": _oracle_knn_grouped(),
-        "lsh_topk": _oracle_lsh_topk(),
-        "lsh_topk_indexed": _oracle_lsh_topk(),
-        "ivf_topk": _oracle_ivf_topk(),
-        "ivf_topk_indexed": _oracle_ivf_topk(),
-        "pq_topk": _oracle_pq_topk(),
-        "pq_topk_indexed": _oracle_pq_topk(),
-        "pq_rerank_topk": _oracle_pq_rerank_topk(),
-        "ivfpq_topk": _oracle_ivfpq_topk(),
-        "recall_ivfpq": _oracle_recall_ivfpq(),
-        "recall_pq": _oracle_recall_pq(),
-        "sq_topk": _oracle_sq_topk(),
-        "sq_rerank_topk": _oracle_sq_rerank_topk(),
-        "recall_sq": _oracle_recall_sq(),
-        "recall_lsh": _oracle_recall_lsh(),
-        "recall_ivf": _oracle_recall_ivf(),
-        "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
-        "topk_per_label": _oracle_topk_per_label(),
-        "doc_mean_pool": _oracle_doc_mean_pool(),
-        "model_lang_id": _oracle_model_lang_id(),
-        "ppm_image_features": _oracle_ppm_image_features(),
-        "topk_filtered": _oracle_topk_filtered(),
-        "prepare_vectors": _oracle_prepare_vectors(),
-        "normalized_vectors": _oracle_normalized_vectors(),
-        "chunk_documents": _oracle_chunk_documents(),
-        "rag_context": _oracle_rag_context(),
-        "bm25_topk": _oracle_bm25_topk(),
-        "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
-        "exact_dedup_docs": _oracle_exact_dedup(),
-        "curate_corpus": _oracle_curate_corpus(),
-        "curate_corpus_full": _oracle_curate_corpus_full(),
-        "stratified_sample": _oracle_stratified_sample(),
-        "budget_select": _oracle_budget_select(),
-        "knn_classify": _oracle_knn_classify(),
-        "pack_sequences": _oracle_pack_sequences(),
-        "near_dup_pairs_minhash": _oracle_near_dup_pairs(),
-        "jaccard_pairs": _oracle_jaccard_pairs(),
-        "simhash_fingerprints": _oracle_simhash(),
-        "simhash_near_dups": _oracle_simhash_near_dups(),
-        "embedding_near_dup": _oracle_embedding_near_dup(),
-        "embedding_near_dup_lsh": _oracle_embedding_near_dup_lsh(),
-        "dedup_clusters": _oracle_dedup_clusters(),
-        "token_stats": _oracle_token_stats(),
-        "quality_score": _oracle_quality_score(),
-        "lang_id": _oracle_lang_id(),
-        "repetition_stats": _oracle_repetition_stats(),
-        "contamination_pairs": _oracle_contamination_pairs(),
-        "pii_scrub": _oracle_pii_scrub(),
-        "rolling_fingerprint": _oracle_rolling_fingerprint(),
-        "corpus_stats": _oracle_corpus_stats(),
-        "pricing_summary": _ORACLE_PRICING,
-        "revenue_by_nation": _ORACLE_REVENUE,
-        "top_orders_per_segment": _ORACLE_TOP_ORDERS,
-        "customer_order_stats": _ORACLE_CUST_ORDER_STATS,
-        "parts_rollup": _ORACLE_PARTS_ROLLUP,
-        "supplier_share": _ORACLE_SUPPLIER_SHARE,
-        "customers_without_orders": _ORACLE_CUST_NO_ORDERS,
-        "segment_churn": _ORACLE_SEGMENT_CHURN,
-        "order_priority_cube": _ORACLE_ORDER_PRIORITY_CUBE,
-        "price_percentiles": _ORACLE_PRICE_PERCENTILES,
-        "events_hourly": _ORACLE_EVENTS_HOURLY,
-        "events_sliding": _ORACLE_EVENTS_SLIDING,
-        "events_props": _ORACLE_EVENTS_PROPS,
-        "events_asof": _ORACLE_EVENTS_ASOF,
-        "view_click_attrib": _oracle_view_click_attrib(),
-        "orders_price_bands": _oracle_orders_price_bands(),
-        "status_priority_pivot": _ORACLE_STATUS_PIVOT,
-        "distinct_user_counts": _ORACLE_DISTINCT_USERS,
-        "segment_retention": _ORACLE_SEGMENT_RETENTION,
-        "monthly_revenue": _ORACLE_MONTHLY_REVENUE,
-        "events_moving_avg": _ORACLE_EVENTS_MOVING_AVG,
-        "user_gap_stats": _ORACLE_USER_GAPS,
-        "events_sessionized": _ORACLE_EVENTS_SESSIONIZED,
-        "events_sessionized_stream": _ORACLE_EVENTS_SESSIONIZED_STREAM,
-        "image_features": _oracle_image_features(),
-        "video_frames": _oracle_video_frames(),
-        "binary_meta": _oracle_binary_meta(),
-        "bulk_random_load": _oracle_bulk_random_load(),
-        "collection_stats": _oracle_collection_stats(),
-    }
+    """DuckDB oracle mirrors for every checked entry — the SQL lives in
+    :mod:`.contract_oracle` (same package) so the operator-to-oracle
+    mapping stays reviewable; this delegator keeps the driver contract
+    surface (entry / queries / extra_queries / oracle_sql) in one
+    module. Deferred import: contract_oracle imports THIS module's
+    constants at its top level."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark import (
+        contract_oracle,
+    )
+
+    return contract_oracle.oracle_sql()
