@@ -110,10 +110,16 @@ SCALE_QUERIES = [
     "pricing_summary",
     "events_hourly",
     # hygiene ops on the 10x documents table: their small-SF ratios
-    # (4-8x) collapse toward parity here (measured 1.8-2.4x at 50k
-    # docs, Spark scaling sublinearly vs DuckDB's linear growth)
+    # (4-8x) collapse toward parity here (measured: repetition 0.4x —
+    # Spark wins — after the zero-shuffle rewrite; contamination 1.8x,
+    # Spark scaling sublinearly vs DuckDB's linear growth)
     "repetition_stats",
     "contamination_pairs",
+    # the distributed prefix-sum pair at 10x docs: both were rebuilt to
+    # kill sequential windows — this point PROVES the shape holds as
+    # data grows (a per-stratum window would go superlinear here)
+    "budget_select",
+    "pack_sequences",
 ]
 SCALE_REPS = 3
 

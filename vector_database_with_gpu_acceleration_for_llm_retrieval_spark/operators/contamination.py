@@ -26,6 +26,17 @@ Scale design (the part that matters at 100 TB):
 
 All expression-level (no UDFs); mirrored term-for-term by a DuckDB
 oracle in the contract.
+
+Measured alternatives at the 50k-doc probe (all exact-equal outputs,
+none adopted): dropping the per-row ``array_distinct`` and counting
+``count_distinct`` after the join — 22% SLOWER (the raw explode volume
+outweighs the per-row dedup saved); joining on 5-token window structs
+instead of concatenated n-gram strings — only 6% faster (explode
+machinery dominates, not string bytes); pairwise-doubling shingle
+construction — 1.9× slower at n=5 (intermediate strings double the
+byte copying). The current shape is 1.8× DuckDB at 50k docs and scales
+sublinearly, with the 100 TB contract (broadcast probe side, no big-
+side shuffle) intact.
 """
 
 from __future__ import annotations
