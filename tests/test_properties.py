@@ -209,3 +209,75 @@ def test_pack_sequences_partition_invariance_property(spark, rows, seq_len, part
         b = (cum - n) // seq_len
         want.add((s, i, n, b, cum - n - b * seq_len))
     assert got == want
+
+
+_rep_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "ab", "x y", "über", "zz"]),  # small vocab -> real dup runs
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=_rep_docs, n=st.integers(min_value=1, max_value=4))
+@settings(**PROP_SETTINGS)
+def test_repetition_stats_matches_python_counter(spark, docs, n):
+    """The sorted-array boundary-position trick must equal a plain
+    Python Counter over the same shingles — including all-duplicate
+    docs, empty docs (whole-doc fallback shingle), and unicode
+    tokens. Guards the zero-shuffle rewrite's run-length logic."""
+    from collections import Counter
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        textstats as T,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_distinct_ngrams, r.dup_ngram_ratio, r.top_ngram_ratio)
+        for r in T.repetition_stats(sdf, n=n).collect()
+    }
+    for i, toks in enumerate(docs):
+        toks = " ".join(toks).split()  # collapse multi-word vocab entries
+        if len(toks) >= n:
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        else:
+            grams = [" ".join(toks)]  # whole-doc fallback (empty doc -> [""])
+        c = Counter(grams)
+        total, distinct, top = len(grams), len(c), max(c.values())
+        assert got[i] == (
+            total,
+            distinct,
+            round(1.0 - distinct / total, 6),
+            round(top / total, 6),
+        )
+
+
+_ppm_dims = st.tuples(st.integers(1, 6), st.integers(1, 5))
+
+
+@given(
+    dims=_ppm_dims,
+    seed=st.integers(0, 2**31 - 1),
+    header_junk=st.sampled_from(["", "# comment line\n", "#x\n# y\n"]),
+)
+@settings(**PROP_SETTINGS)
+def test_ppm_roundtrip_property(dims, seed, header_junk):
+    """Any (w, h, pixels) serialized as P6 must decode back to exactly
+    the same pixel array regardless of header comments."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = f"P6\n{header_junk}{w} {h}\n255\n".encode() + px.tobytes()
+    got = decode_ppm(payload)
+    assert got is not None
+    gw, gh, gpx = got
+    assert (gw, gh) == (w, h) and (gpx == px).all()
