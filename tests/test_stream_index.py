@@ -92,3 +92,43 @@ def test_stream_lsh_index_matches_batch_index(spark, tables):
         assert spark.read.parquet(idx).count() == corpus.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_ivfpq_index_matches_batch_index(spark, tables):
+    """Vectors streamed through stream_ivfpq_index_ingest must yield an
+    index whose ivfpq_topk_indexed answers (ADC scores) are identical
+    to a batch-built write_ivfpq_index over the same corpus — and the
+    nprobe partition pruning must survive the streaming file-sink log."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        pq as PQ,
+    )
+
+    corpus = tables["embeddings"].select("vec_id", "embedding", F.lit(0).alias("label"))
+    normed = I.normalized(corpus)
+    qvec = corpus.filter("vec_id = 0").first().embedding
+    rows = normed.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    cents = [(i, list(r.embedding)) for i, r in enumerate(rows[:4])]
+    codebooks = PQ.codebooks_from_rows([list(r.embedding) for r in rows], m=8)
+
+    tmp = tempfile.mkdtemp(prefix="stream_ivfpq_")
+    try:
+        src, sidx, ckpt, bidx = tmp + "/src", tmp + "/sidx", tmp + "/ckpt", tmp + "/bidx"
+        corpus.write.mode("append").parquet(src)
+        q = P.stream_ivfpq_index_ingest(
+            spark, src, sidx, ckpt, cents, codebooks, dim=64
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        PQ.write_ivfpq_index(normed, bidx, cents, codebooks)
+        want = PQ.ivfpq_topk_indexed(spark, bidx, qvec, k=10, nprobe=2).collect()
+        got = PQ.ivfpq_topk_indexed(spark, sidx, qvec, k=10, nprobe=2).collect()
+        assert [(r.vec_id, round(r.score, 6)) for r in got] == [
+            (r.vec_id, round(r.score, 6)) for r in want
+        ] and len(got) == 10
+
+        plan = physical_plan(PQ.ivfpq_topk_indexed(spark, sidx, qvec, k=10, nprobe=2))
+        assert "PartitionFilters" in plan
+        assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

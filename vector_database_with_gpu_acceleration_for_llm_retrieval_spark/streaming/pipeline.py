@@ -38,6 +38,7 @@ __all__ = [
     "stream_vector_ingest",
     "stream_lsh_index_ingest",
     "stream_ivf_index_ingest",
+    "stream_ivfpq_index_ingest",
     "stream_event_window_counts",
     "stream_dedup_ingest",
     "stream_curate_ingest",
@@ -453,6 +454,64 @@ def stream_ivf_index_ingest(
     prepared = ivf_assign(normalized(validate_dim(stream, dim)), centroids)
     return (
         prepared.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("ivf_cell")
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_ivfpq_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    schema: str = "vec_id long, embedding array<float>, label int",
+):
+    """IVF-PQ twin of :func:`stream_ivf_index_ingest` — continuous
+    maintenance of the billion-scale serving layout (operators/pq.py
+    ``write_ivfpq_index``): arriving vectors are validated, normalized,
+    assigned to their frozen coarse cell, PQ-encoded against the frozen
+    codebooks (the Arrow-batched ``pq_encode`` runs per micro-batch —
+    map-only, rides the stream), and appended into their cell partition
+    of the codes table. ``ivfpq_topk_indexed`` reads the live table
+    unchanged: nprobe partition pruning AND the m-byte ADC scan both
+    survive the streaming file-sink log.
+
+    Same frozen-quantizer caveat as every append path here: retrain +
+    rewrite when centroid/codebook drift degrades recall.
+
+    Returns the started StreamingQuery (exactly-once via checkpoint).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.pq import (
+        pq_encode,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        ivf_assign,
+    )
+
+    _write_meta(
+        spark,
+        index_path,
+        {
+            "kind": "ivfpq",
+            "centroids": [[int(c), list(map(float, v))] for c, v in centroids],
+            "codebooks": codebooks,
+            "vec_col": "embedding",
+        },
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    assigned = ivf_assign(normalized(validate_dim(stream, dim)), centroids)
+    codes = pq_encode(assigned, codebooks, keep_cols=["ivf_cell"])
+    return (
+        codes.writeStream.format("parquet")
         .option("path", index_path)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("ivf_cell")
