@@ -99,3 +99,51 @@ def test_train_centroids_deterministic(corpus):
     b = A.train_centroids(corpus, n_centroids=3, sample_fraction=1.0)
     assert a == b
     assert len(a) == 3 and all(len(c[1]) == 64 for c in a)
+
+
+def test_filtered_indexed_ann_pushes_both_filters(tables, spark):
+    """Metadata-filtered ANN over the materialized index: the label
+    predicate must ride the SAME partition-pruned scan (PartitionFilters
+    carries the bucket, PushedFilters carries the label), and results
+    must equal filtering inside the probed buckets at query time."""
+    corpus = tables["embeddings"].select("vec_id", "embedding", "label")
+    qvec = corpus.filter("vec_id = 0").collect()[0].embedding
+    planes = S.random_hyperplanes(n_planes=4, dim=64, seed=7)
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_filt_")
+    try:
+        A.write_lsh_index(corpus, tmp, planes)
+        df = A.lsh_topk_indexed(
+            spark, tmp, qvec, k=10, where=F.col("label") == 1
+        )
+        plan = physical_plan(df)
+        assert "PartitionFilters" in plan
+        part = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "bucket" in part
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "label" in pushed  # the metadata predicate reaches the scan
+        # parity: same as filtering the probed bucket at query time
+        bucketed = corpus.withColumn("bucket", S.lsh_bucket("embedding", planes))
+        probe = S.lsh_probe_buckets(qvec, planes, 1)
+        expect = [
+            r.vec_id
+            for r in S.topk(
+                bucketed.filter(F.col("bucket").isin(probe)).filter("label = 1"),
+                qvec,
+                k=10,
+            ).collect()
+        ]
+        got = [r.vec_id for r in df.collect()]
+        assert got == expect and len(got) > 0
+        # every returned id really has label 1, and the string-predicate
+        # form produces the same ids
+        labels = {r.vec_id: r.label for r in corpus.collect()}
+        assert all(labels[i] == 1 for i in got)
+        got_str = [
+            r.vec_id
+            for r in A.lsh_topk_indexed(
+                spark, tmp, qvec, k=10, where="label = 1"
+            ).collect()
+        ]
+        assert got_str == got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -119,3 +119,55 @@ def test_model_lang_id_contract_entry_runs(spark):
     assert len(out) > 0
     langs = {r.model_lang for r in out}
     assert langs <= {"de", "en", "es", "fr"}
+
+
+def test_stream_model_inference_matches_batch_and_caches_loads(spark, tmp_path):
+    """The trained head classifies a document STREAM through the seam:
+    predictions equal the batch path, and the worker-process cache keeps
+    model loads bounded by workers across MULTIPLE micro-batches (never
+    once per batch per partition)."""
+    import shutil
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark import contract
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        pipeline as P,
+    )
+
+    samples = contract._lang_head_samples()
+    path = str(tmp_path / "head.npz")
+    E.train_lang_head(samples, path, dim=64)
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, t) for i, (t, _) in enumerate(samples)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # two source files -> at least two micro-batch inputs
+    df.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    df.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def loader():
+        acc.add(1)
+        return E.NumpyLogisticHead(path, dim=64)
+
+    out = P.stream_model_inference(
+        spark, src, loader, cache_key=f"stream-head:{path}", out_col="pred"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id: r.pred for r in spark.read.parquet(sink).collect()}
+    want = {i: lab for i, (_, lab) in enumerate(samples)}
+    assert got == want  # trained head separates its training langs on the stream
+    # loads bounded by worker processes, not by (batches x partitions)
+    assert 1 <= acc.value <= 8
+    shutil.rmtree(src, ignore_errors=True)

@@ -22,7 +22,7 @@ import json
 import os
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
@@ -89,6 +89,7 @@ def lsh_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_buckets: int = 1,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """ANN top-k over a materialized LSH index: compute the query's
     bucket from the sidecar planes, read ONLY that partition (plus the
@@ -97,12 +98,18 @@ def lsh_topk_indexed(
 
     The bucket filter is a partition filter — `.explain` shows it under
     ``PartitionFilters`` and the scan's file count drops accordingly
-    (asserted in tests/test_ann_index.py).
+    (asserted in tests/test_ann_index.py). ``where`` adds a metadata
+    predicate (the filtered-search capability the reference drops):
+    it reaches the same pruned scan as an ordinary pushed data filter
+    (``PushedFilters``), so filtered ANN costs partition-pruned I/O,
+    never a post-scan pass over unprobed buckets.
     """
     meta = _read_meta(spark, path)
     planes = meta["planes"]
     probe = lsh_probe_buckets(query_vec, planes, n_probe_buckets)
     corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    if where is not None:
+        corpus = corpus.filter(where)
     return topk(corpus, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
 
 
@@ -165,9 +172,12 @@ def ivf_topk_indexed(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | str | None = None,
 ) -> DataFrame:
     """IVF top-k over a materialized index: nearest ``nprobe`` cells by
-    centroid distance, partition-pruned scan, exact rerank."""
+    centroid distance, partition-pruned scan, exact rerank. ``where``
+    adds a metadata predicate pushed into the same pruned scan (see
+    :func:`lsh_topk_indexed`)."""
     meta = _read_meta(spark, path)
     centroids = meta["centroids"]
     q = np.asarray(query_vec, dtype=np.float64)
@@ -176,4 +186,6 @@ def ivf_topk_indexed(
     )
     probe = [int(cid) for cid, _ in order[:nprobe]]
     corpus = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    if where is not None:
+        corpus = corpus.filter(where)
     return topk(corpus, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)

@@ -39,6 +39,7 @@ __all__ = [
     "stream_lsh_index_ingest",
     "stream_ivf_index_ingest",
     "stream_ivfpq_index_ingest",
+    "stream_model_inference",
     "stream_event_window_counts",
     "stream_dedup_ingest",
     "stream_curate_ingest",
@@ -518,6 +519,37 @@ def stream_ivfpq_index_ingest(
         .outputMode("append")
         .start()
     )
+
+
+def stream_model_inference(
+    spark: SparkSession,
+    source_dir: str,
+    loader,
+    cache_key: str,
+    schema: str = "doc_id long, text string",
+    return_type: str = "string",
+    method: str = "predict",
+    text_col: str = "text",
+    out_col: str = "pred",
+) -> DataFrame:
+    """Continuous model inference on a document stream through the
+    per-executor seam (functions/embed.py ``model_inference_udf``).
+
+    The load-once worker cache spans micro-batches — Spark reuses Python
+    worker processes across streaming batches, so a long-running stream
+    pays the model load once per worker for its whole lifetime, not once
+    per micro-batch (proven by accumulator in
+    tests/test_stateful_streaming.py). Returns the transformed streaming
+    DataFrame; the caller picks the sink (foreachBatch to route by
+    prediction, parquet append for a labeled corpus, etc.).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        model_inference_udf,
+    )
+
+    udf = model_inference_udf(loader, cache_key, return_type, method)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withColumn(out_col, udf(F.col(text_col)))
 
 
 def stream_dedup_ingest(
