@@ -246,6 +246,37 @@ def q_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_lsh_topk_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN over the materialized LSH index: the label
+    predicate rides the partition-pruned scan (PartitionFilters +
+    PushedFilters — plan-asserted in tests/test_ann_index.py); the
+    oracle recomputes bucket + label filter + exact rerank in SQL."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        ann_index as A,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_filt_contract_")
+    try:
+        A.write_lsh_index(
+            t["embeddings"].select("vec_id", "embedding", "label"), tmp, LSH_PLANES
+        )
+        res = A.lsh_topk_indexed(
+            spark,
+            tmp,
+            _query_vec(spark, sf_dir),
+            k=TOPK_K,
+            where=F.col("label") == FILTER_LABEL,
+        )
+        out = res.select("vec_id", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-IVF-index variant of q_ivf_topk (same centroids and
     probes → same result → same oracle)."""
@@ -1612,6 +1643,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_expr": q_knn_join_expr,
         "knn_join_grouped": q_knn_join_grouped,
         "lsh_topk_indexed": q_lsh_topk_indexed,
+        "lsh_topk_filtered_indexed": q_lsh_topk_filtered_indexed,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,

@@ -420,6 +420,16 @@ scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
 SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
 """
 
+def _oracle_lsh_topk_filtered() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_sq_bucket('qv')} AS qbucket FROM q),
+cand AS (SELECT vec_id, embedding FROM embeddings, qb
+         WHERE {_sq_bucket('embedding')} = qb.qbucket AND label = {FILTER_LABEL}),
+scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
 def _oracle_ivf_topk() -> str:
     return f"""
 WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
@@ -1460,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_grouped": _oracle_knn_grouped(),
         "lsh_topk": _oracle_lsh_topk(),
         "lsh_topk_indexed": _oracle_lsh_topk(),
+        "lsh_topk_filtered_indexed": _oracle_lsh_topk_filtered(),
         "ivf_topk": _oracle_ivf_topk(),
         "ivf_topk_indexed": _oracle_ivf_topk(),
         "pq_topk": _oracle_pq_topk(),

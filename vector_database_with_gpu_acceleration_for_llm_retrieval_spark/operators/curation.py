@@ -44,6 +44,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     tid_path: str = "hash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Surviving documents after the full curation chain.
 
@@ -51,6 +52,11 @@ def curate_corpus(
     later copies drop) — the same keep-min rule as exact dedup, so the
     pipeline is deterministic end to end. Returns the surviving rows of
     ``docs`` with ``quality`` and ``pred_lang`` audit columns attached.
+    ``max_bucket_size`` caps pathological LSH buckets in the near-dup
+    stage (see dedup.lsh_candidate_pairs) — on a real crawl, set it;
+    boilerplate buckets otherwise blow up quadratically. NOTE: exact
+    dedup runs BEFORE near-dup here, so identical boilerplate already
+    collapsed — the cap matters for *near*-identical template families.
     """
     # quality + lang are pure per-row expressions: attach them in ONE
     # projection on the scan — no enrichment joins, no shuffle
@@ -72,6 +78,7 @@ def curate_corpus(
         id_col=id_col,
         text_col=text_col,
         tid_path=tid_path,
+        max_bucket_size=max_bucket_size,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return deduped.join(losers, id_col, "left_anti")
@@ -93,6 +100,7 @@ def curate_corpus_full(
     id_col: str = "doc_id",
     text_col: str = "text",
     tid_path: str = "hash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The full hygiene chain a pre-training pipeline runs, as ONE plan:
 
@@ -147,6 +155,7 @@ def curate_corpus_full(
         id_col=id_col,
         text_col=text_col,
         tid_path=tid_path,
+        max_bucket_size=max_bucket_size,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = deduped.join(losers, id_col, "left_anti")

@@ -68,6 +68,16 @@ def compact_collection(
     only after the replacement is in place, so a concurrent reader sees
     either the old or the new file set, never a mix.
 
+    .. warning:: Do NOT compact a table written by a Structured
+       Streaming file sink (e.g. the ``stream_*_index_ingest`` tables)
+       while it still serves sink-log-based readers: those readers list
+       files through ``_spark_metadata``, and the rewritten files are
+       not in the log — they would see the OLD file list (now deleted)
+       or miss the new files. Stop the stream, compact, drop the
+       ``_spark_metadata`` directory (readers then fall back to plain
+       directory listing), and restart the stream with a fresh
+       checkpoint/sink if continued ingest is needed.
+
     Returns ``{files_before, files_after, total_bytes, rows}``.
     """
     before = table_file_stats(spark, path)
