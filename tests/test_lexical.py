@@ -52,3 +52,36 @@ def test_rrf_fuse_prefers_doubly_ranked(spark):
     assert max(out, key=out.get) == 20
     assert abs(out[20] - (1 / 62 + 1 / 61)) < 1e-15
     assert abs(out[10] - 1 / 61) < 1e-15  # absent list contributes 0
+
+
+def test_bm25_index_matches_query_time_and_prunes(spark, tables):
+    """The materialized lexical index must score identically to the
+    query-time path (same constants, same term-ordered fold), and the
+    query's terms must prune the postings read to their term-bucket
+    partitions at planning time."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    docs = tables["documents"]
+    tmp = tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        lexical.write_bm25_index(docs, tmp)
+        q = "spark join window performance"
+        want = [(r.doc_id, round(r.score, 10)) for r in lexical.bm25_topk(docs, q, k=10).collect()]
+        got = [
+            (r.doc_id, round(r.score, 10))
+            for r in lexical.bm25_topk_indexed(spark, tmp, q, k=10).collect()
+        ]
+        assert got == want and len(got) == 10
+        plan = physical_plan(lexical.bm25_topk_indexed(spark, tmp, q, k=10))
+        part = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "term_bucket" in part and " IN " in part  # folded to literal ids
+        # empty query and missing terms degrade cleanly
+        assert lexical.bm25_topk_indexed(spark, tmp, "", k=5).count() == 0
+        assert lexical.bm25_topk_indexed(spark, tmp, "zzzqqqxxx", k=5).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -720,6 +720,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _round6(F.col("score"), "score"))
 
 
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-lexical-index variant: write the term-bucket-
+    partitioned postings + dfreq + constants sidecar to a scratch dir
+    and answer from the pruned read — provably identical scores to the
+    query-time path (same constants, same term-ordered fold), so it
+    shares bm25_topk's oracle."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bm25_idx_contract_")
+    try:
+        lexical.write_bm25_index(t["documents"], tmp)
+        res = lexical.bm25_topk_indexed(
+            spark, tmp, RAG_QUESTION, k=TOPK_K, k1=BM25_K1, b=BM25_B
+        )
+        out = res.select("doc_id", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: dense (hash-embedding cosine) and lexical
     (BM25) top-20 lists fused by reciprocal rank — the standard hybrid
@@ -1644,6 +1670,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_grouped": q_knn_join_grouped,
         "lsh_topk_indexed": q_lsh_topk_indexed,
         "lsh_topk_filtered_indexed": q_lsh_topk_filtered_indexed,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,

@@ -1495,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _oracle_chunk_documents(),
         "rag_context": _oracle_rag_context(),
         "bm25_topk": _oracle_bm25_topk(),
+        "bm25_topk_indexed": _oracle_bm25_topk(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),

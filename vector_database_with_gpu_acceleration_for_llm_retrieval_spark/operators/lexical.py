@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "write_bm25_index", "bm25_topk_indexed"]
+
+#: term-hash partition fan-out for the postings table — a query's terms
+#: prune to ≤|q| of these partitions before any file opens.
+BM25_TERM_BUCKETS = 64
 
 
 def bm25_topk(
@@ -80,6 +84,116 @@ def bm25_topk(
         ).alias("s"),
     )
     # fold per-term scores in term order — deterministic double addition
+    summed = per_term.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("term", "s"))), lambda x: x["s"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    return summed.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = BM25_TERM_BUCKETS,
+) -> None:
+    """Materialize the lexical index the ``bm25_topk`` docstring
+    promises at 100 TB: scan the corpus ONCE at ingest and persist
+
+    * ``postings/`` — ``(id, dl, term, tf)`` partitioned by
+      ``term_bucket = xxhash64(term) mod n_buckets``, so a query's
+      terms prune to ≤|q| partitions before any file opens;
+    * ``dfreq/`` — the tiny ``(term, df)`` dimension;
+    * the ``(N, avgdl)`` corpus constants in the same Spark-written
+      sidecar the ANN indexes use (hdfs:///s3:// safe).
+
+    Queries then cost pruned-postings-read + broadcast join — the
+    corpus text is never re-tokenized per query.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(TX.tokens(F.col(text_col))).alias("dl"),
+        TX.tokens(F.col(text_col)).alias("__toks"),
+    )
+    row = base.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    n_docs = int(row["n"])
+    avgdl = (int(row["sdl"]) / n_docs) if n_docs else 0.0
+    postings = (
+        base.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(path + "/postings")
+    postings.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    ).write.mode("overwrite").parquet(path + "/dfreq")
+    _write_meta(
+        docs.sparkSession,
+        path,
+        {"kind": "bm25", "n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets},
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k over a materialized :func:`write_bm25_index` — scores
+    identical to :func:`bm25_topk` on the indexed corpus (same
+    constants, same term-ordered fold), but the per-query cost is a
+    term-bucket-PRUNED postings read plus one broadcast join; the
+    corpus text is never touched."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _read_meta,
+    )
+
+    meta = _read_meta(spark, path)
+    n_docs, avgdl, n_buckets = meta["n_docs"], meta["avgdl"], int(meta["n_buckets"])
+    q_terms = sorted(set(query.split()))
+    if not q_terms or n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    # partition pruning via the bucket column: the predicate uses the
+    # SAME expression the writer used, over literal terms, so Catalyst
+    # constant-folds it to a bucket-id IN-list at planning time
+    bucket_pred = F.col("term_bucket").isin(
+        *[F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)) for t in q_terms]
+    )
+    tf = (
+        spark.read.parquet(path + "/postings")
+        .filter(bucket_pred)
+        .filter(F.col("term").isin(q_terms))
+    )
+    dfreq = spark.read.parquet(path + "/dfreq").filter(F.col("term").isin(q_terms))
+    per_term = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).alias("s"),
+    )
     summed = per_term.groupBy(id_col).agg(
         F.aggregate(
             F.transform(
