@@ -37,6 +37,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
     dedup as D,
     ingest as I,
+    lm as LM,
     multimodal as M,
     pq as PQ,
     relational as R,
@@ -75,6 +76,9 @@ CONTAM_N = 5
 CONTAM_THRESHOLD = 0.5
 CONTAM_PROBE_MOD = 89
 CONTAM_PROBE_TOKENS = 40
+LM_ALPHA = 0.5
+TOPNG_N = 3
+TOPNG_TOP = 20
 
 _PERMS = D.minhash_perms(MINHASH_N)
 
@@ -1048,6 +1052,35 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (the CCNet/KenLM model-based
+    quality gate): self-trained add-α bigram model, per-doc mean log
+    likelihood + perplexity. Explode → two vocab-sized broadcast joins
+    → one doc-keyed mean; no UDFs."""
+    t = load_tables(spark, sf_dir)
+    res = LM.lm_score(t["documents"], alpha=LM_ALPHA)
+    return res.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        _round6(F.col("avg_logp"), "avg_logp"),
+        _round6(F.col("ppl"), "ppl"),
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: most frequent word n-grams with occurrence
+    and doc counts — the boilerplate detector feeding stop-shingle
+    lists. One explode, one vocab-keyed partial agg, top-N via
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    res = T.top_ngrams(t["documents"], n=TOPNG_N, top=TOPNG_TOP)
+    return res.select(
+        "ngram",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def _contam_probes(docs: DataFrame) -> DataFrame:
     """Deterministic probe set: every CONTAM_PROBE_MOD-th document's
     first CONTAM_PROBE_TOKENS tokens — a stand-in benchmark whose
@@ -1693,6 +1726,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mean_pool": q_doc_mean_pool,
         "model_lang_id": q_model_lang_id,
         "ppm_image_features": q_ppm_image_features,
+        "lm_doc_scores": q_lm_doc_scores,
+        "top_ngrams": q_top_ngrams,
     }
 
 

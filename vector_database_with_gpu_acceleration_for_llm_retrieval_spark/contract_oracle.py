@@ -48,6 +48,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     KNN_K,
     KNN_QUERIES,
     LANG_HEAD_DIM,
+    LM_ALPHA,
     LSH_PLANES,
     MINHASH_BANDS,
     MINHASH_N,
@@ -77,6 +78,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     SIMHASH_MAX_HAMMING,
     SQ_RERANK,
     TOPK_K,
+    TOPNG_N,
+    TOPNG_TOP,
     VIEW_CLICK_WINDOW_MIN,
     _PERMS,
     _lang_head_artifact,
@@ -1194,6 +1197,35 @@ SELECT doc_id, n_ngrams, n_distinct_ngrams,
 FROM p
 """
 
+def _oracle_lm_doc_scores() -> str:
+    a = repr(float(LM_ALPHA))
+    return f"""
+WITH toks AS (SELECT doc_id, list_concat(['<s>'], {_SQ_TOKS}) AS t
+              FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+b AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+c AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+s AS (SELECT p.doc_id,
+             ln((coalesce(b.c12, 0) + {a}) / (coalesce(c.c1, 0) + {a} * v.v)) AS logp
+      FROM pairs p LEFT JOIN b USING (w1, w2) LEFT JOIN c USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       {_r6('avg(logp)', 'avg_logp')},
+       {_r6('exp(-avg(logp))', 'ppl')}
+FROM s GROUP BY doc_id
+"""
+
+def _oracle_top_ngrams() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_sq_shingles('t', TOPNG_N)}) AS ngram FROM t),
+c AS (SELECT ngram, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
+SELECT ngram, n_occurrences, n_docs FROM c
+ORDER BY n_occurrences DESC, ngram ASC LIMIT {TOPNG_TOP}
+"""
+
 def _oracle_contamination_pairs() -> str:
     probe_text = (
         f"array_to_string(list_slice({_SQ_TOKS}, 1, {CONTAM_PROBE_TOKENS}), ' ')"
@@ -1515,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _oracle_quality_score(),
         "lang_id": _oracle_lang_id(),
         "repetition_stats": _oracle_repetition_stats(),
+        "lm_doc_scores": _oracle_lm_doc_scores(),
+        "top_ngrams": _oracle_top_ngrams(),
         "contamination_pairs": _oracle_contamination_pairs(),
         "pii_scrub": _oracle_pii_scrub(),
         "rolling_fingerprint": _oracle_rolling_fingerprint(),

@@ -1,0 +1,144 @@
+"""Statistical language-model scoring: bigram perplexity over the corpus.
+
+The standard model-based quality gate in LLM data pipelines (the
+CCNet / KenLM filtering step): train an n-gram language model, score
+every document by its perplexity under the model, and gate or bucket on
+the score — low-perplexity text is fluent/common, very high perplexity
+is noise/garble.  The reference repo has no analogue (its only quality
+signal is vector distance); this is part of the mandated
+training-data-pipeline surface.
+
+Spark-first shape (no UDFs anywhere):
+
+* **Train** — one explode of adjacent token pairs, two hash-partial
+  aggregations: ``count(w1, w2)`` (bigram table) and ``count(w1)``
+  (context table).  Both are map-side combined before the shuffle, so
+  the shuffled volume is vocabulary-sized, not corpus-sized.  A
+  ``<s>`` BOS token is prepended so every non-blank doc contributes
+  ``n_tokens`` bigrams and 1-token docs are still scored.
+* **Score** — re-explode the pairs, two equi-joins against the count
+  tables (vocab-sized build sides; AQE broadcasts them when they fit,
+  which for any natural-language vocabulary they do — a few hundred MB
+  of distinct bigrams vs a 100 TB corpus), then one groupBy(doc) mean.
+  Add-α smoothing keeps unseen bigrams finite:
+
+      logp(w2 | w1) = ln( (c(w1,w2) + α) / (c(w1) + α·V) )
+
+  with ``V`` = distinct-context vocabulary size (one scalar agg).
+* **Self-scoring vs held-out** — ``lm_score(docs)`` trains on the
+  corpus it scores (the common corpus-hygiene setup); pass
+  ``train=other_df`` to score against a reference corpus (the CCNet
+  setup, e.g. Wikipedia-trained model scoring a web crawl).
+
+At 100 TB: two corpus scans (train, score), both column-pruned to
+(id, text); the count tables are the only shuffled state and they are
+bounded by vocabulary, not corpus size.  Every expression is built-in
+(split / slice / arrays_zip / explode / ln), fully codegen'd, and the
+whole computation is mirrored term-for-term by a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+__all__ = ["BOS", "bigram_pairs", "bigram_lm", "lm_score"]
+
+#: Beginning-of-sequence pseudo-token (cannot collide with real tokens:
+#: whitespace tokenization never yields a token containing whitespace,
+#: and we pick a marker no natural token equals after trim).
+BOS = "<s>"
+
+
+def _pairs_col(text_col: Column | str) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs over BOS + tokens."""
+    toks = F.concat(F.array(F.lit(BOS)), TX.tokens(text_col))
+    n = F.size(toks)
+    prev = F.slice(toks, 1, n - 1)
+    cur = F.slice(toks, 2, n - 1)
+    return F.arrays_zip(prev.alias("w1"), cur.alias("w2"))
+
+
+def bigram_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode each non-blank doc into its adjacent-token pairs:
+    ``(id, w1, w2)`` with a ``<s>`` BOS so a k-token doc yields exactly
+    k pairs.  Blank/NULL text contributes nothing (and is scored NULL
+    downstream, never silently invented)."""
+    nonblank = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    return (
+        nonblank.select(F.col(id_col), F.explode(_pairs_col(text_col)).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_lm(
+    train: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: returns ``(bigrams, contexts, vocab)`` where
+    ``bigrams`` = (w1, w2, c12), ``contexts`` = (w1, c1) and ``vocab``
+    is a 1-row frame holding ``v`` = distinct predicted-token count.
+    Both count frames are vocabulary-sized (partial-agg before the
+    shuffle)."""
+    pairs = bigram_pairs(train, id_col, text_col)
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    contexts = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = pairs.agg(F.count_distinct("w2").alias("v"))
+    return bigrams, contexts, vocab
+
+
+def lm_score(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram log-likelihood and perplexity:
+    ``(id, n_bigrams, avg_logp, ppl)`` with ``ppl = exp(-avg_logp)``.
+
+    ``train=None`` self-trains on ``docs`` (corpus-hygiene mode); pass
+    a reference corpus for CCNet-style scoring.  Unseen bigrams get the
+    add-α floor ``α / (c(w1) + α·V)`` — and an unseen *context* (only
+    possible in held-out mode) degrades to the uniform ``1/V`` floor
+    via ``coalesce(c1, 0)``.
+
+    Plan: explode → two equi-joins on vocab-sized frames → one
+    groupBy(doc) mean.  No UDFs, no windows, no driver collects.
+    ``broadcast_model=True`` (default) hints the count frames broadcast
+    — right for any natural-language vocabulary; set ``False`` for
+    adversarially huge vocabularies (random-string corpora) and let
+    AQE pick shuffle-vs-broadcast at runtime.
+    """
+    b, c, v = bigram_lm(train if train is not None else docs, id_col, text_col)
+    if broadcast_model:
+        b, c = b.hint("broadcast"), c.hint("broadcast")
+    pairs = bigram_pairs(docs, id_col, text_col)
+    a = F.lit(float(alpha))
+    vv = F.broadcast(v)
+    scored = (
+        pairs.join(b, ["w1", "w2"], "left")
+        .join(c, ["w1"], "left")
+        .crossJoin(vv)
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + a)
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                    + a * F.col("v").cast("double")
+                )
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("logp").alias("avg_logp"),
+        F.exp(-F.avg("logp")).alias("ppl"),
+    )

@@ -23,6 +23,7 @@ __all__ = [
     "rolling_fingerprint",
     "corpus_stats",
     "repetition_stats",
+    "top_ngrams",
 ]
 
 #: rolling-hash base/modulus for k-gram fingerprints (Rabin-Karp style);
@@ -229,3 +230,33 @@ def corpus_stats(docs: DataFrame, group_cols: list[str] | None = None, text_col:
         )
         .orderBy(*groups)
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level heavy hitters: the ``top`` most frequent word
+    n-grams with total count and the number of distinct docs containing
+    each — the boilerplate detector (navigation chrome, license
+    headers, cookie banners) that feeds stop-shingle lists for the
+    dedup/contamination family.
+
+    Shape: one explode → one hash aggregation keyed by n-gram (partial
+    map-side combine bounds the shuffle by distinct n-grams, not corpus
+    tokens) → global top-``top`` via TakeOrderedAndProject (no full
+    sort).  Ties break lexicographically so the cut is deterministic
+    across engines.
+    """
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(TX.tokens(text_col), n)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("ngram")
+    ).limit(top)
