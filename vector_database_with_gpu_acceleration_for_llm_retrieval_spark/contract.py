@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    bq as BQ,
     dedup as D,
     ingest as I,
     lm as LM,
@@ -79,6 +80,7 @@ CONTAM_PROBE_TOKENS = 40
 LM_ALPHA = 0.5
 TOPNG_N = 3
 TOPNG_TOP = 20
+BQ_SHORTLIST = 50
 
 _PERMS = D.minhash_perms(MINHASH_N)
 
@@ -564,6 +566,45 @@ def q_recall_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = SQ.sq_encode(t["embeddings"], ranges)
     approx = SQ.sq_adc_topk(codes, ranges, qv, k=TOPK_K)
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
+_BQ_THR_CACHE: dict[str, list] = {}
+
+
+def _bq_thresholds(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _BQ_THR_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _BQ_THR_CACHE[sf_dir] = BQ.train_bq_thresholds(emb, dim=64)
+    return _BQ_THR_CACHE[sf_dir]
+
+
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: 1-bit-per-dim sign codes (midrange
+    thresholds), XOR+popcount Hamming shortlist, broadcast exact
+    rerank. The codes scan reads 8 bytes/vector — 32× less than the
+    float column."""
+    t = load_tables(spark, sf_dir)
+    thr = _bq_thresholds(spark, sf_dir)
+    res = BQ.bq_topk(
+        t["embeddings"], _query_vec(spark, sf_dir), thr,
+        k=TOPK_K, shortlist=BQ_SHORTLIST,
+    )
+    return res.select("vec_id", "hamming", _round6(F.col("score"), "score"))
+
+
+def q_recall_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the BQ shortlist+rerank vs the exact scan."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    thr = _bq_thresholds(spark, sf_dir)
+    exact = (
+        t["embeddings"]
+        .select("vec_id", V.dot(F.col("embedding"), V.vec_lit(qv)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(TOPK_K)
+    )
+    approx = BQ.bq_topk(t["embeddings"], qv, thr, k=TOPK_K, shortlist=BQ_SHORTLIST)
     return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
 
 
@@ -1728,6 +1769,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_image_features": q_ppm_image_features,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
+        "bq_topk": q_bq_topk,
+        "recall_bq": q_recall_bq,
     }
 
 

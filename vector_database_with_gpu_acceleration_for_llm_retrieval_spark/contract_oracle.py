@@ -27,6 +27,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (  # noqa: E501
     BM25_B,
     BM25_K1,
+    BQ_SHORTLIST,
     BUDGET_TOKENS,
     BULK_DIM,
     BULK_N,
@@ -628,6 +629,46 @@ WITH {_sq_sq_ctes()},
 exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_dot('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
           ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
 approx AS (SELECT vec_id FROM sq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
+def _sq_bq_ctes() -> str:
+    """Shared CTEs for the BQ mirrors: midrange thresholds (exact
+    min/max copies, same training as operators.bq.train_bq_thresholds),
+    per-row Hamming = count of sign mismatches vs the query — the
+    packed-XOR+popcount the Spark side runs is bit-for-bit this count."""
+    thr_terms = ", ".join(
+        f"(min(embedding[{d + 1}]) + max(embedding[{d + 1}])) / 2.0"
+        for d in range(64)
+    )
+    return f"""thr AS (SELECT [{thr_terms}] AS t FROM embeddings),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ham AS (SELECT e.vec_id,
+               CAST(list_sum(list_transform(range(1, 65), i ->
+                 CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > thr.t[i])
+                        != (CAST(q.qv[i] AS DOUBLE) > thr.t[i])
+                      THEN 1 ELSE 0 END)) AS INT) AS hamming
+        FROM embeddings e, thr, q),
+bq_short AS (SELECT vec_id, hamming FROM ham
+             ORDER BY hamming ASC, vec_id LIMIT {BQ_SHORTLIST}),
+bq_rr AS (SELECT e.vec_id, s.hamming, {_sq_dot('e.embedding', 'q.qv')} AS sc
+          FROM embeddings e JOIN bq_short s USING (vec_id), q)"""
+
+def _oracle_bq_topk() -> str:
+    return f"""
+WITH {_sq_bq_ctes()}
+SELECT vec_id, hamming, {_r6('sc', 'score')} FROM bq_rr
+ORDER BY sc DESC, vec_id LIMIT {TOPK_K}
+"""
+
+def _oracle_recall_bq() -> str:
+    return f"""
+WITH {_sq_bq_ctes()},
+exact AS (SELECT vec_id FROM
+            (SELECT e.vec_id, {_sq_dot('e.embedding', 'q.qv')} AS s
+             FROM embeddings e, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+approx AS (SELECT vec_id FROM bq_rr ORDER BY sc DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
 
@@ -1549,6 +1590,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _oracle_repetition_stats(),
         "lm_doc_scores": _oracle_lm_doc_scores(),
         "top_ngrams": _oracle_top_ngrams(),
+        "bq_topk": _oracle_bq_topk(),
+        "recall_bq": _oracle_recall_bq(),
         "contamination_pairs": _oracle_contamination_pairs(),
         "pii_scrub": _oracle_pii_scrub(),
         "rolling_fingerprint": _oracle_rolling_fingerprint(),
