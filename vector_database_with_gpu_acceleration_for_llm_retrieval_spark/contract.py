@@ -36,6 +36,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
     bq as BQ,
+    clustering as CL,
     dedup as D,
     ingest as I,
     lm as LM,
@@ -81,6 +82,7 @@ LM_ALPHA = 0.5
 TOPNG_N = 3
 TOPNG_TOP = 20
 BQ_SHORTLIST = 50
+KMEANS_K = 5
 
 _PERMS = D.minhash_perms(MINHASH_N)
 
@@ -567,6 +569,54 @@ def q_recall_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = SQ.sq_encode(t["embeddings"], ranges)
     approx = SQ.sq_adc_topk(codes, ranges, qv, k=TOPK_K)
     return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
+_KMEANS_SEED_CACHE: dict[str, list] = {}
+
+
+def _kmeans_seeds(spark: SparkSession, sf_dir: str):
+    """Deterministic k-means seeds = the KMEANS_K lowest-id vectors
+    (kmeans_init) — the oracle names the same rows."""
+    if sf_dir not in _KMEANS_SEED_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _KMEANS_SEED_CACHE[sf_dir] = CL.kmeans_init(emb, KMEANS_K)
+    return _KMEANS_SEED_CACHE[sf_dir]
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step: argmin squared-L2 over broadcast centroid
+    literals — one projection, no shuffle, ties to lowest cluster."""
+    t = load_tables(spark, sf_dir)
+    res = CL.assign_clusters(t["embeddings"], _kmeans_seeds(spark, sf_dir))
+    return res.select("vec_id", "cluster", _round6(F.col("dist"), "dist"))
+
+
+def q_kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (E + M): per-cluster per-dimension
+    means after assignment from the deterministic seeds, exploded to
+    (cluster, pos, centroid, n) rows for value-level comparison."""
+    t = load_tables(spark, sf_dir)
+    seeds = _kmeans_seeds(spark, sf_dir)
+    assigned = CL.assign_clusters(t["embeddings"], seeds, keep_vec=True)
+    agg = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.array(*[F.avg(F.col("embedding")[d]) for d in range(64)]).alias("cent"),
+    )
+    return agg.select(
+        "cluster",
+        F.col("n").cast("long").alias("n"),
+        F.posexplode("cent").alias("pos", "val"),
+    ).select("cluster", "n", "pos", _round6(F.col("val"), "centroid"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-blocked near-dup pairs: equi-join on the
+    assigned cluster replaces the all-pairs cross product."""
+    t = load_tables(spark, sf_dir)
+    res = CL.semantic_dedup_pairs(
+        t["embeddings"], _kmeans_seeds(spark, sf_dir), tau=EMB_NEAR_DUP_TAU
+    )
+    return res.select("id_a", "id_b", "cluster", _round6(F.col("cos"), "cos"))
 
 
 _BQ_THR_CACHE: dict[str, list] = {}
@@ -1771,6 +1821,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,
         "recall_bq": q_recall_bq,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_one_iter": q_kmeans_one_iter,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

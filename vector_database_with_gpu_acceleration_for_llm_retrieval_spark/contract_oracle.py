@@ -46,6 +46,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     IVF_NPROBE,
     IVF_N_CENTROIDS,
     JACCARD_MIN,
+    KMEANS_K,
     KNN_K,
     KNN_QUERIES,
     LANG_HEAD_DIM,
@@ -630,6 +631,48 @@ exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_dot('e.embedding', 'q.qv')} 
           ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
 approx AS (SELECT vec_id FROM sq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
+def _sq_kmeans_ctes() -> str:
+    """Shared CTEs for the k-means mirrors: deterministic seeds = the
+    KMEANS_K lowest-id vectors, E-step = first-match argmin of the
+    sequential-fold squared L2 (mirrors clustering.assign_clusters)."""
+    return f"""cents AS (SELECT list(embedding ORDER BY vec_id) AS cs
+          FROM embeddings WHERE vec_id < {KMEANS_K}),
+km_ds AS (SELECT e.vec_id, e.embedding,
+                 list_transform(cents.cs, c -> list_sum(list_transform(e.embedding,
+                   (x, i) -> (CAST(x AS DOUBLE) - CAST(c[i] AS DOUBLE))
+                           * (CAST(x AS DOUBLE) - CAST(c[i] AS DOUBLE))))) AS ds
+          FROM embeddings e, cents),
+km_asg AS (SELECT vec_id, embedding,
+                  CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cluster,
+                  list_min(ds) AS dist
+           FROM km_ds)"""
+
+def _oracle_kmeans_assign() -> str:
+    return f"""
+WITH {_sq_kmeans_ctes()}
+SELECT vec_id, cluster, {_r6('dist', 'dist')} FROM km_asg
+"""
+
+def _oracle_kmeans_one_iter() -> str:
+    return f"""
+WITH {_sq_kmeans_ctes()},
+ex AS (SELECT cluster, unnest(range(1, 65)) AS i, embedding FROM km_asg),
+g AS (SELECT cluster, i, avg(CAST(embedding[i] AS DOUBLE)) AS v FROM ex GROUP BY 1, 2),
+n AS (SELECT cluster, count(*) AS n FROM km_asg GROUP BY 1)
+SELECT g.cluster, n.n, CAST(g.i - 1 AS INT) AS pos, {_r6('g.v', 'centroid')}
+FROM g JOIN n USING (cluster)
+"""
+
+def _oracle_semantic_dedup() -> str:
+    return f"""
+WITH {_sq_kmeans_ctes()},
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+             {_sq_cosine('a.embedding', 'b.embedding')} AS c
+      FROM km_asg a JOIN km_asg b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cluster, {_r6('c', 'cos')} FROM p WHERE c >= {EMB_NEAR_DUP_TAU}
 """
 
 def _sq_bq_ctes() -> str:
@@ -1592,6 +1635,9 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _oracle_top_ngrams(),
         "bq_topk": _oracle_bq_topk(),
         "recall_bq": _oracle_recall_bq(),
+        "kmeans_assign": _oracle_kmeans_assign(),
+        "kmeans_one_iter": _oracle_kmeans_one_iter(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "contamination_pairs": _oracle_contamination_pairs(),
         "pii_scrub": _oracle_pii_scrub(),
         "rolling_fingerprint": _oracle_rolling_fingerprint(),
