@@ -82,3 +82,38 @@ def test_budget_select_respects_budget_and_order(spark):
     rows = sorted(sampling.budget_select(docs, 8).collect(), key=lambda r: r.cum_tokens)
     # order: 3(2) -> 1(3) -> 2(4 would hit 9 > 8, dropped) -> 4 dropped
     assert [(r.doc_id, r.cum_tokens) for r in rows] == [(3, 2), (1, 5)]
+
+
+def test_mixture_plan_math(spark):
+    # corpus: a=100, b=30, c=50 docs; target a:0.4 b:0.3 (c untargeted)
+    rows = []
+    i = 0
+    for s, n in [("a", 100), ("b", 30), ("c", 50)]:
+        for _ in range(n):
+            rows.append((i, f"t {i}", s))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = {r["lang"]: r for r in sampling.mixture_plan(docs, {"a": 0.4, "b": 0.3}).collect()}
+    # lam = min(100/0.4=250, 30/0.3=100) = 100 → a: 40 docs (rate .4), b: 30 (rate 1.0)
+    assert set(plan) == {"a", "b"}  # untargeted stratum gets no plan row
+    assert abs(plan["b"]["rate"] - 1.0) < 1e-9 and plan["b"]["n_avail"] == 30
+    assert abs(plan["a"]["rate"] - 0.4) < 1e-9
+    assert abs(plan["a"]["n_target"] - 40.0) < 1e-9
+
+
+def test_mixture_sample_deterministic_and_binomialish(spark):
+    rows = [(i, f"doc {i}", "a" if i % 4 else "b") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got1 = {r["doc_id"] for r in sampling.mixture_sample(docs, {"a": 0.5, "b": 0.5}).collect()}
+    # identical under a different partitioning (hash filter, no RNG stream)
+    got2 = {
+        r["doc_id"]
+        for r in sampling.mixture_sample(docs.repartition(13), {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert got1 == got2
+    # b is the binding stratum (100 docs, weight .5 → lam=200, b rate 1.0)
+    b_ids = {i for i in range(400) if i % 4 == 0}
+    assert b_ids <= got1
+    # a sampled at ~ rate 100/300: binomial, loose band
+    n_a = len(got1 - b_ids)
+    assert 60 <= n_a <= 140

@@ -83,6 +83,7 @@ TOPNG_N = 3
 TOPNG_TOP = 20
 BQ_SHORTLIST = 50
 KMEANS_K = 5
+MIX_TARGET = {"en": 0.4, "de": 0.3, "zh": 0.3}
 
 _PERMS = D.minhash_perms(MINHASH_N)
 
@@ -879,6 +880,37 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 PACK_SEQ_LEN = 256
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting plan: largest no-upsampling
+    corpus λ = min n_s/p_s, per-stratum keep rates — one tiny agg
+    subtree, no driver collect."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = sampling.mixture_plan(t["documents"], MIX_TARGET)
+    return res.select(
+        "lang",
+        F.col("n_avail").cast("long").alias("n_avail"),
+        _round6(F.col("rate"), "rate"),
+        _round6(F.col("n_target"), "n_target"),
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to the target mixture via the plan rates + the portable
+    hash filter (deterministic across engines/partitionings)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return sampling.mixture_sample(t["documents"], MIX_TARGET).select(
+        "doc_id", "lang"
+    )
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1824,6 +1856,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "kmeans_one_iter": q_kmeans_one_iter,
         "semantic_dedup": q_semantic_dedup,
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
     }
 
 

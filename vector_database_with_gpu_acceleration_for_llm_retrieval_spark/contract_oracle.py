@@ -54,6 +54,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     LSH_PLANES,
     MINHASH_BANDS,
     MINHASH_N,
+    MIX_TARGET,
     MULTIPROBE_BUCKETS,
     NEAR_DUP_THRESHOLD,
     N_SHARDS,
@@ -921,6 +922,32 @@ WITH {_SQ_TIDS_CTES.strip()},
 SELECT id_a, id_b, {_r6('jaccard', 'jaccard')} FROM near_pairs
 """
 
+def _sq_mixture_ctes() -> str:
+    vals = ", ".join(f"('{s}', {float(p)!r})" for s, p in MIX_TARGET.items())
+    return f"""tgt(lang, p) AS (VALUES {vals}),
+mn AS (SELECT lang, count(*) AS n_avail FROM documents GROUP BY 1),
+mj AS (SELECT mn.lang, mn.n_avail, tgt.p FROM mn JOIN tgt USING (lang)),
+lam AS (SELECT min(n_avail / p) AS lam FROM mj),
+mplan AS (SELECT mj.lang, mj.n_avail,
+                 (lam.lam * mj.p) / mj.n_avail AS rate,
+                 lam.lam * mj.p AS n_target
+          FROM mj, lam)"""
+
+def _oracle_mixture_plan() -> str:
+    return f"""
+WITH {_sq_mixture_ctes()}
+SELECT lang, n_avail, {_r6('rate', 'rate')}, {_r6('n_target', 'n_target')} FROM mplan
+"""
+
+def _oracle_mixture_sample() -> str:
+    mod = 1_000_000
+    h = _sq_tok_hash("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_sq_mixture_ctes()}
+SELECT d.doc_id, d.lang FROM documents d JOIN mplan USING (lang)
+WHERE {h} % {mod} < CAST(mplan.rate * {mod} AS BIGINT)
+"""
+
 def _oracle_stratified_sample() -> str:
     mod = 1_000_000
     rate = "0.0"
@@ -1638,6 +1665,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _oracle_kmeans_assign(),
         "kmeans_one_iter": _oracle_kmeans_one_iter(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        "mixture_plan": _oracle_mixture_plan(),
+        "mixture_sample": _oracle_mixture_sample(),
         "contamination_pairs": _oracle_contamination_pairs(),
         "pii_scrub": _oracle_pii_scrub(),
         "rolling_fingerprint": _oracle_rolling_fingerprint(),

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["stratified_sample", "pack_sequences", "budget_select"]
+__all__ = [
+    "stratified_sample",
+    "pack_sequences",
+    "budget_select",
+    "mixture_plan",
+    "mixture_sample",
+]
 
 _SAMPLE_MOD = 1_000_000
 
@@ -201,4 +207,66 @@ def pack_sequences(
         "n_tokens",
         bin_id.alias("bin_id"),
         (cum - F.col("n_tokens") - bin_id * seq_len).cast("long").alias("bin_offset"),
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    target: dict[str, float],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Domain-mixture resampling plan (the DoReMi-style reweighting
+    step): given target proportions ``p_s``, find the largest corpus
+    achievable *without upsampling* — ``λ = min_s n_s / p_s`` — and the
+    per-stratum keep-rates that realize it:
+
+        rate_s = (λ · p_s) / n_s      (the argmin stratum gets 1.0)
+
+    Returns ``(stratum, n_avail, rate, n_target)``.  Fully declarative:
+    one tiny groupBy(stratum) count, a values-frame join against the
+    target weights, a 1-row min aggregate cross-joined back — no
+    driver collect, so the plan composes into a single Catalyst job
+    with the sample filter.  Strata missing from ``target`` get no plan
+    row (rate 0 downstream); target strata missing from the corpus are
+    ignored by the min (they would force λ = 0).
+    """
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(p)) for s, p in target.items() if p > 0],
+        f"{stratum_col} string, p double",
+    )
+    n = docs.groupBy(stratum_col).agg(F.count("*").alias("n_avail"))
+    j = n.join(F.broadcast(tgt), stratum_col)
+    lam = j.agg(F.min(F.col("n_avail") / F.col("p")).alias("lam"))
+    return j.crossJoin(F.broadcast(lam)).select(
+        stratum_col,
+        "n_avail",
+        ((F.col("lam") * F.col("p")) / F.col("n_avail")).alias("rate"),
+        (F.col("lam") * F.col("p")).alias("n_target"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    target: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resample the corpus to the target mixture: broadcast-join the
+    :func:`mixture_plan` rates back onto the rows and keep each row
+    deterministically via the same portable hash filter as
+    :func:`stratified_sample` (``hash(id) mod M < rate·M``) — stable
+    across runs, partitionings, and engines.  One corpus scan; the
+    plan subtree is a tiny aggregate.  Strata outside the target are
+    dropped (inner join).  Sizes are Binomial(n_s, rate_s) — exact-m_s
+    selection would need a per-stratum rank (see budget_select's
+    prefix-sum shape if that's ever required)."""
+    plan = mixture_plan(docs, target, stratum_col)
+    h = F.pmod(
+        TX.portable_token_hash(F.col(id_col).cast("string")), F.lit(_SAMPLE_MOD)
+    )
+    return (
+        docs.join(F.broadcast(plan.select(stratum_col, "rate")), stratum_col)
+        .filter(h < (F.col("rate") * _SAMPLE_MOD).cast("long"))
+        .drop("rate")
     )
