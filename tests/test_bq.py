@@ -119,3 +119,24 @@ def test_bq_scan_plan_no_shuffle(spark):
     fplan = full._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in fplan  # rerank joins a broadcast shortlist
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+
+def test_bq_index_roundtrip_matches_inline(spark, tmp_path):
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(120, 64)).astype(np.float32)
+    df = _emb(spark, mat)
+    thr = BQ.train_bq_thresholds(df, dim=64)
+    path = str(tmp_path / "bq_idx")
+    BQ.write_bq_index(df, path, thr)
+    inline = BQ.bq_topk(df, mat[3], thr, k=7, shortlist=40).collect()
+    indexed = BQ.bq_topk_indexed(
+        spark, path, mat[3], k=7, shortlist=40, rerank_corpus=df
+    ).collect()
+    assert [(r["vec_id"], r["hamming"]) for r in indexed] == [
+        (r["vec_id"], r["hamming"]) for r in inline
+    ]
+    # hamming-only mode (no rerank corpus): ranked by -hamming
+    ham_only = BQ.bq_topk_indexed(spark, path, mat[3], k=7, shortlist=40).collect()
+    assert ham_only[0]["vec_id"] == 3 and ham_only[0]["score"] == 0.0
+    hams = [-r["score"] for r in ham_only]
+    assert hams == sorted(hams)

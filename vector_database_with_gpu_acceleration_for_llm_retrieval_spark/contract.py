@@ -644,6 +644,28 @@ def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "hamming", _round6(F.col("score"), "score"))
 
 
+def q_bq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-codes variant: the Hamming scan reads the persisted
+    8-byte/vector sign-bit table — provably identical to q_bq_topk
+    (same thresholds, same packing), so it shares its oracle."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    thr = _bq_thresholds(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bq_idx_contract_")
+    try:
+        BQ.write_bq_index(t["embeddings"].select("vec_id", "embedding"), tmp, thr)
+        res = BQ.bq_topk_indexed(
+            spark, tmp, _query_vec(spark, sf_dir),
+            k=TOPK_K, shortlist=BQ_SHORTLIST, rerank_corpus=t["embeddings"],
+        )
+        out = res.select("vec_id", "hamming", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_recall_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the BQ shortlist+rerank vs the exact scan."""
     t = load_tables(spark, sf_dir)
@@ -1852,6 +1874,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,
+        "bq_topk_indexed": q_bq_topk_indexed,
         "recall_bq": q_recall_bq,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_one_iter": q_kmeans_one_iter,

@@ -1661,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_scores": _oracle_lm_doc_scores(),
         "top_ngrams": _oracle_top_ngrams(),
         "bq_topk": _oracle_bq_topk(),
+        "bq_topk_indexed": _oracle_bq_topk(),
         "recall_bq": _oracle_recall_bq(),
         "kmeans_assign": _oracle_kmeans_assign(),
         "kmeans_one_iter": _oracle_kmeans_one_iter(),

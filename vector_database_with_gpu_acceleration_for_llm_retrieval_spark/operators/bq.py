@@ -36,7 +36,7 @@ scan).  No shuffle anywhere in the read path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
@@ -48,6 +48,8 @@ __all__ = [
     "pack_bits",
     "bq_hamming",
     "bq_topk",
+    "write_bq_index",
+    "bq_topk_indexed",
 ]
 
 
@@ -165,6 +167,81 @@ def bq_topk(
     # one broadcast join: the float-vector scan is pruned to shortlist
     # rows by the broadcast hash join, and the exact dot runs only there
     pruned = df.select(id_col, vec_col).join(F.broadcast(short), id_col)
+    return (
+        pruned.select(
+            id_col,
+            "hamming",
+            V.dot(F.col(vec_col), V.vec_lit(query_vec)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# -- materialized codes table (same sidecar mechanism as LSH/IVF/PQ/SQ) ------
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (  # noqa: E402
+    _read_meta,
+    _write_meta,
+)
+
+
+def write_bq_index(
+    df: DataFrame,
+    path: str,
+    thresholds: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the packed sign-bit table + thresholds sidecar — 8 bytes
+    per vector per 64 dims at rest. Appends encode against the frozen
+    thresholds (retrain on drift); sidecar is Spark-written so
+    hdfs:///s3:// paths work."""
+    bq_encode_bits(df, thresholds, vec_col=vec_col, id_col=id_col).write.mode(
+        mode
+    ).parquet(path)
+    _write_meta(
+        df.sparkSession,
+        path,
+        {"kind": "bq", "thresholds": [float(t) for t in thresholds], "vec_col": vec_col},
+    )
+
+
+def bq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    rerank_corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a materialized BQ codes table: Hamming shortlist off
+    the 8-byte rows; with ``rerank_corpus`` the shortlist broadcast-
+    prunes the float scan for the exact rerank (the standard two-tier
+    read). Without it, returns the shortlist ranked by Hamming alone
+    (``score`` = −hamming so larger is better, like every other path).
+    """
+    meta = _read_meta(spark, path)
+    thresholds = [float(t) for t in meta["thresholds"]]
+    codes = spark.read.parquet(path)
+    n_words = (len(thresholds) + 63) // 64
+    qwords = pack_query(query_vec, thresholds)
+    word_cols = [f"w{i}" for i in range(n_words)]
+    short = (
+        codes.select(id_col, bq_hamming(word_cols, qwords).alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    if rerank_corpus is None:
+        return (
+            short.withColumn("score", -F.col("hamming").cast("double"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+    pruned = rerank_corpus.select(id_col, vec_col).join(F.broadcast(short), id_col)
     return (
         pruned.select(
             id_col,
