@@ -47,6 +47,11 @@ HEADLINE = [
     "rag_context",
     "curate_corpus",
     "hybrid_topk_rrf",
+    # round-5 additions: the 1-bit compression tier and the LM quality
+    # gate (new families — extends the headline total vs earlier rounds;
+    # per-query history stays comparable)
+    "bq_topk",
+    "lm_doc_scores",
 ]
 
 
@@ -120,6 +125,12 @@ SCALE_QUERIES = [
     # data grows (a per-stratum window would go superlinear here)
     "budget_select",
     "pack_sequences",
+    # round-5 families at scale: the bigram-LM gate (explode + vocab
+    # joins at 10x docs), the 1-bit Hamming scan and the k-means E-step
+    # (both pure-projection shapes over 100k vectors)
+    "lm_doc_scores",
+    "bq_topk",
+    "kmeans_assign",
 ]
 SCALE_REPS = 3
 

@@ -147,3 +147,22 @@ def test_filtered_indexed_ann_pushes_both_filters(tables, spark):
         assert got_str == got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_distributed_trainer_drops_into_ivf_index(spark, tables, tmp_path):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        ivf_topk_indexed,
+        train_centroids_distributed,
+        write_ivf_index,
+    )
+
+    emb = tables["embeddings"]
+    cents = train_centroids_distributed(emb, n_centroids=4, n_iter=3)
+    assert len(cents) == 4 and all(len(c) == 64 for _, c in cents)
+    path = str(tmp_path / "ivf_dist")
+    write_ivf_index(emb, path, cents)
+    qv = emb.filter("vec_id = 0").head()["embedding"]
+    res = ivf_topk_indexed(spark, path, qv, k=5, nprobe=2).collect()
+    assert len(res) == 5
+    # the query's own vector lives in the probed cell → self at rank 1
+    assert res[0]["vec_id"] == 0

@@ -38,6 +38,7 @@ __all__ = [
     "write_ivf_index",
     "ivf_topk_indexed",
     "train_centroids",
+    "train_centroids_distributed",
 ]
 
 #: sidecar subdirectory (underscore prefix → invisible to parquet
@@ -189,3 +190,29 @@ def ivf_topk_indexed(
     if where is not None:
         corpus = corpus.filter(where)
     return topk(corpus, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def train_centroids_distributed(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """IVF training on the FULL corpus via the distributed Lloyd loop
+    (operators/clustering.kmeans_fit) instead of a driver-side sample —
+    for when the corpus distribution is skewed enough that a 1e5-row
+    sample misses tail cells. One scan + one k-row aggregate per
+    iteration; the driver only ever holds the k×D matrix. Returns the
+    same ``[(cell_id, centroid), …]`` shape as :func:`train_centroids`
+    so it drops into write_ivf_index / ivf_topk_indexed unchanged
+    (centroids rounded to 6 decimals, matching the sampled trainer, so
+    sidecar JSON round-trips bit-identically)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    cents, _ = kmeans_fit(df, n_centroids, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    return [
+        (int(i), [round(float(v), 6) for v in c]) for i, c in enumerate(cents)
+    ]
