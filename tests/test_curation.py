@@ -104,3 +104,25 @@ def test_curate_corpus_full_null_text_gated_not_joined_away(spark):
         near_dup_threshold=0.5, n_hashes=16, n_bands=8,
     )
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_doc_signals_keeps_ungateable_docs_visible(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, None),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.doc_signals(docs).collect()}
+    # every input doc has a signals row — none silently dropped
+    assert set(out) == {1, 2, 3}
+    # real text gets LM scores; NULL/blank text surfaces NULL (not fake 0)
+    assert out[1]["ppl"] is not None and out[1]["n_bigrams"] > 0
+    assert out[2]["ppl"] is None and out[3]["ppl"] is None
+    assert out[1]["pred_lang"] == "en"

@@ -1023,6 +1023,28 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _round6(F.col("quality"), "quality"), "pred_lang")
 
 
+def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized per-doc signals table: heuristic quality +
+    language + repetition + bigram-LM perplexity in one frame — the
+    compute-once-gate-many pattern; LEFT joins keep ungateable docs
+    visible with NULL LM scores."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = curation.doc_signals(t["documents"], repeat_n=REPEAT_N, lm_alpha=LM_ALPHA)
+    return out.select(
+        "doc_id",
+        _round6(F.col("quality"), "quality"),
+        "pred_lang",
+        _round6(F.col("dup_ngram_ratio"), "dup_ngram_ratio"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        _round6(F.col("avg_logp"), "avg_logp"),
+        _round6(F.col("ppl"), "ppl"),
+    )
+
+
 def q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full hygiene chain: quality → lang → repetition gate → PII
     redaction → exact dedup → near-dup removal → benchmark
@@ -1881,6 +1903,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "doc_signals": q_doc_signals,
     }
 
 

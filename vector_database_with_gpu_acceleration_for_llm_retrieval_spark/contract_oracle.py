@@ -1337,6 +1337,22 @@ SELECT ngram, n_occurrences, n_docs FROM c
 ORDER BY n_occurrences DESC, ngram ASC LIMIT {TOPNG_TOP}
 """
 
+def _oracle_doc_signals() -> str:
+    """Composes the four signal mirrors as subqueries (DuckDB allows a
+    WITH inside a parenthesized subquery) — the one-frame signals table
+    joins them on doc_id exactly like curation.doc_signals."""
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_oracle_quality_score()})),
+l AS (SELECT doc_id, pred_lang FROM ({_oracle_lang_id()})),
+r AS (SELECT doc_id, dup_ngram_ratio FROM ({_oracle_repetition_stats()})),
+lm AS (SELECT doc_id, n_bigrams, avg_logp, ppl FROM ({_oracle_lm_doc_scores()}))
+SELECT q.doc_id, {_r6('q.quality', 'quality')}, l.pred_lang,
+       {_r6('r.dup_ngram_ratio', 'dup_ngram_ratio')},
+       lm.n_bigrams, {_r6('lm.avg_logp', 'avg_logp')}, {_r6('lm.ppl', 'ppl')}
+FROM q JOIN l USING (doc_id)
+LEFT JOIN r USING (doc_id) LEFT JOIN lm USING (doc_id)
+"""
+
 def _oracle_contamination_pairs() -> str:
     probe_text = (
         f"array_to_string(list_slice({_SQ_TOKS}, 1, {CONTAM_PROBE_TOKENS}), ' ')"
@@ -1660,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _oracle_repetition_stats(),
         "lm_doc_scores": _oracle_lm_doc_scores(),
         "top_ngrams": _oracle_top_ngrams(),
+        "doc_signals": _oracle_doc_signals(),
         "bq_topk": _oracle_bq_topk(),
         "bq_topk_indexed": _oracle_bq_topk(),
         "recall_bq": _oracle_recall_bq(),

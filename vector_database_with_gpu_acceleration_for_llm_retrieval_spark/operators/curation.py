@@ -30,7 +30,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
     textstats as T,
 )
 
-__all__ = ["curate_corpus", "curate_corpus_full", "curation_report"]
+__all__ = ["curate_corpus", "curate_corpus_full", "curation_report", "doc_signals"]
 
 
 def curate_corpus(
@@ -181,4 +181,48 @@ def curation_report(
         "n_input",
         "n_survived",
         F.round(1.0 - F.col("n_survived") / F.col("n_input"), 6).alias("drop_rate"),
+    )
+
+
+def doc_signals(
+    docs: DataFrame,
+    repeat_n: int = 3,
+    lm_alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The materialized per-document signals table: every quality gate's
+    input computed ONCE — heuristic quality + predicted language (pure
+    expressions riding the base scan), repetition ratios (per-row
+    projection), and the bigram-LM perplexity (the one signal needing
+    corpus-level state). Real pipelines persist exactly this frame and
+    iterate on gate thresholds without touching the corpus again —
+    re-gating is then a filter over a tiny table instead of a 100 TB
+    re-scan.
+
+    LEFT joins keep blank/NULL-text docs visible with NULL LM scores
+    (the signals table must account for every doc; silently dropping
+    ungateable rows is how corpora leak garbage).
+
+    Output: ``(id, quality, pred_lang, dup_ngram_ratio, n_bigrams,
+    avg_logp, ppl)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lm as LM,
+    )
+
+    quality = T.quality_columns(text_col)[-1]
+    pred_lang = T.lang_columns(text_col)[0]
+    base = docs.select(F.col(id_col), quality, pred_lang)
+    rep = T.repetition_stats(docs, n=repeat_n, id_col=id_col, text_col=text_col).select(
+        id_col, "dup_ngram_ratio"
+    )
+    lm = LM.lm_score(docs, alpha=lm_alpha, id_col=id_col, text_col=text_col)
+    return (
+        base.join(rep, id_col, "left")
+        .join(lm, id_col, "left")
+        .select(
+            id_col, "quality", "pred_lang", "dup_ngram_ratio",
+            "n_bigrams", "avg_logp", "ppl",
+        )
     )
