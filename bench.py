@@ -256,6 +256,34 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             shape["minhash_skew1_uncapped"] = _probe(
                 lambda: D.near_dup_pairs(skew1, threshold=0.8)
             )
+
+            # BQ at a size where I/O dominates the local[32] job floor:
+            # 1M vectors — the exact scan reads ~256 MB of floats, the
+            # Hamming path reads the 8 MB packed-codes table + a
+            # broadcast-pruned rerank. This pair measures the 32×
+            # bytes-scanned claim as wall clock (the 100k-row probe
+            # can't: both sides sit on the scheduling floor there).
+            from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+                bq as BQ,
+            )
+
+            n_bq = int(os.environ.get("SPARK_GRAFT_SCALE_BQ", "1000000"))
+            bulk_random_vectors(spark, n_bq, dim=64, seed=7).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/emb_bq.parquet")
+            bigr = spark.read.parquet(f"{tmp}/emb_bq.parquet")
+            thr = BQ.train_bq_thresholds(bigr, dim=64)
+            BQ.write_bq_index(bigr, f"{tmp}/bq_idx", thr)
+            bq_qv = bigr.filter(F.col("vec_id") == 0).head()["embedding"]
+            shape["bq_exact_scan_1m"] = _probe(
+                lambda: S.topk(bigr, bq_qv, k=10, metric="cosine")
+            )
+            shape["bq_hamming_rerank_1m"] = _probe(
+                lambda: BQ.bq_topk_indexed(
+                    spark, f"{tmp}/bq_idx", bq_qv, k=10, shortlist=200,
+                    rerank_corpus=bigr,
+                )
+            )
         except Exception:
             pass
 
