@@ -132,3 +132,70 @@ def test_stream_ivfpq_index_matches_batch_index(spark, tables):
         assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_bq_index_matches_batch_index(spark, tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        bq as BQ,
+    )
+
+    corpus = tables["embeddings"].select("vec_id", "embedding", F.lit(0).alias("label"))
+    qvec = corpus.filter("vec_id = 0").first().embedding
+    thr = BQ.train_bq_thresholds(corpus, dim=64)
+
+    tmp = tempfile.mkdtemp(prefix="stream_bq_")
+    try:
+        src, idx, ckpt = tmp + "/src", tmp + "/idx", tmp + "/ckpt"
+        # two appends → two micro-batches
+        corpus.filter(F.col("vec_id") < 40).write.mode("append").parquet(src)
+        corpus.filter(F.col("vec_id") >= 40).write.mode("append").parquet(src)
+
+        q = P.stream_bq_index_ingest(spark, src, idx, ckpt, thr, dim=64)
+        q.processAllAvailable()
+        q.stop()
+
+        inline = BQ.bq_topk(corpus, qvec, thr, k=8, shortlist=30).collect()
+        live = BQ.bq_topk_indexed(
+            spark, idx, qvec, k=8, shortlist=30, rerank_corpus=corpus
+        ).collect()
+        assert [(r.vec_id, r.hamming) for r in live] == [
+            (r.vec_id, r.hamming) for r in inline
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_lm_score_matches_batch(spark, tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lm as LM,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    model = LM.bigram_lm(train)
+    model = tuple(m.cache() for m in model)
+
+    tmp = tempfile.mkdtemp(prefix="stream_lm_")
+    try:
+        src, out, ckpt = tmp + "/src", tmp + "/out", tmp + "/ckpt"
+        held = docs.filter(F.col("doc_id") % 2 == 1)
+        held.filter(F.col("doc_id") < 100).write.mode("append").parquet(src)
+        held.filter(F.col("doc_id") >= 100).write.mode("append").parquet(src)
+
+        q = P.stream_lm_score(spark, src, out, ckpt, model, alpha=0.5)
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            r["doc_id"]: (r["n_bigrams"], round(r["avg_logp"], 9))
+            for r in spark.read.parquet(out).collect()
+        }
+        expect = {
+            r["doc_id"]: (r["n_bigrams"], round(r["avg_logp"], 9))
+            for r in LM.score_with_model(held, model, alpha=0.5).collect()
+        }
+        assert got == expect and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        for m in model:
+            m.unpersist()

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["BOS", "bigram_pairs", "bigram_lm", "lm_score"]
+__all__ = ["BOS", "bigram_pairs", "bigram_lm", "lm_score", "score_with_model"]
 
 #: Beginning-of-sequence pseudo-token (cannot collide with real tokens:
 #: whitespace tokenization never yields a token containing whitespace,
@@ -120,7 +120,26 @@ def lm_score(
     adversarially huge vocabularies (random-string corpora) and let
     AQE pick shuffle-vs-broadcast at runtime.
     """
-    b, c, v = bigram_lm(train if train is not None else docs, id_col, text_col)
+    model = bigram_lm(train if train is not None else docs, id_col, text_col)
+    return score_with_model(
+        docs, model, alpha=alpha, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
+    )
+
+
+def score_with_model(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score against a FROZEN ``(bigrams, contexts, vocab)`` model —
+    the serving half of :func:`lm_score`, reusable per micro-batch on a
+    document stream (cache the model frames once; each batch then costs
+    one explode + two broadcast joins)."""
+    b, c, v = model
     if broadcast_model:
         b, c = b.hint("broadcast"), c.hint("broadcast")
     pairs = bigram_pairs(docs, id_col, text_col)

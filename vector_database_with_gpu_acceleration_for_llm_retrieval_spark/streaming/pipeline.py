@@ -40,6 +40,8 @@ __all__ = [
     "stream_ivf_index_ingest",
     "stream_ivfpq_index_ingest",
     "stream_model_inference",
+    "stream_bq_index_ingest",
+    "stream_lm_score",
     "stream_event_window_counts",
     "stream_dedup_ingest",
     "stream_curate_ingest",
@@ -649,4 +651,92 @@ def stream_event_window_counts(
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_bq_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    thresholds: list[float],
+    dim: int,
+    schema: str = "vec_id long, embedding array<float>, label int",
+):
+    """BQ twin of :func:`stream_lsh_index_ingest`: arriving vectors are
+    sign-bit packed against the FROZEN thresholds and appended to the
+    materialized codes table — 8 bytes/vector/64-dims of new state per
+    row, the cheapest serving index to stream-maintain.
+    ``bq_topk_indexed`` reads stay consistent through the file-sink log.
+    Threshold drift is the operational caveat (same as SQ ranges):
+    out-of-range arrivals still land on the right side of each
+    per-dimension midrange unless the distribution shifts past it —
+    retrain + rewrite when recall decays."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.bq import (
+        pack_bits,
+    )
+
+    _write_meta(
+        spark,
+        index_path,
+        {
+            "kind": "bq",
+            "thresholds": [float(t) for t in thresholds],
+            "vec_col": "embedding",
+        },
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    words = pack_bits(F.col("embedding"), thresholds)
+    prepared = validate_dim(stream, dim).select(
+        "vec_id", *[c.alias(f"w{i}") for i, c in enumerate(words)]
+    )
+    return (
+        prepared.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_lm_score(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    model,
+    alpha: float = 0.5,
+    schema: str = "doc_id long, text string",
+):
+    """Continuous bigram-LM scoring of a document stream against a
+    FROZEN batch-trained model (operators/lm.bigram_lm): each
+    micro-batch runs the batch scorer via ``foreachBatch`` — one
+    explode + two broadcast joins against the cached model frames, the
+    same compute-once-serve-many split as the frozen-codebook
+    IVF-PQ stream and the frozen-threshold BQ stream.
+
+    The per-doc mean is computed inside the micro-batch (every doc
+    arrives whole in its file), so no streaming-aggregation state or
+    watermark is needed — the scorer stays stateless on the stream.
+
+    ``model`` = (bigrams, contexts, vocab); caller should ``.cache()``
+    the frames so every batch reuses them instead of re-aggregating the
+    training corpus.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.lm import (
+        score_with_model,
+    )
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        scored = score_with_model(batch_df, model, alpha=alpha)
+        scored.write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
