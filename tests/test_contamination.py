@@ -130,3 +130,23 @@ def test_pii_redact_email_subsumes_phone_shaped_local_part(spark):
     got = {r.doc_id: r.redacted for r in PII.pii_redact(docs).collect()}
     assert got[1] == "mail [EMAIL] or call [PHONE] now"
     assert got[2] == "server [IP] and fax [PHONE]"
+
+
+def test_hash_key_path_matches_string_path(spark, tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        contamination as C,
+    )
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    probes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    a = C.contamination_pairs(docs, probes, n=5, threshold=0.3)
+    b = C.contamination_pairs(docs, probes, n=5, threshold=0.3, key_path="hash")
+    ka = {(r.train_id, r.probe_id, r.n_common) for r in a.collect()}
+    kb = {(r.train_id, r.probe_id, r.n_common) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+    # hash path never builds an n-gram string: no concat in its plan
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "concat_ws" not in plan

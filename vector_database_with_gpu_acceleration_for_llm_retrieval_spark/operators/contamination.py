@@ -50,7 +50,47 @@ __all__ = [
     "probe_ngrams",
     "contamination_pairs",
     "contaminated_docs",
+    "shingle_keys",
 ]
+
+
+def shingle_keys(text_col, n: int, key_path: str = "string"):
+    """Distinct shingle join keys for a document's text.
+
+    ``"string"`` — the n-gram strings themselves (oracle-exact; what
+    the checked contract entry runs).  ``"hash"`` — xxhash64 each TOKEN
+    once, then hash the n zipped token-hash columns per window
+    (``xxhash64(h_i, …, h_{i+n-1})``); no n-gram string is ever built.
+    Same pairs modulo xxhash64 collisions (~|ngrams|²/2⁶⁴ —
+    negligible; path parity is pytest-asserted), same engine-private-
+    hash tradeoff as dedup's ``tid_path='hash'``.
+
+    Measured honestly: at the 50k-doc probe the hash path is wall-clock
+    PARITY with strings (7.2 vs 7.0 s) — the explode row machinery
+    dominates, not string bytes, consistent with the struct-join
+    experiment above.  Keep ``"string"`` by default; ``"hash"`` exists
+    for 8-byte join keys when the join state itself (a huge probe
+    suite's broadcast table, or a future shuffle-join variant) is the
+    binding constraint, not for scan speed.  Short docs (< n tokens)
+    key on the hash of the whole token-hash array, mirroring
+    ``shingles``' whole-doc fallback.
+    """
+    if key_path == "string":
+        return F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
+    toks = TX.tokens(F.col(text_col))
+    tids = F.transform(toks, lambda t: F.xxhash64(t))
+    shifted = [tids] + [
+        F.slice(tids, i + 1, F.greatest(F.size(tids) - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    z = F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)])
+    cnt = F.size(tids) - F.lit(n - 1)
+    full = F.transform(
+        F.slice(z, 1, F.greatest(cnt, F.lit(1))),
+        lambda s: F.xxhash64(*[s[str(i)] for i in range(n)]),
+    )
+    keys = F.when(cnt >= 1, full).otherwise(F.array(F.xxhash64(tids)))
+    return F.array_distinct(keys)
 
 
 def probe_ngrams(
@@ -59,15 +99,14 @@ def probe_ngrams(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_probe_df: int | None = None,
+    key_path: str = "string",
 ) -> DataFrame:
     """Distinct word n-grams per probe doc → ``(probe_id, ngram)`` rows,
     with stop-shingles (probe document frequency > ``max_probe_df``)
     removed. Small by construction; the caller broadcasts it."""
     ex = probes.select(
         F.col(id_col).alias("probe_id"),
-        F.explode(
-            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
-        ).alias("ngram"),
+        F.explode(shingle_keys(text_col, n, key_path)).alias("ngram"),
     )
     if max_probe_df is not None:
         keep = (
@@ -88,6 +127,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_probe_df: int | None = None,
+    key_path: str = "string",
 ) -> DataFrame:
     """(train_id, probe_id, n_common, containment) for every pair whose
     n-gram containment — shared distinct n-grams over the probe's
@@ -96,17 +136,19 @@ def contamination_pairs(
     Containment (not Jaccard) is the right asymmetry here: a 100-page
     training doc that embeds a whole benchmark question must flag even
     though its own n-gram set is huge.
+
+    ``key_path="hash"`` joins on token-hash window keys instead of
+    n-gram strings (see :func:`shingle_keys`) — the production setting;
+    the oracle-checked entry runs ``"string"``.
     """
     pr = probe_ngrams(probes, n=n, id_col=id_col, text_col=text_col,
-                      max_probe_df=max_probe_df)
+                      max_probe_df=max_probe_df, key_path=key_path)
     # denominator BEFORE stop-shingle removal would undercount; after is
     # correct — containment over the n-grams that can actually collide
     denom = pr.groupBy("probe_id").agg(F.count("*").alias("n_probe_ngrams"))
     tr = train.select(
         F.col(id_col).alias("train_id"),
-        F.explode(
-            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
-        ).alias("ngram"),
+        F.explode(shingle_keys(text_col, n, key_path)).alias("ngram"),
     )
     hits = (
         tr.join(F.broadcast(pr), "ngram")
@@ -132,6 +174,7 @@ def contaminated_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_probe_df: int | None = None,
+    key_path: str = "string",
 ) -> DataFrame:
     """Distinct train doc ids to drop: any probe pushed them over the
     containment threshold. The drop step is then an anti-join
@@ -139,5 +182,6 @@ def contaminated_docs(
     pairs = contamination_pairs(
         train, probes, n=n, threshold=threshold,
         id_col=id_col, text_col=text_col, max_probe_df=max_probe_df,
+        key_path=key_path,
     )
     return pairs.select(F.col("train_id").alias(id_col)).distinct()
