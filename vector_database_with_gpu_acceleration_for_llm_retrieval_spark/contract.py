@@ -719,6 +719,22 @@ def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAXSIM_K = 10
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: per-query-
+    token max alignment over the doc's chunks, summed — one chunked
+    scan, one doc-keyed agg, TakeOrderedAndProject tail."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import rag
+
+    t = load_tables(spark, sf_dir)
+    res = rag.maxsim_topk(
+        t["documents"], RAG_QUESTION, k=MAXSIM_K, dim=RAG_DIM, max_words=CHUNK_WORDS
+    )
+    return res.select("doc_id", _round6(F.col("score"), "score"))
+
+
 GROUP_TOPK_K = 5
 POOL_DOC_LIMIT = 50
 
@@ -1904,6 +1920,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "doc_signals": q_doc_signals,
+        "maxsim_topk": q_maxsim_topk,
     }
 
 

@@ -51,6 +51,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     KNN_QUERIES,
     LANG_HEAD_DIM,
     LM_ALPHA,
+    MAXSIM_K,
     LSH_PLANES,
     MINHASH_BANDS,
     MINHASH_N,
@@ -843,6 +844,42 @@ ctx AS (SELECT 0 AS qid,
 SELECT qid, context,
        printf('{prompt}', context, '{RAG_QUESTION}') AS prompt
 FROM ctx
+"""
+
+def _oracle_maxsim_topk() -> str:
+    """MaxSim mirror: the chunk hash-embedding CTEs from the RAG
+    mirror, then per-query-token max over each doc's chunks, summed in
+    a fixed literal order (deterministic float arithmetic both
+    engines)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+    )
+
+    d = RAG_DIM
+    q_vecs = [hash_embed_py(t, dim=d) for t in RAG_QUESTION.split()]
+    th = _sq_tok_hash("t")
+    chunk_sql = _oracle_chunk_documents().strip()
+    dots = ", ".join(
+        f"{_sq_dot('e', _sq_vec(qv))} AS d{i}" for i, qv in enumerate(q_vecs)
+    )
+    maxes = ", ".join(f"max(d{i}) AS m{i}" for i in range(len(q_vecs)))
+    tot = " + ".join(f"m{i}" for i in range(len(q_vecs)))
+    return f"""
+WITH chunked AS ({chunk_sql}),
+ct AS (SELECT doc_id, regexp_split_to_array(trim(chunk_text), '\\s+') AS w FROM chunked),
+raw AS (SELECT doc_id,
+  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
+    list_transform(w, t -> CASE WHEN {th} % {d} = j
+      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
+      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
+  FROM ct),
+emb AS (SELECT doc_id,
+  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
+  FROM raw),
+scored AS (SELECT doc_id, {dots} FROM emb),
+agg AS (SELECT doc_id, {maxes} FROM scored GROUP BY doc_id)
+SELECT doc_id, {_r6(f'({tot})', 'score')} FROM agg
+ORDER BY ({tot}) DESC, doc_id LIMIT {MAXSIM_K}
 """
 
 def _sq_bm25_ctes() -> str:
@@ -1685,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _oracle_semantic_dedup(),
         "mixture_plan": _oracle_mixture_plan(),
         "mixture_sample": _oracle_mixture_sample(),
+        "maxsim_topk": _oracle_maxsim_topk(),
         "contamination_pairs": _oracle_contamination_pairs(),
         "pii_scrub": _oracle_pii_scrub(),
         "rolling_fingerprint": _oracle_rolling_fingerprint(),
