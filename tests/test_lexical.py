@@ -85,3 +85,26 @@ def test_bm25_index_matches_query_time_and_prunes(spark, tables):
         assert lexical.bm25_topk_indexed(spark, tmp, "zzzqqqxxx", k=5).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_linear_fuse_normalizes_and_weights(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.lexical import (
+        linear_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (3, 0.8), (4, 0.7)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r["fused_score"] for r in linear_fuse(a, b, 0.5, k=10).collect()}
+    # doc 1: only in a, normalized 1.0 → 0.5; doc 4: only in b, norm 0 → 0
+    assert abs(out[1] - 0.5) < 1e-12
+    assert out[4] == 0.0
+    # doc 2: a-norm 0.5, b-norm 1.0 → 0.75
+    assert abs(out[2] - 0.75) < 1e-12
+    # degenerate list (all scores equal) → norm 1.0, no div-by-zero
+    c = spark.createDataFrame([(7, 3.0), (8, 3.0)], "doc_id long, score double")
+    out2 = {r["doc_id"]: r["fused_score"] for r in linear_fuse(c, b, 1.0, k=10).collect()}
+    assert out2[7] == 1.0 and out2[8] == 1.0

@@ -916,6 +916,38 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("doc_id", _round6(F.col("rrf_score"), "rrf_score"))
 
 
+HYBRID_W_DENSE = 0.6
+
+
+def q_hybrid_topk_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, weighted-sum variant: the same dense + BM25
+    top-20 lists as q_hybrid_topk_rrf, min-max normalized per list and
+    linearly mixed (w=0.6 dense) — the score-aware combiner next to
+    rank-only RRF."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+        hash_embedding_udf,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    qv = hash_embed_py(RAG_QUESTION, dim=RAG_DIM)
+    dense = docs.select(
+        "doc_id", hash_embedding_udf(dim=RAG_DIM)("text").alias("e")
+    )
+    dense_hits = S.topk(dense, qv, k=HYBRID_K_EACH, id_col="doc_id", vec_col="e")
+    lex_hits = lexical.bm25_topk(
+        docs, RAG_QUESTION, k=HYBRID_K_EACH, k1=BM25_K1, b=BM25_B
+    )
+    fused = lexical.linear_fuse(
+        dense_hits, lex_hits, weight_a=HYBRID_W_DENSE, k=TOPK_K
+    )
+    return fused.select("doc_id", _round6(F.col("fused_score"), "fused_score"))
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 PACK_SEQ_LEN = 256
 
@@ -1921,6 +1953,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "doc_signals": q_doc_signals,
         "maxsim_topk": q_maxsim_topk,
+        "hybrid_topk_linear": q_hybrid_topk_linear,
     }
 
 

@@ -43,6 +43,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     FILTER_LABEL,
     GROUP_TOPK_K,
     HYBRID_K_EACH,
+    HYBRID_W_DENSE,
     IVF_NPROBE,
     IVF_N_CENTROIDS,
     JACCARD_MIN,
@@ -945,6 +946,46 @@ SELECT doc_id, {_r6('rrf_score', 'rrf_score')} FROM __fused
 ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_K}
 """
 
+def _oracle_hybrid_topk_linear() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+    )
+
+    d = RAG_DIM
+    qv = _sq_vec(hash_embed_py(RAG_QUESTION, dim=d))
+    th = _sq_tok_hash("t")
+    w = repr(float(HYBRID_W_DENSE))
+    w2 = repr(1.0 - float(HYBRID_W_DENSE))
+    return f"""
+WITH {_sq_bm25_ctes().strip()},
+__w AS (SELECT doc_id, {_SQ_TOKS} AS w FROM documents),
+__raw AS (SELECT doc_id,
+  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
+    list_transform(w, t -> CASE WHEN {th} % {d} = j
+      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
+      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
+  FROM __w),
+__emb AS (SELECT doc_id,
+  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
+  FROM __raw),
+__dense AS (SELECT doc_id, {_sq_cosine('e', qv)} AS score FROM __emb
+            ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
+__lex AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
+__dmm AS (SELECT min(score) AS lo, max(score) AS hi FROM __dense),
+__lmm AS (SELECT min(score) AS lo, max(score) AS hi FROM __lex),
+__dn AS (SELECT doc_id, CASE WHEN __dmm.hi - __dmm.lo = 0.0 THEN 1.0
+                             ELSE (score - __dmm.lo) / (__dmm.hi - __dmm.lo) END AS n
+         FROM __dense, __dmm),
+__ln AS (SELECT doc_id, CASE WHEN __lmm.hi - __lmm.lo = 0.0 THEN 1.0
+                             ELSE (score - __lmm.lo) / (__lmm.hi - __lmm.lo) END AS n
+         FROM __lex, __lmm),
+__f AS (SELECT coalesce(__dn.doc_id, __ln.doc_id) AS doc_id,
+               coalesce(__dn.n, 0.0) * {w} + coalesce(__ln.n, 0.0) * {w2} AS fs
+        FROM __dn FULL OUTER JOIN __ln ON __dn.doc_id = __ln.doc_id)
+SELECT doc_id, {_r6('fs', 'fused_score')} FROM __f
+ORDER BY fs DESC, doc_id LIMIT {TOPK_K}
+"""
+
 def _oracle_exact_dedup() -> str:
     return """
 SELECT doc_id, lang FROM (
@@ -1723,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan": _oracle_mixture_plan(),
         "mixture_sample": _oracle_mixture_sample(),
         "maxsim_topk": _oracle_maxsim_topk(),
+        "hybrid_topk_linear": _oracle_hybrid_topk_linear(),
         "contamination_pairs": _oracle_contamination_pairs(),
         "pii_scrub": _oracle_pii_scrub(),
         "rolling_fingerprint": _oracle_rolling_fingerprint(),

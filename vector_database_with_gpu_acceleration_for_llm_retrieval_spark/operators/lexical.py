@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["bm25_topk", "rrf_fuse", "write_bm25_index", "bm25_topk_indexed"]
+__all__ = ["bm25_topk", "rrf_fuse", "linear_fuse", "write_bm25_index", "bm25_topk_indexed"]
 
 #: term-hash partition fan-out for the postings table — a query's terms
 #: prune to ≤|q| of these partitions before any file opens.
@@ -226,5 +226,51 @@ def rrf_fuse(
     return (
         joined.select(F.col(id_col), score.alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def linear_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    weight_a: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted-sum fusion of two SCORED lists — the other standard
+    hybrid combiner next to rank-only RRF.  Scores live on different
+    scales (BM25 is unbounded, cosine is [−1, 1]), so each list is
+    min-max normalized over its own k rows first:
+
+        fused = w · norm_a(s_a) + (1 − w) · norm_b(s_b)
+
+    with a missing entry contributing 0 (same absent-list semantics as
+    RRF).  The min/max come from two k-row aggregates — driver-free,
+    broadcast back — so the whole fusion is a few k-row frames; the
+    expensive part stays in the upstream retrievers.  A degenerate list
+    (all scores equal) normalizes to 1.0 rather than dividing by zero.
+    Returns ``(id, fused_score)`` top-k, ties to id asc."""
+    def norm(df: DataFrame, tag: str) -> DataFrame:
+        s = df.select(F.col(id_col), F.col(score_col).alias(f"__s{tag}"))
+        mm = s.agg(
+            F.min(f"__s{tag}").alias(f"__lo{tag}"),
+            F.max(f"__s{tag}").alias(f"__hi{tag}"),
+        )
+        rng = F.col(f"__hi{tag}") - F.col(f"__lo{tag}")
+        return s.crossJoin(F.broadcast(mm)).select(
+            F.col(id_col),
+            F.when(rng == 0.0, F.lit(1.0))
+            .otherwise((F.col(f"__s{tag}") - F.col(f"__lo{tag}")) / rng)
+            .alias(f"__n{tag}"),
+        )
+    w = float(weight_a)
+    joined = norm(a, "a").join(norm(b, "b"), id_col, "full_outer")
+    fused = F.coalesce(F.col("__na"), F.lit(0.0)) * w + F.coalesce(
+        F.col("__nb"), F.lit(0.0)
+    ) * (1.0 - w)
+    return (
+        joined.select(F.col(id_col), fused.alias("fused_score"))
+        .orderBy(F.desc("fused_score"), F.asc(id_col))
         .limit(k)
     )
