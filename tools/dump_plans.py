@@ -101,6 +101,38 @@ AUDITED = {
         "|Q|·k neighbor frame, which BROADCASTS back onto the corpus for the label "
         "lookup — the big side never shuffles; the vote aggregate is |Q|·k rows."
     ),
+    "lm_doc_scores": (
+        "Bigram-LM scoring: ONE corpus explode aggregates to the vocab-sized "
+        "bigram counts (contexts/V derive from that frame, not extra corpus "
+        "scans); scoring re-explodes and broadcast-joins the counts — the only "
+        "corpus-sized shuffle is the final doc-keyed mean."
+    ),
+    "bq_topk": (
+        "Binary quantization: XOR+popcount Hamming over packed sign-bit longs "
+        "into a shuffle-free TakeOrderedAndProject shortlist; the exact rerank "
+        "broadcast-joins the shortlist so the float column is read for "
+        "shortlist rows only (8 bytes/vector on the scan path)."
+    ),
+    "kmeans_assign": (
+        "k-means E-step: argmin of k literal-unrolled squared-L2 folds — one "
+        "projection, zero Exchange; the kxD centroid matrix rides the closure, "
+        "never a join."
+    ),
+    "semantic_dedup": (
+        "SemDeDup blocking: both sides assign clusters in their scan, the "
+        "equi-join on cluster replaces the all-pairs cross product "
+        "(sum of block squares, same economics as MinHash banding)."
+    ),
+    "mixture_sample": (
+        "Mixture resampling: counts -> lambda -> rates as a tiny agg subtree "
+        "broadcast back onto the one corpus scan; the kept set is a pure "
+        "hash-filter projection (no RNG stream, partitioning-invariant)."
+    ),
+    "maxsim_topk": (
+        "Late interaction: chunk+embed in one scan, |Q| dot expressions in one "
+        "projection against driver-literal query vectors, one doc-keyed agg "
+        "with map-side partial maxes, TakeOrderedAndProject tail."
+    ),
     "ivfpq_topk": None,  # scratch-dir index: audited in tests/test_pq.py instead
     "lsh_topk_indexed": None,  # written by the ann_index section below
 }
