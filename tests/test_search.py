@@ -320,3 +320,30 @@ def test_knn_classify_excludes_null_labels(spark):
     assert len(rows) == 1
     # 2 NULL neighbors vs 1 labeled: NULLs excluded, label 7 wins with 1 vote
     assert rows[0].pred_label == 7 and rows[0].votes == 1
+
+
+def test_mrl_topk_two_tier(spark, tables):
+    import numpy as np
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    qv = emb.filter("vec_id = 0").head()["embedding"]
+    out = S.mrl_topk(emb, qv, m=16, k=5, shortlist=40).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0  # self survives the prefix shortlist
+    rows = {r["vec_id"]: r for r in emb.select("vec_id", "embedding").collect()}
+    for r in out:
+        full = float(np.dot(np.asarray(rows[r["vec_id"]]["embedding"], dtype=np.float64),
+                            np.asarray(qv, dtype=np.float64)))
+        pref = float(np.dot(np.asarray(rows[r["vec_id"]]["embedding"][:16], dtype=np.float64),
+                            np.asarray(qv[:16], dtype=np.float64)))
+        assert abs(r["score"] - full) < 1e-9
+        assert abs(r["prefix_score"] - pref) < 1e-9
+    # shuffle-free prefix scan
+    short = (
+        emb.select("vec_id")
+        .join(S.mrl_topk(emb, qv, m=16, k=5, shortlist=40).select("vec_id"), "vec_id")
+    )
+    plan = S.mrl_topk(emb, qv, m=16, k=5, shortlist=40)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan

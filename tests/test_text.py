@@ -118,3 +118,30 @@ def test_shingles_accepts_named_columns(spark):
     ).collect()
     want = ["a b c", "b c d"]
     assert rows[0].by_col == want and rows[0].by_name == want and rows[0].by_expr == want
+
+
+def test_word_chunks_strided_overlap_and_tail(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", TX.word_chunks_strided(F.col("text"), size=4, stride=2).alias("c")
+    ).collect()
+    got = {r["doc_id"]: r["c"] for r in out}
+    # windows at 0,2,4: last is the short tail
+    assert got[1] == ["a b c d", "c d e f", "e f g"]
+    # consecutive chunks share size - stride = 2 words
+    assert got[1][0].split()[2:] == got[1][1].split()[:2]
+    assert got[2] == ["x y"]
+    assert got[3] == []
+    assert got[4] == []  # NULL text -> no chunks, same as blank
+    # stride == size degrades to the plain chunker
+    plain = df.filter("doc_id = 1").select(
+        TX.word_chunks(F.col("text"), max_words=4).alias("a"),
+        TX.word_chunks_strided(F.col("text"), size=4, stride=4).alias("b"),
+    ).head()
+    assert plain["a"] == plain["b"]

@@ -620,6 +620,52 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", "cluster", _round6(F.col("cos"), "cos"))
 
 
+MRL_M = 16
+MRL_SHORTLIST = 50
+CHUNK_STRIDE = 16
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (stride < size ⇒ overlapping context,
+    the RAG-standard variant of the reference's fixed chunker)."""
+    t = load_tables(spark, sf_dir)
+    chunks = TX.word_chunks_strided(F.col("text"), size=CHUNK_WORDS, stride=CHUNK_STRIDE)
+    return t["documents"].select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+
+
+def q_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-tier search: 16-dim prefix scan shortlist, exact
+    64-dim broadcast rerank — 4× less scan arithmetic/IO."""
+    t = load_tables(spark, sf_dir)
+    res = S.mrl_topk(
+        t["embeddings"], _query_vec(spark, sf_dir),
+        m=MRL_M, k=TOPK_K, shortlist=MRL_SHORTLIST,
+    )
+    return res.select(
+        "vec_id",
+        _round6(F.col("prefix_score"), "prefix_score"),
+        _round6(F.col("score"), "score"),
+    )
+
+
+def q_recall_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the MRL prefix shortlist+rerank vs the exact scan."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = (
+        t["embeddings"]
+        .select("vec_id", V.dot(F.col("embedding"), V.vec_lit(qv)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(TOPK_K)
+    )
+    approx = S.mrl_topk(
+        t["embeddings"], qv, m=MRL_M, k=TOPK_K, shortlist=MRL_SHORTLIST
+    )
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
 _BQ_THR_CACHE: dict[str, list] = {}
 
 
@@ -1954,6 +2000,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_signals": q_doc_signals,
         "maxsim_topk": q_maxsim_topk,
         "hybrid_topk_linear": q_hybrid_topk_linear,
+        "mrl_topk": q_mrl_topk,
+        "recall_mrl": q_recall_mrl,
+        "chunk_overlap": q_chunk_overlap,
     }
 
 

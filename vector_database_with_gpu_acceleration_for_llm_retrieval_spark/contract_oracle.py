@@ -31,6 +31,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     BUDGET_TOKENS,
     BULK_DIM,
     BULK_N,
+    CHUNK_STRIDE,
     CHUNK_WORDS,
     CONTAM_N,
     CONTAM_PROBE_MOD,
@@ -53,6 +54,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     LANG_HEAD_DIM,
     LM_ALPHA,
     MAXSIM_K,
+    MRL_M,
+    MRL_SHORTLIST,
     LSH_PLANES,
     MINHASH_BANDS,
     MINHASH_N,
@@ -676,6 +679,51 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
       FROM km_asg a JOIN km_asg b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cluster, {_r6('c', 'cos')} FROM p WHERE c >= {EMB_NEAR_DUP_TAU}
+"""
+
+def _oracle_chunk_overlap() -> str:
+    size, stride = CHUNK_WORDS, CHUNK_STRIDE
+    return f"""
+WITH t AS (SELECT doc_id, {_SQ_TOKS} AS toks, trim(text) AS tt FROM documents),
+w AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {size} THEN 1
+                  ELSE CAST(ceil((len(toks) - {size}) / CAST({stride} AS DOUBLE)) AS INT) + 1
+             END AS nw
+      FROM t WHERE tt IS NOT NULL AND tt != ''),
+ex AS (SELECT doc_id, unnest(range(0, nw)) AS i, toks FROM w)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, i * {stride} + 1, i * {stride} + {size}), ' ') AS chunk_text
+FROM ex
+"""
+
+def _sq_mrl_ctes() -> str:
+    """MRL mirrors: prefix-dim dot shortlist + exact rerank (mirrors
+    search.mrl_topk — list_slice is 1-based inclusive like F.slice)."""
+    return f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT list_slice(qv, 1, {MRL_M}) AS qpv FROM q),
+pref AS (SELECT e.vec_id,
+                {_sq_dot(f'list_slice(e.embedding, 1, {MRL_M})', 'qp.qpv')} AS ps
+         FROM embeddings e, qp),
+mrl_short AS (SELECT vec_id, ps FROM pref ORDER BY ps DESC, vec_id LIMIT {MRL_SHORTLIST}),
+mrl_rr AS (SELECT e.vec_id, s.ps, {_sq_dot('e.embedding', 'q.qv')} AS sc
+           FROM embeddings e JOIN mrl_short s USING (vec_id), q)"""
+
+def _oracle_mrl_topk() -> str:
+    return f"""
+WITH {_sq_mrl_ctes()}
+SELECT vec_id, {_r6('ps', 'prefix_score')}, {_r6('sc', 'score')} FROM mrl_rr
+ORDER BY sc DESC, vec_id LIMIT {TOPK_K}
+"""
+
+def _oracle_recall_mrl() -> str:
+    return f"""
+WITH {_sq_mrl_ctes()},
+exact AS (SELECT vec_id FROM
+            (SELECT e.vec_id, {_sq_dot('e.embedding', 'q.qv')} AS s
+             FROM embeddings e, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+approx AS (SELECT vec_id FROM mrl_rr ORDER BY sc DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
 
 def _sq_bq_ctes() -> str:
@@ -1758,6 +1806,9 @@ def oracle_sql() -> dict[str, str]:
         "bq_topk": _oracle_bq_topk(),
         "bq_topk_indexed": _oracle_bq_topk(),
         "recall_bq": _oracle_recall_bq(),
+        "mrl_topk": _oracle_mrl_topk(),
+        "recall_mrl": _oracle_recall_mrl(),
+        "chunk_overlap": _oracle_chunk_overlap(),
         "kmeans_assign": _oracle_kmeans_assign(),
         "kmeans_one_iter": _oracle_kmeans_one_iter(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -16,6 +16,7 @@ __all__ = [
     "n_tokens",
     "shingles",
     "word_chunks",
+    "word_chunks_strided",
     "EN_STOPWORDS",
     "stopword_ratio",
     "portable_token_hash",
@@ -94,6 +95,35 @@ def word_chunks(text: Column | str, max_words: int = 120) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
     out = F.transform(idx, lambda i: F.array_join(F.slice(toks, i * max_words + 1, max_words), " "))
     return F.when(F.trim(_as_col(text)) == "", F.array().cast("array<string>")).otherwise(out)
+
+
+def word_chunks_strided(
+    text: Column | str, size: int = 120, stride: int = 60
+) -> Column:
+    """Overlapping word chunking — the RAG-standard sliding window
+    (``stride < size`` ⇒ consecutive chunks share ``size − stride``
+    words, so a sentence cut by one boundary is whole in the next
+    chunk).  Windows start at 0, stride, 2·stride, …; the final window
+    may be shorter; ``stride == size`` degrades to :func:`word_chunks`;
+    empty text → no chunks.  Returns array<string> (pair with
+    ``posexplode``)."""
+    if stride <= 0 or stride > size:
+        raise ValueError("stride must be in [1, size]")
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_win = F.when(n_tok <= size, F.lit(1)).otherwise(
+        F.ceil((n_tok - F.lit(size)) / F.lit(stride)).cast("int") + 1
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(0)))
+    out = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " ")
+    )
+    # coalesce: NULL text → no chunks (not a single-NULL array), matching
+    # blank text and the SQL mirror's WHERE filter
+    return F.when(
+        F.coalesce(F.trim(_as_col(text)), F.lit("")) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(out)
 
 
 def portable_token_hash(c: Column | str) -> Column:

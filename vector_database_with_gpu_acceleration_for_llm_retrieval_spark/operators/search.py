@@ -50,6 +50,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "recall_at_k",
+    "mrl_topk",
 ]
 
 
@@ -618,3 +619,48 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int, by: list[str] | Non
     if group:
         return hit.groupBy(*group).agg((F.count("*") / F.lit(k)).alias("recall"))
     return hit.agg((F.count("*") / F.lit(k)).alias("recall"))
+
+
+def mrl_topk(
+    corpus: DataFrame,
+    query_vec,
+    m: int = 16,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL) two-tier search: score on the FIRST ``m``
+    dimensions only, shortlist, then exact full-dimension rerank.
+
+    Matryoshka-trained embeddings front-load information into the
+    leading dimensions (public MRL literature), so an m-dim prefix scan
+    preserves ranking well at D/m × less arithmetic — and when the
+    corpus is stored with the prefix as its own column (or parquet
+    column-chunked by dimension group), D/m × less I/O too.  Even on
+    vanilla embeddings the prefix scan is an unbiased random projection
+    — recall degrades gracefully and the exact rerank restores the
+    head of the list (recall measured by the ``recall_mrl`` contract
+    entry).
+
+    Same plan skeleton as BQ/SQ/PQ two-tier reads: shuffle-free
+    prefix-dot ``TakeOrderedAndProject`` shortlist → broadcast-pruned
+    exact rerank.  Output ``(id, prefix_score, score)``.
+    """
+    q_pref = V.vec_lit([float(x) for x in query_vec[:m]])
+    pref = F.slice(F.col(vec_col), 1, m)
+    short = (
+        corpus.select(id_col, V.dot(pref, q_pref).alias("prefix_score"))
+        .orderBy(F.desc("prefix_score"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    pruned = corpus.select(id_col, vec_col).join(F.broadcast(short), id_col)
+    return (
+        pruned.select(
+            id_col,
+            "prefix_score",
+            V.dot(F.col(vec_col), V.vec_lit(query_vec)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
