@@ -281,3 +281,94 @@ def test_ppm_roundtrip_property(dims, seed, header_junk):
     assert got is not None
     gw, gh, gpx = got
     assert (gw, gh) == (w, h) and (gpx == px).all()
+
+
+# --- round-5 families -------------------------------------------------------
+
+token_strategy = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=8
+)
+lm_corpus_strategy = st.lists(token_strategy, min_size=1, max_size=8)
+
+
+@given(corpus=lm_corpus_strategy)
+@settings(**PROP_SETTINGS)
+def test_lm_smoothed_distribution_sums_to_one(spark, corpus):
+    """For every context w1 the add-α model must be a probability
+    distribution: Σ_{w2 ∈ V} (c(w1,w2)+α)/(c(w1)+α·V) == 1 exactly
+    (the α mass closes the gap left by unseen continuations)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import lm as LM
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    b, c, v = LM.bigram_lm(docs)
+    alpha = 0.5
+    vv = v.head()["v"]
+    c12 = {(r["w1"], r["w2"]): r["c12"] for r in b.collect()}
+    c1 = {r["w1"]: r["c1"] for r in c.collect()}
+    vocab = {w2 for (_, w2) in c12}
+    assert len(vocab) == vv
+    for w1, n1 in c1.items():
+        total = sum(
+            (c12.get((w1, w2), 0) + alpha) / (n1 + alpha * vv) for w2 in vocab
+        )
+        assert abs(total - 1.0) < 1e-9
+
+
+@given(mat=st.lists(st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=8, max_size=8), min_size=2, max_size=12))
+@settings(**PROP_SETTINGS)
+def test_bq_pack_matches_numpy_for_arbitrary_floats(spark, mat):
+    """Sign-bit packing equals the numpy ground truth for arbitrary
+    finite floats, including values exactly ON a threshold (strict >)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import bq as BQ
+
+    thr = list(mat[0])  # row 0's values as thresholds → exact-equality cases
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["w0"] for r in BQ.bq_encode_bits(df, thr).collect()}
+    for i, row in enumerate(mat):
+        word = 0
+        for d, x in enumerate(row):
+            if x > thr[d]:
+                word |= 1 << d
+        expect = word - (1 << 64) if word >= (1 << 63) else word
+        assert got[i] == expect
+    # row 0 equals the thresholds everywhere → strictly-greater packs to 0
+    assert got[0] == 0
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=1000), min_size=2, max_size=5),
+    weights=st.lists(st.floats(min_value=0.05, max_value=1.0, width=64), min_size=2, max_size=5),
+)
+@settings(**PROP_SETTINGS)
+def test_mixture_plan_properties(spark, counts, weights):
+    """The binding stratum keeps rate 1; every rate ∈ (0, 1]; realized
+    target sizes reproduce λ·p_s."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import sampling
+
+    k = min(len(counts), len(weights))
+    counts, weights = counts[:k], weights[:k]
+    rows = []
+    i = 0
+    for s in range(k):
+        for _ in range(counts[s]):
+            rows.append((i, f"s{s}"))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    target = {f"s{s}": weights[s] for s in range(k)}
+    plan = {r["lang"]: r for r in sampling.mixture_plan(docs, target, "lang").collect()}
+    lam = min(counts[s] / weights[s] for s in range(k))
+    assert len(plan) == k
+    for s in range(k):
+        r = plan[f"s{s}"]
+        assert 0.0 < r["rate"] <= 1.0 + 1e-12
+        assert abs(r["n_target"] - lam * weights[s]) < 1e-6 * max(1.0, lam)
+    binding = min(range(k), key=lambda s: counts[s] / weights[s])
+    assert abs(plan[f"s{binding}"]["rate"] - 1.0) < 1e-12
