@@ -166,3 +166,43 @@ def test_distributed_trainer_drops_into_ivf_index(spark, tables, tmp_path):
     assert len(res) == 5
     # the query's own vector lives in the probed cell → self at rank 1
     assert res[0]["vec_id"] == 0
+
+
+def test_ivf_knn_join_indexed_pruned_and_consistent(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        ivf_knn_join_indexed,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    emb = tables["embeddings"]
+    cents = [
+        (i, list(r["embedding"]))
+        for i, r in enumerate(emb.filter("vec_id < 4").orderBy("vec_id").collect())
+    ]
+    path = str(tmp_path / "ivf_batch")
+    write_ivf_index(emb.select("vec_id", "embedding"), path, cents)
+    qs = emb.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
+
+    batch = ivf_knn_join_indexed(spark, path, qs, k=5, nprobe=2)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], round(r["score"], 9)))
+    # batch answers == per-query indexed answers, query by query
+    for r in qs.collect():
+        single = ivf_topk_indexed(
+            spark, path, r["embedding"], k=5, nprobe=2
+        ).collect()
+        assert by_q[r["qid"]] == [
+            (s["vec_id"], round(s["score"], 9)) for s in single
+        ]
+    # the read is partition-pruned on the probed-cell union
+    plan = physical_plan(batch)
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]

@@ -625,6 +625,37 @@ MRL_SHORTLIST = 50
 CHUNK_STRIDE = 16
 
 
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN against the materialized IVF index: one partition-
+    pruned read for the whole query batch; each candidate scores only
+    against the queries that probed its cell."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        ann_index as A,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ivf_knnjoin_contract_")
+    try:
+        A.write_ivf_index(
+            t["embeddings"].select("vec_id", "embedding"),
+            tmp,
+            _ivf_centroids(spark, sf_dir),
+        )
+        res = A.ivf_knn_join_indexed(
+            spark, tmp, _knn_queries(t), k=KNN_K, nprobe=IVF_NPROBE,
+            qid_col="qid", qvec_col="embedding",
+        )
+        out = res.select(
+            "qid", "vec_id", _round6(F.col("score"), "score"), "rank"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (stride < size ⇒ overlapping context,
     the RAG-standard variant of the reference's fixed chunker)."""
@@ -2003,6 +2034,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_topk": q_mrl_topk,
         "recall_mrl": q_recall_mrl,
         "chunk_overlap": q_chunk_overlap,
+        "ivf_knn_join": q_ivf_knn_join,
     }
 
 

@@ -457,6 +457,29 @@ scored AS (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand, q)
 SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
 """
 
+def _oracle_ivf_knn_join() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+assign AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
+           FROM embeddings e, cent c),
+cells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM assign WHERE rn = 1),
+probe AS (SELECT qid, cid FROM
+            (SELECT qs.qid, c.cid,
+                    row_number() OVER (PARTITION BY qs.qid ORDER BY {_sq_l2sq('qs.qv', 'c.cv')}, c.cid) AS rn
+             FROM qs, cent c)
+          WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT p.qid, cl.vec_id, cl.embedding, qs.qv
+         FROM probe p JOIN cells cl ON cl.ivf_cell = p.cid
+                      JOIN qs ON qs.qid = p.qid),
+scored AS (SELECT qid, vec_id, {_sq_cosine('embedding', 'qv')} AS s FROM cand),
+ranked AS (SELECT qid, vec_id, s,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rank
+           FROM scored)
+SELECT qid, vec_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
 def _oracle_topk_filtered() -> str:
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1809,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "mrl_topk": _oracle_mrl_topk(),
         "recall_mrl": _oracle_recall_mrl(),
         "chunk_overlap": _oracle_chunk_overlap(),
+        "ivf_knn_join": _oracle_ivf_knn_join(),
         "kmeans_assign": _oracle_kmeans_assign(),
         "kmeans_one_iter": _oracle_kmeans_one_iter(),
         "semantic_dedup": _oracle_semantic_dedup(),

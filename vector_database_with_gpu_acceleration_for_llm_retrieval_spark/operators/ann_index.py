@@ -39,6 +39,7 @@ __all__ = [
     "ivf_topk_indexed",
     "train_centroids",
     "train_centroids_distributed",
+    "ivf_knn_join_indexed",
 ]
 
 #: sidecar subdirectory (underscore prefix → invisible to parquet
@@ -216,3 +217,72 @@ def train_centroids_distributed(
     return [
         (int(i), [round(float(v), 6) for v in c]) for i, c in enumerate(cents)
     ]
+
+
+def ivf_knn_join_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    qid_col: str = "qid",
+    qvec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN against the materialized IVF index: ONE
+    partition-pruned read answers the whole query batch.
+
+    Each query probes its ``nprobe`` nearest cells (driver-side against
+    the sidecar centroids — the batch is a bounded serving set, same
+    contract as knn_join's broadcast queries); the scan reads the UNION
+    of probed cells only (``PartitionFilters`` on ``ivf_cell``), each
+    candidate row is scored against exactly the queries that probed its
+    cell via a broadcast equi-join on the cell id (never a cross
+    product), and a per-query window keeps top-``k`` — the shuffle
+    carries candidates, not the corpus.
+
+    At 100 TB with C cells and |Q| queries the read is
+    ≤ |Q|·nprobe/C of the table (overlapping probes dedupe), vs
+    knn_join's full scan — this is the serving path when the index
+    already exists.  Output: ``(qid, id, score, rank)``.
+    """
+    meta = _read_meta(spark, path)
+    cents = [(int(cid), np.asarray(c, dtype=np.float64)) for cid, c in meta["centroids"]]
+    qrows = queries.select(qid_col, qvec_col).collect()
+    probe_rows: list[tuple] = []
+    union_cells: set[int] = set()
+    for r in qrows:
+        qv = np.asarray(r[qvec_col], dtype=np.float64)
+        order = sorted(cents, key=lambda c: (float(((qv - c[1]) ** 2).sum()), c[0]))
+        cells = [cid for cid, _ in order[:nprobe]]
+        union_cells.update(cells)
+        probe_rows.extend(
+            (int(r[qid_col]), int(cell), [float(x) for x in r[qvec_col]])
+            for cell in cells
+        )
+    pruned = spark.read.parquet(path).filter(
+        F.col("ivf_cell").isin(sorted(union_cells))
+    )
+    pq = spark.createDataFrame(
+        probe_rows, f"{qid_col} long, ivf_cell int, __qv array<double>"
+    )
+    from pyspark.sql import Window as W
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        vector as V,
+    )
+
+    cand = pruned.join(F.broadcast(pq), "ivf_cell")
+    scored = cand.select(
+        qid_col,
+        F.col(id_col),
+        V.score(F.col(vec_col), F.col("__qv"), metric).alias("score"),
+    )
+    w = W.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
+    )
