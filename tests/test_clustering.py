@@ -87,3 +87,26 @@ def test_semantic_dedup_blocks_by_cluster(spark):
         assert r["id_a"] % 2 == r["id_b"] % 2
         assert r["cos"] >= 0.99
     assert len(pairs) == 2 * (10 * 9) // 2
+
+
+def test_semantic_dedup_block_cap(spark):
+    dim = 8
+    centers = [np.eye(dim)[0] * 4, np.eye(dim)[1] * 4]
+    # blob A has 12 members, blob B has 4
+    rows = []
+    rng = np.random.default_rng(11)
+    i = 0
+    for j, (c, n) in enumerate(zip(centers, [12, 4])):
+        for _ in range(n):
+            v = np.asarray(c) + rng.normal(scale=0.01, size=dim)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [list(np.eye(dim)[0] * 4), list(np.eye(dim)[1] * 4)]
+    # cap below blob A's size: only blob B's pairs survive
+    capped = CL.semantic_dedup_pairs(df, cents, tau=0.9, max_block_size=8).collect()
+    assert len(capped) == 4 * 3 // 2
+    assert all(r["id_a"] >= 12 and r["id_b"] >= 12 for r in capped)
+    # no cap: both blobs' pairs
+    full = CL.semantic_dedup_pairs(df, cents, tau=0.9).collect()
+    assert len(full) == 12 * 11 // 2 + 4 * 3 // 2

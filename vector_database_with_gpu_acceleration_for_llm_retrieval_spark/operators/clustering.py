@@ -163,6 +163,7 @@ def semantic_dedup_pairs(
     tau: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: assign every vector to its
     nearest centroid, self-join ON the cluster id, keep pairs with
@@ -174,12 +175,28 @@ def semantic_dedup_pairs(
     recall tradeoff — raise k-means iterations or probe the 2nd-nearest
     centroid (assign twice) to recover them.
 
+    ``max_block_size`` is the quadratic-blowup guard (same discipline
+    as dedup.lsh_candidate_pairs' bucket cap): clusters above the cap
+    are DROPPED from the self-join — at 100 TB one catch-all cluster
+    would otherwise dominate Σ|c|²; cap it and recurse a finer k-means
+    inside the dropped clusters instead.  Use
+    :func:`cluster_profile` to see what the cap would drop.
+
     Output: ``(id_a, id_b, cluster, cos)`` with ``id_a < id_b``.
     """
-    a = assign_clusters(df, centroids, vec_col, id_col, keep_vec=True).select(
+    assigned = assign_clusters(df, centroids, vec_col, id_col, keep_vec=True)
+    if max_block_size is not None:
+        ok = (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_block_size)
+            .select("cluster")
+        )
+        assigned = assigned.join(F.broadcast(ok), "cluster")
+    a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("__va")
     )
-    b = assign_clusters(df, centroids, vec_col, id_col, keep_vec=True).select(
+    b = assigned.select(
         F.col(id_col).alias("id_b"), F.col("cluster"), F.col(vec_col).alias("__vb")
     )
     pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
