@@ -206,3 +206,67 @@ def test_ivf_knn_join_indexed_pruned_and_consistent(spark, tables, tmp_path):
     plan = physical_plan(batch)
     assert "PartitionFilters" in plan
     assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_validate_index_all_kinds(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        bq as BQ,
+        sq as SQ,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        validate_index,
+        write_ivf_index,
+        write_lsh_index,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        random_hyperplanes,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+
+    p = str(tmp_path / "lsh")
+    write_lsh_index(emb, p, random_hyperplanes(n_planes=3, dim=64, seed=5))
+    out = validate_index(spark, p)
+    assert out["kind"] == "lsh" and out["rows"] == emb.count() and out["issues"] == []
+
+    p = str(tmp_path / "ivf")
+    cents = [(i, list(r["embedding"])) for i, r in
+             enumerate(emb.filter("vec_id < 3").orderBy("vec_id").collect())]
+    write_ivf_index(emb, p, cents)
+    out = validate_index(spark, p)
+    assert out["kind"] == "ivf" and out["issues"] == []
+
+    p = str(tmp_path / "bq")
+    thr = BQ.train_bq_thresholds(emb, dim=64)
+    BQ.write_bq_index(emb, p, thr)
+    out = validate_index(spark, p)
+    assert out["kind"] == "bq" and out["issues"] == []
+
+    p = str(tmp_path / "sq")
+    ranges = SQ.train_sq_ranges(emb, dim=64)
+    SQ.write_sq_index(emb, p, ranges)
+    out = validate_index(spark, p)
+    assert out["kind"] == "sq" and out["issues"] == []
+
+
+def test_validate_index_flags_corruption(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        validate_index,
+        write_ivf_index,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    cents = [(i, list(r["embedding"])) for i, r in
+             enumerate(emb.filter("vec_id < 2").orderBy("vec_id").collect())]
+    p = str(tmp_path / "ivf_bad")
+    write_ivf_index(emb, p, cents)
+    # corrupt: append rows into a cell the sidecar doesn't know
+    emb.limit(3).withColumn("ivf_cell", F.lit(99)).repartition(1).write.mode(
+        "append"
+    ).partitionBy("ivf_cell").parquet(p)
+    out = validate_index(spark, p)
+    assert out["issues"] and "99" in out["issues"][0]

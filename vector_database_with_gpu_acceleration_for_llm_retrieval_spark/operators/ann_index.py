@@ -40,6 +40,7 @@ __all__ = [
     "train_centroids",
     "train_centroids_distributed",
     "ivf_knn_join_indexed",
+    "validate_index",
 ]
 
 #: sidecar subdirectory (underscore prefix → invisible to parquet
@@ -286,3 +287,76 @@ def ivf_knn_join_indexed(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "score", "rank")
     )
+
+
+def validate_index(spark: SparkSession, path: str) -> dict:
+    """Ops-grade consistency check for any materialized index written
+    by this package (lsh / ivf / bq / sq / pq / ivfpq / bm25): reads
+    the sidecar, runs a few cheap aggregates over the data, and returns
+    ``{"kind", "rows", "issues": [...]}`` — empty ``issues`` means the
+    sidecar and the data agree.  Run it after stream maintenance or
+    compaction, before trusting a serving path.
+
+    Checks per kind (all single-scan aggregates, no collects of data):
+
+    * ``lsh`` — every bucket ∈ [0, 2^planes)
+    * ``ivf``/``ivfpq`` — every cell id names a sidecar centroid
+    * ``bq`` — the packed word columns match ceil(dim/64)
+    * ``sq``/``pq`` — every code array has the sidecar's length, and
+      byte codes stay in range
+    * ``bm25`` — sidecar ``n_docs`` equals the distinct doc count
+    """
+    meta = _read_meta(spark, path)
+    kind = meta.get("kind")
+    df = spark.read.parquet(path)
+    issues: list[str] = []
+    rows = df.count()
+    if kind == "lsh":
+        n_buckets = 1 << len(meta["planes"])
+        bad = df.filter(
+            (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets)
+        ).count()
+        if bad:
+            issues.append(f"{bad} rows with bucket outside [0, {n_buckets})")
+    elif kind in ("ivf", "ivfpq"):
+        valid = {int(cid) for cid, _ in meta["centroids"]}
+        cells = {
+            int(r["ivf_cell"]) for r in df.select("ivf_cell").distinct().collect()
+        }
+        unknown = cells - valid
+        if unknown:
+            issues.append(f"cells not in sidecar centroids: {sorted(unknown)}")
+        if kind == "ivfpq":
+            m = len(meta["codebooks"])
+            sizes = df.agg(
+                F.min(F.size("code")).alias("lo"), F.max(F.size("code")).alias("hi")
+            ).head()
+            if rows and (sizes["lo"] != m or sizes["hi"] != m):
+                issues.append(
+                    f"code length range [{sizes['lo']}, {sizes['hi']}] != m={m}"
+                )
+    elif kind == "bq":
+        n_words = (len(meta["thresholds"]) + 63) // 64
+        want = {f"w{i}" for i in range(n_words)}
+        got = set(df.columns) - {"vec_id"}
+        if got != want:
+            issues.append(f"word columns {sorted(got)} != expected {sorted(want)}")
+    elif kind in ("sq", "pq"):
+        n = len(meta["ranges"]) if kind == "sq" else len(meta["codebooks"])
+        agg = df.agg(
+            F.min(F.size("code")).alias("lo"),
+            F.max(F.size("code")).alias("hi"),
+            F.max(F.array_max("code")).alias("cmax"),
+            F.min(F.array_min("code")).alias("cmin"),
+        ).head()
+        if rows and (agg["lo"] != n or agg["hi"] != n):
+            issues.append(f"code length range [{agg['lo']}, {agg['hi']}] != {n}")
+        if rows and (agg["cmin"] is not None) and (agg["cmin"] < 0 or agg["cmax"] > 255):
+            issues.append(f"byte codes outside [0,255]: [{agg['cmin']}, {agg['cmax']}]")
+    elif kind == "bm25":
+        n_docs = df.select(F.count_distinct("doc_id")).head()[0]
+        if n_docs != meta["n_docs"]:
+            issues.append(f"sidecar n_docs={meta['n_docs']} but table has {n_docs}")
+    else:
+        issues.append(f"unknown index kind: {kind!r}")
+    return {"kind": kind, "rows": rows, "issues": issues}
