@@ -199,3 +199,45 @@ def test_stream_lm_score_matches_batch(spark, tables):
         shutil.rmtree(tmp, ignore_errors=True)
         for m in model:
             m.unpersist()
+
+
+def test_stream_semantic_route_matches_batch_assignment(spark, tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embedding,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        clustering as CL,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    # frozen centroids from a batch fit over the hash embeddings
+    embedded = docs.withColumn("e", hash_embedding(F.col("text"), dim=64))
+    cents, _ = CL.kmeans_fit(
+        embedded.select("doc_id", "e"), k=3, n_iter=2, vec_col="e", id_col="doc_id"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_route_")
+    try:
+        src, out, ckpt = tmp + "/src", tmp + "/out", tmp + "/ckpt"
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        q = P.stream_semantic_route(spark, src, out, ckpt, cents, dim=64)
+        q.processAllAvailable()
+        q.stop()
+
+        routed = spark.read.parquet(out)
+        got = {r["doc_id"]: r["cluster"] for r in routed.collect()}
+        expect = {
+            r["doc_id"]: r["cluster"]
+            for r in CL.assign_clusters(
+                embedded, cents, vec_col="e", id_col="doc_id"
+            ).collect()
+        }
+        assert got == expect and len(got) == docs.count()
+        # the sink is cluster-partitioned → readers prune
+        pruned = spark.read.parquet(out).filter(F.col("cluster") == 0)
+        plan = physical_plan(pruned)
+        assert "PartitionFilters" in plan
+        assert "cluster" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

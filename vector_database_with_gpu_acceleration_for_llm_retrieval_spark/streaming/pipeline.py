@@ -42,6 +42,7 @@ __all__ = [
     "stream_model_inference",
     "stream_bq_index_ingest",
     "stream_lm_score",
+    "stream_semantic_route",
     "stream_event_window_counts",
     "stream_dedup_ingest",
     "stream_curate_ingest",
@@ -738,5 +739,50 @@ def stream_lm_score(
     return (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_semantic_route(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    dim: int = 64,
+    schema: str = "doc_id long, text string",
+):
+    """Semantic sharding at ingest: arriving documents are hash-embedded
+    and assigned to their nearest FROZEN k-means centroid in the stream
+    (both pure expressions — stateless), then appended into that
+    cluster's partition directory.  Downstream readers filtering on
+    ``cluster`` get partition-pruned scans — topical jobs (per-domain
+    curation, cluster-scoped near-dup, mixture accounting) read only
+    their slice of a 100 TB corpus.  The same frozen-model caveat as
+    every streamed index: recluster + rewrite when drift accumulates.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embedding,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.clustering import (
+        _dist_array,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    embedded = stream.withColumn("__e", hash_embedding(F.col("text"), dim=dim))
+    # assignment inlined as a column (same expression as
+    # clustering.assign_clusters) so the payload stays in ONE stateless
+    # projection — a streaming self-join would need watermarked state
+    dists = _dist_array(F.col("__e"), centroids)
+    routed = embedded.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    ).drop("__e")
+    return (
+        routed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cluster")
+        .outputMode("append")
         .start()
     )
