@@ -108,3 +108,27 @@ def test_linear_fuse_normalizes_and_weights(spark):
     c = spark.createDataFrame([(7, 3.0), (8, 3.0)], "doc_id long, score double")
     out2 = {r["doc_id"]: r["fused_score"] for r in linear_fuse(c, b, 1.0, k=10).collect()}
     assert out2[7] == 1.0 and out2[8] == 1.0
+
+
+def test_bm25_knn_join_matches_per_query(spark, tables):
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.lexical import (
+        bm25_knn_join,
+        bm25_topk,
+    )
+
+    docs = tables["documents"]
+    queries = [(1, "spark window join"), (2, "performance data")]
+    qdf = spark.createDataFrame(queries, "qid long, qtext string")
+    batch = bm25_knn_join(docs, qdf, k=5)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], round(r["score"], 9)))
+    for qid, qtext in queries:
+        single = bm25_topk(docs, qtext, k=5).collect()
+        assert by_q[qid] == [(r["doc_id"], round(r["score"], 9)) for r in single]
+    # the corpus-sized work is query-count-independent: one tokenize,
+    # one (doc, term) aggregation; no python, no cross join
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

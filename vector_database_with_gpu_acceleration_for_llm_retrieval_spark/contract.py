@@ -994,6 +994,28 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYBRID_W_DENSE = 0.6
+BM25Q_MOD = 97
+BM25Q_TOKENS = 6
+
+
+def q_bm25_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: one corpus tokenization answers a query set (every
+    BM25Q_MOD-th doc's first tokens as the query) — tf/df shared across
+    queries, per-query fan-out via broadcast term join."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    qs = docs.filter(F.col("doc_id") % BM25Q_MOD == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(
+            F.slice(TX.tokens(F.col("text")), 1, BM25Q_TOKENS), " "
+        ).alias("qtext"),
+    )
+    res = lexical.bm25_knn_join(docs, qs, k=KNN_K, k1=BM25_K1, b=BM25_B)
+    return res.select("qid", "doc_id", _round6(F.col("score"), "score"), "rank")
 
 
 def q_hybrid_topk_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2035,6 +2057,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_mrl": q_recall_mrl,
         "chunk_overlap": q_chunk_overlap,
         "ivf_knn_join": q_ivf_knn_join,
+        "bm25_knn_join": q_bm25_knn_join,
     }
 
 

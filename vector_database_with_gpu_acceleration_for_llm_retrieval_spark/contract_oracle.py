@@ -27,6 +27,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (  # noqa: E501
     BM25_B,
     BM25_K1,
+    BM25Q_MOD,
+    BM25Q_TOKENS,
     BQ_SHORTLIST,
     BUDGET_TOKENS,
     BULK_DIM,
@@ -984,6 +986,31 @@ SELECT doc_id, {_r6('score', 'score')} FROM bm25
 ORDER BY score DESC, doc_id LIMIT {TOPK_K}
 """
 
+def _oracle_bm25_knn_join() -> str:
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH __qs AS (SELECT doc_id AS qid, list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS}) AS qt
+              FROM documents WHERE doc_id % {BM25Q_MOD} = 0),
+__qterms AS (SELECT qid, unnest(list_distinct(qt)) AS term FROM __qs),
+__bl AS (SELECT doc_id, len({_SQ_TOKS}) AS dl, {_SQ_TOKS} AS t FROM documents),
+__const AS (SELECT count(*) AS n, sum(dl) AS sdl FROM __bl),
+__terms AS (SELECT doc_id, dl, unnest(t) AS term FROM __bl),
+__tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM __terms
+         WHERE term IN (SELECT DISTINCT term FROM __qterms) GROUP BY 1, 2, 3),
+__dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM __tf GROUP BY 1),
+__sc AS (SELECT q.qid, t.doc_id, t.term,
+           ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / (CAST(sdl AS DOUBLE) / n))) AS s
+         FROM __tf t JOIN __dfreq USING (term) JOIN __qterms q USING (term), __const),
+__sum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
+          FROM __sc GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM __sum)
+SELECT qid, doc_id, {_r6('score', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
 def _oracle_hybrid_topk_rrf() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
         hash_embed_py,
@@ -1833,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_mrl": _oracle_recall_mrl(),
         "chunk_overlap": _oracle_chunk_overlap(),
         "ivf_knn_join": _oracle_ivf_knn_join(),
+        "bm25_knn_join": _oracle_bm25_knn_join(),
         "kmeans_assign": _oracle_kmeans_assign(),
         "kmeans_one_iter": _oracle_kmeans_one_iter(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["bm25_topk", "rrf_fuse", "linear_fuse", "write_bm25_index", "bm25_topk_indexed"]
+__all__ = ["bm25_topk", "bm25_knn_join", "rrf_fuse", "linear_fuse", "write_bm25_index", "bm25_topk_indexed"]
 
 #: term-hash partition fan-out for the postings table — a query's terms
 #: prune to ≤|q| of these partitions before any file opens.
@@ -273,4 +273,88 @@ def linear_fuse(
         joined.select(F.col(id_col), fused.alias("fused_score"))
         .orderBy(F.desc("fused_score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def bm25_knn_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Batch BM25 — the lexical twin of ``search.knn_join``: one corpus
+    scan answers a whole query SET.
+
+    The union of all queries' distinct terms broadcast-semi-filters the
+    corpus explode (the corpus is tokenized ONCE regardless of |Q|);
+    ``tf``/``df`` are computed per (doc, term) / term — shared across
+    queries, since df depends only on the term — and each query fans
+    out over the tf frame via a broadcast join on its own terms.  The
+    per-(query, doc) score uses the same term-ordered sequential double
+    fold as :func:`bm25_topk`, and a candidates-only window keeps
+    top-``k`` per query.  The corpus never shuffles by query: the only
+    corpus-sized exchange is the (doc, term) tf aggregation, paid once.
+
+    Output: ``(qid, id, score, rank)``.
+    """
+    qterms = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(TX.tokens(F.col(qtext_col)))).alias("term"),
+    )
+    union_terms = qterms.select("term").distinct()
+    base = docs.select(
+        F.col(id_col),
+        F.size(TX.tokens(F.col(text_col))).alias("dl"),
+        TX.tokens(F.col(text_col)).alias("__toks"),
+    )
+    row = base.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    n_docs = int(row["n"])
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, score double, rank int"
+        )
+    avgdl = int(row["sdl"]) / n_docs
+    terms = base.select(id_col, "dl", F.explode("__toks").alias("term")).join(
+        F.broadcast(union_terms), "term"
+    )
+    tf = terms.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .select(
+            qid_col,
+            id_col,
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("s"),
+        )
+    )
+    summed = per_term.groupBy(qid_col, id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("term", "s"))), lambda x: x["s"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
     )
