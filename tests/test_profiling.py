@@ -1,0 +1,47 @@
+"""One-pass table profiling (operators/profiling.py): exact counts on
+a hand-built frame with NULLs, the approximate path's error bound, and
+the single-aggregation plan shape."""
+
+from __future__ import annotations
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import profiling
+
+
+def test_profile_exact_counts_with_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (None, "b", 2.5)],
+        "x long, s string, v double",
+    )
+    out = {r["col_name"]: r for r in profiling.profile_table(df).collect()}
+    assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 3
+    assert out["x"]["min_str"] == "1" and out["x"]["max_str"] == "3"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    # min/max aggregate BEFORE the string cast: numeric, not lexicographic
+    df2 = spark.createDataFrame([(9,), (10,)], "x long")
+    o2 = {r["col_name"]: r for r in profiling.profile_table(df2).collect()}
+    assert o2["x"]["max_str"] == "10"  # lexicographic would say "9"
+
+
+def test_profile_single_job_plan(spark, tables):
+    df = profiling.profile_table(tables["orders"], ["o_orderkey", "o_orderstatus"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # one aggregation subtree over the scan, not one scan per column
+    assert plan.count("FileScan") <= 1
+
+
+def test_profile_approximate_within_bound(spark, tables):
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in profiling.profile_table(tables["orders"], ["o_custkey"]).collect()
+    }
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profiling.profile_table(
+            tables["orders"], ["o_custkey"], approximate=True
+        ).collect()
+    }
+    e, a = exact["o_custkey"], approx["o_custkey"]
+    assert abs(a - e) <= 0.1 * e

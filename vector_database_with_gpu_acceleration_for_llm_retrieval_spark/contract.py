@@ -996,6 +996,25 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 HYBRID_W_DENSE = 0.6
 BM25Q_MOD = 97
 BM25Q_TOKENS = 6
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (ANALYZE-style): null counts, distinct
+    cardinalities, min/max per column in a single aggregation job."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.profile_table(t["orders"], PROFILE_COLS)
+    return res.select(
+        "col_name",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )
 
 
 def q_bm25_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2058,6 +2077,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": q_chunk_overlap,
         "ivf_knn_join": q_ivf_knn_join,
         "bm25_knn_join": q_bm25_knn_join,
+        "table_profile": q_table_profile,
     }
 
 

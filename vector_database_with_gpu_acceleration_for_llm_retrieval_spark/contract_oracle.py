@@ -72,6 +72,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     PPM_H,
     PQ_KSUB,
     PQ_M,
+    PROFILE_COLS,
     PQ_RERANK,
     PRICE_BANDS,
     RAG_DIM,
@@ -986,6 +987,25 @@ SELECT doc_id, {_r6('score', 'score')} FROM bm25
 ORDER BY score DESC, doc_id LIMIT {TOPK_K}
 """
 
+def _oracle_table_profile() -> str:
+    aggs = ["count(*) AS n"]
+    sels = []
+    for i, c in enumerate(PROFILE_COLS):
+        aggs += [
+            f"count({c}) AS c{i}",
+            f"count(DISTINCT {c}) AS d{i}",
+            f"CAST(min({c}) AS VARCHAR) AS lo{i}",
+            f"CAST(max({c}) AS VARCHAR) AS hi{i}",
+        ]
+        sels.append(
+            f"SELECT '{c}' AS col_name, n - c{i} AS n_nulls, d{i} AS n_distinct,"
+            f" lo{i} AS min_str, hi{i} AS max_str FROM a"
+        )
+    return f"""
+WITH a AS (SELECT {', '.join(aggs)} FROM orders)
+{' UNION ALL '.join(sels)}
+"""
+
 def _oracle_bm25_knn_join() -> str:
     k1, b = BM25_K1, BM25_B
     return f"""
@@ -1861,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_overlap": _oracle_chunk_overlap(),
         "ivf_knn_join": _oracle_ivf_knn_join(),
         "bm25_knn_join": _oracle_bm25_knn_join(),
+        "table_profile": _oracle_table_profile(),
         "kmeans_assign": _oracle_kmeans_assign(),
         "kmeans_one_iter": _oracle_kmeans_one_iter(),
         "semantic_dedup": _oracle_semantic_dedup(),
