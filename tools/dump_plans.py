@@ -133,7 +133,31 @@ AUDITED = {
         "projection against driver-literal query vectors, one doc-keyed agg "
         "with map-side partial maxes, TakeOrderedAndProject tail."
     ),
+    "mrl_topk": (
+        "Matryoshka: prefix-dim dot shortlist (shuffle-free "
+        "TakeOrderedAndProject over a slice of the vector column) -> "
+        "broadcast-pruned full-dim exact rerank — the BQ/SQ/PQ two-tier "
+        "skeleton at 1/4 the scan arithmetic."
+    ),
+    "bm25_knn_join": (
+        "Batch BM25: ONE corpus tokenization for the whole query set — "
+        "union-term broadcast semi-filter on the explode, tf/df shared "
+        "across queries, per-query fan-out via broadcast term join, "
+        "candidates-only window; the only corpus-sized exchange is the "
+        "(doc, term) aggregation."
+    ),
+    "table_profile": (
+        "Profiling: 4 partial aggregates per column + a row count in ONE "
+        "aggregation job (single FileScan, plan-asserted), exploded from "
+        "the 1-row result — the exact-answer floor is one scan."
+    ),
+    "hybrid_topk_linear": (
+        "Linear fusion: two k-row min-max aggregates broadcast back onto "
+        "their k-row lists, full-outer merge, weighted sum — all frames "
+        "post-top-k, so fusion cost is O(k) regardless of corpus size."
+    ),
     "ivfpq_topk": None,  # scratch-dir index: audited in tests/test_pq.py instead
+    "ivf_knn_join": None,  # scratch-dir index: audited in tests/test_ann_index.py
     "lsh_topk_indexed": None,  # written by the ann_index section below
 }
 
