@@ -999,6 +999,25 @@ BM25Q_TOKENS = 6
 PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
+def q_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral nation-pair trade volume per ship
+    year — two aliased broadcast nation joins, one fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    res = R.shipping_volume(t)
+    return res.select(
+        "supp_nation", "cust_nation",
+        F.col("ship_year").cast("int").alias("ship_year"),
+        "revenue",
+    )
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per month — conditional
+    aggregation, both sums from one group-by."""
+    t = load_tables(spark, sf_dir)
+    return R.promo_share(t)
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile (ANALYZE-style): null counts, distinct
     cardinalities, min/max per column in a single aggregation job."""
@@ -2078,6 +2097,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_join": q_ivf_knn_join,
         "bm25_knn_join": q_bm25_knn_join,
         "table_profile": q_table_profile,
+        "shipping_volume": q_shipping_volume,
+        "promo_share": q_promo_share,
     }
 
 

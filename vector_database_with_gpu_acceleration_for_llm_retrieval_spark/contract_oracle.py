@@ -987,6 +987,32 @@ SELECT doc_id, {_r6('score', 'score')} FROM bm25
 ORDER BY score DESC, doc_id LIMIT {TOPK_K}
 """
 
+_ORACLE_SHIPPING_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) + 0.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name != cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+_ORACLE_PROMO_SHARE = """
+WITH j AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                  l_extendedprice * (1 - l_discount) AS rev,
+                  CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0.0 END AS promo
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+a AS (SELECT ship_month, sum(promo) AS pr, sum(rev) AS tot FROM j GROUP BY 1)
+SELECT ship_month, round(pr, 6) + 0.0 AS promo_revenue, round(tot, 6) + 0.0 AS total_revenue,
+       round(100.0 * pr / tot, 6) + 0.0 AS promo_share_pct
+FROM a
+"""
+
 def _oracle_table_profile() -> str:
     aggs = ["count(*) AS n"]
     sels = []
@@ -1882,6 +1908,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_join": _oracle_ivf_knn_join(),
         "bm25_knn_join": _oracle_bm25_knn_join(),
         "table_profile": _oracle_table_profile(),
+        "shipping_volume": _ORACLE_SHIPPING_VOLUME,
+        "promo_share": _ORACLE_PROMO_SHARE,
         "kmeans_assign": _oracle_kmeans_assign(),
         "kmeans_one_iter": _oracle_kmeans_one_iter(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -27,6 +27,8 @@ __all__ = [
     "distinct_user_counts",
     "segment_retention",
     "monthly_revenue",
+    "shipping_volume",
+    "promo_share",
 ]
 
 
@@ -267,3 +269,70 @@ def supplier_share(t: dict[str, DataFrame]) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("nation_share"),
     ).orderBy("n_name", F.desc("revenue"), F.asc("s_suppkey"))
+
+
+def shipping_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue shipped between
+    each (supplier nation, customer nation) pair per ship-year.
+
+    Two independent nation-dimension joins (supplier side and customer
+    side) against ONE fact join — both nation lookups broadcast, so the
+    only shuffle is lineitem⋈orders plus the final small group-by on
+    (nation, nation, year).  The classic plan trap here is joining
+    nation twice without aliasing; self-aliased broadcast copies keep
+    Catalyst's attribute resolution unambiguous."""
+    li, o, c, s, n = (
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"],
+    )
+    n_supp = F.broadcast(
+        n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n_cust = F.broadcast(
+        n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        # round 6, not the display-money 2: inputs have 4 decimals, so
+        # true sums sit ON .xx5 cent boundaries where engines' FP noise
+        # rounds opposite ways (14/4188 groups flipped at round-2); no
+        # 4-decimal sum can sit on a 1e-6 half-boundary
+        .agg((F.round(F.sum(revenue), 6) + F.lit(0.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def promo_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share per month —
+    conditional aggregation (``sum(CASE WHEN …)``) over one fact⋈dim
+    join; the part dimension broadcasts, the month grouping is tiny.
+    The ratio divides two sums from the SAME aggregation, so the plan
+    is one join + one group-by, never two passes."""
+    li, p = t["lineitem"], t["part"]
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0.0))
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(month)
+        .agg(
+            F.sum(promo).alias("__promo"),
+            F.sum(revenue).alias("__total"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        # round-6 parity discipline (see shipping_volume): 4-decimal
+        # inputs make cent-level round-half boundaries engine-unstable
+        (F.round(F.col("__promo"), 6) + F.lit(0.0)).alias("promo_revenue"),
+        (F.round(F.col("__total"), 6) + F.lit(0.0)).alias("total_revenue"),
+        (F.round(F.lit(100.0) * F.col("__promo") / F.col("__total"), 6) + F.lit(0.0)).alias("promo_share_pct"),
+    ).orderBy("ship_month")
