@@ -132,3 +132,27 @@ def test_bm25_knn_join_matches_per_query(spark, tables):
     # one (doc, term) aggregation; no python, no cross join
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_knn_join_max_df_guard(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.lexical import (
+        bm25_knn_join,
+        bm25_topk,
+    )
+
+    # "common" appears in every doc; "rare0" only in doc 0
+    rows = [(i, f"common filler{i} " + ("rare0" if i == 0 else f"word{i}")) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qdf = spark.createDataFrame([(1, "common rare0")], "qid long, qtext string")
+    capped = bm25_knn_join(docs, qdf, k=5, max_df_ratio=0.5).collect()
+    # the stop term is dropped: ranking equals the rare-term-only query
+    expect = bm25_topk(docs, "rare0", k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in capped] == [
+        (r["doc_id"], round(r["score"], 9)) for r in expect
+    ]
+    # uncapped: every doc is a candidate for the query (the hazard)
+    full = bm25_knn_join(docs, qdf, k=50).collect()
+    assert len(full) == 20
+    assert len(capped) == 1  # only the rare-term match survives scoring

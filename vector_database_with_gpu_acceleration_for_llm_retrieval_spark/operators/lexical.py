@@ -286,6 +286,7 @@ def bm25_knn_join(
     text_col: str = "text",
     qid_col: str = "qid",
     qtext_col: str = "qtext",
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Batch BM25 — the lexical twin of ``search.knn_join``: one corpus
     scan answers a whole query SET.
@@ -299,6 +300,15 @@ def bm25_knn_join(
     fold as :func:`bm25_topk`, and a candidates-only window keeps
     top-``k`` per query.  The corpus never shuffles by query: the only
     corpus-sized exchange is the (doc, term) tf aggregation, paid once.
+
+    ``max_df_ratio`` is the stop-word guard: a query term present in
+    more than that fraction of documents pulls EVERY matching doc into
+    its query's candidate window — corpus-sized per-query state at
+    100 TB — while contributing idf ≈ ln(1 + 0.5/(N+0.5)) ≈ 0 to the
+    score.  Terms over the cap are dropped from scoring (the standard
+    retrieval approximation; exact ranking for queries whose terms all
+    survive, near-exact otherwise).  ``None`` (default) keeps exact
+    semantics — the oracle-checked configuration.
 
     Output: ``(qid, id, score, rank)``.
     """
@@ -324,6 +334,8 @@ def bm25_knn_join(
     )
     tf = terms.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    if max_df_ratio is not None:
+        dfreq = dfreq.filter(F.col("df") <= float(max_df_ratio) * n_docs)
     per_term = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qterms), "term")
