@@ -1704,6 +1704,61 @@ def q_ppm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
 
 
+#: synthetic 16-bit PCM WAV geometry for the REAL-decode check; sample
+#: (frame i, channel c) = (doc_id*13 + i*5 + 911*c + 17) mod 60001
+#: − 30000 — analytic, so the oracle computes expected features
+#: WITHOUT parsing binary while the Spark side genuinely walks the
+#: RIFF chunks and reinterprets the little-endian int16 raster.
+WAV_FRAMES, WAV_RATE, WAV_CH = 120, 8000, 2
+
+
+def _make_wav_udf():
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    frames, rate, ch = WAV_FRAMES, WAV_RATE, WAV_CH
+
+    def _make(ids):
+        data_len = frames * ch * 2
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + data_len, b"WAVE",
+            b"fmt ", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16,
+            b"data", data_len,
+        )
+
+        def one(doc_id: int) -> bytes:
+            idx = np.arange(frames * ch, dtype=np.int64)
+            i, c = idx // ch, idx % ch
+            vals = (int(doc_id) * 13 + i * 5 + 911 * c + 17) % 60001 - 30000
+            return hdr + vals.astype("<i2").tobytes()
+
+        return ids.map(one)
+
+    _make.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(_make)
+
+
+def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-checked: build a genuine RIFF/PCM WAV
+    per document (44-byte chunked header + interleaved little-endian
+    int16 samples), parse it back with the pure-Python decoder, and
+    emit real signal-statistics features (duration, RMS, peak, ZCR,
+    amplitude histogram). The oracle never sees the binary — it
+    recomputes the expected features analytically from the sample
+    formula, so a parser bug (chunk walk, endianness, channel
+    de-interleave) breaks the hash match. Audio twin of
+    ``ppm_image_features``; north-star §multimodal."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id").withColumn(
+        "payload", _make_wav_udf()("doc_id")
+    )
+    feats = M.decode_audio_features(docs, bin_col="payload", dim=16)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("pos", "val")
+    ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2078,6 +2133,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mean_pool": q_doc_mean_pool,
         "model_lang_id": q_model_lang_id,
         "ppm_image_features": q_ppm_image_features,
+        "wav_audio_features": q_wav_audio_features,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

@@ -92,6 +92,9 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     TOPNG_N,
     TOPNG_TOP,
     VIEW_CLICK_WINDOW_MIN,
+    WAV_CH,
+    WAV_FRAMES,
+    WAV_RATE,
     _PERMS,
     _lang_head_artifact,
 )
@@ -296,6 +299,51 @@ SELECT doc_id, {n_bytes} AS n_bytes, CAST(j AS INT) AS pos,
        {_r6('f[CAST(j + 1 AS BIGINT)]', 'val')}
 FROM fv, range(0, 16) tj(j)
 """
+
+def _oracle_wav_audio_features() -> str:
+    frames, rate, ch = WAV_FRAMES, WAV_RATE, WAV_CH
+    n_bytes = 44 + frames * ch * 2
+    v = "CAST((doc_id * 13 + i * 5 + 911 * c + 17) % 60001 - 30000 AS DOUBLE)"
+    return f"""
+WITH s AS (
+  SELECT doc_id, i, c, {v} AS v
+  FROM documents, range(0, {frames}) ti(i), range(0, {ch}) tc(c)
+),
+allst AS (
+  SELECT doc_id, avg(v) AS mean_v, sqrt(avg(v * v)) AS rms_v,
+         max(abs(v)) AS peak_v, min(v) AS mn, max(v) AS mx,
+         avg(CASE WHEN least(floor(abs(v) / 8192.0), 3) = 0 THEN 1.0 ELSE 0.0 END) AS b0,
+         avg(CASE WHEN least(floor(abs(v) / 8192.0), 3) = 1 THEN 1.0 ELSE 0.0 END) AS b1,
+         avg(CASE WHEN least(floor(abs(v) / 8192.0), 3) = 2 THEN 1.0 ELSE 0.0 END) AS b2,
+         avg(CASE WHEN least(floor(abs(v) / 8192.0), 3) = 3 THEN 1.0 ELSE 0.0 END) AS b3
+  FROM s GROUP BY 1
+),
+chrms AS (SELECT doc_id, c, sqrt(avg(v * v)) AS rmsc FROM s GROUP BY 1, 2),
+z AS (
+  SELECT doc_id, avg(CASE WHEN v * pv < 0 THEN 1.0 ELSE 0.0 END) AS zcr
+  FROM (SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s WHERE c = 0) t
+  WHERE pv IS NOT NULL GROUP BY 1
+),
+fv AS (
+  SELECT a.doc_id, [
+    {float(frames)!r}, {float(rate)!r}, {float(ch)!r}, {frames / rate!r},
+    a.mean_v / 32768.0, a.rms_v / 32768.0, a.peak_v / 32768.0,
+    z.zcr, r0.rmsc / 32768.0, r1.rmsc / 32768.0,
+    a.b0, a.b1, a.b2, a.b3,
+    a.mn / 32768.0, a.mx / 32768.0
+  ]::DOUBLE[] AS f
+  FROM allst a
+  JOIN z ON a.doc_id = z.doc_id
+  JOIN chrms r0 ON a.doc_id = r0.doc_id AND r0.c = 0
+  JOIN chrms r1 ON a.doc_id = r1.doc_id AND r1.c = 1
+)
+SELECT doc_id, {n_bytes} AS n_bytes, CAST(j AS INT) AS pos,
+       {_r6('f[CAST(j + 1 AS BIGINT)]', 'val')}
+FROM fv, range(0, 16) tj(j)
+"""
+
 
 def _oracle_video_frames() -> str:
     # stub strides: frame_bytes=64, every_n=10 → stride 640; one frame
@@ -1870,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mean_pool": _oracle_doc_mean_pool(),
         "model_lang_id": _oracle_model_lang_id(),
         "ppm_image_features": _oracle_ppm_image_features(),
+        "wav_audio_features": _oracle_wav_audio_features(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

@@ -7,7 +7,12 @@ Decode paths, by format:
   is a whitespace header + raw RGB bytes; no codec library needed).
   Features are genuine pixel statistics (dimensions, channel moments,
   luma histogram) — see :func:`ppm_features`.
-* **everything else** (JPEG/PNG/audio/video) — the container ships no
+* **RIFF WAV (16-bit PCM)** — REALLY decoded, pure Python/numpy (the
+  format is a 44-ish-byte chunked header + raw little-endian int16
+  samples; no codec library needed). Features are genuine signal
+  statistics (duration, RMS, peak, zero-crossing rate, amplitude
+  histogram) — see :func:`wav_features`.
+* **everything else** (JPEG/PNG/MP3/video) — the container ships no
   codec libraries, so those fall back to a clearly-marked stub
   (deterministic fake features keyed on the content hash). The
   Spark-side plumbing — schema, Arrow batching, partitioning — is
@@ -34,6 +39,9 @@ __all__ = [
     "decode_ppm",
     "ppm_features",
     "decode_image_features",
+    "decode_wav",
+    "wav_features",
+    "decode_audio_features",
     "sample_video_frames",
 ]
 
@@ -136,6 +144,123 @@ def ppm_features(payload: bytes, dim: int) -> np.ndarray | None:
     k = min(dim, len(feats))
     out[:k] = feats[:k]
     return out
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL audio decode for RIFF WAV, 16-bit PCM — no codec library
+    needed (the format is public: RIFF container, ``fmt `` chunk with
+    the sample geometry, ``data`` chunk with raw little-endian int16).
+
+    Walks the chunk list (tolerating extra chunks like ``LIST``/
+    ``fact`` and odd-size padding), requires PCM format 1 at 16 bits,
+    and returns ``(sample_rate, n_channels, samples)`` with ``samples``
+    an ``(n_frames, n_channels)`` int16 array, or ``None`` when the
+    payload is not a well-formed 16-bit PCM WAV."""
+    import struct
+
+    if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = None
+    data: bytes | None = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or bits != 16 or channels < 1 or rate <= 0:
+                return None
+        elif cid == b"data":
+            if len(body) < size:
+                return None  # truncated raster
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or channels is None or data is None:
+        return None
+    n_frames = len(data) // (2 * channels)
+    if n_frames == 0:
+        return None
+    raw = np.frombuffer(data[: n_frames * 2 * channels], dtype="<i2")
+    return rate, channels, raw.reshape(n_frames, channels)
+
+
+def wav_features(payload: bytes, dim: int) -> np.ndarray | None:
+    """Real signal-statistics features from a decoded 16-bit PCM WAV
+    (``None`` if the payload isn't one). Fixed 16-slot layout,
+    zero-padded / truncated to ``dim``:
+
+    ``[n_frames, sample_rate, n_channels, duration_s, mean/32768,
+    rms/32768, peak_abs/32768, zcr_ch0, rms_ch0/32768, rms_ch1/32768
+    (0 when mono), abs_hist_0..3 (fractions in 8192-wide bins, top bin
+    clamped), min/32768, max/32768]``
+
+    Every op is plain IEEE arithmetic with a fixed evaluation order, so
+    an external oracle that knows the sample values reproduces the
+    features bit-for-bit (same contract as :func:`ppm_features`)."""
+    parsed = decode_wav(payload)
+    if parsed is None:
+        return None
+    rate, channels, samples = parsed
+    s = samples.astype(np.float64)
+    flat = s.ravel()
+    absf = np.abs(flat)
+    ch0 = s[:, 0]
+    zcr = float((ch0[1:] * ch0[:-1] < 0).mean()) if len(ch0) > 1 else 0.0
+    bins = np.minimum(np.floor(absf / 8192.0), 3.0)
+    feats = [
+        float(s.shape[0]),
+        float(rate),
+        float(channels),
+        s.shape[0] / rate,
+        flat.mean() / 32768.0,
+        float(np.sqrt(np.mean(flat * flat))) / 32768.0,
+        absf.max() / 32768.0,
+        zcr,
+        float(np.sqrt(np.mean(ch0 * ch0))) / 32768.0,
+        float(np.sqrt(np.mean(s[:, 1] * s[:, 1]))) / 32768.0 if channels > 1 else 0.0,
+        float((bins == 0).mean()),
+        float((bins == 1).mean()),
+        float((bins == 2).mean()),
+        float((bins == 3).mean()),
+        flat.min() / 32768.0,
+        flat.max() / 32768.0,
+    ]
+    out = np.zeros(dim, dtype=np.float64)
+    k = min(dim, len(feats))
+    out[:k] = feats[:k]
+    return out
+
+
+def decode_audio_features(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id", dim: int = 16, batch_limit: int = 1024
+) -> DataFrame:
+    """Decode + featurize binary audio via ``mapInPandas`` — the audio
+    twin of :func:`decode_image_features`. Payloads that parse as
+    16-bit PCM WAV get REAL signal-statistics features
+    (:func:`wav_features`); other formats fall back to the
+    deterministic digest stub. Same Arrow-batched plumbing and schema
+    contract ``(id, feature: array<double>, n_bytes: int)``."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, feature array<double>, n_bytes int"
+
+    def _decode(p: bytes) -> list[float]:
+        real = wav_features(p, dim)
+        return (real if real is not None else _fake_decode(p, dim)).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "feature": [_decode(p) for p in pdf[bin_col]],
+                    "n_bytes": [len(p or b"") for p in pdf[bin_col]],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
