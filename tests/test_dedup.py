@@ -173,3 +173,33 @@ def test_lsh_bucket_cap_noop_when_under_cap(planted_docs):
         ).collect()
     }
     assert capped == uncapped and len(uncapped) > 0
+
+
+def test_dup_span_stats_partial_overlap(spark):
+    """A boilerplate block shared by two docs is flagged span-wise even
+    though neither whole-doc dedup nor MinHash would pair the docs."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        dedup as D,
+    )
+
+    boiler = "all rights reserved contact us for details"  # 7 tokens
+    rows = [
+        (1, "unique alpha prose about spark engines " + boiler),
+        (2, boiler + " totally different beta subject matter here"),
+        (3, "completely unrelated gamma text with no shared spans at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in D.dup_span_stats(docs, n=3).collect()}
+
+    # docs 1 and 2 share exactly the boilerplate's 5 interior 3-grams
+    # (7 tokens -> 5 windows); no window spanning the seam is shared
+    assert got[1].n_shared_spans == 5 and got[2].n_shared_spans == 5
+    assert got[3].n_shared_spans == 0 and got[3].dup_span_frac == 0.0
+    # doc 1: 13 tokens -> 11 windows
+    assert got[1].n_spans == 11
+    assert abs(got[1].dup_span_frac - 5 / 11) < 1e-12
+
+    # portable-hash path computes the identical statistic
+    p = {r.doc_id: r for r in
+         D.dup_span_stats(docs, n=3, use_portable_hash=True).collect()}
+    assert all(p[i].n_shared_spans == got[i].n_shared_spans for i in (1, 2, 3))

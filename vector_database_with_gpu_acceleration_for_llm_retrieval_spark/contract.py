@@ -1404,6 +1404,27 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: word n-gram length for the cross-document duplicated-span signal
+DUP_SPAN_N = 4
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span stats (Lee-et-al-style substring
+    dedup signal at n-gram granularity): per doc, the fraction of its
+    n-gram occurrences shared with at least one OTHER document. Runs
+    the production xxhash64 path — the oracle groups by the n-gram
+    STRING instead, so the check also certifies the hash grouping is
+    collision-free on this corpus."""
+    t = load_tables(spark, sf_dir)
+    res = D.dup_span_stats(t["documents"], n=DUP_SPAN_N)
+    return res.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_shared_spans").cast("long").alias("n_shared_spans"),
+        _round6(F.col("dup_span_frac"), "dup_span_frac"),
+    )
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (the CCNet/KenLM model-based
     quality gate): self-trained add-α bigram model, per-doc mean log
@@ -2134,6 +2155,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_lang_id": q_model_lang_id,
         "ppm_image_features": q_ppm_image_features,
         "wav_audio_features": q_wav_audio_features,
+        "dup_span_stats": q_dup_span_stats,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

@@ -42,6 +42,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     CURATE_LANGS,
     CURATE_MAX_DUP,
     CURATE_MIN_QUALITY,
+    DUP_SPAN_N,
     EMB_NEAR_DUP_TAU,
     FILTER_LABEL,
     GROUP_TOPK_K,
@@ -1578,6 +1579,25 @@ SELECT doc_id, n_ngrams, n_distinct_ngrams,
 FROM p
 """
 
+def _oracle_dup_span_stats() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_sq_shingles('t', DUP_SPAN_N)}) AS ngram FROM t),
+occ AS (SELECT doc_id, ngram, count(*) AS cnt FROM sh GROUP BY 1, 2),
+dfq AS (SELECT ngram, count(*) AS doc_freq FROM occ GROUP BY 1),
+shared AS (
+  SELECT o.doc_id, sum(o.cnt) AS n_shared
+  FROM occ o JOIN dfq ON o.ngram = dfq.ngram AND dfq.doc_freq >= 2
+  GROUP BY 1
+),
+tot AS (SELECT doc_id, len({_sq_shingles('t', DUP_SPAN_N)}) AS n_spans FROM t)
+SELECT tot.doc_id, tot.n_spans,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_spans,
+       {_r6('coalesce(s.n_shared, 0) / CAST(tot.n_spans AS DOUBLE)', 'dup_span_frac')}
+FROM tot LEFT JOIN shared s ON tot.doc_id = s.doc_id
+"""
+
+
 def _oracle_lm_doc_scores() -> str:
     a = repr(float(LM_ALPHA))
     return f"""
@@ -1919,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "model_lang_id": _oracle_model_lang_id(),
         "ppm_image_features": _oracle_ppm_image_features(),
         "wav_audio_features": _oracle_wav_audio_features(),
+        "dup_span_stats": _oracle_dup_span_stats(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

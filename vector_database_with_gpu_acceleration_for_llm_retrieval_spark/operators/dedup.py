@@ -46,6 +46,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "embedding_near_dup_pairs",
     "dedup_clusters",
+    "dup_span_stats",
 ]
 
 #: Mersenne-ish prime > 2^32 for the universal-hash family
@@ -544,3 +545,85 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             stacklevel=2,
         )
     return labels
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_portable_hash: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated-span signal — the substring-level
+    dedup statistic (Lee et al. 2021, *Deduplicating Training Data
+    Makes Language Models Better*) approximated at word n-gram
+    granularity: for each doc, the fraction of its n-gram occurrences
+    whose n-gram also appears in at least one OTHER document.
+
+    Complements the family: exact_dedup catches identical docs,
+    MinHash/SimHash catch near-identical docs, :func:`dup_span_stats`
+    catches *partial* overlap — a unique page wrapping a boilerplate
+    block scores high here and nowhere else. Gate on
+    ``dup_span_frac > τ`` (or route to span-removal downstream).
+
+    Returns ``(id, n_spans, n_shared_spans, dup_span_frac)``.
+
+    Plan shape (scale-safe, never all-pairs):
+
+    1. explode n-grams, hash each to a long (`xxhash64` in production;
+       the md5-derived portable hash when an external engine must
+       mirror the arithmetic) — payload strings leave the plan at the
+       first exchange;
+    2. ``groupBy(id, h).count()`` — per-doc occurrence counts, with
+       map-side partial aggregation shrinking boilerplate-heavy
+       partitions before the shuffle;
+    3. ``groupBy(h)`` over that (already one row per doc×hash) counts
+       distinct docs per n-gram as a plain ``count(*)`` — no
+       count_distinct state;
+    4. equi-join occurrences against the ``doc_freq ≥ 2`` hashes and
+       re-aggregate by doc. Popular boilerplate n-grams skew the join
+       key; AQE skew-join splits them (the join is 1:N, not N:M, so
+       splitting is safe).
+
+    Every stage is an equi-key aggregation or join — at 100 TB the
+    cost is two shuffles of (doc, hash) pairs, linear in corpus
+    n-grams.
+    """
+    hash_fn = (
+        TX.portable_token_hash
+        if use_portable_hash
+        else (lambda c: F.xxhash64(c))
+    )
+    sh = fan_out(docs).select(
+        F.col(id_col),
+        F.explode(TX.shingles(TX.tokens(F.col(text_col)), n=n)).alias("s"),
+    )
+    occ = (
+        sh.select(id_col, hash_fn(F.col("s")).alias("h"))
+        .groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    shared = occ.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq")).filter(
+        F.col("doc_freq") >= 2
+    )
+    per_doc_shared = (
+        occ.join(shared.select("h"), "h")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_shared_spans"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(TX.shingles(TX.tokens(F.col(text_col)), n=n)).alias("n_spans"),
+    )
+    return (
+        totals.join(per_doc_shared, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("n_shared_spans"), F.lit(0)).alias("n_shared_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.col("n_shared_spans") / F.col("n_spans").cast("double"),
+        )
+    )
