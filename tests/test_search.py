@@ -347,3 +347,34 @@ def test_mrl_topk_two_tier(spark, tables):
     )
     plan = S.mrl_topk(emb, qv, m=16, k=5, shortlist=40)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """nDCG@k and MRR against a hand-worked example: 3 queries, k=3."""
+    import math
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S,
+    )
+
+    exact = spark.createDataFrame(
+        [(q, n) for q in (1, 2, 3) for n in (10, 20, 30)],
+        "qid int, neighbor_id int",
+    )
+    approx = spark.createDataFrame(
+        [
+            # q1: perfect ranking
+            (1, 10, 1), (1, 20, 2), (1, 30, 3),
+            # q2: one relevant hit, at rank 2
+            (2, 99, 1), (2, 10, 2), (2, 98, 3),
+            # q3: nothing relevant
+            (3, 97, 1), (3, 98, 2), (3, 99, 3),
+        ],
+        "qid int, neighbor_id int, rank int",
+    )
+    got = {r.qid: r for r in S.ranking_metrics(exact, approx, k=3).collect()}
+    idcg = sum(1.0 / math.log2(r + 1) for r in (1, 2, 3))
+    assert abs(got[1].ndcg - 1.0) < 1e-12 and got[1].mrr == 1.0
+    assert abs(got[2].ndcg - (1.0 / math.log2(3)) / idcg) < 1e-12
+    assert got[2].mrr == 0.5
+    assert got[3].ndcg == 0.0 and got[3].mrr == 0.0

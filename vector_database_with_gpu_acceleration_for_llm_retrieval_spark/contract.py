@@ -1407,6 +1407,30 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: word n-gram length for the cross-document duplicated-span signal
 DUP_SPAN_N = 4
 
+#: prefix dims for the deliberately-degraded ranking that the
+#: nDCG/MRR harness grades against the exact one
+RANK_EVAL_M = 16
+
+
+def q_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query nDCG@k + MRR of a degraded retrieval vs the exact one
+    — the standard IR quality pair next to recall@k (X7 family). The
+    degraded ranking scores on the first RANK_EVAL_M dims only (the
+    MRL-prefix regime); both rankings and both metrics are recomputed
+    arithmetic-identically by the DuckDB mirror."""
+    t = load_tables(spark, sf_dir)
+    q = _knn_queries(t).withColumnRenamed("embedding", "qvec")
+    exact = S.knn_join_expr(q, t["embeddings"], k=KNN_K)
+    q_pref = q.withColumn("qvec", F.slice(F.col("qvec"), 1, RANK_EVAL_M))
+    c_pref = t["embeddings"].withColumn(
+        "embedding", F.slice(F.col("embedding"), 1, RANK_EVAL_M)
+    )
+    approx = S.knn_join_expr(q_pref, c_pref, k=KNN_K)
+    res = S.ranking_metrics(exact, approx, k=KNN_K)
+    return res.select(
+        "qid", _round6(F.col("ndcg"), "ndcg"), _round6(F.col("mrr"), "mrr")
+    )
+
 
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span stats (Lee-et-al-style substring
@@ -2156,6 +2180,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_image_features": q_ppm_image_features,
         "wav_audio_features": q_wav_audio_features,
         "dup_span_stats": q_dup_span_stats,
+        "ranking_quality": q_ranking_quality,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

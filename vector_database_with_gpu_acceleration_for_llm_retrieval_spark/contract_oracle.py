@@ -79,6 +79,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     RAG_DIM,
     RAG_K,
     RAG_QUESTION,
+    RANK_EVAL_M,
     REPEAT_N,
     RRF_C,
     SAMPLE_RATES,
@@ -1598,6 +1599,31 @@ FROM tot LEFT JOIN shared s ON tot.doc_id = s.doc_id
 """
 
 
+def _oracle_ranking_quality() -> str:
+    import math
+
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, KNN_K + 1))
+    pref_e = f"list_slice(e.embedding, 1, {RANK_EVAL_M})"
+    pref_q = f"list_slice(qv, 1, {RANK_EVAL_M})"
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+ex_s AS (SELECT qid, e.vec_id AS nid, {_sq_cosine('e.embedding', 'qv')} AS s FROM embeddings e, q),
+exact AS (SELECT qid, nid FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r FROM ex_s
+) WHERE r <= {KNN_K}),
+ap_s AS (SELECT qid, e.vec_id AS nid, {_sq_cosine(pref_e, pref_q)} AS s FROM embeddings e, q),
+approx AS (SELECT qid, nid, rank FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank FROM ap_s
+) WHERE rank <= {KNN_K}),
+hits AS (SELECT a.qid, a.rank FROM approx a JOIN exact USING (qid, nid)),
+m AS (SELECT qid, sum(1.0 / log2(rank + 1.0)) / {idcg!r} AS ndcg,
+             max(1.0 / rank) AS mrr
+      FROM hits GROUP BY 1)
+SELECT dq.qid, {_r6('coalesce(m.ndcg, 0.0)', 'ndcg')}, {_r6('coalesce(m.mrr, 0.0)', 'mrr')}
+FROM (SELECT DISTINCT qid FROM q) dq LEFT JOIN m ON dq.qid = m.qid
+"""
+
+
 def _oracle_lm_doc_scores() -> str:
     a = repr(float(LM_ALPHA))
     return f"""
@@ -1940,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
         "ppm_image_features": _oracle_ppm_image_features(),
         "wav_audio_features": _oracle_wav_audio_features(),
         "dup_span_stats": _oracle_dup_span_stats(),
+        "ranking_quality": _oracle_ranking_quality(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

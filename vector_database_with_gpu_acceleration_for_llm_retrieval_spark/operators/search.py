@@ -50,6 +50,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "recall_at_k",
+    "ranking_metrics",
     "mrl_topk",
 ]
 
@@ -619,6 +620,49 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int, by: list[str] | Non
     if group:
         return hit.groupBy(*group).agg((F.count("*") / F.lit(k)).alias("recall"))
     return hit.agg((F.count("*") / F.lit(k)).alias("recall"))
+
+
+def ranking_metrics(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query ranking quality of an approximate retrieval vs the
+    exact reference (the standard IR pair next to recall@k):
+
+    * **nDCG@k** — binary relevance (membership in the exact top-k),
+      DCG = Σ_hits 1/log2(rank+1) over the approx list, normalized by
+      the ideal DCG for ``k`` relevant items (a compile-time constant:
+      the exact list always carries k rows per query);
+    * **MRR** — reciprocal rank of the first relevant hit (0 when the
+      approx list misses entirely).
+
+    Both frames carry (qid, id, 1-based rank). One equi-join on
+    (qid, id) + one groupBy(qid) — at scale this is a |Q|·k-row frame,
+    trivially shuffled; queries with zero hits survive via the left
+    join from the exact side's qid set. Returns (qid, ndcg, mrr).
+    """
+    import math
+
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, k + 1))
+    hits = approx.select(qid_col, id_col, rank_col).join(
+        exact.select(qid_col, id_col), [qid_col, id_col]
+    )
+    per_q = hits.groupBy(qid_col).agg(
+        (F.sum(F.lit(1.0) / F.log2(F.col(rank_col) + F.lit(1.0))) / F.lit(idcg)).alias(
+            "ndcg"
+        ),
+        F.max(F.lit(1.0) / F.col(rank_col)).alias("mrr"),
+    )
+    qids = exact.select(qid_col).distinct()
+    return qids.join(per_q, qid_col, "left").select(
+        qid_col,
+        F.coalesce(F.col("ndcg"), F.lit(0.0)).alias("ndcg"),
+        F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+    )
 
 
 def mrl_topk(
