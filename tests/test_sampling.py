@@ -117,3 +117,34 @@ def test_mixture_sample_deterministic_and_binomialish(spark):
     # a sampled at ~ rate 100/300: binomial, loose band
     n_a = len(got1 - b_ids)
     assert 60 <= n_a <= 140
+
+
+def test_dsir_weights_prefer_target_domain(spark):
+    """Docs sharing the target domain's vocabulary get higher
+    importance weights than out-of-domain docs; weights are finite for
+    every doc (smoothing) and deterministic."""
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "wiki"),
+        (2, "the quick brown fox runs past the lazy dog", "wiki"),
+        (3, "buy cheap pills now click here winner prize", "spam"),
+        (4, "the quick brown fox naps near the lazy dog", "web"),
+        (5, "cheap prize winner click buy now pills here", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = sampling.dsir_weights(
+        docs, target=F.col("source") == "wiki", n_buckets=64, alpha=0.5
+    )
+    got = {r.doc_id: r for r in res.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # wiki-like web doc outranks the spam-like web doc
+    assert got[4].avg_log_weight > got[5].avg_log_weight
+    # in-domain docs score above the spam doc
+    assert min(got[1].avg_log_weight, got[2].avg_log_weight) > got[3].avg_log_weight
+    again = {r.doc_id: r.log_weight for r in res.collect()}
+    assert all(abs(again[i] - got[i].log_weight) < 1e-12 for i in got)

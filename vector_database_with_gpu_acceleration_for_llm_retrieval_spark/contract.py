@@ -1120,6 +1120,36 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DSIR featurization: hashed unigram+bigram buckets and smoothing
+DSIR_BUCKETS = 256
+DSIR_ALPHA = 1.0
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-n-gram log likelihood ratio of
+    target-domain vs raw-corpus bucket distributions, Xie et al. 2023)
+    with English docs as the target domain — the classifier-free
+    data-selection score next to the heuristic and LM-perplexity
+    gates."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = sampling.dsir_weights(
+        t["documents"],
+        target=F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS,
+        alpha=DSIR_ALPHA,
+    )
+    return res.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        _round6(F.col("log_weight"), "log_weight"),
+        _round6(F.col("avg_log_weight"), "avg_log_weight"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling (data mixing)."""
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
@@ -2181,6 +2211,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_audio_features": q_wav_audio_features,
         "dup_span_stats": q_dup_span_stats,
         "ranking_quality": q_ranking_quality,
+        "dsir_weights": q_dsir_weights,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

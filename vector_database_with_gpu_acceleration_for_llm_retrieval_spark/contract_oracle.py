@@ -42,6 +42,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     CURATE_LANGS,
     CURATE_MAX_DUP,
     CURATE_MIN_QUALITY,
+    DSIR_ALPHA,
+    DSIR_BUCKETS,
     DUP_SPAN_N,
     EMB_NEAR_DUP_TAU,
     FILTER_LABEL,
@@ -1624,6 +1626,34 @@ FROM (SELECT DISTINCT qid FROM q) dq LEFT JOIN m ON dq.qid = m.qid
 """
 
 
+def _oracle_dsir_weights() -> str:
+    a, bkt = repr(float(DSIR_ALPHA)), DSIR_BUCKETS
+    ab = repr(float(DSIR_ALPHA) * DSIR_BUCKETS)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_SQ_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, lang = 'en' AS is_t,
+             unnest(list_concat(toks, {_sq_shingles('toks', 2)})) AS g
+      FROM t),
+gb AS (SELECT doc_id, is_t, {_sq_tok_hash('g')} % {bkt} AS b FROM g),
+dc AS (SELECT doc_id, b, count(*) AS cnt FROM gb GROUP BY 1, 2),
+raw AS (SELECT b, count(*) AS n_raw FROM gb GROUP BY 1),
+tgt AS (SELECT b, count(*) AS n_tgt FROM gb WHERE is_t GROUP BY 1),
+tots AS (SELECT (SELECT sum(n_raw) FROM raw) AS t_raw,
+                (SELECT sum(n_tgt) FROM tgt) AS t_tgt),
+lam AS (SELECT raw.b,
+               ln((coalesce(tgt.n_tgt, 0) + {a}) / (tots.t_tgt + {ab}))
+             - ln((raw.n_raw + {a}) / (tots.t_raw + {ab})) AS lam
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+pd AS (SELECT dc.doc_id, sum(dc.cnt) AS n_grams,
+              sum(dc.cnt * lam.lam) AS log_weight
+       FROM dc JOIN lam USING (b) GROUP BY 1)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       {_r6('log_weight', 'log_weight')},
+       {_r6('log_weight / CAST(n_grams AS DOUBLE)', 'avg_log_weight')}
+FROM pd
+"""
+
+
 def _oracle_lm_doc_scores() -> str:
     a = repr(float(LM_ALPHA))
     return f"""
@@ -1967,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "wav_audio_features": _oracle_wav_audio_features(),
         "dup_span_stats": _oracle_dup_span_stats(),
         "ranking_quality": _oracle_ranking_quality(),
+        "dsir_weights": _oracle_dsir_weights(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

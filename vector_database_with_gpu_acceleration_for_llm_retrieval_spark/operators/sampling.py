@@ -36,6 +36,7 @@ __all__ = [
     "budget_select",
     "mixture_plan",
     "mixture_sample",
+    "dsir_weights",
 ]
 
 _SAMPLE_MOD = 1_000_000
@@ -269,4 +270,88 @@ def mixture_sample(
         docs.join(F.broadcast(plan.select(stratum_col, "rate")), stratum_col)
         .filter(h < (F.col("rate") * _SAMPLE_MOD).cast("long"))
         .drop("rate")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, *Data Selection for Language Models via Importance
+    Resampling*): score every document by how much more likely its
+    hashed-n-gram bag is under the TARGET domain's unigram-over-buckets
+    distribution than under the RAW corpus distribution —
+
+        log w(x) = Σ_b count_x[b] · (ln p_target[b] − ln q_raw[b])
+
+    with add-α smoothing over ``n_buckets`` hashed features (unigrams +
+    bigrams, the paper's featurization). Select by ordering on the
+    weight (deterministic top-N) or feed it to the mixture/budget
+    samplers; ``target`` is any boolean Column over the doc row (e.g.
+    ``F.col("source") == "wiki"``) defining the in-domain subset.
+
+    Scale shape: one explode of grams → per-(doc, bucket) counts
+    (map-side partial agg); the two distributions are ≤``n_buckets``-row
+    aggregates BROADCAST back — so the only real shuffle is the
+    (doc, bucket) aggregation, linear in corpus grams, never keyed by
+    anything skewable beyond bucket count. Hash is the portable
+    md5-derived one so an external engine mirrors the bucketing.
+
+    Returns ``(id, n_grams, log_weight, avg_log_weight)``.
+    """
+    toks = TX.tokens(F.col(text_col))
+    grams = F.concat(toks, TX.shingles(toks, n=2))
+    g = docs.select(
+        F.col(id_col),
+        target.alias("__is_target"),
+        F.explode(grams).alias("g"),
+    ).select(
+        id_col,
+        "__is_target",
+        F.pmod(TX.portable_token_hash(F.col("g")), F.lit(n_buckets)).alias("b"),
+    )
+    doc_counts = g.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("cnt"))
+    raw = g.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = g.filter("__is_target").groupBy("b").agg(F.count(F.lit(1)).alias("n_tgt"))
+    # smoothed log-ratio per bucket over the FULL bucket range via a
+    # left join from raw (a bucket unseen even in raw cannot appear in
+    # any doc, so driving from raw is complete)
+    tot_raw = raw.agg(F.sum("n_raw").alias("T_raw"))
+    tot_tgt = tgt.agg(F.sum("n_tgt").alias("T_tgt"))
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot_raw))
+        .crossJoin(F.broadcast(tot_tgt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("T_tgt") + F.lit(float(alpha) * n_buckets))
+                )
+                - F.log(
+                    (F.col("n_raw") + F.lit(float(alpha)))
+                    / (F.col("T_raw") + F.lit(float(alpha) * n_buckets))
+                )
+            ).alias("lam"),
+        )
+    )
+    per_doc = (
+        doc_counts.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lam")).alias("log_weight"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "log_weight",
+        (F.col("log_weight") / F.col("n_grams").cast("double")).alias("avg_log_weight"),
     )
