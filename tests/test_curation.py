@@ -126,3 +126,27 @@ def test_doc_signals_keeps_ungateable_docs_visible(spark):
     assert out[1]["ppl"] is not None and out[1]["n_bigrams"] > 0
     assert out[2]["ppl"] is None and out[3]["ppl"] is None
     assert out[1]["pred_lang"] == "en"
+
+
+def test_c4_clean_line_filter_and_page_gate(spark):
+    """Line filter keeps punctuated >=5-word prose; nav stubs drop;
+    marker pages are gated on the ORIGINAL text even when the marker
+    line itself would not survive the line filter."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+
+    good = "This is a perfectly fine prose sentence one.\nHome | About\nAnd here is a second good sentence too.\nA third closing sentence rounds it out."
+    short = "Tiny stub.\nOk."
+    marked = good + "\nvar x = { notkept }"
+    rows = [(1, good), (2, short), (3, marked)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.c4_clean(docs).collect()}
+
+    assert got[1].n_lines == 4 and got[1].n_kept_lines == 3
+    assert got[1].n_sentences == 3 and got[1].keep is True
+    assert "Home | About" not in got[1].clean_text
+    # too few sentences survive
+    assert got[2].n_kept_lines == 0 and got[2].keep is False
+    # brace marker gates the page though the brace line was dropped
+    assert got[3].n_kept_lines == 3 and got[3].keep is False

@@ -1125,6 +1125,49 @@ DSIR_BUCKETS = 256
 DSIR_ALPHA = 1.0
 
 
+def _c4_page() -> "F.Column":
+    """Deterministic multi-line page per doc (the raw synthetic corpus
+    is single-line and unpunctuated, so the wrapper builds pages with
+    prose lines, a nav stub, and modular boilerplate markers to make
+    the C4 gate meaningful — the pii_scrub pattern)."""
+    did = F.col("doc_id")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.col("text").substr(1, 60), F.lit(" and the sentence ends here.")),
+        F.lit("Home | About | Contact"),
+        F.when(did % 3 == 0, F.lit("Short stub")).otherwise(
+            F.concat(F.lit("Another valid prose line number "), (did % 10).cast("string"), F.lit("."))
+        ),
+        F.when(did % 7 == 0, F.lit("This page contains lorem ipsum filler text.")).otherwise(
+            F.lit("Clean closing line with punctuation.")
+        ),
+        F.when(did % 11 == 0, F.lit("var x = { javascript: true };")).otherwise(F.lit(None).cast("string")),
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering + page gate (Raffel et al. 2020 §2.2)
+    over deterministically constructed multi-line pages: prose lines
+    survive, the nav stub and short stubs drop, and pages carrying the
+    lorem-ipsum / brace / javascript markers are gated out wholesale.
+    Cleaned text bytes pinned by md5 in the mirror."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pages = t["documents"].select("doc_id", _c4_page().alias("text"))
+    res = curation.c4_clean(pages)
+    return res.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        F.md5("clean_text").alias("clean_md5"),
+        "keep",
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (hashed-n-gram log likelihood ratio of
     target-domain vs raw-corpus bucket distributions, Xie et al. 2023)
@@ -2212,6 +2255,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "ranking_quality": q_ranking_quality,
         "dsir_weights": q_dsir_weights,
+        "c4_clean": q_c4_clean,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

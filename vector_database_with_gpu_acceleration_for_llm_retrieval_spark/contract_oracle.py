@@ -1654,6 +1654,41 @@ FROM pd
 """
 
 
+def _oracle_c4_clean() -> str:
+    return r"""
+WITH pg AS (
+  SELECT doc_id, concat_ws(chr(10),
+    substr(text, 1, 60) || ' and the sentence ends here.',
+    'Home | About | Contact',
+    CASE WHEN doc_id % 3 = 0 THEN 'Short stub'
+         ELSE 'Another valid prose line number ' || CAST(doc_id % 10 AS VARCHAR) || '.' END,
+    CASE WHEN doc_id % 7 = 0 THEN 'This page contains lorem ipsum filler text.'
+         ELSE 'Clean closing line with punctuation.' END,
+    CASE WHEN doc_id % 11 = 0 THEN 'var x = { javascript: true };' ELSE NULL END
+  ) AS text FROM documents
+),
+k AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+        list_filter(string_split(text, chr(10)),
+          x -> regexp_matches(trim(x), '[.!?"]$')
+           AND len(regexp_split_to_array(trim(x), '\s+')) >= 5) AS kept
+      FROM pg),
+c AS (SELECT doc_id, text, lines, kept,
+        array_to_string(list_transform(kept, x -> trim(x)), chr(10)) AS clean
+      FROM k)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept_lines,
+  CAST(len(regexp_split_to_array(clean, '[.!?]+')) - 1 AS INT) AS n_sentences,
+  md5(clean) AS clean_md5,
+  (len(regexp_split_to_array(clean, '[.!?]+')) - 1 >= 3
+   AND NOT (contains(lower(text), 'lorem ipsum')
+            OR contains(text, '{')
+            OR contains(lower(text), 'javascript'))
+   AND len(kept) >= 1) AS keep
+FROM c
+"""
+
+
 def _oracle_lm_doc_scores() -> str:
     a = repr(float(LM_ALPHA))
     return f"""
@@ -1998,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": _oracle_dup_span_stats(),
         "ranking_quality": _oracle_ranking_quality(),
         "dsir_weights": _oracle_dsir_weights(),
+        "c4_clean": _oracle_c4_clean(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

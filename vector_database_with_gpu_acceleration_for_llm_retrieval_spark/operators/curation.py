@@ -30,7 +30,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
     textstats as T,
 )
 
-__all__ = ["curate_corpus", "curate_corpus_full", "curation_report", "doc_signals"]
+__all__ = ["curate_corpus", "curate_corpus_full", "curation_report", "doc_signals", "c4_clean"]
 
 
 def curate_corpus(
@@ -225,4 +225,57 @@ def doc_signals(
             id_col, "quality", "pred_lang", "dup_ngram_ratio",
             "n_bigrams", "avg_logp", "ppl",
         )
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2, the
+    published Common-Crawl recipe): keep only lines that end in
+    terminal punctuation AND carry at least ``min_words_per_line``
+    words; then gate the page itself — drop it when the cleaned text
+    has fewer than ``min_sentences`` sentences or contains the
+    boilerplate markers ("lorem ipsum", a curly brace, "javascript").
+
+    Differs from the doc-level quality gate (textstats.quality_columns)
+    in that it REWRITES the text: navigation stubs, button labels and
+    code fragments are removed line-by-line while the prose survives.
+
+    Pure projection — array ops on the split text, no shuffle, no UDF;
+    every predicate is mirrorable SQL (regex kept to a dialect-neutral
+    character class).
+
+    Returns ``(id, n_lines, n_kept_lines, n_sentences, clean_text,
+    keep)`` where ``keep`` is the page-level gate.
+    """
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line),
+    )
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    # sentences ≈ terminal-punctuation runs in the cleaned text
+    n_sent = F.size(F.split(clean, "[.!?]+")) - F.lit(1)
+    # page-level markers test the ORIGINAL page (C4 drops the whole
+    # page on sight, independent of which lines survive)
+    lower = F.lower(txt)
+    bad = (
+        lower.contains("lorem ipsum")
+        | txt.contains("{")
+        | lower.contains("javascript")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        clean.alias("clean_text"),
+        ((n_sent >= min_sentences) & ~bad & (F.size(kept) >= 1)).alias("keep"),
     )
