@@ -145,3 +145,30 @@ def test_word_chunks_strided_overlap_and_tail(spark):
         TX.word_chunks_strided(F.col("text"), size=4, stride=4).alias("b"),
     ).head()
     assert plain["a"] == plain["b"]
+
+
+def test_gopher_rules_known_answers(spark):
+    """Each Gopher rule fires on a purpose-built page and passes on a
+    clean one; the conjunction reflects the per-rule booleans."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        textstats as T,
+    )
+
+    clean = (
+        "the quick brown fox likes to be jumping over lazy dogs and "
+        "that fox will have fun with every single hound around here today"
+    )
+    bullets = "- one thing\n- two thing\n- red thing\n- blue thing"
+    symbols = "# # # # the to of and " + "x " * 10
+    rows = [(1, clean), (2, bullets), (3, symbols)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in T.gopher_rules(docs, min_words=10, max_words=100).collect()
+    }
+    assert got[1].r_stopwords and got[1].r_alpha_words and got[1].r_mean_word_len
+    assert got[1].gopher_pass is True
+    assert got[2].bullet_line_frac == 1.0 and got[2].r_bullet_lines is False
+    assert got[2].gopher_pass is False
+    assert got[3].symbol_word_ratio > 0.1 and got[3].r_symbol_ratio is False
+    assert got[3].gopher_pass is False

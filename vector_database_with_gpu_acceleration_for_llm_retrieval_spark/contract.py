@@ -1145,6 +1145,50 @@ def _c4_page() -> "F.Column":
     )
 
 
+#: Gopher word-count band, lowered to straddle this corpus's doc sizes
+GOPHER_MIN_WORDS = 30
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (MassiveWeb) document-quality rules with per-rule audit
+    booleans; pages are lightly augmented (modular bullet / ellipsis
+    tails) so every rule sees both outcomes on this corpus."""
+    did = F.col("doc_id")
+    t = load_tables(spark, sf_dir)
+    pages = t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.when(did % 5 == 0, F.lit("\n- bullet item one\n- another bullet item")).otherwise(
+                F.lit(None).cast("string")
+            ),
+            F.when(did % 4 == 0, F.lit("\nthis line has to be continued...")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        ).alias("text"),
+    )
+    res = T.gopher_rules(pages, min_words=GOPHER_MIN_WORDS)
+    return res.select(
+        "doc_id",
+        "n_words",
+        _round6(F.col("mean_word_len"), "mean_word_len"),
+        _round6(F.col("symbol_word_ratio"), "symbol_word_ratio"),
+        _round6(F.col("bullet_line_frac"), "bullet_line_frac"),
+        _round6(F.col("ellipsis_line_frac"), "ellipsis_line_frac"),
+        _round6(F.col("alpha_word_frac"), "alpha_word_frac"),
+        "n_stopword_kinds",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_lines",
+        "r_ellipsis_lines",
+        "r_alpha_words",
+        "r_stopwords",
+        "gopher_pass",
+    )
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line filtering + page gate (Raffel et al. 2020 §2.2)
     over deterministically constructed multi-line pages: prose lines
@@ -2256,6 +2300,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_quality": q_ranking_quality,
         "dsir_weights": q_dsir_weights,
         "c4_clean": q_c4_clean,
+        "gopher_rules": q_gopher_rules,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

@@ -1654,6 +1654,69 @@ FROM pd
 """
 
 
+def _oracle_gopher_rules() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        GOPHER_MIN_WORDS,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+WITH pg AS (
+  SELECT doc_id, concat_ws('', text,
+    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet item one' || chr(10) || '- another bullet item' END,
+    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'this line has to be continued...' END
+  ) AS text FROM documents
+),
+b AS (
+  SELECT doc_id, text, {_SQ_TOKS} AS t, string_split(text, chr(10)) AS lines
+  FROM pg
+),
+m AS (
+  SELECT doc_id, text, t, lines,
+    len(t) AS n_words,
+    greatest(len(t), 1) AS nw,
+    greatest(len(lines), 1) AS nl,
+    list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / greatest(len(t), 1) AS mean_wl,
+    (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))
+      / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))
+      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+      / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
+    len(list_intersect(list_distinct(list_transform(t, x -> lower(x))), [{stops}])) AS stop_hits
+  FROM b
+)
+SELECT doc_id,
+  CAST(n_words AS INT) AS n_words,
+  {_r6('mean_wl', 'mean_word_len')},
+  {_r6('symbol_ratio', 'symbol_word_ratio')},
+  {_r6('bullet_frac', 'bullet_line_frac')},
+  {_r6('ellipsis_frac', 'ellipsis_line_frac')},
+  {_r6('alpha_frac', 'alpha_word_frac')},
+  CAST(stop_hits AS INT) AS n_stopword_kinds,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000) AS r_word_count,
+  (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_word_len,
+  (symbol_ratio <= 0.1) AS r_symbol_ratio,
+  (bullet_frac <= 0.9) AS r_bullet_lines,
+  (ellipsis_frac <= 0.3) AS r_ellipsis_lines,
+  (alpha_frac >= 0.8) AS r_alpha_words,
+  (stop_hits >= 2) AS r_stopwords,
+  ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000)
+   AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+   AND (symbol_ratio <= 0.1)
+   AND (bullet_frac <= 0.9)
+   AND (ellipsis_frac <= 0.3)
+   AND (alpha_frac >= 0.8)
+   AND (stop_hits >= 2)) AS gopher_pass
+FROM m
+"""
+
+
 def _oracle_c4_clean() -> str:
     return r"""
 WITH pg AS (
@@ -2034,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "ranking_quality": _oracle_ranking_quality(),
         "dsir_weights": _oracle_dsir_weights(),
         "c4_clean": _oracle_c4_clean(),
+        "gopher_rules": _oracle_gopher_rules(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

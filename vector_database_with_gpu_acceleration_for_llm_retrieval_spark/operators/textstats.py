@@ -24,6 +24,7 @@ __all__ = [
     "corpus_stats",
     "repetition_stats",
     "top_ngrams",
+    "gopher_rules",
 ]
 
 #: rolling-hash base/modulus for k-gram fingerprints (Rabin-Karp style);
@@ -260,3 +261,89 @@ def top_ngrams(
     return counts.orderBy(
         F.desc("n_occurrences"), F.asc("ngram")
     ).limit(top)
+
+
+#: the Gopher rules' required-stopword list (Rae et al. 2021, Table A1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A1 —
+    the published MassiveWeb filter), one boolean per rule so a
+    curation pipeline can audit WHICH gate dropped a page, not just
+    that one did:
+
+    * ``r_word_count`` — word count in [min_words, max_words];
+    * ``r_mean_word_len`` — mean word length in [3, 10];
+    * ``r_symbol_ratio`` — (# of '#' or '…'/'...')/words ≤ 0.1;
+    * ``r_bullet_lines`` — ≤ 90% of lines start with a bullet;
+    * ``r_ellipsis_lines`` — ≤ 30% of lines end with an ellipsis;
+    * ``r_alpha_words`` — ≥ 80% of words contain a letter;
+    * ``r_stopwords`` — ≥ 2 distinct required stopwords present;
+    * ``gopher_pass`` — the conjunction.
+
+    Pure projection (array ops over the token/line splits — no
+    shuffle, no UDF); thresholds are the paper's.
+    """
+    txt = F.col(text_col)
+    toks = TX.tokens(txt)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+        / nw
+    )
+    n_symbols = F.regexp_count(txt, F.lit("#")) + F.regexp_count(
+        txt, F.lit(r"\.\.\.")
+    )
+    symbol_ratio = n_symbols.cast("double") / nw
+    lines = F.split(txt, "\n")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*\u2022]")))
+        .cast("double")
+        / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))).cast("double")
+        / nl
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nw
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "r_symbol_ratio": symbol_ratio <= 0.1,
+        "r_bullet_lines": bullet_frac <= 0.9,
+        "r_ellipsis_lines": ellipsis_frac <= 0.3,
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_stopwords": stop_hits >= 2,
+    }
+    passed = None
+    for c in rules.values():
+        passed = c if passed is None else (passed & c)
+    return fan_out(docs).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("n_stopword_kinds"),
+        *[c.alias(name) for name, c in rules.items()],
+        passed.alias("gopher_pass"),
+    )
