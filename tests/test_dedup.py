@@ -203,3 +203,23 @@ def test_dup_span_stats_partial_overlap(spark):
     p = {r.doc_id: r for r in
          D.dup_span_stats(docs, n=3, use_portable_hash=True).collect()}
     assert all(p[i].n_shared_spans == got[i].n_shared_spans for i in (1, 2, 3))
+
+
+def test_normalized_dedup_collapses_reencoded_copies(spark):
+    """Case, punctuation, and whitespace layout do not distinguish
+    copies; genuinely different prose stays distinct."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        dedup as D,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE  QUICK   BROWN FOX!!!"),
+        (3, "The, quick; brown... fox"),
+        (4, "a different document entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.normalized_dedup(docs).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert set(by_id) == {1, 4}          # keeper = min id per canonical form
+    assert by_id[1].n_copies == 3 and by_id[4].n_copies == 1

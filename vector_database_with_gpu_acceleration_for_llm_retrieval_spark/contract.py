@@ -1145,6 +1145,23 @@ def _c4_page() -> "F.Column":
     )
 
 
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-aware exact dedup: shouted, punctuated copies
+    (deterministically planted for every third doc) collapse onto
+    their originals because the dedup key is the canonical text form,
+    not the raw bytes — the cheap middle ground before MinHash."""
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "text")
+    shouted = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!!")).alias("text"),
+    )
+    res = D.normalized_dedup(base.unionByName(shouted))
+    return res.select(
+        "doc_id", F.col("n_copies").cast("long").alias("n_copies"), "canon_md5"
+    )
+
+
 #: Gopher word-count band, lowered to straddle this corpus's doc sizes
 GOPHER_MIN_WORDS = 30
 
@@ -2301,6 +2318,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "c4_clean": q_c4_clean,
         "gopher_rules": q_gopher_rules,
+        "normalized_dedup": q_normalized_dedup,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

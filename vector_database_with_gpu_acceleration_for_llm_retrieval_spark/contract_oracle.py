@@ -1654,6 +1654,21 @@ FROM pd
 """
 
 
+def _oracle_normalized_dedup() -> str:
+    return r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '!!!' FROM documents WHERE doc_id % 3 = 0
+),
+c AS (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_md5
+      FROM aug)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies, canon_md5
+FROM c GROUP BY canon_md5
+"""
+
+
 def _oracle_gopher_rules() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
         GOPHER_MIN_WORDS,
@@ -2098,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _oracle_dsir_weights(),
         "c4_clean": _oracle_c4_clean(),
         "gopher_rules": _oracle_gopher_rules(),
+        "normalized_dedup": _oracle_normalized_dedup(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

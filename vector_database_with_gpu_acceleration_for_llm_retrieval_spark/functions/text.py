@@ -20,6 +20,7 @@ __all__ = [
     "EN_STOPWORDS",
     "stopword_ratio",
     "portable_token_hash",
+    "canonical_text",
 ]
 
 #: Small deterministic English stopword list for language-ID heuristics
@@ -124,6 +125,16 @@ def word_chunks_strided(
         F.coalesce(F.trim(_as_col(text)), F.lit("")) == "",
         F.array().cast("array<string>"),
     ).otherwise(out)
+
+
+def canonical_text(c: Column | str) -> Column:
+    """C4/CCNet-style canonical form for normalization-aware dedup:
+    lowercase, every run of non-alphanumeric characters collapsed to a
+    single space, trimmed. Case changes, punctuation and whitespace
+    layout no longer distinguish two copies of the same prose. Pure
+    projection; mirror is ``regexp_replace(lower(x), '[^a-z0-9]+', ' ',
+    'g')`` + trim in any regex-bearing engine."""
+    return F.trim(F.regexp_replace(F.lower(_as_col(c)), "[^a-z0-9]+", " "))
 
 
 def portable_token_hash(c: Column | str) -> Column:

@@ -47,6 +47,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "dedup_clusters",
     "dup_span_stats",
+    "normalized_dedup",
 ]
 
 #: Mersenne-ish prime > 2^32 for the universal-hash family
@@ -626,4 +627,27 @@ def dup_span_stats(
             "dup_span_frac",
             F.col("n_shared_spans") / F.col("n_spans").cast("double"),
         )
+    )
+
+
+def normalized_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup AFTER text canonicalization (lowercase, punctuation
+    and whitespace runs collapsed — :func:`functions.text.canonical_text`):
+    catches re-encoded copies that byte-exact dedup misses (shouting,
+    added punctuation, reflowed whitespace) while staying a pure
+    hash-groupBy — the cheap middle ground before MinHash.
+
+    One row per distinct canonical form: ``(id, n_copies, canon_md5)``
+    with the lowest id as the keeper. Same scale shape as exact dedup —
+    a single groupBy on the canonical hash; the payload never shuffles
+    (only id + md5 key survive the projection).
+    """
+    canon = TX.canonical_text(F.col(text_col))
+    keyed = docs.select(F.col(id_col), F.md5(canon).alias("canon_md5"))
+    return (
+        keyed.groupBy("canon_md5")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies", "canon_md5")
     )
