@@ -148,3 +148,32 @@ def test_dsir_weights_prefer_target_domain(spark):
     assert min(got[1].avg_log_weight, got[2].avg_log_weight) > got[3].avg_log_weight
     again = {r.doc_id: r.log_weight for r in res.collect()}
     assert all(abs(again[i] - got[i].log_weight) < 1e-12 for i in got)
+
+
+def test_gumbel_topk_sample_deterministic_and_weighted(spark):
+    """Same draw across runs and partitionings; temperature → 0 makes
+    the draw collapse to the deterministic top-n by score."""
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    a = sorted(
+        r.doc_id
+        for r in sampling.gumbel_topk_sample(df, 20, score_col="score").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in sampling.gumbel_topk_sample(
+            df.repartition(7), 20, score_col="score"
+        ).collect()
+    )
+    assert a == b  # partition-invariant draw
+    # near-zero temperature: score dominates the noise entirely
+    cold = sampling.gumbel_topk_sample(
+        df, 10, score_col="score", temperature=1e-9
+    ).collect()
+    assert all(r.score == 9.0 for r in cold)

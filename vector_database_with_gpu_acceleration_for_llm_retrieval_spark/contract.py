@@ -1145,6 +1145,34 @@ def _c4_page() -> "F.Column":
     )
 
 
+#: DSIR resample: Gumbel-top-k draw size and softmax temperature
+DSIR_SAMPLE_N = 50
+DSIR_TEMP = 0.5
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step made deterministic: Gumbel-top-k over
+    the importance weights (sample ∝ exp(avg_log_weight/T) without
+    replacement) with hash-derived uniforms instead of an RNG stream,
+    so the drawn corpus is reproducible across runs, partitionings,
+    and engines — and the oracle draws the identical set."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    weights = sampling.dsir_weights(
+        t["documents"],
+        target=F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS,
+        alpha=DSIR_ALPHA,
+    )
+    res = sampling.gumbel_topk_sample(
+        weights, n=DSIR_SAMPLE_N, temperature=DSIR_TEMP
+    )
+    return res.select("doc_id", _round6(F.col("gumbel_key"), "gumbel_key"))
+
+
 def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization-aware exact dedup: shouted, punctuated copies
     (deterministically planted for every third doc) collapse onto
@@ -2319,6 +2347,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "gopher_rules": q_gopher_rules,
         "normalized_dedup": q_normalized_dedup,
+        "dsir_resample": q_dsir_resample,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

@@ -1626,11 +1626,12 @@ FROM (SELECT DISTINCT qid FROM q) dq LEFT JOIN m ON dq.qid = m.qid
 """
 
 
-def _oracle_dsir_weights() -> str:
+def _sq_dsir_ctes() -> str:
+    """The DSIR weight CTE chain up to ``pd(doc_id, n_grams,
+    log_weight)`` — shared by the weights and resample oracles."""
     a, bkt = repr(float(DSIR_ALPHA)), DSIR_BUCKETS
     ab = repr(float(DSIR_ALPHA) * DSIR_BUCKETS)
-    return f"""
-WITH t AS (SELECT doc_id, lang, {_SQ_TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, lang, {_SQ_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, lang = 'en' AS is_t,
              unnest(list_concat(toks, {_sq_shingles('toks', 2)})) AS g
       FROM t),
@@ -1646,7 +1647,12 @@ lam AS (SELECT raw.b,
         FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
 pd AS (SELECT dc.doc_id, sum(dc.cnt) AS n_grams,
               sum(dc.cnt * lam.lam) AS log_weight
-       FROM dc JOIN lam USING (b) GROUP BY 1)
+       FROM dc JOIN lam USING (b) GROUP BY 1)"""
+
+
+def _oracle_dsir_weights() -> str:
+    return f"""
+WITH {_sq_dsir_ctes()}
 SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        {_r6('log_weight', 'log_weight')},
        {_r6('log_weight / CAST(n_grams AS DOUBLE)', 'avg_log_weight')}
@@ -1729,6 +1735,26 @@ SELECT doc_id,
    AND (alpha_frac >= 0.8)
    AND (stop_hits >= 2)) AS gopher_pass
 FROM m
+"""
+
+
+def _oracle_dsir_resample() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        DSIR_SAMPLE_N,
+        DSIR_TEMP,
+    )
+
+    t = repr(float(DSIR_TEMP))
+    u = (
+        "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':17'), 1, 15)) AS BIGINT)"
+        " % 1000000 + 1) / 1000001.0"
+    )
+    return f"""
+WITH {_sq_dsir_ctes()},
+alw AS (SELECT doc_id, log_weight / CAST(n_grams AS DOUBLE) AS a FROM pd),
+keyed AS (SELECT doc_id, a / {t} + (-ln(-ln({u}))) AS gumbel_key FROM alw)
+SELECT doc_id, {_r6('gumbel_key', 'gumbel_key')}
+FROM keyed ORDER BY keyed.gumbel_key DESC, doc_id ASC LIMIT {DSIR_SAMPLE_N}
 """
 
 
@@ -2114,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _oracle_c4_clean(),
         "gopher_rules": _oracle_gopher_rules(),
         "normalized_dedup": _oracle_normalized_dedup(),
+        "dsir_resample": _oracle_dsir_resample(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

@@ -37,6 +37,7 @@ __all__ = [
     "mixture_plan",
     "mixture_sample",
     "dsir_weights",
+    "gumbel_topk_sample",
 ]
 
 _SAMPLE_MOD = 1_000_000
@@ -354,4 +355,41 @@ def dsir_weights(
         "n_grams",
         "log_weight",
         (F.col("log_weight") / F.col("n_grams").cast("double")).alias("avg_log_weight"),
+    )
+
+
+def gumbel_topk_sample(
+    scored: DataFrame,
+    n: int,
+    score_col: str = "avg_log_weight",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resampling — sample ``n`` rows
+    without replacement with probability ∝ exp(score/T), via the
+    Gumbel-max trick: add g = −ln(−ln u) to score/T and take the top
+    ``n``. The uniform u comes from the portable id hash (seed-salted),
+    NOT an RNG stream, so the drawn set is identical across runs,
+    partitionings, and engines — the property the DSIR resampling step
+    needs for reproducible corpora (same rationale as
+    :func:`stratified_sample`).
+
+    Plan: one projection + ``TakeOrderedAndProject`` — per-partition
+    bounded top-n, no full sort, no shuffle of non-survivors.
+    """
+    u = (
+        F.pmod(
+            TX.portable_token_hash(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+            ),
+            F.lit(_SAMPLE_MOD),
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(float(_SAMPLE_MOD + 1))
+    key = F.col(score_col) / F.lit(float(temperature)) + (-F.log(-F.log(u)))
+    return (
+        scored.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(n)
     )
