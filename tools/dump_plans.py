@@ -156,6 +156,39 @@ AUDITED = {
         "their k-row lists, full-outer merge, weighted sum — all frames "
         "post-top-k, so fusion cost is O(k) regardless of corpus size."
     ),
+    "dup_span_stats": (
+        "Duplicated spans: explode→hash projection (strings leave the plan at "
+        "the first Exchange), per-(doc,hash) partial agg, hash-keyed doc-freq "
+        "agg, equi-join back — two (doc,hash) shuffles total, never all-pairs; "
+        "the popular-n-gram join skew is 1:N and AQE-splittable."
+    ),
+    "dsir_weights": (
+        "DSIR: one gram explode → (doc,bucket) partial agg is the only "
+        "corpus-sized Exchange; both the raw and target bucket distributions "
+        "are ≤n_buckets-row aggregates BROADCAST back onto it."
+    ),
+    "dsir_resample": (
+        "Gumbel-top-k draw: hash-uniform + noise in one projection over the "
+        "weight frame, then TakeOrderedAndProject — per-partition bounded "
+        "top-n, no full sort, partitioning-invariant by construction."
+    ),
+    "c4_clean": (
+        "C4 cleaning: line split/filter/rejoin and the page gate are ONE "
+        "projection over one scan — no Exchange, no join, no UDF."
+    ),
+    "gopher_rules": (
+        "Gopher rules: all seven rule signals and their conjunction evaluate "
+        "in ONE projection over the token/line splits — no Exchange, no UDF."
+    ),
+    "normalized_dedup": (
+        "Normalized dedup: canonicalize+md5 in the scan projection; ONE "
+        "hash-keyed aggregate over (md5, id) — the payload never shuffles."
+    ),
+    "ranking_quality": (
+        "nDCG/MRR: both rankings are k-row frames; the metric join and "
+        "groupBy touch |Q|·k rows — evaluation cost is independent of "
+        "corpus size once the rankings exist."
+    ),
     "ivfpq_topk": None,  # scratch-dir index: audited in tests/test_pq.py instead
     "ivf_knn_join": None,  # scratch-dir index: audited in tests/test_ann_index.py
     "lsh_topk_indexed": None,  # written by the ann_index section below

@@ -599,7 +599,7 @@ def dup_span_stats(
         F.col(id_col),
         F.explode(TX.shingles(TX.tokens(F.col(text_col)), n=n)).alias("s"),
     )
-    occ = (
+    occ = _persist_signature(
         sh.select(id_col, hash_fn(F.col("s")).alias("h"))
         .groupBy(id_col, "h")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -612,10 +612,10 @@ def dup_span_stats(
         .groupBy(id_col)
         .agg(F.sum("cnt").alias("n_shared_spans"))
     )
-    totals = docs.select(
-        F.col(id_col),
-        F.size(TX.shingles(TX.tokens(F.col(text_col)), n=n)).alias("n_spans"),
-    )
+    # totals come from occ too (Σ cnt ≡ size(shingles): every doc has
+    # ≥1 shingle) — the corpus text is scanned and exploded exactly
+    # once, and the persisted occ frame feeds all three consumers
+    totals = occ.groupBy(id_col).agg(F.sum("cnt").alias("n_spans"))
     return (
         totals.join(per_doc_shared, id_col, "left")
         .select(
