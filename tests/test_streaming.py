@@ -139,3 +139,31 @@ def test_stream_view_click_join_matches_batch(spark, tables):
         assert got == batch
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_funnel_steps_strict_ordering(spark):
+    """Stage i counts only events strictly after stage i-1; users who
+    never enter stage 1 are absent; out-of-order stages don't count."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        pipeline as P,
+    )
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, "view", 100), (2, 1, "click", 200), (3, 1, "purchase", 300),
+        # user 2: purchase BEFORE click → only 2 stages reached
+        (4, 2, "view", 100), (5, 2, "purchase", 150), (6, 2, "click", 200),
+        # user 3: click only, never viewed → not in funnel
+        (7, 3, "click", 100),
+        # user 4: view only
+        (8, 4, "view", 500),
+    ]
+    events = spark.createDataFrame(
+        [(e, u, t, us * 1000) for e, u, t, us in rows],
+        "event_id long, user_id long, event_type string, ts_ns long",
+    )
+    got = {r.user_id: r for r in P.funnel_steps(events, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].n_stages_reached == 3 and got[1].stage3_us == 300
+    assert got[2].n_stages_reached == 2 and got[2].stage3_us is None
+    assert got[4].n_stages_reached == 1 and got[4].stage2_us is None

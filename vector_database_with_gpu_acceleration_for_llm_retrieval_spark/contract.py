@@ -1849,6 +1849,22 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.events_sessionized_us(t["events"], gap_minutes=SESSION_GAP_MIN)
 
 
+#: funnel stage sequence over the events table
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): first qualifying
+    event per stage, each strictly after the previous stage's time —
+    the product-analytics shape next to sessionization and
+    attribution."""
+    t = load_tables(spark, sf_dir)
+    res = P.funnel_steps(t["events"], FUNNEL_STEPS)
+    return res.select(
+        "user_id", "stage1_us", "stage2_us", "stage3_us", "n_stages_reached"
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary plumbing demo: text bytes stand in for an opaque image
     # payload; decode is the documented deterministic stub. The feature
@@ -2348,6 +2364,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "normalized_dedup": q_normalized_dedup,
         "dsir_resample": q_dsir_resample,
+        "event_funnel": q_event_funnel,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

@@ -1983,6 +1983,31 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """
 
+def _oracle_event_funnel() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        FUNNEL_STEPS,
+    )
+
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+st1 AS (SELECT user_id, min(ts_us) AS stage1_us FROM e
+        WHERE event_type = '{s1}' GROUP BY 1),
+st2 AS (SELECT e.user_id, min(e.ts_us) AS stage2_us
+        FROM e JOIN st1 ON e.user_id = st1.user_id
+        WHERE e.event_type = '{s2}' AND e.ts_us > st1.stage1_us GROUP BY 1),
+st3 AS (SELECT e.user_id, min(e.ts_us) AS stage3_us
+        FROM e JOIN st2 ON e.user_id = st2.user_id
+        WHERE e.event_type = '{s3}' AND e.ts_us > st2.stage2_us GROUP BY 1)
+SELECT st1.user_id, st1.stage1_us, st2.stage2_us, st3.stage3_us,
+       CAST(1 + (st2.stage2_us IS NOT NULL)::INT
+              + (st3.stage3_us IS NOT NULL)::INT AS INT) AS n_stages_reached
+FROM st1
+LEFT JOIN st2 ON st1.user_id = st2.user_id
+LEFT JOIN st3 ON st1.user_id = st3.user_id
+"""
+
+
 _ORACLE_SEGMENT_RETENTION = """
 SELECT o_custkey FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
 INTERSECT
@@ -2141,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _oracle_gopher_rules(),
         "normalized_dedup": _oracle_normalized_dedup(),
         "dsir_resample": _oracle_dsir_resample(),
+        "event_funnel": _oracle_event_funnel(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

@@ -25,6 +25,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ing
 )
 
 __all__ = [
+    "funnel_steps",
     "events_tumbling_stats",
     "events_hourly_buckets",
     "events_sliding_stats",
@@ -250,6 +251,61 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
     return base.groupBy("user_id").applyInPandas(
         stats, schema="user_id long, n_events long, median_gap_us double, max_gap_us long"
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis — the classic product-analytics shape
+    (view → click → purchase): for each user who entered the funnel,
+    the time of the FIRST qualifying event of every stage, where stage
+    i must occur STRICTLY after the user's stage-(i−1) time.
+
+    A chain of per-user conditional min-aggregates: stage 1 is a plain
+    filtered min; each later stage filters its event type, joins the
+    accumulated stage times on the user key, and takes the min of
+    timestamps after the previous stage. One equi-key shuffle per
+    stage, no window over the raw event stream, no per-user event
+    arrays — at 100 TB the heavy frames are (user, ts) pairs already
+    reduced by the stage filter, and the stage-time frame joined back
+    is one row per funnel entrant.
+
+    Returns ``(user, stage1_us … stageK_us, n_stages_reached)``; users
+    who never performed stage 1 are not in the funnel. Timestamps are
+    exact integer microseconds (``ts_ns div 1000``) for engine parity.
+    """
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    ts_us = F.expr("ts_ns div 1000")
+    base = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("__t"),
+        ts_us.alias("__ts"),
+    )
+    cur = (
+        base.filter(F.col("__t") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("__ts").alias("stage1_us"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"stage{i - 1}_us"
+        nxt = (
+            base.filter(F.col("__t") == s)
+            .join(cur.select(user_col, prev), user_col)
+            .filter(F.col("__ts") > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"stage{i}_us"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.when(
+            F.col(f"stage{i}_us").isNotNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+    return cur.withColumn("n_stages_reached", reached.cast("int"))
 
 
 def view_click_pairs(events: DataFrame, window_minutes: int = 30) -> DataFrame:
