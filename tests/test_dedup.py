@@ -223,3 +223,29 @@ def test_normalized_dedup_collapses_reencoded_copies(spark):
     by_id = {r.doc_id: r for r in got}
     assert set(by_id) == {1, 4}          # keeper = min id per canonical form
     assert by_id[1].n_copies == 3 and by_id[4].n_copies == 1
+
+
+def test_near_dup_against_corpus_cross_frame(spark):
+    """An incoming batch matches its near-copies in the corpus without
+    any corpus-corpus self pairing; novel docs match nothing."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        dedup as D,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn every day"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different corpus text about spark and shuffles at scale")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, base + " again"), (102, "utterly novel incoming content with brand new words only")],
+        "doc_id long, text string",
+    )
+    got = D.near_dup_against_corpus(new, corpus, threshold=0.5, tid_path="vocab").collect()
+    pairs = {(r.new_id, r.corpus_id) for r in got}
+    assert (101, 1) in pairs and (101, 2) in pairs
+    assert all(n != 102 for n, _ in pairs)          # novel doc untouched
+    assert all(n >= 100 for n, _ in pairs)          # no corpus self-pairs
+    # hash path finds the same pairs (ids differ, jaccard identical sets)
+    got_h = D.near_dup_against_corpus(new, corpus, threshold=0.5).collect()
+    assert {(r.new_id, r.corpus_id) for r in got_h} == pairs

@@ -1849,6 +1849,32 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.events_sessionized_us(t["events"], gap_minutes=SESSION_GAP_MIN)
 
 
+#: synthetic "incoming batch" for incremental dedup: every 10th doc,
+#: re-idd past the offset, with a 3-token suffix (near-dup, not exact)
+NEW_BATCH_OFFSET = 500_000
+NEW_BATCH_MOD = 10
+NEW_BATCH_SUFFIX = " zz qq rr"
+
+
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a synthetic incoming batch (perturbed
+    copies of every 10th doc) is matched against the existing corpus —
+    the crawl-ingest gate. Cross-frame bucket join, shared-vocabulary
+    tid space so the exact-Jaccard verify is engine-mirrorable."""
+    t = load_tables(spark, sf_dir)
+    corpus = t["documents"].select("doc_id", "text")
+    new = corpus.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).select(
+        (F.col("doc_id") + F.lit(NEW_BATCH_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEW_BATCH_SUFFIX)).alias("text"),
+    )
+    res = D.near_dup_against_corpus(
+        new, corpus, threshold=NEAR_DUP_THRESHOLD, tid_path="vocab"
+    )
+    return res.select(
+        "new_id", "corpus_id", _round6(F.col("jaccard"), "jaccard")
+    )
+
+
 #: funnel stage sequence over the events table
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -2365,6 +2391,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "dsir_resample": q_dsir_resample,
         "event_funnel": q_event_funnel,
+        "incremental_near_dup": q_incremental_near_dup,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

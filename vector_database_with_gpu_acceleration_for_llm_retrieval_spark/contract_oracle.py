@@ -1983,6 +1983,28 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """
 
+def _oracle_incremental_near_dup() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        NEW_BATCH_MOD,
+        NEW_BATCH_OFFSET,
+        NEW_BATCH_SUFFIX,
+    )
+
+    src = (
+        f"(SELECT doc_id, text FROM documents"
+        f" UNION ALL"
+        f" SELECT doc_id + {NEW_BATCH_OFFSET}, text || '{NEW_BATCH_SUFFIX}'"
+        f" FROM documents WHERE doc_id % {NEW_BATCH_MOD} = 0)"
+    )
+    return f"""
+WITH {_sq_tids_ctes_from(src).strip()},
+{_SQ_NEAR_DUP_CTES.strip()}
+SELECT id_b AS new_id, id_a AS corpus_id, {_r6('jaccard', 'jaccard')}
+FROM near_pairs
+WHERE id_a < {NEW_BATCH_OFFSET} AND id_b >= {NEW_BATCH_OFFSET}
+"""
+
+
 def _oracle_event_funnel() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
         FUNNEL_STEPS,
@@ -2167,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup": _oracle_normalized_dedup(),
         "dsir_resample": _oracle_dsir_resample(),
         "event_funnel": _oracle_event_funnel(),
+        "incremental_near_dup": _oracle_incremental_near_dup(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

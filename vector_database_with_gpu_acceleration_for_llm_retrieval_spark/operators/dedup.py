@@ -48,6 +48,7 @@ __all__ = [
     "dedup_clusters",
     "dup_span_stats",
     "normalized_dedup",
+    "near_dup_against_corpus",
 ]
 
 #: Mersenne-ish prime > 2^32 for the universal-hash family
@@ -107,7 +108,13 @@ def shingle_tids_hash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return fan_out(docs).select(F.col(id_col), tids.alias("tids"))
 
 
-def shingle_tids_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def shingle_tids_vocab(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    vocab_docs: DataFrame | None = None,
+) -> DataFrame:
     """(id, tids) with *dense vocabulary* shingle ids: rank of the
     shingle in the sorted global shingle vocabulary. One extra
     aggregate + broadcast join vs the hash path, but the arithmetic is
@@ -123,8 +130,15 @@ def shingle_tids_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     sh = fan_out(docs).select(
         F.col(id_col), F.explode(F.array_distinct(TX.shingles(toks, n=n))).alias("shingle")
     )
+    # vocab over vocab_docs when given — lets two frames share ONE id
+    # space (cross-frame dedup needs comparable tids)
+    vsrc = sh if vocab_docs is None else fan_out(vocab_docs).select(
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n=n))
+        ).alias("shingle")
+    )
     vocab = (
-        sh.select("shingle")
+        vsrc.select("shingle")
         .distinct()
         .withColumn("tid", F.row_number().over(Window.orderBy("shingle")))
     )
@@ -651,3 +665,80 @@ def normalized_dedup(
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "n_copies", "canon_md5")
     )
+
+
+def near_dup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tid_path: str = "hash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup — match a NEW batch against an EXISTING
+    corpus (the production crawl-ingest shape: every incoming shard is
+    deduped against the accumulated 100 TB before it is appended).
+
+    Same MinHash-LSH machinery as :func:`near_dup_pairs`, but the
+    bucket join is CROSS-frame instead of a self-join: only corpus
+    buckets containing a new doc's band key are ever touched, so the
+    cost tracks the new batch's collisions, not the corpus size. At
+    scale the corpus side is a precomputed signature table (write
+    ``minhash_signature`` output at ingest; this function recomputes it
+    when handed raw text). ``max_bucket_size`` caps pathological
+    CORPUS buckets (the big side) before the join.
+
+    ``tid_path='hash'`` (default) is stateless and the only choice at
+    scale; ``'vocab'`` builds one SHARED vocabulary over both frames
+    (tids must live in one id space for the exact-Jaccard verify) —
+    oracle/test path only.
+
+    Returns ``(new_id, corpus_id, jaccard)`` with exact Jaccard ≥
+    ``threshold``. Gate with an anti-join on ``new_id`` to keep only
+    novel documents.
+    """
+    perms = minhash_perms(n_hashes)
+    if tid_path == "hash":
+        tids_new = shingle_tids_hash(new_docs, id_col=id_col, text_col=text_col, n=shingle_n)
+        tids_c = shingle_tids_hash(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
+    else:
+        shared = new_docs.select(id_col, text_col).unionByName(
+            corpus.select(id_col, text_col)
+        )
+        tids_new = shingle_tids_vocab(
+            new_docs, id_col=id_col, text_col=text_col, n=shingle_n, vocab_docs=shared
+        )
+        tids_c = shingle_tids_vocab(
+            corpus, id_col=id_col, text_col=text_col, n=shingle_n, vocab_docs=shared
+        )
+    sig_new = _persist_signature(minhash_signature(tids_new, perms, id_col=id_col))
+    sig_c = _persist_signature(minhash_signature(tids_c, perms, id_col=id_col))
+    bk_n = _band_buckets(sig_new, n_bands, n_hashes, id_col).withColumnRenamed(
+        id_col, "new_id"
+    )
+    bk_c = _band_buckets(sig_c, n_bands, n_hashes, id_col).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    if max_bucket_size is not None:
+        over = (
+            bk_c.groupBy("band", "key")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "key")
+        )
+        bk_c = bk_c.join(over, ["band", "key"], "left_anti")
+    cand = bk_n.join(bk_c, ["band", "key"]).select("new_id", "corpus_id").distinct()
+    t_new = sig_new.select(F.col(id_col).alias("new_id"), F.col("tids").alias("tids_a"))
+    t_c = sig_c.select(F.col(id_col).alias("corpus_id"), F.col("tids").alias("tids_b"))
+    out = cand.join(t_new, "new_id").join(t_c, "corpus_id")
+    inter = F.size(F.array_intersect("tids_a", "tids_b"))
+    union = F.size("tids_a") + F.size("tids_b") - inter
+    return out.select(
+        "new_id",
+        "corpus_id",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
