@@ -241,3 +241,61 @@ def test_stream_semantic_route_matches_batch_assignment(spark, tables):
         assert "cluster" in plan.split("PartitionFilters:")[1].splitlines()[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_neardup_gate_matches_batch(spark, tables):
+    """Dedup-on-arrival: near-copies of corpus docs are dropped per
+    micro-batch against the frozen signature table; survivors equal the
+    batch gate's survivor set."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        dedup as D,
+    )
+
+    corpus = tables["documents"].select("doc_id", "text").filter(F.col("doc_id") < 200)
+    sig = D.minhash_signature(
+        D.shingle_tids_hash(corpus), D.minhash_perms(16)
+    ).cache()
+
+    # incoming: near-copies of every 4th corpus doc + clearly novel docs
+    near = (
+        corpus.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz qq rr")).alias("text"),
+        )
+    )
+    novel = spark.createDataFrame(
+        [(20_001, "entirely novel streaming prose about watermark state eviction"),
+         (20_002, "another brand new document with vocabulary unseen in the corpus")],
+        "doc_id long, text string",
+    )
+    incoming = near.unionByName(novel)
+
+    tmp = tempfile.mkdtemp(prefix="stream_ndg_")
+    try:
+        src, out, ckpt = tmp + "/src", tmp + "/out", tmp + "/ckpt"
+        incoming.filter(F.col("doc_id") < 15_000).write.mode("append").parquet(src)
+        incoming.filter(F.col("doc_id") >= 15_000).write.mode("append").parquet(src)
+
+        q = P.stream_neardup_gate(spark, src, out, ckpt, sig, threshold=0.6)
+        q.processAllAvailable()
+        q.stop()
+
+        survived = {r.doc_id for r in spark.read.parquet(out).collect()}
+        batch_matches = D.near_dup_against_corpus(
+            incoming, corpus=None, threshold=0.6, corpus_sig=sig
+        )
+        expect = {
+            r.doc_id
+            for r in incoming.join(
+                batch_matches.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            ).collect()
+        }
+        assert survived == expect
+        assert {20_001, 20_002} <= survived          # novel docs pass
+        assert len(survived) < incoming.count()      # near-copies dropped
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        sig.unpersist()

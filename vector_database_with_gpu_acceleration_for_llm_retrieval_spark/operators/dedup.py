@@ -678,10 +678,16 @@ def near_dup_against_corpus(
     text_col: str = "text",
     tid_path: str = "hash",
     max_bucket_size: int | None = None,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup — match a NEW batch against an EXISTING
     corpus (the production crawl-ingest shape: every incoming shard is
     deduped against the accumulated 100 TB before it is appended).
+
+    Pass ``corpus_sig`` (a ``minhash_signature`` frame over hash-path
+    tids, e.g. the table a production ingest persists) to skip the
+    corpus-side recompute entirely — ``corpus`` is then ignored; only
+    the hash tid path is compatible with a precomputed signature.
 
     Same MinHash-LSH machinery as :func:`near_dup_pairs`, but the
     bucket join is CROSS-frame instead of a self-join: only corpus
@@ -702,7 +708,12 @@ def near_dup_against_corpus(
     novel documents.
     """
     perms = minhash_perms(n_hashes)
-    if tid_path == "hash":
+    if corpus_sig is not None:
+        if tid_path != "hash":
+            raise ValueError("corpus_sig requires tid_path='hash' (shared stateless id space)")
+        tids_new = shingle_tids_hash(new_docs, id_col=id_col, text_col=text_col, n=shingle_n)
+        sig_c = corpus_sig
+    elif tid_path == "hash":
         tids_new = shingle_tids_hash(new_docs, id_col=id_col, text_col=text_col, n=shingle_n)
         tids_c = shingle_tids_hash(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
     else:
@@ -716,7 +727,8 @@ def near_dup_against_corpus(
             corpus, id_col=id_col, text_col=text_col, n=shingle_n, vocab_docs=shared
         )
     sig_new = _persist_signature(minhash_signature(tids_new, perms, id_col=id_col))
-    sig_c = _persist_signature(minhash_signature(tids_c, perms, id_col=id_col))
+    if corpus_sig is None:
+        sig_c = _persist_signature(minhash_signature(tids_c, perms, id_col=id_col))
     bk_n = _band_buckets(sig_new, n_bands, n_hashes, id_col).withColumnRenamed(
         id_col, "new_id"
     )

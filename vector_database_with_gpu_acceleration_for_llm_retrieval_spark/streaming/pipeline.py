@@ -26,6 +26,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ing
 
 __all__ = [
     "funnel_steps",
+    "stream_neardup_gate",
     "events_tumbling_stats",
     "events_hourly_buckets",
     "events_sliding_stats",
@@ -790,6 +791,63 @@ def stream_lm_score(
     def handle(batch_df: DataFrame, _bid: int) -> None:
         scored = score_with_model(batch_df, model, alpha=alpha)
         scored.write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_neardup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    corpus_sig: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    schema: str = "doc_id long, text string",
+):
+    """Streaming near-dup gate — dedup-on-arrival: each micro-batch of
+    incoming documents is MinHash-matched against a FROZEN corpus
+    signature table (``dedup.minhash_signature`` output, precomputed at
+    ingest and cached) via the cross-frame bucket join of
+    :func:`operators.dedup.near_dup_against_corpus`; documents whose
+    best corpus match reaches ``threshold`` are DROPPED, the rest are
+    appended. Same frozen-artifact serving split as the LM-scoring and
+    frozen-codebook index streams.
+
+    Scope: this gate is new-vs-corpus. Exact duplicates *within* the
+    stream are :func:`stream_dedup_ingest`'s job, and survivors should
+    be folded into the signature table periodically (a compaction-style
+    maintenance step) so the gate sees them on the next cycle.
+
+    Caller should ``.cache()`` ``corpus_sig`` so every micro-batch
+    reuses it. Returns the started query.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        dedup as D,
+    )
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        matches = D.near_dup_against_corpus(
+            batch_df,
+            corpus=None,
+            threshold=threshold,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            shingle_n=shingle_n,
+            corpus_sig=corpus_sig,
+        )
+        dropped = matches.select(
+            F.col("new_id").alias("doc_id")
+        ).distinct()
+        survivors = batch_df.join(dropped, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(out_dir)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
