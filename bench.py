@@ -131,6 +131,12 @@ SCALE_QUERIES = [
     "lm_doc_scores",
     "bq_topk",
     "kmeans_assign",
+    # round-5 late additions at 10x docs: cross-doc duplicated spans
+    # (two (doc,hash) shuffles + doc-freq join) and DSIR importance
+    # weights (one (doc,bucket) shuffle + broadcast distributions) —
+    # the two new operators with corpus-sized exchanges
+    "dup_span_stats",
+    "dsir_weights",
 ]
 SCALE_REPS = 3
 

@@ -372,3 +372,48 @@ def test_mixture_plan_properties(spark, counts, weights):
         assert abs(r["n_target"] - lam * weights[s]) < 1e-6 * max(1.0, lam)
     binding = min(range(k), key=lambda s: counts[s] / weights[s])
     assert abs(plan[f"s{binding}"]["rate"] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# round-5 hygiene additions
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "rho", "sigma"]),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(st.lists(_words, min_size=2, max_size=6))
+@settings(**PROP_SETTINGS)
+def test_dup_span_frac_bounds_and_self_dup(spark, docs_words):
+    """dup_span_frac ∈ [0,1] for arbitrary corpora; an exact duplicate
+    pair saturates both copies at 1.0."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        dedup as D,
+    )
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs_words)]
+    rows.append((900, rows[0][1]))  # exact copy of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in D.dup_span_stats(df, n=3).collect()}
+    assert all(0.0 <= r.dup_span_frac <= 1.0 for r in got.values())
+    assert got[0].dup_span_frac == 1.0 and got[900].dup_span_frac == 1.0
+    assert all(r.n_shared_spans <= r.n_spans for r in got.values())
+
+
+@given(st.text(alphabet=" aZbY9.,!-\n", min_size=0, max_size=40))
+@settings(**PROP_SETTINGS)
+def test_canonical_text_idempotent(spark, s):
+    """canonical_text is a projection onto its own fixed points."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.text import (
+        canonical_text,
+    )
+
+    df = spark.createDataFrame([(s,)], "t string")
+    once, twice = df.select(
+        canonical_text(F.col("t")).alias("c1"),
+        canonical_text(canonical_text(F.col("t"))).alias("c2"),
+    ).head()
+    assert once == twice
