@@ -184,6 +184,17 @@ AUDITED = {
         "Normalized dedup: canonicalize+md5 in the scan projection; ONE "
         "hash-keyed aggregate over (md5, id) — the payload never shuffles."
     ),
+    "incremental_near_dup": (
+        "Cross-corpus dedup: the new batch's band buckets equi-join the "
+        "corpus's — only corpus buckets hit by an incoming band key are "
+        "touched, so cost tracks the batch's collisions, not corpus size; "
+        "exact-Jaccard verify joins the two signature frames on ids only."
+    ),
+    "event_funnel": (
+        "Funnel: per-stage conditional min-aggregates chained by user-key "
+        "equi-joins — one keyed Exchange per stage; no window over the raw "
+        "event stream, no per-user arrays."
+    ),
     "ranking_quality": (
         "nDCG/MRR: both rankings are k-row frames; the metric join and "
         "groupBy touch |Q|·k rows — evaluation cost is independent of "
