@@ -50,3 +50,20 @@ def test_salted_agg_rejects_non_mergeable(spark):
     df = spark.range(5)
     with pytest.raises(ValueError, match="mergeable"):
         salted_agg(df, keys=["id"], aggs={"a": ("id", "avg")})
+
+
+def test_skew_report_hand_computed(spark):
+    """Counts, shares, and ratio-to-uniform on a known skewed key."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partitioning import (
+        skew_report,
+    )
+
+    rows = [(i, "hot" if i < 60 else f"k{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = skew_report(df, ["k"], top_n=2).collect()
+    assert got[0].k == "hot" and got[0].n_rows == 60
+    assert abs(got[0].share - 0.6) < 1e-12
+    # 5 distinct keys, uniform would be 20 rows → hot is 3x uniform
+    assert abs(got[0].skew_ratio - 3.0) < 1e-12
+    assert got[1].n_rows == 10  # the four cold keys tie at 10; key asc picks k0
+    assert got[1].k == "k0"

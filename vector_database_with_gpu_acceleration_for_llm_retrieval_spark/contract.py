@@ -1875,6 +1875,24 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over lineitem's supplier key — the heavy-
+    hitter report a 100 TB join ships only after reading (top keys,
+    share, ratio-to-uniform)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partitioning import (
+        skew_report,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = skew_report(t["lineitem"], ["l_suppkey"], top_n=10)
+    return res.select(
+        "l_suppkey",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _round6(F.col("share"), "share"),
+        _round6(F.col("skew_ratio"), "skew_ratio"),
+    )
+
+
 #: funnel stage sequence over the events table
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -2392,6 +2410,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
+        "key_skew": q_key_skew,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

@@ -2005,6 +2005,17 @@ WHERE id_a < {NEW_BATCH_OFFSET} AND id_b >= {NEW_BATCH_OFFSET}
 """
 
 
+def _oracle_key_skew() -> str:
+    return f"""
+WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+SELECT l_suppkey, CAST(c.n_rows AS BIGINT) AS n_rows,
+       {_r6('c.n_rows / CAST(t.total AS DOUBLE)', 'share')},
+       {_r6('c.n_rows / (t.total / CAST(t.n_keys AS DOUBLE))', 'skew_ratio')}
+FROM c, t ORDER BY c.n_rows DESC, l_suppkey ASC LIMIT 10
+"""
+
+
 def _oracle_event_funnel() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
         FUNNEL_STEPS,
@@ -2190,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _oracle_dsir_resample(),
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
+        "key_skew": _oracle_key_skew(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fan_out", "salted_agg"]
+__all__ = ["fan_out", "salted_agg", "skew_report"]
 
 
 def _plan_partitions(df: DataFrame) -> int | None:
@@ -110,3 +110,44 @@ def salted_agg(
             merge_exprs.append(F.max(p).alias(out))
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: the ``top_n`` heaviest key values
+    with their row counts, share of the table, and the ratio to a
+    perfectly uniform key (the number AQE's skew-join threshold and a
+    salting decision actually need — "is the hottest key X× the
+    mean?").
+
+    One groupBy on the key (the same shuffle the troubled join/agg
+    would do, but carrying only counts) + two scalar aggregates
+    broadcast back. Run it BEFORE shipping a new join at 100 TB; gate
+    ``salted_agg``/``max_bucket_size`` decisions on its output instead
+    of guessing.
+
+    Returns ``top_n`` rows: ``(key..., n_rows, share, skew_ratio)``
+    ordered by count desc (ties: key asc, deterministic).
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("share"),
+            (
+                F.col("n_rows")
+                / (F.col("__total") / F.col("__n_keys").cast("double"))
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+        .limit(top_n)
+    )
