@@ -1875,6 +1875,53 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: top-3 TF-IDF terms — the lexical
+    topic/domain signal a curation pipeline tags docs with when no
+    model is available."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = lexical.tfidf_top_terms(t["documents"], k=3)
+    return res.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        _round6(F.col("tfidf"), "tfidf"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val split: near-dup clusters (MinHash-LSH
+    components, same pair generation as dedup_clusters) never straddle
+    the boundary; assignment is a portable hash of the component
+    representative — reproducible across runs, partitionings, and
+    engines."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = D.near_dup_pairs(
+        t["documents"],
+        threshold=NEAR_DUP_THRESHOLD,
+        n_hashes=MINHASH_N,
+        n_bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        tid_path="vocab",
+    )
+    res = sampling.leakage_safe_split(t["documents"], pairs, val_frac=0.2)
+    return res.select(
+        "doc_id",
+        F.col("group_id").cast("long").alias("group_id"),
+        "split",
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2411,6 +2458,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "leakage_split": q_leakage_split,
         "lm_doc_scores": q_lm_doc_scores,
         "top_ngrams": q_top_ngrams,
         "bq_topk": q_bq_topk,

@@ -2005,6 +2005,42 @@ WHERE id_a < {NEW_BATCH_OFFSET} AND id_b >= {NEW_BATCH_OFFSET}
 """
 
 
+def _oracle_tfidf_top_terms() -> str:
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    return f"""
+WITH terms AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             tf.tf * (ln((1.0 + n_docs) / (1.0 + dfq.df)) + 1.0) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, tf DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       {_r6('tfidf', 'tfidf')}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def _oracle_leakage_split() -> str:
+    gid = "coalesce(c.canonical_id, d.doc_id)"
+    h = f"CAST(concat('0x', substr(md5(concat('split:', CAST({gid} AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000"
+    return f"""
+WITH RECURSIVE {_SQ_TIDS_CTES.strip()},
+{_SQ_NEAR_DUP_CTES.strip()},
+edges AS (SELECT id_a AS s, id_b AS d FROM near_pairs
+          UNION SELECT id_b, id_a FROM near_pairs),
+reach (s, d) AS (SELECT s, d FROM edges
+                 UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS doc_id, least(min(d), s) AS canonical_id FROM reach GROUP BY s)
+SELECT d.doc_id, CAST({gid} AS BIGINT) AS group_id,
+       CASE WHEN {h} < 200000 THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2202,6 +2238,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "tfidf_top_terms": _oracle_tfidf_top_terms(),
+        "leakage_split": _oracle_leakage_split(),
         "topk_filtered": _oracle_topk_filtered(),
         "prepare_vectors": _oracle_prepare_vectors(),
         "normalized_vectors": _oracle_normalized_vectors(),

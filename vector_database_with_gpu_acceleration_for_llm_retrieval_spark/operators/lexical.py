@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["bm25_topk", "bm25_knn_join", "rrf_fuse", "linear_fuse", "write_bm25_index", "bm25_topk_indexed"]
+__all__ = ["bm25_topk", "bm25_knn_join", "rrf_fuse", "linear_fuse", "write_bm25_index", "bm25_topk_indexed", "tfidf_top_terms"]
 
 #: term-hash partition fan-out for the postings table — a query's terms
 #: prune to ≤|q| of these partitions before any file opens.
@@ -369,4 +369,64 @@ def bm25_knn_join(
         summed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "score", "rank")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest-TF-IDF terms
+    of each doc, ``tfidf = tf · (ln((1+N)/(1+df)) + 1)`` (smoothed idf,
+    always > 0 so terms present in every doc still rank).
+
+    The signal a curation pipeline uses for topic tagging / domain
+    labeling when no model is available — pure lexical statistics, one
+    corpus scan.
+
+    Shape for scale: explode → (doc, term) partial-agg groupBy (the one
+    corpus-sized shuffle), then the vocabulary-sized ``(term, df)``
+    frame joins back on term (AQE broadcasts it when small). N arrives
+    via a one-row scalar aggregate cross-joined in — no collect, the
+    whole thing is one lazy plan. The final per-doc top-k is a window
+    over ≤|distinct terms of one doc| rows — bounded by the longest
+    document, never by the corpus.
+
+    Ties: tfidf desc, then term asc — deterministic. Returns
+    ``(id, term, tf, df, tfidf, rank)``.
+    """
+    from pyspark.sql import Window as W
+
+    terms = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.desc(F.round(F.col("tfidf"), 6)), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )

@@ -38,6 +38,7 @@ __all__ = [
     "mixture_sample",
     "dsir_weights",
     "gumbel_topk_sample",
+    "leakage_safe_split",
 ]
 
 _SAMPLE_MOD = 1_000_000
@@ -392,4 +393,59 @@ def gumbel_topk_sample(
         scored.withColumn("gumbel_key", key)
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(n)
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Group-aware train/validation split: near-duplicate documents
+    NEVER straddle the split boundary. A random per-doc split leaks —
+    a validation doc whose near-copy sits in train is a memorization
+    freebie, and dedup alone doesn't fix it when both copies survive a
+    lenient threshold. The unit of assignment must be the near-dup
+    CLUSTER, not the doc.
+
+    ``pairs`` is any (id_a, id_b) near-dup edge set (MinHash-LSH,
+    SimHash, embedding — same contract as :func:`~.dedup.dedup_clusters`).
+    Each doc's group id is its connected-component representative
+    (minimum reachable id); singletons group as themselves. The group
+    id is then hashed with the same portable deterministic hash as
+    :func:`stratified_sample` — the assignment depends only on ids,
+    the salt, and ``val_frac``, never on partitioning or an RNG stream,
+    so the split is reproducible across runs AND engines.
+
+    Shape for scale: connected components is the heavy step (pointer-
+    jumping, one shuffle per round — see ``dedup_clusters``); the
+    component frame that joins back is sized by docs-with-a-dup, not
+    the corpus, so AQE broadcasts it in the common sparse-dup case.
+    The hash gate itself is a pure projection.
+
+    Returns ``docs`` plus ``(group_id, split)`` with split ∈
+    {'train', 'val'}.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    comp = dedup_clusters(pairs, max_iter=max_iter).select(
+        F.col("doc_id").alias(id_col), "canonical_id"
+    )
+    joined = docs.join(comp, id_col, "left")
+    group_id = F.coalesce(F.col("canonical_id"), F.col(id_col))
+    thr = int(val_frac * _SAMPLE_MOD)
+    h = F.pmod(
+        TX.portable_token_hash(F.concat(F.lit(salt + ":"), group_id.cast("string"))),
+        F.lit(_SAMPLE_MOD),
+    )
+    split = F.when(h < F.lit(thr), F.lit("val")).otherwise(F.lit("train"))
+    return joined.select(
+        *[F.col(c) for c in docs.columns],
+        group_id.alias("group_id"),
+        split.alias("split"),
     )
