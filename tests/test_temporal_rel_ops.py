@@ -1,0 +1,93 @@
+"""Known-answer tests for rolling_time_agg, scd2_intervals, item_cooccurrence."""
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+    rolling_time_agg,
+    scd2_intervals,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.relational import (
+    item_cooccurrence,
+)
+
+
+def _ts(sec, micro=0):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec, microseconds=micro)
+
+
+def test_rolling_time_agg_hand_computed(spark):
+    rows = [
+        # (event_id, ts, user, value)
+        (1, _ts(0), 7, 1.0),
+        (2, _ts(30), 7, 2.0),
+        (3, _ts(60), 7, 4.0),    # 60s window: includes t=0 (inclusive bound)
+        (4, _ts(121), 7, 8.0),   # window [61,121]: only itself
+        (5, _ts(10), 9, 1.5),    # other user isolated
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r.event_id: (r.n_window, r.sum_window) for r in
+           rolling_time_agg(df, window_sec=60, key_col="user_id").collect()}
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 3.0)
+    assert got[3] == (3, 7.0)   # t=0 is exactly 60s before → inside
+    assert got[4] == (1, 8.0)
+    assert got[5] == (1, 1.5)
+
+
+def test_rolling_time_agg_microsecond_peers(spark):
+    # two events at the identical microsecond are RANGE peers: both see both
+    rows = [(1, _ts(0), 1, 1.0), (2, _ts(0), 1, 2.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r.event_id: (r.n_window, r.sum_window) for r in
+           rolling_time_agg(df, window_sec=10).collect()}
+    assert got[1] == (2, 3.0) and got[2] == (2, 3.0)
+
+
+def test_scd2_intervals_hand_computed(spark):
+    rows = [
+        (1, _ts(0), 7, "bronze"),
+        (2, _ts(100), 7, "silver"),
+        (3, _ts(200), 7, "gold"),
+        (4, _ts(50), 9, "bronze"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, tier string")
+    out = scd2_intervals(df, attr_cols=["tier"]).collect()
+    by = {(r.user_id, r.tier): r for r in out}
+    assert by[(7, "bronze")].valid_to == _ts(100) and not by[(7, "bronze")].is_current
+    assert by[(7, "silver")].valid_to == _ts(200)
+    assert by[(7, "gold")].valid_to is None and by[(7, "gold")].is_current
+    assert by[(9, "bronze")].is_current
+
+
+def test_item_cooccurrence_hand_computed(spark):
+    rows = [
+        # user 1 touches items 10, 20; user 2 touches 10, 20, 30; user 3 only 10
+        (1, 1, '{"k": 10}'), (2, 1, '{"k": 20}'), (3, 1, '{"k": 10}'),  # repeat collapses
+        (4, 2, '{"k": 10}'), (5, 2, '{"k": 20}'), (6, 2, '{"k": 30}'),
+        (7, 3, '{"k": 10}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, props string")
+    got = {(r.item_a, r.item_b): r.n_users for r in
+           item_cooccurrence(df, min_support=1).collect()}
+    assert got[(10, 20)] == 2
+    assert got[(10, 30)] == 1
+    assert got[(20, 30)] == 1
+    # min_support filter
+    got2 = {(r.item_a, r.item_b): r.n_users for r in
+            item_cooccurrence(df, min_support=2).collect()}
+    assert got2 == {(10, 20): 2}
+
+
+def test_item_cooccurrence_cap_bounds_pairs(spark):
+    # one power user touching 10 items; cap=3 keeps the 3 lowest item ids
+    rows = [(i, 1, '{"k": %d}' % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, props string")
+    got = {(r.item_a, r.item_b) for r in
+           item_cooccurrence(df, min_support=1, max_items_per_user=3).collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    # cap above the max → exact: C(10,2)=45 pairs
+    full = item_cooccurrence(df, min_support=1, max_items_per_user=50).count()
+    assert full == 45

@@ -1922,6 +1922,54 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour per-user velocity features (count + value sum)
+    via a true time-RANGE frame on epoch microseconds — the irregular-
+    spacing window a rows-frame moving average cannot express."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = temporal.rolling_time_agg(t["events"], window_sec=3600)
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("n_window").cast("long").alias("n_window"),
+        _round6(F.col("sum_window"), "sum_window"),
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals from the event log: each update
+    becomes [valid_from, valid_to) per user, NULL valid_to = current
+    version — one window lead per key."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = temporal.scd2_intervals(t["events"], attr_cols=["event_type"])
+    return res.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-visitation counts from the event log (props.k as the
+    item id): distinct → per-user cap → self-join → pair counts, the
+    bounded-blowup co-occurrence shape."""
+    t = load_tables(spark, sf_dir)
+    res = R.item_cooccurrence(t["events"], min_support=2)
+    return res.select(
+        "item_a", "item_b", F.col("n_users").cast("long").alias("n_users")
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2458,6 +2506,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "rolling_hour": q_rolling_hour,
+        "scd2_history": q_scd2_history,
+        "item_cooccurrence": q_item_cooccurrence,
         "tfidf_top_terms": q_tfidf_top_terms,
         "leakage_split": q_leakage_split,
         "lm_doc_scores": q_lm_doc_scores,

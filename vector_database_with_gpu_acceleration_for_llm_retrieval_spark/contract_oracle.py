@@ -2041,6 +2041,38 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+_ORACLE_ROLLING_HOUR = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       round(sum(value) OVER w, 6) + 0.0 AS sum_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+_ORACLE_SCD2_HISTORY = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       lead(ts_us) OVER w IS NULL AS is_current
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+"""
+
+
+_ORACLE_ITEM_COOCCURRENCE = """
+WITH ui AS (SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL),
+c AS (SELECT u, item, row_number() OVER (PARTITION BY u ORDER BY item ASC) AS rn FROM ui),
+k AS (SELECT u, item FROM c WHERE rn <= 50)
+SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_users
+FROM k a JOIN k b ON a.u = b.u AND a.item < b.item
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2238,6 +2270,9 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "rolling_hour": _ORACLE_ROLLING_HOUR,
+        "scd2_history": _ORACLE_SCD2_HISTORY,
+        "item_cooccurrence": _ORACLE_ITEM_COOCCURRENCE,
         "tfidf_top_terms": _oracle_tfidf_top_terms(),
         "leakage_split": _oracle_leakage_split(),
         "topk_filtered": _oracle_topk_filtered(),

@@ -29,6 +29,7 @@ __all__ = [
     "monthly_revenue",
     "shipping_volume",
     "promo_share",
+    "item_cooccurrence",
 ]
 
 
@@ -336,3 +337,58 @@ def promo_share(t: dict[str, DataFrame]) -> DataFrame:
         (F.round(F.col("__total"), 6) + F.lit(0.0)).alias("total_revenue"),
         (F.round(F.lit(100.0) * F.col("__promo") / F.col("__total"), 6) + F.lit(0.0)).alias("promo_share_pct"),
     ).orderBy("ship_month")
+
+
+def item_cooccurrence(
+    events: DataFrame,
+    item_expr=None,
+    min_support: int = 2,
+    max_items_per_user: int = 50,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Item co-occurrence counts from an interaction log — "users who
+    touched A also touched B", the classic co-visitation signal behind
+    item-to-item recommendation and related-content linking.
+
+    ``item_expr`` is any Column producing the item id per event row
+    (default: the ``k`` property of the JSON ``props`` payload).
+
+    Shape for scale — the danger is quadratic blowup on power users,
+    so the pipeline caps BEFORE pairing:
+
+    1. distinct (user, item) — one shuffle, kills per-user repeats;
+    2. per-user cap to ``max_items_per_user`` items (window over the
+       user's items, deterministic item-asc order) — bounds the
+       self-join at cap² pairs per user no matter how hot the user;
+    3. self-equi-join on user (item_a < item_b) → pair partial-agg.
+
+    Returns ``(item_a, item_b, n_users)`` with ``n_users ≥
+    min_support``. The cap is a documented approximation (standard in
+    production co-vis pipelines); set it above the true per-user max
+    for exact counts — the cap-2 pytest covers both regimes.
+    """
+    item = (
+        item_expr
+        if item_expr is not None
+        else F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    ui = (
+        events.select(F.col(user_col).alias("u"), item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy(F.asc("item"))
+    capped = (
+        ui.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_items_per_user)
+        .drop("__rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(b, "u").filter(F.col("a.item") < F.col("b.item"))
+    return (
+        pairs.groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= min_support)
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands"]
+__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals"]
 
 
 def asof_join(
@@ -98,3 +98,71 @@ def range_join_bands(
     non-equi join (fact side streams, no shuffle)."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(bands), cond, "left")
+
+
+def rolling_time_agg(
+    events: DataFrame,
+    window_sec: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-row trailing time-window aggregate: for every event, the
+    count and value-sum of the same key's events in the preceding
+    ``window_sec`` seconds (inclusive of the current row) — the
+    "requests in the last hour" / velocity feature that row-frame
+    moving averages (fixed N rows) cannot express when event spacing
+    is irregular.
+
+    A true RANGE frame on epoch **microseconds** (not a rows frame):
+    ``rangeBetween(-window_µs, 0)`` over ``orderBy(unix_micros(ts))``
+    per key. Peers at the same microsecond are frame-mates in every
+    engine (RANGE includes order-key peers), so results are partition-
+    and sort-stable with no row_number tiebreak needed.
+
+    Scale: one shuffle on the key; window state is bounded by one key's
+    rows inside ``window_sec`` — independent of corpus size. Skewed
+    keys bound the task, same story as any per-key window; salt the
+    key upstream if one entity dominates.
+    """
+    mic = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(mic)
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(value_col).over(w).alias("sum_window"),
+    )
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an update log:
+    each update row becomes a validity interval ``[valid_from,
+    valid_to)`` per key — ``valid_to`` is the next update's timestamp,
+    NULL for the current version (``is_current`` flags it).
+
+    The standard warehouse shape: one window ``lead`` per key, ordered
+    by (ts, id) so same-timestamp updates order deterministically.
+    One shuffle on the key; per-key window state only.
+    """
+    attr_cols = attr_cols or []
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return updates.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
