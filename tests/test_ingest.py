@@ -186,3 +186,58 @@ def test_upsert_collection_partition_pruned_merge(spark, tables):
         assert after[0] != before[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_delete_from_collection_partition_pruned(spark, tables):
+    """Targeted delete removes exactly the requested ids, rewrites only
+    the touched shard directories, and drops a shard directory outright
+    when the delete empties it."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    emb = tables["embeddings"].select("vec_id", "embedding", "label").limit(40)
+    tmp = tempfile.mkdtemp(prefix="delete_")
+    path = tmp + "/coll"
+    try:
+        prepared = I.prepare_vectors(emb, dim=64, n_shards=4, how="mod")
+        I.write_collection(prepared, path, n_shards=4, mode="overwrite")
+        n0 = spark.read.parquet(path).count()
+
+        def shard_files():
+            return {
+                s: sorted(
+                    (os.path.basename(f), os.path.getmtime(f))
+                    for f in glob.glob(f"{path}/shard={s}/*.parquet")
+                )
+                for s in range(4)
+            }
+
+        before = shard_files()
+        # vec_id 1 and 5 both land in shard 1 under mod placement
+        stats = I.delete_from_collection(spark, path, [1, 5], n_shards=4, how="mod")
+        assert stats["touched_shards"] == [1]
+        assert stats["rows_deleted"] == 2
+
+        after_df = spark.read.parquet(path)
+        assert after_df.count() == n0 - 2
+        assert after_df.filter(F.col("vec_id").isin([1, 5])).count() == 0
+        after = shard_files()
+        for s in (0, 2, 3):  # untouched shards byte-identical
+            assert after[s] == before[s]
+
+        # empty a whole shard: delete every remaining id in shard 1
+        rest = [r.vec_id for r in after_df.filter(F.col("vec_id") % 4 == 1).collect()]
+        stats2 = I.delete_from_collection(spark, path, rest, n_shards=4, how="mod")
+        assert stats2["rows_deleted"] == len(rest)
+        assert not glob.glob(f"{path}/shard=1/*.parquet")  # directory gone
+        assert spark.read.parquet(path).filter(F.col("shard") == 1).count() == 0
+
+        # no-op delete
+        assert I.delete_from_collection(spark, path, [], n_shards=4) == {
+            "touched_shards": [],
+            "rows_deleted": 0,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -201,3 +201,53 @@ def test_pack_sequences_no_stratum_sequential_window(tables):
             continue  # the (stratum, __pid)-keyed data window: fine
         # a stratum-only window is only legal over the offsets frame
         assert "__ptot" in spec or "_w" in spec, f"stratum-sequential window: {spec}\n{plan}"
+
+
+def test_rolling_time_agg_is_single_shuffle_range_frame(tables):
+    """One Exchange on the key; the frame must be a RANGE frame on the
+    epoch-µs order key (a rows frame would silently change semantics
+    on irregular spacing)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import temporal
+
+    df = temporal.rolling_time_agg(tables["events"])
+    plan = assert_plan_contains(df, "RangeFrame")
+    # formatted mode lists each node in the tree and the detail section:
+    # exactly one Exchange node → it appears in both, keyed on user_id
+    assert plan.count("(RangeFrame") >= 1 or "RangeFrame" in plan
+    assert "hashpartitioning(user_id" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_item_cooccurrence_caps_before_join(tables):
+    """The per-user cap must push down as WindowGroupLimit (map-side
+    partial BEFORE the shuffle) so a hot user's rows never amplify
+    through the exchange; the self-join must be an equi-join, never a
+    cartesian."""
+    df = R.item_cooccurrence(tables["events"])
+    plan = assert_plan_contains(
+        df, "WindowGroupLimit", absent=("CartesianProduct",)
+    )
+    # both the Partial (map-side, pre-shuffle) and Final limits present
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_tfidf_topk_pushes_group_limit(tables):
+    """Per-doc top-k must compile to WindowGroupLimit (partial group
+    limit before the shuffle), not rank-then-filter over the full
+    (doc, term) frame."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import lexical
+
+    df = lexical.tfidf_top_terms(tables["documents"], k=3)
+    assert_plan_contains(df, "WindowGroupLimit", absent=("CartesianProduct",))
+
+
+def test_skew_report_is_take_ordered(tables):
+    """The diagnostic must cost one count-shuffle + broadcast totals +
+    bounded top-N merge — no global sort."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partitioning import (
+        skew_report,
+    )
+
+    df = skew_report(tables["lineitem"], ["l_suppkey"], top_n=10)
+    assert_plan_contains(df, "TakeOrderedAndProject")

@@ -203,6 +203,34 @@ AUDITED = {
     "ivfpq_topk": None,  # scratch-dir index: audited in tests/test_pq.py instead
     "ivf_knn_join": None,  # scratch-dir index: audited in tests/test_ann_index.py
     "lsh_topk_indexed": None,  # written by the ann_index section below
+    "key_skew": (
+        "Heavy-hitter diagnostic: one count-only shuffle on the key (the same "
+        "exchange the troubled join would pay, carrying counts not rows), scalar "
+        "totals broadcast back, bounded TakeOrderedAndProject merge."
+    ),
+    "tfidf_top_terms": (
+        "Keyword extraction: explode → (doc,term) partial agg; the vocabulary "
+        "(term,df) frame joins back by term; per-doc top-k compiles to "
+        "WindowGroupLimit Partial+Final — pruned map-side BEFORE the shuffle."
+    ),
+    "leakage_split": (
+        "Group-aware split: connected components over near-dup pairs (pointer-"
+        "jumping rounds), the doc-with-dup-sized component frame joins back "
+        "(AQE broadcasts when sparse), then a pure-projection hash gate."
+    ),
+    "rolling_hour": (
+        "Trailing time window: ONE Exchange on the key, RangeFrame on epoch-µs "
+        "— per-key window state bounded by the window span, not the corpus."
+    ),
+    "scd2_history": (
+        "SCD2 intervals: one shuffle on the key, one lead window in "
+        "deterministic (ts, id) order — equi-join-cost history derivation."
+    ),
+    "item_cooccurrence": (
+        "Co-visitation: distinct → per-user cap as WindowGroupLimit (map-side, "
+        "pre-shuffle — hot users bounded at cap² pairs), equi-self-join on user, "
+        "pair partial agg; no cartesian anywhere."
+    ),
 }
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "prepare_vectors",
     "write_collection",
     "upsert_collection",
+    "delete_from_collection",
     "chunk_documents",
     "join_back",
     "assemble_context",
@@ -159,6 +160,77 @@ def upsert_collection(
         else:
             conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"touched_shards": touched, "rows_written": rows}
+
+
+def delete_from_collection(
+    spark,
+    path: str,
+    ids: list,
+    n_shards: int,
+    id_col: str = "vec_id",
+    how: str = "hash",
+) -> dict:
+    """Targeted delete by id — the right-to-erasure / tombstone surface
+    a durable store needs (the reference is append-only, SURVEY.md §1.4
+    "no deletes/updates").
+
+    Partition-pruned like :func:`upsert_collection`: each id is routed
+    to its shard with the SAME hash the writer used, so only the shard
+    directories that can contain the ids are read (partition filter),
+    anti-joined, and dynamically overwritten — untouched shards' files
+    are never opened. Deleting 1k ids from a 100 TB collection rewrites
+    a few directories, not the table.
+
+    Returns ``{"touched_shards": [...], "rows_deleted": n}``.
+    """
+    if not ids:
+        return {"touched_shards": [], "rows_deleted": 0}
+    targets = assign_shard(
+        spark.createDataFrame([(i,) for i in ids], f"{id_col} long"),
+        n_shards,
+        id_col=id_col,
+        how=how,
+    )
+    touched = sorted(r["shard"] for r in targets.select("shard").distinct().collect())
+    current = spark.read.parquet(path).filter(F.col("shard").isin(touched))
+    before = current.count()
+    keep = current.join(
+        F.broadcast(targets.select(id_col).distinct()), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    after = keep.count()
+    conf = spark.conf
+    try:
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:
+        prev = None
+    try:
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            keep.repartition(max(len(touched), 1), "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a shard emptied by the delete has no output rows, so its stale
+    # directory must be dropped explicitly — exactly the shard a
+    # right-to-erasure request cares about most
+    kept_shards = {r["shard"] for r in keep.select("shard").distinct().collect()}
+    emptied = [sh for sh in touched if sh not in kept_shards]
+    if emptied:
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
+            _fs_and_path,
+        )
+
+        fs, _, jvm = _fs_and_path(spark, path)
+        for sh in emptied:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/shard={sh}"), True)
+    return {"touched_shards": touched, "rows_deleted": before - after}
 
 
 def bulk_random_vectors(spark, n: int, dim: int = 64, seed: int = 42) -> DataFrame:
