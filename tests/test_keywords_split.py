@@ -86,3 +86,48 @@ def test_leakage_safe_split_deterministic_across_partitioning(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_global_rank_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 3.0), (4, 3.0), (5, 9.0)],
+        "doc_id long, q double",
+    )
+    got = {r.doc_id: (r.rank, r.pct) for r in global_rank(df, "q").collect()}
+    # asc order: 1.0 < 3.0(id3) < 3.0(id4) < 5.0 < 9.0 — id tiebreak
+    assert [got[i][0] for i in (2, 3, 4, 1, 5)] == [1, 2, 3, 4, 5]
+    assert got[2][1] == 0.0 and got[5][1] == 1.0
+    assert abs(got[3][1] - 0.25) < 1e-12
+    # descending
+    gotd = {r.doc_id: r.rank for r in global_rank(df, "q", ascending=False).collect()}
+    assert gotd[5] == 1 and gotd[2] == 5
+
+
+def test_global_rank_partition_invariant(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17).cast("double").alias("q")
+    )
+    a = {(r.doc_id, r.rank) for r in global_rank(df, "q", n_parts=4).collect()}
+    b = {(r.doc_id, r.rank) for r in global_rank(df.repartition(13), "q", n_parts=9).collect()}
+    assert a == b
+    # ranks are a permutation of 1..N
+    assert sorted(r for _, r in a) == list(range(1, 201))
+
+
+def test_global_rank_single_row(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    r = global_rank(
+        spark.createDataFrame([(1, 2.0)], "doc_id long, q double"), "q"
+    ).collect()[0]
+    assert r.rank == 1 and r.pct == 0.0

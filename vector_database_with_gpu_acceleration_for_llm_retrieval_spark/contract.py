@@ -1970,6 +1970,24 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank + percentile of every event by value — the
+    distributed prefix-count shape, never a single-task global window."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = sampling.global_rank(
+        t["events"].select("event_id", "value"), "value", id_col="event_id"
+    )
+    return res.select(
+        "event_id",
+        F.col("rank").cast("long").alias("rank"),
+        _round6(F.col("pct"), "pct"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2506,6 +2524,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "value_rank": q_value_rank,
         "rolling_hour": q_rolling_hour,
         "scd2_history": q_scd2_history,
         "item_cooccurrence": q_item_cooccurrence,

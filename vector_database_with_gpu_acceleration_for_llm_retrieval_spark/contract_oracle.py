@@ -2073,6 +2073,17 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+_ORACLE_VALUE_RANK = """
+WITH r AS (SELECT event_id,
+                  row_number() OVER (ORDER BY value ASC, event_id ASC) AS rank,
+                  count(*) OVER () AS n
+           FROM events)
+SELECT event_id, CAST(rank AS BIGINT) AS rank,
+       round(CASE WHEN n > 1 THEN (rank - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END, 6) + 0.0 AS pct
+FROM r
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2270,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "value_rank": _ORACLE_VALUE_RANK,
         "rolling_hour": _ORACLE_ROLLING_HOUR,
         "scd2_history": _ORACLE_SCD2_HISTORY,
         "item_cooccurrence": _ORACLE_ITEM_COOCCURRENCE,

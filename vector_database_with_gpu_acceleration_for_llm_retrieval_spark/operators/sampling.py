@@ -39,6 +39,7 @@ __all__ = [
     "dsir_weights",
     "gumbel_topk_sample",
     "leakage_safe_split",
+    "global_rank",
 ]
 
 _SAMPLE_MOD = 1_000_000
@@ -448,4 +449,58 @@ def leakage_safe_split(
         *[F.col(c) for c in docs.columns],
         group_id.alias("group_id"),
         split.alias("split"),
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact global rank + percentile for every row WITHOUT the
+    classic scale-killer (``Window.orderBy(col)`` with no partition —
+    one task sorts the corpus). The feature a selection pipeline wants
+    when "top 10% by quality" must mean the same thing across the whole
+    corpus, not per-partition.
+
+    Distributed prefix-count shape (same as :func:`budget_select`):
+    range-partition on the order key, ``row_number`` within each
+    physical partition, add the exclusive prefix of partition counts (a
+    P-row frame, broadcast back). Ranks are 1-based and UNIQUE —
+    ``row_number`` semantics with (order, id) tiebreak, deterministic
+    across engines and partitionings. ``pct = (rank-1)/(N-1)`` ∈ [0,1]
+    (0 for a single-row table).
+
+    One range shuffle of the data + one P-row aggregate. The same
+    lineage-determinism note as ``budget_select`` applies: don't insert
+    nondeterministic narrow ops between the repartition and its two
+    consumers.
+    """
+    key = (
+        [F.col(order_col).asc(), F.col(id_col).asc()]
+        if ascending
+        else [F.col(order_col).desc(), F.col(id_col).asc()]
+    )
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = df.repartitionByRange(n_parts, *key).withColumn("__pid", F.spark_partition_id())
+    w_in = Window.partitionBy("__pid").orderBy(*key)
+    rp = rp.withColumn("__rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        rp.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__pcnt"))
+        .withColumn("__off", F.coalesce(F.sum("__pcnt").over(w_off), F.lit(0)))
+        .withColumn("__total", F.sum("__pcnt").over(Window.partitionBy()))
+        .select("__pid", "__off", "__total")
+    )
+    out = rp.join(F.broadcast(offsets), "__pid")
+    rank = (F.col("__rn") + F.col("__off")).alias("rank")
+    pct = F.when(F.col("__total") > 1,
+                 (F.col("__rn") + F.col("__off") - 1)
+                 / (F.col("__total") - 1).cast("double")).otherwise(F.lit(0.0))
+    return out.select(
+        *[F.col(c) for c in df.columns], rank, pct.alias("pct")
     )
