@@ -1988,6 +1988,33 @@ def q_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: quantity rollup keyed on the fact, HAVING gate,
+    tiny survivor set joined back — aggregate-then-semi-join-back."""
+    t = load_tables(spark, sf_dir)
+    res = R.large_orders(t)
+    return res.select(
+        "c_name",
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+        _round6(F.col("total_qty"), "total_qty"),
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery balance gate + anti join on
+    orders, grouped by segment."""
+    t = load_tables(spark, sf_dir)
+    res = R.idle_rich_customers(t)
+    return res.select(
+        "c_mktsegment",
+        F.col("n_custs").cast("long").alias("n_custs"),
+        "total_bal",
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2524,6 +2551,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "large_orders": q_large_orders,
+        "idle_rich_customers": q_idle_rich_customers,
         "value_rank": q_value_rank,
         "rolling_hour": q_rolling_hour,
         "scd2_history": q_scd2_history,

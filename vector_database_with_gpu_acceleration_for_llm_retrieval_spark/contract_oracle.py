@@ -2084,6 +2084,30 @@ FROM r
 """
 
 
+_ORACLE_LARGE_ORDERS = """
+WITH q AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150.0)
+SELECT c_name, o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, round(total_qty, 6) + 0.0 AS total_qty
+FROM orders JOIN q ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+_ORACLE_IDLE_RICH = """
+WITH a AS (SELECT avg(c_acctbal) AS av FROM customer WHERE c_acctbal > 0.0),
+g AS (SELECT c.* FROM customer c, a WHERE c.c_acctbal > a.av),
+i AS (SELECT * FROM g WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = g.c_custkey
+         AND o.o_orderdate >= DATE '2000-01-01'))
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(c_acctbal), 6) + 0.0 AS total_bal
+FROM i GROUP BY 1 ORDER BY 1
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2281,6 +2305,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "large_orders": _ORACLE_LARGE_ORDERS,
+        "idle_rich_customers": _ORACLE_IDLE_RICH,
         "value_rank": _ORACLE_VALUE_RANK,
         "rolling_hour": _ORACLE_ROLLING_HOUR,
         "scd2_history": _ORACLE_SCD2_HISTORY,

@@ -30,6 +30,8 @@ __all__ = [
     "shipping_volume",
     "promo_share",
     "item_cooccurrence",
+    "large_orders",
+    "idle_rich_customers",
 ]
 
 
@@ -391,4 +393,66 @@ def item_cooccurrence(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
         .filter(F.col("n_users") >= min_support)
+    )
+
+
+def large_orders(t: dict[str, DataFrame], min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with customer context — aggregate-then-semi-join-back.
+
+    The quantity rollup keys on l_orderkey (one fact shuffle); the
+    survivor key set is tiny after the HAVING, so the join back to
+    orders is effectively a broadcast under AQE, and customer broadcasts
+    outright. The fact table is scanned once for the rollup and never
+    re-scanned for detail rows — detail comes from the rollup itself.
+    """
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def idle_rich_customers(t: dict[str, DataFrame], since: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance
+    and no orders since ``since`` — a scalar-subquery gate plus an
+    anti join.
+
+    The average is one scalar aggregate broadcast into the filter (no
+    per-row subquery); the anti join on custkey is the only shuffle,
+    its right side pre-filtered by the pushed-down date predicate, and
+    it ships only gated customers. Grouped by market segment for a
+    small deterministic result.
+    """
+    c, o = t["customer"], t["orders"]
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    gated = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit(since))
+    idle = gated.join(recent, gated["c_custkey"] == recent["o_custkey"], "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.round(F.sum("c_acctbal"), 6) + F.lit(0.0)).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
     )
