@@ -45,3 +45,48 @@ def test_profile_approximate_within_bound(spark, tables):
     }
     e, a = exact["o_custkey"], approx["o_custkey"]
     assert abs(a - e) <= 0.1 * e
+
+
+def test_audit_constraints_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        audit_constraints,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (2, 10, -1.0),   # range violation
+            (3, None, 2.0),  # null fk (not an orphan: nulls skip FK check)
+            (3, 99, 3.0),    # duplicate id + orphan fk (99 not in parent)
+            (None, 20, 1.0), # null id
+        ],
+        "id long, pid long, v double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = {
+        r.constraint: r.n_violations
+        for r in audit_constraints(
+            child,
+            not_null=["id"],
+            unique=[["id"]],
+            fks={"pid": (parent, "pk")},
+            checks={"v_nonneg": F.col("v") >= 0},
+        ).collect()
+    }
+    assert out["not_null(id)"] == 1
+    assert out["unique(id)"] == 1      # one extra copy of id=3
+    assert out["fk(pid)"] == 1         # pid=99 orphan; NULL pid skipped
+    assert out["check(v_nonneg)"] == 1
+
+
+def test_audit_constraints_clean_and_empty(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        audit_constraints,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = audit_constraints(df, not_null=["id"], unique=[["id"]]).collect()
+    assert all(r.n_violations == 0 for r in out)
+    assert audit_constraints(df).count() == 0

@@ -2015,6 +2015,27 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish constraint audit over orders: shared-scan not-null +
+    row checks, one uniqueness shuffle, one broadcast FK anti-join —
+    one row of violation counts per declared constraint."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.audit_constraints(
+        t["orders"],
+        not_null=["o_orderkey"],
+        unique=[["o_orderkey"]],
+        fks={"o_custkey": (t["customer"], "c_custkey")},
+        checks={"totalprice_pos": F.col("o_totalprice") > 0},
+    )
+    return res.select(
+        "constraint", "kind", F.col("n_violations").cast("long").alias("n_violations")
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2551,6 +2572,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "orders_audit": q_orders_audit,
         "large_orders": q_large_orders,
         "idle_rich_customers": q_idle_rich_customers,
         "value_rank": q_value_rank,

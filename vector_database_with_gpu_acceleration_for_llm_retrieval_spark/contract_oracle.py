@@ -2108,6 +2108,25 @@ FROM i GROUP BY 1 ORDER BY 1
 """
 
 
+_ORACLE_ORDERS_AUDIT = """
+SELECT 'not_null(o_orderkey)' AS "constraint", 'not_null' AS kind,
+       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'check(totalprice_pos)', 'check',
+       CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)', 'unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'fk(o_custkey)', 'fk', CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2305,6 +2324,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "orders_audit": _ORACLE_ORDERS_AUDIT,
         "large_orders": _ORACLE_LARGE_ORDERS,
         "idle_rich_customers": _ORACLE_IDLE_RICH,
         "value_rank": _ORACLE_VALUE_RANK,
