@@ -200,3 +200,50 @@ def test_stream_curate_ingest_matches_batch_gate(spark):
         assert "[EMAIL]" in got[3] and "someone@example.com" not in got[3]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_rate_limit_matches_batch(spark, tables):
+    """Stream admission decisions on in-order input must equal the
+    batch twin's (same quota, same tumbling windows), including across
+    micro-batch boundaries where the counter lives in state."""
+    events = tables["events"].select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="rate_src_")
+    src, ckpt = tmp + "/src", tmp + "/ckpt"
+    try:
+        # feed in two in-order halves so quotas straddle micro-batches
+        mid = events.approxQuantile("ts_us", [0.5], 0.0)[0]
+        events.filter(F.col("ts_us") <= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            ST.stream_rate_limit(spark, src, max_per_window=3, window_sec=86400)
+            .writeStream.format("memory")
+            .queryName("rate_stream")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            events.filter(F.col("ts_us") > mid).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+            got = {
+                r.event_id: (r.win_start_us, r.admitted)
+                for r in spark.sql("select * from rate_stream").collect()
+            }
+        finally:
+            q.stop()
+        batch = P.events_rate_limit(
+            tables["events"], max_per_window=3, window_sec=86400
+        ).collect()
+        expect = {r.event_id: (r.win_start_us, r.admitted) for r in batch}
+        assert got == expect
+        admitted = sum(1 for _, a in got.values() if a)
+        assert 0 < admitted < len(got)  # quota actually bites
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -2036,6 +2036,14 @@ def q_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user admission control: first 3 events per user per day
+    admitted, the rest rejected — the batch twin of the stateful
+    streaming rate limiter (stream ≡ batch asserted in pytest)."""
+    t = load_tables(spark, sf_dir)
+    return P.events_rate_limit(t["events"], max_per_window=3, window_sec=86400)
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2572,6 +2580,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "rate_limited": q_rate_limited,
         "orders_audit": q_orders_audit,
         "large_orders": q_large_orders,
         "idle_rich_customers": q_idle_rich_customers,

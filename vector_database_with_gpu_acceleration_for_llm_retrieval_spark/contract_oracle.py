@@ -2127,6 +2127,16 @@ WHERE o_custkey IS NOT NULL
 """
 
 
+_ORACLE_RATE_LIMITED = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+w AS (SELECT *, ts_us - ts_us % 86400000000 AS win_start_us FROM e),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY user_id, win_start_us ORDER BY ts_us, event_id) AS rn
+      FROM w)
+SELECT event_id, user_id, ts_us, win_start_us, rn <= 3 AS admitted FROM r
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2324,6 +2334,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "rate_limited": _ORACLE_RATE_LIMITED,
         "orders_audit": _ORACLE_ORDERS_AUDIT,
         "large_orders": _ORACLE_LARGE_ORDERS,
         "idle_rich_customers": _ORACLE_IDLE_RICH,

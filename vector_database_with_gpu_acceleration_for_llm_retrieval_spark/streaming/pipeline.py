@@ -35,6 +35,7 @@ __all__ = [
     "events_sessionized_us",
     "user_gap_stats",
     "events_moving_avg",
+    "events_rate_limit",
     "view_click_pairs",
     "stream_view_click_join",
     "stream_vector_ingest",
@@ -899,4 +900,33 @@ def stream_semantic_route(
         .partitionBy("cluster")
         .outputMode("append")
         .start()
+    )
+
+
+def events_rate_limit(
+    events: DataFrame,
+    max_per_window: int = 5,
+    window_sec: int = 3600,
+) -> DataFrame:
+    """Per-key admission control, batch form: within each epoch-aligned
+    tumbling window a user's first ``max_per_window`` events (by ts,
+    then event_id) are admitted, the rest rejected — the ingest-guard
+    decision an API gateway or abuse filter makes, as a dataflow.
+
+    One shuffle on (user, window); the per-group window compiles to
+    WindowGroupLimit-free ranking bounded by the group's rows. The
+    streaming twin (:func:`~.stateful.stream_rate_limit`) holds one
+    ``(window_start, count)`` struct per key and must agree with this
+    on in-order input — asserted in tests.
+    """
+    from pyspark.sql import Window as W
+
+    us = F.lit(window_sec * 1_000_000)
+    win = (F.col("ts_us") - F.pmod(F.col("ts_us"), us)).alias("win_start_us")
+    base = events.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    ).select("event_id", "user_id", "ts_us", win)
+    w = W.partitionBy("user_id", "win_start_us").orderBy("ts_us", "event_id")
+    return base.withColumn(
+        "admitted", F.row_number().over(w) <= max_per_window
     )

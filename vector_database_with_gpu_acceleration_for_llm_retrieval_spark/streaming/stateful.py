@@ -140,3 +140,72 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+RATE_OUTPUT_SCHEMA = "event_id long, user_id long, ts_us long, win_start_us long, admitted boolean"
+RATE_STATE_SCHEMA = "win_start_us long, n long"
+
+
+def _make_rate_limiter(max_per_window: int, window_us: int):
+    def _rate_limit_user(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_win, n = state.get
+        else:
+            cur_win, n = -1, 0
+        # one key's micro-batch may arrive as several chunks whose ts
+        # ranges interleave — concatenate before sorting so the
+        # admission order matches the batch twin's (ts, id) order
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            wins, admits = [], []
+            for ts in pdf["ts_us"]:
+                win = int(ts) - int(ts) % window_us
+                if win != cur_win:
+                    cur_win, n = win, 0
+                admits.append(n < max_per_window)
+                n += 1
+                wins.append(win)
+            out = pdf[["event_id", "user_id", "ts_us"]].copy()
+            out["win_start_us"] = wins
+            out["admitted"] = admits
+            yield out
+        state.update((int(cur_win), int(n)))
+
+    return _rate_limit_user
+
+
+def stream_rate_limit(
+    spark,
+    source_dir: str,
+    max_per_window: int = 5,
+    window_sec: int = 3600,
+    schema: str = "event_id long, ts_us long, user_id long, value double",
+):
+    """Streaming per-key admission control: file source → grouped
+    custom state → every event tagged ``admitted``/rejected against a
+    tumbling per-user quota. The decision the batch twin
+    (``pipeline.events_rate_limit``) makes offline, made on arrival.
+
+    State per key is ONE ``(window_start, count)`` struct — O(active
+    keys), independent of event volume; window rollover resets the
+    counter in place. Late events from an already-rolled-over window
+    are counted against a fresh counter (bounded state is the contract;
+    exact late-data accounting would need per-window counters with
+    watermark eviction). On in-order input, stream ≡ batch — asserted
+    in tests.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_rate_limiter(max_per_window, window_sec * 1_000_000),
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
