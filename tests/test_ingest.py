@@ -241,3 +241,25 @@ def test_delete_from_collection_partition_pruned(spark, tables):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_apply_changelog_hand_computed(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # id 2: update then later delete → deleted
+            (2, "b2", 21.0, 100, 1, "U"),
+            (2, "b2", 21.0, 200, 1, "D"),
+            # id 3: two same-ts updates — seq breaks the tie
+            (3, "c2", 31.0, 100, 1, "U"),
+            (3, "c3", 32.0, 100, 2, "U"),
+            # id 4: brand-new insert
+            (4, "d", 40.0, 100, 1, "I"),
+        ],
+        "id long, name string, bal double, ts long, seq long, op string",
+    )
+    got = {r.id: (r.name, r.bal) for r in I.apply_changelog(snap, changes).collect()}
+    assert got == {1: ("a", 10.0), 3: ("c3", 32.0), 4: ("d", 40.0)}

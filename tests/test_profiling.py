@@ -90,3 +90,24 @@ def test_audit_constraints_clean_and_empty(spark):
     out = audit_constraints(df, not_null=["id"], unique=[["id"]]).collect()
     assert all(r.n_violations == 0 for r in out)
     assert audit_constraints(df).count() == 0
+
+
+def test_numeric_histogram_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (7.5,), (10.0,), (None,)], "x double"
+    )
+    got = {r.bin: (r.bin_lo, r.bin_hi, r.n_rows) for r in
+           numeric_histogram(df, "x", n_bins=4).collect()}
+    # bounds 0..10, width 2.5; 10.0 folds into last bin; NULL excluded
+    assert got[0] == (0.0, 2.5, 1)
+    assert got[1] == (2.5, 5.0, 1)
+    assert got[2] == (5.0, 7.5, 1)
+    assert got[3] == (7.5, 10.0, 2)
+    # explicit bounds
+    got2 = {r.bin: r.n_rows for r in
+            numeric_histogram(df, "x", n_bins=2, lo=0.0, hi=20.0).collect()}
+    assert got2 == {0: 4, 1: 1}

@@ -2044,6 +2044,50 @@ def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.events_rate_limit(t["events"], max_per_window=3, window_sec=86400)
 
 
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE as dataflow: a deterministic changelog derived
+    from orders (latest change per customer wins; every 10th orderkey
+    is a delete) applied onto the customer snapshot — changelog
+    shuffles, snapshot doesn't."""
+    t = load_tables(spark, sf_dir)
+    snap = t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment")
+    o = t["orders"]
+    day_num = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("long")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        day_num.alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    res = I.apply_changelog(snap, changes, id_col="c_custkey")
+    return res.select(
+        "c_custkey", _round6(F.col("c_acctbal"), "c_acctbal"), "c_mktsegment"
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin distribution of lineitem extended price —
+    bounds from one scalar aggregate broadcast back, single lazy plan."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.numeric_histogram(t["lineitem"], "l_extendedprice", n_bins=20)
+    return res.select(
+        "bin",
+        _round6(F.col("bin_lo"), "bin_lo"),
+        _round6(F.col("bin_hi"), "bin_hi"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2580,6 +2624,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "cdc_snapshot": q_cdc_snapshot,
+        "price_histogram": q_price_histogram,
         "rate_limited": q_rate_limited,
         "orders_audit": q_orders_audit,
         "large_orders": q_large_orders,

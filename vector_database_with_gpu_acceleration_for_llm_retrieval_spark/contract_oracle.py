@@ -2137,6 +2137,39 @@ SELECT event_id, user_id, ts_us, win_start_us, rn <= 3 AS admitted FROM r
 """
 
 
+_ORACLE_CDC_SNAPSHOT = """
+WITH snap AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+ch AS (SELECT o_custkey AS c_custkey, o_totalprice AS c_acctbal,
+              'UPDATED' AS c_mktsegment,
+              CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                   + day(o_orderdate) AS BIGINT) AS ts,
+              o_orderkey AS seq,
+              CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+       FROM orders),
+latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY c_custkey ORDER BY ts DESC, seq DESC) AS rn FROM ch)
+           WHERE rn = 1),
+untouched AS (SELECT s.* FROM snap s WHERE NOT EXISTS
+                (SELECT 1 FROM latest l WHERE l.c_custkey = s.c_custkey))
+SELECT c_custkey, round(c_acctbal, 6) + 0.0 AS c_acctbal, c_mktsegment FROM untouched
+UNION ALL
+SELECT c_custkey, round(c_acctbal, 6) + 0.0, c_mktsegment FROM latest WHERE op <> 'D'
+"""
+
+
+_ORACLE_PRICE_HISTOGRAM = """
+WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                  CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+x AS (SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 20.0)), 19) AS INT) AS bin,
+             lo, hi
+      FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+SELECT bin, round(lo + bin * (hi - lo) / 20.0, 6) + 0.0 AS bin_lo,
+       round(lo + (bin + 1) * (hi - lo) / 20.0, 6) + 0.0 AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM x GROUP BY bin, lo, hi ORDER BY bin
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2334,6 +2367,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "cdc_snapshot": _ORACLE_CDC_SNAPSHOT,
+        "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "rate_limited": _ORACLE_RATE_LIMITED,
         "orders_audit": _ORACLE_ORDERS_AUDIT,
         "large_orders": _ORACLE_LARGE_ORDERS,

@@ -31,6 +31,7 @@ __all__ = [
     "write_collection",
     "upsert_collection",
     "delete_from_collection",
+    "apply_changelog",
     "chunk_documents",
     "join_back",
     "assemble_context",
@@ -374,3 +375,42 @@ def assemble_context(
             ).alias("context"),
         )
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — the lakehouse MERGE as a
+    dataflow: for each key take the LATEST change (by ``ts``, then
+    ``seq`` for same-timestamp determinism); ``op='D'`` deletes the
+    key, any other op upserts the change row's attributes; untouched
+    snapshot rows pass through.
+
+    Shape for scale: one shuffle of the CHANGELOG on the key (latest-
+    change dedup — WindowGroupLimit prunes map-side), then the
+    changed-key set anti-joins the snapshot (AQE broadcasts it when
+    the delta is small — the common case) and survivors union in. The
+    snapshot is never shuffled; cost scales with the delta, not the
+    table. Pair with ``write_collection``'s dynamic partition
+    overwrite to persist only touched shards.
+
+    ``changes`` must carry the snapshot's columns (for upserts) plus
+    ``(ts, seq, op)``. Returns the new snapshot (snapshot schema).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    keys = latest.select(id_col)
+    untouched = snapshot.join(keys, id_col, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*snapshot.columns)
+    return untouched.unionByName(upserts)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram"]
 
 
 def profile_table(
@@ -145,3 +145,49 @@ def audit_constraints(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: ``(bin, bin_lo,
+    bin_hi, n_rows)``, the distribution profile a selection threshold
+    or skew diagnosis reads.
+
+    Bounds default to the observed min/max via ONE scalar aggregate
+    broadcast back into the binning projection — the whole thing stays
+    a single lazy plan (no collect), one scan for bounds + one scan for
+    counts. Values at ``hi`` fold into the last bin; empty bins are
+    absent from the output (join a ``sequence`` frame if you need
+    zeros). NULLs are excluded.
+    """
+    base = df.select(F.col(col).alias("__x")).filter(F.col("__x").isNotNull())
+    if lo is None or hi is None:
+        bounds = base.agg(
+            F.min("__x").cast("double").alias("__lo"),
+            F.max("__x").cast("double").alias("__hi"),
+        )
+        b = base.crossJoin(F.broadcast(bounds))
+    else:
+        b = base.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    raw = F.floor((F.col("__x").cast("double") - F.col("__lo")) / width)
+    bin_ = F.least(raw, F.lit(n_bins - 1)).cast("int")
+    return (
+        b.select(bin_.alias("bin"), "__lo", "__hi")
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            (F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / n_bins).alias("bin_lo"),
+            (F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / n_bins).alias("bin_hi"),
+            "n_rows",
+        )
+        .orderBy("bin")
+    )
