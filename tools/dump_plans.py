@@ -231,6 +231,23 @@ AUDITED = {
         "pre-shuffle — hot users bounded at cap² pairs), equi-self-join on user, "
         "pair partial agg; no cartesian anywhere."
     ),
+    "value_rank": (
+        "Exact global rank WITHOUT the single-task global window: range "
+        "partition on the order key, per-partition row_number, P-row offset "
+        "frame broadcast back — the one WindowExec with no partition runs on "
+        "P rows, not the corpus."
+    ),
+    "orders_audit": (
+        "Constraint audit: not-null + row checks share one scan-wide "
+        "aggregate; uniqueness is one groupBy; the FK check is a broadcast "
+        "anti-join — violation counts union in tiny scalar frames."
+    ),
+    "cdc_snapshot": (
+        "CDC apply: latest-change dedup shuffles the CHANGELOG only "
+        "(WindowGroupLimit map-side), the changed-key set anti-joins the "
+        "snapshot (broadcast under AQE), survivors union — snapshot never "
+        "shuffles."
+    ),
 }
 
 

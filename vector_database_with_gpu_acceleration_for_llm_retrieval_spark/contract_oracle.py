@@ -1628,15 +1628,25 @@ FROM (SELECT DISTINCT qid FROM q) dq LEFT JOIN m ON dq.qid = m.qid
 
 def _sq_dsir_ctes() -> str:
     """The DSIR weight CTE chain up to ``pd(doc_id, n_grams,
-    log_weight)`` — shared by the weights and resample oracles."""
+    log_weight)`` — shared by the weights and resample oracles.
+    Mirrors operators.sampling.dsir_weights' featurization: each token
+    hashed once (portable hash mod 2^31), unigram bucket = h mod K,
+    bigram bucket = (h_i*31 + h_{i+1}) mod K — pure integer math, no
+    bigram strings."""
     a, bkt = repr(float(DSIR_ALPHA)), DSIR_BUCKETS
     ab = repr(float(DSIR_ALPHA) * DSIR_BUCKETS)
     return f"""t AS (SELECT doc_id, lang, {_SQ_TOKS} AS toks FROM documents),
-g AS (SELECT doc_id, lang = 'en' AS is_t,
-             unnest(list_concat(toks, {_sq_shingles('toks', 2)})) AS g
-      FROM t),
-gb AS (SELECT doc_id, is_t, {_sq_tok_hash('g')} % {bkt} AS b FROM g),
-dc AS (SELECT doc_id, b, count(*) AS cnt FROM gb GROUP BY 1, 2),
+hb AS (SELECT doc_id, lang = 'en' AS is_t,
+              list_transform(toks, x -> {_sq_tok_hash('x')} % 2147483648) AS hs
+       FROM t),
+feat AS (SELECT doc_id, is_t,
+                list_concat(
+                  list_transform(hs, h -> h % {bkt}),
+                  list_transform(range(1, greatest(len(hs) - 1, 0) + 1),
+                                 i -> (hs[i] * 31 + hs[i + 1]) % {bkt})
+                ) AS bs
+         FROM hb),
+gb AS (SELECT doc_id, is_t, unnest(bs) AS b FROM feat),
 raw AS (SELECT b, count(*) AS n_raw FROM gb GROUP BY 1),
 tgt AS (SELECT b, count(*) AS n_tgt FROM gb WHERE is_t GROUP BY 1),
 tots AS (SELECT (SELECT sum(n_raw) FROM raw) AS t_raw,
@@ -1645,9 +1655,9 @@ lam AS (SELECT raw.b,
                ln((coalesce(tgt.n_tgt, 0) + {a}) / (tots.t_tgt + {ab}))
              - ln((raw.n_raw + {a}) / (tots.t_raw + {ab})) AS lam
         FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
-pd AS (SELECT dc.doc_id, sum(dc.cnt) AS n_grams,
-              sum(dc.cnt * lam.lam) AS log_weight
-       FROM dc JOIN lam USING (b) GROUP BY 1)"""
+pd AS (SELECT gb.doc_id, count(*) AS n_grams,
+              sum(lam.lam) AS log_weight
+       FROM gb JOIN lam USING (b) GROUP BY 1)"""
 
 
 def _oracle_dsir_weights() -> str:
