@@ -315,15 +315,16 @@ def jaccard_pairs(
 #: cache cannot be released inside near_dup_pairs itself; instead each
 #: call either REUSES a live generation (sameResult logical plan →
 #: same data; repeated runs over one corpus stay warm) or evicts the
-#: oldest and caches the new one. Capacity TWO, not one: callers
-#: alternate in practice (the raw-corpus near-dup and the curation
-#: composite's filtered near-dup interleave in any bench/pipeline
-#: loop), and a single slot made every alternation a full
-#: shingle→minhash recompute (measured as 10-40 s first-rep spikes at
-#: sf0.1). Executor cache stays bounded at two signature frames no
-#: matter how many times the operator runs.
+#: oldest and caches the new one. Capacity THREE, not one: callers
+#: alternate in practice (the raw-corpus near-dup, the curation
+#: composite's filtered near-dup, and DSIR's token-hash frame all
+#: interleave in any bench/pipeline loop), and fewer slots make every
+#: alternation a full recompute (measured as 10-40 s first-rep spikes
+#: at sf0.1 with one slot; the same thrash returned when DSIR joined a
+#: two-slot cache). Executor cache stays bounded at three frames no
+#: matter how many times the operators run.
 _SIG_GENERATIONS: list[DataFrame] = []
-_SIG_CACHE_CAP = 2
+_SIG_CACHE_CAP = 3
 
 
 def _persist_signature(sig: DataFrame) -> DataFrame:
