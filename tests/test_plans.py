@@ -251,3 +251,13 @@ def test_skew_report_is_take_ordered(tables):
 
     df = skew_report(tables["lineitem"], ["l_suppkey"], top_n=10)
     assert_plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_decayed_sum_single_shuffle(tables):
+    """Both windows (per-key min and the cumulative sum) must share one
+    hashpartitioning Exchange on the key."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import temporal
+
+    plan = assert_plan_contains(temporal.decayed_sum(tables["events"]), "Window")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1

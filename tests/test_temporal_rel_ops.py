@@ -91,3 +91,35 @@ def test_item_cooccurrence_cap_bounds_pairs(spark):
     # cap above the max → exact: C(10,2)=45 pairs
     full = item_cooccurrence(df, min_support=1, max_items_per_user=50).count()
     assert full == 45
+
+
+def test_decayed_sum_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        decayed_sum,
+    )
+
+    H = 7 * 86400  # half-life in seconds
+    rows = [
+        (1, _ts(0), 7, 1.0),
+        (2, _ts(H), 7, 1.0),      # one half-life later: 1 + 0.5
+        (3, _ts(2 * H), 7, 2.0),  # 2 + 1·0.5 + 1·0.25
+        (4, _ts(0), 9, 3.0),      # other key isolated
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r.event_id: r.decayed_sum for r in decayed_sum(df).collect()}
+    assert abs(got[1] - 1.0) < 1e-9
+    assert abs(got[2] - 1.5) < 1e-9
+    assert abs(got[3] - 2.75) < 1e-9
+    assert abs(got[4] - 3.0) < 1e-9
+
+
+def test_decayed_sum_partition_invariant(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        decayed_sum,
+    )
+
+    rows = [(i, _ts(i * 3600), i % 3, float(i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    a = {r.event_id: round(r.decayed_sum, 9) for r in decayed_sum(df).collect()}
+    b = {r.event_id: round(r.decayed_sum, 9) for r in decayed_sum(df.repartition(11)).collect()}
+    assert a == b

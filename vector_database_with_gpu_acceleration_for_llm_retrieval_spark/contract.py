@@ -2088,6 +2088,21 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user engagement score at every event
+    (7-day half-life) — the sequential-looking recurrence factored into
+    one per-key prefix sum; no UDF, no recursion."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = temporal.decayed_sum(t["events"], half_life_sec=7 * 86400.0)
+    return res.select(
+        "event_id", "user_id", _round6(F.col("decayed_sum"), "decayed_sum")
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2624,6 +2639,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "decayed_engagement": q_decayed_engagement,
         "cdc_snapshot": q_cdc_snapshot,
         "price_histogram": q_price_histogram,
         "rate_limited": q_rate_limited,

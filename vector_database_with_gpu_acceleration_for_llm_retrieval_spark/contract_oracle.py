@@ -2180,6 +2180,19 @@ FROM x GROUP BY bin, lo, hi ORDER BY bin
 """
 
 
+_ORACLE_DECAYED_ENGAGEMENT = """
+WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events),
+m AS (SELECT *, min(us) OVER (PARTITION BY user_id) AS t0 FROM e),
+r AS (SELECT *, (us - t0) / 604800000000.0 AS rel FROM m)
+SELECT event_id, user_id,
+       round(sum(value * pow(2.0, rel)) OVER (
+               PARTITION BY user_id ORDER BY us ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * pow(2.0, -rel), 6) + 0.0 AS decayed_sum
+FROM r
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2377,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "decayed_engagement": _ORACLE_DECAYED_ENGAGEMENT,
         "cdc_snapshot": _ORACLE_CDC_SNAPSHOT,
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "rate_limited": _ORACLE_RATE_LIMITED,

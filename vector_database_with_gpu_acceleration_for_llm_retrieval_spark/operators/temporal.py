@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals"]
+__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals", "decayed_sum"]
 
 
 def asof_join(
@@ -165,4 +165,53 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+def decayed_sum(
+    events: DataFrame,
+    half_life_sec: float = 7 * 86400.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exponentially-decayed running sum per key — the recency-weighted
+    engagement score: at each event,
+
+        s_i = Σ_{j ≤ i} v_j · 2^(−(t_i − t_j)/half_life)
+
+    so old activity fades with the configured half-life instead of
+    counting forever (the usual alternative to hard trailing windows).
+
+    The recurrence looks sequential, but factoring the decay —
+    ``s_i = 2^(−t_i/h) · Σ_{j≤i} v_j·2^(t_j/h)`` — turns it into a
+    plain per-key prefix sum, so the whole thing is ONE cumulative
+    window over (key, ts): no recursion, no UDF, one shuffle.
+
+    Numerics: ``2^(t/h)`` overflows double for t far from the epoch, so
+    t is re-based to the key's own minimum timestamp (a second window
+    over the same partitioning — no extra shuffle). Safe while any one
+    key's time span stays under ~1000 half-lives; beyond that, chunk by
+    coarse time range first.
+
+    Returns ``(id, key, decayed_sum)``; ties at the same microsecond
+    accumulate in (ts, id) order deterministically.
+    """
+    h = float(half_life_sec) * 1_000_000.0  # half-life in µs
+    mic = F.unix_micros(F.col(ts_col))
+    w_all = Window.partitionBy(key_col)
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(mic.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t0 = F.min(mic).over(w_all)
+    rel = (mic - t0).cast("double") / F.lit(h)  # time in half-lives
+    weighted = F.col(value_col) * F.pow(F.lit(2.0), rel)
+    cum = F.sum(weighted).over(w_cum)
+    return events.select(
+        F.col(id_col),
+        F.col(key_col),
+        (cum * F.pow(F.lit(2.0), -rel)).alias("decayed_sum"),
     )
