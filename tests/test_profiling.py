@@ -111,3 +111,37 @@ def test_numeric_histogram_hand_computed(spark):
     got2 = {r.bin: r.n_rows for r in
             numeric_histogram(df, "x", n_bins=2, lo=0.0, hi=20.0).collect()}
     assert got2 == {0: 4, 1: 1}
+
+
+def test_winsorized_stats_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        winsorized_stats,
+    )
+
+    # 1..10 with an outlier 1000; p10/p90 clipping
+    vals = [float(v) for v in range(1, 11)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = winsorized_stats(df, "x", lo_p=0.1, hi_p=0.9).collect()[0]
+    assert r.n_rows == 11
+    # pct = (rank-1)/10: lo_cut = min value with pct>=0.1 → rank 2 → 2.0
+    # hi_cut = max value with pct<=0.9 → rank 10 → 10.0
+    assert r.lo_cut == 2.0 and r.hi_cut == 10.0
+    clipped = [min(max(v, 2.0), 10.0) for v in vals]
+    assert abs(r.winsorized_sum - sum(clipped)) < 1e-9
+    assert abs(r.winsorized_avg - sum(clipped) / 11) < 1e-9
+
+
+def test_equi_depth_bins_balanced(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        equi_depth_bins,
+    )
+    from pyspark.sql import functions as F
+
+    # heavily skewed values still give ~equal bin populations
+    df = spark.range(1000).select((F.col("id") * F.col("id")).cast("double").alias("x"))
+    rows = equi_depth_bins(df, "x", n_bins=4).collect()
+    assert [r.bin for r in rows] == [0, 1, 2, 3]
+    assert all(abs(r.n_rows - 250) <= 1 for r in rows)
+    # bins tile the value range in order
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo

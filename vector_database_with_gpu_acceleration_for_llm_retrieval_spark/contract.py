@@ -2103,6 +2103,41 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust price summary: exact p01/p99 cutoffs from the
+    distributed prefix-rank (no single-task global sort) and the
+    winsorized mean."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.winsorized_stats(t["lineitem"], "l_extendedprice", 0.01, 0.99)
+    return res.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _round6(F.col("lo_cut"), "lo_cut"),
+        _round6(F.col("hi_cut"), "hi_cut"),
+        _round6(F.col("winsorized_avg"), "winsorized_avg"),
+    )
+
+
+def q_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population order-value deciles — equi-depth binning on the
+    distributed percentile, readable under any skew."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.equi_depth_bins(t["orders"], "o_totalprice", n_bins=10)
+    return res.select(
+        "bin",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2639,6 +2674,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "winsorized_price": q_winsorized_price,
+        "spend_deciles": q_spend_deciles,
         "decayed_engagement": q_decayed_engagement,
         "cdc_snapshot": q_cdc_snapshot,
         "price_histogram": q_price_histogram,

@@ -2193,6 +2193,33 @@ FROM r
 """
 
 
+_ORACLE_WINSORIZED_PRICE = """
+WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+r AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS rn, count(*) OVER () AS n FROM b),
+p AS (SELECT x, CASE WHEN n > 1 THEN (rn - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS pct FROM r),
+c AS (SELECT min(CASE WHEN pct >= 0.01 THEN x END) AS lo,
+             max(CASE WHEN pct <= 0.99 THEN x END) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM p)
+SELECT c.n AS n_rows, round(c.lo, 6) + 0.0 AS lo_cut, round(c.hi, 6) + 0.0 AS hi_cut,
+       round(avg(least(greatest(p.x, c.lo), c.hi)), 6) + 0.0 AS winsorized_avg
+FROM p, c GROUP BY c.n, c.lo, c.hi
+"""
+
+
+_ORACLE_SPEND_DECILES = """
+WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+           WHERE o_totalprice IS NOT NULL),
+r AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS rn, count(*) OVER () AS n FROM b),
+p AS (SELECT x, CASE WHEN n > 1 THEN (rn - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS pct FROM r),
+x AS (SELECT CAST(least(floor(pct * 10), 9) AS INT) AS bin, x AS v FROM p)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(v), 6) + 0.0 AS lo, round(max(v), 6) + 0.0 AS hi
+FROM x GROUP BY bin ORDER BY bin
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2390,6 +2417,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "winsorized_price": _ORACLE_WINSORIZED_PRICE,
+        "spend_deciles": _ORACLE_SPEND_DECILES,
         "decayed_engagement": _ORACLE_DECAYED_ENGAGEMENT,
         "cdc_snapshot": _ORACLE_CDC_SNAPSHOT,
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,

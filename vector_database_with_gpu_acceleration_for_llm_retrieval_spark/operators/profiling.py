@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins"]
 
 
 def profile_table(
@@ -188,6 +188,86 @@ def numeric_histogram(
             (F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / n_bins).alias("bin_lo"),
             (F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / n_bins).alias("bin_hi"),
             "n_rows",
+        )
+        .orderBy("bin")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+) -> DataFrame:
+    """Outlier-robust summary: exact percentile cutoffs at ``lo_p`` /
+    ``hi_p`` and the winsorized (clipped) mean/sum — what a fair
+    average looks like when a handful of rows are garbage.
+
+    EXACT quantiles without the classic scale-killer: the global order
+    comes from :func:`~.sampling.global_rank`'s distributed prefix-rank
+    (range partition + P-row offsets), never a single-task
+    ``Window.orderBy``. Cutoffs are then two conditional aggregates
+    over the ranked frame (``lo_cut`` = min value with pct ≥ lo_p,
+    ``hi_cut`` = max value with pct ≤ hi_p — order statistics, so
+    engine-exact), broadcast back into the clipping projection. One
+    lazy plan, no collect.
+
+    Returns one row: ``(n_rows, lo_cut, hi_cut, winsorized_avg,
+    winsorized_sum)``. NULLs are excluded.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    base = df.select(F.col(col).alias("__x")).filter(F.col("__x").isNotNull())
+    ranked = global_rank(base, "__x", id_col="__x")
+    cuts = ranked.agg(
+        F.min(F.when(F.col("pct") >= lo_p, F.col("__x"))).alias("__lo"),
+        F.max(F.when(F.col("pct") <= hi_p, F.col("__x"))).alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    clipped = F.least(F.greatest(F.col("__x"), F.col("__lo")), F.col("__hi"))
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.first("__n").alias("n_rows"),
+            F.first("__lo").alias("lo_cut"),
+            F.first("__hi").alias("hi_cut"),
+            F.avg(clipped).alias("winsorized_avg"),
+            F.sum(clipped).alias("winsorized_sum"),
+        )
+    )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-population (equi-depth) binning: every bin holds ~N/n rows
+    — the histogram that stays readable under skew, and the bucketing a
+    stratified sampler or monotonic feature transform wants.
+
+    ``bin = floor(pct · n)`` over :func:`~.sampling.global_rank`'s
+    distributed percentile (clamped to n−1), so no single-task global
+    window; one range shuffle + one group-by.
+
+    Returns ``(bin, n_rows, lo, hi)`` — observed value bounds per bin.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    base = df.select(F.col(col).alias("__x")).filter(F.col("__x").isNotNull())
+    ranked = global_rank(base, "__x", id_col="__x")
+    bin_ = F.least(F.floor(F.col("pct") * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        ranked.select(bin_.alias("bin"), "__x")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("lo"),
+            F.max("__x").alias("hi"),
         )
         .orderBy("bin")
     )
