@@ -2138,6 +2138,25 @@ def q_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: lag window on the tiny
+    aggregated months frame, never on the fact table."""
+    return R.monthly_growth(load_tables(spark, sf_dir))
+
+
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle from the event log: users bucketed by
+    first-activity DAY (the corpus spans one month), counted per
+    days-since-cohort offset."""
+    t = load_tables(spark, sf_dir)
+    res = R.cohort_matrix(t["events"], granularity="day")
+    return res.select(
+        "cohort_period",
+        F.col("period_offset").cast("int").alias("period_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2674,6 +2693,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "monthly_growth": q_monthly_growth,
+        "cohort_matrix": q_cohort_matrix,
         "winsorized_price": q_winsorized_price,
         "spend_deciles": q_spend_deciles,
         "decayed_engagement": q_decayed_engagement,

@@ -2220,6 +2220,27 @@ FROM x GROUP BY bin ORDER BY bin
 """
 
 
+_ORACLE_MONTHLY_GROWTH = """
+WITH rev AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                    sum(l_extendedprice * (1 - l_discount)) AS r
+             FROM lineitem GROUP BY 1)
+SELECT ship_month, round(r, 6) + 0.0 AS revenue,
+       round((r - lag(r) OVER (ORDER BY ship_month))
+             / lag(r) OVER (ORDER BY ship_month) * 100.0, 6) + 0.0 AS mom_growth_pct
+FROM rev ORDER BY ship_month
+"""
+
+
+_ORACLE_COHORT_MATRIX = """
+WITH f AS (SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cm FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS am FROM events)
+SELECT cm AS cohort_period,
+       CAST(date_diff('day', CAST(cm AS DATE), CAST(am AS DATE)) AS INT) AS period_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2417,6 +2438,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "monthly_growth": _ORACLE_MONTHLY_GROWTH,
+        "cohort_matrix": _ORACLE_COHORT_MATRIX,
         "winsorized_price": _ORACLE_WINSORIZED_PRICE,
         "spend_deciles": _ORACLE_SPEND_DECILES,
         "decayed_engagement": _ORACLE_DECAYED_ENGAGEMENT,

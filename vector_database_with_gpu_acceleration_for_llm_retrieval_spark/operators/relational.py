@@ -32,6 +32,8 @@ __all__ = [
     "item_cooccurrence",
     "large_orders",
     "idle_rich_customers",
+    "monthly_growth",
+    "cohort_matrix",
 ]
 
 
@@ -455,4 +457,66 @@ def idle_rich_customers(t: dict[str, DataFrame], since: str = "2000-01-01") -> D
             (F.round(F.sum("c_acctbal"), 6) + F.lit(0.0)).alias("total_bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+def monthly_growth(t: dict[str, DataFrame]) -> DataFrame:
+    """Month-over-month revenue growth: the period-over-period ``lag``
+    shape. The corpus-sized work is one groupBy(month) — the window
+    then runs on the TINY aggregated frame (one row per month), so the
+    unpartitioned ordered window is harmless (frame size = number of
+    months, not the fact table)."""
+    li = t["lineitem"]
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    rev = (
+        li.groupBy(month)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+    )
+    w = Window.orderBy("ship_month")
+    prev = F.lag("__rev").over(w)
+    return rev.select(
+        "ship_month",
+        (F.round(F.col("__rev"), 6) + F.lit(0.0)).alias("revenue"),
+        (F.round(
+            F.when(prev.isNotNull(), (F.col("__rev") - prev) / prev * 100.0),
+            6,
+        ) + F.lit(0.0)).alias("mom_growth_pct"),
+    ).orderBy("ship_month")
+
+
+def cohort_matrix(events: DataFrame, granularity: str = "month") -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), counted in each later period they return —
+    the standard product-analytics retention triangle.
+    ``granularity`` ∈ {"month", "day"}.
+
+    Two shuffles, both on the user key: (1) per-user min(ts) — a
+    partial-aggregated groupBy, (2) distinct (user, period) activity.
+    The join keys on user_id (the per-user frame is corpus-bounded by
+    the user count, AQE broadcasts it for small user sets); cohorts
+    then aggregate to a periods × periods frame (tiny).
+    ``period_offset`` counts periods since the cohort period."""
+    fmt = "yyyy-MM" if granularity == "month" else "yyyy-MM-dd"
+    first = events.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), fmt).alias("cohort_period")
+    )
+    activity = events.select(
+        "user_id", F.date_format("ts", fmt).alias("active_period")
+    ).distinct()
+    joined = activity.join(first, "user_id")
+    if granularity == "month":
+        offset = (
+            (F.substring("active_period", 1, 4).cast("int") * 12
+             + F.substring("active_period", 6, 2).cast("int"))
+            - (F.substring("cohort_period", 1, 4).cast("int") * 12
+               + F.substring("cohort_period", 6, 2).cast("int"))
+        )
+    else:
+        offset = F.datediff(
+            F.to_date("active_period"), F.to_date("cohort_period")
+        )
+    return (
+        joined.groupBy("cohort_period", offset.alias("period_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_period", "period_offset")
     )
