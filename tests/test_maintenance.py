@@ -56,3 +56,52 @@ def test_compact_empty_and_unpartitioned(spark, tables):
         assert sorted((r.doc_id, r.text) for r in spark.read.parquet(path).collect()) == before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_publish_table_wap_gate(spark):
+    """Clean data publishes atomically; dirty data raises, leaves the
+    staging dir for inspection, and never touches the live table."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
+        PublishAuditError,
+        publish_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="wap_")
+    path = tmp + "/t"
+    try:
+        clean = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, v double")
+        out = publish_table(clean, path, not_null=["id"], unique=[["id"]],
+                            checks={"v_pos": F.col("v") > 0})
+        assert out["rows"] == 2 and out["violations"] == []
+        assert spark.read.parquet(path).count() == 2
+
+        # dirty update: duplicate id + negative v → audit fails,
+        # live table unchanged, staging left behind
+        dirty = spark.createDataFrame(
+            [(3, 1.0), (3, -2.0)], "id long, v double"
+        )
+        with pytest.raises(PublishAuditError) as ei:
+            publish_table(dirty, path, not_null=["id"], unique=[["id"]],
+                          checks={"v_pos": F.col("v") > 0})
+        names = {v["constraint"] for v in ei.value.violations}
+        assert names == {"unique(id)", "check(v_pos)"}
+        live = spark.read.parquet(path)
+        assert {r.id for r in live.collect()} == {1, 2}  # untouched
+        assert glob.glob(path + "__staging/*.parquet")  # kept for debugging
+
+        # clean replacement publishes over the old table
+        out2 = publish_table(
+            spark.createDataFrame([(9, 1.0)], "id long, v double"), path,
+            not_null=["id"],
+        )
+        assert out2["rows"] == 1
+        assert {r.id for r in spark.read.parquet(path).collect()} == {9}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

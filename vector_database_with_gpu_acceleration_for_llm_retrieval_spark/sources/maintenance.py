@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact_collection"]
+__all__ = ["table_file_stats", "compact_collection", "publish_table", "PublishAuditError"]
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -119,3 +119,79 @@ def compact_collection(
         "total_bytes": after["total_bytes"],
         "rows": rows,
     }
+
+
+class PublishAuditError(RuntimeError):
+    """Raised when a write-audit-publish run fails its constraint
+    audit; carries the violation rows and the staging path left on
+    disk for inspection."""
+
+    def __init__(self, staging_path: str, violations: list):
+        self.staging_path = staging_path
+        self.violations = violations
+        detail = ", ".join(f"{r['constraint']}={r['n_violations']}" for r in violations)
+        super().__init__(
+            f"audit failed ({detail}); staged data left at {staging_path}"
+        )
+
+
+def publish_table(
+    df,
+    path: str,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    checks: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write-audit-publish (WAP): stage the table next to its final
+    location, run the declared constraint audit ON THE STAGED FILES,
+    and only then swap it into place — readers never see data that
+    failed the audit, and a failed run leaves the staging directory on
+    disk for debugging instead of half-publishing.
+
+    The audit reads what was actually WRITTEN (not the input plan), so
+    write-path bugs (lossy casts, partition pruning mistakes) are
+    caught too. Swap is the same rename pair ``compact_collection``
+    uses — a concurrent reader sees the old table or the new one,
+    never a mix. Raises :class:`PublishAuditError` on violations.
+
+    Returns ``{rows, n_files, violations: []}`` on success.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        audit_constraints,
+    )
+
+    spark = df.sparkSession
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__staging")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__prepublish")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(str(staging))
+
+    staged = spark.read.parquet(str(staging))
+    audit = audit_constraints(
+        staged, not_null=not_null, unique=unique, checks=checks
+    ).collect()
+    bad = [r.asDict() for r in audit if r["n_violations"] > 0]
+    if bad:
+        raise PublishAuditError(str(staging), bad)
+
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_prev = fs.exists(hpath)
+    if had_prev and not fs.rename(hpath, old):
+        raise IOError(f"publish swap failed renaming {path}")
+    if not fs.rename(staging, hpath):
+        if had_prev:
+            fs.rename(old, hpath)  # roll back
+        raise IOError(f"publish swap failed installing {staging}")
+    if had_prev:
+        fs.delete(old, True)
+    stats = table_file_stats(spark, path)
+    return {"rows": spark.read.parquet(path).count(), "n_files": stats["n_files"], "violations": []}
