@@ -263,3 +263,24 @@ def test_apply_changelog_hand_computed(spark):
     )
     got = {r.id: (r.name, r.bal) for r in I.apply_changelog(snap, changes).collect()}
     assert got == {1: ("a", 10.0), 3: ("c3", 32.0), 4: ("d", 40.0)}
+
+
+def test_delete_from_collection_dataframe_ids(spark, tables):
+    """Bulk erasure: ids passed as a DataFrame never ride the driver."""
+    import shutil
+    import tempfile
+
+    emb = tables["embeddings"].select("vec_id", "embedding", "label").limit(20)
+    tmp = tempfile.mkdtemp(prefix="delete_df_")
+    path = tmp + "/coll"
+    try:
+        I.write_collection(
+            I.prepare_vectors(emb, dim=64, n_shards=4, how="mod"),
+            path, n_shards=4, mode="overwrite",
+        )
+        ids = spark.createDataFrame([(2,), (6,)], "vec_id long")
+        stats = I.delete_from_collection(spark, path, ids, n_shards=4, how="mod")
+        assert stats["rows_deleted"] == 2 and stats["touched_shards"] == [2]
+        assert spark.read.parquet(path).filter(F.col("vec_id").isin([2, 6])).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

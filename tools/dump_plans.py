@@ -248,6 +248,20 @@ AUDITED = {
         "snapshot (broadcast under AQE), survivors union — snapshot never "
         "shuffles."
     ),
+    "rate_limited": (
+        "Admission control: one shuffle on (user, window); the quota rank "
+        "is a bounded per-group window — the streaming twin holds one "
+        "(window, count) struct per key instead."
+    ),
+    "decayed_engagement": (
+        "Factored exponential decay: per-key min and the cumulative sum "
+        "share ONE hashpartitioning exchange; no UDF, no recursion."
+    ),
+    "winsorized_price": (
+        "Exact robust stats: the distributed prefix-rank (range partition "
+        "+ P-row offsets) replaces the single-task global sort; cutoffs "
+        "broadcast back into the clipping aggregate."
+    ),
 }
 
 

@@ -166,7 +166,7 @@ def upsert_collection(
 def delete_from_collection(
     spark,
     path: str,
-    ids: list,
+    ids: "list | DataFrame",
     n_shards: int,
     id_col: str = "vec_id",
     how: str = "hash",
@@ -184,14 +184,15 @@ def delete_from_collection(
 
     Returns ``{"touched_shards": [...], "rows_deleted": n}``.
     """
-    if not ids:
-        return {"touched_shards": [], "rows_deleted": 0}
-    targets = assign_shard(
-        spark.createDataFrame([(i,) for i in ids], f"{id_col} long"),
-        n_shards,
-        id_col=id_col,
-        how=how,
-    )
+    if isinstance(ids, DataFrame):
+        id_frame = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        if not ids:
+            return {"touched_shards": [], "rows_deleted": 0}
+        # small driver-side lists are the common interactive case; pass a
+        # DataFrame for bulk erasure batches so ids never ride the driver
+        id_frame = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    targets = assign_shard(id_frame, n_shards, id_col=id_col, how=how)
     touched = sorted(r["shard"] for r in targets.select("shard").distinct().collect())
     current = spark.read.parquet(path).filter(F.col("shard").isin(touched))
     before = current.count()
