@@ -145,3 +145,28 @@ def test_equi_depth_bins_balanced(spark):
     # bins tile the value range in order
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_column_correlations_hand_computed(spark):
+    import math
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        column_correlations,
+    )
+
+    # y = 2x exactly (corr 1); z anti-correlated with x; w constant
+    rows = [(1.0, 2.0, 3.0, 5.0), (2.0, 4.0, 2.0, 5.0), (3.0, 6.0, 1.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {(r.col_a, r.col_b): r for r in
+           column_correlations(df, ["x", "y", "z", "w"]).collect()}
+    assert len(got) == 6
+    assert abs(got[("x", "y")].corr - 1.0) < 1e-12
+    assert abs(got[("x", "z")].corr + 1.0) < 1e-12
+    assert got[("x", "w")].corr is None  # constant side → NULL
+    # NULL pairwise deletion: a NULL x row drops from (x,*) pairs only
+    df2 = spark.createDataFrame(
+        rows + [(None, 8.0, 9.0, 5.0)], "x double, y double, z double, w double"
+    )
+    got2 = {(r.col_a, r.col_b): r for r in
+            column_correlations(df2, ["x", "y", "z"]).collect()}
+    assert got2[("x", "y")].n == 3 and got2[("y", "z")].n == 4

@@ -2157,6 +2157,25 @@ def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric measures,
+    all six pairs from ONE aggregation pass."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.column_correlations(
+        t["lineitem"], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return res.select(
+        "col_a",
+        "col_b",
+        F.col("n").cast("long").alias("n"),
+        _round6(F.col("corr"), "corr"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2693,6 +2712,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "lineitem_correlations": q_lineitem_correlations,
         "monthly_growth": q_monthly_growth,
         "cohort_matrix": q_cohort_matrix,
         "winsorized_price": q_winsorized_price,

@@ -2241,6 +2241,123 @@ FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_ORACLE_LINEITEM_CORRELATIONS = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       CAST(count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
+       round(
+         (sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_extendedprice END)
+          - sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+            * sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+            / count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END))
+         / sqrt(
+             (sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_quantity END)
+              - sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+                * sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+                / count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END))
+             * (sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_extendedprice END)
+                - sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+                  * sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+                  / count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END))),
+         6) + 0.0 AS corr
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+       CAST(count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
+       round(
+         (sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_discount END)
+          - sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+            * sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+            / count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
+         / sqrt(
+             (sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_quantity END)
+              - sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+                * sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+                / count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
+             * (sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_discount END)
+                - sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+                  * sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+                  / count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))),
+         6) + 0.0 AS corr
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+       CAST(count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
+       round(
+         (sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_tax END)
+          - sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+            * sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+            / count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
+         / sqrt(
+             (sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_quantity END)
+              - sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+                * sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
+                / count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
+             * (sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) * l_tax END)
+                - sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+                  * sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+                  / count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))),
+         6) + 0.0 AS corr
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+       CAST(count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
+       round(
+         (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_discount END)
+          - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+            * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+            / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
+         / sqrt(
+             (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_extendedprice END)
+              - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+                * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+                / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
+             * (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_discount END)
+                - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+                  * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+                  / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))),
+         6) + 0.0 AS corr
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+       CAST(count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
+       round(
+         (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_tax END)
+          - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+            * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+            / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
+         / sqrt(
+             (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_extendedprice END)
+              - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+                * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
+                / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
+             * (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) * l_tax END)
+                - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+                  * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+                  / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))),
+         6) + 0.0 AS corr
+FROM lineitem
+UNION ALL
+SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+       CAST(count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
+       round(
+         (sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_tax END)
+          - sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+            * sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+            / count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
+         / sqrt(
+             (sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_discount END)
+              - sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+                * sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
+                / count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
+             * (sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) * l_tax END)
+                - sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+                  * sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
+                  / count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))),
+         6) + 0.0 AS corr
+FROM lineitem
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2438,6 +2555,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "lineitem_correlations": _ORACLE_LINEITEM_CORRELATIONS,
         "monthly_growth": _ORACLE_MONTHLY_GROWTH,
         "cohort_matrix": _ORACLE_COHORT_MATRIX,
         "winsorized_price": _ORACLE_WINSORIZED_PRICE,

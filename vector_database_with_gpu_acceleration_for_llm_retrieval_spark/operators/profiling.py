@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations"]
 
 
 def profile_table(
@@ -271,3 +271,50 @@ def equi_depth_bins(
         )
         .orderBy("bin")
     )
+
+
+def column_correlations(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, all from ONE
+    aggregation pass: the single scan accumulates n, Σx, Σx² per column
+    and Σxy per pair (map-side partials), and the correlations are pure
+    arithmetic on that one row — ``C(k,2)`` pairs never rescan.
+
+    Rows where EITHER column of a pair is NULL are excluded from that
+    pair's sums (pairwise deletion, the standard choice). Returns
+    ``(col_a, col_b, n, corr)`` for a < b; ``corr`` is NULL when a
+    side is constant.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa = F.when(both, F.col(a).cast("double"))
+        xb = F.when(both, F.col(b).cast("double"))
+        aggs += [
+            F.count(xa).alias(f"__n{i}"),
+            F.sum(xa).alias(f"__sa{i}"),
+            F.sum(xb).alias(f"__sb{i}"),
+            F.sum(xa * xa).alias(f"__saa{i}"),
+            F.sum(xb * xb).alias(f"__sbb{i}"),
+            F.sum(xa * xb).alias(f"__sab{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"__n{i}").cast("double")
+        cov = F.col(f"__sab{i}") - F.col(f"__sa{i}") * F.col(f"__sb{i}") / n
+        va = F.col(f"__saa{i}") - F.col(f"__sa{i}") * F.col(f"__sa{i}") / n
+        vb = F.col(f"__sbb{i}") - F.col(f"__sb{i}") * F.col(f"__sb{i}") / n
+        corr = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__n{i}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
