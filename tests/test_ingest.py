@@ -284,3 +284,35 @@ def test_delete_from_collection_dataframe_ids(spark, tables):
         assert spark.read.parquet(path).filter(F.col("vec_id").isin([2, 6])).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_apply_changelog_null_op_upserts(spark):
+    """A NULL/unknown op must upsert, never silently delete the key."""
+    snap = spark.createDataFrame([(1, "a")], "id long, val string")
+    ch = spark.createDataFrame(
+        [(1, "a2", 100, 1, None), (2, "b", 100, 1, "X")],
+        "id long, val string, ts long, seq long, op string",
+    )
+    got = {r.id: r.val for r in I.apply_changelog(snap, ch).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+
+def test_delete_from_collection_string_ids(spark):
+    """String-keyed collections delete via driver-side lists too."""
+    import shutil
+    import tempfile
+
+    rows = [(f"doc-{i}", [float(i)] * 4) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    tmp = tempfile.mkdtemp(prefix="delete_str_")
+    path = tmp + "/coll"
+    try:
+        I.write_collection(
+            I.prepare_vectors(df, dim=4, n_shards=2, how="hash"),
+            path, n_shards=2, mode="overwrite",
+        )
+        stats = I.delete_from_collection(spark, path, ["doc-3"], n_shards=2, how="hash")
+        assert stats["rows_deleted"] == 1
+        assert spark.read.parquet(path).filter(F.col("vec_id") == "doc-3").count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -170,3 +170,36 @@ def test_column_correlations_hand_computed(spark):
     got2 = {(r.col_a, r.col_b): r for r in
             column_correlations(df2, ["x", "y", "z"]).collect()}
     assert got2[("x", "y")].n == 3 and got2[("y", "z")].n == 4
+
+
+def test_numeric_histogram_partial_and_degenerate_bounds(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame([(3.2,), (5.0,), (9.9,)], "x double")
+    # explicit lo honored even though hi is observed
+    got = {r.bin: r for r in numeric_histogram(df, "x", n_bins=2, lo=0.0).collect()}
+    assert got[0].bin_lo == 0.0  # NOT the observed min 3.2
+    # value below an explicit lo clamps to bin 0, never negative
+    df2 = spark.createDataFrame([(-5.0,), (5.0,)], "x double")
+    bins = {r.bin for r in numeric_histogram(df2, "x", n_bins=4, lo=0.0, hi=8.0).collect()}
+    assert bins == {0, 2}
+    # constant column: all rows land in bin 0, no NULL bins
+    df3 = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = numeric_histogram(df3, "x", n_bins=5).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n_rows == 2
+
+
+def test_audit_constraints_null_check_is_violation(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        audit_constraints,
+    )
+
+    df = spark.createDataFrame([(1.0,), (None,), (-2.0,)], "v double")
+    out = {r.constraint: r.n_violations for r in
+           audit_constraints(df, checks={"v_pos": F.col("v") > 0}).collect()}
+    # NULL predicate result must count as a violation, not a pass
+    assert out["check(v_pos)"] == 2

@@ -177,3 +177,23 @@ def test_gumbel_topk_sample_deterministic_and_weighted(spark):
         df, 10, score_col="score", temperature=1e-9
     ).collect()
     assert all(r.score == 9.0 for r in cold)
+
+
+def test_dsir_weights_null_target_rows(spark):
+    """Rows where the target predicate is NULL count as not-target and
+    never crash the distribution collect."""
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "wiki"), (2, "alpha gamma", None), (3, "delta", "web")],
+        "doc_id long, text string, source string",
+    )
+    res = sampling.dsir_weights(
+        docs, target=F.col("source") == "wiki", n_buckets=32, alpha=0.5
+    ).collect()
+    assert {r.doc_id for r in res} == {1, 2, 3}
+    assert all(r.log_weight is not None for r in res)

@@ -1650,7 +1650,7 @@ gb AS (SELECT doc_id, is_t, unnest(bs) AS b FROM feat),
 raw AS (SELECT b, count(*) AS n_raw FROM gb GROUP BY 1),
 tgt AS (SELECT b, count(*) AS n_tgt FROM gb WHERE is_t GROUP BY 1),
 tots AS (SELECT (SELECT sum(n_raw) FROM raw) AS t_raw,
-                (SELECT sum(n_tgt) FROM tgt) AS t_tgt),
+                (SELECT coalesce(sum(n_tgt), 0) FROM tgt) AS t_tgt),
 lam AS (SELECT raw.b,
                ln((coalesce(tgt.n_tgt, 0) + {a}) / (tots.t_tgt + {ab}))
              - ln((raw.n_raw + {a}) / (tots.t_raw + {ab})) AS lam
@@ -2124,7 +2124,7 @@ SELECT 'not_null(o_orderkey)' AS "constraint", 'not_null' AS kind,
 FROM orders
 UNION ALL
 SELECT 'check(totalprice_pos)', 'check',
-       CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT)
+       CAST(count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE)) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'unique(o_orderkey)', 'unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
@@ -2241,121 +2241,34 @@ FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-_ORACLE_LINEITEM_CORRELATIONS = """
-SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-       CAST(count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
-       round(
-         (sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_extendedprice END)
-          - sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-            * sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-            / count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END))
-         / sqrt(
-             (sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_quantity END)
-              - sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-                * sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-                / count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END))
-             * (sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_extendedprice END)
-                - sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-                  * sum(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-                  / count(CASE WHEN (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) THEN 1 END))),
-         6) + 0.0 AS corr
-FROM lineitem
-UNION ALL
-SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
-       CAST(count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
-       round(
-         (sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_discount END)
-          - sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-            * sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-            / count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
-         / sqrt(
-             (sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_quantity END)
-              - sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-                * sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-                / count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
-             * (sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_discount END)
-                - sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-                  * sum(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-                  / count(CASE WHEN (l_quantity IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))),
-         6) + 0.0 AS corr
-FROM lineitem
-UNION ALL
-SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
-       CAST(count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
-       round(
-         (sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_tax END)
-          - sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-            * sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-            / count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
-         / sqrt(
-             (sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) * l_quantity END)
-              - sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-                * sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_quantity AS DOUBLE) END)
-                / count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
-             * (sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) * l_tax END)
-                - sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-                  * sum(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-                  / count(CASE WHEN (l_quantity IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))),
-         6) + 0.0 AS corr
-FROM lineitem
-UNION ALL
-SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
-       CAST(count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
-       round(
-         (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_discount END)
-          - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-            * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-            / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
-         / sqrt(
-             (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_extendedprice END)
-              - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-                * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-                / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))
-             * (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_discount END)
-                - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-                  * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-                  / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) THEN 1 END))),
-         6) + 0.0 AS corr
-FROM lineitem
-UNION ALL
-SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
-       CAST(count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
-       round(
-         (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_tax END)
-          - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-            * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-            / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
-         / sqrt(
-             (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) * l_extendedprice END)
-              - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-                * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_extendedprice AS DOUBLE) END)
-                / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
-             * (sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) * l_tax END)
-                - sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-                  * sum(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-                  / count(CASE WHEN (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))),
-         6) + 0.0 AS corr
-FROM lineitem
-UNION ALL
-SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
-       CAST(count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END) AS BIGINT) AS n,
-       round(
-         (sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_tax END)
-          - sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-            * sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-            / count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
-         / sqrt(
-             (sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) * l_discount END)
-              - sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-                * sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_discount AS DOUBLE) END)
-                / count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))
-             * (sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) * l_tax END)
-                - sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-                  * sum(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN CAST(l_tax AS DOUBLE) END)
-                  / count(CASE WHEN (l_discount IS NOT NULL AND l_tax IS NOT NULL) THEN 1 END))),
-         6) + 0.0 AS corr
-FROM lineitem
-"""
+def _oracle_lineitem_correlations() -> str:
+    """Six pairwise Pearson correlations, generated from the pair list
+    (one template, no hand-expanded copies) with the same constant-
+    side NULL guard as operators.profiling.column_correlations."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    parts = []
+    for a, b in pairs:
+        both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+        xa, xb = f"CAST({a} AS DOUBLE)", f"CAST({b} AS DOUBLE)"
+        parts.append(f"""SELECT col_a, col_b, n,
+       round(CASE WHEN va > 0 AND vb > 0 THEN cov / sqrt(va * vb) END, 6) + 0.0 AS corr
+FROM (SELECT '{a}' AS col_a, '{b}' AS col_b,
+             CAST(count(CASE WHEN {both} THEN 1 END) AS BIGINT) AS n,
+             sum(CASE WHEN {both} THEN {xa} * {xb} END)
+               - sum(CASE WHEN {both} THEN {xa} END)
+                 * sum(CASE WHEN {both} THEN {xb} END)
+                 / count(CASE WHEN {both} THEN 1 END) AS cov,
+             sum(CASE WHEN {both} THEN {xa} * {xa} END)
+               - sum(CASE WHEN {both} THEN {xa} END)
+                 * sum(CASE WHEN {both} THEN {xa} END)
+                 / count(CASE WHEN {both} THEN 1 END) AS va,
+             sum(CASE WHEN {both} THEN {xb} * {xb} END)
+               - sum(CASE WHEN {both} THEN {xb} END)
+                 * sum(CASE WHEN {both} THEN {xb} END)
+                 / count(CASE WHEN {both} THEN 1 END) AS vb
+      FROM lineitem)""")
+    return "\nUNION ALL\n".join(parts)
 
 
 def _oracle_key_skew() -> str:
@@ -2555,7 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
-        "lineitem_correlations": _ORACLE_LINEITEM_CORRELATIONS,
+        "lineitem_correlations": _oracle_lineitem_correlations(),
         "monthly_growth": _ORACLE_MONTHLY_GROWTH,
         "cohort_matrix": _ORACLE_COHORT_MATRIX,
         "winsorized_price": _ORACLE_WINSORIZED_PRICE,

@@ -190,8 +190,9 @@ def delete_from_collection(
         if not ids:
             return {"touched_shards": [], "rows_deleted": 0}
         # small driver-side lists are the common interactive case; pass a
-        # DataFrame for bulk erasure batches so ids never ride the driver
-        id_frame = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        # DataFrame for bulk erasure batches so ids never ride the driver.
+        # Schema is inferred so string-keyed collections delete too.
+        id_frame = spark.createDataFrame([(i,) for i in ids], [id_col])
     targets = assign_shard(id_frame, n_shards, id_col=id_col, how=how)
     touched = sorted(r["shard"] for r in targets.select("shard").distinct().collect())
     current = spark.read.parquet(path).filter(F.col("shard").isin(touched))
@@ -413,5 +414,8 @@ def apply_changelog(
     )
     keys = latest.select(id_col)
     untouched = snapshot.join(keys, id_col, "left_anti")
-    upserts = latest.filter(F.col(op_col) != "D").select(*snapshot.columns)
+    # only a literal 'D' deletes; a NULL/unknown op is an upsert, never
+    # a silent drop (NULL != 'D' is NULL and would fall out of a plain
+    # filter while the key still anti-joins away — data loss)
+    upserts = latest.filter(~F.col(op_col).eqNullSafe("D")).select(*snapshot.columns)
     return untouched.unionByName(upserts)

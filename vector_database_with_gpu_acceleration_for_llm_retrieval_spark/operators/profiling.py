@@ -93,7 +93,11 @@ def audit_constraints(
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
         names.append((f"not_null({c})", "not_null", f"__nn_{c}"))
     for name, cond in (checks or {}).items():
-        aggs.append(F.sum((~cond).cast("long")).alias(f"__ck_{name}"))
+        # a NULL check result is a VIOLATION: "must hold per row" means
+        # rows where the predicate is unknown don't get to pass silently
+        aggs.append(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(f"__ck_{name}")
+        )
         names.append((f"check({name})", "check", f"__ck_{name}"))
     if aggs:
         row = df.agg(*aggs)
@@ -167,18 +171,29 @@ def numeric_histogram(
     """
     base = df.select(F.col(col).alias("__x")).filter(F.col("__x").isNotNull())
     if lo is None or hi is None:
+        # compute only the MISSING side(s) from data — an explicit bound
+        # is honored even when the other side is observed
         bounds = base.agg(
-            F.min("__x").cast("double").alias("__lo"),
-            F.max("__x").cast("double").alias("__hi"),
+            F.min("__x").cast("double").alias("__olo"),
+            F.max("__x").cast("double").alias("__ohi"),
         )
-        b = base.crossJoin(F.broadcast(bounds))
+        b = (
+            base.crossJoin(F.broadcast(bounds))
+            .withColumn("__lo", F.lit(lo).cast("double") if lo is not None else F.col("__olo"))
+            .withColumn("__hi", F.lit(hi).cast("double") if hi is not None else F.col("__ohi"))
+        )
     else:
         b = base.withColumn("__lo", F.lit(float(lo))).withColumn(
             "__hi", F.lit(float(hi))
         )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
     raw = F.floor((F.col("__x").cast("double") - F.col("__lo")) / width)
-    bin_ = F.least(raw, F.lit(n_bins - 1)).cast("int")
+    # clamp BOTH edges (a value below an explicit lo would go negative)
+    # and collapse the degenerate lo==hi (zero width) case into bin 0
+    bin_ = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.greatest(F.least(raw, F.lit(n_bins - 1)), F.lit(0)),
+    ).otherwise(F.lit(0)).cast("int")
     return (
         b.select(bin_.alias("bin"), "__lo", "__hi")
         .groupBy("bin", "__lo", "__hi")

@@ -356,7 +356,9 @@ def dsir_weights(
         .groupBy("b")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
-            F.sum(F.col("__is_target").cast("long")).alias("n_tgt"),
+            # NULL target predicate counts as NOT-target (mirrors the
+            # oracle's WHERE is_t) and can never NULL the sum
+            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("n_tgt"),
         )
         .collect()
     )
