@@ -62,6 +62,56 @@ def stratified_sample(
     return df.filter(h < (rate * _SAMPLE_MOD).cast("long"))
 
 
+def _distributed_prefix(
+    df: DataFrame,
+    key: list[Column],
+    weight: Column,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The distributed-prefix shape shared by :func:`budget_select` and
+    :func:`global_rank` (and, in stratified form, ``pack_sequences``):
+    range-partition on ``key``, running ``weight`` total WITHIN each
+    physical partition, then add the exclusive prefix of per-partition
+    totals (a P-row frame, broadcast back). Returns ``df`` plus
+    ``__run`` (inclusive within-partition total), ``__off`` (exclusive
+    prefix of preceding partitions), and ``__total`` (grand total) —
+    ``__run + __off`` is the exact global inclusive prefix, with no
+    single-partition stage over the data.
+
+    NOTE on lineage determinism: the range-partitioned frame feeds TWO
+    subplans (the offsets aggregate and the final join). Correctness
+    needs both to see the same partition boundaries. That holds because
+    (a) Catalyst reuses the range Exchange when both branches share its
+    canonical plan (ReusedExchange in the physical plan), and (b) even
+    without reuse, RangePartitioner's boundary sampling is seeded
+    deterministically from the partition index, so a recompute over the
+    same input yields identical boundaries. Do not insert a
+    nondeterministic narrow op (e.g. sample, rand) between the
+    repartition and either consumer — that would break (b).
+    """
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = df.repartitionByRange(n_parts, *key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rp = rp.withColumn("__run", F.sum(weight).over(w_in))
+    # P rows: per-partition totals → exclusive prefix over partition ids
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        rp.groupBy("__pid")
+        .agg(F.sum(weight).alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
+        .withColumn("__total", F.sum("__ptot").over(Window.partitionBy()))
+        .select("__pid", "__off", "__total")
+    )
+    return rp.join(F.broadcast(offsets), "__pid")
+
+
 def budget_select(
     docs: DataFrame,
     budget_tokens: int,
@@ -77,56 +127,22 @@ def budget_select(
     score exists.
 
     A global ordered cumsum is inherently sequential, so the naive
-    single-partition window dies at scale. This uses the distributed
-    prefix-sum shape instead: range-partition on the order key, running
-    sum *within* each partition, then add each partition's preceding-
-    partition total (a tiny P-row frame, broadcast back). One range
-    shuffle of the data, one P-row aggregate — exact global cumsum with
-    no single-partition stage over the corpus.
+    single-partition window dies at scale; the cumsum comes from
+    :func:`_distributed_prefix` instead (one range shuffle + a P-row
+    aggregate — exact, no single-partition stage over the corpus).
 
     Returns the selected rows with ``n_tokens`` and ``cum_tokens``
     (inclusive) columns.
     """
     key = [F.col(order_col).desc(), F.col(id_col).asc()]
     base = docs.withColumn("__tok", TX.n_tokens(F.col(text_col)).cast("long"))
-    if n_parts is None:
-        n_parts = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    # NOTE on lineage determinism: `rp` feeds TWO subplans (the offsets
-    # aggregate and the final join). Correctness needs both to see the
-    # same partition boundaries. That holds because (a) Catalyst reuses
-    # the range Exchange when both branches share its canonical plan
-    # (ReusedExchange in the physical plan), and (b) even without reuse,
-    # RangePartitioner's boundary sampling is seeded deterministically
-    # from the partition index, so a recompute over the same input
-    # yields identical boundaries. Do not insert a nondeterministic
-    # narrow op (e.g. sample, rand) between the repartition and either
-    # consumer — that would break (b).
-    rp = base.repartitionByRange(n_parts, *key).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w_in = (
-        Window.partitionBy("__pid")
-        .orderBy(*key)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    rp = rp.withColumn("__run", F.sum("__tok").over(w_in))
-    # P rows: per-partition totals → exclusive prefix over partition ids
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        rp.groupBy("__pid")
-        .agg(F.sum("__tok").alias("__ptot"))
-        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
-        .select("__pid", "__off")
-    )
-    out = rp.join(F.broadcast(offsets), "__pid").withColumn(
+    out = _distributed_prefix(base, key, F.col("__tok"), n_parts).withColumn(
         "cum_tokens", F.col("__run") + F.col("__off")
     )
     return (
         out.filter(F.col("cum_tokens") <= budget_tokens)
         .withColumnRenamed("__tok", "n_tokens")
-        .drop("__pid", "__run")
+        .drop("__pid", "__run", "__off", "__total")
     )
 
 
@@ -497,42 +513,21 @@ def global_rank(
     when "top 10% by quality" must mean the same thing across the whole
     corpus, not per-partition.
 
-    Distributed prefix-count shape (same as :func:`budget_select`):
-    range-partition on the order key, ``row_number`` within each
-    physical partition, add the exclusive prefix of partition counts (a
-    P-row frame, broadcast back). Ranks are 1-based and UNIQUE —
-    ``row_number`` semantics with (order, id) tiebreak, deterministic
-    across engines and partitionings. ``pct = (rank-1)/(N-1)`` ∈ [0,1]
-    (0 for a single-row table).
-
-    One range shuffle of the data + one P-row aggregate. The same
-    lineage-determinism note as ``budget_select`` applies: don't insert
-    nondeterministic narrow ops between the repartition and its two
-    consumers.
+    The rank is :func:`_distributed_prefix` counting rows (the same
+    machinery as ``budget_select``'s token cumsum): ranks are 1-based
+    and UNIQUE — ``row_number`` semantics with (order, id) tiebreak,
+    deterministic across engines and partitionings. ``pct =
+    (rank-1)/(N-1)`` ∈ [0, 1] (0 for a single-row table).
     """
     key = (
         [F.col(order_col).asc(), F.col(id_col).asc()]
         if ascending
         else [F.col(order_col).desc(), F.col(id_col).asc()]
     )
-    if n_parts is None:
-        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    rp = df.repartitionByRange(n_parts, *key).withColumn("__pid", F.spark_partition_id())
-    w_in = Window.partitionBy("__pid").orderBy(*key)
-    rp = rp.withColumn("__rn", F.row_number().over(w_in))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        rp.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__pcnt"))
-        .withColumn("__off", F.coalesce(F.sum("__pcnt").over(w_off), F.lit(0)))
-        .withColumn("__total", F.sum("__pcnt").over(Window.partitionBy()))
-        .select("__pid", "__off", "__total")
-    )
-    out = rp.join(F.broadcast(offsets), "__pid")
-    rank = (F.col("__rn") + F.col("__off")).alias("rank")
-    pct = F.when(F.col("__total") > 1,
-                 (F.col("__rn") + F.col("__off") - 1)
-                 / (F.col("__total") - 1).cast("double")).otherwise(F.lit(0.0))
-    return out.select(
-        *[F.col(c) for c in df.columns], rank, pct.alias("pct")
-    )
+    out = _distributed_prefix(df, key, F.lit(1), n_parts)
+    rank = (F.col("__run") + F.col("__off")).alias("rank")
+    pct = F.when(
+        F.col("__total") > 1,
+        (F.col("__run") + F.col("__off") - 1) / (F.col("__total") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(*[F.col(c) for c in df.columns], rank, pct.alias("pct"))
