@@ -203,3 +203,24 @@ def test_audit_constraints_null_check_is_violation(spark):
            audit_constraints(df, checks={"v_pos": F.col("v") > 0}).collect()}
     # NULL predicate result must count as a violation, not a pass
     assert out["check(v_pos)"] == 2
+
+
+def test_table_diff_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+        "id long, name string, v double",
+    )
+    got = {r.id: (r.status, sorted(r.changed_cols)) for r in table_diff(old, new, "id").collect()}
+    assert got[1] == ("unchanged", [])
+    assert got[2] == ("changed", ["name"])
+    assert got[3] == ("changed", ["v"])  # NULL -> 3.0 is a change
+    assert got[4] == ("removed", [])
+    assert got[5] == ("added", [])

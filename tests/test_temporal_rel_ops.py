@@ -123,3 +123,35 @@ def test_decayed_sum_partition_invariant(spark):
     a = {r.event_id: round(r.decayed_sum, 9) for r in decayed_sum(df).collect()}
     b = {r.event_id: round(r.decayed_sum, 9) for r in decayed_sum(df.repartition(11)).collect()}
     assert a == b
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    rows = [
+        (1, _ts(0), 7, 10.0),
+        (2, _ts(60), 7, 30.0),
+        (3, _ts(299), 7, 5.0),   # same 5-min bar: open=10, close=5
+        (4, _ts(300), 7, 99.0),  # next bar
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r.bar_start_us: r for r in ohlc_bars(df, bar_sec=300).collect()}
+    b0 = got[_ts(0).timestamp() * 0 + 1704067200000000]  # 2024-01-01T00:00Z µs
+    assert (b0.open, b0.high, b0.low, b0.close) == (10.0, 30.0, 5.0, 5.0)
+    assert b0.n_events == 3 and abs(b0.volume - 45.0) < 1e-9
+    b1 = got[1704067200000000 + 300 * 1_000_000]
+    assert (b1.open, b1.close, b1.n_events) == (99.0, 99.0, 1)
+
+
+def test_ohlc_bars_tie_determinism(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    # two events at the identical microsecond: event_id breaks the tie
+    rows = [(2, _ts(0), 1, 8.0), (1, _ts(0), 1, 3.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    r = ohlc_bars(df, bar_sec=60).collect()[0]
+    assert r.open == 3.0 and r.close == 8.0  # id 1 opens, id 2 closes

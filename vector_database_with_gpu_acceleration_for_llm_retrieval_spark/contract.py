@@ -2176,6 +2176,62 @@ def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling of the event value stream — open/close
+    deterministic under same-microsecond ties via struct min/max."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = temporal.ohlc_bars(t["events"], bar_sec=3600)
+    return res.select(
+        "bar_start_us",
+        _round6(F.col("open"), "open"),
+        _round6(F.col("high"), "high"),
+        _round6(F.col("low"), "low"),
+        _round6(F.col("close"), "close"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _round6(F.col("volume"), "volume"),
+    )
+
+
+def q_customer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: the customer table against a deterministically
+    perturbed rewrite (every 97th key dropped, every 13th balance
+    bumped, every 101st key re-added shifted) — added/removed/changed
+    classification with the changed-column list."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    old = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    new = (
+        old.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    res = profiling.table_diff(old, new, "c_custkey")
+    return res.select(
+        "c_custkey",
+        "status",
+        F.array_join(F.col("changed_cols"), ",").alias("changed_cols"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2712,6 +2768,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "value_bars": q_value_bars,
+        "customer_diff": q_customer_diff,
         "lineitem_correlations": q_lineitem_correlations,
         "monthly_growth": q_monthly_growth,
         "cohort_matrix": q_cohort_matrix,

@@ -2271,6 +2271,56 @@ FROM (SELECT '{a}' AS col_a, '{b}' AS col_b,
     return "\nUNION ALL\n".join(parts)
 
 
+_ORACLE_VALUE_BARS = """
+WITH e AS (SELECT event_id, value, epoch_us(ts) AS us FROM events),
+w AS (SELECT *, us - us % 3600000000 AS bar FROM e),
+r AS (SELECT *, row_number() OVER (PARTITION BY bar ORDER BY us, event_id) AS rf,
+             row_number() OVER (PARTITION BY bar ORDER BY us DESC, event_id DESC) AS rl
+      FROM w)
+SELECT bar AS bar_start_us,
+       round(max(CASE WHEN rf = 1 THEN value END), 6) + 0.0 AS open,
+       round(max(value), 6) + 0.0 AS high,
+       round(min(value), 6) + 0.0 AS low,
+       round(max(CASE WHEN rl = 1 THEN value END), 6) + 0.0 AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) + 0.0 AS volume
+FROM r GROUP BY bar
+"""
+
+
+_ORACLE_CUSTOMER_DIFF = """
+WITH old AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+new AS (
+  SELECT c_custkey,
+         c_name,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM old WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, c_name, c_acctbal, c_mktsegment
+  FROM old WHERE c_custkey % 101 = 0
+),
+j AS (SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+             o.c_name AS on_, n.c_name AS nn,
+             o.c_acctbal AS oa, n.c_acctbal AS na,
+             o.c_mktsegment AS om, n.c_mktsegment AS nm
+      FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey)
+SELECT coalesce(ok, nk) AS c_custkey,
+       CASE WHEN ok IS NULL THEN 'added'
+            WHEN nk IS NULL THEN 'removed'
+            WHEN (on_ IS DISTINCT FROM nn) OR (oa IS DISTINCT FROM na)
+                 OR (om IS DISTINCT FROM nm) THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN ok IS NULL OR nk IS NULL THEN ''
+            ELSE concat_ws(',',
+                   CASE WHEN on_ IS DISTINCT FROM nn THEN 'c_name' END,
+                   CASE WHEN oa IS DISTINCT FROM na THEN 'c_acctbal' END,
+                   CASE WHEN om IS DISTINCT FROM nm THEN 'c_mktsegment' END)
+       END AS changed_cols
+FROM j
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2468,6 +2518,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "value_bars": _ORACLE_VALUE_BARS,
+        "customer_diff": _ORACLE_CUSTOMER_DIFF,
         "lineitem_correlations": _oracle_lineitem_correlations(),
         "monthly_growth": _ORACLE_MONTHLY_GROWTH,
         "cohort_matrix": _ORACLE_COHORT_MATRIX,

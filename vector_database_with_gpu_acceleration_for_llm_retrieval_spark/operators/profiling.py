@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff"]
 
 
 def profile_table(
@@ -333,3 +333,53 @@ def column_correlations(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two table snapshots by key: every key
+    classified ``added`` / ``removed`` / ``changed`` / ``unchanged``,
+    with the list of columns whose values differ — the review artifact
+    a pipeline publishes next to a rewrite (did the new code change
+    what it shouldn't have?).
+
+    ONE full-outer join on the key; the per-column comparison is a
+    null-safe equality projection (``eqNullSafe`` — NULL==NULL is
+    unchanged, NULL→value is a change). Emit-side cost is the join
+    only; at 100 TB pre-bucket both snapshots on the key and the join
+    is shuffle-free.
+
+    Returns ``(key, status, changed_cols)``; filter
+    ``status != 'unchanged'`` before collecting anything.
+    """
+    compare_cols = compare_cols or [c for c in old.columns if c != key and c in new.columns]
+    o = old.select(key, *compare_cols).alias("o")
+    n = new.select(key, *compare_cols).alias("n")
+    j = o.join(n, on=F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), how="full_outer")
+    in_old = F.col(f"o.{key}").isNotNull()
+    in_new = F.col(f"n.{key}").isNotNull()
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        status.alias("status"),
+        F.when(in_old & in_new, diffs).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+    )

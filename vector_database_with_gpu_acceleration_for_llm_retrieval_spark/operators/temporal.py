@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals", "decayed_sum"]
+__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars"]
 
 
 def asof_join(
@@ -214,4 +214,40 @@ def decayed_sum(
         F.col(id_col),
         F.col(key_col),
         (cum * F.pow(F.lit(2.0), -rel)).alias("decayed_sum"),
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    bar_sec: int = 300,
+    key_col: str | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Downsample a value stream into fixed time bars with
+    open/high/low/close/volume — the classic time-series resampling
+    shape, one groupBy per bar.
+
+    Open/close are the values of the chronologically first/last event
+    in the bar, made deterministic under same-timestamp ties by taking
+    ``min(struct(ts, id, value))`` / ``max(struct(ts, id, value))`` —
+    struct ordering is lexicographic, so the (ts, id) prefix decides
+    and the value rides along. One map-side-combining aggregation;
+    no window, no sort of the corpus.
+    """
+    mic = F.unix_micros(F.col(ts_col))
+    bar = (mic - F.pmod(mic, F.lit(bar_sec * 1_000_000))).alias("bar_start_us")
+    keys = ([F.col(key_col)] if key_col else []) + [bar]
+    pick = F.struct(mic.alias("t"), F.col(id_col).alias("i"), F.col(value_col).alias("v"))
+    return (
+        events.groupBy(*keys)
+        .agg(
+            F.min(pick)["v"].alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(pick)["v"].alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("volume"),
+        )
     )
