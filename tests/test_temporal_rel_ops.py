@@ -155,3 +155,23 @@ def test_ohlc_bars_tie_determinism(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
     r = ohlc_bars(df, bar_sec=60).collect()[0]
     assert r.open == 3.0 and r.close == 8.0  # id 1 opens, id 2 closes
+
+
+def test_event_transitions_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.relational import (
+        event_transitions,
+    )
+
+    rows = [
+        (1, _ts(0), 7, "view"), (2, _ts(1), 7, "click"), (3, _ts(2), 7, "view"),
+        (4, _ts(3), 7, "click"), (5, _ts(0), 9, "view"), (6, _ts(1), 9, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.from_type, r.to_type): (r.n, r.prob) for r in event_transitions(df).collect()}
+    # view→click x2, click→view x1, view→buy x1
+    assert got[("view", "click")][0] == 2
+    assert abs(got[("view", "click")][1] - 2 / 3) < 1e-12
+    assert got[("view", "buy")][0] == 1
+    assert got[("click", "view")] == (1, 1.0)
+    # no cross-user transition (user 7's last → user 9's first absent)
+    assert ("click", "buy") not in got

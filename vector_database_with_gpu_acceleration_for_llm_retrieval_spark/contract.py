@@ -2232,6 +2232,19 @@ def q_customer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over consecutive same-user
+    events: counts + within-from-type probabilities."""
+    t = load_tables(spark, sf_dir)
+    res = R.event_transitions(t["events"])
+    return res.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        _round6(F.col("prob"), "prob"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2768,6 +2781,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "event_transitions": q_event_transitions,
         "value_bars": q_value_bars,
         "customer_diff": q_customer_diff,
         "lineitem_correlations": q_lineitem_correlations,

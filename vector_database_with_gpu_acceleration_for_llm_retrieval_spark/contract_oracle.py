@@ -2321,6 +2321,18 @@ FROM j
 """
 
 
+_ORACLE_EVENT_TRANSITIONS = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS to_type
+      FROM e),
+c AS (SELECT from_type, to_type, count(*) AS n FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) + 0.0 AS prob
+FROM c
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2518,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "event_transitions": _ORACLE_EVENT_TRANSITIONS,
         "value_bars": _ORACLE_VALUE_BARS,
         "customer_diff": _ORACLE_CUSTOMER_DIFF,
         "lineitem_correlations": _oracle_lineitem_correlations(),

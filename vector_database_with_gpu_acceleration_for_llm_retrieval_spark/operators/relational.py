@@ -34,6 +34,7 @@ __all__ = [
     "idle_rich_customers",
     "monthly_growth",
     "cohort_matrix",
+    "event_transitions",
 ]
 
 
@@ -519,4 +520,32 @@ def cohort_matrix(events: DataFrame, granularity: str = "month") -> DataFrame:
         joined.groupBy("cohort_period", offset.alias("period_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_period", "period_offset")
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (from_type → to_type) pair of CONSECUTIVE events of the same
+    user, the transition count and probability — "what do users do
+    next", the path-analysis primitive.
+
+    One per-user window (``lead`` in deterministic (ts, id) order —
+    state bounded by a user's events), one pair aggregation; the
+    probability normalizes within from_type via a window over the tiny
+    types × types frame.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = F.lead("event_type").over(w)
+    pairs = (
+        events.select(F.col("event_type").alias("from_type"), nxt.alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(tot)).alias("prob"),
     )
