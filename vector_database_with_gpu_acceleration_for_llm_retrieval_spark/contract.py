@@ -2245,6 +2245,16 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery: PMI per bigram (count ≥ 5) — marginals
+    and total derived from the one bigram-count frame."""
+    t = load_tables(spark, sf_dir)
+    res = LM.bigram_pmi(t["documents"], min_count=5)
+    return res.select(
+        "w1", "w2", F.col("c12").cast("long").alias("c12"), _round6(F.col("pmi"), "pmi")
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2781,6 +2791,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "bigram_pmi": q_bigram_pmi,
         "event_transitions": q_event_transitions,
         "value_bars": q_value_bars,
         "customer_diff": q_customer_diff,

@@ -2333,6 +2333,22 @@ FROM c
 """
 
 
+_ORACLE_BIGRAM_PMI = f"""
+WITH toks AS (SELECT doc_id, list_concat(['<s>'], {_SQ_TOKS}) AS t
+              FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+b AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM b GROUP BY 1),
+c2 AS (SELECT w2, sum(c12) AS c2 FROM b GROUP BY 1),
+n AS (SELECT sum(c12) AS n FROM b)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       round(ln((c12 * n.n) / (c1.c1 * c2.c2)), 6) + 0.0 AS pmi
+FROM b JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+WHERE c12 >= 5
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2530,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "bigram_pmi": _ORACLE_BIGRAM_PMI,
         "event_transitions": _ORACLE_EVENT_TRANSITIONS,
         "value_bars": _ORACLE_VALUE_BARS,
         "customer_diff": _ORACLE_CUSTOMER_DIFF,

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["BOS", "bigram_pairs", "bigram_lm", "lm_score", "score_with_model"]
+__all__ = ["BOS", "bigram_pairs", "bigram_lm", "lm_score", "score_with_model", "bigram_pmi"]
 
 #: Beginning-of-sequence pseudo-token (cannot collide with real tokens:
 #: whitespace tokenization never yields a token containing whitespace,
@@ -164,4 +164,42 @@ def score_with_model(
         F.count("*").alias("n_bigrams"),
         F.avg("logp").alias("avg_logp"),
         F.exp(-F.avg("logp")).alias("ppl"),
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information per bigram — collocation discovery
+    (``pmi = ln(c12·N / (c1·c2))``): which word pairs co-occur far more
+    than chance, the signal behind multi-word-expression mining and
+    tokenizer-merge candidates.
+
+    One corpus explode-and-count to the bigram frame; the unigram
+    marginals and the total derive from THAT vocab-sized frame (no
+    second corpus pass — same derivation trick as ``bigram_lm``), then
+    broadcast back. ``min_count`` prunes the noise floor before the
+    joins.
+
+    Returns ``(w1, w2, c12, pmi)``.
+    """
+    pairs = bigram_pairs(docs, id_col, text_col)
+    b = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = b.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = b.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = b.agg(F.sum("c12").alias("__n"))
+    return (
+        b.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log((F.col("c12") * F.col("__n")) / (F.col("c1") * F.col("c2"))).alias("pmi"),
+        )
     )
