@@ -172,3 +172,22 @@ def test_gopher_rules_known_answers(spark):
     assert got[2].gopher_pass is False
     assert got[3].symbol_word_ratio > 0.1 and got[3].r_symbol_ratio is False
     assert got[3].gopher_pass is False
+
+
+def test_script_ratios_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.textstats import (
+        script_ratios,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc 12 привет 你好 !")],
+        "doc_id long, text string",
+    )
+    r = script_ratios(docs).collect()[0]
+    # non-space chars: abc(3) 12(2) привет(6) 你好(2) !(1) = 14
+    assert r.n_chars == 14
+    assert abs(r.latin_ratio - 3 / 14) < 1e-12
+    assert abs(r.digit_ratio - 2 / 14) < 1e-12
+    assert abs(r.cyrillic_ratio - 6 / 14) < 1e-12
+    assert abs(r.cjk_ratio - 2 / 14) < 1e-12
+    assert abs(r.other_ratio - 1 / 14) < 1e-12

@@ -2255,6 +2255,31 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script ratios over a deterministically multilingual-
+    augmented corpus (every 7th doc gains Cyrillic, every 11th CJK) —
+    the script-level routing signal wordlist lang-ID can't see."""
+    t = load_tables(spark, sf_dir)
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" привет мир")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" 你好世界")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    res = T.script_ratios(aug)
+    return res.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _round6(F.col("latin_ratio"), "latin_ratio"),
+        _round6(F.col("digit_ratio"), "digit_ratio"),
+        _round6(F.col("cyrillic_ratio"), "cyrillic_ratio"),
+        _round6(F.col("cjk_ratio"), "cjk_ratio"),
+        _round6(F.col("other_ratio"), "other_ratio"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2791,6 +2816,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "script_mix": q_script_mix,
         "bigram_pmi": q_bigram_pmi,
         "event_transitions": q_event_transitions,
         "value_bars": q_value_bars,

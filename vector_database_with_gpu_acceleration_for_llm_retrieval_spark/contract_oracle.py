@@ -2349,6 +2349,29 @@ WHERE c12 >= 5
 """
 
 
+_ORACLE_SCRIPT_MIX = """
+WITH aug AS (SELECT doc_id,
+                    concat(text,
+                           CASE WHEN doc_id % 7 = 0 THEN ' привет мир' ELSE '' END,
+                           CASE WHEN doc_id % 11 = 0 THEN ' 你好世界' ELSE '' END) AS text
+             FROM documents),
+m AS (SELECT doc_id,
+             length(regexp_replace(text, '\\s', '', 'g')) AS ns,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS lat,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+             length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS cyr,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+      FROM aug)
+SELECT doc_id, CAST(ns AS BIGINT) AS n_chars,
+       round(lat / CAST(greatest(ns, 1) AS DOUBLE), 6) + 0.0 AS latin_ratio,
+       round(dig / CAST(greatest(ns, 1) AS DOUBLE), 6) + 0.0 AS digit_ratio,
+       round(cyr / CAST(greatest(ns, 1) AS DOUBLE), 6) + 0.0 AS cyrillic_ratio,
+       round(cjk / CAST(greatest(ns, 1) AS DOUBLE), 6) + 0.0 AS cjk_ratio,
+       round((ns - lat - dig - cyr - cjk) / CAST(greatest(ns, 1) AS DOUBLE), 6) + 0.0 AS other_ratio
+FROM m
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2546,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "script_mix": _ORACLE_SCRIPT_MIX,
         "bigram_pmi": _ORACLE_BIGRAM_PMI,
         "event_transitions": _ORACLE_EVENT_TRANSITIONS,
         "value_bars": _ORACLE_VALUE_BARS,

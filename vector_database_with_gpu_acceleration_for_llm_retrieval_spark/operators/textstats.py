@@ -25,6 +25,7 @@ __all__ = [
     "repetition_stats",
     "top_ngrams",
     "gopher_rules",
+    "script_ratios",
 ]
 
 #: rolling-hash base/modulus for k-gram fingerprints (Rabin-Karp style);
@@ -346,4 +347,42 @@ def gopher_rules(
         stop_hits.alias("n_stopword_kinds"),
         *[c.alias(name) for name, c in rules.items()],
         passed.alias("gopher_pass"),
+    )
+
+
+def script_ratios(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script mix per document: the fraction of non-space
+    characters that are Latin letters, digits, Cyrillic, or CJK — the
+    cheap multilingual routing signal next to the wordlist
+    :func:`lang_id` (scripts catch what wordlists can't: a doc can be
+    0% English words but 100% Latin script, or vice versa).
+
+    Pure regex-count projection (count = length minus length-after-
+    removal, the same trick as the PII counters): one scan, no shuffle,
+    no UDF. ``other_ratio`` is the remainder (punctuation, Greek,
+    Arabic, emoji, …).
+    """
+    t = F.col(text_col)
+
+    def n_of(pattern: str):
+        return F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    denom = F.greatest(non_space, F.lit(1))
+    latin = n_of(r"[A-Za-z]")
+    digit = n_of(r"[0-9]")
+    cyr = n_of(r"[Ѐ-ӿ]")
+    cjk = n_of(r"[一-鿿]")
+    return docs.select(
+        F.col(id_col),
+        non_space.alias("n_chars"),
+        (latin / denom).alias("latin_ratio"),
+        (digit / denom).alias("digit_ratio"),
+        (cyr / denom).alias("cyrillic_ratio"),
+        (cjk / denom).alias("cjk_ratio"),
+        ((non_space - latin - digit - cyr - cjk) / denom).alias("other_ratio"),
     )
