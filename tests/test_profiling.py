@@ -224,3 +224,37 @@ def test_table_diff_hand_computed(spark):
     assert got[3] == ("changed", ["v"])  # NULL -> 3.0 is a change
     assert got[4] == ("removed", [])
     assert got[5] == ("added", [])
+
+
+def test_gini_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        gini_coefficient,
+    )
+
+    # perfectly even → 0
+    even = spark.createDataFrame([(5.0,)] * 4, "x double")
+    assert abs(gini_coefficient(even, "x").collect()[0].gini) < 1e-12
+    # one holder of everything among 4 → G = (n-1)/n = 0.75
+    mono = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (12.0,)], "x double")
+    assert abs(gini_coefficient(mono, "x").collect()[0].gini - 0.75) < 1e-12
+    # textbook small case [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    small = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    assert abs(gini_coefficient(small, "x").collect()[0].gini - 0.25) < 1e-12
+
+
+def test_market_concentration_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        market_concentration,
+    )
+
+    rows = [
+        ("m1", "a", 50.0), ("m1", "b", 50.0),        # duopoly → 0.5
+        ("m2", "a", 90.0), ("m2", "b", 10.0),        # 0.81 + 0.01
+        ("m3", "a", 7.0),                             # monopoly → 1.0
+    ]
+    df = spark.createDataFrame(rows, "market string, firm string, rev double")
+    got = {r.market: (r.n_entities, r.hhi) for r in
+           market_concentration(df, "market", "firm", "rev").collect()}
+    assert got["m1"] == (2, 0.5)
+    assert abs(got["m2"][1] - 0.82) < 1e-12
+    assert got["m3"] == (1, 1.0)

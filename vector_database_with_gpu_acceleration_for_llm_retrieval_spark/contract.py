@@ -2280,6 +2280,47 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of order value across orders: Gini via the
+    distributed prefix rank — no single-task global sort."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.gini_coefficient(t["orders"], "o_totalprice")
+    return res.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _round6(F.col("total"), "total"),
+        _round6(F.col("gini"), "gini"),
+    )
+
+
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation (HHI of lineitem revenue
+    share) — how dependent each nation's supply is on few suppliers."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li, sup, nat = t["lineitem"], t["supplier"], t["nation"]
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    joined = (
+        li.select("l_suppkey", rev)
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    res = profiling.market_concentration(joined, "n_name", "s_suppkey", "rev")
+    return res.select(
+        "n_name",
+        F.col("n_entities").cast("long").alias("n_entities"),
+        _round6(F.col("hhi"), "hhi"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2816,6 +2857,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "revenue_gini": q_revenue_gini,
+        "nation_supplier_hhi": q_nation_supplier_hhi,
         "script_mix": q_script_mix,
         "bigram_pmi": q_bigram_pmi,
         "event_transitions": q_event_transitions,

@@ -2372,6 +2372,31 @@ FROM m
 """
 
 
+_ORACLE_REVENUE_GINI = """
+WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS rank FROM b)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(x), 6) + 0.0 AS total,
+       round(2.0 * sum(rank * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) + 0.0 AS gini
+FROM r
+"""
+
+
+_ORACLE_NATION_SUPPLIER_HHI = """
+WITH j AS (SELECT n_name, l_suppkey,
+                  sum(l_extendedprice * (1 - l_discount)) AS v
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY 1, 2),
+t AS (SELECT n_name, sum(v) AS tv FROM j GROUP BY 1)
+SELECT j.n_name, CAST(count(*) AS BIGINT) AS n_entities,
+       round(sum((j.v / t.tv) * (j.v / t.tv)), 6) + 0.0 AS hhi
+FROM j JOIN t USING (n_name) GROUP BY j.n_name
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2569,6 +2594,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "revenue_gini": _ORACLE_REVENUE_GINI,
+        "nation_supplier_hhi": _ORACLE_NATION_SUPPLIER_HHI,
         "script_mix": _ORACLE_SCRIPT_MIX,
         "bigram_pmi": _ORACLE_BIGRAM_PMI,
         "event_transitions": _ORACLE_EVENT_TRANSITIONS,

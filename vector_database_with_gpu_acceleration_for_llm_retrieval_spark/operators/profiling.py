@@ -21,10 +21,10 @@ agree across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration"]
 
 
 def profile_table(
@@ -382,4 +382,69 @@ def table_diff(
         F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
         status.alias("status"),
         F.when(in_old & in_new, diffs).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+    )
+
+
+def gini_coefficient(df: DataFrame, col: str) -> DataFrame:
+    """Gini concentration index of a non-negative measure (0 = evenly
+    spread, →1 = one row holds everything) — "how concentrated is
+    revenue/activity", the inequality summary a mixture or capacity
+    plan reads.
+
+    Uses the rank formulation ``G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n`` with
+    ranks from the shared distributed prefix machinery
+    (:func:`~.sampling.global_rank`) — no single-task global sort.
+    Ties are rank-split deterministically (value, then input order via
+    a synthetic id is NOT needed: equal values contribute equally to
+    Σ(rank·x) regardless of tie permutation... up to rank assignment;
+    unique ranks over equal values sum to the same total, so the
+    result is tie-order invariant). NULLs excluded. Returns one row
+    ``(n_rows, total, gini)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    base = df.select(F.col(col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    ranked = global_rank(base, "__x", id_col="__x")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__x").alias("total"),
+        (
+            F.lit(2.0) * F.sum(F.col("rank") * F.col("__x"))
+            / (F.count(F.lit(1)) * F.sum("__x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+        ).alias("gini"),
+    )
+
+
+def market_concentration(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration per market: per ``group``,
+    ``HHI = Σ_entities share²`` where share is the entity's fraction of
+    the group total (1/n_entities = perfectly even, 1.0 = monopoly).
+
+    Two partial-agg shuffles — (group, entity) totals, then the group
+    rollup; shares normalize via a window over the per-group entity
+    frame (bounded by entities-per-group, never the fact table).
+    Returns ``(group, n_entities, hhi)``.
+    """
+    per_entity = df.groupBy(group_col, entity_col).agg(
+        F.sum(value_col).alias("__v")
+    )
+    w = Window.partitionBy(group_col)
+    share = F.col("__v") / F.sum("__v").over(w)
+    return (
+        per_entity.select(group_col, share.alias("__s"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum(F.col("__s") * F.col("__s")).alias("hhi"),
+        )
     )
