@@ -175,3 +175,24 @@ def test_event_transitions_hand_computed(spark):
     assert got[("click", "view")] == (1, 1.0)
     # no cross-user transition (user 7's last → user 9's first absent)
     assert ("click", "buy") not in got
+
+
+def test_conversion_latency_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        conversion_latency,
+    )
+
+    rows = [
+        (1, _ts(0), 7, "view"),
+        (2, _ts(10), 7, "purchase"),   # 10 s after the view
+        (3, _ts(20), 7, "view"),
+        (4, _ts(25), 7, "view"),       # most RECENT view wins
+        (5, _ts(30), 7, "purchase"),   # 5 s after event 4
+        (6, _ts(5), 9, "purchase"),    # no prior view → NULL
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.event_id: r.latency_sec for r in conversion_latency(df).collect()}
+    assert got[2] == 10.0
+    assert got[5] == 5.0
+    assert got[6] is None
+    assert set(got) == {2, 5, 6}  # only purchases emit

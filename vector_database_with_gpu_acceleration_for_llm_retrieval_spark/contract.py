@@ -2321,6 +2321,21 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds from each purchase back to the user's most recent prior
+    view — carry-forward window, no self-join; NULL when no prior
+    view."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = temporal.conversion_latency(t["events"])
+    return res.select(
+        "event_id", "user_id", _round6(F.col("latency_sec"), "latency_sec")
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2857,6 +2872,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "conversion_latency": q_conversion_latency,
         "revenue_gini": q_revenue_gini,
         "nation_supplier_hhi": q_nation_supplier_hhi,
         "script_mix": q_script_mix,

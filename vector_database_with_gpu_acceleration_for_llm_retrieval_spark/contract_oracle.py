@@ -2397,6 +2397,18 @@ FROM j JOIN t USING (n_name) GROUP BY j.n_name
 """
 
 
+_ORACLE_CONVERSION_LATENCY = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+w AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER (
+         PARTITION BY user_id ORDER BY us ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lf
+      FROM e)
+SELECT event_id, user_id,
+       round((us - lf) / 1000000.0, 6) + 0.0 AS latency_sec
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2594,6 +2606,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "conversion_latency": _ORACLE_CONVERSION_LATENCY,
         "revenue_gini": _ORACLE_REVENUE_GINI,
         "nation_supplier_hhi": _ORACLE_NATION_SUPPLIER_HHI,
         "script_mix": _ORACLE_SCRIPT_MIX,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars"]
+__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency"]
 
 
 def asof_join(
@@ -249,5 +249,47 @@ def ohlc_bars(
             F.max(pick)["v"].alias("close"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(value_col).alias("volume"),
+        )
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-conversion latency: for every ``to_type`` event, the seconds
+    since the same key's most recent PRIOR ``from_type`` event — the
+    "how long from view to purchase" distribution.
+
+    The as-of lookup is a carry-forward window (``max`` of the
+    from-event's timestamp over unbounded-preceding rows in (ts, id)
+    order — one shuffle on the key, same shape as ``asof_join``), so no
+    self-join and no range join. Conversions with no prior from-event
+    emit NULL latency (counted separately downstream, never dropped
+    silently).
+
+    Returns ``(id, key, latency_sec)`` — one row per ``to_type`` event.
+    """
+    mic = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(mic.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_from = F.max(
+        F.when(F.col(type_col) == from_type, mic)
+    ).over(w)
+    return (
+        events.withColumn("__lf", last_from)
+        .filter(F.col(type_col) == to_type)
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            ((mic - F.col("__lf")) / 1_000_000.0).alias("latency_sec"),
         )
     )
