@@ -261,3 +261,19 @@ def test_decayed_sum_single_shuffle(tables):
     plan = assert_plan_contains(temporal.decayed_sum(tables["events"]), "Window")
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_plan_summary_structure(tables):
+    """plan_summary turns the explain text into assertable numbers."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        plan_summary,
+    )
+
+    ps = plan_summary(R.revenue_by_nation(tables))
+    assert ps["n_scans"] >= 5  # fact + four dims (broadcast)
+    assert ps["joins"].get("BroadcastHashJoin", 0) >= 4
+    # AQE plans may defer codegen annotation; the key must exist either way
+    assert "wholestage_codegen" in ps
+    simple = plan_summary(tables["embeddings"].select("vec_id").limit(3))
+    assert simple["n_exchanges"] == 0 and not simple["has_cartesian"]
+    assert simple["joins"] == {}
