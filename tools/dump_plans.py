@@ -262,6 +262,19 @@ AUDITED = {
         "+ P-row offsets) replaces the single-task global sort; cutoffs "
         "broadcast back into the clipping aggregate."
     ),
+    "value_bars": (
+        "OHLC resampling: ONE map-side-combining groupBy per bar; "
+        "open/close via lexicographic struct min/max — no window, no "
+        "corpus sort."
+    ),
+    "event_transitions": (
+        "Markov transitions: per-user lead (bounded window state), pair "
+        "partial agg; probability normalizes over the tiny types² frame."
+    ),
+    "conversion_latency": (
+        "As-of lookback without a self-join: carry-forward max over "
+        "unbounded-preceding rows — one shuffle on the key."
+    ),
 }
 
 
