@@ -167,3 +167,34 @@ def test_funnel_steps_strict_ordering(spark):
     assert got[1].n_stages_reached == 3 and got[1].stage3_us == 300
     assert got[2].n_stages_reached == 2 and got[2].stage3_us is None
     assert got[4].n_stages_reached == 1 and got[4].stage2_us is None
+
+
+def test_stream_enrich_attaches_dimension(spark):
+    """Stream-static left join: enriched attributes attach per
+    micro-batch; unmatched events pass with NULLs, never dropped."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="enrich_")
+    src = tmp + "/src"
+    try:
+        dim = spark.createDataFrame(
+            [(7, "gold"), (9, "bronze")], "user_id long, tier string"
+        )
+        spark.createDataFrame(
+            [(1, 1000, 7, 1.0), (2, 2000, 8, 2.0), (3, 3000, 9, 3.0)],
+            "event_id long, ts_us long, user_id long, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            P.stream_enrich(spark, src, dim, on="user_id")
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r.event_id: r.tier for r in spark.sql("select * from enriched").collect()}
+        assert rows == {1: "gold", 2: None, 3: "bronze"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

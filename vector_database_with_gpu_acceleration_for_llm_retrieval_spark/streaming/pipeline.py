@@ -36,6 +36,7 @@ __all__ = [
     "user_gap_stats",
     "events_moving_avg",
     "events_rate_limit",
+    "stream_enrich",
     "view_click_pairs",
     "stream_view_click_join",
     "stream_vector_ingest",
@@ -930,3 +931,33 @@ def events_rate_limit(
     return base.withColumn(
         "admitted", F.row_number().over(w) <= max_per_window
     )
+
+
+def stream_enrich(
+    spark,
+    source_dir: str,
+    dim: DataFrame,
+    on: str,
+    schema: str = "event_id long, ts_us long, user_id long, value double",
+    broadcast_dim: bool = True,
+):
+    """Stream-static enrichment: attach a dimension table's attributes
+    to every arriving event (user profile, device registry, …) — the
+    other half of the streaming join story next to the stream-stream
+    attribution join.
+
+    The static side re-resolves PER MICRO-BATCH (Structured Streaming
+    semantics), so a dimension backed by a parquet path picks up
+    table rewrites between batches without restarting the query.
+    ``broadcast_dim=True`` hints the per-batch join to broadcast —
+    right for any dimension that fits an executor; the stream side
+    never shuffles. Left join: an event with no dimension row passes
+    through with NULLs rather than being dropped (count those
+    downstream; silently losing events to a late dimension is the
+    classic enrichment bug).
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, "left")
