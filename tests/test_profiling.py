@@ -258,3 +258,51 @@ def test_market_concentration_hand_computed(spark):
     assert got["m1"] == (2, 0.5)
     assert abs(got["m2"][1] - 0.82) < 1e-12
     assert got["m3"] == (1, 1.0)
+
+
+def test_population_stability_hand_computed(spark):
+    import math
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import (
+        population_stability,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    # identical distribution → PSI ≈ 0
+    same = population_stability(ref, ref, "x", n_bins=5).collect()
+    tot = [r for r in same if r.bin == -1][0]
+    assert abs(tot.psi_term) < 1e-9
+    # shifted distribution: everything out of range clamps to top bin
+    cur = spark.createDataFrame([(100.0,)] * 10, "x double")
+    rows = {r.bin: r for r in population_stability(ref, cur, "x", n_bins=5).collect()}
+    assert abs(rows[4].p_cur - (1.0 + 1e-6)) < 1e-9   # all mass in edge bin
+    assert rows[-1].psi_term > 0.25  # "shifted" regime
+    # per-bin terms sum to the total
+    assert abs(sum(r.psi_term for b, r in rows.items() if b != -1) - rows[-1].psi_term) < 1e-9
+
+
+def test_target_encode_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.features import (
+        frequency_encode,
+        target_encode,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None)],
+        "cat string, y double",
+    )
+    mu = (1 + 3 + 10) / 3  # global label mean over non-null labels
+    got = {(r.cat, r.y): r.cat_te for r in target_encode(df, "cat", "y", alpha=2.0).collect()}
+    # a: (4 + 2µ)/(2+2); b: (10 + 2µ)/(1+2)
+    assert abs(got[("a", 1.0)] - (4 + 2 * mu) / 4) < 1e-12
+    assert abs(got[("b", 10.0)] - (10 + 2 * mu) / 3) < 1e-12
+    # LOO: a row's own label excluded
+    loo = {(r.cat, r.y): r.cat_te for r in
+           target_encode(df, "cat", "y", alpha=2.0, loo=True).collect()}
+    assert abs(loo[("a", 1.0)] - (3 + 2 * mu) / 3) < 1e-12   # (4-1 + 2µ)/(1+2)
+    assert abs(loo[("b", 10.0)] - (0 + 2 * mu) / 2) < 1e-12  # singleton → prior-ish
+    # NULL-label row gets the inclusive encoding in LOO mode
+    assert abs(loo[("b", None)] - (10 + 2 * mu) / 3) < 1e-12
+    # frequency encoding
+    fr = {r.cat: r.cat_freq for r in frequency_encode(df, "cat").collect()}
+    assert fr == {"a": 0.5, "b": 0.5}

@@ -2336,6 +2336,42 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (leave-one-out) target encoding of the market
+    segment against account balance — each row's own label excluded
+    from its category mean."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        features,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = features.target_encode(
+        t["customer"], "c_mktsegment", "c_acctbal", alpha=10.0, loo=True
+    )
+    return res.select("c_custkey", _round6(F.col("c_mktsegment_te"), "te"))
+
+
+def q_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve drift monitor: PSI of extended price between the
+    pre-1998 and 1998+ shipping eras, binned on the REFERENCE era's
+    grid."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    ref = li.filter(F.col("l_shipdate") < "1998-01-01")
+    cur = li.filter(F.col("l_shipdate") >= "1998-01-01")
+    res = profiling.population_stability(ref, cur, "l_extendedprice", n_bins=10)
+    return res.select(
+        "bin",
+        _round6(F.col("p_ref"), "p_ref"),
+        _round6(F.col("p_cur"), "p_cur"),
+        _round6(F.col("psi_term"), "psi_term"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2872,6 +2908,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "segment_target_enc": q_segment_target_enc,
+        "price_psi": q_price_psi,
         "conversion_latency": q_conversion_latency,
         "revenue_gini": q_revenue_gini,
         "nation_supplier_hhi": q_nation_supplier_hhi,

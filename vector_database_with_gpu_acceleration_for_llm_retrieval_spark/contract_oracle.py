@@ -2409,6 +2409,46 @@ FROM w WHERE event_type = 'purchase'
 """
 
 
+_ORACLE_SEGMENT_TARGET_ENC = """
+WITH g AS (SELECT sum(c_acctbal) / count(c_acctbal) AS mu FROM customer),
+pc AS (SELECT c_mktsegment, sum(c_acctbal) AS sy, count(c_acctbal) AS ny
+       FROM customer GROUP BY 1)
+SELECT c.c_custkey,
+       round((pc.sy - coalesce(c.c_acctbal, 0)
+              + 10.0 * g.mu)
+             / (pc.ny - CASE WHEN c.c_acctbal IS NOT NULL THEN 1 ELSE 0 END
+                + 10.0), 6) + 0.0 AS te
+FROM customer c JOIN pc USING (c_mktsegment) CROSS JOIN g
+"""
+
+
+_ORACLE_PRICE_PSI = """
+WITH refd AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_extendedprice IS NOT NULL),
+curd AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_extendedprice IS NOT NULL),
+b AS (SELECT min(x) AS lo, max(x) AS hi FROM refd),
+rb AS (SELECT CASE WHEN hi > lo THEN CAST(greatest(least(floor((x - lo) / ((hi - lo) / 10.0)), 9), 0) AS INT) ELSE 0 END AS bin FROM refd, b),
+cb AS (SELECT CASE WHEN hi > lo THEN CAST(greatest(least(floor((x - lo) / ((hi - lo) / 10.0)), 9), 0) AS INT) ELSE 0 END AS bin FROM curd, b),
+rc AS (SELECT bin, count(*) AS nr FROM rb GROUP BY 1),
+cc AS (SELECT bin, count(*) AS nc FROM cb GROUP BY 1),
+rt AS (SELECT count(*) AS tr FROM refd),
+ct AS (SELECT count(*) AS tc FROM curd),
+bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+t AS (SELECT bins.bin,
+             coalesce(rc.nr, 0) / CAST(rt.tr AS DOUBLE) + 1e-6 AS p_ref,
+             coalesce(cc.nc, 0) / CAST(ct.tc AS DOUBLE) + 1e-6 AS p_cur
+      FROM bins LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+      CROSS JOIN rt CROSS JOIN ct),
+w AS (SELECT bin, p_ref, p_cur, (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_term FROM t)
+SELECT bin, round(p_ref, 6) + 0.0 AS p_ref, round(p_cur, 6) + 0.0 AS p_cur,
+       round(psi_term, 6) + 0.0 AS psi_term
+FROM w
+UNION ALL
+SELECT -1, NULL, NULL, round((SELECT sum(psi_term) FROM w), 6) + 0.0
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2606,6 +2646,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "segment_target_enc": _ORACLE_SEGMENT_TARGET_ENC,
+        "price_psi": _ORACLE_PRICE_PSI,
         "conversion_latency": _ORACLE_CONVERSION_LATENCY,
         "revenue_gini": _ORACLE_REVENUE_GINI,
         "nation_supplier_hhi": _ORACLE_NATION_SUPPLIER_HHI,

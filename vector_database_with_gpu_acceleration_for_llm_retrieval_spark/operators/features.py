@@ -1,0 +1,87 @@
+"""ML feature transforms over categorical columns: target encoding
+(with the leakage-safe leave-one-out variant), frequency encoding.
+
+These are the tabular-feature counterparts of the text/vector pipeline
+— the encodings a downstream model consumes. All pure DataFrame
+compositions:
+
+* **target encoding** — replace a category with the smoothed mean of a
+  numeric label over that category: ``(Σy + α·μ) / (n + α)`` where μ is
+  the global label mean. One (category) aggregation, category-sized
+  frame broadcast back; the fact table never shuffles.
+
+* **leave-one-out** — the leakage-safe training-time variant: each
+  row's OWN label is excluded from its encoding
+  (``(Σy − y_i + α·μ) / (n − 1 + α)``), otherwise the encoding of a
+  rare category memorizes the row's label and the model overfits the
+  encoding itself. Same per-category sums; the subtraction is a
+  projection, so LOO costs nothing extra.
+
+* **frequency encoding** — category → share of rows; the cheap ordinal
+  signal when labels aren't available.
+
+Cite: target/LOO encoding as in the public CatBoost/Micci-Barreca
+(2001) formulations (smoothed category means); implemented
+Spark-first, no reference-code derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["target_encode", "frequency_encode"]
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    alpha: float = 10.0,
+    loo: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Attach the smoothed target encoding of ``cat_col`` as
+    ``out_col`` (default ``{cat}_te``). ``loo=True`` excludes each
+    row's own label (training-time, leakage-safe); rows with a NULL
+    label get the inclusive encoding in LOO mode (they contributed
+    nothing to the sums).
+
+    Scale shape: one partial-agg groupBy on the category plus a 1-row
+    global mean, both broadcast back onto the fact — the fact table
+    never shuffles. A singleton category under LOO falls back to the
+    pure prior μ (n−1 = 0).
+    """
+    out_col = out_col or f"{cat_col}_te"
+    y = F.col(label_col).cast("double")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(y).alias("__sy"),
+        F.count(y).alias("__ny"),
+    )
+    glob = df.agg((F.sum(y) / F.count(y)).alias("__mu"))
+    j = df.join(F.broadcast(per_cat), cat_col, "left").crossJoin(F.broadcast(glob))
+    if loo:
+        sy = F.col("__sy") - F.coalesce(y, F.lit(0.0))
+        ny = F.col("__ny") - F.when(y.isNotNull(), 1).otherwise(0)
+    else:
+        sy, ny = F.col("__sy"), F.col("__ny")
+    enc = (sy + F.lit(float(alpha)) * F.col("__mu")) / (ny + F.lit(float(alpha)))
+    return j.select(*df.columns, enc.alias(out_col))
+
+
+def frequency_encode(
+    df: DataFrame,
+    cat_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Attach each category's share of rows as ``out_col`` (default
+    ``{cat}_freq``) — the label-free ordinal signal. Same one-groupBy
+    broadcast shape as :func:`target_encode`."""
+    out_col = out_col or f"{cat_col}_freq"
+    per_cat = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = df.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        df.join(F.broadcast(per_cat), cat_col, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(*df.columns, (F.col("__n") / F.col("__t")).alias(out_col))
+    )

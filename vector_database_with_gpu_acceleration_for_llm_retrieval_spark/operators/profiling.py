@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability"]
 
 
 def profile_table(
@@ -448,3 +448,85 @@ def market_concentration(
             F.sum(F.col("__s") * F.col("__s")).alias("hhi"),
         )
     )
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column — the standard train/serve drift
+    monitor: ``PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)``
+    (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Bin edges are equi-width from the REFERENCE's min/max (one scalar
+    agg broadcast into both binning projections — drift must be
+    measured on the reference's grid, not a moving one); out-of-range
+    current values clamp into the edge bins, and both sides get add-ε
+    smoothing so an empty bin can't produce ±inf. Two scans + two tiny
+    bin aggregations. Returns per-bin rows plus the total under
+    ``bin = -1``.
+    """
+    eps = 1e-6
+    bounds = (
+        ref.select(F.col(col).alias("__x"))
+        .filter(F.col("__x").isNotNull())
+        .agg(
+            F.min("__x").cast("double").alias("__lo"),
+            F.max("__x").cast("double").alias("__hi"),
+        )
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = (
+            df.select(F.col(col).alias("__x"))
+            .filter(F.col("__x").isNotNull())
+            .crossJoin(F.broadcast(bounds))
+        )
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+        raw = F.floor((F.col("__x").cast("double") - F.col("__lo")) / width)
+        bin_ = (
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.greatest(F.least(raw, F.lit(n_bins - 1)), F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        counts = b.select(bin_.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(f"__n_{name}")
+        )
+        tot = counts.agg(F.sum(f"__n_{name}").alias(f"__t_{name}"))
+        return counts.crossJoin(F.broadcast(tot))
+
+    r = binned(ref, "ref")
+    c = binned(cur, "cur")
+    allb = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    rtot = r.agg(F.max("__t_ref").alias("__tr"))
+    ctot = c.agg(F.max("__t_cur").alias("__tc"))
+    j = (
+        allb.join(r.select("bin", "__n_ref"), "bin", "left")
+        .join(c.select("bin", "__n_cur"), "bin", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "bin",
+            (F.coalesce(F.col("__n_ref"), F.lit(0)) / F.col("__tr") + eps).alias("p_ref"),
+            (F.coalesce(F.col("__n_cur"), F.lit(0)) / F.col("__tc") + eps).alias("p_cur"),
+        )
+        .select(
+            "bin",
+            "p_ref",
+            "p_cur",
+            ((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))).alias("psi_term"),
+        )
+    )
+    total = j.agg(
+        F.lit(-1).cast("int").alias("bin"),
+        F.lit(None).cast("double").alias("p_ref"),
+        F.lit(None).cast("double").alias("p_cur"),
+        F.sum("psi_term").alias("psi_term"),
+    )
+    return j.unionByName(total)
