@@ -196,3 +196,38 @@ def test_conversion_latency_hand_computed(spark):
     assert got[5] == 5.0
     assert got[6] is None
     assert set(got) == {2, 5, 6}  # only purchases emit
+
+
+def test_session_paths_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.relational import (
+        session_paths,
+    )
+
+    GAP = 31 * 60
+    rows = [
+        # user 7, session 1: view>click ; session 2 (after gap): view
+        (1, _ts(0), 7, "view"), (2, _ts(60), 7, "click"),
+        (3, _ts(GAP + 120), 7, "view"),
+        # user 9: view>click
+        (4, _ts(0), 9, "view"), (5, _ts(30), 9, "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.path: r.n_sessions for r in session_paths(df).collect()}
+    assert got == {"view>click": 2, "view": 1}
+
+
+def test_fuzzy_pairs_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "spark"), (2, "spork"),   # dist 1, same prefix 'sp' (len 2)
+        (3, "sprk"),                  # dist 1 to spark, same prefix
+        (4, "hadoop"),                # different block
+        (5, "sparkling"),             # length gap 4 > max_dist → pruned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    got = {(r.id_a, r.id_b): r.dist for r in
+           fuzzy_pairs(df, "name", max_dist=2, prefix_len=2, id_col="doc_id").collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}  # spork→sprk: one deletion

@@ -2372,6 +2372,40 @@ def q_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journeys: first five event types per inactivity-gap
+    session, counted corpus-wide."""
+    t = load_tables(spark, sf_dir)
+    res = R.session_paths(t["events"], gap_minutes=30, max_steps=5, top_n=20)
+    return res.select("path", F.col("n_sessions").cast("long").alias("n_sessions"))
+
+
+def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over short title strings (doc-text
+    prefixes, every 5th title deterministically typo'd into a planted
+    near-copy) — prefix-blocked Levenshtein, collide-then-verify."""
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", F.substring("text", 1, 12).alias("name")
+    )
+    typo = (
+        t["documents"]
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 4),
+                F.lit("z"),
+                F.substring("text", 6, 7),
+            ).alias("name"),
+        )
+    )
+    res = D.fuzzy_pairs(
+        base.unionByName(typo), "name", max_dist=2, prefix_len=3
+    )
+    return res.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2908,6 +2942,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "session_paths": q_session_paths,
+        "fuzzy_titles": q_fuzzy_titles,
         "segment_target_enc": q_segment_target_enc,
         "price_psi": q_price_psi,
         "conversion_latency": q_conversion_latency,

@@ -2449,6 +2449,33 @@ SELECT -1, NULL, NULL, round((SELECT sum(psi_term) FROM w), 6) + 0.0
 """
 
 
+_ORACLE_SESSION_PATHS = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR (us - prev) / 1000000 > 30 * 60 THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+p AS (SELECT array_to_string(list_slice(list(event_type ORDER BY us, event_id), 1, 5), '>') AS path
+      FROM s GROUP BY user_id, sid)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+
+_ORACLE_FUZZY_TITLES = """
+WITH base AS (SELECT doc_id, substr(text, 1, 12) AS name FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     concat(substr(text, 1, 4), 'z', substr(text, 6, 7))
+              FROM documents WHERE doc_id % 5 = 0),
+k AS (SELECT doc_id, name, lower(substr(name, 1, 3)) AS pfx FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2646,6 +2673,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "session_paths": _ORACLE_SESSION_PATHS,
+        "fuzzy_titles": _ORACLE_FUZZY_TITLES,
         "segment_target_enc": _ORACLE_SEGMENT_TARGET_ENC,
         "price_psi": _ORACLE_PRICE_PSI,
         "conversion_latency": _ORACLE_CONVERSION_LATENCY,

@@ -49,6 +49,7 @@ __all__ = [
     "dup_span_stats",
     "normalized_dedup",
     "near_dup_against_corpus",
+    "fuzzy_pairs",
 ]
 
 #: Mersenne-ish prime > 2^32 for the universal-hash family
@@ -755,3 +756,43 @@ def near_dup_against_corpus(
         "corpus_id",
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    prefix_len: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs for SHORT strings (names,
+    titles, SKUs) — the regime where shingle/MinHash similarity is
+    meaningless because a one-character typo rewrites most shingles.
+
+    Collide-then-verify like every other dedup path here: candidates
+    must share a ``prefix_len``-char lowercase prefix (equi-join on the
+    prefix bucket — a typo in the first characters escapes the block;
+    standard blocking tradeoff, widen with a suffix or sorted-
+    neighborhood pass when recall matters more), then exact
+    ``levenshtein ≤ max_dist`` verifies. Pairs where the length gap
+    already exceeds ``max_dist`` are pruned BEFORE the distance
+    evaluates — length is the cheap lower bound on edit distance.
+
+    Returns ``(id_a, id_b, dist)``, a < b.
+    """
+    key = F.lower(F.substring(F.col(col), 1, prefix_len))
+    ex = df.select(F.col(id_col), F.col(col).alias("__s"), key.alias("__k"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, F.col("a.__k") == F.col("b.__k"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.abs(F.length("a.__s") - F.length("b.__s")) <= max_dist
+        )
+    )
+    dist = F.levenshtein(F.col("a.__s"), F.col("b.__s"))
+    return cand.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        dist.alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

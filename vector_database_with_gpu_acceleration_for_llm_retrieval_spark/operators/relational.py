@@ -35,6 +35,7 @@ __all__ = [
     "monthly_growth",
     "cohort_matrix",
     "event_transitions",
+    "session_paths",
 ]
 
 
@@ -548,4 +549,57 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "to_type",
         "n",
         (F.col("n") / F.sum("n").over(tot)).alias("prob"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_steps: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Most common session journeys: the first ``max_steps`` event
+    types of each inactivity-gap session, joined into a path string,
+    counted corpus-wide — "how do sessions usually start", the path-
+    mining staple.
+
+    Reuses the sessionizer's lag → gap-flag → running-sum shape (one
+    per-user window), then per-session paths via sorted struct
+    collect_list (array_sort on (ts, id) structs — collect order is
+    partition-dependent, the SORT makes it deterministic), and a tiny
+    path count. Bounded per-session state; top-N merge is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = events.withColumn(
+        "session_id", F.sum(new_sess).over(by_user.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_sess = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.col("event_type").alias("e"),
+                    )
+                )
+            ).alias("__evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform(F.col("__evs"), lambda s: s["e"]), 1, max_steps),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        per_sess.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_n)
     )
