@@ -231,3 +231,22 @@ def test_fuzzy_pairs_hand_computed(spark):
     got = {(r.id_a, r.id_b): r.dist for r in
            fuzzy_pairs(df, "name", max_dist=2, prefix_len=2, id_col="doc_id").collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}  # spork→sprk: one deletion
+
+
+def test_dau_wau_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.relational import (
+        dau_wau,
+    )
+    import datetime as dt
+
+    def d(day, uid):
+        return (uid * 100 + day, dt.datetime(2024, 1, day, 12, 0), uid, "view")
+
+    # day1: users 1,2 ; day2: user 1 (twice) ; day9: user 3
+    rows = [d(1, 1), d(1, 2), d(2, 1), d(2, 1), d(9, 3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {str(r.day): (r.dau, r.wau, r.stickiness) for r in dau_wau(df).collect()}
+    assert got["2024-01-01"][:2] == (2, 2)
+    assert got["2024-01-02"][:2] == (1, 2)   # 7-day window still sees both users
+    assert got["2024-01-09"][:2] == (1, 1)   # day 1-2 activity aged out
+    assert abs(got["2024-01-02"][2] - 0.5) < 1e-12

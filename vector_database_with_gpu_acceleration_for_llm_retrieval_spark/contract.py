@@ -2406,6 +2406,19 @@ def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
 
 
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day actives, and stickiness per day — distinct
+    (user, day) collapse first, day spine joined over the interval."""
+    t = load_tables(spark, sf_dir)
+    res = R.dau_wau(t["events"])
+    return res.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        _round6(F.col("stickiness"), "stickiness"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2942,6 +2955,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "dau_wau": q_dau_wau,
         "session_paths": q_session_paths,
         "fuzzy_titles": q_fuzzy_titles,
         "segment_target_enc": q_segment_target_enc,

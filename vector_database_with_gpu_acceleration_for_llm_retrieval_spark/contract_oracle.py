@@ -2476,6 +2476,21 @@ WHERE levenshtein(a.name, b.name) <= 2
 """
 
 
+_ORACLE_DAU_WAU = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        GROUP BY d.day),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       round(dau.dau / CAST(wau.wau AS DOUBLE), 6) + 0.0 AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2673,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "dau_wau": _ORACLE_DAU_WAU,
         "session_paths": _ORACLE_SESSION_PATHS,
         "fuzzy_titles": _ORACLE_FUZZY_TITLES,
         "segment_target_enc": _ORACLE_SEGMENT_TARGET_ENC,

@@ -36,6 +36,7 @@ __all__ = [
     "cohort_matrix",
     "event_transitions",
     "session_paths",
+    "dau_wau",
 ]
 
 
@@ -602,4 +603,36 @@ def session_paths(
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top_n)
+    )
+
+
+def dau_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Daily active users, trailing-window actives, and stickiness
+    (DAU/WAU) per day — the growth metric sheet.
+
+    Distinct-over-a-sliding-window has no direct window-function form
+    (count DISTINCT isn't frame-able), so the standard shape: collapse
+    to distinct (user, day) first — bounded by users × days, the fact
+    table never re-scans — then join the tiny day spine against the
+    trailing interval and count distinct per day. The spine side is
+    |days| rows; the join fans each (user, day) row into ≤``window_days``
+    spine days, still users × days × W — far below the event count.
+    """
+    ud = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    trailing = days.alias("d").join(
+        ud.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(F.col("d.day"), window_days - 1)),
+    )
+    wau = trailing.groupBy(F.col("d.day").alias("day")).agg(
+        F.count_distinct("u.user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select("day", "dau", "wau", (F.col("dau") / F.col("wau")).alias("stickiness"))
+        .orderBy("day")
     )
