@@ -250,3 +250,28 @@ def test_dau_wau_hand_computed(spark):
     assert got["2024-01-02"][:2] == (1, 2)   # 7-day window still sees both users
     assert got["2024-01-09"][:2] == (1, 1)   # day 1-2 activity aged out
     assert abs(got["2024-01-02"][2] - 0.5) < 1e-12
+
+
+def test_rfm_scores_hand_computed(spark):
+    import datetime as dt
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.relational import (
+        rfm_scores,
+    )
+
+    # 5 customers, one order each, staggered dates and prices
+    rows = [
+        (i, 100 + i, dt.datetime(2024, 1, 1 + i * 5), 100.0 * (i + 1))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {r.o_custkey: r for r in rfm_scores(df, asof_date="2024-02-01").collect()}
+    # most recent orderer (cust 104) gets r_score 5; oldest gets 1
+    assert got[104].r_score == 5 and got[100].r_score == 1
+    # biggest spender gets m_score 5
+    assert got[104].m_score == 5 and got[100].m_score == 1
+    # equal frequency: unique ranks spread scores but stay in 1..5
+    assert all(1 <= got[c].f_score <= 5 for c in got)
+    assert got[102].rec_days == (dt.date(2024, 2, 1) - dt.date(2024, 1, 11)).days

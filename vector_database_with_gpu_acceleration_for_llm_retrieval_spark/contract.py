@@ -2419,6 +2419,22 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    on the distributed prefix rank — deterministic tie handling."""
+    t = load_tables(spark, sf_dir)
+    res = R.rfm_scores(t["orders"], asof_date="2001-09-01")
+    return res.select(
+        "o_custkey",
+        F.col("rec_days").cast("int").alias("rec_days"),
+        F.col("freq").cast("long").alias("freq"),
+        _round6(F.col("monetary"), "monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2955,6 +2971,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "rfm_scores": q_rfm_scores,
         "dau_wau": q_dau_wau,
         "session_paths": q_session_paths,
         "fuzzy_titles": q_fuzzy_titles,

@@ -2491,6 +2491,31 @@ FROM dau JOIN wau USING (day) ORDER BY day
 """
 
 
+_ORACLE_RFM_SCORES = """
+WITH pc AS (SELECT o_custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS rec_days,
+                   count(*) AS freq, sum(o_totalprice) AS monetary
+            FROM orders GROUP BY 1),
+n AS (SELECT count(*) AS n FROM pc),
+r AS (SELECT pc.*,
+             row_number() OVER (ORDER BY rec_days ASC, o_custkey ASC) AS rr,
+             row_number() OVER (ORDER BY freq ASC, o_custkey ASC) AS rf,
+             row_number() OVER (ORDER BY monetary ASC, o_custkey ASC) AS rm,
+             n.n FROM pc CROSS JOIN n),
+s AS (SELECT *,
+        CASE WHEN n > 1 THEN (rr - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS pr,
+        CASE WHEN n > 1 THEN (rf - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS pf,
+        CASE WHEN n > 1 THEN (rm - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS pm
+      FROM r)
+SELECT o_custkey, CAST(rec_days AS INT) AS rec_days, CAST(freq AS BIGINT) AS freq,
+       round(monetary, 6) + 0.0 AS monetary,
+       CAST(6 - (least(floor(pr * 5), 4) + 1) AS INT) AS r_score,
+       CAST(least(floor(pf * 5), 4) + 1 AS INT) AS f_score,
+       CAST(least(floor(pm * 5), 4) + 1 AS INT) AS m_score
+FROM s
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2688,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "rfm_scores": _ORACLE_RFM_SCORES,
         "dau_wau": _ORACLE_DAU_WAU,
         "session_paths": _ORACLE_SESSION_PATHS,
         "fuzzy_titles": _ORACLE_FUZZY_TITLES,

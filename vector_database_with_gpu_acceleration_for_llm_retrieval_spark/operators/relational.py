@@ -37,6 +37,7 @@ __all__ = [
     "event_transitions",
     "session_paths",
     "dau_wau",
+    "rfm_scores",
 ]
 
 
@@ -635,4 +636,43 @@ def dau_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
         dau.join(wau, "day")
         .select("day", "dau", "wau", (F.col("dau") / F.col("wau")).alias("stickiness"))
         .orderBy("day")
+    )
+
+
+def rfm_scores(orders: DataFrame, asof_date: str = "2001-09-01") -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    as of ``asof_date``), frequency (order count), monetary (total
+    spend), each quintile-scored 1–5 (5 best) — the classic customer-
+    value grid.
+
+    The per-customer rollup is one partial-agg shuffle of orders; the
+    three quintile scores come from the distributed prefix rank
+    (:func:`~.sampling.global_rank`) over the CUSTOMER-sized frame —
+    ties split deterministically by customer key, so the scoring is
+    engine- and partitioning-stable (a plain ntile would also be a
+    single-task window at customer scale; this isn't).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(asof_date).cast("date"), F.max(F.to_date("o_orderdate"))).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+
+    def quint(df, col, better_high: bool, out: str):
+        ranked = global_rank(df, col, id_col="o_custkey")
+        pct = F.col("pct")
+        score = F.least(F.floor(pct * 5), F.lit(4)) + 1
+        if not better_high:
+            score = 6 - score
+        return ranked.withColumn(out, score.cast("int")).drop("rank", "pct")
+
+    out = quint(per_cust, "rec_days", better_high=False, out="r_score")
+    out = quint(out, "freq", better_high=True, out="f_score")
+    out = quint(out, "monetary", better_high=True, out="m_score")
+    return out.select(
+        "o_custkey", "rec_days", "freq", "monetary", "r_score", "f_score", "m_score"
     )
