@@ -306,3 +306,20 @@ def test_target_encode_hand_computed(spark):
     # frequency encoding
     fr = {r.cat: r.cat_freq for r in frequency_encode(df, "cat").collect()}
     assert fr == {"a": 0.5, "b": 0.5}
+
+
+def test_lift_table_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.features import (
+        lift_table,
+    )
+
+    # scores 1..10; label = 1 for the top-4 scores, else 0
+    rows = [(float(s), 1.0 if s > 6 else 0.0) for s in range(1, 11)]
+    df = spark.createDataFrame(rows, "score double, y double")
+    got = {r.bin: r for r in lift_table(df, "score", "y", n_bins=5).collect()}
+    # bin 0 = scores {10, 9}: all positive, lift = 1.0/0.4 = 2.5
+    assert got[0].n_rows == 2 and got[0].avg_label == 1.0
+    assert abs(got[0].lift - 2.5) < 1e-12
+    assert abs(got[0].cum_capture - 0.5) < 1e-12   # 2 of 4 positives
+    assert abs(got[1].cum_capture - 1.0) < 1e-12   # all 4 captured by bin 1
+    assert got[4].avg_label == 0.0

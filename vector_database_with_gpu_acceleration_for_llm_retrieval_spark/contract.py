@@ -2435,6 +2435,30 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift of event value as a purchase predictor — equal-
+    population bins on the distributed rank, cumulative capture on the
+    tiny bins frame."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        features,
+    )
+
+    t = load_tables(spark, sf_dir)
+    scored = t["events"].select(
+        "event_id",
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    res = features.lift_table(scored, "score", "label", n_bins=10, id_col="event_id")
+    return res.select(
+        "bin",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _round6(F.col("avg_label"), "avg_label"),
+        _round6(F.col("lift"), "lift"),
+        _round6(F.col("cum_capture"), "cum_capture"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2971,6 +2995,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "value_lift": q_value_lift,
         "rfm_scores": q_rfm_scores,
         "dau_wau": q_dau_wau,
         "session_paths": q_session_paths,

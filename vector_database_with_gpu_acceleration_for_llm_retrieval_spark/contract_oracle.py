@@ -2516,6 +2516,25 @@ FROM s
 """
 
 
+_ORACLE_VALUE_LIFT = """
+WITH b AS (SELECT event_id, value AS s,
+                  CAST(event_type = 'purchase' AS DOUBLE) AS y
+           FROM events WHERE event_type IS NOT NULL),
+r AS (SELECT *, row_number() OVER (ORDER BY s DESC, event_id ASC) AS rn,
+             count(*) OVER () AS n FROM b),
+p AS (SELECT y, CASE WHEN n > 1 THEN (rn - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS pct FROM r),
+x AS (SELECT CAST(least(floor(pct * 10), 9) AS INT) AS bin, y FROM p),
+pb AS (SELECT bin, count(*) AS n_rows, sum(y) AS sy FROM x GROUP BY 1),
+t AS (SELECT sum(n_rows) AS tn, sum(sy) AS ty FROM pb)
+SELECT bin, CAST(n_rows AS BIGINT) AS n_rows,
+       round(sy / n_rows, 6) + 0.0 AS avg_label,
+       round((sy / n_rows) / (t.ty / t.tn), 6) + 0.0 AS lift,
+       round(sum(sy) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / t.ty, 6) + 0.0 AS cum_capture
+FROM pb, t ORDER BY bin
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2713,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _oracle_event_funnel(),
         "incremental_near_dup": _oracle_incremental_near_dup(),
         "key_skew": _oracle_key_skew(),
+        "value_lift": _ORACLE_VALUE_LIFT,
         "rfm_scores": _ORACLE_RFM_SCORES,
         "dau_wau": _ORACLE_DAU_WAU,
         "session_paths": _ORACLE_SESSION_PATHS,

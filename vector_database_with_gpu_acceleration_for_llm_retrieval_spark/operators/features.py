@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode", "frequency_encode"]
+__all__ = ["target_encode", "frequency_encode", "lift_table"]
 
 
 def target_encode(
@@ -84,4 +84,62 @@ def frequency_encode(
         df.join(F.broadcast(per_cat), cat_col, "left")
         .crossJoin(F.broadcast(tot))
         .select(*df.columns, (F.col("__n") / F.col("__t")).alias(out_col))
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Decile lift table — the model-evaluation staple: rank rows by
+    ``score_col`` (best first), cut into ``n_bins`` equal-population
+    bins, and report each bin's label mean, lift over the global mean,
+    and the cumulative share of all positives captured down to that
+    bin ("top 20% of scores capture X% of conversions").
+
+    Binning rides the distributed prefix rank
+    (:func:`~.sampling.global_rank` — no single-task ntile); the
+    cumulative sums then run on the ``n_bins``-row frame where an
+    ordered window is free. Ties break on ``id_col`` (default: the
+    score itself) so the cut is deterministic.
+
+    Returns ``(bin, n_rows, avg_label, lift, cum_capture)`` with bin 0
+    = best scores.
+    """
+    from pyspark.sql import Window as W
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        global_rank,
+    )
+
+    cols = [F.col(score_col).alias("__s"), F.col(label_col).cast("double").alias("__y")]
+    if id_col:
+        cols.append(F.col(id_col).alias("__id"))
+    base = df.select(*cols).filter(F.col("__y").isNotNull())
+    ranked = global_rank(
+        base, "__s", id_col="__id" if id_col else "__s", ascending=False
+    )
+    bin_ = F.least(F.floor(F.col("pct") * n_bins), F.lit(n_bins - 1)).cast("int")
+    per_bin = (
+        ranked.select(bin_.alias("bin"), "__y")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__y").alias("__sy"))
+    )
+    tot = per_bin.agg(
+        F.sum("n_rows").alias("__n"), F.sum("__sy").alias("__ty")
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_rows",
+            (F.col("__sy") / F.col("n_rows")).alias("avg_label"),
+            ((F.col("__sy") / F.col("n_rows")) / (F.col("__ty") / F.col("__n"))).alias("lift"),
+            (F.sum("__sy").over(w) / F.col("__ty")).alias("cum_capture"),
+        )
+        .orderBy("bin")
     )

@@ -78,16 +78,19 @@ def _distributed_prefix(
     ``__run + __off`` is the exact global inclusive prefix, with no
     single-partition stage over the data.
 
-    NOTE on lineage determinism: the range-partitioned frame feeds TWO
-    subplans (the offsets aggregate and the final join). Correctness
-    needs both to see the same partition boundaries. That holds because
-    (a) Catalyst reuses the range Exchange when both branches share its
-    canonical plan (ReusedExchange in the physical plan), and (b) even
-    without reuse, RangePartitioner's boundary sampling is seeded
-    deterministically from the partition index, so a recompute over the
-    same input yields identical boundaries. Do not insert a
-    nondeterministic narrow op (e.g. sample, rand) between the
-    repartition and either consumer — that would break (b).
+    CORRECTNESS NOTE — the range-partitioned frame feeds TWO subplans
+    (the offsets aggregate and the final join), and both MUST see the
+    same partition boundaries. Exchange reuse sometimes guarantees that
+    for shallow consumers, but it is NOT reliable: when the optimizer
+    plans the branches as separate exchanges, RangePartitioner samples
+    its boundaries with an RDD-id-seeded RNG, so each recompute draws
+    DIFFERENT boundaries and the stitched prefix silently corrupts
+    (observed as ±partition-sized rank errors in deeper pipelines, e.g.
+    lift_table — run-to-run nondeterministic). The frame is therefore
+    pinned with an eager localCheckpoint: one materialization, one set
+    of boundaries, every consumer reads the same rows. The cost is one
+    materialization of the input — the price of an exact global prefix;
+    both downstream jobs get a lineage cut for free.
     """
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -99,7 +102,7 @@ def _distributed_prefix(
         .orderBy(*key)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    rp = rp.withColumn("__run", F.sum(weight).over(w_in))
+    rp = rp.withColumn("__run", F.sum(weight).over(w_in)).localCheckpoint(eager=True)
     # P rows: per-partition totals → exclusive prefix over partition ids
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -178,9 +181,6 @@ def pack_sequences(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     key = [*part_cols, F.col(id_col).asc()]
-    # Same lineage-determinism contract as budget_select: the range
-    # Exchange is either reused (canonical-plan match) or recomputed
-    # with identical, deterministically-sampled boundaries.
     rp = with_counts.repartitionByRange(n_parts, *key).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -195,7 +195,11 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    rp = rp.withColumn("__run", F.sum("n_tokens").over(w_in))
+    # Pinned for the same reason as _distributed_prefix: the offsets
+    # branch and the final join must see ONE set of sampled range
+    # boundaries (RangePartitioner's sampling is RDD-id-seeded, so a
+    # re-planned exchange draws different boundaries).
+    rp = rp.withColumn("__run", F.sum("n_tokens").over(w_in)).localCheckpoint(eager=True)
     # strata × P rows: per-slice totals → exclusive prefix over pids.
     w_off = (
         Window.partitionBy(*([by] if by else []))
