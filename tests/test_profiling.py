@@ -323,3 +323,43 @@ def test_lift_table_hand_computed(spark):
     assert abs(got[0].cum_capture - 0.5) < 1e-12   # 2 of 4 positives
     assert abs(got[1].cum_capture - 1.0) < 1e-12   # all 4 captured by bin 1
     assert got[4].avg_label == 0.0
+
+
+def test_target_encode_null_category_gets_group_stats(spark):
+    """NULL is a real category: its rows must receive the NULL group's
+    smoothed mean / frequency share, not NULL features (ADVICE round 5
+    — features.py null-safe join)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.features import (
+        frequency_encode,
+        target_encode,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), (None, 1.0), (None, 1.0)],
+        "cat string, y double",
+    )
+    mu = 0.75
+    te = {r.cat: r.cat_te for r in target_encode(df, "cat", "y", alpha=2.0).collect()}
+    assert abs(te[None] - (2.0 + 2.0 * mu) / (2 + 2.0)) < 1e-12
+    assert abs(te["a"] - (1.0 + 2.0 * mu) / (2 + 2.0)) < 1e-12
+    fr = {r.cat: r.cat_freq for r in frequency_encode(df, "cat").collect()}
+    assert fr[None] == 0.5 and fr["a"] == 0.5
+
+
+def test_lift_table_tied_scores_deterministic_stats(spark):
+    """Tied scores straddling a bin boundary: repeated runs produce
+    identical bin statistics (hash-of-(score,label) tiebreak)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.features import (
+        lift_table,
+    )
+
+    # 10 rows, all score ties in the middle; labels differ across ties
+    rows = [(5.0, float(i % 2)) for i in range(8)] + [(9.0, 1.0), (1.0, 0.0)]
+    df = spark.createDataFrame(rows, "score double, y double").repartition(7)
+    runs = [
+        {(r.bin): (r.n_rows, r.avg_label) for r in
+         lift_table(df, "score", "y", n_bins=5).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert sum(n for n, _ in runs[0].values()) == 10

@@ -378,3 +378,30 @@ def test_ranking_metrics_hand_computed(spark):
     assert abs(got[2].ndcg - (1.0 / math.log2(3)) / idcg) < 1e-12
     assert got[2].mrr == 0.5
     assert got[3].ndcg == 0.0 and got[3].mrr == 0.0
+
+
+def test_ranking_metrics_truncates_past_k(spark):
+    """An approx list longer than k must not earn credit past the
+    cutoff: nDCG@k stays ≤ 1 and MRR ignores hits at rank > k
+    (ADVICE round 5 — search.py ranking_metrics)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, n) for n in (10, 20)], "qid int, neighbor_id int"
+    )
+    # 4 approx rows for k=2: both relevant hits sit PAST the cutoff
+    approx = spark.createDataFrame(
+        [(1, 97, 1), (1, 98, 2), (1, 10, 3), (1, 20, 4)],
+        "qid int, neighbor_id int, rank int",
+    )
+    got = S.ranking_metrics(exact, approx, k=2).collect()[0]
+    assert got.ndcg == 0.0 and got.mrr == 0.0
+    # and a perfect in-window list still scores 1.0 even with trailing junk
+    approx2 = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 97, 3), (1, 98, 4)],
+        "qid int, neighbor_id int, rank int",
+    )
+    got2 = S.ranking_metrics(exact, approx2, k=2).collect()[0]
+    assert abs(got2.ndcg - 1.0) < 1e-12 and got2.mrr == 1.0

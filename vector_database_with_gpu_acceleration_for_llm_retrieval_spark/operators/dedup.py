@@ -681,6 +681,7 @@ def near_dup_against_corpus(
     tid_path: str = "hash",
     max_bucket_size: int | None = None,
     corpus_sig: DataFrame | None = None,
+    cache_new_signature: bool = True,
 ) -> DataFrame:
     """Incremental near-dup — match a NEW batch against an EXISTING
     corpus (the production crawl-ingest shape: every incoming shard is
@@ -728,7 +729,15 @@ def near_dup_against_corpus(
         tids_c = shingle_tids_vocab(
             corpus, id_col=id_col, text_col=text_col, n=shingle_n, vocab_docs=shared
         )
-    sig_new = _persist_signature(minhash_signature(tids_new, perms, id_col=id_col))
+    # cache_new_signature=False keeps short-lived batches (e.g. one
+    # streaming micro-batch per trigger) OUT of the shared 3-slot
+    # signature cache — each would evict a long-lived corpus/DSIR frame
+    # and thrash the cache for a signature used exactly once. The new
+    # side then feeds its two plan branches by recompute, which is the
+    # cheaper trade for a small batch.
+    sig_new = minhash_signature(tids_new, perms, id_col=id_col)
+    if cache_new_signature:
+        sig_new = _persist_signature(sig_new)
     if corpus_sig is None:
         sig_c = _persist_signature(minhash_signature(tids_c, perms, id_col=id_col))
     bk_n = _band_buckets(sig_new, n_bands, n_hashes, id_col).withColumnRenamed(

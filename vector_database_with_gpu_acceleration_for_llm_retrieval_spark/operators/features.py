@@ -59,13 +59,22 @@ def target_encode(
         F.count(y).alias("__ny"),
     )
     glob = df.agg((F.sum(y) / F.count(y)).alias("__mu"))
-    j = df.join(F.broadcast(per_cat), cat_col, "left").crossJoin(F.broadcast(glob))
+    # NULL is a real category in dirty data: a plain equi-join would
+    # never match the NULL group, silently encoding those rows as NULL.
+    # Join null-safely so NULL-category rows get THEIR group's stats.
+    per_cat = F.broadcast(per_cat.withColumnRenamed(cat_col, "__cat"))
+    j = df.join(
+        per_cat, F.col(cat_col).eqNullSafe(F.col("__cat")), "left"
+    ).crossJoin(F.broadcast(glob))
     if loo:
         sy = F.col("__sy") - F.coalesce(y, F.lit(0.0))
         ny = F.col("__ny") - F.when(y.isNotNull(), 1).otherwise(0)
     else:
         sy, ny = F.col("__sy"), F.col("__ny")
     enc = (sy + F.lit(float(alpha)) * F.col("__mu")) / (ny + F.lit(float(alpha)))
+    # belt and braces: any row that still failed to match (impossible
+    # when per_cat came from the same frame) falls back to the prior μ
+    enc = F.coalesce(enc, F.col("__mu"))
     return j.select(*df.columns, enc.alias(out_col))
 
 
@@ -80,8 +89,11 @@ def frequency_encode(
     out_col = out_col or f"{cat_col}_freq"
     per_cat = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("__n"))
     tot = df.agg(F.count(F.lit(1)).alias("__t"))
+    # null-safe join for the same reason as target_encode: the NULL
+    # category's share must reach its rows, not become a NULL feature
+    per_cat = F.broadcast(per_cat.withColumnRenamed(cat_col, "__cat"))
     return (
-        df.join(F.broadcast(per_cat), cat_col, "left")
+        df.join(per_cat, F.col(cat_col).eqNullSafe(F.col("__cat")), "left")
         .crossJoin(F.broadcast(tot))
         .select(*df.columns, (F.col("__n") / F.col("__t")).alias(out_col))
     )
@@ -103,8 +115,12 @@ def lift_table(
     Binning rides the distributed prefix rank
     (:func:`~.sampling.global_rank` — no single-task ntile); the
     cumulative sums then run on the ``n_bins``-row frame where an
-    ordered window is free. Ties break on ``id_col`` (default: the
-    score itself) so the cut is deterministic.
+    ordered window is free. Ties break on ``id_col``; without one, the
+    tiebreak is a hash of (score, label), which pins every bin's
+    statistics deterministically (rows identical in BOTH score and
+    label may swap bins across runs, but swapping interchangeable rows
+    cannot change any bin's n/avg/lift). Pass a unique ``id_col`` when
+    the exact row→bin assignment itself must be reproducible.
 
     Returns ``(bin, n_rows, avg_label, lift, cum_capture)`` with bin 0
     = best scores.
@@ -119,9 +135,12 @@ def lift_table(
     if id_col:
         cols.append(F.col(id_col).alias("__id"))
     base = df.select(*cols).filter(F.col("__y").isNotNull())
-    ranked = global_rank(
-        base, "__s", id_col="__id" if id_col else "__s", ascending=False
-    )
+    if not id_col:
+        # no caller id: tiebreak on hash(score, label) — bin STATS stay
+        # deterministic because any rows still tied are identical in
+        # both grouping-relevant values (see docstring)
+        base = base.withColumn("__id", F.xxhash64(F.col("__s"), F.col("__y")))
+    ranked = global_rank(base, "__s", id_col="__id", ascending=False)
     bin_ = F.least(F.floor(F.col("pct") * n_bins), F.lit(n_bins - 1)).cast("int")
     per_bin = (
         ranked.select(bin_.alias("bin"), "__y")

@@ -184,7 +184,8 @@ def delete_from_collection(
 
     Returns ``{"touched_shards": [...], "rows_deleted": n}``.
     """
-    if isinstance(ids, DataFrame):
+    from_frame = isinstance(ids, DataFrame)
+    if from_frame:
         id_frame = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
         if not ids:
@@ -197,9 +198,14 @@ def delete_from_collection(
     touched = sorted(r["shard"] for r in targets.select("shard").distinct().collect())
     current = spark.read.parquet(path).filter(F.col("shard").isin(touched))
     before = current.count()
-    keep = current.join(
-        F.broadcast(targets.select(id_col).distinct()), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
+    # a driver-side list is bounded by construction, so broadcast it; a
+    # DataFrame of ids may be an arbitrarily large erasure batch — let
+    # AQE pick the anti-join strategy rather than forcing a driver
+    # collect of the whole frame
+    erase = targets.select(id_col).distinct()
+    if not from_frame:
+        erase = F.broadcast(erase)
+    keep = current.join(erase, id_col, "left_anti").localCheckpoint(eager=True)
     after = keep.count()
     conf = spark.conf
     try:

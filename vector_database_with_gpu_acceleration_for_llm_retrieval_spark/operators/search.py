@@ -648,8 +648,13 @@ def ranking_metrics(
     import math
 
     idcg = sum(1.0 / math.log2(r + 1) for r in range(1, k + 1))
-    hits = approx.select(qid_col, id_col, rank_col).join(
-        exact.select(qid_col, id_col), [qid_col, id_col]
+    # truncate to the @k cutoff BEFORE scoring: callers may hand a longer
+    # approx list, and credit past rank k would let nDCG@k exceed 1 / MRR
+    # count hits the cutoff should exclude
+    hits = (
+        approx.filter(F.col(rank_col) <= k)
+        .select(qid_col, id_col, rank_col)
+        .join(exact.select(qid_col, id_col), [qid_col, id_col])
     )
     per_q = hits.groupBy(qid_col).agg(
         (F.sum(F.lit(1.0) / F.log2(F.col(rank_col) + F.lit(1.0))) / F.lit(idcg)).alias(

@@ -829,7 +829,10 @@ def stream_neardup_gate(
     maintenance step) so the gate sees them on the next cycle.
 
     Caller should ``.cache()`` ``corpus_sig`` so every micro-batch
-    reuses it. Returns the started query.
+    reuses it. Survivors land in ``out_dir/batch_id=<n>/`` (overwrite
+    per batch → idempotent under foreachBatch's at-least-once retries);
+    read ``out_dir`` as one partitioned table. Returns the started
+    query.
     """
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
         dedup as D,
@@ -844,12 +847,21 @@ def stream_neardup_gate(
             n_bands=n_bands,
             shingle_n=shingle_n,
             corpus_sig=corpus_sig,
+            # per-batch frames must not evict the long-lived corpus
+            # signature from the shared cache (ADVICE round 5)
+            cache_new_signature=False,
         )
         dropped = matches.select(
             F.col("new_id").alias("doc_id")
         ).distinct()
         survivors = batch_df.join(dropped, "doc_id", "left_anti")
-        survivors.write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: a retried micro-batch would
+        # double-append under mode('append'). Writing each batch into
+        # its own batch_id=<n> partition directory with overwrite makes
+        # the retry idempotent (the rerun replaces its own directory),
+        # and readers of out_dir just see an extra batch_id partition
+        # column.
+        survivors.write.mode("overwrite").parquet(f"{out_dir}/batch_id={_bid}")
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
