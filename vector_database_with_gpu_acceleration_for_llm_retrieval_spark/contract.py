@@ -2459,6 +2459,136 @@ def q_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part in a region, the
+    correlated min-subquery decorrelated into one window-min."""
+    t = load_tables(spark, sf_dir)
+    res = R.min_cost_supplier(t)
+    return res.select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_brand",
+        _round6(F.col("supply_cost"), "supply_cost"),
+    )
+
+
+def q_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped-revenue orders for one segment."""
+    t = load_tables(spark, sf_dir)
+    res = R.unshipped_orders(t)
+    return res.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        _round6(F.col("revenue"), "revenue"),
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by returned-item revenue."""
+    t = load_tables(spark, sf_dir)
+    res = R.returned_revenue(t)
+    return res.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "n_name",
+        _round6(F.col("lost_revenue"), "lost_revenue"),
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving max quarter revenue."""
+    t = load_tables(spark, sf_dir)
+    res = R.top_supplier(t)
+    return res.select(
+        "s_suppkey", "s_name", _round6(F.col("total_revenue"), "total_revenue")
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part bucket."""
+    t = load_tables(spark, sf_dir)
+    res = R.part_supplier_counts(t)
+    return res.select(
+        "p_brand",
+        "p_type",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: avg yearly revenue from below-half-average
+    quantity orders of one brand."""
+    t = load_tables(spark, sf_dir)
+    res = R.small_qty_revenue(t)
+    return res.select(_round6(F.col("avg_yearly"), "avg_yearly"))
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    brand/size/quantity branches."""
+    t = load_tables(spark, sf_dir)
+    res = R.disjunctive_revenue(t)
+    return res.select(_round6(F.col("revenue"), "revenue"))
+
+
+def q_order_laggards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who uniquely shipped last in
+    multi-supplier orders."""
+    t = load_tables(spark, sf_dir)
+    res = R.order_laggards(t)
+    return res.select("s_name", F.col("numwait").cast("long").alias("numwait"))
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share in a region's market
+    per year, conditional-sum over sum in one aggregate."""
+    t = load_tables(spark, sf_dir)
+    res = R.market_share(t)
+    return res.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        _round6(F.col("mkt_share"), "mkt_share"),
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for a
+    name-filtered product family."""
+    t = load_tables(spark, sf_dir)
+    res = R.product_profit(t)
+    return res.select(
+        "n_name",
+        F.col("o_year").cast("long").alias("o_year"),
+        _round6(F.col("sum_profit"), "sum_profit"),
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts above a fraction of one nation's total
+    traded value (scalar-subquery gate)."""
+    t = load_tables(spark, sf_dir)
+    res = R.important_parts(t)
+    return res.select("l_partkey", _round6(F.col("part_value"), "part_value"))
+
+
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment conditional counts per order
+    priority."""
+    t = load_tables(spark, sf_dir)
+    res = R.late_ship_priority(t)
+    return res.select(
+        "o_orderpriority",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.col("n_late_urgent").cast("long").alias("n_late_urgent"),
+        _round6(F.col("late_share"), "late_share"),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -2995,6 +3125,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "incremental_near_dup": q_incremental_near_dup,
         "key_skew": q_key_skew,
+        "min_cost_supplier": q_min_cost_supplier,
+        "unshipped_orders": q_unshipped_orders,
+        "returned_revenue": q_returned_revenue,
+        "top_supplier": q_top_supplier,
+        "part_supplier_counts": q_part_supplier_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "order_laggards": q_order_laggards,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "late_ship_priority": q_late_ship_priority,
         "value_lift": q_value_lift,
         "rfm_scores": q_rfm_scores,
         "dau_wau": q_dau_wau,

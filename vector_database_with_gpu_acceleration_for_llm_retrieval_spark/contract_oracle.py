@@ -2535,6 +2535,177 @@ FROM pb, t ORDER BY bin
 """
 
 
+_ORACLE_MIN_COST_SUPPLIER = """
+WITH ps AS (SELECT l_partkey, l_suppkey,
+                   round(min(l_extendedprice / l_quantity), 6) AS supply_cost
+            FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+dim AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+scoped AS (SELECT ps.*, dim.s_name, dim.s_acctbal, dim.n_name, p.p_brand, p.p_partkey
+           FROM ps JOIN dim ON ps.l_suppkey = dim.s_suppkey
+           JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 15) p
+             ON ps.l_partkey = p.p_partkey),
+m AS (SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS mc FROM scoped)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       round(supply_cost, 6) + 0.0 AS supply_cost
+FROM m WHERE supply_cost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+_ORACLE_UNSHIPPED_ORDERS = """
+WITH g AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+           WHERE l_shipdate > TIMESTAMP '1998-06-01'
+             AND o_orderdate < TIMESTAMP '1998-06-01'
+           GROUP BY 1, 2, 3)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, round(revenue, 6) + 0.0 AS revenue
+FROM g ORDER BY g.revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+_ORACLE_RETURNED_REVENUE = """
+WITH g AS (SELECT c_custkey, c_name, c_acctbal, n_name,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01' + INTERVAL 90 DAY
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+           GROUP BY 1, 2, 3, 4)
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(lost_revenue, 6) + 0.0 AS lost_revenue
+FROM g ORDER BY g.lost_revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+_ORACLE_TOP_SUPPLIER = """
+WITH rev AS (SELECT l_suppkey,
+                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+               AND l_shipdate < TIMESTAMP '1999-01-01' + INTERVAL 90 DAY
+             GROUP BY 1)
+SELECT s_suppkey, s_name, round(total_revenue, 6) + 0.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+_ORACLE_PART_SUPPLIER_COUNTS = """
+WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM links JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+"""
+
+
+_ORACLE_SMALL_QTY_REVENUE = """
+WITH scoped AS (SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part
+                  ON l_partkey = p_partkey AND p_brand = 'Brand#23'),
+a AS (SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM scoped GROUP BY 1)
+SELECT round(round(sum(l_extendedprice) / 7.0, 2), 6) + 0.0 AS avg_yearly
+FROM scoped JOIN a ON l_partkey = pk
+WHERE l_quantity < 0.5 * aq
+"""
+
+
+_ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT round(round(sum(l_extendedprice * (1 - l_discount)), 2), 6) + 0.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+_ORACLE_ORDER_LAGGARDS = """
+WITH per_os AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_last
+                FROM lineitem GROUP BY 1, 2),
+w1 AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+              max(s_last) OVER (PARTITION BY l_orderkey) AS o_last
+       FROM per_os),
+w2 AS (SELECT *, sum(CASE WHEN s_last = o_last THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_orderkey) AS n_last
+       FROM w1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM w2 JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND s_last = o_last AND n_last = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+_ORACLE_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) + 0.0 AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_ORACLE_PRODUCT_PROFIT = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       round(round(sum(l_extendedprice * (1 - l_discount)
+                       - 0.5 * p_retailprice * l_quantity), 2), 6) + 0.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+"""
+
+
+_ORACLE_IMPORTANT_PARTS = """
+WITH pp AS (SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+            GROUP BY 1)
+SELECT l_partkey, round(round(v, 2), 6) + 0.0 AS part_value
+FROM pp WHERE v > 0.001 * (SELECT sum(v) FROM pp)
+ORDER BY round(v, 2) DESC, l_partkey
+"""
+
+
+_ORACLE_LATE_SHIP_PRIORITY = """
+WITH j AS (SELECT o_orderpriority,
+                  date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) > 60 AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN late AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late_urgent,
+       round(sum(CASE WHEN late THEN 1.0 ELSE 0.0 END) / count(*), 6) + 0.0 AS late_share
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2758,6 +2929,18 @@ def oracle_sql() -> dict[str, str]:
         "rate_limited": _ORACLE_RATE_LIMITED,
         "orders_audit": _ORACLE_ORDERS_AUDIT,
         "large_orders": _ORACLE_LARGE_ORDERS,
+        "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
+        "unshipped_orders": _ORACLE_UNSHIPPED_ORDERS,
+        "returned_revenue": _ORACLE_RETURNED_REVENUE,
+        "top_supplier": _ORACLE_TOP_SUPPLIER,
+        "part_supplier_counts": _ORACLE_PART_SUPPLIER_COUNTS,
+        "small_qty_revenue": _ORACLE_SMALL_QTY_REVENUE,
+        "disjunctive_revenue": _ORACLE_DISJUNCTIVE_REVENUE,
+        "order_laggards": _ORACLE_ORDER_LAGGARDS,
+        "market_share": _ORACLE_MARKET_SHARE,
+        "product_profit": _ORACLE_PRODUCT_PROFIT,
+        "important_parts": _ORACLE_IMPORTANT_PARTS,
+        "late_ship_priority": _ORACLE_LATE_SHIP_PRIORITY,
         "idle_rich_customers": _ORACLE_IDLE_RICH,
         "value_rank": _ORACLE_VALUE_RANK,
         "rolling_hour": _ORACLE_ROLLING_HOUR,

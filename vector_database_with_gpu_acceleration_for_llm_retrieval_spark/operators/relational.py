@@ -38,6 +38,18 @@ __all__ = [
     "session_paths",
     "dau_wau",
     "rfm_scores",
+    "min_cost_supplier",
+    "unshipped_orders",
+    "returned_revenue",
+    "top_supplier",
+    "part_supplier_counts",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "order_laggards",
+    "market_share",
+    "product_profit",
+    "important_parts",
+    "late_ship_priority",
 ]
 
 
@@ -675,4 +687,389 @@ def rfm_scores(orders: DataFrame, asof_date: str = "2001-09-01") -> DataFrame:
     out = quint(out, "monetary", better_high=True, out="m_score")
     return out.select(
         "o_custkey", "rec_days", "freq", "monetary", "r_score", "f_score", "m_score"
+    )
+
+
+def min_cost_supplier(
+    t: dict[str, DataFrame], region: str = "ASIA", max_size: int = 15, k: int = 100
+) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part in a region),
+    decorrelated: the classic correlated ``cost = (SELECT min …)``
+    subquery becomes one window-min over the part partition — a single
+    shuffle on partkey instead of a per-row re-scan.
+
+    The schema has no partsupp table, so supply cost is derived from
+    the fact: per (part, supplier), the minimum observed unit price
+    ``min(l_extendedprice / l_quantity)``. That derivation is itself a
+    partial-aggregated groupBy on the two keys (map-side combine — the
+    shuffle carries one row per (part, supplier) pair, not lineitems).
+    Supplier/nation/region are broadcast; ties on min cost keep ALL
+    min-cost suppliers (set semantics, same as Q2), and the final
+    ordering (acctbal desc, nation, supplier, part) bounds the result
+    with TakeOrderedAndProject.
+    """
+    li, p, s, n, r = t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
+    cost = F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+    ps = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(cost.alias("supply_cost"))
+    )
+    dim = (
+        F.broadcast(
+            s.join(n, s["s_nationkey"] == n["n_nationkey"])
+            .join(r.filter(F.col("r_name") == region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        )
+    )
+    parts = F.broadcast(
+        p.filter(F.col("p_size") <= max_size).select("p_partkey", "p_brand")
+    )
+    scoped = (
+        ps.join(dim, ps["l_suppkey"] == dim["s_suppkey"])
+        .join(parts, ps["l_partkey"] == parts["p_partkey"])
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        scoped.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def unshipped_orders(
+    t: dict[str, DataFrame],
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): revenue still unshipped at a
+    date for one market segment. Both date filters push to the parquet
+    scans (orders BEFORE the cutoff, lineitems shipped AFTER it), the
+    customer dim is broadcast, and the top-k lands in
+    TakeOrderedAndProject — the shuffle carries only surviving
+    (orderkey, date, priority) partials."""
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cust = F.broadcast(
+        c.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def returned_revenue(t: dict[str, DataFrame], since: str = "1999-01-01", k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns
+    (returnflag = 'R') in a quarter. Fact-side filters (flag + date)
+    prune the scan before the orders join; customer and nation are
+    broadcast; top-k is bounded."""
+    li, o, c, n = t["lineitem"], t["orders"], t["customer"], t["nation"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    until = F.date_add(F.lit(since).cast("date"), 90)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(since)) & (F.col("o_orderdate") < until)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def top_supplier(t: dict[str, DataFrame], start: str = "1999-01-01") -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter. The scalar ``max(total_revenue)`` subquery is a 1-row
+    aggregate of the already-tiny per-supplier frame, broadcast back —
+    no second scan of the fact. Returns every supplier achieving the
+    max (set semantics, like Q15's HAVING = MAX)."""
+    li, s = t["lineitem"], t["supplier"]
+    until = F.date_add(F.lit(start).cast("date"), 90)
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < until))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def part_supplier_counts(
+    t: dict[str, DataFrame], exclude_brand: str = "Brand#45", k: int = 50
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) bucket. The part-supplier relation is derived
+    from the fact (distinct (partkey, suppkey) — partial-agged before
+    the shuffle); part is broadcast; count-distinct runs on the already
+    deduped pair frame so no second dedup pass is paid."""
+    li, p = t["lineitem"], t["part"]
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    parts = F.broadcast(
+        p.filter(F.col("p_brand") != exclude_brand).select(
+            "p_partkey", "p_brand", "p_type", "p_size"
+        )
+    )
+    return (
+        links.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(k)
+    )
+
+
+def small_qty_revenue(
+    t: dict[str, DataFrame], brand: str = "Brand#23", frac: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue from orders below half a part's average quantity. The
+    correlated ``avg(l_quantity)`` per part is decorrelated into one
+    groupBy over the brand-filtered fact slice, broadcast back onto the
+    same slice — the brand filter (via the broadcast part dim) prunes
+    BEFORE both the aggregate and the re-join, so the heavy fact is
+    scanned for this brand's rows only."""
+    li, p = t["lineitem"], t["part"]
+    parts = F.broadcast(
+        p.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    scoped = li.join(parts, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = scoped.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg_qty"))
+    return (
+        scoped.join(
+            F.broadcast(avg_q.withColumnRenamed("l_partkey", "__pk")),
+            F.col("l_partkey") == F.col("__pk"),
+        )
+        .filter(F.col("l_quantity") < F.lit(frac) * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def disjunctive_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size,
+    quantity) conjunctions — the predicate-pushdown stress test. The
+    disjunction lives in ONE join condition over a single fact scan;
+    Catalyst pushes the common bounds (quantity, size) into the scans
+    and the broadcast part dim keeps the join shuffle-free."""
+    li, p = t["lineitem"], t["part"]
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def order_laggards(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), reshaped to
+    this schema's columns: in every multi-supplier order, the supplier
+    whose latest line shipped STRICTLY last (unique max shipdate while
+    the other suppliers finished earlier) held the order up. The
+    classic double-EXISTS decorrelates into one (order, supplier)
+    aggregate plus one window over the order — two shuffles total, both
+    on keys the data is already grouped by."""
+    li, s = t["lineitem"], t["supplier"]
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("__s_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.withColumn("__n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("__o_last", F.max("__s_last").over(w))
+        .withColumn(
+            "__n_last",
+            F.sum(
+                F.when(F.col("__s_last") == F.col("__o_last"), 1).otherwise(0)
+            ).over(w),
+        )
+        .filter(
+            (F.col("__n_supp") >= 2)
+            & (F.col("__s_last") == F.col("__o_last"))
+            & (F.col("__n_last") == 1)
+        )
+    )
+    return (
+        flagged.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
+def market_share(
+    t: dict[str, DataFrame],
+    supp_nation: str = "NATION_3",
+    mkt_region: str = "EUROPE",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the share of one
+    nation's suppliers in a region's market for one part type, per
+    order year. Share = conditional-sum / sum in ONE aggregate pass —
+    no self-join of the revenue frame. Customer-side nation/region and
+    supplier-side nation are separate broadcast dim chains; the only
+    big shuffle is lineitem⋈orders."""
+    li, o, c, s, n, r = (
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"], t["region"],
+    )
+    cust_dim = F.broadcast(
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(
+            r.filter(F.col("r_name") == mkt_region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("c_custkey").alias("__ck"))
+    )
+    supp_dim = F.broadcast(
+        s.join(
+            n.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("__sn")),
+            s["s_nationkey"] == F.col("__snk"),
+        ).select("s_suppkey", "__sn")
+    )
+    parts = F.broadcast(
+        t["part"].filter(F.col("p_type") == p_type).select("p_partkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_dim, F.col("o_custkey") == F.col("__ck"))
+        .join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("__sn") == supp_nation, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(t: dict[str, DataFrame], name_like: str = "widget") -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). The
+    schema has no partsupp supply cost, so cost is proxied from the
+    part dim (half retail price per unit) — the join/aggregate shape is
+    the point: name-filtered part dim broadcast into the fact, supplier
+    → nation broadcast chain, group by (nation, year). Profit stays a
+    single projected expression; one shuffle for the final group."""
+    li, p, s, n = t["lineitem"], t["part"], t["supplier"], t["nation"]
+    parts = F.broadcast(
+        p.filter(F.col("p_name").contains(name_like)).select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        s.join(n, s["s_nationkey"] == n["n_nationkey"]).select("s_suppkey", "n_name")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+def important_parts(
+    t: dict[str, DataFrame], supp_nation: str = "NATION_1", fraction: float = 0.001
+) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose traded value
+    through one nation's suppliers exceeds a fraction of that nation's
+    total. The HAVING-vs-scalar-subquery decorrelates into a 1-row
+    aggregate of the per-part frame cross-joined back (broadcast) —
+    the fact is scanned once; both the per-part and the total aggregate
+    reuse the same filtered, partial-agged slice."""
+    li, s, n = t["lineitem"], t["supplier"], t["nation"]
+    supp = F.broadcast(
+        s.join(
+            n.filter(F.col("n_name") == supp_nation),
+            s["s_nationkey"] == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("__v"))
+    )
+    tot = per_part.agg(F.sum("__v").alias("__t"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("__v") > F.lit(fraction) * F.col("__t"))
+        .select("l_partkey", F.round("__v", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def late_ship_priority(t: dict[str, DataFrame], late_days: int = 60) -> DataFrame:
+    """TPC-H Q12 shape (late shipments by priority — this schema has no
+    shipmode/commitdate, so lateness is shipdate lagging orderdate by
+    more than ``late_days``). Conditional counts split urgent
+    (1-URGENT/2-HIGH) from low priorities in the SAME aggregate pass;
+    the only shuffle carries (priority) partials after the li⋈orders
+    join."""
+    li, o = t["lineitem"], t["orders"]
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > late_days
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(late & urgent, 1).otherwise(0)).alias("n_late_urgent"),
+            F.round(
+                F.sum(F.when(late, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
+            ).alias("late_share"),
+        )
+        .orderBy("o_orderpriority")
     )
