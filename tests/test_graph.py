@@ -1,0 +1,95 @@
+"""Known-answer tests for the graph family (copurchase_edges,
+degrees, triangle_count, pagerank) on tiny hand-built graphs; the
+sf0.01 value-check against DuckDB runs in tests/test_contract_extras.py."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    graph as G,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src long, dst long, weight int"
+    )
+
+
+def test_copurchase_edges_ladder(spark):
+    li = spark.createDataFrame(
+        [
+            # order 1: parts 10, 20, 30 (part 10 twice → distinct collapses)
+            (1, 10), (1, 10), (1, 20), (1, 30),
+            # order 2: parts 10, 20
+            (2, 10), (2, 20),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.src, r.dst): r.weight for r in G.copurchase_edges(li).collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+    # min_weight prunes; the per-order cap bounds the pair blowup
+    assert {(r.src, r.dst) for r in G.copurchase_edges(li, min_weight=2).collect()} == {(10, 20)}
+    capped = G.copurchase_edges(li, max_items_per_order=2).collect()
+    # cap=2 keeps items (10,20) per order → only that pair survives
+    assert {(r.src, r.dst): r.weight for r in capped} == {(10, 20): 2}
+
+
+def test_degree_and_histogram(spark):
+    # path 1-2-3 plus isolated edge 4-5
+    e = _edges(spark, [(1, 2), (2, 3), (4, 5)])
+    deg = {r.node: r.degree for r in G.node_degrees(e).collect()}
+    assert deg == {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+    hist = {r.degree: r.n_nodes for r in G.degree_histogram(e).collect()}
+    assert hist == {1: 4, 2: 1}
+
+
+def test_triangle_count_exact(spark):
+    # K4 has 4 triangles; appending a pendant edge adds none
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert G.triangle_count(_edges(spark, k4)).collect()[0].n_triangles == 4
+    assert (
+        G.triangle_count(_edges(spark, k4 + [(4, 9)])).collect()[0].n_triangles == 4
+    )
+    assert G.triangle_count(_edges(spark, [(1, 2), (2, 3)])).collect()[0].n_triangles == 0
+
+
+def _ref_pagerank(pairs, iters, d=0.85):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1 - d) / n + d * s
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_reference(spark, iters):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    got = {r.node: r.rank for r in G.pagerank(_edges(spark, pairs), iters=iters).collect()}
+    want = _ref_pagerank(pairs, iters)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # triangle (2-regular): uniform ranks are a fixed point
+    got = {r.node: r.rank for r in
+           G.pagerank(_edges(spark, [(1, 2), (2, 3), (1, 3)]), iters=4).collect()}
+    for v in (1, 2, 3):
+        assert abs(got[v] - 1.0 / 3) < 1e-12
+
+
+def test_pagerank_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long, weight int")
+    assert G.pagerank(e).count() == 0

@@ -2589,6 +2589,63 @@ def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: co-purchase graph knobs shared with the SQL mirrors
+COPURCHASE_MIN_WEIGHT = 2
+COPURCHASE_CAP = 20
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def _copurchase_edges(t):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    return G.copurchase_edges(
+        t["lineitem"],
+        min_weight=COPURCHASE_MIN_WEIGHT,
+        max_items_per_order=COPURCHASE_CAP,
+    )
+
+
+def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edge extraction: distinct→cap→pair ladder, canonical
+    src<dst, co-order weights."""
+    t = load_tables(spark, sf_dir)
+    res = _copurchase_edges(t)
+    return res.select("src", "dst", F.col("weight").cast("long").alias("weight"))
+
+
+def q_part_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (power-law shape
+    report)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    res = G.degree_histogram(_copurchase_edges(t))
+    return res.select(
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via the oriented wedge-close join."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    return G.triangle_count(_copurchase_edges(t))
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank on the symmetrized co-purchase graph."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    res = G.pagerank(
+        _copurchase_edges(t), iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return res.select("node", _round6(F.col("rank"), "rank"))
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -3137,6 +3194,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "important_parts": q_important_parts,
         "late_ship_priority": q_late_ship_priority,
+        "copurchase_graph": q_copurchase_graph,
+        "part_degrees": q_part_degrees,
+        "triangle_count": q_triangle_count,
+        "part_pagerank": q_part_pagerank,
         "value_lift": q_value_lift,
         "rfm_scores": q_rfm_scores,
         "dau_wau": q_dau_wau,

@@ -2706,6 +2706,87 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+
+_ORACLE_COPURCHASE_GRAPH = """
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM e
+"""
+
+
+_ORACLE_PART_DEGREES = """
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT node, count(*) AS degree FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+        GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+_ORACLE_TRIANGLE_COUNT = """
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e ab JOIN e bc ON ab.dst = bc.src
+JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+
+_ORACLE_PART_PAGERANK = """
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+em AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src, count(*) AS dg FROM em GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+c1 AS (SELECT em.dst AS node, sum(r0.r / deg.dg) AS s
+        FROM r0 JOIN em ON r0.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
+r1 AS (SELECT deg.src AS node,
+               (1 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.src = c1.node),
+c2 AS (SELECT em.dst AS node, sum(r1.r / deg.dg) AS s
+        FROM r1 JOIN em ON r1.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
+r2 AS (SELECT deg.src AS node,
+               (1 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.src = c2.node),
+c3 AS (SELECT em.dst AS node, sum(r2.r / deg.dg) AS s
+        FROM r2 JOIN em ON r2.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
+r3 AS (SELECT deg.src AS node,
+               (1 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
+SELECT node, round(r, 6) + 0.0 AS rank FROM r3
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -2941,6 +3022,10 @@ def oracle_sql() -> dict[str, str]:
         "product_profit": _ORACLE_PRODUCT_PROFIT,
         "important_parts": _ORACLE_IMPORTANT_PARTS,
         "late_ship_priority": _ORACLE_LATE_SHIP_PRIORITY,
+        "copurchase_graph": _ORACLE_COPURCHASE_GRAPH,
+        "part_degrees": _ORACLE_PART_DEGREES,
+        "triangle_count": _ORACLE_TRIANGLE_COUNT,
+        "part_pagerank": _ORACLE_PART_PAGERANK,
         "idle_rich_customers": _ORACLE_IDLE_RICH,
         "value_rank": _ORACLE_VALUE_RANK,
         "rolling_hour": _ORACLE_ROLLING_HOUR,

@@ -1,0 +1,192 @@
+"""Graph analytics over relational interaction data: co-purchase edge
+extraction, degree statistics, triangle counting, and fixed-iteration
+PageRank — the graph half of the recommendation/link-analysis toolbox
+next to :func:`~.relational.item_cooccurrence` (co-visitation) and
+:func:`~.dedup.dedup_clusters` (connected components).
+
+All operators are pure DataFrame compositions; the graph is an edge
+frame ``(src, dst, weight)`` with canonical ``src < dst`` for the
+undirected operators, so each undirected edge is stored once and
+symmetrized only where an algorithm needs both directions.
+
+Scale shapes (the usual distributed-graph hazards, addressed up
+front):
+
+* **edge extraction** caps items per container BEFORE the pair
+  self-join (same quadratic-blowup guard as ``item_cooccurrence``);
+* **triangle counting** joins edges in canonical orientation only
+  (``a<b<c``), so every triangle is generated exactly once and the
+  wedge join is driven by the smaller oriented-edge frame, never the
+  full symmetric blowup;
+* **PageRank** is the standard power iteration: out-degree computed
+  once and persisted, each round one join + one groupBy keyed on the
+  node id, rank frame localCheckpoint-pinned per round so the lineage
+  (and replanned shuffles) can't stack across iterations.
+
+Reference parity note: the reference engine (a flat vector store,
+SURVEY.md §1) has no graph surface; these belong to the mandated
+large-scale-training-pipeline extensions (web-graph quality signals à
+la PageRank-style corpus weighting in public CommonCrawl pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "copurchase_edges",
+    "node_degrees",
+    "degree_histogram",
+    "triangle_count",
+    "pagerank",
+]
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    min_weight: int = 1,
+    max_items_per_order: int = 20,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Undirected co-purchase edges from an order log: parts appearing
+    in the same order, weighted by the number of co-orders. Canonical
+    orientation ``src < dst`` — one row per undirected edge.
+
+    Same anti-quadratic ladder as ``item_cooccurrence``: distinct
+    (order, item) first, per-order item cap second (deterministic
+    item-asc), pair self-join third — a pathological basket contributes
+    at most cap² pairs. Returns ``(src, dst, weight)``.
+    """
+    oi = (
+        lineitem.select(F.col(order_col).alias("o"), F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("o").orderBy(F.asc("item"))
+    capped = (
+        oi.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_items_per_order)
+        .drop("__rn")
+    )
+    a = capped.withColumnRenamed("item", "src")
+    b = capped.withColumnRenamed("item", "dst")
+    return (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of a canonical (src<dst) undirected edge frame:
+    one union of the two endpoint projections, one groupBy — the
+    symmetric edge list is never materialized. Returns
+    ``(node, degree)``."""
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution ``(degree, n_nodes)`` — the shape report
+    (power-law check, skew early-warning for the joins downstream).
+    Two tiny aggregations on top of :func:`node_degrees`."""
+    return (
+        node_degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count of a canonical undirected edge frame.
+
+    Classic oriented wedge-close: with every edge stored as ``a<b``,
+    a triangle ``a<b<c`` is found exactly once by joining
+    ``(a,b) ⋈ (b,c)`` (wedge at ``b``) against ``(a,c)``. Orientation
+    by id keeps each wedge generated once; at 100 TB the standard
+    refinement is orienting by DEGREE (low→high) so hub nodes don't
+    own quadratic wedge sets — the join/aggregate shape is identical,
+    only the canonical order changes (documented, not needed at bench
+    scale). Two equi-join shuffles on node keys; one scalar count out.
+    Returns a 1-row frame ``(n_triangles)``.
+    """
+    e = edges.select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, "b")
+    return (
+        wedges.join(ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    directed: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank power method. ``directed=False``
+    (default) symmetrizes the canonical edge frame first, so every
+    node both emits and receives and the dangling-mass term vanishes
+    (every node has degree ≥ 1 by construction — it appears in an
+    edge).
+
+    Per iteration: one join rank⋈edges on the emitting node, one
+    groupBy on the receiving node — both shuffles keyed on node id,
+    partial-aggregated. The edge+degree frame is computed once and
+    persisted; the rank frame is ``localCheckpoint``-pinned every
+    round so iteration ``k`` replans against a materialized ``k−1``
+    instead of an ever-deepening lineage (the same pinning rule as the
+    connected-components pointer jumping in dedup.py). ``iters`` is
+    deliberately a fixed small constant — rank ordering stabilizes in
+    a few rounds and a fixed count keeps the result oracle-mirrorable.
+
+    Returns ``(node, rank)``; ranks sum to 1 up to float error.
+    """
+    if directed:
+        em = edges.select("src", "dst")
+    else:
+        em = edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    em = em.persist()
+    deg = em.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist()
+    n_nodes = deg.count()  # also materializes em/deg
+    if n_nodes == 0:
+        em.unpersist()
+        deg.unpersist()
+        return edges.sparkSession.createDataFrame([], "node long, rank double")
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(em, "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # every node receives in the symmetric graph; under directed
+        # graphs nodes with no in-edges fall back to the base term
+        ranks = (
+            deg.select(F.col("src"))
+            .join(contrib, deg["src"] == contrib["node"], "left")
+            .select(
+                "src",
+                (F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select(F.col("src").alias("node"), "rank")
+    em.unpersist()
+    deg.unpersist()
+    return out
