@@ -2646,6 +2646,107 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("node", _round6(F.col("rank"), "rank"))
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per document: tokens, types, TTR,
+    hapax legomena, token-distribution Shannon entropy (one-pass
+    ``log2(n) − Σ c·log2(c)/n`` identity)."""
+    t = load_tables(spark, sf_dir)
+    res = T.lexical_diversity(t["documents"])
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "hapax",
+        _round6(F.col("ttr"), "ttr"),
+        _round6(F.col("entropy"), "entropy"),
+    )
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: least-squares slope of log-freq over log-rank
+    on the top-1000 tokens (deterministic count-desc/token-asc cut)."""
+    t = load_tables(spark, sf_dir)
+    res = T.zipf_slope(t["documents"], top_n=1000)
+    return res.select(
+        _round6(F.col("slope"), "slope"),
+        _round6(F.col("intercept"), "intercept"),
+        "n_terms",
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability on deterministically punctuated pages
+    (the raw synthetic corpus is unpunctuated — the pii_scrub
+    augmentation pattern)."""
+    t = load_tables(spark, sf_dir)
+    text = F.col("text")
+    page = F.concat(
+        F.substring(text, 1, 80),
+        F.lit(". "),
+        F.substring(text, 81, 60),
+        F.lit("! Is this text readable? Maybe."),
+    )
+    docs = t["documents"].select("doc_id", page.alias("text"))
+    res = T.readability_scores(docs)
+    return res.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        _round6(F.col("flesch"), "flesch"),
+    )
+
+
+def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume z-score anomalies per event type (single-day keys
+    flag false, never alarm)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        zscore_anomaly,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = zscore_anomaly(t["events"], threshold=2.0)
+    return res.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _round6(F.col("z"), "z"),
+        "is_anomaly",
+    )
+
+
+def q_promo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-containment join at scale: orders landing in
+    deterministic monthly promo windows (day 4–17 of each month), no
+    broadcast, no cartesian — coarse-bucket equi-join + exact
+    containment filter."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        interval_join_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01")
+    m = t["orders"].select(F.trunc("o_orderdate", "month").alias("m")).distinct()
+    promos = m.select(
+        F.date_format("m", "yyyy-MM").alias("promo_id"),
+        (F.datediff("m", epoch) + 4).cast("long").alias("lo"),
+        (F.datediff("m", epoch) + 18).cast("long").alias("hi"),
+    )
+    facts = t["orders"].select(
+        F.datediff("o_orderdate", epoch).cast("long").alias("day"), "o_totalprice"
+    )
+    joined = interval_join_bucketed(facts, promos, "day", bucket=16)
+    return (
+        joined.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("__rev"),
+        )
+        .select("promo_id", "n_orders", _round6(F.col("__rev"), "revenue"))
+        .orderBy("promo_id")
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -3198,6 +3299,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_degrees": q_part_degrees,
         "triangle_count": q_triangle_count,
         "part_pagerank": q_part_pagerank,
+        "lexical_diversity": q_lexical_diversity,
+        "zipf_slope": q_zipf_slope,
+        "readability": q_readability,
+        "daily_anomaly": q_daily_anomaly,
+        "promo_orders": q_promo_orders,
         "value_lift": q_value_lift,
         "rfm_scores": q_rfm_scores,
         "dau_wau": q_dau_wau,

@@ -2787,6 +2787,86 @@ SELECT node, round(r, 6) + 0.0 AS rank FROM r3
 """
 
 
+
+_ORACLE_LEXICAL_DIVERSITY = """
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+             FROM documents),
+tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS ttr,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) + 0.0 AS entropy
+FROM tc GROUP BY 1
+"""
+
+
+_ORACLE_ZIPF_SLOPE = """
+WITH c AS (SELECT tk, count(*) AS c FROM
+             (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+              FROM documents)
+           GROUP BY 1 ORDER BY c DESC, tk ASC LIMIT 1000),
+r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tk ASC) AS DOUBLE)) AS lr,
+             ln(CAST(c AS DOUBLE)) AS lf FROM c)
+SELECT round(regr_slope(lf, lr), 6) + 0.0 AS slope,
+       round(regr_intercept(lf, lr), 6) + 0.0 AS intercept,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM r
+"""
+
+
+_ORACLE_READABILITY = """
+WITH p AS (SELECT doc_id,
+                  concat(substr(text, 1, 80), '. ', substr(text, 81, 60),
+                         '! Is this text readable? Maybe.') AS text
+           FROM documents),
+m AS (SELECT doc_id,
+             greatest(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+      FROM p)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sentences,
+       CAST(greatest(vg, n_words) AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+             - 84.6 * (greatest(vg, n_words) / CAST(n_words AS DOUBLE)), 6) + 0.0 AS flesch
+FROM m
+"""
+
+
+_ORACLE_DAILY_ANOMALY = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd
+       FROM daily GROUP BY 1)
+SELECT daily.event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       round((n_events - mu) / sd, 6) + 0.0 AS z,
+       coalesce(abs((n_events - mu) / sd) >= 2.0, FALSE) AS is_anomaly
+FROM daily JOIN st USING (event_type)
+"""
+
+
+_ORACLE_PROMO_ORDERS = """
+WITH m AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders),
+promos AS (SELECT strftime(m, '%Y-%m') AS promo_id,
+                  date_diff('day', DATE '1970-01-01', CAST(m AS DATE)) + 4 AS lo,
+                  date_diff('day', DATE '1970-01-01', CAST(m AS DATE)) + 18 AS hi
+           FROM m),
+f AS (SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+             o_totalprice
+      FROM orders)
+SELECT promo_id, CAST(count(*) AS BIGINT) AS n_orders,
+       round(round(sum(o_totalprice), 2), 6) + 0.0 AS revenue
+FROM f JOIN promos ON day >= lo AND day < hi
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _oracle_key_skew() -> str:
     return f"""
 WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
@@ -3026,6 +3106,11 @@ def oracle_sql() -> dict[str, str]:
         "part_degrees": _ORACLE_PART_DEGREES,
         "triangle_count": _ORACLE_TRIANGLE_COUNT,
         "part_pagerank": _ORACLE_PART_PAGERANK,
+        "lexical_diversity": _ORACLE_LEXICAL_DIVERSITY,
+        "zipf_slope": _ORACLE_ZIPF_SLOPE,
+        "readability": _ORACLE_READABILITY,
+        "daily_anomaly": _ORACLE_DAILY_ANOMALY,
+        "promo_orders": _ORACLE_PROMO_ORDERS,
         "idle_rich_customers": _ORACLE_IDLE_RICH,
         "value_rank": _ORACLE_VALUE_RANK,
         "rolling_hour": _ORACLE_ROLLING_HOUR,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly"]
 
 
 def asof_join(
@@ -291,5 +291,92 @@ def conversion_latency(
             F.col(id_col),
             F.col(key_col),
             ((mic - F.col("__lf")) / 1_000_000.0).alias("latency_sec"),
+        )
+    )
+
+
+def interval_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket: int = 16,
+) -> DataFrame:
+    """Containment join of facts into ``[lo, hi)`` intervals when the
+    interval side is TOO BIG to broadcast — the scale path next to
+    :func:`range_join_bands` (broadcast non-equi, small-bands only).
+
+    Classic bucketed range join: both sides are keyed by a coarse
+    bucket ``floor(x / bucket)`` — each fact lands in exactly one
+    bucket, each interval explodes to the buckets its span covers —
+    then a shuffle EQUI-join on the bucket key runs the exact
+    containment predicate as a post-filter. No cartesian, no
+    broadcast; the join parallelizes across buckets. Because a fact's
+    bucket is unique, each qualifying (fact, interval) pair matches
+    exactly once — no dedup pass needed.
+
+    ``bucket`` should sit near the typical interval length: the
+    interval side then explodes to ~2 rows each, while much smaller
+    buckets inflate the interval fan-out and much bigger ones degrade
+    bucket selectivity (more post-filtered pairs). Values must be
+    integral (days, epoch seconds, cents…). Returns the inner join of
+    facts × matching intervals.
+    """
+    b = int(bucket)
+    fb = facts.withColumn("__bk", F.floor(F.col(value_col) / b).cast("long"))
+    ib = intervals.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b).cast("long"),
+                # hi is exclusive: an interval ending exactly on a
+                # bucket boundary does not reach into that bucket
+                F.floor((F.col(hi_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        fb.join(ib, "__bk")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bk")
+    )
+
+
+def zscore_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Daily-volume anomaly detection per key: z-score of each day's
+    event count against that key's own mean/std across days, flagging
+    |z| ≥ ``threshold`` — the ops-monitoring staple (traffic spike /
+    outage dips) and the drift tripwire next to PSI.
+
+    Two aggregations, both partial-agged: (key, day) counts, then
+    per-key mean/std over the day rows (a tiny frame — days, not
+    events) broadcast back onto it. A key observed on a single day has
+    no sample std → z is NULL and the flag false (never a false
+    alarm from one observation). Returns
+    ``(key, day, n_events, z, is_anomaly)``.
+    """
+    daily = (
+        events.select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("key").agg(
+        F.avg("n_events").alias("__mu"), F.stddev_samp("n_events").alias("__sd")
+    )
+    z = (F.col("n_events") - F.col("__mu")) / F.col("__sd")
+    return (
+        daily.join(F.broadcast(stats), "key")
+        .select(
+            F.col("key").alias(key_col),
+            "day",
+            "n_events",
+            z.alias("z"),
+            F.coalesce(F.abs(z) >= threshold, F.lit(False)).alias("is_anomaly"),
         )
     )

@@ -26,6 +26,9 @@ __all__ = [
     "top_ngrams",
     "gopher_rules",
     "script_ratios",
+    "lexical_diversity",
+    "zipf_slope",
+    "readability_scores",
 ]
 
 #: rolling-hash base/modulus for k-gram fingerprints (Rabin-Karp style);
@@ -385,4 +388,95 @@ def script_ratios(
         (cyr / denom).alias("cyrillic_ratio"),
         (cjk / denom).alias("cjk_ratio"),
         ((non_space - latin - digit - cyr - cjk) / denom).alias("other_ratio"),
+    )
+
+
+def lexical_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity profile: token count, distinct
+    types, type-token ratio, hapax legomena (tokens occurring once),
+    and Shannon entropy of the token distribution — the vocabulary-
+    richness quality signals next to :func:`repetition_stats`
+    (templated/boilerplate text scores low entropy and low TTR).
+
+    Entropy uses the one-pass identity
+    ``H = log2(n) − Σ c·log2(c) / n`` so a single (doc, token)
+    aggregate feeds a single doc-level aggregate — no window, no
+    second pass over the distribution. Shape at scale: one explode
+    (unavoidable for per-token counts), two partial-agged groupBys
+    keyed by doc; skew bounded by the longest document.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("__tok")
+    )
+    tc = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    n = F.sum("__c")
+    s = F.sum(F.col("__c") * F.log2("__c"))
+    return tc.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        (F.count(F.lit(1)) / n).alias("ttr"),
+        (F.log2(n) - s / n).alias("entropy"),
+    )
+
+
+def zipf_slope(docs: DataFrame, top_n: int = 1000, text_col: str = "text") -> DataFrame:
+    """Corpus-level Zipf fit: the least-squares slope of
+    ``log(freq) ~ log(rank)`` over the ``top_n`` most frequent tokens
+    (natural-language corpora sit near −1; heavily templated or
+    synthetic text drifts off). One corpus-wide token count
+    (partial-agged), a bounded top-N (TakeOrderedAndProject — the
+    window that ranks runs on the N-row frame only, never the full
+    vocabulary), and one ``regr_slope`` aggregate. Ties on count are
+    broken token-asc in BOTH the top-N cut and the rank, so the fit is
+    deterministic. Returns 1 row ``(slope, intercept, n_terms)``."""
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__tok"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("__c"), F.asc("__tok"))
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__lr"),
+        F.log(F.col("__c").cast("double")).alias("__lf"),
+    )
+    return ranked.agg(
+        F.regr_slope("__lf", "__lr").alias("slope"),
+        F.regr_intercept("__lf", "__lr").alias("intercept"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-reading-ease-style readability per document, from fully
+    deterministic proxies (no dictionary): sentences = runs of
+    ``[.!?]`` (min 1), words = whitespace tokens, syllables = vowel
+    groups ``[aeiouy]+`` in the lowercased text floored at one per
+    word. ``flesch = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)``. Pure projection — no shuffle, no UDF;
+    every term is a regexp_count/size expression Catalyst evaluates
+    in one pass over the text column."""
+    text = F.col(text_col)
+    n_words = F.greatest(TX.n_tokens(text), F.lit(1)).cast("long")
+    n_sents = F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)).cast("long")
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")), n_words
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
     )
