@@ -2747,6 +2747,84 @@ def q_promo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Portable ANSI SQL shared VERBATIM by the Spark SQL surface and the
+#: DuckDB oracle — the sql_* contract entries register the parquet
+#: tables as temp views and run exactly this text through
+#: ``spark.sql``, proving the engine's SQL front door produces the
+#: same result as its DataFrame operators and as an independent
+#: engine. Only portable constructs: ANSI timestamp literals,
+#: INTERVAL arithmetic, EXISTS decorrelation, round()+0.0.
+PORTABLE_SQL_FORECAST_REVENUE = """
+SELECT round(round(sum(l_extendedprice * l_discount), 2), 6) + 0.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate < TIMESTAMP '2000-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+PORTABLE_SQL_PRIORITY_ORDERS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+  AND o_orderdate < TIMESTAMP '1999-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the SQL front door: the SAME portable ANSI
+    text runs in Spark SQL and in the DuckDB oracle — zero translation
+    layer. Catalyst gets all three filters pushed to the parquet scan."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=["lineitem"])
+    return spark.sql(PORTABLE_SQL_FORECAST_REVENUE)
+
+
+def q_sql_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 through the SQL front door (shared verbatim with the
+    oracle): correlated EXISTS, which Catalyst decorrelates into a
+    left-semi join on orderkey."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=["orders", "lineitem"])
+    return spark.sql(PORTABLE_SQL_PRIORITY_ORDERS)
+
+
+#: folds for the deterministic CV split
+KFOLD_K = 5
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (portable-hash mod k, pure
+    projection): per (fold, lang) counts prove the split is stable and
+    roughly balanced."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = kfold_assign(t["documents"], k=KFOLD_K)
+    return (
+        res.groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(F.col("fold").cast("long").alias("fold"), "lang", "n_docs", "min_doc", "max_doc")
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem's supplier key — the heavy-
     hitter report a 100 TB join ships only after reading (top keys,
@@ -3304,6 +3382,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "daily_anomaly": q_daily_anomaly,
         "promo_orders": q_promo_orders,
+        "sql_forecast_revenue": q_sql_forecast_revenue,
+        "sql_priority_orders": q_sql_priority_orders,
+        "kfold_assign": q_kfold_assign,
         "value_lift": q_value_lift,
         "rfm_scores": q_rfm_scores,
         "dau_wau": q_dau_wau,

@@ -56,6 +56,9 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     KMEANS_K,
     KNN_K,
     KNN_QUERIES,
+    KFOLD_K,
+    PORTABLE_SQL_FORECAST_REVENUE,
+    PORTABLE_SQL_PRIORITY_ORDERS,
     LANG_HEAD_DIM,
     LM_ALPHA,
     MAXSIM_K,
@@ -2788,7 +2791,7 @@ SELECT node, round(r, 6) + 0.0 AS rank FROM r3
 
 
 
-_ORACLE_LEXICAL_DIVERSITY = """
+_ORACLE_LEXICAL_DIVERSITY = r"""
 WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
              FROM documents),
 tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)
@@ -2803,7 +2806,7 @@ FROM tc GROUP BY 1
 """
 
 
-_ORACLE_ZIPF_SLOPE = """
+_ORACLE_ZIPF_SLOPE = r"""
 WITH c AS (SELECT tk, count(*) AS c FROM
              (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
               FROM documents)
@@ -2817,7 +2820,7 @@ FROM r
 """
 
 
-_ORACLE_READABILITY = """
+_ORACLE_READABILITY = r"""
 WITH p AS (SELECT doc_id,
                   concat(substr(text, 1, 80), '. ', substr(text, 81, 60),
                          '! Is this text readable? Maybe.') AS text
@@ -2864,6 +2867,19 @@ SELECT promo_id, CAST(count(*) AS BIGINT) AS n_orders,
        round(round(sum(o_totalprice), 2), 6) + 0.0 AS revenue
 FROM f JOIN promos ON day >= lo AND day < hi
 GROUP BY 1 ORDER BY 1
+"""
+
+
+
+_ORACLE_KFOLD_ASSIGN = f"""
+WITH f AS (SELECT lang, doc_id,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {KFOLD_K} AS fold
+           FROM documents)
+SELECT CAST(fold AS BIGINT) AS fold, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM f GROUP BY 1, 2
 """
 
 
@@ -3111,6 +3127,9 @@ def oracle_sql() -> dict[str, str]:
         "readability": _ORACLE_READABILITY,
         "daily_anomaly": _ORACLE_DAILY_ANOMALY,
         "promo_orders": _ORACLE_PROMO_ORDERS,
+        "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
+        "sql_priority_orders": PORTABLE_SQL_PRIORITY_ORDERS,
+        "kfold_assign": _ORACLE_KFOLD_ASSIGN,
         "idle_rich_customers": _ORACLE_IDLE_RICH,
         "value_rank": _ORACLE_VALUE_RANK,
         "rolling_hour": _ORACLE_ROLLING_HOUR,

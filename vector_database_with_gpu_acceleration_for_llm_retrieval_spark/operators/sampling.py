@@ -40,6 +40,7 @@ __all__ = [
     "gumbel_topk_sample",
     "leakage_safe_split",
     "global_rank",
+    "kfold_assign",
 ]
 
 _SAMPLE_MOD = 1_000_000
@@ -535,3 +536,23 @@ def global_rank(
         (F.col("__run") + F.col("__off") - 1) / (F.col("__total") - 1).cast("double"),
     ).otherwise(F.lit(0.0))
     return out.select(*[F.col(c) for c in df.columns], rank, pct.alias("pct"))
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str = "doc_id", k: int = 5, out_col: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    portable_hash(id) mod k — a pure projection (no shuffle, no RNG
+    stream, no driver state), so the SAME row lands in the SAME fold
+    on any cluster, any partitioning, any day; adding rows never
+    reshuffles existing assignments (the property a 100 TB training
+    corpus needs — re-running the split must not silently move
+    documents between train and eval). Sibling of
+    :func:`stratified_sample` / ``leakage_safe_split``, which use the
+    same hash-gate idiom."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.text import (
+        portable_token_hash,
+    )
+
+    h = portable_token_hash(F.col(id_col).cast("string"))
+    return df.withColumn(out_col, F.pmod(h, F.lit(k)).cast("int"))
