@@ -93,3 +93,35 @@ def test_pagerank_uniform_on_regular_graph(spark):
 def test_pagerank_empty(spark):
     e = spark.createDataFrame([], "src long, dst long, weight int")
     assert G.pagerank(e).count() == 0
+
+
+def _ref_pagerank_directed(pairs, iters, d=0.85):
+    # dangling-mass formulation: sinks' rank is spread uniformly
+    nodes = sorted({v for e in pairs for v in e})
+    out = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: (1 - d) / n + d * dang / n for v in nodes}
+        for u, dsts in out.items():
+            for b in dsts:
+                nxt[b] += d * r[u] / len(dsts)
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_directed_sinks_and_dangling_mass(spark, iters):
+    # node 4 is a pure sink (only in-edges): it must appear in the
+    # output, and its mass must be redistributed, so ranks sum to 1
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4)]
+    got = {r.node: r.rank for r in
+           G.pagerank(_edges(spark, pairs), iters=iters, directed=True).collect()}
+    want = _ref_pagerank_directed(pairs, iters)
+    assert set(got) == {1, 2, 3, 4}
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9

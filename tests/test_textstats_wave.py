@@ -110,3 +110,18 @@ def test_zscore_anomaly_hand_computed(spark):
     assert not got[("a", "2024-01-01")].is_anomaly
     b = got[("b", "2024-01-01")]
     assert b.z is None and b.is_anomaly is False
+
+
+def test_zscore_anomaly_flat_series_null_z(spark):
+    # all-identical daily counts → sd = 0.0; must yield NULL z and
+    # is_anomaly=false (not an ANSI DIVIDE_BY_ZERO crash)
+    import datetime as dt
+
+    rows = []
+    for d in (1, 2, 3):
+        rows += [("flat", dt.datetime(2024, 1, d, 12, 0, 0))] * 7
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = zscore_anomaly(df, threshold=2.0).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.z is None and r.is_anomaly is False

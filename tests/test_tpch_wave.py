@@ -165,3 +165,26 @@ def test_market_share_conditional_sum(spark, star):
     ).collect()
     assert len(got) == 1 and got[0].o_year == 1999
     assert abs(got[0].mkt_share - 0.75) < 1e-12
+
+
+def test_important_parts_threshold_rounds_both_sides(spark):
+    # a part whose value is EXACTLY the fraction*total cut (at cents
+    # scale) must be excluded deterministically — the comparison
+    # rounds both sides so float summation order can't flip it
+    nation = spark.createDataFrame(
+        [(1, "NATION_1", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    # values: part 1 → 10.0, part 2 → 990.0; total 1000.0.
+    # fraction=0.01 → cut = 10.00: part 1 sits exactly on it.
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 1.0, 10.0, 0.0), (2, 2, 1, 1.0, 990.0, 0.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    t = {"lineitem": lineitem, "supplier": supplier, "nation": nation}
+    got = {r.l_partkey for r in R.important_parts(t, fraction=0.01).collect()}
+    assert got == {2}

@@ -2689,7 +2689,7 @@ WITH pp AS (SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
             JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
             GROUP BY 1)
 SELECT l_partkey, round(round(v, 2), 6) + 0.0 AS part_value
-FROM pp WHERE v > 0.001 * (SELECT sum(v) FROM pp)
+FROM pp WHERE round(v, 2) > round(0.001 * (SELECT sum(v) FROM pp), 2)
 ORDER BY round(v, 2) DESC, l_partkey
 """
 
@@ -2848,8 +2848,8 @@ st AS (SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd
        FROM daily GROUP BY 1)
 SELECT daily.event_type, strftime(day, '%Y-%m-%d') AS day,
        CAST(n_events AS BIGINT) AS n_events,
-       round((n_events - mu) / sd, 6) + 0.0 AS z,
-       coalesce(abs((n_events - mu) / sd) >= 2.0, FALSE) AS is_anomaly
+       round((n_events - mu) / nullif(sd, 0), 6) + 0.0 AS z,
+       coalesce(abs((n_events - mu) / nullif(sd, 0)) >= 2.0, FALSE) AS is_anomaly
 FROM daily JOIN st USING (event_type)
 """
 

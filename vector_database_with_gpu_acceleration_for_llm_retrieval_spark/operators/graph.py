@@ -138,7 +138,11 @@ def pagerank(
     (default) symmetrizes the canonical edge frame first, so every
     node both emits and receives and the dangling-mass term vanishes
     (every node has degree ≥ 1 by construction — it appears in an
-    edge).
+    edge). ``directed=True`` builds the node universe from
+    ``src ∪ dst`` — sink-only nodes are ranked, not dropped — and the
+    rank mass sitting on dangling nodes (no out-edges) is
+    redistributed uniformly each iteration, so ranks always sum to 1
+    up to float error.
 
     Per iteration: one join rank⋈edges on the emitting node, one
     groupBy on the receiving node — both shuffles keyed on node id,
@@ -159,14 +163,24 @@ def pagerank(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     em = em.persist()
+    # node universe = src ∪ dst: sink-only nodes (directed) are real
+    # nodes and must carry rank.  Under undirected symmetrization the
+    # union is redundant but cheap (distinct over the edge frame).
+    nodes = (
+        em.select("src")
+        .unionAll(em.select(F.col("dst").alias("src")))
+        .distinct()
+        .persist()
+    )
     deg = em.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist()
-    n_nodes = deg.count()  # also materializes em/deg
+    n_nodes = nodes.count()  # also materializes em
     if n_nodes == 0:
         em.unpersist()
+        nodes.unpersist()
         deg.unpersist()
         return edges.sparkSession.createDataFrame([], "node long, rank double")
     base = (1.0 - damping) / n_nodes
-    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iters):
         contrib = (
             ranks.join(em, "src")
@@ -175,18 +189,28 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        # every node receives in the symmetric graph; under directed
-        # graphs nodes with no in-edges fall back to the base term
+        # mass sitting on dangling nodes (no out-edges) would leak
+        # out of the system — collect it as a 1-row scalar and
+        # redistribute uniformly (the classic dangling-mass term).
+        # Always 0 in the undirected/symmetrized case.
+        dangling = ranks.join(deg, "src", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+        )
         ranks = (
-            deg.select(F.col("src"))
-            .join(contrib, deg["src"] == contrib["node"], "left")
+            nodes.join(contrib, F.col("src") == F.col("node"), "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "src",
-                (F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.col("__dang") / n_nodes)
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
     out = ranks.select(F.col("src").alias("node"), "rank")
     em.unpersist()
+    nodes.unpersist()
     deg.unpersist()
     return out

@@ -1027,7 +1027,10 @@ def important_parts(
     total. The HAVING-vs-scalar-subquery decorrelates into a 1-row
     aggregate of the per-part frame cross-joined back (broadcast) —
     the fact is scanned once; both the per-part and the total aggregate
-    reuse the same filtered, partial-agged slice."""
+    reuse the same filtered, partial-agged slice. The threshold
+    comparison rounds BOTH sides to cents first — Spark-vs-oracle
+    summation-order drift on the raw double sums could otherwise flip
+    a part sitting exactly at the cut."""
     li, s, n = t["lineitem"], t["supplier"], t["nation"]
     supp = F.broadcast(
         s.join(
@@ -1044,7 +1047,7 @@ def important_parts(
     tot = per_part.agg(F.sum("__v").alias("__t"))
     return (
         per_part.crossJoin(F.broadcast(tot))
-        .filter(F.col("__v") > F.lit(fraction) * F.col("__t"))
+        .filter(F.round("__v", 2) > F.round(F.lit(fraction) * F.col("__t"), 2))
         .select("l_partkey", F.round("__v", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )

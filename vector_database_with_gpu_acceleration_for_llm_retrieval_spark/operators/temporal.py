@@ -358,8 +358,11 @@ def zscore_anomaly(
     per-key mean/std over the day rows (a tiny frame — days, not
     events) broadcast back onto it. A key observed on a single day has
     no sample std → z is NULL and the flag false (never a false
-    alarm from one observation). Returns
-    ``(key, day, n_events, z, is_anomaly)``.
+    alarm from one observation). A key whose daily counts are all
+    identical has sd = 0.0 — the same NULL-z / false-flag treatment
+    applies (guarded with a zero check so ANSI mode never raises
+    DIVIDE_BY_ZERO on a flat series, a routine monitoring input).
+    Returns ``(key, day, n_events, z, is_anomaly)``.
     """
     daily = (
         events.select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("day"))
@@ -369,7 +372,8 @@ def zscore_anomaly(
     stats = daily.groupBy("key").agg(
         F.avg("n_events").alias("__mu"), F.stddev_samp("n_events").alias("__sd")
     )
-    z = (F.col("n_events") - F.col("__mu")) / F.col("__sd")
+    sd = F.when(F.col("__sd") == 0, F.lit(None)).otherwise(F.col("__sd"))
+    z = (F.col("n_events") - F.col("__mu")) / sd
     return (
         daily.join(F.broadcast(stats), "key")
         .select(
