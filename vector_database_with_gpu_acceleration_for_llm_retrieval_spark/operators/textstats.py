@@ -186,9 +186,14 @@ def repetition_stats(
     (one comparison, one subtraction) and runs in 0.77 s — 18× over
     the explode shape and 4× faster than DuckDB on the same data.)
     """
-    ngrams = TX.shingles(TX.tokens(F.col(text_col)), n)
+    # tokens projected first: shingles() references its argument ~7×
+    # and an inlined tokens(text) would re-tokenize per reference
+    # (interpreted HOF eval has no CSE — see contamination.py)
+    ngrams = TX.shingles(F.col("__toks"), n)
     # CPU-bound projection: fan out under-split sources
-    base = fan_out(docs).select(F.col(id_col), F.array_sort(ngrams).alias("__s"))
+    base = fan_out(docs).select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.array_sort(ngrams).alias("__s"))
     s = F.col("__s")
     # 1-based positions where a run of equal n-grams ends (always
     # includes the last position: try_element_at past the end is NULL →
@@ -256,7 +261,9 @@ def top_ngrams(
     across engines.
     """
     grams = docs.select(
-        "doc_id", F.explode(TX.shingles(TX.tokens(text_col), n)).alias("ngram")
+        "doc_id", TX.tokens(text_col).alias("__toks")
+    ).select(
+        "doc_id", F.explode(TX.shingles(F.col("__toks"), n)).alias("ngram")
     )
     counts = grams.groupBy("ngram").agg(
         F.count("*").alias("n_occurrences"),
