@@ -235,46 +235,52 @@ def ivf_knn_join_indexed(
     """Batch kNN against the materialized IVF index: ONE
     partition-pruned read answers the whole query batch.
 
-    Each query probes its ``nprobe`` nearest cells (driver-side against
-    the sidecar centroids — the batch is a bounded serving set, same
-    contract as knn_join's broadcast queries); the scan reads the UNION
-    of probed cells only (``PartitionFilters`` on ``ivf_cell``), each
-    candidate row is scored against exactly the queries that probed its
-    cell via a broadcast equi-join on the cell id (never a cross
+    Each query probes its ``nprobe`` nearest cells — assigned
+    DISTRIBUTIVELY, the :func:`search.ivf_assign` pattern: the sidecar
+    centroids ride the plan as literals and a sorted distance-struct
+    array picks the top-``nprobe`` cells per query row, so the query
+    frame never moves to the driver (a 100×-scale batch used to OOM
+    the old ``queries.collect()`` probe loop). The scan reads the
+    UNION of probed cells only (``PartitionFilters`` on ``ivf_cell``
+    from a static ``isin`` — the distinct probed-cell list collected
+    to the driver is bounded by the CELL COUNT, never |Q|), each
+    candidate row is scored against exactly the queries that probed
+    its cell via a broadcast equi-join on the cell id (never a cross
     product), and a per-query window keeps top-``k`` — the shuffle
     carries candidates, not the corpus.
 
     At 100 TB with C cells and |Q| queries the read is
     ≤ |Q|·nprobe/C of the table (overlapping probes dedupe), vs
     knn_join's full scan — this is the serving path when the index
-    already exists.  Output: ``(qid, id, score, rank)``.
+    already exists.  The broadcast of the probe frame is the only |Q|
+    bound (same serving-batch contract as knn_join's query broadcast).
+    Output: ``(qid, id, score, rank)``.
     """
-    meta = _read_meta(spark, path)
-    cents = [(int(cid), np.asarray(c, dtype=np.float64)) for cid, c in meta["centroids"]]
-    qrows = queries.select(qid_col, qvec_col).collect()
-    probe_rows: list[tuple] = []
-    union_cells: set[int] = set()
-    for r in qrows:
-        qv = np.asarray(r[qvec_col], dtype=np.float64)
-        order = sorted(cents, key=lambda c: (float(((qv - c[1]) ** 2).sum()), c[0]))
-        cells = [cid for cid, _ in order[:nprobe]]
-        union_cells.update(cells)
-        probe_rows.extend(
-            (int(r[qid_col]), int(cell), [float(x) for x in r[qvec_col]])
-            for cell in cells
-        )
-    pruned = spark.read.parquet(path).filter(
-        F.col("ivf_cell").isin(sorted(union_cells))
-    )
-    pq = spark.createDataFrame(
-        probe_rows, f"{qid_col} long, ivf_cell int, __qv array<double>"
-    )
     from pyspark.sql import Window as W
 
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
         vector as V,
     )
 
+    meta = _read_meta(spark, path)
+    dists = F.array(
+        *[
+            F.struct(
+                V.l2sq(F.col(qvec_col), V.vec_lit([float(x) for x in cv])).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in meta["centroids"]
+        ]
+    )
+    # array_sort on (d, cid) structs = min-L2², ties to lowest cell id
+    probe_cells = F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cid"])
+    pq = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+        probe_cells.alias("__cells"),
+    ).select(qid_col, "__qv", F.explode("__cells").alias("ivf_cell"))
+    union_cells = sorted(r.ivf_cell for r in pq.select("ivf_cell").distinct().collect())
+    pruned = spark.read.parquet(path).filter(F.col("ivf_cell").isin(union_cells))
     cand = pruned.join(F.broadcast(pq), "ivf_cell")
     scored = cand.select(
         qid_col,

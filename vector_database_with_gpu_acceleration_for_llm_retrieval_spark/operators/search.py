@@ -206,6 +206,7 @@ def knn_join(
     vec_col: str = "embedding",
     query_chunk: int = KNN_JOIN_QUERY_CHUNK,
     max_broadcast_rows: int = KNN_JOIN_MAX_BROADCAST_ROWS,
+    _depth: int = 0,
 ) -> DataFrame:
     """Batch kNN similarity join: for every query row, the exact top-k
     corpus neighbors. Generalizes the reference's one-query search to a
@@ -235,11 +236,13 @@ def knn_join(
 
     Scale bounds: the broadcast holds the full normalized query matrix
     (|Q|·dim·8 bytes — ~3 GB at |Q|=1e6, dim=384). When |Q| exceeds
-    ``max_broadcast_rows``, the query table is split and the scan runs
-    once per split (corpus scans = |Q|/max_broadcast_rows, NOT
-    |Q|/query_chunk — the budget, not the matmul tile, decides scan
-    count). Per-qid results are independent, so the split union is
-    exact.
+    ``max_broadcast_rows``, the query table is carved into disjoint
+    splits by a hash filter on the query id and the scan runs once per
+    split (corpus scans = |Q|/max_broadcast_rows, NOT |Q|/query_chunk
+    — the budget, not the matmul tile, decides scan count); the driver
+    materializes ONE split at a time, so driver memory is bounded by
+    the budget for any |Q|. Per-qid results are independent, so the
+    split union is exact.
 
     Returns columns ``(qid, neighbor_id, score, rank)``.
     """
@@ -249,24 +252,41 @@ def knn_join(
     corpus_slim = corpus.select(id_col, vec_col)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
 
-    # chunk list: [(qids, Qs, q_sq)] — normalization/norms precomputed
-    # once on the driver, not per corpus batch
-    qpdf = queries.select(query_id, query_vec).toPandas()
-    if len(qpdf) > max_broadcast_rows:
-        # over the broadcast budget: one scan per budget-sized split
+    # budget check BEFORE any driver materialization: a count is a
+    # metadata-cheap job, and over-budget splits are carved by a hash
+    # filter on the query id — each recursion toPandas()-es only its
+    # own bounded split, so the driver never holds more than one
+    # budget's worth of vectors no matter how large |Q| grows (the old
+    # shape pulled the WHOLE query frame first and sliced in pandas —
+    # a 100×-scale batch OOMed the driver before the split could help)
+    n_q = queries.count()
+    if n_q > max_broadcast_rows and _depth < 4:
+        # 10% headroom absorbs hash-split unevenness; per-qid results
+        # are independent, so the union over disjoint splits is exact.
+        # _depth caps re-splitting: a split still over budget re-splits
+        # with a new modulus, but a single qid duplicated past the
+        # budget can never be separated by an id hash — after 4 levels
+        # fall through to the direct path rather than loop forever.
+        n_splits = -(-n_q * 10 // (9 * max_broadcast_rows))
         out = None
-        for lo in range(0, len(qpdf), max_broadcast_rows):
-            split = queries.sparkSession.createDataFrame(
-                qpdf.iloc[lo : lo + max_broadcast_rows]
+        for i in range(n_splits):
+            split = queries.filter(
+                F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_splits)) == i
             )
             part = knn_join(
                 split, corpus, k=k, metric=metric, query_id=query_id,
                 query_vec=query_vec, id_col=id_col, vec_col=vec_col,
                 query_chunk=query_chunk, max_broadcast_rows=max_broadcast_rows,
+                _depth=_depth + 1,
             )
             out = part if out is None else out.unionByName(part)
         return out
 
+    # chunk list: [(qids, Qs, q_sq)] — normalization/norms precomputed
+    # once on the driver, not per corpus batch; ONE Arrow transfer
+    # (a per-partition toLocalIterator costs one sequential job
+    # round-trip per partition: measured 1.9 s vs 0.04 s at 32 parts)
+    qpdf = queries.select(query_id, query_vec).toPandas()
     chunks: list[tuple[list, np.ndarray, np.ndarray]] = []
     for lo in range(0, len(qpdf), query_chunk):
         part = qpdf.iloc[lo : lo + query_chunk]
