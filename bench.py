@@ -137,6 +137,15 @@ SCALE_QUERIES = [
     # the two new operators with corpus-sized exchanges
     "dup_span_stats",
     "dsir_weights",
+    # round-6 families at scale: PageRank over the 10x co-purchase
+    # graph (iterative join+agg with checkpoint pinning), the heaviest
+    # TPC-H wave shape (Q9-style multi-join profit rollup) on the 10x
+    # lineitem, a corpus-wide textstats aggregate (per-doc type/token
+    # arrays), and the daily z-score anomaly scan over 10x events
+    "part_pagerank",
+    "product_profit",
+    "lexical_diversity",
+    "daily_anomaly",
 ]
 SCALE_REPS = 3
 
@@ -194,6 +203,12 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
         load_table(spark, "events", SF_DIR).select("*", frepl).drop("rep").write.mode(
             "overwrite"
         ).parquet(f"{tmp}/events.parquet")
+        # dimension tables ride along verbatim (tiny) so star-join
+        # probes (product_profit & co) resolve against the scaled fact
+        for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
 
         spark_times: dict[str, float] = {}
         for n in SCALE_QUERIES:
@@ -298,18 +313,24 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             import duckdb
 
             con = duckdb.connect()
-            for t in ("embeddings", "documents", "lineitem", "events"):
+            for t in (
+                "embeddings", "documents", "lineitem", "events",
+                "region", "nation", "customer", "supplier", "part", "orders",
+            ):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet/*.parquet')"
                 )
             for n in SCALE_QUERIES:
-                con.execute(oracles[n]).fetchall()  # warm
-                times = []
-                for _ in range(SCALE_REPS):
-                    t0 = time.perf_counter()
-                    con.execute(oracles[n]).fetchall()
-                    times.append(time.perf_counter() - t0)
-                duck[n] = round(statistics.median(times), 4)
+                try:
+                    con.execute(oracles[n]).fetchall()  # warm
+                    times = []
+                    for _ in range(SCALE_REPS):
+                        t0 = time.perf_counter()
+                        con.execute(oracles[n]).fetchall()
+                        times.append(time.perf_counter() - t0)
+                    duck[n] = round(statistics.median(times), 4)
+                except Exception:
+                    continue  # one bad mirror shouldn't kill the yardstick
         except Exception:
             duck = {}
         return {

@@ -125,3 +125,18 @@ def test_pagerank_directed_sinks_and_dangling_mass(spark, iters):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count_degree_orientation_parity(spark):
+    # same counts under id- and degree-orientation, including a hub
+    # (star+rim) shape where the orders differ materially
+    cases = [
+        [(1, 2), (2, 3), (1, 3)],                       # one triangle
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)],       # two triangles
+        # hub 1 connected to 2..6, rim edges close some triangles
+        [(1, i) for i in range(2, 7)] + [(2, 3), (4, 5), (5, 6)],
+    ]
+    for pairs in cases:
+        a = G.triangle_count(_edges(spark, pairs)).collect()[0].n_triangles
+        b = G.triangle_count(_edges(spark, pairs), orient="degree").collect()[0].n_triangles
+        assert a == b, pairs

@@ -104,20 +104,41 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, orient: str = "id") -> DataFrame:
     """Global triangle count of a canonical undirected edge frame.
 
-    Classic oriented wedge-close: with every edge stored as ``a<b``,
-    a triangle ``a<b<c`` is found exactly once by joining
-    ``(a,b) ⋈ (b,c)`` (wedge at ``b``) against ``(a,c)``. Orientation
-    by id keeps each wedge generated once; at 100 TB the standard
-    refinement is orienting by DEGREE (low→high) so hub nodes don't
-    own quadratic wedge sets — the join/aggregate shape is identical,
-    only the canonical order changes (documented, not needed at bench
-    scale). Two equi-join shuffles on node keys; one scalar count out.
-    Returns a 1-row frame ``(n_triangles)``.
+    Classic oriented wedge-close: with every edge oriented by a total
+    order ``≺``, a triangle ``a≺b≺c`` is found exactly once by joining
+    ``(a,b) ⋈ (b,c)`` (wedge at ``b``) against ``(a,c)``. Two
+    equi-join shuffles on node keys; one scalar count out. Returns a
+    1-row frame ``(n_triangles)``.
+
+    ``orient`` picks the total order — the count is identical (parity
+    pytest-asserted), only the wedge distribution changes:
+
+    * ``"id"`` — the stored ``src < dst`` orientation, zero prep work;
+      what the oracle-mirrored contract entry runs.
+    * ``"degree"`` — re-orient each edge low-degree → high-degree
+      endpoint (ties by id): the standard hub guard for power-law
+      graphs at scale, bounding every node's out-orientation at
+      O(√|E|) so no hub owns a quadratic wedge set (a low-id hub under
+      id-orientation does). Costs one degree aggregate + two joins of
+      the edge frame against the (node, degree) frame — linear
+      equi-key work, the right trade once the graph is hub-heavy.
     """
     e = edges.select("src", "dst")
+    if orient == "degree":
+        deg = node_degrees(e)
+        ds = deg.select(F.col("node").alias("src"), F.col("degree").alias("__ds"))
+        dd = deg.select(F.col("node").alias("dst"), F.col("degree").alias("__dd"))
+        ed = e.join(ds, "src").join(dd, "dst")
+        low_first = (F.col("__ds") < F.col("__dd")) | (
+            (F.col("__ds") == F.col("__dd")) & (F.col("src") < F.col("dst"))
+        )
+        e = ed.select(
+            F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
