@@ -363,3 +363,20 @@ def test_lift_table_tied_scores_deterministic_stats(spark):
     ]
     assert runs[0] == runs[1] == runs[2]
     assert sum(n for n, _ in runs[0].values()) == 10
+
+
+def test_hot_keys_hand_computed(spark):
+    import pytest
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PF,
+    )
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = PF.hot_keys(df, "k", top=3).collect()
+    # heaviest first; NULL counts as a key (skew source); 4 keys total
+    assert [(r.key, r.n_rows) for r in got] == [("a", 6), ("b", 3), (None, 2)]
+    assert got[0].share == pytest.approx(0.5)
+    assert got[0].skew == pytest.approx(2.0)  # 0.5 share x 4 keys
+    assert got[2].cum_share == pytest.approx(11 / 12)

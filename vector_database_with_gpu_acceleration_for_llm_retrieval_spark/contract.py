@@ -42,6 +42,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
     lm as LM,
     multimodal as M,
     pq as PQ,
+    projection as PJ,
     relational as R,
     search as S,
     sq as SQ,
@@ -55,6 +56,9 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming imp
 # ---------------------------------------------------------------------------
 
 TOPK_K = 10
+#: sign-random-projection output dims (JL tier: 64 → 16, 4× fewer
+#: bytes per distance; matrix hash-derived, oracle re-derives it)
+RP_OUT = 16
 KNN_QUERIES = 8
 KNN_K = 5
 N_SHARDS = 8
@@ -3311,6 +3315,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k in the 16-dim sign-random-projection space
+    (operators/projection.py): the JL compression tier — 4× fewer
+    bytes per distance than the 64-dim scan, no training, no stored
+    artifact (the ±1 matrix is md5-parity-derived, so the DuckDB
+    oracle re-derives it term-for-term)."""
+    t = load_tables(spark, sf_dir)
+    corp = PJ.rp_embed(t["embeddings"], out_dim=RP_OUT)
+    qp = PJ.rp_project_point(_query_vec(spark, sf_dir), out_dim=RP_OUT)
+    res = S.topk(corp, qp, k=TOPK_K, metric="cosine", vec_col="rp")
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the projected-space search vs the exact 64-dim
+    top-k — the quality half of the JL compression claim, next to
+    recall_{lsh,ivf,pq,sq,bq,mrl}."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.topk(t["embeddings"], qv, k=TOPK_K)
+    corp = PJ.rp_embed(t["embeddings"], out_dim=RP_OUT)
+    approx = S.topk(corp, PJ.rp_project_point(qv, out_dim=RP_OUT),
+                    k=TOPK_K, metric="cosine", vec_col="rp")
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew pre-flight: the 20 heaviest user_id keys in the
+    event log with share, cumulative share, and skew-vs-uniform — the
+    report that decides salting / AQE skew-join before a key lands in
+    a groupBy or join (operators/profiling.hot_keys)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = profiling.hot_keys(t["events"], "user_id", top=20)
+    return res.select(
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _round6(F.col("share"), "share"),
+        _round6(F.col("cum_share"), "cum_share"),
+        _round6(F.col("skew"), "skew"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked entries beyond the driver's 50-slot window. Each
     is either a variant sharing a sibling's oracle (provably identical
@@ -3320,6 +3370,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mirrors."""
     return {
         "normalized_vectors": q_normalized_vectors,
+        "rp_topk": q_rp_topk,
+        "hot_keys": q_hot_keys,
+        "recall_rp": q_recall_rp,
         "sq_topk": q_sq_topk,
         "sq_rerank_topk": q_sq_rerank_topk,
         "recall_sq": q_recall_sq,

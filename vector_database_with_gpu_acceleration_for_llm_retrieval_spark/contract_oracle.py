@@ -95,6 +95,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     SIMHASH_BLOCKS,
     SIMHASH_MAX_HAMMING,
     SQ_RERANK,
+    RP_OUT,
     TOPK_K,
     TOPNG_N,
     TOPNG_TOP,
@@ -563,6 +564,69 @@ approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS
            ORDER BY s DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
+
+def _sq_rp_list(src_vec: str = "embedding") -> str:
+    """DuckDB list expression for the sign-random-projection of a
+    64-dim vector — SAME md5-parity matrix, SAME left-to-right signed
+    summation order as operators.projection.project_expr, re-derived
+    here (no artifact exchange: the matrix is a function of the dims
+    alone)."""
+    import math
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.projection import (
+        sign_matrix,
+    )
+
+    signs = sign_matrix(64, RP_OUT)
+    scale = repr(1.0 / math.sqrt(RP_OUT))
+    dims = []
+    for row in signs:
+        terms = []
+        for d, sgn in enumerate(row):
+            op = "+" if sgn > 0 else "-"
+            terms.append(f"{op} CAST({src_vec}[{d + 1}] AS DOUBLE)")
+        expr = " ".join(terms)
+        if expr.startswith("+ "):
+            expr = expr[2:]
+        dims.append(f"({expr}) * {scale}")
+    return "[" + ", ".join(dims) + "]"
+
+
+def _oracle_hot_keys() -> str:
+    return f"""
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+           FROM events GROUP BY 1),
+t AS (SELECT sum(n_rows) AS tt, count(*) AS kk FROM c),
+topn AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key ASC NULLS FIRST LIMIT 20)
+SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+       {_r6('n_rows / t.tt', 'share')},
+       {_r6('sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.tt', 'cum_share')},
+       {_r6('n_rows * t.kk / t.tt', 'skew')}
+FROM topn, t
+"""
+
+
+def _oracle_rp_topk() -> str:
+    return f"""
+WITH pe AS (SELECT vec_id, {_sq_rp_list()} AS rp FROM embeddings),
+q AS (SELECT rp AS qv FROM pe WHERE vec_id = 0),
+scored AS (SELECT vec_id, {_sq_cosine('rp', 'qv')} AS s FROM pe, q)
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_recall_rp() -> str:
+    return f"""
+WITH qe AS (SELECT embedding AS qv64 FROM embeddings WHERE vec_id = 0),
+exact AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv64')} AS s FROM embeddings, qe)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+pe AS (SELECT vec_id, {_sq_rp_list()} AS rp FROM embeddings),
+q AS (SELECT rp AS qv FROM pe WHERE vec_id = 0),
+approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('rp', 'qv')} AS s FROM pe, q)
+           ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
 
 def _oracle_recall_lsh() -> str:
     return f"""
@@ -3063,6 +3127,9 @@ def oracle_sql() -> dict[str, str]:
         "sq_rerank_topk": _oracle_sq_rerank_topk(),
         "recall_sq": _oracle_recall_sq(),
         "recall_lsh": _oracle_recall_lsh(),
+        "rp_topk": _oracle_rp_topk(),
+        "hot_keys": _oracle_hot_keys(),
+        "recall_rp": _oracle_recall_rp(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
         "topk_per_label": _oracle_topk_per_label(),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability", "hot_keys"]
 
 
 def profile_table(
@@ -447,6 +447,45 @@ def market_concentration(
             F.count(F.lit(1)).alias("n_entities"),
             F.sum(F.col("__s") * F.col("__s")).alias("hhi"),
         )
+    )
+
+
+def hot_keys(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
+    """Shuffle-skew report: the ``top`` heaviest keys with their row
+    share, cumulative share, and skew factor vs a uniform spread
+    (``share · n_keys`` — how many × its fair share the key owns).
+    This is the pre-flight check before any groupBy/join on the key:
+    a skew factor in the hundreds means salting or AQE skew-join.
+
+    One partial-agged count per key, a 1-row (total, n_keys) aggregate
+    broadcast back, top-``top`` via TakeOrderedAndProject (no full
+    sort), and the cumulative window runs on the ``top``-row frame
+    only — nothing global ever sorts. NULL keys count as a key (they
+    are a classic skew source). Returns
+    ``(key, n_rows, share, cum_share, skew)``, heaviest first,
+    key-asc tie-break."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("__t"), F.count(F.lit(1)).alias("__k")
+    )
+    topn = (
+        counts.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+        .limit(top)
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.col("n_rows") / F.col("__t")
+    return topn.select(
+        "key",
+        "n_rows",
+        share.alias("share"),
+        (F.sum("n_rows").over(w) / F.col("__t")).alias("cum_share"),
+        (share * F.col("__k")).alias("skew"),
     )
 
 

@@ -1,0 +1,193 @@
+"""Dimensionality reduction for embedding columns: deterministic
+sign random projection (Johnson–Lindenstrauss) and a distributed PCA
+trainer — the compression tier BEFORE the quantizers (pq/sq/bq): fewer
+dimensions means proportionally fewer bytes scanned per distance, and
+the projected column composes with every search operator in
+operators/search.py unchanged.
+
+Reference parity note: the reference engine (flat scan over fixed-dim
+vectors, SURVEY.md §1) has no dim-reduction surface; this belongs to
+the mandated large-scale-pipeline extensions next to pq/sq/bq.
+
+Scale design:
+
+* **Sign projection** is a pure per-row projection — no training, no
+  state, no shuffle. The ±1 matrix is DERIVED from a hash (md5 parity,
+  the repo's portable-hash idiom), so every engine — and the DuckDB
+  oracle — reproduces it bit-for-bit from the (in_dim, out_dim) pair
+  alone; nothing is stored or broadcast. The projection expression is
+  an unrolled sum (no higher-order functions), so it stays inside
+  whole-stage codegen.
+* **PCA** splits exactly like distributed k-means: executors reduce
+  each partition to a (D×D gram, D sum, count) triple via Arrow
+  batches (`mapInPandas` — one numpy matmul per batch), the driver
+  sums the tiny partials and eigendecomposes the D×D covariance
+  (D=64 → 32 KB), and projection is again a per-row expression over
+  centred inputs. The corpus never leaves the executors; driver state
+  is O(D²) regardless of row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sign_matrix",
+    "project_expr",
+    "rp_embed",
+    "rp_project_point",
+    "pca_fit",
+    "pca_project",
+]
+
+
+def sign_matrix(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix ``signs[j][d]`` from md5
+    parity of the flat index ``j·in_dim + d`` — the same portable-hash
+    trick as :func:`functions.text.portable_token_hash`, so the DuckDB
+    oracle (and any other engine) can re-derive the identical matrix
+    with no artifact exchange."""
+    out = []
+    for j in range(out_dim):
+        row = []
+        for d in range(in_dim):
+            h = int(hashlib.md5(str(j * in_dim + d).encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def project_expr(vec: Column, signs: list[list[float]], scale: float) -> Column:
+    """``array<double>`` projection of ``vec`` by a ±1 matrix: each
+    output dim is a left-to-right signed sum of the inputs times
+    ``scale``. Unrolled adds — no HOF, whole-stage-codegen friendly,
+    and the evaluation order is exactly mirrorable in SQL."""
+    cols = []
+    for row in signs:
+        e = None
+        for d, s in enumerate(row):
+            term = vec[d].cast("double")
+            term = term if s > 0 else -term
+            e = term if e is None else e + term
+        cols.append(e * F.lit(float(scale)))
+    return F.array(*cols)
+
+
+def rp_embed(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Attach the sign-random-projection of ``vec_col`` as
+    ``out_col``. Scaled by 1/√out_dim so squared norms are preserved
+    in expectation (JL); cosine ranking is scale-invariant anyway."""
+    signs = sign_matrix(in_dim, out_dim)
+    return df.withColumn(
+        out_col, project_expr(F.col(vec_col), signs, 1.0 / math.sqrt(out_dim))
+    )
+
+
+def rp_project_point(vec, out_dim: int = 16) -> list[float]:
+    """Python mirror of :func:`rp_embed` for a single query vector —
+    same signs, same left-to-right summation order, so a projected
+    query scores against a projected corpus without engine drift."""
+    in_dim = len(vec)
+    signs = sign_matrix(in_dim, out_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    out = []
+    for row in signs:
+        acc = None
+        for d, s in enumerate(row):
+            t = float(vec[d]) if s > 0 else -float(vec[d])
+            acc = t if acc is None else acc + t
+        out.append(acc * scale)
+    return out
+
+
+def pca_fit(
+    df: DataFrame, k: int, vec_col: str = "embedding", in_dim: int = 64
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA: returns ``(mean, components, explained_var)``
+    with ``components`` the top-``k`` eigenvectors (rows) of the
+    covariance, eigenvalue-descending, sign-canonicalized (first
+    nonzero coordinate positive) so the fit is deterministic.
+
+    One pass: every Arrow batch reduces to ``(XᵀX, Σx, n)`` — a
+    D×D+D+1 partial — summed per partition and again on the driver
+    (O(D²) driver state, never O(rows)); the eigendecomposition of the
+    64×64 covariance is numpy on the driver, same driver-only-k×D
+    contract as clustering.kmeans_fit."""
+    schema = "gram array<double>, s array<double>, n long"
+
+    def partial(batches):
+        import pandas as pd
+
+        G = np.zeros((in_dim, in_dim))
+        s = np.zeros(in_dim)
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        yield pd.DataFrame(
+            {"gram": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+        )
+
+    parts = df.select(vec_col).mapInPandas(partial, schema=schema).collect()
+    G = np.zeros((in_dim, in_dim))
+    s = np.zeros(in_dim)
+    n = 0
+    for r in parts:
+        G += np.asarray(r.gram).reshape(in_dim, in_dim)
+        s += np.asarray(r.s)
+        n += r.n
+    if n == 0:
+        raise ValueError("pca_fit on an empty frame")
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for i in order:
+        v = vecs[:, i]
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return (
+        [float(x) for x in mean],
+        comps,
+        [float(vals[i]) for i in order],
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project onto trained components: ``y_j = Σ_d c_jd·(x_d − μ_d)``
+    as an unrolled per-row expression (literals ride the plan — no
+    join, no shuffle, codegen-friendly)."""
+    cols = []
+    for row in components:
+        e = None
+        for d, c in enumerate(row):
+            term = (F.col(vec_col)[d].cast("double") - F.lit(float(mean[d]))) * F.lit(
+                float(c)
+            )
+            e = term if e is None else e + term
+        cols.append(e)
+    return df.withColumn(out_col, F.array(*cols))
