@@ -1,0 +1,68 @@
+"""Trigram-index substring search: indexed == scan on hand-built and
+corpus docs, partition pruning on the postings read, fallbacks. The
+sf0.01 oracle value-check of the contract entries runs in
+tests/test_contract_extras.py."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    grep as GR,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "quick silver"),
+        (3, "a qu"),            # shorter than some patterns
+        (4, ""),                # empty text
+        (5, "slow brown dog"),
+        (6, "the quick brown fox jumps"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_trigram_keys_edges(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("",)], "text string")
+    got = [r.g for r in df.select(GR.trigram_keys("text").alias("g")).collect()]
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == [] and got[2] == []
+
+
+def test_grep_indexed_equals_scan(spark, docs, tmp_path):
+    path = str(tmp_path / "tg")
+    GR.write_trigram_index(docs, path)
+    for pat in ("quick brown", "brown", "fox", "qu", "zebra", "the quick brown fox jumps"):
+        scan = {r.doc_id for r in GR.grep_scan(docs, pat).collect()}
+        idx = {r.doc_id for r in GR.grep_indexed(spark, path, docs, pat).collect()}
+        assert idx == scan, pat
+    # sanity on one known answer
+    assert {r.doc_id for r in GR.grep_scan(docs, "quick brown").collect()} == {1, 6}
+
+
+def test_grep_indexed_prunes_partitions(spark, docs, tmp_path):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    path = str(tmp_path / "tg")
+    GR.write_trigram_index(docs, path)
+    plan = physical_plan(GR.grep_indexed(spark, path, docs, "quick brown"))
+    assert "PartitionFilters" in plan and "tg_bucket" in plan
+
+
+def test_grep_hot_trigram_dropped_still_exact(spark, tmp_path):
+    # one boilerplate trigram in every doc: the df-ranked query side
+    # must prefer rare trigrams, and the result stays exact
+    rows = [(i, f"zzz common tail marker{i}") for i in range(30)]
+    rows += [(100, "zzz unique needle here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tg")
+    GR.write_trigram_index(docs, path)
+    got = {r.doc_id for r in GR.grep_indexed(
+        spark, path, docs, "unique needle", max_query_trigrams=2
+    ).collect()}
+    assert got == {100}

@@ -3341,6 +3341,45 @@ def q_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
 
 
+#: substring-grep probe pattern (present in the synthetic corpus)
+GREP_PATTERN = "vector table"
+
+
+def q_grep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring grep, full-scan baseline (operators/grep.py):
+    ids of documents containing the pattern."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        grep as GR,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return GR.grep_scan(t["documents"], GREP_PATTERN).orderBy("doc_id")
+
+
+def q_grep_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style trigram-index grep: postings partitions pruned to
+    the pattern's rarest trigrams, AND-intersection, contains-verify —
+    provably identical to the scan (superset-then-verify), so it
+    shares grep_corpus's oracle."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        grep as GR,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="tg_idx_contract_")
+    try:
+        GR.write_trigram_index(t["documents"], tmp)
+        out = GR.grep_indexed(spark, tmp, t["documents"], GREP_PATTERN).orderBy(
+            "doc_id"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew pre-flight: the 20 heaviest user_id keys in the
     event log with share, cumulative share, and skew-vs-uniform — the
@@ -3372,6 +3411,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_vectors": q_normalized_vectors,
         "rp_topk": q_rp_topk,
         "hot_keys": q_hot_keys,
+        "grep_corpus": q_grep_corpus,
+        "grep_corpus_indexed": q_grep_corpus_indexed,
         "recall_rp": q_recall_rp,
         "sq_topk": q_sq_topk,
         "sq_rerank_topk": q_sq_rerank_topk,

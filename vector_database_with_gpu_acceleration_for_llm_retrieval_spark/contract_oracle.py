@@ -592,6 +592,17 @@ def _sq_rp_list(src_vec: str = "embedding") -> str:
     return "[" + ", ".join(dims) + "]"
 
 
+def _oracle_grep_corpus() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        GREP_PATTERN,
+    )
+
+    return f"""
+SELECT doc_id FROM documents WHERE contains(text, '{GREP_PATTERN}')
+ORDER BY doc_id
+"""
+
+
 def _oracle_hot_keys() -> str:
     return f"""
 WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
@@ -3129,6 +3140,8 @@ def oracle_sql() -> dict[str, str]:
         "recall_lsh": _oracle_recall_lsh(),
         "rp_topk": _oracle_rp_topk(),
         "hot_keys": _oracle_hot_keys(),
+        "grep_corpus": _oracle_grep_corpus(),
+        "grep_corpus_indexed": _oracle_grep_corpus(),
         "recall_rp": _oracle_recall_rp(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),

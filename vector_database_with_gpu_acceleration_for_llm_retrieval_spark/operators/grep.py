@@ -1,0 +1,182 @@
+"""Index-accelerated substring search (pg_trgm-style trigram index):
+``LIKE '%pattern%'`` without scanning the corpus text.
+
+The classic engine trick the reference (a flat vector store) has no
+analogue for, but any corpus-scale pipeline needs: exact substring
+grep over 100 TB of text. A full ``contains()`` scan reads every text
+byte; the trigram index reads only the postings buckets hit by the
+pattern's own trigrams, intersects posting lists with an equi-key
+aggregate, and verifies the survivors with ``contains()`` against just
+those documents.
+
+Guarantees: EXACT — every document containing the pattern contains
+every trigram of the pattern, so the candidate set is a superset and
+the verify join makes the result identical to the scan (parity is
+pytest-asserted and the contract entry shares the scan's oracle).
+Patterns shorter than 3 chars have no trigram and fall back to the
+scan path explicitly.
+
+Scale design:
+
+* postings are written **partitioned by a hash bucket of the
+  trigram** (``tg_bucket``), so a query's handful of trigrams prunes
+  to a handful of partitions (``PartitionFilters``) — the read is
+  O(pattern trigram postings), never O(corpus);
+* the AND-intersection is a ``groupBy(doc_id)`` with a distinct-count
+  HAVING — partial-agged, shuffle bounded by candidate postings;
+* the verify step joins candidate ids back to the docs table
+  (broadcast of the id list when small) and applies ``contains`` to
+  those rows only;
+* a hot trigram (appears in most docs) makes its posting list long —
+  queries drop the highest-document-frequency trigrams first (keep the
+  ``max_query_trigrams`` rarest by the sidecar's df table), the same
+  stop-shingle move as contamination's ``max_probe_df``: the result
+  stays exact because ANY trigram subset still yields a superset.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "trigram_keys",
+    "write_trigram_index",
+    "grep_scan",
+    "grep_indexed",
+]
+
+#: postings partition fan-out — small enough for healthy parquet files
+#: per bucket, large enough that a 3-trigram query prunes ~97% of them
+N_TG_BUCKETS = 64
+
+
+def trigram_keys(text_col) -> "F.Column":
+    """Distinct character trigrams of a string column (exact bytes —
+    no casefolding, so index semantics equal ``contains``). Strings
+    shorter than 3 chars yield an empty array."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda i: t.substr(i, F.lit(3)),
+    )
+    return F.array_distinct(F.when(n >= 3, grams).otherwise(F.array().cast("array<string>")))
+
+
+def _bucket(c) -> "F.Column":
+    return F.pmod(F.xxhash64(c), F.lit(N_TG_BUCKETS)).cast("int")
+
+
+def _py_trigrams(pattern: str) -> list[str]:
+    return sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+
+
+def write_trigram_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """Build and write the postings table ``(trigram, doc_id)``
+    partitioned by ``tg_bucket``, plus a sidecar with the bucket count
+    and the per-trigram document frequencies of the ``top_df`` hottest
+    trigrams (the stop-trigram list queries use to skip the longest
+    posting lists). One explode + one write; no shuffle beyond the
+    partitioned sink."""
+    base = docs.select(F.col(id_col).alias("doc_id"), trigram_keys(text_col).alias("__g"))
+    postings = base.select("doc_id", F.explode_outer("__g").alias("trigram")).filter(
+        F.col("trigram").isNotNull()
+    )
+    (
+        postings.withColumn("tg_bucket", _bucket(F.col("trigram")))
+        .write.mode("overwrite")
+        .partitionBy("tg_bucket")
+        .parquet(path)
+    )
+    df_rows = (
+        postings.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("trigram"))
+        .limit(256)
+        .collect()
+    )
+    meta = {
+        "kind": "trigram",
+        "n_buckets": N_TG_BUCKETS,
+        "hot_df": {r.trigram: r.df for r in df_rows},
+    }
+    spark = docs.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}_meta")
+    return meta
+
+
+def grep_scan(
+    docs: DataFrame, pattern: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact substring grep by full scan: the baseline (and the
+    fallback for patterns shorter than one trigram). Returns
+    ``(doc_id)`` of matching documents."""
+    return docs.filter(F.col(text_col).contains(pattern)).select(
+        F.col(id_col).alias("doc_id")
+    )
+
+
+def grep_indexed(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_query_trigrams: int = 4,
+) -> DataFrame:
+    """Exact substring grep through the trigram index: prune postings
+    partitions to the pattern's (rarest ``max_query_trigrams``)
+    trigrams, AND-intersect posting lists, verify survivors with
+    ``contains`` against the docs table. Identical output to
+    :func:`grep_scan` (superset-then-verify)."""
+    grams = _py_trigrams(pattern)
+    if not grams:
+        return grep_scan(docs, pattern, id_col=id_col, text_col=text_col)
+    try:
+        meta = json.loads(
+            spark.read.parquet(f"{path}_meta").head()["meta"]
+        )
+        hot = meta.get("hot_df", {})
+    except Exception:
+        hot = {}
+    # keep the rarest trigrams (df 0 for anything outside the hot list
+    # — i.e. rare by construction), deterministic tie-break
+    grams = sorted(grams, key=lambda g: (hot.get(g, 0), g))[:max_query_trigrams]
+    buckets = sorted({_py_bucket_of(spark, g) for g in grams})
+    postings = spark.read.parquet(path).filter(
+        F.col("tg_bucket").isin(buckets) & F.col("trigram").isin(grams)
+    )
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("trigram").alias("__ng"))
+        .filter(F.col("__ng") == len(grams))
+        .select("doc_id")
+    )
+    verified = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .join(cand, "doc_id")
+        .filter(F.col("__t").contains(pattern))
+        .select("doc_id")
+    )
+    return verified
+
+
+_BUCKET_CACHE: dict[str, int] = {}
+
+
+def _py_bucket_of(spark: SparkSession, gram: str) -> int:
+    """Bucket id of one trigram — computed through the ENGINE's own
+    xxhash64 (a 1-row local-relation job, no scan) so the python side
+    can never drift from the write-side bucketing."""
+    if gram not in _BUCKET_CACHE:
+        row = spark.range(1).select(_bucket(F.lit(gram)).alias("b")).head()
+        _BUCKET_CACHE[gram] = int(row["b"])
+    return _BUCKET_CACHE[gram]
