@@ -277,3 +277,32 @@ def test_plan_summary_structure(tables):
     simple = plan_summary(tables["embeddings"].select("vec_id").limit(3))
     assert simple["n_exchanges"] == 0 and not simple["has_cartesian"]
     assert simple["joins"] == {}
+
+
+def test_rp_topk_is_codegen_take_ordered(tables):
+    """JL projected search: the unrolled projection must stay inside
+    whole-stage codegen (no HOF fallback) and compile to the same
+    TakeOrderedAndProject shape as the flagship — no Exchange."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        projection as PJ,
+    )
+
+    corp = PJ.rp_embed(tables["embeddings"], out_dim=16)
+    qp = PJ.rp_project_point([0.1] * 64, out_dim=16)
+    df = S.topk(corp, qp, k=10, vec_col="rp")
+    plan = assert_plan_contains(df, "TakeOrderedAndProject", absent=("Exchange",))
+    # the projection Project must carry a codegen id (array of unrolled
+    # adds — no HOF fallback); formatted mode marks codegen stages with
+    # "[codegen id : N]"
+    assert "[codegen id" in plan
+
+
+def test_hot_keys_uses_take_ordered(tables):
+    """The top-N cut must be TakeOrderedAndProject (never a global
+    sort of the key-count frame)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PF,
+    )
+
+    df = PF.hot_keys(tables["events"], "user_id", top=20)
+    assert_plan_contains(df, "TakeOrderedAndProject", "BroadcastNestedLoopJoin")

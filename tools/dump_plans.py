@@ -75,10 +75,12 @@ AUDITED = {
         "skew-free by construction. 18× over the old explode→two-agg shape."
     ),
     "contamination_pairs": (
-        "Decontamination: the train scan Generates its n-grams and BroadcastHashJoins "
-        "against the (tiny) probe n-gram table — the big side never shuffles for the "
-        "join; only colliding (train_id, probe_id) pairs enter the one partial-agg "
-        "Exchange; the containment denominator joins broadcast."
+        "Decontamination: the token-HASH array is projected in its own step (one "
+        "regex split per row — the inline form re-tokenized ~7x under interpreted "
+        "HOF eval), window keys hash from it (no n-gram strings), and the Generate "
+        "BroadcastHashJoins against the (tiny) probe key table — the big side never "
+        "shuffles; only colliding (train_id, probe_id) pairs enter the one "
+        "partial-agg Exchange; the containment denominator joins broadcast."
     ),
     "pii_scrub": (
         "PII scrub: counts + redaction + digest are ONE projection over one scan — "
@@ -275,6 +277,16 @@ AUDITED = {
         "As-of lookback without a self-join: carry-forward max over "
         "unbounded-preceding rows — one shuffle on the key."
     ),
+    "rp_topk": (
+        "JL sign projection: the 16-dim projected array is ONE unrolled Project "
+        "(no HOF — whole-stage codegen), scored and TakeOrderedAndProject'd like "
+        "the flagship; no Exchange, no stored artifact (matrix is hash-derived)."
+    ),
+    "hot_keys": (
+        "Hot-key report: key-count partial agg, 1-row (total,n_keys) broadcast "
+        "crossJoin, TakeOrderedAndProject for the top-N; the cumulative window "
+        "runs on the N-row frame only — nothing global sorts."
+    ),
 }
 
 
@@ -320,6 +332,31 @@ def main() -> None:
             "",
             "Materialized ANN: the query's bucket is a PARTITION filter — only the "
             "probed bucket directory is opened; exact rerank inside.",
+            "",
+            "```",
+            physical_plan(df).strip(),
+            "```",
+            "",
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # trigram grep index: build once, show the bucket-pruned postings read
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        grep as GR,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="plans_tg_")
+    try:
+        GR.write_trigram_index(t["documents"], tmp)
+        df = GR.grep_indexed(spark, tmp, t["documents"], contract.GREP_PATTERN)
+        out += [
+            "## grep_indexed",
+            "",
+            "Trigram grep: the postings read is pruned by PartitionFilters on "
+            "tg_bucket to the pattern's (rarest) trigrams; AND-intersection is one "
+            "partial-agg Exchange over candidate postings; contains-verify joins "
+            "candidates back — the corpus text column is read only for survivors.",
             "",
             "```",
             physical_plan(df).strip(),
