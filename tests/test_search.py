@@ -405,3 +405,26 @@ def test_ranking_metrics_truncates_past_k(spark):
     )
     got2 = S.ranking_metrics(exact, approx2, k=2).collect()[0]
     assert abs(got2.ndcg - 1.0) < 1e-12 and got2.mrr == 1.0
+
+
+def test_more_like_these_centroid_and_exclusion(spark):
+    # 2D-style toy in 64 dims: seeds point at e0; candidates at e0/e1
+    import numpy as np
+
+    def v(d, scale=1.0):
+        x = [0.0] * 64
+        x[d] = scale
+        return x
+
+    rows = [
+        (0, v(0)), (1, v(0, 2.0)),          # seeds along dim 0
+        (10, v(0, 5.0)),                     # candidate aligned with centroid
+        (11, v(1)),                          # orthogonal
+        (12, [0.7071] * 2 + [0.0] * 62),     # 45 degrees
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.more_like_these(df, [0, 1], k=3).collect()
+    # seeds excluded, aligned candidate first, orthogonal last
+    assert [r.vec_id for r in got] == [10, 12, 11]
+    assert got[0].score == pytest.approx(1.0)
+    assert got[2].score == pytest.approx(0.0, abs=1e-9)

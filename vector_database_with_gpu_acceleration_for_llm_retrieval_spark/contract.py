@@ -3344,6 +3344,19 @@ def q_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: substring-grep probe pattern (present in the synthetic corpus)
 GREP_PATTERN = "vector table"
 
+#: seed rows for the more-like-these expansion entry
+MLT_SEEDS = [0, 1, 2]
+
+
+def q_more_like_these(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-set centroid expansion: top-k neighbors of the mean of 3
+    example vectors, seeds excluded — relevance feedback as one plan
+    (1-row centroid aggregate broadcast back, TakeOrderedAndProject
+    cut; the centroid never touches the driver)."""
+    t = load_tables(spark, sf_dir)
+    res = S.more_like_these(t["embeddings"], MLT_SEEDS, k=TOPK_K)
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
 
 def q_grep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring grep, full-scan baseline (operators/grep.py):
@@ -3412,6 +3425,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_topk": q_rp_topk,
         "hot_keys": q_hot_keys,
         "grep_corpus": q_grep_corpus,
+        "more_like_these": q_more_like_these,
         "grep_corpus_indexed": q_grep_corpus_indexed,
         "recall_rp": q_recall_rp,
         "sq_topk": q_sq_topk,

@@ -592,6 +592,23 @@ def _sq_rp_list(src_vec: str = "embedding") -> str:
     return "[" + ", ".join(dims) + "]"
 
 
+def _oracle_more_like_these() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        MLT_SEEDS,
+    )
+
+    ids = ", ".join(str(i) for i in MLT_SEEDS)
+    return f"""
+WITH cm AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+            WHERE vec_id IN ({ids}) GROUP BY i),
+c AS (SELECT list(v ORDER BY i) AS cv FROM cm),
+scored AS (SELECT vec_id, {_sq_cosine('embedding', 'cv')} AS s
+           FROM embeddings, c WHERE vec_id NOT IN ({ids}))
+SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
 def _oracle_grep_corpus() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
         GREP_PATTERN,
@@ -3141,6 +3158,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_topk": _oracle_rp_topk(),
         "hot_keys": _oracle_hot_keys(),
         "grep_corpus": _oracle_grep_corpus(),
+        "more_like_these": _oracle_more_like_these(),
         "grep_corpus_indexed": _oracle_grep_corpus(),
         "recall_rp": _oracle_recall_rp(),
         "recall_ivf": _oracle_recall_ivf(),

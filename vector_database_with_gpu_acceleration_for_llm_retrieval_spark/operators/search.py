@@ -629,6 +629,43 @@ def ivf_topk(
     return topk(candidates, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
 
 
+def more_like_these(
+    corpus: DataFrame,
+    seed_ids: list,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Seed-set expansion ("more like these"): nearest neighbors of the
+    CENTROID of a handful of example rows, seeds excluded — the
+    relevance-feedback / topic-harvest primitive (grow a labeled pool
+    from a few curated examples).
+
+    Fully distributed: the centroid is a 1-row per-dim avg aggregate
+    broadcast back (never collected to Python), scoring is the same
+    projection as :func:`topk`, and the cut is TakeOrderedAndProject.
+    One scan feeds both the centroid and the scored side at 100 TB —
+    or pass a cheap cached seeds frame since the seed filter is pushed
+    to the scan. Returns ``(id, score)``, score-desc, id-asc ties.
+    """
+    ids = [int(i) for i in seed_ids]
+    cent = (
+        corpus.filter(F.col(id_col).isin(ids))
+        .agg(F.array(*[F.avg(F.col(vec_col)[d]) for d in range(dim)]).alias("__c"))
+    )
+    scored = (
+        corpus.filter(~F.col(id_col).isin(ids))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            V.score(F.col(vec_col), F.col("__c"), metric).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:
     """recall@k of an approximate result vs the exact one (SURVEY.md X7):
     |approx ∩ exact| / k, grouped by query id when ``by`` is given
