@@ -66,3 +66,35 @@ def test_grep_hot_trigram_dropped_still_exact(spark, tmp_path):
         spark, path, docs, "unique needle", max_query_trigrams=2
     ).collect()}
     assert got == {100}
+
+
+def test_grep_many_matches_per_pattern_scan(spark, docs, tmp_path):
+    path = str(tmp_path / "tg")
+    GR.write_trigram_index(docs, path)
+    pats = ["quick brown", "brown", "qu", "zebra"]  # incl. short + miss
+    got = {(r.pattern, r.doc_id) for r in GR.grep_many(spark, path, docs, pats).collect()}
+    want = {
+        (p, r.doc_id) for p in pats for r in GR.grep_scan(docs, p).collect()
+    }
+    assert got == want and ("qu", 3) in got and not any(p == "zebra" for p, _ in got)
+
+
+def test_stream_trigram_index_serves_grep(spark, docs, tmp_path):
+    # postings streamed across micro-batches == batch index answers
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        pipeline as P,
+    )
+
+    src, idx, ckpt = str(tmp_path / "src"), str(tmp_path / "idx"), str(tmp_path / "ck")
+    half1 = docs.filter("doc_id <= 3")
+    half2 = docs.filter("doc_id > 3")
+    half1.write.mode("append").parquet(src)
+    q = P.stream_trigram_index_ingest(spark, src, idx, ckpt)
+    q.processAllAvailable()
+    half2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    for pat in ("quick brown", "brown", "fox jumps"):
+        scan = {r.doc_id for r in GR.grep_scan(docs, pat).collect()}
+        got = {r.doc_id for r in GR.grep_indexed(spark, idx, docs, pat).collect()}
+        assert got == scan, pat

@@ -3347,6 +3347,32 @@ GREP_PATTERN = "vector table"
 #: seed rows for the more-like-these expansion entry
 MLT_SEEDS = [0, 1, 2]
 
+#: multi-pattern grep probe set
+GREP_PATTERNS = ["vector table", "fast scan", "slow query"]
+
+
+def q_grep_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-pattern grep: ONE pruned postings read answers all
+    patterns (the grep twin of knn_join's batch contract); per-pattern
+    AND-intersection + contains-verify keeps it scan-identical."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        grep as GR,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="tg_many_contract_")
+    try:
+        GR.write_trigram_index(t["documents"], tmp)
+        out = GR.grep_many(spark, tmp, t["documents"], GREP_PATTERNS).orderBy(
+            "pattern", "doc_id"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def q_more_like_these(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-set centroid expansion: top-k neighbors of the mean of 3
@@ -3427,6 +3453,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_corpus": q_grep_corpus,
         "more_like_these": q_more_like_these,
         "grep_corpus_indexed": q_grep_corpus_indexed,
+        "grep_many": q_grep_many,
         "recall_rp": q_recall_rp,
         "sq_topk": q_sq_topk,
         "sq_rerank_topk": q_sq_rerank_topk,

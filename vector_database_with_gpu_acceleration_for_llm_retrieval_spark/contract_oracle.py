@@ -609,6 +609,20 @@ SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TO
 """
 
 
+def _oracle_grep_many() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        GREP_PATTERNS,
+    )
+
+    vals = ", ".join(f"('{p}')" for p in GREP_PATTERNS)
+    return f"""
+SELECT p.pattern, d.doc_id
+FROM documents d JOIN (VALUES {vals}) p(pattern)
+  ON contains(d.text, p.pattern)
+ORDER BY p.pattern, d.doc_id
+"""
+
+
 def _oracle_grep_corpus() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
         GREP_PATTERN,
@@ -3160,6 +3174,7 @@ def oracle_sql() -> dict[str, str]:
         "grep_corpus": _oracle_grep_corpus(),
         "more_like_these": _oracle_more_like_these(),
         "grep_corpus_indexed": _oracle_grep_corpus(),
+        "grep_many": _oracle_grep_many(),
         "recall_rp": _oracle_recall_rp(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),

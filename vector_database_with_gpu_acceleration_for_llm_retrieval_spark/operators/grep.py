@@ -46,6 +46,7 @@ __all__ = [
     "write_trigram_index",
     "grep_scan",
     "grep_indexed",
+    "grep_many",
 ]
 
 #: postings partition fan-out — small enough for healthy parquet files
@@ -167,6 +168,71 @@ def grep_indexed(
         .select("doc_id")
     )
     return verified
+
+
+def grep_many(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    patterns: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_query_trigrams: int = 4,
+) -> DataFrame:
+    """Multi-pattern grep through ONE pruned postings read (the grep
+    twin of knn_join's batch contract: the index is scanned once for
+    any number of patterns). Per pattern: its rarest trigrams AND-
+    intersect; survivors verify with ``contains``. Patterns shorter
+    than a trigram fall back to one scan each (they can't use the
+    index). Returns ``(pattern, doc_id)`` — exact, scan-identical.
+    """
+    try:
+        meta = json.loads(spark.read.parquet(f"{path}_meta").head()["meta"])
+        hot = meta.get("hot_df", {})
+    except Exception:
+        hot = {}
+    indexed = [p for p in patterns if _py_trigrams(p)]
+    short = [p for p in patterns if not _py_trigrams(p)]
+    out = None
+    if indexed:
+        sel: dict[str, list[str]] = {
+            p: sorted(_py_trigrams(p), key=lambda g: (hot.get(g, 0), g))[
+                :max_query_trigrams
+            ]
+            for p in indexed
+        }
+        pat_rows = [
+            (p, g, len(gs)) for p, gs in sel.items() for g in gs
+        ]
+        pats = spark.createDataFrame(
+            pat_rows, "pattern string, trigram string, n_grams int"
+        )
+        all_grams = sorted({g for gs in sel.values() for g in gs})
+        buckets = sorted({_py_bucket_of(spark, g) for g in all_grams})
+        postings = spark.read.parquet(path).filter(
+            F.col("tg_bucket").isin(buckets) & F.col("trigram").isin(all_grams)
+        )
+        cand = (
+            postings.join(F.broadcast(pats), "trigram")
+            .groupBy("pattern", "doc_id", "n_grams")
+            .agg(F.count_distinct("trigram").alias("__ng"))
+            .filter(F.col("__ng") == F.col("n_grams"))
+            .select("pattern", "doc_id")
+        )
+        out = (
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+            .join(cand, "doc_id")
+            .filter(F.col("__t").contains(F.col("pattern")))
+            .select("pattern", "doc_id")
+        )
+    for p in short:
+        part = grep_scan(docs, p, id_col=id_col, text_col=text_col).select(
+            F.lit(p).alias("pattern"), "doc_id"
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame([], "pattern string, doc_id long")
+    return out
 
 
 _BUCKET_CACHE: dict[str, int] = {}

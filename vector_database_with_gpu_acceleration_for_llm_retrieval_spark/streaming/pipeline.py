@@ -714,6 +714,53 @@ def stream_event_window_counts(
     )
 
 
+def stream_trigram_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+):
+    """Streaming maintenance of the trigram substring-search index
+    (operators/grep.py): arriving documents explode into their
+    distinct character trigrams, bucket by the frozen trigram hash,
+    and append DIRECTLY into the bucket partition of the postings
+    table — ``grep_indexed`` reads the live index unchanged (the
+    streaming file-sink log is partition-aware, so PartitionFilters
+    pruning stays intact under continuous ingest).
+
+    Same freshness contract as the LSH/IVF/BQ index streams: no
+    rebuild step, one stateless projection per micro-batch. The
+    sidecar's hot-trigram df table is a batch-maintenance artifact
+    (recompute periodically like compaction); until then queries
+    rank unseen trigrams as rare, which only ever keeps MORE selective
+    trigrams — exactness is unaffected (superset-then-verify).
+
+    Returns the started StreamingQuery (exactly-once via checkpoint).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.grep import (
+        _bucket,
+        trigram_keys,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    postings = (
+        stream.select(
+            "doc_id", F.explode_outer(trigram_keys("text")).alias("trigram")
+        )
+        .filter(F.col("trigram").isNotNull())
+        .withColumn("tg_bucket", _bucket(F.col("trigram")))
+    )
+    return (
+        postings.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("tg_bucket")
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_bq_index_ingest(
     spark: SparkSession,
     source_dir: str,
