@@ -140,3 +140,25 @@ def test_triangle_count_degree_orientation_parity(spark):
         a = G.triangle_count(_edges(spark, pairs)).collect()[0].n_triangles
         b = G.triangle_count(_edges(spark, pairs), orient="degree").collect()[0].n_triangles
         assert a == b, pairs
+
+
+def test_association_rules_hand_computed(spark):
+    # orders: {10,20} x2, {10,30} x1, {10} alone x1 -> N=4 orders
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30), (4, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.src, r.dst): r for r in
+           G.association_rules(li, min_weight=1).collect()}
+    r = got[(10, 20)]
+    assert r.n_co == 2
+    assert r.support == pytest.approx(2 / 4)
+    assert r.confidence == pytest.approx(2 / 4)   # 10 appears in 4 orders
+    assert r.lift == pytest.approx((2 / 4) * 4 / 2)  # P(20)=2/4
+    r2 = got[(20, 10)]
+    assert r2.confidence == pytest.approx(1.0)    # every 20-order has 10
+    assert r2.lift == pytest.approx(1.0)          # P(10)=1
+    # min_weight prunes both directions
+    assert (30, 10) in got and (10, 30) in got
+    assert all(k in got for k in [(10, 20), (20, 10), (10, 30), (30, 10)])
+    assert len(got) == 4

@@ -2616,6 +2616,24 @@ def _copurchase_edges(t):
     )
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support/confidence/lift) over
+    the co-purchase pairs — lift > 1 separates genuine association
+    from mere popularity."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    res = G.association_rules(t["lineitem"], min_weight=2)
+    return res.select(
+        "src",
+        "dst",
+        F.col("n_co").cast("long").alias("n_co"),
+        _round6(F.col("support"), "support"),
+        _round6(F.col("confidence"), "confidence"),
+        _round6(F.col("lift"), "lift"),
+    )
+
+
 def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edge extraction: distinct→cap→pair ladder, canonical
     src<dst, co-order weights."""
@@ -2716,6 +2734,25 @@ def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     res = zscore_anomaly(t["events"], threshold=2.0)
+    return res.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _round6(F.col("z"), "z"),
+        "is_anomaly",
+    )
+
+
+def q_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cycle-aware anomaly scan: each day z-scored against its
+    own (event_type, day-of-week) history — a quiet Sunday is not an
+    outage when every Sunday is quiet."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        zscore_anomaly,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = zscore_anomaly(t["events"], threshold=2.0, seasonal=True)
     return res.select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -3452,6 +3489,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys": q_hot_keys,
         "grep_corpus": q_grep_corpus,
         "more_like_these": q_more_like_these,
+        "weekday_anomaly": q_weekday_anomaly,
+        "assoc_rules": q_assoc_rules,
         "grep_corpus_indexed": q_grep_corpus_indexed,
         "grep_many": q_grep_many,
         "recall_rp": q_recall_rp,

@@ -2829,6 +2829,27 @@ SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM e
 """
 
 
+_ORACLE_ASSOC_RULES = """
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+p AS (SELECT a.item AS src, b.item AS dst, count(*) AS n_co
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+d AS (SELECT src, dst, n_co FROM p
+      UNION ALL SELECT dst AS src, src AS dst, n_co FROM p),
+i AS (SELECT item, count(*) AS n FROM capped GROUP BY 1),
+t AS (SELECT count(DISTINCT o) AS N FROM capped)
+SELECT d.src, d.dst, CAST(d.n_co AS BIGINT) AS n_co,
+       round(d.n_co / t.N, 6) + 0.0 AS support,
+       round(d.n_co / s.n, 6) + 0.0 AS confidence,
+       round((d.n_co / s.n) * t.N / e.n, 6) + 0.0 AS lift
+FROM d JOIN i s ON d.src = s.item JOIN i e ON d.dst = e.item, t
+"""
+
+
 _ORACLE_PART_DEGREES = """
 WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
             FROM lineitem WHERE l_partkey IS NOT NULL),
@@ -2957,6 +2978,20 @@ SELECT daily.event_type, strftime(day, '%Y-%m-%d') AS day,
        round((n_events - mu) / nullif(sd, 0), 6) + 0.0 AS z,
        coalesce(abs((n_events - mu) / nullif(sd, 0)) >= 2.0, FALSE) AS is_anomaly
 FROM daily JOIN st USING (event_type)
+"""
+
+
+_ORACLE_WEEKDAY_ANOMALY = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+d2 AS (SELECT *, dayofweek(day) AS dow FROM daily),
+st AS (SELECT event_type, dow, avg(n_events) AS mu, stddev_samp(n_events) AS sd
+       FROM d2 GROUP BY 1, 2)
+SELECT d2.event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       round((n_events - mu) / nullif(sd, 0), 6) + 0.0 AS z,
+       coalesce(abs((n_events - mu) / nullif(sd, 0)) >= 2.0, FALSE) AS is_anomaly
+FROM d2 JOIN st USING (event_type, dow)
 """
 
 
@@ -3239,6 +3274,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": _ORACLE_ZIPF_SLOPE,
         "readability": _ORACLE_READABILITY,
         "daily_anomaly": _ORACLE_DAILY_ANOMALY,
+        "assoc_rules": _ORACLE_ASSOC_RULES,
+        "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
         "sql_priority_orders": PORTABLE_SQL_PRIORITY_ORDERS,

@@ -36,11 +36,34 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "copurchase_edges",
+    "association_rules",
     "node_degrees",
     "degree_histogram",
     "triangle_count",
     "pagerank",
 ]
+
+
+def _capped_order_items(
+    lineitem: DataFrame,
+    max_items_per_order: int,
+    order_col: str,
+    item_col: str,
+) -> DataFrame:
+    """The shared anti-quadratic ladder: distinct (order, item), then a
+    deterministic per-order item cap (item-asc) so a pathological
+    basket contributes at most cap² pairs downstream."""
+    oi = (
+        lineitem.select(F.col(order_col).alias("o"), F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("o").orderBy(F.asc("item"))
+    return (
+        oi.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_items_per_order)
+        .drop("__rn")
+    )
 
 
 def copurchase_edges(
@@ -59,17 +82,7 @@ def copurchase_edges(
     item-asc), pair self-join third — a pathological basket contributes
     at most cap² pairs. Returns ``(src, dst, weight)``.
     """
-    oi = (
-        lineitem.select(F.col(order_col).alias("o"), F.col(item_col).alias("item"))
-        .filter(F.col("item").isNotNull())
-        .distinct()
-    )
-    w = Window.partitionBy("o").orderBy(F.asc("item"))
-    capped = (
-        oi.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_items_per_order)
-        .drop("__rn")
-    )
+    capped = _capped_order_items(lineitem, max_items_per_order, order_col, item_col)
     a = capped.withColumnRenamed("item", "src")
     b = capped.withColumnRenamed("item", "dst")
     return (
@@ -78,6 +91,65 @@ def copurchase_edges(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col("weight") >= min_weight)
+    )
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_weight: int = 2,
+    max_items_per_order: int = 20,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Market-basket association rules over the co-purchase pairs:
+    directed ``src → dst`` with
+
+    * ``support``    = P(src ∧ dst)      = co-orders / N
+    * ``confidence`` = P(dst | src)      = co-orders / orders(src)
+    * ``lift``       = confidence / P(dst)
+
+    — the recommendation/assortment staple on top of
+    :func:`copurchase_edges` (lift > 1 ⇒ genuinely associated, not
+    just popular).
+
+    Scale shape: the same distinct→cap→self-join ladder bounds the
+    pair blowup; per-item order counts are one partial agg; the order
+    total is a 1-row aggregate broadcast back; the metric joins are
+    item-keyed equi-joins of the PAIR frame (bounded by surviving
+    pairs, never the fact table). Both rule directions come from one
+    undirected pair frame. Returns
+    ``(src, dst, n_co, support, confidence, lift)``.
+    """
+    capped = _capped_order_items(lineitem, max_items_per_order, order_col, item_col)
+    a = capped.withColumnRenamed("item", "src")
+    b = capped.withColumnRenamed("item", "dst")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_weight)
+    )
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "n_co"
+        )
+    )
+    item_n = capped.groupBy(F.col("item")).agg(F.count(F.lit(1)).alias("__n"))
+    tot = capped.agg(F.count_distinct("o").alias("__N"))
+    out = (
+        directed.join(item_n.select(F.col("item").alias("src"), F.col("__n").alias("__ns")), "src")
+        .join(item_n.select(F.col("item").alias("dst"), F.col("__n").alias("__nd")), "dst")
+        .crossJoin(F.broadcast(tot))
+    )
+    conf = F.col("n_co") / F.col("__ns")
+    return out.select(
+        "src",
+        "dst",
+        "n_co",
+        (F.col("n_co") / F.col("__N")).alias("support"),
+        conf.alias("confidence"),
+        (conf * F.col("__N") / F.col("__nd")).alias("lift"),
     )
 
 

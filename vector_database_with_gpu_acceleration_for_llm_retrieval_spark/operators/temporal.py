@@ -348,6 +348,7 @@ def zscore_anomaly(
     key_col: str = "event_type",
     ts_col: str = "ts",
     threshold: float = 2.0,
+    seasonal: bool = False,
 ) -> DataFrame:
     """Daily-volume anomaly detection per key: z-score of each day's
     event count against that key's own mean/std across days, flagging
@@ -363,19 +364,28 @@ def zscore_anomaly(
     applies (guarded with a zero check so ANSI mode never raises
     DIVIDE_BY_ZERO on a flat series, a routine monitoring input).
     Returns ``(key, day, n_events, z, is_anomaly)``.
+
+    ``seasonal=True`` baselines each day against its own (key,
+    day-of-week) history instead of the key's global history — the
+    weekly-cycle-aware variant (a quiet Sunday is not an outage when
+    every Sunday is quiet). Costs nothing extra: the stats frame is
+    still a tiny (key[, dow]) aggregate broadcast back.
     """
     daily = (
         events.select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("day"))
         .groupBy("key", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    stats = daily.groupBy("key").agg(
+    grp = ["key"] + (["__dow"] if seasonal else [])
+    if seasonal:
+        daily = daily.withColumn("__dow", F.dayofweek("day"))
+    stats = daily.groupBy(*grp).agg(
         F.avg("n_events").alias("__mu"), F.stddev_samp("n_events").alias("__sd")
     )
     sd = F.when(F.col("__sd") == 0, F.lit(None)).otherwise(F.col("__sd"))
     z = (F.col("n_events") - F.col("__mu")) / sd
     return (
-        daily.join(F.broadcast(stats), "key")
+        daily.join(F.broadcast(stats), grp)
         .select(
             F.col("key").alias(key_col),
             "day",
