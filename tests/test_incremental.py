@@ -1,0 +1,65 @@
+"""Incremental aggregate maintenance: delta folding == full recompute,
+retraction rows, new-key appearance. The sf0.01 oracle value-check of
+the contract entry runs in tests/test_contract_extras.py."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    incremental as INC,
+)
+
+MEASURES = {
+    "n": ("count", "v"),
+    "total": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k string, v double")
+
+
+def test_incremental_equals_full_recompute(spark):
+    hist = _rows(spark, [("a", 1.0), ("a", 2.0), ("b", 5.0)])
+    delta = _rows(spark, [("a", 4.0), ("c", 7.0)])  # existing + new key
+    rollup = INC.partial_agg(hist, ["k"], MEASURES)
+    got = {r.k: r for r in INC.incremental_agg(rollup, delta, ["k"], MEASURES).collect()}
+    full = {r.k: r for r in INC.partial_agg(hist.unionByName(delta), ["k"], MEASURES).collect()}
+    assert set(got) == set(full) == {"a", "b", "c"}
+    for k in full:
+        assert got[k].n == full[k].n
+        assert got[k].total == pytest.approx(full[k].total)
+        assert got[k].lo == full[k].lo and got[k].hi == full[k].hi
+    assert got["a"].n == 3 and got["a"].total == pytest.approx(7.0)
+    assert got["b"].n == 1  # untouched key passes through
+
+
+def test_merge_rollup_folds_retractions(spark):
+    # a correction batch rides the same path as negative state
+    hist = _rows(spark, [("a", 10.0), ("a", 2.0)])
+    rollup = INC.partial_agg(hist, ["k"], {"n": ("count", "v"), "total": ("sum", "v")})
+    retract = spark.createDataFrame(
+        [("a", -1, -10.0)], "k string, n long, total double"
+    )
+    got = INC.merge_rollup(
+        rollup, retract, ["k"], {"n": ("count", "v"), "total": ("sum", "v")}
+    ).collect()[0]
+    assert got.n == 1 and got.total == pytest.approx(2.0)
+
+
+def test_repeated_folds_associative(spark):
+    # fold two deltas one at a time == fold their union once
+    hist = _rows(spark, [("a", 1.0)])
+    d1 = _rows(spark, [("a", 2.0), ("b", 3.0)])
+    d2 = _rows(spark, [("b", 4.0)])
+    r = INC.partial_agg(hist, ["k"], MEASURES)
+    one_by_one = INC.incremental_agg(
+        INC.incremental_agg(r, d1, ["k"], MEASURES), d2, ["k"], MEASURES
+    )
+    at_once = INC.incremental_agg(r, d1.unionByName(d2), ["k"], MEASURES)
+    a = {(r.k, r.n, r.total, r.lo, r.hi) for r in one_by_one.collect()}
+    b = {(r.k, r.n, r.total, r.lo, r.hi) for r in at_once.collect()}
+    assert a == b

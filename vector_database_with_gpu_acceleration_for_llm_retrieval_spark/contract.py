@@ -2634,6 +2634,36 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh: a priority-keyed rollup built from
+    80% of orders, then the remaining 20% folded in as a delta —
+    provably equal to the oracle's single-pass aggregate over the full
+    table, at |delta| + |groups| cost (operators/incremental.py)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    measures = {
+        "n_orders": ("count", "o_totalprice"),
+        "total_price": ("sum", "o_totalprice"),
+        "min_price": ("min", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    hist = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0)
+    rollup = INC.partial_agg(hist, ["o_orderpriority"], measures)
+    res = INC.incremental_agg(rollup, delta, ["o_orderpriority"], measures)
+    return res.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        _round6(F.round("total_price", 2), "total_price"),
+        _round6(F.col("min_price"), "min_price"),
+        _round6(F.col("max_price"), "max_price"),
+    )
+
+
 def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edge extraction: distinct→cap→pair ladder, canonical
     src<dst, co-order weights."""
@@ -3491,6 +3521,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_these": q_more_like_these,
         "weekday_anomaly": q_weekday_anomaly,
         "assoc_rules": q_assoc_rules,
+        "incremental_rollup": q_incremental_rollup,
         "grep_corpus_indexed": q_grep_corpus_indexed,
         "grep_many": q_grep_many,
         "recall_rp": q_recall_rp,

@@ -2829,6 +2829,16 @@ SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM e
 """
 
 
+_ORACLE_INCREMENTAL_ROLLUP = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(round(sum(o_totalprice), 2), 6) + 0.0 AS total_price,
+       round(min(o_totalprice), 6) + 0.0 AS min_price,
+       round(max(o_totalprice), 6) + 0.0 AS max_price
+FROM orders GROUP BY 1
+"""
+
+
 _ORACLE_ASSOC_RULES = """
 WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
             FROM lineitem WHERE l_partkey IS NOT NULL),
@@ -3275,6 +3285,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _ORACLE_READABILITY,
         "daily_anomaly": _ORACLE_DAILY_ANOMALY,
         "assoc_rules": _ORACLE_ASSOC_RULES,
+        "incremental_rollup": _ORACLE_INCREMENTAL_ROLLUP,
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
