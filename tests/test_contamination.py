@@ -198,3 +198,32 @@ def test_probe_bloom_no_false_negatives(spark):
     )
     fp = neg.filter(C._bloom_test(blit, m, F.col("ngram"))).count()
     assert fp < 50  # 1-probe bloom at >=64 bits/key: ~1/64 expected
+
+
+def test_luhn_card_detection_and_redaction(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        pii as PII,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "pay 4111-1111-1111-1111 now"),          # valid, separated
+        (2, "pay 4111111111111111 now"),             # valid, contiguous
+        (3, "ref 4111111111111112 code"),            # card-shaped, BAD checksum
+        (4, "call 555-123-4567"),                    # phone, not a card
+        (5, "cards 4111111111111111 and 5500-0055-5555-5559"),  # two valid
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in docs.select(
+        "doc_id", *PII.pii_count_columns(cards=True)
+    ).collect()}
+    assert [stats[i].n_cards for i in (1, 2, 3, 4, 5)] == [1, 1, 0, 0, 2]
+    assert stats[3].has_pii is False and stats[1].has_pii is True
+    red = {r.doc_id: r.redacted for r in PII.pii_redact(docs, cards=True).collect()}
+    assert red[1] == "pay [CARD] now"
+    assert red[3] == "ref 4111111111111112 code"   # invalid left untouched
+    assert red[4] == "call [PHONE]"
+    assert red[5] == "cards [CARD] and [CARD]"
+    # cards=False keeps legacy behavior byte-stable
+    legacy = {r.doc_id: r.redacted for r in PII.pii_redact(docs).collect()}
+    assert legacy[1] == "pay 4111-1111-1111-1111 now"

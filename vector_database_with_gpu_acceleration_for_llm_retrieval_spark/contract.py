@@ -1714,6 +1714,34 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card detection with a Luhn CHECKSUM verify (pure
+    expressions, no UDF) over a deterministically card-augmented
+    corpus: valid cards count and scrub to [CARD]; a card-SHAPED digit
+    run with a bad checksum is neither counted nor eaten."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        pii as PII,
+    )
+
+    t = load_tables(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.lit(" pay 4111-1111-1111-1111 ok")).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" ref 4111111111111112 x")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" card 5500005555555559 now")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = PII.pii_redact(aug, cards=True)
+    return red.select(
+        "doc_id",
+        F.size(PII.card_candidates(F.col("text"))).cast("int").alias("n_cards"),
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.pricing_summary(load_tables(spark, sf_dir))
 
@@ -3522,6 +3550,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_anomaly": q_weekday_anomaly,
         "assoc_rules": q_assoc_rules,
         "incremental_rollup": q_incremental_rollup,
+        "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
         "grep_many": q_grep_many,
         "recall_rp": q_recall_rp,

@@ -2016,6 +2016,49 @@ def _oracle_pii_scrub() -> str:
         "FROM aug"
     )
 
+def _oracle_pii_cards() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    card_re = r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{16}\b"
+    ds = "replace(replace(c, '-', ''), ' ', '')"
+    dig = f"CAST(substr({ds}, i, 1) AS BIGINT)"
+    luhn = (
+        f"list_sum(list_transform(range(1, length({ds}) + 1), "
+        f"i -> CASE WHEN (length({ds}) - i) % 2 = 1 "
+        f"THEN (2 * {dig}) % 10 + (2 * {dig}) // 10 "
+        f"ELSE {dig} END)) % 10 = 0"
+    )
+    valid = f"list_filter(regexp_extract_all(text, '{card_re}'), c -> {luhn})"
+    scrub = (
+        f"list_reduce(list_prepend(text, {valid}), "
+        f"(acc, c) -> replace(acc, c, '[CARD]'))"
+    )
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(" + scrub + ", '"
+        + EMAIL_RE
+        + "', '[EMAIL]', 'g'), '"
+        + PHONE_RE
+        + "', '[PHONE]', 'g'), '"
+        + IPV4_RE
+        + "', '[IP]', 'g')"
+    )
+    return (
+        "WITH aug AS (SELECT doc_id, concat(text,"
+        " CASE WHEN doc_id % 7 = 0 THEN ' pay 4111-1111-1111-1111 ok' ELSE '' END,"
+        " CASE WHEN doc_id % 11 = 0 THEN ' ref 4111111111111112 x' ELSE '' END,"
+        " CASE WHEN doc_id % 13 = 0 THEN ' card 5500005555555559 now' ELSE '' END) AS text"
+        " FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(" + valid + ") AS INT) AS n_cards,\n"
+        "  md5(" + red + ") AS redacted_md5\n"
+        "FROM aug"
+    )
+
+
 _ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -3286,6 +3329,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_anomaly": _ORACLE_DAILY_ANOMALY,
         "assoc_rules": _ORACLE_ASSOC_RULES,
         "incremental_rollup": _ORACLE_INCREMENTAL_ROLLUP,
+        "pii_cards": _oracle_pii_cards(),
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,

@@ -29,6 +29,9 @@ __all__ = [
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
+    "CARD_RE",
+    "luhn_valid",
+    "card_candidates",
     "pii_count_columns",
     "pii_stats",
     "pii_redact",
@@ -42,24 +45,71 @@ PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
+#: 16-digit payment card, contiguous or 4-4-4-4 with - or space — the
+#: syntactic candidate; :func:`luhn_valid` separates real card numbers
+#: from phone-adjacent digit runs (checksum verify, not just shape).
+CARD_RE = r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{16}\b"
+
+
 def _count(text: Column, pattern: str) -> Column:
     return F.regexp_count(text, F.lit(pattern)).cast("int")
 
 
-def pii_count_columns(text_col: str = "text") -> list[Column]:
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum of a (possibly -/space-separated) digit string as
+    a pure expression: strip separators, double every second digit
+    from the RIGHT (−9 when >9), sum ≡ 0 (mod 10). No UDF — a
+    transform over character positions inside codegen'd array ops,
+    mirrorable in SQL."""
+    ds = F.regexp_replace(cand, r"[- ]", "")
+    n = F.length(ds)
+
+    def d(i):
+        return ds.substr(i, F.lit(1)).cast("long")
+
+    # the check digit is the LAST digit (n − i = 0, plain); doubling
+    # starts second-from-right (n − i odd) ⇒ 2d, −9 when > 9 — written
+    # as (2d mod 10) + floor(2d / 10), all integer arithmetic
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            F.pmod(n - i, F.lit(2)) == 1,
+            F.pmod(d(i) * 2, F.lit(10)) + F.floor(d(i) * 2 / 10),
+        ).otherwise(d(i)),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.pmod(total, F.lit(10)) == 0
+
+
+def card_candidates(text: Column) -> Column:
+    """All card-shaped substrings that PASS the Luhn check — the spans
+    redaction must scrub."""
+    return F.filter(F.regexp_extract_all(text, F.lit(CARD_RE), 0), luhn_valid)
+
+
+def pii_count_columns(text_col: str = "text", cards: bool = False) -> list[Column]:
     """The named count/flag columns — composable into any projection
     (``df.select(id, *pii_count_columns(), ...)``) so one scan can
-    carry counts next to other derived columns."""
+    carry counts next to other derived columns. ``cards=True`` adds
+    ``n_cards`` (Luhn-VERIFIED 16-digit payment cards — checksum, not
+    just shape) and folds it into ``has_pii``; off by default so
+    existing oracle-pinned outputs stay byte-stable."""
     t = F.col(text_col)
     n_em = _count(t, EMAIL_RE)
     n_ph = _count(t, PHONE_RE)
     n_ip = _count(t, IPV4_RE)
-    return [
+    cols = [
         n_em.alias("n_emails"),
         n_ph.alias("n_phones"),
         n_ip.alias("n_ipv4"),
-        ((n_em + n_ph + n_ip) > 0).alias("has_pii"),
     ]
+    if cards:
+        n_cd = F.size(card_candidates(t)).cast("int")
+        cols.append(n_cd.alias("n_cards"))
+        cols.append(((n_em + n_ph + n_ip + n_cd) > 0).alias("has_pii"))
+    else:
+        cols.append(((n_em + n_ph + n_ip) > 0).alias("has_pii"))
+    return cols
 
 
 def pii_stats(
@@ -76,12 +126,26 @@ def pii_redact(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "redacted",
+    cards: bool = False,
 ) -> DataFrame:
     """Replace PII spans with typed placeholders — ``[PHONE]``,
-    ``[EMAIL]``, ``[IP]`` — keeping the rest of the text byte-identical.
-    Adds ``out_col`` next to the original columns."""
+    ``[EMAIL]``, ``[IP]`` (and ``[CARD]`` with ``cards=True``) —
+    keeping the rest of the text byte-identical. Adds ``out_col``
+    next to the original columns.
+
+    Card scrubbing runs FIRST and only on Luhn-VALID candidates (a
+    left-to-right fold of literal replaces over the verified span
+    list — regexp_replace can't be conditional per match); an invalid
+    card-shaped digit run is left for a human, not silently eaten."""
     t = F.col(text_col)
-    red = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    red = t
+    if cards:
+        red = F.aggregate(
+            card_candidates(t),
+            t,
+            lambda acc, c: F.replace(acc, c, F.lit("[CARD]")),
+        )
+    red = F.regexp_replace(red, EMAIL_RE, "[EMAIL]")
     red = F.regexp_replace(red, PHONE_RE, "[PHONE]")
     red = F.regexp_replace(red, IPV4_RE, "[IP]")
     return docs.withColumn(out_col, red)
