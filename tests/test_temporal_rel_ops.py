@@ -275,3 +275,22 @@ def test_rfm_scores_hand_computed(spark):
     # equal frequency: unique ranks spread scores but stay in 1..5
     assert all(1 <= got[c].f_score <= 5 for c in got)
     assert got[102].rec_days == (dt.date(2024, 2, 1) - dt.date(2024, 1, 11)).days
+
+
+def test_cumulative_unique_users_hand_computed(spark):
+    import datetime as dt
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        relational as R,
+    )
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 9)),
+        ("u1", dt.datetime(2024, 1, 3, 9)),   # repeat: not new on day 3
+        ("u2", dt.datetime(2024, 1, 1, 10)),
+        ("u3", dt.datetime(2024, 1, 3, 11)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {str(r.day): (r.n_new, r.n_total) for r in
+           R.cumulative_unique_users(df).collect()}
+    assert got == {"2024-01-01": (2, 2), "2024-01-03": (1, 3)}

@@ -2801,6 +2801,19 @@ def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time-uniques growth curve: users collapse to their
+    first-seen day, the running total windows over the tiny days
+    frame only."""
+    t = load_tables(spark, sf_dir)
+    res = R.cumulative_unique_users(t["events"])
+    return res.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
 def q_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly-cycle-aware anomaly scan: each day z-scored against its
     own (event_type, day-of-week) history — a quiet Sunday is not an
@@ -3548,6 +3561,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_corpus": q_grep_corpus,
         "more_like_these": q_more_like_these,
         "weekday_anomaly": q_weekday_anomaly,
+        "cumulative_users": q_cumulative_users,
         "assoc_rules": q_assoc_rules,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,

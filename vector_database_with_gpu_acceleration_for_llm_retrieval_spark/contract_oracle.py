@@ -3034,6 +3034,16 @@ FROM daily JOIN st USING (event_type)
 """
 
 
+_ORACLE_CUMULATIVE_USERS = """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_total
+FROM d
+"""
+
+
 _ORACLE_WEEKDAY_ANOMALY = """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
                FROM events GROUP BY 1, 2),
@@ -3331,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_rollup": _ORACLE_INCREMENTAL_ROLLUP,
         "pii_cards": _oracle_pii_cards(),
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,
+        "cumulative_users": _ORACLE_CUMULATIVE_USERS,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
         "sql_priority_orders": PORTABLE_SQL_PRIORITY_ORDERS,

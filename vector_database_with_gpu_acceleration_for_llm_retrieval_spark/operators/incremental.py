@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_agg", "merge_rollup", "incremental_agg"]
+__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "stream_rollup_maintenance"]
 
 #: supported mergeable measures → (state builder, merger)
 _MERGE = {
@@ -85,4 +85,72 @@ def incremental_agg(
     |delta| + |groups| cost."""
     return merge_rollup(
         history_rollup, partial_agg(new_rows, keys, measures), keys, measures
+    )
+
+
+def stream_rollup_maintenance(
+    spark,
+    source_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    schema: str,
+):
+    """Continuously-maintained materialized rollup: each micro-batch
+    partial-aggs its rows and folds them into the rollup table via
+    :func:`merge_rollup` inside ``foreachBatch`` — the streaming
+    materialized view (per-batch work is |batch| + |groups|, history
+    never re-scans; the same frozen-artifact serving split as the
+    streaming index maintenance family).
+
+    The rollup parquet is rewritten atomically per batch (tmp dir +
+    rename) so concurrent readers never see a half-written table, and
+    the fold is IDEMPOTENT under micro-batch replay: the folded batch
+    id travels INSIDE the swapped directory (an underscore-prefixed
+    marker file parquet readers ignore), so a replayed batch whose
+    fold already landed is skipped — data and marker can never
+    disagree because they swap in the same rename (the same
+    per-batch-id discipline as the streaming near-dup sink).
+    Returns the started StreamingQuery.
+    """
+
+    def _fs(s, p):
+        jvm = s.sparkContext._jvm
+        path_cls = jvm.org.apache.hadoop.fs.Path
+        return path_cls, path_cls(p).getFileSystem(s.sparkContext._jsc.hadoopConfiguration())
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        path_cls, fs = _fs(s, rollup_path)
+        marker = path_cls(rollup_path + "/_folded_batch")
+        current = None
+        if fs.exists(path_cls(rollup_path)):
+            if fs.exists(marker):
+                stream_in = fs.open(marker)
+                try:
+                    last = int(bytes(stream_in.readAllBytes()).decode())
+                finally:
+                    stream_in.close()
+                if batch_id <= last:
+                    return  # replayed batch: fold already landed
+            current = s.read.parquet(rollup_path)
+        delta = partial_agg(batch_df, keys, measures)
+        merged = delta if current is None else merge_rollup(current, delta, keys, measures)
+        tmp = rollup_path + f"__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = fs.create(path_cls(tmp + "/_folded_batch"), True)
+        try:
+            out.write(str(batch_id).encode())
+        finally:
+            out.close()
+        fs.delete(path_cls(rollup_path), True)
+        fs.rename(path_cls(tmp), path_cls(rollup_path))
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
     )

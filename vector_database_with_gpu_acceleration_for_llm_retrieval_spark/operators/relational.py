@@ -37,6 +37,7 @@ __all__ = [
     "event_transitions",
     "session_paths",
     "dau_wau",
+    "cumulative_unique_users",
     "rfm_scores",
     "min_cost_supplier",
     "unshipped_orders",
@@ -616,6 +617,26 @@ def session_paths(
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top_n)
+    )
+
+
+def cumulative_unique_users(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Cumulative distinct users by day — the all-time-uniques growth
+    curve. A running COUNT DISTINCT is not frame-able, so the standard
+    decomposition: each user collapses to their FIRST-seen day (one
+    key-partial agg over the fact), first-seen days roll up to
+    ``n_new`` per day, and the running total is a window over the
+    tiny days frame only (days, not events — bounded regardless of
+    corpus size). Returns ``(day, n_new, n_total)``."""
+    first = events.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    per_day = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("n_total")
     )
 
 
