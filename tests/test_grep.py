@@ -98,3 +98,24 @@ def test_stream_trigram_index_serves_grep(spark, docs, tmp_path):
         scan = {r.doc_id for r in GR.grep_scan(docs, pat).collect()}
         got = {r.doc_id for r in GR.grep_indexed(spark, idx, docs, pat).collect()}
         assert got == scan, pat
+
+
+def test_grep_like_matches_like_scan(spark, docs, tmp_path):
+    path = str(tmp_path / "tg")
+    GR.write_trigram_index(docs, path)
+    pats = [
+        "%quick%fox%",        # two indexable segments, ordered
+        "%fox%quick%",        # wrong order: LIKE verify must reject
+        "%brown%",            # single segment
+        "%q_ick%",            # _ hole splits the segment
+        "%a%",                # no indexable segment -> scan fallback
+    ]
+    from pyspark.sql import functions as F
+
+    for pat in pats:
+        want = {r.doc_id for r in docs.filter(F.col("text").like(pat))
+                .select("doc_id").collect()}
+        got = {r.doc_id for r in GR.grep_like(spark, path, docs, pat).collect()}
+        assert got == want, pat
+    assert {r.doc_id for r in GR.grep_like(spark, path, docs, "%quick%fox%").collect()} == {1, 6}
+    assert GR.grep_like(spark, path, docs, "%fox%quick%").count() == 0

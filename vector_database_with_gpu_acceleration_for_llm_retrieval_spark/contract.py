@@ -3455,6 +3455,32 @@ GREP_PATTERN = "vector table"
 #: seed rows for the more-like-these expansion entry
 MLT_SEEDS = [0, 1, 2]
 
+#: LIKE-pattern probe for the index-accelerated wildcard grep
+GREP_LIKE_PATTERN = "%vector%table%"
+
+
+def q_grep_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated SQL LIKE: the pattern's literal segments AND
+    through the trigram postings, a final LIKE verify restores exact
+    wildcard semantics — shares the plain-SQL LIKE oracle."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        grep as GR,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="tg_like_contract_")
+    try:
+        GR.write_trigram_index(t["documents"], tmp)
+        out = GR.grep_like(spark, tmp, t["documents"], GREP_LIKE_PATTERN).orderBy(
+            "doc_id"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 #: multi-pattern grep probe set
 GREP_PATTERNS = ["vector table", "fast scan", "slow query"]
 
@@ -3567,6 +3593,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
         "grep_many": q_grep_many,
+        "grep_like": q_grep_like,
         "recall_rp": q_recall_rp,
         "sq_topk": q_sq_topk,
         "sq_rerank_topk": q_sq_rerank_topk,

@@ -623,6 +623,17 @@ ORDER BY p.pattern, d.doc_id
 """
 
 
+def _oracle_grep_like() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        GREP_LIKE_PATTERN,
+    )
+
+    return f"""
+SELECT doc_id FROM documents WHERE text LIKE '{GREP_LIKE_PATTERN}'
+ORDER BY doc_id
+"""
+
+
 def _oracle_grep_corpus() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
         GREP_PATTERN,
@@ -3273,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_these": _oracle_more_like_these(),
         "grep_corpus_indexed": _oracle_grep_corpus(),
         "grep_many": _oracle_grep_many(),
+        "grep_like": _oracle_grep_like(),
         "recall_rp": _oracle_recall_rp(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),

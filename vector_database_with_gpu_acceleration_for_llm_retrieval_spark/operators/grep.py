@@ -47,6 +47,7 @@ __all__ = [
     "grep_scan",
     "grep_indexed",
     "grep_many",
+    "grep_like",
 ]
 
 #: postings partition fan-out — small enough for healthy parquet files
@@ -233,6 +234,53 @@ def grep_many(
     if out is None:
         return spark.createDataFrame([], "pattern string, doc_id long")
     return out
+
+
+def grep_like(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    like_pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_query_trigrams: int = 4,
+) -> DataFrame:
+    """Index-accelerated SQL ``LIKE``: a row matching
+    ``'%foo%bar%'`` must contain every LITERAL segment between
+    wildcards, so each segment's trigrams AND into the candidate set
+    and a final ``LIKE`` verify restores exact semantics (wildcard
+    order, ``_`` single-char holes). Segments shorter than a trigram
+    contribute nothing; if NO segment is indexable the query falls
+    back to the scan. Same superset-then-verify exactness contract as
+    :func:`grep_indexed`. Returns ``(doc_id)``."""
+    segments = [s for s in like_pattern.replace("_", "%").split("%") if s]
+    grams = sorted({g for seg in segments for g in _py_trigrams(seg)})
+    if not grams:
+        return docs.filter(F.col(text_col).like(like_pattern)).select(
+            F.col(id_col).alias("doc_id")
+        )
+    try:
+        meta = json.loads(spark.read.parquet(f"{path}_meta").head()["meta"])
+        hot = meta.get("hot_df", {})
+    except Exception:
+        hot = {}
+    grams = sorted(grams, key=lambda g: (hot.get(g, 0), g))[:max_query_trigrams]
+    buckets = sorted({_py_bucket_of(spark, g) for g in grams})
+    postings = spark.read.parquet(path).filter(
+        F.col("tg_bucket").isin(buckets) & F.col("trigram").isin(grams)
+    )
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("trigram").alias("__ng"))
+        .filter(F.col("__ng") == len(grams))
+        .select("doc_id")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .join(cand, "doc_id")
+        .filter(F.col("__t").like(like_pattern))
+        .select("doc_id")
+    )
 
 
 _BUCKET_CACHE: dict[str, int] = {}
