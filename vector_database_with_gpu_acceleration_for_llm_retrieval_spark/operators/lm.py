@@ -52,9 +52,12 @@ __all__ = ["BOS", "bigram_pairs", "bigram_lm", "lm_score", "score_with_model", "
 BOS = "<s>"
 
 
-def _pairs_col(text_col: Column | str) -> Column:
-    """array<struct<w1,w2>> of adjacent token pairs over BOS + tokens."""
-    toks = F.concat(F.array(F.lit(BOS)), TX.tokens(text_col))
+def _pairs_col(toks: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs over a
+    BOS-prefixed token ARRAY column. Pass an attribute (projected
+    column), not an inline ``tokens(text)`` expression — ``toks`` is
+    referenced three times here and interpreted higher-order eval has
+    no common-subexpression elimination (see contamination.py)."""
     n = F.size(toks)
     prev = F.slice(toks, 1, n - 1)
     cur = F.slice(toks, 2, n - 1)
@@ -67,12 +70,19 @@ def bigram_pairs(
     """Explode each non-blank doc into its adjacent-token pairs:
     ``(id, w1, w2)`` with a ``<s>`` BOS so a k-token doc yields exactly
     k pairs.  Blank/NULL text contributes nothing (and is scored NULL
-    downstream, never silently invented)."""
+    downstream, never silently invented). The BOS-prefixed token array
+    is projected into its own column first so the regex tokenization
+    runs ONCE per row (the inline form re-split per reference under
+    the explode — the round-7 shingle-pipeline lesson)."""
     nonblank = docs.filter(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
+    base = nonblank.select(
+        F.col(id_col),
+        F.concat(F.array(F.lit(BOS)), TX.tokens(text_col)).alias("__toks"),
+    )
     return (
-        nonblank.select(F.col(id_col), F.explode(_pairs_col(text_col)).alias("p"))
+        base.select(F.col(id_col), F.explode(_pairs_col(F.col("__toks"))).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
