@@ -74,3 +74,29 @@ def test_range_join_is_broadcast(spark):
     bands = spark.createDataFrame([(0.0, 50.0, "low")], "lo double, hi double, band string")
     df = temporal.range_join_bands(facts, bands, value_col="price")
     assert_plan_contains(df, "BroadcastNestedLoopJoin")
+
+
+def test_similar_series_correlation_ranking(spark):
+    import datetime as dt
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        similar_series,
+    )
+
+    rows = []
+    # q: 1,2,3,4 events on 4 days; "up" follows it (2,4,6,8);
+    # "down" inverts (4,3,2,1); "flat" constant (no variance -> NULL corr);
+    # "sparse" overlaps 2 days only (dropped by min_overlap)
+    for d, n in ((1, 1), (2, 2), (3, 3), (4, 4)):
+        rows += [("q", dt.datetime(2024, 1, d, 12))] * n
+        rows += [("up", dt.datetime(2024, 1, d, 12))] * (2 * n)
+        rows += [("down", dt.datetime(2024, 1, d, 12))] * (5 - n)
+        rows += [("flat", dt.datetime(2024, 1, d, 12))] * 2
+    rows += [("sparse", dt.datetime(2024, 1, 1, 12))] * 3
+    rows += [("sparse", dt.datetime(2024, 1, 2, 12))] * 1
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = similar_series(df, "q", k=5, min_overlap=3).collect()
+    assert [r.key for r in got] == ["up", "down"]
+    assert got[0].corr == pytest.approx(1.0)
+    assert got[1].corr == pytest.approx(-1.0)
+    assert got[0].n_days == 4

@@ -2801,6 +2801,23 @@ def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similar_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similar daily-volume series to the 'click' series by
+    aligned-day Pearson correlation — the 1-D time-series similarity
+    search (query series broadcast, no series self-join)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        similar_series,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = similar_series(t["events"], "click", k=4, min_overlap=3)
+    return res.select(
+        "key",
+        F.col("n_days").cast("long").alias("n_days"),
+        _round6(F.col("corr"), "corr"),
+    )
+
+
 def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-time-uniques growth curve: users collapse to their
     first-seen day, the running total windows over the tiny days
@@ -3588,6 +3605,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_these": q_more_like_these,
         "weekday_anomaly": q_weekday_anomaly,
         "cumulative_users": q_cumulative_users,
+        "similar_series": q_similar_series,
         "assoc_rules": q_assoc_rules,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,

@@ -3045,6 +3045,25 @@ FROM daily JOIN st USING (event_type)
 """
 
 
+_ORACLE_SIMILAR_SERIES = """
+WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day, count(*) AS n
+               FROM events GROUP BY 1, 2),
+q AS (SELECT day, n AS qn FROM daily WHERE key = 'click'),
+j AS (SELECT daily.key, CAST(daily.n AS DOUBLE) AS x, CAST(q.qn AS DOUBLE) AS y
+      FROM daily JOIN q USING (day) WHERE daily.key <> 'click'),
+a AS (SELECT key, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM j GROUP BY 1),
+c AS (SELECT key, n_days,
+             (n_days*sxy - sx*sy)
+             / nullif(sqrt(n_days*sxx - sx*sx) * sqrt(n_days*syy - sy*sy), 0) AS corr
+      FROM a)
+SELECT key, CAST(n_days AS BIGINT) AS n_days, round(corr, 6) + 0.0 AS corr
+FROM c WHERE n_days >= 3 AND corr IS NOT NULL
+ORDER BY corr DESC, key LIMIT 4
+"""
+
+
 _ORACLE_CUMULATIVE_USERS = """
 WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
 d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
@@ -3354,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_cards": _oracle_pii_cards(),
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,
         "cumulative_users": _ORACLE_CUMULATIVE_USERS,
+        "similar_series": _ORACLE_SIMILAR_SERIES,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
         "sql_priority_orders": PORTABLE_SQL_PRIORITY_ORDERS,

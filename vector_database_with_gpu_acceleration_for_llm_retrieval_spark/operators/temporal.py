@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "similar_series"]
 
 
 def asof_join(
@@ -393,4 +393,66 @@ def zscore_anomaly(
             z.alias("z"),
             F.coalesce(F.abs(z) >= threshold, F.lit(False)).alias("is_anomaly"),
         )
+    )
+
+
+def similar_series(
+    events: DataFrame,
+    query_key: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Top-k time-series similarity search: which keys' daily-volume
+    series move WITH the query key's series (Pearson correlation over
+    aligned days) — the "what else spikes when checkouts spike"
+    diagnostic, the 1-D cousin of the distributed top-k
+    similarity-search literature (e.g. REPOSE, ICDE'21 — PAPERS.md).
+
+    Shape at scale: daily rollup is one partial-agged (key, day)
+    aggregate of the fact; the query key's series is a tiny
+    (days-sized) frame BROADCAST onto the others' day rows — the
+    corpus of series never self-joins; ``corr`` is a single
+    partial-agged per-key aggregate. Keys overlapping the query on
+    fewer than ``min_overlap`` days are dropped (a 2-point series
+    correlates ±1 vacuously); the cut is TakeOrderedAndProject.
+    Returns ``(key, n_days, corr)``, corr-desc, key-asc ties.
+    """
+    daily = (
+        events.select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = daily.filter(F.col("key") == query_key).select(
+        "day", F.col("n").alias("qn")
+    )
+    rest = daily.filter(F.col("key") != query_key)
+    # Pearson from sum components with a NULL-guarded denominator:
+    # under ANSI mode F.corr raises DIVIDE_BY_ZERO on a zero-variance
+    # series (a flat series is routine monitoring input) — a NULL corr
+    # (dropped below) is the correct answer there
+    agg = (
+        rest.join(F.broadcast(q), "day")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("n").cast("double")).alias("__sx"),
+            F.sum(F.col("qn").cast("double")).alias("__sy"),
+            F.sum((F.col("n") * F.col("n")).cast("double")).alias("__sxx"),
+            F.sum((F.col("qn") * F.col("qn")).cast("double")).alias("__syy"),
+            F.sum((F.col("n") * F.col("qn")).cast("double")).alias("__sxy"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    cov = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    denom = F.sqrt(vx) * F.sqrt(vy)
+    corr = cov / F.when(denom == 0, F.lit(None)).otherwise(denom)
+    return (
+        agg.select("key", "n_days", corr.alias("corr"))
+        .filter((F.col("n_days") >= min_overlap) & F.col("corr").isNotNull())
+        .orderBy(F.desc("corr"), F.asc("key"))
+        .limit(k)
     )
