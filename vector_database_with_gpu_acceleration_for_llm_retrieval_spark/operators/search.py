@@ -663,7 +663,13 @@ def more_like_these(
             V.score(F.col(vec_col), F.col("__c"), metric).alias("score"),
         )
     )
-    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    # no seed matched → NULL centroid → NULL scores: return empty, not
+    # k arbitrary rows with NULL score
+    return (
+        scored.filter(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:
