@@ -2911,6 +2911,34 @@ ORDER BY o_orderpriority
 """
 
 
+PORTABLE_SQL_HOT_KEYS = """
+WITH c AS (SELECT CAST(user_id AS STRING) AS key, count(*) AS n_rows
+           FROM events GROUP BY key),
+t AS (SELECT sum(n_rows) AS tt, count(*) AS kk FROM c),
+topn AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key ASC LIMIT 20)
+SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+       round(n_rows / tt, 6) + 0.0 AS share,
+       round(sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tt,
+             6) + 0.0 AS cum_share,
+       round(n_rows * kk / tt, 6) + 0.0 AS skew
+FROM topn, t
+"""
+
+
+def q_sql_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key skew report through the SQL front door: the SAME
+    portable ANSI text runs in Spark SQL and the DuckDB oracle —
+    front-door parity for a round-7 operator (the DataFrame twin is
+    `hot_keys`; both are checked against the same numbers)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=["events"])
+    return spark.sql(PORTABLE_SQL_HOT_KEYS)
+
+
 def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 through the SQL front door: the SAME portable ANSI
     text runs in Spark SQL and in the DuckDB oracle — zero translation
@@ -3606,6 +3634,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_anomaly": q_weekday_anomaly,
         "cumulative_users": q_cumulative_users,
         "similar_series": q_similar_series,
+        "sql_hot_keys": q_sql_hot_keys,
         "assoc_rules": q_assoc_rules,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,

@@ -58,6 +58,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     KNN_QUERIES,
     KFOLD_K,
     PORTABLE_SQL_FORECAST_REVENUE,
+    PORTABLE_SQL_HOT_KEYS,
     PORTABLE_SQL_PRIORITY_ORDERS,
     LANG_HEAD_DIM,
     LM_ALPHA,
@@ -3374,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,
         "cumulative_users": _ORACLE_CUMULATIVE_USERS,
         "similar_series": _ORACLE_SIMILAR_SERIES,
+        "sql_hot_keys": PORTABLE_SQL_HOT_KEYS,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
         "sql_priority_orders": PORTABLE_SQL_PRIORITY_ORDERS,
