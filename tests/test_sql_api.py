@@ -53,3 +53,8 @@ def test_kfold_assign_is_pure_projection(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     head = kfold_assign(df)._jdf.queryExecution().executedPlan().toString().split("\n\n")[0]
     assert "Exchange" not in head
+
+
+def test_portable_hot_keys_shared_verbatim():
+    o = contract_oracle.oracle_sql()
+    assert o["sql_hot_keys"] is contract.PORTABLE_SQL_HOT_KEYS
