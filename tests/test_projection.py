@@ -108,3 +108,33 @@ def test_pca_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         P.pca_fit(df, k=2, in_dim=8)
+
+
+def test_rp_knn_join_full_shortlist_equals_exact(spark):
+    # shortlist >= corpus: rerank sees everything -> exact knn_join
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S,
+    )
+
+    X, df = _rand_df(spark, n=40, dim=64, seed=21)
+    qs = df.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding")
+    exact = S.knn_join(qs, df, k=5)
+    two = P.rp_knn_join(qs, df, k=5, shortlist=40, out_dim=16)
+    a = {(r.qid, r.rank): (r.neighbor_id, round(r.score, 9)) for r in exact.collect()}
+    b = {(r.qid, r.rank): (r.neighbor_id, round(r.score, 9)) for r in two.collect()}
+    assert a == b
+
+
+def test_rp_knn_join_narrow_shortlist_reasonable_recall(spark):
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S,
+    )
+
+    X, df = _rand_df(spark, n=300, dim=64, seed=22)
+    qs = df.filter("vec_id < 4").selectExpr("vec_id as qid", "embedding")
+    exact = S.knn_join(qs, df, k=5)
+    two = P.rp_knn_join(qs, df, k=5, shortlist=60, out_dim=16)
+    rec = S.recall_at_k(exact, two, k=5, by=["qid", "neighbor_id"])
+    vals = [r.recall for r in rec.collect()]
+    assert len(vals) == 4 and sum(vals) / 4 >= 0.5  # JL at 16 dims: decent

@@ -3481,6 +3481,28 @@ def q_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", _round6(F.col("score"), "score"))
 
 
+#: projected-space shortlist width for the two-stage rp_knn_join entry
+RP_SHORTLIST = 20
+
+
+def q_rp_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage batch retrieval through the JL tier: projected-space
+    shortlist (4× cheaper per candidate) + exact full-dim rerank —
+    the compressed shortlist+rerank composition, zero training."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        projection as PJX,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = PJX.rp_knn_join(
+        _knn_queries(t), t["embeddings"], k=KNN_K, shortlist=RP_SHORTLIST,
+        out_dim=RP_OUT,
+    )
+    return res.select(
+        "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+    )
+
+
 def q_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the projected-space search vs the exact 64-dim
     top-k — the quality half of the JL compression claim, next to
@@ -3642,6 +3664,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_many": q_grep_many,
         "grep_like": q_grep_like,
         "recall_rp": q_recall_rp,
+        "rp_knn_join": q_rp_knn_join,
         "sq_topk": q_sq_topk,
         "sq_rerank_topk": q_sq_rerank_topk,
         "recall_sq": q_recall_sq,

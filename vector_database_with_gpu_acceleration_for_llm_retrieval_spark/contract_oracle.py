@@ -669,6 +669,33 @@ SELECT vec_id, {_r6('s', 'score')} FROM scored ORDER BY s DESC, vec_id LIMIT {TO
 """
 
 
+def _oracle_rp_knn_join() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        KNN_K,
+        KNN_QUERIES,
+        RP_SHORTLIST,
+    )
+
+    return f"""
+WITH pe AS (SELECT vec_id, embedding, {_sq_rp_list()} AS rp FROM embeddings),
+pq AS (SELECT vec_id AS qid, embedding AS qv, rp AS rq FROM pe WHERE vec_id < {KNN_QUERIES}),
+sl AS (SELECT qid, pe.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY {_sq_cosine('pe.rp', 'rq')} DESC, pe.vec_id) AS rn
+       FROM pe, pq),
+cand AS (SELECT qid, neighbor_id FROM sl WHERE rn <= {RP_SHORTLIST}),
+rer AS (SELECT cand.qid, cand.neighbor_id,
+               {_sq_cosine('e.embedding', 'q.qv')} AS s
+        FROM cand
+        JOIN embeddings e ON e.vec_id = cand.neighbor_id
+        JOIN pq q ON q.qid = cand.qid),
+ranked AS (SELECT qid, neighbor_id, s,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, neighbor_id) AS INT) AS rank
+           FROM rer)
+SELECT qid, neighbor_id, {_r6('s', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 def _oracle_recall_rp() -> str:
     return f"""
 WITH qe AS (SELECT embedding AS qv64 FROM embeddings WHERE vec_id = 0),
@@ -3306,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
         "grep_many": _oracle_grep_many(),
         "grep_like": _oracle_grep_like(),
         "recall_rp": _oracle_recall_rp(),
+        "rp_knn_join": _oracle_rp_knn_join(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
         "topk_per_label": _oracle_topk_per_label(),

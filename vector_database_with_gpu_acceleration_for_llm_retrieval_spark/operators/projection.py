@@ -43,6 +43,7 @@ __all__ = [
     "rp_project_point",
     "pca_fit",
     "pca_project",
+    "rp_knn_join",
 ]
 
 
@@ -191,3 +192,80 @@ def pca_project(
             e = term if e is None else e + term
         cols.append(e)
     return df.withColumn(out_col, F.array(*cols))
+
+
+def rp_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    query_id: str = "qid",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage batch retrieval through the JL tier: shortlist every
+    query's ``shortlist`` nearest neighbors in the PROJECTED space
+    (out_dim/in_dim of the bytes and multiply-adds per candidate),
+    then exact-rerank only the shortlist in full dimension — the
+    compressed-domain analogue of pq/sq/bq's shortlist+rerank, with
+    zero training and zero stored artifact.
+
+    Recall < 1 by design (the projection can demote a true neighbor
+    past the shortlist cut); widen ``shortlist`` to trade scan savings
+    for recall, and measure with :func:`search.recall_at_k`. The
+    rerank joins candidate ids back to the full-dim corpus (id
+    equi-join — candidates only, never the corpus² cross) with the
+    query vectors broadcast. Returns ``(qid, neighbor_id, score,
+    rank)`` like :func:`search.knn_join`.
+    """
+    from pyspark.sql import Window
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        vector as V,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        knn_join,
+    )
+
+    cp = rp_embed(
+        corpus.select(id_col, vec_col), out_dim=out_dim, in_dim=in_dim,
+        vec_col=vec_col, out_col="rp",
+    )
+    qp = rp_embed(
+        queries.select(query_id, query_vec), out_dim=out_dim, in_dim=in_dim,
+        vec_col=query_vec, out_col="rp",
+    )
+    short = knn_join(
+        qp.select(query_id, F.col("rp").alias("__rq")),
+        cp.select(id_col, "rp"),
+        k=shortlist,
+        query_id=query_id,
+        query_vec="__rq",
+        id_col=id_col,
+        vec_col="rp",
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qfull = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")
+    )
+    rer = (
+        short.select("qid", "neighbor_id")
+        .join(full, "neighbor_id")
+        .join(F.broadcast(qfull), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            V.score(F.col("__cv"), F.col("__qv"), "cosine").alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", "rank")
+    )
