@@ -100,3 +100,54 @@ def test_similar_series_correlation_ranking(spark):
     assert got[0].corr == pytest.approx(1.0)
     assert got[1].corr == pytest.approx(-1.0)
     assert got[0].n_days == 4
+
+
+def test_mad_anomaly_robust_to_single_spike(spark):
+    import datetime as dt
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        mad_anomaly,
+    )
+
+    rows = []
+    # 7 quiet days of 10 events + one 100-event spike: MAD stays 0-ish?
+    # use slight variation so MAD > 0: counts 9,10,11,10,9,11,10 then 100
+    counts = [9, 10, 11, 10, 9, 11, 10, 100]
+    for d, n in enumerate(counts, start=1):
+        rows += [("a", dt.datetime(2024, 1, d, 12))] * n
+    # flat key: identical daily counts -> MAD = 0 -> NULL mz, no alarm
+    for d in range(1, 4):
+        rows += [("flat", dt.datetime(2024, 1, d, 12))] * 5
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {(r.event_type, str(r.day)): r for r in mad_anomaly(df).collect()}
+    spike = got[("a", "2024-01-08")]
+    assert spike.is_anomaly and spike.mz > 3.5
+    # quiet days unflagged (median 10, MAD 0.5 -> |mz| <= 1.35)
+    assert not got[("a", "2024-01-01")].is_anomaly
+    f = got[("flat", "2024-01-01")]
+    assert f.mz is None and f.is_anomaly is False
+
+
+def test_negative_samples_deterministic_and_excludes_positives(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    corpus = spark.createDataFrame([(i,) for i in range(30)], "vec_id long")
+    pos = spark.createDataFrame(
+        [(1, 1), (1, 5), (2, 2)], "qid long, vec_id long"
+    )
+    a = negative_samples(pos, corpus, k=4).collect()
+    b = negative_samples(pos, corpus, k=4).collect()
+    ka = {(r.qid, r.rank): r.vec_id for r in a}
+    kb = {(r.qid, r.rank): r.vec_id for r in b}
+    assert ka == kb                       # deterministic
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.qid, set()).add(r.vec_id)
+    assert by_q[1].isdisjoint({1, 5}) and 2 not in by_q[2]
+    assert len(by_q[1]) == 4 and len(by_q[2]) == 4
+    # partitioning must not change the draw
+    c = {(r.qid, r.rank): r.vec_id
+         for r in negative_samples(pos, corpus.repartition(7), k=4).collect()}
+    assert c == ka

@@ -2818,6 +2818,42 @@ def q_similar_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD modified-z) daily-volume anomalies per event
+    type — outliers can't inflate their own baseline; MAD=0 keys never
+    alarm."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        mad_anomaly,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = mad_anomaly(t["events"], threshold=3.5)
+    return res.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _round6(F.col("mz"), "mz"),
+        "is_anomaly",
+    )
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampler: k hash-ranked corpus ids
+    per query, positives (here: the query's own vector) excluded —
+    deterministic across engines via the portable md5 hash."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    positives = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec_id").alias("vec_id")
+    )
+    res = negative_samples(positives, emb, k=KNN_K)
+    return res.select("qid", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
 def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-time-uniques growth curve: users collapse to their
     first-seen day, the running total windows over the tiny days
@@ -3655,6 +3691,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_these": q_more_like_these,
         "weekday_anomaly": q_weekday_anomaly,
         "cumulative_users": q_cumulative_users,
+        "mad_anomaly": q_mad_anomaly,
+        "negative_samples": q_negative_samples,
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
         "assoc_rules": q_assoc_rules,

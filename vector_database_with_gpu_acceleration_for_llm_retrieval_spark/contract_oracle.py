@@ -3092,6 +3092,40 @@ ORDER BY corr DESC, key LIMIT 4
 """
 
 
+_ORACLE_MAD_ANOMALY = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, quantile_cont(n_events, 0.5) AS med FROM daily GROUP BY 1),
+mad AS (SELECT daily.event_type, any_value(med) AS med,
+               quantile_cont(abs(n_events - med), 0.5) AS mad
+        FROM daily JOIN med USING (event_type) GROUP BY 1)
+SELECT daily.event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(0.6745 * (n_events - med) / nullif(mad, 0), 6) + 0.0 AS mz,
+       coalesce(abs(0.6745 * (n_events - med) / nullif(mad, 0)) >= 3.5, FALSE) AS is_anomaly
+FROM daily JOIN mad USING (event_type)
+"""
+
+
+def _oracle_negative_samples() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        KNN_K,
+        KNN_QUERIES,
+    )
+
+    h = ("CAST(concat('0x', substr(md5(concat(CAST(qid AS VARCHAR), ':', "
+         "CAST(e.vec_id AS VARCHAR))), 1, 15)) AS BIGINT)")
+    return f"""
+WITH q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+cand AS (SELECT qid, e.vec_id, {h} AS h
+         FROM embeddings e, q WHERE e.vec_id <> qid),
+ranked AS (SELECT qid, vec_id,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY h, vec_id) AS INT) AS rank
+           FROM cand)
+SELECT qid, vec_id, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 _ORACLE_CUMULATIVE_USERS = """
 WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
 d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
@@ -3402,6 +3436,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_cards": _oracle_pii_cards(),
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,
         "cumulative_users": _ORACLE_CUMULATIVE_USERS,
+        "mad_anomaly": _ORACLE_MAD_ANOMALY,
+        "negative_samples": _oracle_negative_samples(),
         "similar_series": _ORACLE_SIMILAR_SERIES,
         "sql_hot_keys": PORTABLE_SQL_HOT_KEYS,
         "promo_orders": _ORACLE_PROMO_ORDERS,

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
 __all__ = [
+    "negative_samples",
     "stratified_sample",
     "pack_sequences",
     "budget_select",
@@ -556,3 +557,45 @@ def kfold_assign(
 
     h = portable_token_hash(F.col(id_col).cast("string"))
     return df.withColumn(out_col, F.pmod(h, F.lit(k)).cast("int"))
+
+
+def negative_samples(
+    positives: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every query, ``k`` corpus ids that are NOT among its positives,
+    chosen by ranking candidates on a portable hash of (qid, id) — a
+    reproducible pseudo-random draw with no RNG stream (the Gumbel-
+    top-k trick of ``gumbel_topk_sample`` at weight 1), identical
+    across runs, partitionings, and engines.
+
+    Shape: the distinct query-id frame is a bounded training batch
+    (the knn_join serving contract) and broadcasts onto the corpus;
+    positives exclude via a left-anti equi-join; the per-query cut is
+    a (qid)-partitioned window whose input is corpus × |Q| candidate
+    rows — at 100 TB run it per query shard, or pre-filter candidates
+    with a hash-threshold band before the window (keep
+    ``hash < c·k/N`` quantile) to shrink the exchange. Returns
+    ``(qid, id, rank)``, hash-asc rank order.
+    """
+    qids = positives.select(qid_col).distinct()
+    cand = (
+        corpus.select(id_col)
+        .crossJoin(F.broadcast(qids))
+        .join(positives.select(qid_col, id_col), [qid_col, id_col], "left_anti")
+    )
+    h = TX.portable_token_hash(
+        F.concat_ws(
+            ":", F.col(qid_col).cast("string"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank")
+    )

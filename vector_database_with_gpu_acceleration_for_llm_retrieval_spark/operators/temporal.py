@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "similar_series"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series"]
 
 
 def asof_join(
@@ -455,4 +455,58 @@ def similar_series(
         .filter((F.col("n_days") >= min_overlap) & F.col("corr").isNotNull())
         .orderBy(F.desc("corr"), F.asc("key"))
         .limit(k)
+    )
+
+
+def mad_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust daily-volume anomaly detection per key: the modified
+    z-score ``0.6745·(x − median) / MAD`` (Iglewicz–Hoaglin), flagging
+    ``|mz| ≥ threshold`` (3.5 is the published default). The robust
+    twin of :func:`zscore_anomaly`: a mean/std baseline is dragged by
+    the very outliers it should flag — one huge spike inflates σ and
+    masks smaller ones — while median/MAD ignore them.
+
+    Same two-aggregation shape: (key, day) counts, then per-key
+    median + MAD over the day rows via exact interpolated
+    ``percentile`` (the stats frame is days-sized — exact medians are
+    cheap there; the corpus-sized work is still one partial-agged
+    count). MAD = 0 (over half the days identical) → NULL mz, never a
+    false alarm, mirroring the zero-variance guard. Returns
+    ``(key, day, n_events, mz, is_anomaly)``.
+    """
+    daily = (
+        events.select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = daily.groupBy("key").agg(
+        F.expr("percentile(n_events, 0.5)").alias("__med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "key")
+        .groupBy("key")
+        .agg(
+            F.first("__med").alias("__med"),
+            F.expr("percentile(abs(n_events - __med), 0.5)").alias("__mad"),
+        )
+    )
+    mz = (
+        F.lit(0.6745)
+        * (F.col("n_events") - F.col("__med"))
+        / F.when(F.col("__mad") == 0, F.lit(None)).otherwise(F.col("__mad"))
+    )
+    return (
+        daily.join(F.broadcast(mad), "key")
+        .select(
+            F.col("key").alias(key_col),
+            "day",
+            "n_events",
+            mz.alias("mz"),
+            F.coalesce(F.abs(mz) >= threshold, F.lit(False)).alias("is_anomaly"),
+        )
     )
