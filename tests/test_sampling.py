@@ -197,3 +197,42 @@ def test_dsir_weights_null_target_rows(spark):
     ).collect()
     assert {r.doc_id for r in res} == {1, 2, 3}
     assert all(r.log_weight is not None for r in res)
+
+
+def test_epoch_upsample_deterministic_counts(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    rows = [(i, "a" if i < 200 else "b") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_upsample(docs, {"a": 2.5, "b": 0.4})
+    per = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # a: 200 docs x (2 + Bernoulli(0.5)) -> ~500; b: 100 x 0.4 -> ~40
+    assert 440 <= per["a"] <= 560 and 25 <= per["b"] <= 55
+    # deterministic: identical multiset on rerun and under repartition
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted((r.doc_id, r.epoch) for r in
+               epoch_upsample(docs.repartition(7), {"a": 2.5, "b": 0.4}).collect())
+    assert a == b
+    # whole-epoch floor: every kept 'a' doc appears at least twice
+    from collections import Counter
+    ca = Counter(d for d, _ in a if d < 200)
+    assert all(v >= 2 for v in ca.values()) and len(ca) == 200
+    # unlisted stratum defaults to exactly one copy
+    out2 = epoch_upsample(docs, {"a": 2.0})
+    assert out2.filter("lang = 'b'").count() == 100
+
+
+def test_within_group_percentile_hand_computed(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        within_group_percentile,
+    )
+
+    rows = [(1, "x", 1.0), (2, "x", 2.0), (3, "x", 3.0),
+            (4, "y", 10.0), (5, "y", 20.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = {r.doc_id: r.pctl for r in
+           within_group_percentile(df, "score").collect()}
+    assert got[1] == 0.0 and got[2] == pytest.approx(0.5) and got[3] == 1.0
+    assert got[4] == 0.0 and got[5] == 1.0

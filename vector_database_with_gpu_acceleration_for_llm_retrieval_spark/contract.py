@@ -2854,6 +2854,43 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
+#: fractional-epoch mixture for the upsampling entry
+EPOCH_MIX = {"en": 2.5, "de": 1.0, "fr": 0.5}
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch up-sampling (the Llama/GPT-3 data-mixture
+    table): 2.5 epochs of en, 0.5 of fr — whole copies plus a
+    deterministic portable-hash Bernoulli for the fraction; unlisted
+    strata keep one copy."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = epoch_upsample(t["documents"], EPOCH_MIX)
+    return res.select(
+        "doc_id", "lang", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+def q_domain_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-language percentile of document length — the
+    domain-fair threshold (keep each language's own top X%, not one
+    global cut a verbose domain would monopolize)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        within_group_percentile,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = within_group_percentile(
+        t["documents"].select("doc_id", "lang", F.col("n_chars").cast("double").alias("score")),
+        "score",
+    )
+    return res.select("doc_id", "lang", _round6(F.col("score"), "score"),
+                      _round6(F.col("pctl"), "pctl"))
+
+
 def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-time-uniques growth curve: users collapse to their
     first-seen day, the running total windows over the tiny days
@@ -3693,6 +3730,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": q_cumulative_users,
         "mad_anomaly": q_mad_anomaly,
         "negative_samples": q_negative_samples,
+        "epoch_upsample": q_epoch_upsample,
+        "domain_percentile": q_domain_percentile,
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
         "assoc_rules": q_assoc_rules,

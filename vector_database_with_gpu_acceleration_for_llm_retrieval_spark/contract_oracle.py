@@ -3126,6 +3126,39 @@ SELECT qid, vec_id, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def _oracle_epoch_upsample() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        EPOCH_MIX,
+    )
+
+    whole = " ".join(
+        f"WHEN lang = '{s}' THEN {int(e)}" for s, e in EPOCH_MIX.items()
+    )
+    frac = " ".join(
+        f"WHEN lang = '{s}' THEN {float(e) - int(e)!r}" for s, e in EPOCH_MIX.items()
+    )
+    u = ("CAST(concat('0x', substr(md5(concat('epoch', ':', "
+         "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) / " + repr(float(1 << 60)))
+    return f"""
+WITH r AS (SELECT doc_id, lang,
+                  (CASE {whole} ELSE 1 END)
+                  + (CASE WHEN {u} < (CASE {frac} ELSE 0.0 END) THEN 1 ELSE 0 END) AS rep
+           FROM documents)
+SELECT doc_id, lang, CAST(u.e AS INT) AS epoch
+FROM r, unnest(range(1, rep + 1)) AS u(e)
+WHERE rep >= 1
+"""
+
+
+_ORACLE_DOMAIN_PERCENTILE = """
+SELECT doc_id, lang,
+       round(CAST(n_chars AS DOUBLE), 6) + 0.0 AS score,
+       round(percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY CAST(n_chars AS DOUBLE), doc_id), 6) + 0.0 AS pctl
+FROM documents
+"""
+
+
 _ORACLE_CUMULATIVE_USERS = """
 WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
 d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
@@ -3438,6 +3471,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_users": _ORACLE_CUMULATIVE_USERS,
         "mad_anomaly": _ORACLE_MAD_ANOMALY,
         "negative_samples": _oracle_negative_samples(),
+        "epoch_upsample": _oracle_epoch_upsample(),
+        "domain_percentile": _ORACLE_DOMAIN_PERCENTILE,
         "similar_series": _ORACLE_SIMILAR_SERIES,
         "sql_hot_keys": PORTABLE_SQL_HOT_KEYS,
         "promo_orders": _ORACLE_PROMO_ORDERS,

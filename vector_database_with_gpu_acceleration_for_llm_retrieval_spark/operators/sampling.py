@@ -32,6 +32,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 
 __all__ = [
     "negative_samples",
+    "epoch_upsample",
+    "within_group_percentile",
     "stratified_sample",
     "pack_sequences",
     "budget_select",
@@ -598,4 +600,78 @@ def negative_samples(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "rank")
+    )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fractional-epoch UP-sampling: replicate each stratum's rows
+    ``epochs[s]`` times, where the fractional part is realized
+    deterministically per document (a doc rides the extra epoch iff
+    its portable hash falls under the fraction) — the complement of
+    :func:`mixture_sample`'s no-upsampling plan for when the recipe
+    says "2.4 epochs of wiki, 0.8 of web" (the Llama/GPT-3-style
+    data-mixture table).
+
+    Pure expression: rep count per row = ⌊e⌋ + (hash-uniform < frac),
+    then one ``explode(sequence(1, rep))`` — no RNG stream, no join;
+    the draw is reproducible across runs, partitionings, and engines,
+    and a rerun emits the identical multiset. Output adds ``epoch``
+    (1-based copy index) so downstream shuffles can salt on it;
+    unlisted strata default to 1.0 (kept once). Rows with rep = 0
+    (epochs < 1 and hash above the fraction) drop out — epochs < 1 is
+    exactly deterministic down-sampling.
+    """
+    whole = F.lit(0)
+    frac = F.lit(0.0)
+    expr_whole = None
+    expr_frac = None
+    for s, e in epochs.items():
+        w = int(e)
+        fr = float(e) - w
+        cond = F.col(stratum_col) == s
+        expr_whole = F.when(cond, F.lit(w)) if expr_whole is None else expr_whole.when(cond, F.lit(w))
+        expr_frac = F.when(cond, F.lit(fr)) if expr_frac is None else expr_frac.when(cond, F.lit(fr))
+    whole = expr_whole.otherwise(F.lit(1)) if expr_whole is not None else F.lit(1)
+    frac = expr_frac.otherwise(F.lit(0.0)) if expr_frac is not None else F.lit(0.0)
+    # uniform in [0,1): portable 60-bit hash / 2^60 — mirrorable in SQL
+    u = TX.portable_token_hash(
+        F.concat_ws(":", F.lit("epoch"), F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    rep = whole + F.when(u < frac, 1).otherwise(0)
+    return (
+        docs.withColumn("__rep", rep)
+        .filter(F.col("__rep") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+        .drop("__rep")
+    )
+
+
+def within_group_percentile(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-group percentile of a score — the domain-fair threshold:
+    "keep the top 30% of EACH language" instead of one global cut that
+    a high-scoring domain would monopolize. ``percent_rank`` over a
+    per-group window ordered (score, id) — deterministic under ties;
+    one shuffle on the group key, window state bounded by the group.
+    At extreme per-group cardinality swap in the distributed
+    prefix-rank (``global_rank``) per group — same numbers, no
+    single-task group window. Returns ``(id, group, score, pctl)``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.percent_rank().over(w).alias("pctl"),
     )
