@@ -249,3 +249,18 @@ def test_near_dup_against_corpus_cross_frame(spark):
     # hash path finds the same pairs (ids differ, jaccard identical sets)
     got_h = D.near_dup_against_corpus(new, corpus, threshold=0.5).collect()
     assert {(r.new_id, r.corpus_id) for r in got_h} == pairs
+
+
+def test_dedup_clusters_local_minimum_path(spark):
+    # path 1-10-2: node 2 is smaller than its only neighbor (10) but
+    # NOT the component min — pointer-jumping alone stalls here; the
+    # edge step must pull it to 1
+    pairs = spark.createDataFrame([(1, 10), (2, 10)], "id_a long, id_b long")
+    got = {r.doc_id: r.canonical_id for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 10: 1, 2: 1}
+    # longer alternating chain: 1-20-2-21-3-22-4 (every low node a
+    # local minimum)
+    chain = [(1, 20), (2, 20), (2, 21), (3, 21), (3, 22), (4, 22)]
+    pairs2 = spark.createDataFrame(chain, "id_a long, id_b long")
+    got2 = {r.doc_id: r.canonical_id for r in D.dedup_clusters(pairs2).collect()}
+    assert set(got2.values()) == {1}

@@ -162,3 +162,10 @@ def test_association_rules_hand_computed(spark):
     assert (30, 10) in got and (10, 30) in got
     assert all(k in got for k in [(10, 20), (20, 10), (10, 30), (30, 10)])
     assert len(got) == 4
+
+
+def test_connected_components_two_islands(spark):
+    # island {1,2,3}, island {7,9}, isolated-by-edge {4,5}
+    e = _edges(spark, [(1, 2), (2, 3), (7, 9), (4, 5)])
+    got = {r.node: r.component for r in G.connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 5: 4}

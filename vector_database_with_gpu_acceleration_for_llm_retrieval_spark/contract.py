@@ -2692,6 +2692,20 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph (pointer-jumping
+    label propagation to the minimum reachable id — the general graph
+    clustering primitive, mirrored by a recursive-CTE closure)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    res = G.connected_components(_copurchase_edges(t))
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edge extraction: distinct→cap→pair ladder, canonical
     src<dst, co-order weights."""
@@ -3732,6 +3746,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "epoch_upsample": q_epoch_upsample,
         "domain_percentile": q_domain_percentile,
+        "part_components": q_part_components,
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
         "assoc_rules": q_assoc_rules,

@@ -2942,6 +2942,22 @@ FROM d JOIN i s ON d.src = s.item JOIN i e ON d.dst = e.item, t
 """
 
 
+_ORACLE_PART_COMPONENTS = """
+WITH RECURSIVE oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e),
+reach (s, d) AS (SELECT s, d FROM edges
+                 UNION SELECT r.s, x.d FROM reach r JOIN edges x ON r.d = x.s)
+SELECT s AS node, least(min(d), s) AS component FROM reach GROUP BY s
+"""
+
+
 _ORACLE_PART_DEGREES = """
 WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
             FROM lineitem WHERE l_partkey IS NOT NULL),
@@ -3465,6 +3481,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _ORACLE_READABILITY,
         "daily_anomaly": _ORACLE_DAILY_ANOMALY,
         "assoc_rules": _ORACLE_ASSOC_RULES,
+        "part_components": _ORACLE_PART_COMPONENTS,
         "incremental_rollup": _ORACLE_INCREMENTAL_ROLLUP,
         "pii_cards": _oracle_pii_cards(),
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,

@@ -532,29 +532,62 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     Input: (id_a, id_b) edges. Output: (doc_id, canonical_id); rows
     whose ``doc_id != canonical_id`` are the drop set.
 
-    Pointer-jumping halves the longest chain every round, so
-    ``max_iter`` rounds converge for components of diameter ≤ 2^max_iter;
-    if the loop exits without reaching the fixed point a warning is
+    Each round does BOTH propagation steps: (1) an EDGE step — every
+    node takes the min label among itself and its neighbors (the
+    classic hook that guarantees the fixpoint is the true component
+    minimum) — and (2) a pointer-doubling step — every node also takes
+    its canonical's canonical, halving chain lengths so convergence is
+    O(log diameter) rounds instead of O(diameter). The edge step is
+    load-bearing for correctness, not just speed: pointer-jumping
+    alone stalls on a "local minimum" node (smaller than all its
+    neighbors but not the component min — its pointer is a self-loop
+    and no information ever reaches it; a path graph ``1—10—2`` leaves
+    node 2 unmerged forever). The original pointer-only form passed
+    the near-dup oracle because near-dup pair sets are clique-like; a
+    general graph (co-purchase components) exposed the stall — both
+    topologies are regression-tested against a recursive-closure
+    oracle now.
+
+    If the loop exits without reaching the fixed point a warning is
     emitted (results would under-merge silently otherwise).
     """
     import warnings
 
     edges = pairs.select("id_a", "id_b")
-    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
     labels = sym.groupBy(F.col("id_a").alias("doc_id")).agg(
         F.least(F.min("id_b"), F.first("id_a")).alias("canonical_id")
     )
     for _ in range(max_iter):
+        # edge step: min label over self ∪ neighbors
+        nbr = (
+            sym.join(labels, sym["id_b"] == labels["doc_id"])
+            .select(F.col("id_a").alias("doc_id"), F.col("canonical_id"))
+        )
+        hooked = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+        )
+        # pointer-doubling step: follow my canonical's canonical
         relabeled = (
-            labels.alias("l")
+            hooked.alias("l")
             .join(
-                labels.select(
+                hooked.select(
                     F.col("doc_id").alias("canonical_id"),
                     F.col("canonical_id").alias("parent"),
                 ).alias("p"),
                 "canonical_id",
+                "left",
             )
-            .select("doc_id", F.least("canonical_id", "parent").alias("canonical_id"))
+            .select(
+                "doc_id",
+                F.least("canonical_id", F.coalesce("parent", "canonical_id")).alias(
+                    "canonical_id"
+                ),
+            )
         )
         relabeled = relabeled.localCheckpoint(eager=True)
         changed = (
@@ -574,6 +607,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
+    sym.unpersist()
     return labels
 
 

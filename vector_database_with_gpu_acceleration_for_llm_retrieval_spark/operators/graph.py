@@ -41,6 +41,7 @@ __all__ = [
     "degree_histogram",
     "triangle_count",
     "pagerank",
+    "connected_components",
 ]
 
 
@@ -307,3 +308,26 @@ def pagerank(
     nodes.unpersist()
     deg.unpersist()
     return out
+
+
+def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components of an undirected edge frame: every node
+    labeled with the minimum node id reachable from it — the general
+    graph-clustering primitive (the dedup near-dup collapse is this
+    exact algorithm; this adapter gives the graph module the
+    first-class surface).
+
+    Delegates to the pointer-jumping label propagation in
+    ``dedup.dedup_clusters``: each round one shuffle, chain length
+    halves per round (diameter ≤ 2^max_iter converges), labels
+    localCheckpoint-pinned per round. Returns ``(node, component)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    out = dedup_clusters(pairs, max_iter=max_iter)
+    return out.select(
+        F.col("doc_id").alias("node"), F.col("canonical_id").alias("component")
+    )
