@@ -169,3 +169,32 @@ def test_connected_components_two_islands(spark):
     e = _edges(spark, [(1, 2), (2, 3), (7, 9), (4, 5)])
     got = {r.node: r.component for r in G.connected_components(e).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 5: 4}
+
+
+def test_pagerank_weighted_follows_heavy_edges(spark):
+    # star: hub 1 with heavy edge to 2, light to 3 -> rank(2) > rank(3);
+    # unweighted treats them equally
+    e = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1)], "src long, dst long, weight int"
+    )
+    got = {r.node: r.rank for r in
+           G.pagerank(e, iters=4, weight_col="weight").collect()}
+    assert got[2] > got[3]
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    flat = {r.node: r.rank for r in G.pagerank(e, iters=4).collect()}
+    assert flat[2] == pytest.approx(flat[3])
+    # python reference for one weighted iteration on the triangle
+    e2 = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (1, 3, 1)], "src long, dst long, weight int"
+    )
+    got2 = {r.node: r.rank for r in
+            G.pagerank(e2, iters=1, weight_col="weight").collect()}
+    # symmetrized weighted degrees: W1=4, W2=4, W3=2; r0=1/3
+    d = 0.85
+    base = (1 - d) / 3
+    r1 = base + d * ((1 / 3) * (3 / 4) + (1 / 3) * (1 / 2))
+    r2 = base + d * ((1 / 3) * (3 / 4) + (1 / 3) * (1 / 2))
+    r3 = base + d * ((1 / 3) * (1 / 4) + (1 / 3) * (1 / 4))
+    assert got2[1] == pytest.approx(r1, abs=1e-12)
+    assert got2[2] == pytest.approx(r2, abs=1e-12)
+    assert got2[3] == pytest.approx(r3, abs=1e-12)

@@ -2692,6 +2692,19 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph: rank spreads
+    proportionally to co-order counts instead of 1/degree — heavy
+    baskets matter more."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    res = G.pagerank(_copurchase_edges(t), iters=3, weight_col="weight")
+    return res.select(
+        F.col("node").cast("long").alias("node"), _round6(F.col("rank"), "rank")
+    )
+
+
 def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the co-purchase graph (pointer-jumping
     label propagation to the minimum reachable id — the general graph
@@ -3747,6 +3760,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_upsample": q_epoch_upsample,
         "domain_percentile": q_domain_percentile,
         "part_components": q_part_components,
+        "part_pagerank_weighted": q_part_pagerank_weighted,
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
         "assoc_rules": q_assoc_rules,

@@ -2942,6 +2942,42 @@ FROM d JOIN i s ON d.src = s.item JOIN i e ON d.dst = e.item, t
 """
 
 
+_ORACLE_PART_PAGERANK_WEIGHTED = """
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+em AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM e
+       UNION ALL SELECT dst AS src, src AS dst, CAST(weight AS DOUBLE) AS w FROM e),
+deg AS (SELECT src, sum(w) AS dg FROM em GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+c1 AS (SELECT em.dst AS node, sum(r0.r * em.w / deg.dg) AS s
+        FROM r0 JOIN em ON r0.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
+r1 AS (SELECT deg.src AS node,
+               (1 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.src = c1.node),
+c2 AS (SELECT em.dst AS node, sum(r1.r * em.w / deg.dg) AS s
+        FROM r1 JOIN em ON r1.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
+r2 AS (SELECT deg.src AS node,
+               (1 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.src = c2.node),
+c3 AS (SELECT em.dst AS node, sum(r2.r * em.w / deg.dg) AS s
+        FROM r2 JOIN em ON r2.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
+r3 AS (SELECT deg.src AS node,
+               (1 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
+SELECT node, round(r, 6) + 0.0 AS rank FROM r3
+"""
+
+
 _ORACLE_PART_COMPONENTS = """
 WITH RECURSIVE oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
             FROM lineitem WHERE l_partkey IS NOT NULL),
@@ -3482,6 +3518,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_anomaly": _ORACLE_DAILY_ANOMALY,
         "assoc_rules": _ORACLE_ASSOC_RULES,
         "part_components": _ORACLE_PART_COMPONENTS,
+        "part_pagerank_weighted": _ORACLE_PART_PAGERANK_WEIGHTED,
         "incremental_rollup": _ORACLE_INCREMENTAL_ROLLUP,
         "pii_cards": _oracle_pii_cards(),
         "weekday_anomaly": _ORACLE_WEEKDAY_ANOMALY,

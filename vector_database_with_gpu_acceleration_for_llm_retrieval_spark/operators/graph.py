@@ -227,6 +227,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     directed: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank power method. ``directed=False``
     (default) symmetrizes the canonical edge frame first, so every
@@ -248,13 +249,24 @@ def pagerank(
     deliberately a fixed small constant — rank ordering stabilizes in
     a few rounds and a fixed count keeps the result oracle-mirrorable.
 
+    ``weight_col`` switches to WEIGHTED PageRank: each node spreads
+    its rank proportionally to edge weights (``w(u,v) / Σ_v w(u,·)``
+    instead of ``1/out_degree``) — the natural reading on a
+    co-purchase graph where weight = co-order count. Same plan shape:
+    the degree frame just sums weights instead of counting edges.
+
     Returns ``(node, rank)``; ranks sum to 1 up to float error.
     """
+    wcol = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ).alias("w")
     if directed:
-        em = edges.select("src", "dst")
+        em = edges.select("src", "dst", wcol)
     else:
-        em = edges.select("src", "dst").unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        em = edges.select("src", "dst", wcol).unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), wcol
+            )
         )
     em = em.persist()
     # node universe = src ∪ dst: sink-only nodes (directed) are real
@@ -266,7 +278,7 @@ def pagerank(
         .distinct()
         .persist()
     )
-    deg = em.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist()
+    deg = em.groupBy("src").agg(F.sum("w").alias("__deg")).persist()
     n_nodes = nodes.count()  # also materializes em
     if n_nodes == 0:
         em.unpersist()
@@ -279,7 +291,10 @@ def pagerank(
         contrib = (
             ranks.join(em, "src")
             .join(deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("__deg")).alias("__c"),
+            )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
