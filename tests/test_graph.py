@@ -198,3 +198,33 @@ def test_pagerank_weighted_follows_heavy_edges(spark):
     assert got2[1] == pytest.approx(r1, abs=1e-12)
     assert got2[2] == pytest.approx(r2, abs=1e-12)
     assert got2[3] == pytest.approx(r3, abs=1e-12)
+
+
+def test_pagerank_weighted_zero_and_null_weights_stay_in_system(spark):
+    # r8 ADVICE fix: a node whose out-edge weights are all 0/null used
+    # to get __deg = 0 -> rank*w/0 = NULL and its mass silently left
+    # the system. Such edges now spread no mass and their endpoints
+    # fall into the dangling path: ranks stay finite and sum to 1.
+    e = spark.createDataFrame(
+        [(1, 2, 5), (3, 4, 0), (5, 6, None)],
+        "src long, dst long, weight int",
+    )
+    got = {r.node: r.rank for r in
+           G.pagerank(e, iters=3, weight_col="weight").collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert all(v is not None and v > 0 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # zero/null-weight pairs are symmetric under symmetrization
+    assert got[3] == pytest.approx(got[4])
+    assert got[5] == pytest.approx(got[6])
+
+
+def test_pagerank_directed_cycle_skips_dangling_branch(spark):
+    # every node in a directed cycle has out-degree 1 -> the upfront
+    # deg-vs-nodes count proves no dangling nodes and the per-iteration
+    # dangling aggregate is skipped; uniform ranks are the fixed point
+    got = {r.node: r.rank for r in
+           G.pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]),
+                      iters=5, directed=True).collect()}
+    for v in (1, 2, 3):
+        assert abs(got[v] - 1.0 / 3) < 1e-12

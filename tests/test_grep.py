@@ -119,3 +119,30 @@ def test_grep_like_matches_like_scan(spark, docs, tmp_path):
         assert got == want, pat
     assert {r.doc_id for r in GR.grep_like(spark, path, docs, "%quick%fox%").collect()} == {1, 6}
     assert GR.grep_like(spark, path, docs, "%fox%quick%").count() == 0
+
+
+def test_grep_like_escaped_wildcards_exact(spark, tmp_path):
+    # r8 ADVICE fix: '\%'/'\_' are literal chars, not segment breaks —
+    # the old split kept the backslash in the segment, minting trigrams
+    # ('00\') that no matching doc contains, so true matches vanished
+    # from the candidate superset.
+    rows = [
+        (1, "save 100% today"),
+        (2, "save 100x today"),
+        (3, "fully 50% off"),
+        (4, "a_b literal underscore"),
+        (5, "axb hole char"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tg_esc")
+    GR.write_trigram_index(docs, path)
+    for pat in [r"%100\%%", r"%a\_b%", r"%a_b%", r"%50\% off%"]:
+        want = {r.doc_id for r in docs.filter(F.col("text").like(pat))
+                .select("doc_id").collect()}
+        got = {r.doc_id for r in GR.grep_like(spark, path, docs, pat).collect()}
+        assert got == want, pat
+    # sanity on the python splitter itself
+    assert GR._like_literal_segments(r"%100\%%") == ["100%"]
+    assert GR._like_literal_segments(r"%a\_b%") == ["a_b"]
+    assert GR._like_literal_segments(r"a\\b%c") == ["a\\b", "c"]
+    assert GR._like_literal_segments("abc\\") is None  # dangling escape

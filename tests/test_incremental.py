@@ -111,3 +111,47 @@ def test_stream_rollup_replay_is_idempotent(spark, tmp_path):
     q2.stop()
     after = {(r.k, r.n, r.total) for r in spark.read.parquet(roll).collect()}
     assert after == before
+
+
+def test_stream_rollup_crash_between_renames_recovers(spark, tmp_path):
+    # r8 ADVICE fix: the old delete-then-rename swap had a window with
+    # NO rollup table; a crash there made the replayed batch treat
+    # itself as first and silently discard all history. Simulate the
+    # worst window of the new aside-rename swap — rollup renamed aside,
+    # stage fully written (marker inside), stage NOT yet renamed in —
+    # and assert the restarted stream completes the rename instead of
+    # re-folding or discarding.
+    import shutil
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("s3", "r3", "c3"))
+    m = {"n": ("count", "v"), "total": ("sum", "v")}
+    b1 = _rows(spark, [("a", 1.0), ("b", 5.0)])
+    b2 = _rows(spark, [("a", 4.0), ("c", 7.0)])
+    b1.write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(spark, src, roll, ckpt, ["k"], m,
+                                      "k string, v double")
+    q.processAllAvailable()
+    q.stop()
+    # batch 1's data lands in the source but we fake its fold crashing
+    b2.write.mode("append").parquet(src)
+    merged = INC.incremental_agg(
+        spark.read.parquet(roll), b2, ["k"], m)
+    stage = roll + "__stage_1"
+    merged.write.mode("overwrite").parquet(stage)
+    with open(stage + "/_folded_batch", "w") as fh:
+        fh.write("1")
+    shutil.move(roll, roll + "__old_1")   # aside-rename happened...
+    assert not __import__("os").path.exists(roll)  # ...crash here
+    # restart on the same checkpoint: batch 1 replays
+    q2 = INC.stream_rollup_maintenance(spark, src, roll, ckpt, ["k"], m,
+                                       "k string, v double")
+    q2.processAllAvailable()
+    q2.stop()
+    got = {(r.k, r.n, r.total) for r in spark.read.parquet(roll).collect()}
+    full = {(r.k, r.n, r.total) for r in INC.partial_agg(
+        b1.unionByName(b2), ["k"], m).collect()}
+    assert got == full                    # history NOT discarded
+    import os
+    leftovers = [d for d in os.listdir(tmp_path)
+                 if "__old_" in d or "__stage_" in d]
+    assert leftovers == []                # scratch dirs cleaned up

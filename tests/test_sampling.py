@@ -236,3 +236,18 @@ def test_within_group_percentile_hand_computed(spark):
            within_group_percentile(df, "score").collect()}
     assert got[1] == 0.0 and got[2] == pytest.approx(0.5) and got[3] == 1.0
     assert got[4] == 0.0 and got[5] == 1.0
+
+
+def test_negative_samples_duplicate_corpus_ids_still_k_distinct(spark):
+    # r8 ADVICE fix: duplicate corpus ids used to occupy several ranks
+    # for the same (qid, id), shrinking the distinct-negative set
+    pos = spark.createDataFrame([(1, 100)], "qid long, vec_id long")
+    corpus = spark.createDataFrame(
+        [(v,) for v in [100, 101, 101, 101, 101, 102, 103]], "vec_id long"
+    )
+    rows = sampling.negative_samples(pos, corpus, k=3).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == 3
+    assert len(set(ids)) == 3           # all distinct
+    assert 100 not in ids               # positive excluded
+    assert sorted(r.rank for r in rows) == [1, 2, 3]

@@ -3015,10 +3015,11 @@ PORTABLE_SQL_HOT_KEYS = """
 WITH c AS (SELECT CAST(user_id AS STRING) AS key, count(*) AS n_rows
            FROM events GROUP BY key),
 t AS (SELECT sum(n_rows) AS tt, count(*) AS kk FROM c),
-topn AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key ASC LIMIT 20)
+topn AS (SELECT key, n_rows FROM c
+         ORDER BY n_rows DESC, key ASC NULLS FIRST LIMIT 20)
 SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
        round(n_rows / tt, 6) + 0.0 AS share,
-       round(sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+       round(sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC NULLS FIRST
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tt,
              6) + 0.0 AS cum_share,
        round(n_rows * kk / tt, 6) + 0.0 AS skew

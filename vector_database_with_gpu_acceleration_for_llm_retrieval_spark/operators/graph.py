@@ -254,6 +254,19 @@ def pagerank(
     instead of ``1/out_degree``) — the natural reading on a
     co-purchase graph where weight = co-order count. Same plan shape:
     the degree frame just sums weights instead of counting edges.
+    Edges with null or non-positive weight carry no mass: they are
+    dropped from the emission frame (so a node whose out-weights are
+    all ≤ 0 / null has no ``__deg`` row and falls into the dangling
+    redistribution path instead of silently NULL-ing its rank out of
+    the system), but such nodes still count in the node universe.
+
+    The dangling-mass aggregate (one left-anti agg + broadcast
+    crossJoin per iteration) only runs when dangling nodes can exist:
+    a single upfront ``deg.count()`` vs ``n_nodes`` comparison proves
+    their absence — always so in the unweighted undirected case,
+    where symmetrization gives every node out-degree ≥ 1 — and the
+    per-iteration term is skipped entirely, since the emitting-node
+    set is fixed across iterations.
 
     Returns ``(node, rank)``; ranks sum to 1 up to float error.
     """
@@ -268,8 +281,8 @@ def pagerank(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), wcol
             )
         )
-    em = em.persist()
-    # node universe = src ∪ dst: sink-only nodes (directed) are real
+    # node universe = src ∪ dst OVER THE UNFILTERED frame: sink-only
+    # nodes (directed) and zero/null-weight-only emitters are real
     # nodes and must carry rank.  Under undirected symmetrization the
     # union is redundant but cheap (distinct over the edge frame).
     nodes = (
@@ -278,13 +291,21 @@ def pagerank(
         .distinct()
         .persist()
     )
+    if weight_col is not None:
+        # null > 0 is null → filtered; null/zero/negative weights
+        # spread no mass, and their emitters become dangling.
+        em = em.filter(F.col("w") > 0)
+    em = em.persist()
     deg = em.groupBy("src").agg(F.sum("w").alias("__deg")).persist()
-    n_nodes = nodes.count()  # also materializes em
+    n_nodes = nodes.count()
     if n_nodes == 0:
         em.unpersist()
         nodes.unpersist()
         deg.unpersist()
         return edges.sparkSession.createDataFrame([], "node long, rank double")
+    # the emitting-node set is iteration-invariant, so "no dangling
+    # nodes" is decidable once: every node has a degree row.
+    has_dangling = deg.count() < n_nodes
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iters):
@@ -298,17 +319,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        # mass sitting on dangling nodes (no out-edges) would leak
-        # out of the system — collect it as a 1-row scalar and
-        # redistribute uniformly (the classic dangling-mass term).
-        # Always 0 in the undirected/symmetrized case.
-        dangling = ranks.join(deg, "src", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
-        )
-        ranks = (
-            nodes.join(contrib, F.col("src") == F.col("node"), "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+        new_ranks = nodes.join(contrib, F.col("src") == F.col("node"), "left")
+        if has_dangling:
+            # mass sitting on dangling nodes (no out-edges) would leak
+            # out of the system — collect it as a 1-row scalar and
+            # redistribute uniformly (the classic dangling-mass term).
+            dangling = ranks.join(deg, "src", "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
                 "src",
                 (
                     F.lit(base)
@@ -316,8 +335,15 @@ def pagerank(
                     * (F.coalesce("__in", F.lit(0.0)) + F.col("__dang") / n_nodes)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            new_ranks = new_ranks.select(
+                "src",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+            )
+        ranks = new_ranks.localCheckpoint(eager=True)
     out = ranks.select(F.col("src").alias("node"), "rank")
     em.unpersist()
     nodes.unpersist()

@@ -236,6 +236,37 @@ def grep_many(
     return out
 
 
+def _like_literal_segments(pattern: str) -> list[str] | None:
+    """Split a SQL LIKE pattern into its literal segments,
+    escape-aware: ``\\%`` / ``\\_`` (and ``\\\\``) contribute the
+    escaped char to the CURRENT segment; unescaped ``%`` and ``_``
+    break segments (``_`` matches exactly one arbitrary char, so it
+    interrupts trigram continuity just like ``%``). Returns ``None``
+    for a malformed pattern (dangling trailing escape) so the caller
+    can fall back to the exact scan instead of guessing."""
+    segs: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= len(pattern):
+                return None
+            cur.append(pattern[i + 1])
+            i += 2
+            continue
+        if ch in ("%", "_"):
+            if cur:
+                segs.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        segs.append("".join(cur))
+    return segs
+
+
 def grep_like(
     spark: SparkSession,
     path: str,
@@ -251,9 +282,20 @@ def grep_like(
     and a final ``LIKE`` verify restores exact semantics (wildcard
     order, ``_`` single-char holes). Segments shorter than a trigram
     contribute nothing; if NO segment is indexable the query falls
-    back to the scan. Same superset-then-verify exactness contract as
-    :func:`grep_indexed`. Returns ``(doc_id)``."""
-    segments = [s for s in like_pattern.replace("_", "%").split("%") if s]
+    back to the scan. Escape sequences (``\\%`` / ``\\_`` — Spark's
+    default LIKE escape char) are parsed as literal chars when
+    building segments, so a pattern like ``'%100\\%%'`` yields the
+    trigram ``'00%'`` (which matching docs DO contain) rather than
+    ``'00\\'`` (which they don't — that would break the superset
+    guarantee and silently drop true matches); a dangling trailing
+    escape falls back to the scan path. Same superset-then-verify
+    exactness contract as :func:`grep_indexed`. Returns
+    ``(doc_id)``."""
+    segments = _like_literal_segments(like_pattern)
+    if segments is None:  # malformed (dangling escape): let .like() decide
+        return docs.filter(F.col(text_col).like(like_pattern)).select(
+            F.col(id_col).alias("doc_id")
+        )
     grams = sorted({g for seg in segments for g in _py_trigrams(seg)})
     if not grams:
         return docs.filter(F.col(text_col).like(like_pattern)).select(

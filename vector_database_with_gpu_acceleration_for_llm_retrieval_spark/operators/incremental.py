@@ -104,15 +104,21 @@ def stream_rollup_maintenance(
     never re-scans; the same frozen-artifact serving split as the
     streaming index maintenance family).
 
-    The rollup parquet is rewritten atomically per batch (tmp dir +
-    rename) so concurrent readers never see a half-written table, and
-    the fold is IDEMPOTENT under micro-batch replay: the folded batch
-    id travels INSIDE the swapped directory (an underscore-prefixed
-    marker file parquet readers ignore), so a replayed batch whose
-    fold already landed is skipped — data and marker can never
-    disagree because they swap in the same rename (the same
-    per-batch-id discipline as the streaming near-dup sink).
-    Returns the started StreamingQuery.
+    The rollup parquet is swapped crash-safely per batch: the merged
+    table is staged to a ``__stage_<id>`` dir (with the folded batch
+    id INSIDE it as an underscore-prefixed marker parquet readers
+    ignore), the live dir is renamed ASIDE (never deleted first),
+    the stage renamed in, and only then the aside copy dropped. Every
+    crash window is recoverable: a crash between the aside-rename and
+    the stage-rename leaves a fully-written stage whose marker proves
+    it complete, and the next fold (the replayed batch) finishes the
+    rename instead of treating the batch as first — history is never
+    silently discarded, unlike a delete-then-rename swap where that
+    window has NO rollup at all. The fold is IDEMPOTENT under
+    micro-batch replay: data and marker swap in the same rename so
+    they can never disagree, and a replayed batch whose fold already
+    landed is skipped (the same per-batch-id discipline as the
+    streaming near-dup sink). Returns the started StreamingQuery.
     """
 
     def _fs(s, p):
@@ -123,9 +129,26 @@ def stream_rollup_maintenance(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         path_cls, fs = _fs(s, rollup_path)
+        root = path_cls(rollup_path)
+        # RECOVERY: no live rollup but a complete stage (marker inside)
+        # = crash between aside-rename and stage-rename. Finish the
+        # rename; the marker check below then skips the replayed fold.
+        if not fs.exists(root):
+            staged = fs.globStatus(path_cls(rollup_path + "__stage_*"))
+            for st in list(staged) if staged is not None else []:
+                sp = st.getPath()
+                if fs.exists(path_cls(sp.toString() + "/_folded_batch")):
+                    fs.rename(sp, root)
+                    break
+        # a crash after the stage-rename but before the aside-delete
+        # leaves a stale aside copy next to a healthy rollup — drop it.
+        if fs.exists(root):
+            asides = fs.globStatus(path_cls(rollup_path + "__old_*"))
+            for od in list(asides) if asides is not None else []:
+                fs.delete(od.getPath(), True)
         marker = path_cls(rollup_path + "/_folded_batch")
         current = None
-        if fs.exists(path_cls(rollup_path)):
+        if fs.exists(root):
             if fs.exists(marker):
                 stream_in = fs.open(marker)
                 try:
@@ -144,8 +167,14 @@ def stream_rollup_maintenance(
             out.write(str(batch_id).encode())
         finally:
             out.close()
-        fs.delete(path_cls(rollup_path), True)
-        fs.rename(path_cls(tmp), path_cls(rollup_path))
+        # crash-safe swap: aside-rename (detectable+recoverable, never
+        # a delete of the only copy), stage-rename in, drop the aside.
+        aside = path_cls(rollup_path + f"__old_{batch_id}")
+        if fs.exists(root):
+            fs.delete(aside, True)  # stale aside from a replayed attempt
+            fs.rename(root, aside)
+        fs.rename(path_cls(tmp), root)
+        fs.delete(aside, True)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (

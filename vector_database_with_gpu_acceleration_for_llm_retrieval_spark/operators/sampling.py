@@ -586,7 +586,11 @@ def negative_samples(
     """
     qids = positives.select(qid_col).distinct()
     cand = (
+        # distinct BEFORE the fan-out: duplicate corpus ids would
+        # otherwise occupy several ranks for the same (qid, id) and
+        # shrink the effective distinct-negative set below k.
         corpus.select(id_col)
+        .distinct()
         .crossJoin(F.broadcast(qids))
         .join(positives.select(qid_col, id_col), [qid_col, id_col], "left_anti")
     )
