@@ -428,3 +428,31 @@ def test_more_like_these_centroid_and_exclusion(spark):
     assert [r.vec_id for r in got] == [10, 12, 11]
     assert got[0].score == pytest.approx(1.0)
     assert got[2].score == pytest.approx(0.0, abs=1e-9)
+
+
+def test_knn_join_materializes_query_plan_once(corpus, spark):
+    """r8 fix: a DERIVED query frame (here a mapInPandas whose row
+    throughput is counted by an accumulator) must be computed exactly
+    once per knn_join call — the old shape re-ran its plan for the
+    budget count, the toPandas, and once more per split filter."""
+    import pandas as _pd
+
+    acc = spark.sparkContext.accumulator(0)
+    src = corpus.filter("vec_id < 8").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    derived = src.mapInPandas(counted, schema="qid long, qvec array<float>")
+    # split path: 8 queries / budget 3 → 3 splits; the derived plan
+    # must still run exactly once (persisted at depth 0)
+    out = S.knn_join(
+        derived, corpus, k=3, query_id="qid", query_vec="qvec",
+        max_broadcast_rows=3,
+    )
+    assert out.count() == 8 * 3
+    assert acc.value == 8, f"query plan ran {acc.value}/8 rows' worth"

@@ -258,7 +258,16 @@ def knn_join(
     # own bounded split, so the driver never holds more than one
     # budget's worth of vectors no matter how large |Q| grows (the old
     # shape pulled the WHOLE query frame first and sliced in pandas —
-    # a 100×-scale batch OOMed the driver before the split could help)
+    # a 100×-scale batch OOMed the driver before the split could help).
+    # The frame is persisted first so the count materializes it ONCE:
+    # a DERIVED query frame (the output of a filter/join) would
+    # otherwise recompute its whole plan for the count AND the
+    # toPandas — and once more per split filter (r7 verdict item #2).
+    # Safe to drop as soon as the vectors live in driver chunks /
+    # split recursions have run: the output plan references only the
+    # broadcast chunks and the corpus scan, never `queries`.
+    if _depth == 0:
+        queries = queries.persist()
     n_q = queries.count()
     if n_q > max_broadcast_rows and _depth < 4:
         # 10% headroom absorbs hash-split unevenness; per-qid results
@@ -280,6 +289,10 @@ def knn_join(
                 _depth=_depth + 1,
             )
             out = part if out is None else out.unionByName(part)
+        # every split's vectors are already in driver-side broadcast
+        # chunks (the recursion's toPandas ran eagerly in the loop)
+        if _depth == 0:
+            queries.unpersist()
         return out
 
     # chunk list: [(qids, Qs, q_sq)] — normalization/norms precomputed
@@ -287,6 +300,8 @@ def knn_join(
     # (a per-partition toLocalIterator costs one sequential job
     # round-trip per partition: measured 1.9 s vs 0.04 s at 32 parts)
     qpdf = queries.select(query_id, query_vec).toPandas()
+    if _depth == 0:
+        queries.unpersist()  # vectors now live in driver memory
     chunks: list[tuple[list, np.ndarray, np.ndarray]] = []
     for lo in range(0, len(qpdf), query_chunk):
         part = qpdf.iloc[lo : lo + query_chunk]

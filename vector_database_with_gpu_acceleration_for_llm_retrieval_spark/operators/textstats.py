@@ -408,24 +408,69 @@ def lexical_diversity(
     (templated/boilerplate text scores low entropy and low TTR).
 
     Entropy uses the one-pass identity
-    ``H = log2(n) − Σ c·log2(c) / n`` so a single (doc, token)
-    aggregate feeds a single doc-level aggregate — no window, no
-    second pass over the distribution. Shape at scale: one explode
-    (unavoidable for per-token counts), two partial-agged groupBys
-    keyed by doc; skew bounded by the longest document.
+    ``H = log2(n) − Σ c·log2(c) / n`` over the per-type run lengths.
+
+    Shape for scale: ZERO shuffle — every token of a document already
+    lives in that document's row, so the whole profile is a per-row
+    projection: sort the token array, mark run boundaries (positions
+    ``i`` where ``s[i] ≠ s[i+1]``), and every statistic falls out of
+    the run-length array (types = #runs, hapax = #length-1 runs,
+    Σ c·log2(c) = one array fold) — the same boundary-position form
+    that took :func:`repetition_stats` from 13.9 s to 0.77 s at 50k
+    docs. (History: the original explode → groupBy(doc, token) →
+    groupBy(doc) shape was scale-SAFE — shuffle keys contained the doc
+    id — but moved every token string through two exchanges: 2.07 s vs
+    DuckDB's 1.06 s at the 10× probe, the round-7 verdict's last
+    near-bar family.) Docs whose token array is empty are dropped,
+    matching the explode semantics of the original and the SQL mirror.
+    Per-element lambdas are trivial (compare / subtract / multiply);
+    token arrays are projected to their own column first — interpreted
+    HOF eval has no common-subexpression elimination (contamination.py
+    lesson), so multi-referenced non-cheap arrays must be materialized
+    columns.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("__tok")
+    base = (
+        fan_out(docs)
+        .select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(F.col(id_col), F.array_sort("__toks").alias("__s"))
     )
-    tc = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
-    n = F.sum("__c")
-    s = F.sum(F.col("__c") * F.log2("__c"))
-    return tc.groupBy(id_col).agg(
-        n.cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
-        (F.count(F.lit(1)) / n).alias("ttr"),
-        (F.log2(n) - s / n).alias("entropy"),
+    s = F.col("__s")
+    # 1-based positions where a run of equal tokens ends (always
+    # includes the last position: try_element_at past the end is NULL →
+    # coalesce(TRUE)). tokens are never NULL (split output).
+    ends = F.filter(
+        F.sequence(F.lit(1), F.size("__s")),
+        lambda i: F.coalesce(
+            F.try_element_at(s, i + 1) != F.element_at(s, i), F.lit(True)
+        ),
+    )
+    stage = base.select(
+        F.col(id_col),
+        F.size("__s").cast("long").alias("n_tokens"),
+        ends.alias("__ends"),
+    )
+    # run lengths = pairwise diffs of end positions (0-prepended)
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.slice(F.col("__ends"), 1, F.greatest(F.size("__ends") - 1, F.lit(0))),
+    )
+    runs = F.zip_with(F.col("__ends"), starts, lambda e, p: e - p)
+    stage2 = stage.select(F.col(id_col), "n_tokens", runs.alias("__runs"))
+    r = F.col("__runs")
+    n = F.col("n_tokens").cast("double")
+    clog = F.aggregate(
+        r,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    return stage2.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.size(r).cast("long").alias("n_types"),
+        F.size(F.filter(r, lambda c: c == F.lit(1))).cast("long").alias("hapax"),
+        (F.size(r) / n).alias("ttr"),
+        (F.log2(n) - clog / n).alias("entropy"),
     )
 
 
