@@ -816,6 +816,33 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", _round6(F.col("score"), "score"))
 
 
+def q_maxsim_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-MaxSim-index variant (r8): writes the cell-bounded,
+    doc-bucket-partitioned chunk-embedding index to a scratch dir and
+    answers via branch-and-bound (per-cell Cauchy–Schwarz upper bounds
+    → shortlist → bucket-pruned exact rerank) — provably identical to
+    the query-time path, so it shares maxsim_topk's exact oracle."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        maxsim_index as MI,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="maxsim_idx_contract_")
+    try:
+        MI.write_maxsim_index(
+            t["documents"], tmp, dim=RAG_DIM, max_words=CHUNK_WORDS
+        )
+        res = MI.maxsim_topk_indexed(spark, tmp, RAG_QUESTION, k=MAXSIM_K)
+        out = res.select("doc_id", _round6(F.col("score"), "score"))
+        # already a materialized local relation; keep the pattern explicit
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 GROUP_TOPK_K = 5
 POOL_DOC_LIMIT = 50
 
@@ -3888,6 +3915,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "doc_signals": q_doc_signals,
         "maxsim_topk": q_maxsim_topk,
+        "maxsim_topk_indexed": q_maxsim_topk_indexed,
         "hybrid_topk_linear": q_hybrid_topk_linear,
         "mrl_topk": q_mrl_topk,
         "recall_mrl": q_recall_mrl,

@@ -3586,6 +3586,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan": _oracle_mixture_plan(),
         "mixture_sample": _oracle_mixture_sample(),
         "maxsim_topk": _oracle_maxsim_topk(),
+        "maxsim_topk_indexed": _oracle_maxsim_topk(),
         "hybrid_topk_linear": _oracle_hybrid_topk_linear(),
         "contamination_pairs": _oracle_contamination_pairs(),
         "pii_scrub": _oracle_pii_scrub(),
