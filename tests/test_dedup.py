@@ -264,3 +264,50 @@ def test_dedup_clusters_local_minimum_path(spark):
     pairs2 = spark.createDataFrame(chain, "id_a long, id_b long")
     got2 = {r.doc_id: r.canonical_id for r in D.dedup_clusters(pairs2).collect()}
     assert set(got2.values()) == {1}
+
+
+def test_remove_dup_spans_keeps_first_occurrence(spark):
+    """r8: Lee-et-al-style span removal at n-gram granularity — the
+    second copy of a shared block is dropped, the first copy and all
+    unique context survive, boundary tokens survive via overlapping
+    first-occurrence spans."""
+    shared = "alpha beta gamma delta epsilon zeta eta"   # 7 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),     # first copy
+        (2, f"seven eight nine {shared} ten eleven twelve"),  # second copy
+        (3, "totally unique words only here thanks folks"),
+        (4, shared),                                      # pure duplicate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in D.remove_dup_spans(docs, n=3).collect()}
+    # doc 1: everything kept (it IS the first occurrence)
+    assert got[1].text_clean == rows[0][1]
+    assert got[1].n_kept == got[1].n_tokens == 13
+    # doc 3: unique → untouched
+    assert got[3].text_clean == rows[2][1]
+    # doc 4: every 3-gram already appeared in doc 1 → emptied
+    assert got[4].text_clean == ""
+    assert got[4].n_kept == 0
+    # doc 2: interior of the shared block removed; tokens within n-1 of
+    # the unique context survive through overlapping unique 3-grams
+    kept2 = got[2].text_clean.split()
+    assert "gamma" not in kept2 and "delta" not in kept2 and "epsilon" not in kept2
+    for w in ["seven", "eight", "nine", "ten", "eleven", "twelve"]:
+        assert w in kept2
+    # boundary: 'alpha beta' survive via ('nine alpha beta'); 'zeta eta'
+    # via ('zeta eta ten') — the +-(n-1) boundary resolution
+    assert "alpha" in kept2 and "beta" in kept2
+    assert "zeta" in kept2 and "eta" in kept2
+    # order preserved
+    assert kept2 == [w for w in rows[1][1].split() if w in set(kept2)]
+
+
+def test_remove_dup_spans_short_docs_whole_doc_shingle(spark):
+    # docs shorter than n ride the whole-doc shingle: unique short doc
+    # untouched, duplicated short doc emptied (second copy)
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "other tiny")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_clean for r in D.remove_dup_spans(docs, n=5).collect()}
+    assert got[1] == "tiny doc"
+    assert got[2] == ""
+    assert got[3] == "other tiny"

@@ -1642,6 +1642,21 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-REMOVAL dedup (r8): the rewriting action behind
+    dup_span_stats — duplicated n-gram spans dropped, first occurrence
+    corpus-wide kept, rewritten text md5-pinned so the oracle certifies
+    the exact bytes of every rewritten document."""
+    t = load_tables(spark, sf_dir)
+    res = D.remove_dup_spans(t["documents"], n=DUP_SPAN_N)
+    return res.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (the CCNet/KenLM model-based
     quality gate): self-trained add-α bigram model, per-doc mean log
@@ -3837,6 +3852,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_image_features": q_ppm_image_features,
         "wav_audio_features": q_wav_audio_features,
         "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "ranking_quality": q_ranking_quality,
         "dsir_weights": q_dsir_weights,
         "c4_clean": q_c4_clean,

@@ -1749,6 +1749,36 @@ FROM tot LEFT JOIN shared s ON tot.doc_id = s.doc_id
 """
 
 
+def _oracle_remove_dup_spans() -> str:
+    """Span-removal mirror: rank each n-gram's occurrences by
+    (doc, pos) — rank 1 is the corpus-wide first occurrence — then a
+    token survives iff some first-occurrence span covers it. Groups by
+    the n-gram STRING (the Spark side hashes to xxhash64 longs), so
+    the md5-pinned rewritten bytes also certify collision-freeness."""
+    n = DUP_SPAN_N
+    sh = _sq_shingles("t", n)
+    return f"""
+WITH t AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+sp AS (SELECT doc_id, unnest({sh}) AS g,
+              unnest(range(1, len({sh}) + 1)) AS pos
+       FROM t),
+rk AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       FROM sp),
+ke AS (SELECT doc_id, list_sort(list(pos)) AS ks FROM rk WHERE rn = 1 GROUP BY doc_id),
+kp AS (SELECT t.doc_id, t.t AS w,
+              list_sort(list_distinct(flatten(list_transform(coalesce(ke.ks, []),
+                p -> range(p, least(p + {n - 1}, len(t.t)) + 1))))) AS kpos
+       FROM t LEFT JOIN ke ON t.doc_id = ke.doc_id)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(kpos) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(list_transform(kpos, j -> w[j]), ' '), ''))
+         AS clean_md5
+FROM kp
+"""
+
+
 def _oracle_ranking_quality() -> str:
     import math
 
@@ -3461,6 +3491,7 @@ def oracle_sql() -> dict[str, str]:
         "ppm_image_features": _oracle_ppm_image_features(),
         "wav_audio_features": _oracle_wav_audio_features(),
         "dup_span_stats": _oracle_dup_span_stats(),
+        "remove_dup_spans": _oracle_remove_dup_spans(),
         "ranking_quality": _oracle_ranking_quality(),
         "dsir_weights": _oracle_dsir_weights(),
         "c4_clean": _oracle_c4_clean(),

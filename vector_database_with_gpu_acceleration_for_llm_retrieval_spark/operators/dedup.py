@@ -47,6 +47,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "dedup_clusters",
     "dup_span_stats",
+    "remove_dup_spans",
     "normalized_dedup",
     "near_dup_against_corpus",
     "fuzzy_pairs",
@@ -692,6 +693,104 @@ def dup_span_stats(
             "dup_span_frac",
             F.col("n_shared_spans") / F.col("n_spans").cast("double"),
         )
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-REMOVAL dedup — the rewriting action behind
+    :func:`dup_span_stats` (Lee et al. 2021 substring dedup, word
+    n-gram granularity): duplicated spans are dropped from the text,
+    keeping the FIRST occurrence corpus-wide.
+
+    Semantics (deterministic, engine-mirrorable): an n-gram occurrence
+    ``(doc, pos)`` is *kept-as-first* iff it is the global minimum
+    ``(doc_id, pos)`` among all occurrences of that n-gram. A token
+    survives iff SOME kept-as-first span covers it — i.e. it
+    participates in at least one piece of corpus-unique (or
+    first-copy) context. Interior tokens of a copied block lose every
+    covering span to the earlier copy and are removed; tokens within
+    ``n−1`` of adjacent unique text survive through an overlapping
+    first-occurrence span (span-boundary resolution is ±(n−1) tokens,
+    the n-gram approximation of Lee et al.'s exact suffix-array
+    spans). A fully-duplicated doc rewrites to the empty string; docs
+    shorter than ``n`` tokens ride the whole-doc shingle
+    (``TX.shingles`` emits one), so a unique short doc is untouched
+    and a copied one is emptied.
+
+    Returns ``(id, n_tokens, n_kept, text_clean)``.
+
+    Plan shape (scale-safe, never all-pairs — the same skeleton as
+    :func:`dup_span_stats` plus a per-row rebuild):
+
+    1. one corpus scan → posexplode n-grams, hash to longs (payload
+       strings leave the plan at the first exchange);
+    2. ``groupBy(h) → min(struct(doc, pos))`` — partial-agged argmin,
+       one shuffle of (hash, doc, pos) triples;
+    3. equi-join occurrences to their gram's argmin (1:1 per hash;
+       boilerplate-skewed keys split by AQE) and keep the matches;
+    4. ``groupBy(doc) → sorted kept-start positions`` — one shuffle
+       of int pairs — broadcast-free join back to the doc row, where
+       coverage union, token selection, and reassembly are pure array
+       expressions (interval expansion is O(n·|keeps|) ints/row).
+
+    The token array is scanned and exploded exactly ONCE (the base
+    frame is persisted for its two consumers, the LRU signature cache
+    discipline of the MinHash path).
+    """
+    base = _persist_signature(
+        fan_out(docs).select(
+            F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+        )
+    )
+    sh = base.select(
+        F.col(id_col),
+        F.posexplode(TX.shingles(F.col("__toks"), n=n)).alias("__p0", "__s"),
+    )
+    occ = sh.select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("pos"),
+        F.xxhash64("__s").alias("h"),
+    )
+    firsts = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "f"
+        )
+    )
+    keeps = (
+        occ.join(firsts, "h")
+        .filter((F.col(id_col) == F.col("f.d")) & (F.col("pos") == F.col("f.p")))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__keeps"))
+    )
+    joined = base.join(keeps, id_col, "left")
+    m = F.size("__toks")
+    starts = F.coalesce(F.col("__keeps"), F.array().cast("array<int>"))
+    # union of covered intervals [p, min(p+n-1, m)]; clipping matters
+    # only for the whole-doc shingle of short docs (p + n − 1 > m)
+    kept = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(starts, lambda p: F.sequence(p, F.least(p + n - 1, m)))
+            )
+        )
+    )
+    stage = joined.select(
+        F.col(id_col), F.col("__toks"), m.cast("long").alias("n_tokens"),
+        kept.alias("__kept"),
+    )
+    toks = F.col("__toks")
+    return stage.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ", F.transform(F.col("__kept"), lambda j: F.element_at(toks, j))
+        ).alias("text_clean"),
     )
 
 
