@@ -251,3 +251,26 @@ def test_negative_samples_duplicate_corpus_ids_still_k_distinct(spark):
     assert len(set(ids)) == 3           # all distinct
     assert 100 not in ids               # positive excluded
     assert sorted(r.rank for r in rows) == [1, 2, 3]
+
+
+def test_mixture_pipeline_equals_manual_chain(tables):
+    # r8 composite: one call == manually chaining the four stages
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+
+    docs = tables["documents"]
+    target = {"en": 0.7, "und": 0.3}
+    out = sampling.mixture_pipeline(docs, target, min_pctl=0.4, seq_len=512)
+    sig = curation.doc_signals(docs)
+    pct = sampling.within_group_percentile(sig, "quality", group_col="pred_lang")
+    kept = pct.filter(F.col("pctl") >= 0.4).select("doc_id", "pred_lang")
+    mixed = sampling.mixture_sample(kept, target, stratum_col="pred_lang")
+    packed = sampling.pack_sequences(
+        mixed.join(docs.select("doc_id", "text"), "doc_id"),
+        seq_len=512,
+        by="pred_lang",
+    )
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in packed.collect())
+    assert a == b and len(a) > 0

@@ -1151,6 +1151,41 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: curation-to-packing composite: target mixture over the PREDICTED
+#: language (this corpus resolves to en/und) and the per-language
+#: quality-percentile floor
+MIXPIPE_TARGET = {"en": 0.8, "und": 0.2}
+MIXPIPE_MIN_PCTL = 0.3
+
+
+def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-plan curation-to-packing composite (r8): doc_signals →
+    within-pred-lang quality-percentile gate → mixture_sample to the
+    target proportions → pack_sequences — every stage the existing
+    oracle-checked operator, chained lazily (only pack's documented
+    range-boundary pin materializes)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = sampling.mixture_pipeline(
+        t["documents"],
+        MIXPIPE_TARGET,
+        min_pctl=MIXPIPE_MIN_PCTL,
+        seq_len=PACK_SEQ_LEN,
+        repeat_n=REPEAT_N,
+        lm_alpha=LM_ALPHA,
+    )
+    return res.select(
+        "pred_lang",
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
 #: DSIR featurization: hashed unigram+bigram buckets and smoothing
 DSIR_BUCKETS = 256
 DSIR_ALPHA = 1.0
@@ -3929,6 +3964,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "mixture_pipeline": q_mixture_pipeline,
         "doc_signals": q_doc_signals,
         "maxsim_topk": q_maxsim_topk,
         "maxsim_topk_indexed": q_maxsim_topk_indexed,

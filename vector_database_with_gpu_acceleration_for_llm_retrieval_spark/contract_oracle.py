@@ -69,6 +69,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     MINHASH_BANDS,
     MINHASH_N,
     MIX_TARGET,
+    MIXPIPE_MIN_PCTL,
+    MIXPIPE_TARGET,
     MULTIPROBE_BUCKETS,
     NEAR_DUP_THRESHOLD,
     N_SHARDS,
@@ -1369,6 +1371,60 @@ WITH {_sq_mixture_ctes()}
 SELECT d.doc_id, d.lang FROM documents d JOIN mplan USING (lang)
 WHERE {h} % {mod} < CAST(mplan.rate * {mod} AS BIGINT)
 """
+
+def _oracle_mixture_pipeline() -> str:
+    """Curation-to-packing composite mirror (r8): RAW (unrounded)
+    quality feeds the within-pred-lang percent_rank (ties impossible —
+    the window orders by (quality, doc_id)), the gate keeps
+    pctl ≥ floor, the mixture plan/rates rebuild over the SURVIVOR
+    set, the portable-hash filter resamples, and the packer's
+    per-stratum cumsum bins what remains — the same arithmetic chain,
+    same operand order, as the Spark composite."""
+    mod = 1_000_000
+    h = _sq_tok_hash("CAST(doc_id AS VARCHAR)")
+    vals = ", ".join(f"('{s}', {float(p)!r})" for s, p in MIXPIPE_TARGET.items())
+    quality = (
+        "(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
+        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
+        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio)"
+    )
+    return f"""
+WITH __mt AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
+__mm AS (SELECT doc_id,
+             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+             len(toks) AS n_tok
+      FROM __mt),
+__mq AS (SELECT doc_id, {quality} AS quality FROM __mm),
+__ml AS (SELECT doc_id, pred_lang FROM ({_oracle_lang_id()})),
+__ms AS (SELECT q.doc_id, q.quality, l.pred_lang
+         FROM __mq q JOIN __ml l USING (doc_id)),
+__mp AS (SELECT doc_id, pred_lang,
+                percent_rank() OVER (PARTITION BY pred_lang
+                                     ORDER BY quality ASC, doc_id ASC) AS pctl
+         FROM __ms),
+__mk AS (SELECT doc_id, pred_lang FROM __mp WHERE pctl >= {MIXPIPE_MIN_PCTL}),
+__mtgt(pred_lang, p) AS (VALUES {vals}),
+__mn AS (SELECT pred_lang, count(*) AS n_avail FROM __mk GROUP BY 1),
+__mj AS (SELECT n.pred_lang, n.n_avail, t.p FROM __mn n JOIN __mtgt t USING (pred_lang)),
+__mlam AS (SELECT min(n_avail / p) AS lam FROM __mj),
+__mrate AS (SELECT pred_lang, (lam * p) / n_avail AS rate FROM __mj, __mlam),
+__mx AS (SELECT k.doc_id, k.pred_lang FROM __mk k JOIN __mrate r USING (pred_lang)
+         WHERE {h} % {mod} < CAST(r.rate * {mod} AS BIGINT)),
+__pt AS (SELECT m.pred_lang, m.doc_id,
+                CASE WHEN trim(d.text) = '' THEN 0 ELSE len({_SQ_TOKS}) END AS n_tokens
+         FROM __mx m JOIN documents d USING (doc_id)),
+__pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pred_lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM __pt)
+SELECT pred_lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((cum - n_tokens) / {PACK_SEQ_LEN}) AS BIGINT) AS bin_id,
+       CAST(cum - n_tokens - floor((cum - n_tokens) / {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS BIGINT) AS bin_offset
+FROM __pc
+"""
+
 
 def _oracle_stratified_sample() -> str:
     mod = 1_000_000
@@ -3616,6 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _oracle_semantic_dedup(),
         "mixture_plan": _oracle_mixture_plan(),
         "mixture_sample": _oracle_mixture_sample(),
+        "mixture_pipeline": _oracle_mixture_pipeline(),
         "maxsim_topk": _oracle_maxsim_topk(),
         "maxsim_topk_indexed": _oracle_maxsim_topk(),
         "hybrid_topk_linear": _oracle_hybrid_topk_linear(),

@@ -39,6 +39,7 @@ __all__ = [
     "budget_select",
     "mixture_plan",
     "mixture_sample",
+    "mixture_pipeline",
     "dsir_weights",
     "gumbel_topk_sample",
     "leakage_safe_split",
@@ -678,4 +679,65 @@ def within_group_percentile(
         F.col(group_col),
         F.col(score_col),
         F.percent_rank().over(w).alias("pctl"),
+    )
+
+
+def mixture_pipeline(
+    docs: DataFrame,
+    target: dict[str, float],
+    min_pctl: float = 0.3,
+    seq_len: int = 2048,
+    repeat_n: int = 3,
+    lm_alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end curation-to-packing composite the round-7 pieces
+    were built for (r8 verdict #8), as ONE lazy plan:
+
+        doc_signals → within-group quality-percentile gate
+        → mixture_sample to the target domain proportions
+        → pack_sequences into fixed token budgets
+
+    Every stage is the existing oracle-checked operator, composed —
+    signals computed once per doc (quality/lang/repetition/LM), the
+    domain-fair gate keeps each predicted language's top
+    ``1 − min_pctl`` share (a global cut would let one domain
+    monopolize the budget), the mixture resample is the deterministic
+    portable-hash filter against the DoReMi-style plan rates, and the
+    packer bins survivors per stratum with the distributed prefix-sum.
+
+    Plan shape: no driver actions beyond ``pack_sequences``' documented
+    range-boundary pin (localCheckpoint — RangePartitioner boundaries
+    are RDD-id-seeded and must be frozen). The gated ``(id, stratum)``
+    frame is persisted (the bounded signature-cache discipline) because
+    three consumers read it — the mixture plan aggregate, the row
+    filter, and the packer — and each would otherwise re-run the full
+    signals subtree (LM joins included). Strata are the PREDICTED
+    language, so the mixture recipe composes with routing, not with
+    possibly-wrong source labels.
+
+    Returns ``pack_sequences`` output keyed by ``pred_lang``:
+    ``(pred_lang, id, n_tokens, bin_id, bin_offset)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        curation,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        _persist_signature,
+    )
+
+    sig = curation.doc_signals(
+        docs, repeat_n=repeat_n, lm_alpha=lm_alpha, id_col=id_col, text_col=text_col
+    )
+    pct = within_group_percentile(
+        sig, "quality", group_col="pred_lang", id_col=id_col
+    )
+    kept = _persist_signature(
+        pct.filter(F.col("pctl") >= min_pctl).select(id_col, "pred_lang")
+    )
+    mixed = mixture_sample(kept, target, stratum_col="pred_lang", id_col=id_col)
+    with_text = mixed.join(docs.select(id_col, text_col), id_col)
+    return pack_sequences(
+        with_text, seq_len=seq_len, id_col=id_col, text_col=text_col, by="pred_lang"
     )
