@@ -146,6 +146,19 @@ SCALE_QUERIES = [
     "product_profit",
     "lexical_diversity",
     "daily_anomaly",
+    # round-7 families at scale (r7 verdict #6): the trigram-index
+    # build+probe on 10x docs, market-basket rules on 10x lineitem,
+    # the delta-fold materialized rollup on 10x events, aligned-day
+    # Pearson series correlation, and the projected-shortlist kNN join
+    "grep_corpus_indexed",
+    "assoc_rules",
+    "incremental_rollup",
+    "similar_series",
+    "rp_knn_join",
+    # round-8 additions: span-removal dedup (argmin + coverage-union
+    # rebuild at 10x docs) and the curation-to-packing composite
+    "remove_dup_spans",
+    "mixture_pipeline",
 ]
 SCALE_REPS = 3
 
