@@ -56,3 +56,140 @@ def test_approx_quantiles_grouped(tables):
     }
     for r in rows:
         assert len(r.quantiles) == 1 and r.quantiles[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# portable HLL — registers must match a pure-Python replica bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def _py_hll(values, p=8):
+    """Pure-Python replica of sketches.hll_distinct's register math."""
+    import hashlib
+    import math
+
+    m, w = 1 << p, 60 - p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx, rest = h >> w, h & ((1 << w) - 1)
+        rho = (w + 1) if rest == 0 else (w + 1 - rest.bit_length())
+        regs[idx] = max(regs.get(idx, 0), rho)
+    z_scaled = sum(1 << (w + 1 - r) for r in regs.values()) + (m - len(regs)) * (
+        1 << (w + 1)
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m * float(1 << (w + 1)) / z_scaled
+    v_empty = m - len(regs)
+    est = m * math.log(m / v_empty) if (raw <= 2.5 * m and v_empty > 0) else raw
+    return len(regs), z_scaled, raw, est
+
+
+def test_hll_distinct_matches_python_replica(tables):
+    got = sketches.hll_distinct(tables["lineitem"], "l_partkey", p=8).collect()[0]
+    vals = [
+        r.l_partkey
+        for r in tables["lineitem"].select("l_partkey").distinct().collect()
+    ]
+    nonzero, z_scaled, raw, est = _py_hll(vals, p=8)
+    assert got.nonzero == nonzero
+    assert got.z_scaled == z_scaled
+    assert abs(got.raw_estimate - round(raw, 6)) < 1e-6
+    assert abs(got.estimate - round(est, 6)) < 1e-6
+    assert got.exact_distinct == len(vals)
+    # classic-HLL error at m=256 is ~1.04/sqrt(m) ≈ 6.5%; allow 4 sigma
+    assert got.rel_err < 0.26
+
+
+def test_hll_registers_merge_like_partitions(spark):
+    # the mergeability claim: sketch(a ∪ b) == merge(sketch(a), sketch(b))
+    # holds because registers are per-index max — verify via the replica
+    a, b = range(0, 500), range(300, 900)
+    na, za, _, _ = _py_hll(list(a) + list(b))
+    import hashlib
+
+    def regs(vals, p=8, w=52):
+        out = {}
+        for v in vals:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            idx, rest = h >> w, h & ((1 << w) - 1)
+            rho = (w + 1) if rest == 0 else (w + 1 - rest.bit_length())
+            out[idx] = max(out.get(idx, 0), rho)
+        return out
+
+    ra, rb = regs(a), regs(b)
+    merged = {i: max(ra.get(i, 0), rb.get(i, 0)) for i in set(ra) | set(rb)}
+    assert merged == regs(list(a) + list(b))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items — exact output, bounded summaries
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark, n=20_000):
+    return spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN concat('hot_', CAST(id % 3 AS STRING)) "
+        "ELSE concat('cold_', CAST(id % 701 AS STRING)) END AS item"
+    )
+
+
+def test_frequent_items_equals_exact_groupby(spark):
+    src = _skewed(spark)
+    got = {
+        (r.item, r.n_rows)
+        for r in sketches.frequent_items(src, "item", k=10).collect()
+    }
+    n = src.count()
+    exact = {
+        (r.item, r.cnt)
+        for r in src.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+        if r.cnt * 10 >= n
+    }
+    assert got == exact and len(got) == 3  # the three hot_* keys
+
+
+def test_frequent_items_tight_cap_still_exact(spark):
+    # cap == k is the minimum that preserves the superset guarantee;
+    # the 701 cold keys churn the summary constantly and the output
+    # must STILL equal the exact answer
+    src = _skewed(spark).repartition(8)
+    got = {
+        r.item for r in sketches.frequent_items(src, "item", k=10, cap=10).collect()
+    }
+    assert got == {"hot_0", "hot_1", "hot_2"}
+
+
+def test_frequent_items_cap_below_k_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sketches.frequent_items(_skewed(spark, 100), "item", k=10, cap=5)
+
+
+def test_hll_registers_fold_via_incremental_rollup(tables):
+    # the streaming-view path: register updates folded through the
+    # generic rollup algebra == the one-shot sketch
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    li = tables["lineitem"]
+    hist = li.filter(F.col("l_orderkey") % 3 != 0)
+    delta = li.filter(F.col("l_orderkey") % 3 == 0)
+    measures = {"rho": ("max", "rho")}
+    r0 = INC.partial_agg(
+        sketches.hll_register_updates(hist, "l_partkey"), ["idx"], measures
+    )
+    folded = INC.incremental_agg(
+        r0, sketches.hll_register_updates(delta, "l_partkey"), ["idx"], measures
+    )
+    got = sketches.hll_estimate_from_registers(folded).collect()[0]
+    want_regs = (
+        sketches.hll_register_updates(li, "l_partkey")
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    want = sketches.hll_estimate_from_registers(want_regs).collect()[0]
+    assert (got.nonzero, got.z_scaled) == (want.nonzero, want.z_scaled)
+    assert got.estimate == want.estimate
