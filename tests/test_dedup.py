@@ -311,3 +311,58 @@ def test_remove_dup_spans_short_docs_whole_doc_shingle(spark):
     assert got[1] == "tiny doc"
     assert got[2] == ""
     assert got[3] == "other tiny"
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact all-pairs Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard(docs: list[tuple[int, str]], n: int, t: float):
+    def sh(text):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(s) for i, s in docs}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= t:
+                out.add((a, b, round(j, 6)))
+    return out
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "entirely different words live in this one here"),
+        (5, "entirely different words live in this one there"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (7, "short doc"),
+        (8, "short doc"),
+        (9, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in D.prefix_jaccard_pairs(docs, threshold=t, shingle_n=3).collect()
+        }
+        assert got == _brute_jaccard(rows, 3, t), t
+
+
+def test_prefix_jaccard_no_pairs_below_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        ["doc_id", "text"],
+    )
+    assert D.prefix_jaccard_pairs(docs, threshold=0.3).count() == 0

@@ -51,6 +51,7 @@ __all__ = [
     "normalized_dedup",
     "near_dup_against_corpus",
     "fuzzy_pairs",
+    "prefix_jaccard_pairs",
 ]
 
 #: Mersenne-ish prime > 2^32 for the universal-hash family
@@ -953,3 +954,94 @@ def fuzzy_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
         dist.alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (Bayardo/Ma/Srikant 2007 "Scaling Up All Pairs", the ppjoin family)
+    — every pair with shingle-set Jaccard ≥ ``threshold``, with a
+    provable no-false-negative pruning instead of MinHash's
+    probabilistic one.
+
+    The filter: order each doc's shingle set by ascending global
+    document frequency (rarest first, ties by value — one canonical
+    order corpus-wide), and index only the first
+    ``n − ⌈t·n⌉ + 1`` shingles. Any pair with J ≥ t must share a
+    shingle inside BOTH prefixes under a common order, so the
+    equi-join on prefix shingles is a guaranteed candidate superset;
+    a length filter (``t·n_a ≤ n_b ∧ t·n_b ≤ n_a``, since
+    J ≤ min/max) prunes further, and an exact
+    ``array_intersect`` verify on the candidate pairs keeps truth.
+
+    vs. :func:`jaccard_pairs` (no pairs arg), which joins on EVERY
+    shared shingle: the prefix join touches only the ~(1−t) rarest
+    fraction of each posting, and rarest-first ordering puts the join
+    keys precisely where posting lists are shortest — at a 0.9
+    threshold that is a ~10× candidate cut before the corpus grows.
+    All equi-key work (two groupBys, the prefix self-join, two
+    verify joins); never a cross product; per-doc state bounded by
+    doc length. Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
+    """
+    toks = docs.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__t")
+    )
+    sh = toks.select(
+        id_col, F.array_distinct(TX.shingles(F.col("__t"), shingle_n)).alias("__sh")
+    )
+    ex = sh.select(id_col, F.explode("__sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ss")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__ss", lambda s: s["shingle"]).alias("__sorted"),
+            F.size("__ss").alias("__n"),
+        )
+    )
+    plen = (
+        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
+    )
+    pe = ordered.select(
+        F.col(id_col).alias("id"),
+        F.col("__n").alias("n"),
+        F.explode(F.slice("__sorted", F.lit(1), plen)).alias("shingle"),
+    )
+    a, b = pe.alias("a"), pe.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.n") * threshold <= F.col("b.n"))
+            & (F.col("b.n") * threshold <= F.col("a.n"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    full = ordered.select(F.col(id_col), F.col("__sorted"))
+    v = cand.join(
+        full.select(F.col(id_col).alias("id_a"), F.col("__sorted").alias("__sa")),
+        "id_a",
+    ).join(
+        full.select(F.col(id_col).alias("id_b"), F.col("__sorted").alias("__sb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter.cast("double") / (
+        F.size("__sa") + F.size("__sb") - inter
+    ).cast("double")
+    return (
+        v.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
