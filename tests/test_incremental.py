@@ -155,3 +155,104 @@ def test_stream_rollup_crash_between_renames_recovers(spark, tmp_path):
     leftovers = [d for d in os.listdir(tmp_path)
                  if "__old_" in d or "__stage_" in d]
     assert leftovers == []                # scratch dirs cleaned up
+
+
+# ---------------------------------------------------------------------------
+# incremental JOIN-view maintenance (Δ(A⋈B) algebra)
+# ---------------------------------------------------------------------------
+
+
+def test_join_view_delta_equals_full_recompute(tables):
+    o, c = tables["orders"], tables["customer"]
+    measures = {
+        "revenue": ("sum", "o_totalprice"),
+        "n_orders": ("count", "o_orderkey"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    a_base, a_delta = o.filter(F.col("o_orderkey") % 7 != 0), o.filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    b_base, b_delta = c.filter(F.col("c_custkey") % 11 != 0), c.filter(
+        F.col("c_custkey") % 11 == 0
+    )
+    view0 = INC.partial_agg(a_base.join(b_base, cond), ["c_mktsegment"], measures)
+    got = {
+        r.c_mktsegment: (round(r.revenue, 2), r.n_orders, r.max_price)
+        for r in INC.incremental_join_agg(
+            view0, a_base, a_delta, b_base, b_delta, cond, ["c_mktsegment"], measures
+        ).collect()
+    }
+    want = {
+        r.c_mktsegment: (round(r.revenue, 2), r.n_orders, r.max_price)
+        for r in INC.partial_agg(
+            o.join(c, cond), ["c_mktsegment"], measures
+        ).collect()
+    }
+    assert got == want and len(want) > 1
+
+
+def test_join_view_delta_empty_deltas_are_noop(tables, spark):
+    o, c = tables["orders"], tables["customer"]
+    measures = {"n_orders": ("count", "o_orderkey")}
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    empty_o = o.filter(F.lit(False))
+    empty_c = c.filter(F.lit(False))
+    delta = INC.join_view_delta(
+        o, empty_o, c, empty_c, cond, ["c_mktsegment"], measures
+    )
+    assert delta.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming snapshot (CDC upsert sink)
+# ---------------------------------------------------------------------------
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, seq long, op string, payload string"
+    )
+
+
+def test_stream_snapshot_maintenance(spark, tmp_path):
+    # micro-batched upsert folds == one cdc_apply over the full log
+    src, snap, ckpt = (str(tmp_path / p) for p in ("cs", "cn", "cc"))
+    schema = "k string, seq long, op string, payload string"
+    b1 = _changes(spark, [("a", 1, "upsert", "a1"), ("b", 1, "upsert", "b1")])
+    b2 = _changes(
+        spark,
+        [("a", 3, "upsert", "a3"), ("b", 2, "delete", None), ("c", 1, "upsert", "c1")],
+    )
+    b1.write.mode("append").parquet(src)
+    q = INC.stream_snapshot_maintenance(
+        spark, src, snap, ckpt, ["k"], ["seq"], schema
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    live = {
+        (r.k, r.seq, r.payload)
+        for r in spark.read.parquet(snap).filter("op != 'delete'").collect()
+    }
+    assert live == {("a", 3, "a3"), ("c", 1, "c1")}  # b tombstoned
+    # tombstone retained in the STORED table so late data can't resurrect
+    stored = {r.k: r.op for r in spark.read.parquet(snap).collect()}
+    assert stored["b"] == "delete"
+
+
+def test_stream_snapshot_late_upsert_cannot_resurrect_delete(spark, tmp_path):
+    src, snap, ckpt = (str(tmp_path / p) for p in ("ls", "ln", "lc"))
+    schema = "k string, seq long, op string, payload string"
+    _changes(spark, [("a", 5, "delete", None)]).write.mode("append").parquet(src)
+    q = INC.stream_snapshot_maintenance(
+        spark, src, snap, ckpt, ["k"], ["seq"], schema
+    )
+    q.processAllAvailable()
+    # a LATE batch carrying an upsert OLDER than the delete
+    _changes(spark, [("a", 2, "upsert", "stale")]).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    live = spark.read.parquet(snap).filter("op != 'delete'").collect()
+    assert live == []

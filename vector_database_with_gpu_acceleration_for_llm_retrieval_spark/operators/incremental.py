@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "stream_rollup_maintenance"]
+__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "join_view_delta", "incremental_join_agg", "cdc_apply", "stream_rollup_maintenance", "stream_snapshot_maintenance"]
 
 #: supported mergeable measures → (state builder, merger)
 _MERGE = {
@@ -88,6 +88,64 @@ def incremental_agg(
     )
 
 
+def _fold_with_crash_safe_swap(batch_df: DataFrame, batch_id: int, table_path: str, merge_fn) -> None:
+    """The shared foreachBatch fold skeleton: recovery of interrupted
+    swaps, idempotent batch-id marker, merge via ``merge_fn(current_or
+    _None, batch_df)``, and the aside-rename crash-safe table swap (the
+    atomicity discipline documented on
+    :func:`stream_rollup_maintenance`, shared with
+    :func:`stream_snapshot_maintenance`)."""
+    s = batch_df.sparkSession
+    jvm = s.sparkContext._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(table_path).getFileSystem(s.sparkContext._jsc.hadoopConfiguration())
+    root = path_cls(table_path)
+    # RECOVERY: no live table but a complete stage (marker inside)
+    # = crash between aside-rename and stage-rename. Finish the
+    # rename; the marker check below then skips the replayed fold.
+    if not fs.exists(root):
+        staged = fs.globStatus(path_cls(table_path + "__stage_*"))
+        for st in list(staged) if staged is not None else []:
+            sp = st.getPath()
+            if fs.exists(path_cls(sp.toString() + "/_folded_batch")):
+                fs.rename(sp, root)
+                break
+    # a crash after the stage-rename but before the aside-delete
+    # leaves a stale aside copy next to a healthy table — drop it.
+    if fs.exists(root):
+        asides = fs.globStatus(path_cls(table_path + "__old_*"))
+        for od in list(asides) if asides is not None else []:
+            fs.delete(od.getPath(), True)
+    marker = path_cls(table_path + "/_folded_batch")
+    current = None
+    if fs.exists(root):
+        if fs.exists(marker):
+            stream_in = fs.open(marker)
+            try:
+                last = int(bytes(stream_in.readAllBytes()).decode())
+            finally:
+                stream_in.close()
+            if batch_id <= last:
+                return  # replayed batch: fold already landed
+        current = s.read.parquet(table_path)
+    merged = merge_fn(current, batch_df)
+    tmp = table_path + f"__stage_{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    out = fs.create(path_cls(tmp + "/_folded_batch"), True)
+    try:
+        out.write(str(batch_id).encode())
+    finally:
+        out.close()
+    # crash-safe swap: aside-rename (detectable+recoverable, never
+    # a delete of the only copy), stage-rename in, drop the aside.
+    aside = path_cls(table_path + f"__old_{batch_id}")
+    if fs.exists(root):
+        fs.delete(aside, True)  # stale aside from a replayed attempt
+        fs.rename(root, aside)
+    fs.rename(path_cls(tmp), root)
+    fs.delete(aside, True)
+
+
 def stream_rollup_maintenance(
     spark,
     source_dir: str,
@@ -121,60 +179,159 @@ def stream_rollup_maintenance(
     streaming near-dup sink). Returns the started StreamingQuery.
     """
 
-    def _fs(s, p):
-        jvm = s.sparkContext._jvm
-        path_cls = jvm.org.apache.hadoop.fs.Path
-        return path_cls, path_cls(p).getFileSystem(s.sparkContext._jsc.hadoopConfiguration())
+    def merge(current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        delta = partial_agg(batch_df, keys, measures)
+        if current is None:
+            return delta
+        return merge_rollup(current, delta, keys, measures)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        path_cls, fs = _fs(s, rollup_path)
-        root = path_cls(rollup_path)
-        # RECOVERY: no live rollup but a complete stage (marker inside)
-        # = crash between aside-rename and stage-rename. Finish the
-        # rename; the marker check below then skips the replayed fold.
-        if not fs.exists(root):
-            staged = fs.globStatus(path_cls(rollup_path + "__stage_*"))
-            for st in list(staged) if staged is not None else []:
-                sp = st.getPath()
-                if fs.exists(path_cls(sp.toString() + "/_folded_batch")):
-                    fs.rename(sp, root)
-                    break
-        # a crash after the stage-rename but before the aside-delete
-        # leaves a stale aside copy next to a healthy rollup — drop it.
-        if fs.exists(root):
-            asides = fs.globStatus(path_cls(rollup_path + "__old_*"))
-            for od in list(asides) if asides is not None else []:
-                fs.delete(od.getPath(), True)
-        marker = path_cls(rollup_path + "/_folded_batch")
-        current = None
-        if fs.exists(root):
-            if fs.exists(marker):
-                stream_in = fs.open(marker)
-                try:
-                    last = int(bytes(stream_in.readAllBytes()).decode())
-                finally:
-                    stream_in.close()
-                if batch_id <= last:
-                    return  # replayed batch: fold already landed
-            current = s.read.parquet(rollup_path)
-        delta = partial_agg(batch_df, keys, measures)
-        merged = delta if current is None else merge_rollup(current, delta, keys, measures)
-        tmp = rollup_path + f"__stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        out = fs.create(path_cls(tmp + "/_folded_batch"), True)
-        try:
-            out.write(str(batch_id).encode())
-        finally:
-            out.close()
-        # crash-safe swap: aside-rename (detectable+recoverable, never
-        # a delete of the only copy), stage-rename in, drop the aside.
-        aside = path_cls(rollup_path + f"__old_{batch_id}")
-        if fs.exists(root):
-            fs.delete(aside, True)  # stale aside from a replayed attempt
-            fs.rename(root, aside)
-        fs.rename(path_cls(tmp), root)
-        fs.delete(aside, True)
+        _fold_with_crash_safe_swap(batch_df, batch_id, rollup_path, merge)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def join_view_delta(
+    a_base: DataFrame,
+    a_delta: DataFrame,
+    b_base: DataFrame,
+    b_delta: DataFrame,
+    join_on,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Insert-delta of a JOIN view — the other half of incremental view
+    maintenance (aggregates fold via :func:`merge_rollup`; join views
+    fold via the bilinearity of ⋈ over union):
+
+        Δ(A⋈B) = ΔA⋈B₀  ∪  A₀⋈ΔB  ∪  ΔA⋈ΔB
+
+    so a view over ``agg(A⋈B)`` refreshes by partial-agging these three
+    delta joins and folding the result — the history-sized A₀⋈B₀ join
+    is NEVER recomputed. Cost: two big-side scans each joined against a
+    delta (broadcast by default: deltas are small by definition — turn
+    ``broadcast_deltas`` off when a backfill delta outgrows the driver's
+    broadcast budget and let AQE pick) plus a delta×delta join.
+    This is textbook IVM (Blakeley et al. 1986, counting algorithm
+    restricted to inserts); deletions ride as retraction rows with
+    negated measures exactly like :func:`merge_rollup` retractions.
+
+    ``join_on`` is any join condition usable by ``DataFrame.join``.
+    Returns the partial-agged DELTA rollup (fold it with
+    :func:`merge_rollup`, or use :func:`incremental_join_agg`).
+    """
+    da = F.broadcast(a_delta) if broadcast_deltas else a_delta
+    db = F.broadcast(b_delta) if broadcast_deltas else b_delta
+    parts = [
+        da.join(b_base, join_on),
+        a_base.join(db, join_on),
+        da.join(db, join_on),
+    ]
+    cols = parts[0].columns
+    delta_rows = parts[0].unionByName(parts[1].select(cols)).unionByName(
+        parts[2].select(cols)
+    )
+    return partial_agg(delta_rows, keys, measures)
+
+
+def incremental_join_agg(
+    view_rollup: DataFrame,
+    a_base: DataFrame,
+    a_delta: DataFrame,
+    b_base: DataFrame,
+    b_delta: DataFrame,
+    join_on,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """One-call refresh of an ``agg(A⋈B)`` view: fold
+    :func:`join_view_delta` into the existing rollup. Equivalent to
+    re-aggregating (A₀∪ΔA)⋈(B₀∪ΔB) from scratch (oracle-proven), at
+    delta-join + |groups| cost instead of a history re-join."""
+    return merge_rollup(
+        view_rollup,
+        join_view_delta(a_base, a_delta, b_base, b_delta, join_on, keys, measures),
+        keys,
+        measures,
+    )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_value: str = "delete",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """Apply a change-data-capture log to produce the current snapshot:
+    latest-wins per key by ``seq_cols`` (highest wins), then delete
+    tombstones drop the key — the MERGE INTO a parquet-only pipeline
+    can't express in place. One shuffle on the key; the per-key window
+    is bounded by that key's change count (compact logs periodically —
+    this is the replay, not the store). Ties across ALL seq_cols are
+    broken arbitrarily — pass a total order (e.g. ts + event id).
+    ``keep_tombstones=True`` keeps the winning delete rows in the
+    output (op column intact) — the STORED form a continuously-
+    maintained snapshot needs so later out-of-order upserts older than
+    a delete cannot resurrect the key; filter them at read time."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in seq_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if keep_tombstones:
+        return latest
+    return latest.filter(F.col(op_col) != delete_value)
+
+
+def stream_snapshot_maintenance(
+    spark,
+    source_dir: str,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    schema: str,
+    op_col: str = "op",
+    delete_value: str = "delete",
+):
+    """Continuously-maintained SNAPSHOT table (the keyed sibling of
+    :func:`stream_rollup_maintenance`): each micro-batch of change rows
+    folds into the current snapshot via latest-wins-per-key
+    (:func:`cdc_apply` over current ∪ batch) — a streaming MERGE INTO
+    for engines without table formats. Per-batch cost is
+    |batch| + |live keys|, never a log re-scan.
+
+    Tombstones are RETAINED in the stored snapshot (op column intact):
+    a delete's seq keeps dominating, so late out-of-order upserts older
+    than the delete cannot resurrect the key across batches — read the
+    table through ``op != delete_value``. Same crash-safe aside-rename
+    swap and idempotent batch-id marker as the rollup maintenance
+    (shared :func:`_fold_with_crash_safe_swap`). Returns the started
+    StreamingQuery."""
+
+    def merge(current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        log = batch_df if current is None else current.unionByName(
+            batch_df.select(current.columns)
+        )
+        return cdc_apply(
+            log, key_cols, seq_cols, op_col=op_col,
+            delete_value=delete_value, keep_tombstones=True,
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_with_crash_safe_swap(batch_df, batch_id, snapshot_path, merge)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
