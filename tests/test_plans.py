@@ -291,10 +291,10 @@ def test_rp_topk_is_codegen_take_ordered(tables):
     qp = PJ.rp_project_point([0.1] * 64, out_dim=16)
     df = S.topk(corp, qp, k=10, vec_col="rp")
     plan = assert_plan_contains(df, "TakeOrderedAndProject", absent=("Exchange",))
-    # the projection Project must carry a codegen id (array of unrolled
-    # adds — no HOF fallback); formatted mode marks codegen stages with
-    # "[codegen id : N]"
-    assert "[codegen id" in plan
+    # the projection is an Arrow-batched fold (the 1024-term unrolled
+    # expression exceeded HotSpot's huge-method JIT limit — round 8);
+    # the scoring scan itself must still carry a codegen id
+    assert "ArrowEvalPython" in plan and "[codegen id" in plan
 
 
 def test_hot_keys_uses_take_ordered(tables):
@@ -306,3 +306,46 @@ def test_hot_keys_uses_take_ordered(tables):
 
     df = PF.hot_keys(tables["events"], "user_id", top=20)
     assert_plan_contains(df, "TakeOrderedAndProject", "BroadcastNestedLoopJoin")
+
+
+def test_prefix_jaccard_is_equi_join_only(tables):
+    # collide-then-verify must never degrade to a cross product
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import dedup as D
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    df = D.prefix_jaccard_pairs(tables["documents"], threshold=0.7)
+    plan = physical_plan(df)
+    assert any(
+        j in plan for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zorder_stats_is_single_partial_agg(tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.layout import (
+        zorder_stats,
+    )
+
+    plan = assert_plan_contains(
+        zorder_stats(tables["lineitem"], "l_partkey", "l_suppkey"),
+        "HashAggregate",
+        absent=("CartesianProduct", "Generate"),
+    )
+    # one exchange for the bucket partials, one for the final tiny sort
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_hll_distinct_shuffles_registers_not_keys(tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    plan = assert_plan_contains(
+        SK.hll_distinct(tables["lineitem"], "l_partkey"), "HashAggregate"
+    )
+    # register agg must be partial (map-side combine onto ≤ m rows)
+    assert "partial_max" in plan or "partial" in plan.lower(), plan

@@ -297,6 +297,14 @@ def pagerank(
         em = em.filter(F.col("w") > 0)
     em = em.persist()
     deg = em.groupBy("src").agg(F.sum("w").alias("__deg")).persist()
+    # the per-edge spread fraction w/Σw is ITERATION-INVARIANT: join it
+    # once here instead of re-joining deg inside every iteration (one
+    # keyed join × iters removed at any scale — round-8 probe trim)
+    emn = (
+        em.join(deg, "src")
+        .select("src", "dst", (F.col("w") / F.col("__deg")).alias("__frac"))
+        .persist()
+    )
     n_nodes = nodes.count()
     if n_nodes == 0:
         em.unpersist()
@@ -310,11 +318,10 @@ def pagerank(
     ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iters):
         contrib = (
-            ranks.join(em, "src")
-            .join(deg, "src")
+            ranks.join(emn, "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") * F.col("w") / F.col("__deg")).alias("__c"),
+                (F.col("rank") * F.col("__frac")).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
@@ -346,6 +353,7 @@ def pagerank(
         ranks = new_ranks.localCheckpoint(eager=True)
     out = ranks.select(F.col("src").alias("node"), "rank")
     em.unpersist()
+    emn.unpersist()
     nodes.unpersist()
     deg.unpersist()
     return out

@@ -15,9 +15,10 @@ Scale design:
   state, no shuffle. The ±1 matrix is DERIVED from a hash (md5 parity,
   the repo's portable-hash idiom), so every engine — and the DuckDB
   oracle — reproduces it bit-for-bit from the (in_dim, out_dim) pair
-  alone; nothing is stored or broadcast. The projection expression is
-  an unrolled sum (no higher-order functions), so it stays inside
-  whole-stage codegen.
+  alone; nothing is stored or broadcast. The projection is an
+  Arrow-batched left-to-right fold (see rp_embed's docstring for why
+  the unrolled-expression form, though codegen-friendly on paper,
+  falls off the JIT cliff at 1024 terms).
 * **PCA** splits exactly like distributed k-means: executors reduce
   each partition to a (D×D gram, D sum, count) triple via Arrow
   batches (`mapInPandas` — one numpy matmul per batch), the driver
@@ -33,8 +34,10 @@ import hashlib
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "sign_matrix",
@@ -88,11 +91,34 @@ def rp_embed(
 ) -> DataFrame:
     """Attach the sign-random-projection of ``vec_col`` as
     ``out_col``. Scaled by 1/√out_dim so squared norms are preserved
-    in expectation (JL); cosine ranking is scale-invariant anyway."""
+    in expectation (JL); cosine ranking is scale-invariant anyway.
+
+    Computed by an Arrow-batched pandas UDF that folds the ±columns
+    STRICTLY left-to-right (d = 0..in_dim−1, each input cast to double
+    first), so every output double is bit-identical to
+    :func:`project_expr` / :func:`rp_project_point` and the DuckDB
+    oracle — the UDF is a perf substitution only. Why not the unrolled
+    expression: 16×64 = 1024 terms generate a method past HotSpot's
+    huge-method JIT limit, so the whole projection runs in the
+    bytecode interpreter — measured 6.2 s per 100k-row corpus pass vs
+    ~0.5 s for the Arrow fold (the round-8 rp_knn_join probe finding;
+    same class of lesson as the round-7 HOF re-tokenization)."""
     signs = sign_matrix(in_dim, out_dim)
-    return df.withColumn(
-        out_col, project_expr(F.col(vec_col), signs, 1.0 / math.sqrt(out_dim))
-    )
+    scale = 1.0 / math.sqrt(out_dim)
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        m = np.stack(v.values).astype(np.float64)  # per-element cast first
+        outs = []
+        for row in signs:
+            acc = (m[:, 0] if row[0] > 0 else -m[:, 0]).copy()
+            for d in range(1, in_dim):
+                acc = acc + (m[:, d] if row[d] > 0 else -m[:, d])
+            outs.append(acc * scale)
+        z = np.stack(outs, axis=1)
+        return pd.Series(list(z))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
 
 
 def rp_project_point(vec, out_dim: int = 16) -> list[float]:
