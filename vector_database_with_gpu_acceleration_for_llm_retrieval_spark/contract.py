@@ -3977,6 +3977,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "shipping_volume": q_shipping_volume,
         "promo_share": q_promo_share,
+        "hll_distinct": q_hll_distinct,
+        "frequent_items": q_frequent_items,
+        "salted_join": q_salted_join,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+        "ivm_join_view": q_ivm_join_view,
+        "zorder_stats": q_zorder_stats,
+        "pareto_front": q_pareto_front,
+        "changelog_compact": q_changelog_compact,
+        "metrics_long": q_metrics_long,
+        "hll_incremental": q_hll_incremental,
     }
 
 
@@ -3992,3 +4002,260 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return contract_oracle.oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# round 8: sketches, skew join, exact all-pairs, IVM join views, z-order
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count sketch over l_partkey —
+    registers built from the md5 60-bit hash are bit-identical in both
+    engines, so the whole sketch (not just its error band) hash-matches
+    the oracle (operators/sketches.hll_distinct). p=8 puts the ~2k-key
+    input in the bias-free raw regime where the estimate is pure IEEE
+    arithmetic."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = SK.hll_distinct(t["lineitem"], "l_partkey", p=8)
+    return res.select(
+        F.col("p").cast("long").alias("p"),
+        F.col("m").cast("long").alias("m"),
+        F.col("nonzero"),
+        F.col("z_scaled"),
+        _round6(F.col("raw_estimate"), "raw_estimate"),
+        _round6(F.col("estimate"), "estimate"),
+        F.col("exact_distinct"),
+        _round6(F.col("rel_err"), "rel_err"),
+    )
+
+
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (≥ N/k) by Misra-Gries collide-then-verify
+    over a deterministic Zipf-shaped key (3 hot values at ~17% each vs
+    ~5k cold tails — the synthetic skew the corpus lacks, built the
+    same way the PII entries build their inputs). The bounded partition
+    summaries propose a guaranteed superset; the exact verify makes the
+    output equal the oracle's plain GROUP BY/HAVING
+    (operators/sketches.frequent_items)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    item = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        F.concat(F.lit("hot_"), F.pmod(F.col("event_id"), F.lit(3)).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("cold_"), F.pmod(F.col("event_id"), F.lit(5000)).cast("string"))
+    )
+    src = t["events"].select(item.alias("item"))
+    res = SK.frequent_items(src, "item", k=10)
+    return res.select(
+        "item",
+        F.col("n_rows"),
+        _round6(F.col("share"), "share"),
+    ).orderBy(F.desc("n_rows"), F.asc("item"))
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, result-identical to the plain join: the
+    lineitem fact salted across 4 sub-buckets of l_partkey joined to a
+    ×4-replicated part dim, then revenue per container — the manual
+    skew rewrite for keys AQE can't see
+    (operators/relational.salted_join)."""
+    t = load_tables(spark, sf_dir)
+    joined = R.salted_join(t["lineitem"], t["part"], "l_partkey", "p_partkey", salts=4)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _round6(F.round(F.sum(revenue), 2), "revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard ≥ 0.7 via prefix filtering
+    (rarest-first global order, ⌊(1−t)n⌋+1 prefixes, length filter,
+    exact verify) — the provable-no-false-negative complement to
+    MinHash; the oracle is the brute-force all-pairs join, so the hash
+    match PROVES the pruning lossless
+    (operators/dedup.prefix_jaccard_pairs)."""
+    t = load_tables(spark, sf_dir)
+    res = D.prefix_jaccard_pairs(
+        t["documents"], threshold=0.7, shingle_n=SHINGLE_N
+    )
+    return res.select(
+        "id_a", "id_b", _round6(F.col("jaccard"), "jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: revenue-per-segment over
+    orders⋈customer kept fresh under inserts to BOTH sides
+    (Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, folded into the rollup) —
+    provably equal to the oracle's full re-join, at delta cost
+    (operators/incremental.incremental_join_agg). Splits are portable-
+    hash-deterministic (90/10 orders, 95/5 customers)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    oh = F.pmod(TX.portable_token_hash(F.col("o_orderkey").cast("string")), F.lit(10))
+    ch = F.pmod(TX.portable_token_hash(F.col("c_custkey").cast("string")), F.lit(20))
+    a_base, a_delta = o.filter(oh < 9), o.filter(oh >= 9)
+    b_base, b_delta = c.filter(ch < 19), c.filter(ch >= 19)
+    measures = {
+        "revenue": ("sum", "o_totalprice"),
+        "n_orders": ("count", "o_orderkey"),
+    }
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    view0 = INC.partial_agg(a_base.join(b_base, cond), ["c_mktsegment"], measures)
+    res = INC.incremental_join_agg(
+        view0, a_base, a_delta, b_base, b_delta, cond, ["c_mktsegment"], measures
+    )
+    return res.select(
+        "c_mktsegment",
+        _round6(F.round("revenue", 2), "revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    ).orderBy("c_mktsegment")
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout probe: Morton-interleave (l_partkey, l_suppkey)
+    and report per-bucket min/max of BOTH dims — the decide-before-
+    rewrite evidence that a z-sorted layout bounds every file in both
+    columns (operators/layout.zorder_stats). Pure integer bit-mixing,
+    bit-identical across engines."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        layout as LY,
+    )
+
+    t = load_tables(spark, sf_dir)
+    # spread the narrow key domains over the 16-bit curve domain
+    # (odd multipliers are bijections mod 2^16, so nothing collides)
+    src = t["lineitem"].select(
+        (F.col("l_partkey").cast("long") * 33).alias("x"),
+        (F.col("l_suppkey").cast("long") * 657).alias("y"),
+    )
+    res = LY.zorder_stats(src, "x", "y", bits=16, bucket_bits=8)
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("x_min").cast("long").alias("x_min"),
+        F.col("x_max").cast("long").alias("x_max"),
+        F.col("y_min").cast("long").alias("y_min"),
+        F.col("y_max").cast("long").alias("y_max"),
+        F.col("x_span").cast("long").alias("x_span"),
+        F.col("y_span").cast("long").alias("y_span"),
+    ).orderBy("bucket")
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: the Pareto front of (minimize retail price,
+    maximize size) over part — partition-pruned local sweeps feeding
+    one survivor sweep, vs the oracle's quadratic NOT-EXISTS dominance
+    scan (operators/relational.pareto_front)."""
+    t = load_tables(spark, sf_dir)
+    res = R.pareto_front(t["part"], "p_retailprice", "p_size")
+    return res.select(
+        _round6(F.col("p_retailprice"), "p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"),
+    ).orderBy("p_retailprice", "p_size")
+
+
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog COMPACTION (no base snapshot — the log-only half of
+    CDC, complementing `cdc_snapshot`'s snapshot-merge): the event log
+    replayed per user, latest change wins by (ts_ns, event_id), 'error'
+    events are delete tombstones (operators/incremental.cdc_apply)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ch = t["events"].select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    res = INC.cdc_apply(ch, ["user_id"], ["ts_ns", "event_id"])
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        _round6(F.col("value"), "value"),
+    ).orderBy("user_id")
+
+
+def q_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt via one stack Generate, no shuffle
+    beyond the monthly rollup): per-month qty/revenue metrics as
+    (month, metric, value) rows (operators/relational.unpivot)."""
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["lineitem"]
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mon"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+    res = R.unpivot(monthly, ["yr", "mon"], ["sum_qty", "revenue"])
+    return res.select(
+        "yr", "mon", "metric", _round6(F.round(F.col("value"), 2), "value")
+    ).orderBy("yr", "mon", "metric")
+
+
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch maintained INCREMENTALLY: register updates from a
+    90/10 split folded through the generic rollup algebra (max-merge
+    per register) — provably bit-equal to the one-shot sketch, so it
+    shares hll_distinct's oracle (operators/sketches.
+    hll_register_updates + incremental.merge_rollup)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    split = F.pmod(TX.portable_token_hash(F.col("l_orderkey").cast("string")), F.lit(10))
+    hist, delta = li.filter(split < 9), li.filter(split >= 9)
+    measures = {"rho": ("max", "rho")}
+    r0 = INC.partial_agg(SK.hll_register_updates(hist, "l_partkey"), ["idx"], measures)
+    regs = INC.incremental_agg(
+        r0, SK.hll_register_updates(delta, "l_partkey"), ["idx"], measures
+    )
+    sk = SK.hll_estimate_from_registers(regs)
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact_distinct"))
+    est = F.col("estimate")
+    return sk.crossJoin(F.broadcast(exact)).select(
+        F.col("p").cast("long").alias("p"),
+        F.col("m").cast("long").alias("m"),
+        F.col("nonzero").cast("long").alias("nonzero"),
+        F.col("z_scaled").cast("long").alias("z_scaled"),
+        _round6(F.col("raw_estimate"), "raw_estimate"),
+        _round6(est, "estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        _round6(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), "rel_err"),
+    )

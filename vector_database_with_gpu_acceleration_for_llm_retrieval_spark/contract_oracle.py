@@ -3040,23 +3040,22 @@ e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
 em AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM e
        UNION ALL SELECT dst AS src, src AS dst, CAST(weight AS DOUBLE) AS w FROM e),
 deg AS (SELECT src, sum(w) AS dg FROM em GROUP BY 1),
+emn AS (SELECT em.src, em.dst, em.w / deg.dg AS frac
+        FROM em JOIN deg ON em.src = deg.src),
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
-c1 AS (SELECT em.dst AS node, sum(r0.r * em.w / deg.dg) AS s
-        FROM r0 JOIN em ON r0.node = em.src
-        JOIN deg ON em.src = deg.src GROUP BY 1),
+c1 AS (SELECT emn.dst AS node, sum(r0.r * emn.frac) AS s
+        FROM r0 JOIN emn ON r0.node = emn.src GROUP BY 1),
 r1 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.src = c1.node),
-c2 AS (SELECT em.dst AS node, sum(r1.r * em.w / deg.dg) AS s
-        FROM r1 JOIN em ON r1.node = em.src
-        JOIN deg ON em.src = deg.src GROUP BY 1),
+c2 AS (SELECT emn.dst AS node, sum(r1.r * emn.frac) AS s
+        FROM r1 JOIN emn ON r1.node = emn.src GROUP BY 1),
 r2 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.src = c2.node),
-c3 AS (SELECT em.dst AS node, sum(r2.r * em.w / deg.dg) AS s
-        FROM r2 JOIN em ON r2.node = em.src
-        JOIN deg ON em.src = deg.src GROUP BY 1),
+c3 AS (SELECT emn.dst AS node, sum(r2.r * emn.frac) AS s
+        FROM r2 JOIN emn ON r2.node = emn.src GROUP BY 1),
 r3 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
@@ -3123,23 +3122,22 @@ e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
       GROUP BY 1, 2 HAVING count(*) >= 2),
 em AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
 deg AS (SELECT src, count(*) AS dg FROM em GROUP BY 1),
+emn AS (SELECT em.src, em.dst, 1.0 / deg.dg AS frac
+        FROM em JOIN deg ON em.src = deg.src),
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
-c1 AS (SELECT em.dst AS node, sum(r0.r / deg.dg) AS s
-        FROM r0 JOIN em ON r0.node = em.src
-        JOIN deg ON em.src = deg.src GROUP BY 1),
+c1 AS (SELECT emn.dst AS node, sum(r0.r * emn.frac) AS s
+        FROM r0 JOIN emn ON r0.node = emn.src GROUP BY 1),
 r1 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.src = c1.node),
-c2 AS (SELECT em.dst AS node, sum(r1.r / deg.dg) AS s
-        FROM r1 JOIN em ON r1.node = em.src
-        JOIN deg ON em.src = deg.src GROUP BY 1),
+c2 AS (SELECT emn.dst AS node, sum(r1.r * emn.frac) AS s
+        FROM r1 JOIN emn ON r1.node = emn.src GROUP BY 1),
 r2 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.src = c2.node),
-c3 AS (SELECT em.dst AS node, sum(r2.r / deg.dg) AS s
-        FROM r2 JOIN em ON r2.node = em.src
-        JOIN deg ON em.src = deg.src GROUP BY 1),
+c3 AS (SELECT emn.dst AS node, sum(r2.r * emn.frac) AS s
+        FROM r2 JOIN emn ON r2.node = emn.src GROUP BY 1),
 r3 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
@@ -3504,6 +3502,158 @@ QUALIFY session_id <> max(session_id) OVER (PARTITION BY user_id)
 """
 )
 
+
+
+# ---------------------------------------------------------------------------
+# round 8: sketches, skew join, exact all-pairs, IVM join views, z-order
+# ---------------------------------------------------------------------------
+
+
+def _oracle_hll_distinct() -> str:
+    """Bit-identical classic-HLL mirror (operators/sketches.hll_distinct,
+    p=8): same md5 60-bit hash, same exact CASE-chain rho, same integer
+    register sum; the only floats are one IEEE division (deterministic)
+    and the small-range ln (equal to well past 6 dp)."""
+    pr, m, w = 8, 256, 52
+    mask = (1 << w) - 1
+    branches = f"WHEN rest = 0 THEN {w + 1} " + " ".join(
+        f"WHEN rest >= {1 << (b - 1)} THEN {w + 1 - b}" for b in range(w, 0, -1)
+    )
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m
+    two_w1 = float(1 << (w + 1))
+    raw = f"CAST({num!r} AS DOUBLE) * CAST({two_w1!r} AS DOUBLE) / z_scaled"
+    return f"""
+WITH h AS (SELECT {_sq_tok_hash("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
+b AS (SELECT h >> {w} AS idx, h & {mask} AS rest FROM h),
+r AS (SELECT idx, max(CASE {branches} END) AS rho FROM b GROUP BY idx),
+s AS (SELECT count(*) AS nonzero, sum(CAST(power(2, {w + 1} - rho) AS BIGINT)) AS zf FROM r),
+k AS (SELECT nonzero, zf + ({m} - nonzero) * {1 << (w + 1)} AS z_scaled FROM s),
+e AS (SELECT nonzero, z_scaled, {raw} AS raw,
+             CASE WHEN ({raw}) <= CAST({2.5 * m!r} AS DOUBLE) AND ({m} - nonzero) > 0
+                  THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - nonzero))
+                  ELSE {raw} END AS est
+      FROM k),
+x AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+SELECT CAST({pr} AS BIGINT) AS p, CAST({m} AS BIGINT) AS m,
+       CAST(nonzero AS BIGINT) AS nonzero, CAST(z_scaled AS BIGINT) AS z_scaled,
+       {_r6('raw', 'raw_estimate')}, {_r6('est', 'estimate')},
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       {_r6('abs(est - exact_distinct) / exact_distinct', 'rel_err')}
+FROM e, x
+"""
+
+
+def _oracle_frequent_items() -> str:
+    """Plain GROUP BY/HAVING ≥ N/k over the deterministic Zipf key —
+    legitimate because frequent_items' exact verify makes its OUTPUT
+    exact (the Misra-Gries summaries only bound the candidate set)."""
+    return f"""
+WITH s AS (SELECT CASE WHEN event_id % 2 = 0
+                       THEN concat('hot_', CAST(event_id % 3 AS VARCHAR))
+                       ELSE concat('cold_', CAST(event_id % 5000 AS VARCHAR)) END AS item
+           FROM events),
+c AS (SELECT item, count(*) AS n_rows FROM s GROUP BY 1),
+t AS (SELECT sum(n_rows) AS n FROM c)
+SELECT item, CAST(n_rows AS BIGINT) AS n_rows, {_r6('n_rows / t.n', 'share')}
+FROM c, t WHERE n_rows * 10 >= t.n
+ORDER BY n_rows DESC, item ASC
+"""
+
+
+_ORACLE_SALTED_JOIN = f"""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+       {_r6('round(sum(l_extendedprice * (1 - l_discount)), 2)', 'revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def _oracle_prefix_jaccard_pairs() -> str:
+    """BRUTE-FORCE all-pairs shingle Jaccard — deliberately not the
+    prefix-filtered plan, so a hash match proves the Spark side's
+    prefix pruning lossless."""
+    sh = _sq_shingles('t', SHINGLE_N)
+    return f"""
+WITH tt AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+s AS (SELECT doc_id, list_distinct({sh}) AS sh FROM tt),
+e AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS o
+      FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, {_r6('o / (na.n + nb.n - o)', 'jaccard')}
+FROM i JOIN sz na ON na.doc_id = i.ia JOIN sz nb ON nb.doc_id = i.ib
+WHERE o / (na.n + nb.n - o) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
+_ORACLE_IVM_JOIN_VIEW = f"""
+SELECT c_mktsegment, {_r6('round(sum(o_totalprice), 2)', 'revenue')},
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def _oracle_zorder_stats() -> str:
+    """Bit-identical Morton interleave of (l_partkey, l_suppkey) —
+    mirrors operators/layout.zorder_value with pure integer shifts."""
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) * {1 << (2 * i)}) + (((y >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(16)
+    )
+    return f"""
+WITH n AS (SELECT (CAST(l_partkey AS BIGINT) * 33) % 65536 AS x,
+                  (CAST(l_suppkey AS BIGINT) * 657) % 65536 AS y FROM lineitem),
+z AS (SELECT x, y, {terms} AS z FROM n),
+b AS (SELECT z >> 24 AS bucket, x, y FROM z)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+       CAST(max(x) - min(x) AS BIGINT) AS x_span,
+       CAST(max(y) - min(y) AS BIGINT) AS y_span
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+
+
+_ORACLE_PARETO_FRONT = f"""
+WITH d AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part)
+SELECT {_r6('a.price', 'p_retailprice')}, CAST(a.size AS BIGINT) AS p_size
+FROM d a
+WHERE NOT EXISTS (SELECT 1 FROM d b
+                  WHERE b.price <= a.price AND b.size >= a.size
+                    AND (b.price < a.price OR b.size > a.size))
+ORDER BY p_retailprice, p_size
+"""
+
+
+_ORACLE_CHANGELOG_COMPACT = f"""
+WITH r AS (SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       event_type, {_r6('value', 'value')}
+FROM r WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+_ORACLE_METRICS_LONG = f"""
+WITH m AS (SELECT CAST(year(l_shipdate) AS INT) AS yr,
+                  CAST(month(l_shipdate) AS INT) AS mon,
+                  sum(l_quantity) AS sum_qty,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem GROUP BY 1, 2)
+SELECT yr, mon, 'sum_qty' AS metric, {_r6('round(sum_qty, 2)', 'value')} FROM m
+UNION ALL
+SELECT yr, mon, 'revenue' AS metric, {_r6('round(revenue, 2)', 'value')} FROM m
+ORDER BY yr, mon, metric
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -3709,4 +3859,14 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": _oracle_binary_meta(),
         "bulk_random_load": _oracle_bulk_random_load(),
         "collection_stats": _oracle_collection_stats(),
+        "hll_distinct": _oracle_hll_distinct(),
+        "frequent_items": _oracle_frequent_items(),
+        "salted_join": _ORACLE_SALTED_JOIN,
+        "prefix_jaccard_pairs": _oracle_prefix_jaccard_pairs(),
+        "ivm_join_view": _ORACLE_IVM_JOIN_VIEW,
+        "zorder_stats": _oracle_zorder_stats(),
+        "pareto_front": _ORACLE_PARETO_FRONT,
+        "changelog_compact": _ORACLE_CHANGELOG_COMPACT,
+        "metrics_long": _ORACLE_METRICS_LONG,
+        "hll_incremental": _oracle_hll_distinct(),
     }
