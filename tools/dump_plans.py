@@ -278,9 +278,46 @@ AUDITED = {
         "unbounded-preceding rows — one shuffle on the key."
     ),
     "rp_topk": (
-        "JL sign projection: the 16-dim projected array is ONE unrolled Project "
-        "(no HOF — whole-stage codegen), scored and TakeOrderedAndProject'd like "
-        "the flagship; no Exchange, no stored artifact (matrix is hash-derived)."
+        "JL sign projection: ONE Arrow-batched fold per batch (the 1024-term "
+        "unrolled expression fell off HotSpot's huge-method JIT cliff — round 8), "
+        "scored and TakeOrderedAndProject'd like the flagship; no Exchange, no "
+        "stored artifact (matrix is hash-derived)."
+    ),
+    "hll_distinct": (
+        "Portable HLL: hash→(idx,rho) is a pure projection; ONE map-side-combined "
+        "HashAggregate onto ≤2^p register rows (the shuffle carries registers, "
+        "never keys), then a 1-row estimate + broadcast crossJoin of the exact "
+        "count (report-only)."
+    ),
+    "frequent_items": (
+        "Misra-Gries collide-then-verify: one MapInPandas pass builds bounded "
+        "partition summaries; candidates broadcast back into an exact semi-join "
+        "count — the full key set never shuffles."
+    ),
+    "salted_join": (
+        "Salted skew join: fact salt is a pure projection, dim explodes ×salts; "
+        "the join keys are (key, salt) so a hot key spreads over salts tasks; "
+        "result provably identical to the plain join."
+    ),
+    "prefix_jaccard_pairs": (
+        "Prefix-filtered all-pairs: document-frequency agg, rarity sort per doc "
+        "(bounded by doc length), equi-join on PREFIX shingles only, exact "
+        "array_intersect verify on candidates — equi-key work throughout, no "
+        "cartesian product (plan-asserted)."
+    ),
+    "zorder_stats": (
+        "Z-order probe: Morton interleave is one integer Project (codegen), then "
+        "a single partial-agged HashAggregate onto ≤2^bucket_bits rows."
+    ),
+    "ivm_join_view": (
+        "Incremental join view: three delta joins (deltas broadcast), partial-agg, "
+        "fold into the rollup by key — the history-sized base⋈base join appears "
+        "NOWHERE in the refresh plan."
+    ),
+    "pareto_front": (
+        "Skyline: distinct pairs → per-hash-partition sort-sweep windows (local "
+        "prune), survivors into one tiny global sweep — the global sort sees "
+        "survivor counts, not the table."
     ),
     "hot_keys": (
         "Hot-key report: key-count partial agg, 1-row (total,n_keys) broadcast "
