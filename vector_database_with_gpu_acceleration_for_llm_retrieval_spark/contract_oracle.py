@@ -3040,22 +3040,23 @@ e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
 em AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM e
        UNION ALL SELECT dst AS src, src AS dst, CAST(weight AS DOUBLE) AS w FROM e),
 deg AS (SELECT src, sum(w) AS dg FROM em GROUP BY 1),
-emn AS (SELECT em.src, em.dst, em.w / deg.dg AS frac
-        FROM em JOIN deg ON em.src = deg.src),
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
-c1 AS (SELECT emn.dst AS node, sum(r0.r * emn.frac) AS s
-        FROM r0 JOIN emn ON r0.node = emn.src GROUP BY 1),
+c1 AS (SELECT em.dst AS node, sum(r0.r * em.w / deg.dg) AS s
+        FROM r0 JOIN em ON r0.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
 r1 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.src = c1.node),
-c2 AS (SELECT emn.dst AS node, sum(r1.r * emn.frac) AS s
-        FROM r1 JOIN emn ON r1.node = emn.src GROUP BY 1),
+c2 AS (SELECT em.dst AS node, sum(r1.r * em.w / deg.dg) AS s
+        FROM r1 JOIN em ON r1.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
 r2 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.src = c2.node),
-c3 AS (SELECT emn.dst AS node, sum(r2.r * emn.frac) AS s
-        FROM r2 JOIN emn ON r2.node = emn.src GROUP BY 1),
+c3 AS (SELECT em.dst AS node, sum(r2.r * em.w / deg.dg) AS s
+        FROM r2 JOIN em ON r2.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
 r3 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
@@ -3122,22 +3123,23 @@ e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
       GROUP BY 1, 2 HAVING count(*) >= 2),
 em AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
 deg AS (SELECT src, count(*) AS dg FROM em GROUP BY 1),
-emn AS (SELECT em.src, em.dst, 1.0 / deg.dg AS frac
-        FROM em JOIN deg ON em.src = deg.src),
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
-c1 AS (SELECT emn.dst AS node, sum(r0.r * emn.frac) AS s
-        FROM r0 JOIN emn ON r0.node = emn.src GROUP BY 1),
+c1 AS (SELECT em.dst AS node, sum(r0.r / deg.dg) AS s
+        FROM r0 JOIN em ON r0.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
 r1 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.src = c1.node),
-c2 AS (SELECT emn.dst AS node, sum(r1.r * emn.frac) AS s
-        FROM r1 JOIN emn ON r1.node = emn.src GROUP BY 1),
+c2 AS (SELECT em.dst AS node, sum(r1.r / deg.dg) AS s
+        FROM r1 JOIN em ON r1.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
 r2 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.src = c2.node),
-c3 AS (SELECT emn.dst AS node, sum(r2.r * emn.frac) AS s
-        FROM r2 JOIN emn ON r2.node = emn.src GROUP BY 1),
+c3 AS (SELECT em.dst AS node, sum(r2.r / deg.dg) AS s
+        FROM r2 JOIN em ON r2.node = em.src
+        JOIN deg ON em.src = deg.src GROUP BY 1),
 r3 AS (SELECT deg.src AS node,
                (1 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS r
         FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
