@@ -37,6 +37,20 @@ def get_spark(app_name: str = "vdb_spark", shuffle_partitions: int | None = None
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # long-session hygiene (r8): even with the UI off, the
+        # AppStatusListener retains 1000 jobs/stages and 100k tasks, and
+        # whole-stage codegen fills the JVM code cache with one class
+        # per unique plan — after ~3k stages both inflate late-session
+        # timings (measured ~2.5x on the bench shape probes). Keep the
+        # status store small and give JIT-compiled code room.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "5000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         # local mode: the driver JVM hosts all 32 executor threads' shuffle
         # blocks, broadcasts, and cached frames at once. 8g thrashes GC on
         # the full bench (measured: total 23.5 s -> 13.5 s with a larger
