@@ -294,3 +294,64 @@ def test_cumulative_unique_users_hand_computed(spark):
     got = {str(r.day): (r.n_new, r.n_total) for r in
            R.cumulative_unique_users(df).collect()}
     assert got == {"2024-01-01": (2, 2), "2024-01-03": (1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# round 8: seasonal decomposition + last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_reconstructs_series(spark):
+    import datetime
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), 100.0 + i + (10.0 if (base + datetime.timedelta(days=i)).weekday() == 5 else 0.0))
+        for i in range(28)
+    ]
+    daily = spark.createDataFrame(rows, "day date, y double")
+    got = TP.seasonal_decompose(daily).collect()
+    assert len(got) == 28
+    for r in got:
+        # additive identity holds exactly by construction
+        assert abs((r.trend + r.seasonal + r.resid) - r.y) < 1e-9
+    # the planted Saturday bump must dominate the seasonal component
+    sat = [r.seasonal for r in got if r.day.weekday() == 5]
+    rest = [r.seasonal for r in got if r.day.weekday() != 5]
+    assert min(sat) > max(rest)
+
+
+def test_attribution_last_touch_known_answer(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    rows = [
+        # user 1: view -> click -> purchase -> purchase (2nd credits click too)
+        (1, 100, 10, "view"),
+        (1, 200, 11, "click"),
+        (1, 300, 12, "purchase"),
+        (1, 400, 13, "purchase"),
+        # user 2: purchase with NO prior touch -> direct (nulls)
+        (2, 100, 20, "purchase"),
+        # user 3: touch AFTER the purchase must not count
+        (3, 500, 30, "purchase"),
+        (3, 600, 31, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_ns long, event_id long, event_type string"
+    )
+    got = {
+        r.conv_id: (r.touch_id, r.touch_type, r.gap_ns)
+        for r in TP.attribution_last_touch(ev).collect()
+    }
+    assert got == {
+        12: (11, "click", 100),
+        13: (11, "click", 200),  # purchases are not touchpoints
+        20: (None, None, None),
+        30: (None, None, None),
+    }

@@ -3987,6 +3987,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_compact": q_changelog_compact,
         "metrics_long": q_metrics_long,
         "hll_incremental": q_hll_incremental,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "seasonal_decompose": q_seasonal_decompose,
+        "attribution_last_touch": q_attribution_last_touch,
     }
 
 
@@ -4259,3 +4262,73 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
         _round6(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), "rel_err"),
     )
+
+
+PORTABLE_SQL_GROUPING_SETS = """
+SELECT coalesce(o_orderpriority, '(all)') AS priority,
+       coalesce(o_orderstatus, '(all)') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) + 0.0 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+ORDER BY priority, status
+"""
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front door: the SAME portable
+    ANSI text runs in Spark SQL and the DuckDB oracle (one
+    Expand+Aggregate pass in Catalyst — no per-level re-scan), next to
+    the portable Q6/Q4/hot-keys pair."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=["orders"])
+    return spark.sql(PORTABLE_SQL_GROUPING_SETS)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive trend/weekly-seasonal/residual decomposition
+    of the daily event-value series — the de-masking step before
+    anomaly scoring (operators/temporal.seasonal_decompose; windows
+    run on the calendar-sized daily frame by design)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    res = TP.seasonal_decompose(daily)
+    return res.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _round6(F.col("y"), "y"),
+        _round6(F.col("trend"), "trend"),
+        _round6(F.col("seasonal"), "seasonal"),
+        _round6(F.col("resid"), "resid"),
+    ).orderBy("day")
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the user's
+    most recent prior non-purchase event via one ignorenulls
+    carry-forward window — no self-join
+    (operators/temporal.attribution_last_touch)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = TP.attribution_last_touch(t["events"])
+    return res.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        F.col("user").cast("long").alias("user"),
+        F.col("conv_ts").cast("long").alias("conv_ts"),
+        F.col("touch_id").cast("long").alias("touch_id"),
+        "touch_type",
+        F.col("gap_ns").cast("long").alias("gap_ns"),
+    ).orderBy("conv_id")

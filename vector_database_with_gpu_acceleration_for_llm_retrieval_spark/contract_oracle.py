@@ -3656,6 +3656,52 @@ ORDER BY yr, mon, metric
 """
 
 
+
+
+def _oracle_sql_grouping_sets() -> str:
+    """Verbatim portable text (contract.PORTABLE_SQL_GROUPING_SETS)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        PORTABLE_SQL_GROUPING_SETS,
+    )
+
+    return PORTABLE_SQL_GROUPING_SETS
+
+
+_ORACLE_SEASONAL_DECOMPOSE = f"""
+WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1),
+t AS (SELECT day, y,
+             avg(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM d),
+dt AS (SELECT day, y, trend, y - trend AS det FROM t),
+s AS (SELECT day, y, trend, det,
+             avg(det) OVER (PARTITION BY dayofweek(day)) - avg(det) OVER () AS seasonal
+      FROM dt)
+SELECT strftime(day, '%Y-%m-%d') AS day, {_r6('y', 'y')}, {_r6('trend', 'trend')},
+       {_r6('seasonal', 'seasonal')}, {_r6('det - seasonal', 'resid')}
+FROM s ORDER BY day
+"""
+
+
+_ORACLE_ATTRIBUTION_LAST_TOUCH = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type FROM events),
+r AS (SELECT user_id, tsn, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN tsn END IGNORE NULLS)
+               OVER w AS touch_ts,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+               OVER w AS touch_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT CAST(event_id AS BIGINT) AS conv_id, CAST(user_id AS BIGINT) AS user,
+       CAST(tsn AS BIGINT) AS conv_ts, CAST(touch_id AS BIGINT) AS touch_id,
+       touch_type, CAST(tsn - touch_ts AS BIGINT) AS gap_ns
+FROM r WHERE event_type = 'purchase'
+ORDER BY conv_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -3870,5 +3916,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front": _ORACLE_PARETO_FRONT,
         "changelog_compact": _ORACLE_CHANGELOG_COMPACT,
         "metrics_long": _ORACLE_METRICS_LONG,
+        "sql_grouping_sets": _oracle_sql_grouping_sets(),
+        "seasonal_decompose": _ORACLE_SEASONAL_DECOMPOSE,
+        "attribution_last_touch": _ORACLE_ATTRIBUTION_LAST_TOUCH,
         "hll_incremental": _oracle_hll_distinct(),
     }

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch"]
 
 
 def asof_join(
@@ -509,4 +509,90 @@ def mad_anomaly(
             mz.alias("mz"),
             F.coalesce(F.abs(mz) >= threshold, F.lit(False)).alias("is_anomaly"),
         )
+    )
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    day_col: str = "day",
+    y_col: str = "y",
+    half_window: int = 3,
+) -> DataFrame:
+    """Classical additive decomposition of a daily series —
+    ``y = trend + seasonal + resid`` (the moving-average form of STL,
+    Cleveland et al.'s starting point): trend is a centered
+    ``2·half_window+1``-row moving average (partial at the edges, by
+    the standard rows-frame semantics), the weekly seasonal is the
+    per-day-of-week mean of the detrended series centered to sum ~0
+    (minus the global detrended mean), and the residual is what's
+    left — the anomaly-hunting input ``zscore_anomaly`` wants after
+    trend/seasonality stop masking outliers.
+
+    All three components are windows over the DAILY frame (≤ a few
+    thousand rows regardless of event volume — the upstream daily
+    aggregate did the data-sized work), so the unpartitioned ordered
+    windows here are bounded by the calendar, not the corpus; the
+    same "days-sized frame by design" note as similar_series. Returns
+    ``(day, y, trend, seasonal, resid)``.
+    """
+    w_trend = Window.orderBy(day_col).rowsBetween(-half_window, half_window)
+    dt = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(y_col).alias("y"),
+        F.avg(y_col).over(w_trend).alias("trend"),
+    ).withColumn("__det", F.col("y") - F.col("trend"))
+    w_dow = Window.partitionBy(F.dayofweek("day"))
+    w_all = Window.partitionBy()
+    seasonal = F.avg("__det").over(w_dow) - F.avg("__det").over(w_all)
+    return dt.select(
+        "day",
+        "y",
+        "trend",
+        seasonal.alias("seasonal"),
+        (F.col("__det") - seasonal).alias("resid"),
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent PRIOR non-conversion event of the same user — which
+    touchpoint gets credit for the purchase. One shuffle on the user
+    key; the carry-forward is ``last(..., ignorenulls)`` over an
+    unbounded-preceding rows frame (the asof_join trick applied
+    within one stream), so no self-join and no per-user explosion.
+    Conversions with no prior touch attribute to NULL (direct).
+    Returns ``(conv_id, user, conv_ts, touch_id, touch_type,
+    gap_ns)``.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != conversion,
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+                 F.col(type_col).alias("typ")),
+    )
+    out = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(id_col).alias("conv_id"),
+        F.col(type_col).alias("__typ"),
+        F.last(touch, ignorenulls=True).over(w).alias("__touch"),
+    ).filter(F.col("__typ") == conversion)
+    return out.select(
+        "conv_id",
+        "user",
+        "conv_ts",
+        F.col("__touch.id").alias("touch_id"),
+        F.col("__touch.typ").alias("touch_type"),
+        (F.col("conv_ts") - F.col("__touch.ts")).alias("gap_ns"),
     )
