@@ -456,3 +456,49 @@ def test_knn_join_materializes_query_plan_once(corpus, spark):
     )
     assert out.count() == 8 * 3
     assert acc.value == 8, f"query plan ran {acc.value}/8 rows' worth"
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_demotes_redundant_near_duplicates(spark):
+    # two tight clusters: plain top-3 would be all of cluster A (closest
+    # to the query); MMR must interleave cluster B after the first pick
+    # cluster A sits OFF the query axis (so its mutual similarity ~1 is
+    # far above its relevance ~0.92 and the penalty bites); cluster B is
+    # equally relevant on the other side of the axis, mutual sim ~0.65
+    rows = [
+        (1, [0.92, 0.39, 0.0]),    # cluster A: top relevance
+        (2, [0.91, 0.41, 0.0]),    # near-dup of 1
+        (3, [0.90, 0.43, 0.0]),    # near-dup of 1
+        (4, [0.88, -0.43, 0.0]),   # cluster B: relevant but distinct
+        (5, [0.87, -0.45, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        r.id
+        for r in S.mmr_topk(corpus, [1.0, 0.0, 0.0], k=3, pool=5, lam=0.7)
+        .orderBy("rank")
+        .collect()
+    ]
+    plain = [
+        r.vec_id
+        for r in S.topk(corpus, [1.0, 0.0, 0.0], k=3, metric="cosine").collect()
+    ]
+    assert plain == [1, 2, 3]       # relevance-only: the redundant cluster
+    assert got[0] == 1 and 4 in got  # MMR: diversity pick surfaces
+    assert got != plain
+
+
+def test_mmr_lambda_one_equals_plain_topk(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(1, 40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 2.0, 0.5]
+    got = [
+        r.id
+        for r in S.mmr_topk(corpus, q, k=4, pool=10, lam=1.0).orderBy("rank").collect()
+    ]
+    plain = [r.vec_id for r in S.topk(corpus, q, k=4, metric="cosine").collect()]
+    assert got == plain

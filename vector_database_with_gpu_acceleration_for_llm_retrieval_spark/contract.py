@@ -3990,6 +3990,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_grouping_sets": q_sql_grouping_sets,
         "seasonal_decompose": q_seasonal_decompose,
         "attribution_last_touch": q_attribution_last_touch,
+        "mmr_topk": q_mmr_topk,
     }
 
 
@@ -4332,3 +4333,26 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_type",
         F.col("gap_ns").cast("long").alias("gap_ns"),
     ).orderBy("conv_id")
+
+
+#: MMR diversified retrieval knobs (mirrored by the oracle)
+MMR_K, MMR_POOL, MMR_LAM = 5, 30, 0.7
+
+
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance: greedy
+    λ·rel − (1−λ)·max-sim-to-selected over a bounded relevance pool —
+    the anti-redundancy re-rank between the ANN shortlist and the
+    context builder (operators/search.mmr_topk; oracle = the same
+    greedy unrolled into k SQL steps)."""
+    t = load_tables(spark, sf_dir)
+    res = S.mmr_topk(
+        t["embeddings"], _query_vec(spark, sf_dir),
+        k=MMR_K, pool=MMR_POOL, lam=MMR_LAM,
+    )
+    return res.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("rank").cast("int").alias("rank"),
+        _round6(F.col("rel"), "rel"),
+        _round6(F.col("mmr"), "mmr"),
+    ).orderBy("rank")

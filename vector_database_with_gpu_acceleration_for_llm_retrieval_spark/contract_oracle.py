@@ -3702,6 +3702,47 @@ ORDER BY conv_id
 """
 
 
+
+
+def _oracle_mmr_topk() -> str:
+    """The MMR greedy unrolled into k SQL steps (selection state grows
+    CTE by CTE) — same pool, same λ, same tie-breaks, same cosine fold
+    as the Spark loop."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        MMR_K,
+        MMR_LAM,
+        MMR_POOL,
+    )
+
+    lam, om = MMR_LAM, 1.0 - MMR_LAM
+    ctes = [
+        f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT vec_id AS id, embedding AS v, {_sq_cosine('embedding', 'qv')} AS rel
+         FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+s1 AS (SELECT id, v, rel, 1 AS rank, {lam!r} * rel AS mmr
+       FROM cand ORDER BY rel DESC, id LIMIT 1),
+sel1 AS (SELECT id, v FROM s1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        ctes.append(
+            f"""p{t} AS (SELECT c.id, c.v, c.rel, max({_sq_cosine('c.v', 'p.v')}) AS ms
+       FROM cand c, sel{t - 1} p WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+       GROUP BY c.id, c.v, c.rel),
+s{t} AS (SELECT id, v, rel, {t} AS rank, {lam!r} * rel - {om!r} * ms AS mmr
+       FROM p{t} ORDER BY mmr DESC, id LIMIT 1),
+sel{t} AS (SELECT id, v FROM sel{t - 1} UNION ALL SELECT id, v FROM s{t})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, rank, rel, mmr FROM s{t}" for t in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH {','.join(ctes)}
+SELECT CAST(id AS BIGINT) AS id, CAST(rank AS INT) AS rank,
+       {_r6('rel', 'rel')}, {_r6('mmr', 'mmr')}
+FROM ({union}) ORDER BY rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -3919,5 +3960,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_grouping_sets": _oracle_sql_grouping_sets(),
         "seasonal_decompose": _ORACLE_SEASONAL_DECOMPOSE,
         "attribution_last_touch": _ORACLE_ATTRIBUTION_LAST_TOUCH,
+        "mmr_topk": _oracle_mmr_topk(),
         "hll_incremental": _oracle_hll_distinct(),
     }

@@ -37,6 +37,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 
 __all__ = [
     "topk",
+    "mmr_topk",
     "sharded_topk",
     "collection_topk",
     "knn_join",
@@ -791,3 +792,81 @@ def mrl_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_vec,
+    k: int = 5,
+    pool: int = 30,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): greedily pick the result maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`` — relevance traded
+    against redundancy, the standard fix for a top-k full of
+    near-duplicates of the best hit. ``λ=1`` degrades to plain top-k.
+
+    Two stages, both bounded: (1) a relevance POOL of the top ``pool``
+    candidates — the same TakeOrderedAndProject bounded-top-k scan as
+    :func:`topk`, the only corpus-sized work; the pool is
+    localCheckpoint-pinned so the greedy loop never re-scans the
+    corpus. (2) The inherently-sequential greedy: k−1 passes over the
+    pool-row frame, each an anti-join against the selected set (≤ k
+    broadcast rows), a max-similarity over a pool×selected cross of at
+    most ``pool·k`` rows, and a 1-row argmax. Cost is O(pool·k²) tiny
+    rows regardless of corpus size. Ties break by ascending id; the
+    first pick's penalty term is zero (``mmr = λ·rel``). Returns
+    ``(id, rank, rel, mmr)``, rank 1..k in selection order.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        vector as V,
+    )
+
+    rel = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        V.cosine_sim(vec_col, V.vec_lit(query_vec)).alias("rel"),
+    )
+    cand = (
+        rel.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(1)
+        .select(
+            "id", "__v", "rel", F.lit(1).alias("rank"),
+            (F.lit(lam) * F.col("rel")).alias("mmr"),
+        )
+    )
+    sel = first.localCheckpoint(eager=True)
+    for step in range(2, k + 1):
+        rest = cand.join(
+            sel.select(F.col("id").alias("__sid")),
+            F.col("id") == F.col("__sid"),
+            "left_anti",
+        )
+        pairs = rest.crossJoin(
+            F.broadcast(sel.select(F.col("__v").alias("__sv")))
+        )
+        mx = pairs.groupBy("id").agg(
+            F.max(V.cosine_sim("__v", "__sv")).alias("__maxsim")
+        )
+        pick = (
+            rest.join(mx, "id")
+            .select(
+                "id", "__v", "rel", F.lit(step).alias("rank"),
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("__maxsim")
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("id", "rank", "rel", "mmr")
