@@ -207,6 +207,7 @@ def knn_join(
     vec_col: str = "embedding",
     query_chunk: int = KNN_JOIN_QUERY_CHUNK,
     max_broadcast_rows: int = KNN_JOIN_MAX_BROADCAST_ROWS,
+    corpus_transform=None,
     _depth: int = 0,
 ) -> DataFrame:
     """Batch kNN similarity join: for every query row, the exact top-k
@@ -244,6 +245,12 @@ def knn_join(
     materializes ONE split at a time, so driver memory is bounded by
     the budget for any |Q|. Per-qid results are independent, so the
     split union is exact.
+
+    ``corpus_transform`` (optional, picklable ``(n,d) ndarray →
+    (n,d') ndarray``): applied to each corpus batch INSIDE the scoring
+    pass — the seam the projected-tier search uses to fuse its
+    dimensionality reduction into the single corpus scan (the query
+    side must already be in the transformed space).
 
     Returns columns ``(qid, neighbor_id, score, rank)``.
     """
@@ -287,7 +294,7 @@ def knn_join(
                 split, corpus, k=k, metric=metric, query_id=query_id,
                 query_vec=query_vec, id_col=id_col, vec_col=vec_col,
                 query_chunk=query_chunk, max_broadcast_rows=max_broadcast_rows,
-                _depth=_depth + 1,
+                corpus_transform=corpus_transform, _depth=_depth + 1,
             )
             out = part if out is None else out.unionByName(part)
         # every split's vectors are already in driver-side broadcast
@@ -323,6 +330,12 @@ def knn_join(
             if pdf.empty:
                 continue
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if corpus_transform is not None:
+                # fused projection: the compressed-tier transform runs
+                # HERE, inside the one corpus pass, instead of a prior
+                # projection job shipping projected vectors through a
+                # second Arrow transfer (round-8 rp_knn_join fusion)
+                X = corpus_transform(X)
             ids = pdf[id_col].to_numpy()
             if metric == "cosine":
                 Xc = _normalize_rows(X)
