@@ -502,3 +502,23 @@ def test_mmr_lambda_one_equals_plain_topk(spark):
     ]
     plain = [r.vec_id for r in S.topk(corpus, q, k=4, metric="cosine").collect()]
     assert got == plain
+
+
+def test_mmr_knn_join_matches_per_query_mmr(tables):
+    q = (
+        tables["embeddings"]
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    batch = {
+        (r.qid, r.rank): r.id
+        for r in S.mmr_knn_join(
+            q, tables["embeddings"], k=4, pool=15, lam=0.7
+        ).collect()
+    }
+    for row in q.collect():
+        solo = S.mmr_topk(
+            tables["embeddings"], list(row.embedding), k=4, pool=15, lam=0.7
+        ).collect()
+        for r in solo:
+            assert batch[(row.qid, r.rank)] == r.id, (row.qid, r.rank)

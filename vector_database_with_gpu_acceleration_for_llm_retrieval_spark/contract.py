@@ -3991,6 +3991,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "attribution_last_touch": q_attribution_last_touch,
         "mmr_topk": q_mmr_topk,
+        "mmr_knn_join": q_mmr_knn_join,
     }
 
 
@@ -4356,3 +4357,26 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("rel"), "rel"),
         _round6(F.col("mmr"), "mmr"),
     ).orderBy("rank")
+
+
+#: batch-MMR pool width (mirrored by the oracle)
+MMRJ_POOL = 20
+
+
+def q_mmr_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MMR: diversified top-k for EVERY query in one plan — the
+    per-query greedy parallelized as k−1 set-level windowed passes over
+    the |Q|·pool candidate frame (operators/search.mmr_knn_join); the
+    oracle unrolls the same greedy with per-qid argmax steps."""
+    t = load_tables(spark, sf_dir)
+    res = S.mmr_knn_join(
+        _knn_queries(t), t["embeddings"],
+        k=MMR_K, pool=MMRJ_POOL, lam=MMR_LAM,
+    )
+    return res.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("id").cast("long").alias("id"),
+        F.col("rank").cast("int").alias("rank"),
+        _round6(F.col("rel"), "rel"),
+        _round6(F.col("mmr"), "mmr"),
+    ).orderBy("qid", "rank")

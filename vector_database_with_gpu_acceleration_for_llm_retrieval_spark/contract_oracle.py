@@ -3743,6 +3743,55 @@ FROM ({union}) ORDER BY rank
 """
 
 
+
+
+def _oracle_mmr_knn_join() -> str:
+    """Batch MMR unrolled: per-qid pools, per-qid argmax per greedy
+    step — same λ, same cosine fold, same tie-breaks as the Spark
+    set-level passes."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        KNN_QUERIES,
+        MMR_K,
+        MMR_LAM,
+        MMRJ_POOL,
+    )
+
+    lam, om = MMR_LAM, 1.0 - MMR_LAM
+    head = f"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+sc AS (SELECT q.qid, e.vec_id AS id, e.embedding AS v, {_sq_cosine('e.embedding', 'q.qv')} AS rel
+       FROM embeddings e, qs q),
+pool AS (SELECT qid, id, v, rel FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM sc)
+         WHERE rn <= {MMRJ_POOL}),
+s1 AS (SELECT qid, id, v, rel, 1 AS rank, {lam!r} * rel AS mmr FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM pool)
+       WHERE rn = 1),
+sel1 AS (SELECT qid, id, v FROM s1)"""
+    steps = []
+    for t in range(2, MMR_K + 1):
+        steps.append(
+            f"""p{t} AS (SELECT c.qid, c.id, c.v, c.rel, max({_sq_cosine('c.v', 'p.v')}) AS ms
+       FROM pool c JOIN sel{t - 1} p ON c.qid = p.qid
+       WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x WHERE x.qid = c.qid AND x.id = c.id)
+       GROUP BY c.qid, c.id, c.v, c.rel),
+s{t} AS (SELECT qid, id, v, rel, {t} AS rank, mmr FROM (
+           SELECT *, {lam!r} * rel - {om!r} * ms AS mmr,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY ({lam!r} * rel - {om!r} * ms) DESC, id) AS rn
+           FROM p{t}) WHERE rn = 1),
+sel{t} AS (SELECT qid, id, v FROM sel{t - 1} UNION ALL SELECT qid, id, v FROM s{t})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT qid, id, rank, rel, mmr FROM s{t}" for t in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH {head},{','.join(steps)}
+SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+       CAST(rank AS INT) AS rank, {_r6('rel', 'rel')}, {_r6('mmr', 'mmr')}
+FROM ({union}) ORDER BY qid, rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -3961,5 +4010,6 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose": _ORACLE_SEASONAL_DECOMPOSE,
         "attribution_last_touch": _ORACLE_ATTRIBUTION_LAST_TOUCH,
         "mmr_topk": _oracle_mmr_topk(),
+        "mmr_knn_join": _oracle_mmr_knn_join(),
         "hll_incremental": _oracle_hll_distinct(),
     }

@@ -38,6 +38,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 __all__ = [
     "topk",
     "mmr_topk",
+    "mmr_knn_join",
     "sharded_topk",
     "collection_topk",
     "knn_join",
@@ -883,3 +884,98 @@ def mmr_topk(
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select("id", "rank", "rel", "mmr")
+
+
+def mmr_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    query_id: str = "qid",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch MMR: the :func:`mmr_topk` greedy for EVERY query at once.
+    The greedy is sequential in k but embarrassingly parallel across
+    queries, so each of the k−1 steps is ONE set-level pass over the
+    |Q|·pool candidate frame — a per-qid windowed argmax — instead of
+    |Q| driver-side loops; wall-clock scales with k, not |Q|.
+
+    Stage 1: pool MEMBERSHIP from :func:`knn_join` (one corpus scan
+    for all queries, BLAS-ranked — rank-robust to the last-ulp matmul
+    drift exactly like rp_knn_join's shortlist), then relevance and
+    all pairwise similarities are RE-SCORED with the sequential-fold
+    cosine expression on the pooled rows only, so every number the
+    greedy compares is bit-identical to the SQL mirror. Stage 2: k−1
+    rounds of (anti-join selected) → (qid-keyed join to selected,
+    ≤ pool·k rows per query) → max-sim → per-qid row_number()=1 pick;
+    each round localCheckpoint-pinned so plans stay flat. Returns
+    ``(qid, id, rank, rel, mmr)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        vector as V,
+    )
+
+    pool_ids = knn_join(
+        queries, corpus, k=pool, query_id=query_id, query_vec=query_vec,
+        id_col=id_col, vec_col=vec_col,
+    ).select("qid", "neighbor_id")
+    qv = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    cand = (
+        pool_ids.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            F.col("neighbor_id").alias("id"),
+            "__v",
+            V.cosine_sim("__v", "__qv").alias("rel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rel = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("id"))
+    sel = (
+        cand.withColumn("__rn", F.row_number().over(w_rel))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "qid", "id", "__v", "rel", F.lit(1).alias("rank"),
+            (F.lit(lam) * F.col("rel")).alias("mmr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, k + 1):
+        rest = cand.join(
+            sel.select(F.col("qid").alias("__sq"), F.col("id").alias("__sid")),
+            (cand["id"] == F.col("__sid")) & (cand["qid"] == F.col("__sq")),
+            "left_anti",
+        )
+        mx = (
+            rest.join(
+                sel.select(F.col("qid").alias("__q"), F.col("__v").alias("__sv")),
+                F.col("qid") == F.col("__q"),
+            )
+            .groupBy("qid", "id")
+            .agg(F.max(V.cosine_sim("__v", "__sv")).alias("__maxsim"))
+        )
+        w_mmr = Window.partitionBy("qid").orderBy(F.desc("mmr"), F.asc("id"))
+        pick = (
+            rest.join(mx, ["qid", "id"])
+            .select(
+                "qid", "id", "__v", "rel", F.lit(step).alias("rank"),
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("__maxsim")
+                ).alias("mmr"),
+            )
+            .withColumn("__rn", F.row_number().over(w_mmr))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("qid", "id", "rank", "rel", "mmr")
