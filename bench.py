@@ -160,9 +160,11 @@ SCALE_QUERIES = [
     "similar_series",
     "rp_knn_join",
     # round-8 additions: span-removal dedup (argmin + coverage-union
-    # rebuild at 10x docs) and the curation-to-packing composite
+    # rebuild at 10x docs), the curation-to-packing composite, and
+    # batch-MMR diversified retrieval (pool scan + k-1 greedy passes)
     "remove_dup_spans",
     "mixture_pipeline",
+    "mmr_knn_join",
 ]
 SCALE_REPS = 3
 #: heavy build-dominated families measured once, un-warmed (the

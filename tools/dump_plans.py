@@ -314,6 +314,16 @@ AUDITED = {
         "fold into the rollup by key — the history-sized base⋈base join appears "
         "NOWHERE in the refresh plan."
     ),
+    "mmr_topk": (
+        "MMR diversified top-k: the relevance pool is a bounded "
+        "TakeOrderedAndProject scan (the only corpus-sized work, pinned); "
+        "the greedy runs over pool-row frames only."
+    ),
+    "mmr_knn_join": (
+        "Batch MMR: one knn_join corpus scan for pool membership, then k-1 "
+        "set-level per-qid windowed argmax passes over |Q|*pool rows - the "
+        "sequential greedy parallelized across queries."
+    ),
     "pareto_front": (
         "Skyline: distinct pairs → per-hash-partition sort-sweep windows (local "
         "prune), survivors into one tiny global sweep — the global sort sees "
