@@ -366,3 +366,10 @@ def test_prefix_jaccard_no_pairs_below_threshold(spark):
         ["doc_id", "text"],
     )
     assert D.prefix_jaccard_pairs(docs, threshold=0.3).count() == 0
+
+
+def test_prefix_jaccard_threshold_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            D.prefix_jaccard_pairs(docs, threshold=bad)

@@ -79,3 +79,12 @@ def test_unpivot_melts_wide_to_long(spark):
     assert got == [
         (1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0),
     ]
+
+
+def test_pareto_front_ignores_null_coordinates(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10), (None, 99), (2.0, None), (3.0, 12)],
+        "price double, size int",
+    )
+    got = {(r.price, r.size) for r in R.pareto_front(df, "price", "size").collect()}
+    assert got == {(1.0, 10), (3.0, 12)}

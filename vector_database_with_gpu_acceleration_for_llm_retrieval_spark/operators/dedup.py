@@ -988,6 +988,10 @@ def prefix_jaccard_pairs(
     verify joins); never a cross product; per-doc state bounded by
     doc length. Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
+    if not 0.0 < threshold <= 1.0:
+        # t ≤ 0 makes the prefix longer than the set (slice underflow);
+        # t > 1 is unsatisfiable — both are caller bugs, say so
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     toks = docs.select(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("__t")
     )

@@ -1182,9 +1182,14 @@ def pareto_front(
     strictly better row). Returns the distinct ``(min_col, max_col)``
     skyline pairs.
     """
-    pairs = df.select(
-        F.col(min_col).alias("__lo"), F.col(max_col).alias("__hi")
-    ).distinct()
+    # dominance over NULL is undefined — a null coordinate can neither
+    # dominate nor be dominated coherently, so such rows are excluded
+    # (the same convention as SQL comparison predicates)
+    pairs = (
+        df.select(F.col(min_col).alias("__lo"), F.col(max_col).alias("__hi"))
+        .filter(F.col("__lo").isNotNull() & F.col("__hi").isNotNull())
+        .distinct()
+    )
     part = F.pmod(F.xxhash64("__lo", "__hi"), F.lit(prune_partitions))
 
     def sweep(frame: DataFrame, keys: list) -> DataFrame:
