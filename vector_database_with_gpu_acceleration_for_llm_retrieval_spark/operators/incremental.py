@@ -221,7 +221,9 @@ def join_view_delta(
     broadcast budget and let AQE pick) plus a delta×delta join.
     This is textbook IVM (Blakeley et al. 1986, counting algorithm
     restricted to inserts); deletions ride as retraction rows with
-    negated measures exactly like :func:`merge_rollup` retractions.
+    negated measures for the sum/count monoids — min/max are
+    insert-only here, as in every rollup (a retraction cannot un-take
+    a max).
 
     ``join_on`` is any join condition usable by ``DataFrame.join``.
     Returns the partial-agged DELTA rollup (fold it with

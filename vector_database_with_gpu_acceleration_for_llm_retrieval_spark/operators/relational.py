@@ -1128,8 +1128,9 @@ def salted_join(
 
     ``how`` ∈ {inner, left} (fact-preserving; salt replication would
     multiply unmatched DIM rows under right/outer, so those are
-    refused). NULL fact keys hash to a single salt — harmless: they
-    match nothing (inner) or pass through once (left). Rows that are
+    refused). NULL fact keys spread like any other row (the salt hashes
+    the whole row) and stay harmless: they match nothing (inner) or
+    pass through once (left). Rows that are
     complete duplicates share a salt and stay in one bucket; salt on an
     explicit high-cardinality column upstream if that matters. This is
     the manual form of what AQE skew-join does adaptively; keep it for

@@ -210,9 +210,10 @@ def frequent_items(
     hitters — never a full-key-set shuffle.
 
     Phase 1 (mapInPandas, one pass): each partition folds batch
-    ``value_counts`` into a dict; when it exceeds ``cap`` entries it
-    subtracts the (cap+1)-th largest count from all and keeps the
-    positive remainder (the weighted Misra-Gries shrink: every shrink
+    ``value_counts`` into a dict, shrinking after each batch; between
+    shrinks the dict holds at most cap + the batch's distinct count
+    (Arrow-batch-bounded). The shrink subtracts the (cap+1)-th largest
+    count from all entries and keeps the positive remainder (the weighted Misra-Gries shrink: every shrink
     removes ≥ (cap+1)·s total mass, so any item's undercount is
     ≤ N_p/(cap+1)). An item with global frequency ≥ N/k has, by
     pigeonhole, local frequency ≥ N_q/k in some partition q, and with

@@ -526,7 +526,9 @@ def seasonal_decompose(
     per-day-of-week mean of the detrended series centered to sum ~0
     (minus the global detrended mean), and the residual is what's
     left — the anomaly-hunting input ``zscore_anomaly`` wants after
-    trend/seasonality stop masking outliers.
+    trend/seasonality stop masking outliers. ``daily`` is expected to
+    carry ONE row per day (the upstream daily aggregate's contract);
+    duplicate days would silently widen the trend window.
 
     All three components are windows over the DAILY frame (≤ a few
     thousand rows regardless of event volume — the upstream daily
