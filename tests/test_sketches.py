@@ -193,3 +193,36 @@ def test_hll_registers_fold_via_incremental_rollup(tables):
     want = sketches.hll_estimate_from_registers(want_regs).collect()[0]
     assert (got.nonzero, got.z_scaled) == (want.nonzero, want.z_scaled)
     assert got.estimate == want.estimate
+
+
+def test_hll_registers_stream_maintained(spark, tmp_path):
+    # composition proof: the generic streaming rollup maintenance keeps
+    # a LIVE distinct-count sketch when fed register updates with the
+    # max-merge measure — no HLL-specific streaming code needed
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("hs", "hr", "hc"))
+    b1 = spark.range(0, 4000).selectExpr("CAST(id AS STRING) AS item")
+    b2 = spark.range(3000, 9000).selectExpr("CAST(id AS STRING) AS item")
+    sketches.hll_register_updates(b1, "item").write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["idx"], {"rho": ("max", "rho")},
+        "idx long, rho int",
+    )
+    q.processAllAvailable()
+    sketches.hll_register_updates(b2, "item").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    live = sketches.hll_estimate_from_registers(spark.read.parquet(roll)).collect()[0]
+    want = sketches.hll_estimate_from_registers(
+        sketches.hll_register_updates(b1.unionByName(b2), "item")
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    ).collect()[0]
+    assert (live.nonzero, live.z_scaled, live.estimate) == (
+        want.nonzero, want.z_scaled, want.estimate,
+    )
+    # 9000 true distincts; classic-HLL p=8 error ~6.5%, allow 4 sigma
+    assert abs(live.estimate - 9000) / 9000 < 0.26

@@ -3717,7 +3717,7 @@ def _oracle_mmr_topk() -> str:
     lam, om = MMR_LAM, 1.0 - MMR_LAM
     ctes = [
         f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-cand AS (SELECT vec_id AS id, embedding AS v, {_sq_cosine('embedding', 'qv')} AS rel
+cand AS MATERIALIZED (SELECT vec_id AS id, embedding AS v, {_sq_cosine('embedding', 'qv')} AS rel
          FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
 s1 AS (SELECT id, v, rel, 1 AS rank, {lam!r} * rel AS mmr
        FROM cand ORDER BY rel DESC, id LIMIT 1),
@@ -3758,9 +3758,9 @@ def _oracle_mmr_knn_join() -> str:
 
     lam, om = MMR_LAM, 1.0 - MMR_LAM
     head = f"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
-sc AS (SELECT q.qid, e.vec_id AS id, e.embedding AS v, {_sq_cosine('e.embedding', 'q.qv')} AS rel
+sc AS MATERIALIZED (SELECT q.qid, e.vec_id AS id, e.embedding AS v, {_sq_cosine('e.embedding', 'q.qv')} AS rel
        FROM embeddings e, qs q),
-pool AS (SELECT qid, id, v, rel FROM (
+pool AS MATERIALIZED (SELECT qid, id, v, rel FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM sc)
          WHERE rn <= {MMRJ_POOL}),
 s1 AS (SELECT qid, id, v, rel, 1 AS rank, {lam!r} * rel AS mmr FROM (
