@@ -110,3 +110,72 @@ def test_semantic_dedup_block_cap(spark):
     # no cap: both blobs' pairs
     full = CL.semantic_dedup_pairs(df, cents, tau=0.9).collect()
     assert len(full) == 12 * 11 // 2 + 4 * 3 // 2
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_numpy_greedy(tables):
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.clustering import (
+        kcenter_select,
+    )
+
+    emb = tables["embeddings"]
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def np_greedy(k, seed=0):
+        sel = [int(np.where(ids == seed)[0][0])]
+        out = [(seed, 1, None)]
+        for rank in range(2, k + 1):
+            d = np.min(
+                ((X[:, None, :] - X[None, sel, :]) ** 2).sum(axis=2), axis=1
+            )
+            d[sel] = -np.inf
+            # argmax with ascending-id tie-break
+            best = max(
+                (i for i in range(len(ids)) if i not in sel),
+                key=lambda i: (d[i], -ids[i]),
+            )
+            out.append((int(ids[best]), rank, float(d[best])))
+            sel.append(best)
+        return out
+
+    got = [
+        (r.id, r.rank, r.min_dist)
+        for r in kcenter_select(emb, k=5, seed_id=0).orderBy("rank").collect()
+    ]
+    want = np_greedy(5)
+    for (gi, gr, gd), (wi, wr, wd) in zip(got, want):
+        assert (gi, gr) == (wi, wr)
+        if wd is not None:
+            assert abs(gd - wd) < 1e-9
+
+
+def test_kcenter_spreads_further_than_topk_neighbors(tables):
+    # the selected set must be pairwise farther apart than the seed's
+    # nearest neighbors are to the seed (diversity property)
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.clustering import (
+        kcenter_select,
+    )
+
+    emb = tables["embeddings"]
+    sel = kcenter_select(emb, k=4, seed_id=0).collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin([r.id for r in sel])).collect()
+    }
+    ids = [r.id for r in sel]
+    pair_d = [
+        ((vecs[a] - vecs[b]) ** 2).sum()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    ]
+    assert min(pair_d) > 0.0

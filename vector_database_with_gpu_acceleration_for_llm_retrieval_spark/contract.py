@@ -3992,6 +3992,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "mmr_topk": q_mmr_topk,
         "mmr_knn_join": q_mmr_knn_join,
+        "kcenter_select": q_kcenter_select,
     }
 
 
@@ -4380,3 +4381,26 @@ def q_mmr_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("rel"), "rel"),
         _round6(F.col("mmr"), "mmr"),
     ).orderBy("qid", "rank")
+
+
+#: k-center coreset size (mirrored by the oracle)
+KCENTER_K = 5
+
+
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal, Gonzalez
+    2-approx): the diversity-first data-selection primitive — k−1
+    corpus scans, each a broadcast min-distance partial agg + 1-row
+    argmax (operators/clustering.kcenter_select); oracle = the same
+    greedy unrolled into k SQL steps."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        clustering as CLX,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = CLX.kcenter_select(t["embeddings"], k=KCENTER_K, seed_id=0)
+    return res.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("rank").cast("int").alias("rank"),
+        _round6(F.col("min_dist"), "min_dist"),
+    ).orderBy("rank")

@@ -3792,6 +3792,39 @@ FROM ({union}) ORDER BY qid, rank
 """
 
 
+
+
+def _oracle_kcenter_select() -> str:
+    """Gonzalez greedy unrolled into k SQL steps — same seed, same
+    min-L2² fold, same argmax tie-breaks."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        KCENTER_K,
+    )
+
+    ctes = [
+        """src AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings),
+s1 AS (SELECT id, v, 1 AS rank, CAST(NULL AS DOUBLE) AS min_dist FROM src WHERE id = 0),
+sel1 AS (SELECT id, v FROM s1)"""
+    ]
+    for t in range(2, KCENTER_K + 1):
+        ctes.append(
+            f"""p{t} AS (SELECT c.id, c.v, min({_sq_l2sq('c.v', 'p.v')}) AS d
+       FROM src c, sel{t - 1} p WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+       GROUP BY c.id, c.v),
+s{t} AS (SELECT id, v, {t} AS rank, d AS min_dist FROM p{t} ORDER BY d DESC, id LIMIT 1),
+sel{t} AS (SELECT id, v FROM sel{t - 1} UNION ALL SELECT id, v FROM s{t})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, rank, min_dist FROM s{t}" for t in range(1, KCENTER_K + 1)
+    )
+    return f"""
+WITH {','.join(ctes)}
+SELECT CAST(id AS BIGINT) AS id, CAST(rank AS INT) AS rank,
+       {_r6('min_dist', 'min_dist')}
+FROM ({union}) ORDER BY rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4011,5 +4044,6 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": _ORACLE_ATTRIBUTION_LAST_TOUCH,
         "mmr_topk": _oracle_mmr_topk(),
         "mmr_knn_join": _oracle_mmr_knn_join(),
+        "kcenter_select": _oracle_kcenter_select(),
         "hll_incremental": _oracle_hll_distinct(),
     }

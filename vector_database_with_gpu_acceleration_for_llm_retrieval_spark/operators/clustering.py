@@ -42,6 +42,7 @@ __all__ = [
     "kmeans_fit",
     "cluster_profile",
     "semantic_dedup_pairs",
+    "kcenter_select",
 ]
 
 
@@ -205,3 +206,67 @@ def semantic_dedup_pairs(
         .filter(F.col("cos") >= F.lit(float(tau)))
         .select("id_a", "id_b", "cluster", "cos")
     )
+
+
+def kcenter_select(
+    corpus: "DataFrame",
+    k: int = 5,
+    seed_id=0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985 — the 2-approximation): starting from ``seed_id``,
+    repeatedly pick the point FARTHEST from everything selected so far
+    (max over candidates of min-L2² to the selected set). The standard
+    diversity-first data-selection primitive — a coreset whose covering
+    radius is within 2× of optimal, the complement of similarity-driven
+    dedup (drop redundancy) and MMR (rerank a pool): here the OUTPUT is
+    the diverse subset itself, e.g. seed examples for labeling or a
+    balanced eval slice.
+
+    Scale shape: the greedy is inherently k−1 sequential passes, each
+    ONE corpus scan — an anti-join against the ≤k selected ids, a
+    broadcast of the ≤k selected vectors, a per-id min-distance
+    partial agg, and a 1-row TakeOrdered argmax (ties by ascending
+    id). k scans of the corpus is the honest cost of the exact greedy;
+    subsample upstream (or pool like mmr_topk) when k·scan is too
+    much. Selected frames are localCheckpoint-pinned so plans stay
+    flat. Returns ``(id, rank, min_dist)`` — min-L2² to the previously
+    selected at pick time (NULL for the seed).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        vector as V,
+    )
+
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    sel = (
+        src.filter(F.col("id") == seed_id)
+        .select(
+            "id", "__v", F.lit(1).alias("rank"),
+            F.lit(None).cast("double").alias("min_dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, k + 1):
+        rest = src.join(
+            sel.select(F.col("id").alias("__sid")),
+            F.col("id") == F.col("__sid"),
+            "left_anti",
+        )
+        dists = (
+            rest.crossJoin(F.broadcast(sel.select(F.col("__v").alias("__sv"))))
+            .groupBy("id")
+            .agg(F.min(V.l2sq("__v", "__sv")).alias("__d"))
+        )
+        pick = (
+            rest.join(dists, "id")
+            .orderBy(F.desc("__d"), F.asc("id"))
+            .limit(1)
+            .select(
+                "id", "__v", F.lit(step).alias("rank"),
+                F.col("__d").alias("min_dist"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("id", "rank", "min_dist")
