@@ -3993,6 +3993,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "mmr_knn_join": q_mmr_knn_join,
         "kcenter_select": q_kcenter_select,
+        "robust_scale": q_robust_scale,
     }
 
 
@@ -4404,3 +4405,21 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         _round6(F.col("min_dist"), "min_dist"),
     ).orderBy("rank")
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust feature scaling: (x − median)/IQR per return
+    flag over lineitem prices — RobustScaler semantics on the exact
+    percentile/quantile_cont parity (operators/profiling.robust_scale)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PF,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = PF.robust_scale(t["lineitem"], "l_extendedprice", group_col="l_returnflag")
+    return res.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        _round6(F.col("scaled"), "scaled"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -3825,6 +3825,22 @@ FROM ({union}) ORDER BY rank
 """
 
 
+
+
+_ORACLE_ROBUST_SCALE = f"""
+WITH st AS (SELECT l_returnflag AS g,
+                   quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.5) AS med,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem GROUP BY 1)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag,
+       {_r6('(l_extendedprice - med) / nullif(q3 - q1, 0)', 'scaled')}
+FROM lineitem JOIN st ON l_returnflag = st.g
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4045,5 +4061,6 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": _oracle_mmr_topk(),
         "mmr_knn_join": _oracle_mmr_knn_join(),
         "kcenter_select": _oracle_kcenter_select(),
+        "robust_scale": _ORACLE_ROBUST_SCALE,
         "hll_incremental": _oracle_hll_distinct(),
     }

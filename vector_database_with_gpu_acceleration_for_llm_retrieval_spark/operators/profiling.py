@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability", "hot_keys"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability", "hot_keys", "robust_scale"]
 
 
 def profile_table(
@@ -569,3 +569,35 @@ def population_stability(
         F.sum("psi_term").alias("psi_term"),
     )
     return j.unionByName(total)
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Median/IQR feature scaling — ``(x − median) / (Q3 − Q1)`` — the
+    outlier-robust standardization (sklearn's RobustScaler semantics):
+    unlike z-scoring, a handful of extreme values cannot poison the
+    location/scale estimates. Grouped when ``group_col`` is given.
+
+    One exact-percentile aggregate per group (the same
+    ``percentile``/``quantile_cont`` parity as price_percentiles —
+    swap for ``percentile_approx`` at 100 TB) broadcast back onto the
+    rows; the scan itself is untouched. Zero-IQR groups (constant
+    values) scale to NULL rather than ±inf — filter or coalesce
+    downstream. Adds ``out_col`` to the input frame.
+    """
+    pct = F.expr(f"percentile({value_col}, array(0.25, 0.5, 0.75))")
+    if group_col is not None:
+        st = df.groupBy(group_col).agg(pct.alias("__p"))
+        joined = df.join(F.broadcast(st), group_col)
+    else:
+        st = df.agg(pct.alias("__p"))
+        joined = df.crossJoin(F.broadcast(st))
+    iqr = F.col("__p")[2] - F.col("__p")[0]
+    scaled = F.when(
+        iqr != 0, (F.col(value_col) - F.col("__p")[1]) / iqr
+    )
+    return joined.withColumn(out_col, scaled).drop("__p")
