@@ -179,3 +179,14 @@ def test_kcenter_spreads_further_than_topk_neighbors(tables):
         for b in ids[i + 1 :]
     ]
     assert min(pair_d) > 0.0
+
+
+def test_kcenter_missing_seed_raises(tables):
+    import pytest
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.clustering import (
+        kcenter_select,
+    )
+
+    with pytest.raises(ValueError, match="seed_id"):
+        kcenter_select(tables["embeddings"], k=3, seed_id=-999)

@@ -458,6 +458,22 @@ def test_knn_join_materializes_query_plan_once(corpus, spark):
     assert acc.value == 8, f"query plan ran {acc.value}/8 rows' worth"
 
 
+def test_knn_join_preserves_caller_cache(corpus, spark):
+    """r9 ADVICE fix: knn_join must not unpersist a query frame the
+    CALLER had already cached (persist is a no-op there, but an
+    unconditional unpersist would evict the caller's cache)."""
+    src = corpus.filter("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cached = src.persist()
+    try:
+        assert S.knn_join(cached, corpus, k=2, query_id="qid",
+                          query_vec="qvec").count() == 4 * 2
+        assert cached.is_cached, "knn_join evicted the caller's cache"
+    finally:
+        cached.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # MMR diversified top-k
 # ---------------------------------------------------------------------------

@@ -167,6 +167,27 @@ def test_frequent_items_cap_below_k_rejected(spark):
         sketches.frequent_items(_skewed(spark, 100), "item", k=10, cap=5)
 
 
+def test_frequent_items_keeps_frequent_null(spark):
+    # a NULL that clears the N/k bar must appear, exactly as plain
+    # GROUP BY/HAVING would keep the NULL group (null-safe verify join)
+    src = spark.range(100).selectExpr(
+        "CASE WHEN id < 60 THEN NULL "
+        "WHEN id < 90 THEN 'b' ELSE concat('z_', id) END AS item"
+    )
+    got = {(r.item, r.n_rows) for r in sketches.frequent_items(src, "item", k=4).collect()}
+    assert got == {(None, 60), ("b", 30)}
+
+
+def test_hll_estimate_empty_input_is_zero(spark):
+    regs = sketches.hll_register_updates(
+        spark.range(10).filter("id < 0").selectExpr("CAST(id AS STRING) AS s"), "s"
+    )
+    row = sketches.hll_estimate_from_registers(regs).collect()[0]
+    assert row.nonzero == 0
+    assert row.z_scaled == (1 << 8) * (1 << (60 - 8 + 1))
+    assert row.estimate == 0.0
+
+
 def test_hll_registers_fold_via_incremental_rollup(tables):
     # the streaming-view path: register updates folded through the
     # generic rollup algebra == the one-shot sketch

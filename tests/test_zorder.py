@@ -45,6 +45,20 @@ def test_zorder_value_bits_validation():
         zorder_value(F.lit(1), F.lit(1), bits=32)
 
 
+def test_zorder_stats_bucket_bits_validation(spark):
+    import pytest
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.layout import (
+        zorder_stats,
+    )
+
+    df = spark.range(10).selectExpr("id AS x", "id AS y")
+    with pytest.raises(ValueError):
+        zorder_stats(df, "x", "y", bits=8, bucket_bits=17)  # > 2*bits
+    with pytest.raises(ValueError):
+        zorder_stats(df, "x", "y", bits=8, bucket_bits=0)
+
+
 def test_zorder_stats_bounds_both_dims(tables):
     # top 8 z-bits fix the top 4 bits of x AND y → every bucket's span
     # in either dimension is < 2^12 of the 2^16 domain

@@ -248,6 +248,11 @@ def kcenter_select(
         )
         .localCheckpoint(eager=True)
     )
+    # a missing seed would silently thread an empty selected set through
+    # every greedy step and return an empty frame — surface the caller
+    # error instead (the checkpoint above already materialized sel)
+    if sel.limit(1).count() == 0:
+        raise ValueError(f"seed_id {seed_id!r} not found in corpus")
     for step in range(2, k + 1):
         rest = src.join(
             sel.select(F.col("id").alias("__sid")),

@@ -65,6 +65,12 @@ def zorder_stats(
     z-value itself is a pure projection. Returns
     ``(bucket, n_rows, x_min, x_max, y_min, y_max, x_span, y_span)``.
     """
+    # bucket_bits > 2*bits would make the shift count negative (the JVM
+    # masks shifts & 63 → garbage bucket ids); ≤ 0 is equally meaningless
+    if not 1 <= bucket_bits <= 2 * bits:
+        raise ValueError(
+            f"bucket_bits must be in [1, 2*bits={2 * bits}], got {bucket_bits}"
+        )
     m = 1 << bits
     x = F.pmod(F.col(x_col).cast("long"), F.lit(m))
     y = F.pmod(F.col(y_col).cast("long"), F.lit(m))

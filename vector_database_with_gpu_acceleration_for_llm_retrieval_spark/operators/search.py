@@ -275,7 +275,11 @@ def knn_join(
     # Safe to drop as soon as the vectors live in driver chunks /
     # split recursions have run: the output plan references only the
     # broadcast chunks and the corpus scan, never `queries`.
-    if _depth == 0:
+    # Only persist (and later unpersist) when the CALLER hadn't: persist
+    # on an already-cached frame is a no-op but unpersist is not, so an
+    # unconditional pair would evict the caller's cache as a side effect.
+    _we_cached = _depth == 0 and not queries.is_cached
+    if _we_cached:
         queries = queries.persist()
     n_q = queries.count()
     if n_q > max_broadcast_rows and _depth < 4:
@@ -300,7 +304,7 @@ def knn_join(
             out = part if out is None else out.unionByName(part)
         # every split's vectors are already in driver-side broadcast
         # chunks (the recursion's toPandas ran eagerly in the loop)
-        if _depth == 0:
+        if _we_cached:
             queries.unpersist()
         return out
 
@@ -309,7 +313,7 @@ def knn_join(
     # (a per-partition toLocalIterator costs one sequential job
     # round-trip per partition: measured 1.9 s vs 0.04 s at 32 parts)
     qpdf = queries.select(query_id, query_vec).toPandas()
-    if _depth == 0:
+    if _we_cached:
         queries.unpersist()  # vectors now live in driver memory
     chunks: list[tuple[list, np.ndarray, np.ndarray]] = []
     for lo in range(0, len(qpdf), query_chunk):

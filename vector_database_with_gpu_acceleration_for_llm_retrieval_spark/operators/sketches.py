@@ -125,7 +125,10 @@ def hll_estimate_from_registers(regs: DataFrame, p: int = 8) -> DataFrame:
     contrib = F.pow(F.lit(2.0), F.lit(w + 1) - F.col("rho")).cast("long")
     sk = regs.agg(
         F.count(F.lit(1)).alias("nonzero"),
-        F.sum(contrib).alias("__z_filled"),
+        # coalesce: sum over zero rows is NULL; an empty register table
+        # is the empty sketch (all registers 0) whose estimate must be 0,
+        # not a NULL that propagates through the small-range CASE
+        F.coalesce(F.sum(contrib), F.lit(0)).alias("__z_filled"),
     ).select(
         "nonzero",
         (
@@ -247,8 +250,13 @@ def frequent_items(
 
     cand = src.mapInPandas(mg, schema="item string").distinct()
     tot = src.agg(F.count(F.lit(1)).alias("__n"))
+    # leftsemi on eqNullSafe: a frequent NULL candidate must still match
+    # its NULL source rows (a null-unsafe equi-join would drop the NULL
+    # group that plain GROUP BY/HAVING keeps, breaking the oracle claim)
     return (
-        src.join(F.broadcast(cand), ["item"])
+        src.join(
+            F.broadcast(cand), src["item"].eqNullSafe(cand["item"]), "leftsemi"
+        )
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .crossJoin(F.broadcast(tot))
