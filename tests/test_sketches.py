@@ -247,3 +247,119 @@ def test_hll_registers_stream_maintained(spark, tmp_path):
     )
     # 9000 true distincts; classic-HLL p=8 error ~6.5%, allow 4 sigma
     assert abs(live.estimate - 9000) / 9000 < 0.26
+
+
+# ---------------------------------------------------------------------------
+# portable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _qvals(spark):
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        rng.lognormal(8, 2, 3000).round(2),
+        -rng.lognormal(4, 1, 1000).round(2),
+        np.zeros(30),
+        np.arange(1, 40) / 100.0,
+    ])
+    return spark.createDataFrame(pd.DataFrame({"x": vals})), np.sort(vals)
+
+
+def test_qsketch_small_ints_exact_buckets(spark):
+    # |v| < 2^(m+1) → every integer its own bucket (exact small-value
+    # quantiles); bucket ids strictly monotone in the value
+    df = spark.range(1, 256).selectExpr("CAST(id AS DOUBLE) AS x")
+    sk = sketches.qsketch(df, "x", m=7, scale=1).collect()
+    assert len(sk) == 255
+    assert all(r.n_rows == 1 and r.lo == r.hi for r in sk)
+    assert [r.lo for r in sorted(sk, key=lambda r: r.bucket)] == [
+        float(i) for i in range(1, 256)
+    ]
+
+
+def test_qsketch_bounds_bracket_true_quantiles(spark):
+    import numpy as np
+
+    df, sv = _qvals(spark)
+    sk = sketches.qsketch(df, "x", m=7, scale=100)
+    assert sk.agg(F.sum("n_rows")).collect()[0][0] == len(sv)
+    # buckets are disjoint and ordered: value order == bucket order
+    rows = sorted(sk.collect(), key=lambda r: r.bucket)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 1e-9
+    est = sketches.qsketch_quantiles(
+        sk.select("bucket", "n_rows"), [0.01, 0.25, 0.5, 0.9, 0.99], m=7, scale=100
+    ).collect()
+    for r in est:
+        true = sv[int(np.ceil(r.q * len(sv))) - 1]
+        assert r.lo - 1e-9 <= true <= r.hi + 1e-9, (r, true)
+        if abs(true) >= 1:  # relative bound needs |v| past the exact range
+            assert abs(r.estimate - true) / abs(true) <= 2**-8 + 1e-12
+
+
+def test_qsketch_incremental_fold_equals_one_shot(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    df, _ = _qvals(spark)
+    parts = [df.filter(F.pmod(F.monotonically_increasing_id(), F.lit(3)) == i)
+             for i in range(3)]
+    # fold three deltas through the rollup algebra in arbitrary order
+    measures = {"cnt": ("sum", "cnt")}
+    r = INC.partial_agg(
+        sketches.qsketch_updates(parts[2], "x", scale=100), ["bucket"], measures
+    )
+    for p in (parts[0], parts[1]):
+        r = INC.incremental_agg(
+            r, sketches.qsketch_updates(p, "x", scale=100), ["bucket"], measures
+        )
+    got = {(x.bucket, x.cnt) for x in r.collect()}
+    want = {
+        (x.bucket, x.n_rows)
+        for x in sketches.qsketch(df, "x", scale=100).collect()
+    }
+    assert got == want
+
+
+def test_qsketch_stream_maintained(spark, tmp_path):
+    # composition proof: the generic streaming rollup keeps a LIVE
+    # quantile sketch when fed bucket updates with the sum measure —
+    # no quantile-specific streaming code needed (the HLL pattern)
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("qs", "qr", "qc"))
+    b1 = spark.range(1, 4000).selectExpr("CAST(id AS DOUBLE) / 7 AS x")
+    b2 = spark.range(4000, 9000).selectExpr("CAST(id AS DOUBLE) / 7 AS x")
+    sketches.qsketch_updates(b1, "x", scale=100).write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["bucket"], {"cnt": ("sum", "cnt")},
+        "bucket long, cnt long",
+    )
+    q.processAllAvailable()
+    sketches.qsketch_updates(b2, "x", scale=100).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    live = spark.read.parquet(roll).select("bucket", F.col("cnt").alias("n_rows"))
+    got = sketches.qsketch_quantiles(live, [0.5, 0.9], scale=100).collect()
+    want = sketches.qsketch_quantiles(
+        sketches.qsketch(b1.unionByName(b2), "x", scale=100).select("bucket", "n_rows"),
+        [0.5, 0.9], scale=100,
+    ).collect()
+    assert [(r.q, r.bucket, r.estimate) for r in got] == [
+        (r.q, r.bucket, r.estimate) for r in want
+    ]
+
+
+def test_qsketch_empty_and_null_input(spark):
+    empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS x")
+    assert sketches.qsketch(empty, "x").count() == 0
+    nulls = spark.range(10).selectExpr(
+        "CASE WHEN id < 5 THEN CAST(id + 1 AS DOUBLE) ELSE NULL END AS x"
+    )
+    assert sketches.qsketch(nulls, "x").agg(F.sum("n_rows")).collect()[0][0] == 5

@@ -3994,6 +3994,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_knn_join": q_mmr_knn_join,
         "kcenter_select": q_kcenter_select,
         "robust_scale": q_robust_scale,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_estimate": q_quantile_estimate,
+        "quantile_incremental": q_quantile_incremental,
     }
 
 
@@ -4266,6 +4269,115 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
         _round6(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), "rel_err"),
     )
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable quantile-sketch STATE over l_extendedprice (m=7,
+    scale=100): a base-2 sub-bucketed histogram with integer-exact
+    bucket mapping (bit-length CASE chain — the hll_rho trick), so
+    every (bucket, count, lo, hi) row is bit-identical to the DuckDB
+    mirror running the same integer code. One map-side-combined
+    groupBy onto ≤ ~8k bucket keys — the shuffle carries the sketch,
+    never the rows (operators/sketches.qsketch)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = SK.qsketch(t["lineitem"], "l_extendedprice", m=7, scale=100)
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+    ).orderBy("bucket")
+
+
+def _quantile_report(li: DataFrame, buckets: DataFrame) -> DataFrame:
+    """Shared tail of the quantile entries: estimates from the sketch
+    state + the exact rank-r values for the error report. The exact
+    column is the full-sort evidence the sketch replaces (hll's
+    exact_distinct pattern) — test-scale only, not the scale path."""
+    from pyspark.sql import Window
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = SK.qsketch_quantiles(buckets, qs, m=7, scale=100)
+    v = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.floor(F.col("l_extendedprice").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__v")
+    )
+    sv = v.select("__v", F.row_number().over(Window.orderBy("__v")).alias("__rn"))
+    ex = (
+        est.select("q", "rank")
+        .join(sv, F.col("__rn") == F.col("rank"))
+        .select("q", (F.col("__v") / F.lit(100.0)).alias("__exact"))
+    )
+    e = F.col("estimate")
+    return (
+        est.join(ex, "q")
+        .select(
+            F.col("q").cast("double").alias("q"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("bucket").cast("long").alias("bucket"),
+            _round6(F.col("lo"), "lo"),
+            _round6(F.col("hi"), "hi"),
+            _round6(e, "estimate"),
+            _round6(F.col("__exact"), "exact"),
+            _round6(F.abs(e - F.col("__exact")) / F.abs(F.col("__exact")), "rel_err"),
+        )
+        .orderBy("q")
+    )
+
+
+def q_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles read off the sketch state: the value at rank
+    max(1, ceil(q·N)) lies in the first bucket whose cumulative count
+    reaches the rank; the bucket's [lo, hi] brackets the TRUE quantile
+    and the midpoint estimates it to relative error ≤ 2^-8 — verified
+    against the exact rank value, both engines using the identical
+    integer rank rule (operators/sketches.qsketch_quantiles)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    sk = SK.qsketch(li, "l_extendedprice", m=7, scale=100)
+    return _quantile_report(li, sk.select("bucket", "n_rows"))
+
+
+def q_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch maintained INCREMENTALLY: bucket-count
+    updates from a 90/10 split folded through the generic rollup
+    algebra (sum-merge per bucket) — provably bucket-equal to the
+    one-shot sketch since per-bucket count sums are order-independent,
+    so it shares quantile_estimate's oracle (operators/sketches.
+    qsketch_updates + incremental.incremental_agg — the hll_incremental
+    pattern, completing the HLL/Misra-Gries/quantile trio)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    split = F.pmod(TX.portable_token_hash(F.col("l_orderkey").cast("string")), F.lit(10))
+    hist, delta = li.filter(split < 9), li.filter(split >= 9)
+    measures = {"cnt": ("sum", "cnt")}
+    r0 = INC.partial_agg(
+        SK.qsketch_updates(hist, "l_extendedprice", m=7, scale=100),
+        ["bucket"], measures,
+    )
+    buckets = INC.incremental_agg(
+        r0, SK.qsketch_updates(delta, "l_extendedprice", m=7, scale=100),
+        ["bucket"], measures,
+    )
+    return _quantile_report(li, buckets.select("bucket", F.col("cnt").alias("n_rows")))
 
 
 PORTABLE_SQL_GROUPING_SETS = """

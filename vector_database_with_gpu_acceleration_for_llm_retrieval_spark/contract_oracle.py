@@ -3841,6 +3841,95 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+# ---------------------------------------------------------------------------
+# round 9: portable quantile sketch (the third of the sketch trio)
+# ---------------------------------------------------------------------------
+
+
+def _sq_qbucket(v: str, m: int = 7) -> str:
+    """Integer-exact quantile-sketch bucket id of BIGINT expr ``v`` —
+    the SQL mirror of operators/sketches.qsketch_bucket: bit-length
+    CASE chain (no float log), shift-based sub-bucket, sign-mirrored,
+    monotone in ``v``."""
+    blen = "CASE WHEN u >= 4611686018427387904 THEN 62 " + " ".join(
+        f"WHEN u >= {1 << b} THEN {b}" for b in range(61, 0, -1)
+    ) + " ELSE 0 END"
+    tm = 1 << m
+    return f"""
+(SELECT CASE WHEN vv = 0 THEN 0
+        ELSE (CASE WHEN vv > 0 THEN 1 ELSE -1 END)
+             * ((e * {tm})
+                + (CASE WHEN e >= {m} THEN (u >> (e - {m}))
+                        ELSE (u << ({m} - e)) END - {tm}) + 1) END
+ FROM (SELECT ({v}) AS vv, abs({v}) AS u) q0,
+      LATERAL (SELECT {blen} AS e) q1)"""
+
+
+def _sq_qbounds(m: int = 7, scale: int = 100) -> str:
+    """SQL fragment decoding ``bucket`` → ``lo_i``/``hi_i`` integer
+    bounds (use inside a FROM over a frame with a ``bucket`` column)."""
+    tm = 1 << m
+    return f"""
+      LATERAL (SELECT abs(bucket) - 1 AS c) d0,
+      LATERAL (SELECT c >> {m} AS e, (c & {tm - 1}) + {tm} AS base) d1,
+      LATERAL (SELECT CASE WHEN e >= {m} THEN base << (e - {m})
+                           ELSE base >> ({m} - e) END AS lo_pos,
+                      CASE WHEN e >= {m}
+                           THEN (base << (e - {m})) + (1 << (e - {m})) - 1
+                           ELSE base >> ({m} - e) END AS hi_pos) d2,
+      LATERAL (SELECT CASE WHEN bucket = 0 THEN 0
+                           WHEN bucket > 0 THEN lo_pos ELSE -hi_pos END AS lo_i,
+                      CASE WHEN bucket = 0 THEN 0
+                           WHEN bucket > 0 THEN hi_pos ELSE -lo_pos END AS hi_i) d3"""
+
+
+def _oracle_quantile_sketch() -> str:
+    """Bit-identical quantile-sketch state mirror (operators/sketches.
+    qsketch over l_extendedprice, m=7, scale=100): same
+    floor(x·100 + 0.5) fixed-point step, same bit-length CASE chain,
+    same shift sub-bucket — every (bucket, count) row must hash-match."""
+    return f"""
+WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT {_sq_qbucket('v')} AS bucket FROM v),
+c AS (SELECT bucket, count(*) AS n_rows FROM b GROUP BY bucket)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       {_r6('lo_i / 100.0', 'lo')}, {_r6('hi_i / 100.0', 'hi')}
+FROM c, {_sq_qbounds()}
+ORDER BY bucket
+"""
+
+
+def _oracle_quantile_estimate() -> str:
+    """Quantile estimates read off the sketch state + the exact
+    rank-r values for the error report — the same lower-empirical-rank
+    rule (r = max(1, ceil(q·N))) on both sides, so bucket picks and
+    estimates match exactly, and rel_err ≤ 2^-(m+1) is VERIFIED, not
+    assumed."""
+    return f"""
+WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT {_sq_qbucket('v')} AS bucket FROM v),
+c AS (SELECT bucket, count(*) AS n_rows FROM b GROUP BY bucket),
+tot AS (SELECT sum(n_rows) AS n FROM c),
+cum AS (SELECT bucket, sum(n_rows) OVER (ORDER BY bucket) AS cum FROM c),
+qs AS (SELECT CAST(x AS DOUBLE) AS q
+       FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)),
+rk AS (SELECT q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS rnk FROM qs, tot),
+pick AS (SELECT q, rnk, min(bucket) AS bucket
+         FROM rk JOIN cum ON cum.cum >= rk.rnk GROUP BY q, rnk),
+sv AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+ex AS (SELECT rk.q AS q, sv.v / 100.0 AS exact FROM rk JOIN sv ON sv.rn = rk.rnk)
+SELECT pick.q AS q, CAST(rnk AS BIGINT) AS rank, CAST(bucket AS BIGINT) AS bucket,
+       {_r6('lo_i / 100.0', 'lo')}, {_r6('hi_i / 100.0', 'hi')},
+       {_r6('(lo_i / 100.0 + hi_i / 100.0) / 2.0', 'estimate')},
+       {_r6('exact', 'exact')},
+       {_r6('abs((lo_i / 100.0 + hi_i / 100.0) / 2.0 - exact) / abs(exact)', 'rel_err')}
+FROM pick JOIN ex ON pick.q = ex.q, {_sq_qbounds()}
+ORDER BY q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4063,4 +4152,9 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _oracle_kcenter_select(),
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "hll_incremental": _oracle_hll_distinct(),
+        "quantile_sketch": _oracle_quantile_sketch(),
+        "quantile_estimate": _oracle_quantile_estimate(),
+        # the incremental fold is provably bucket-equal to the one-shot
+        # sketch, so it shares the estimate mirror (the hll pattern)
+        "quantile_incremental": _oracle_quantile_estimate(),
     }

@@ -47,6 +47,11 @@ __all__ = [
     "hll_estimate_from_registers",
     "hll_distinct",
     "frequent_items",
+    "qsketch_bucket",
+    "qsketch_bounds",
+    "qsketch_updates",
+    "qsketch",
+    "qsketch_quantiles",
 ]
 
 
@@ -267,4 +272,176 @@ def frequent_items(
             F.round(F.col("n_rows") / F.col("__n"), 6).alias("share"),
         )
         .orderBy(F.desc("n_rows"), F.asc_nulls_first("item"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable mergeable quantile sketch (completes the HLL / Misra-Gries trio)
+# ---------------------------------------------------------------------------
+
+
+def _bitlen_minus1(u: Column) -> Column:
+    """floor(log2(u)) for a positive BIGINT column as an exact integer
+    CASE chain (the :func:`hll_rho` trick — no float log whose last ulp
+    could differ between engines and flip a boundary value's bucket)."""
+    expr = F.when(u >= F.lit(1 << 62), F.lit(62))
+    for b in range(61, 0, -1):
+        expr = expr.when(u >= F.lit(1 << b), F.lit(b))
+    return expr.otherwise(F.lit(0))
+
+
+def qsketch_bucket(v: Column, m: int = 7) -> Column:
+    """Map a BIGINT value to its quantile-sketch bucket id: a base-2
+    sub-bucketed histogram key (the DDSketch idea — Masson et al.,
+    VLDB 2019 — rebuilt on integer-exact arithmetic so the state is
+    bit-reproducible across engines, which float ``log_gamma`` bucket
+    mappings cannot be).
+
+    For ``u = |v| ≥ 1`` with ``e = floor(log2 u)``: the top ``m`` bits
+    after the leading bit pick a sub-bucket
+    ``sub = floor(u·2^m / 2^e) − 2^m ∈ [0, 2^m)`` (a pure shift either
+    direction), and ``bucket = sign(v)·(e·2^m + sub + 1)``; ``v = 0``
+    maps to bucket 0. The id is MONOTONE in ``v``, so rank selection
+    over bucket ids is rank selection over values, and every bucket
+    spans a relative value range ≤ 2^−m — the sketch's error
+    guarantee. Values with ``|v| < 2^m`` get a bucket to themselves
+    (exact small-value quantiles). Deterministic for every input: no
+    ties to break, no randomness, no merge-order sensitivity — unlike
+    KLL/GK, whose compaction schedule depends on arrival order and so
+    can never hash-match across engines."""
+    u = F.abs(v)
+    e = _bitlen_minus1(u)
+    sub = (
+        F.when(
+            e >= m, F.call_function("shiftright", u, e - F.lit(m))
+        ).otherwise(F.call_function("shiftleft", u, F.lit(m) - e))
+        - F.lit(1 << m)
+    )
+    code = (e * F.lit(1 << m) + sub + F.lit(1)).cast("long")
+    return (
+        F.when(v == 0, F.lit(0).cast("long"))
+        .when(v > 0, code)
+        .otherwise(-code)
+    )
+
+
+def qsketch_bounds(bucket: Column, m: int = 7, scale: int = 1) -> tuple[Column, Column]:
+    """Inclusive integer value bounds ``[lo, hi]`` covered by a bucket
+    id, unscaled to doubles by ``scale`` (both divisions of exact
+    integers — deterministic IEEE). The inverse of
+    :func:`qsketch_bucket`: ``hi − lo < lo·2^−m``, so the midpoint
+    estimates any value in the bucket to relative error ≤ 2^−(m+1)."""
+    c = F.abs(bucket) - F.lit(1)
+    e = F.shiftright(c, m)
+    base = c.bitwiseAND(F.lit((1 << m) - 1)) + F.lit(1 << m)
+    lo_pos = F.when(
+        e >= m, F.call_function("shiftleft", base, e - F.lit(m))
+    ).otherwise(F.call_function("shiftright", base, F.lit(m) - e))
+    width = F.when(
+        e >= m, F.call_function("shiftleft", F.lit(1).cast("long"), e - F.lit(m))
+    ).otherwise(F.lit(1).cast("long"))
+    hi_pos = lo_pos + width - F.lit(1)
+    lo_i = (
+        F.when(bucket == 0, F.lit(0).cast("long"))
+        .when(bucket > 0, lo_pos)
+        .otherwise(-hi_pos)
+    )
+    hi_i = (
+        F.when(bucket == 0, F.lit(0).cast("long"))
+        .when(bucket > 0, hi_pos)
+        .otherwise(-lo_pos)
+    )
+    s = F.lit(float(scale))
+    return (lo_i / s).alias("lo"), (hi_i / s).alias("hi")
+
+
+def qsketch_updates(
+    df: DataFrame, col: str, m: int = 7, scale: int = 1
+) -> DataFrame:
+    """Per-row sketch updates ``(bucket, cnt=1)`` — the mergeable half
+    of :func:`qsketch`. ``scale`` fixes the decimal point before
+    integer bucketing (100 for 2-decimal prices); the scaled double →
+    integer step is ``floor(x·scale + 0.5)`` — round-half-up built
+    from two exact IEEE ops, identical in both engines (engine-native
+    ``round`` differs: Spark HALF_UP vs banker's variants elsewhere).
+
+    Buckets fold by ``sum(cnt) per bucket`` — a commutative-monoid
+    measure, so this frame feeds ``incremental.partial_agg`` /
+    ``incremental_agg`` and ``stream_rollup_maintenance`` directly
+    (``measures={"cnt": ("sum", "cnt")}``): a continuously-maintained
+    quantile sketch at |batch| + |buckets| cost per refresh. NULLs are
+    dropped (a quantile over NULL is undefined in both engines)."""
+    v = (
+        F.col(col).cast("long")
+        if scale == 1
+        else F.floor(F.col(col).cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(qsketch_bucket(v, m).alias("bucket"))
+        .withColumn("cnt", F.lit(1).cast("long"))
+    )
+
+
+def qsketch(df: DataFrame, col: str, m: int = 7, scale: int = 1) -> DataFrame:
+    """One-shot quantile sketch: the bucket/count state table
+    ``(bucket, n_rows, lo, hi)``, heaviest machinery being ONE
+    map-side-combined groupBy onto ≤ 63·2^m keys (≤ ~8k rows at m=7;
+    like the HLL register fold, the shuffle carries the sketch, never
+    the data — the 100 TB shape). State is bit-identical to the DuckDB
+    mirror running the same integer CASE-chain mapping, so the whole
+    sketch hash-matches, not just its error band."""
+    upd = qsketch_updates(df, col, m, scale)
+    lo, hi = qsketch_bounds(F.col("bucket"), m, scale)
+    return (
+        upd.groupBy("bucket")
+        .agg(F.sum("cnt").alias("n_rows"))
+        .select("bucket", "n_rows", lo, hi)
+        .orderBy("bucket")
+    )
+
+
+def qsketch_quantiles(
+    buckets: DataFrame,
+    quantiles: list[float],
+    m: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """Quantile estimates from a ``(bucket, n_rows)`` sketch state
+    table. Rank rule: the value at rank ``r = max(1, ceil(q·N))`` (the
+    classic lower empirical quantile) lies in the first bucket whose
+    cumulative count reaches ``r``; the bucket's ``[lo, hi]`` brackets
+    the TRUE quantile and the midpoint estimates it to relative error
+    ≤ 2^−(m+1) (m=7 → 0.4%). All arithmetic deterministic: ``q·N`` is
+    one IEEE multiply of the same literals in both engines, the
+    cumulative window and min-bucket pick are integer. The window runs
+    UNPARTITIONED by design — on the ≤8k-row sketch state, never the
+    data. Returns ``(q, rank, bucket, lo, hi, estimate)``."""
+    from pyspark.sql import Window
+
+    spark = buckets.sparkSession
+    qf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    tot = buckets.agg(F.sum("n_rows").alias("__n"))
+    cum = buckets.select(
+        "bucket",
+        F.sum("n_rows")
+        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+    )
+    ranks = qf.crossJoin(F.broadcast(tot)).select(
+        "q", F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n"))).alias("rank")
+    )
+    picked = (
+        cum.join(F.broadcast(ranks), F.col("__cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    lo, hi = qsketch_bounds(F.col("bucket"), m, scale)
+    return (
+        picked.select("q", "rank", "bucket", lo, hi)
+        .select(
+            "q", "rank", "bucket", "lo", "hi",
+            ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("estimate"),
+        )
+        .orderBy("q")
     )
