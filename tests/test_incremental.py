@@ -256,3 +256,125 @@ def test_stream_snapshot_late_upsert_cannot_resurrect_delete(spark, tmp_path):
     q.stop()
     live = spark.read.parquet(snap).filter("op != 'delete'").collect()
     assert live == []
+
+
+# ---------------------------------------------------------------------------
+# snapshot time-travel reads (retain_snapshots)
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_reads_each_retained_version(spark, tmp_path):
+    # fold 3 batches with retention; every historical version reads
+    # back AS OF its fold, identified by the in-table batch-id marker
+    src, roll, ckpt = (str(tmp_path / p) for p in ("s4", "r4", "c4"))
+    m = {"n": ("count", "v"), "total": ("sum", "v")}
+    batches = [
+        _rows(spark, [("a", 1.0), ("b", 5.0)]),
+        _rows(spark, [("a", 4.0), ("c", 7.0)]),
+        _rows(spark, [("b", 2.0)]),
+    ]
+    batches[0].write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["k"], m, "k string, v double",
+        retain_snapshots=5,
+    )
+    q.processAllAvailable()
+    for b in batches[1:]:
+        b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+
+    versions = INC.list_snapshots(spark, roll)
+    assert len(versions) >= 3  # an idle empty micro-batch may add one
+    assert [b for b, _ in versions] == sorted(
+        (b for b, _ in versions), reverse=True
+    )
+    snaps = [
+        frozenset(
+            (r.k, r.n, r.total)
+            for r in INC.read_snapshot(spark, roll, batch_id=b).collect()
+        )
+        for b, _ in versions
+    ]
+    acc = None
+    for i, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        want = frozenset(
+            (r.k, r.n, r.total) for r in INC.partial_agg(acc, ["k"], m).collect()
+        )
+        assert want in snaps, f"cumulative state after batch {i} not readable"
+    # live read == newest version == final cumulative state
+    live = frozenset(
+        (r.k, r.n, r.total) for r in INC.read_snapshot(spark, roll).collect()
+    )
+    assert live == snaps[0] == frozenset(
+        (r.k, r.n, r.total) for r in INC.partial_agg(acc, ["k"], m).collect()
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="not retained"):
+        INC.read_snapshot(spark, roll, batch_id=99)
+
+
+def test_retention_budget_prunes_oldest(spark, tmp_path):
+    src, roll, ckpt = (str(tmp_path / p) for p in ("s5", "r5", "c5"))
+    m = {"n": ("count", "v")}
+    q = None
+    for i in range(4):
+        _rows(spark, [(f"k{i}", float(i))]).write.mode("append").parquet(src)
+        if q is None:
+            q = INC.stream_rollup_maintenance(
+                spark, src, roll, ckpt, ["k"], m, "k string, v double",
+                retain_snapshots=1,
+            )
+        q.processAllAvailable()
+    q.stop()
+    # live + exactly one retained aside, newest ids first
+    versions = INC.list_snapshots(spark, roll)
+    assert len(versions) == 2
+    assert versions[0][0] == versions[1][0] + 1
+    import pytest
+
+    with pytest.raises(ValueError, match="not retained"):
+        INC.read_snapshot(spark, roll, batch_id=0)
+
+
+def test_crash_recovery_preserves_retained_snapshots(spark, tmp_path):
+    # the crash-window recovery path must finish the interrupted swap
+    # AND keep the retention budget's worth of asides readable
+    import shutil
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("s6", "r6", "c6"))
+    m = {"n": ("count", "v"), "total": ("sum", "v")}
+    b1 = _rows(spark, [("a", 1.0), ("b", 5.0)])
+    b2 = _rows(spark, [("a", 4.0), ("c", 7.0)])
+    b1.write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["k"], m, "k string, v double",
+        retain_snapshots=3,
+    )
+    q.processAllAvailable()
+    q.stop()
+    # fake batch 1's fold crashing between aside-rename and stage-rename
+    b2.write.mode("append").parquet(src)
+    merged = INC.incremental_agg(spark.read.parquet(roll), b2, ["k"], m)
+    stage = roll + "__stage_1"
+    merged.write.mode("overwrite").parquet(stage)
+    with open(stage + "/_folded_batch", "w") as fh:
+        fh.write("1")
+    shutil.move(roll, roll + "__old_1")
+    q2 = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["k"], m, "k string, v double",
+        retain_snapshots=3,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    # live == full recompute; version 0 still time-travel-readable
+    got = {(r.k, r.n, r.total) for r in spark.read.parquet(roll).collect()}
+    full = {(r.k, r.n, r.total)
+            for r in INC.partial_agg(b1.unionByName(b2), ["k"], m).collect()}
+    assert got == full
+    v0 = {(r.k, r.n, r.total)
+          for r in INC.read_snapshot(spark, roll, batch_id=0).collect()}
+    assert v0 == {(r.k, r.n, r.total)
+                  for r in INC.partial_agg(b1, ["k"], m).collect()}

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "join_view_delta", "incremental_join_agg", "cdc_apply", "stream_rollup_maintenance", "stream_snapshot_maintenance"]
+__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "join_view_delta", "incremental_join_agg", "cdc_apply", "stream_rollup_maintenance", "stream_snapshot_maintenance", "read_snapshot", "list_snapshots"]
 
 #: supported mergeable measures → (state builder, merger)
 _MERGE = {
@@ -88,13 +88,53 @@ def incremental_agg(
     )
 
 
-def _fold_with_crash_safe_swap(batch_df: DataFrame, batch_id: int, table_path: str, merge_fn) -> None:
+def _read_marker(fs, path_cls, table_dir: str) -> int | None:
+    """Batch id recorded inside a table version (the ``_folded_batch``
+    marker that swaps atomically with the data), or None if absent."""
+    marker = path_cls(table_dir + "/_folded_batch")
+    if not fs.exists(marker):
+        return None
+    stream_in = fs.open(marker)
+    try:
+        return int(bytes(stream_in.readAllBytes()).decode())
+    finally:
+        stream_in.close()
+
+
+def _prune_asides(fs, path_cls, table_path: str, retain: int) -> None:
+    """Keep the ``retain`` newest complete ``__old_<id>`` aside
+    versions (by their in-table batch-id marker), drop the rest —
+    with retain=0 this is the original drop-all-stale-asides
+    behavior."""
+    asides = fs.globStatus(path_cls(table_path + "__old_*"))
+    aged: list[tuple[int, object]] = []
+    for od in list(asides) if asides is not None else []:
+        b = _read_marker(fs, path_cls, od.getPath().toString())
+        if b is None:  # a markerless aside can't be a snapshot — drop
+            fs.delete(od.getPath(), True)
+        else:
+            aged.append((b, od.getPath()))
+    aged.sort(key=lambda t: t[0], reverse=True)
+    for _b, p in aged[retain:]:
+        fs.delete(p, True)
+
+
+def _fold_with_crash_safe_swap(
+    batch_df: DataFrame, batch_id: int, table_path: str, merge_fn,
+    retain_snapshots: int = 0,
+) -> None:
     """The shared foreachBatch fold skeleton: recovery of interrupted
     swaps, idempotent batch-id marker, merge via ``merge_fn(current_or
     _None, batch_df)``, and the aside-rename crash-safe table swap (the
     atomicity discipline documented on
     :func:`stream_rollup_maintenance`, shared with
-    :func:`stream_snapshot_maintenance`)."""
+    :func:`stream_snapshot_maintenance`).
+
+    ``retain_snapshots=N`` keeps the N newest ``__old_<id>`` aside
+    dirs instead of dropping them — each is a complete previous table
+    version whose in-dir batch-id marker (written in the same rename
+    unit as its data) identifies it, giving :func:`read_snapshot`
+    time-travel for free from plumbing the swap already does."""
     s = batch_df.sparkSession
     jvm = s.sparkContext._jvm
     path_cls = jvm.org.apache.hadoop.fs.Path
@@ -110,21 +150,16 @@ def _fold_with_crash_safe_swap(batch_df: DataFrame, batch_id: int, table_path: s
             if fs.exists(path_cls(sp.toString() + "/_folded_batch")):
                 fs.rename(sp, root)
                 break
-    # a crash after the stage-rename but before the aside-delete
-    # leaves a stale aside copy next to a healthy table — drop it.
+    # a crash after the stage-rename but before the aside-prune leaves
+    # an extra aside next to a healthy table — prune to the retention
+    # budget (drop them all when no snapshots are retained).
     if fs.exists(root):
-        asides = fs.globStatus(path_cls(table_path + "__old_*"))
-        for od in list(asides) if asides is not None else []:
-            fs.delete(od.getPath(), True)
+        _prune_asides(fs, path_cls, table_path, retain_snapshots)
     marker = path_cls(table_path + "/_folded_batch")
     current = None
     if fs.exists(root):
         if fs.exists(marker):
-            stream_in = fs.open(marker)
-            try:
-                last = int(bytes(stream_in.readAllBytes()).decode())
-            finally:
-                stream_in.close()
+            last = _read_marker(fs, path_cls, table_path)
             if batch_id <= last:
                 return  # replayed batch: fold already landed
         current = s.read.parquet(table_path)
@@ -143,7 +178,57 @@ def _fold_with_crash_safe_swap(batch_df: DataFrame, batch_id: int, table_path: s
         fs.delete(aside, True)  # stale aside from a replayed attempt
         fs.rename(root, aside)
     fs.rename(path_cls(tmp), root)
-    fs.delete(aside, True)
+    # the aside is the complete PREVIOUS version (its own marker names
+    # it); keep the newest retain_snapshots of them, drop the rest
+    _prune_asides(fs, path_cls, table_path, retain_snapshots)
+
+
+def list_snapshots(spark, table_path: str) -> list[tuple[int, str]]:
+    """Readable versions of a maintained table: ``(batch_id, dir)``
+    pairs, newest first — the live table plus any ``__old_<id>``
+    asides retained by ``retain_snapshots``. Version identity comes
+    from each dir's in-table batch-id marker, which swaps in the same
+    rename unit as its data, so a listed version is always complete."""
+    jvm = spark.sparkContext._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(table_path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    out: list[tuple[int, str]] = []
+    if fs.exists(path_cls(table_path)):
+        b = _read_marker(fs, path_cls, table_path)
+        if b is not None:
+            out.append((b, table_path))
+    asides = fs.globStatus(path_cls(table_path + "__old_*"))
+    for od in list(asides) if asides is not None else []:
+        d = od.getPath().toString()
+        b = _read_marker(fs, path_cls, d)
+        if b is not None:
+            out.append((b, d))
+    out.sort(key=lambda t: t[0], reverse=True)
+    return out
+
+
+def read_snapshot(spark, table_path: str, batch_id: int | None = None) -> DataFrame:
+    """Time-travel read of a maintained rollup/snapshot table:
+    ``batch_id=None`` reads the live version; a specific id reads the
+    table AS OF that fold, from the retained aside whose marker equals
+    it. Raises ``ValueError`` (listing what IS available) when the
+    requested version was never produced or has aged out of the
+    ``retain_snapshots`` budget — CDC consumers get read-at-version
+    from the swap plumbing, no table format needed."""
+    versions = list_snapshots(spark, table_path)
+    if not versions:
+        raise ValueError(f"no readable versions at {table_path!r}")
+    if batch_id is None:
+        return spark.read.parquet(versions[0][1])
+    for b, d in versions:
+        if b == batch_id:
+            return spark.read.parquet(d)
+    raise ValueError(
+        f"batch_id {batch_id} not retained at {table_path!r}; "
+        f"available: {[b for b, _ in versions]}"
+    )
 
 
 def stream_rollup_maintenance(
@@ -154,6 +239,7 @@ def stream_rollup_maintenance(
     keys: list[str],
     measures: dict[str, tuple[str, str]],
     schema: str,
+    retain_snapshots: int = 0,
 ):
     """Continuously-maintained materialized rollup: each micro-batch
     partial-aggs its rows and folds them into the rollup table via
@@ -186,7 +272,9 @@ def stream_rollup_maintenance(
         return merge_rollup(current, delta, keys, measures)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        _fold_with_crash_safe_swap(batch_df, batch_id, rollup_path, merge)
+        _fold_with_crash_safe_swap(
+            batch_df, batch_id, rollup_path, merge, retain_snapshots
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
@@ -307,6 +395,7 @@ def stream_snapshot_maintenance(
     schema: str,
     op_col: str = "op",
     delete_value: str = "delete",
+    retain_snapshots: int = 0,
 ):
     """Continuously-maintained SNAPSHOT table (the keyed sibling of
     :func:`stream_rollup_maintenance`): each micro-batch of change rows
@@ -333,7 +422,9 @@ def stream_snapshot_maintenance(
         )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        _fold_with_crash_safe_swap(batch_df, batch_id, snapshot_path, merge)
+        _fold_with_crash_safe_swap(
+            batch_df, batch_id, snapshot_path, merge, retain_snapshots
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
