@@ -228,3 +228,60 @@ def test_pagerank_directed_cycle_skips_dangling_branch(spark):
                       iters=5, directed=True).collect()}
     for v in (1, 2, 3):
         assert abs(got[v] - 1.0 / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _lpa_py(edge_list, iters):
+    """Pure-python replica: sync rounds, most-frequent neighbor label,
+    ties -> smallest label."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for s, d in edge_list:
+        nbrs[s].append(d)
+        nbrs[d].append(s)
+    lab = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n, ns in nbrs.items():
+            c = Counter(lab[x] for x in ns)
+            top = max(c.values())
+            new[n] = min(l for l, k in c.items() if k == top)
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_replica(spark):
+    import random
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph as G,
+    )
+
+    rng = random.Random(5)
+    es = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)})
+    edges = spark.createDataFrame(es, "src long, dst long")
+    for iters in (1, 3, 4):
+        got = {r.node: r.label
+               for r in G.label_propagation(edges, iters=iters).collect()}
+        assert got == _lpa_py(es, iters), f"iters={iters}"
+
+
+def test_label_propagation_keeps_bridged_cliques_apart(spark):
+    # two 5-cliques joined by ONE bridge edge: connected components
+    # would merge them; LPA must give each clique its own label
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph as G,
+    )
+
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    es = a + b + [(4, 10)]  # canonical src<dst
+    edges = spark.createDataFrame(es, "src long, dst long")
+    got = {r.node: r.label for r in G.label_propagation(edges, iters=4).collect()}
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[i] for i in range(10, 15)} == {10}

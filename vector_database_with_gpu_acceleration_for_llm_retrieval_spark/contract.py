@@ -2796,6 +2796,24 @@ def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities of the co-purchase graph: 4
+    synchronous most-frequent-neighbor-label rounds, ties to the
+    smallest label — the step past connected components when one
+    bridge order must not merge two product families. Deterministic
+    by construction (fixed rounds + deterministic tie-break), so the
+    oracle unrolls the identical rounds in SQL
+    (operators/graph.label_propagation)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    res = G.label_propagation(_copurchase_edges(t), iters=4)
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("node")
+
+
 def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edge extraction: distinct→cap→pair ladder, canonical
     src<dst, co-order weights."""
@@ -3997,6 +4015,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "quantile_estimate": q_quantile_estimate,
         "quantile_incremental": q_quantile_incremental,
+        "part_communities": q_part_communities,
     }
 
 

@@ -3930,6 +3930,38 @@ ORDER BY q
 """
 
 
+def _oracle_part_communities(iters: int = 4) -> str:
+    """Label propagation unrolled round for round (operators/graph.
+    label_propagation): same sync update, same (count desc, label asc)
+    argmax. Every round's CTE is MATERIALIZED — DuckDB inlines CTEs by
+    default and an unrolled iteration re-evaluating the edge frame per
+    round goes combinatorial (the batch-MMR mirror lesson)."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT g.s AS node, l.label AS label, count(*) AS cnt
+    FROM edges g JOIN l{i - 1} l ON g.d = l.node GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) = 1)""")
+    body = ",\n".join(rounds)
+    return f"""
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS MATERIALIZED (SELECT src AS s, dst AS d FROM e
+                       UNION ALL SELECT dst, src FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM edges),
+{body}
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l{iters} ORDER BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4157,4 +4189,5 @@ def oracle_sql() -> dict[str, str]:
         # the incremental fold is provably bucket-equal to the one-shot
         # sketch, so it shares the estimate mirror (the hll pattern)
         "quantile_incremental": _oracle_quantile_estimate(),
+        "part_communities": _oracle_part_communities(),
     }

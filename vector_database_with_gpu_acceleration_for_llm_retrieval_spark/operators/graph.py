@@ -42,6 +42,7 @@ __all__ = [
     "triangle_count",
     "pagerank",
     "connected_components",
+    "label_propagation",
 ]
 
 
@@ -378,3 +379,61 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     return out.select(
         F.col("doc_id").alias("node"), F.col("canonical_id").alias("component")
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected edge frame: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label. Densely connected
+    groups converge to one label (the community id) while sparse
+    bridges don't carry enough votes to merge them — the standard
+    step past connected components when one bridge edge shouldn't
+    collapse two communities (the co-purchase case: one shared order
+    must not merge two product families).
+
+    A FIXED number of synchronous rounds with a deterministic
+    tie-break makes the result exactly reproducible — and therefore
+    oracle-mirrorable round for round — where classic asynchronous
+    LPA is run-order-dependent by construction (sync LPA may
+    oscillate on bipartite structures rather than converge; the fixed
+    round count makes even that deterministic).
+
+    Scale shape: per round ONE join of the label frame against the
+    persisted symmetrized edges (both keyed on node id) and one
+    (node, label) count + per-node argmax — all equi-key partial-agged
+    shuffles; no window over the full graph, no driver collect. The
+    label frame is localCheckpoint-pinned per round (the pagerank /
+    pointer-jumping rule: iteration k replans against a materialized
+    k−1, and RangePartitioner-free plans stay flat). Returns
+    ``(node, label)``.
+    """
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        msgs = und.join(
+            labels.select(F.col("node").alias("__nbr"), "label"),
+            F.col("dst") == F.col("__nbr"),
+        ).select(F.col("src").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__cnt"))
+        # per-node argmax by (count desc, label asc): max over the
+        # struct (cnt, -label) — no window, plain partial-agged groupBy
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__cnt").alias("c"), (-F.col("label")).alias("nl"))
+                ).alias("__b")
+            )
+            .select("node", (-F.col("__b.nl")).cast("long").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels
