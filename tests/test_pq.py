@@ -8,6 +8,7 @@ import tempfile
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
     pq as PQ,
@@ -202,3 +203,109 @@ def test_ivfpq_index_prunes_cells_and_scores_adc(corpus, np_corpus, books, qvec,
         assert [r.vec_id for r in rer.collect()] == exact
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# OPQ rotation (Ge et al.)
+# ---------------------------------------------------------------------------
+
+
+def _aniso_corpus(spark, n=2000, d=32, seed=3):
+    """Axis-aligned decaying variances — the unbalanced-raw-dims regime
+    OPQ exists for: contiguous PQ subspaces get wildly different
+    variance mass (first block dominates), so a learned rotation that
+    redistributes information strictly improves both distortion and
+    NN recall. (On a pre-balanced basis — e.g. the repo's isotropic
+    synthetic embeddings, or any randomly-mixed corpus — plain PQ is
+    already at the balanced optimum and NO rotation can help; measured
+    and documented in train_opq's docstring.)"""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    scales = np.geomspace(1.0, 0.05, d)
+    X = rng.standard_normal((n, d)) * scales
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [x.tolist() for x in X]})
+    )
+    return df, X
+
+
+def _recon(Y, cbs, m):
+    import numpy as np
+
+    dsub = Y.shape[1] // m
+    out = np.empty_like(Y)
+    for j in range(m):
+        S = Y[:, j * dsub : (j + 1) * dsub]
+        C = np.asarray(cbs[j])
+        a = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        out[:, j * dsub : (j + 1) * dsub] = C[a]
+    return out
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    import numpy as np
+
+    df, _ = _aniso_corpus(spark, n=600)
+    R1, _b1 = PQ.train_opq(df, m=4, ksub=16, n_iter=3, kmeans_iter=2,
+                           sample_fraction=1.0)
+    R2, _b2 = PQ.train_opq(df, m=4, ksub=16, n_iter=3, kmeans_iter=2,
+                           sample_fraction=1.0)
+    R = np.asarray(R1)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+    assert R1 == R2  # seeded: bit-identical across calls
+
+
+def test_opq_quantization_error_beats_plain_pq(spark):
+    import numpy as np
+
+    df, X = _aniso_corpus(spark)
+    m = 4
+    R, books = PQ.train_opq(df, m=m, ksub=32, n_iter=12, kmeans_iter=6,
+                            sample_fraction=1.0)
+    Rm = np.asarray(R)
+    plain = PQ.train_pq_codebooks(df, m=m, ksub=32, sample_fraction=1.0,
+                                  n_iter=10)
+    e_opq = ((X @ Rm.T - _recon(X @ Rm.T, books, m)) ** 2).sum()
+    e_pq = ((X - _recon(X, plain, m)) ** 2).sum()
+    assert e_opq < 0.8 * e_pq, (e_opq, e_pq)  # decisively lower distortion
+
+
+def test_opq_improves_nn_recall_on_unbalanced_data(spark):
+    """Euclidean-NN recall@10 (the metric OPQ optimizes, per the
+    paper) from the SPARK-side pipeline: opq_rotate (Arrow matmul) +
+    distributed pq_encode produce the codes, recall is read off the
+    reconstructions they imply."""
+    import numpy as np
+
+    df, X = _aniso_corpus(spark)
+    m, ksub, k = 4, 32, 10
+    R, obooks = PQ.train_opq(df, m=m, ksub=ksub, n_iter=12, kmeans_iter=6,
+                             sample_fraction=1.0)
+    Rm = np.asarray(R)
+    plain = PQ.train_pq_codebooks(df, m=m, ksub=ksub, sample_fraction=1.0,
+                                  n_iter=10)
+    rot = PQ.opq_rotate(df, R).select("vec_id", F.col("opq").alias("embedding"))
+    dsub = X.shape[1] // m
+
+    def recon_from_codes(codes_df, books, back=None):
+        rows = {r.vec_id: r.code for r in codes_df.collect()}
+        B = [np.asarray(c) for c in books]
+        Y = np.stack([
+            np.concatenate([B[j][rows[i][j]] for j in range(m)])
+            for i in range(len(X))
+        ])
+        return Y @ back if back is not None else Y
+
+    Xh_pq = recon_from_codes(PQ.pq_encode(df, plain), plain)
+    Xh_opq = recon_from_codes(PQ.pq_encode(rot, obooks), obooks, back=Rm)
+    rng = np.random.default_rng(7)
+    hits_pq = hits_opq = 0
+    for qi in rng.choice(len(X), 60, replace=False):
+        q = X[qi]
+        exact = set(np.argsort(((X - q) ** 2).sum(1))[:k].tolist())
+        hits_pq += len(exact & set(np.argsort(((Xh_pq - q) ** 2).sum(1))[:k].tolist()))
+        hits_opq += len(exact & set(np.argsort(((Xh_opq - q) ** 2).sum(1))[:k].tolist()))
+    # decisive margin, not a tie-break: measured ~1.45x at this setup
+    assert hits_opq > 1.15 * hits_pq, (hits_opq, hits_pq)
