@@ -363,3 +363,26 @@ def test_qsketch_empty_and_null_input(spark):
         "CASE WHEN id < 5 THEN CAST(id + 1 AS DOUBLE) ELSE NULL END AS x"
     )
     assert sketches.qsketch(nulls, "x").agg(F.sum("n_rows")).collect()[0][0] == 5
+
+
+def test_qsketch_grouped_matches_per_group_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(4)
+    gs = np.repeat(["a", "b", "c"], [800, 500, 200])
+    vals = np.concatenate([
+        rng.lognormal(6, 1, 800), rng.lognormal(3, 2, 500),
+        rng.uniform(1, 9, 200),
+    ]).round(2)
+    df = spark.createDataFrame(pd.DataFrame({"g": gs, "x": vals}))
+    got = sketches.qsketch_grouped(
+        df, ["g"], "x", [0.5, 0.9], m=7, scale=100
+    ).collect()
+    assert len(got) == 6
+    for r in got:
+        sub = np.sort(vals[gs == r.g])
+        true = sub[int(np.ceil(r.q * len(sub))) - 1]
+        assert r.lo - 1e-9 <= true <= r.hi + 1e-9, (r, true)
+        if abs(true) >= 1:
+            assert abs(r.estimate - true) / abs(true) <= 2**-8 + 1e-12

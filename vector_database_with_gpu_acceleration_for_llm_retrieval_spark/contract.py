@@ -4016,6 +4016,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_estimate": q_quantile_estimate,
         "quantile_incremental": q_quantile_incremental,
         "part_communities": q_part_communities,
+        "quantile_grouped": q_quantile_grouped,
     }
 
 
@@ -4368,6 +4369,32 @@ def q_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"]
     sk = SK.qsketch(li, "l_extendedprice", m=7, scale=100)
     return _quantile_report(li, sk.select("bucket", "n_rows"))
+
+
+def q_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sketch quantiles — p50/p95/p99 of l_extendedprice per
+    return flag from per-group bucket states: every window partitions
+    by the group key, so group count scales freely and no stage ever
+    sees more than sketch-sized rows per group
+    (operators/sketches.qsketch_grouped)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = SK.qsketch_grouped(
+        t["lineitem"], ["l_returnflag"], "l_extendedprice",
+        [0.5, 0.95, 0.99], m=7, scale=100,
+    )
+    return res.select(
+        "l_returnflag",
+        F.col("q").cast("double").alias("q"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("bucket").cast("long").alias("bucket"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+        _round6(F.col("estimate"), "estimate"),
+    ).orderBy("l_returnflag", "q")
 
 
 def q_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3962,6 +3962,34 @@ FROM l{iters} ORDER BY node
 """
 
 
+def _oracle_quantile_grouped() -> str:
+    """Per-group sketch quantiles (operators/sketches.qsketch_grouped
+    over l_extendedprice by l_returnflag): the ungrouped mirror with
+    every window/aggregate partitioned by the group key."""
+    return f"""
+WITH v AS (SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT g, {_sq_qbucket('v')} AS bucket FROM v),
+c AS (SELECT g, bucket, count(*) AS n_rows FROM b GROUP BY g, bucket),
+tot AS (SELECT g, sum(n_rows) AS n FROM c GROUP BY g),
+cum AS (SELECT g, bucket, sum(n_rows) OVER (PARTITION BY g ORDER BY bucket) AS cum
+        FROM c),
+qs AS (SELECT CAST(x AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.95), (0.99)) t(x)),
+rk AS (SELECT g, q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS rnk FROM qs, tot),
+pick AS (SELECT rk.g AS g, q, rnk, min(bucket) AS bucket
+         FROM rk JOIN cum ON cum.g = rk.g AND cum.cum >= rk.rnk
+         GROUP BY rk.g, q, rnk)
+SELECT g AS l_returnflag, q, CAST(rnk AS BIGINT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       {_r6('lo_i / 100.0', 'lo')}, {_r6('hi_i / 100.0', 'hi')},
+       {_r6('(lo_i / 100.0 + hi_i / 100.0) / 2.0', 'estimate')}
+FROM pick, {_sq_qbounds()}
+ORDER BY l_returnflag, q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4190,4 +4218,5 @@ def oracle_sql() -> dict[str, str]:
         # sketch, so it shares the estimate mirror (the hll pattern)
         "quantile_incremental": _oracle_quantile_estimate(),
         "part_communities": _oracle_part_communities(),
+        "quantile_grouped": _oracle_quantile_grouped(),
     }

@@ -52,6 +52,7 @@ __all__ = [
     "qsketch_updates",
     "qsketch",
     "qsketch_quantiles",
+    "qsketch_grouped",
 ]
 
 
@@ -444,4 +445,80 @@ def qsketch_quantiles(
             ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("estimate"),
         )
         .orderBy("q")
+    )
+
+
+def qsketch_grouped(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    quantiles: list[float],
+    m: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """Per-group quantiles from per-group sketch states — the scale
+    path for "p50/p95/p99 per tenant/day/segment" where exact
+    per-group sorts die. One map-side-combined groupBy onto
+    ``groups × ≤63·2^m`` bucket rows, then the rank scan runs per
+    group on sketch-sized frames (the window partitions by the group
+    keys, so no single-partition stage regardless of group count —
+    the opposite failure mode of the ungrouped sketch's deliberate
+    unpartitioned ≤8k-row window). Same integer-exact portable bucket
+    mapping as :func:`qsketch`; same ≤ 2^−(m+1) relative-error
+    midpoint. Returns ``(*keys, q, rank, bucket, lo, hi, estimate)``.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    upd = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *keys,
+            qsketch_bucket(
+                F.col(col).cast("long")
+                if scale == 1
+                else F.floor(F.col(col).cast("double") * scale + F.lit(0.5)).cast(
+                    "long"
+                ),
+                m,
+            ).alias("bucket"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = upd.groupBy(*keys).agg(F.sum("n_rows").alias("__n"))
+    cum = upd.select(
+        *keys,
+        "bucket",
+        F.sum("n_rows")
+        .over(
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("__cum"),
+    )
+    qf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    ranks = tot.crossJoin(F.broadcast(qf)).select(
+        *keys, "q",
+        F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n"))).alias("rank"),
+    )
+    picked = (
+        cum.join(
+            ranks.withColumnRenamed("q", "__q").withColumnRenamed("rank", "__r"),
+            [*keys],
+        )
+        .filter(F.col("__cum") >= F.col("__r"))
+        .groupBy(*keys, "__q", "__r")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(*keys, F.col("__q").alias("q"), F.col("__r").alias("rank"), "bucket")
+    )
+    lo, hi = qsketch_bounds(F.col("bucket"), m, scale)
+    return (
+        picked.select(*keys, "q", "rank", "bucket", lo, hi)
+        .select(
+            *keys, "q", "rank", "bucket", "lo", "hi",
+            ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("estimate"),
+        )
+        .orderBy(*keys, "q")
     )
