@@ -285,3 +285,54 @@ def test_label_propagation_keeps_bridged_cliques_apart(spark):
     got = {r.node: r.label for r in G.label_propagation(edges, iters=4).collect()}
     assert {got[i] for i in range(5)} == {0}
     assert {got[i] for i in range(10, 15)} == {10}
+
+
+def test_shortest_paths_matches_dijkstra(spark):
+    import heapq
+    import random
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph as G,
+    )
+
+    rng = random.Random(9)
+    es = sorted({tuple(sorted(rng.sample(range(30), 2))) for _ in range(70)})
+    ws = [rng.randint(1, 5) for _ in es]
+    edges = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(es, ws)], "src long, dst long, weight long"
+    )
+    # full Dijkstra reference (cost 1/w)
+    adj = {}
+    for (s, d), w in zip(es, ws):
+        adj.setdefault(s, []).append((d, 1.0 / w))
+        adj.setdefault(d, []).append((s, 1.0 / w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    got = {r.node: r.dist
+           for r in G.shortest_paths(edges, 0, iters=30, weight_col="weight").collect()}
+    assert set(got) == set(dist)
+    for n, d in dist.items():
+        assert abs(got[n] - d) < 1e-9, (n, got[n], d)
+
+
+def test_shortest_paths_hop_limit_is_exact_prefix(spark):
+    # iters=k gives exact distances among <=k-hop paths: on a path
+    # graph only the first k nodes past the source are reached
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph as G,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    got = {r.node: r.dist for r in G.shortest_paths(edges, 0, iters=3).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}

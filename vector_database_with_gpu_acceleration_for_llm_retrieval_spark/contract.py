@@ -2814,6 +2814,25 @@ def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q_part_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths on the co-purchase graph
+    (cost = 1/co-order-weight — heavier ties are closer) from the
+    smallest part in the graph: 6 fixed Bellman-Ford rounds, exact for
+    ≤6-hop paths and deterministic regardless of convergence
+    (operators/graph.shortest_paths; oracle = the identical min-plus
+    rounds unrolled)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    edges = _copurchase_edges(t)
+    src = edges.agg(F.min("src")).collect()[0][0]
+    res = G.shortest_paths(edges, src, iters=6, weight_col="weight")
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        _round6(F.col("dist"), "dist"),
+    ).orderBy("node")
+
+
 def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edge extraction: distinct→cap→pair ladder, canonical
     src<dst, co-order weights."""
@@ -4017,6 +4036,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_incremental": q_quantile_incremental,
         "part_communities": q_part_communities,
         "quantile_grouped": q_quantile_grouped,
+        "part_distances": q_part_distances,
     }
 
 

@@ -3990,6 +3990,42 @@ ORDER BY l_returnflag, q
 """
 
 
+def _oracle_part_distances(iters: int = 6) -> str:
+    """Bellman-Ford unrolled round for round (operators/graph.
+    shortest_paths, cost = 1/weight): keep ∪ relax, per-node min —
+    the identical single IEEE add per relaxation, so distances are
+    bit-equal path for path. MATERIALIZED per round (the iterative-
+    oracle rule)."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT g.d AS node, p.dist + g.w AS dist
+    FROM d{i - 1} p JOIN edges g ON g.s = p.node) GROUP BY node)""")
+    body = ",\n".join(rounds)
+    return f"""
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS MATERIALIZED (
+  SELECT src AS s, dst AS d, 1.0 / CAST(weight AS DOUBLE) AS w FROM e
+  UNION ALL
+  SELECT dst, src, 1.0 / CAST(weight AS DOUBLE) AS w FROM e),
+d0 AS MATERIALIZED (SELECT (SELECT min(s) FROM edges) AS node,
+                           CAST(0 AS DOUBLE) AS dist),
+{body}
+SELECT CAST(node AS BIGINT) AS node, {_r6('dist', 'dist')}
+FROM d{iters} ORDER BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4219,4 +4255,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_incremental": _oracle_quantile_estimate(),
         "part_communities": _oracle_part_communities(),
         "quantile_grouped": _oracle_quantile_grouped(),
+        "part_distances": _oracle_part_distances(),
     }

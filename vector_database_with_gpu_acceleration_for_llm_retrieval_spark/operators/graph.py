@@ -43,6 +43,7 @@ __all__ = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "shortest_paths",
 ]
 
 
@@ -437,3 +438,53 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         )
     und.unpersist()
     return labels
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    iters: int = 6,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Single-source shortest paths by fixed-round distributed
+    Bellman-Ford over an undirected edge frame: ``iters`` synchronous
+    relaxation rounds give exact shortest distances among paths of
+    ≤ ``iters`` hops (full convergence when ``iters`` ≥ graph
+    diameter; a fixed round count keeps the result deterministic and
+    oracle-mirrorable either way — the LPA/PageRank discipline).
+    Edge cost is ``1/weight_col`` when given (heavier co-purchase
+    ties = closer products), else 1 (hop distance).
+
+    Per round: ONE join of the current distance frontier against the
+    persisted symmetrized edges + a union with the kept distances and
+    a per-node min — equi-key partial-agged shuffles only; unreached
+    nodes simply don't appear yet, so early rounds touch frontier-
+    sized frames, not the graph. Distances are single IEEE adds per
+    relaxation of deterministic inputs, so both engines compute
+    bit-identical sums path for path. The frame is
+    localCheckpoint-pinned per round. Returns ``(node, dist)`` for
+    nodes within ``iters`` hops of ``source``.
+    """
+    w = (
+        (F.lit(1.0) / F.col(weight_col).cast("double"))
+        if weight_col
+        else F.lit(1.0)
+    ).alias("w")
+    und = edges.select("src", "dst", w).unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w)
+    ).persist()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0.0)], "node long, dist double")
+    for _ in range(iters):
+        relaxed = und.join(
+            dist.select(F.col("node").alias("__u"), "dist"),
+            F.col("src") == F.col("__u"),
+        ).select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return dist
