@@ -274,3 +274,67 @@ def test_mixture_pipeline_equals_manual_chain(tables):
     a = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in packed.collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (weighted without replacement, unbiased estimator)
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_estimator_is_unbiased_shape(spark):
+    """Structural properties: k rows, priority order, est_weight =
+    max(w, tau) with tau = the (k+1)-th priority; population <= k is
+    kept whole with est_weight == weight."""
+    import pandas as pd
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling as SMP,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(200), "w": [1 + (i % 17) for i in range(200)]})
+    )
+    out = SMP.priority_sample(df, k=20, weight_col="w").collect()
+    assert len(out) == 20
+    ps = [r.priority for r in out]
+    assert ps == sorted(ps, reverse=True)
+    tau_candidates = {r.est_weight for r in out if r.est_weight != r.weight}
+    assert len(tau_candidates) <= 1  # every clamped row clamps to the SAME tau
+    # small population: all kept, estimator exact
+    small = SMP.priority_sample(df.filter("doc_id < 5"), k=20, weight_col="w").collect()
+    assert len(small) == 5
+    assert all(r.est_weight == r.weight for r in small)
+
+
+def test_priority_sample_subset_sum_estimate_close(spark):
+    """The DLT guarantee actually used in practice: E[sum(est_weight)]
+    = sum(w). One deterministic draw can't average, but at k=150 of
+    1000 the single-draw estimate should land within a few percent."""
+    import pandas as pd
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling as SMP,
+    )
+
+    rows = pd.DataFrame({"doc_id": range(1000),
+                         "w": [1 + ((i * 37) % 100) for i in range(1000)]})
+    df = spark.createDataFrame(rows)
+    total = float(rows.w.sum())
+    est = sum(r.est_weight for r in
+              SMP.priority_sample(df, k=150, weight_col="w").collect())
+    assert abs(est - total) / total < 0.15, (est, total)
+
+
+def test_priority_sample_excludes_nonpositive_weights(spark):
+    import pandas as pd
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling as SMP,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10),
+                      "w": [0, -1, None, 2, 3, 4, 5, 6, 7, 8]})
+    )
+    got = {r.doc_id for r in SMP.priority_sample(df, k=10, weight_col="w").collect()}
+    assert got == set(range(3, 10))

@@ -4037,6 +4037,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_communities": q_part_communities,
         "quantile_grouped": q_quantile_grouped,
         "part_distances": q_part_distances,
+        "priority_sample": q_priority_sample,
     }
 
 
@@ -4415,6 +4416,28 @@ def q_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hi"), "hi"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("l_returnflag", "q")
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by priority sampling
+    (Duffield-Lund-Thorup): 50 docs weighted by token count, with the
+    unbiased τ-threshold estimator weights. Priorities are one
+    power-of-two scale + one division of portable-hash integers, so
+    both engines rank identical doubles
+    (operators/sampling.priority_sample)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling as SMP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("__w", TX.n_tokens(F.col("text")))
+    res = SMP.priority_sample(docs, k=50, weight_col="__w")
+    return res.select(
+        "doc_id",
+        _round6(F.col("weight"), "weight"),
+        _round6(F.col("priority"), "priority"),
+        _round6(F.col("est_weight"), "est_weight"),
+    )
 
 
 def q_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

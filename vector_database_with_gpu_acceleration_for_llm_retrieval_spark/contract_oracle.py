@@ -4026,6 +4026,26 @@ FROM d{iters} ORDER BY node
 """
 
 
+_ORACLE_PRIORITY_SAMPLE = f"""
+WITH w AS (SELECT doc_id,
+                  CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({_SQ_TOKS}) END AS DOUBLE) AS weight
+           FROM documents),
+p AS (SELECT doc_id, weight,
+             weight * 4294967296.0 /
+               CAST(({_sq_tok_hash('CAST(doc_id AS VARCHAR)')} & 4294967295) + 1
+                    AS DOUBLE) AS priority
+      FROM w WHERE weight > 0),
+r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+      FROM p),
+t AS (SELECT coalesce(max(CASE WHEN rn = 51 THEN priority END), 0) AS tau FROM r)
+SELECT doc_id, {_r6('weight', 'weight')}, {_r6('priority', 'priority')},
+       {_r6('greatest(weight, tau)', 'est_weight')}
+FROM r, t WHERE rn <= 50
+ORDER BY priority DESC, doc_id ASC
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4256,4 +4276,5 @@ def oracle_sql() -> dict[str, str]:
         "part_communities": _oracle_part_communities(),
         "quantile_grouped": _oracle_quantile_grouped(),
         "part_distances": _oracle_part_distances(),
+        "priority_sample": _ORACLE_PRIORITY_SAMPLE,
     }

@@ -46,6 +46,7 @@ __all__ = [
     "leakage_safe_split",
     "global_rank",
     "kfold_assign",
+    "priority_sample",
 ]
 
 _SAMPLE_MOD = 1_000_000
@@ -787,4 +788,68 @@ def mixture_pipeline(
     with_text = mixed.join(docs.select(id_col, text_col), id_col)
     return pack_sequences(
         with_text, seq_len=seq_len, id_col=id_col, text_col=text_col, by="pred_lang"
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): item i gets priority
+    ``q_i = w_i / u_i`` with ``u_i`` uniform in (0, 1]; the k highest
+    priorities are the sample, and with τ = the (k+1)-th priority the
+    estimator weight ``ŵ_i = max(w_i, τ)`` makes any subset-sum
+    estimate unbiased — the principled way to downsample a weighted
+    corpus (by tokens, by quality mass) while keeping totals
+    estimable.
+
+    Deterministic and PORTABLE: ``u_i`` comes from the low 32 bits of
+    the repo's md5 hash of the id (``u = (h+1)/2^32``), and the
+    priority is computed as ``w·2^32 / (h+1)`` — a power-of-two scale
+    (exact in IEEE) and one division of exact inputs, so both engines
+    rank identical doubles; ties break by id. Null/non-positive
+    weights are excluded (they can never be sampled and would poison
+    τ).
+
+    Scale shape: the ranking is ORDER BY+LIMIT k+1 —
+    TakeOrderedAndProject, per-partition top-(k+1) then a (k+1)-row
+    driver merge, never a global sort — and τ attaches via a window
+    over the (k+1)-row frame only. Returns ``(id, weight, priority,
+    est_weight)``, priority-descending; when the population is ≤ k
+    every row is kept with ``ŵ = w`` (τ = 0).
+    """
+    from pyspark.sql import Window
+
+    h32 = TX.portable_token_hash(F.col(id_col).cast("string")).bitwiseAND(
+        F.lit((1 << 32) - 1)
+    )
+    w = F.col(weight_col).cast("double")
+    prio = (w * F.lit(4294967296.0)) / (h32 + F.lit(1)).cast("double")
+    top = (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), prio.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k + 1)
+    )
+    win = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    all_win = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = top.withColumn("__rn", F.row_number().over(win)).withColumn(
+        "__tau",
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("priority"))).over(all_win),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        ranked.filter(F.col("__rn") <= k)
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(F.col("weight"), F.col("__tau")).alias("est_weight"),
+        )
+        .orderBy(F.desc("priority"), F.asc(id_col))
     )
