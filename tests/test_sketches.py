@@ -386,3 +386,20 @@ def test_qsketch_grouped_matches_per_group_numpy(spark):
         assert r.lo - 1e-9 <= true <= r.hi + 1e-9, (r, true)
         if abs(true) >= 1:
             assert abs(r.estimate - true) / abs(true) <= 2**-8 + 1e-12
+
+
+def test_hll_grouped_estimates_near_exact_per_group(tables):
+    exact = {
+        r.event_type: r.n
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {r.event_type: r.estimate
+           for r in sketches.hll_grouped(
+               tables["events"], ["event_type"], "user_id", p=8).collect()}
+    assert set(got) == set(exact)
+    for g, n in exact.items():
+        # m=256 -> ~6.5% typical error; allow 4 sigma
+        assert abs(got[g] - n) <= max(5, 0.26 * n), (g, got[g], n)

@@ -4038,6 +4038,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_grouped": q_quantile_grouped,
         "part_distances": q_part_distances,
         "priority_sample": q_priority_sample,
+        "hll_grouped": q_hll_grouped,
     }
 
 
@@ -4390,6 +4391,26 @@ def q_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"]
     sk = SK.qsketch(li, "l_extendedprice", m=7, scale=100)
     return _quantile_report(li, sk.select("bucket", "n_rows"))
+
+
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group portable HLL — distinct users per event type from
+    per-group register tables (groups × ≤256 rows shuffled, never key
+    sets), bit-identical in both engines
+    (operators/sketches.hll_grouped)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = SK.hll_grouped(t["events"], ["event_type"], "user_id", p=8)
+    return res.select(
+        "event_type",
+        F.col("nonzero").cast("long").alias("nonzero"),
+        F.col("z_scaled").cast("long").alias("z_scaled"),
+        _round6(F.col("raw_estimate"), "raw_estimate"),
+        _round6(F.col("estimate"), "estimate"),
+    ).orderBy("event_type")
 
 
 def q_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:

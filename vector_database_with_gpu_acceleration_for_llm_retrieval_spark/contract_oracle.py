@@ -4046,6 +4046,37 @@ ORDER BY priority DESC, doc_id ASC
 """
 
 
+def _oracle_hll_grouped() -> str:
+    """Per-group bit-identical HLL mirror (operators/sketches.
+    hll_grouped over user_id by event_type, p=8): the hll_distinct
+    mirror with every aggregate keyed by the group."""
+    pr, m, w = 8, 256, 52
+    mask = (1 << w) - 1
+    branches = f"WHEN rest = 0 THEN {w + 1} " + " ".join(
+        f"WHEN rest >= {1 << (b - 1)} THEN {w + 1 - b}" for b in range(w, 0, -1)
+    )
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m
+    two_w1 = float(1 << (w + 1))
+    raw = f"CAST({num!r} AS DOUBLE) * CAST({two_w1!r} AS DOUBLE) / z_scaled"
+    return f"""
+WITH h AS (SELECT event_type AS g,
+                  {_sq_tok_hash("CAST(user_id AS VARCHAR)")} AS h FROM events),
+b AS (SELECT g, h >> {w} AS idx, h & {mask} AS rest FROM h),
+r AS (SELECT g, idx, max(CASE {branches} END) AS rho FROM b GROUP BY g, idx),
+s AS (SELECT g, count(*) AS nonzero,
+             sum(CAST(power(2, {w + 1} - rho) AS BIGINT)) AS zf
+      FROM r GROUP BY g),
+k AS (SELECT g, nonzero, zf + ({m} - nonzero) * {1 << (w + 1)} AS z_scaled FROM s)
+SELECT g AS event_type, CAST(nonzero AS BIGINT) AS nonzero,
+       CAST(z_scaled AS BIGINT) AS z_scaled,
+       {_r6(raw, 'raw_estimate')},
+       {_r6(f'''CASE WHEN ({raw}) <= CAST({2.5 * m!r} AS DOUBLE) AND ({m} - nonzero) > 0
+                 THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - nonzero))
+                 ELSE {raw} END''', 'estimate')}
+FROM k ORDER BY event_type
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4277,4 +4308,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_grouped": _oracle_quantile_grouped(),
         "part_distances": _oracle_part_distances(),
         "priority_sample": _ORACLE_PRIORITY_SAMPLE,
+        "hll_grouped": _oracle_hll_grouped(),
     }

@@ -53,6 +53,7 @@ __all__ = [
     "qsketch",
     "qsketch_quantiles",
     "qsketch_grouped",
+    "hll_grouped",
 ]
 
 
@@ -522,3 +523,46 @@ def qsketch_grouped(
         )
         .orderBy(*keys, "q")
     )
+
+
+def hll_grouped(df: DataFrame, keys: list[str], col: str, p: int = 8) -> DataFrame:
+    """Per-group portable HLL distinct counts — the bit-reproducible
+    sibling of :func:`approx_distinct_counts` for "distinct users per
+    segment/day" at scale: one map-side-combined groupBy onto
+    ``groups × ≤2^p`` register rows, then one per-group aggregate over
+    register-sized frames; the shuffle carries registers, never key
+    sets. Same md5 layout, integer-exact indicator sum, and
+    small-range correction as :func:`hll_distinct`, applied per group
+    (empty groups can't occur — a group exists only via rows). Returns
+    ``(*keys, nonzero, z_scaled, raw_estimate, estimate)``."""
+    from ..functions.text import portable_token_hash
+
+    m, w = 1 << p, 60 - p
+    h = portable_token_hash(F.col(col).cast("string"))
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    regs = (
+        df.select(*keys, F.shiftright(h, w).alias("idx"), hll_rho(rest, w).alias("rho"))
+        .groupBy(*keys, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    contrib = F.pow(F.lit(2.0), F.lit(w + 1) - F.col("rho")).cast("long")
+    sk = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(contrib).alias("__zf"),
+    ).select(
+        *keys,
+        "nonzero",
+        (F.col("__zf") + (F.lit(m) - F.col("nonzero")) * F.lit(1 << (w + 1))).alias(
+            "z_scaled"
+        ),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha * m * m) * F.lit(float(1 << (w + 1))) / F.col("z_scaled")
+    empty = F.lit(m) - F.col("nonzero")
+    est = F.when(
+        (raw <= 2.5 * m) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return sk.select(
+        *keys, "nonzero", "z_scaled", raw.alias("raw_estimate"), est.alias("estimate")
+    ).orderBy(*keys)
