@@ -403,3 +403,51 @@ def test_hll_grouped_estimates_near_exact_per_group(tables):
     for g, n in exact.items():
         # m=256 -> ~6.5% typical error; allow 4 sigma
         assert abs(got[g] - n) <= max(5, 0.26 * n), (g, got[g], n)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cm_never_underestimates_and_bounds_overshoot(spark):
+    import pandas as pd
+
+    n, width = 20_000, 2048
+    src = spark.range(n).selectExpr("concat('k', CAST(id % 500 AS STRING)) AS item")
+    sk = sketches.cm_sketch(src, "item", depth=4, width=width)
+    keys = spark.createDataFrame(
+        pd.DataFrame({"item": [f"k{i}" for i in range(500)]})
+    )
+    est = {r.item: r.cm_estimate
+           for r in sketches.cm_lookup(sk, keys, "item", depth=4,
+                                       width=width).collect()}
+    exact = {r.item: r.c
+             for r in src.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    import math
+
+    bound = math.e * n / width  # CM guarantee at prob 1 - e^-depth
+    violations = 0
+    for k, c in exact.items():
+        assert est[k] >= c, (k, est[k], c)  # NEVER an underestimate
+        if est[k] - c > bound:
+            violations += 1
+    assert violations <= 0.05 * len(exact), violations
+
+
+def test_cm_sketch_folds_through_incremental_rollup(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    a = spark.range(0, 3000).selectExpr("CAST(id % 70 AS STRING) AS item")
+    b = spark.range(3000, 8000).selectExpr("CAST(id % 70 AS STRING) AS item")
+    measures = {"cnt": ("sum", "cnt")}
+    r0 = INC.partial_agg(sketches.cm_updates(a, "item"), ["r", "cell"], measures)
+    folded = INC.incremental_agg(
+        r0, sketches.cm_updates(b, "item"), ["r", "cell"], measures
+    )
+    got = {(x.r, x.cell, x.cnt) for x in folded.collect()}
+    want = {(x.r, x.cell, x.n)
+            for x in sketches.cm_sketch(a.unionByName(b), "item").collect()}
+    assert got == want

@@ -4039,6 +4039,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_distances": q_part_distances,
         "priority_sample": q_priority_sample,
         "hll_grouped": q_hll_grouped,
+        "cm_frequencies": q_cm_frequencies,
     }
 
 
@@ -4411,6 +4412,40 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("raw_estimate"), "raw_estimate"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("event_type")
+
+
+def q_cm_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point frequencies for ten fixed part keys vs their
+    exact counts: the sketch shuffles ≤ depth·width counter rows (never
+    the key set), lookups are a broadcast join + per-key min, and the
+    CM guarantee — never an underestimate, over by ≤ e·N/width —
+    value-checks in-entry (operators/sketches.cm_sketch/cm_lookup)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    sk = SK.cm_sketch(li, "l_partkey", depth=4, width=8192)
+    keys = spark.range(1, 11).select(F.col("id").alias("l_partkey"))
+    est = SK.cm_lookup(sk, keys, "l_partkey", depth=4, width=8192)
+    exact = (
+        li.join(F.broadcast(keys), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        est.join(exact, "l_partkey", "left")
+        .select(
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.coalesce(F.col("exact_n"), F.lit(0)))
+            .cast("long")
+            .alias("overshoot"),
+        )
+        .orderBy("l_partkey")
+    )
 
 
 def q_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4077,6 +4077,42 @@ FROM k ORDER BY event_type
 """
 
 
+def _oracle_cm_frequencies(depth: int = 4, width: int = 8192) -> str:
+    """Bit-identical Count-Min mirror (operators/sketches.cm_sketch
+    over l_partkey): same per-row salted md5 cells, same per-(r,cell)
+    integer sums, same min-over-rows lookup with absent cells = 0."""
+    def cell(r, val):
+        arg = f"concat('cm{r}:', {val})"
+        return f"({_sq_tok_hash(arg)} % {width})"
+
+    upd = " UNION ALL ".join(
+        f"SELECT {r} AS r, {cell(r, 'CAST(l_partkey AS VARCHAR)')} AS cell "
+        f"FROM lineitem WHERE l_partkey IS NOT NULL"
+        for r in range(depth)
+    )
+    kcell = " UNION ALL ".join(
+        f"SELECT k, {r} AS r, {cell(r, 'CAST(k AS VARCHAR)')} AS cell FROM ks"
+        for r in range(depth)
+    )
+    return f"""
+WITH sk AS MATERIALIZED (
+  SELECT r, cell, count(*) AS n FROM ({upd}) GROUP BY r, cell),
+ks AS (SELECT unnest(range(1, 11)) AS k),
+kc AS ({kcell}),
+est AS (SELECT k, min(coalesce(sk.n, 0)) AS cm_estimate
+        FROM kc LEFT JOIN sk ON kc.r = sk.r AND kc.cell = sk.cell
+        GROUP BY k),
+ex AS (SELECT l_partkey AS k, count(*) AS exact_n FROM lineitem
+       WHERE l_partkey BETWEEN 1 AND 10 GROUP BY 1)
+SELECT CAST(est.k AS BIGINT) AS l_partkey,
+       CAST(coalesce(exact_n, 0) AS BIGINT) AS exact_n,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - coalesce(exact_n, 0) AS BIGINT) AS overshoot
+FROM est LEFT JOIN ex ON est.k = ex.k
+ORDER BY l_partkey
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4309,4 +4345,5 @@ def oracle_sql() -> dict[str, str]:
         "part_distances": _oracle_part_distances(),
         "priority_sample": _ORACLE_PRIORITY_SAMPLE,
         "hll_grouped": _oracle_hll_grouped(),
+        "cm_frequencies": _oracle_cm_frequencies(),
     }

@@ -54,6 +54,9 @@ __all__ = [
     "qsketch_quantiles",
     "qsketch_grouped",
     "hll_grouped",
+    "cm_updates",
+    "cm_sketch",
+    "cm_lookup",
 ]
 
 
@@ -566,3 +569,72 @@ def hll_grouped(df: DataFrame, keys: list[str], col: str, p: int = 8) -> DataFra
     return sk.select(
         *keys, "nonzero", "z_scaled", raw.alias("raw_estimate"), est.alias("estimate")
     ).orderBy(*keys)
+
+
+def cm_updates(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Per-row Count-Min updates ``(r, cell, cnt=1)`` (Cormode &
+    Muthukrishnan 2005): row ``r``'s cell is the portable md5 hash of
+    ``"cm<r>:" || value`` mod ``width`` — salted per row, so the
+    ``depth`` hash functions are independent-enough and BIT-IDENTICAL
+    across engines. Cells fold by ``sum(cnt)`` per (r, cell) — the
+    rollup-algebra/streaming measure, same as the quantile sketch."""
+    c = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.pmod(
+                _cm_hash(r, c),
+                F.lit(width),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.posexplode(cells).alias("r", "cell"))
+        .withColumn("cnt", F.lit(1).cast("long"))
+    )
+
+
+def _cm_hash(r: int, c: Column) -> Column:
+    from ..functions.text import portable_token_hash
+
+    return portable_token_hash(F.concat(F.lit(f"cm{r}:"), c))
+
+
+def cm_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-Min sketch state ``(r, cell, n)``: one map-side-combined
+    groupBy onto ≤ depth·width rows — the shuffle carries the sketch,
+    never the keys. Any point frequency reads back as
+    ``min_r n[r][h_r(x)]`` (:func:`cm_lookup`): never an
+    underestimate, over by ≤ e·N/width with prob ≥ 1 − e^−depth.
+    The classic streaming-frequency structure, here as the portable
+    fourth of the sketch family (HLL distinct / Misra-Gries heavy
+    hitters / quantile histogram / CM point frequency)."""
+    return (
+        cm_updates(df, col, depth, width)
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def cm_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for a key frame against a CM sketch
+    state: compute each key's ``depth`` cells, join the (tiny,
+    broadcast) sketch, take the per-key min — absent cells count 0.
+    Returns ``(key_col, cm_estimate)``."""
+    c = F.col(key_col).cast("string")
+    cells = F.array(*[F.pmod(_cm_hash(r, c), F.lit(width)) for r in range(depth)])
+    kc = keys.select(key_col, F.posexplode(cells).alias("r", "cell"))
+    return (
+        kc.join(F.broadcast(sketch), ["r", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate"))
+    )
