@@ -451,3 +451,40 @@ def test_cm_sketch_folds_through_incremental_rollup(spark):
     want = {(x.r, x.cell, x.n)
             for x in sketches.cm_sketch(a.unionByName(b), "item").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# KMV set sketches
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_is_partitioning_independent(spark):
+    src = spark.range(5000).selectExpr("concat('u', CAST(id % 900 AS STRING)) AS u")
+    a = {r.h for r in sketches.kmv_sketch(src, "u", k=64).collect()}
+    b = {r.h for r in sketches.kmv_sketch(src.repartition(17), "u", k=64).collect()}
+    assert a == b and len(a) == 64
+
+
+def test_kmv_overlap_small_sets_exact(spark):
+    a = spark.range(0, 40).selectExpr("CAST(id AS STRING) AS u")
+    b = spark.range(25, 70).selectExpr("CAST(id AS STRING) AS u")
+    row = sketches.kmv_overlap(a, b, "u", k=256).collect()[0]
+    # union 70 < k: everything exact
+    assert (row.n_a, row.n_b, row.n_union) == (40, 45, 70)
+    assert row.est_a == 40.0 and row.est_union == 70.0
+    assert row.rho == 15 and row.est_intersection == 15.0
+
+
+def test_kmv_overlap_estimates_within_error(spark):
+    n_a, n_b, n_i, k = 3000, 2500, 800, 256
+    a = spark.range(0, n_a).selectExpr("concat('x', CAST(id AS STRING)) AS u")
+    b = spark.range(n_a - n_i, n_a - n_i + n_b).selectExpr(
+        "concat('x', CAST(id AS STRING)) AS u"
+    )
+    row = sketches.kmv_overlap(a, b, "u", k=k).collect()[0]
+    # KMV rse ~ 1/sqrt(k-1) ~ 6.3%; allow 4 sigma on each estimate
+    assert abs(row.est_a - n_a) / n_a < 0.26
+    assert abs(row.est_b - n_b) / n_b < 0.26
+    assert abs(row.est_union - (n_a + n_b - n_i)) / (n_a + n_b - n_i) < 0.26
+    # intersection: ratio estimator compounds — allow wider band
+    assert abs(row.est_intersection - n_i) / n_i < 0.5, row.est_intersection

@@ -4040,6 +4040,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "hll_grouped": q_hll_grouped,
         "cm_frequencies": q_cm_frequencies,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -4412,6 +4413,37 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("raw_estimate"), "raw_estimate"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("event_type")
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from KMV sketches: distinct click-users vs
+    purchase-users intersection estimated from two k=64 bottom-hash
+    frames — never a key-set join; exact intersection joined in as the
+    error evidence (operators/sketches.kmv_overlap)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    res = SK.kmv_overlap(clicks, buys, "user_id", k=64)
+    exact = (
+        clicks.select("user_id").intersect(buys.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return res.crossJoin(F.broadcast(exact)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _round6(F.col("est_a"), "est_a"),
+        _round6(F.col("est_b"), "est_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        _round6(F.col("est_union"), "est_union"),
+        F.col("rho").cast("long").alias("rho"),
+        _round6(F.col("est_intersection"), "est_intersection"),
+        F.col("exact_intersection").cast("long").alias("exact_intersection"),
+    )
 
 
 def q_cm_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4113,6 +4113,53 @@ ORDER BY l_partkey
 """
 
 
+def _oracle_kmv_overlap(k: int = 64) -> str:
+    """KMV overlap mirror (operators/sketches.kmv_overlap, click vs
+    purchase users): bottom-k distinct md5 hashes per side, bottom-k of
+    the union, ρ = union-sketch hashes present in BOTH side sketches;
+    the same one-division estimates."""
+    h = _sq_tok_hash("CAST(user_id AS VARCHAR)")
+    two60 = float(1 << 60)
+    return f"""
+WITH ska AS MATERIALIZED (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'
+  ORDER BY h LIMIT {k}),
+skb AS MATERIALIZED (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'
+  ORDER BY h LIMIT {k}),
+uni AS MATERIALIZED (
+  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+  ORDER BY h LIMIT {k}),
+ea AS (SELECT count(*) AS n_a,
+              CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                   ELSE CAST({k - 1} AS DOUBLE) * CAST({two60!r} AS DOUBLE) / max(h)
+              END AS est_a FROM ska),
+eb AS (SELECT count(*) AS n_b,
+              CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                   ELSE CAST({k - 1} AS DOUBLE) * CAST({two60!r} AS DOUBLE) / max(h)
+              END AS est_b FROM skb),
+eu AS (SELECT count(*) AS n_union,
+              CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                   ELSE CAST({k - 1} AS DOUBLE) * CAST({two60!r} AS DOUBLE) / max(h)
+              END AS est_union FROM uni),
+rh AS (SELECT count(*) AS rho FROM uni
+       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+ex AS (SELECT count(*) AS exact_intersection FROM
+         (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {_r6('est_a', 'est_a')}, {_r6('est_b', 'est_b')},
+       CAST(n_union AS BIGINT) AS n_union, {_r6('est_union', 'est_union')},
+       CAST(rho AS BIGINT) AS rho,
+       {_r6(f'''CASE WHEN n_union < {k} THEN CAST(rho AS DOUBLE)
+                ELSE rho / CAST({float(k)!r} AS DOUBLE) * est_union END''',
+            'est_intersection')},
+       CAST(exact_intersection AS BIGINT) AS exact_intersection
+FROM ea, eb, eu, rh, ex
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4346,4 +4393,5 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": _ORACLE_PRIORITY_SAMPLE,
         "hll_grouped": _oracle_hll_grouped(),
         "cm_frequencies": _oracle_cm_frequencies(),
+        "kmv_overlap": _oracle_kmv_overlap(),
     }

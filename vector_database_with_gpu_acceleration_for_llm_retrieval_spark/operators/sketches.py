@@ -57,6 +57,8 @@ __all__ = [
     "cm_updates",
     "cm_sketch",
     "cm_lookup",
+    "kmv_sketch",
+    "kmv_overlap",
 ]
 
 
@@ -637,4 +639,85 @@ def cm_lookup(
         kc.join(F.broadcast(sketch), ["r", "cell"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate"))
+    )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) sketch: the k SMALLEST distinct portable
+    md5 hashes of ``col`` — a min-monoid set summary, so sketches of
+    any two partitions/tables union into the sketch of their union
+    (just re-take the bottom k), giving distinct counts AND set
+    overlaps (:func:`kmv_overlap`) from k-row frames.
+
+    Scale shape: a bounded mapInPandas pass keeps each partition's
+    bottom-k distinct hashes (state ≤ k + one Arrow batch — the
+    Misra-Gries discipline; a naive global ``distinct()`` would
+    shuffle every distinct key, defeating the sketch), then the global
+    bottom-k re-ranks the ≤ partitions·k survivors. The result is a
+    pure function of the key SET — partitioning-independent and
+    bit-identical to the mirror's ``SELECT DISTINCT … ORDER BY h
+    LIMIT k``."""
+    from ..functions.text import portable_token_hash
+
+    h = df.filter(F.col(col).isNotNull()).select(
+        portable_token_hash(F.col(col).cast("string")).alias("h")
+    )
+
+    def bottomk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s: set = set()
+        for pdf in batches:
+            s.update(int(x) for x in pdf["h"])
+            if len(s) > k:
+                s = set(sorted(s)[:k])
+        yield pd.DataFrame({"h": pd.array(sorted(s)[:k], dtype="int64")})
+
+    return h.mapInPandas(bottomk, schema="h long").distinct().orderBy("h").limit(k)
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-set overlap from two KMV sketches (Beyer et al.,
+    SIGMOD 2007): with ``K`` = the bottom-k of the sketch union,
+    ``ρ = |{h ∈ K : h ∈ sk_A ∧ h ∈ sk_B}|`` and the union estimate
+    ``(k−1)·2^60 / h_(k)``, the intersection estimate is
+    ``ρ/k · |A∪B|̂`` — audience overlap without ever joining the key
+    sets. When the union has fewer than k distinct keys everything is
+    EXACT (the sketches hold the whole sets). Deterministic: hashes
+    are integers, estimates one IEEE division each. Returns one row
+    ``(n_a, n_b, est_a, est_b, n_union, est_union, rho,
+    est_intersection)``."""
+    ska = kmv_sketch(df_a, col_a, k)
+    skb = kmv_sketch(df_b, col_b or col_a, k)
+    uni = ska.unionByName(skb).distinct().orderBy("h").limit(k)
+
+    def est(sk: DataFrame, n_name: str, e_name: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).alias(n_name), F.max("h").alias("__kth")
+        ).select(
+            n_name,
+            F.when(F.col(n_name) < k, F.col(n_name).cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("__kth")
+            )
+            .alias(e_name),
+        )
+    both = uni.join(ska, "h", "leftsemi").join(skb, "h", "leftsemi")
+    rho = both.agg(F.count(F.lit(1)).alias("rho"))
+    out = (
+        est(ska, "n_a", "est_a")
+        .crossJoin(F.broadcast(est(skb, "n_b", "est_b")))
+        .crossJoin(F.broadcast(est(uni, "n_union", "est_union")))
+        .crossJoin(F.broadcast(rho))
+    )
+    inter = F.when(
+        F.col("n_union") < k, F.col("rho").cast("double")
+    ).otherwise(F.col("rho") / F.lit(float(k)) * F.col("est_union"))
+    return out.select(
+        "n_a", "n_b", "est_a", "est_b", "n_union", "est_union", "rho",
+        inter.alias("est_intersection"),
     )
