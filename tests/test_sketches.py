@@ -488,3 +488,20 @@ def test_kmv_overlap_estimates_within_error(spark):
     assert abs(row.est_union - (n_a + n_b - n_i)) / (n_a + n_b - n_i) < 0.26
     # intersection: ratio estimator compounds — allow wider band
     assert abs(row.est_intersection - n_i) / n_i < 0.5, row.est_intersection
+
+
+def test_cm_join_size_never_underestimates(spark):
+    a = spark.range(6000).selectExpr("concat('u', CAST(id % 300 AS STRING)) AS u")
+    b = spark.range(4000).selectExpr("concat('u', CAST(id % 450 AS STRING)) AS u")
+    ska = sketches.cm_sketch(a, "u", depth=4, width=4096)
+    skb = sketches.cm_sketch(b, "u", depth=4, width=4096)
+    est = sketches.cm_join_size(ska, skb).collect()[0].estimate
+    exact = (
+        a.groupBy("u").agg(F.count("*").alias("na"))
+        .join(b.groupBy("u").agg(F.count("*").alias("nb")), "u")
+        .agg(F.sum(F.col("na") * F.col("nb"))).collect()[0][0]
+    )
+    assert est >= exact
+    import math
+
+    assert est - exact <= 4 * math.e * 6000 * 4000 / 4096  # loose CM band

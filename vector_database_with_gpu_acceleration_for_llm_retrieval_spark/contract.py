@@ -4041,6 +4041,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_grouped": q_hll_grouped,
         "cm_frequencies": q_cm_frequencies,
         "kmv_overlap": q_kmv_overlap,
+        "cm_join_size": q_cm_join_size,
     }
 
 
@@ -4413,6 +4414,32 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("raw_estimate"), "raw_estimate"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("event_type")
+
+
+def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from CM sketch inner products: the
+    events⋈events-on-user_id size (Σ n_u² — what a sessionization
+    self-join would produce) estimated from one ≤depth·width counter
+    frame, never touching the key set; exact value joined in as
+    evidence (operators/sketches.cm_join_size)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    sk = SK.cm_sketch(ev, "user_id", depth=4, width=8192)
+    est = SK.cm_join_size(sk, sk, depth=4)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum(F.col("__n") * F.col("__n")).alias("exact_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("estimate").cast("long").alias("estimate"),
+        F.col("exact_size").cast("long").alias("exact_size"),
+        (F.col("estimate") - F.col("exact_size")).cast("long").alias("overshoot"),
+    )
 
 
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4160,6 +4160,32 @@ FROM ea, eb, eu, rh, ex
 """
 
 
+def _oracle_cm_join_size(depth: int = 4, width: int = 8192) -> str:
+    """CM inner-product join-size mirror (operators/sketches.
+    cm_join_size on the events user_id self-join): same salted cells,
+    same per-row dot products, min over rows."""
+    def cell(r):
+        arg = f"concat('cm{r}:', CAST(user_id AS VARCHAR))"
+        return f"({_sq_tok_hash(arg)} % {width})"
+
+    upd = " UNION ALL ".join(
+        f"SELECT {r} AS r, {cell(r)} AS cell FROM events WHERE user_id IS NOT NULL"
+        for r in range(depth)
+    )
+    return f"""
+WITH sk AS MATERIALIZED (
+  SELECT r, cell, count(*) AS n FROM ({upd}) GROUP BY r, cell),
+dots AS (SELECT r, sum(n * n) AS dot FROM sk GROUP BY r),
+est AS (SELECT min(dot) AS estimate FROM dots),
+ex AS (SELECT sum(c * c) AS exact_size FROM
+         (SELECT count(*) AS c FROM events GROUP BY user_id))
+SELECT CAST(estimate AS BIGINT) AS estimate,
+       CAST(exact_size AS BIGINT) AS exact_size,
+       CAST(estimate - exact_size AS BIGINT) AS overshoot
+FROM est, ex
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4394,4 +4420,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_grouped": _oracle_hll_grouped(),
         "cm_frequencies": _oracle_cm_frequencies(),
         "kmv_overlap": _oracle_kmv_overlap(),
+        "cm_join_size": _oracle_cm_join_size(),
     }

@@ -59,6 +59,7 @@ __all__ = [
     "cm_lookup",
     "kmv_sketch",
     "kmv_overlap",
+    "cm_join_size",
 ]
 
 
@@ -721,3 +722,21 @@ def kmv_overlap(
         "n_a", "n_b", "est_a", "est_b", "n_union", "est_union", "rho",
         inter.alias("est_intersection"),
     )
+
+
+def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4) -> DataFrame:
+    """Equi-join cardinality estimate from two CM sketches built with
+    the same (depth, width): |A ⋈ B| = Σ_key n_A(key)·n_B(key) is
+    estimated by ``min_r Σ_cell A[r][c]·B[r][c]`` (Cormode &
+    Muthukrishnan §4.2 — the inner product never underestimates, each
+    row overestimates by ≤ N_A·N_B/width in expectation, min over
+    rows tightens). The planner-style "how big would this join be"
+    answer from two ≤depth·width-row frames — no key-set contact.
+    Returns one row ``(estimate,)`` (a BIGINT)."""
+    prod = (
+        sketch_a.select("r", "cell", F.col("n").alias("__na"))
+        .join(sketch_b.select("r", "cell", F.col("n").alias("__nb")), ["r", "cell"])
+        .groupBy("r")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__dot"))
+    )
+    return prod.agg(F.min("__dot").cast("long").alias("estimate"))
