@@ -505,3 +505,23 @@ def test_cm_join_size_never_underestimates(spark):
     import math
 
     assert est - exact <= 4 * math.e * 6000 * 4000 / 4096  # loose CM band
+
+
+def test_qsketch_weighted_matches_numpy_weighted_quantile(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(6)
+    vals = rng.randint(1, 5000, 1200)
+    ws = rng.randint(1, 20, 1200)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals, "w": ws}))
+    got = sketches.qsketch_weighted(df, "x", "w", [0.5, 0.9], m=7, scale=1).collect()
+    order = np.argsort(vals)
+    sv, sw = vals[order], ws[order]
+    cw = np.cumsum(sw)
+    for r in got:
+        # true weighted quantile: first value whose cumulative weight
+        # reaches ceil(q * W)
+        target = int(np.ceil(r.q * cw[-1]))
+        true = sv[np.searchsorted(cw, target)]
+        assert r.lo - 1e-9 <= true <= r.hi + 1e-9, (r, true)

@@ -4042,6 +4042,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_frequencies": q_cm_frequencies,
         "kmv_overlap": q_kmv_overlap,
         "cm_join_size": q_cm_join_size,
+        "quantile_weighted": q_quantile_weighted,
     }
 
 
@@ -4414,6 +4415,31 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("raw_estimate"), "raw_estimate"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("event_type")
+
+
+def q_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-MASS length percentiles: the document length below which
+    25/50/90% of corpus tokens live — each doc weighted by its own
+    token count, the mass-weighted question context budgeting actually
+    asks (operators/sketches.qsketch_weighted; ranks in token
+    units)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(TX.n_tokens(F.col("text")).alias("len_tokens"))
+    res = SK.qsketch_weighted(
+        docs, "len_tokens", "len_tokens", [0.25, 0.5, 0.9], m=7, scale=1
+    )
+    return res.select(
+        F.col("q").cast("double").alias("q"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("bucket").cast("long").alias("bucket"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+        _round6(F.col("estimate"), "estimate"),
+    ).orderBy("q")
 
 
 def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:

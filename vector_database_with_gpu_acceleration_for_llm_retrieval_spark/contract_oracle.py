@@ -4186,6 +4186,33 @@ FROM est, ex
 """
 
 
+def _oracle_quantile_weighted() -> str:
+    """Token-mass length percentile mirror (operators/sketches.
+    qsketch_weighted over doc token counts, weight = the count): the
+    sketch estimate SQL with per-bucket weight sums and weight-unit
+    ranks."""
+    return f"""
+WITH v AS (SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({_SQ_TOKS}) END AS BIGINT) AS v
+           FROM documents),
+vw AS (SELECT v, v AS w FROM v WHERE v > 0),
+b AS (SELECT {_sq_qbucket('v')} AS bucket, w FROM vw),
+c AS (SELECT bucket, sum(w) AS n_rows FROM b GROUP BY bucket),
+tot AS (SELECT sum(n_rows) AS n FROM c),
+cum AS (SELECT bucket, sum(n_rows) OVER (ORDER BY bucket) AS cum FROM c),
+qs AS (SELECT CAST(x AS DOUBLE) AS q
+       FROM (VALUES (0.25), (0.5), (0.9)) t(x)),
+rk AS (SELECT q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS rnk FROM qs, tot),
+pick AS (SELECT q, rnk, min(bucket) AS bucket
+         FROM rk JOIN cum ON cum.cum >= rk.rnk GROUP BY q, rnk)
+SELECT q, CAST(rnk AS BIGINT) AS rank, CAST(bucket AS BIGINT) AS bucket,
+       {_r6('lo_i / 1.0', 'lo')}, {_r6('hi_i / 1.0', 'hi')},
+       {_r6('(lo_i / 1.0 + hi_i / 1.0) / 2.0', 'estimate')}
+FROM pick, {_sq_qbounds(scale=1)}
+ORDER BY q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4421,4 +4448,5 @@ def oracle_sql() -> dict[str, str]:
         "cm_frequencies": _oracle_cm_frequencies(),
         "kmv_overlap": _oracle_kmv_overlap(),
         "cm_join_size": _oracle_cm_join_size(),
+        "quantile_weighted": _oracle_quantile_weighted(),
     }

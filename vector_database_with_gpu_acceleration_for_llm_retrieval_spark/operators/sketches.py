@@ -60,6 +60,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_overlap",
     "cm_join_size",
+    "qsketch_weighted",
 ]
 
 
@@ -389,6 +390,39 @@ def qsketch_updates(
         .select(qsketch_bucket(v, m).alias("bucket"))
         .withColumn("cnt", F.lit(1).cast("long"))
     )
+
+
+def qsketch_weighted(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    quantiles: list[float],
+    m: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """WEIGHTED quantiles from the sketch: each row contributes
+    ``weight_col`` units of mass instead of 1, so rank selection runs
+    over weight mass — "the document length below which half the
+    corpus TOKENS live", the mass-weighted question batch sizing and
+    mixture budgeting actually ask. Integer weights keep the whole
+    state integer-exact (same portability as :func:`qsketch`);
+    null/non-positive weights are excluded. Same plan shape: one
+    map-side-combined groupBy onto ≤63·2^m buckets, rank scan on the
+    sketch frame. Returns ``(q, rank, bucket, lo, hi, estimate)``
+    with ``rank`` in weight units."""
+    v = (
+        F.col(col).cast("long")
+        if scale == 1
+        else F.floor(F.col(col).cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    w = F.col(weight_col).cast("long")
+    buckets = (
+        df.filter(F.col(col).isNotNull() & (w > 0))
+        .select(qsketch_bucket(v, m).alias("bucket"), w.alias("cnt"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("n_rows"))
+    )
+    return qsketch_quantiles(buckets, quantiles, m=m, scale=scale)
 
 
 def qsketch(df: DataFrame, col: str, m: int = 7, scale: int = 1) -> DataFrame:
