@@ -92,11 +92,24 @@ AUDITED = {
         "broadcast back. No single-partition window over the corpus."
     ),
     "pack_sequences": (
-        "Sequence packing: same distributed prefix-sum shape as budget_select, "
-        "keyed by (stratum, physical partition) — the data-sized window group is "
-        "bounded by the range-partition size, never by the stratum size, so a "
-        "mostly-one-language corpus still parallelizes (plan-asserted: no "
-        "stratum-only windowspec)."
+        "Sequence packing: distributed prefix-sum keyed by (stratum, slice) — "
+        "slice ids are a deterministic CASE projection from a column-pruned id "
+        "percentile job (r9: no RangePartitioning, whose boundary-sampling pass "
+        "re-tokenized the corpus), so the data-sized window group is bounded by "
+        "the slice size, never the stratum size, and a mostly-one-language "
+        "corpus still parallelizes (plan-asserted: no stratum-only windowspec)."
+    ),
+    "quantile_sketch": (
+        "Portable quantile sketch: ONE map-side-combined hash aggregate onto "
+        "<= 63*2^m integer bucket keys — the shuffle carries the sketch, never "
+        "the rows; the bucket mapping is a pure integer CASE/shift projection "
+        "inside codegen (no UDF, no float log)."
+    ),
+    "part_communities": (
+        "Label propagation: per round one equi-join of the label frame against "
+        "the persisted symmetrized edges + a (node,label) count + struct-max "
+        "argmax — all partial-agged hash exchanges, labels checkpoint-pinned; "
+        "no window over the graph, no driver collect."
     ),
     "knn_classify": (
         "kNN classification: knn_join's single pruned corpus scan produces the "
