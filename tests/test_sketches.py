@@ -525,3 +525,41 @@ def test_qsketch_weighted_matches_numpy_weighted_quantile(spark):
         target = int(np.ceil(r.q * cw[-1]))
         true = sv[np.searchsorted(cw, target)]
         assert r.lo - 1e-9 <= true <= r.hi + 1e-9, (r, true)
+
+
+# ---------------------------------------------------------------------------
+# portable Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_no_false_negatives_bounded_fp(spark):
+    dim = spark.range(0, 300).selectExpr("id AS k")
+    fact = spark.range(0, 6000).selectExpr("id AS fk", "id % 4000 AS key")
+    bloom = sketches.bloom_build(dim, "k", n_bits=4096, n_hashes=5)
+    kept = sketches.bloom_prune(fact, "key", bloom, n_bits=4096, n_hashes=5)
+    kept_keys = {r.key for r in kept.collect()}
+    true_keys = {r.key for r in fact.filter("key < 300").collect()}
+    assert true_keys <= kept_keys          # NEVER a false negative
+    fp = kept_keys - true_keys
+    # designed fp rate ~(1-e^(-5*300/4096))^5 ~ 0.3%; 4000 distinct probes
+    assert len(fp) <= 40, len(fp)
+    # output schema/rows preserved (duplicate fact keys survive per-row)
+    assert kept.columns == ["fk", "key"]
+    assert kept.count() == len({r.fk for r in kept.collect()})
+
+
+def test_bloom_filters_merge_by_bit_or(spark):
+    from pyspark.sql import functions as FF
+
+    a = spark.range(0, 100).selectExpr("id AS k")
+    b = spark.range(100, 250).selectExpr("id AS k")
+    merged = (
+        sketches.bloom_build(a, "k", n_bits=2048)
+        .unionByName(sketches.bloom_build(b, "k", n_bits=2048))
+        .groupBy("word")
+        .agg(FF.bit_or("bits").alias("bits"))
+    )
+    whole = sketches.bloom_build(a.unionByName(b), "k", n_bits=2048)
+    assert {(r.word, r.bits) for r in merged.collect()} == {
+        (r.word, r.bits) for r in whole.collect()
+    }

@@ -4043,6 +4043,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "cm_join_size": q_cm_join_size,
         "quantile_weighted": q_quantile_weighted,
+        "bloom_prune": q_bloom_prune,
     }
 
 
@@ -4415,6 +4416,35 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("raw_estimate"), "raw_estimate"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("event_type")
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom semi-join pruning: a (word, bits) filter built
+    from BUILDING-segment customer keys (bit_or-folded salted md5
+    bits — Spark ships bloom_filter_agg only as an unregistered
+    internal, and its bits are engine-private) prunes orders before
+    any join; no false negatives, false positives at the designed
+    rate, both counts checked against the exact semi-join
+    (operators/sketches.bloom_build/bloom_prune)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    bloom = SK.bloom_build(dim, "c_custkey", n_bits=4096, n_hashes=5)
+    pruned = SK.bloom_prune(t["orders"], "o_custkey", bloom, n_bits=4096, n_hashes=5)
+    n_bloom = pruned.agg(F.count(F.lit(1)).alias("n_bloom"))
+    n_exact = (
+        t["orders"]
+        .join(dim.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "leftsemi")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return n_exact.crossJoin(F.broadcast(n_bloom)).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_bloom").cast("long").alias("n_bloom"),
+        (F.col("n_bloom") - F.col("n_exact")).cast("long").alias("false_positives"),
+    )
 
 
 def q_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

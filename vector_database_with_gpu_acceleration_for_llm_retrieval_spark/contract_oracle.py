@@ -4213,6 +4213,41 @@ ORDER BY q
 """
 
 
+def _oracle_bloom_prune(n_bits: int = 4096, n_hashes: int = 5) -> str:
+    """Portable-Bloom mirror (operators/sketches.bloom_build/
+    bloom_prune over BUILDING customers → orders): same salted md5 bit
+    positions, same bit_or word fold, same all-k-bits probe."""
+    def pos(i, val):
+        arg = f"concat('bf{i}:', {val})"
+        return f"({_sq_tok_hash(arg)} % {n_bits})"
+
+    build = " UNION ALL ".join(
+        f"SELECT {pos(i, 'CAST(c_custkey AS VARCHAR)')} AS p FROM dim"
+        for i in range(n_hashes)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT o_orderkey, {pos(i, 'CAST(o_custkey AS VARCHAR)')} AS p FROM orders"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bf AS MATERIALIZED (
+  SELECT p >> 5 AS word, bit_or(CAST(1 AS BIGINT) << (p & 31)) AS bits
+  FROM ({build}) GROUP BY 1),
+pr AS (SELECT o_orderkey, p >> 5 AS w, CAST(1 AS BIGINT) << (p & 31) AS m
+       FROM ({probe})),
+hits AS (SELECT o_orderkey, count(*) AS k
+         FROM pr JOIN bf ON pr.w = bf.word AND (bf.bits & pr.m) = pr.m
+         GROUP BY 1),
+nb AS (SELECT count(*) AS n_bloom FROM hits WHERE k = {n_hashes}),
+ne AS (SELECT count(*) AS n_exact FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM dim))
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_bloom AS BIGINT) AS n_bloom,
+       CAST(n_bloom - n_exact AS BIGINT) AS false_positives
+FROM ne, nb
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4449,4 +4484,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _oracle_kmv_overlap(),
         "cm_join_size": _oracle_cm_join_size(),
         "quantile_weighted": _oracle_quantile_weighted(),
+        "bloom_prune": _oracle_bloom_prune(),
     }

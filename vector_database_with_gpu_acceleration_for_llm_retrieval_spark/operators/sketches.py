@@ -61,6 +61,8 @@ __all__ = [
     "kmv_overlap",
     "cm_join_size",
     "qsketch_weighted",
+    "bloom_build",
+    "bloom_prune",
 ]
 
 
@@ -774,3 +776,91 @@ def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4) -> Da
         .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__dot"))
     )
     return prod.agg(F.min("__dot").cast("long").alias("estimate"))
+
+
+def _bloom_positions(c: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """The ``n_hashes`` salted portable-md5 bit positions of a value —
+    shared by build and probe so both sides (and both engines) set and
+    test identical bits."""
+    from ..functions.text import portable_token_hash
+
+    return [
+        F.pmod(portable_token_hash(F.concat(F.lit(f"bf{i}:"), c)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str, n_bits: int = 1 << 17, n_hashes: int = 5
+) -> DataFrame:
+    """Portable Bloom filter as a ``(word, bits)`` table: each value
+    sets ``n_hashes`` salted md5 bit positions, words are 32-bit
+    segments folded with ``bit_or`` — one map-side-combined groupBy
+    onto ≤ n_bits/32 rows. Spark 4.1 ships ``bloom_filter_agg`` only
+    as an internal expression (not SQL-registered) and its bits are
+    engine-private; this one is integer-exact and identical in any
+    engine with ``bit_or`` — so the filter itself can ship across
+    systems (build in the warehouse, probe in Spark, or vice versa).
+    Filters are union-mergeable (``bit_or`` per word), so partition /
+    day filters compose like every other sketch here. False-positive
+    rate ≈ (1 − e^(−k·n/m))^k — size n_bits ≈ 10–15 bits per key for
+    ~1%."""
+    c = F.col(col).cast("string")
+    pos = F.array(*_bloom_positions(c, n_bits, n_hashes))
+    # 32-bit words (shift ≤ 31): a 64-bit word would need 1 << 63,
+    # which portable SQL engines reject as a signed-BIGINT overflow
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(pos).alias("__p"))
+        .select(
+            F.shiftright(F.col("__p"), 5).alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col("__p").bitwiseAND(F.lit(31))
+            ).alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Keep only rows whose ``col`` MIGHT be in the Bloom filter (all
+    ``n_hashes`` bits set) — the semi-join pre-filter that drops the
+    bulk of a fact table BEFORE its shuffle when the dim-key set is
+    selective. The ≤ n_bits/32-row filter broadcasts; each row
+    explodes to its k (word, mask) probes, joins the filter, and
+    survives iff every probe found its bit: no false negatives ever,
+    false positives at the designed rate (they are caught by the real
+    join afterwards — this is a pruner, not a membership oracle)."""
+    cols = df.columns
+    c = F.col(col).cast("string")
+    pos = F.array(*_bloom_positions(c, n_bits, n_hashes))
+    # per-row id so duplicate rows survive independently (a groupBy on
+    # the data columns would merge them and break the ==k hit count);
+    # assigned BEFORE the explode, inside one linear plan
+    src = df.select(
+        F.struct(*cols).alias("__row"), pos.alias("__ps")
+    ).withColumn("__id", F.monotonically_increasing_id())
+    probes = src.select("__id", "__row", F.explode("__ps").alias("__p")).select(
+        "__id",
+        "__row",
+        F.shiftright(F.col("__p"), 5).alias("__w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.col("__p").bitwiseAND(F.lit(31))
+        ).alias("__m"),
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bloom.select(F.col("word").alias("__w"), "bits")), "__w"
+        )
+        .filter(F.col("bits").bitwiseAND(F.col("__m")) == F.col("__m"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__k"), F.first("__row").alias("__row"))
+    )
+    return hits.filter(F.col("__k") == n_hashes).select("__row.*")
