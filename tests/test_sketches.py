@@ -563,3 +563,36 @@ def test_bloom_filters_merge_by_bit_or(spark):
     assert {(r.word, r.bits) for r in merged.collect()} == {
         (r.word, r.bits) for r in whole.collect()
     }
+
+
+def test_bloom_stream_maintained(spark, tmp_path):
+    # composition proof: the generic streaming rollup with the bit_or
+    # measure keeps a LIVE Bloom filter as new dim keys land — no
+    # bloom-specific streaming code (the HLL/quantile pattern)
+    from pyspark.sql import functions as FF
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    def words(df):
+        return sketches.bloom_build(df, "k", n_bits=2048).select(
+            "word", FF.col("bits").alias("bits")
+        )
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("bs", "br", "bc"))
+    b1 = spark.range(0, 150).selectExpr("id AS k")
+    b2 = spark.range(150, 400).selectExpr("id AS k")
+    words(b1).write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["word"], {"bits": ("bit_or", "bits")},
+        "word long, bits long",
+    )
+    q.processAllAvailable()
+    words(b2).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    live = {(r.word, r.bits) for r in spark.read.parquet(roll).collect()}
+    want = {(r.word, r.bits)
+            for r in words(b1.unionByName(b2)).collect()}
+    assert live == want

@@ -38,6 +38,11 @@ _MERGE = {
     "count": (lambda c: F.count(c), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    # bitwise-OR is an idempotent commutative monoid like min/max —
+    # folds Bloom-filter words (sketches.bloom_build) through the same
+    # algebra, so a dim-key pruning filter can be incrementally /
+    # streaming maintained as new keys land
+    "bit_or": (F.bit_or, F.bit_or),
 }
 
 
