@@ -380,3 +380,48 @@ def test_hot_keys_hand_computed(spark):
     assert got[0].share == pytest.approx(0.5)
     assert got[0].skew == pytest.approx(2.0)  # 0.5 share x 4 keys
     assert got[2].cum_share == pytest.approx(11 / 12)
+
+
+def test_centroid_drift_detects_shift(spark):
+    import numpy as np
+    import pandas as pd
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PRF,
+    )
+
+    rng = np.random.RandomState(8)
+    base = rng.normal(0, 0.05, (400, 8)) + np.array([1.0] + [0.0] * 7)
+    same = rng.normal(0, 0.05, (400, 8)) + np.array([1.0] + [0.0] * 7)
+    moved = rng.normal(0, 0.05, (400, 8)) + np.array([0.0, 1.0] + [0.0] * 6)
+
+    def df(X, g):
+        return spark.createDataFrame(pd.DataFrame(
+            {"g": g, "embedding": [x.tolist() for x in X]}))
+
+    ref = df(base, "stable").unionByName(df(base, "shifted"))
+    cur = df(same, "stable").unionByName(df(moved, "shifted"))
+    got = {r.g: r for r in PRF.centroid_drift(ref, cur, "g").collect()}
+    assert got["stable"].drift < 0.01
+    assert got["shifted"].drift > 0.5  # near-orthogonal centroid move
+    assert got["stable"].n_ref == 400 and got["stable"].n_cur == 400
+
+
+def test_centroid_drift_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PRF,
+    )
+
+    rng = np.random.RandomState(3)
+    A, B = rng.normal(size=(100, 6)), rng.normal(size=(120, 6))
+    ref = spark.createDataFrame(pd.DataFrame(
+        {"g": "x", "embedding": [v.tolist() for v in A]}))
+    cur = spark.createDataFrame(pd.DataFrame(
+        {"g": "x", "embedding": [v.tolist() for v in B]}))
+    r = PRF.centroid_drift(ref, cur, "g").collect()[0]
+    ca, cb = A.mean(0), B.mean(0)
+    want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+    assert abs(r.cos_sim - want) < 1e-9

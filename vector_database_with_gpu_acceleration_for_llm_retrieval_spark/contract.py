@@ -4044,6 +4044,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_join_size": q_cm_join_size,
         "quantile_weighted": q_quantile_weighted,
         "bloom_prune": q_bloom_prune,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -4416,6 +4417,29 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("raw_estimate"), "raw_estimate"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("event_type")
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroid drift per label between a 90/10 hash split
+    of the vectors standing in for two corpus snapshots — the
+    embedding-space sibling of the PSI drift check
+    (operators/profiling.centroid_drift)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PRF,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    split = F.pmod(TX.portable_token_hash(F.col("vec_id").cast("string")), F.lit(10))
+    ref, cur = emb.filter(split < 9), emb.filter(split >= 9)
+    res = PRF.centroid_drift(ref, cur, "label")
+    return res.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        _round6(F.col("cos_sim"), "cos_sim"),
+        _round6(F.col("drift"), "drift"),
+    ).orderBy("label")
 
 
 def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4248,6 +4248,33 @@ FROM ne, nb
 """
 
 
+def _oracle_embedding_drift() -> str:
+    """Centroid-drift mirror (operators/profiling.centroid_drift over
+    the 90/10 vec_id hash split): per-(label, dim) means via the
+    __sqdims pattern, ordered list reassembly, the same ε-guarded
+    cosine fold. Means are float sums in engine-specific order —
+    agreement to ~1e-12, well inside the repo 6-dp rounding."""
+    h = _sq_tok_hash("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT label, embedding, ({h}) % 10 AS sp FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+ra AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m,
+              count(*) AS n
+       FROM e, dims WHERE sp < 9 GROUP BY label, i),
+rb AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m,
+              count(*) AS n
+       FROM e, dims WHERE sp >= 9 GROUP BY label, i),
+ca AS (SELECT label, max(n) AS n_ref, list(m ORDER BY i) AS c FROM ra GROUP BY label),
+cb AS (SELECT label, max(n) AS n_cur, list(m ORDER BY i) AS c FROM rb GROUP BY label)
+SELECT CAST(ca.label AS BIGINT) AS label,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       {_r6(_sq_cosine('ca.c', 'cb.c'), 'cos_sim')},
+       {_r6('1.0 - ' + _sq_cosine('ca.c', 'cb.c'), 'drift')}
+FROM ca JOIN cb ON ca.label = cb.label
+ORDER BY label
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4485,4 +4512,5 @@ def oracle_sql() -> dict[str, str]:
         "cm_join_size": _oracle_cm_join_size(),
         "quantile_weighted": _oracle_quantile_weighted(),
         "bloom_prune": _oracle_bloom_prune(),
+        "embedding_drift": _oracle_embedding_drift(),
     }

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability", "hot_keys", "robust_scale"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability", "hot_keys", "robust_scale", "centroid_drift"]
 
 
 def profile_table(
@@ -601,3 +601,55 @@ def robust_scale(
         iqr != 0, (F.col(value_col) - F.col("__p")[1]) / iqr
     )
     return joined.withColumn(out_col, scaled).drop("__p")
+
+
+def centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitor: per-group centroid of a
+    reference snapshot vs the current one, compared by cosine — the
+    "did the upstream embedding model / corpus mix shift" check run
+    before retraining on a refreshed corpus (the embedding sibling of
+    :func:`population_stability`).
+
+    Per-group per-dimension means come from ONE posexplode +
+    partial-agged groupBy per side ((group, dim) keys — never a
+    collect of vectors); centroids reassemble with an ordered
+    struct-sort transform, and the comparison is the repo's
+    sequential-fold cosine on G-row frames. Returns
+    ``(group, n_ref, n_cur, cos_sim, drift)`` with ``drift = 1 −
+    cos`` (0 = unchanged direction). Groups present in only one
+    snapshot are dropped (inner join) — they are mix changes, visible
+    in the row counts, not drift."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        vector as V,
+    )
+
+    def cents(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        per_dim = (
+            df.select(F.col(group_col).alias("g"), F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("g", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"), F.count(F.lit(1)).alias("n"))
+        )
+        return per_dim.groupBy("g").agg(
+            F.max("n").alias(n_name),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias(c_name),
+        )
+    a = cents(ref, "n_ref", "__ca")
+    b = cents(cur, "n_cur", "__cb")
+    return (
+        a.join(b, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_ref",
+            "n_cur",
+            V.cosine_sim("__ca", "__cb").alias("cos_sim"),
+            (F.lit(1.0) - V.cosine_sim("__ca", "__cb")).alias("drift"),
+        )
+        .orderBy(group_col)
+    )
