@@ -151,3 +151,68 @@ def test_negative_samples_deterministic_and_excludes_positives(spark):
     c = {(r.qid, r.rank): r.vec_id
          for r in negative_samples(pos, corpus.repartition(7), k=4).collect()}
     assert c == ka
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change points
+# ---------------------------------------------------------------------------
+
+
+def _cusum_events(spark, counts):
+    import datetime
+
+    rows = []
+    for i, c in enumerate(counts):
+        day = datetime.datetime(2024, 1, 1 + i, 12, 0)
+        rows += [("t", day)] * c
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    import statistics
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    counts = [10, 12, 9, 11, 10, 14, 15, 16, 15, 17]
+    ev = _cusum_events(spark, counts)
+    got = {str(r.day): (r.s_up, r.s_down)
+           for r in cusum_changepoints(ev, slack=0.25, threshold=3.0).collect()}
+    mu = statistics.mean(counts)
+    sd = statistics.stdev(counts)
+    su = sdn = 0.0
+    for i, c in enumerate(counts):
+        d = (c - mu) / sd
+        su = max(0.0, su + d - 0.25)
+        sdn = max(0.0, sdn - d - 0.25)
+        day = f"2024-01-{i + 1:02d}"
+        assert abs(got[day][0] - su) < 1e-9, (day, got[day], su)
+        assert abs(got[day][1] - sdn) < 1e-9
+
+
+def test_cusum_flags_sustained_shift_not_single_spike(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    # one big spike in a flat series: zscore territory, CUSUM stays calm
+    spike = _cusum_events(spark, [10, 10, 10, 30, 10, 10, 10, 10])
+    assert not any(
+        r.is_change for r in cusum_changepoints(spike, threshold=3.0).collect()
+    )
+    # sustained half-sigma-ish level shift: CUSUM alarms eventually
+    shift = _cusum_events(spark, [10, 10, 10, 10, 13, 13, 13, 13, 13, 13, 13, 13])
+    assert any(
+        r.is_change for r in cusum_changepoints(shift, threshold=3.0).collect()
+    )
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    flat = _cusum_events(spark, [10] * 8)
+    rows = cusum_changepoints(flat).collect()
+    assert rows and not any(r.is_change for r in rows)

@@ -2942,6 +2942,29 @@ def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM level-shift detection over daily per-type
+    volumes — the sustained-drift complement to the single-day z-score
+    spikes; the max(0,·) recurrence folds into two cumulative windows
+    per side via s = p − min(0, running-min p), all on the
+    calendar-sized daily frame
+    (operators/temporal.cusum_changepoints)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = cusum_changepoints(t["events"], slack=0.25, threshold=3.0)
+    return res.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _round6(F.col("s_up"), "s_up"),
+        _round6(F.col("s_down"), "s_down"),
+        "is_change",
+    ).orderBy("event_type", "day")
+
+
 def q_similar_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k similar daily-volume series to the 'click' series by
     aligned-day Pearson correlation — the 1-D time-series similarity
@@ -4045,6 +4068,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_weighted": q_quantile_weighted,
         "bloom_prune": q_bloom_prune,
         "embedding_drift": q_embedding_drift,
+        "cusum_changepoints": q_cusum_changepoints,
     }
 
 

@@ -4275,6 +4275,34 @@ ORDER BY label
 """
 
 
+_ORACLE_CUSUM = f"""
+WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                      count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+st AS (SELECT key, avg(n_events) AS mu,
+              CASE WHEN stddev_samp(n_events) = 0 THEN NULL
+                   ELSE stddev_samp(n_events) END AS sd
+       FROM daily GROUP BY key),
+d AS (SELECT daily.key, day, n_events,
+             (n_events - mu) / sd AS dev FROM daily JOIN st USING (key)),
+p AS (SELECT key, day, n_events,
+             sum(dev - 0.25) OVER w AS pu,
+             sum(-dev - 0.25) OVER w AS pd
+      FROM d WINDOW w AS (PARTITION BY key ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)),
+s AS (SELECT key, day, n_events,
+             pu - least(0.0, min(pu) OVER w) AS s_up,
+             pd - least(0.0, min(pd) OVER w) AS s_down
+      FROM p WINDOW w AS (PARTITION BY key ORDER BY day
+                          ROWS UNBOUNDED PRECEDING))
+SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       {_r6('s_up', 's_up')}, {_r6('s_down', 's_down')},
+       coalesce(s_up > 3.0 OR s_down > 3.0, false) AS is_change
+FROM s ORDER BY event_type, day
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4513,4 +4541,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_weighted": _oracle_quantile_weighted(),
         "bloom_prune": _oracle_bloom_prune(),
         "embedding_drift": _oracle_embedding_drift(),
+        "cusum_changepoints": _ORACLE_CUSUM,
     }

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints"]
 
 
 def asof_join(
@@ -597,4 +597,65 @@ def attribution_last_touch(
         F.col("__touch.id").alias("touch_id"),
         F.col("__touch.typ").alias("touch_type"),
         (F.col("conv_ts") - F.col("__touch.ts")).alias("gap_ns"),
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    slack: float = 0.25,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Tabular CUSUM change-point detection (Page 1954) over daily
+    per-key volumes: standardized deviations ``d = (x − μ)/σ``
+    accumulate into one-sided sums ``s⁺ = max(0, s⁺ + d − slack)`` /
+    ``s⁻ = max(0, s⁻ − d − slack)``; a sum crossing ``threshold``
+    flags a sustained LEVEL SHIFT — the persistent-drift complement to
+    :func:`zscore_anomaly`'s single-day spikes (five straight
+    half-sigma-high days alarm here and never there, one 3σ day alarms
+    there and barely moves this).
+
+    The max(0, ·) recurrence looks inherently sequential but folds
+    into plain windows via the classic identity ``s_i = p_i −
+    min(0, min_{j≤i} p_j)`` with ``p`` the running sum of
+    ``d − slack`` — so the whole operator is two cumulative windows
+    per side on the (key, day) CALENDAR-sized frame, never the event
+    log, partitioned by key. Flat or single-day series have σ ∈
+    {0, NULL} → d NULL → flags false (the zscore_anomaly guard).
+    Returns ``(key, day, n_events, s_up, s_down, is_change)``."""
+    daily = (
+        events.select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("key").agg(
+        F.avg("n_events").alias("__mu"), F.stddev_samp("n_events").alias("__sd")
+    )
+    sd = F.when(F.col("__sd") == 0, F.lit(None)).otherwise(F.col("__sd"))
+    d = (F.col("n_events") - F.col("__mu")) / sd
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        daily.join(F.broadcast(stats), "key")
+        .withColumn("__pu", F.sum(d - F.lit(slack)).over(w))
+        .withColumn("__pd", F.sum(-d - F.lit(slack)).over(w))
+    )
+    s_up = F.col("__pu") - F.least(F.lit(0.0), F.min("__pu").over(w))
+    s_dn = F.col("__pd") - F.least(F.lit(0.0), F.min("__pd").over(w))
+    return (
+        joined.select(
+            F.col("key").alias(key_col),
+            "day",
+            "n_events",
+            s_up.alias("s_up"),
+            s_dn.alias("s_down"),
+            F.coalesce(
+                (s_up > threshold) | (s_dn > threshold), F.lit(False)
+            ).alias("is_change"),
+        )
+        .orderBy(key_col, "day")
     )
