@@ -425,3 +425,60 @@ def test_centroid_drift_matches_numpy(spark):
     ca, cb = A.mean(0), B.mean(0)
     want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
     assert abs(r.cos_sim - want) < 1e-9
+
+
+def test_vocab_divergence_zero_for_identical_and_positive_for_shift(spark):
+    import pandas as pd
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PRF,
+    )
+
+    same = spark.createDataFrame(pd.DataFrame(
+        {"text": ["the quick brown fox jumps"] * 50}))
+    r = PRF.vocab_divergence(same, same).collect()[0]
+    assert abs(r.js_divergence) < 1e-12
+    assert r.n_ref_tokens == r.n_cur_tokens == 250
+    other = spark.createDataFrame(pd.DataFrame(
+        {"text": ["completely different vocabulary entirely here"] * 50}))
+    d = PRF.vocab_divergence(same, other).collect()[0]
+    import math
+
+    assert 0.5 < d.js_divergence <= math.log(2) + 1e-9  # disjoint vocab -> ln 2
+
+
+def test_vocab_divergence_matches_scipy_style_reference(spark):
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PRF,
+    )
+
+    a_texts = ["alpha beta gamma", "beta gamma delta", "alpha alpha beta"]
+    b_texts = ["gamma delta epsilon", "delta epsilon zeta"]
+    ref = spark.createDataFrame(pd.DataFrame({"text": a_texts}))
+    cur = spark.createDataFrame(pd.DataFrame({"text": b_texts}))
+    got = PRF.vocab_divergence(ref, cur, n_buckets=64).collect()[0]
+
+    def bucket_counts(texts):
+        c = {}
+        for t in texts:
+            for tok in t.split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+                c[h] = c.get(h, 0) + 1
+        return c
+
+    ca, cb = bucket_counts(a_texts), bucket_counts(b_texts)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for k in set(ca) | set(cb):
+        p, q = ca.get(k, 0) / ta, cb.get(k, 0) / tb
+        m = (p + q) / 2
+        if p > 0:
+            js += p * math.log(p / m) / 2
+        if q > 0:
+            js += q * math.log(q / m) / 2
+    assert abs(got.js_divergence - js) < 1e-9

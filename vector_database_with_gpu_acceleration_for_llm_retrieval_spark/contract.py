@@ -4069,6 +4069,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "embedding_drift": q_embedding_drift,
         "cusum_changepoints": q_cusum_changepoints,
+        "vocab_divergence": q_vocab_divergence,
     }
 
 
@@ -4464,6 +4465,26 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("cos_sim"), "cos_sim"),
         _round6(F.col("drift"), "drift"),
     ).orderBy("label")
+
+
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between corpus snapshots: Jensen-Shannon
+    divergence over 1024 hashed token buckets (state bounded by the
+    bucket count, never the vocabulary) on a 90/10 doc_id hash split
+    (operators/profiling.vocab_divergence)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PRF,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    split = F.pmod(TX.portable_token_hash(F.col("doc_id").cast("string")), F.lit(10))
+    res = PRF.vocab_divergence(docs.filter(split < 9), docs.filter(split >= 9))
+    return res.select(
+        F.col("n_ref_tokens").cast("long").alias("n_ref_tokens"),
+        F.col("n_cur_tokens").cast("long").alias("n_cur_tokens"),
+        _round6(F.col("js_divergence"), "js_divergence"),
+    )
 
 
 def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4303,6 +4303,33 @@ FROM s ORDER BY event_type, day
 """
 
 
+def _oracle_vocab_divergence(n_buckets: int = 1024) -> str:
+    """JS-divergence mirror (operators/profiling.vocab_divergence over
+    the 90/10 doc_id split): same hashed buckets, same 0·ln0 = 0
+    guard; the ln sums agree to ~1e-13, far inside 6-dp rounding."""
+    h = _sq_tok_hash("CAST(doc_id AS VARCHAR)")
+    th = _sq_tok_hash("tok")
+    return f"""
+WITH sp AS (SELECT doc_id, text, ({h}) % 10 AS s FROM documents),
+ta AS (SELECT unnest({_SQ_TOKS}) AS tok FROM sp WHERE s < 9),
+tb AS (SELECT unnest({_SQ_TOKS}) AS tok FROM sp WHERE s >= 9),
+ba AS (SELECT ({th}) % {n_buckets} AS bucket, count(*) AS na FROM ta GROUP BY 1),
+bb AS (SELECT ({th}) % {n_buckets} AS bucket, count(*) AS nb FROM tb GROUP BY 1),
+tot AS (SELECT (SELECT sum(na) FROM ba) AS tta, (SELECT sum(nb) FROM bb) AS ttb),
+j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+      FROM ba FULL JOIN bb USING (bucket)),
+terms AS (SELECT na, nb,
+                 na / CAST(tta AS DOUBLE) AS p, nb / CAST(ttb AS DOUBLE) AS q
+          FROM j, tot)
+SELECT CAST((SELECT tta FROM tot) AS BIGINT) AS n_ref_tokens,
+       CAST((SELECT ttb FROM tot) AS BIGINT) AS n_cur_tokens,
+       {_r6('''(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+         + sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)) / 2.0''',
+            'js_divergence')}
+FROM terms
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4542,4 +4569,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune": _oracle_bloom_prune(),
         "embedding_drift": _oracle_embedding_drift(),
         "cusum_changepoints": _ORACLE_CUSUM,
+        "vocab_divergence": _oracle_vocab_divergence(),
     }

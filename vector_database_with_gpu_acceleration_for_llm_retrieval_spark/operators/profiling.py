@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability", "hot_keys", "robust_scale", "centroid_drift"]
+__all__ = ["profile_table", "audit_constraints", "numeric_histogram", "winsorized_stats", "equi_depth_bins", "column_correlations", "table_diff", "gini_coefficient", "market_concentration", "population_stability", "hot_keys", "robust_scale", "centroid_drift", "vocab_divergence"]
 
 
 def profile_table(
@@ -652,4 +652,67 @@ def centroid_drift(
             (F.lit(1.0) - V.cosine_sim("__ca", "__cb")).alias("drift"),
         )
         .orderBy(group_col)
+    )
+
+
+def vocab_divergence(
+    ref: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots:
+    Jensen-Shannon divergence over HASHED token buckets — the
+    text-domain companion to :func:`centroid_drift` and the
+    vocabulary form of :func:`population_stability`. Hashing tokens
+    into ``n_buckets`` portable-md5 buckets bounds the state at
+    ``n_buckets`` rows regardless of vocabulary size (the CM-sketch
+    discipline: a raw token groupBy shuffles the whole vocabulary),
+    while JS keeps its [0, ln 2] range and symmetry on the bucketed
+    distributions. Each side is ONE explode + partial-agged groupBy
+    onto bucket ids; the divergence is a single aggregate over the
+    joined ≤n_buckets-row frame. Zero-count buckets contribute 0 to
+    their side's KL term (the 0·ln0 = 0 convention via a guard).
+    Returns one row ``(n_ref_tokens, n_cur_tokens, js_divergence)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        text as TX,
+    )
+
+    def buckets(df: DataFrame, cnt: str) -> DataFrame:
+        toks = df.select(TX.tokens(F.col(text_col)).alias("__t")).select(
+            F.explode("__t").alias("tok")
+        )
+        return (
+            toks.select(
+                F.pmod(TX.portable_token_hash(F.col("tok")), F.lit(n_buckets)).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    a, b = buckets(ref, "na"), buckets(cur, "nb")
+    j = (
+        a.join(b, "bucket", "full")
+        .select(
+            F.coalesce(F.col("na"), F.lit(0)).alias("na"),
+            F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+        )
+        .crossJoin(
+            F.broadcast(
+                a.agg(F.sum("na").alias("ta")).crossJoin(b.agg(F.sum("nb").alias("tb")))
+            )
+        )
+    )
+    p = F.col("na") / F.col("ta")
+    q = F.col("nb") / F.col("tb")
+    m = (p + q) / F.lit(2.0)
+    kl_p = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    return j.agg(
+        F.max("ta").cast("long").alias("n_ref_tokens"),
+        F.max("tb").cast("long").alias("n_cur_tokens"),
+        ((F.sum(kl_p) + F.sum(kl_q)) / F.lit(2.0)).alias("js_divergence"),
     )
