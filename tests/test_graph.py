@@ -336,3 +336,58 @@ def test_shortest_paths_hop_limit_is_exact_prefix(spark):
     )
     got = {r.node: r.dist for r in G.shortest_paths(edges, 0, iters=3).collect()}
     assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_personalized_pagerank_matches_python_replica(spark):
+    import random
+    from collections import defaultdict
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph as G,
+    )
+
+    rng = random.Random(2)
+    es = sorted({tuple(sorted(rng.sample(range(25), 2))) for _ in range(60)})
+    ws = [rng.randint(1, 4) for _ in es]
+    edges = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(es, ws)], "src long, dst long, weight long"
+    )
+    seeds = [0, 5]
+    got = {r.node: r.score
+           for r in G.personalized_pagerank(edges, seeds, iters=4,
+                                            weight_col="weight").collect()}
+    adj = defaultdict(list)
+    deg = defaultdict(float)
+    for (s, d), w in zip(es, ws):
+        adj[s].append((d, float(w)))
+        adj[d].append((s, float(w)))
+        deg[s] += w
+        deg[d] += w
+    r = {s: 0.5 for s in seeds}
+    for _ in range(4):
+        new = defaultdict(float)
+        for u, ru in r.items():
+            for v, w in adj[u]:
+                new[v] += ru * w / deg[u]
+        r = {v: (0.5 * 0.15 if v in seeds else 0.0) + 0.85 * c
+             for v, c in new.items()}
+        for s in seeds:
+            if s not in r:
+                r[s] = 0.5 * 0.15
+    assert set(got) == set(r)
+    for n, v in r.items():
+        assert abs(got[n] - v) < 1e-9, (n, got[n], v)
+
+
+def test_personalized_pagerank_frontier_stays_local(spark):
+    # two disconnected components: walks seeded in one never assign
+    # mass to the other (the frontier-sized-frames claim, observably)
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph as G,
+    )
+
+    a = [(0, 1), (1, 2), (0, 2)]
+    b = [(10, 11), (11, 12)]
+    edges = spark.createDataFrame(a + b, "src long, dst long")
+    got = {r.node for r in G.personalized_pagerank(edges, [0], iters=5).collect()}
+    assert got == {0, 1, 2}

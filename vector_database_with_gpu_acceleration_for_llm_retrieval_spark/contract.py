@@ -2833,6 +2833,30 @@ def q_part_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the two smallest parts in the
+    co-purchase graph: seed-restart walk proximity ("related to THESE
+    products"), frontier-sized frames per round, top 50 by score
+    (operators/graph.personalized_pagerank)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    edges = _copurchase_edges(t)
+    seeds = [
+        r[0]
+        for r in edges.select("src").distinct().orderBy("src").limit(2).collect()
+    ]
+    res = G.personalized_pagerank(edges, seeds, iters=3, weight_col="weight")
+    return (
+        res.select(
+            F.col("node").cast("long").alias("node"),
+            _round6(F.col("score"), "score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(50)
+    )
+
+
 def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edge extraction: distinct→cap→pair ladder, canonical
     src<dst, co-order weights."""
@@ -4070,6 +4094,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "cusum_changepoints": q_cusum_changepoints,
         "vocab_divergence": q_vocab_divergence,
+        "part_ppr": q_part_ppr,
     }
 
 

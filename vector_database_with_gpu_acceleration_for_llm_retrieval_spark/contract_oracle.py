@@ -4330,6 +4330,45 @@ FROM terms
 """
 
 
+def _oracle_part_ppr(iters: int = 3, damping: float = 0.85) -> str:
+    """Personalized-PageRank mirror (operators/graph.
+    personalized_pagerank, seeds = two smallest parts): the identical
+    rank·w/deg emission and (1−d)·seed + d·Σ update unrolled per
+    round, MATERIALIZED (the iterative-oracle rule)."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS MATERIALIZED (
+  SELECT coalesce(c.node, s.node) AS node,
+         {1.0 - damping} * coalesce(s.seed, 0.0)
+           + {damping} * coalesce(c.cin, 0.0) AS rank
+  FROM (SELECT g.d AS node, sum(r.rank * g.w / dg.deg) AS cin
+        FROM r{i - 1} r JOIN edges g ON g.s = r.node
+        JOIN deg dg ON dg.s = r.node GROUP BY g.d) c
+  FULL JOIN seeds s ON c.node = s.node)""")
+    body = ",\n".join(rounds)
+    return f"""
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS MATERIALIZED (
+  SELECT src AS s, dst AS d, CAST(weight AS DOUBLE) AS w FROM e
+  UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM e),
+deg AS MATERIALIZED (SELECT s, sum(w) AS deg FROM edges GROUP BY s),
+seeds AS MATERIALIZED (
+  SELECT src AS node, 0.5 AS seed FROM
+    (SELECT DISTINCT src FROM e ORDER BY src LIMIT 2)),
+r0 AS (SELECT node, seed AS rank FROM seeds),
+{body}
+SELECT CAST(node AS BIGINT) AS node, {_r6('rank', 'score')}
+FROM r{iters} ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4570,4 +4609,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _oracle_embedding_drift(),
         "cusum_changepoints": _ORACLE_CUSUM,
         "vocab_divergence": _oracle_vocab_divergence(),
+        "part_ppr": _oracle_part_ppr(),
     }

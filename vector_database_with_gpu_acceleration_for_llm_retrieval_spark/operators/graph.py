@@ -44,6 +44,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "shortest_paths",
+    "personalized_pagerank",
 ]
 
 
@@ -488,3 +489,68 @@ def shortest_paths(
         )
     und.unpersist()
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    iters: int = 3,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: random walks that RESTART at the seed
+    set instead of teleporting uniformly — "what's related to THESE
+    products" proximity on the co-purchase graph (the graph-side
+    sibling of the seed-set centroid expansion in
+    search.more_like_these). Fixed iterations, undirected
+    symmetrization (every node emits, so no dangling term), same
+    ``rank·w/deg`` emission expression as :func:`pagerank` so the two
+    stay float-order-consistent.
+
+    The scale win over global PageRank: the rank frame starts at
+    |seeds| rows and grows only with the REACHED neighborhood (k hops
+    after k rounds) — on a 100 TB graph the per-iteration join touches
+    frontier-sized frames, not the node universe. Per round one
+    frontier⋈edges join + per-node sum, checkpoint-pinned. Returns
+    ``(node, score)``, scores summing to ≤ 1 (mass not yet walked
+    back to the frontier's edge stays unassigned)."""
+    wcol = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ).alias("w")
+    em = edges.select("src", "dst", wcol).unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), wcol)
+    ).persist()
+    deg = em.groupBy("src").agg(F.sum("w").alias("__deg")).persist()
+    spark = edges.sparkSession
+    sv = 1.0 / len(seeds)
+    seed_df = spark.createDataFrame(
+        [(int(s), sv) for s in seeds], "node long, seed double"
+    )
+    ranks = seed_df.select("node", F.col("seed").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(em, F.col("node") == F.col("src"))
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("__n"),
+                (F.col("rank") * F.col("w") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("__n")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            contrib.join(seed_df, F.col("__n") == F.col("node"), "full")
+            .select(
+                F.coalesce(F.col("__n"), F.col("node")).alias("node"),
+                (
+                    F.lit(1.0 - damping) * F.coalesce("seed", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    em.unpersist()
+    deg.unpersist()
+    return ranks.select("node", F.col("rank").alias("score")).orderBy(
+        F.desc("score"), F.asc("node")
+    )
