@@ -378,3 +378,25 @@ def test_crash_recovery_preserves_retained_snapshots(spark, tmp_path):
           for r in INC.read_snapshot(spark, roll, batch_id=0).collect()}
     assert v0 == {(r.k, r.n, r.total)
                   for r in INC.partial_agg(b1, ["k"], m).collect()}
+
+
+def test_vacuum_snapshots_prunes_to_budget(spark, tmp_path):
+    src, roll, ckpt = (str(tmp_path / p) for p in ("s7", "r7", "c7"))
+    m = {"n": ("count", "v")}
+    q = None
+    for i in range(4):
+        _rows(spark, [(f"k{i}", float(i))]).write.mode("append").parquet(src)
+        if q is None:
+            q = INC.stream_rollup_maintenance(
+                spark, src, roll, ckpt, ["k"], m, "k string, v double",
+                retain_snapshots=10,
+            )
+        q.processAllAvailable()
+    q.stop()
+    before = INC.vacuum_snapshots(spark, roll, retain=10)
+    assert len(before) >= 4  # everything retained
+    after = INC.vacuum_snapshots(spark, roll, retain=1)
+    assert len(after) == 2  # live + one aside
+    assert after == sorted(after, reverse=True)
+    # live table untouched; newest retained version still reads
+    assert INC.read_snapshot(spark, roll, batch_id=after[1]).count() >= 1

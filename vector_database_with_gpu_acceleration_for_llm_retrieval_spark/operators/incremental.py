@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "join_view_delta", "incremental_join_agg", "cdc_apply", "stream_rollup_maintenance", "stream_snapshot_maintenance", "read_snapshot", "list_snapshots"]
+__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "join_view_delta", "incremental_join_agg", "cdc_apply", "stream_rollup_maintenance", "stream_snapshot_maintenance", "read_snapshot", "list_snapshots", "vacuum_snapshots"]
 
 #: supported mergeable measures → (state builder, merger)
 _MERGE = {
@@ -234,6 +234,22 @@ def read_snapshot(spark, table_path: str, batch_id: int | None = None) -> DataFr
         f"batch_id {batch_id} not retained at {table_path!r}; "
         f"available: {[b for b, _ in versions]}"
     )
+
+
+def vacuum_snapshots(spark, table_path: str, retain: int = 0) -> list[int]:
+    """Manually prune a maintained table's retained ``__old_<id>``
+    versions to the ``retain`` newest (0 = drop all) — the janitor for
+    tables whose maintenance stream ran with a larger
+    ``retain_snapshots`` than storage wants to keep. The live table is
+    never touched. Returns the batch ids still readable afterwards
+    (live first)."""
+    jvm = spark.sparkContext._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(table_path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    _prune_asides(fs, path_cls, table_path, retain)
+    return [b for b, _ in list_snapshots(spark, table_path)]
 
 
 def stream_rollup_maintenance(
