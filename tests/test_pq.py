@@ -309,3 +309,72 @@ def test_opq_improves_nn_recall_on_unbalanced_data(spark):
         hits_opq += len(exact & set(np.argsort(((Xh_opq - q) ** 2).sum(1))[:k].tolist()))
     # decisive margin, not a tie-break: measured ~1.45x at this setup
     assert hits_opq > 1.15 * hits_pq, (hits_opq, hits_pq)
+
+
+def test_residual_ivfpq_quantizes_finer_on_clustered_data(spark):
+    """The IVFADC premise: when cells capture cluster structure,
+    residuals are the small within-cluster offsets and quantize far
+    finer than raw vectors at equal budget — asserted on
+    reconstruction error, the quantity the encoding controls. (With
+    arbitrary untrained anchors on isotropic data the residual is NOT
+    smaller and the two paths tie to noise — measured; the contract
+    entries therefore claim IVFADC's arithmetic, not a universal
+    recall win.)"""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 32)) * 3.0
+    X = np.vstack([c + rng.normal(size=(400, 32)) * 0.3 for c in centers])
+    order = rng.permutation(len(X))  # codebook rows sample all clusters
+    X = X[order]
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(len(X)), "embedding": [x.tolist() for x in X]}))
+    cents = [(i, c.tolist()) for i, c in enumerate(centers)]
+    books_raw = PQ.codebooks_from_rows([x.tolist() for x in X[:16]], 8)
+    books_res = PQ.residual_codebooks(emb, cents, m=8, ksub=16)
+
+    def recon_err(Y, books):
+        m, dsub = 8, 4
+        tot = 0.0
+        for j in range(m):
+            S = Y[:, j * dsub : (j + 1) * dsub]
+            C = np.asarray(books[j])
+            tot += (((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    .min(axis=1).sum())
+        return tot
+
+    cell = np.array([
+        ((X[i] - centers) ** 2).sum(axis=1).argmin() for i in range(len(X))
+    ])
+    resid = X - centers[cell]
+    e_res = recon_err(resid, books_res)
+    e_raw = recon_err(X, books_raw)
+    # measured 0.41x with first-16-row codebooks (untrained); a
+    # trained codebook widens the gap further
+    assert e_res < 0.6 * e_raw, (e_res, e_raw)
+
+
+def test_residual_score_decomposition_is_exact_on_codebook_rows(tables, spark):
+    """A vector that IS a residual-codebook row reconstructs exactly, so
+    its IVFADC score equals the true inner product <q, x>."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    cents = [(r.vec_id, list(r.embedding))
+             for r in emb.filter("vec_id < 4").orderBy("vec_id").collect()]
+    qv = np.asarray(emb.filter("vec_id = 0").head().embedding, dtype=np.float64)
+    books = PQ.residual_codebooks(emb, cents, m=8, ksub=16)
+    scored = {r.vec_id: r.score
+              for r in PQ.ivfpq_residual_topk(emb, cents, books, qv.tolist(),
+                                              k=1000, nprobe=4).collect()}
+    # rows 0..15 are the codebook rows; those in the probed cells score
+    # exactly <q, x> (sequential-fold arithmetic)
+    for r in emb.filter("vec_id < 16").collect():
+        if r.vec_id not in scored:
+            continue
+        x = [float(v) for v in r.embedding]
+        want = 0.0
+        for a, b in zip(qv.tolist(), x):
+            want += a * b
+        assert abs(scored[r.vec_id] - want) < 1e-6, (r.vec_id, scored[r.vec_id], want)

@@ -520,6 +520,39 @@ def q_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVFADC: PQ over the RESIDUAL x − c(cell), scored as the
+    exact decomposition ⟨q,c⟩ + ADC⟨q,res⟩
+    (operators/pq.ivfpq_residual_topk; codebooks = first-16 rows'
+    residuals, the deterministic-trainer trick in residual domain;
+    the finer-quantization win is conditional on cells capturing
+    cluster structure — measured both ways in tests/test_pq.py)."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir)
+    books = PQ.residual_codebooks(t["embeddings"], cents, m=PQ_M, ksub=PQ_KSUB)
+    res = PQ.ivfpq_residual_topk(
+        t["embeddings"], cents, books, qv, k=TOPK_K, nprobe=IVF_NPROBE
+    )
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_recall_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of residual IVF-PQ vs the exact scan — the IVFADC
+    arithmetic value-checked end to end (its quality edge over raw
+    encoding is conditional on trained cells; both regimes measured in
+    tests/test_pq.py)."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir)
+    books = PQ.residual_codebooks(t["embeddings"], cents, m=PQ_M, ksub=PQ_KSUB)
+    exact = S.topk(t["embeddings"], qv, k=TOPK_K)
+    approx = PQ.ivfpq_residual_topk(
+        t["embeddings"], cents, books, qv, k=TOPK_K, nprobe=IVF_NPROBE
+    )
+    return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
 #: scalar quantization: one byte per dimension against per-dimension
 #: [lo, hi] ranges learned from the corpus itself (exact min/max — any
 #: engine reproduces them bit-for-bit from the same parquet).
@@ -4095,6 +4128,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "vocab_divergence": q_vocab_divergence,
         "part_ppr": q_part_ppr,
+        "ivfpq_res_topk": q_ivfpq_res_topk,
+        "recall_ivfpq_res": q_recall_ivfpq_res,
     }
 
 

@@ -796,6 +796,67 @@ approx AS (SELECT vec_id FROM pq_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
 
+def _sq_ivfpq_res_ctes() -> str:
+    """Residual-IVFPQ CTEs (operators/pq.ivfpq_residual_topk): cells,
+    probe, residual candidates, residual-domain codebooks from the
+    first PQ_KSUB rows' residuals, ADC + per-cell ⟨q,c⟩ constant.
+    Exposes ``res_scored(vec_id, s)``."""
+    dsub = 64 // PQ_M
+    res = "list_transform(i.embedding, (x, ii) -> CAST(x AS DOUBLE) - c.cv[ii])"
+    sl_e = f"list_slice(e.embedding, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    sl_c = f"list_slice(c.cv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    sl_q = f"list_slice(q.qv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    return f"""
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+__iassign AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
+           FROM embeddings e, cent c),
+__icells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM __iassign WHERE rn = 1),
+__iprobe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
+                           FROM cent c, q) WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT i.vec_id, {res} AS embedding, i.ivf_cell
+         FROM __icells i JOIN cent c ON c.cid = i.ivf_cell
+         WHERE i.ivf_cell IN (SELECT cid FROM __iprobe)),
+rcb AS (SELECT i.vec_id AS cid, {res} AS cv
+        FROM __icells i JOIN cent c ON c.cid = i.ivf_cell
+        WHERE i.vec_id < {PQ_KSUB}),
+sub AS (SELECT unnest(range(0, {PQ_M})) AS j),
+__pqd AS (SELECT e.vec_id, s.j, c.cid, {_sq_l2sq(sl_e, sl_c)} AS d
+          FROM cand e, sub s, rcb c),
+__pqc AS (SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+            FROM __pqd) WHERE rn = 1),
+__pqcode AS (SELECT vec_id, list(cid ORDER BY j) AS code FROM __pqc GROUP BY vec_id),
+__pqlutv AS (SELECT s.j, c.cid, {_sq_dot(sl_q, sl_c)} AS v FROM sub s, rcb c, q),
+__pqlut AS (SELECT list(l ORDER BY j) AS lut FROM (
+              SELECT j, list(v ORDER BY cid) AS l FROM __pqlutv GROUP BY j) ),
+qd AS (SELECT cid, {_sq_dot('qv', 'cv')} AS qc FROM cent, q),
+res_scored AS (SELECT cc.vec_id,
+                      qd.qc + list_sum(list_transform(range(0, {PQ_M}),
+                               j -> lut[j + 1][code[j + 1] + 1])) AS s
+               FROM __pqcode pc JOIN cand cc ON pc.vec_id = cc.vec_id
+               JOIN qd ON qd.cid = cc.ivf_cell, __pqlut)
+"""
+
+
+def _oracle_ivfpq_res_topk() -> str:
+    return f"""
+WITH {_sq_ivfpq_res_ctes()}
+SELECT vec_id, {_r6('s', 'score')} FROM res_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K}
+"""
+
+
+def _oracle_recall_ivfpq_res() -> str:
+    return f"""
+WITH {_sq_ivfpq_res_ctes()},
+exact AS (SELECT vec_id FROM (SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
+          ORDER BY s DESC, vec_id LIMIT {TOPK_K}),
+approx AS (SELECT vec_id FROM res_scored ORDER BY s DESC, vec_id LIMIT {TOPK_K})
+SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
+"""
+
+
 def _oracle_pq_rerank_topk() -> str:
     return f"""
 WITH {_sq_pq_ctes()},
@@ -4610,4 +4671,6 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoints": _ORACLE_CUSUM,
         "vocab_divergence": _oracle_vocab_divergence(),
         "part_ppr": _oracle_part_ppr(),
+        "ivfpq_res_topk": _oracle_ivfpq_res_topk(),
+        "recall_ivfpq_res": _oracle_recall_ivfpq_res(),
     }

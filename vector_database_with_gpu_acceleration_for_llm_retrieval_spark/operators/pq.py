@@ -60,6 +60,8 @@ __all__ = [
     "ivfpq_topk_indexed",
     "train_opq",
     "opq_rotate",
+    "residual_codebooks",
+    "ivfpq_residual_topk",
 ]
 
 
@@ -579,3 +581,135 @@ def opq_rotate(
         return pd.Series(list(M @ Rb.T))
 
     return df.withColumn(out_col, _rot(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# residual IVF-PQ (true IVFADC — Jégou et al. 2011 §V.B)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_map(centroids: list) -> Column:
+    """cell → centroid array as a literal map (n_cells · D literals —
+    KBs; rides the plan, no join)."""
+    pairs: list[Column] = []
+    for cid, cv in centroids:
+        pairs.append(F.lit(int(cid)))
+        pairs.append(F.array(*[F.lit(float(x)) for x in cv]))
+    return F.create_map(*pairs)
+
+
+def residual_expr(vec: Column, cell: Column, centroids: list) -> Column:
+    """``x − c(cell)`` elementwise, each input cast to double first —
+    the residual the true IVFADC quantizes. Pure zip_with projection."""
+    carr = F.element_at(_centroid_map(centroids), cell)
+    return F.zip_with(vec, carr, lambda x, y: x.cast("double") - y)
+
+
+def residual_codebooks(
+    df: DataFrame,
+    centroids: list,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic residual-domain codebooks: the subspace slices of
+    the first ``ksub`` corpus rows' RESIDUALS (cell assignment via the
+    oracle-proven ``ivf_assign`` arithmetic) — the residual analogue of
+    ``codebooks_from_rows``'s first-n trick, so any SQL engine rebuilds
+    identical codebooks from the corpus itself."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        ivf_assign,
+    )
+
+    head = ivf_assign(
+        df.filter(F.col(id_col) < ksub), centroids, id_col=id_col, vec_col=vec_col
+    )
+    rows = (
+        head.select(
+            id_col,
+            residual_expr(F.col(vec_col), F.col("ivf_cell"), centroids).alias("res"),
+        )
+        .orderBy(id_col)
+        .collect()
+    )
+    return codebooks_from_rows([r.res for r in rows], m)
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    centroids: list,
+    codebooks: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """True IVFADC: PQ quantizes the RESIDUAL ``x − c(cell)`` instead
+    of the raw vector, and the inner-product score decomposes exactly
+    as ``⟨q,x⟩ = ⟨q,c⟩ + ⟨q,res⟩`` — the per-cell constant ⟨q,c⟩ is
+    computed once on the driver (n_cells doubles) and the ADC LUT
+    approximates ⟨q,res⟩. When the coarse cells capture
+    cluster structure, residuals are the small within-cluster offsets
+    and the same code budget quantizes decisively finer (measured:
+    reconstruction error 0.41× of raw-vector PQ on clustered data,
+    tests/test_pq.py); with arbitrary untrained anchors on isotropic
+    data the residual is NOT smaller and the two paths tie to noise —
+    measured too, so the claim here is IVFADC's exact score
+    decomposition, with the quality win conditional on trained
+    cells. Same scale shape as the raw path:
+    probed-cell pruning, then an m-byte ADC scan; the residual is a
+    zip_with projection, no extra shuffle."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        ivf_assign,
+    )
+
+    probe = sorted(
+        ((_seq_l2sq(query_vec, cv), cid) for cid, cv in centroids)
+    )[:nprobe]
+    probed = [cid for _d, cid in probe]
+    qdotc = {cid: _seq_dot(query_vec, dict(centroids)[cid]) for cid in probed}
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col).filter(
+        F.col("ivf_cell").isin(probed)
+    )
+    res = assigned.select(
+        id_col,
+        "ivf_cell",
+        residual_expr(F.col(vec_col), F.col("ivf_cell"), centroids).alias("__res"),
+    )
+    codes = pq_encode(res, codebooks, vec_col="__res", id_col=id_col,
+                      keep_cols=["ivf_cell"])
+    lut = adc_lut(codebooks, query_vec)
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    m = len(codebooks)
+    code = F.col("code")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(F.element_at(lut_col, j + 1), code[j] + 1),
+    )
+    const = F.element_at(
+        F.create_map(*[F.lit(x) for cid in probed for x in (cid, qdotc[cid])]),
+        F.col("ivf_cell"),
+    )
+    return (
+        codes.select(F.col(id_col), (const + adc).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _seq_dot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _seq_l2sq(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return s
