@@ -4130,6 +4130,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_ppr": q_part_ppr,
         "ivfpq_res_topk": q_ivfpq_res_topk,
         "recall_ivfpq_res": q_recall_ivfpq_res,
+        "hourly_value_p95": q_hourly_value_p95,
     }
 
 
@@ -4599,6 +4600,32 @@ def q_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hi"), "hi"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("q")
+
+
+def q_hourly_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour p50/p95 of the event value from per-window sketch
+    states — the observability latency-percentile query at its scale
+    shape: one partial-agged groupBy onto (hour, bucket) keys, rank
+    scans windowed per hour over sketch-sized frames
+    (operators/sketches.qsketch_grouped keyed by the time window)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    )
+    res = SK.qsketch_grouped(ev, ["hour"], "value", [0.5, 0.95], m=7, scale=100)
+    return res.select(
+        "hour",
+        F.col("q").cast("double").alias("q"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("bucket").cast("long").alias("bucket"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+        _round6(F.col("estimate"), "estimate"),
+    ).orderBy("hour", "q")
 
 
 def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:

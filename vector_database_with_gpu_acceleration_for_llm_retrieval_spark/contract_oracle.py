@@ -4430,6 +4430,32 @@ FROM r{iters} ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
 """
 
 
+def _oracle_hourly_value_p95() -> str:
+    """Per-hour sketch-percentile mirror (operators/sketches.
+    qsketch_grouped keyed by the time window over events.value)."""
+    return f"""
+WITH v AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS g,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT g, {_sq_qbucket('v')} AS bucket FROM v),
+c AS (SELECT g, bucket, count(*) AS n_rows FROM b GROUP BY g, bucket),
+tot AS (SELECT g, sum(n_rows) AS n FROM c GROUP BY g),
+cum AS (SELECT g, bucket, sum(n_rows) OVER (PARTITION BY g ORDER BY bucket) AS cum
+        FROM c),
+qs AS (SELECT CAST(x AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(x)),
+rk AS (SELECT g, q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS rnk FROM qs, tot),
+pick AS (SELECT rk.g AS g, q, rnk, min(bucket) AS bucket
+         FROM rk JOIN cum ON cum.g = rk.g AND cum.cum >= rk.rnk
+         GROUP BY rk.g, q, rnk)
+SELECT g AS hour, q, CAST(rnk AS BIGINT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       {_r6('lo_i / 100.0', 'lo')}, {_r6('hi_i / 100.0', 'hi')},
+       {_r6('(lo_i / 100.0 + hi_i / 100.0) / 2.0', 'estimate')}
+FROM pick, {_sq_qbounds()}
+ORDER BY hour, q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4673,4 +4699,5 @@ def oracle_sql() -> dict[str, str]:
         "part_ppr": _oracle_part_ppr(),
         "ivfpq_res_topk": _oracle_ivfpq_res_topk(),
         "recall_ivfpq_res": _oracle_recall_ivfpq_res(),
+        "hourly_value_p95": _oracle_hourly_value_p95(),
     }
