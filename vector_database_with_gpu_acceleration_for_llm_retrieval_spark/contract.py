@@ -4131,6 +4131,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_res_topk": q_ivfpq_res_topk,
         "recall_ivfpq_res": q_recall_ivfpq_res,
         "hourly_value_p95": q_hourly_value_p95,
+        "ks_price_test": q_ks_price_test,
+        "chi2_flag_status": q_chi2_flag_status,
+        "benford_prices": q_benford_prices,
+        "ab_conversion": q_ab_conversion,
     }
 
 
@@ -4951,3 +4955,102 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         _round6(F.col("scaled"), "scaled"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_ks_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distribution-shift test: did
+    urgent-priority orders price differently? Both empirical CDFs in
+    one ordered cumsum over the distinct-price frame — domain-bounded,
+    never the order log (operators/stats.ks_test)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    arm = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+    ).otherwise("lo")
+    df = t["orders"].select(
+        F.col("o_totalprice").alias("price"), arm.alias("arm")
+    )
+    res = ST.ks_test(df, "price", "arm", "hi", "lo")
+    return res.select(
+        "n_a",
+        "n_b",
+        _round6(F.col("d_stat"), "d_stat"),
+        _round6(F.col("ks_z"), "ks_z"),
+        _round6(F.col("p_approx"), "p_approx"),
+    )
+
+
+def q_chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V between return flag
+    and line status — one scan to the r×c contingency cells, marginals
+    as windows over that tiny frame (operators/stats.chi2_independence)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.chi2_independence(t["lineitem"], "l_returnflag", "l_linestatus")
+    return res.select(
+        "n",
+        "dof",
+        _round6(F.col("chi2"), "chi2"),
+        _round6(F.col("cramers_v"), "cramers_v"),
+    )
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals: observed vs
+    log10(1+1/d) shares and per-digit chi-square contributions —
+    arithmetic digit extraction, one 9-key groupBy
+    (operators/stats.benford_digits)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.benford_digits(t["orders"], "o_totalprice")
+    return res.select(
+        "digit",
+        "n",
+        _round6(F.col("obs_share"), "obs_share"),
+        _round6(F.col("exp_share"), "exp_share"),
+        _round6(F.col("chi2_term"), "chi2_term"),
+    ).orderBy("digit")
+
+
+def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-day conversion: pseudo-arms by
+    (user+day) parity, a unit converts if any of its events is a
+    purchase — the per-unit collapse before the rate math
+    (operators/stats.two_proportion_ztest)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    day = F.to_date("ts")
+    ev = t["events"].select(
+        F.concat_ws("#", F.col("user_id"), day).alias("unit"),
+        F.when(
+            (F.col("user_id") + F.datediff(day, F.lit("2024-01-01"))) % 2
+            == 0,
+            "a",
+        )
+        .otherwise("b")
+        .alias("arm"),
+        (F.col("event_type") == "purchase").alias("conv"),
+    )
+    res = ST.two_proportion_ztest(ev, "unit", "arm", "conv")
+    return res.select(
+        "n_a",
+        "x_a",
+        _round6(F.col("rate_a"), "rate_a"),
+        "n_b",
+        "x_b",
+        _round6(F.col("rate_b"), "rate_b"),
+        _round6(F.col("lift"), "lift"),
+        _round6(F.col("z"), "z"),
+    )

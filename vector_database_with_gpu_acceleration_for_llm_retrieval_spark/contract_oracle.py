@@ -4700,4 +4700,83 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_res_topk": _oracle_ivfpq_res_topk(),
         "recall_ivfpq_res": _oracle_recall_ivfpq_res(),
         "hourly_value_p95": _oracle_hourly_value_p95(),
+        "ks_price_test": _ORACLE_KS_PRICE_TEST,
+        "chi2_flag_status": _ORACLE_CHI2_FLAG_STATUS,
+        "benford_prices": _ORACLE_BENFORD_PRICES,
+        "ab_conversion": _ORACLE_AB_CONVERSION,
     }
+
+
+_ORACLE_KS_PRICE_TEST = f"""
+WITH src AS (SELECT o_totalprice AS v,
+                    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hi' ELSE 'lo' END AS arm
+             FROM orders),
+cnt AS (SELECT v, sum(CASE WHEN arm = 'hi' THEN 1 ELSE 0 END) AS da,
+               sum(CASE WHEN arm = 'lo' THEN 1 ELSE 0 END) AS db
+        FROM src GROUP BY 1),
+cdf AS (SELECT v,
+  sum(da) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+  sum(db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+ FROM cnt),
+st AS (SELECT ca, cb, max(ca) OVER () AS na, max(cb) OVER () AS nb FROM cdf),
+r AS (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             max(abs(ca / na - cb / nb)) AS d_stat FROM st),
+z AS (SELECT n_a, n_b, d_stat,
+             d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (n_a + n_b)) AS ks_z FROM r)
+SELECT n_a, n_b, {_r6('d_stat', 'd_stat')}, {_r6('ks_z', 'ks_z')},
+       {_r6('least(CAST(1.0 AS DOUBLE), 2.0 * exp(-2.0 * ks_z * ks_z))', 'p_approx')}
+FROM z
+"""
+
+
+_ORACLE_CHI2_FLAG_STATUS = f"""
+WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+               FROM lineitem GROUP BY 1, 2),
+e AS (SELECT a, b, o,
+             sum(o) OVER (PARTITION BY a) * sum(o) OVER (PARTITION BY b) / sum(o) OVER () AS ex
+      FROM cells),
+agg AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+               sum((o - ex) * (o - ex) / ex) AS chi2
+        FROM e)
+SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, {_r6('chi2', 'chi2')},
+       {_r6('sqrt(chi2 / (n * least(r - 1, c - 1)))', 'cramers_v')}
+FROM agg
+"""
+
+
+_ORACLE_BENFORD_PRICES = f"""
+WITH x AS (SELECT greatest(1, least(9,
+             CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT))) AS digit
+           FROM orders WHERE o_totalprice > 0),
+c AS (SELECT digit, count(*) AS n FROM x GROUP BY 1),
+t AS (SELECT digit, n, sum(n) OVER () AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n, {_r6('n / total', 'obs_share')},
+       {_r6('log10(1.0 + 1.0 / digit)', 'exp_share')},
+       {_r6('total * (n / total - log10(1.0 + 1.0 / digit)) * (n / total - log10(1.0 + 1.0 / digit)) / log10(1.0 + 1.0 / digit)', 'chi2_term')}
+FROM t ORDER BY digit
+"""
+
+
+_ORACLE_AB_CONVERSION = f"""
+WITH src AS (SELECT CAST(user_id AS VARCHAR) || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS unit,
+                    CASE WHEN (user_id + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) % 2 = 0
+                         THEN 'a' ELSE 'b' END AS arm,
+                    event_type = 'purchase' AS conv
+             FROM events),
+units AS (SELECT unit, max(arm) AS g, max(CAST(conv AS INT)) AS s FROM src GROUP BY 1),
+arms AS (SELECT g, count(*) AS n, sum(s) AS x FROM units GROUP BY 1),
+lo AS (SELECT min(g) AS g_lo FROM arms),
+wide AS (SELECT CAST(sum(CASE WHEN g = g_lo THEN n END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN g = g_lo THEN x END) AS BIGINT) AS x_a,
+                CAST(sum(CASE WHEN g <> g_lo THEN n END) AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN g <> g_lo THEN x END) AS BIGINT) AS x_b
+         FROM arms, lo),
+d AS (SELECT n_a, x_a, n_b, x_b,
+             sqrt((x_a + x_b) / (n_a + n_b) * (1.0 - (x_a + x_b) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)) AS denom
+      FROM wide)
+SELECT n_a, x_a, {_r6('x_a / n_a', 'rate_a')}, n_b, x_b, {_r6('x_b / n_b', 'rate_b')},
+       {_r6('x_a / n_a - x_b / n_b', 'lift')},
+       {_r6('CASE WHEN denom <> 0 THEN (x_a / n_a - x_b / n_b) / denom END', 'z')}
+FROM d
+"""

@@ -1,0 +1,264 @@
+"""Distributed hypothesis testing: the "is this data drifting / did the
+experiment work" family.
+
+Every curation pipeline eventually asks statistical questions — did the
+price distribution shift between cohorts (KS test), are two categorical
+columns independent (chi-square), do the amounts look fabricated
+(Benford), did the B arm convert better (two-proportion z)?  The
+reference engine has no statistics surface at all; this module provides
+the four classic tests as single-scan Spark aggregations whose outputs
+are plain arithmetic over tiny aggregate frames — which is also what
+makes them oracle-checkable to the last bit against ANSI SQL.
+
+Scale shape (the common skeleton): ONE scan of the measured column(s)
+with a map-side-combined ``groupBy`` whose key cardinality is bounded by
+the VALUE DOMAIN, not the row count — distinct prices for KS, the
+``r x c`` contingency cells for chi-square, nine digits for Benford, two
+arms for the z-test.  Everything after that first aggregation runs on a
+frame that fits on one executor no matter how many TB were scanned, so
+the ordered windows (KS's CDF cumsum) are calendar/domain-bounded by
+design, the same argument as ``temporal.seasonal_decompose``.  For a KS
+over a genuinely unbounded continuous domain, bucket the value first
+(round to cents / fixed decimals) or swap the cumsum onto
+``sampling._distributed_prefix`` — the statistic is then exact over the
+bucketed domain, which is what any engine computing KS at 100 TB does.
+
+No SciPy: p-value approximations are explicit closed forms (documented
+per function) computed with the same float ops on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ks_test",
+    "chi2_independence",
+    "benford_digits",
+    "two_proportion_ztest",
+]
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = sup_x |F_a(x) - F_b(x)|.
+
+    Counts per distinct ``(value, group)`` first (one shuffle, map-side
+    combined, key cardinality = distinct values — the domain-bounded
+    frame), then both empirical CDFs as ONE ordered cumulative window
+    over the distinct-value frame with conditional sums, so no join
+    between the two samples is ever needed and ties across samples are
+    handled exactly (both CDFs step at the same x).
+
+    Returns one row ``(n_a, n_b, d_stat, ks_z, p_approx)`` where
+    ``ks_z = D * sqrt(n_a*n_b/(n_a+n_b))`` and ``p_approx =
+    min(1, 2*exp(-2*ks_z^2))`` is the one-term Smirnov asymptotic tail
+    (the k=1 term of 2*sum (-1)^{k-1} exp(-2 k^2 z^2); upper bound,
+    accurate to ~1e-3 for z >= 1 — documented approximation, identical
+    arithmetic on both engines).
+    """
+    # ONE row per distinct value BEFORE the ordered window: both CDFs
+    # must step together at a tied x, or the cumsum evaluated between
+    # the a-row and b-row of the same value reports a spurious gap.
+    cnt = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("da"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("db"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = cnt.select(
+        "v",
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+    )
+    wall = Window.partitionBy()
+    stepped = cdf.select(
+        "ca",
+        "cb",
+        F.max("ca").over(wall).alias("na"),
+        F.max("cb").over(wall).alias("nb"),
+    )
+    res = stepped.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(
+            F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))
+        ).alias("d_stat"),
+    )
+    # counts go through double before the product: n_a*n_b at web scale
+    # (1e12 rows a side) overflows int64 but is safely inside double.
+    z = F.col("d_stat") * F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return res.select(
+        "n_a",
+        "n_b",
+        "d_stat",
+        z.alias("ks_z"),
+        F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * z * z)).alias(
+            "p_approx"
+        ),
+    )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramer's V effect size.
+
+    One scan builds the ``r x c`` contingency table (groupBy on the
+    pair, map-side combined); marginals come from unpartitioned window
+    sums over the contingency frame (r*c rows — tiny by construction),
+    so the raw table is scanned exactly once.  Returns one row
+    ``(n, dof, chi2, cramers_v)`` with
+    ``V = sqrt(chi2 / (n * min(r-1, c-1)))``.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    e = (
+        F.sum("o").over(wa)
+        * F.sum("o").over(wb)
+        / F.sum("o").over(wall)
+    )
+    terms = cells.select(
+        "a",
+        "b",
+        "o",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("term"),
+    )
+    agg = terms.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("a").alias("r"),
+        F.count_distinct("b").alias("c"),
+        F.sum("term").alias("chi2"),
+    )
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    return agg.select(
+        "n",
+        dof.cast("long").alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+        ).alias("cramers_v"),
+    )
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law.
+
+    The fraud/fabrication screen: naturally occurring multi-magnitude
+    amounts follow P(d) = log10(1 + 1/d); invented numbers don't.  The
+    first digit is extracted arithmetically —
+    ``floor(x / 10^floor(log10(x)))`` — on strictly positive values
+    (zero/negative/null rows are excluded, as log10 is undefined
+    there), then one 9-key groupBy.  Returns nine rows ``(digit, n,
+    obs_share, exp_share, chi2_term)`` ordered by digit, where
+    ``chi2_term = n_total * (obs-exp)^2 / exp`` is the digit's
+    contribution to the Benford chi-square goodness-of-fit statistic
+    (sum the column for the test statistic, dof = 8).
+
+    A digit that never occurs yields no row (groupBy semantics); at any
+    realistic scale all nine appear, and the oracle compares exact rows
+    either way.
+    """
+    x = df.filter(F.col(value_col) > 0).select(
+        F.floor(
+            F.col(value_col)
+            / F.pow(F.lit(10.0), F.floor(F.log10(value_col)))
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    # floor(x / 10^floor(log10 x)) can land on 0 or 10 only through
+    # float rounding at magnitude boundaries; clamp into [1, 9].
+    counts = (
+        x.select(F.greatest(F.lit(1), F.least(F.lit(9), F.col("digit"))).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n").over(wall)
+    obs = F.col("n") / total
+    exp = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    return counts.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        obs.alias("obs_share"),
+        exp.alias("exp_share"),
+        (total * (obs - exp) * (obs - exp) / exp).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test on per-unit conversion: the A/B readout.
+
+    A unit (user) converts if ANY of its rows has ``success_col``
+    true — the per-unit collapse (one groupBy on the unit key) is the
+    step naive event-level tests get wrong, since event counts are not
+    independent within a user.  The unit's arm is taken from its first
+    row (``max(group)`` — units are assumed consistently assigned; an
+    inconsistent unit would take the lexicographically larger arm).
+
+    Returns one row ``(n_a, x_a, rate_a, n_b, x_b, rate_b, lift, z)``
+    with the pooled-variance z statistic
+    ``z = (rate_a - rate_b) / sqrt(p*(1-p)*(1/n_a+1/n_b))``; compare
+    |z| to 1.959964 for the 95% two-sided decision.  Group labels are
+    ordered: "a" = the lexicographically smaller arm label.
+    """
+    units = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.max(group_col).alias("g"),
+        F.max(F.col(success_col).cast("int")).alias("s"),
+    )
+    arms = units.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("s").alias("x")
+    )
+    lo = arms.agg(F.min("g").alias("g_lo")).select("g_lo")
+    wide = (
+        arms.crossJoin(F.broadcast(lo))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("g") == F.col("g_lo"), F.col("n"))).alias("n_a"),
+            F.sum(F.when(F.col("g") == F.col("g_lo"), F.col("x"))).alias("x_a"),
+            F.sum(F.when(F.col("g") != F.col("g_lo"), F.col("n"))).alias("n_b"),
+            F.sum(F.when(F.col("g") != F.col("g_lo"), F.col("x"))).alias("x_b"),
+        )
+    )
+    ra = F.col("x_a") / F.col("n_a")
+    rb = F.col("x_b") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    denom = F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # pooled variance is 0 when every unit (or none) converted — the
+    # test is undefined there; NULL beats an ANSI divide-by-zero.
+    z = F.when(denom != 0, (ra - rb) / denom)
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        ra.alias("rate_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        rb.alias("rate_b"),
+        (ra - rb).alias("lift"),
+        z.alias("z"),
+    )
