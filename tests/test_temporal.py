@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import temporal
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import temporal as TP
 
 
 def test_asof_join_at_or_before(spark):
@@ -267,3 +268,52 @@ def test_cusum_over_streaming_rollup_matches_batch(spark, tmp_path):
             for r in cusum_changepoints(ev, threshold=2.0).collect()}
     assert got == want
     assert any(flag for _s, flag in got.values())  # the shift is caught live
+
+
+def test_gap_fill_known(spark):
+    import datetime as dt
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1), 10.0),
+        (1, d(2024, 1, 4), 40.0),
+        (2, d(2024, 2, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, day date, y double")
+    out = {
+        (r.k, str(r.day)): (r.y, r.y_filled, r.is_gap)
+        for r in TP.gap_fill(df, "k").collect()
+    }
+    assert len(out) == 5  # 4 days for key 1, 1 day for key 2
+    assert out[(1, "2024-01-02")] == (None, 10.0, True)
+    assert out[(1, "2024-01-03")] == (None, 10.0, True)
+    assert out[(1, "2024-01-04")] == (40.0, 40.0, False)
+    assert out[(2, "2024-02-01")] == (5.0, 5.0, False)
+
+
+def test_ewma_known(spark):
+    import datetime as dt
+
+    d = dt.date
+    rows = [(1, d(2024, 1, 1), 8.0), (1, d(2024, 1, 2), 4.0), (1, d(2024, 1, 3), 0.0)]
+    df = spark.createDataFrame(rows, "k int, day date, y double")
+    out = [r.ewma for r in TP.ewma_smooth(df, "k", alpha=0.5).orderBy("day").collect()]
+    # s0=8, s1=0.5*4+0.5*8=6, s2=0.5*0+0.5*6=3
+    assert out == [8.0, 6.0, 3.0]
+
+
+def test_holt_known(spark):
+    import datetime as dt
+
+    d = dt.date
+    # perfectly linear series: level tracks, trend = slope, forecast exact
+    rows = [(1, d(2024, 1, i + 1), float(10 + 3 * i)) for i in range(6)]
+    rows.append((2, d(2024, 1, 1), 99.0))  # single obs: dropped
+    df = spark.createDataFrame(rows, "k int, day date, y double")
+    res = TP.holt_forecast(df, "k", alpha=0.5, beta=0.25, horizon=3).collect()
+    assert {r.k for r in res} == {1}
+    by_h = {r.h: r for r in res}
+    assert abs(by_h[1].trend - 3.0) < 1e-9
+    assert abs(by_h[1].level - 25.0) < 1e-9
+    for h in (1, 2, 3):
+        assert abs(by_h[h].forecast - (25.0 + 3.0 * h)) < 1e-9

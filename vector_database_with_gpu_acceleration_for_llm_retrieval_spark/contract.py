@@ -4135,6 +4135,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_flag_status": q_chi2_flag_status,
         "benford_prices": q_benford_prices,
         "ab_conversion": q_ab_conversion,
+        "gap_filled_users": q_gap_filled_users,
+        "ewma_daily": q_ewma_daily,
+        "holt_forecast7": q_holt_forecast7,
     }
 
 
@@ -5054,3 +5057,79 @@ def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("lift"), "lift"),
         _round6(F.col("z"), "z"),
     )
+
+
+def q_gap_filled_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward-fill of sparse per-user daily value
+    series — the spine regularization every window/recurrence needs
+    first; spine generated distributed via per-key sequence/explode
+    (operators/temporal.gap_fill)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    res = TP.gap_fill(daily, "user_id")
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _round6(F.col("y"), "y"),
+        _round6(F.col("y_filled"), "y_filled"),
+        "is_gap",
+    ).orderBy("user_id", "day")
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the per-type daily value series — the
+    sequential recurrence folded as a per-key array expression over
+    calendar-sized series, keys in parallel; binary-exact alpha=0.25 so
+    both engines run the same two mults+add per step
+    (operators/temporal.ewma_smooth)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    res = TP.ewma_smooth(daily, "event_type", alpha=0.25)
+    return res.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _round6(F.col("y"), "y"),
+        _round6(F.col("ewma"), "ewma"),
+    ).orderBy("event_type", "day")
+
+
+def q_holt_forecast7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing 7-day forecast of per-type
+    daily values — linear scalar-state fold per key, forecasts
+    level + h·trend (operators/temporal.holt_forecast; oracle = the
+    identical recurrence as a recursive CTE)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    res = TP.holt_forecast(daily, "event_type", alpha=0.5, beta=0.25, horizon=7)
+    return res.select(
+        "event_type",
+        F.col("h").cast("int").alias("h"),
+        _round6(F.col("forecast"), "forecast"),
+        _round6(F.col("level"), "level"),
+        _round6(F.col("trend"), "trend"),
+    ).orderBy("event_type", "h")

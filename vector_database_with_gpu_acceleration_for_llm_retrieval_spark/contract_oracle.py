@@ -4704,6 +4704,9 @@ def oracle_sql() -> dict[str, str]:
         "chi2_flag_status": _ORACLE_CHI2_FLAG_STATUS,
         "benford_prices": _ORACLE_BENFORD_PRICES,
         "ab_conversion": _ORACLE_AB_CONVERSION,
+        "gap_filled_users": _ORACLE_GAP_FILLED_USERS,
+        "ewma_daily": _ORACLE_EWMA_DAILY,
+        "holt_forecast7": _ORACLE_HOLT_FORECAST7,
     }
 
 
@@ -4779,4 +4782,57 @@ SELECT n_a, x_a, {_r6('x_a / n_a', 'rate_a')}, n_b, x_b, {_r6('x_b / n_b', 'rate
        {_r6('x_a / n_a - x_b / n_b', 'lift')},
        {_r6('CASE WHEN denom <> 0 THEN (x_a / n_a - x_b / n_b) / denom END', 'z')}
 FROM d
+"""
+
+
+_ORACLE_GAP_FILLED_USERS = f"""
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS y
+           FROM events WHERE user_id < 20 GROUP BY 1, 2),
+sp AS (SELECT user_id AS k, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+       FROM d GROUP BY 1),
+j AS (SELECT sp.k, CAST(sp.day AS DATE) AS day, d.y
+      FROM sp LEFT JOIN d ON d.user_id = sp.k AND d.day = CAST(sp.day AS DATE))
+SELECT CAST(k AS BIGINT) AS user_id, strftime(day, '%Y-%m-%d') AS day,
+       {_r6('y', 'y')},
+       {_r6("last_value(y IGNORE NULLS) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 'y_filled')},
+       y IS NULL AS is_gap
+FROM j ORDER BY user_id, day
+"""
+
+
+_ORACLE_EWMA_DAILY = f"""
+WITH RECURSIVE d0 AS MATERIALIZED (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1, 2),
+d AS MATERIALIZED (
+  SELECT k, day, y, row_number() OVER (PARTITION BY k ORDER BY day) AS t FROM d0),
+r AS (
+  SELECT k, t, day, y, y AS s FROM d WHERE t = 1
+  UNION ALL
+  SELECT d.k, d.t, d.day, d.y, d.y * 0.25 + r.s * 0.75
+  FROM r JOIN d ON d.k = r.k AND d.t = r.t + 1
+)
+SELECT k AS event_type, strftime(day, '%Y-%m-%d') AS day,
+       {_r6('y', 'y')}, {_r6('s', 'ewma')}
+FROM r ORDER BY event_type, day
+"""
+
+
+_ORACLE_HOLT_FORECAST7 = f"""
+WITH RECURSIVE d0 AS MATERIALIZED (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1, 2),
+d AS MATERIALIZED (
+  SELECT k, y, row_number() OVER (PARTITION BY k ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY k) AS n FROM d0),
+r AS (
+  SELECT k, 1 AS t, y AS l, (SELECT y FROM d d2 WHERE d2.k = d.k AND d2.t = 2) - y AS b
+  FROM d WHERE t = 1 AND n >= 2
+  UNION ALL
+  SELECT d.k, d.t, d.y * 0.5 + (r.l + r.b) * 0.5 AS l,
+         (d.y * 0.5 + (r.l + r.b) * 0.5 - r.l) * 0.25 + r.b * 0.75 AS b
+  FROM r JOIN d ON d.k = r.k AND d.t = r.t + 1
+),
+fin AS (SELECT k, l, b FROM r QUALIFY row_number() OVER (PARTITION BY k ORDER BY t DESC) = 1)
+SELECT k AS event_type, CAST(h AS INT) AS h,
+       {_r6('l + h * b', 'forecast')}, {_r6('l', 'level')}, {_r6('b', 'trend')}
+FROM fin, unnest(generate_series(1, 7)) AS u(h) ORDER BY event_type, h
 """

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast"]
 
 
 def asof_join(
@@ -658,4 +658,183 @@ def cusum_changepoints(
             ).alias("is_change"),
         )
         .orderBy(key_col, "day")
+    )
+
+
+def gap_fill(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    y_col: str = "y",
+) -> DataFrame:
+    """Calendar gap filling + forward fill: regularize a sparse per-key
+    daily series onto its full day spine.
+
+    Aggregated series are sparse wherever a key was quiet, and every
+    downstream window/recurrence (moving averages, EWMA, CUSUM)
+    silently treats a missing day as "adjacent" unless the spine is
+    made explicit first.  The spine is generated DISTRIBUTED: one tiny
+    per-key (min_day, max_day) aggregate, then ``sequence()`` +
+    ``explode`` — each key's spine materializes on the executor that
+    owns the key, nothing calendar-sized ever sits on the driver.  The
+    observed rows left-join onto the spine (equi-join on (key, day)),
+    and the fill is the asof_join trick within one frame:
+    ``last(y, ignorenulls)`` over an unbounded-preceding rows window
+    per key.  Cost: two shuffles on the key (agg + window; the join
+    inherits the window's partitioning), frames all keys x days.
+
+    Returns ``(key, day, y, y_filled, is_gap)`` — ``y`` NULL on gap
+    days, ``y_filled`` the carry-forward (NULL before a key's first
+    observation only), ``is_gap`` the imputation marker.
+    """
+    spine = (
+        daily.groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.min(day_col).alias("d0"),
+            F.max(day_col).alias("d1"),
+        )
+        .select(
+            "k",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    obs = daily.select(
+        F.col(key_col).alias("k"),
+        F.col(day_col).alias("day"),
+        F.col(y_col).alias("y"),
+    )
+    joined = spine.join(obs, ["k", "day"], "left")
+    w = Window.partitionBy("k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        "day",
+        "y",
+        F.last("y", ignorenulls=True).over(w).alias("y_filled"),
+        F.col("y").isNull().alias("is_gap"),
+    )
+
+
+def ewma_smooth(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    y_col: str = "y",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``s_0 = y_0; s_t = alpha*y_t + (1-alpha)*s_{t-1}``.
+
+    The recurrence is inherently sequential, but only WITHIN a key's
+    calendar-sized series — so each series is folded as an array
+    expression (``array_sort`` the (day, y) structs, ``aggregate``
+    with an array accumulator), one fold per key, keys in parallel.
+    The quadratic array-append cost is bounded by days-per-key, never
+    data volume — the same "calendar-sized by design" argument as
+    seasonal_decompose; no Python, no window tricks with
+    ``pow(1-alpha, -t)`` (those overflow past ~700 steps).
+
+    ``alpha`` should be a binary-exact double (0.25, 0.5, 0.375...) if
+    the output must reproduce bit-identically across engines — then
+    ``1-alpha`` is exact too and every step is the same two mults+add.
+    Returns ``(key, day, y, ewma)`` exploded back to rows.
+    """
+    one_m = 1.0 - alpha
+    pairs = daily.groupBy(F.col(key_col).alias("k")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(day_col).alias("d"), F.col(y_col).alias("y")))
+        ).alias("ps")
+    )
+    vals = F.col("ps.y")
+    folded = pairs.select(
+        "k",
+        F.col("ps.d").alias("days"),
+        vals.alias("ys"),
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.lit(0), F.size(vals) - 1)),
+            F.array(F.element_at(vals, 1)),
+            lambda acc, x: F.array_append(
+                acc, x * F.lit(alpha) + F.element_at(acc, -1) * F.lit(one_m)
+            ),
+        ).alias("es"),
+    )
+    z = folded.select(
+        "k", F.posexplode(F.arrays_zip("days", "ys", "es")).alias("i", "r")
+    )
+    return z.select(
+        F.col("k").alias(key_col),
+        F.col("r.days").alias(day_col),
+        F.col("r.ys").alias(y_col),
+        F.col("r.es").alias("ewma"),
+    )
+
+
+def holt_forecast(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    y_col: str = "y",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing + h-step
+    forecast per key: ``l_t = alpha*y_t + (1-alpha)*(l+b)``,
+    ``b_t = beta*(l_t - l_prev) + (1-beta)*b_prev``, initialized the
+    standard way (``l_0 = y_0``, ``b_0 = y_1 - y_0``), forecast
+    ``yhat(h) = l_T + h*b_T``.
+
+    Same execution shape as :func:`ewma_smooth` — a per-key sequential
+    fold over the calendar-sized sorted series, keys in parallel —
+    except the accumulator is the scalar ``(l, b)`` state struct (the
+    fitted path is not emitted), so the fold is linear, not quadratic.
+    Keys with fewer than 2 observations can't initialize a trend and
+    are dropped.  Returns ``(key, h, forecast, level, trend)`` with
+    ``h`` in 1..horizon.
+    """
+    one_ma, one_mb = 1.0 - alpha, 1.0 - beta
+    pairs = daily.groupBy(F.col(key_col).alias("k")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(day_col).alias("d"), F.col(y_col).alias("y")))
+        ).alias("ps")
+    )
+    vals = F.col("ps.y")
+    lvl = lambda acc: acc.getField("l")  # noqa: E731
+    trd = lambda acc: acc.getField("b")  # noqa: E731
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.lit(0), F.size(vals) - 1)),
+        F.struct(
+            F.element_at(vals, 1).alias("l"),
+            (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                x * F.lit(alpha) + (lvl(acc) + trd(acc)) * F.lit(one_ma)
+            ).alias("l"),
+            (
+                (
+                    x * F.lit(alpha)
+                    + (lvl(acc) + trd(acc)) * F.lit(one_ma)
+                    - lvl(acc)
+                )
+                * F.lit(beta)
+                + trd(acc) * F.lit(one_mb)
+            ).alias("b"),
+        ),
+    )
+    fitted = pairs.filter(F.size(vals) >= 2).select("k", state.alias("st"))
+    return fitted.select(
+        F.col("k").alias(key_col),
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+    ).select(
+        key_col,
+        "h",
+        (F.col("level") + F.col("h") * F.col("trend")).alias("forecast"),
+        "level",
+        "trend",
     )
