@@ -391,3 +391,36 @@ def test_personalized_pagerank_frontier_stays_local(spark):
     edges = spark.createDataFrame(a + b, "src long, dst long")
     got = {r.node for r in G.personalized_pagerank(edges, [0], iters=5).collect()}
     assert got == {0, 1, 2}
+
+
+def test_kcore_triangle_with_tail(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus pendant chain 3-4-5: 2-core = the triangle
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1)],
+        "src long, dst long, weight long",
+    )
+    out = {r.node: r.core_deg for r in kcore(edges, k=2, iters=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # 3-core of the same graph is empty
+    assert kcore(edges, k=3, iters=4).count() == 0
+
+
+def test_kcore_cascade_peel(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.graph import kcore
+
+    # long chain: peeling cascades from both ends, everything dies
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(1, 7)], "src long, dst long, weight long"
+    )
+    assert kcore(edges, k=2, iters=6).count() == 0
+    # two 4-cliques sharing one bridge: both survive as 3-cores
+    cl = [(a, b, 1) for base in (10, 20) for a in range(base, base + 4)
+          for b in range(a + 1, base + 4)]
+    edges2 = spark.createDataFrame(cl + [(13, 20, 1)], "src long, dst long, weight long")
+    out = {r.node: r.core_deg for r in kcore(edges2, k=3, iters=4).collect()}
+    assert len(out) == 8
+    # bridge endpoints keep the bridge edge (both ends are in-core): deg 4
+    assert out[13] == 4 and out[20] == 4
+    assert all(v == 3 for n, v in out.items() if n not in (13, 20))

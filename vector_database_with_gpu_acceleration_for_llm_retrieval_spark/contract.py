@@ -4138,6 +4138,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_users": q_gap_filled_users,
         "ewma_daily": q_ewma_daily,
         "holt_forecast7": q_holt_forecast7,
+        "part_kcore": q_part_kcore,
     }
 
 
@@ -5133,3 +5134,18 @@ def q_holt_forecast7(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("level"), "level"),
         _round6(F.col("trend"), "trend"),
     ).orderBy("event_type", "h")
+
+
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase graph by 6 fixed synchronous peel
+    rounds (delete degree<2 nodes, cascade) — the dense backbone with
+    pendant chains and fringe stripped; deterministic by construction,
+    oracle = the identical peel rounds unrolled (operators/graph.kcore)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    res = G.kcore(_copurchase_edges(t), k=2, iters=6)
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_deg").cast("long").alias("core_deg"),
+    ).orderBy("node")

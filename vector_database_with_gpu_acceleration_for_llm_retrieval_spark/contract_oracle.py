@@ -4707,6 +4707,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_filled_users": _ORACLE_GAP_FILLED_USERS,
         "ewma_daily": _ORACLE_EWMA_DAILY,
         "holt_forecast7": _ORACLE_HOLT_FORECAST7,
+        "part_kcore": _oracle_part_kcore(),
     }
 
 
@@ -4835,4 +4836,33 @@ fin AS (SELECT k, l, b FROM r QUALIFY row_number() OVER (PARTITION BY k ORDER BY
 SELECT k AS event_type, CAST(h AS INT) AS h,
        {_r6('l + h * b', 'forecast')}, {_r6('l', 'level')}, {_r6('b', 'trend')}
 FROM fin, unnest(generate_series(1, 7)) AS u(h) ORDER BY event_type, h
+"""
+
+
+def _oracle_part_kcore(k: int = 2, iters: int = 6) -> str:
+    """k-core peeling unrolled round for round (operators/graph.kcore):
+    per round the surviving-degree filter + both-endpoint semi-join,
+    every round MATERIALIZED (the unrolled-iteration rule)."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""k{i} AS MATERIALIZED (
+  SELECT s AS node FROM e{i - 1} GROUP BY 1 HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT s, d FROM e{i - 1}
+  WHERE s IN (SELECT node FROM k{i}) AND d IN (SELECT node FROM k{i}))""")
+    body = ",\n".join(rounds)
+    return f"""
+WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+capped AS (SELECT o, item FROM
+             (SELECT o, item, row_number() OVER (PARTITION BY o ORDER BY item) AS rn
+              FROM oi) WHERE rn <= 20),
+e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+e0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM e
+                    UNION ALL SELECT dst, src FROM e),
+{body}
+SELECT CAST(s AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM e{iters} GROUP BY 1 HAVING count(*) >= {k} ORDER BY node
 """

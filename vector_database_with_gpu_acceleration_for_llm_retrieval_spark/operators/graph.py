@@ -45,6 +45,7 @@ __all__ = [
     "label_propagation",
     "shortest_paths",
     "personalized_pagerank",
+    "kcore",
 ]
 
 
@@ -553,4 +554,58 @@ def personalized_pagerank(
     deg.unpersist()
     return ranks.select("node", F.col("rank").alias("score")).orderBy(
         F.desc("score"), F.asc("node")
+    )
+
+
+def kcore(edges: DataFrame, k: int = 2, iters: int = 8) -> DataFrame:
+    """The k-core of an undirected edge frame: the maximal subgraph in
+    which every node has degree ≥ k, found by iterative peeling
+    (Seidman 1983) — repeatedly delete nodes of degree < k until none
+    remain. The dense-backbone extractor: pendant chains and loosely
+    attached fringe fall away while the cohesive center (which is what
+    recommendation/fraud neighborhoods care about) survives; a single
+    bridge can hold two components together but never inflates a
+    2-core the way it corrupts connected components.
+
+    A FIXED number of synchronous peel rounds keeps the result
+    deterministic and oracle-mirrorable round for round (the LPA /
+    Bellman-Ford discipline); when a round deletes nothing the
+    remaining rounds are no-ops, so ``iters`` ≥ the peel depth gives
+    the exact k-core — peel depth is typically tiny (each round must
+    delete ≥ 1 node to matter, and cascades shorten fast on real
+    graphs).
+
+    Scale shape: per round one degree aggregation (equi-key,
+    partial-agged) + two semi-joins of the shrinking edge frame
+    against the ≥k node set — no windows over the graph, no driver
+    collect; the edge frame only ever shrinks, and each round is
+    localCheckpoint-pinned so round r replans against a materialized
+    r−1 (the pagerank rule). Returns ``(node, core_deg)`` — nodes in
+    the k-core with their degree WITHIN the core subgraph.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(iters):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
     )
