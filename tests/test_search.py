@@ -538,3 +538,20 @@ def test_mmr_knn_join_matches_per_query_mmr(tables):
         ).collect()
         for r in solo:
             assert batch[(row.qid, r.rank)] == r.id, (row.qid, r.rank)
+
+
+def test_mutual_knn_cuts_one_way_edges(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import mutual_knn
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.141]),   # mutual with 1
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.995]),    # mutual with 3
+        (5, [0.707, 0.707]),  # points at 2, but nobody's top-1 is 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.id_a, r.id_b) for r in mutual_knn(df, k=1).collect()}
+    assert out == {(1, 2), (3, 4)}
+    # k=4 over 5 points: every non-self pair is mutual -> C(5,2) edges
+    assert mutual_knn(df, k=4).count() == 10

@@ -4139,6 +4139,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": q_ewma_daily,
         "holt_forecast7": q_holt_forecast7,
         "part_kcore": q_part_kcore,
+        "mutual_knn": q_mutual_knn,
     }
 
 
@@ -5149,3 +5150,20 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("core_deg").cast("long").alias("core_deg"),
     ).orderBy("node")
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal kNN pairs over the embedding table: edges kept only
+    when each endpoint is in the other's top-5 — the hub-cutting
+    asymmetry filter near-dup/cluster graphs apply to kNN edges
+    (operators/search.mutual_knn; composition over the single-scan
+    knn_join)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S2
+
+    t = load_tables(spark, sf_dir)
+    res = S2.mutual_knn(t["embeddings"], k=5)
+    return res.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _round6(F.col("score"), "score"),
+    ).orderBy("id_a", "id_b")

@@ -4708,6 +4708,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_daily": _ORACLE_EWMA_DAILY,
         "holt_forecast7": _ORACLE_HOLT_FORECAST7,
         "part_kcore": _oracle_part_kcore(),
+        "mutual_knn": _oracle_mutual_knn(),
     }
 
 
@@ -4865,4 +4866,22 @@ e0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM e
 {body}
 SELECT CAST(s AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_deg
 FROM e{iters} GROUP BY 1 HAVING count(*) >= {k} ORDER BY node
+"""
+
+
+def _oracle_mutual_knn(k: int = 5) -> str:
+    """Mutual kNN mirror: the same rank-per-qid (score desc, id asc)
+    over all non-self pairs, top-k both directions, reciprocated edges
+    once in canonical orientation."""
+    return f"""
+WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                       {_sq_cosine('b.embedding', 'a.embedding')} AS s
+                FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+topk AS (SELECT qid, nid, s FROM (
+           SELECT qid, nid, s,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+           FROM scored) WHERE r <= {k})
+SELECT CAST(t.qid AS BIGINT) AS id_a, CAST(t.nid AS BIGINT) AS id_b, {_r6('t.s', 'score')}
+FROM topk t JOIN topk u ON u.qid = t.nid AND u.nid = t.qid
+WHERE t.qid < t.nid ORDER BY id_a, id_b
 """

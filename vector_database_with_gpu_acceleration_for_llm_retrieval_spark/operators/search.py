@@ -54,6 +54,7 @@ __all__ = [
     "recall_at_k",
     "ranking_metrics",
     "mrl_topk",
+    "mutual_knn",
 ]
 
 
@@ -983,3 +984,60 @@ def mmr_knn_join(
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select("qid", "id", "rank", "rel", "mmr")
+
+
+def mutual_knn(
+    vectors: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal (mutual) kNN pairs: ``(a, b)`` kept only when ``b``
+    is in ``a``'s top-k AND ``a`` is in ``b``'s top-k, self excluded.
+
+    The mutual constraint is the standard asymmetry filter on a kNN
+    graph — hubs attract thousands of one-way neighbors at scale, and
+    mutuality is what near-dup/cluster pipelines (and UMAP-style graph
+    constructions) use to cut those spurious edges, since a hub is
+    rarely mutually nearest to all its admirers.
+
+    Built by composition: one :func:`knn_join` of the table against
+    itself at ``k+1`` (the self-match rides along at similarity 1 and
+    is dropped afterwards — with exact-duplicate vectors tied at score
+    1, id-asc tie-breaking can displace self from the top-(k+1), in
+    which case a duplicate, which is distance-identical, stands in),
+    a per-qid re-rank to top-k, then one equi-join of the directed
+    edge set against its own swap (both keys — never a theta join)
+    keeps the reciprocated pairs once in canonical ``id_a < id_b``
+    orientation. All scale properties inherit from knn_join's single
+    corpus scan per broadcast budget. Returns ``(id_a, id_b, score)``.
+    """
+    q = vectors.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    nn = knn_join(
+        q,
+        vectors,
+        k=k + 1,
+        metric=metric,
+        query_vec="qvec",
+        id_col=id_col,
+        vec_col=vec_col,
+    ).filter(F.col("qid") != F.col("neighbor_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    topk_edges = (
+        nn.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("qid", "neighbor_id", "score")
+    )
+    rev = topk_edges.select(
+        F.col("neighbor_id").alias("qid"), F.col("qid").alias("neighbor_id")
+    )
+    return (
+        topk_edges.join(rev, ["qid", "neighbor_id"], "left_semi")
+        .filter(F.col("qid") < F.col("neighbor_id"))
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "score",
+        )
+    )
