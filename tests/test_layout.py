@@ -88,3 +88,33 @@ def test_write_clustered_rejects_overlapping_partition_keys(tables):
         write_clustered(
             tables["lineitem"], "/tmp/unused", ["l_orderkey"], partition_by=["l_orderkey"]
         )
+
+
+def test_compaction_plan_bins(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("p", 1, 40), ("p", 2, 40), ("p", 3, 40),  # 40+40 -> grp0 (80 >= 100? no)
+        ("p", 4, 500),                               # big: keep
+        ("p", 5, 30),
+        ("q", 6, 10),
+    ]
+    df = spark.createDataFrame(rows, "part string, fid long, sz long")
+    out = {r.fid: r for r in compaction_plan(
+        df, "fid", "sz", ["part"], target_bytes=100, small_threshold=100
+    ).collect()}
+    # next-fit by offset: f1 start 0 -> g0; f2 start 40 -> g0; f3 start 80 -> g0
+    # (overruns target by one file); f5 start 120 -> g1; f4 kept; q resets.
+    assert [out[i].grp for i in (1, 2, 3, 5)] == [0, 0, 0, 1]
+    assert out[4].action == "keep" and out[4].grp is None
+    assert out[1].grp_bytes == 120 and out[1].grp_files == 3
+    assert out[5].grp_bytes == 30 and out[5].grp_files == 1
+    assert out[6].grp == 0 and out[6].grp_bytes == 10
+
+
+def test_compaction_plan_no_small_files(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame([("p", 1, 900)], "part string, fid long, sz long")
+    r = compaction_plan(df, "fid", "sz", ["part"], target_bytes=100).collect()[0]
+    assert r.action == "keep" and r.grp is None and r.grp_bytes is None

@@ -4140,6 +4140,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast7": q_holt_forecast7,
         "part_kcore": q_part_kcore,
         "mutual_knn": q_mutual_knn,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -5167,3 +5168,27 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         _round6(F.col("score"), "score"),
     ).orderBy("id_a", "id_b")
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over a synthetic file inventory (one
+    row per document, size = n_chars, partition = lang): next-fit-by-
+    offset binning into ~2000-byte rewrite groups, ≥500-byte files
+    kept as-is — pure per-partition window math, no driver greedy loop
+    (operators/layout.compaction_plan)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import layout as LY
+
+    t = load_tables(spark, sf_dir)
+    inv = t["documents"].select("lang", "doc_id", "n_chars")
+    res = LY.compaction_plan(
+        inv, "doc_id", "n_chars", ["lang"], target_bytes=2000, small_threshold=500
+    )
+    return res.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "action",
+        F.col("grp").cast("long").alias("grp"),
+        F.col("grp_bytes").cast("long").alias("grp_bytes"),
+        F.col("grp_files").cast("long").alias("grp_files"),
+    ).orderBy("lang", "doc_id")

@@ -4709,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_forecast7": _ORACLE_HOLT_FORECAST7,
         "part_kcore": _oracle_part_kcore(),
         "mutual_knn": _oracle_mutual_knn(),
+        "compaction_plan": _ORACLE_COMPACTION_PLAN,
     }
 
 
@@ -4884,4 +4885,23 @@ topk AS (SELECT qid, nid, s FROM (
 SELECT CAST(t.qid AS BIGINT) AS id_a, CAST(t.nid AS BIGINT) AS id_b, {_r6('t.s', 'score')}
 FROM topk t JOIN topk u ON u.qid = t.nid AND u.nid = t.qid
 WHERE t.qid < t.nid ORDER BY id_a, id_b
+"""
+
+
+_ORACLE_COMPACTION_PLAN = """
+WITH inv AS (SELECT lang, doc_id, n_chars, n_chars < 500 AS small FROM documents),
+st AS (SELECT lang, doc_id, n_chars, small,
+              coalesce(sum(CASE WHEN small THEN n_chars END)
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+       FROM inv),
+planned AS (SELECT lang, doc_id, n_chars,
+                   CASE WHEN small THEN 'compact' ELSE 'keep' END AS action,
+                   CASE WHEN small THEN CAST(floor(start / 2000) AS BIGINT) END AS grp,
+                   small
+            FROM st)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, action, grp,
+       CASE WHEN small THEN CAST(sum(n_chars) OVER (PARTITION BY lang, grp) AS BIGINT) END AS grp_bytes,
+       CASE WHEN small THEN CAST(count(*) OVER (PARTITION BY lang, grp) AS BIGINT) END AS grp_files
+FROM planned ORDER BY lang, doc_id
 """

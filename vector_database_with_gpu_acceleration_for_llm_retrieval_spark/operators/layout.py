@@ -21,10 +21,10 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_stats", "write_zorder"]
+__all__ = ["zorder_value", "zorder_stats", "write_zorder", "compaction_plan"]
 
 
 def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
@@ -126,4 +126,67 @@ def write_zorder(
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str,
+    size_col: str,
+    key_cols: list[str],
+    target_bytes: int,
+    small_threshold: int | None = None,
+) -> DataFrame:
+    """Small-file compaction planning: the lakehouse maintenance step
+    that bins sub-threshold files into ~``target_bytes`` rewrite
+    groups, per table partition.
+
+    Streaming sinks and fine-grained partitioning litter object
+    storage with files far below the scan-efficient size; compaction
+    jobs periodically rewrite them into target-sized files. The PLAN —
+    which files rewrite together — is computed declaratively with
+    next-fit-by-offset binning: within each partition, files order
+    deterministically by id, and a file's group is
+    ``floor(start_offset / target)`` where ``start_offset`` is the
+    running size cumsum BEFORE the file. Pure window math — no greedy
+    driver loop — at the cost of the standard next-fit slack (a group
+    may overrun ``target`` by at most one file, so groups average
+    ``target + avg_size/2``; first-fit-decreasing packs ~1% tighter
+    but is inherently sequential).
+
+    Files at/above ``small_threshold`` (default: ``target_bytes``) are
+    already fine and pass through as ``action='keep'`` with a NULL
+    group.  Scale shape: one window per partition key (per-partition
+    file counts are bounded by retention, not data volume) — no global
+    ordering, no collect; the plan frame is file-inventory-sized,
+    orders of magnitude smaller than the data it describes.  Returns
+    ``(*key_cols, id, size, action, grp, grp_bytes, grp_files)``.
+    """
+    if small_threshold is None:
+        small_threshold = target_bytes
+    small = F.col(size_col) < small_threshold
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.when(small, F.col(size_col))).over(w), F.lit(0)
+    )
+    planned = files.select(
+        *key_cols,
+        F.col(id_col),
+        F.col(size_col),
+        F.when(small, F.lit("compact")).otherwise(F.lit("keep")).alias("action"),
+        F.when(small, F.floor(start / F.lit(target_bytes))).alias("grp"),
+    )
+    wg = Window.partitionBy(*key_cols, "grp")
+    return planned.select(
+        *key_cols,
+        id_col,
+        size_col,
+        "action",
+        "grp",
+        F.when(small, F.sum(size_col).over(wg)).alias("grp_bytes"),
+        F.when(small, F.count(F.lit(1)).over(wg)).alias("grp_files"),
     )
