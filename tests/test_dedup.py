@@ -373,3 +373,23 @@ def test_prefix_jaccard_threshold_validation(spark):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError):
             D.prefix_jaccard_pairs(docs, threshold=bad)
+
+
+def test_containment_asymmetric(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(12))  # strict prefix
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r.containment for r in containment_pairs(df, 0.9).collect()}
+    # 2's shingles are a strict subset of 1's: containment(2->1) = 1.0,
+    # directed only (1 is not inside 2), and 3 matches nothing
+    assert out == {(2, 1): 1.0}
+    # the same pair is invisible to symmetric Jaccard at any useful t
+    assert prefix_jaccard_pairs(df, 0.5).count() == 0

@@ -4141,6 +4141,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_kcore": q_part_kcore,
         "mutual_knn": q_mutual_knn,
         "compaction_plan": q_compaction_plan,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -5192,3 +5193,33 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp_bytes").cast("long").alias("grp_bytes"),
         F.col("grp_files").cast("long").alias("grp_files"),
     ).orderBy("lang", "doc_id")
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed set-containment join ≥ 0.8 (|A∩B|/|A| — the
+    quote/excerpt question Jaccard symmetrizes away) via the
+    asymmetric prefix filter: A probed by its rarest-first prefix, B
+    indexed in full; planted 20-token excerpt docs (every 7th doc,
+    id+2000000) must land inside their sources; oracle = brute force,
+    hash match proves the pruning lossless
+    (operators/dedup.containment_pairs)."""
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "text")
+    short = (
+        t["documents"]
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 20), " "
+            ).alias("text"),
+        )
+    )
+    res = D.containment_pairs(
+        base.unionByName(short), threshold=0.8, shingle_n=SHINGLE_N
+    )
+    return res.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _round6(F.col("containment"), "containment"),
+    ).orderBy("id_a", "id_b")

@@ -4710,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore": _oracle_part_kcore(),
         "mutual_knn": _oracle_mutual_knn(),
         "compaction_plan": _ORACLE_COMPACTION_PLAN,
+        "containment_pairs": _oracle_containment_pairs(),
     }
 
 
@@ -4904,4 +4905,30 @@ SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_char
        CASE WHEN small THEN CAST(sum(n_chars) OVER (PARTITION BY lang, grp) AS BIGINT) END AS grp_bytes,
        CASE WHEN small THEN CAST(count(*) OVER (PARTITION BY lang, grp) AS BIGINT) END AS grp_files
 FROM planned ORDER BY lang, doc_id
+"""
+
+
+def _oracle_containment_pairs() -> str:
+    """BRUTE-FORCE all-pairs directed shingle containment — not the
+    prefix-filtered plan, so a hash match proves the Spark side's
+    asymmetric pruning lossless."""
+    sh = _sq_shingles('t', SHINGLE_N)
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+  FROM documents WHERE doc_id % 7 = 0),
+tt AS (SELECT doc_id, {_SQ_TOKS} AS t FROM src),
+s AS (SELECT doc_id, list_distinct({sh}) AS sh FROM tt),
+e AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS o
+      FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+       {_r6('CAST(o AS DOUBLE) / CAST(na.n AS DOUBLE)', 'containment')}
+FROM i JOIN sz na ON na.doc_id = i.ia JOIN sz nb ON nb.doc_id = i.ib
+WHERE CAST(o AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.8
+ORDER BY id_a, id_b
 """

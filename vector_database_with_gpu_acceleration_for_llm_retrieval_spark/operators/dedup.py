@@ -52,6 +52,7 @@ __all__ = [
     "near_dup_against_corpus",
     "fuzzy_pairs",
     "prefix_jaccard_pairs",
+    "containment_pairs",
 ]
 
 #: Mersenne-ish prime > 2^32 for the universal-hash family
@@ -1048,4 +1049,93 @@ def prefix_jaccard_pairs(
     return (
         v.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs set-CONTAINMENT join:
+    every directed pair with ``C(A→B) = |A∩B| / |A| ≥ threshold`` over
+    shingle sets — "is most of document A inside document B", the
+    asymmetric question (quote/excerpt/近-superset detection) that
+    Jaccard deliberately symmetrizes away: a short doc fully quoted
+    inside a long one has containment 1.0 but Jaccard ≈ |A|/|B| → 0,
+    invisible to :func:`prefix_jaccard_pairs` at any useful threshold.
+
+    Prefix filter, asymmetric form (the ppjoin containment variant):
+    under one corpus-wide rarest-first shingle order, if C(A→B) ≥ t
+    then A∩B holds ≥ ⌈t·n_a⌉ of A's shingles, so A's first
+    ``n_a − ⌈t·n_a⌉ + 1`` shingles must intersect B — A is probed by
+    PREFIX only, but B must be indexed on its FULL shingle list (no
+    lower bound relates n_b to n_a beyond ``n_b ≥ t·n_a``, which is
+    applied as the size filter). Exact ``array_intersect`` verify
+    keeps truth; the oracle mirrors with brute force, proving the
+    pruning lossless.
+
+    Scale: all equi-key work; candidate volume = Σ over A-prefix
+    shingles of B-posting length — rarest-first puts probes where
+    postings are shortest, but the full-B index means a stop-word-like
+    shingle's posting is long: cap or drop df-dominant shingles
+    upstream (the minhash bucket-cap discipline) when the corpus has
+    no df ceiling. Returns directed ``(id_a, id_b, containment)``,
+    ``id_a ≠ id_b``, A the contained side.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = docs.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__t"))
+    sh = toks.select(
+        id_col, F.array_distinct(TX.shingles(F.col("__t"), shingle_n)).alias("__sh")
+    )
+    ex = sh.select(id_col, F.explode("__sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ss")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__ss", lambda s: s["shingle"]).alias("__sorted"),
+            F.size("__ss").alias("__n"),
+        )
+    )
+    plen = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
+    pa = ordered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__n").alias("n_a"),
+        F.explode(F.slice("__sorted", F.lit(1), plen)).alias("shingle"),
+    )
+    pb = ordered.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__n").alias("n_b"),
+        F.explode("__sorted").alias("shingle"),
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.ceil(F.lit(threshold) * F.col("n_a")) <= F.col("n_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = ordered.select(F.col(id_col), F.col("__sorted"))
+    v = cand.join(
+        full.select(F.col(id_col).alias("id_a"), F.col("__sorted").alias("__sa")),
+        "id_a",
+    ).join(
+        full.select(F.col(id_col).alias("id_b"), F.col("__sorted").alias("__sb")),
+        "id_b",
+    )
+    cont = F.size(F.array_intersect("__sa", "__sb")).cast("double") / F.size(
+        "__sa"
+    ).cast("double")
+    return v.select("id_a", "id_b", cont.alias("containment")).filter(
+        F.col("containment") >= threshold
     )
