@@ -317,3 +317,41 @@ def test_holt_known(spark):
     assert abs(by_h[1].level - 25.0) < 1e-9
     for h in (1, 2, 3):
         assert abs(by_h[h].forecast - (25.0 + 3.0 * h)) < 1e-9
+
+
+def test_rolling_corr_perfect_and_flat(spark):
+    import datetime as dt
+
+    rows = [(dt.date(2024, 1, i + 1), i * 2, i * 6) for i in range(10)]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    out = TP.rolling_corr(df, "x", "y", window_days=5).orderBy("day").collect()
+    # y = 3x exactly: corr 1 everywhere a 2+ day frame exists
+    assert out[0].corr is None  # single-row frame: zero variance
+    assert all(abs(r.corr - 1.0) < 1e-12 for r in out[1:])
+    assert out[-1].n_window == 5
+    flat = spark.createDataFrame(
+        [(dt.date(2024, 1, i + 1), 7, i) for i in range(5)], "day date, x long, y long"
+    )
+    assert all(
+        r.corr is None for r in TP.rolling_corr(flat, "x", "y", window_days=5).collect()
+    )
+
+
+def test_lead_lag_planted_shift(spark):
+    import datetime as dt
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.randrange(100) for _ in range(40)]
+    rows = []
+    for i in range(40):
+        x = base[i]
+        y = base[i - 2] if i >= 2 else rnd.randrange(100)  # y lags x by 2
+        rows.append((dt.date(2024, 1, 1) + dt.timedelta(days=i), x, y))
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    out = {r.lag: r for r in TP.lead_lag_scan(df, "x", "y", max_lag=4).collect()}
+    assert len(out) == 9
+    best = [lag for lag, r in out.items() if r.is_best]
+    # x at t matches y at t+2: best positive lag 2 (x leads y)
+    assert best == [2]
+    assert abs(out[2].corr - 1.0) < 0.05

@@ -4142,6 +4142,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,
         "compaction_plan": q_compaction_plan,
         "containment_pairs": q_containment_pairs,
+        "rolling_corr": q_rolling_corr,
+        "lead_lag": q_lead_lag,
     }
 
 
@@ -5223,3 +5225,61 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         _round6(F.col("containment"), "containment"),
     ).orderBy("id_a", "id_b")
+
+
+def _purchase_click_daily(t):
+    """Shared daily (purchase_cents, click_cents) frame — integer
+    cents so windowed/grouped sums are exact under any accumulation
+    order (Spark recomputes sliding frames, DuckDB segment-trees them;
+    integer sums make the difference unobservable)."""
+    ev = t["events"]
+    cents = lambda typ: F.floor(  # noqa: E731
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == typ, F.col("value"))),
+            F.lit(0.0),
+        )
+        * 100
+        + 0.5
+    ).cast("long")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        cents("purchase").alias("x"), cents("click").alias("y")
+    )
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day Pearson correlation between daily purchase and
+    click value — the moving-together monitor, five windowed
+    integer-exact sums + closed-form Pearson on the calendar frame
+    (operators/temporal.rolling_corr)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = TP.rolling_corr(_purchase_click_daily(t), "x", "y", window_days=14)
+    return res.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("n_window").cast("long").alias("n_window"),
+        _round6(F.col("corr"), "corr"),
+    ).orderBy("day")
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag scan: corr(purchase_t, click_{t+lag}) for lags −7..7 —
+    which metric moves first; lag-shifted equi-joins against a
+    broadcast lag spine, five exact sums per lag
+    (operators/temporal.lead_lag_scan)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = TP.lead_lag_scan(_purchase_click_daily(t), "x", "y", max_lag=7)
+    return res.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_days").cast("long").alias("n_days"),
+        _round6(F.col("corr"), "corr"),
+        "is_best",
+    ).orderBy("lag")

@@ -4711,6 +4711,8 @@ def oracle_sql() -> dict[str, str]:
         "mutual_knn": _oracle_mutual_knn(),
         "compaction_plan": _ORACLE_COMPACTION_PLAN,
         "containment_pairs": _oracle_containment_pairs(),
+        "rolling_corr": _ORACLE_ROLLING_CORR,
+        "lead_lag": _ORACLE_LEAD_LAG,
     }
 
 
@@ -4931,4 +4933,51 @@ SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
 FROM i JOIN sz na ON na.doc_id = i.ia JOIN sz nb ON nb.doc_id = i.ib
 WHERE CAST(o AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.8
 ORDER BY id_a, id_b
+"""
+
+
+_SQ_PC_DAILY = """
+d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0) * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0.0) * 100 + 0.5) AS BIGINT) AS y
+      FROM events GROUP BY 1)
+"""
+
+_SQ_PEARSON = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0"
+    "        THEN NULL"
+    "        ELSE sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) END"
+)
+
+_ORACLE_ROLLING_CORR = f"""
+WITH {_SQ_PC_DAILY},
+s AS (SELECT day, x, y,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT strftime(day, '%Y-%m-%d') AS day, x, y, CAST(n AS BIGINT) AS n_window,
+       {_r6(_SQ_PEARSON, 'corr')}
+FROM s ORDER BY day
+"""
+
+_ORACLE_LEAD_LAG = f"""
+WITH {_SQ_PC_DAILY},
+lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+p AS (SELECT l.lag, a.x, b.y
+      FROM d a CROSS JOIN lags l
+      JOIN d b ON b.day = a.day + to_days(CAST(l.lag AS INT))),
+agg AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM p GROUP BY 1),
+sc AS (SELECT lag, n, {_SQ_PEARSON} AS corr FROM agg)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days, {_r6('corr', 'corr')},
+       (row_number() OVER (ORDER BY abs(corr) DESC NULLS LAST, lag ASC) = 1
+        AND corr IS NOT NULL) AS is_best
+FROM sc ORDER BY lag
 """

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan"]
 
 
 def asof_join(
@@ -837,4 +837,130 @@ def holt_forecast(
         (F.col("level") + F.col("h") * F.col("trend")).alias("forecast"),
         "level",
         "trend",
+    )
+
+
+def _pearson_from_sums(n, sx, sy, sxx, syy, sxy):
+    """Pearson r from raw sum components with the NULL-guarded
+    denominator (the similar_series rule: ANSI F.corr raises on a
+    zero-variance series; NULL is the correct answer there)."""
+    nd = n.cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    denom = F.sqrt(vx) * F.sqrt(vy)
+    return cov / F.when(denom == 0, F.lit(None)).otherwise(denom)
+
+
+def rolling_corr(
+    daily: DataFrame,
+    x_col: str,
+    y_col: str,
+    day_col: str = "day",
+    window_days: int = 14,
+) -> DataFrame:
+    """Trailing ``window_days`` Pearson correlation between two daily
+    series sharing one frame (one row per day): the "are these two
+    metrics still moving together" monitor, localized in time where a
+    whole-history corr hides regime changes.
+
+    Five windowed sums (x, y, x², y², xy) over a trailing rows frame +
+    the closed-form Pearson — never a per-row re-join of the series.
+    The window is ordered but CALENDAR-sized by design (the upstream
+    daily aggregate did the data-sized work — the seasonal_decompose
+    argument).  Cross-engine bit-reproducibility note: feed INTEGER
+    (e.g. cents) inputs — integer window sums are exact under any
+    accumulation order, while float sliding sums differ between
+    Spark's recompute-per-frame and e.g. DuckDB's segment-tree order.
+    Rows before a full window report the partial-frame corr (standard
+    rows-frame semantics); zero-variance frames give NULL.  Returns
+    ``(day, x, y, n_window, corr)``.
+    """
+    w = Window.orderBy(day_col).rowsBetween(-(window_days - 1), 0)
+    x, y = F.col(x_col), F.col(y_col)
+    sums = daily.select(
+        F.col(day_col).alias("day"),
+        x.alias("x"),
+        y.alias("y"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(x).over(w).alias("__sx"),
+        F.sum(y).over(w).alias("__sy"),
+        F.sum(x * x).over(w).alias("__sxx"),
+        F.sum(y * y).over(w).alias("__syy"),
+        F.sum(x * y).over(w).alias("__sxy"),
+    )
+    corr = _pearson_from_sums(
+        F.col("__n"),
+        F.col("__sx").cast("double"),
+        F.col("__sy").cast("double"),
+        F.col("__sxx").cast("double"),
+        F.col("__syy").cast("double"),
+        F.col("__sxy").cast("double"),
+    )
+    return sums.select(
+        "day", "x", "y", F.col("__n").alias("n_window"), corr.alias("corr")
+    )
+
+
+def lead_lag_scan(
+    daily: DataFrame,
+    x_col: str,
+    y_col: str,
+    day_col: str = "day",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag detection: Pearson correlation of ``x_t`` against
+    ``y_{t+lag}`` for every lag in ``[-max_lag, +max_lag]`` — which
+    metric LEADS (a positive best lag means x today predicts y in
+    ``lag`` days; negative means y moves first).
+
+    One row per day in, 2·max_lag+1 aligned self-joins out — but the
+    join is lag-shifted EQUI-join on the day key (x day-frame ×
+    broadcast lag spine, matched to y at ``day + lag``), grouped into
+    five sums per lag; everything after the upstream daily aggregate
+    is calendar × lags sized.  Integer inputs give exact sums (the
+    rolling_corr note).  Returns ``(lag, n_days, corr, is_best)``
+    with ``is_best`` marking the largest |corr| (ties → smaller lag;
+    all-NULL corrs → no best row).
+    """
+    lags = (
+        daily.limit(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(-max_lag), F.lit(max_lag))
+            ).alias("lag")
+        )
+    )
+    x = daily.select(F.col(day_col).alias("dx"), F.col(x_col).alias("x"))
+    y = daily.select(F.col(day_col).alias("dy"), F.col(y_col).alias("y"))
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("dy") == F.date_add(F.col("dx"), F.col("lag")))
+    )
+    xx, yy = F.col("x"), F.col("y")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(xx).alias("__sx"),
+        F.sum(yy).alias("__sy"),
+        F.sum(xx * xx).alias("__sxx"),
+        F.sum(yy * yy).alias("__syy"),
+        F.sum(xx * yy).alias("__sxy"),
+    )
+    corr = _pearson_from_sums(
+        F.col("n_days"),
+        F.col("__sx").cast("double"),
+        F.col("__sy").cast("double"),
+        F.col("__sxx").cast("double"),
+        F.col("__syy").cast("double"),
+        F.col("__sxy").cast("double"),
+    )
+    scored = agg.select("lag", "n_days", corr.alias("corr"))
+    wb = Window.orderBy(F.abs(F.col("corr")).desc_nulls_last(), F.col("lag").asc())
+    return scored.select(
+        "lag",
+        "n_days",
+        "corr",
+        ((F.row_number().over(wb) == 1) & F.col("corr").isNotNull()).alias(
+            "is_best"
+        ),
     )
