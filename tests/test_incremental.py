@@ -400,3 +400,27 @@ def test_vacuum_snapshots_prunes_to_budget(spark, tmp_path):
     assert after == sorted(after, reverse=True)
     # live table untouched; newest retained version still reads
     assert INC.read_snapshot(spark, roll, batch_id=after[1]).count() >= 1
+
+
+def test_answer_from_rollup_routes_and_refuses(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import incremental as INC
+    import pytest as _pytest
+
+    rows = [("a", "x", 1, 10.0), ("a", "y", 2, 20.0), ("b", "x", 3, 5.0)]
+    df = spark.createDataFrame(rows, "g string, h string, id long, v double")
+    measures = {"n": ("count", "id"), "s": ("sum", "v"), "mx": ("max", "v")}
+    rollup = INC.partial_agg(df, ["g", "h"], measures)
+    out = {
+        r.g: (r.n, r.s, r.mx)
+        for r in INC.answer_from_rollup(rollup, ["g", "h"], measures, ["g"]).collect()
+    }
+    assert out == {"a": (2, 30.0, 20.0), "b": (1, 5.0, 5.0)}
+    # total (empty grouping) also answerable
+    tot = INC.answer_from_rollup(rollup, ["g", "h"], measures, []).collect()[0]
+    assert (tot.n, tot.s, tot.mx) == (3, 35.0, 20.0)
+    # finer/foreign key or unknown measure must refuse, not mis-answer
+    with _pytest.raises(ValueError):
+        INC.answer_from_rollup(rollup, ["g", "h"], measures, ["id"])
+    with _pytest.raises(ValueError):
+        INC.answer_from_rollup(rollup, ["g", "h"], measures, ["g"], ["nope"])
+    assert not INC.can_answer(["g"], measures, ["g", "h"], ["n"])

@@ -4144,6 +4144,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "rolling_corr": q_rolling_corr,
         "lead_lag": q_lead_lag,
+        "rollup_answer": q_rollup_answer,
     }
 
 
@@ -5283,3 +5284,38 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("corr"), "corr"),
         "is_best",
     ).orderBy("lag")
+
+
+def q_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view routing: the per-type event report answered
+    from a (day, hour, type) maintained rollup's state — never the
+    event log — and hash-compared against the ORACLE'S DIRECT BASE-
+    TABLE GROUP BY, proving the lattice rewrite exact
+    (operators/incremental.answer_from_rollup; float sums settled to
+    cents on both sides, the incremental_rollup rule)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    t = load_tables(spark, sf_dir)
+    measures = {
+        "n_events": ("count", "event_id"),
+        "sum_value": ("sum", "value"),
+        "max_value": ("max", "value"),
+    }
+    keys = ["day", "hour", "event_type"]
+    base = t["events"].select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    rollup = INC.partial_agg(base, keys, measures)
+    res = INC.answer_from_rollup(rollup, keys, measures, ["event_type"])
+    return res.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        _round6(F.round(F.col("sum_value"), 2), "sum_value"),
+        _round6(F.col("max_value"), "max_value"),
+    ).orderBy("event_type")

@@ -4713,6 +4713,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _oracle_containment_pairs(),
         "rolling_corr": _ORACLE_ROLLING_CORR,
         "lead_lag": _ORACLE_LEAD_LAG,
+        "rollup_answer": _ORACLE_ROLLUP_ANSWER,
     }
 
 
@@ -4980,4 +4981,12 @@ SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days, {_r6('corr', 'corr'
        (row_number() OVER (ORDER BY abs(corr) DESC NULLS LAST, lag ASC) = 1
         AND corr IS NOT NULL) AS is_best
 FROM sc ORDER BY lag
+"""
+
+
+_ORACLE_ROLLUP_ANSWER = f"""
+SELECT event_type, CAST(count(event_id) AS BIGINT) AS n_events,
+       {_r6('round(sum(value), 2)', 'sum_value')},
+       {_r6('max(value)', 'max_value')}
+FROM events GROUP BY 1 ORDER BY 1
 """

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "join_view_delta", "incremental_join_agg", "cdc_apply", "stream_rollup_maintenance", "stream_snapshot_maintenance", "read_snapshot", "list_snapshots", "vacuum_snapshots"]
+__all__ = ["partial_agg", "merge_rollup", "incremental_agg", "can_answer", "answer_from_rollup", "join_view_delta", "incremental_join_agg", "cdc_apply", "stream_rollup_maintenance", "stream_snapshot_maintenance", "read_snapshot", "list_snapshots", "vacuum_snapshots"]
 
 #: supported mergeable measures → (state builder, merger)
 _MERGE = {
@@ -454,3 +454,62 @@ def stream_snapshot_maintenance(
         .outputMode("append")
         .start()
     )
+
+
+def can_answer(
+    rollup_keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    query_keys: list[str],
+    query_measures: list[str],
+) -> bool:
+    """True iff a rollup with ``rollup_keys``/``measures`` can answer a
+    GROUP BY ``query_keys`` over ``query_measures`` exactly: the query
+    keys must be a subset of the rollup keys (coarser or equal
+    grouping) and every requested measure must exist in the maintained
+    state with a mergeable kind. Distinct counts are the classic
+    non-example — they are NOT re-mergeable from per-key counts (use
+    the HLL register rollup for those)."""
+    return set(query_keys) <= set(rollup_keys) and all(
+        m in measures and measures[m][0] in _MERGE for m in query_measures
+    )
+
+
+def answer_from_rollup(
+    rollup: DataFrame,
+    rollup_keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    query_keys: list[str],
+    query_measures: list[str] | None = None,
+) -> DataFrame:
+    """Materialized-view query routing: answer a coarser GROUP BY from
+    the maintained rollup state instead of the base table.
+
+    The aggregation-rewrite half of what warehouse optimizers do with
+    materialized views (Goldstein/Larson-style view matching,
+    restricted to the rollup lattice): a query grouping by a SUBSET of
+    the rollup's keys re-aggregates the state frame with each
+    measure's MERGE function — sum/count states by sum, min/max/bit_or
+    by themselves — touching |rollup| rows instead of the base table.
+    Combined with the incremental/streaming maintenance in this module
+    the pattern is: pay the base-table scan once per delta, answer
+    every coarser ad-hoc rollup from state.
+
+    Raises ``ValueError`` when the rollup cannot answer (finer/foreign
+    keys or unknown measure) — silent wrong answers are the failure
+    mode view routing must never have.  Exactness caveat, stated
+    honestly: integer measures re-merge bit-exactly; float sums
+    re-associate (state order vs row order), differing by float
+    rounding only — same caveat any two-level aggregation carries.
+    """
+    query_measures = query_measures or list(measures)
+    if not can_answer(rollup_keys, measures, query_keys, query_measures):
+        raise ValueError(
+            f"rollup over {rollup_keys} cannot answer GROUP BY {query_keys} "
+            f"for measures {query_measures}"
+        )
+    aggs = []
+    for out in query_measures:
+        kind, _src = measures[out]
+        _, merge = _MERGE[kind]
+        aggs.append(merge(F.col(out)).alias(out))
+    return rollup.groupBy(*query_keys).agg(*aggs)
