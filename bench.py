@@ -165,6 +165,14 @@ SCALE_QUERIES = [
     "remove_dup_spans",
     "mixture_pipeline",
     "mmr_knn_join",
+    # round-9 additions with corpus-sized work at the probe: the exact
+    # directed containment join (asymmetric prefix filter vs DuckDB's
+    # brute-force mirror — the 10x replicas form real excerpt families,
+    # ~45k true pairs) and the k-core peel on the 10x co-purchase graph
+    # (6 iterative degree+semi-join rounds vs 6 unrolled MATERIALIZED
+    # CTE rounds)
+    "containment_pairs",
+    "part_kcore",
 ]
 SCALE_REPS = 3
 #: heavy build-dominated families measured once, un-warmed (the

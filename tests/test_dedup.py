@@ -393,3 +393,41 @@ def test_containment_asymmetric(spark):
     assert out == {(2, 1): 1.0}
     # the same pair is invisible to symmetric Jaccard at any useful t
     assert prefix_jaccard_pairs(df, 0.5).count() == 0
+
+
+def test_sorted_neighborhood_window(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, "apple"), (2, "applf"), (3, "banana"), (4, "bananz"), (5, "zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    # window 1: only sort-adjacent pairs are candidates
+    cand = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "name", "doc_id", window=1).collect()
+    }
+    assert cand == {(1, 2), (2, 3), (3, 4), (4, 5)}  # sort: apple,applf,banana,bananz,zzz
+    # verify trims to true typo pairs
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in sorted_neighborhood_pairs(
+            df, "name", "doc_id", window=2, max_dist=1
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (3, 4): 1}
+
+
+def test_sorted_neighborhood_partitioning_independent(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"name{i:03d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    a = {(r.id_a, r.id_b) for r in sorted_neighborhood_pairs(df, "name", "doc_id", 2).collect()}
+    b = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df.repartition(13), "name", "doc_id", 2).collect()
+    }
+    assert a == b and len(a) == 59 + 58

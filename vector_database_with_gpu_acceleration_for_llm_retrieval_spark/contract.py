@@ -4145,6 +4145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "lead_lag": q_lead_lag,
         "rollup_answer": q_rollup_answer,
+        "snm_pairs": q_snm_pairs,
     }
 
 
@@ -5319,3 +5320,37 @@ def q_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.round(F.col("sum_value"), 2), "sum_value"),
         _round6(F.col("max_value"), "max_value"),
     ).orderBy("event_type")
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over the typo'd-title corpus
+    (the fuzzy_titles fixture): window-4 neighborhood on the global
+    distributed-prefix sort rank, Levenshtein ≤ 2 verify — catches the
+    adjacent-but-differently-bucketed pairs equality blocking misses
+    (operators/dedup.sorted_neighborhood_pairs)."""
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", F.substring("text", 1, 12).alias("name")
+    )
+    typo = (
+        t["documents"]
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 4),
+                F.lit("z"),
+                F.substring("text", 6, 7),
+            ).alias("name"),
+        )
+    )
+    res = D.sorted_neighborhood_pairs(
+        base.unionByName(typo), "name", id_col="doc_id", window=4, max_dist=2
+    )
+    return res.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "key_a",
+        "key_b",
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("id_a", "id_b")

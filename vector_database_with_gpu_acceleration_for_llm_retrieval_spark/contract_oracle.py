@@ -4714,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr": _ORACLE_ROLLING_CORR,
         "lead_lag": _ORACLE_LEAD_LAG,
         "rollup_answer": _ORACLE_ROLLUP_ANSWER,
+        "snm_pairs": _ORACLE_SNM_PAIRS,
     }
 
 
@@ -4989,4 +4990,23 @@ SELECT event_type, CAST(count(event_id) AS BIGINT) AS n_events,
        {_r6('round(sum(value), 2)', 'sum_value')},
        {_r6('max(value)', 'max_value')}
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+_ORACLE_SNM_PAIRS = """
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 12) AS name FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substring(text, 1, 4) || 'z' || substring(text, 6, 7)
+  FROM documents WHERE doc_id % 5 = 0),
+ranked AS (SELECT doc_id AS id, name AS key,
+                  row_number() OVER (ORDER BY name, doc_id) AS pos FROM src),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+          FROM ranked a JOIN ranked b
+            ON b.pos BETWEEN a.pos + 1 AND a.pos + 4)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS INT) AS dist
+FROM pairs WHERE levenshtein(key_a, key_b) <= 2
+ORDER BY id_a, id_b
 """

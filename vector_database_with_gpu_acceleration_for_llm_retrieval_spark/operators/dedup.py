@@ -53,6 +53,7 @@ __all__ = [
     "fuzzy_pairs",
     "prefix_jaccard_pairs",
     "containment_pairs",
+    "sorted_neighborhood_pairs",
 ]
 
 #: Mersenne-ish prime > 2^32 for the universal-hash family
@@ -1139,3 +1140,59 @@ def containment_pairs(
     return v.select("id_a", "id_b", cont.alias("containment")).filter(
         F.col("containment") >= threshold
     )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 3,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández/Stolfo 1995): order all
+    records by a sort key, slide a ``window``-row neighborhood, and
+    emit every in-window pair as a linkage candidate — the classic
+    complement to equality blocking (prefix/LSH buckets): two typo'd
+    titles land in DIFFERENT hash blocks but ADJACENT sort positions,
+    so SNM catches what bucket equality misses, at a guaranteed
+    ``n·window`` candidate budget (no hot-bucket blowup, ever).
+
+    The global sort position comes from the distributed-prefix shape
+    (``sampling._distributed_prefix``, weight 1): range-partition on
+    (key, id), within-partition running counts, plus the broadcast
+    P-row partition-offset ladder — an exact global rank with NO
+    single-partition window over the data (the standard SNM "but the
+    sort is sequential" objection doesn't survive contact with a
+    range exchange). Neighborhood pairing is ``window`` exploded
+    offsets equi-joined on rank — never a theta join.
+
+    ``max_dist`` optionally verifies candidates with Levenshtein ≤
+    ``max_dist`` (JVM-side ``levenshtein``), turning candidates into
+    matches. Returns ``(id_a, id_b, key_a, key_b[, dist])`` with
+    ``id_a`` the earlier sort position.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        _distributed_prefix,
+    )
+
+    base = records.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    ranked = _distributed_prefix(
+        base, [F.col("key"), F.col("id")], F.lit(1)
+    ).select("id", "key", (F.col("__run") + F.col("__off")).alias("pos"))
+    left = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        "pos",
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("__off2"),
+    ).withColumn("__pos_b", F.col("pos") + F.col("__off2"))
+    right = ranked.select(
+        F.col("pos").alias("__pos_b"),
+        F.col("id").alias("id_b"),
+        F.col("key").alias("key_b"),
+    )
+    out = left.join(right, "__pos_b").select("id_a", "id_b", "key_a", "key_b")
+    if max_dist is not None:
+        out = out.withColumn(
+            "dist", F.levenshtein("key_a", "key_b")
+        ).filter(F.col("dist") <= max_dist)
+    return out
