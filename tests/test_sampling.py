@@ -338,3 +338,23 @@ def test_priority_sample_excludes_nonpositive_weights(spark):
     )
     got = {r.doc_id for r in SMP.priority_sample(df, k=10, weight_col="w").collect()}
     assert got == set(range(3, 10))
+
+
+def test_sampled_aggregate_estimates(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sampling import (
+        sampled_aggregate,
+    )
+
+    rows = [(i, "g", 1.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r = sampled_aggregate(df, ["g"], "v", "id", denom=8).collect()[0]
+    # deterministic sample: repeated runs identical
+    r2 = sampled_aggregate(df, ["g"], "v", "id", denom=8).collect()[0]
+    assert (r.n_sample, r.n_est) == (r2.n_sample, r2.n_est)
+    # ~1/8 of 4000 with binomial spread; HT estimate near truth
+    assert 350 < r.n_sample < 650
+    assert r.n_est == r.n_sample * 8
+    assert abs(r.sum_est - 4000.0) < 4 * r.se_sum + 1e-9
+    # unit values: Var = (1-p)/p^2 * n_sample
+    import math
+    assert abs(r.se_sum - math.sqrt((1 - 0.125) / 0.125**2 * r.n_sample)) < 1e-9

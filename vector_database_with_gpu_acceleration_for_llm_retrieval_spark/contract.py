@@ -4146,6 +4146,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag": q_lead_lag,
         "rollup_answer": q_rollup_answer,
         "snm_pairs": q_snm_pairs,
+        "sampled_groupby": q_sampled_groupby,
     }
 
 
@@ -5354,3 +5355,34 @@ def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_b",
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("id_a", "id_b")
+
+
+def q_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate GROUP BY from the deterministic 1/8 portable-hash
+    sample with Horvitz-Thompson estimates + standard errors (the AQP
+    exploration answer), exact per-type truth joined in as evidence
+    (operators/sampling.sampled_aggregate)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sampling as SA,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    res = SA.sampled_aggregate(ev, ["event_type"], "value", "event_id", denom=8)
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true"), F.sum("value").alias("sum_true")
+    )
+    return (
+        res.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.col("n_est").cast("long").alias("n_est"),
+            _round6(F.col("sum_est"), "sum_est"),
+            _round6(F.col("se_sum"), "se_sum"),
+            _round6(F.col("rel_err"), "rel_err"),
+            F.col("n_true").cast("long").alias("n_true"),
+            _round6(F.col("sum_true"), "sum_true"),
+        )
+        .orderBy("event_type")
+    )

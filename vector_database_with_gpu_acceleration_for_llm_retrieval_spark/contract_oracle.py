@@ -4715,6 +4715,7 @@ def oracle_sql() -> dict[str, str]:
         "lead_lag": _ORACLE_LEAD_LAG,
         "rollup_answer": _ORACLE_ROLLUP_ANSWER,
         "snm_pairs": _ORACLE_SNM_PAIRS,
+        "sampled_groupby": _oracle_sampled_groupby(),
     }
 
 
@@ -5009,4 +5010,26 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, key_a, key_b,
        CAST(levenshtein(key_a, key_b) AS INT) AS dist
 FROM pairs WHERE levenshtein(key_a, key_b) <= 2
 ORDER BY id_a, id_b
+"""
+
+
+def _oracle_sampled_groupby(denom: int = 8) -> str:
+    """The identical portable-hash 1/denom sample + Horvitz-Thompson
+    estimators, exact truth joined in."""
+    h = _sq_tok_hash("CAST(event_id AS VARCHAR)")
+    p = 1.0 / denom
+    factor = (1.0 - p) / (p * p)
+    return f"""
+WITH s AS (SELECT event_type, value FROM events WHERE {h} % {denom} = 0),
+agg AS (SELECT event_type, count(*) AS n_sample, sum(value) AS sv, sum(value * value) AS svv
+        FROM s GROUP BY 1),
+ex AS (SELECT event_type, count(*) AS n_true, sum(value) AS st FROM events GROUP BY 1)
+SELECT agg.event_type, CAST(n_sample AS BIGINT) AS n_sample,
+       CAST(n_sample * {denom} AS BIGINT) AS n_est,
+       {_r6(f'sv * CAST({denom} AS DOUBLE)', 'sum_est')},
+       {_r6(f'sqrt({factor!r} * svv)', 'se_sum')},
+       {_r6(f'sqrt({factor!r} * svv) / (CASE WHEN sv * CAST({denom} AS DOUBLE) <> 0 THEN sv * CAST({denom} AS DOUBLE) END)', 'rel_err')},
+       CAST(n_true AS BIGINT) AS n_true, {_r6('st', 'sum_true')}
+FROM agg JOIN ex ON ex.event_type = agg.event_type
+ORDER BY 1
 """

@@ -32,6 +32,7 @@ from pyspark.sql.types import NumericType
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
 __all__ = [
+    "sampled_aggregate",
     "negative_samples",
     "epoch_upsample",
     "within_group_percentile",
@@ -852,4 +853,55 @@ def priority_sample(
             F.greatest(F.col("weight"), F.col("__tau")).alias("est_weight"),
         )
         .orderBy(F.desc("priority"), F.asc(id_col))
+    )
+
+
+def sampled_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    denom: int = 8,
+) -> DataFrame:
+    """Approximate GROUP BY from a deterministic 1/``denom`` Bernoulli
+    sample, with per-group standard errors — the AQP (approximate
+    query processing) answer when a scan of the full fact table is too
+    expensive for an exploratory query and ±few-% is acceptable.
+
+    The sample is the portable hash filter ``h(id) % denom == 0`` —
+    deterministic, engine-reproducible, and consistent across queries
+    (the same 1/denom of rows answers every exploration, so estimates
+    are comparable run to run; this is what makes a persisted "sample
+    table" materialization trivially incremental).  Estimators are
+    Horvitz-Thompson with inclusion probability ``p = 1/denom``:
+    ``n̂ = n_s·denom``, ``ŝ = s_s·denom``, and
+    ``Var(ŝ) = (1−p)/p² · Σ_sample v²`` (the Poisson-sampling variance
+    estimate), reported as ``se_sum`` plus the derived relative error.
+
+    One scan OF THE SAMPLE — at the storage layer, persist the sample
+    clustered by the hash so the filter prunes files and the scan is
+    denom× cheaper, which is the whole point.  Returns
+    ``(*keys, n_sample, n_est, sum_est, se_sum, rel_err)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TXF
+
+    p = 1.0 / denom
+    h = F.pmod(TXF.portable_token_hash(F.col(id_col).cast("string")), F.lit(denom))
+    sample = df.filter(h == 0)
+    v = F.col(value_col)
+    agg = sample.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    var = F.lit((1.0 - p) / (p * p)) * F.col("__ss")
+    se = F.sqrt(var)
+    sum_est = F.col("__s") * F.lit(float(denom))
+    return agg.select(
+        *keys,
+        "n_sample",
+        (F.col("n_sample") * F.lit(denom)).cast("long").alias("n_est"),
+        sum_est.alias("sum_est"),
+        se.alias("se_sum"),
+        (se / F.when(sum_est != 0, sum_est)).alias("rel_err"),
     )
