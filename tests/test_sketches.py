@@ -596,3 +596,33 @@ def test_bloom_stream_maintained(spark, tmp_path):
     want = {(r.word, r.bits)
             for r in words(b1.unionByName(b2)).collect()}
     assert live == want
+
+
+def test_hll_sliding_distinct_window_semantics(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sketches import (
+        hll_distinct,
+        hll_sliding_distinct,
+    )
+    from pyspark.sql import functions as F
+
+    # buckets 0,1,5 with disjoint user sets; bucket 3 absent (gap)
+    rows = (
+        [(0, u) for u in range(30)]
+        + [(1, 100 + u) for u in range(20)]
+        + [(5, 200 + u) for u in range(10)]
+    )
+    df = spark.createDataFrame(rows, "bucket long, uid long")
+    out = {r.bucket: r for r in hll_sliding_distinct(df, "bucket", "uid", trailing=3).collect()}
+    assert set(out) == {0, 1, 5}
+    # trailing-3 at bucket 1 = buckets {0,1} merged == one-shot HLL of both sets
+    both = hll_distinct(
+        df.filter(F.col("bucket") <= 1).select("uid"), "uid"
+    ).collect()[0]
+    assert abs(out[1].estimate - both.estimate) < 1e-5  # hll_distinct rounds to 6dp
+    assert out[1].z_scaled == both.z_scaled
+    # RANGE frame: bucket 5's window [3,5] excludes buckets 0/1 despite
+    # them being the adjacent ROWS — only its own 10 users remain
+    solo = hll_distinct(
+        df.filter(F.col("bucket") == 5).select("uid"), "uid"
+    ).collect()[0]
+    assert out[5].z_scaled == solo.z_scaled

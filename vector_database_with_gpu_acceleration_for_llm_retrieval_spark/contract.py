@@ -4147,6 +4147,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_answer": q_rollup_answer,
         "snm_pairs": q_snm_pairs,
         "sampled_groupby": q_sampled_groupby,
+        "sliding_distinct_users": q_sliding_distinct_users,
     }
 
 
@@ -5385,4 +5386,43 @@ def q_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round6(F.col("sum_true"), "sum_true"),
         )
         .orderBy("event_type")
+    )
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct users over a TRAILING 6-hour window from HLL
+    registers — mergeability exploited in a window (per-index register
+    max over a RANGE frame on the epoch-hour, dense spine so earlier-
+    hour registers reach later windows); exact trailing distinct
+    joined in as evidence via the contribute-forward explode
+    (operators/sketches.hll_sliding_distinct)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    )
+    res = SK.hll_sliding_distinct(ev, "bucket", "user_id", trailing=6, p=8)
+    contrib = ev.select(
+        "user_id",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("__o"),
+    ).select("user_id", (F.col("bucket") + F.col("__o")).alias("bucket"))
+    exact = (
+        contrib.join(ev.select("bucket").distinct(), "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        res.join(exact, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("nonzero").cast("long").alias("nonzero"),
+            F.col("z_scaled").cast("long").alias("z_scaled"),
+            _round6(F.col("estimate"), "estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .orderBy("bucket")
     )

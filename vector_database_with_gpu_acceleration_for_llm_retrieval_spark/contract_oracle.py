@@ -4716,6 +4716,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_answer": _ORACLE_ROLLUP_ANSWER,
         "snm_pairs": _ORACLE_SNM_PAIRS,
         "sampled_groupby": _oracle_sampled_groupby(),
+        "sliding_distinct_users": _oracle_sliding_distinct_users(),
     }
 
 
@@ -5031,5 +5032,50 @@ SELECT agg.event_type, CAST(n_sample AS BIGINT) AS n_sample,
        {_r6(f'sqrt({factor!r} * svv) / (CASE WHEN sv * CAST({denom} AS DOUBLE) <> 0 THEN sv * CAST({denom} AS DOUBLE) END)', 'rel_err')},
        CAST(n_true AS BIGINT) AS n_true, {_r6('st', 'sum_true')}
 FROM agg JOIN ex ON ex.event_type = agg.event_type
+ORDER BY 1
+"""
+
+
+def _oracle_sliding_distinct_users(trailing: int = 6) -> str:
+    """Sliding-HLL mirror: identical register math (the hll_grouped
+    fragments) with the dense bucket×idx spine and the same RANGE
+    max-merge, plus the exact contribute-forward evidence join."""
+    pr, m, w = 8, 256, 52
+    mask = (1 << w) - 1
+    branches = f"WHEN rest = 0 THEN {w + 1} " + " ".join(
+        f"WHEN rest >= {1 << (b - 1)} THEN {w + 1 - b}" for b in range(w, 0, -1)
+    )
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m
+    two_w1 = float(1 << (w + 1))
+    raw = f"CAST({num!r} AS DOUBLE) * CAST({two_w1!r} AS DOUBLE) / z_scaled"
+    return f"""
+WITH ev AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket FROM events),
+h AS (SELECT bucket, {_sq_tok_hash("CAST(user_id AS VARCHAR)")} AS h FROM ev),
+b AS (SELECT bucket, h >> {w} AS idx, h & {mask} AS rest FROM h),
+r AS (SELECT bucket, idx, max(CASE {branches} END) AS rho FROM b GROUP BY 1, 2),
+spine AS (SELECT DISTINCT bucket FROM r),
+grid AS (SELECT spine.bucket, u.idx FROM spine,
+               (SELECT unnest(generate_series(0, {m - 1})) AS idx) u),
+dense AS (SELECT g.bucket, g.idx, r.rho FROM grid g
+          LEFT JOIN r ON r.bucket = g.bucket AND r.idx = g.idx),
+mg AS (SELECT bucket, idx,
+              max(rho) OVER (PARTITION BY idx ORDER BY bucket
+                             RANGE BETWEEN {trailing - 1} PRECEDING AND CURRENT ROW) AS rho
+       FROM dense),
+s AS (SELECT bucket, count(rho) AS nonzero,
+             coalesce(sum(CAST(power(2, {w + 1} - rho) AS BIGINT)), 0) AS zf
+      FROM mg GROUP BY 1),
+k AS (SELECT bucket, nonzero, zf + ({m} - nonzero) * {1 << (w + 1)} AS z_scaled FROM s),
+contrib AS (SELECT e.user_id, e.bucket + u.o AS bucket
+            FROM ev e, (SELECT unnest(generate_series(0, {trailing - 1})) AS o) u),
+ex AS (SELECT c.bucket, count(DISTINCT c.user_id) AS exact_distinct
+       FROM contrib c JOIN spine sp ON sp.bucket = c.bucket GROUP BY 1)
+SELECT k.bucket, CAST(nonzero AS BIGINT) AS nonzero,
+       CAST(z_scaled AS BIGINT) AS z_scaled,
+       {_r6(f'''CASE WHEN ({raw}) <= CAST({2.5 * m!r} AS DOUBLE) AND ({m} - nonzero) > 0
+                 THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - nonzero))
+                 ELSE {raw} END''', 'estimate')},
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM k JOIN ex ON ex.bucket = k.bucket
 ORDER BY 1
 """

@@ -37,7 +37,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -46,6 +46,7 @@ __all__ = [
     "hll_register_updates",
     "hll_estimate_from_registers",
     "hll_distinct",
+    "hll_sliding_distinct",
     "frequent_items",
     "qsketch_bucket",
     "qsketch_bounds",
@@ -864,3 +865,95 @@ def bloom_prune(
         .agg(F.count(F.lit(1)).alias("__k"), F.first("__row").alias("__row"))
     )
     return hits.filter(F.col("__k") == n_hashes).select("__row.*")
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    bucket_col: str,
+    col: str,
+    trailing: int = 6,
+    p: int = 8,
+) -> DataFrame:
+    """Sliding-window distinct counts from HLL registers: for every
+    time bucket, the estimated distinct ``col`` over the TRAILING
+    ``trailing`` buckets — "unique users in the last 6 hours, hourly" —
+    the query exact distinct cannot answer at scale because sliding
+    windows re-count every row ``trailing`` times and
+    ``count(DISTINCT)`` doesn't window.
+
+    This is mergeability exploited in a WINDOW: per-bucket registers
+    (one map-side-combined groupBy onto buckets × ≤2^p rows), a dense
+    (bucket × register-index) spine so a register updated only in an
+    EARLIER bucket still reaches the current window (outer-join
+    semantics a bare rows-window over present rows would silently
+    drop), then per-index ``max(rho)`` over a RANGE frame on the
+    integer bucket — range, not rows, so calendar gaps don't stretch
+    the window. The estimate per bucket is the standard classic-HLL
+    fold over its ≤2^p merged registers.
+
+    Every frame after the first groupBy is sketch-sized
+    (buckets × 2^p), independent of row count; ``bucket_col`` must be
+    an integer bucket index (e.g. epoch-hours). Returns
+    ``(bucket, nonzero, z_scaled, raw_estimate, estimate)``.
+    """
+    m, w = 1 << p, 60 - p
+    from ..functions.text import portable_token_hash
+
+    h = portable_token_hash(F.col(col).cast("string"))
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    regs = (
+        df.select(
+            F.col(bucket_col).alias("bucket"),
+            F.shiftright(h, w).alias("idx"),
+            hll_rho(rest, w).alias("rho"),
+        )
+        .groupBy("bucket", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spine = (
+        regs.select("bucket")
+        .distinct()
+        .select(
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("idx"),
+        )
+    )
+    dense = spine.join(regs, ["bucket", "idx"], "left")
+    wnd = (
+        Window.partitionBy("idx")
+        .orderBy("bucket")
+        .rangeBetween(-(trailing - 1), 0)
+    )
+    merged = dense.select(
+        "bucket", "idx", F.max("rho").over(wnd).alias("rho")
+    )
+    contrib = F.pow(F.lit(2.0), F.lit(w + 1) - F.col("rho")).cast("long")
+    sk = (
+        merged.groupBy("bucket")
+        .agg(
+            F.count("rho").alias("nonzero"),
+            F.coalesce(F.sum(contrib), F.lit(0)).alias("__zf"),
+        )
+        .select(
+            "bucket",
+            "nonzero",
+            (
+                F.col("__zf")
+                + (F.lit(m) - F.col("nonzero")) * F.lit(1 << (w + 1))
+            ).alias("z_scaled"),
+        )
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha * m * m) * F.lit(float(1 << (w + 1))) / F.col("z_scaled")
+    empty = F.lit(m) - F.col("nonzero")
+    est = F.when(
+        (raw <= 2.5 * m) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return sk.select(
+        "bucket",
+        "nonzero",
+        "z_scaled",
+        raw.alias("raw_estimate"),
+        est.alias("estimate"),
+    )
