@@ -101,3 +101,34 @@ def test_two_proportion_zero_variance_is_null(spark):
     df = spark.createDataFrame(rows, "unit string, arm string, conv boolean")
     r = S.two_proportion_ztest(df, "unit", "arm", "conv").collect()[0]
     assert r.z is None and r.lift == 0.0
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    import datetime as dt
+
+    up = [(dt.date(2024, 1, i + 1), i * 10) for i in range(8)]
+    df = spark.createDataFrame(up, "day date, y long")
+    r = S.mann_kendall(df).collect()[0]
+    # strictly increasing: S = C(8,2) = 28, z > 0
+    assert (r.n, r.s) == (8, 28)
+    assert abs(r.var_s - (8 * 7 * 21) / 18.0) < 1e-9
+    assert abs(r.z - 27 / math.sqrt(r.var_s)) < 1e-12
+    flat = spark.createDataFrame(
+        [(dt.date(2024, 1, i + 1), 5) for i in range(6)], "day date, y long"
+    )
+    rf = S.mann_kendall(flat).collect()[0]
+    # all ties: S = 0 and the tie correction kills the variance -> z NULL
+    assert rf.s == 0 and rf.var_s == 0.0 and rf.z is None
+
+
+def test_theil_sen_resists_outlier(spark):
+    import datetime as dt
+
+    # y = 3x + 2 with one wild outlier
+    rows = [(dt.date(2024, 1, i + 1), 3 * i + 2) for i in range(11)]
+    rows[5] = (dt.date(2024, 1, 6), 1000)
+    df = spark.createDataFrame(rows, "day date, y long")
+    r = S.theil_sen(df).collect()[0]
+    assert r.n == 11 and r.n_pairs == 55
+    assert abs(r.slope - 3.0) < 1e-9  # median slope untouched by the spike
+    assert abs(r.intercept - 2.0) < 1e-9

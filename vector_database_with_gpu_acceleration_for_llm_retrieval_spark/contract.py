@@ -4148,6 +4148,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": q_snm_pairs,
         "sampled_groupby": q_sampled_groupby,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "trend_test": q_trend_test,
+        "trend_slope": q_trend_slope,
     }
 
 
@@ -5425,4 +5427,47 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
         )
         .orderBy("bucket")
+    )
+
+
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily event-value
+    series (integer-exact S over all day pairs, tie-corrected variance,
+    continuity-corrected z) — the robust "is there a trend" answer a
+    least-squares fit can't give under outliers
+    (operators/stats.mann_kendall; the daily frame is calendar-sized,
+    value summed to cents so pair signs are integer-exact)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+    )
+    res = ST.mann_kendall(daily)
+    return res.select(
+        "n", "s", _round6(F.col("var_s"), "var_s"), _round6(F.col("z"), "z")
+    )
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of the daily event-value trend (median of
+    all pairwise slopes + median-residual intercept, exact interpolated
+    percentile parity) — "how steep", tolerant to ~29% outlier days
+    (operators/stats.theil_sen)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+    )
+    res = ST.theil_sen(daily)
+    return res.select(
+        "n",
+        "n_pairs",
+        _round6(F.col("slope"), "slope"),
+        _round6(F.col("intercept"), "intercept"),
     )

@@ -4717,6 +4717,8 @@ def oracle_sql() -> dict[str, str]:
         "snm_pairs": _ORACLE_SNM_PAIRS,
         "sampled_groupby": _oracle_sampled_groupby(),
         "sliding_distinct_users": _oracle_sliding_distinct_users(),
+        "trend_test": _ORACLE_TREND_TEST,
+        "trend_slope": _ORACLE_TREND_SLOPE,
     }
 
 
@@ -5078,4 +5080,43 @@ SELECT k.bucket, CAST(nonzero AS BIGINT) AS nonzero,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM k JOIN ex ON ex.bucket = k.bucket
 ORDER BY 1
+"""
+
+
+_SQ_DAILY_CENTS = """
+d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS y
+      FROM events GROUP BY 1)
+"""
+
+_ORACLE_TREND_TEST = f"""
+WITH {_SQ_DAILY_CENTS},
+s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM d a JOIN d b ON a.day < b.day),
+base AS (SELECT count(*) AS n FROM d),
+ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+         FROM (SELECT count(*) AS t FROM d GROUP BY y HAVING count(*) > 1)),
+j AS (SELECT s, n, tie_term,
+             CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS var_s
+      FROM s, base, ties)
+SELECT CAST(n AS BIGINT) AS n, s, {_r6('var_s', 'var_s')},
+       {_r6('''CASE WHEN var_s > 0 THEN
+                 CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                      ELSE 0.0 END END''', 'z')}
+FROM j
+"""
+
+_ORACLE_TREND_SLOPE = f"""
+WITH {_SQ_DAILY_CENTS},
+d0 AS (SELECT min(day) AS dmin FROM d),
+dx AS (SELECT CAST(date_diff('day', dmin, day) AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       FROM d, d0),
+sl AS (SELECT (b.y - a.y) / (b.x - a.x) AS m
+       FROM dx a JOIN dx b ON a.x < b.x),
+med AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, quantile_cont(m, 0.5) AS slope FROM sl),
+resid AS (SELECT n_pairs, slope, y - slope * x AS r FROM dx, med)
+SELECT CAST(count(*) AS BIGINT) AS n, n_pairs, {_r6('slope', 'slope')},
+       {_r6('quantile_cont(r, 0.5)', 'intercept')}
+FROM resid GROUP BY n_pairs, slope
 """

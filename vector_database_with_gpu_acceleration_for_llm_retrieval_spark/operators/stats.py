@@ -37,6 +37,8 @@ __all__ = [
     "chi2_independence",
     "benford_digits",
     "two_proportion_ztest",
+    "mann_kendall",
+    "theil_sen",
 ]
 
 
@@ -262,3 +264,96 @@ def two_proportion_ztest(
         (ra - rb).alias("lift"),
         z.alias("z"),
     )
+
+
+def mann_kendall(daily: DataFrame, day_col: str = "day", y_col: str = "y") -> DataFrame:
+    """Mann-Kendall trend test on a daily series: is there a monotonic
+    trend, without assuming linearity or normality — the robust
+    complement to fitting a slope (a single outlier month flips a
+    least-squares fit but barely moves the rank statistic).
+
+    ``S = Σ_{i<j} sign(y_j − y_i)`` over all ordered day pairs, with
+    the normal approximation ``var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18``
+    (tie groups ``t`` corrected) and the standard continuity-corrected
+    ``z = (S∓1)/sqrt(var)``.  S and the tie term are pure INTEGERS —
+    the pair join and aggregation are exact on any engine, so the only
+    float is the final z.  The pairwise self-join runs on the
+    CALENDAR-sized daily frame (n days → n²/2 comparisons of a frame
+    the upstream aggregate already shrank; at n=3650 that is 6.6M
+    comparisons — trivial — and n never grows with data volume).
+    Returns one row ``(n, s, var_s, z)``.
+    """
+    d = daily.select(F.col(day_col).alias("d"), F.col(y_col).alias("y"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d"))
+    s = pairs.agg(
+        F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long")).alias("s")
+    )
+    base = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(base)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("double") / 18.0
+    sgn = F.col("s")
+    z = F.when(sgn > 0, (sgn - 1).cast("double") / F.sqrt(var_s)).when(
+        sgn < 0, (sgn + 1).cast("double") / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        n.cast("long").alias("n"),
+        sgn.cast("long").alias("s"),
+        var_s.alias("var_s"),
+        F.when(var_s > 0, z).alias("z"),
+    )
+
+
+def theil_sen(daily: DataFrame, day_col: str = "day", y_col: str = "y") -> DataFrame:
+    """Theil-Sen robust trend slope: the MEDIAN of all pairwise slopes
+    ``(y_j − y_i)/(x_j − x_i)`` (x = days since the series start) —
+    up to ~29% contamination tolerated where least squares breaks at
+    one point; the standard companion estimate to :func:`mann_kendall`
+    (MK answers "is there a trend", Theil-Sen answers "how steep").
+
+    Same calendar-bounded pairwise join; the median is the exact
+    interpolated ``percentile`` (the robust_scale/price_percentiles
+    cross-engine parity), and the intercept is the median of
+    ``y − slope·x``.  Returns one row
+    ``(n, n_pairs, slope, intercept)``.
+    """
+    d0 = daily.agg(F.min(day_col).alias("d0"))
+    d = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col(day_col), F.col("d0")).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("m")
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(m, 0.5)").alias("slope"),
+    )
+    resid = d.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "slope",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "slope").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(r, 0.5)").alias("intercept"),
+    ).select("n", F.col("n_pairs").cast("long").alias("n_pairs"), "slope", "intercept")
