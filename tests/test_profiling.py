@@ -482,3 +482,20 @@ def test_vocab_divergence_matches_scipy_style_reference(spark):
         if q > 0:
             js += q * math.log(q / m) / 2
     assert abs(got.js_divergence - js) < 1e-9
+
+
+def test_fd_check_g3(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.profiling import fd_check
+
+    rows = [
+        (1, "x", 10), (1, "x", 11),       # a=1 -> b consistent
+        (2, "y", 12), (2, "y", 13), (2, "z", 14),  # a=2 violates: 2 rows y, 1 row z
+        (None, "w", 15), (None, "w", 16),  # NULL lhs is one group, holds
+    ]
+    df = spark.createDataFrame(rows, "a int, b string, c int")
+    out = {(r.lhs, r.rhs): r for r in fd_check(df, [("a", "b"), ("c", "b")]).collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_rows, ab.n_groups, ab.violating_groups) == (7, 3, 1)
+    assert ab.g3_rows == 1 and not ab.holds  # drop the single z row
+    cb = out[("c", "b")]
+    assert cb.holds and cb.g3_rows == 0  # c unique per row -> any FD holds

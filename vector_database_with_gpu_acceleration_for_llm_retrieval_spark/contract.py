@@ -4150,6 +4150,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_users": q_sliding_distinct_users,
         "trend_test": q_trend_test,
         "trend_slope": q_trend_slope,
+        "fd_profile": q_fd_profile,
     }
 
 
@@ -5471,3 +5472,32 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("slope"), "slope"),
         _round6(F.col("intercept"), "intercept"),
     )
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling over orders: key FDs hold
+    (o_orderkey→o_custkey), attribute FDs fail with their g3 error
+    (min rows to remove to repair) — the schema-discovery report
+    (operators/profiling.fd_check)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        profiling as PF,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = PF.fd_check(
+        t["orders"],
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ],
+    )
+    return res.select(
+        "lhs",
+        "rhs",
+        "n_rows",
+        "n_groups",
+        "violating_groups",
+        "g3_rows",
+        "holds",
+    ).orderBy("lhs", "rhs")

@@ -4719,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct_users": _oracle_sliding_distinct_users(),
         "trend_test": _ORACLE_TREND_TEST,
         "trend_slope": _ORACLE_TREND_SLOPE,
+        "fd_profile": _oracle_fd_profile(),
     }
 
 
@@ -5120,3 +5121,28 @@ SELECT CAST(count(*) AS BIGINT) AS n, n_pairs, {_r6('slope', 'slope')},
        {_r6('quantile_cont(r, 0.5)', 'intercept')}
 FROM resid GROUP BY n_pairs, slope
 """
+
+
+def _oracle_fd_profile() -> str:
+    """Per-candidate g3 FD check: cells → per-A keep-max → rollup,
+    one block per dependency, unioned."""
+    def block(a, b):
+        return f"""
+SELECT '{a}' AS lhs, '{b}' AS rhs,
+       CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(sum(rows_) - sum(keep_) AS BIGINT) AS g3_rows,
+       (sum(rows_) - sum(keep_)) = 0 AS holds
+FROM (SELECT {a} AS a, sum(n) AS rows_, max(n) AS keep_, count(*) AS nb
+      FROM (SELECT {a}, {b}, count(*) AS n FROM orders GROUP BY 1, 2)
+      GROUP BY 1)"""
+    blocks = " UNION ALL ".join(
+        block(a, b)
+        for a, b in [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ]
+    )
+    return f"SELECT * FROM ({blocks}) ORDER BY lhs, rhs"
