@@ -165,14 +165,16 @@ SCALE_QUERIES = [
     "remove_dup_spans",
     "mixture_pipeline",
     "mmr_knn_join",
-    # round-9 additions with corpus-sized work at the probe: the exact
-    # directed containment join (asymmetric prefix filter vs DuckDB's
-    # brute-force mirror — the 10x replicas form real excerpt families,
-    # ~45k true pairs) and the k-core peel on the 10x co-purchase graph
-    # (6 iterative degree+semi-join rounds vs 6 unrolled MATERIALIZED
-    # CTE rounds)
-    "containment_pairs",
-    "part_kcore",
+    # round-9 candidates MEASURED AND REJECTED (idle 10x probes,
+    # 2026-08-15): containment_pairs — the 10x near-identical replicas
+    # make every doc an excerpt-family member, so candidates/results
+    # are quadratic-by-construction (>30 CPU-min, killed; the entry's
+    # semantics are fine, this synthetic replication is pathological
+    # FOR IT specifically). part_kcore — replication multiplies edge
+    # WEIGHTS, not the distinct-pair graph, so the probe would measure
+    # 6 rounds of scheduling floor (Spark 5.6 s vs DuckDB 1.1 s on a
+    # graph that doesn't grow), not data-scaling; recorded in
+    # SURVEY/BASELINE instead of skewing the ratio table.
 ]
 SCALE_REPS = 3
 #: heavy build-dominated families measured once, un-warmed (the

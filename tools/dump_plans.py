@@ -347,6 +347,43 @@ AUDITED = {
         "crossJoin, TakeOrderedAndProject for the top-N; the cumulative window "
         "runs on the N-row frame only — nothing global sorts."
     ),
+    "ks_price_test": (
+        "Two-sample KS: one groupBy onto the distinct-price frame (map-side "
+        "combined), the ordered CDF cumsum windows over that DOMAIN-bounded "
+        "frame — never the order log; final stats are 1-row aggregates."
+    ),
+    "containment_pairs": (
+        "Directed containment join: A-prefix explode joined against the full-B "
+        "posting equi-key (SortMergeJoin on shingle), length filter, then two "
+        "id equi-joins for the exact verify — collide-then-verify, no cross "
+        "product anywhere."
+    ),
+    "snm_pairs": (
+        "Sorted-neighborhood: RangePartitioning exchange + per-partition "
+        "running count + broadcast offset ladder (the distributed-prefix "
+        "shape) gives the global sort rank with NO single-partition window; "
+        "neighborhood pairing is an equi-join on rank."
+    ),
+    "part_kcore": (
+        "k-core peel: per round one partial-agged degree count and two "
+        "LeftSemi joins of the shrinking (checkpoint-pinned) edge frame — "
+        "equi-key only, no windows over the graph."
+    ),
+    "sliding_distinct_users": (
+        "Sliding HLL: after the first groupBy every frame is sketch-sized "
+        "(buckets × 256 registers); the range-window max-merge partitions by "
+        "register index — nothing data-sized shuffles twice."
+    ),
+    "rollup_answer": (
+        "View routing: the report re-aggregates the |rollup|-row state frame "
+        "(two groupBys total, both map-side combined); the event log is "
+        "scanned exactly once to build state."
+    ),
+    "compaction_plan": (
+        "Compaction planning: per-partition windows over the file inventory "
+        "only — the plan frame is inventory-sized; no global ordering, no "
+        "driver greedy loop."
+    ),
 }
 
 
