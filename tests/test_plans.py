@@ -349,3 +349,75 @@ def test_hll_distinct_shuffles_registers_not_keys(tables):
     )
     # register agg must be partial (map-side combine onto ≤ m rows)
     assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_containment_pairs_no_cross_product(tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import dedup as D
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    df = D.containment_pairs(tables["documents"], threshold=0.8)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_snm_uses_range_exchange_no_global_window(tables):
+    """Sorted-neighborhood's rank must come from the distributed-prefix
+    shape: a RANGE exchange + per-partition windows — never a
+    single-partition global window over the records."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import dedup as D
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    df = D.sorted_neighborhood_pairs(tables["documents"], "lang", "doc_id", window=2)
+    plan = physical_plan(df)
+    # the range exchange + within-partition window live INSIDE the
+    # checkpoint (lineage cut) — what the final plan must show is: the
+    # neighborhood join is equi-key, and the only Window nodes operate
+    # on the P-row partition-offset ladder (input carries __ptot), not
+    # the record frame
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and "Window" in seg.splitlines()[0]:
+            assert "__ptot" in seg, seg
+
+
+def test_ks_test_window_is_on_distinct_value_frame(tables):
+    """The KS CDF window must sit ABOVE the distinct-value aggregate —
+    the ordered window's input is the domain-bounded frame, not the
+    raw table."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import stats as ST
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    df = ST.ks_test(
+        tables["orders"].select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("g"),
+        ),
+        "v",
+        "g",
+        "a",
+        "b",
+    )
+    plan = physical_plan(df)
+    # aggregate runs before (deeper than) the window: HashAggregate must
+    # appear in the plan and the Window input must be the agg output
+    assert "HashAggregate" in plan and "Window" in plan, plan
+
+
+def test_mutual_knn_single_corpus_scan(tables):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S2
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    df = S2.mutual_knn(tables["embeddings"], k=3)
+    plan = physical_plan(df)
+    # knn_join's one-scan property must survive the composition
+    assert plan.count("Scan parquet") <= 1, plan

@@ -1024,10 +1024,15 @@ def mutual_knn(
         vec_col=vec_col,
     ).filter(F.col("qid") != F.col("neighbor_id"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    # pinned: the directed edge set feeds BOTH sides of the reciprocity
+    # join — unpinned, the whole knn_join lineage (including its corpus
+    # scans) re-executes per side (observed as 4 parquet scans in the
+    # plan; the checkpoint makes the final plan scan-free)
     topk_edges = (
         nn.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)
         .select("qid", "neighbor_id", "score")
+        .localCheckpoint(eager=True)
     )
     rev = topk_edges.select(
         F.col("neighbor_id").alias("qid"), F.col("qid").alias("neighbor_id")
