@@ -4151,6 +4151,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_test": q_trend_test,
         "trend_slope": q_trend_slope,
         "fd_profile": q_fd_profile,
+        "er_clusters": q_er_clusters,
     }
 
 
@@ -5501,3 +5502,49 @@ def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g3_rows",
         "holds",
     ).orderBy("lhs", "rhs")
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end BY COMPOSITION: prefix-blocked
+    edit-distance match pairs (the fuzzy_titles fixture) fed into
+    pointer-doubling connected components — duplicate GROUPS, not just
+    pairs, with unmatched records as their own singleton cluster;
+    cluster id = smallest member id. Oracle = the same pairs closed
+    with a recursive CTE (operators/dedup.fuzzy_pairs +
+    operators/graph.connected_components)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", F.substring("text", 1, 12).alias("name")
+    )
+    typo = (
+        t["documents"]
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 4),
+                F.lit("z"),
+                F.substring("text", 6, 7),
+            ).alias("name"),
+        )
+    )
+    recs = base.unionByName(typo)
+    pairs = D.fuzzy_pairs(recs, "name", max_dist=2, prefix_len=3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = G.connected_components(edges)
+    out = recs.join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("cluster"),
+        F.col("component").isNotNull().alias("is_matched"),
+    ).orderBy("doc_id")

@@ -4720,6 +4720,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_test": _ORACLE_TREND_TEST,
         "trend_slope": _ORACLE_TREND_SLOPE,
         "fd_profile": _oracle_fd_profile(),
+        "er_clusters": _ORACLE_ER_CLUSTERS,
     }
 
 
@@ -5146,3 +5147,26 @@ FROM (SELECT {a} AS a, sum(n) AS rows_, max(n) AS keep_, count(*) AS nb
         ]
     )
     return f"SELECT * FROM ({blocks}) ORDER BY lhs, rhs"
+
+
+_ORACLE_ER_CLUSTERS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, substr(text, 1, 12) AS name FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         concat(substr(text, 1, 4), 'z', substr(text, 6, 7))
+  FROM documents WHERE doc_id % 5 = 0),
+k AS (SELECT doc_id, name, lower(substr(name, 1, 3)) AS pfx FROM base),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.name, b.name) <= 2),
+edges AS (SELECT ia AS s, ib AS d FROM p UNION SELECT ib, ia FROM p),
+reach (s, d) AS (SELECT s, d FROM edges
+                 UNION SELECT r.s, x.d FROM reach r JOIN edges x ON r.d = x.s),
+comp AS (SELECT s AS node, least(min(d), s) AS component FROM reach GROUP BY s)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS cluster,
+       c.component IS NOT NULL AS is_matched
+FROM base b LEFT JOIN comp c ON c.node = b.doc_id
+ORDER BY doc_id
+"""
