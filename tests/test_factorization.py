@@ -101,3 +101,22 @@ def test_als_learns_block_structure(spark):
     assert s[(4, 4)] > s[(4, 1)]
     # observed-pair predictions approach preference 1
     assert s[(1, 1)] > 0.6 and s[(4, 4)] > 0.6
+
+
+def test_als_factors_feed_knn_join(spark):
+    """Closes the loop the module docstring claims: learned item
+    factors are an (id, embedding) frame the ANN family consumes
+    directly — similar items stay in-block."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import knn_join
+
+    rows = _rows()
+    df = spark.createDataFrame(rows, "user_id long, item_id long, strength double")
+    _, itf = FX.als_implicit(df, rank=RANK, iters=3, alpha=ALPHA, reg=REG)
+    corpus = itf.withColumnRenamed("vec", "embedding").withColumnRenamed("id", "vec_id")
+    q = corpus.select(
+        corpus.vec_id.alias("qid"), corpus.embedding.alias("qvec")
+    ).filter("qid = 0")
+    nn = knn_join(q, corpus, k=2, query_vec="qvec").collect()
+    # item 0's nearest neighbor (after itself) is another block-A item
+    others = [r.neighbor_id for r in nn if r.neighbor_id != 0]
+    assert others and all(n in (1, 2) for n in others)

@@ -626,3 +626,61 @@ def test_hll_sliding_distinct_window_semantics(spark):
         df.filter(F.col("bucket") == 5).select("uid"), "uid"
     ).collect()[0]
     assert out[5].z_scaled == solo.z_scaled
+
+
+def test_hll_sliding_stream_maintained(spark, tmp_path):
+    # composition proof: the generic streaming rollup keyed on
+    # (bucket, idx) with the max-rho measure keeps LIVE sliding-window
+    # distinct counts — zero sliding-specific streaming code
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sketches import (
+        hll_sliding_distinct,
+        hll_sliding_from_registers,
+    )
+
+    def reg_updates(df):
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.text import (
+            portable_token_hash,
+        )
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sketches import (
+            hll_rho,
+        )
+
+        w = 52
+        h = portable_token_hash(F.col("uid").cast("string"))
+        return df.select(
+            "bucket",
+            F.shiftright(h, w).alias("idx"),
+            hll_rho(h.bitwiseAND(F.lit((1 << w) - 1)), w).alias("rho"),
+        )
+
+    rows1 = [(0, u) for u in range(200)] + [(1, 300 + u) for u in range(100)]
+    rows2 = [(2, 600 + u) for u in range(150)] + [(1, 300 + u) for u in range(50)]
+    b1 = spark.createDataFrame(rows1, "bucket long, uid long")
+    b2 = spark.createDataFrame(rows2, "bucket long, uid long")
+    src, roll, ckpt = (str(tmp_path / p) for p in ("ss", "sr", "sc"))
+    reg_updates(b1).write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["bucket", "idx"], {"rho": ("max", "rho")},
+        "bucket long, idx long, rho int",
+    )
+    q.processAllAvailable()
+    reg_updates(b2).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    live = {
+        r.bucket: (r.nonzero, r.z_scaled, r.estimate)
+        for r in hll_sliding_from_registers(
+            spark.read.parquet(roll), trailing=2
+        ).collect()
+    }
+    want = {
+        r.bucket: (r.nonzero, r.z_scaled, r.estimate)
+        for r in hll_sliding_distinct(
+            b1.unionByName(b2), "bucket", "uid", trailing=2
+        ).collect()
+    }
+    assert live == want and set(live) == {0, 1, 2}

@@ -47,6 +47,7 @@ __all__ = [
     "hll_estimate_from_registers",
     "hll_distinct",
     "hll_sliding_distinct",
+    "hll_sliding_from_registers",
     "frequent_items",
     "qsketch_bucket",
     "qsketch_bounds",
@@ -910,6 +911,19 @@ def hll_sliding_distinct(
         .groupBy("bucket", "idx")
         .agg(F.max("rho").alias("rho"))
     )
+    return hll_sliding_from_registers(regs, trailing=trailing, p=p)
+
+
+def hll_sliding_from_registers(
+    regs: DataFrame, trailing: int = 6, p: int = 8
+) -> DataFrame:
+    """The window+estimate half of :func:`hll_sliding_distinct`, split
+    out so a CONTINUOUSLY MAINTAINED register table — the generic
+    ``stream_rollup_maintenance`` keyed on (bucket, idx) with the
+    max-rho measure — serves live sliding distinct counts with zero
+    sliding-specific streaming code (stream == batch pytest).
+    ``regs`` is ``(bucket, idx, rho)``, ≤ one row per pair."""
+    m, w = 1 << p, 60 - p
     spine = (
         regs.select("bucket")
         .distinct()
