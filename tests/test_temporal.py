@@ -355,3 +355,32 @@ def test_lead_lag_planted_shift(spark):
     # x at t matches y at t+2: best positive lag 2 (x leads y)
     assert best == [2]
     assert abs(out[2].corr - 1.0) < 0.05
+
+
+def test_burn_rate_multiwindow(spark):
+    import datetime as dt
+
+    # 10 hours of 100 events; hours 6-7 burn hard (50% errors, budget 10%)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for h in range(10):
+        bad = 50 if h in (6, 7) else 2
+        for i in range(100):
+            rows.append((base + dt.timedelta(hours=h, seconds=i), i < bad))
+    df = spark.createDataFrame(rows, "ts timestamp, is_err boolean")
+    out = {
+        int(r.hour - rows[0][0].timestamp() // 3600): r
+        for r in TP.burn_rate_alerts(
+            df, "is_err", budget=0.10, short_h=1, long_h=4, factor=1.5
+        ).collect()
+    }
+    # quiet hours: short burn = 0.02/0.10 = 0.2, no alert
+    assert abs(out[2].burn_short - 0.2) < 1e-12 and not out[2].alert
+    # hour 6: short burn 5.0; long window (3..6) = (2+2+2+50)/400/0.1 = 1.4 -> NOT both over 1.5
+    assert abs(out[6].burn_short - 5.0) < 1e-12
+    assert abs(out[6].burn_long - 1.4) < 1e-12
+    assert not out[6].alert
+    # hour 7: long window (4..7) = (2+2+50+50)/400/0.1 = 2.6 -> both over: alert
+    assert out[7].alert
+    # hour 9: short burn back to 0.2 -> page ends though long still elevated
+    assert not out[9].alert

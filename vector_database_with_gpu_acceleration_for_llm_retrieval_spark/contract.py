@@ -4152,6 +4152,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "fd_profile": q_fd_profile,
         "er_clusters": q_er_clusters,
+        "burn_rate": q_burn_rate,
     }
 
 
@@ -5548,3 +5549,32 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster"),
         F.col("component").isNotNull().alias("is_matched"),
     ).orderBy("doc_id")
+
+
+def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting: hourly error rate over 1h
+    and 6h trailing RANGE windows, each vs the error budget; alert only
+    when BOTH burn — the SRE-workbook pattern (long window gates noise,
+    short window ends the page) (operators/temporal.burn_rate_alerts;
+    integer window sums, the portability rule)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = TP.burn_rate_alerts(
+        t["events"],
+        (F.col("event_type") == "error"),
+        budget=0.25,
+        short_h=1,
+        long_h=6,
+        factor=1.1,
+    )
+    return res.select(
+        F.col("hour").cast("long").alias("hour"),
+        F.col("errs").cast("long").alias("errs"),
+        F.col("total").cast("long").alias("total"),
+        _round6(F.col("burn_short"), "burn_short"),
+        _round6(F.col("burn_long"), "burn_long"),
+        "alert",
+    ).orderBy("hour")

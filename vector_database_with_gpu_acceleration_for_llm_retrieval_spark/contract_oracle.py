@@ -4721,6 +4721,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope": _ORACLE_TREND_SLOPE,
         "fd_profile": _oracle_fd_profile(),
         "er_clusters": _ORACLE_ER_CLUSTERS,
+        "burn_rate": _ORACLE_BURN_RATE,
     }
 
 
@@ -5169,4 +5170,26 @@ SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
        c.component IS NOT NULL AS is_matched
 FROM base b LEFT JOIN comp c ON c.node = b.doc_id
 ORDER BY doc_id
+"""
+
+
+_ORACLE_BURN_RATE = f"""
+WITH hourly AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs,
+                       count(*) AS total
+                FROM events GROUP BY 1),
+w AS (SELECT hour, errs, total,
+             sum(errs) OVER ws AS es, sum(total) OVER ws AS ts_,
+             sum(errs) OVER wl AS el, sum(total) OVER wl AS tl
+      FROM hourly
+      WINDOW ws AS (ORDER BY hour RANGE BETWEEN 0 PRECEDING AND CURRENT ROW),
+             wl AS (ORDER BY hour RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)),
+b AS (SELECT hour, errs, total,
+             (CAST(es AS DOUBLE) / (CASE WHEN ts_ > 0 THEN ts_ END)) / 0.25 AS burn_short,
+             (CAST(el AS DOUBLE) / (CASE WHEN tl > 0 THEN tl END)) / 0.25 AS burn_long
+      FROM w)
+SELECT hour, CAST(errs AS BIGINT) AS errs, CAST(total AS BIGINT) AS total,
+       {_r6('burn_short', 'burn_short')}, {_r6('burn_long', 'burn_long')},
+       (burn_short > 1.1 AND burn_long > 1.1) AS alert
+FROM b ORDER BY hour
 """

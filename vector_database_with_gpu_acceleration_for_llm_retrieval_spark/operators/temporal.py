@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan", "burn_rate_alerts"]
 
 
 def asof_join(
@@ -963,4 +963,67 @@ def lead_lag_scan(
         ((F.row_number().over(wb) == 1) & F.col("corr").isNotNull()).alias(
             "is_best"
         ),
+    )
+
+
+def burn_rate_alerts(
+    events: DataFrame,
+    error_col,
+    ts_col: str = "ts",
+    budget: float = 0.25,
+    short_h: int = 1,
+    long_h: int = 6,
+    factor: float = 1.2,
+) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (the SRE workbook
+    pattern): per hour, the error rate over a SHORT and a LONG trailing
+    window, each normalized by the SLO ``budget``; alert only when
+    BOTH exceed ``factor`` — the long window keeps one bad minute from
+    paging, the short window ends the page quickly once the incident
+    stops (a single-window alert must pick one of those failures).
+
+    Hourly integer (error, total) counts first (one map-side-combined
+    groupBy — the only data-sized work), then two RANGE-framed window
+    sums over the integer epoch-hour per side (range, not rows, so
+    quiet hours don't stretch the window), then pure arithmetic.
+    Integer window sums are exact under any accumulation order (the
+    rolling_corr portability rule).  Hours with zero traffic in a
+    window give NULL burn there (no traffic ≠ healthy ≠ burning) and
+    never alert.  Returns ``(hour, errs, total, burn_short, burn_long,
+    alert)``.
+    """
+    err = F.col(error_col) if isinstance(error_col, str) else error_col
+    hourly = (
+        events.groupBy(
+            F.floor(F.unix_timestamp(ts_col) / 3600).cast("long").alias("hour")
+        )
+        .agg(
+            F.sum(err.cast("long")).alias("errs"),
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+    def wnd(hours):
+        return (
+            Window.orderBy("hour").rangeBetween(-(hours - 1), 0)
+        )
+    es, ts_ = F.sum("errs").over(wnd(short_h)), F.sum("total").over(wnd(short_h))
+    el, tl = F.sum("errs").over(wnd(long_h)), F.sum("total").over(wnd(long_h))
+    burn_s = (es.cast("double") / F.when(ts_ > 0, ts_)) / F.lit(budget)
+    burn_l = (el.cast("double") / F.when(tl > 0, tl)) / F.lit(budget)
+    out = hourly.select(
+        "hour",
+        "errs",
+        "total",
+        burn_s.alias("burn_short"),
+        burn_l.alias("burn_long"),
+    )
+    return out.select(
+        "hour",
+        "errs",
+        "total",
+        "burn_short",
+        "burn_long",
+        (
+            (F.col("burn_short") > factor) & (F.col("burn_long") > factor)
+        ).alias("alert"),
     )
