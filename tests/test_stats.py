@@ -132,3 +132,15 @@ def test_theil_sen_resists_outlier(spark):
     assert r.n == 11 and r.n_pairs == 55
     assert abs(r.slope - 3.0) < 1e-9  # median slope untouched by the spike
     assert abs(r.intercept - 2.0) < 1e-9
+
+
+def test_ks_one_empty_side_is_null(spark):
+    df = spark.createDataFrame([(1.0, "a"), (2.0, "a")], "v double, g string")
+    r = S.ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r.n_b == 0 and r.d_stat is None
+
+
+def test_chi2_single_category_null_v(spark):
+    df = spark.createDataFrame([("x", "u")] * 5, "a string, b string")
+    r = S.chi2_independence(df, "a", "b").collect()[0]
+    assert r.dof == 0 and abs(r.chi2) < 1e-12 and r.cramers_v is None

@@ -4738,7 +4738,7 @@ cdf AS (SELECT v,
  FROM cnt),
 st AS (SELECT ca, cb, max(ca) OVER () AS na, max(cb) OVER () AS nb FROM cdf),
 r AS (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
-             max(abs(ca / na - cb / nb)) AS d_stat FROM st),
+             max(abs(ca / (CASE WHEN na > 0 THEN na END) - cb / (CASE WHEN nb > 0 THEN nb END))) AS d_stat FROM st),
 z AS (SELECT n_a, n_b, d_stat,
              d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (n_a + n_b)) AS ks_z FROM r)
 SELECT n_a, n_b, {_r6('d_stat', 'd_stat')}, {_r6('ks_z', 'ks_z')},
@@ -4757,7 +4757,7 @@ agg AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r, count(DISTIN
                sum((o - ex) * (o - ex) / ex) AS chi2
         FROM e)
 SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, {_r6('chi2', 'chi2')},
-       {_r6('sqrt(chi2 / (n * least(r - 1, c - 1)))', 'cramers_v')}
+       {_r6('sqrt(chi2 / (CASE WHEN n * least(r - 1, c - 1) > 0 THEN n * least(r - 1, c - 1) END))', 'cramers_v')}
 FROM agg
 """
 

@@ -162,6 +162,8 @@ def compaction_plan(
     orders of magnitude smaller than the data it describes.  Returns
     ``(*key_cols, id, size, action, grp, grp_bytes, grp_files)``.
     """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     if small_threshold is None:
         small_threshold = target_bytes
     small = F.col(size_col) < small_threshold

@@ -740,6 +740,8 @@ def fd_check(df: DataFrame, deps: list[tuple[str, str]]) -> DataFrame:
     ``(lhs, rhs, n_rows, n_groups, violating_groups, g3_rows,
     holds)``.
     """
+    if not deps:
+        raise ValueError("deps must name at least one candidate A -> B")
     outs = []
     for a, b in deps:
         cells = df.groupBy(

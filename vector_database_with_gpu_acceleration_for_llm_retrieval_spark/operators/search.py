@@ -1013,6 +1013,8 @@ def mutual_knn(
     orientation. All scale properties inherit from knn_join's single
     corpus scan per broadcast budget. Returns ``(id_a, id_b, score)``.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     q = vectors.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     nn = knn_join(
         q,

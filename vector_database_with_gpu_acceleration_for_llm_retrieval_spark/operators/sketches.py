@@ -897,6 +897,8 @@ def hll_sliding_distinct(
     an integer bucket index (e.g. epoch-hours). Returns
     ``(bucket, nonzero, z_scaled, raw_estimate, estimate)``.
     """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
     m, w = 1 << p, 60 - p
     from ..functions.text import portable_token_hash
 
@@ -923,6 +925,8 @@ def hll_sliding_from_registers(
     max-rho measure — serves live sliding distinct counts with zero
     sliding-specific streaming code (stream == batch pytest).
     ``regs`` is ``(bucket, idx, rho)``, ≤ one row per pair."""
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
     m, w = 1 << p, 60 - p
     spine = (
         regs.select("bucket")

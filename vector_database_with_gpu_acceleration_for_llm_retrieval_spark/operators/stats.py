@@ -89,11 +89,16 @@ def ks_test(
         F.max("ca").over(wall).alias("na"),
         F.max("cb").over(wall).alias("nb"),
     )
+    # an empty side makes the test undefined (and 0/0 an ANSI error):
+    # NULL-guard the per-side divisors so d_stat comes out NULL instead
     res = stepped.agg(
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
         F.max(
-            F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))
+            F.abs(
+                F.col("ca") / F.when(F.col("na") > 0, F.col("na"))
+                - F.col("cb") / F.when(F.col("nb") > 0, F.col("nb"))
+            )
         ).alias("d_stat"),
     )
     # counts go through double before the product: n_a*n_b at web scale
@@ -149,14 +154,14 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.sum("term").alias("chi2"),
     )
     dof = (F.col("r") - 1) * (F.col("c") - 1)
+    # a single-category column gives dof 0 and a zero denominator in V:
+    # the test is undefined there — NULL, not a divide error
+    vden = F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)
     return agg.select(
         "n",
         dof.cast("long").alias("dof"),
         "chi2",
-        F.sqrt(
-            F.col("chi2")
-            / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
-        ).alias("cramers_v"),
+        F.sqrt(F.col("chi2") / F.when(vden > 0, vden)).alias("cramers_v"),
     )
 
 

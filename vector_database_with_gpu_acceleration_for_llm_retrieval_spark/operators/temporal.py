@@ -992,6 +992,10 @@ def burn_rate_alerts(
     never alert.  Returns ``(hour, errs, total, burn_short, burn_long,
     alert)``.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be a positive rate, got {budget}")
+    if short_h < 1 or long_h < short_h:
+        raise ValueError(f"need 1 <= short_h <= long_h, got {short_h}/{long_h}")
     err = F.col(error_col) if isinstance(error_col, str) else error_col
     hourly = (
         events.groupBy(
