@@ -120,3 +120,28 @@ def test_als_factors_feed_knn_join(spark):
     # item 0's nearest neighbor (after itself) is another block-A item
     others = [r.neighbor_id for r in nn if r.neighbor_id != 0]
     assert others and all(n in (1, 2) for n in others)
+
+
+def test_als_fold_in_reproduces_and_generalizes(spark):
+    rows = _rows()
+    df = spark.createDataFrame(rows, "user_id long, item_id long, strength double")
+    uf, itf = FX.als_implicit(df, rank=RANK, iters=ITERS, alpha=ALPHA, reg=REG)
+    # folding the training interactions against the frozen items must
+    # reproduce the trained user factors exactly (same solve, same data)
+    folded = FX.als_fold_in(df, itf, rank=RANK, alpha=ALPHA, reg=REG)
+    a = {r.id: np.array(r.vec) for r in uf.collect()}
+    b = {r.id: np.array(r.vec) for r in folded.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert np.allclose(a[k], b[k], atol=1e-9), k
+    # a brand-new user who bought block-A items scores block A higher
+    new = spark.createDataFrame(
+        [(99, 0, 3.0), (99, 1, 3.0)], "user_id long, item_id long, strength double"
+    )
+    nf = FX.als_fold_in(new, itf, rank=RANK, alpha=ALPHA, reg=REG)
+    pairs = spark.createDataFrame([(99, 2), (99, 4)], "u long, i long")
+    s = {
+        (r.u, r.i): r.score
+        for r in FX.predict_scores(nf, itf, pairs).collect()
+    }
+    assert s[(99, 2)] > s[(99, 4)]

@@ -53,7 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["als_implicit", "init_factors", "predict_scores"]
+__all__ = ["als_implicit", "als_fold_in", "init_factors", "predict_scores"]
 
 _HASH_MULT = 2654435761  # Knuth multiplicative hash
 _HASH_MOD = 2147483647
@@ -222,3 +222,42 @@ def predict_scores(
         lambda acc, v: acc + v,
     )
     return j.select("u", "i", dot.alias("score"))
+
+
+def als_fold_in(
+    interactions: DataFrame,
+    item_factors: DataFrame,
+    rank: int = 8,
+    alpha: float = 10.0,
+    reg: float = 0.1,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    strength_col: str = "strength",
+) -> DataFrame:
+    """Fold NEW users into a trained model without retraining: one
+    ridge solve per user against the FROZEN item factors — exactly the
+    user half-iteration of :func:`als_implicit`, so a fold-in of the
+    same interactions the model trained on reproduces the trained user
+    factors bit-for-bit (pytest-asserted).
+
+    This is the serving-time path: item factors update on the training
+    cadence (hours/days), while a just-arrived user gets an embedding
+    from their first session's interactions in one equi-join + one
+    grouped solve — the frozen-model/live-data split the streaming
+    index maintenance family uses, applied to factorization.  Returns
+    ``(id, vec)`` for the users present in ``interactions``.
+    """
+    inter = interactions.groupBy(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+    ).agg(F.sum(F.col(strength_col).cast("double")).alias("r"))
+    return _solve_side(
+        inter,
+        item_factors.select(F.col("id").alias("i"), "vec"),
+        "u",
+        "i",
+        "r",
+        rank,
+        alpha,
+        reg,
+    ).withColumnRenamed("u", "id")
