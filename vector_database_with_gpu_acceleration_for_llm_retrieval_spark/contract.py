@@ -4153,6 +4153,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_profile": q_fd_profile,
         "er_clusters": q_er_clusters,
         "burn_rate": q_burn_rate,
+        "ks_sketch_drift": q_ks_sketch_drift,
     }
 
 
@@ -5578,3 +5579,34 @@ def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("burn_long"), "burn_long"),
         "alert",
     ).orderBy("hour")
+
+
+def q_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB KS path exercised: two-sample KS over
+    QUANTILE-SKETCH bucket ids (first vs second half of the event log
+    by day) — bucketing bounds the CDF domain at sketch size while the
+    monotone bucket mapping preserves the ordering KS needs; exact
+    over the bucketed domain on both engines
+    (operators/stats.ks_test ∘ operators/sketches.qsketch_bucket)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        SK.qsketch_bucket(
+            F.floor(F.col("value") * 100 + 0.5).cast("long"), m=7
+        ).alias("b"),
+        F.when(F.to_date("ts") < F.lit("2024-01-16"), "h1")
+        .otherwise("h2")
+        .alias("arm"),
+    )
+    res = ST.ks_test(ev, "b", "arm", "h1", "h2")
+    return res.select(
+        "n_a",
+        "n_b",
+        _round6(F.col("d_stat"), "d_stat"),
+        _round6(F.col("ks_z"), "ks_z"),
+        _round6(F.col("p_approx"), "p_approx"),
+    )

@@ -4722,6 +4722,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_profile": _oracle_fd_profile(),
         "er_clusters": _ORACLE_ER_CLUSTERS,
         "burn_rate": _ORACLE_BURN_RATE,
+        "ks_sketch_drift": _oracle_ks_sketch_drift(),
     }
 
 
@@ -5193,3 +5194,32 @@ SELECT hour, CAST(errs AS BIGINT) AS errs, CAST(total AS BIGINT) AS total,
        (burn_short > 1.1 AND burn_long > 1.1) AS alert
 FROM b ORDER BY hour
 """
+
+
+def _oracle_ks_sketch_drift() -> str:
+    """KS over sketch buckets: the ks_price_test mirror with the
+    integer qsketch bucket id as the ordered domain."""
+    return f"""
+WITH src AS (SELECT {_sq_qbucket("CAST(floor(value * 100 + 0.5) AS BIGINT)")} AS v,
+                    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'h1' ELSE 'h2' END AS arm
+             FROM events),
+cnt AS (SELECT v, sum(CASE WHEN arm = 'h1' THEN 1 ELSE 0 END) AS da,
+               sum(CASE WHEN arm = 'h2' THEN 1 ELSE 0 END) AS db
+        FROM src GROUP BY 1),
+cdf AS (SELECT v,
+  sum(da) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+  sum(db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+ FROM cnt),
+st AS (SELECT ca, cb, max(ca) OVER () AS na, max(cb) OVER () AS nb FROM cdf),
+r AS (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             max(abs(ca / (CASE WHEN na > 0 THEN na END) - cb / (CASE WHEN nb > 0 THEN nb END))) AS d_stat FROM st),
+z AS (SELECT n_a, n_b, d_stat,
+             d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (n_a + n_b)) AS ks_z FROM r)
+SELECT n_a, n_b, {{r6_d}}, {{r6_z}}, {{r6_p}}
+FROM z
+""".replace("{r6_d}", _r6('d_stat', 'd_stat')).replace(
+        "{r6_z}", _r6('ks_z', 'ks_z')
+    ).replace(
+        "{r6_p}",
+        _r6('least(CAST(1.0 AS DOUBLE), 2.0 * exp(-2.0 * ks_z * ks_z))', 'p_approx'),
+    )
