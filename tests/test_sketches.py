@@ -684,3 +684,23 @@ def test_hll_sliding_stream_maintained(spark, tmp_path):
         ).collect()
     }
     assert live == want and set(live) == {0, 1, 2}
+
+
+def test_frequent_items_grouped_exact(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sketches import (
+        frequent_items_grouped,
+    )
+
+    rows = []
+    # group A: 'x' 60 times, 40 singletons -> only x passes k=4 (>=25)
+    rows += [("A", "x")] * 60 + [("A", f"a{i}") for i in range(40)]
+    # group B: 'y' 30, 'z' 30, 40 singletons -> y and z pass (>=25)
+    rows += [("B", "y")] * 30 + [("B", "z")] * 30 + [("B", f"b{i}") for i in range(40)]
+    # NULL group with a frequent NULL item
+    rows += [(None, None)] * 8 + [(None, "q")] * 2
+    df = spark.createDataFrame(rows, "g string, item string").repartition(7)
+    out = {
+        (r.group, r.item): r.n_rows
+        for r in frequent_items_grouped(df, "g", "item", k=4, cap=8).collect()
+    }
+    assert out == {("A", "x"): 60, ("B", "y"): 30, ("B", "z"): 30, (None, None): 8}

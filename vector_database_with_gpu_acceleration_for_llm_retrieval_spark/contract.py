@@ -4154,6 +4154,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": q_er_clusters,
         "burn_rate": q_burn_rate,
         "ks_sketch_drift": q_ks_sketch_drift,
+        "hot_items_by_type": q_hot_items_by_type,
     }
 
 
@@ -5610,3 +5611,29 @@ def q_ks_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("ks_z"), "ks_z"),
         _round6(F.col("p_approx"), "p_approx"),
     )
+
+
+def q_hot_items_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact heavy hitters: within each event type, items
+    with frequency ≥ N_group/8 (a planted hot item at ~1/3 share per
+    group over a long uniform tail) via per-group Misra-Gries
+    collide-then-verify — output equals the per-group GROUP BY/HAVING
+    oracle (operators/sketches.frequent_items_grouped)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), (F.col("event_id") % 500)))
+        .alias("item"),
+    )
+    res = SK.frequent_items_grouped(ev, "event_type", "item", k=8)
+    return res.select(
+        F.col("group").alias("event_type"),
+        "item",
+        "n_rows",
+        _round6(F.col("share"), "share"),
+    ).orderBy("event_type", "item")

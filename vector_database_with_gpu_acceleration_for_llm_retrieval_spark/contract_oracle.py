@@ -4723,6 +4723,7 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": _ORACLE_ER_CLUSTERS,
         "burn_rate": _ORACLE_BURN_RATE,
         "ks_sketch_drift": _oracle_ks_sketch_drift(),
+        "hot_items_by_type": _ORACLE_HOT_ITEMS_BY_TYPE,
     }
 
 
@@ -5223,3 +5224,18 @@ FROM z
         "{r6_p}",
         _r6('least(CAST(1.0 AS DOUBLE), 2.0 * exp(-2.0 * ks_z * ks_z))', 'p_approx'),
     )
+
+
+_ORACLE_HOT_ITEMS_BY_TYPE = f"""
+WITH src AS (SELECT event_type,
+                    CASE WHEN event_id % 3 = 0 THEN 'hot'
+                         ELSE 'u' || CAST(event_id % 500 AS VARCHAR) END AS item
+             FROM events),
+tot AS (SELECT event_type, count(*) AS n FROM src GROUP BY 1),
+c AS (SELECT s.event_type, s.item, count(*) AS n_rows, max(t.n) AS n
+      FROM src s JOIN tot t ON t.event_type = s.event_type
+      GROUP BY 1, 2 HAVING count(*) * 8 >= max(t.n))
+SELECT event_type, item, CAST(n_rows AS BIGINT) AS n_rows,
+       {_r6('round(n_rows / CAST(n AS DOUBLE), 6)', 'share')}
+FROM c ORDER BY event_type, item
+"""

@@ -49,6 +49,7 @@ __all__ = [
     "hll_sliding_distinct",
     "hll_sliding_from_registers",
     "frequent_items",
+    "frequent_items_grouped",
     "qsketch_bucket",
     "qsketch_bounds",
     "qsketch_updates",
@@ -975,3 +976,77 @@ def hll_sliding_from_registers(
         raw.alias("raw_estimate"),
         est.alias("estimate"),
     )
+
+
+def frequent_items_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 20,
+    cap: int | None = None,
+) -> DataFrame:
+    """Per-group EXACT heavy hitters (frequency ≥ N_g/k within each
+    group) — the "top items per tenant/segment" sibling of
+    :func:`frequent_items`, same collide-then-verify discipline with
+    the Misra-Gries summary and the pigeonhole superset guarantee
+    applied PER GROUP: each partition keeps one bounded dict per group
+    it sees (≤ groups·cap entries), candidates are (group, item)
+    pairs, and the exact verify compares against the GROUP's own total
+    — so the output equals a per-group GROUP BY/HAVING, which is the
+    oracle.  NULL groups and NULL items are both real keys (null-safe
+    join, the frequent_items NULL rule).  Returns
+    ``(group, item, n_rows, share)``, heaviest first within group.
+    """
+    capn = int(cap if cap is not None else 2 * k)
+    if capn < k:
+        raise ValueError(f"cap ({capn}) must be >= k ({k}) for the superset guarantee")
+    src = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(col).cast("string").alias("item"),
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict = {}
+        for pdf in batches:
+            for (g, item), c in (
+                pdf[["g", "item"]].value_counts(dropna=False).items()
+            ):
+                gk = None if (g is None or g != g) else g
+                ik = None if (item is None or item != item) else item
+                d = groups.setdefault(gk, {})
+                d[ik] = d.get(ik, 0) + int(c)
+            for gk, d in groups.items():
+                if len(d) > capn:
+                    vals = sorted(d.values(), reverse=True)
+                    s = vals[capn]
+                    groups[gk] = {i: c - s for i, c in d.items() if c > s}
+        rows_g, rows_i = [], []
+        for gk, d in groups.items():
+            for ik in d:
+                rows_g.append(gk)
+                rows_i.append(ik)
+        yield pd.DataFrame(
+            {
+                "g": pd.array(rows_g, dtype="object"),
+                "item": pd.array(rows_i, dtype="object"),
+            }
+        )
+
+    cand = src.mapInPandas(mg, schema="g string, item string").distinct()
+    tot = src.groupBy(F.col("g").alias("__tg")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cond = src["g"].eqNullSafe(cand["g"]) & src["item"].eqNullSafe(cand["item"])
+    counted = (
+        src.join(F.broadcast(cand), cond, "leftsemi")
+        .groupBy("g", "item")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(tot, F.col("g").eqNullSafe(F.col("__tg")))
+        .filter(F.col("n_rows") * k >= F.col("__n"))
+    )
+    return counted.select(
+        F.col("g").alias("group"),
+        "item",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / F.col("__n"), 6).alias("share"),
+    ).orderBy("group", F.desc("n_rows"), F.asc_nulls_first("item"))
