@@ -144,3 +144,47 @@ def test_chi2_single_category_null_v(spark):
     df = spark.createDataFrame([("x", "u")] * 5, "a string, b string")
     r = S.chi2_independence(df, "a", "b").collect()[0]
     assert r.dof == 0 and abs(r.chi2) < 1e-12 and r.cramers_v is None
+
+
+def test_welch_known_value(spark):
+    rows = [(float(v), "a") for v in (1, 2, 3, 4)] + [
+        (float(v), "b") for v in (2, 4, 6, 8, 10)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = S.welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    # hand: ma=2.5 va=5/3; mb=6 vb=10; se2=5/12+2=2.41666...
+    assert (r.n_a, r.n_b) == (4, 5)
+    assert abs(r.mean_a - 2.5) < 1e-12 and abs(r.var_a - 5 / 3) < 1e-12
+    assert abs(r.mean_b - 6.0) < 1e-12 and abs(r.var_b - 10.0) < 1e-12
+    se2 = 5 / 3 / 4 + 10.0 / 5
+    t = (2.5 - 6.0) / math.sqrt(se2)
+    dof = se2 * se2 / ((5 / 3 / 4) ** 2 / 3 + (10.0 / 5) ** 2 / 4)
+    assert abs(r.t - t) < 1e-12 and abs(r.dof - dof) < 1e-9
+    # single-observation side: undefined, NULL not error
+    tiny = spark.createDataFrame([(1.0, "a"), (2.0, "b"), (3.0, "b")], "v double, g string")
+    rt = S.welch_ttest(tiny, "v", "g", "a", "b").collect()[0]
+    assert rt.var_a is None and rt.t is None
+
+
+def test_anova_known_and_two_group_is_tsq(spark):
+    rows = [(float(v), "a") for v in (1, 2, 3)] + [
+        (float(v), "b") for v in (4, 5, 6)
+    ] + [(float(v), "c") for v in (7, 8, 9)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = S.anova_oneway(df, "v", "g").collect()[0]
+    # SS_b = 3*((2-5)^2+(5-5)^2+(8-5)^2)=54; SS_w = 3 groups * 2 = 6
+    assert (r.n, r.k) == (9, 3)
+    assert abs(r.ss_between - 54.0) < 1e-9 and abs(r.ss_within - 6.0) < 1e-9
+    assert abs(r.f_stat - (54 / 2) / (6 / 6)) < 1e-9
+    assert abs(r.eta_sq - 54 / 60) < 1e-12
+    # two equal-size groups with equal variance: F == t^2 (Student case)
+    two = spark.createDataFrame(
+        [(float(v), "a") for v in (1, 2, 3)] + [(float(v), "b") for v in (5, 6, 7)],
+        "v double, g string",
+    )
+    fa = S.anova_oneway(two, "v", "g").collect()[0]
+    tt = S.welch_ttest(two, "v", "g", "a", "b").collect()[0]
+    assert abs(fa.f_stat - tt.t**2) < 1e-9
+    # constant values: zero within AND between -> NULL F
+    const = spark.createDataFrame([(5.0, "a"), (5.0, "b")], "v double, g string")
+    assert S.anova_oneway(const, "v", "g").collect()[0].f_stat is None

@@ -4155,6 +4155,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_rate": q_burn_rate,
         "ks_sketch_drift": q_ks_sketch_drift,
         "hot_items_by_type": q_hot_items_by_type,
+        "welch_value_test": q_welch_value_test,
+        "anova_value_type": q_anova_value_type,
     }
 
 
@@ -5637,3 +5639,50 @@ def q_hot_items_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         _round6(F.col("share"), "share"),
     ).orderBy("event_type", "item")
+
+
+def q_welch_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean event value between the
+    user-parity pseudo-arms — the mean-difference companion to the KS
+    (shape) and z (proportion) tests; one conditional-sum scan,
+    Welch-Satterthwaite dof (operators/stats.welch_ttest)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+    )
+    res = ST.welch_ttest(ev, "value", "arm", "a", "b")
+    return res.select(
+        "n_a",
+        _round6(F.col("mean_a"), "mean_a"),
+        _round6(F.col("var_a"), "var_a"),
+        "n_b",
+        _round6(F.col("mean_b"), "mean_b"),
+        _round6(F.col("var_b"), "var_b"),
+        _round6(F.col("t"), "t"),
+        _round6(F.col("dof"), "dof"),
+    )
+
+
+def q_anova_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does event type explain event-value variance —
+    F from per-group (n, Σv, Σv²) sums in one scan, eta² effect size
+    (operators/stats.anova_oneway)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.anova_oneway(t["events"], "value", "event_type")
+    return res.select(
+        "n",
+        "k",
+        _round6(F.col("ss_between"), "ss_between"),
+        _round6(F.col("ss_within"), "ss_within"),
+        _round6(F.col("f_stat"), "f_stat"),
+        _round6(F.col("eta_sq"), "eta_sq"),
+    )

@@ -4724,6 +4724,8 @@ def oracle_sql() -> dict[str, str]:
         "burn_rate": _ORACLE_BURN_RATE,
         "ks_sketch_drift": _oracle_ks_sketch_drift(),
         "hot_items_by_type": _ORACLE_HOT_ITEMS_BY_TYPE,
+        "welch_value_test": _ORACLE_WELCH_VALUE_TEST,
+        "anova_value_type": _ORACLE_ANOVA_VALUE_TYPE,
     }
 
 
@@ -5238,4 +5240,47 @@ c AS (SELECT s.event_type, s.item, count(*) AS n_rows, max(t.n) AS n
 SELECT event_type, item, CAST(n_rows AS BIGINT) AS n_rows,
        {_r6('round(n_rows / CAST(n AS DOUBLE), 6)', 'share')}
 FROM c ORDER BY event_type, item
+"""
+
+
+_ORACLE_WELCH_VALUE_TEST = f"""
+WITH src AS (SELECT value AS v,
+                    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+             FROM events),
+agg AS (SELECT CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               sum(CASE WHEN arm = 'a' THEN v END) AS sa,
+               sum(CASE WHEN arm = 'a' THEN v * v END) AS qa,
+               CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               sum(CASE WHEN arm = 'b' THEN v END) AS sb,
+               sum(CASE WHEN arm = 'b' THEN v * v END) AS qb
+        FROM src),
+m AS (SELECT n_a, sa / (CASE WHEN n_a > 0 THEN n_a END) AS mean_a,
+             (qa - sa * sa / n_a) / (CASE WHEN n_a > 1 THEN n_a - 1 END) AS var_a,
+             n_b, sb / (CASE WHEN n_b > 0 THEN n_b END) AS mean_b,
+             (qb - sb * sb / n_b) / (CASE WHEN n_b > 1 THEN n_b - 1 END) AS var_b
+      FROM agg),
+s AS (SELECT m.*, var_a / n_a + var_b / n_b AS se2 FROM m)
+SELECT n_a, {_r6('mean_a', 'mean_a')}, {_r6('var_a', 'var_a')},
+       n_b, {_r6('mean_b', 'mean_b')}, {_r6('var_b', 'var_b')},
+       {_r6('(mean_a - mean_b) / sqrt(CASE WHEN se2 > 0 THEN se2 END)', 't')},
+       {_r6('''se2 * se2 / (CASE WHEN (var_a / n_a) * (var_a / n_a) / (CASE WHEN n_a > 1 THEN n_a - 1 END)
+                     + (var_b / n_b) * (var_b / n_b) / (CASE WHEN n_b > 1 THEN n_b - 1 END) > 0
+                THEN (var_a / n_a) * (var_a / n_a) / (CASE WHEN n_a > 1 THEN n_a - 1 END)
+                     + (var_b / n_b) * (var_b / n_b) / (CASE WHEN n_b > 1 THEN n_b - 1 END) END)''', 'dof')}
+FROM s
+"""
+
+
+_ORACLE_ANOVA_VALUE_TYPE = f"""
+WITH per AS (SELECT event_type AS g, count(*) AS ng, sum(value) AS sg,
+                    sum(value * value) AS qg
+             FROM events GROUP BY 1),
+agg AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+               sum(sg) AS s, sum(qg) AS q, sum(sg * sg / ng) AS sb
+        FROM per),
+d AS (SELECT n, k, sb - s * s / n AS ss_b, q - sb AS ss_w, q - s * s / n AS ss_t FROM agg)
+SELECT n, k, {_r6('ss_b', 'ss_between')}, {_r6('ss_w', 'ss_within')},
+       {_r6('(ss_b / (CASE WHEN k > 1 THEN k - 1 END)) / (CASE WHEN n > k AND ss_w > 0 THEN ss_w / (n - k) END)', 'f_stat')},
+       {_r6('ss_b / (CASE WHEN ss_t > 0 THEN ss_t END)', 'eta_sq')}
+FROM d
 """

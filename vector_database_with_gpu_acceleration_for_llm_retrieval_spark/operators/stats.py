@@ -39,6 +39,8 @@ __all__ = [
     "two_proportion_ztest",
     "mann_kendall",
     "theil_sen",
+    "welch_ttest",
+    "anova_oneway",
 ]
 
 
@@ -362,3 +364,118 @@ def theil_sen(daily: DataFrame, day_col: str = "day", y_col: str = "y") -> DataF
         F.count(F.lit(1)).cast("long").alias("n"),
         F.expr("percentile(r, 0.5)").alias("intercept"),
     ).select("n", F.col("n_pairs").cast("long").alias("n_pairs"), "slope", "intercept")
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on means — the
+    default two-group mean comparison (Student's equal-variance form
+    is a special case nobody's data satisfies).  One conditional-sum
+    aggregate per side in ONE scan (n, Σv, Σv² each), then
+    ``t = (m_a − m_b)/sqrt(s²_a/n_a + s²_b/n_b)`` with the
+    Welch–Satterthwaite degrees of freedom — all closed-form
+    arithmetic over a 1-row frame.  Sample variance uses the n−1
+    denominator; a side with n < 2 (or two zero-variance sides) gives
+    NULL t/dof, not a divide error.  Returns one row
+    ``(n_a, mean_a, var_a, n_b, mean_b, var_b, t, dof)``.
+    """
+    a = F.col(group_col) == group_a
+    b = F.col(group_col) == group_b
+    v = F.col(value_col)
+    agg = df.filter(a | b).agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum(F.when(a, v)).alias("__sa"),
+        F.sum(F.when(a, v * v)).alias("__qa"),
+        F.sum(b.cast("long")).alias("n_b"),
+        F.sum(F.when(b, v)).alias("__sb"),
+        F.sum(F.when(b, v * v)).alias("__qb"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("__sa") / F.when(na > 0, na)
+    mb = F.col("__sb") / F.when(nb > 0, nb)
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) / F.when(
+        na > 1, na - 1
+    )
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / F.when(
+        nb > 1, nb - 1
+    )
+    sized = agg.select(
+        "n_a",
+        ma.alias("mean_a"),
+        va.alias("var_a"),
+        "n_b",
+        mb.alias("mean_b"),
+        vb.alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.when(se2 > 0, se2)
+    )
+    dof_den = (
+        (F.col("var_a") / F.col("n_a"))
+        * (F.col("var_a") / F.col("n_a"))
+        / F.when(F.col("n_a") > 1, F.col("n_a") - 1)
+        + (F.col("var_b") / F.col("n_b"))
+        * (F.col("var_b") / F.col("n_b"))
+        / F.when(F.col("n_b") > 1, F.col("n_b") - 1)
+    )
+    dof = se2 * se2 / F.when(dof_den > 0, dof_den)
+    return sized.select(
+        "n_a",
+        "mean_a",
+        "var_a",
+        "n_b",
+        "mean_b",
+        "var_b",
+        t.alias("t"),
+        dof.alias("dof"),
+    )
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F statistic: does the group factor explain any of
+    the value's variance — the >2-group generalization of the t-test
+    (with exactly two groups, F = t²).
+
+    One scan to per-group ``(n, Σv, Σv²)`` (map-side combined, frame =
+    #groups), then SS_between / SS_within from the sums:
+    ``SS_b = Σ_g n_g (m_g − m)²``, ``SS_w = Σ_g (Σv² − n_g m_g²)``,
+    ``F = (SS_b/(k−1)) / (SS_w/(n−k))``, plus eta² = SS_b/SS_total.
+    Undefined denominators (k < 2, n ≤ k, zero within-variance) give
+    NULL F.  Returns one row
+    ``(n, k, ss_between, ss_within, f_stat, eta_sq)``.
+    """
+    v = F.col(value_col)
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(v).alias("sg"),
+        F.sum(v * v).alias("qg"),
+    )
+    agg = per.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").alias("__s"),
+        F.sum("qg").alias("__q"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("__sb"),
+    )
+    n, k = F.col("n"), F.col("k")
+    grand = F.col("__s") * F.col("__s") / n
+    ss_b = F.col("__sb") - grand
+    ss_w = F.col("__q") - F.col("__sb")
+    ss_t = F.col("__q") - grand
+    fstat = (ss_b / F.when(k > 1, k - 1)) / F.when(
+        (n > k) & (ss_w > 0), ss_w / (n - k)
+    )
+    return agg.select(
+        "n",
+        "k",
+        ss_b.alias("ss_between"),
+        ss_w.alias("ss_within"),
+        fstat.alias("f_stat"),
+        (ss_b / F.when(ss_t > 0, ss_t)).alias("eta_sq"),
+    )
