@@ -188,3 +188,25 @@ def test_anova_known_and_two_group_is_tsq(spark):
     # constant values: zero within AND between -> NULL F
     const = spark.createDataFrame([(5.0, "a"), (5.0, "b")], "v double, g string")
     assert S.anova_oneway(const, "v", "g").collect()[0].f_stat is None
+
+
+def test_ks_matrix_agrees_with_pairwise(spark):
+    rows = (
+        [(float(v), "a") for v in (1, 2, 3, 4, 5)]
+        + [(float(v), "b") for v in (1, 2, 3, 4, 5)]
+        + [(float(v), "c") for v in (10, 11, 12)]
+    )
+    df = spark.createDataFrame(rows, "v double, g string")
+    m = {
+        (r.group_a, r.group_b): r
+        for r in S.ks_matrix(df, "v", "g").collect()
+    }
+    assert set(m) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert m[("a", "b")].d_stat == 0.0  # identical samples
+    assert m[("a", "c")].d_stat == 1.0  # disjoint supports
+    # cross-check one pair against the two-sample operator
+    two = S.ks_test(df, "v", "g", "b", "c").collect()[0]
+    bc = m[("b", "c")]
+    assert (bc.n_a, bc.n_b, bc.d_stat, bc.ks_z) == (
+        two.n_a, two.n_b, two.d_stat, two.ks_z,
+    )

@@ -4157,6 +4157,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_items_by_type": q_hot_items_by_type,
         "welch_value_test": q_welch_value_test,
         "anova_value_type": q_anova_value_type,
+        "ks_source_matrix": q_ks_source_matrix,
     }
 
 
@@ -5686,3 +5687,25 @@ def q_anova_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("f_stat"), "f_stat"),
         _round6(F.col("eta_sq"), "eta_sq"),
     )
+
+
+def q_ks_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs KS drift matrix over doc-length distributions by
+    source — every source pair's D/z/p from ONE scan via the dense
+    value×group CDF grid, not 190 separate tests
+    (operators/stats.ks_matrix)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.ks_matrix(t["documents"], "n_chars", "source")
+    return res.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        _round6(F.col("d_stat"), "d_stat"),
+        _round6(F.col("ks_z"), "ks_z"),
+        _round6(F.col("p_approx"), "p_approx"),
+    ).orderBy("group_a", "group_b")

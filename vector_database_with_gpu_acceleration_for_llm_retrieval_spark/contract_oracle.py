@@ -4726,6 +4726,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_items_by_type": _ORACLE_HOT_ITEMS_BY_TYPE,
         "welch_value_test": _ORACLE_WELCH_VALUE_TEST,
         "anova_value_type": _ORACLE_ANOVA_VALUE_TYPE,
+        "ks_source_matrix": _ORACLE_KS_SOURCE_MATRIX,
     }
 
 
@@ -5283,4 +5284,28 @@ SELECT n, k, {_r6('ss_b', 'ss_between')}, {_r6('ss_w', 'ss_within')},
        {_r6('(ss_b / (CASE WHEN k > 1 THEN k - 1 END)) / (CASE WHEN n > k AND ss_w > 0 THEN ss_w / (n - k) END)', 'f_stat')},
        {_r6('ss_b / (CASE WHEN ss_t > 0 THEN ss_t END)', 'eta_sq')}
 FROM d
+"""
+
+
+_ORACLE_KS_SOURCE_MATRIX = f"""
+WITH cnt AS (SELECT n_chars AS v, source AS g, count(*) AS c FROM documents GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM cnt),
+grps AS (SELECT DISTINCT g FROM cnt),
+spine AS (SELECT v, g FROM vals, grps),
+cdf0 AS (SELECT s.v, s.g,
+                sum(coalesce(c.c, 0)) OVER (PARTITION BY s.g ORDER BY s.v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM spine s LEFT JOIN cnt c ON c.v = s.v AND c.g = s.g),
+cdf AS (SELECT v, g, cum, max(cum) OVER (PARTITION BY g) AS n FROM cdf0),
+agg AS (SELECT a.g AS group_a, b.g AS group_b,
+               CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+               max(abs(a.cum / (CASE WHEN a.n > 0 THEN a.n END)
+                       - b.cum / (CASE WHEN b.n > 0 THEN b.n END))) AS d_stat
+        FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+        GROUP BY 1, 2),
+z AS (SELECT agg.*, d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (n_a + n_b)) AS ks_z
+      FROM agg)
+SELECT group_a, group_b, n_a, n_b, {_r6('d_stat', 'd_stat')}, {_r6('ks_z', 'ks_z')},
+       {_r6('least(CAST(1.0 AS DOUBLE), 2.0 * exp(-2.0 * ks_z * ks_z))', 'p_approx')}
+FROM z ORDER BY group_a, group_b
 """

@@ -41,6 +41,7 @@ __all__ = [
     "theil_sen",
     "welch_ttest",
     "anova_oneway",
+    "ks_matrix",
 ]
 
 
@@ -478,4 +479,73 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         ss_w.alias("ss_within"),
         fstat.alias("f_stat"),
         (ss_b / F.when(ss_t > 0, ss_t)).alias("eta_sq"),
+    )
+
+
+def ks_matrix(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """All-pairs KS drift matrix: D = sup|F_a − F_b| for EVERY group
+    pair from ONE scan — "which sources drifted from which" without
+    running G²/2 separate two-sample tests (each of which would
+    re-scan).
+
+    One (value, group) count aggregate, a dense value × group spine
+    (both sides domain-bounded — the hll_sliding spine trick, so a
+    group with no row at value v still exposes its carried CDF there),
+    per-group cumulative CDFs, then a grid self-join ON THE VALUE KEY
+    (equi-join; pairs × values rows, all domain-sized) reduced by a
+    per-pair max.  For an unbounded continuous domain, bucket first
+    (``sketches.qsketch_bucket``), the ks_test rule.  Statistics per
+    pair as in :func:`ks_test` (one-term Smirnov tail).  Returns
+    ``(group_a, group_b, n_a, n_b, d_stat, ks_z, p_approx)``,
+    ``group_a < group_b``.
+    """
+    cnt = df.groupBy(
+        F.col(value_col).alias("v"), F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    vals = cnt.select("v").distinct()
+    grps = cnt.select("g").distinct()
+    spine = vals.crossJoin(grps)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = (
+        spine.join(cnt, ["v", "g"], "left")
+        .select(
+            "v",
+            "g",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w).alias("cum"),
+        )
+        .withColumn("n", F.max("cum").over(Window.partitionBy("g")))
+    )
+    a, b = cdf.alias("a"), cdf.alias("b")
+    pairs = a.join(b, "v").filter(F.col("a.g") < F.col("b.g"))
+    agg = pairs.groupBy(
+        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+    ).agg(
+        F.max("a.n").cast("long").alias("n_a"),
+        F.max("b.n").cast("long").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("a.cum") / F.when(F.col("a.n") > 0, F.col("a.n"))
+                - F.col("b.cum") / F.when(F.col("b.n") > 0, F.col("b.n"))
+            )
+        ).alias("d_stat"),
+    )
+    z = F.col("d_stat") * F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "d_stat",
+        z.alias("ks_z"),
+        F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * z * z)).alias(
+            "p_approx"
+        ),
     )
