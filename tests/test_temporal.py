@@ -384,3 +384,13 @@ def test_burn_rate_multiwindow(spark):
     assert out[7].alert
     # hour 9: short burn back to 0.2 -> page ends though long still elevated
     assert not out[9].alert
+
+
+def test_acf_via_lead_lag_self(spark):
+    import datetime as dt
+
+    rows = [(dt.date(2024, 1, i + 1), (i * 37) % 11) for i in range(30)]
+    df = spark.createDataFrame(rows, "day date, y long")
+    out = {r.lag: r.corr for r in TP.lead_lag_scan(df, "y", "y", max_lag=3).collect()}
+    assert abs(out[0] - 1.0) < 1e-12          # lag 0: series vs itself
+    assert abs(out[-2] - out[2]) < 1e-12      # ACF symmetry

@@ -4158,6 +4158,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_value_test": q_welch_value_test,
         "anova_value_type": q_anova_value_type,
         "ks_source_matrix": q_ks_source_matrix,
+        "seasonality_strength": q_seasonality_strength,
+        "acf_daily": q_acf_daily,
     }
 
 
@@ -5709,3 +5711,66 @@ def q_ks_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("ks_z"), "ks_z"),
         _round6(F.col("p_approx"), "p_approx"),
     ).orderBy("group_a", "group_b")
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance decomposition of the daily series: what fraction of
+    daily event-value variance is trend vs weekly seasonality vs
+    residual (Hyndman's strength-of-seasonality readout) — one
+    aggregate over seasonal_decompose's calendar-sized output
+    (composition; operators/temporal.seasonal_decompose)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    dec = TP.seasonal_decompose(daily)
+    agg = dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.var_samp("y").alias("__vy"),
+        F.var_samp("seasonal").alias("__vs"),
+        F.var_samp("resid").alias("__vr"),
+        F.var_samp(F.col("seasonal") + F.col("resid")).alias("__vsr"),
+    )
+    # strength_seasonal = max(0, 1 - var(resid)/var(seasonal+resid))
+    strength = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("__vr") / F.when(F.col("__vsr") > 0, F.col("__vsr")),
+    )
+    return agg.select(
+        "n_days",
+        _round6(F.col("__vy"), "var_y"),
+        _round6(F.col("__vs"), "var_seasonal"),
+        _round6(F.col("__vr"), "var_resid"),
+        _round6(strength, "strength_seasonal"),
+    )
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily value series at lags
+    0..10 — pure composition: the lead-lag scan of the series against
+    ITSELF, keeping non-negative lags (operators/temporal.lead_lag_scan;
+    integer-cents inputs, the portability rule)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+    )
+    res = TP.lead_lag_scan(daily, "y", "y", max_lag=10)
+    return (
+        res.filter(F.col("lag") >= 0)
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_days").cast("long").alias("n_days"),
+            _round6(F.col("corr"), "acf"),
+        )
+        .orderBy("lag")
+    )

@@ -4727,6 +4727,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_value_test": _ORACLE_WELCH_VALUE_TEST,
         "anova_value_type": _ORACLE_ANOVA_VALUE_TYPE,
         "ks_source_matrix": _ORACLE_KS_SOURCE_MATRIX,
+        "seasonality_strength": _ORACLE_SEASONALITY_STRENGTH,
+        "acf_daily": _ORACLE_ACF_DAILY,
     }
 
 
@@ -5308,4 +5310,39 @@ z AS (SELECT agg.*, d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (n
 SELECT group_a, group_b, n_a, n_b, {_r6('d_stat', 'd_stat')}, {_r6('ks_z', 'ks_z')},
        {_r6('least(CAST(1.0 AS DOUBLE), 2.0 * exp(-2.0 * ks_z * ks_z))', 'p_approx')}
 FROM z ORDER BY group_a, group_b
+"""
+
+
+_ORACLE_SEASONALITY_STRENGTH = f"""
+WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1),
+t AS (SELECT day, y,
+             avg(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM d),
+dt AS (SELECT day, y, trend, y - trend AS det FROM t),
+s AS (SELECT day, y, trend, det,
+             avg(det) OVER (PARTITION BY dayofweek(day)) - avg(det) OVER () AS seasonal
+      FROM dt),
+c AS (SELECT y, seasonal, det - seasonal AS resid FROM s),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+               var_samp(y) AS vy, var_samp(seasonal) AS vs,
+               var_samp(resid) AS vr, var_samp(seasonal + resid) AS vsr
+        FROM c)
+SELECT n_days, {_r6('vy', 'var_y')}, {_r6('vs', 'var_seasonal')}, {_r6('vr', 'var_resid')},
+       {_r6('greatest(CAST(0.0 AS DOUBLE), 1.0 - vr / (CASE WHEN vsr > 0 THEN vsr END))', 'strength_seasonal')}
+FROM agg
+"""
+
+
+_ORACLE_ACF_DAILY = f"""
+WITH {_SQ_DAILY_CENTS},
+lags AS (SELECT unnest(generate_series(-10, 10)) AS lag),
+p AS (SELECT l.lag, a.y AS x, b.y AS y
+      FROM d a CROSS JOIN lags l
+      JOIN d b ON b.day = a.day + to_days(CAST(l.lag AS INT))),
+agg AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM p GROUP BY 1),
+sc AS (SELECT lag, n, {_SQ_PEARSON} AS corr FROM agg)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days, {_r6('corr', 'acf')}
+FROM sc WHERE lag >= 0 ORDER BY lag
 """
