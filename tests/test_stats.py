@@ -210,3 +210,21 @@ def test_ks_matrix_agrees_with_pairwise(spark):
     assert (bc.n_a, bc.n_b, bc.d_stat, bc.ks_z) == (
         two.n_a, two.n_b, two.d_stat, two.ks_z,
     )
+
+
+def test_theil_sen_grouped_matches_ungrouped(spark):
+    import datetime as dt
+
+    rows = []
+    for i in range(9):
+        rows.append(("a", dt.date(2024, 1, i + 1), 3 * i + 2))
+        rows.append(("b", dt.date(2024, 1, i + 1), -2 * i + 50))
+    rows.append(("c", dt.date(2024, 1, 1), 7))  # single day: dropped
+    df = spark.createDataFrame(rows, "g string, day date, y long")
+    out = {r.group: r for r in S.theil_sen_grouped(df, "g").collect()}
+    assert set(out) == {"a", "b"}
+    assert abs(out["a"].slope - 3.0) < 1e-9 and abs(out["a"].intercept - 2.0) < 1e-9
+    assert abs(out["b"].slope + 2.0) < 1e-9 and abs(out["b"].intercept - 50.0) < 1e-9
+    # per-group result equals the ungrouped operator on that slice
+    solo = S.theil_sen(df.filter("g = 'a'").select("day", "y")).collect()[0]
+    assert (solo.slope, solo.intercept) == (out["a"].slope, out["a"].intercept)

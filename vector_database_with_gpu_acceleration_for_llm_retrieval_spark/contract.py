@@ -4160,6 +4160,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_source_matrix": q_ks_source_matrix,
         "seasonality_strength": q_seasonality_strength,
         "acf_daily": q_acf_daily,
+        "trend_slope_by_type": q_trend_slope_by_type,
     }
 
 
@@ -5774,3 +5775,26 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+def q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Theil-Sen robust daily-value slopes from one plan —
+    which event streams actually trend, outlier days unable to flip
+    any answer (operators/stats.theil_sen_grouped; group-keyed pair
+    joins, calendar-bounded per group)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y"))
+    res = ST.theil_sen_grouped(daily, "event_type")
+    return res.select(
+        F.col("group").alias("event_type"),
+        "n",
+        "n_pairs",
+        _round6(F.col("slope"), "slope"),
+        _round6(F.col("intercept"), "intercept"),
+    ).orderBy("event_type")

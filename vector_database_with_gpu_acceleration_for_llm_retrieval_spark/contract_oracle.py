@@ -4729,6 +4729,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_source_matrix": _ORACLE_KS_SOURCE_MATRIX,
         "seasonality_strength": _ORACLE_SEASONALITY_STRENGTH,
         "acf_daily": _ORACLE_ACF_DAILY,
+        "trend_slope_by_type": _ORACLE_TREND_SLOPE_BY_TYPE,
     }
 
 
@@ -5345,4 +5346,24 @@ agg AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
 sc AS (SELECT lag, n, {_SQ_PEARSON} AS corr FROM agg)
 SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days, {_r6('corr', 'acf')}
 FROM sc WHERE lag >= 0 ORDER BY lag
+"""
+
+
+_ORACLE_TREND_SLOPE_BY_TYPE = f"""
+WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+mn AS (SELECT g, min(day) AS dmin FROM d0 GROUP BY 1),
+dx AS (SELECT d0.g, CAST(date_diff('day', mn.dmin, d0.day) AS DOUBLE) AS x,
+              CAST(y AS DOUBLE) AS y
+       FROM d0 JOIN mn ON mn.g = d0.g),
+sl AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS m
+       FROM dx a JOIN dx b ON a.g = b.g AND a.x < b.x),
+med AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs, quantile_cont(m, 0.5) AS slope
+        FROM sl GROUP BY 1),
+resid AS (SELECT dx.g, n_pairs, slope, y - slope * x AS r
+          FROM dx JOIN med ON med.g = dx.g)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n, n_pairs,
+       {_r6('slope', 'slope')}, {_r6('quantile_cont(r, 0.5)', 'intercept')}
+FROM resid GROUP BY g, n_pairs, slope ORDER BY event_type
 """

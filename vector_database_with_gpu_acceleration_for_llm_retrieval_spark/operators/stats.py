@@ -42,6 +42,7 @@ __all__ = [
     "welch_ttest",
     "anova_oneway",
     "ks_matrix",
+    "theil_sen_grouped",
 ]
 
 
@@ -548,4 +549,65 @@ def ks_matrix(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * z * z)).alias(
             "p_approx"
         ),
+    )
+
+
+def theil_sen_grouped(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str = "day",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group Theil-Sen robust slopes: one robust trend per series
+    from a single plan — "which segments are actually growing" with
+    outlier days unable to flip any segment's answer.
+
+    The :func:`theil_sen` shape with every join and aggregate keyed by
+    the group: pairwise slopes via a group-keyed equi-join (each
+    group's pair count is calendar-bounded — n_g(n_g−1)/2 over DAYS,
+    never rows), exact interpolated percentile per group, intercept
+    from per-group median residuals.  Groups with < 2 days have no
+    pairs and drop out.  Returns ``(group, n, n_pairs, slope,
+    intercept)``.
+    """
+    d0 = daily.groupBy(F.col(group_col).alias("g")).agg(
+        F.min(day_col).alias("__d0")
+    )
+    d = daily.join(
+        d0, F.col(group_col) == F.col("g")
+    ).select(
+        "g",
+        F.datediff(F.col(day_col), F.col("__d0")).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(b, "g").filter(F.col("a.x") < F.col("b.x")).select(
+        "g",
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("m"),
+    )
+    med = slopes.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(m, 0.5)").alias("slope"),
+    )
+    resid = d.join(med, "g").select(
+        "g",
+        "n_pairs",
+        "slope",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    return (
+        resid.groupBy("g", "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("percentile(r, 0.5)").alias("intercept"),
+        )
+        .select(
+            F.col("g").alias("group"),
+            "n",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "slope",
+            "intercept",
+        )
     )
