@@ -570,15 +570,18 @@ def theil_sen_grouped(
     pairs and drop out.  Returns ``(group, n, n_pairs, slope,
     intercept)``.
     """
-    d0 = daily.groupBy(F.col(group_col).alias("g")).agg(
-        F.min(day_col).alias("__d0")
-    )
-    d = daily.join(
-        d0, F.col(group_col) == F.col("g")
-    ).select(
-        "g",
-        F.datediff(F.col(day_col), F.col("__d0")).cast("double").alias("x"),
+    # rename up front: a caller whose group column is literally "g"
+    # must not collide with the internal alias (equi-join on the name)
+    base = daily.select(
+        F.col(group_col).alias("g"),
+        F.col(day_col).alias("__day"),
         F.col(y_col).cast("double").alias("y"),
+    )
+    d0 = base.groupBy("g").agg(F.min("__day").alias("__d0"))
+    d = base.join(d0, "g").select(
+        "g",
+        F.datediff(F.col("__day"), F.col("__d0")).cast("double").alias("x"),
+        "y",
     )
     a, b = d.alias("a"), d.alias("b")
     slopes = a.join(b, "g").filter(F.col("a.x") < F.col("b.x")).select(
