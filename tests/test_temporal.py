@@ -394,3 +394,33 @@ def test_acf_via_lead_lag_self(spark):
     out = {r.lag: r.corr for r in TP.lead_lag_scan(df, "y", "y", max_lag=3).collect()}
     assert abs(out[0] - 1.0) < 1e-12          # lag 0: series vs itself
     assert abs(out[-2] - out[2]) < 1e-12      # ACF symmetry
+
+
+def test_pacf_ar1_signature(spark):
+    # AR(1) theory: rho_k = a^k  ->  PACF = (a, 0, 0, ...)
+    a = 0.6
+    acf = spark.createDataFrame(
+        [(k, a**k) for k in range(0, 5)], "lag int, corr double"
+    )
+    out = {r.lag: r.pacf for r in TP.pacf_from_acf(acf, max_lag=4).collect()}
+    assert abs(out[1] - a) < 1e-12
+    for k in (2, 3, 4):
+        assert abs(out[k]) < 1e-12
+    # numpy Durbin-Levinson replica on arbitrary rho
+    import numpy as np
+
+    rho = [1.0, 0.5, 0.3, -0.1, 0.2]
+    acf2 = spark.createDataFrame(
+        list(enumerate(rho)), "lag int, corr double"
+    )
+    got = {r.lag: r.pacf for r in TP.pacf_from_acf(acf2, max_lag=4).collect()}
+    phi = {1: {1: rho[1]}}
+    for k in range(2, 5):
+        prev = phi[k - 1]
+        num = rho[k] - sum(prev[j] * rho[k - j] for j in range(1, k))
+        den = 1.0 - sum(prev[j] * rho[j] for j in range(1, k))
+        kk = num / den
+        phi[k] = {j: prev[j] - kk * prev[k - j] for j in range(1, k)}
+        phi[k][k] = kk
+    for k in range(1, 5):
+        assert abs(got[k] - phi[k][k]) < 1e-12, k

@@ -4161,6 +4161,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_strength": q_seasonality_strength,
         "acf_daily": q_acf_daily,
         "trend_slope_by_type": q_trend_slope_by_type,
+        "pacf_daily": q_pacf_daily,
     }
 
 
@@ -5798,3 +5799,24 @@ def q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("slope"), "slope"),
         _round6(F.col("intercept"), "intercept"),
     ).orderBy("event_type")
+
+
+def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations of the daily value series at lags 1..4
+    — the AR-order diagnostic, Durbin-Levinson unrolled into one
+    scalar projection over the pivoted ACF (composition:
+    lead_lag_scan self → pacf_from_acf; oracle = the identical
+    unroll)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+    )
+    acf = TP.lead_lag_scan(daily, "y", "y", max_lag=4).select("lag", "corr")
+    res = TP.pacf_from_acf(acf, max_lag=4)
+    return res.select(
+        F.col("lag").cast("int").alias("lag"), _round6(F.col("pacf"), "pacf")
+    ).orderBy("lag")

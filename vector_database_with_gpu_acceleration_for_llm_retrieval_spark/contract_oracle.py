@@ -4730,6 +4730,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonality_strength": _ORACLE_SEASONALITY_STRENGTH,
         "acf_daily": _ORACLE_ACF_DAILY,
         "trend_slope_by_type": _ORACLE_TREND_SLOPE_BY_TYPE,
+        "pacf_daily": _oracle_pacf_daily(),
     }
 
 
@@ -5366,4 +5367,49 @@ resid AS (SELECT dx.g, n_pairs, slope, y - slope * x AS r
 SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n, n_pairs,
        {_r6('slope', 'slope')}, {_r6('quantile_cont(r, 0.5)', 'intercept')}
 FROM resid GROUP BY g, n_pairs, slope ORDER BY event_type
+"""
+
+
+def _oracle_pacf_daily(max_lag: int = 4) -> str:
+    """The identical Durbin-Levinson unroll in SQL: same pivoted rho
+    frame, same left-associated sum order per level (generated by the
+    same loop structure as operators/temporal.pacf_from_acf)."""
+    levels = ["l1 AS (SELECT w.*, r1 AS p1_1 FROM w)"]
+    for k in range(2, max_lag + 1):
+        num_terms = " + ".join(
+            f"p{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        )
+        den_terms = " + ".join(f"p{k - 1}_{j} * r{j}" for j in range(1, k))
+        levels.append(
+            f"l{k}a AS (SELECT *, (r{k} - ({num_terms}))"
+            f" / (CASE WHEN 1.0 - ({den_terms}) <> 0 THEN 1.0 - ({den_terms}) END)"
+            f" AS p{k}_{k} FROM l{k - 1})"
+        )
+        coeffs = ", ".join(
+            f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+            for j in range(1, k)
+        )
+        levels.append(f"l{k} AS (SELECT *, {coeffs} FROM l{k}a)")
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS lag, p{k}_{k} AS pacf FROM l{max_lag}"
+        for k in range(1, max_lag + 1)
+    )
+    pivots = ", ".join(
+        f"max(CASE WHEN lag = {k} THEN corr END) AS r{k}"
+        for k in range(1, max_lag + 1)
+    )
+    levels_sql = ",\n".join(levels)
+    return f"""
+WITH {_SQ_DAILY_CENTS},
+lags AS (SELECT unnest(generate_series(-{max_lag}, {max_lag})) AS lag),
+p AS (SELECT l.lag, a.y AS x, b.y AS y
+      FROM d a CROSS JOIN lags l
+      JOIN d b ON b.day = a.day + to_days(CAST(l.lag AS INT))),
+agg AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM p GROUP BY 1),
+sc AS (SELECT lag, {_SQ_PEARSON} AS corr FROM agg),
+w AS (SELECT {pivots} FROM sc WHERE lag BETWEEN 1 AND {max_lag}),
+{levels_sql}
+SELECT CAST(lag AS INT) AS lag, {_r6('pacf', 'pacf')} FROM ({sel}) ORDER BY lag
 """

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan", "burn_rate_alerts"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan", "burn_rate_alerts", "pacf_from_acf"]
 
 
 def asof_join(
@@ -1031,3 +1031,61 @@ def burn_rate_alerts(
             (F.col("burn_short") > factor) & (F.col("burn_long") > factor)
         ).alias("alert"),
     )
+
+
+def pacf_from_acf(acf: DataFrame, max_lag: int = 4) -> DataFrame:
+    """Partial autocorrelations from an ACF frame via the
+    Durbin-Levinson recursion UNROLLED into scalar column algebra —
+    the AR-order diagnostic (PACF cuts off at the true AR order where
+    ACF only decays).
+
+    ``acf`` is ``(lag, corr)`` for lags ≥ 0 (e.g. ``lead_lag_scan`` of
+    a series against itself).  The recursion
+    ``φ_kk = (ρ_k − Σ_j φ_{k−1,j} ρ_{k−j}) / (1 − Σ_j φ_{k−1,j} ρ_j)``
+    runs over at most ``max_lag`` scalars, so instead of a driver-side
+    loop it is unrolled into ONE projection over the 1-row pivoted ρ
+    frame — pure deterministic float algebra both engines can run
+    identically (the oracle mirrors the same unroll).  A zero
+    denominator at any level (perfectly predictable series) yields
+    NULL for that and deeper lags.  Returns ``(lag, pacf)``,
+    lag 1..max_lag.
+    """
+    if not 1 <= max_lag <= 6:
+        raise ValueError(f"max_lag must be in 1..6 (unrolled), got {max_lag}")
+    wide = acf.filter(
+        (F.col("lag") >= 1) & (F.col("lag") <= max_lag)
+    ).agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("corr"))).alias(f"r{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    r = {k: F.col(f"r{k}") for k in range(1, max_lag + 1)}
+    phi: dict[int, dict[int, object]] = {1: {1: r[1]}}
+    for k in range(2, max_lag + 1):
+        prev = phi[k - 1]
+        num = r[k] - sum(
+            (prev[j] * r[k - j] for j in range(2, k)), prev[1] * r[k - 1]
+        )
+        den = F.lit(1.0) - sum(
+            (prev[j] * r[j] for j in range(2, k)), prev[1] * r[1]
+        )
+        kk = num / F.when(den != 0, den)
+        phi[k] = {j: prev[j] - kk * prev[k - j] for j in range(1, k)}
+        phi[k][k] = kk
+    out = wide.select(
+        *[phi[k][k].alias(f"p{k}") for k in range(1, max_lag + 1)]
+    )
+    stacked = out.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"p{k}").alias("pacf")
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select(F.col("s.lag").alias("lag"), F.col("s.pacf").alias("pacf"))
