@@ -4162,6 +4162,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily": q_acf_daily,
         "trend_slope_by_type": q_trend_slope_by_type,
         "pacf_daily": q_pacf_daily,
+        "dedup_recall": q_dedup_recall,
     }
 
 
@@ -5820,3 +5821,41 @@ def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("lag").cast("int").alias("lag"), _round6(F.col("pacf"), "pacf")
     ).orderBy("lag")
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine auditing its own approximation: MinHash-LSH
+    near-dup pairs (banded, verified) measured against the EXACT
+    prefix-filtered all-pairs truth at the same 0.8 threshold —
+    found/missed counts and recall (precision is 1 by construction,
+    both paths verify exact Jaccard). The banding collision odds at
+    j≥0.8 (1−(1−j⁴)⁴ ≈ 0.99) predict recall ~1; the entry records the
+    measured value (operators/dedup.near_dup_pairs vs
+    prefix_jaccard_pairs)."""
+    t = load_tables(spark, sf_dir)
+    exact = D.prefix_jaccard_pairs(
+        t["documents"], threshold=NEAR_DUP_THRESHOLD, shingle_n=SHINGLE_N
+    ).select("id_a", "id_b")
+    found = D.near_dup_pairs(
+        t["documents"],
+        threshold=NEAR_DUP_THRESHOLD,
+        n_hashes=MINHASH_N,
+        n_bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        tid_path="vocab",
+    ).select("id_a", "id_b")
+    hit = exact.join(found, ["id_a", "id_b"], "left_semi")
+    ne = exact.count()
+    nf = hit.count()
+    return spark.createDataFrame(
+        [(ne, nf, ne - nf)], "n_exact long, n_found long, n_missed long"
+    ).select(
+        "n_exact",
+        "n_found",
+        "n_missed",
+        _round6(
+            F.col("n_found")
+            / F.when(F.col("n_exact") > 0, F.col("n_exact")),
+            "recall",
+        ),
+    )

@@ -4731,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_daily": _ORACLE_ACF_DAILY,
         "trend_slope_by_type": _ORACLE_TREND_SLOPE_BY_TYPE,
         "pacf_daily": _oracle_pacf_daily(),
+        "dedup_recall": _oracle_dedup_recall(),
     }
 
 
@@ -5412,4 +5413,31 @@ sc AS (SELECT lag, {_SQ_PEARSON} AS corr FROM agg),
 w AS (SELECT {pivots} FROM sc WHERE lag BETWEEN 1 AND {max_lag}),
 {levels_sql}
 SELECT CAST(lag AS INT) AS lag, {_r6('pacf', 'pacf')} FROM ({sel}) ORDER BY lag
+"""
+
+
+def _oracle_dedup_recall() -> str:
+    """Exact truth via brute force, found via the minhash mirror's own
+    CTEs, counts joined — recall measured the same way both engines."""
+    sh = _sq_shingles('t', SHINGLE_N)
+    return f"""
+WITH {_SQ_TIDS_CTES.strip()},
+{_SQ_NEAR_DUP_CTES.strip()},
+tt AS (SELECT doc_id, {_SQ_TOKS} AS t FROM documents),
+s2 AS (SELECT doc_id, list_distinct({sh}) AS sh FROM tt),
+e2 AS (SELECT doc_id, unnest(sh) AS tok FROM s2),
+sz AS (SELECT doc_id, len(sh) AS n FROM s2),
+i2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS o
+       FROM e2 a JOIN e2 b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+ex AS (SELECT ia AS id_a, ib AS id_b
+       FROM i2 JOIN sz na ON na.doc_id = i2.ia JOIN sz nb ON nb.doc_id = i2.ib
+       WHERE o / (na.n + nb.n - o) >= {NEAR_DUP_THRESHOLD}),
+hit AS (SELECT ex.id_a FROM ex SEMI JOIN near_pairs np
+        ON np.id_a = ex.id_a AND np.id_b = ex.id_b),
+c AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+             (SELECT count(*) FROM hit) AS n_found)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_exact - n_found AS BIGINT) AS n_missed,
+       {_r6('n_found / (CASE WHEN n_exact > 0 THEN CAST(n_exact AS DOUBLE) END)', 'recall')}
+FROM c
 """
