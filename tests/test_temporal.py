@@ -424,3 +424,32 @@ def test_pacf_ar1_signature(spark):
         phi[k][k] = kk
     for k in range(1, 5):
         assert abs(got[k] - phi[k][k]) < 1e-12, k
+
+
+def test_holt_fitted_path_consistent(spark):
+    import datetime as dt
+
+    # perfectly linear series: one-step predictions are exact, resid 0
+    rows = [(1, dt.date(2024, 1, i + 1), float(10 + 3 * i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k int, day date, y double")
+    out = TP.holt_fitted(df, "k", alpha=0.5, beta=0.25).orderBy("day").collect()
+    assert len(out) == 5  # t = 2..6
+    assert all(abs(r.resid) < 1e-9 for r in out)
+    # replica on a noisy series: fold state path matches hand recursion,
+    # and the LAST state equals holt_forecast's (level, trend)
+    ys = [4.0, 7.0, 5.0, 12.0, 9.0, 11.0]
+    rows2 = [(2, dt.date(2024, 2, i + 1), y) for i, y in enumerate(ys)]
+    df2 = spark.createDataFrame(rows2, "k int, day date, y double")
+    a, b_ = 0.5, 0.25
+    l, b = ys[0], ys[1] - ys[0]
+    fitted = []
+    for t in range(1, len(ys)):
+        fitted.append(l + b)
+        nl = ys[t] * a + (l + b) * (1 - a)
+        b = (nl - l) * b_ + b * (1 - b_)
+        l = nl
+    got = TP.holt_fitted(df2, "k", alpha=a, beta=b_).orderBy("day").collect()
+    for r, f in zip(got, fitted):
+        assert abs(r.fitted - f) < 1e-12
+    fc = TP.holt_forecast(df2, "k", alpha=a, beta=b_, horizon=1).collect()[0]
+    assert abs(fc.level - l) < 1e-12 and abs(fc.trend - b) < 1e-12

@@ -4163,6 +4163,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope_by_type": q_trend_slope_by_type,
         "pacf_daily": q_pacf_daily,
         "dedup_recall": q_dedup_recall,
+        "forecast_bands": q_forecast_bands,
     }
 
 
@@ -5859,3 +5860,37 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall",
         ),
     )
+
+
+def q_forecast_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-aware forecasting: Holt 7-day forecasts per event
+    type with empirical bands from the in-sample one-step residual
+    quantiles (conformal-style: lo/hi = ŷ + q10/q90 of residuals, no
+    normality assumed) — composition holt_fitted + holt_forecast,
+    exact-percentile parity (operators/temporal.holt_fitted)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    fit = TP.holt_fitted(daily, "event_type", alpha=0.5, beta=0.25)
+    q = fit.groupBy("event_type").agg(
+        F.expr("percentile(resid, 0.1)").alias("q10"),
+        F.expr("percentile(resid, 0.9)").alias("q90"),
+    )
+    fc = TP.holt_forecast(
+        daily, "event_type", alpha=0.5, beta=0.25, horizon=7
+    )
+    out = fc.join(q, "event_type")
+    return out.select(
+        "event_type",
+        F.col("h").cast("int").alias("h"),
+        _round6(F.col("forecast"), "forecast"),
+        _round6(F.col("forecast") + F.col("q10"), "lo"),
+        _round6(F.col("forecast") + F.col("q90"), "hi"),
+    ).orderBy("event_type", "h")

@@ -4732,6 +4732,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope_by_type": _ORACLE_TREND_SLOPE_BY_TYPE,
         "pacf_daily": _oracle_pacf_daily(),
         "dedup_recall": _oracle_dedup_recall(),
+        "forecast_bands": _ORACLE_FORECAST_BANDS,
     }
 
 
@@ -5440,4 +5441,32 @@ SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_found AS BIGINT) AS n_found,
        CAST(n_exact - n_found AS BIGINT) AS n_missed,
        {_r6('n_found / (CASE WHEN n_exact > 0 THEN CAST(n_exact AS DOUBLE) END)', 'recall')}
 FROM c
+"""
+
+
+_ORACLE_FORECAST_BANDS = f"""
+WITH RECURSIVE d0 AS MATERIALIZED (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1, 2),
+d AS MATERIALIZED (
+  SELECT k, y, row_number() OVER (PARTITION BY k ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY k) AS n FROM d0),
+r AS (
+  SELECT k, 1 AS t, y AS l, (SELECT y FROM d d2 WHERE d2.k = d.k AND d2.t = 2) - y AS b
+  FROM d WHERE t = 1 AND n >= 2
+  UNION ALL
+  SELECT d.k, d.t, d.y * 0.5 + (r.l + r.b) * 0.5 AS l,
+         (d.y * 0.5 + (r.l + r.b) * 0.5 - r.l) * 0.25 + r.b * 0.75 AS b
+  FROM r JOIN d ON d.k = r.k AND d.t = r.t + 1
+),
+fitted AS (SELECT d.k, d.t, d.y, p.l + p.b AS f
+           FROM d JOIN r p ON p.k = d.k AND p.t = d.t - 1),
+q AS (SELECT k, quantile_cont(y - f, 0.1) AS q10, quantile_cont(y - f, 0.9) AS q90
+      FROM fitted GROUP BY 1),
+fin AS (SELECT k, l, b FROM r QUALIFY row_number() OVER (PARTITION BY k ORDER BY t DESC) = 1)
+SELECT fin.k AS event_type, CAST(h AS INT) AS h,
+       {_r6('l + h * b', 'forecast')},
+       {_r6('l + h * b + q10', 'lo')},
+       {_r6('l + h * b + q90', 'hi')}
+FROM fin JOIN q ON q.k = fin.k, unnest(generate_series(1, 7)) AS u(h)
+ORDER BY event_type, h
 """

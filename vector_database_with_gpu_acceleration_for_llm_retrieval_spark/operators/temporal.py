@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan", "burn_rate_alerts", "pacf_from_acf"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan", "burn_rate_alerts", "pacf_from_acf", "holt_fitted"]
 
 
 def asof_join(
@@ -1089,3 +1089,80 @@ def pacf_from_acf(acf: DataFrame, max_lag: int = 4) -> DataFrame:
         ).alias("s")
     )
     return stacked.select(F.col("s.lag").alias("lag"), F.col("s.pacf").alias("pacf"))
+
+
+def holt_fitted(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    y_col: str = "y",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """The in-sample one-step-ahead path of :func:`holt_forecast`'s
+    recurrence: for every day t ≥ 2 (1-based, per key), the prediction
+    the model would have made from state t−1 (``fitted = l_{t−1} +
+    b_{t−1}``) and its residual — the inputs any empirical
+    uncertainty band (residual quantiles, conformal-style) needs,
+    which the final-state-only fold cannot provide.
+
+    Same per-key array fold as the other recurrences, but the
+    accumulator KEEPS the state path (array of (l, b) structs —
+    quadratic array copies bounded by days-per-key, the ewma_smooth
+    budget); identical update expressions to holt_forecast, so the
+    last path state equals its (level, trend) exactly.  Returns
+    ``(key, day, y, fitted, resid)`` for t ≥ 2.
+    """
+    one_ma, one_mb = 1.0 - alpha, 1.0 - beta
+    pairs = daily.groupBy(F.col(key_col).alias("k")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(day_col).alias("d"), F.col(y_col).alias("y")))
+        ).alias("ps")
+    )
+    vals = F.col("ps.y")
+    lv = lambda s: s.getField("l")  # noqa: E731
+    tv = lambda s: s.getField("b")  # noqa: E731
+    init = F.array(
+        F.struct(
+            F.element_at(vals, 1).alias("l"),
+            (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        )
+    )
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        newl = x * F.lit(alpha) + (lv(prev) + tv(prev)) * F.lit(one_ma)
+        newb = (
+            x * F.lit(alpha) + (lv(prev) + tv(prev)) * F.lit(one_ma) - lv(prev)
+        ) * F.lit(beta) + tv(prev) * F.lit(one_mb)
+        return F.array_append(acc, F.struct(newl.alias("l"), newb.alias("b")))
+
+    states = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.lit(0), F.size(vals) - 1)), init, step
+    )
+    framed = pairs.filter(F.size(vals) >= 2).select(
+        "k", "ps", states.alias("st")
+    )
+    idx = F.sequence(F.lit(2), F.size("ps"))
+    rows = framed.select(
+        "k",
+        F.explode(
+            F.transform(
+                idx,
+                lambda t: F.struct(
+                    F.element_at(F.col("ps.d"), t).alias("d"),
+                    F.element_at(F.col("ps.y"), t).alias("y"),
+                    (
+                        F.element_at(F.col("st"), t - 1).getField("l")
+                        + F.element_at(F.col("st"), t - 1).getField("b")
+                    ).alias("fitted"),
+                ),
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        F.col("k").alias(key_col),
+        F.col("r.d").alias(day_col),
+        F.col("r.y").alias(y_col),
+        F.col("r.fitted").alias("fitted"),
+        (F.col("r.y") - F.col("r.fitted")).alias("resid"),
+    )
