@@ -228,3 +228,46 @@ def test_theil_sen_grouped_matches_ungrouped(spark):
     # per-group result equals the ungrouped operator on that slice
     solo = S.theil_sen(df.filter("g = 'a'").select("day", "y")).collect()[0]
     assert (solo.slope, solo.intercept) == (out["a"].slope, out["a"].intercept)
+
+
+def test_proportion_sample_size_known(spark):
+    # base rate 0.2 from 10 units (2 convert), detect +50% -> p2 = 0.3
+    rows = [(f"u{i}", i < 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "unit string, conv boolean")
+    r = S.proportion_sample_size(df, "unit", "conv", [0.5, 100.0]).collect()
+    by = {x.rel_lift: x for x in r}
+    assert by[0.5].n_units == 10 and abs(by[0.5].base_rate - 0.2) < 1e-12
+    p1, p2, pbar = 0.2, 0.3, 0.25
+    num = 1.959964 * math.sqrt(2 * pbar * 0.75) + 0.841621 * math.sqrt(
+        p1 * 0.8 + p2 * 0.7
+    )
+    assert by[0.5].n_per_arm == math.ceil(num * num / 0.01)
+    # +100x lift pushes p2 past 1: undefined
+    assert by[100.0].n_per_arm is None
+
+
+def test_cuped_reduces_variance_preserves_mean(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(200):
+        x = rnd.gauss(50, 10)
+        y = 0.8 * x + rnd.gauss(0, 3)  # strongly covariate-explained
+        rows.append((i, y, x))
+    df = spark.createDataFrame(rows, "u long, y double, x double")
+    out = S.cuped_adjust(df, "u", "y", "x").collect()
+    import statistics
+
+    ys = [r.y for r in out]
+    ya = [r.y_adj for r in out]
+    assert abs(statistics.mean(ys) - statistics.mean(ya)) < 1e-9  # mean preserved
+    vr = out[0].var_reduction
+    assert vr > 0.8  # rho^2 large by construction
+    # realized variance drop matches 1 - rho^2 (population variance identity)
+    pv = lambda v: statistics.pvariance(v)  # noqa: E731
+    assert abs(pv(ya) / pv(ys) - (1 - vr)) < 1e-9
+    # zero-variance covariate: theta NULL, y unchanged
+    flat = spark.createDataFrame([(1, 5.0, 7.0), (2, 9.0, 7.0)], "u long, y double, x double")
+    fo = S.cuped_adjust(flat, "u", "y", "x").collect()
+    assert all(r.theta is None and r.y_adj == r.y for r in fo)

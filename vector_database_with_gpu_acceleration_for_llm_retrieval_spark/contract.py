@@ -4164,6 +4164,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_daily": q_pacf_daily,
         "dedup_recall": q_dedup_recall,
         "forecast_bands": q_forecast_bands,
+        "power_sample_size": q_power_sample_size,
+        "cuped_engagement": q_cuped_engagement,
     }
 
 
@@ -5894,3 +5896,55 @@ def q_forecast_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("forecast") + F.col("q10"), "lo"),
         _round6(F.col("forecast") + F.col("q90"), "hi"),
     ).orderBy("event_type", "h")
+
+
+def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from the observed user-day conversion
+    base rate: units per arm to detect +5/10/20% relative lifts at
+    80% power / two-sided 95% — the pre-launch runtime answer, pure
+    scalar algebra over the per-unit collapse
+    (operators/stats.proportion_sample_size)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    day = F.to_date("ts")
+    ev = t["events"].select(
+        F.concat_ws("#", F.col("user_id"), day).alias("unit"),
+        (F.col("event_type") == "purchase").alias("conv"),
+    )
+    res = ST.proportion_sample_size(ev, "unit", "conv", [0.05, 0.10, 0.20])
+    return res.select(
+        _round6(F.col("rel_lift"), "rel_lift"),
+        _round6(F.col("base_rate"), "base_rate"),
+        "n_units",
+        "n_per_arm",
+    ).orderBy("rel_lift")
+
+
+def q_cuped_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction on per-user engagement: second-half
+    value adjusted by the first-half pre-period covariate
+    (y' = y − θ(x − x̄), θ from one moment aggregate) — the
+    experiment-platform primitive that cuts metric variance by ρ² with
+    the mean exactly preserved (operators/stats.cuped_adjust)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    split = F.to_date("ts") < F.lit("2024-01-16")
+    per_user = t["events"].groupBy(F.col("user_id").alias("u")).agg(
+        F.coalesce(F.sum(F.when(~split, F.col("value"))), F.lit(0.0)).alias("y"),
+        F.coalesce(F.sum(F.when(split, F.col("value"))), F.lit(0.0)).alias("x"),
+    )
+    res = ST.cuped_adjust(per_user, "u", "y", "x")
+    return res.select(
+        F.col("u").cast("long").alias("u"),
+        _round6(F.col("y"), "y"),
+        _round6(F.col("x"), "x"),
+        _round6(F.col("y_adj"), "y_adj"),
+        _round6(F.col("theta"), "theta"),
+        _round6(F.col("var_reduction"), "var_reduction"),
+    ).orderBy("u")

@@ -4733,6 +4733,8 @@ def oracle_sql() -> dict[str, str]:
         "pacf_daily": _oracle_pacf_daily(),
         "dedup_recall": _oracle_dedup_recall(),
         "forecast_bands": _ORACLE_FORECAST_BANDS,
+        "power_sample_size": _oracle_power_sample_size(),
+        "cuped_engagement": _ORACLE_CUPED_ENGAGEMENT,
     }
 
 
@@ -5469,4 +5471,51 @@ SELECT fin.k AS event_type, CAST(h AS INT) AS h,
        {_r6('l + h * b + q90', 'hi')}
 FROM fin JOIN q ON q.k = fin.k, unnest(generate_series(1, 7)) AS u(h)
 ORDER BY event_type, h
+"""
+
+
+def _oracle_power_sample_size(
+    z_alpha: float = 1.959964, z_beta: float = 0.841621
+) -> str:
+    return f"""
+WITH src AS (SELECT CAST(user_id AS VARCHAR) || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS unit,
+                    event_type = 'purchase' AS conv FROM events),
+units AS (SELECT unit, max(CAST(conv AS INT)) AS s FROM src GROUP BY 1),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_units, sum(s) / count(*) AS p1 FROM units),
+lifts AS (SELECT unnest([0.05, 0.10, 0.20]) AS rel_lift),
+j AS (SELECT rel_lift, p1, n_units, p1 * (1.0 + rel_lift) AS p2 FROM base, lifts),
+c AS (SELECT rel_lift, p1, n_units, p2, (p1 + p2) / 2 AS pbar FROM j),
+d AS (SELECT rel_lift, p1, n_units, p2,
+             {z_alpha!r} * sqrt(2.0 * pbar * (1.0 - pbar))
+               + {z_beta!r} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num
+      FROM c)
+SELECT {_r6('rel_lift', 'rel_lift')}, {_r6('p1', 'base_rate')}, n_units,
+       CAST(CASE WHEN p2 > 0 AND p2 < 1 AND p2 <> p1
+                 THEN ceil(num * num / ((p2 - p1) * (p2 - p1))) END AS BIGINT) AS n_per_arm
+FROM d ORDER BY rel_lift
+"""
+
+
+_ORACLE_CUPED_ENGAGEMENT = f"""
+WITH pu AS (SELECT user_id AS u,
+                   coalesce(sum(CASE WHEN NOT (CAST(ts AS DATE) < DATE '2024-01-16') THEN value END), 0.0) AS y,
+                   coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN value END), 0.0) AS x
+            FROM events GROUP BY 1),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pu),
+s AS (SELECT (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                       THEN CAST(n AS DOUBLE) * sxx - sx * sx END) AS theta,
+             sx / CAST(n AS DOUBLE) AS xbar,
+             ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+               / (CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) <> 0
+                            AND (CAST(n AS DOUBLE) * syy - sy * sy) <> 0
+                       THEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy) END) AS var_reduction
+      FROM m)
+SELECT CAST(u AS BIGINT) AS u, {_r6('y', 'y')}, {_r6('x', 'x')},
+       {_r6('CASE WHEN theta IS NOT NULL THEN y - theta * (x - xbar) ELSE y END', 'y_adj')},
+       {_r6('theta', 'theta')}, {_r6('var_reduction', 'var_reduction')}
+FROM pu, s ORDER BY u
 """

@@ -46,6 +46,8 @@ __all__ = [
     "anova_oneway",
     "ks_matrix",
     "theil_sen_grouped",
+    "proportion_sample_size",
+    "cuped_adjust",
 ]
 
 
@@ -616,4 +618,115 @@ def theil_sen_grouped(
             "slope",
             "intercept",
         )
+    )
+
+
+def proportion_sample_size(
+    df: DataFrame,
+    unit_col: str,
+    success_col: str,
+    rel_lifts: list[float],
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Experiment power analysis from the observed base rate: units per
+    arm needed to detect each relative lift — the "how long must this
+    test run" answer every A/B platform computes before launching.
+
+    One per-unit collapse (the two_proportion_ztest rule) gives the
+    base conversion p; for each candidate lift the classic
+    two-proportion normal approximation
+    ``n = (z_α√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))² / (p₂−p₁)²`` is pure scalar
+    algebra over the 1-row aggregate crossed with the broadcast lift
+    spine.  Defaults: two-sided α=0.05, power 80% (z constants as
+    literals — no inverse-normal needed).  Lifts that push p₂ out of
+    (0, 1) yield NULL.  Returns ``(rel_lift, base_rate, n_units,
+    n_per_arm)``.
+    """
+    units = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.max(F.col(success_col).cast("int")).alias("s")
+    )
+    base = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        (F.sum("s") / F.count(F.lit(1))).alias("p1"),
+    )
+    spark = df.sparkSession
+    lifts = spark.createDataFrame(
+        [(float(l),) for l in rel_lifts], "rel_lift double"
+    )
+    j = base.crossJoin(F.broadcast(lifts))
+    p1 = F.col("p1")
+    p2 = p1 * (F.lit(1.0) + F.col("rel_lift"))
+    pbar = (p1 + p2) / 2
+    num = (
+        F.lit(z_alpha) * F.sqrt(F.lit(2.0) * pbar * (1.0 - pbar))
+        + F.lit(z_beta) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    )
+    n = (num * num) / ((p2 - p1) * (p2 - p1))
+    valid = (p2 > 0) & (p2 < 1) & (p2 != p1)
+    return j.select(
+        "rel_lift",
+        p1.alias("base_rate"),
+        "n_units",
+        F.when(valid, F.ceil(n)).cast("long").alias("n_per_arm"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    unit's experiment metric ``y`` by its PRE-period covariate ``x`` —
+    ``y' = y − θ(x − x̄)`` with ``θ = cov(x,y)/var(x)`` — cutting
+    metric variance by the squared correlation ρ² and therefore
+    experiment runtime by the same factor, with E[y'] = E[y] exactly
+    (the adjustment is mean-zero by construction).
+
+    ``df`` is one row per unit (collapse upstream).  One 1-row moment
+    aggregate (n, Σx, Σy, Σx², Σxy) gives θ; the adjusted frame is the
+    unit table joined to that broadcast scalar — one scan + one
+    broadcast, no shuffle of the unit table.  Zero pre-period variance
+    → θ undefined → y' = y (no covariate information; NULL θ is
+    reported).  Returns ``(unit, y, x, y_adj)`` plus the scalar
+    context columns ``(theta, var_reduction)`` on every row.
+    """
+    u = df.select(
+        F.col(unit_col).alias("u"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(x_col).cast("double").alias("x"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta = cov / F.when(vx != 0, vx)
+    rho2 = (cov * cov) / F.when((vx != 0) & (vy != 0), vx * vy)
+    scal = m.select(
+        theta.alias("theta"),
+        (F.col("sx") / nd).alias("__xbar"),
+        rho2.alias("var_reduction"),
+    )
+    out = u.crossJoin(F.broadcast(scal))
+    yadj = F.when(
+        F.col("theta").isNotNull(),
+        F.col("y") - F.col("theta") * (F.col("x") - F.col("__xbar")),
+    ).otherwise(F.col("y"))
+    return out.select(
+        F.col("u").alias(unit_col),
+        "y",
+        "x",
+        yadj.alias("y_adj"),
+        "theta",
+        "var_reduction",
     )
