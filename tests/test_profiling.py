@@ -499,3 +499,24 @@ def test_fd_check_g3(spark):
     assert ab.g3_rows == 1 and not ab.holds  # drop the single z row
     cb = out[("c", "b")]
     assert cb.holds and cb.g3_rows == 0  # c unique per row -> any FD holds
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.features import woe_iv
+
+    # bin A: 3 good, 1 bad; bin B: 1 good, 3 bad (symmetric separation)
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "bin string, label int")
+    out = {r.bin: r for r in woe_iv(df, "bin", "label", smooth=0.5).collect()}
+    tg = tb = 3.5 + 1.5
+    wa = math.log((3.5 / tg) / (1.5 / tb))
+    assert abs(out["A"].woe - wa) < 1e-12
+    assert abs(out["B"].woe + wa) < 1e-12  # symmetric
+    assert abs(out["A"].iv_term - (3.5 / tg - 1.5 / tb) * wa) < 1e-12
+    assert out["A"].n_good == 3 and out["A"].n_bad == 1
+    # empty-class bin stays finite under smoothing
+    rows2 = rows + [("C", 1)] * 4
+    out2 = {r.bin: r for r in woe_iv(spark.createDataFrame(rows2, "bin string, label int"), "bin", "label").collect()}
+    assert math.isfinite(out2["C"].woe) and out2["C"].n_bad == 0

@@ -453,3 +453,76 @@ def test_holt_fitted_path_consistent(spark):
         assert abs(r.fitted - f) < 1e-12
     fc = TP.holt_forecast(df2, "k", alpha=a, beta=b_, horizon=1).collect()[0]
     assert abs(fc.level - l) < 1e-12 and abs(fc.trend - b) < 1e-12
+
+
+def test_burn_rate_live_by_composition(spark, tmp_path):
+    """The generic streaming rollup keyed on the hour with (errs,total)
+    sum measures keeps a LIVE hourly frame; burn rates computed from
+    the maintained table equal the batch operator — zero burn-specific
+    streaming code (the CUSUM-live pattern)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in range(8):
+        bad = 40 if h == 5 else 2
+        for i in range(80):
+            rows.append((base + dt.timedelta(hours=h, seconds=i), i < bad))
+    full = spark.createDataFrame(rows, "ts timestamp, is_err boolean")
+    b1 = full.filter(F.hour("ts") < 4)
+    b2 = full.filter(F.hour("ts") >= 4)
+
+    def hourly_updates(df):
+        return df.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+            F.col("is_err").cast("long").alias("errs"),
+            F.lit(1).cast("long").alias("total"),
+        )
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("bs", "br", "bc"))
+    measures = {"errs": ("sum", "errs"), "total": ("sum", "total")}
+    hourly_updates(b1).write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["hour"], measures,
+        "hour long, errs long, total long",
+    )
+    q.processAllAvailable()
+    hourly_updates(b2).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    # burn math over the MAINTAINED hourly frame (the batch operator's
+    # window+arithmetic half, applied to state instead of raw events)
+    from pyspark.sql import Window
+
+    live_hourly = spark.read.parquet(roll)
+    def burns(hourly):
+        def wnd(hours):
+            return Window.orderBy("hour").rangeBetween(-(hours - 1), 0)
+        es, ts_ = F.sum("errs").over(wnd(1)), F.sum("total").over(wnd(1))
+        el, tl = F.sum("errs").over(wnd(4)), F.sum("total").over(wnd(4))
+        b = 0.10
+        return {
+            r.hour: (r.bs, r.bl)
+            for r in hourly.select(
+                "hour",
+                ((es.cast("double") / F.when(ts_ > 0, ts_)) / b).alias("bs"),
+                ((el.cast("double") / F.when(tl > 0, tl)) / b).alias("bl"),
+            ).collect()
+        }
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import temporal as T2
+
+    live = burns(live_hourly)
+    batch = {
+        r.hour: (r.burn_short, r.burn_long)
+        for r in T2.burn_rate_alerts(
+            full, "is_err", budget=0.10, short_h=1, long_h=4
+        ).collect()
+    }
+    assert live == batch and len(live) == 8

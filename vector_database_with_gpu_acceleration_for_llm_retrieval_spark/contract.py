@@ -4166,6 +4166,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_bands": q_forecast_bands,
         "power_sample_size": q_power_sample_size,
         "cuped_engagement": q_cuped_engagement,
+        "woe_iv": q_woe_iv,
     }
 
 
@@ -5948,3 +5949,31 @@ def q_cuped_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("theta"), "theta"),
         _round6(F.col("var_reduction"), "var_reduction"),
     ).orderBy("u")
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of the event type as a
+    purchase predictor — per-bin WOE (signed class separation) and IV
+    terms, Laplace-smoothed so empty-class bins stay finite
+    (operators/features.woe_iv)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        features as FE,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.when(F.col("value") < 5, "lo")
+        .when(F.col("value") < 20, "mid")
+        .otherwise("hi")
+        .alias("band"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    res = FE.woe_iv(ev, "band", "label", smooth=0.5)
+    return res.select(
+        F.col("bin").alias("band"),
+        "n",
+        "n_good",
+        "n_bad",
+        _round6(F.col("woe"), "woe"),
+        _round6(F.col("iv_term"), "iv_term"),
+    ).orderBy("band")

@@ -4735,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_bands": _ORACLE_FORECAST_BANDS,
         "power_sample_size": _oracle_power_sample_size(),
         "cuped_engagement": _ORACLE_CUPED_ENGAGEMENT,
+        "woe_iv": _ORACLE_WOE_IV,
     }
 
 
@@ -5518,4 +5519,20 @@ SELECT CAST(u AS BIGINT) AS u, {_r6('y', 'y')}, {_r6('x', 'x')},
        {_r6('CASE WHEN theta IS NOT NULL THEN y - theta * (x - xbar) ELSE y END', 'y_adj')},
        {_r6('theta', 'theta')}, {_r6('var_reduction', 'var_reduction')}
 FROM pu, s ORDER BY u
+"""
+
+
+_ORACLE_WOE_IV = f"""
+WITH src AS (SELECT CASE WHEN value < 5 THEN 'lo' WHEN value < 20 THEN 'mid' ELSE 'hi' END AS bin,
+                    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS lbl
+             FROM events),
+cells AS (SELECT bin, count(*) AS n, sum(lbl) AS g0, sum(1.0 - lbl) AS b0 FROM src GROUP BY 1),
+t AS (SELECT bin, n, g0, b0, g0 + 0.5 AS g, b0 + 0.5 AS b,
+             sum(g0 + 0.5) OVER () AS tg, sum(b0 + 0.5) OVER () AS tb
+      FROM cells)
+SELECT bin AS band, CAST(n AS BIGINT) AS n, CAST(g0 AS BIGINT) AS n_good,
+       CAST(b0 AS BIGINT) AS n_bad,
+       {_r6('ln(g / tg / (b / tb))', 'woe')},
+       {_r6('(g / tg - b / tb) * ln(g / tg / (b / tb))', 'iv_term')}
+FROM t ORDER BY band
 """
