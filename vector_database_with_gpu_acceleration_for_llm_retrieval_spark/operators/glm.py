@@ -1,0 +1,127 @@
+"""Distributed generalized linear model training: logistic regression
+by iteratively reweighted least squares (IRLS / Newton-Raphson).
+
+The "train a classifier head on features the engine computed" loop:
+curation produces per-row feature vectors and labels; this fits
+``p = sigmoid(X beta)`` by full-batch Newton steps
+
+    beta' = beta + (X'WX + reg*I)^-1  X'(y - p),   W = diag(p(1-p))
+
+— the textbook IRLS update, exact (no learning-rate tuning), converging
+quadratically for the few-features regime this targets (d small: the
+d x d Hessian is driver-sized, the data is not).
+
+Spark shape per iteration: ONE ``mapInPandas`` pass over the feature
+frame computes the partition-local ``X'WX`` and ``X'(y-p)`` partials
+(numpy, Arrow batches), (d^2 + d)-double rows collect to the driver,
+the solve happens there, and the new beta ships back inside the next
+pass's closure — the ALS/Gram discipline: per-iteration driver state is
+O(d^2), per-iteration cluster work is one scan, nothing data-sized ever
+leaves the executors.  Fixed iteration count keeps the result a
+deterministic function of the input (partial sums re-associate across
+partition layouts — parity is asserted to 1e-9, the ALS tolerance).
+
+No SQL mirror (matrix solves); verification is a numpy replica of the
+identical schedule plus recoverable-separation checks
+(tests/test_glm.py) — the OPQ/ALS discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["logistic_fit", "logistic_predict"]
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    # the numerically-stable split form (naive exp overflows at |z|>709)
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def logistic_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 6,
+    reg: float = 1e-6,
+    intercept: bool = True,
+) -> dict:
+    """Fit logistic regression; returns ``{"beta": [...], "cols":
+    [...], "iters": n}`` with the intercept (when requested) LAST.
+
+    ``reg`` is a small ridge on the Hessian — it keeps the solve
+    defined under perfect separation / collinear features (where the
+    MLE diverges), the standard safeguard.  Features are used as-is:
+    scale them upstream (robust_scale) if their magnitudes differ
+    wildly, exactly as any Newton solver expects.
+    """
+    d = len(feature_cols) + (1 if intercept else 0)
+    src = df.select(
+        *[F.col(c).cast("double") for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    beta = np.zeros(d, dtype=np.float64)
+    schema = "g array<double>"
+    for _ in range(iters):
+        b = beta.copy()
+
+        def part(batches, b=b):
+            H = np.zeros((d, d))
+            gvec = np.zeros(d)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = pdf[feature_cols].to_numpy(dtype=np.float64)
+                if intercept:
+                    X = np.hstack([X, np.ones((len(X), 1))])
+                y = pdf["__y"].to_numpy(dtype=np.float64)
+                p = _sigmoid(X @ b)
+                w = p * (1.0 - p)
+                H += (X.T * w) @ X
+                gvec += X.T @ (y - p)
+                seen = True
+            if seen:
+                yield pd.DataFrame(
+                    {"g": [np.concatenate([H.reshape(-1), gvec]).tolist()]}
+                )
+
+        parts = src.mapInPandas(part, schema).collect()
+        H = np.zeros((d, d))
+        gvec = np.zeros(d)
+        for r in parts:
+            a = np.array(r.g, dtype=np.float64)
+            H += a[: d * d].reshape(d, d)
+            gvec += a[d * d :]
+        beta = b + np.linalg.solve(H + reg * np.eye(d), gvec)
+    cols = list(feature_cols) + (["__intercept"] if intercept else [])
+    return {"beta": beta.tolist(), "cols": cols, "iters": iters}
+
+
+def logistic_predict(
+    df: DataFrame, model: dict, feature_cols: list[str] | None = None
+) -> DataFrame:
+    """Score rows with a fitted model — pure JVM-side expression
+    (linear term as a column sum + the stable sigmoid split), no
+    Python in the serving path; appends ``p`` to ``df``."""
+    beta = model["beta"]
+    cols = model["cols"]
+    feature_cols = feature_cols or [c for c in cols if c != "__intercept"]
+    z = F.lit(0.0)
+    for c, w in zip(cols, beta):
+        if c == "__intercept":
+            z = z + F.lit(float(w))
+        else:
+            z = z + F.col(c).cast("double") * F.lit(float(w))
+    p = F.when(
+        z >= 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ).otherwise(F.exp(z) / (F.lit(1.0) + F.exp(z)))
+    return df.withColumn("p", p)
