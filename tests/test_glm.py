@@ -80,3 +80,29 @@ def test_logistic_separation_guarded(spark):
     m = glm.logistic_fit(df, ["x"], "y", iters=8, reg=1e-3)
     assert all(math.isfinite(v) for v in m["beta"])
     assert m["beta"][0] > 0
+
+
+def test_ols_closed_form_recovers_plane(spark):
+    import random
+
+    rnd = random.Random(2)
+    rows = []
+    for _ in range(300):
+        u, v = rnd.uniform(0, 10), rnd.uniform(0, 1)
+        t = 4.0 * u - 7.0 * v + 3.0 + rnd.gauss(0, 0.01)
+        rows.append((u, v, t))
+    df = spark.createDataFrame(rows, "u double, v double, t double")
+    r = glm.ols_two_features(df, "u", "v", "t").collect()[0]
+    assert abs(r.beta_u - 4.0) < 0.01
+    assert abs(r.beta_v + 7.0) < 0.05
+    assert abs(r.beta0 - 3.0) < 0.05
+    assert r.r2 > 0.999
+    # numpy lstsq parity on the exact same data
+    X = np.array([[a, b, 1.0] for a, b, _ in rows])
+    y = np.array([t for _, _, t in rows])
+    want, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose([r.beta_u, r.beta_v, r.beta0], want, atol=1e-6)
+    # collinear features: singular -> NULL, not a divide error
+    bad = spark.createDataFrame([(1.0, 2.0, 3.0), (2.0, 4.0, 5.0), (3.0, 6.0, 9.0)], "u double, v double, t double")
+    rb = glm.ols_two_features(bad, "u", "v", "t").collect()[0]
+    assert rb.beta_u is None and rb.r2 is None

@@ -4167,6 +4167,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_sample_size": q_power_sample_size,
         "cuped_engagement": q_cuped_engagement,
         "woe_iv": q_woe_iv,
+        "ols_price_model": q_ols_price_model,
     }
 
 
@@ -5977,3 +5978,23 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("woe"), "woe"),
         _round6(F.col("iv_term"), "iv_term"),
     ).orderBy("band")
+
+
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS: extended price ~ quantity + discount over
+    lineitem — the 3×3 normal equations by Cramer's rule over one pass
+    of raw sums, R² from the same sums, no driver solve
+    (operators/glm.ols_two_features)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import glm as GL
+
+    t = load_tables(spark, sf_dir)
+    res = GL.ols_two_features(
+        t["lineitem"], "l_quantity", "l_discount", "l_extendedprice"
+    )
+    return res.select(
+        "n",
+        _round6(F.col("beta_u"), "beta_qty"),
+        _round6(F.col("beta_v"), "beta_disc"),
+        _round6(F.col("beta0"), "beta0"),
+        _round6(F.col("r2"), "r2"),
+    )

@@ -4736,6 +4736,7 @@ def oracle_sql() -> dict[str, str]:
         "power_sample_size": _oracle_power_sample_size(),
         "cuped_engagement": _ORACLE_CUPED_ENGAGEMENT,
         "woe_iv": _ORACLE_WOE_IV,
+        "ols_price_model": _ORACLE_OLS_PRICE_MODEL,
     }
 
 
@@ -5535,4 +5536,34 @@ SELECT bin AS band, CAST(n AS BIGINT) AS n, CAST(g0 AS BIGINT) AS n_good,
        {_r6('ln(g / tg / (b / tb))', 'woe')},
        {_r6('(g / tg - b / tb) * ln(g / tg / (b / tb))', 'iv_term')}
 FROM t ORDER BY band
+"""
+
+
+_ORACLE_OLS_PRICE_MODEL = f"""
+WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  sum(CAST(l_quantity AS DOUBLE)) AS su,
+                  sum(CAST(l_discount AS DOUBLE)) AS sv,
+                  sum(CAST(l_extendedprice AS DOUBLE)) AS st,
+                  sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS suu,
+                  sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS svv,
+                  sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS suv,
+                  sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sut,
+                  sum(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS svt,
+                  sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS stt
+           FROM lineitem),
+d AS (SELECT m.*,
+  suu * (svv * n - sv * sv) - suv * (suv * n - sv * su) + su * (suv * sv - svv * su) AS det,
+  sut * (svv * n - sv * sv) - suv * (svt * n - sv * st) + su * (svt * sv - svv * st) AS det_u,
+  suu * (svt * n - sv * st) - sut * (suv * n - sv * su) + su * (suv * st - svt * su) AS det_v,
+  suu * (svv * st - svt * sv) - suv * (suv * st - svt * su) + sut * (suv * sv - svv * su) AS det_0
+  FROM m),
+b AS (SELECT d.*,
+             det_u / (CASE WHEN det <> 0 THEN det END) AS bu,
+             det_v / (CASE WHEN det <> 0 THEN det END) AS bv,
+             det_0 / (CASE WHEN det <> 0 THEN det END) AS b0
+      FROM d)
+SELECT CAST(n AS BIGINT) AS n, {_r6('bu', 'beta_qty')}, {_r6('bv', 'beta_disc')},
+       {_r6('b0', 'beta0')},
+       {_r6('1.0 - (stt - (bu * sut + bv * svt + b0 * st)) / (CASE WHEN stt - st * st / n <> 0 THEN stt - st * st / n END)', 'r2')}
+FROM b
 """

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit", "logistic_predict"]
+__all__ = ["logistic_fit", "logistic_predict", "ols_two_features"]
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
@@ -125,3 +125,64 @@ def logistic_predict(
         z >= 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     ).otherwise(F.exp(z) / (F.lit(1.0) + F.exp(z)))
     return df.withColumn("p", p)
+
+
+def ols_two_features(
+    df: DataFrame,
+    u_col: str,
+    v_col: str,
+    t_col: str,
+) -> DataFrame:
+    """Two-feature + intercept ordinary least squares SOLVED IN CLOSED
+    FORM: the 3x3 normal equations by Cramer's rule over one pass of
+    raw sums — unlike the IRLS path this needs no driver solve at all,
+    so it IS expressible as plain (oracle-checkable) column algebra.
+
+    One aggregate collects the 9 moments (n, Su, Sv, St, Suu, Svv,
+    Suv, Sut, Svt, Stt); determinants expand textbook-style; R^2 comes
+    from the same sums via ``SSE = Stt - beta.(X'y)`` — no second data
+    pass.  A singular system (collinear features, constant columns)
+    has det 0 and yields NULL coefficients rather than a divide error.
+    Returns one row ``(n, beta_u, beta_v, beta0, r2)``.
+    """
+    u, v, t = (F.col(c).cast("double") for c in (u_col, v_col, t_col))
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(u).alias("su"),
+        F.sum(v).alias("sv"),
+        F.sum(t).alias("st"),
+        F.sum(u * u).alias("suu"),
+        F.sum(v * v).alias("svv"),
+        F.sum(u * v).alias("suv"),
+        F.sum(u * t).alias("sut"),
+        F.sum(v * t).alias("svt"),
+        F.sum(t * t).alias("stt"),
+    )
+
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        return (
+            a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31)
+        )
+
+    n = F.col("n")
+    su, sv, st = F.col("su"), F.col("sv"), F.col("st")
+    suu, svv, suv = F.col("suu"), F.col("svv"), F.col("suv")
+    sut, svt, stt = F.col("sut"), F.col("svt"), F.col("stt")
+    d = det3(suu, suv, su, suv, svv, sv, su, sv, n)
+    du = det3(sut, suv, su, svt, svv, sv, st, sv, n)
+    dv = det3(suu, sut, su, suv, svt, sv, su, st, n)
+    d0 = det3(suu, suv, sut, suv, svv, svt, su, sv, st)
+    dd = F.when(d != 0, d)
+    bu, bv, b0 = du / dd, dv / dd, d0 / dd
+    sse = stt - (bu * sut + bv * svt + b0 * st)
+    sst = stt - st * st / n
+    r2 = F.lit(1.0) - sse / F.when(sst != 0, sst)
+    return m.select(
+        n.cast("long").alias("n"),
+        bu.alias("beta_u"),
+        bv.alias("beta_v"),
+        b0.alias("beta0"),
+        r2.alias("r2"),
+    )
