@@ -106,3 +106,78 @@ def test_ols_closed_form_recovers_plane(spark):
     bad = spark.createDataFrame([(1.0, 2.0, 3.0), (2.0, 4.0, 5.0), (3.0, 6.0, 9.0)], "u double, v double, t double")
     rb = glm.ols_two_features(bad, "u", "v", "t").collect()[0]
     assert rb.beta_u is None and rb.r2 is None
+
+
+def _brute_isotonic(rates, weights):
+    """Quadratic reference: minimize sum w (r - f)^2 over non-decreasing
+    f via repeated full pooling passes (provably converges to PAVA's
+    unique solution)."""
+    vals = [float(r) for r in rates]
+    wts = [float(w) for w in weights]
+    blocks = [[v, w] for v, w in zip(vals, wts)]
+    changed = True
+    while changed:
+        changed = False
+        out = []
+        for b in blocks:
+            out.append(list(b))
+            while len(out) > 1 and out[-2][0] > out[-1][0]:
+                v = (out[-2][0] * out[-2][1] + out[-1][0] * out[-1][1]) / (
+                    out[-2][1] + out[-1][1]
+                )
+                merged = [v, out[-2][1] + out[-1][1]]
+                out = out[:-2] + [merged]
+                changed = True
+        blocks = out
+    res = []
+    i = 0
+    for v, w in blocks:
+        k = 0
+        acc = 0.0
+        while i + k < len(wts) and acc + 1e-9 < w:
+            acc += wts[i + k]
+            k += 1
+        res.extend([v] * k)
+        i += k
+    return res
+
+
+def test_pava_properties():
+    import random
+
+    rnd = random.Random(17)
+    rates = np.array([rnd.random() for _ in range(40)])
+    weights = np.array([rnd.randint(1, 9) for _ in range(40)], dtype=float)
+    fit = glm._pava(rates, weights)
+    # non-decreasing
+    assert all(fit[i] <= fit[i + 1] + 1e-12 for i in range(len(fit) - 1))
+    # weighted mean preserved (projection property)
+    assert abs(np.dot(fit, weights) - np.dot(rates, weights)) < 1e-9
+    # matches the brute-force reference
+    want = _brute_isotonic(rates, weights)
+    assert np.allclose(fit, want, atol=1e-12)
+    # already-monotone input unchanged
+    mono = np.sort(rates)
+    assert np.allclose(glm._pava(mono, weights), mono)
+
+
+def test_isotonic_calibrate_end_to_end(spark):
+    import random
+
+    rnd = random.Random(23)
+    rows = []
+    for _ in range(4000):
+        s = rnd.random()
+        # true prob rises with score but with a noisy dip region
+        p = min(1.0, max(0.0, s * 0.8 + (0.15 if 0.4 < s < 0.5 else 0.0)))
+        rows.append((s, 1 if rnd.random() < p else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = glm.isotonic_calibrate(df, "score", "y", n_bins=25).orderBy("bin").collect()
+    cal = [r.calibrated for r in out]
+    assert all(cal[i] <= cal[i + 1] + 1e-12 for i in range(len(cal) - 1))
+    # total positives preserved: sum n*calibrated == sum n*rate
+    a = sum(r.n * r.calibrated for r in out)
+    b = sum(r.n * r.rate for r in out)
+    assert abs(a - b) < 1e-6
+    # calibrated curve tracks the true trend: top bin >> bottom bin
+    assert cal[-1] > cal[0] + 0.4
