@@ -4168,6 +4168,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_engagement": q_cuped_engagement,
         "woe_iv": q_woe_iv,
         "ols_price_model": q_ols_price_model,
+        "calibration_error": q_calibration_error,
     }
 
 
@@ -5998,3 +5999,33 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("beta0"), "beta0"),
         _round6(F.col("r2"), "r2"),
     )
+
+
+def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE + Brier score of a pseudo-probability (clipped value/100)
+    against purchase labels — the reliability readout, one scan to
+    ≤10 bins (operators/glm.calibration_error; the bins breakdown is
+    emitted long-form for the hash)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import glm as GL
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.least(F.lit(0.999), F.greatest(F.lit(0.0), F.col("value") / 100.0)).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    res = GL.calibration_error(ev, "p", "y", n_bins=10)
+    flat = res.select(
+        "n",
+        _round6(F.col("ece"), "ece"),
+        _round6(F.col("brier"), "brier"),
+        F.explode("bins").alias("b"),
+    )
+    return flat.select(
+        "n",
+        "ece",
+        "brier",
+        F.col("b.bin").cast("int").alias("bin"),
+        F.col("b.n").cast("long").alias("n_bin"),
+        _round6(F.col("b.conf"), "conf"),
+        _round6(F.col("b.rate"), "rate"),
+    ).orderBy("bin")

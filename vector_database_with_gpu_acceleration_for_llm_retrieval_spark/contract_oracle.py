@@ -4737,6 +4737,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped_engagement": _ORACLE_CUPED_ENGAGEMENT,
         "woe_iv": _ORACLE_WOE_IV,
         "ols_price_model": _ORACLE_OLS_PRICE_MODEL,
+        "calibration_error": _ORACLE_CALIBRATION_ERROR,
     }
 
 
@@ -5566,4 +5567,23 @@ SELECT CAST(n AS BIGINT) AS n, {_r6('bu', 'beta_qty')}, {_r6('bv', 'beta_disc')}
        {_r6('b0', 'beta0')},
        {_r6('1.0 - (stt - (bu * sut + bv * svt + b0 * st)) / (CASE WHEN stt - st * st / n <> 0 THEN stt - st * st / n END)', 'r2')}
 FROM b
+"""
+
+
+_ORACLE_CALIBRATION_ERROR = f"""
+WITH src AS (SELECT least(0.999, greatest(0.0, value / 100.0)) AS p,
+                    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+             FROM events),
+per AS (SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+               count(*) AS nb, avg(p) AS conf, avg(y) AS rate,
+               sum((p - y) * (p - y)) AS sq
+        FROM src GROUP BY 1),
+tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+               sum(nb * abs(rate - conf)) / sum(nb) AS ece,
+               sum(sq) / sum(nb) AS brier
+        FROM per)
+SELECT n, {_r6('ece', 'ece')}, {_r6('brier', 'brier')},
+       CAST(bin AS INT) AS bin, CAST(nb AS BIGINT) AS n_bin,
+       {_r6('conf', 'conf')}, {_r6('rate', 'rate')}
+FROM tot, per ORDER BY bin
 """

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit", "logistic_predict", "ols_two_features", "isotonic_calibrate"]
+__all__ = ["logistic_fit", "logistic_predict", "ols_two_features", "isotonic_calibrate", "calibration_error"]
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
@@ -262,3 +262,48 @@ def isotonic_calibrate(
         "bin int, lo double, hi double, n long, rate double, calibrated double",
     )
     return out
+
+
+def calibration_error(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error + Brier score: is a probability
+    column honest — the metric side of :func:`isotonic_calibrate`.
+
+    Scores bin by fixed width on [0, 1] (probabilities have a known
+    domain — no min/max job needed); per bin the mean predicted
+    ``conf`` vs realized ``rate``; ``ECE = Σ (n_b/N)·|rate − conf|``
+    and the Brier score ``mean((p − y)²)`` come from the same single
+    scan.  Returns one row ``(n, ece, brier)`` plus the per-bin
+    breakdown as an array of structs (bin, n, conf, rate) for the
+    reliability diagram.
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.lit(n_bins - 1), F.floor(p * n_bins).cast("int"))
+    per = (
+        df.select(b.alias("bin"), p.alias("p"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.avg("p").alias("conf"),
+            F.avg("y").alias("rate"),
+            F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("sq"),
+        )
+    )
+    return per.agg(
+        F.sum("nb").cast("long").alias("n"),
+        (
+            F.sum(F.col("nb") * F.abs(F.col("rate") - F.col("conf")))
+            / F.sum("nb")
+        ).alias("ece"),
+        (F.sum("sq") / F.sum("nb")).alias("brier"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("bin", F.col("nb").alias("n"), "conf", "rate")
+            )
+        ).alias("bins"),
+    )
