@@ -271,3 +271,41 @@ def test_cuped_reduces_variance_preserves_mean(spark):
     flat = spark.createDataFrame([(1, 5.0, 7.0), (2, 9.0, 7.0)], "u long, y double, x double")
     fo = S.cuped_adjust(flat, "u", "y", "x").collect()
     assert all(r.theta is None and r.y_adj == r.y for r in fo)
+
+
+def test_mann_whitney_known(spark):
+    # classic small example: a = {1,2,3}, b = {4,5,6}: U_a = 0
+    rows = [(float(v), "a") for v in (1, 2, 3)] + [
+        (float(v), "b") for v in (4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = S.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.u_a) == (3, 3, 0.0)
+    # no ties: var = 3*3*7/12; z = (0-4.5)/sqrt(var)
+    assert abs(r.z - (-4.5) / math.sqrt(9 * 7 / 12)) < 1e-12
+    # heavy ties: all equal -> U at its mean, variance 0 -> NULL z
+    tied = spark.createDataFrame(
+        [(5.0, "a")] * 3 + [(5.0, "b")] * 3, "v double, g string"
+    )
+    rt = S.mann_whitney_u(tied, "v", "g", "a", "b").collect()[0]
+    assert rt.u_a == 4.5 and rt.z is None
+
+
+def test_spearman_monotone_and_ties(spark):
+    # perfect monotone (nonlinear) relation: rho = 1 exactly
+    rows = [(float(i), float(i**3)) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = S.spearman_corr(df, "x", "y").collect()[0]
+    assert r.n == 19 and abs(r.rho - 1.0) < 1e-12
+    # reversed: -1; constant y: NULL
+    df2 = spark.createDataFrame([(x, -y) for x, y in rows], "x double, y double")
+    assert abs(S.spearman_corr(df2, "x", "y").collect()[0].rho + 1.0) < 1e-12
+    flat = spark.createDataFrame([(float(i), 7.0) for i in range(5)], "x double, y double")
+    assert S.spearman_corr(flat, "x", "y").collect()[0].rho is None
+    # hand-computed tie case: x=(1,2,2,3) midranks (1,2.5,2.5,4),
+    # y=(1,3,2,4) -> Pearson over ranks = 4.5/sqrt(4.5*5)
+    tie = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)], "x double, y double"
+    )
+    rt = S.spearman_corr(tie, "x", "y").collect()[0]
+    assert abs(rt.rho - 4.5 / math.sqrt(22.5)) < 1e-12

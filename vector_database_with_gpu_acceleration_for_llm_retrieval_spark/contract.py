@@ -4169,6 +4169,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv": q_woe_iv,
         "ols_price_model": q_ols_price_model,
         "calibration_error": q_calibration_error,
+        "rank_sum_test": q_rank_sum_test,
+        "spearman_qty_price": q_spearman_qty_price,
     }
 
 
@@ -6029,3 +6031,39 @@ def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("b.conf"), "conf"),
         _round6(F.col("b.rate"), "rate"),
     ).orderBy("bin")
+
+
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test on order totals between the priority
+    arms — the rank-based complement to the KS/Welch pair on the same
+    cohorts; mid-ranks assigned on the distinct-value frame, exact tie
+    handling (operators/stats.mann_whitney_u)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    arm = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+    ).otherwise("lo")
+    df = t["orders"].select(
+        F.col("o_totalprice").alias("price"), arm.alias("arm")
+    )
+    res = ST.mann_whitney_u(df, "price", "arm", "hi", "lo")
+    return res.select(
+        "n_a", "n_b", _round6(F.col("u_a"), "u_a"), _round6(F.col("z"), "z")
+    )
+
+
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    over lineitem — monotone association, mid-ranks from the
+    distinct-value frames, never a global row sort
+    (operators/stats.spearman_corr)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.spearman_corr(t["lineitem"], "l_quantity", "l_extendedprice")
+    return res.select("n", _round6(F.col("rho"), "rho"))

@@ -4738,6 +4738,8 @@ def oracle_sql() -> dict[str, str]:
         "woe_iv": _ORACLE_WOE_IV,
         "ols_price_model": _ORACLE_OLS_PRICE_MODEL,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
+        "rank_sum_test": _ORACLE_RANK_SUM_TEST,
+        "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
     }
 
 
@@ -5586,4 +5588,53 @@ SELECT n, {_r6('ece', 'ece')}, {_r6('brier', 'brier')},
        CAST(bin AS INT) AS bin, CAST(nb AS BIGINT) AS n_bin,
        {_r6('conf', 'conf')}, {_r6('rate', 'rate')}
 FROM tot, per ORDER BY bin
+"""
+
+
+_ORACLE_RANK_SUM_TEST = f"""
+WITH src AS (SELECT o_totalprice AS v,
+                    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hi' ELSE 'lo' END AS arm
+             FROM orders),
+cnt AS (SELECT v, sum(CASE WHEN arm = 'hi' THEN 1 ELSE 0 END) AS da,
+               sum(CASE WHEN arm = 'lo' THEN 1 ELSE 0 END) AS db
+        FROM src GROUP BY 1),
+rk AS (SELECT v, da, db, da + db AS c,
+              sum(da + db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM cnt),
+agg AS (SELECT CAST(sum(da) AS BIGINT) AS n_a, CAST(sum(db) AS BIGINT) AS n_b,
+               sum(da * (CAST(cum AS DOUBLE) - CAST(c - 1 AS DOUBLE) / 2.0)) AS r_a,
+               sum(CAST(c * c * c - c AS DOUBLE)) AS tie_term
+        FROM rk),
+s AS (SELECT n_a, n_b, r_a, tie_term,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM agg),
+u AS (SELECT n_a, n_b, na, nb, tie_term,
+             r_a - na * (na + 1.0) / 2.0 AS u_a,
+             na * nb / 2.0 AS mu,
+             na * nb / 12.0 * ((na + nb + 1.0) - tie_term / ((na + nb) * (na + nb - 1.0))) AS var_u
+      FROM s)
+SELECT n_a, n_b, {_r6('u_a', 'u_a')},
+       {_r6('''CASE WHEN na > 0 AND nb > 0 AND na + nb > 1
+                 THEN (u_a - mu) / sqrt(CASE WHEN var_u > 0 THEN var_u END) END''', 'z')}
+FROM u
+"""
+
+
+_ORACLE_SPEARMAN_QTY_PRICE = f"""
+WITH rx AS (SELECT v, CAST(cum AS DOUBLE) - CAST(c - 1 AS DOUBLE) / 2.0 AS r FROM
+              (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1))),
+ry AS (SELECT v, CAST(cum AS DOUBLE) - CAST(c - 1 AS DOUBLE) / 2.0 AS r FROM
+              (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1))),
+j AS (SELECT rx.r AS rxr, ry.r AS ryr
+      FROM lineitem l JOIN rx ON rx.v = l.l_quantity JOIN ry ON ry.v = l.l_extendedprice),
+agg AS (SELECT count(*) AS n, sum(rxr) AS sx, sum(ryr) AS sy,
+               sum(rxr * rxr) AS sxx, sum(ryr * ryr) AS syy, sum(rxr * ryr) AS sxy
+        FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+       {_r6('''(CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CASE WHEN sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) = 0
+                  THEN NULL
+                  ELSE sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) END)''', 'rho')}
+FROM agg
 """

@@ -48,6 +48,8 @@ __all__ = [
     "theil_sen_grouped",
     "proportion_sample_size",
     "cuped_adjust",
+    "mann_whitney_u",
+    "spearman_corr",
 ]
 
 
@@ -730,3 +732,131 @@ def cuped_adjust(
         "theta",
         "var_reduction",
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do two samples come
+    from the same distribution, judged by RANKS — the robust
+    complement to Welch's t when outliers or skew make means lie.
+
+    The ks_test skeleton reused: one groupBy onto the distinct-value
+    frame with per-group counts, an ordered cumulative window over
+    that domain-bounded frame assigns every distinct value its
+    mid-rank (``C_v − (c_v−1)/2`` — exact tie handling, no row-level
+    ranking of the raw table), and ``R_a = Σ da_v·midrank_v`` falls
+    out of one aggregate.  ``U = R_a − n_a(n_a+1)/2``, normal
+    approximation with the tie-corrected variance
+    ``n_a n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`` (no continuity
+    correction — documented choice, identical both engines).
+    Degenerate inputs (an empty side, all values tied) yield NULL z.
+    Returns one row ``(n_a, n_b, u_a, z)``.
+    """
+    cnt = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("da"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("db"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cnt.select(
+        "v",
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("c"),
+        F.sum(F.col("da") + F.col("db")).over(w).alias("cum"),
+    )
+    mid = F.col("cum").cast("double") - (F.col("c") - 1).cast("double") / 2.0
+    agg = ranked.agg(
+        F.sum("da").cast("long").alias("n_a"),
+        F.sum("db").cast("long").alias("n_b"),
+        F.sum(F.col("da") * mid).alias("r_a"),
+        F.sum(
+            (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("double")
+        ).alias("tie_term"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("r_a") - na * (na + 1.0) / 2.0
+    mean_u = na * nb / 2.0
+    var_u = (
+        na
+        * nb
+        / 12.0
+        * ((n + 1.0) - F.col("tie_term") / (n * (n - 1.0)))
+    )
+    z = (u - mean_u) / F.sqrt(F.when(var_u > 0, var_u))
+    return agg.select(
+        "n_a",
+        "n_b",
+        u.alias("u_a"),
+        F.when((na > 0) & (nb > 0) & (n > 1), z).alias("z"),
+    )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation: Pearson over mid-ranks — the
+    monotone-association measure that ignores scale and survives
+    outliers.
+
+    Row-level ranking of a 100 TB table is a global sort; instead each
+    variable's DISTINCT-value frame gets mid-ranks from an ordered
+    cumulative window (domain-bounded, the ks/mann-whitney skeleton),
+    and the raw rows equi-join their two mid-ranks back (two joins
+    against value-keyed rank tables — broadcast when domains are
+    small).  Then the closed-form Pearson over (rank_x, rank_y).
+    Returns one row ``(n, rho)``; constant columns give NULL.
+    """
+    def rank_table(col):
+        c = (
+            df.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return c.select(
+            "v",
+            (
+                F.sum("c").over(w).cast("double")
+                - (F.col("c") - 1).cast("double") / 2.0
+            ).alias("r"),
+        )
+    rx = rank_table(x_col)
+    ry = rank_table(y_col)
+    j = (
+        df.select(F.col(x_col).alias("xv"), F.col(y_col).alias("yv"))
+        .join(rx.select(F.col("v").alias("xv"), F.col("r").alias("rx")), "xv")
+        .join(ry.select(F.col("v").alias("yv"), F.col("r").alias("ry")), "yv")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho = _pearson_from_sums_cols(
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxx"),
+        F.col("syy"),
+        F.col("sxy"),
+    )
+    return agg.select(F.col("n").cast("long").alias("n"), rho.alias("rho"))
+
+
+def _pearson_from_sums_cols(n, sx, sy, sxx, syy, sxy):
+    nd = n.cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    denom = F.sqrt(vx) * F.sqrt(vy)
+    return cov / F.when(denom == 0, F.lit(None)).otherwise(denom)
