@@ -812,7 +812,10 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     and the raw rows equi-join their two mid-ranks back (two joins
     against value-keyed rank tables — broadcast when domains are
     small).  Then the closed-form Pearson over (rank_x, rank_y).
-    Returns one row ``(n, rho)``; constant columns give NULL.
+    Rows with NULL in either column drop out at the null-unsafe rank
+    joins — the standard pairwise-complete correlation semantics
+    (``n`` reports the rows actually correlated).  Returns one row
+    ``(n, rho)``; constant columns give NULL.
     """
     def rank_table(col):
         c = (
