@@ -309,3 +309,26 @@ def test_spearman_monotone_and_ties(spark):
     )
     rt = S.spearman_corr(tie, "x", "y").collect()[0]
     assert abs(rt.rho - 4.5 / math.sqrt(22.5)) < 1e-12
+
+
+def test_kaplan_meier_textbook(spark):
+    # classic worked example: events at t=1,3,4; censored at t=2,5
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 0)]
+    df = spark.createDataFrame(rows, "t double, event int")
+    out = {r.t: r for r in S.kaplan_meier(df).collect()}
+    # t=1: n=5, d=1 -> S=4/5; t=2: censored only, S unchanged;
+    # t=3: n=3, d=1 -> S=4/5*2/3; t=4: n=2, d=1 -> *1/2; t=5: censored
+    assert out[1.0].n_risk == 5 and abs(out[1.0].survival - 0.8) < 1e-12
+    assert out[2.0].d == 0 and abs(out[2.0].survival - 0.8) < 1e-12
+    assert abs(out[3.0].survival - 0.8 * 2 / 3) < 1e-12
+    assert abs(out[4.0].survival - 0.8 * 2 / 3 * 0.5) < 1e-12
+    assert out[5.0].censored == 1 and abs(out[5.0].survival - out[4.0].survival) < 1e-12
+    # everyone dies at the last event time: S hits exactly 0
+    rows2 = [(1.0, 1), (2.0, 1), (2.0, 1)]
+    out2 = {r.t: r for r in S.kaplan_meier(
+        spark.createDataFrame(rows2, "t double, event int")
+    ).collect()}
+    assert out2[2.0].survival == 0.0
+    # all censored: flat S = 1
+    cens = spark.createDataFrame([(1.0, 0), (2.0, 0)], "t double, event int")
+    assert all(r.survival == 1.0 for r in S.kaplan_meier(cens).collect())

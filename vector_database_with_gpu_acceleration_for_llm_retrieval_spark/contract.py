@@ -4171,6 +4171,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_error": q_calibration_error,
         "rank_sum_test": q_rank_sum_test,
         "spearman_qty_price": q_spearman_qty_price,
+        "km_conversion": q_km_conversion,
     }
 
 
@@ -6067,3 +6068,40 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     res = ST.spearman_corr(t["lineitem"], "l_quantity", "l_extendedprice")
     return res.select("n", _round6(F.col("rho"), "rho"))
+
+
+def q_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion: per-user microseconds from first
+    event to first high-value purchase (value>90), users without one
+    right-censored at their last event — survival/hazard over the
+    users-sized duration frame (operators/stats.kaplan_meier; the
+    running product as exp∘cumsum∘ln with the d=n absorbing state
+    handled portably)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    hit = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(hit, F.col("ts"))).alias("t_evt"),
+    )
+    dur = per.select(
+        (
+            F.unix_micros(F.coalesce(F.col("t_evt"), F.col("t_last")))
+            - F.unix_micros(F.col("t0"))
+        ).alias("t"),
+        F.col("t_evt").isNotNull().cast("int").alias("event"),
+    )
+    res = ST.kaplan_meier(dur)
+    return res.select(
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        "d",
+        "censored",
+        _round6(F.col("hazard"), "hazard"),
+        _round6(F.col("survival"), "survival"),
+    ).orderBy("t")

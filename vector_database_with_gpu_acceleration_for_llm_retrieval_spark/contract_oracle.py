@@ -4740,6 +4740,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
+        "km_conversion": _ORACLE_KM_CONVERSION,
     }
 
 
@@ -5637,4 +5638,31 @@ SELECT CAST(n AS BIGINT) AS n,
                   THEN NULL
                   ELSE sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) END)''', 'rho')}
 FROM agg
+"""
+
+
+_ORACLE_KM_CONVERSION = f"""
+WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+                    min(CASE WHEN event_type = 'purchase' AND value > 90 THEN ts END) AS t_evt
+             FROM events GROUP BY 1),
+dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
+               CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per),
+pt AS (SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY 1),
+rk AS (SELECT t, d, c,
+              sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       FROM pt),
+st AS (SELECT t, d, c, n_risk,
+              CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+              sum(CASE WHEN d > 0 AND d < n_risk
+                       THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END) OVER w AS lnS,
+              max(CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END) OVER w AS zero_seen
+       FROM rk
+       WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CAST(c AS BIGINT) AS censored, {_r6('hazard', 'hazard')},
+       {_r6('CASE WHEN zero_seen = 1 THEN 0.0 ELSE exp(lnS) END', 'survival')}
+FROM st ORDER BY t
 """

@@ -50,6 +50,7 @@ __all__ = [
     "cuped_adjust",
     "mann_whitney_u",
     "spearman_corr",
+    "kaplan_meier",
 ]
 
 
@@ -863,3 +864,73 @@ def _pearson_from_sums_cols(n, sx, sy, sxx, syy, sxy):
     vy = nd * syy - sy * sy
     denom = F.sqrt(vx) * F.sqrt(vy)
     return cov / F.when(denom == 0, F.lit(None)).otherwise(denom)
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    time_col: str = "t",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right censoring — the
+    time-to-event staple (retention, churn, time-to-conversion):
+    ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)`` over distinct event
+    times, where censored subjects leave the risk set without forcing
+    a step.
+
+    Input is one row per subject: ``time_col`` (duration > 0) and
+    ``event_col`` (1 = event observed at t, 0 = censored at t).  One
+    groupBy onto the distinct-time frame (domain-bounded — the
+    KS/Mann-Whitney skeleton), the at-risk count from ONE cumulative
+    window (total minus prior departures), and the running product as
+    ``exp(cumsum(ln(factor)))`` — with the ``d = n`` absorbing state
+    handled explicitly (a time where everyone at risk dies sends S to
+    EXACTLY 0; ln(0) differs across engines, so a cumulative
+    zero-seen flag replaces it — the portable formulation).  Returns
+    ``(t, n_risk, d, censored, hazard, survival)`` ordered by t.
+    """
+    per = (
+        durations.groupBy(F.col(time_col).alias("t"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("d"),
+            F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("c"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risked = per.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - frac),
+    ).otherwise(F.lit(0.0))
+    zero_here = (F.col("d") == F.col("n_risk")) & (F.col("d") > 0)
+    stepped = risked.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        frac.alias("hazard"),
+        F.sum(ln_term).over(w_cum).alias("__lnS"),
+        F.max(zero_here.cast("int")).over(w_cum).alias("__zero"),
+    )
+    return stepped.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("censored"),
+        "hazard",
+        F.when(F.col("__zero") == 1, F.lit(0.0))
+        .otherwise(F.exp(F.col("__lnS")))
+        .alias("survival"),
+    )
