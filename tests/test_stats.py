@@ -332,3 +332,29 @@ def test_kaplan_meier_textbook(spark):
     # all censored: flat S = 1
     cens = spark.createDataFrame([(1.0, 0), (2.0, 0)], "t double, event int")
     assert all(r.survival == 1.0 for r in S.kaplan_meier(cens).collect())
+
+
+def test_logrank_identical_and_separated(spark):
+    # identical arms: O == E exactly, chi2 ~ 0
+    rows = []
+    for g in ("a", "b"):
+        for t in (1.0, 2.0, 3.0, 4.0):
+            rows.append((t, 1, g))
+    df = spark.createDataFrame(rows, "t double, event int, g string")
+    r = S.logrank_test(df).collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert abs(r.observed_a - r.expected_a) < 1e-12
+    assert r.chi2 is not None and r.chi2 < 1e-20
+    # fully separated arms (all a-events before any b-event): large chi2
+    rows2 = [(float(t), 1, "a") for t in (1, 2, 3, 4, 5)] + [
+        (float(t), 1, "b") for t in (10, 11, 12, 13, 14)
+    ]
+    r2 = S.logrank_test(
+        spark.createDataFrame(rows2, "t double, event int, g string")
+    ).collect()[0]
+    assert r2.chi2 > 5.0
+    # no events at all (everything censored): zero variance -> NULL
+    cens = spark.createDataFrame(
+        [(1.0, 0, "a"), (2.0, 0, "b")], "t double, event int, g string"
+    )
+    assert S.logrank_test(cens).collect()[0].chi2 is None

@@ -4172,6 +4172,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_test": q_rank_sum_test,
         "spearman_qty_price": q_spearman_qty_price,
         "km_conversion": q_km_conversion,
+        "logrank_arms": q_logrank_arms,
     }
 
 
@@ -6105,3 +6106,38 @@ def q_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hazard"), "hazard"),
         _round6(F.col("survival"), "survival"),
     ).orderBy("t")
+
+
+def q_logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank comparison of time-to-high-value-purchase curves
+    between the user-parity arms — the censoring-correct "did arm B
+    convert faster", O−E over merged risk sets at every event time
+    (operators/stats.logrank_test)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    hit = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(hit, F.col("ts"))).alias("t_evt"),
+    )
+    dur = per.select(
+        (
+            F.unix_micros(F.coalesce(F.col("t_evt"), F.col("t_last")))
+            - F.unix_micros(F.col("t0"))
+        ).alias("t"),
+        F.col("t_evt").isNotNull().cast("int").alias("event"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    res = ST.logrank_test(dur)
+    return res.select(
+        "n_a",
+        "n_b",
+        _round6(F.col("observed_a"), "observed_a"),
+        _round6(F.col("expected_a"), "expected_a"),
+        _round6(F.col("chi2"), "chi2"),
+    )

@@ -4741,6 +4741,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
         "km_conversion": _ORACLE_KM_CONVERSION,
+        "logrank_arms": _ORACLE_LOGRANK_ARMS,
     }
 
 
@@ -5665,4 +5666,41 @@ SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
        CAST(c AS BIGINT) AS censored, {_r6('hazard', 'hazard')},
        {_r6('CASE WHEN zero_seen = 1 THEN 0.0 ELSE exp(lnS) END', 'survival')}
 FROM st ORDER BY t
+"""
+
+
+_ORACLE_LOGRANK_ARMS = f"""
+WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+                    min(CASE WHEN event_type = 'purchase' AND value > 90 THEN ts END) AS t_evt
+             FROM events GROUP BY 1),
+dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
+               CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+        FROM per),
+pt AS (SELECT t, sum(CASE WHEN g = 'a' THEN ev ELSE 0 END) AS d1, sum(ev) AS d,
+              sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS m1, count(*) AS m
+       FROM dur GROUP BY 1),
+rk AS (SELECT t, d1, d,
+              sum(m1) OVER () - coalesce(sum(m1) OVER wp, 0) AS n1,
+              sum(m) OVER () - coalesce(sum(m) OVER wp, 0) AS n,
+              sum(m1) OVER () AS tot1, sum(m) OVER () AS tot
+       FROM pt
+       WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+terms AS (SELECT d1, d, n1, n, tot1, tot,
+                 CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) AS e1,
+                 CASE WHEN n > 1
+                      THEN CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+                      ELSE 0.0 END AS v
+          FROM rk),
+agg AS (SELECT CAST(max(tot1) AS BIGINT) AS n_a,
+               CAST(max(tot) - max(tot1) AS BIGINT) AS n_b,
+               CAST(sum(d1) AS DOUBLE) AS observed_a,
+               sum(e1) AS expected_a,
+               sum(CAST(d1 AS DOUBLE) - e1) AS ome, sum(v) AS vv
+        FROM terms)
+SELECT n_a, n_b, {_r6('observed_a', 'observed_a')}, {_r6('expected_a', 'expected_a')},
+       {_r6('ome * ome / (CASE WHEN vv > 0 THEN vv END)', 'chi2')}
+FROM agg
 """

@@ -51,6 +51,7 @@ __all__ = [
     "mann_whitney_u",
     "spearman_corr",
     "kaplan_meier",
+    "logrank_test",
 ]
 
 
@@ -933,4 +934,83 @@ def kaplan_meier(
         F.when(F.col("__zero") == 1, F.lit(0.0))
         .otherwise(F.exp(F.col("__lnS")))
         .alias("survival"),
+    )
+
+
+def logrank_test(
+    durations: DataFrame,
+    time_col: str = "t",
+    event_col: str = "event",
+    group_col: str = "g",
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Log-rank test: do two survival curves differ — the standard
+    companion to :func:`kaplan_meier` (a t-test on survival times is
+    wrong under censoring; log-rank weighs every event time by its
+    risk sets).
+
+    At each distinct event time: observed group-a deaths ``d1`` vs
+    expected ``E1 = d·n1/n`` under the null, with hypergeometric
+    variance ``V = d·(n1/n)·(1−n1/n)·(n−d)/(n−1)``; the statistic is
+    ``χ² = (Σ(d1−E1))² / ΣV`` (1 dof — compare to 3.841 at 95%).
+    Same skeleton as the KM curve: one groupBy onto the distinct-time
+    frame with per-group death/censor counts, risk sets from prior-row
+    cumulative windows, one closing aggregate.  Times where ``n = 1``
+    contribute zero variance (the n−1 guard); zero total variance
+    (no events, or all events at one-subject times) → NULL.  Returns
+    one row ``(n_a, n_b, observed_a, expected_a, chi2)``.
+    """
+    is_a = F.col(group_col) == group_a
+    per = (
+        durations.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(F.col(time_col).alias("t"))
+        .agg(
+            F.sum(F.when(is_a, F.col(event_col).cast("long")).otherwise(F.lit(0))).alias("d1"),
+            F.sum(F.col(event_col).cast("long")).alias("d"),
+            F.sum(F.when(is_a, F.lit(1)).otherwise(F.lit(0))).alias("m1"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per.select(
+        "t",
+        "d1",
+        "d",
+        (
+            F.sum("m1").over(w_all)
+            - F.coalesce(F.sum("m1").over(w_prior), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("m").over(w_all)
+            - F.coalesce(F.sum("m").over(w_prior), F.lit(0))
+        ).alias("n"),
+        F.sum("m1").over(w_all).alias("tot1"),
+        F.sum("m").over(w_all).alias("tot"),
+    )
+    nd = F.col("n").cast("double")
+    p1 = F.col("n1").cast("double") / nd
+    e1 = F.col("d").cast("double") * p1
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d").cast("double")
+        * p1
+        * (1.0 - p1)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (nd - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.max("tot1").cast("long").alias("n_a"),
+        (F.max("tot") - F.max("tot1")).cast("long").alias("n_b"),
+        F.sum("d1").cast("double").alias("observed_a"),
+        F.sum(e1).alias("expected_a"),
+        F.sum(F.col("d1").cast("double") - e1).alias("__o_minus_e"),
+        F.sum(v).alias("__v"),
+    )
+    chi2 = (F.col("__o_minus_e") * F.col("__o_minus_e")) / F.when(
+        F.col("__v") > 0, F.col("__v")
+    )
+    return agg.select(
+        "n_a", "n_b", "observed_a", "expected_a", chi2.alias("chi2")
     )
