@@ -5,13 +5,16 @@ Every curation pipeline eventually asks statistical questions — did the
 price distribution shift between cohorts (KS test, single pair or the
 all-pairs drift matrix), are two categorical columns independent
 (chi-square), do the amounts look fabricated (Benford), did the B arm
-convert better (two-proportion z on units, Welch's t on means, one-way
-ANOVA across many arms), is the series actually trending (Mann-Kendall)
-and how steeply (Theil-Sen, global or per group)?  The reference engine
-has no statistics surface at all; this module provides the classical
-test suite as single-scan Spark aggregations whose outputs are plain
-arithmetic over tiny aggregate frames — which is also what makes them
-oracle-checkable to the last bit against ANSI SQL.
+convert better (two-proportion z on units, Welch's t on means,
+Mann-Whitney on ranks, one-way ANOVA across many arms), is the series
+actually trending (Mann-Kendall) and how steeply (Theil-Sen, global or
+per group), do users convert FASTER under censoring (Kaplan-Meier +
+log-rank), how long must the experiment run (power analysis) and can
+it run shorter (CUPED)?  The reference engine has no statistics
+surface at all; this module provides the classical test suite as
+single-scan Spark aggregations whose outputs are plain arithmetic over
+tiny aggregate frames — which is also what makes them oracle-checkable
+to the last bit against ANSI SQL.
 
 Scale shape (the common skeleton): ONE scan of the measured column(s)
 with a map-side-combined ``groupBy`` whose key cardinality is bounded by
