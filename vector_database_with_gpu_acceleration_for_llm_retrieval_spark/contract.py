@@ -4173,6 +4173,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_qty_price": q_spearman_qty_price,
         "km_conversion": q_km_conversion,
         "logrank_arms": q_logrank_arms,
+        "events_session_native": q_events_session_native,
     }
 
 
@@ -6141,3 +6142,30 @@ def q_logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("expected_a"), "expected_a"),
         _round6(F.col("chi2"), "chi2"),
     )
+
+
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window sessionization proven against
+    portable SQL: per-user 30-minute-gap sessions via the built-in
+    merging window, aggregates on exact event microseconds. Boundary
+    semantics differ from the lag-gap formulation at EXACT gap spacing
+    (native starts a new session at diff == gap, lag-gap merges), so
+    the oracle mirrors the native rule (diff >= gap) — the two
+    formulations are otherwise cluster-identical."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_id", "value")
+    res = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("__w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start_us",
+        "session_end_us",
+        _round6(F.col("session_value"), "session_value"),
+    ).orderBy("user_id", "session_start_us")

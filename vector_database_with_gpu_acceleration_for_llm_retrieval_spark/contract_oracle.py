@@ -4742,6 +4742,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
         "km_conversion": _ORACLE_KM_CONVERSION,
         "logrank_arms": _ORACLE_LOGRANK_ARMS,
+        "events_session_native": _ORACLE_EVENTS_SESSION_NATIVE,
     }
 
 
@@ -5703,4 +5704,21 @@ agg AS (SELECT CAST(max(tot1) AS BIGINT) AS n_a,
 SELECT n_a, n_b, {_r6('observed_a', 'observed_a')}, {_r6('expected_a', 'expected_a')},
        {_r6('ome * ome / (CASE WHEN vv > 0 THEN vv END)', 'chi2')}
 FROM agg
+"""
+
+
+_ORACLE_EVENTS_SESSION_NATIVE = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= {30 * 60 * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       {_r6('round(sum(value), 6)', 'session_value')}
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
 """
