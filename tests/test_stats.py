@@ -358,3 +358,22 @@ def test_logrank_identical_and_separated(spark):
         [(1.0, 0, "a"), (2.0, 0, "b")], "t double, event int, g string"
     )
     assert S.logrank_test(cens).collect()[0].chi2 is None
+
+
+def test_kaplan_meier_grouped_matches_ungrouped_slices(spark):
+    rows = [
+        (1.0, 1, "a"), (2.0, 0, "a"), (3.0, 1, "a"),
+        (1.0, 1, "b"), (4.0, 1, "b"), (5.0, 0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "t double, event int, g string")
+    grouped = {
+        (r.group, r.t): (r.n_risk, r.survival)
+        for r in S.kaplan_meier_grouped(df, "g").collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            r.t: (r.n_risk, r.survival)
+            for r in S.kaplan_meier(df.filter(F.col("g") == g).select("t", "event")).collect()
+        }
+        for t, v in solo.items():
+            assert grouped[(g, t)] == v, (g, t)

@@ -4174,6 +4174,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_conversion": q_km_conversion,
         "logrank_arms": q_logrank_arms,
         "events_session_native": q_events_session_native,
+        "km_by_arm": q_km_by_arm,
     }
 
 
@@ -6169,3 +6170,39 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end_us",
         _round6(F.col("session_value"), "session_value"),
     ).orderBy("user_id", "session_start_us")
+
+
+def q_km_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm Kaplan-Meier time-to-conversion curves — the retention
+    view of the logrank_arms comparison, every window partitioned by
+    the arm (operators/stats.kaplan_meier_grouped)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    hit = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(hit, F.col("ts"))).alias("t_evt"),
+    )
+    dur = per.select(
+        (
+            F.unix_micros(F.coalesce(F.col("t_evt"), F.col("t_last")))
+            - F.unix_micros(F.col("t0"))
+        ).alias("t"),
+        F.col("t_evt").isNotNull().cast("int").alias("event"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    res = ST.kaplan_meier_grouped(dur, "g")
+    return res.select(
+        F.col("group").alias("arm"),
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        "d",
+        "censored",
+        _round6(F.col("hazard"), "hazard"),
+        _round6(F.col("survival"), "survival"),
+    ).orderBy("arm", "t")

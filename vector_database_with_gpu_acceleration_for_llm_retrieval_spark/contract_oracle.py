@@ -4743,6 +4743,7 @@ def oracle_sql() -> dict[str, str]:
         "km_conversion": _ORACLE_KM_CONVERSION,
         "logrank_arms": _ORACLE_LOGRANK_ARMS,
         "events_session_native": _ORACLE_EVENTS_SESSION_NATIVE,
+        "km_by_arm": _ORACLE_KM_BY_ARM,
     }
 
 
@@ -5721,4 +5722,33 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_events,
        {_r6('round(sum(value), 6)', 'session_value')}
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_start_us
+"""
+
+
+_ORACLE_KM_BY_ARM = f"""
+WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+                    min(CASE WHEN event_type = 'purchase' AND value > 90 THEN ts END) AS t_evt
+             FROM events GROUP BY 1),
+dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
+               CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+        FROM per),
+pt AS (SELECT g, t, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY 1, 2),
+rk AS (SELECT g, t, d, c,
+              sum(d + c) OVER (PARTITION BY g)
+                - coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       FROM pt),
+st AS (SELECT g, t, d, c, n_risk,
+              CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+              sum(CASE WHEN d > 0 AND d < n_risk
+                       THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END) OVER w AS lnS,
+              max(CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END) OVER w AS zero_seen
+       FROM rk
+       WINDOW w AS (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT g AS arm, t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CAST(c AS BIGINT) AS censored, {_r6('hazard', 'hazard')},
+       {_r6('CASE WHEN zero_seen = 1 THEN 0.0 ELSE exp(lnS) END', 'survival')}
+FROM st ORDER BY arm, t
 """

@@ -54,6 +54,7 @@ __all__ = [
     "mann_whitney_u",
     "spearman_corr",
     "kaplan_meier",
+    "kaplan_meier_grouped",
     "logrank_test",
 ]
 
@@ -1016,4 +1017,73 @@ def logrank_test(
     )
     return agg.select(
         "n_a", "n_b", "observed_a", "expected_a", chi2.alias("chi2")
+    )
+
+
+def kaplan_meier_grouped(
+    durations: DataFrame,
+    group_col: str,
+    time_col: str = "t",
+    event_col: str = "event",
+) -> DataFrame:
+    """Per-group Kaplan-Meier curves — the retention/cohort view (one
+    survival curve per cohort/arm; exactly the curves
+    :func:`logrank_test` compares): the :func:`kaplan_meier` shape
+    with every window and aggregate partitioned by the group, so group
+    count scales freely and each group's frame stays bounded by ITS
+    distinct times.  Returns ``(group, t, n_risk, d, censored,
+    hazard, survival)``.
+    """
+    per = (
+        durations.groupBy(
+            F.col(group_col).alias("g"), F.col(time_col).alias("t")
+        )
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("d"),
+            F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("c"),
+        )
+    )
+    w_all = Window.partitionBy("g")
+    w_prior = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risked = per.select(
+        "g",
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - frac),
+    ).otherwise(F.lit(0.0))
+    zero_here = (F.col("d") == F.col("n_risk")) & (F.col("d") > 0)
+    stepped = risked.select(
+        "g",
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        frac.alias("hazard"),
+        F.sum(ln_term).over(w_cum).alias("__lnS"),
+        F.max(zero_here.cast("int")).over(w_cum).alias("__zero"),
+    )
+    return stepped.select(
+        F.col("g").alias("group"),
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("censored"),
+        "hazard",
+        F.when(F.col("__zero") == 1, F.lit(0.0))
+        .otherwise(F.exp(F.col("__lnS")))
+        .alias("survival"),
     )
