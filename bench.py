@@ -383,14 +383,19 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
                     continue  # one bad mirror shouldn't kill the yardstick
         except Exception:
             duck = {}
-        # floor flag (r8 verdict #6): when warm in-process DuckDB runs a
-        # family in ~10 ms, the comparison measures Spark's ~0.3 s
-        # local[32] job-scheduling floor, not operator work — the ratio
+        # floor flag (r8 verdict #6, widened r10): when warm in-process
+        # DuckDB runs a family in ~10 ms, the comparison measures
+        # Spark's local[32] job-scheduling floor (plus any fixed
+        # pandas-UDF worker spin-up), not operator work — the ratio
         # carries no information and round-over-round deltas are noise.
-        # Flag those families so readers exclude them from ratio claims.
+        # The Spark-side conjunct is dropped (r9 verdict #4: bq_topk at
+        # duck 0.117 s / spark 1.4 s escaped the flag while being the
+        # row that most needed it): whenever the yardstick does <0.15 s
+        # of work the ratio is floor-dominated regardless of Spark's
+        # absolute time. Flag those families so readers exclude them
+        # from ratio claims.
         floor = sorted(
-            n for n in spark_times
-            if n in duck and duck[n] < 0.15 and spark_times[n] < 1.0
+            n for n in spark_times if n in duck and duck[n] < 0.15
         )
         return {
             "emb_rows": SCALE_EMB_N,

@@ -181,3 +181,18 @@ def test_isotonic_calibrate_end_to_end(spark):
     assert abs(a - b) < 1e-6
     # calibrated curve tracks the true trend: top bin >> bottom bin
     assert cal[-1] > cal[0] + 0.4
+
+
+def test_isotonic_calibrate_empty_input_raises(spark):
+    import pytest
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    empty = spark.createDataFrame([], "score double, y int")
+    with pytest.raises(ValueError, match="no non-null"):
+        GLM.isotonic_calibrate(empty, "score", "y")
+    allnull = spark.createDataFrame([(None, 1), (None, 0)], "score double, y int")
+    with pytest.raises(ValueError, match="no non-null"):
+        GLM.isotonic_calibrate(allnull, "score", "y")

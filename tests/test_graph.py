@@ -424,3 +424,22 @@ def test_kcore_cascade_peel(spark):
     # bridge endpoints keep the bridge edge (both ends are in-core): deg 4
     assert out[13] == 4 and out[20] == 4
     assert all(v == 3 for n, v in out.items() if n not in (13, 20))
+
+
+def test_shortest_paths_drops_zero_and_null_weight_edges(spark):
+    """r9 verdict sharp edge: 1/0 = Infinity and 1/NULL = NULL cost
+    silently swallowed relaxations — such edges are now dropped, so a
+    zero-weight bridge does NOT connect its endpoints."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph as G,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 0), (2, 3, None), (0, 4, 1)],
+        "src long, dst long, weight long",
+    )
+    got = {r.node: r.dist
+           for r in G.shortest_paths(edges, 0, iters=6, weight_col="weight").collect()}
+    # nodes 2 and 3 are only reachable through the 0-weight / NULL edges
+    assert set(got) == {0, 1, 4}
+    assert got[1] == 0.5 and got[4] == 1.0

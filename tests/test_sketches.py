@@ -704,3 +704,18 @@ def test_frequent_items_grouped_exact(spark):
         for r in frequent_items_grouped(df, "g", "item", k=4, cap=8).collect()
     }
     assert out == {("A", "x"): 60, ("B", "y"): 30, ("B", "z"): 30, (None, None): 8}
+
+
+def test_qsketch_bucket_long_min_saturates(spark):
+    """abs(LONG_MIN) overflows back to LONG_MIN under JVM semantics —
+    the raw BIGINT API clamps it to -(2^63-1) so the bucket id is
+    well-defined (and equal to its neighbor's)."""
+    lmin = -(1 << 63)
+    df = spark.createDataFrame(
+        [(lmin,), (lmin + 1,), (-((1 << 62)),)], "v long"
+    )
+    rows = {r.v: r.b for r in df.select(
+        "v", sketches.qsketch_bucket(F.col("v")).alias("b")
+    ).collect()}
+    assert rows[lmin] == rows[lmin + 1]          # saturated into the neighbor
+    assert rows[lmin] < rows[-(1 << 62)] < 0     # monotone, negative side

@@ -377,3 +377,67 @@ def test_kaplan_meier_grouped_matches_ungrouped_slices(spark):
         }
         for t, v in solo.items():
             assert grouped[(g, t)] == v, (g, t)
+
+
+def test_null_values_excluded_across_rank_family(spark):
+    """r9 ADVICE: NULL measurements must not step CDFs / consume ranks /
+    enter risk sets — every rank/CDF operator matches its NULL-free
+    slice exactly."""
+    base = [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")]
+    withnull = base + [(None, "a"), (None, "b")]
+    clean = spark.createDataFrame(base, "v double, g string")
+    dirty = spark.createDataFrame(withnull, "v double, g string")
+
+    for fn in (S.ks_test, S.mann_whitney_u):
+        rc = fn(clean, "v", "g", "a", "b").collect()[0]
+        rd = fn(dirty, "v", "g", "a", "b").collect()[0]
+        assert rc == rd, fn.__name__
+
+    mc = {(r.group_a, r.group_b): r.d_stat for r in S.ks_matrix(clean, "v", "g").collect()}
+    md = {(r.group_a, r.group_b): r.d_stat for r in S.ks_matrix(dirty, "v", "g").collect()}
+    assert mc == md
+
+
+def test_spearman_pairwise_complete_ranks(spark):
+    """Ranks are computed WITHIN complete pairs: a row whose partner is
+    NULL must not shift the other column's ranks (the conventional
+    pairwise-complete Spearman)."""
+    complete = [(1.0, 10.0), (2.0, 30.0), (3.0, 20.0)]
+    dirty = complete + [(0.5, None), (None, 100.0)]
+    rc = S.spearman_corr(
+        spark.createDataFrame(complete, "x double, y double"), "x", "y"
+    ).collect()[0]
+    rd = S.spearman_corr(
+        spark.createDataFrame(dirty, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert rd.n == 3
+    assert rd.rho == rc.rho  # identical doubles: same ranks, same sums
+
+
+def test_kaplan_meier_null_durations_excluded(spark):
+    base = [(1.0, 1), (2.0, 0), (3.0, 1)]
+    dirty = base + [(None, 1), (None, 0)]
+    c = S.kaplan_meier(spark.createDataFrame(base, "t double, event int")).collect()
+    d = S.kaplan_meier(spark.createDataFrame(dirty, "t double, event int")).collect()
+    assert c == d
+    gc = S.kaplan_meier_grouped(
+        spark.createDataFrame([(t, e, "a") for t, e in base], "t double, event int, g string"),
+        "g",
+    ).collect()
+    gd = S.kaplan_meier_grouped(
+        spark.createDataFrame([(t, e, "a") for t, e in dirty], "t double, event int, g string"),
+        "g",
+    ).collect()
+    assert gc == gd
+    rows_a = [(t, e, "a") for t, e in base] + [(None, 1, "a")]
+    rows_b = [(10.0, 1, "b"), (11.0, 0, "b"), (None, 0, "b")]
+    lr_dirty = S.logrank_test(
+        spark.createDataFrame(rows_a + rows_b, "t double, event int, g string")
+    ).collect()[0]
+    lr_clean = S.logrank_test(
+        spark.createDataFrame(
+            [r for r in rows_a + rows_b if r[0] is not None],
+            "t double, event int, g string",
+        )
+    ).collect()[0]
+    assert lr_dirty == lr_clean

@@ -4750,7 +4750,7 @@ def oracle_sql() -> dict[str, str]:
 _ORACLE_KS_PRICE_TEST = f"""
 WITH src AS (SELECT o_totalprice AS v,
                     CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hi' ELSE 'lo' END AS arm
-             FROM orders),
+             FROM orders WHERE o_totalprice IS NOT NULL),
 cnt AS (SELECT v, sum(CASE WHEN arm = 'hi' THEN 1 ELSE 0 END) AS da,
                sum(CASE WHEN arm = 'lo' THEN 1 ELSE 0 END) AS db
         FROM src GROUP BY 1),
@@ -5056,7 +5056,7 @@ SELECT agg.event_type, CAST(n_sample AS BIGINT) AS n_sample,
        CAST(n_sample * {denom} AS BIGINT) AS n_est,
        {_r6(f'sv * CAST({denom} AS DOUBLE)', 'sum_est')},
        {_r6(f'sqrt({factor!r} * svv)', 'se_sum')},
-       {_r6(f'sqrt({factor!r} * svv) / (CASE WHEN sv * CAST({denom} AS DOUBLE) <> 0 THEN sv * CAST({denom} AS DOUBLE) END)', 'rel_err')},
+       {_r6(f'sqrt({factor!r} * svv) / (CASE WHEN sv * CAST({denom} AS DOUBLE) <> 0 THEN abs(sv * CAST({denom} AS DOUBLE)) END)', 'rel_err')},
        CAST(n_true AS BIGINT) AS n_true, {_r6('st', 'sum_true')}
 FROM agg JOIN ex ON ex.event_type = agg.event_type
 ORDER BY 1
@@ -5305,7 +5305,8 @@ FROM d
 
 
 _ORACLE_KS_SOURCE_MATRIX = f"""
-WITH cnt AS (SELECT n_chars AS v, source AS g, count(*) AS c FROM documents GROUP BY 1, 2),
+WITH cnt AS (SELECT n_chars AS v, source AS g, count(*) AS c FROM documents
+             WHERE n_chars IS NOT NULL GROUP BY 1, 2),
 vals AS (SELECT DISTINCT v FROM cnt),
 grps AS (SELECT DISTINCT g FROM cnt),
 spine AS (SELECT v, g FROM vals, grps),
@@ -5598,7 +5599,7 @@ FROM tot, per ORDER BY bin
 _ORACLE_RANK_SUM_TEST = f"""
 WITH src AS (SELECT o_totalprice AS v,
                     CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hi' ELSE 'lo' END AS arm
-             FROM orders),
+             FROM orders WHERE o_totalprice IS NOT NULL),
 cnt AS (SELECT v, sum(CASE WHEN arm = 'hi' THEN 1 ELSE 0 END) AS da,
                sum(CASE WHEN arm = 'lo' THEN 1 ELSE 0 END) AS db
         FROM src GROUP BY 1),
@@ -5624,14 +5625,16 @@ FROM u
 
 
 _ORACLE_SPEARMAN_QTY_PRICE = f"""
-WITH rx AS (SELECT v, CAST(cum AS DOUBLE) - CAST(c - 1 AS DOUBLE) / 2.0 AS r FROM
+WITH src AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+rx AS (SELECT v, CAST(cum AS DOUBLE) - CAST(c - 1 AS DOUBLE) / 2.0 AS r FROM
               (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-               FROM (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1))),
+               FROM (SELECT x AS v, count(*) AS c FROM src GROUP BY 1))),
 ry AS (SELECT v, CAST(cum AS DOUBLE) - CAST(c - 1 AS DOUBLE) / 2.0 AS r FROM
               (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-               FROM (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1))),
+               FROM (SELECT y AS v, count(*) AS c FROM src GROUP BY 1))),
 j AS (SELECT rx.r AS rxr, ry.r AS ryr
-      FROM lineitem l JOIN rx ON rx.v = l.l_quantity JOIN ry ON ry.v = l.l_extendedprice),
+      FROM src l JOIN rx ON rx.v = l.x JOIN ry ON ry.v = l.y),
 agg AS (SELECT count(*) AS n, sum(rxr) AS sx, sum(ryr) AS sy,
                sum(rxr * rxr) AS sxx, sum(ryr * ryr) AS syy, sum(rxr * ryr) AS sxy
         FROM j)
@@ -5651,7 +5654,7 @@ WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
 dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
                CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev
         FROM per),
-pt AS (SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY 1),
+pt AS (SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM dur WHERE t IS NOT NULL GROUP BY 1),
 rk AS (SELECT t, d, c,
               sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY t
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
@@ -5681,7 +5684,7 @@ dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
         FROM per),
 pt AS (SELECT t, sum(CASE WHEN g = 'a' THEN ev ELSE 0 END) AS d1, sum(ev) AS d,
               sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS m1, count(*) AS m
-       FROM dur GROUP BY 1),
+       FROM dur WHERE t IS NOT NULL GROUP BY 1),
 rk AS (SELECT t, d1, d,
               sum(m1) OVER () - coalesce(sum(m1) OVER wp, 0) AS n1,
               sum(m) OVER () - coalesce(sum(m) OVER wp, 0) AS n,
@@ -5733,7 +5736,7 @@ dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
                CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev,
                CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
         FROM per),
-pt AS (SELECT g, t, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY 1, 2),
+pt AS (SELECT g, t, sum(ev) AS d, sum(1 - ev) AS c FROM dur WHERE t IS NOT NULL GROUP BY 1, 2),
 rk AS (SELECT g, t, d, c,
               sum(d + c) OVER (PARTITION BY g)
                 - coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t

@@ -235,6 +235,11 @@ def isotonic_calibrate(
         F.min(F.col(score_col).cast("double")).alias("lo"),
         F.max(F.col(score_col).cast("double")).alias("hi"),
     ).collect()[0]
+    if stats.lo is None:
+        raise ValueError(
+            f"isotonic_calibrate: no non-null values in {score_col!r} "
+            "to calibrate (empty input or all-NULL score column)"
+        )
     lo, hi = float(stats.lo), float(stats.hi)
     width = (hi - lo) / n_bins if hi > lo else 1.0
     b = F.least(

@@ -466,14 +466,24 @@ def shortest_paths(
     bit-identical sums path for path. The frame is
     localCheckpoint-pinned per round. Returns ``(node, dist)`` for
     nodes within ``iters`` hops of ``source``.
+
+    Edges with a zero or NULL weight are DROPPED when ``weight_col``
+    is given: ``1/0`` is Infinity and ``1/NULL`` is a NULL cost that
+    silently swallows every relaxation through the edge (the pagerank
+    zero-weight-emitter guard, applied to the cost transform).
     """
+    base = (
+        edges.filter(F.col(weight_col).cast("double") > 0)
+        if weight_col
+        else edges
+    )
     w = (
         (F.lit(1.0) / F.col(weight_col).cast("double"))
         if weight_col
         else F.lit(1.0)
     ).alias("w")
-    und = edges.select("src", "dst", w).unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w)
+    und = base.select("src", "dst", w).unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w)
     ).persist()
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0.0)], "node long, dist double")

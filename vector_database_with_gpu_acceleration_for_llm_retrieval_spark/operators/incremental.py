@@ -221,7 +221,16 @@ def read_snapshot(spark, table_path: str, batch_id: int | None = None) -> DataFr
     it. Raises ``ValueError`` (listing what IS available) when the
     requested version was never produced or has aged out of the
     ``retain_snapshots`` budget — CDC consumers get read-at-version
-    from the swap plumbing, no table format needed."""
+    from the swap plumbing, no table format needed.
+
+    CONCURRENCY CONTRACT: the returned DataFrame is lazy over the
+    aside directory, and rename-based retention has no read locks —
+    a maintenance fold (or :func:`vacuum_snapshots`) that prunes the
+    version while the read executes fails it mid-query. Either
+    complete (or persist/write-out) snapshot reads before the next
+    fold can prune, or run the stream with ``retain_snapshots`` one
+    larger than the deepest version readers actually request, which
+    guarantees a requested version survives one full fold interval."""
     versions = list_snapshots(spark, table_path)
     if not versions:
         raise ValueError(f"no readable versions at {table_path!r}")

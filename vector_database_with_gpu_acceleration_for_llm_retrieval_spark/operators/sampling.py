@@ -903,5 +903,8 @@ def sampled_aggregate(
         (F.col("n_sample") * F.lit(denom)).cast("long").alias("n_est"),
         sum_est.alias("sum_est"),
         se.alias("se_sum"),
-        (se / F.when(sum_est != 0, sum_est)).alias("rel_err"),
+        # abs() so groups with negative value sums still report a
+        # positive relative error; sum_est == 0 -> NULL (unusable
+        # estimate, not 0% error).
+        (se / F.when(sum_est != 0, F.abs(sum_est))).alias("rel_err"),
     )

@@ -322,7 +322,15 @@ def qsketch_bucket(v: Column, m: int = 7) -> Column:
     (exact small-value quantiles). Deterministic for every input: no
     ties to break, no randomness, no merge-order sensitivity — unlike
     KLL/GK, whose compaction schedule depends on arrival order and so
-    can never hash-match across engines."""
+    can never hash-match across engines.
+
+    LONG_MIN is saturated to ``−(2^63−1)`` before bucketing:
+    ``abs(−2^63)`` overflows back to −2^63 under JVM two's-complement
+    semantics and would mis-bucket. Unreachable from the scaled-double
+    entry points (``floor(x·scale + 0.5)`` cannot produce it), but the
+    raw BIGINT API is public, so the clamp is explicit — one value at
+    the extreme absorbs into its neighbor's bucket."""
+    v = F.when(v == F.lit(-(1 << 63)), F.lit(-((1 << 63) - 1))).otherwise(v)
     u = F.abs(v)
     e = _bitlen_minus1(u)
     sub = (

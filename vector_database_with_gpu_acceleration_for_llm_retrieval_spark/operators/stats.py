@@ -85,8 +85,11 @@ def ks_test(
     # ONE row per distinct value BEFORE the ordered window: both CDFs
     # must step together at a tied x, or the cumsum evaluated between
     # the a-row and b-row of the same value reports a spurious gap.
+    # NULL values are excluded (a NULL is a missing measurement, not
+    # the smallest one — the spearman pairwise-complete rule).
     cnt = (
         df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(
             F.sum((F.col(group_col) == group_a).cast("long")).alias("da"),
@@ -511,11 +514,14 @@ def ks_matrix(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     (``sketches.qsketch_bucket``), the ks_test rule.  Statistics per
     pair as in :func:`ks_test` (one-term Smirnov tail).  Returns
     ``(group_a, group_b, n_a, n_b, d_stat, ks_z, p_approx)``,
-    ``group_a < group_b``.
+    ``group_a < group_b``.  NULL values are excluded, the
+    :func:`ks_test` rule.
     """
-    cnt = df.groupBy(
-        F.col(value_col).alias("v"), F.col(group_col).alias("g")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    cnt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     vals = cnt.select("v").distinct()
     grps = cnt.select("g").distinct()
     spine = vals.crossJoin(grps)
@@ -761,10 +767,13 @@ def mann_whitney_u(
     ``n_a n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`` (no continuity
     correction — documented choice, identical both engines).
     Degenerate inputs (an empty side, all values tied) yield NULL z.
-    Returns one row ``(n_a, n_b, u_a, z)``.
+    NULL values are excluded before ranking (they are missing
+    measurements, not the lowest ranks).  Returns one row
+    ``(n_a, n_b, u_a, z)``.
     """
     cnt = (
         df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(
             F.sum((F.col(group_col) == group_a).cast("long")).alias("da"),
@@ -818,14 +827,17 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     and the raw rows equi-join their two mid-ranks back (two joins
     against value-keyed rank tables — broadcast when domains are
     small).  Then the closed-form Pearson over (rank_x, rank_y).
-    Rows with NULL in either column drop out at the null-unsafe rank
-    joins — the standard pairwise-complete correlation semantics
-    (``n`` reports the rows actually correlated).  Returns one row
-    ``(n, rho)``; constant columns give NULL.
+    Rows with NULL in EITHER column are dropped up front, so ranks
+    are computed within the complete pairs only — the conventional
+    pairwise-complete Spearman (``n`` reports the rows actually
+    correlated).  Returns one row ``(n, rho)``; constant columns
+    give NULL.
     """
+    src = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
     def rank_table(col):
         c = (
-            df.groupBy(F.col(col).alias("v"))
+            src.groupBy(F.col(col).alias("v"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
         w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -839,7 +851,7 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     rx = rank_table(x_col)
     ry = rank_table(y_col)
     j = (
-        df.select(F.col(x_col).alias("xv"), F.col(y_col).alias("yv"))
+        src.select(F.col(x_col).alias("xv"), F.col(y_col).alias("yv"))
         .join(rx.select(F.col("v").alias("xv"), F.col("r").alias("rx")), "xv")
         .join(ry.select(F.col("v").alias("yv"), F.col("r").alias("ry")), "yv")
     )
@@ -890,11 +902,14 @@ def kaplan_meier(
     ``exp(cumsum(ln(factor)))`` — with the ``d = n`` absorbing state
     handled explicitly (a time where everyone at risk dies sends S to
     EXACTLY 0; ln(0) differs across engines, so a cumulative
-    zero-seen flag replaces it — the portable formulation).  Returns
-    ``(t, n_risk, d, censored, hazard, survival)`` ordered by t.
+    zero-seen flag replaces it — the portable formulation).  Subjects
+    with a NULL duration are excluded (missing, not earliest).
+    Returns ``(t, n_risk, d, censored, hazard, survival)`` ordered
+    by t.
     """
     per = (
-        durations.groupBy(F.col(time_col).alias("t"))
+        durations.filter(F.col(time_col).isNotNull())
+        .groupBy(F.col(time_col).alias("t"))
         .agg(
             F.sum(F.col(event_col).cast("long")).alias("d"),
             F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("c"),
@@ -968,6 +983,7 @@ def logrank_test(
     is_a = F.col(group_col) == group_a
     per = (
         durations.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(time_col).isNotNull())
         .groupBy(F.col(time_col).alias("t"))
         .agg(
             F.sum(F.when(is_a, F.col(event_col).cast("long")).otherwise(F.lit(0))).alias("d1"),
@@ -1031,11 +1047,13 @@ def kaplan_meier_grouped(
     :func:`logrank_test` compares): the :func:`kaplan_meier` shape
     with every window and aggregate partitioned by the group, so group
     count scales freely and each group's frame stays bounded by ITS
-    distinct times.  Returns ``(group, t, n_risk, d, censored,
+    distinct times.  NULL durations are excluded, matching
+    :func:`kaplan_meier`.  Returns ``(group, t, n_risk, d, censored,
     hazard, survival)``.
     """
     per = (
-        durations.groupBy(
+        durations.filter(F.col(time_col).isNotNull())
+        .groupBy(
             F.col(group_col).alias("g"), F.col(time_col).alias("t")
         )
         .agg(
