@@ -421,3 +421,43 @@ def test_mutual_knn_single_corpus_scan(tables):
     plan = physical_plan(df)
     # knn_join's one-scan property must survive the composition
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_stats_high_cardinality_no_global_window(tables):
+    """r9 verdict #1: with high_cardinality=True the rank/CDF cumsum
+    runs through the distributed prefix — every Window node left in
+    the final plan must operate on the P-row partition-offset ladder
+    (input carries __ptot), never the distinct-value frame (the
+    sorted-neighborhood assertion, applied to the stats wave)."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import stats as ST
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    src = tables["orders"].select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    surv = tables["orders"].select(
+        (F.col("o_orderkey") % 1000 + 1).cast("double").alias("t"),
+        (F.col("o_orderkey") % 2).cast("int").alias("event"),
+        F.when(F.col("o_custkey") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    frames = [
+        ST.ks_test(src, "v", "g", "a", "b", high_cardinality=True),
+        ST.mann_whitney_u(src, "v", "g", "a", "b", high_cardinality=True),
+        ST.spearman_corr(
+            src.select(F.col("v").alias("x"), (F.col("v") * 2).alias("y")),
+            "x",
+            "y",
+            high_cardinality=True,
+        ),
+        ST.kaplan_meier(surv, high_cardinality=True),
+        ST.logrank_test(surv, high_cardinality=True),
+    ]
+    for df in frames:
+        plan = physical_plan(df)
+        for seg in plan.split("\n\n"):
+            if seg.startswith("(") and "Window" in seg.splitlines()[0]:
+                assert "__ptot" in seg, seg

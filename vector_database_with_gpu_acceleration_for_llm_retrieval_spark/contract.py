@@ -4175,6 +4175,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_arms": q_logrank_arms,
         "events_session_native": q_events_session_native,
         "km_by_arm": q_km_by_arm,
+        "rank_sum_distributed": q_rank_sum_distributed,
+        "km_distributed": q_km_distributed,
     }
 
 
@@ -6059,6 +6061,31 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_sum_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank_sum_test statistics computed through the
+    high-cardinality distributed-prefix path (stats._cdf_prefix:
+    range-exchange + P-row broadcast offsets, no single-task window
+    over the distinct-price frame) — same oracle as rank_sum_test
+    because the integer rank sums are BIT-IDENTICAL between paths;
+    this entry proves the 100×-scale path oracle-correct end to end,
+    not merely self-consistent (operators/stats.mann_whitney_u)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    arm = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+    ).otherwise("lo")
+    df = t["orders"].select(
+        F.col("o_totalprice").alias("price"), arm.alias("arm")
+    )
+    res = ST.mann_whitney_u(df, "price", "arm", "hi", "lo", high_cardinality=True)
+    return res.select(
+        "n_a", "n_b", _round6(F.col("u_a"), "u_a"), _round6(F.col("z"), "z")
+    )
+
+
 def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between quantity and extended price
     over lineitem — monotone association, mid-ranks from the
@@ -6100,6 +6127,44 @@ def q_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_evt").isNotNull().cast("int").alias("event"),
     )
     res = ST.kaplan_meier(dur)
+    return res.select(
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        "d",
+        "censored",
+        _round6(F.col("hazard"), "hazard"),
+        _round6(F.col("survival"), "survival"),
+    ).orderBy("t")
+
+
+def q_km_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """km_conversion through the high-cardinality path — EXACTLY the
+    case the unpartitioned window cannot survive at 100×: the
+    distinct-time frame of exact-microsecond durations is user-sized,
+    so the risk-set / ln-survival cumulatives run through the
+    distributed prefix instead (risk sets integer-identical, survival
+    within last-ulps of the window path — same round-6 oracle as
+    km_conversion) (operators/stats.kaplan_meier)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    hit = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(hit, F.col("ts"))).alias("t_evt"),
+    )
+    dur = per.select(
+        (
+            F.unix_micros(F.coalesce(F.col("t_evt"), F.col("t_last")))
+            - F.unix_micros(F.col("t0"))
+        ).alias("t"),
+        F.col("t_evt").isNotNull().cast("int").alias("event"),
+    )
+    res = ST.kaplan_meier(dur, high_cardinality=True)
     return res.select(
         F.col("t").cast("long").alias("t"),
         "n_risk",

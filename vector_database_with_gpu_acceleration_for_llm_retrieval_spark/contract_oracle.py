@@ -4742,6 +4742,11 @@ def oracle_sql() -> dict[str, str]:
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
         "km_conversion": _ORACLE_KM_CONVERSION,
         "logrank_arms": _ORACLE_LOGRANK_ARMS,
+        # the high-cardinality (distributed-prefix) path computes the
+        # SAME statistics — integer rank sums bit-identical, KM
+        # survival within last-ulps — so the mirrors are shared
+        "rank_sum_distributed": _ORACLE_RANK_SUM_TEST,
+        "km_distributed": _ORACLE_KM_CONVERSION,
         "events_session_native": _ORACLE_EVENTS_SESSION_NATIVE,
         "km_by_arm": _ORACLE_KM_BY_ARM,
     }
@@ -5607,8 +5612,9 @@ rk AS (SELECT v, da, db, da + db AS c,
               sum(da + db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        FROM cnt),
 agg AS (SELECT CAST(sum(da) AS BIGINT) AS n_a, CAST(sum(db) AS BIGINT) AS n_b,
-               sum(da * (CAST(cum AS DOUBLE) - CAST(c - 1 AS DOUBLE) / 2.0)) AS r_a,
-               sum(CAST(c * c * c - c AS DOUBLE)) AS tie_term
+               CAST(sum(CAST(da AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))) AS DOUBLE)
+                 - CAST(sum(CAST(da AS DECIMAL(19,0)) * CAST(c - 1 AS DECIMAL(19,0))) AS DOUBLE) / 2.0 AS r_a,
+               CAST(sum(CAST(c AS DECIMAL(13,0)) * CAST(c - 1 AS DECIMAL(13,0)) * CAST(c + 1 AS DECIMAL(13,0))) AS DOUBLE) AS tie_term
         FROM rk),
 s AS (SELECT n_a, n_b, r_a, tie_term,
              CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM agg),

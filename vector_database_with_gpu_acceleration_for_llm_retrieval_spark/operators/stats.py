@@ -24,10 +24,17 @@ arms for the z-test.  Everything after that first aggregation runs on a
 frame that fits on one executor no matter how many TB were scanned, so
 the ordered windows (KS's CDF cumsum) are calendar/domain-bounded by
 design, the same argument as ``temporal.seasonal_decompose``.  For a KS
-over a genuinely unbounded continuous domain, bucket the value first
-(round to cents / fixed decimals) or swap the cumsum onto
-``sampling._distributed_prefix`` — the statistic is then exact over the
-bucketed domain, which is what any engine computing KS at 100 TB does.
+over a genuinely unbounded continuous domain — where the distinct-value
+frame approaches the row count and the unpartitioned ordered window
+becomes a single-task global sort — every rank/CDF operator here takes
+``high_cardinality=True``, which routes the SAME cumulative sums through
+the distributed-prefix shape (:func:`_cdf_prefix`: range-partition the
+distinct-value frame, within-partition running sums, a P-row broadcast
+offset join — the ``sampling._distributed_prefix`` machinery).  Integer
+cumsums are exact either way, so the statistics are bit-identical
+between paths; alternatively pre-bucket with the monotone
+``sketches.qsketch_bucket`` (the ``ks_sketch_drift`` pattern) where an
+approximate CDF suffices.
 
 No SciPy: p-value approximations are explicit closed forms (documented
 per function) computed with the same float ops on both engines.
@@ -59,12 +66,92 @@ __all__ = [
 ]
 
 
+def _cdf_prefix(
+    cnt: DataFrame,
+    order_col: str,
+    weights: list[str],
+    high_cardinality: bool,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The rank/CDF skeleton's ordered cumulative sums: for every
+    column in ``weights``, add ``__cum_<w>`` (inclusive cumulative sum
+    in ``order_col`` order) and ``__tot_<w>`` (grand total) to the
+    distinct-value frame ``cnt``.
+
+    ``high_cardinality=False`` (discrete/bounded domains — distinct
+    prices, event times on a calendar): one unpartitioned ordered
+    window, fine because the frame is domain-bounded.
+
+    ``high_cardinality=True`` (continuous domains where the distinct
+    frame approaches the row count — the shape that makes an
+    unpartitioned window a single-task global sort at 100 TB): the
+    ``sampling._distributed_prefix`` shape — range-partition on the
+    order key, running sums WITHIN each physical partition, then a
+    P-row per-partition-totals frame broadcast back as exclusive
+    offsets.  The frame is pinned with an eager localCheckpoint
+    because it feeds two subplans and RangePartitioner boundaries are
+    RDD-id-seeded (the documented ``_distributed_prefix`` hazard).
+    Integer weights sum exactly in either path, so integer-derived
+    statistics are BIT-IDENTICAL between paths; double weights (the
+    Kaplan-Meier ln-survival terms) regroup float additions and may
+    differ in the last ulps — far inside the round-6 oracle tolerance,
+    documented at the call sites.
+    """
+    if not high_cardinality:
+        w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.partitionBy()
+        out = cnt
+        for c in weights:
+            out = out.withColumn(f"__cum_{c}", F.sum(c).over(w)).withColumn(
+                f"__tot_{c}", F.sum(c).over(wall)
+            )
+        return out
+    if n_parts is None:
+        n_parts = int(
+            cnt.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    rp = cnt.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in weights:
+        rp = rp.withColumn(f"__run_{c}", F.sum(c).over(w_in))
+    rp = rp.localCheckpoint(eager=True)
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = rp.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__ptot_{c}") for c in weights]
+    )
+    for c in weights:
+        offsets = offsets.withColumn(
+            f"__off_{c}", F.coalesce(F.sum(f"__ptot_{c}").over(w_off), F.lit(0))
+        ).withColumn(
+            f"__tot_{c}", F.sum(f"__ptot_{c}").over(Window.partitionBy())
+        )
+    offsets = offsets.select(
+        "__pid",
+        *[f"__off_{c}" for c in weights],
+        *[f"__tot_{c}" for c in weights],
+    )
+    out = rp.join(F.broadcast(offsets), "__pid")
+    for c in weights:
+        out = out.withColumn(
+            f"__cum_{c}", F.col(f"__run_{c}") + F.col(f"__off_{c}")
+        )
+    return out.drop("__pid", *[f"__run_{c}" for c in weights], *[f"__off_{c}" for c in weights])
+
+
 def ks_test(
     df: DataFrame,
     value_col: str,
     group_col: str,
     group_a: str,
     group_b: str,
+    high_cardinality: bool = False,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test: D = sup_x |F_a(x) - F_b(x)|.
 
@@ -74,6 +161,11 @@ def ks_test(
     over the distinct-value frame with conditional sums, so no join
     between the two samples is ever needed and ties across samples are
     handled exactly (both CDFs step at the same x).
+
+    ``high_cardinality=True`` swaps the cumulative window for the
+    distributed-prefix shape (:func:`_cdf_prefix`) — use it when the
+    value domain is continuous and the distinct frame is row-sized;
+    the counts are integers, so D is bit-identical between paths.
 
     Returns one row ``(n_a, n_b, d_stat, ks_z, p_approx)`` where
     ``ks_z = D * sqrt(n_a*n_b/(n_a+n_b))`` and ``p_approx =
@@ -96,28 +188,16 @@ def ks_test(
             F.sum((F.col(group_col) == group_b).cast("long")).alias("db"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = cnt.select(
-        "v",
-        F.sum("da").over(w).alias("ca"),
-        F.sum("db").over(w).alias("cb"),
-    )
-    wall = Window.partitionBy()
-    stepped = cdf.select(
-        "ca",
-        "cb",
-        F.max("ca").over(wall).alias("na"),
-        F.max("cb").over(wall).alias("nb"),
-    )
+    stepped = _cdf_prefix(cnt, "v", ["da", "db"], high_cardinality, n_parts)
     # an empty side makes the test undefined (and 0/0 an ANSI error):
     # NULL-guard the per-side divisors so d_stat comes out NULL instead
     res = stepped.agg(
-        F.max("na").cast("long").alias("n_a"),
-        F.max("nb").cast("long").alias("n_b"),
+        F.max("__tot_da").cast("long").alias("n_a"),
+        F.max("__tot_db").cast("long").alias("n_b"),
         F.max(
             F.abs(
-                F.col("ca") / F.when(F.col("na") > 0, F.col("na"))
-                - F.col("cb") / F.when(F.col("nb") > 0, F.col("nb"))
+                F.col("__cum_da") / F.when(F.col("__tot_da") > 0, F.col("__tot_da"))
+                - F.col("__cum_db") / F.when(F.col("__tot_db") > 0, F.col("__tot_db"))
             )
         ).alias("d_stat"),
     )
@@ -752,6 +832,8 @@ def mann_whitney_u(
     group_col: str,
     group_a: str,
     group_b: str,
+    high_cardinality: bool = False,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test: do two samples come
     from the same distribution, judged by RANKS — the robust
@@ -770,6 +852,13 @@ def mann_whitney_u(
     NULL values are excluded before ranking (they are missing
     measurements, not the lowest ranks).  Returns one row
     ``(n_a, n_b, u_a, z)``.
+
+    ``high_cardinality=True`` swaps the cumulative window for the
+    distributed-prefix shape (:func:`_cdf_prefix`).  The rank sum and
+    tie term are accumulated as DECIMAL(38,0) of integer-valued terms
+    (``R_a·2 = 2·Σda·cum − Σda·(c−1)`` — exact, order-independent, no
+    int64 overflow at web scale), so U and z are bit-identical between
+    paths and partitionings.
     """
     cnt = (
         df.filter(F.col(group_col).isin(group_a, group_b))
@@ -780,22 +869,40 @@ def mann_whitney_u(
             F.sum((F.col(group_col) == group_b).cast("long")).alias("db"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = cnt.select(
+    ranked = _cdf_prefix(
+        cnt.withColumn("c", F.col("da") + F.col("db")),
         "v",
-        "da",
-        "db",
-        (F.col("da") + F.col("db")).alias("c"),
-        F.sum(F.col("da") + F.col("db")).over(w).alias("cum"),
-    )
-    mid = F.col("cum").cast("double") - (F.col("c") - 1).cast("double") / 2.0
+        ["c"],
+        high_cardinality,
+        n_parts,
+    ).withColumnRenamed("__cum_c", "cum")
+    # R_a = Σ da·(cum − (c−1)/2): both products are integer-valued, so
+    # sum them in DECIMAL — exact and order-independent (a double sum
+    # would depend on partition merge order in the distributed path);
+    # one float op at the end.  Same for Σ(c³−c) = Σ c(c−1)(c+1).
+    # Operands are cast to decimal BEFORE multiplying so the products
+    # never pass through (and overflow) int64 at web scale.
+    d19 = "decimal(19,0)"
+    d13 = "decimal(13,0)"
     agg = ranked.agg(
         F.sum("da").cast("long").alias("n_a"),
         F.sum("db").cast("long").alias("n_b"),
-        F.sum(F.col("da") * mid).alias("r_a"),
+        F.sum(F.col("da").cast(d19) * F.col("cum").cast(d19)).alias("__s1"),
         F.sum(
-            (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("double")
-        ).alias("tie_term"),
+            F.col("da").cast(d19) * (F.col("c") - 1).cast(d19)
+        ).alias("__s2"),
+        F.sum(
+            F.col("c").cast(d13)
+            * (F.col("c") - 1).cast(d13)
+            * (F.col("c") + 1).cast(d13)
+        ).alias("__tt"),
+    )
+    r_a = F.col("__s1").cast("double") - F.col("__s2").cast("double") / 2.0
+    agg = agg.select(
+        "n_a",
+        "n_b",
+        r_a.alias("r_a"),
+        F.col("__tt").cast("double").alias("tie_term"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     n = na + nb
@@ -816,7 +923,13 @@ def mann_whitney_u(
     )
 
 
-def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    high_cardinality: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
     """Spearman rank correlation: Pearson over mid-ranks — the
     monotone-association measure that ignores scale and survives
     outliers.
@@ -840,11 +953,14 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             src.groupBy(F.col(col).alias("v"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        return c.select(
+        # ``high_cardinality=True`` (continuous columns): the mid-rank
+        # cumsum runs through the distributed prefix — integer counts,
+        # so the rank doubles are bit-identical to the window path.
+        cum = _cdf_prefix(c, "v", ["c"], high_cardinality, n_parts)
+        return cum.select(
             "v",
             (
-                F.sum("c").over(w).cast("double")
+                F.col("__cum_c").cast("double")
                 - (F.col("c") - 1).cast("double") / 2.0
             ).alias("r"),
         )
@@ -887,6 +1003,8 @@ def kaplan_meier(
     durations: DataFrame,
     time_col: str = "t",
     event_col: str = "event",
+    high_cardinality: bool = False,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Kaplan-Meier survival curve with right censoring — the
     time-to-event staple (retention, churn, time-to-conversion):
@@ -906,6 +1024,14 @@ def kaplan_meier(
     with a NULL duration are excluded (missing, not earliest).
     Returns ``(t, n_risk, d, censored, hazard, survival)`` ordered
     by t.
+
+    ``high_cardinality=True`` (exact-microsecond durations, where the
+    distinct-time frame is subject-sized): all three cumulatives run
+    through the distributed prefix (:func:`_cdf_prefix`).  The risk
+    set and zero flag are integer-exact in both paths; the ln-survival
+    cumsum is float, so ``survival`` may differ from the window path
+    in the last ulps — orders of magnitude inside the round-6 oracle
+    tolerance.
     """
     per = (
         durations.filter(F.col(time_col).isNotNull())
@@ -915,19 +1041,19 @@ def kaplan_meier(
             F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("c"),
         )
     )
-    w_all = Window.partitionBy()
-    w_prior = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    risked = per.select(
+    # n_risk = total − exclusive-prior = total − (inclusive-cum − own
+    # weight): one cumulative pass; the ln-survival / zero-flag
+    # cumulatives need n_risk first, so they are a second pass.
+    pre = per.select(
         "t",
         "d",
         "c",
-        (
-            F.sum(F.col("d") + F.col("c")).over(w_all)
-            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
-        ).alias("n_risk"),
+        (F.col("d") + F.col("c")).alias("__n_t"),
+    )
+    stepped0 = _cdf_prefix(pre, "t", ["__n_t"], high_cardinality, n_parts)
+    risked = stepped0.withColumn(
+        "n_risk",
+        F.col("__tot___n_t") - (F.col("__cum___n_t") - F.col("__n_t")),
     )
     frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
     ln_term = F.when(
@@ -935,14 +1061,26 @@ def kaplan_meier(
         F.log(F.lit(1.0) - frac),
     ).otherwise(F.lit(0.0))
     zero_here = (F.col("d") == F.col("n_risk")) & (F.col("d") > 0)
-    stepped = risked.select(
+    with_terms = risked.select(
         "t",
         "d",
         "c",
         "n_risk",
         frac.alias("hazard"),
-        F.sum(ln_term).over(w_cum).alias("__lnS"),
-        F.max(zero_here.cast("int")).over(w_cum).alias("__zero"),
+        ln_term.alias("__lnt"),
+        zero_here.cast("long").alias("__zh"),
+    )
+    cum2 = _cdf_prefix(
+        with_terms, "t", ["__lnt", "__zh"], high_cardinality, n_parts
+    )
+    stepped = cum2.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        "hazard",
+        F.col("__cum___lnt").alias("__lnS"),
+        (F.col("__cum___zh") >= 1).cast("int").alias("__zero"),
     )
     return stepped.select(
         "t",
@@ -963,6 +1101,8 @@ def logrank_test(
     group_col: str = "g",
     group_a: str = "a",
     group_b: str = "b",
+    high_cardinality: bool = False,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Log-rank test: do two survival curves differ — the standard
     companion to :func:`kaplan_meier` (a t-test on survival times is
@@ -992,22 +1132,20 @@ def logrank_test(
             F.count(F.lit(1)).alias("m"),
         )
     )
-    w_all = Window.partitionBy()
-    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    risk = per.select(
+    # exclusive-prior cumulatives via n = total − (inclusive − own):
+    # the :func:`_cdf_prefix` shape, so ``high_cardinality=True``
+    # survives subject-sized distinct-time frames (risk sets are
+    # integer-exact in both paths; the closing float sums of e1/V are
+    # per-row doubles of exact integers, round-6-stable).
+    cum = _cdf_prefix(per, "t", ["m1", "m"], high_cardinality, n_parts)
+    risk = cum.select(
         "t",
         "d1",
         "d",
-        (
-            F.sum("m1").over(w_all)
-            - F.coalesce(F.sum("m1").over(w_prior), F.lit(0))
-        ).alias("n1"),
-        (
-            F.sum("m").over(w_all)
-            - F.coalesce(F.sum("m").over(w_prior), F.lit(0))
-        ).alias("n"),
-        F.sum("m1").over(w_all).alias("tot1"),
-        F.sum("m").over(w_all).alias("tot"),
+        (F.col("__tot_m1") - (F.col("__cum_m1") - F.col("m1"))).alias("n1"),
+        (F.col("__tot_m") - (F.col("__cum_m") - F.col("m"))).alias("n"),
+        F.col("__tot_m1").alias("tot1"),
+        F.col("__tot_m").alias("tot"),
     )
     nd = F.col("n").cast("double")
     p1 = F.col("n1").cast("double") / nd
