@@ -196,3 +196,131 @@ def test_isotonic_calibrate_empty_input_raises(spark):
     allnull = spark.createDataFrame([(None, 1), (None, 0)], "score double, y int")
     with pytest.raises(ValueError, match="no non-null"):
         GLM.isotonic_calibrate(allnull, "score", "y")
+
+
+def _cox_numpy(t, e, X, iters=8, reg=1e-9):
+    """Breslow-ties Cox Newton replica of glm.cox_fit's exact schedule:
+    per-distinct-time moment sums, suffix risk-set sums, d x d solve."""
+    import numpy as np
+
+    t = np.asarray(t, dtype=np.float64)
+    e = np.asarray(e, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    d = X.shape[1]
+    beta = np.zeros(d)
+    times = np.unique(t)
+    for _ in range(iters):
+        w = np.exp(X @ beta)
+        a0 = np.zeros(len(times))
+        a1 = np.zeros((len(times), d))
+        a2 = np.zeros((len(times), d, d))
+        dt = np.zeros(len(times))
+        sx = np.zeros((len(times), d))
+        idx = np.searchsorted(times, t)
+        for i in range(len(t)):
+            j = idx[i]
+            a0[j] += w[i]
+            a1[j] += w[i] * X[i]
+            a2[j] += w[i] * np.outer(X[i], X[i])
+            dt[j] += e[i]
+            sx[j] += e[i] * X[i]
+        # suffix sums over times ascending = risk sets {t_j >= t}
+        s0 = np.cumsum(a0[::-1])[::-1]
+        s1 = np.cumsum(a1[::-1], axis=0)[::-1]
+        s2 = np.cumsum(a2[::-1], axis=0)[::-1]
+        ev = dt > 0
+        g = (sx[ev] - dt[ev, None] * s1[ev] / s0[ev, None]).sum(axis=0)
+        m1 = s1[ev] / s0[ev, None]
+        H = (
+            dt[ev, None, None]
+            * (s2[ev] / s0[ev, None, None] - m1[:, :, None] * m1[:, None, :])
+        ).sum(axis=0)
+        beta = beta + np.linalg.solve(H + reg * np.eye(d), g)
+    return beta
+
+
+def test_cox_fit_matches_numpy_replica(spark):
+    import random
+
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(400):
+        x1 = rng.gauss(0, 1)
+        x2 = 1.0 if rng.random() < 0.4 else 0.0
+        # exponential survival with rate exp(0.7*x1 - 0.5*x2)
+        u = rng.random()
+        tt = float(-1.0 * (1.0 / pow(2.718281828, 0.7 * x1 - 0.5 * x2)) * np.log(u))
+        cens = rng.uniform(0, 2.0)
+        ev = 1 if tt <= cens else 0
+        rows.append((round(min(tt, cens), 4) + 0.0001, ev, x1, x2))
+    df = spark.createDataFrame(
+        rows, "t double, event int, x1 double, x2 double"
+    ).repartition(8)
+    model = GLM.cox_fit(df, "t", "event", ["x1", "x2"], iters=8)
+    ref = _cox_numpy(
+        [r[0] for r in rows],
+        [r[1] for r in rows],
+        [[r[2], r[3]] for r in rows],
+        iters=8,
+    )
+    got = np.array(model["beta"])
+    assert np.allclose(got, ref, atol=1e-8), (got, ref)
+    # recovered effects carry the planted signs and rough magnitude
+    assert 0.3 < got[0] < 1.2 and -1.1 < got[1] < -0.1
+    # partitioning independence (the ALS discipline)
+    model2 = GLM.cox_fit(df.repartition(3), "t", "event", ["x1", "x2"], iters=8)
+    assert np.allclose(np.array(model2["beta"]), got, atol=1e-9)
+    # high-cardinality path agrees (distinct times are row-sized here)
+    model3 = GLM.cox_fit(
+        df, "t", "event", ["x1", "x2"], iters=8, high_cardinality=True
+    )
+    assert np.allclose(np.array(model3["beta"]), got, atol=1e-9)
+
+
+def test_cox_identical_arms_beta_zero(spark):
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    # the same survival pattern in both arms: the arm indicator must
+    # carry no effect
+    rows = []
+    for arm in (0.0, 1.0):
+        for i in range(50):
+            rows.append((float(i + 1), 1 if i % 3 else 0, arm))
+    df = spark.createDataFrame(rows, "t double, event int, arm double")
+    model = GLM.cox_fit(df, "t", "event", ["arm"], iters=8)
+    assert abs(model["beta"][0]) < 1e-10
+    assert model["n_events"] == 66
+
+
+def test_cox_predict_serving_and_guards(spark):
+    import math
+
+    import pytest
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    from pyspark.sql import functions as SF
+
+    model = {"beta": [0.5, -1.0], "cols": ["x1", "x2"], "iters": 8}
+    df = spark.createDataFrame([(2.0, 1.0)], "x1 double, x2 double")
+    r = GLM.cox_predict(df, model).collect()[0]
+    assert abs(r.hazard_ratio - math.exp(0.5 * 2.0 - 1.0)) < 1e-12
+    with pytest.raises(ValueError, match="at least one feature"):
+        GLM.cox_fit(df.withColumn("t", SF.lit(1.0)).withColumn("e", SF.lit(1)), "t", "e", [])
+    allcens = spark.createDataFrame(
+        [(1.0, 0, 0.5), (2.0, 0, 1.5)], "t double, event int, x double"
+    )
+    with pytest.raises(ValueError, match="no events"):
+        GLM.cox_fit(allcens, "t", "event", ["x"], iters=1)

@@ -33,7 +33,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit", "logistic_predict", "ols_two_features", "isotonic_calibrate", "calibration_error"]
+__all__ = [
+    "logistic_fit",
+    "logistic_predict",
+    "ols_two_features",
+    "isotonic_calibrate",
+    "calibration_error",
+    "cox_fit",
+    "cox_predict",
+]
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
@@ -312,3 +320,161 @@ def calibration_error(
             )
         ).alias("bins"),
     )
+
+
+def cox_fit(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    feature_cols: list[str],
+    iters: int = 8,
+    reg: float = 1e-9,
+    high_cardinality: bool = False,
+    n_parts: int | None = None,
+) -> dict:
+    """Cox proportional-hazards regression (partial likelihood, Breslow
+    ties) — the covariate-ADJUSTED survival answer: ``kaplan_meier`` /
+    ``logrank_test`` (operators/stats.py) say whether arm B converted
+    faster; this says by how much per covariate, holding the others
+    fixed, under right censoring.  ``hazard_i(t) = h0(t)·exp(x_i·β)``.
+
+    Newton on the Breslow partial log-likelihood
+    ``ℓ(β) = Σ_t [ sx_t·β − d_t·ln S0(t) ]`` over distinct event times
+    t, with risk-set sums ``S0 = Σ_{t_j ≥ t} w_j``,
+    ``S1 = Σ w_j x_j``, ``S2 = Σ w_j x_j x_jᵀ`` (``w = exp(x·β)``),
+    gradient ``Σ_t [sx_t − d_t·S1/S0]`` and information matrix
+    ``Σ_t d_t·(S2/S0 − (S1/S0)(S1/S0)ᵀ)``.
+
+    Spark shape per Newton iteration — ENTIRELY JVM-side expressions,
+    no Python on the data path (one step further than logistic_fit's
+    mapInPandas partials): ``w`` and its moments are plain column
+    algebra with β inlined as literals; ONE groupBy onto the
+    distinct-time frame computes per-time partials (1 + d + d(d+1)/2
+    moment columns + event sums); the risk-set sums are SUFFIX
+    cumulative sums over that frame — ``suffix = total − (inclusive
+    cumsum − own)`` via ``stats._cdf_prefix``, so
+    ``high_cardinality=True`` survives subject-sized distinct-time
+    frames (exact-microsecond durations) with no single-task window;
+    one closing aggregate collects (d² + d + 1) doubles to the driver
+    for the d×d solve.  Per-iteration driver state is O(d²), cluster
+    work one scan — the ALS/IRLS discipline.  ``reg`` ridges the
+    information matrix (monotone-separation safeguard, the
+    logistic_fit rule).
+
+    Rows with NULL duration are excluded (the kaplan_meier rule).
+    Fixed ``iters`` keeps the result a deterministic function of the
+    input up to float partial-sum re-association (parity asserted to
+    1e-9 in tests — the ALS tolerance).  No SQL mirror (matrix
+    solves); verification is a numpy replica of the identical
+    schedule (tests/test_glm.py) — the OPQ/ALS discipline.
+
+    Returns ``{"beta": [...], "cols": feature_cols, "iters": n,
+    "loglik": float, "n_events": int}``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.stats import (
+        _cdf_prefix,
+    )
+
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("cox_fit: need at least one feature column")
+    src = (
+        df.filter(F.col(time_col).isNotNull())
+        .select(
+            F.col(time_col).cast("double").alias("__t"),
+            F.col(event_col).cast("double").alias("__e"),
+            *[
+                F.col(c).cast("double").alias(f"__x{k}")
+                for k, c in enumerate(feature_cols)
+            ],
+        )
+    )
+    pairs = [(k, l) for k in range(d) for l in range(k, d)]
+    beta = np.zeros(d, dtype=np.float64)
+    n_events = None
+    loglik = None
+    for _ in range(iters):
+        z = F.lit(0.0)
+        for k in range(d):
+            z = z + F.col(f"__x{k}") * F.lit(float(beta[k]))
+        w = F.exp(z)
+        aggs = [F.sum(w).alias("a0"), F.sum("__e").alias("dt")]
+        for k in range(d):
+            aggs.append(F.sum(w * F.col(f"__x{k}")).alias(f"a1_{k}"))
+            aggs.append(
+                F.sum(F.col("__e") * F.col(f"__x{k}")).alias(f"sx_{k}")
+            )
+        for k, l in pairs:
+            aggs.append(
+                F.sum(w * F.col(f"__x{k}") * F.col(f"__x{l}")).alias(
+                    f"a2_{k}_{l}"
+                )
+            )
+        per = src.groupBy(F.col("__t").alias("t")).agg(*aggs)
+        weights = ["a0"] + [f"a1_{k}" for k in range(d)] + [
+            f"a2_{k}_{l}" for k, l in pairs
+        ]
+        cum = _cdf_prefix(per, "t", weights, high_cardinality, n_parts)
+
+        def sfx(c):
+            # suffix-inclusive sum over {t_j >= t}
+            return F.col(f"__tot_{c}") - (F.col(f"__cum_{c}") - F.col(c))
+
+        s0 = sfx("a0")
+        out_cols = [
+            F.sum("dt").alias("__nev"),
+            F.sum(
+                sum(
+                    (F.col(f"sx_{k}") * F.lit(float(beta[k])) for k in range(d)),
+                    F.lit(0.0),
+                )
+                - F.col("dt") * F.log(s0)
+            ).alias("__ll"),
+        ]
+        for k in range(d):
+            out_cols.append(
+                F.sum(F.col(f"sx_{k}") - F.col("dt") * sfx(f"a1_{k}") / s0).alias(
+                    f"g_{k}"
+                )
+            )
+        for k, l in pairs:
+            out_cols.append(
+                F.sum(
+                    F.col("dt")
+                    * (
+                        sfx(f"a2_{k}_{l}") / s0
+                        - (sfx(f"a1_{k}") / s0) * (sfx(f"a1_{l}") / s0)
+                    )
+                ).alias(f"h_{k}_{l}")
+            )
+        row = cum.filter(F.col("dt") > 0).agg(*out_cols).collect()[0]
+        # all-censored input: the event-time filter leaves an empty
+        # frame and every sum is NULL — a clear error, not a crash
+        if row["__nev"] is None or int(row["__nev"]) == 0:
+            raise ValueError("cox_fit: no events observed (all censored)")
+        n_events = int(row["__nev"])
+        loglik = float(row["__ll"])
+        g = np.array([row[f"g_{k}"] for k in range(d)], dtype=np.float64)
+        H = np.zeros((d, d), dtype=np.float64)
+        for k, l in pairs:
+            H[k, l] = H[l, k] = row[f"h_{k}_{l}"]
+        beta = beta + np.linalg.solve(H + reg * np.eye(d), g)
+    return {
+        "beta": beta.tolist(),
+        "cols": list(feature_cols),
+        "iters": iters,
+        "loglik": loglik,
+        "n_events": n_events,
+    }
+
+
+def cox_predict(
+    df: DataFrame, model: dict, out_col: str = "hazard_ratio"
+) -> DataFrame:
+    """Relative risk ``exp(x·β)`` for every row — the Cox serving
+    path, a pure JVM-side expression (the logistic_predict rule: no
+    Python anywhere near serving); appends ``out_col`` to ``df``."""
+    z = F.lit(0.0)
+    for c, w in zip(model["cols"], model["beta"]):
+        z = z + F.col(c).cast("double") * F.lit(float(w))
+    return df.withColumn(out_col, F.exp(z))
