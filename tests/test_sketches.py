@@ -719,3 +719,97 @@ def test_qsketch_bucket_long_min_saturates(spark):
     ).collect()}
     assert rows[lmin] == rows[lmin + 1]          # saturated into the neighbor
     assert rows[lmin] < rows[-(1 << 62)] < 0     # monotone, negative side
+
+
+def test_qsketch_sliding_matches_per_window_batch(spark):
+    """Sliding quantiles == the one-shot sketch run on each trailing
+    window's rows — including a time bucket whose values all landed in
+    sketch buckets only touched in EARLIER hours (the dense-spine
+    case)."""
+    rows = []
+    vals = {0: [1.0, 2.0, 3.0], 1: [100.0, 200.0], 2: [1.5], 4: [50.0, 60.0]}
+    for tb, vs in vals.items():
+        rows += [(tb, v) for v in vs]
+    df = spark.createDataFrame(rows, "tb long, x double")
+    got = {
+        (r.bucket_ts, r.q): (r.rank, r.bucket, r.estimate)
+        for r in sketches.qsketch_sliding_quantiles(
+            df, "tb", "x", [0.5, 0.95], trailing=2, scale=100
+        ).collect()
+    }
+    for tb in vals:
+        window_rows = [v for t, v in rows if tb - 1 <= t <= tb]
+        bdf = spark.createDataFrame([(v,) for v in window_rows], "x double")
+        want = sketches.qsketch_quantiles(
+            sketches.qsketch(bdf, "x", scale=100).select("bucket", "n_rows"),
+            [0.5, 0.95],
+            scale=100,
+        ).collect()
+        for r in want:
+            assert got[(tb, r.q)] == (r.rank, r.bucket, r.estimate), (tb, r.q)
+    # hour 4 is isolated (gap at 3): RANGE frame must not stretch over
+    # the calendar gap, so its window is hour 4 alone
+    assert (3, 0.5) not in got and (4, 0.5) in got
+
+
+def test_qsketch_sliding_stream_maintained_live_reads(spark, tmp_path):
+    """The generic streaming rollup keyed on (bucket_ts, bucket) with
+    the sum measure serves LIVE sliding percentiles — read BETWEEN
+    micro-batches and after, each time equal to the batch composition
+    over the data seen so far (zero sliding-specific streaming code:
+    the hll_sliding pattern)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("qss", "qsr", "qsc"))
+
+    def updates(df):
+        v = F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long")
+        return (
+            df.filter(F.col("x").isNotNull())
+            .select(
+                F.col("tb").alias("bucket_ts"),
+                sketches.qsketch_bucket(v).alias("bucket"),
+            )
+            .groupBy("bucket_ts", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    b1 = spark.range(0, 3000).selectExpr(
+        "id % 3 AS tb", "CAST(id AS DOUBLE) / 11 AS x"
+    )
+    b2 = spark.range(3000, 7000).selectExpr(
+        "2 + id % 2 AS tb", "CAST(id AS DOUBLE) / 11 AS x"
+    )
+    updates(b1).write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["bucket_ts", "bucket"],
+        {"cnt": ("sum", "cnt")}, "bucket_ts long, bucket long, cnt long",
+    )
+    q.processAllAvailable()
+
+    def live():
+        return sorted(
+            (r.bucket_ts, r.q, r.rank, r.bucket, r.estimate)
+            for r in sketches.qsketch_sliding_from_counts(
+                spark.read.parquet(roll).select("bucket_ts", "bucket", "cnt"),
+                [0.5, 0.9], trailing=2, scale=100,
+            ).collect()
+        )
+
+    def batch(df):
+        return sorted(
+            (r.bucket_ts, r.q, r.rank, r.bucket, r.estimate)
+            for r in sketches.qsketch_sliding_quantiles(
+                df, "tb", "x", [0.5, 0.9], trailing=2, scale=100
+            ).collect()
+        )
+
+    assert live() == batch(b1)  # live read BETWEEN micro-batches
+    updates(b2).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert live() == batch(b1.unionByName(b2))

@@ -4131,6 +4131,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_res_topk": q_ivfpq_res_topk,
         "recall_ivfpq_res": q_recall_ivfpq_res,
         "hourly_value_p95": q_hourly_value_p95,
+        "value_p95_sliding": q_value_p95_sliding,
         "ks_price_test": q_ks_price_test,
         "chi2_flag_status": q_chi2_flag_status,
         "benford_prices": q_benford_prices,
@@ -4672,6 +4673,38 @@ def q_hourly_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hi"), "hi"),
         _round6(F.col("estimate"), "estimate"),
     ).orderBy("hour", "q")
+
+
+def q_value_p95_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-6-hour p50/p95 of the event value, hourly — the SLIDING
+    percentile the per-hour entry can't answer (SLO dashboards want
+    "p95 over the last 6 h", not "p95 of this hour"): per-(epoch-hour ×
+    sketch-bucket) counts, a dense spine + RANGE-frame trailing sum per
+    sketch bucket, rank scans on sketch-sized frames
+    (operators/sketches.qsketch_sliding_quantiles — the
+    hll_sliding_distinct idea applied to the quantile trio; the count
+    table stream-maintains via the generic rollup, stream==batch
+    pytest)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sketches as SK,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "ehour", F.expr("unix_micros(ts) div 3600000000")
+    )
+    res = SK.qsketch_sliding_quantiles(
+        ev, "ehour", "value", [0.5, 0.95], trailing=6, m=7, scale=100
+    )
+    return res.select(
+        F.col("bucket_ts").cast("long").alias("ehour"),
+        F.col("q").cast("double").alias("q"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("bucket").cast("long").alias("bucket"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+        _round6(F.col("estimate"), "estimate"),
+    ).orderBy("ehour", "q")
 
 
 def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:

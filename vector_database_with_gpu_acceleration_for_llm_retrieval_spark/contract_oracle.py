@@ -4456,6 +4456,42 @@ ORDER BY hour, q
 """
 
 
+def _oracle_value_p95_sliding(trailing: int = 6) -> str:
+    """Trailing-window sketch-percentile mirror (operators/sketches.
+    qsketch_sliding_quantiles): dense hour×bucket spine, RANGE-frame
+    trailing sum per sketch bucket, same rank rule."""
+    return f"""
+WITH v AS (SELECT epoch_us(ts) // 3600000000 AS tb,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT tb, {_sq_qbucket('v')} AS bucket FROM v),
+c AS (SELECT tb, bucket, count(*) AS cnt FROM b GROUP BY tb, bucket),
+spine AS (SELECT DISTINCT tb FROM c), bks AS (SELECT DISTINCT bucket FROM c),
+dense AS (SELECT sk.tb, sk.bucket, coalesce(c.cnt, 0) AS cnt
+          FROM (SELECT s.tb, k.bucket FROM spine s CROSS JOIN bks k) sk
+          LEFT JOIN c ON c.tb = sk.tb AND c.bucket = sk.bucket),
+merged AS (SELECT tb, bucket,
+                  sum(cnt) OVER (PARTITION BY bucket ORDER BY tb
+                    RANGE BETWEEN {trailing - 1} PRECEDING AND CURRENT ROW) AS n_rows
+           FROM dense),
+st AS (SELECT * FROM merged WHERE n_rows > 0),
+tot AS (SELECT tb, sum(n_rows) AS n FROM st GROUP BY tb),
+cum AS (SELECT tb, bucket, sum(n_rows) OVER (PARTITION BY tb ORDER BY bucket) AS cum
+        FROM st),
+qs AS (SELECT CAST(x AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(x)),
+rk AS (SELECT tb, q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS rnk FROM qs, tot),
+pick AS (SELECT rk.tb AS tb, q, rnk, min(bucket) AS bucket
+         FROM rk JOIN cum ON cum.tb = rk.tb AND cum.cum >= rk.rnk
+         GROUP BY rk.tb, q, rnk)
+SELECT CAST(tb AS BIGINT) AS ehour, q, CAST(rnk AS BIGINT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       {_r6('lo_i / 100.0', 'lo')}, {_r6('hi_i / 100.0', 'hi')},
+       {_r6('(lo_i / 100.0 + hi_i / 100.0) / 2.0', 'estimate')}
+FROM pick, {_sq_qbounds()}
+ORDER BY ehour, q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # every queries() entry has a mirror: the multimodal decode stub was
     # made digest-derived precisely so the full pipeline value-checks.
@@ -4700,6 +4736,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_res_topk": _oracle_ivfpq_res_topk(),
         "recall_ivfpq_res": _oracle_recall_ivfpq_res(),
         "hourly_value_p95": _oracle_hourly_value_p95(),
+        "value_p95_sliding": _oracle_value_p95_sliding(),
         "ks_price_test": _ORACLE_KS_PRICE_TEST,
         "chi2_flag_status": _ORACLE_CHI2_FLAG_STATUS,
         "benford_prices": _ORACLE_BENFORD_PRICES,

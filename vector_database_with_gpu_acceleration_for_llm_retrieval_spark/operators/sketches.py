@@ -53,6 +53,8 @@ __all__ = [
     "qsketch_bucket",
     "qsketch_bounds",
     "qsketch_updates",
+    "qsketch_sliding_quantiles",
+    "qsketch_sliding_from_counts",
     "qsketch",
     "qsketch_quantiles",
     "qsketch_grouped",
@@ -521,9 +523,6 @@ def qsketch_grouped(
     mapping as :func:`qsketch`; same ≤ 2^−(m+1) relative-error
     midpoint. Returns ``(*keys, q, rank, bucket, lo, hi, estimate)``.
     """
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
     upd = (
         df.filter(F.col(col).isNotNull())
         .select(
@@ -540,8 +539,28 @@ def qsketch_grouped(
         .groupBy(*keys, "bucket")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    tot = upd.groupBy(*keys).agg(F.sum("n_rows").alias("__n"))
-    cum = upd.select(
+    return _quantiles_from_keyed_state(upd, keys, quantiles, m, scale)
+
+
+def _quantiles_from_keyed_state(
+    state: DataFrame,
+    keys: list[str],
+    quantiles: list[float],
+    m: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """Per-key rank scan over keyed sketch state ``(*keys, bucket,
+    n_rows)`` — the selection half shared by :func:`qsketch_grouped`
+    and :func:`qsketch_sliding_from_counts`: per-key totals, per-key
+    ordered bucket cumsum (partitioned by the keys, so every window
+    frame is sketch-sized), the classic lower-empirical-quantile rank
+    rule, midpoint estimates. Returns ``(*keys, q, rank, bucket, lo,
+    hi, estimate)``."""
+    from pyspark.sql import Window
+
+    spark = state.sparkSession
+    tot = state.groupBy(*keys).agg(F.sum("n_rows").alias("__n"))
+    cum = state.select(
         *keys,
         "bucket",
         F.sum("n_rows")
@@ -575,6 +594,91 @@ def qsketch_grouped(
             ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("estimate"),
         )
         .orderBy(*keys, "q")
+    )
+
+
+def qsketch_sliding_quantiles(
+    df: DataFrame,
+    bucket_col: str,
+    col: str,
+    quantiles: list[float],
+    trailing: int = 6,
+    m: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """Sliding-window quantiles from sketch states: for every time
+    bucket, the estimated quantiles of ``col`` over the TRAILING
+    ``trailing`` buckets — "p95 latency over the last 6 hours, hourly"
+    — the :func:`hll_sliding_distinct` idea applied to the quantile
+    trio (mergeability exploited in a WINDOW; an exact sliding
+    quantile re-sorts every row ``trailing`` times).
+
+    Per (time-bucket × sketch-bucket) counts from one map-side-combined
+    groupBy, then :func:`qsketch_sliding_from_counts`. ``bucket_col``
+    must be an integer bucket index (e.g. epoch-hours). Returns
+    ``(bucket_ts, q, rank, bucket, lo, hi, estimate)``.
+    """
+    v = (
+        F.col(col).cast("long")
+        if scale == 1
+        else F.floor(F.col(col).cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(bucket_col).alias("bucket_ts"),
+            qsketch_bucket(v, m).alias("bucket"),
+        )
+        .groupBy("bucket_ts", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return qsketch_sliding_from_counts(
+        counts, quantiles, trailing=trailing, m=m, scale=scale
+    )
+
+
+def qsketch_sliding_from_counts(
+    counts: DataFrame,
+    quantiles: list[float],
+    trailing: int = 6,
+    m: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """The window+select half of :func:`qsketch_sliding_quantiles`,
+    split out so a CONTINUOUSLY MAINTAINED count table — the generic
+    ``stream_rollup_maintenance`` keyed on (bucket_ts, bucket) with the
+    sum measure — serves live sliding percentiles with zero
+    sliding-specific streaming code (the
+    :func:`hll_sliding_from_registers` pattern; stream == batch
+    pytest). ``counts`` is ``(bucket_ts, bucket, cnt)``, ≤ one row per
+    pair.
+
+    A dense (time-bucket × observed-sketch-bucket) spine keeps a
+    bucket updated only in an EARLIER hour visible to the current
+    window (the outer-join semantics a bare window over present rows
+    would drop); the trailing merge is a per-sketch-bucket sum over a
+    RANGE frame on the integer time bucket (range, not rows, so
+    calendar gaps don't stretch the window). Every frame after the
+    input is (times × ≤63·2^m) — sketch-sized, row-count independent.
+    """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    spine = counts.select("bucket_ts").distinct().crossJoin(
+        counts.select("bucket").distinct()
+    )
+    dense = spine.join(counts, ["bucket_ts", "bucket"], "left")
+    wnd = (
+        Window.partitionBy("bucket")
+        .orderBy("bucket_ts")
+        .rangeBetween(-(trailing - 1), 0)
+    )
+    merged = dense.select(
+        "bucket_ts",
+        "bucket",
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(wnd).alias("n_rows"),
+    ).filter(F.col("n_rows") > 0)
+    return _quantiles_from_keyed_state(
+        merged, ["bucket_ts"], quantiles, m, scale
     )
 
 
