@@ -270,3 +270,130 @@ def test_validate_index_flags_corruption(spark, tables, tmp_path):
     ).partitionBy("ivf_cell").parquet(p)
     out = validate_index(spark, p)
     assert out["issues"] and "99" in out["issues"][0]
+
+
+def _partition_snapshot(path, part_dir):
+    """(name, size) listing of one partition directory — byte-identity
+    witness for untouched partitions."""
+    import os
+
+    out = []
+    d = os.path.join(path, part_dir)
+    for f in sorted(os.listdir(d)):
+        fp = os.path.join(d, f)
+        out.append((f, os.path.getsize(fp), open(fp, "rb").read()))
+    return out
+
+
+def test_delete_from_lsh_index_prunes_and_preserves(corpus, qvec, spark, tmp_path):
+    """r9 verdict #6: delete ids in place — searches exclude them,
+    only the touched bucket partitions rewrite (untouched dirs
+    byte-identical), validate_index still passes."""
+    import os
+
+    path = str(tmp_path / "lshdel")
+    planes = S.random_hyperplanes(n_planes=3, dim=64, seed=5)
+    A.write_lsh_index(corpus, path, planes)
+    all_ids = [r.vec_id for r in corpus.select("vec_id").orderBy("vec_id").collect()]
+    doomed = all_ids[:5]
+    # locate victim + untouched buckets beforehand
+    idx = spark.read.parquet(path)
+    victim_buckets = {
+        r.bucket for r in idx.filter(F.col("vec_id").isin(doomed))
+        .select("bucket").distinct().collect()
+    }
+    untouched = sorted(
+        {r.bucket for r in idx.select("bucket").distinct().collect()}
+        - victim_buckets
+    )
+    assert untouched, "fixture needs at least one untouched bucket"
+    before = {b: _partition_snapshot(path, f"bucket={b}") for b in untouched}
+    out = A.delete_from_index(spark, path, doomed)
+    assert out["kind"] == "lsh"
+    assert sorted(out["touched_partitions"]) == sorted(victim_buckets)
+    assert out["rows_deleted"] == 5
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("vec_id").isin(doomed)).count() == 0
+    assert after.count() == len(all_ids) - 5
+    for b in untouched:
+        assert _partition_snapshot(path, f"bucket={b}") == before[b], b
+    # searches exclude the deleted ids
+    got = A.lsh_topk_indexed(spark, path, qvec, k=50, n_probe_buckets=8).collect()
+    assert not ({r.vec_id for r in got} & set(doomed))
+    assert A.validate_index(spark, path)["issues"] == []
+    # deleting every id in a bucket drops its directory
+    rest = [r.vec_id for r in after.filter(F.col("bucket") == untouched[0])
+            .select("vec_id").collect()]
+    A.delete_from_index(spark, path, rest)
+    assert not os.path.exists(os.path.join(path, f"bucket={untouched[0]}"))
+    assert A.validate_index(spark, path)["issues"] == []
+
+
+def test_delete_from_unpartitioned_code_index(corpus, spark, tmp_path):
+    """bq/sq/pq code tables are flat — delete is anti-join + staged
+    full rewrite; sidecar survives, validate_index passes."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        bq as BQ,
+    )
+
+    path = str(tmp_path / "bqdel")
+    thr = BQ.train_bq_thresholds(corpus, dim=64)
+    BQ.write_bq_index(corpus, path, thr)
+    n = corpus.count()
+    out = A.delete_from_index(spark, path, [0, 1, 2])
+    assert out["kind"] == "bq" and out["rows_deleted"] == 3
+    after = spark.read.parquet(path)
+    assert after.count() == n - 3
+    assert after.filter(F.col("vec_id").isin([0, 1, 2])).count() == 0
+    assert A.validate_index(spark, path)["issues"] == []
+    # no-op delete of absent ids
+    out = A.delete_from_index(spark, path, [10**9])
+    assert out["rows_deleted"] == 0
+
+
+def test_delete_then_stream_maintenance_consistent(corpus, spark, tmp_path):
+    """Delete composes with the stream-maintained index: build the
+    index VIA the sink, delete ids (which must drop the sink's
+    _spark_metadata shadow log so the rewrite is visible), then resume
+    maintenance with a fresh checkpoint on new data — the index serves
+    survivors + arrivals and validate_index passes."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming.pipeline import (
+        stream_lsh_index_ingest,
+    )
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    path = str(tmp_path / "lshstream")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    planes = S.random_hyperplanes(n_planes=3, dim=64, seed=5)
+    corpus.filter("vec_id < 40").withColumn("label", F.lit(0)).write.mode(
+        "append"
+    ).parquet(src1)
+    q = stream_lsh_index_ingest(spark, src1, path, ck1, planes, dim=64)
+    q.processAllAvailable()
+    q.stop()
+    import os
+
+    assert os.path.exists(os.path.join(path, "_spark_metadata"))
+    out = A.delete_from_index(spark, path, [0, 1])
+    assert out["rows_deleted"] == 2
+    # the shadow log is gone and the rewrite is visible to batch reads
+    assert not os.path.exists(os.path.join(path, "_spark_metadata"))
+    got = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert got == set(range(2, 40))
+    # resume maintenance: FRESH checkpoint + log_free sink (the
+    # documented contract after a delete — a file-sink resume would
+    # recreate the shadow log over only its own files)
+    corpus.filter("vec_id >= 40 AND vec_id < 60").withColumn(
+        "label", F.lit(0)
+    ).write.mode("append").parquet(src2)
+    q = stream_lsh_index_ingest(
+        spark, src2, path, ck2, planes, dim=64, log_free=True
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert not os.path.exists(os.path.join(path, "_spark_metadata"))
+    got = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert got == set(range(2, 60))
+    assert A.validate_index(spark, path)["issues"] == []
+    # and a second delete now touches streamed rows too
+    assert A.delete_from_index(spark, path, [45])["rows_deleted"] == 1

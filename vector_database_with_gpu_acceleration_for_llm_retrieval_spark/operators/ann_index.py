@@ -41,6 +41,7 @@ __all__ = [
     "train_centroids_distributed",
     "ivf_knn_join_indexed",
     "validate_index",
+    "delete_from_index",
 ]
 
 #: sidecar subdirectory (underscore prefix → invisible to parquet
@@ -366,3 +367,152 @@ def validate_index(spark: SparkSession, path: str) -> dict:
     else:
         issues.append(f"unknown index kind: {kind!r}")
     return {"kind": kind, "rows": rows, "issues": issues}
+
+
+def _dynamic_partition_overwrite(keep: DataFrame, path: str, part_col: str, touched: list) -> None:
+    """Rewrite ONLY the partitions present in ``keep`` (dynamic
+    overwrite — the delete_from_collection pattern, ingest.py), then
+    drop the directories of partitions the delete emptied (dynamic
+    overwrite never writes an empty partition, so a fully-erased
+    bucket would otherwise keep serving its stale files)."""
+    spark = keep.sparkSession
+    conf = spark.conf
+    try:
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:
+        prev = None
+    try:
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            keep.repartition(max(len(touched), 1), part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    kept = {r[part_col] for r in keep.select(part_col).distinct().collect()}
+    emptied = [p for p in touched if p not in kept]
+    if emptied:
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
+            _fs_and_path,
+        )
+
+        fs, _, jvm = _fs_and_path(spark, path)
+        for p in emptied:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/{part_col}={p}"), True
+            )
+
+
+def delete_from_index(
+    spark: SparkSession, path: str, ids: list, id_col: str = "vec_id"
+) -> dict:
+    """Right-to-erasure maintenance for a materialized ANN index
+    (lsh / ivf / ivfpq / bq / sq / pq): remove ``ids`` in place, so a
+    delete no longer forces a full index rebuild.  The serving layouts
+    are append-only under stream maintenance (stream_*_index_ingest
+    adds, nothing removed) — this is the remove half.
+
+    Partitioned kinds (lsh on ``bucket``, ivf/ivfpq on ``ivf_cell``):
+    one COLUMN-PRUNED scan of (id, partition) locates the partitions
+    holding the doomed ids — the partition value is directory-derived,
+    so the scan reads exactly one stored column; then only those
+    partitions re-read (PartitionFilters prune the rest), anti-join
+    the id set, and dynamic-overwrite rewrite — untouched partitions
+    are never opened, let alone rewritten (the
+    ``delete_from_collection`` discipline, ingest.py).  Emptied
+    partition directories are dropped explicitly.
+
+    Unpartitioned kinds (bq / sq / pq — flat code tables): the delete
+    is an anti-join + full rewrite of the code table, documented
+    honestly (8–64 bytes/vector, so the rewrite is compressed-domain
+    cheap; partition these layouts by a routing key at write time if
+    erasure volume ever dominates).  The rewrite stages through
+    ``<path>__del_tmp`` + rename so a crash never leaves a
+    half-deleted index.
+
+    The sidecar is untouched (thresholds/codebooks/centroids describe
+    the SPACE, not the rows).  ``validate_index`` passes afterwards.
+    Returns ``{"kind", "touched_partitions", "rows_deleted"}``.
+
+    STREAM-MAINTAINED indexes (stream_*_index_ingest): the streaming
+    file sink's ``_spark_metadata`` log lists only sink-written files
+    and SHADOWS everything else, so a delete's rewritten files would
+    be invisible (and deleted files stale-served).  The log is
+    therefore dropped here when present — the table becomes a plain
+    partitioned parquet table (directory-listing reads, still
+    partition-pruned).  Resumed maintenance after a delete MUST use a
+    fresh checkpoint + source position (a resumed sink would recreate
+    the log over only its own new files, reintroducing the shadow);
+    the delete-then-resume flow is pytest-asserted.
+    """
+    meta = _read_meta(spark, path)
+    kind = meta.get("kind")
+    if kind == "bm25":
+        raise ValueError(
+            "bm25 indexes carry corpus statistics that must update with"
+            " the delete - use lexical.delete_from_bm25_index"
+        )
+    if not ids:
+        return {"kind": kind, "touched_partitions": [], "rows_deleted": 0}
+    id_frame = F.broadcast(
+        spark.createDataFrame([(i,) for i in ids], [id_col]).distinct()
+    )
+    part_col = {"lsh": "bucket", "ivf": "ivf_cell", "ivfpq": "ivf_cell"}.get(kind)
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
+        _fs_and_path,
+    )
+
+    fs, _, jvm = _fs_and_path(spark, path)
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    # a streaming-sink metadata log would shadow the rewrite (see
+    # docstring) — drop it BEFORE reading, so the read lists
+    # directories (all committed files; only a crashed sink's
+    # uncommitted orphans could surface, and only once)
+    sink_log = path_cls(f"{path}/_spark_metadata")
+    if fs.exists(sink_log):
+        fs.delete(sink_log, True)
+    df = spark.read.parquet(path)
+    if part_col is not None:
+        touched = sorted(
+            r[part_col]
+            for r in df.join(id_frame, id_col, "left_semi")
+            .select(part_col)
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return {"kind": kind, "touched_partitions": [], "rows_deleted": 0}
+        current = df.filter(F.col(part_col).isin(touched))
+        before = current.count()
+        keep = current.join(id_frame, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        after = keep.count()
+        _dynamic_partition_overwrite(keep, path, part_col, touched)
+        return {
+            "kind": kind,
+            "touched_partitions": touched,
+            "rows_deleted": before - after,
+        }
+    before = df.count()
+    keep = df.join(id_frame, id_col, "left_anti").localCheckpoint(eager=True)
+    after = keep.count()
+    tmp = path + "__del_tmp"
+    keep.write.mode("overwrite").parquet(tmp)
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
+        _fs_and_path,
+    )
+
+    fs, _, jvm = _fs_and_path(spark, path)
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    # keep the sidecar: move it into the staged table before the swap
+    if fs.exists(path_cls(f"{path}/{_META}")):
+        fs.rename(path_cls(f"{path}/{_META}"), path_cls(f"{tmp}/{_META}"))
+    fs.delete(path_cls(path), True)
+    fs.rename(path_cls(tmp), path_cls(path))
+    return {"kind": kind, "touched_partitions": [], "rows_deleted": before - after}

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
 
-__all__ = ["bm25_topk", "bm25_knn_join", "rrf_fuse", "linear_fuse", "write_bm25_index", "bm25_topk_indexed", "tfidf_top_terms"]
+__all__ = ["bm25_topk", "bm25_knn_join", "rrf_fuse", "linear_fuse", "write_bm25_index", "bm25_topk_indexed", "delete_from_bm25_index", "tfidf_top_terms"]
 
 #: term-hash partition fan-out for the postings table — a query's terms
 #: prune to ≤|q| of these partitions before any file opens.
@@ -430,3 +430,93 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def delete_from_bm25_index(spark, path: str, ids: list, id_col: str = "doc_id") -> dict:
+    """Right-to-erasure maintenance for a materialized BM25 index —
+    the lexical sibling of ``ann_index.delete_from_index``, with the
+    part the vector indexes don't have: the CORPUS STATISTICS move
+    with the delete (a stale ``df``/``N``/``avgdl`` silently skews
+    every later score), and all three update EXACTLY without
+    re-scanning the corpus.
+
+    Plan: one column-pruned pass over the postings locates the doomed
+    rows; their term buckets rewrite under dynamic partition overwrite
+    (untouched buckets never open — though note a document's terms
+    spread over many buckets, so erasure locality is per-TERM, not
+    per-doc); ``dfreq`` decrements by the deleted docs' per-term doc
+    counts (and drops terms reaching df=0); the sidecar updates from
+    the doomed rows alone: ``N' = N − |deleted docs|``,
+    ``Σdl' = avgdl·N − Σ dl_deleted`` (each doomed doc's dl rides on
+    its posting rows).  ``bm25_topk_indexed`` scores after the delete
+    equal ``bm25_topk`` on the reduced corpus — asserted in
+    tests/test_lexical-family.  Returns ``{"rows_deleted",
+    "docs_deleted", "touched_buckets"}``."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _dynamic_partition_overwrite,
+        _read_meta,
+        _write_meta,
+    )
+
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"not a bm25 index: kind={meta.get('kind')!r}")
+    if not ids:
+        return {"rows_deleted": 0, "docs_deleted": 0, "touched_buckets": []}
+    id_frame = F.broadcast(
+        spark.createDataFrame([(i,) for i in ids], [id_col]).distinct()
+    )
+    postings = spark.read.parquet(path + "/postings")
+    doomed = postings.join(id_frame, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    stats = doomed.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(id_col).alias("docs"),
+    ).collect()[0]
+    rows_deleted = int(stats["rows"])
+    docs_deleted = int(stats["docs"])
+    if rows_deleted == 0:
+        return {"rows_deleted": 0, "docs_deleted": 0, "touched_buckets": []}
+    dl_deleted = (
+        doomed.select(id_col, "dl").distinct().agg(F.sum("dl")).collect()[0][0]
+    )
+    touched = sorted(
+        r["term_bucket"]
+        for r in doomed.select("term_bucket").distinct().collect()
+    )
+    current = postings.filter(F.col("term_bucket").isin(touched))
+    keep = current.join(id_frame, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    _dynamic_partition_overwrite(keep, path + "/postings", "term_bucket", touched)
+    # dfreq: subtract each term's deleted-doc count; df=0 terms drop
+    dec = doomed.groupBy("term").agg(F.count_distinct(id_col).alias("__dec"))
+    dfreq = spark.read.parquet(path + "/dfreq")
+    new_dfreq = (
+        dfreq.join(F.broadcast(dec), "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("__dec"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .localCheckpoint(eager=True)
+    )
+    new_dfreq.write.mode("overwrite").parquet(path + "/dfreq")
+    n_docs = int(meta["n_docs"]) - docs_deleted
+    sum_dl = float(meta["avgdl"]) * int(meta["n_docs"]) - float(dl_deleted)
+    _write_meta(
+        spark,
+        path,
+        {
+            "kind": "bm25",
+            "n_docs": n_docs,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+            "n_buckets": meta["n_buckets"],
+        },
+    )
+    return {
+        "rows_deleted": rows_deleted,
+        "docs_deleted": docs_deleted,
+        "touched_buckets": touched,
+    }

@@ -433,6 +433,43 @@ def stream_vector_ingest(
     )
 
 
+def _start_index_append_sink(
+    prepared, index_path: str, checkpoint_dir: str, part_col: str | None = None,
+    log_free: bool = False,
+):
+    """Shared append sink for the materialized-index maintenance
+    streams. Default: the parquet file sink — exactly-once via its
+    ``_spark_metadata`` log, which also means batch reads see ONLY
+    sink-written files. ``log_free=True`` appends through
+    ``foreachBatch`` instead (plain directory-listed files, no log):
+    REQUIRED to resume maintenance after ``ann_index.delete_from_index``
+    (a resumed file sink would recreate the log over only its own new
+    files and shadow the delete's rewrite); the trade is exactly-once →
+    at-least-once across crash replays of an uncommitted micro-batch.
+    """
+    if log_free:
+        def _append(bdf, _batch_id):
+            w = bdf.write.mode("append")
+            if part_col:
+                w = w.partitionBy(part_col)
+            w.parquet(index_path)
+
+        return (
+            prepared.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start()
+        )
+    w = (
+        prepared.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if part_col:
+        w = w.partitionBy(part_col)
+    return w.outputMode("append").start()
+
+
 def stream_lsh_index_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -441,6 +478,7 @@ def stream_lsh_index_ingest(
     planes: list[list[float]],
     dim: int,
     schema: str = "vec_id long, embedding array<float>, label int",
+    log_free: bool = False,
 ):
     """Streaming maintenance of the materialized LSH ANN index
     (operators/ann_index.py): arriving vectors are validated,
@@ -473,13 +511,8 @@ def stream_lsh_index_ingest(
     prepared = normalized(validate_dim(stream, dim)).withColumn(
         "bucket", lsh_bucket("embedding", planes)
     )
-    return (
-        prepared.writeStream.format("parquet")
-        .option("path", index_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("bucket")
-        .outputMode("append")
-        .start()
+    return _start_index_append_sink(
+        prepared, index_path, checkpoint_dir, "bucket", log_free
     )
 
 
@@ -491,6 +524,7 @@ def stream_ivf_index_ingest(
     centroids: list[tuple[int, list[float]]],
     dim: int,
     schema: str = "vec_id long, embedding array<float>, label int",
+    log_free: bool = False,
 ):
     """IVF twin of :func:`stream_lsh_index_ingest`: arriving vectors
     are assigned to their nearest frozen centroid's cell and appended
@@ -515,13 +549,8 @@ def stream_ivf_index_ingest(
     )
     stream = spark.readStream.schema(schema).parquet(source_dir)
     prepared = ivf_assign(normalized(validate_dim(stream, dim)), centroids)
-    return (
-        prepared.writeStream.format("parquet")
-        .option("path", index_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("ivf_cell")
-        .outputMode("append")
-        .start()
+    return _start_index_append_sink(
+        prepared, index_path, checkpoint_dir, "ivf_cell", log_free
     )
 
 
@@ -534,6 +563,7 @@ def stream_ivfpq_index_ingest(
     codebooks: list[list[list[float]]],
     dim: int,
     schema: str = "vec_id long, embedding array<float>, label int",
+    log_free: bool = False,
 ):
     """IVF-PQ twin of :func:`stream_ivf_index_ingest` — continuous
     maintenance of the billion-scale serving layout (operators/pq.py
@@ -573,13 +603,8 @@ def stream_ivfpq_index_ingest(
     stream = spark.readStream.schema(schema).parquet(source_dir)
     assigned = ivf_assign(normalized(validate_dim(stream, dim)), centroids)
     codes = pq_encode(assigned, codebooks, keep_cols=["ivf_cell"])
-    return (
-        codes.writeStream.format("parquet")
-        .option("path", index_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("ivf_cell")
-        .outputMode("append")
-        .start()
+    return _start_index_append_sink(
+        codes, index_path, checkpoint_dir, "ivf_cell", log_free
     )
 
 
@@ -720,6 +745,7 @@ def stream_trigram_index_ingest(
     index_path: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
+    log_free: bool = False,
 ):
     """Streaming maintenance of the trigram substring-search index
     (operators/grep.py): arriving documents explode into their
@@ -751,13 +777,8 @@ def stream_trigram_index_ingest(
         .filter(F.col("trigram").isNotNull())
         .withColumn("tg_bucket", _bucket(F.col("trigram")))
     )
-    return (
-        postings.writeStream.format("parquet")
-        .option("path", index_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("tg_bucket")
-        .outputMode("append")
-        .start()
+    return _start_index_append_sink(
+        postings, index_path, checkpoint_dir, "tg_bucket", log_free
     )
 
 
@@ -769,6 +790,7 @@ def stream_bq_index_ingest(
     thresholds: list[float],
     dim: int,
     schema: str = "vec_id long, embedding array<float>, label int",
+    log_free: bool = False,
 ):
     """BQ twin of :func:`stream_lsh_index_ingest`: arriving vectors are
     sign-bit packed against the FROZEN thresholds and appended to the
@@ -800,12 +822,8 @@ def stream_bq_index_ingest(
     prepared = validate_dim(stream, dim).select(
         "vec_id", *[c.alias(f"w{i}") for i, c in enumerate(words)]
     )
-    return (
-        prepared.writeStream.format("parquet")
-        .option("path", index_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .start()
+    return _start_index_append_sink(
+        prepared, index_path, checkpoint_dir, None, log_free
     )
 
 
