@@ -526,3 +526,110 @@ def test_burn_rate_live_by_composition(spark, tmp_path):
         ).collect()
     }
     assert live == batch and len(live) == 8
+
+
+def _ar_numpy(days, ys, p, horizon):
+    """Numpy replica of temporal.ar_forecast's exact schedule:
+    calendar-lag integer pair sums -> YW rho -> Durbin-Levinson ->
+    unrolled recursive forecasts."""
+    import numpy as np
+
+    days = list(days)
+    ys = np.asarray(ys, dtype=np.int64)
+    n = len(ys)
+    by_day = dict(zip(days, ys))
+    mu = ys.sum() / n
+    c0 = (ys.astype(float) ** 2).sum() - float(ys.sum()) ** 2 / n
+    rho = {}
+    for j in range(1, p + 1):
+        sa = sb = sab = 0
+        nj = 0
+        for d, y in by_day.items():
+            prev = d - j
+            if prev in by_day:
+                nj += 1
+                sa += y
+                sb += by_day[prev]
+                sab += int(y) * int(by_day[prev])
+        rho[j] = (sab - mu * sa - mu * sb + nj * mu * mu) / c0
+    phi = {1: {1: rho[1]}}
+    for k in range(2, p + 1):
+        prev = phi[k - 1]
+        num = rho[k] - sum(prev[j] * rho[k - j] for j in range(1, k))
+        den = 1.0 - sum(prev[j] * rho[j] for j in range(1, k))
+        kk = num / den
+        phi[k] = {j: prev[j] - kk * prev[k - j] for j in range(1, k)}
+        phi[k][k] = kk
+    coef = [phi[p][j] for j in range(1, p + 1)]
+    # last p observations by day desc
+    order = sorted(days, reverse=True)
+    v = [by_day[order[i]] for i in range(p)]
+    fc = {}
+
+    def dev(i):
+        return (fc[i] - mu) if i >= 1 else (v[-i] - mu)
+
+    for h in range(1, horizon + 1):
+        fc[h] = mu + sum(coef[j - 1] * dev(h - j) for j in range(1, p + 1))
+    return mu, coef, [fc[h] for h in range(1, horizon + 1)]
+
+
+def test_ar_forecast_matches_numpy_replica(spark):
+    import random
+
+    rng = random.Random(23)
+    # AR(2)-ish integer series on integer "days" (date arithmetic via
+    # real dates below)
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    ys, days = [], []
+    x1, x2 = 100.0, 100.0
+    for i in range(60):
+        if i % 13 == 5:
+            continue  # calendar gaps: lag pairs must skip them
+        x = 50 + 0.6 * (x1 - 50) - 0.3 * (x2 - 50) + rng.gauss(0, 5)
+        x2, x1 = x1, x
+        days.append(i)
+        ys.append(int(round(x * 100)))
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), y) for d, y in zip(days, ys)],
+        "day date, y long",
+    ).repartition(4)
+    got = {
+        r.h: r.forecast
+        for r in temporal.ar_forecast(df, "day", "y", p=2, horizon=7).collect()
+    }
+    mu, coef, want = _ar_numpy(days, ys, p=2, horizon=7)
+    for h in range(1, 8):
+        assert abs(got[h] - want[h - 1]) < 1e-6 * max(1.0, abs(want[h - 1])), h
+    # fitted/resid: every row with both calendar lags present, residual
+    # definition exact
+    fit = temporal.ar_fitted(df, "day", "y", p=2).collect()
+    by_day = dict(zip(days, ys))
+    expect_days = {d for d in days if d - 1 in by_day and d - 2 in by_day}
+    assert {r.day.toordinal() - base.toordinal() for r in fit} == expect_days
+    for r in fit:
+        d = r.day.toordinal() - base.toordinal()
+        f = mu + coef[0] * (by_day[d - 1] - mu) + coef[1] * (by_day[d - 2] - mu)
+        assert abs(r.fitted - f) < 1e-6 * max(1.0, abs(f))
+        assert abs(r.resid - (by_day[d] - r.fitted)) < 1e-9
+
+
+def test_ar_forecast_constant_series_null_and_guards(spark):
+    import datetime
+
+    import pytest
+
+    base = datetime.date(2024, 1, 1)
+    const = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), 7) for i in range(20)],
+        "day date, y long",
+    )
+    # zero variance -> c0 = 0 -> NULL coefficients -> NULL forecasts
+    rows = temporal.ar_forecast(const, "day", "y", p=2, horizon=3).collect()
+    assert [r.forecast for r in rows] == [None, None, None]
+    with pytest.raises(ValueError, match="p must be"):
+        temporal.ar_forecast(const, "day", "y", p=0)
+    with pytest.raises(ValueError, match="horizon"):
+        temporal.ar_forecast(const, "day", "y", horizon=9)

@@ -4178,6 +4178,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_by_arm": q_km_by_arm,
         "rank_sum_distributed": q_rank_sum_distributed,
         "km_distributed": q_km_distributed,
+        "ar_forecast7": q_ar_forecast7,
     }
 
 
@@ -5824,6 +5825,37 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+def q_ar_forecast7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) 7-day forecast of the daily value series with conformal
+    bands — the autoregressive completion of the Durbin-Levinson path
+    (pacf_daily diagnoses the order, this fits it): Yule-Walker from
+    integer-exact calendar-lag pair sums, recursive forecasts unrolled
+    to scalar expressions, lo/hi = ŷ + q10/q90 of the in-sample
+    one-step residuals (operators/temporal.ar_forecast + ar_fitted;
+    the forecast_bands recipe on an AR engine; oracle = the identical
+    unroll)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        temporal as TP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+    )
+    fc = TP.ar_forecast(daily, "day", "y", p=2, horizon=7)
+    q = TP.ar_fitted(daily, "day", "y", p=2).agg(
+        F.expr("percentile(resid, 0.1)").alias("q10"),
+        F.expr("percentile(resid, 0.9)").alias("q90"),
+    )
+    out = fc.crossJoin(F.broadcast(q))
+    return out.select(
+        F.col("h").cast("int").alias("h"),
+        _round6(F.col("forecast"), "forecast"),
+        _round6(F.col("forecast") + F.col("q10"), "lo"),
+        _round6(F.col("forecast") + F.col("q90"), "hi"),
+    ).orderBy("h")
 
 
 def q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:

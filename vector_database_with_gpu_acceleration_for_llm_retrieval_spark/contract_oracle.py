@@ -4456,6 +4456,99 @@ ORDER BY hour, q
 """
 
 
+def _oracle_ar_forecast7(p: int = 2, horizon: int = 7) -> str:
+    """The identical AR(p) unroll in SQL, generated by the same loops
+    as operators/temporal.ar_forecast / ar_fitted (the pacf_daily
+    precedent): integer calendar-lag pair sums, the same
+    left-associated c_j / Durbin-Levinson / forecast expression
+    orders, residual quantile bands."""
+    rho = ", ".join(
+        f"(CAST(sab{j} AS DOUBLE) - mu * CAST(sa{j} AS DOUBLE)"
+        f" - mu * CAST(sb{j} AS DOUBLE) + CAST(nj{j} AS DOUBLE) * mu * mu)"
+        f" / (CASE WHEN c0 <> 0 THEN c0 END) AS r{j}"
+        for j in range(1, p + 1)
+    )
+    levels = ["l1 AS (SELECT rr.*, r1 AS p1_1 FROM rr)"]
+    for k in range(2, p + 1):
+        num_terms = " + ".join(f"p{k - 1}_{j} * r{k - j}" for j in range(1, k))
+        den_terms = " + ".join(f"p{k - 1}_{j} * r{j}" for j in range(1, k))
+        levels.append(
+            f"l{k}a AS (SELECT *, (r{k} - ({num_terms}))"
+            f" / (CASE WHEN 1.0 - ({den_terms}) <> 0 THEN 1.0 - ({den_terms}) END)"
+            f" AS p{k}_{k} FROM l{k - 1})"
+        )
+        coeffs = ", ".join(
+            f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+            for j in range(1, k)
+        )
+        levels.append(f"l{k} AS (SELECT *, {coeffs} FROM l{k}a)")
+    wide = ", ".join(
+        f"max(CASE WHEN lag = {j} THEN {c} END) AS {c}{j}"
+        for j in range(1, p + 1)
+        for c in ("nj", "sa", "sb", "sab")
+    )
+    lastv = ", ".join(
+        f"max(CASE WHEN rn = {j} THEN y END) AS v{j}" for j in range(1, p + 1)
+    )
+    # recursive forecasts as chained CTEs (f_h references f_{h-1});
+    # deviation of x_{n+i}: known v_{1-i} for i <= 0, forecast for i >= 1
+    def dev(i: int) -> str:
+        return f"(f{i} - mu)" if i >= 1 else f"(CAST(v{1 - i} AS DOUBLE) - mu)"
+
+    fcs = []
+    prev = "m"
+    for h in range(1, horizon + 1):
+        terms = " + ".join(
+            f"p{p}_{j} * {dev(h - j)}" for j in range(1, p + 1)
+        )
+        fcs.append(f"fc{h} AS (SELECT *, mu + ({terms}) AS f{h} FROM {prev})")
+        prev = f"fc{h}"
+    fit_joins = " ".join(
+        f"JOIN d lag{j} ON lag{j}.day = d.day - to_days({j})"
+        for j in range(1, p + 1)
+    )
+    fit_terms = " + ".join(
+        f"m.p{p}_{j} * (CAST(lag{j}.y AS DOUBLE) - m.mu)"
+        for j in range(1, p + 1)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {h} AS h, f{h} AS f FROM {prev}" for h in range(1, horizon + 1)
+    )
+    levels_sql = ",\n".join(levels)
+    fcs_sql = ",\n".join(fcs)
+    return f"""
+WITH {_SQ_DAILY_CENTS},
+base AS (SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM d),
+lags AS (SELECT unnest(generate_series(1, {p})) AS lag),
+pr AS (SELECT l.lag, a.y AS ya, b.y AS yb
+       FROM d a CROSS JOIN lags l
+       JOIN d b ON b.day = a.day - to_days(CAST(l.lag AS INT))),
+sums AS (SELECT lag, count(*) AS nj, sum(ya) AS sa, sum(yb) AS sb,
+                sum(ya * yb) AS sab
+         FROM pr GROUP BY 1),
+wide AS (SELECT {wide} FROM sums),
+one AS (SELECT *, CAST(sy AS DOUBLE) / n AS mu,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS c0
+        FROM base CROSS JOIN wide),
+rr AS (SELECT *, {rho} FROM one),
+{levels_sql},
+lv AS (SELECT {lastv} FROM
+         (SELECT y, row_number() OVER (ORDER BY day DESC) AS rn FROM d)
+       WHERE rn <= {p}),
+m AS (SELECT * FROM l{p} CROSS JOIN lv),
+{fcs_sql},
+fit AS (SELECT d.y, m.mu + ({fit_terms}) AS fitted
+        FROM d {fit_joins} CROSS JOIN m),
+qs AS (SELECT quantile_cont(CAST(y AS DOUBLE) - fitted, 0.1) AS q10,
+              quantile_cont(CAST(y AS DOUBLE) - fitted, 0.9) AS q90
+       FROM fit),
+u AS ({union})
+SELECT CAST(h AS INT) AS h, {_r6('f', 'forecast')},
+       {_r6('f + q10', 'lo')}, {_r6('f + q90', 'hi')}
+FROM u CROSS JOIN qs ORDER BY h
+"""
+
+
 def _oracle_value_p95_sliding(trailing: int = 6) -> str:
     """Trailing-window sketch-percentile mirror (operators/sketches.
     qsketch_sliding_quantiles): dense hour×bucket spine, RANGE-frame
@@ -4737,6 +4830,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_ivfpq_res": _oracle_recall_ivfpq_res(),
         "hourly_value_p95": _oracle_hourly_value_p95(),
         "value_p95_sliding": _oracle_value_p95_sliding(),
+        "ar_forecast7": _oracle_ar_forecast7(),
         "ks_price_test": _ORACLE_KS_PRICE_TEST,
         "chi2_flag_status": _ORACLE_CHI2_FLAG_STATUS,
         "benford_prices": _ORACLE_BENFORD_PRICES,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan", "burn_rate_alerts", "pacf_from_acf", "holt_fitted"]
+__all__ = ["asof_join", "range_join_bands", "interval_join_bucketed", "rolling_time_agg", "scd2_intervals", "decayed_sum", "ohlc_bars", "conversion_latency", "zscore_anomaly", "mad_anomaly", "similar_series", "seasonal_decompose", "attribution_last_touch", "cusum_changepoints", "gap_fill", "ewma_smooth", "holt_forecast", "rolling_corr", "lead_lag_scan", "burn_rate_alerts", "pacf_from_acf", "holt_fitted", "ar_forecast", "ar_fitted"]
 
 
 def asof_join(
@@ -1033,6 +1033,28 @@ def burn_rate_alerts(
     )
 
 
+def _durbin_levinson(r: dict, max_lag: int) -> dict:
+    """The Durbin-Levinson recursion unrolled over Column algebra —
+    shared by :func:`pacf_from_acf` (diagnostic: the φ_kk diagonal)
+    and :func:`ar_forecast` (model: the full φ_{p,1..p} row).  ``r``
+    maps lag → ρ Column; returns the level dict ``phi[k][j]``.  A zero
+    denominator at any level yields NULL for that and deeper levels
+    (left-associated sums, the oracle generator mirrors the order)."""
+    phi: dict[int, dict[int, object]] = {1: {1: r[1]}}
+    for k in range(2, max_lag + 1):
+        prev = phi[k - 1]
+        num = r[k] - sum(
+            (prev[j] * r[k - j] for j in range(2, k)), prev[1] * r[k - 1]
+        )
+        den = F.lit(1.0) - sum(
+            (prev[j] * r[j] for j in range(2, k)), prev[1] * r[1]
+        )
+        kk = num / F.when(den != 0, den)
+        phi[k] = {j: prev[j] - kk * prev[k - j] for j in range(1, k)}
+        phi[k][k] = kk
+    return phi
+
+
 def pacf_from_acf(acf: DataFrame, max_lag: int = 4) -> DataFrame:
     """Partial autocorrelations from an ACF frame via the
     Durbin-Levinson recursion UNROLLED into scalar column algebra —
@@ -1061,18 +1083,7 @@ def pacf_from_acf(acf: DataFrame, max_lag: int = 4) -> DataFrame:
         ]
     )
     r = {k: F.col(f"r{k}") for k in range(1, max_lag + 1)}
-    phi: dict[int, dict[int, object]] = {1: {1: r[1]}}
-    for k in range(2, max_lag + 1):
-        prev = phi[k - 1]
-        num = r[k] - sum(
-            (prev[j] * r[k - j] for j in range(2, k)), prev[1] * r[k - 1]
-        )
-        den = F.lit(1.0) - sum(
-            (prev[j] * r[j] for j in range(2, k)), prev[1] * r[1]
-        )
-        kk = num / F.when(den != 0, den)
-        phi[k] = {j: prev[j] - kk * prev[k - j] for j in range(1, k)}
-        phi[k][k] = kk
+    phi = _durbin_levinson(r, max_lag)
     out = wide.select(
         *[phi[k][k].alias(f"p{k}") for k in range(1, max_lag + 1)]
     )
@@ -1165,4 +1176,187 @@ def holt_fitted(
         F.col("r.y").alias(y_col),
         F.col("r.fitted").alias("fitted"),
         (F.col("r.y") - F.col("r.fitted")).alias("resid"),
+    )
+
+
+def _ar_phi_frame(
+    daily: DataFrame, day_col: str, y_col: str, p: int
+):
+    """One-row frame carrying the Yule-Walker AR(p) model over an
+    integer-valued daily series: ``mu``, ``c0`` and ``phi_1..phi_p``
+    (plus the raw pair sums) — the fit half shared by
+    :func:`ar_forecast` and :func:`ar_fitted`.
+
+    Autocovariances come from RAW INTEGER pair sums (Σab, Σa, Σb, n_j
+    per calendar lag j, all exact longs — the similar_series
+    portability rule: float sliding/deviation sums re-associate
+    differently across engines, integer sums cannot), combined into
+    ``c_j = Σab − μΣa − μΣb + n_j μ²`` as one float expression.  Lags
+    are CALENDAR lags (join on day − j, the lead_lag_scan/ACF
+    convention), so gap days simply contribute no pairs.
+    """
+    if not 1 <= p <= 6:
+        raise ValueError(f"p must be in 1..6 (unrolled), got {p}")
+    d = daily.select(
+        F.col(day_col).alias("__d"), F.col(y_col).cast("long").alias("__y")
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    spark = daily.sparkSession
+    lagf = spark.createDataFrame([(j,) for j in range(1, p + 1)], "lag int")
+    pairs = (
+        d.crossJoin(F.broadcast(lagf))
+        .join(
+            d.select(F.col("__d").alias("__bd"), F.col("__y").alias("__by")),
+            F.col("__bd") == F.date_sub(F.col("__d"), F.col("lag")),
+        )
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("__y").alias("sa"),
+        F.sum("__by").alias("sb"),
+        F.sum(F.col("__y") * F.col("__by")).alias("sab"),
+    )
+    wide = sums.agg(
+        *[
+            F.max(F.when(F.col("lag") == j, F.col(c))).alias(f"{c}{j}")
+            for j in range(1, p + 1)
+            for c in ("nj", "sa", "sb", "sab")
+        ]
+    )
+    one = base.crossJoin(F.broadcast(wide))
+    mu = F.col("sy").cast("double") / F.col("n")
+    c0 = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / F.col("n")
+    one = one.withColumn("mu", mu).withColumn("c0", c0)
+    r = {
+        j: (
+            F.col(f"sab{j}").cast("double")
+            - F.col("mu") * F.col(f"sa{j}").cast("double")
+            - F.col("mu") * F.col(f"sb{j}").cast("double")
+            + F.col(f"nj{j}").cast("double") * F.col("mu") * F.col("mu")
+        )
+        / F.when(F.col("c0") != 0, F.col("c0"))
+        for j in range(1, p + 1)
+    }
+    phi = _durbin_levinson(r, p)
+    for j in range(1, p + 1):
+        one = one.withColumn(f"phi{j}", phi[p][j])
+    return one
+
+
+def ar_forecast(
+    daily: DataFrame,
+    day_col: str = "day",
+    y_col: str = "y",
+    p: int = 2,
+    horizon: int = 7,
+) -> DataFrame:
+    """AR(p) fit + h-step forecast of an integer-valued daily series —
+    the autoregressive completion of the Durbin-Levinson path
+    (:func:`pacf_from_acf` diagnoses the order; this fits that order
+    and forecasts): Yule-Walker coefficients from the same unrolled
+    recursion, ``x̂_{n+h} = μ + Σ_j φ_j (x_{n+h−j} − μ)`` with
+    forecasts substituted recursively for未observed terms — unrolled
+    to ``horizon`` scalar expressions (≤ 7, the holt_forecast budget).
+
+    Scale shape: one calendar-bounded aggregate + one lag equi-join
+    onto p·days pairs + two 1-row broadcast frames; everything after
+    the daily groupBy is calendar-sized (the temporal-module
+    contract).  Returns ``(h, forecast)``, h = 1..horizon.
+    """
+    if not 1 <= horizon <= 7:
+        raise ValueError(f"horizon must be in 1..7 (unrolled), got {horizon}")
+    one = _ar_phi_frame(daily, day_col, y_col, p)
+    w = Window.orderBy(F.col(day_col).desc())
+    lastv = (
+        daily.select(F.col(day_col), F.col(y_col).cast("long").alias("__y"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= p)
+        .agg(
+            *[
+                F.max(F.when(F.col("__rn") == j, F.col("__y"))).alias(f"v{j}")
+                for j in range(1, p + 1)
+            ]
+        )
+    )
+    one = one.crossJoin(F.broadcast(lastv))
+    mu = F.col("mu")
+
+    def dev(i):
+        # deviation of x_{n+i}: known series value for i <= 0 (v1 is
+        # the latest observation), forecast for i >= 1
+        if i <= 0:
+            return F.col(f"v{1 - i}").cast("double") - mu
+        return fc[i] - mu
+
+    fc: dict[int, object] = {}
+    for h in range(1, horizon + 1):
+        fc[h] = mu + sum(
+            (F.col(f"phi{j}") * dev(h - j) for j in range(2, p + 1)),
+            F.col("phi1") * dev(h - 1),
+        )
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(h).alias("h"), fc[h].alias("forecast"))
+                    for h in range(1, horizon + 1)
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select(
+        F.col("s.h").alias("h"), F.col("s.forecast").alias("forecast")
+    )
+
+
+def ar_fitted(
+    daily: DataFrame,
+    day_col: str = "day",
+    y_col: str = "y",
+    p: int = 2,
+) -> DataFrame:
+    """In-sample one-step AR(p) predictions and residuals — the
+    conformal-band inputs for :func:`ar_forecast`, exactly as
+    :func:`holt_fitted` feeds ``forecast_bands``: ``fitted_t = μ +
+    Σ_j φ_j (x_{t−j} − μ)`` wherever all p calendar lags exist
+    (p equi-joins against the same daily frame, calendar-sized).
+    Returns ``(day, y, fitted, resid)``.
+    """
+    one = _ar_phi_frame(daily, day_col, y_col, p)
+    model = F.broadcast(
+        one.select(
+            "mu", *[f"phi{j}" for j in range(1, p + 1)]
+        )
+    )
+    d = daily.select(
+        F.col(day_col).alias("__d"), F.col(y_col).cast("long").alias("__y")
+    )
+    cur = d
+    for j in range(1, p + 1):
+        cur = cur.join(
+            d.select(
+                F.col("__d").alias(f"__d{j}"), F.col("__y").alias(f"__l{j}")
+            ),
+            F.col(f"__d{j}") == F.date_sub(F.col("__d"), j),
+        )
+    cur = cur.crossJoin(model)
+    mu = F.col("mu")
+    fitted = mu + sum(
+        (
+            F.col(f"phi{j}") * (F.col(f"__l{j}").cast("double") - mu)
+            for j in range(2, p + 1)
+        ),
+        F.col("phi1") * (F.col("__l1").cast("double") - mu),
+    )
+    return cur.select(
+        F.col("__d").alias(day_col),
+        F.col("__y").alias(y_col),
+        fitted.alias("fitted"),
+        (F.col("__y").cast("double") - fitted).alias("resid"),
     )
