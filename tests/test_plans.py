@@ -461,3 +461,37 @@ def test_stats_high_cardinality_no_global_window(tables):
         for seg in plan.split("\n\n"):
             if seg.startswith("(") and "Window" in seg.splitlines()[0]:
                 assert "__ptot" in seg, seg
+
+
+def test_iterative_graph_ops_final_plans_are_pinned(tables):
+    """r9 verdict #8: the pinned-iteration discipline as a regression
+    net for the round-9 graph completions (the assertion style that
+    caught 4-scan mutual_knn): every per-round localCheckpoint means
+    the FINAL plan reads materialized RDDs — zero parquet re-scans of
+    the edge source, no cartesians, and no Window over the graph."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph as G
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+        plan_summary,
+    )
+
+    li = tables["lineitem"].filter(F.col("l_orderkey") % 7 == 0)
+    edges = G.copurchase_edges(li, min_weight=1, max_items_per_order=4)
+    frames = {
+        "label_propagation": G.label_propagation(edges, iters=2),
+        "shortest_paths": G.shortest_paths(
+            edges, edges.select("src").head()[0], iters=3, weight_col="weight"
+        ),
+        "ppr": G.personalized_pagerank(
+            edges, [edges.select("src").head()[0]], iters=2
+        ),
+        "kcore": G.kcore(edges, k=2, iters=3),
+    }
+    for name, df in frames.items():
+        plan = physical_plan(df)
+        summ = plan_summary(df)
+        assert "Scan ExistingRDD" in plan, (name, plan)  # the pin
+        assert "Scan parquet" not in plan, (name, plan)  # no source re-scan
+        assert not summ["has_cartesian"], (name, plan)
+        assert "Window" not in plan, (name, plan)
