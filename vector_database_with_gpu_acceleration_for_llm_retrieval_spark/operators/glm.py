@@ -1,5 +1,8 @@
 """Distributed generalized linear model training: logistic regression
-by iteratively reweighted least squares (IRLS / Newton-Raphson).
+by iteratively reweighted least squares (IRLS / Newton-Raphson), plus
+Cox proportional hazards (:func:`cox_fit` — the same fixed-iteration
+Newton discipline over the Breslow partial likelihood, with the
+gradient/Hessian pass as pure column algebra instead of mapInPandas).
 
 The "train a classifier head on features the engine computed" loop:
 curation produces per-row feature vectors and labels; this fits
