@@ -377,3 +377,51 @@ def test_cox_worked_example_conversion_cohort(spark, tables):
     for r in rows:
         want = math.exp(model["beta"][0] * r.arm_a + model["beta"][1] * r.volume)
         assert abs(r.hazard_ratio - want) < 1e-9
+
+
+def test_cox_baseline_nelson_aalen_and_replica(spark):
+    """With all-zero beta the Breslow baseline reduces EXACTLY to
+    Nelson-Aalen (sum d_i/n_i over the KM risk sets); with a fitted
+    beta it matches the numpy Breslow replica."""
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+        stats as ST,
+    )
+
+    rows = [
+        (1.0, 1, 0.2), (2.0, 0, -0.4), (2.0, 1, 1.0), (3.0, 1, 0.0),
+        (4.0, 0, 0.5), (5.0, 1, -1.2), (6.0, 1, 0.3), (7.0, 0, 0.9),
+    ]
+    df = spark.createDataFrame(rows, "t double, event int, x double")
+    # zero-beta: Nelson-Aalen from the KM frame
+    zero = {"beta": [0.0], "cols": ["x"], "iters": 0}
+    base = {r.t: (r.d, r.s0, r.h0) for r in GLM.cox_baseline(df, "t", "event", zero).collect()}
+    km = ST.kaplan_meier(df.select("t", "event")).collect()
+    h = 0.0
+    for r in km:
+        if r.d > 0:
+            h += r.d / r.n_risk
+            d, s0, h0 = base[r.t]
+            assert d == r.d and abs(s0 - r.n_risk) < 1e-9
+            assert abs(h0 - h) < 1e-12, r.t
+    # fitted beta: numpy Breslow replica
+    model = GLM.cox_fit(df, "t", "event", ["x"], iters=6)
+    got = {r.t: r.h0 for r in GLM.cox_baseline(df, "t", "event", model).collect()}
+    b = model["beta"][0]
+    w = {i: np.exp(b * r[2]) for i, r in enumerate(rows)}
+    times = sorted({r[0] for r in rows if r[1] == 1})
+    h = 0.0
+    for t in times:
+        d = sum(1 for r in rows if r[0] == t and r[1] == 1)
+        s0 = sum(w[i] for i, r in enumerate(rows) if r[0] >= t)
+        h += d / s0
+        assert abs(got[t] - h) < 1e-9, t
+    # survival curve is exp(-h0) and monotone non-increasing
+    surv = [r.baseline_survival for r in GLM.cox_baseline(df, "t", "event", model).collect()]
+    assert all(surv[i] >= surv[i + 1] - 1e-12 for i in range(len(surv) - 1))
+    # the high-cardinality path agrees exactly on integer risk sets
+    hc = {r.t: r.h0 for r in GLM.cox_baseline(df, "t", "event", model, high_cardinality=True).collect()}
+    for t, v in got.items():
+        assert abs(hc[t] - v) < 1e-12

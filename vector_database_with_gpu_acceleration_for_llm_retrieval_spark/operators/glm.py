@@ -44,6 +44,7 @@ __all__ = [
     "calibration_error",
     "cox_fit",
     "cox_predict",
+    "cox_baseline",
 ]
 
 
@@ -481,3 +482,62 @@ def cox_predict(
     for c, w in zip(model["cols"], model["beta"]):
         z = z + F.col(c).cast("double") * F.lit(float(w))
     return df.withColumn(out_col, F.exp(z))
+
+
+def cox_baseline(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    model: dict,
+    high_cardinality: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Breslow baseline cumulative hazard for a fitted :func:`cox_fit`
+    model — the piece that turns coefficients into TIME predictions:
+    ``H0(t) = Σ_{t_i ≤ t} d_i / S0(t_i)`` with ``S0`` the fitted-weight
+    risk-set sum, and ``S(t|x) = exp(−H0(t))^{exp(x·β)}`` the subject
+    survival curve (serve it by joining this frame and applying
+    :func:`cox_predict`'s hazard ratio — both pure expressions).
+
+    Same machinery as the fit: ``w = exp(x·β)`` with the FITTED β
+    inlined as literals, one groupBy onto the distinct-time frame,
+    ``S0`` as a suffix cumulative via ``stats._cdf_prefix``, and
+    ``H0`` as the PREFIX cumulative of ``d/S0`` over event times —
+    two prefix passes, both high-cardinality-safe.  With all-zero β
+    this reduces exactly to the Nelson-Aalen estimator ``Σ d_i/n_i``
+    (cross-checked against the Kaplan-Meier risk sets in tests).
+    Returns ``(t, d, s0, h0, baseline_survival)`` for event times,
+    ordered by t.
+    """
+    cols = model["cols"]
+    beta = model["beta"]
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.stats import (
+        _cdf_prefix,
+    )
+
+    z = F.lit(0.0)
+    for c, b in zip(cols, beta):
+        z = z + F.col(c).cast("double") * F.lit(float(b))
+    src = df.filter(F.col(time_col).isNotNull()).select(
+        F.col(time_col).cast("double").alias("t"),
+        F.col(event_col).cast("double").alias("__e"),
+        F.exp(z).alias("__w"),
+    )
+    per = src.groupBy("t").agg(
+        F.sum("__w").alias("a0"), F.sum("__e").alias("dt")
+    )
+    cum = _cdf_prefix(per, "t", ["a0"], high_cardinality, n_parts)
+    s0 = F.col("__tot_a0") - (F.col("__cum_a0") - F.col("a0"))
+    ev = cum.select("t", "dt", s0.alias("s0")).filter(F.col("dt") > 0)
+    step = ev.withColumn("__h", F.col("dt") / F.col("s0"))
+    h0 = _cdf_prefix(step, "t", ["__h"], high_cardinality, n_parts)
+    return (
+        h0.select(
+            "t",
+            F.col("dt").cast("long").alias("d"),
+            "s0",
+            F.col("__cum___h").alias("h0"),
+            F.exp(-F.col("__cum___h")).alias("baseline_survival"),
+        )
+        .orderBy("t")
+    )
