@@ -425,3 +425,57 @@ def test_cox_baseline_nelson_aalen_and_replica(spark):
     hc = {r.t: r.h0 for r in GLM.cox_baseline(df, "t", "event", model, high_cardinality=True).collect()}
     for t, v in got.items():
         assert abs(hc[t] - v) < 1e-12
+
+
+def test_poisson_fit_matches_numpy_and_recovers(spark):
+    import random
+
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rng = random.Random(29)
+    true_b = [0.8, -0.5, 1.2]  # x1, x2, intercept
+    rows = []
+    for _ in range(800):
+        x1, x2 = rng.gauss(0, 1), rng.gauss(0, 1)
+        mu = math.exp(true_b[0] * x1 + true_b[1] * x2 + true_b[2])
+        # Knuth Poisson sampler (deterministic via rng)
+        L, k, p = math.exp(-mu), 0, 1.0
+        while True:
+            p *= rng.random()
+            if p <= L:
+                break
+            k += 1
+        rows.append((x1, x2, k))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y long").repartition(7)
+    m = GLM.poisson_fit(df, ["x1", "x2"], "y", iters=8)
+
+    # numpy replica of the identical schedule (ln-mean warm start)
+    X = np.array([[r[0], r[1], 1.0] for r in rows])
+    yv = np.array([float(r[2]) for r in rows])
+    beta = np.zeros(3)
+    beta[2] = math.log(yv.mean())
+    for _ in range(8):
+        mu = np.exp(X @ beta)
+        H = (X.T * mu) @ X
+        g = X.T @ (yv - mu)
+        beta = beta + np.linalg.solve(H + 1e-9 * np.eye(3), g)
+    assert np.allclose(np.array(m["beta"]), beta, atol=1e-8)
+    assert np.allclose(np.array(m["beta"]), true_b, atol=0.2)
+    # partitioning independence (the ALS tolerance)
+    m2 = GLM.poisson_fit(df.repartition(3), ["x1", "x2"], "y", iters=8)
+    assert np.allclose(m["beta"], m2["beta"], atol=1e-9)
+    # serving path is the exact expression
+    scored = GLM.poisson_predict(df, m).limit(10).collect()
+    b = m["beta"]
+    for r in scored:
+        assert abs(r.mu - math.exp(b[0] * r.x1 + b[1] * r.x2 + b[2])) < 1e-9
+    # empty input is a clear error
+    import pytest
+
+    empty = spark.createDataFrame([], "x1 double, x2 double, y long")
+    with pytest.raises(ValueError, match="empty"):
+        GLM.poisson_fit(empty, ["x1", "x2"], "y", iters=1)

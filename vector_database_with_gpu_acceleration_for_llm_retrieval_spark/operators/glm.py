@@ -45,6 +45,8 @@ __all__ = [
     "cox_fit",
     "cox_predict",
     "cox_baseline",
+    "poisson_fit",
+    "poisson_predict",
 ]
 
 
@@ -541,3 +543,84 @@ def cox_baseline(
         )
         .orderBy("t")
     )
+
+
+def poisson_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 8,
+    reg: float = 1e-9,
+    intercept: bool = True,
+) -> dict:
+    """Poisson regression (log link) by Newton/IRLS — the count-data
+    GLM (events per user-day, purchases per session, tokens per doc):
+    ``E[y] = exp(x·β)``, update ``β += (XᵀWX + reg·I)⁻¹ Xᵀ(y−μ)`` with
+    ``W = diag(μ)``.
+
+    Unlike :func:`logistic_fit`'s mapInPandas partials, the Poisson
+    moments are PURE column aggregates with β inlined as literals —
+    ``H_kl = Σ μ·x_k·x_l`` and ``g_k = Σ (y−μ)·x_k`` are one groupless
+    aggregate of d(d+3)/2 doubles per iteration, zero Python on the
+    data path (the :func:`cox_fit` discipline; logistic keeps the
+    Arrow seam because its stable sigmoid needs a branch per row).
+    Fixed iterations; ``reg`` ridges the solve.  Returns ``{"beta",
+    "cols", "iters", "loglik"}`` (intercept LAST), ``loglik`` the
+    final Poisson log-likelihood up to the ``−Σln(y!)`` constant.
+    Score with :func:`poisson_predict`.
+    """
+    d = len(feature_cols) + (1 if intercept else 0)
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    if intercept:
+        xs = xs + [F.lit(1.0)]
+    y = F.col(label_col).cast("double")
+    src = df.select(*[x.alias(f"__x{k}") for k, x in enumerate(xs)], y.alias("__y"))
+    xs = [F.col(f"__x{k}") for k in range(d)]
+    beta = np.zeros(d, dtype=np.float64)
+    if intercept:
+        # standard GLM warm start: intercept = ln(mean y) — Newton from
+        # an all-zero β overshoots badly when counts are large (μ jumps
+        # by e^step); starting at the null model keeps every step tame
+        mean_y = src.agg(F.avg("__y")).collect()[0][0]
+        if mean_y is None:
+            raise ValueError("poisson_fit: empty input")
+        beta[d - 1] = float(np.log(max(float(mean_y), 1e-12)))
+    pairs = [(k, l) for k in range(d) for l in range(k, d)]
+    loglik = None
+    for _ in range(iters):
+        z = F.lit(0.0)
+        for k in range(d):
+            z = z + xs[k] * F.lit(float(beta[k]))
+        mu = F.exp(z)
+        aggs = [
+            F.sum(F.col("__y") * z - mu).alias("__ll"),
+        ]
+        for k in range(d):
+            aggs.append(F.sum((F.col("__y") - mu) * xs[k]).alias(f"g_{k}"))
+        for k, l in pairs:
+            aggs.append(F.sum(mu * xs[k] * xs[l]).alias(f"h_{k}_{l}"))
+        row = src.agg(*aggs).collect()[0]
+        if row[f"g_0"] is None:
+            raise ValueError("poisson_fit: empty input")
+        loglik = float(row["__ll"])
+        g = np.array([row[f"g_{k}"] for k in range(d)], dtype=np.float64)
+        H = np.zeros((d, d), dtype=np.float64)
+        for k, l in pairs:
+            H[k, l] = H[l, k] = row[f"h_{k}_{l}"]
+        beta = beta + np.linalg.solve(H + reg * np.eye(d), g)
+    cols = list(feature_cols) + (["__intercept"] if intercept else [])
+    return {"beta": beta.tolist(), "cols": cols, "iters": iters, "loglik": loglik}
+
+
+def poisson_predict(
+    df: DataFrame, model: dict, out_col: str = "mu"
+) -> DataFrame:
+    """Expected count ``exp(x·β)`` per row — pure JVM expression (the
+    cox_predict/logistic_predict serving rule); appends ``out_col``."""
+    z = F.lit(0.0)
+    for c, w in zip(model["cols"], model["beta"]):
+        if c == "__intercept":
+            z = z + F.lit(float(w))
+        else:
+            z = z + F.col(c).cast("double") * F.lit(float(w))
+    return df.withColumn(out_col, F.exp(z))
