@@ -337,6 +337,7 @@ def cox_fit(
     reg: float = 1e-9,
     high_cardinality: bool = False,
     n_parts: int | None = None,
+    strata_col: str | None = None,
 ) -> dict:
     """Cox proportional-hazards regression (partial likelihood, Breslow
     ties) — the covariate-ADJUSTED survival answer: ``kaplan_meier`` /
@@ -367,6 +368,17 @@ def cox_fit(
     information matrix (monotone-separation safeguard, the
     logistic_fit rule).
 
+    ``strata_col`` fits STRATIFIED Cox: one shared β, but risk sets
+    (and so the partial likelihood) form WITHIN each stratum — the
+    standard multi-site/cohort form when baselines differ but effects
+    are assumed common.  The per-time groupBy gains the stratum key
+    and every cumulative window partitions by it, so each stratum's
+    frame is bounded by ITS distinct times (the kaplan_meier_grouped
+    design) — which is also why ``high_cardinality`` is not combined
+    with strata (the partitioned window IS the scale shape there;
+    a single giant stratum should be fit unstratified with
+    ``high_cardinality=True``).
+
     Rows with NULL duration are excluded (the kaplan_meier rule).
     Fixed ``iters`` keeps the result a deterministic function of the
     input up to float partial-sum re-association (parity asserted to
@@ -384,9 +396,16 @@ def cox_fit(
     d = len(feature_cols)
     if d == 0:
         raise ValueError("cox_fit: need at least one feature column")
+    if strata_col is not None and high_cardinality:
+        raise ValueError(
+            "cox_fit: strata_col and high_cardinality are mutually"
+            " exclusive (per-stratum windows are the scale shape)"
+        )
+    strat = [F.col(strata_col).alias("__s")] if strata_col else []
     src = (
         df.filter(F.col(time_col).isNotNull())
         .select(
+            *strat,
             F.col(time_col).cast("double").alias("__t"),
             F.col(event_col).cast("double").alias("__e"),
             *[
@@ -416,14 +435,33 @@ def cox_fit(
                     f"a2_{k}_{l}"
                 )
             )
-        per = src.groupBy(F.col("__t").alias("t")).agg(*aggs)
         weights = ["a0"] + [f"a1_{k}" for k in range(d)] + [
             f"a2_{k}_{l}" for k, l in pairs
         ]
-        cum = _cdf_prefix(per, "t", weights, high_cardinality, n_parts)
+        if strata_col is None:
+            per = src.groupBy(F.col("__t").alias("t")).agg(*aggs)
+            cum = _cdf_prefix(per, "t", weights, high_cardinality, n_parts)
+        else:
+            # per-stratum risk sets: cumulative + total windows keyed
+            # on the stratum, frames bounded by each stratum's times
+            from pyspark.sql import Window
+
+            per = src.groupBy(F.col("__s"), F.col("__t").alias("t")).agg(*aggs)
+            w_cum = (
+                Window.partitionBy("__s")
+                .orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            w_all = Window.partitionBy("__s")
+            cum = per
+            for c in weights:
+                cum = cum.withColumn(f"__cum_{c}", F.sum(c).over(w_cum)).withColumn(
+                    f"__tot_{c}", F.sum(c).over(w_all)
+                )
 
         def sfx(c):
-            # suffix-inclusive sum over {t_j >= t}
+            # suffix-inclusive sum over {t_j >= t} (within the stratum
+            # when stratified — the windows above are stratum-keyed)
             return F.col(f"__tot_{c}") - (F.col(f"__cum_{c}") - F.col(c))
 
         s0 = sfx("a0")
