@@ -4179,6 +4179,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_distributed": q_rank_sum_distributed,
         "km_distributed": q_km_distributed,
         "ar_forecast7": q_ar_forecast7,
+        "survival_cindex": q_survival_cindex,
     }
 
 
@@ -6238,6 +6239,45 @@ def q_km_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hazard"), "hazard"),
         _round6(F.col("survival"), "survival"),
     ).orderBy("t")
+
+
+def q_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index on the conversion cohort: does a
+    user's event volume rank their time-to-high-value-purchase
+    correctly under censoring (the survival AUC — how a cox_fit model
+    is judged)? Both axes quantized onto the monotone sketch-bucket
+    grid (m=5), per-cell counts + grid windows, integer-exact
+    concordant/tied/discordant splits
+    (operators/stats.concordance_index)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    hit = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(hit, F.col("ts"))).alias("t_evt"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    dur = per.select(
+        (
+            F.unix_micros(F.coalesce(F.col("t_evt"), F.col("t_last")))
+            - F.unix_micros(F.col("t0"))
+        ).alias("t"),
+        F.col("t_evt").isNotNull().cast("int").alias("event"),
+        F.col("n_events").alias("score"),
+    ).filter(F.col("t") > 0)
+    res = ST.concordance_index(dur, "t", "event", "score", m=5)
+    return res.select(
+        "concordant",
+        "tied",
+        "discordant",
+        "n_pairs",
+        _round6(F.col("cindex"), "cindex"),
+    )
 
 
 def q_logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:

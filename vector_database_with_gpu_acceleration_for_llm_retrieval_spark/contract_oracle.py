@@ -4456,6 +4456,49 @@ ORDER BY hour, q
 """
 
 
+def _oracle_survival_cindex(m: int = 5) -> str:
+    """Grid-algebra mirror of operators/stats.concordance_index on the
+    conversion cohort: same sketch buckets, same dense spine, same
+    strictly-later suffix + lower/equal/higher splits — all integer."""
+    return f"""
+WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+                    min(CASE WHEN event_type = 'purchase' AND value > 90 THEN ts END) AS t_evt,
+                    count(*) AS n_events
+             FROM events GROUP BY 1),
+dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
+               CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               n_events AS score
+        FROM per),
+src AS (SELECT {_sq_qbucket('t', m)} AS tb, {_sq_qbucket('score', m)} AS sb, ev
+        FROM dur WHERE t > 0),
+cell AS (SELECT tb, sb, count(*) AS n, sum(ev) AS de FROM src GROUP BY 1, 2),
+spine AS (SELECT a.tb, b.sb FROM (SELECT DISTINCT tb FROM cell) a
+          CROSS JOIN (SELECT DISTINCT sb FROM cell) b),
+dense AS (SELECT spine.tb, spine.sb, coalesce(cell.n, 0) AS n, coalesce(cell.de, 0) AS de
+          FROM spine LEFT JOIN cell ON cell.tb = spine.tb AND cell.sb = spine.sb),
+lt AS (SELECT tb, sb, de,
+              coalesce(sum(n) OVER (PARTITION BY sb ORDER BY tb
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS later
+       FROM dense),
+sp AS (SELECT de, later,
+              coalesce(sum(later) OVER (PARTITION BY tb ORDER BY sb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+              coalesce(sum(later) OVER (PARTITION BY tb ORDER BY sb
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS hi
+       FROM lt),
+agg AS (SELECT CAST(sum(de * lo) AS BIGINT) AS concordant,
+               CAST(sum(de * later) AS BIGINT) AS tied,
+               CAST(sum(de * hi) AS BIGINT) AS discordant
+        FROM sp)
+SELECT concordant, tied, discordant,
+       CAST(concordant + tied + discordant AS BIGINT) AS n_pairs,
+       {_r6('''(CAST(concordant AS DOUBLE) + 0.5 * CAST(tied AS DOUBLE))
+          / (CASE WHEN concordant + tied + discordant > 0
+                  THEN CAST(concordant + tied + discordant AS DOUBLE) END)''', 'cindex')}
+FROM agg
+"""
+
+
 def _oracle_ar_forecast7(p: int = 2, horizon: int = 7) -> str:
     """The identical AR(p) unroll in SQL, generated by the same loops
     as operators/temporal.ar_forecast / ar_fitted (the pacf_daily
@@ -4831,6 +4874,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_value_p95": _oracle_hourly_value_p95(),
         "value_p95_sliding": _oracle_value_p95_sliding(),
         "ar_forecast7": _oracle_ar_forecast7(),
+        "survival_cindex": _oracle_survival_cindex(),
         "ks_price_test": _ORACLE_KS_PRICE_TEST,
         "chi2_flag_status": _ORACLE_CHI2_FLAG_STATUS,
         "benford_prices": _ORACLE_BENFORD_PRICES,

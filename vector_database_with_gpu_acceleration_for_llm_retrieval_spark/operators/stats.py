@@ -63,6 +63,7 @@ __all__ = [
     "kaplan_meier",
     "kaplan_meier_grouped",
     "logrank_test",
+    "concordance_index",
 ]
 
 
@@ -1242,4 +1243,111 @@ def kaplan_meier_grouped(
         F.when(F.col("__zero") == 1, F.lit(0.0))
         .otherwise(F.exp(F.col("__lnS")))
         .alias("survival"),
+    )
+
+
+def concordance_index(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    m: int = 5,
+    time_scale: int = 1,
+    score_scale: int = 1,
+) -> DataFrame:
+    """Harrell's concordance index — the survival family's evaluation
+    metric (the AUC of time-to-event models): over comparable pairs
+    (subject i with an OBSERVED event before subject j's time), the
+    probability the model scored i riskier, ties counting half.  This
+    is how a fitted :func:`~..glm.cox_fit` model (score =
+    ``cox_predict``'s hazard ratio) is judged.
+
+    All-pairs comparison is quadratic, so both dimensions are first
+    quantized onto the monotone ``sketches.qsketch_bucket`` grid
+    (relative granularity ≤ 2^−m per axis; integer inputs with
+    ``scale=1`` keep small values EXACT): per-(time-bucket ×
+    score-bucket) counts, a dense grid spine (the ks_matrix trick),
+    strictly-later counts as per-score-bucket suffix sums, then
+    lower/equal/higher score splits as per-time-bucket ordered sums —
+    every window is grid-bounded, every count integer-exact, so the
+    result hash-matches the SQL mirror running the same algebra.
+    The reported value is the EXACT C-index of the bucketized data:
+    pairs tied within a bucket (either axis) count as ties/excluded
+    at bucket granularity — the documented approximation, shrinking
+    as 2^−m.  Returns one row ``(concordant, tied, discordant,
+    n_pairs, cindex)``; no comparable pairs → NULL cindex.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sketches import (
+        qsketch_bucket,
+    )
+
+    t = (
+        F.col(time_col).cast("long")
+        if time_scale == 1
+        else F.floor(F.col(time_col).cast("double") * time_scale + F.lit(0.5)).cast("long")
+    )
+    s = (
+        F.col(score_col).cast("long")
+        if score_scale == 1
+        else F.floor(F.col(score_col).cast("double") * score_scale + F.lit(0.5)).cast("long")
+    )
+    cell = (
+        df.filter(F.col(time_col).isNotNull() & F.col(score_col).isNotNull())
+        .select(
+            qsketch_bucket(t, m).alias("tb"),
+            qsketch_bucket(s, m).alias("sb"),
+            F.col(event_col).cast("long").alias("e"),
+        )
+        .groupBy("tb", "sb")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("e").alias("de"))
+    )
+    spine = cell.select("tb").distinct().crossJoin(cell.select("sb").distinct())
+    dense = spine.join(cell, ["tb", "sb"], "left").select(
+        "tb",
+        "sb",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("de", F.lit(0)).alias("de"),
+    )
+    w_later = (
+        Window.partitionBy("sb")
+        .orderBy("tb")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    lt = dense.select(
+        "tb",
+        "sb",
+        "de",
+        F.coalesce(F.sum("n").over(w_later), F.lit(0)).alias("later"),
+    )
+    w_lo = (
+        Window.partitionBy("tb")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_hi = (
+        Window.partitionBy("tb")
+        .orderBy("sb")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    split = lt.select(
+        "de",
+        "later",
+        F.coalesce(F.sum("later").over(w_lo), F.lit(0)).alias("lo"),
+        F.coalesce(F.sum("later").over(w_hi), F.lit(0)).alias("hi"),
+    )
+    agg = split.agg(
+        F.sum(F.col("de") * F.col("lo")).cast("long").alias("concordant"),
+        F.sum(F.col("de") * F.col("later")).cast("long").alias("tied"),
+        F.sum(F.col("de") * F.col("hi")).cast("long").alias("discordant"),
+    )
+    npairs = F.col("concordant") + F.col("tied") + F.col("discordant")
+    c = (
+        F.col("concordant").cast("double") + 0.5 * F.col("tied").cast("double")
+    ) / F.when(npairs > 0, npairs.cast("double"))
+    return agg.select(
+        "concordant",
+        "tied",
+        "discordant",
+        npairs.cast("long").alias("n_pairs"),
+        c.alias("cindex"),
     )
