@@ -554,3 +554,67 @@ def test_concordance_index_matches_bucketized_brute_force(spark):
     # no comparable pairs -> NULL
     none = spark.createDataFrame([(1.0, 0, 1.0), (2.0, 0, 2.0)], "t double, event int, score double")
     assert S.concordance_index(none, "t", "event", "score").collect()[0].cindex is None
+
+
+def test_poisson_bootstrap_ci_deterministic_and_exact(spark):
+    """The replicate weights are hash-derived, so the whole estimate is
+    a deterministic function of the input: a Python replica using the
+    same md5 hash and the same Poisson(1) CDF chain reproduces the CI
+    bounds exactly, and repartitioning changes nothing."""
+    import hashlib
+
+    rows = [(f"g{(i % 3)}", i, float(i % 17) + (3.0 if i % 3 == 0 else 0.0))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r.g: (r.n, r.mean, r.lo, r.hi)
+        for r in S.poisson_bootstrap_ci(df, ["g"], "v", "id", b=32).collect()
+    }
+    got2 = {
+        r.g: (r.n, r.mean, r.lo, r.hi)
+        for r in S.poisson_bootstrap_ci(
+            df.repartition(13), ["g"], "v", "id", b=32
+        ).collect()
+    }
+    assert got == got2
+
+    def u(ident, r):
+        h = int(hashlib.md5(f"{ident}:{r}:0".encode()).hexdigest()[:15], 16)
+        return (h % 1_000_000 + 1) / 1_000_001.0
+
+    def w(ident, r):
+        x = u(ident, r)
+        for k, c in enumerate(S.POISSON1_CDF):
+            if x < c:
+                return float(k)
+        return float(len(S.POISSON1_CDF))
+
+    import numpy as np
+
+    for g in ("g0", "g1", "g2"):
+        grp = [(i, v) for gg, i, v in rows if gg == g]
+        means = []
+        for r in range(32):
+            ws = np.array([w(i, r) for i, _ in grp])
+            vs = np.array([v for _, v in grp])
+            means.append((ws * vs).sum() / ws.sum() if ws.sum() > 0 else None)
+        ms = np.array([m for m in means if m is not None])
+        n, mean, lo, hi = got[g]
+        assert n == len(grp)
+        assert abs(mean - np.mean([v for _, v in grp])) < 1e-12
+        # Spark's exact `percentile` (linear interpolation) replica
+        def pct(a, q):
+            a = np.sort(a)
+            pos = (len(a) - 1) * q
+            f = int(np.floor(pos))
+            c = min(f + 1, len(a) - 1)
+            return a[f] + (pos - f) * (a[c] - a[f])
+        assert abs(lo - pct(ms, 0.025)) < 1e-9, g
+        assert abs(hi - pct(ms, 0.975)) < 1e-9, g
+        assert lo <= mean <= hi
+    # wider data -> wider interval than a tight constant group
+    tight = spark.createDataFrame(
+        [("t", i, 5.0) for i in range(300)], "g string, id long, v double"
+    )
+    rt = S.poisson_bootstrap_ci(tight, ["g"], "v", "id", b=32).collect()[0]
+    assert abs(rt.hi - rt.lo) < 1e-12  # constant column: zero-width CI

@@ -4180,6 +4180,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_distributed": q_km_distributed,
         "ar_forecast7": q_ar_forecast7,
         "survival_cindex": q_survival_cindex,
+        "bootstrap_value_ci": q_bootstrap_value_ci,
     }
 
 
@@ -6239,6 +6240,31 @@ def q_km_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hazard"), "hazard"),
         _round6(F.col("survival"), "survival"),
     ).orderBy("t")
+
+
+def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean value with Poisson-bootstrap 95% CIs in ONE
+    scan — the web-scale bootstrap (hash-derived Poisson(1) replicate
+    weights instead of B resampled copies; Chamandy et al. 2012), fully
+    deterministic so the replicate means hash-match the SQL mirror
+    running the same md5 → inverse-CDF chain
+    (operators/stats.poisson_bootstrap_ci, b=32)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.poisson_bootstrap_ci(
+        t["events"], ["event_type"], "value", "event_id", b=32
+    )
+    return res.select(
+        "event_type",
+        "n",
+        _round6(F.col("mean"), "mean"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+        F.col("b").cast("int").alias("b"),
+    ).orderBy("event_type")
 
 
 def q_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4456,6 +4456,53 @@ ORDER BY hour, q
 """
 
 
+def _oracle_bootstrap_value_ci(b: int = 32) -> str:
+    """The identical Poisson-bootstrap chain in SQL, generated by the
+    same loop as operators/stats.poisson_bootstrap_ci: same md5
+    uniforms, same Poisson(1) inverse-CDF cut points (shared literals
+    via stats.POISSON1_CDF), same weighted means and percentiles."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.stats import (
+        POISSON1_CDF,
+    )
+
+    def w_expr(r: int) -> str:
+        salted = "sid || '" + f":{r}:0" + "'"
+        u = (
+            f"(({_sq_tok_hash(salted)}) % 1000000 + 1)"
+            " / CAST(1000001 AS DOUBLE)"
+        )
+        whens = " ".join(
+            f"WHEN {u} < CAST({c!r} AS DOUBLE) THEN {k}.0"
+            for k, c in enumerate(POISSON1_CDF)
+        )
+        return f"(CASE {whens} ELSE {len(POISSON1_CDF)}.0 END)"
+
+    wcols = ",\n             ".join(f"{w_expr(r)} AS w{r}" for r in range(b))
+    sums = ",\n               ".join(
+        f"sum(w{r} * value) AS wv{r}, sum(w{r}) AS ws{r}" for r in range(b)
+    )
+    means = ", ".join(
+        f"wv{r} / (CASE WHEN ws{r} > 0 THEN ws{r} END)" for r in range(b)
+    )
+    return f"""
+WITH base AS (SELECT event_type, value, CAST(event_id AS VARCHAR) AS sid FROM events),
+wts AS (SELECT event_type, value,
+             {wcols}
+        FROM base),
+agg AS (SELECT event_type, count(*) AS n, sum(value) AS sv,
+               {sums}
+        FROM wts GROUP BY 1),
+reps AS (SELECT event_type, n, sv / n AS mean,
+                unnest([{means}]) AS m
+         FROM agg)
+SELECT event_type, CAST(n AS BIGINT) AS n, {_r6('mean', 'mean')},
+       {_r6('quantile_cont(m, 0.025)', 'lo')},
+       {_r6('quantile_cont(m, 0.975)', 'hi')},
+       CAST({b} AS INT) AS b
+FROM reps GROUP BY event_type, n, mean ORDER BY event_type
+"""
+
+
 def _oracle_survival_cindex(m: int = 5) -> str:
     """Grid-algebra mirror of operators/stats.concordance_index on the
     conversion cohort: same sketch buckets, same dense spine, same
@@ -4875,6 +4922,7 @@ def oracle_sql() -> dict[str, str]:
         "value_p95_sliding": _oracle_value_p95_sliding(),
         "ar_forecast7": _oracle_ar_forecast7(),
         "survival_cindex": _oracle_survival_cindex(),
+        "bootstrap_value_ci": _oracle_bootstrap_value_ci(),
         "ks_price_test": _ORACLE_KS_PRICE_TEST,
         "chi2_flag_status": _ORACLE_CHI2_FLAG_STATUS,
         "benford_prices": _ORACLE_BENFORD_PRICES,

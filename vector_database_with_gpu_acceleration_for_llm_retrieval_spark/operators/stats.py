@@ -64,6 +64,7 @@ __all__ = [
     "kaplan_meier_grouped",
     "logrank_test",
     "concordance_index",
+    "poisson_bootstrap_ci",
 ]
 
 
@@ -1350,4 +1351,104 @@ def concordance_index(
         "discordant",
         npairs.cast("long").alias("n_pairs"),
         c.alias("cindex"),
+    )
+
+
+#: Poisson(1) inverse-CDF cut points (cumulative e^-1 * sum 1/k!),
+#: written once so the Spark expression and the generated SQL mirror
+#: share the exact literals — the weight chain is deterministic given
+#: the portable hash, so bootstrap replicates are identical across
+#: runs, partitionings, and engines.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    b: int = 64,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group mean with bootstrap confidence intervals in ONE scan —
+    the web-scale bootstrap: instead of resampling rows (impossible
+    without materializing B copies), each row gets ``b`` independent
+    Poisson(1) replicate weights (Poisson bootstrap — the standard
+    large-n approximation of multinomial resampling, e.g. Chamandy et
+    al., "Estimating Uncertainty for Massive Data Streams", Google TR
+    2012), and replicate means are weighted means.  The CI is the
+    (lo_q, hi_q) percentile of the ``b`` replicate means.
+
+    The weights are NOT an RNG stream: replicate r's uniform is the
+    portable hash of ``id:r:seed`` pushed through the Poisson(1)
+    inverse CDF (:data:`POISSON1_CDF` CASE chain, capped at 8) — fully
+    deterministic, partition-independent, engine-reproducible, so the
+    whole estimate hash-matches a SQL mirror (the stratified_sample /
+    dsir_weights determinism rationale).
+
+    Scale shape: ONE map-side-combined groupBy carrying ``2b + 2``
+    sums (Σw_r·v and Σw_r per replicate, plus n and Σv); the replicate
+    means then explode to a ``groups × b`` frame for the percentile —
+    everything after the scan is group-bounded.  ``b = 64`` default
+    keeps the aggregate narrow (128 columns — far under the unrolled-
+    expression JIT cliff, which bites near ~1000 terms in ONE
+    expression, not across separate aggregates).  Returns
+    ``(*keys, n, mean, lo, hi, b)``; groups where every replicate
+    zeroed out (tiny groups) get NULL bounds.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        text as TXF,
+    )
+
+    mod = 1_000_000
+    v = F.col(value_col).cast("double")
+    aggs = [F.count(F.lit(1)).alias("__n"), F.sum(v).alias("__sv")]
+    for r in range(b):
+        u = (
+            F.pmod(
+                TXF.portable_token_hash(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{r}:{seed}")
+                    )
+                ),
+                F.lit(mod),
+            )
+            + 1
+        ).cast("double") / F.lit(float(mod + 1))
+        w = F.lit(len(POISSON1_CDF))
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        w = w.cast("double")
+        aggs.append(F.sum(w * v).alias(f"__wv{r}"))
+        aggs.append(F.sum(w).alias(f"__w{r}"))
+    g = df.groupBy(*keys).agg(*aggs)
+    means = F.array(
+        *[
+            F.col(f"__wv{r}") / F.when(F.col(f"__w{r}") > 0, F.col(f"__w{r}"))
+            for r in range(b)
+        ]
+    )
+    reps = g.select(
+        *keys,
+        F.col("__n").alias("n"),
+        (F.col("__sv") / F.col("__n")).alias("mean"),
+        F.explode(means).alias("__m"),
+    )
+    out = reps.groupBy(*keys, "n", "mean").agg(
+        F.expr(f"percentile(__m, {lo_q!r})").alias("lo"),
+        F.expr(f"percentile(__m, {hi_q!r})").alias("hi"),
+    )
+    return out.select(
+        *keys, "n", "mean", "lo", "hi", F.lit(b).alias("b")
     )
