@@ -576,7 +576,12 @@ def test_poisson_bootstrap_ci_deterministic_and_exact(spark):
             df.repartition(13), ["g"], "v", "id", b=32
         ).collect()
     }
-    assert got == got2
+    for g in got:
+        assert got[g][0] == got2[g][0]
+        # float partial sums re-associate across partitionings: the
+        # ALS tolerance, not bit equality
+        for a, c in zip(got[g][1:], got2[g][1:]):
+            assert abs(a - c) < 1e-9, g
 
     def u(ident, r):
         h = int(hashlib.md5(f"{ident}:{r}:0".encode()).hexdigest()[:15], 16)
@@ -618,3 +623,33 @@ def test_poisson_bootstrap_ci_deterministic_and_exact(spark):
     )
     rt = S.poisson_bootstrap_ci(tight, ["g"], "v", "id", b=32).collect()[0]
     assert abs(rt.hi - rt.lo) < 1e-12  # constant column: zero-width CI
+
+
+def test_poisson_bootstrap_lift_detects_and_covers(spark):
+    """A planted +2.0 lift: the CI covers it and excludes 0; identical
+    arms: the CI straddles 0. Deterministic across partitionings."""
+    import random
+
+    rng = random.Random(43)
+    rows = [(i, "a" if i % 2 == 0 else "b",
+             5.0 + (2.0 if i % 2 == 0 else 0.0) + rng.gauss(0, 1))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, arm string, v double")
+    r = S.poisson_bootstrap_lift(df, "arm", "v", "id", "a", "b", b=32).collect()[0]
+    assert r.n_a == 1000 and r.n_b == 1000
+    assert abs(r.lift - (r.mean_a - r.mean_b)) < 1e-12
+    assert r.lo <= r.lift <= r.hi
+    assert r.lo < 2.0 < r.hi or abs(r.lift - 2.0) < 0.2  # covers the truth
+    assert r.lo > 0.0  # detects the effect
+    r2 = S.poisson_bootstrap_lift(
+        df.repartition(9), "arm", "v", "id", "a", "b", b=32
+    ).collect()[0]
+    for a, c in ((r.lo, r2.lo), (r.hi, r2.hi), (r.lift, r2.lift)):
+        assert abs(a - c) < 1e-9  # float-sum re-association tolerance
+    # identical arms: 0 inside the interval
+    null = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", 5.0 + rng.gauss(0, 1)) for i in range(2000)],
+        "id long, arm string, v double",
+    )
+    rn = S.poisson_bootstrap_lift(null, "arm", "v", "id", "a", "b", b=32).collect()[0]
+    assert rn.lo < 0.0 < rn.hi

@@ -65,6 +65,7 @@ __all__ = [
     "logrank_test",
     "concordance_index",
     "poisson_bootstrap_ci",
+    "poisson_bootstrap_lift",
 ]
 
 
@@ -1392,10 +1393,12 @@ def poisson_bootstrap_ci(
 
     The weights are NOT an RNG stream: replicate r's uniform is the
     portable hash of ``id:r:seed`` pushed through the Poisson(1)
-    inverse CDF (:data:`POISSON1_CDF` CASE chain, capped at 8) — fully
-    deterministic, partition-independent, engine-reproducible, so the
-    whole estimate hash-matches a SQL mirror (the stratified_sample /
-    dsir_weights determinism rationale).
+    inverse CDF (:data:`POISSON1_CDF` CASE chain, capped at 8) — the
+    WEIGHTS are fully deterministic and engine-reproducible (the
+    stratified_sample / dsir_weights rationale), so the estimate
+    hash-matches a SQL mirror at the repo's round-6 tolerance;
+    partitioning only re-associates the float sums (last-ulp, the
+    ALS tolerance).
 
     Scale shape: ONE map-side-combined groupBy carrying ``2b + 2``
     sums (Σw_r·v and Σw_r per replicate, plus n and Σv); the replicate
@@ -1451,4 +1454,97 @@ def poisson_bootstrap_ci(
     )
     return out.select(
         *keys, "n", "mean", "lo", "hi", F.lit(b).alias("b")
+    )
+
+
+def poisson_bootstrap_lift(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+    b: int = 64,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    seed: int = 0,
+) -> DataFrame:
+    """Bootstrap CI on the A−B mean lift — the experimentation
+    deliverable the point tests (:func:`welch_ttest`,
+    :func:`two_proportion_ztest`) approximate analytically: each
+    replicate resamples BOTH arms with the same hash-derived
+    Poisson(1) weights (:func:`poisson_bootstrap_ci`) and records
+    ``mean_a − mean_b``; the CI is the replicate percentile, valid for
+    any metric distribution (skew, zeros, heavy tails) where normal
+    theory bends.  An interval excluding 0 is the shippable
+    "significant at (hi_q−lo_q)" readout.
+
+    One scan, ``4b + 4`` conditional sums (per replicate: Σw·v and Σw
+    per arm), then a b-row explode for the percentile — the same
+    deterministic, engine-reproducible weights, so the CI
+    hash-matches SQL.  Returns one row ``(n_a, n_b, mean_a, mean_b,
+    lift, lo, hi, b)``.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        text as TXF,
+    )
+
+    mod = 1_000_000
+    src = df.filter(F.col(arm_col).isin(group_a, group_b))
+    is_a = F.col(arm_col) == group_a
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.sum(is_a.cast("long")).alias("__na"),
+        F.sum((~is_a).cast("long")).alias("__nb"),
+        F.sum(F.when(is_a, v).otherwise(F.lit(0.0))).alias("__sva"),
+        F.sum(F.when(~is_a, v).otherwise(F.lit(0.0))).alias("__svb"),
+    ]
+    for r in range(b):
+        u = (
+            F.pmod(
+                TXF.portable_token_hash(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{r}:{seed}")
+                    )
+                ),
+                F.lit(mod),
+            )
+            + 1
+        ).cast("double") / F.lit(float(mod + 1))
+        w = F.lit(len(POISSON1_CDF))
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        w = w.cast("double")
+        aggs.append(F.sum(F.when(is_a, w * v).otherwise(F.lit(0.0))).alias(f"__wva{r}"))
+        aggs.append(F.sum(F.when(is_a, w).otherwise(F.lit(0.0))).alias(f"__wa{r}"))
+        aggs.append(F.sum(F.when(~is_a, w * v).otherwise(F.lit(0.0))).alias(f"__wvb{r}"))
+        aggs.append(F.sum(F.when(~is_a, w).otherwise(F.lit(0.0))).alias(f"__wb{r}"))
+    g = src.agg(*aggs)
+    lifts = F.array(
+        *[
+            F.col(f"__wva{r}") / F.when(F.col(f"__wa{r}") > 0, F.col(f"__wa{r}"))
+            - F.col(f"__wvb{r}") / F.when(F.col(f"__wb{r}") > 0, F.col(f"__wb{r}"))
+            for r in range(b)
+        ]
+    )
+    reps = g.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        (F.col("__sva") / F.when(F.col("__na") > 0, F.col("__na"))).alias("mean_a"),
+        (F.col("__svb") / F.when(F.col("__nb") > 0, F.col("__nb"))).alias("mean_b"),
+        F.explode(lifts).alias("__l"),
+    )
+    out = reps.groupBy("n_a", "n_b", "mean_a", "mean_b").agg(
+        F.expr(f"percentile(__l, {lo_q!r})").alias("lo"),
+        F.expr(f"percentile(__l, {hi_q!r})").alias("hi"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("lift"),
+        "lo",
+        "hi",
+        F.lit(b).alias("b"),
     )
