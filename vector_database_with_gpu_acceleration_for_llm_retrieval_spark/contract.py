@@ -4181,6 +4181,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_forecast7": q_ar_forecast7,
         "survival_cindex": q_survival_cindex,
         "bootstrap_value_ci": q_bootstrap_value_ci,
+        "bootstrap_lift_ci": q_bootstrap_lift_ci,
     }
 
 
@@ -6265,6 +6266,35 @@ def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hi"), "hi"),
         F.col("b").cast("int").alias("b"),
     ).orderBy("event_type")
+
+
+def q_bootstrap_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI on the user-parity arms' mean-value lift — the
+    distribution-free significance readout (interval excluding 0) the
+    analytic z/t entries approximate; same hash-derived Poisson(1)
+    weights resampling BOTH arms per replicate
+    (operators/stats.poisson_bootstrap_lift, b=32)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+    )
+    res = ST.poisson_bootstrap_lift(ev, "arm", "value", "event_id", "a", "b", b=32)
+    return res.select(
+        "n_a",
+        "n_b",
+        _round6(F.col("mean_a"), "mean_a"),
+        _round6(F.col("mean_b"), "mean_b"),
+        _round6(F.col("lift"), "lift"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+        F.col("b").cast("int").alias("b"),
+    )
 
 
 def q_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:

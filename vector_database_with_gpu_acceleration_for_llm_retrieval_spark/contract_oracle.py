@@ -4503,6 +4503,66 @@ FROM reps GROUP BY event_type, n, mean ORDER BY event_type
 """
 
 
+def _oracle_bootstrap_lift_ci(b: int = 32) -> str:
+    """Lift twin of _oracle_bootstrap_value_ci: same weights, both
+    arms resampled per replicate, percentile of mean_a − mean_b."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.stats import (
+        POISSON1_CDF,
+    )
+
+    def w_expr(r: int) -> str:
+        salted = "sid || '" + f":{r}:0" + "'"
+        u = (
+            f"(({_sq_tok_hash(salted)}) % 1000000 + 1)"
+            " / CAST(1000001 AS DOUBLE)"
+        )
+        whens = " ".join(
+            f"WHEN {u} < CAST({c!r} AS DOUBLE) THEN {k}.0"
+            for k, c in enumerate(POISSON1_CDF)
+        )
+        return f"(CASE {whens} ELSE {len(POISSON1_CDF)}.0 END)"
+
+    wcols = ",\n             ".join(f"{w_expr(r)} AS w{r}" for r in range(b))
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN is_a THEN w{r} * value ELSE 0.0 END) AS wva{r},"
+        f" sum(CASE WHEN is_a THEN w{r} ELSE 0.0 END) AS wa{r},"
+        f" sum(CASE WHEN NOT is_a THEN w{r} * value ELSE 0.0 END) AS wvb{r},"
+        f" sum(CASE WHEN NOT is_a THEN w{r} ELSE 0.0 END) AS wb{r}"
+        for r in range(b)
+    )
+    lifts = ", ".join(
+        f"wva{r} / (CASE WHEN wa{r} > 0 THEN wa{r} END)"
+        f" - wvb{r} / (CASE WHEN wb{r} > 0 THEN wb{r} END)"
+        for r in range(b)
+    )
+    return f"""
+WITH base AS (SELECT value, CAST(event_id AS VARCHAR) AS sid,
+                     (user_id % 2 = 0) AS is_a
+              FROM events),
+wts AS (SELECT value, is_a,
+             {wcols}
+        FROM base),
+agg AS (SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb,
+               sum(CASE WHEN is_a THEN value ELSE 0.0 END) AS sva,
+               sum(CASE WHEN is_a THEN 0.0 ELSE value END) AS svb,
+               {sums}
+        FROM wts),
+reps AS (SELECT na, nb,
+                sva / (CASE WHEN na > 0 THEN na END) AS mean_a,
+                svb / (CASE WHEN nb > 0 THEN nb END) AS mean_b,
+                unnest([{lifts}]) AS l
+         FROM agg)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       {_r6('mean_a', 'mean_a')}, {_r6('mean_b', 'mean_b')},
+       {_r6('mean_a - mean_b', 'lift')},
+       {_r6('quantile_cont(l, 0.025)', 'lo')},
+       {_r6('quantile_cont(l, 0.975)', 'hi')},
+       CAST({b} AS INT) AS b
+FROM reps GROUP BY na, nb, mean_a, mean_b
+"""
+
+
 def _oracle_survival_cindex(m: int = 5) -> str:
     """Grid-algebra mirror of operators/stats.concordance_index on the
     conversion cohort: same sketch buckets, same dense spine, same
@@ -4923,6 +4983,7 @@ def oracle_sql() -> dict[str, str]:
         "ar_forecast7": _oracle_ar_forecast7(),
         "survival_cindex": _oracle_survival_cindex(),
         "bootstrap_value_ci": _oracle_bootstrap_value_ci(),
+        "bootstrap_lift_ci": _oracle_bootstrap_lift_ci(),
         "ks_price_test": _ORACLE_KS_PRICE_TEST,
         "chi2_flag_status": _ORACLE_CHI2_FLAG_STATUS,
         "benford_prices": _ORACLE_BENFORD_PRICES,
