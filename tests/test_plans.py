@@ -495,3 +495,44 @@ def test_iterative_graph_ops_final_plans_are_pinned(tables):
         assert "Scan parquet" not in plan, (name, plan)  # no source re-scan
         assert not summ["has_cartesian"], (name, plan)
         assert "Window" not in plan, (name, plan)
+
+
+def test_concordance_and_bootstrap_plan_shapes(tables):
+    """The r10 statistics additions keep the module's scale shapes:
+    concordance's windows all operate on the bucket grid (partitioned
+    by tb/sb — never an unpartitioned window over data), and the
+    bootstrap is ONE scan of the fact table with map-side partial
+    aggregation, no joins, no windows."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import stats as ST
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+        plan_summary,
+    )
+
+    surv = tables["orders"].select(
+        (F.col("o_orderkey") % 997 + 1).alias("t"),
+        (F.col("o_orderkey") % 2).cast("int").alias("event"),
+        (F.col("o_custkey") % 313 + 1).alias("score"),
+    )
+    ci = ST.concordance_index(surv, "t", "event", "score", m=5)
+    plan = physical_plan(ci)
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and "Window" in seg.splitlines()[0]:
+            spec = seg
+            assert ("windowspecdefinition(sb" in spec) or (
+                "windowspecdefinition(tb" in spec
+            ), seg
+
+    boot = ST.poisson_bootstrap_ci(
+        tables["orders"].select("o_orderkey", "o_totalprice"),
+        [],
+        "o_totalprice",
+        "o_orderkey",
+        b=8,
+    )
+    summ = plan_summary(boot)
+    assert summ["n_scans"] == 1, summ
+    assert summ["joins"] == {}, summ
+    assert not summ["has_cartesian"]
+    assert "Window" not in physical_plan(boot)
