@@ -146,3 +146,57 @@ def test_grep_like_escaped_wildcards_exact(spark, tmp_path):
     assert GR._like_literal_segments(r"%a\_b%") == ["a_b"]
     assert GR._like_literal_segments(r"a\\b%c") == ["a\\b", "c"]
     assert GR._like_literal_segments("abc\\") is None  # dangling escape
+
+
+def test_delete_from_trigram_index(spark, tables, tmp_path):
+    """Delete docs from the substring index: grep no longer returns
+    them, untouched buckets stay byte-identical, the advisory hot-df
+    list decrements (never below 1)."""
+    import json
+    import os
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        grep as G,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").filter("doc_id < 80")
+    path = str(tmp_path / "tg")
+    meta0 = G.write_trigram_index(docs, path)
+    # pick a pattern present in doc 0 so the delete is observable
+    sample = docs.filter("doc_id = 0").first().text
+    pattern = sample[:6]
+    before_hits = {r.doc_id for r in G.grep_indexed(spark, path, docs, pattern).collect()}
+    assert 0 in before_hits
+    postings = spark.read.parquet(path)
+    victim_buckets = {
+        r.tg_bucket for r in postings.filter(F.col("doc_id").isin([0, 1]))
+        .select("tg_bucket").distinct().collect()
+    }
+    untouched = sorted(
+        {r.tg_bucket for r in postings.select("tg_bucket").distinct().collect()}
+        - victim_buckets
+    )
+
+    def snap(b):
+        d = os.path.join(path, f"tg_bucket={b}")
+        return [(f, os.path.getsize(os.path.join(d, f))) for f in sorted(os.listdir(d))]
+
+    before = {b: snap(b) for b in untouched}
+    out = G.delete_from_trigram_index(spark, path, [0, 1])
+    assert out["rows_deleted"] > 0
+    assert sorted(out["touched_buckets"]) == sorted(victim_buckets)
+    for b in untouched:
+        assert snap(b) == before[b], b
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("doc_id").isin([0, 1])).count() == 0
+    # the corpus passed to the query is the reduced one (erased docs
+    # are gone from storage too in a real flow)
+    reduced = docs.filter(~F.col("doc_id").isin([0, 1]))
+    after_hits = {r.doc_id for r in G.grep_indexed(spark, path, reduced, pattern).collect()}
+    assert 0 not in after_hits and 1 not in after_hits
+    assert after_hits == before_hits - {0, 1}
+    meta1 = json.loads(spark.read.parquet(f"{path}_meta").head()["meta"])
+    assert all(v >= 1 for v in meta1["hot_df"].values())
+    assert sum(meta1["hot_df"].values()) < sum(meta0["hot_df"].values())
+    # no-op ids
+    assert G.delete_from_trigram_index(spark, path, [10**9])["rows_deleted"] == 0

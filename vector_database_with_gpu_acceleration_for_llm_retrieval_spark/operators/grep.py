@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "delete_from_trigram_index",
     "trigram_keys",
     "write_trigram_index",
     "grep_scan",
@@ -336,3 +337,76 @@ def _py_bucket_of(spark: SparkSession, gram: str) -> int:
         row = spark.range(1).select(_bucket(F.lit(gram)).alias("b")).head()
         _BUCKET_CACHE[gram] = int(row["b"])
     return _BUCKET_CACHE[gram]
+
+
+def delete_from_trigram_index(
+    spark: SparkSession, path: str, ids: list, id_col: str = "doc_id"
+) -> dict:
+    """Right-to-erasure maintenance for the trigram substring index —
+    the grep sibling of ``ann_index.delete_from_index``: one
+    column-pruned pass locates the doomed posting rows, only their
+    ``tg_bucket`` partitions rewrite under dynamic overwrite (a doc's
+    trigrams spread across buckets, so locality is per-trigram), and
+    the sidecar's hot-trigram df counts decrement by the deleted
+    postings so stop-trigram pruning stays honest (the hot list is
+    advisory — it only orders WHICH trigrams a query intersects;
+    exactness is superset-then-verify regardless).  A streaming-sink
+    ``_spark_metadata`` log is dropped first (the
+    ``delete_from_index`` shadow rule; resume maintenance with
+    ``log_free=True`` + a fresh checkpoint).  Returns
+    ``{"rows_deleted", "touched_buckets"}``."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _dynamic_partition_overwrite,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
+        _fs_and_path,
+    )
+
+    if not ids:
+        return {"rows_deleted": 0, "touched_buckets": []}
+    fs, _, jvm = _fs_and_path(spark, path)
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    sink_log = path_cls(f"{path}/_spark_metadata")
+    if fs.exists(sink_log):
+        fs.delete(sink_log, True)
+    id_frame = F.broadcast(
+        spark.createDataFrame([(i,) for i in ids], [id_col]).distinct()
+    )
+    postings = spark.read.parquet(path)
+    doomed = postings.join(id_frame, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    rows_deleted = doomed.count()
+    if rows_deleted == 0:
+        return {"rows_deleted": 0, "touched_buckets": []}
+    touched = sorted(
+        r["tg_bucket"] for r in doomed.select("tg_bucket").distinct().collect()
+    )
+    keep = (
+        postings.filter(F.col("tg_bucket").isin(touched))
+        .join(id_frame, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    _dynamic_partition_overwrite(keep, path, "tg_bucket", touched)
+    # sidecar: decrement the advisory hot-trigram dfs by the deleted
+    # postings (only listed trigrams; <=0 entries drop)
+    try:
+        meta = json.loads(spark.read.parquet(f"{path}_meta").head()["meta"])
+    except Exception:
+        meta = None
+    if meta is not None and meta.get("hot_df"):
+        hot = meta["hot_df"]
+        dec = {
+            r["trigram"]: r["c"]
+            for r in doomed.filter(F.col("trigram").isin(list(hot)))
+            .groupBy("trigram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        meta["hot_df"] = {
+            t: n - dec.get(t, 0) for t, n in hot.items() if n - dec.get(t, 0) > 0
+        }
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}_meta")
+    return {"rows_deleted": rows_deleted, "touched_buckets": touched}
