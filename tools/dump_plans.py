@@ -384,6 +384,41 @@ AUDITED = {
         "only — the plan frame is inventory-sized; no global ordering, no "
         "driver greedy loop."
     ),
+    "rank_sum_distributed": (
+        "High-cardinality Mann-Whitney (r10): the rank cumsum runs through the "
+        "distributed prefix — range exchange + within-partition windows live "
+        "inside the localCheckpoint; the final plan's only Window nodes are on "
+        "the P-row __ptot offset ladder; closing sums DECIMAL(38,0)-exact."
+    ),
+    "km_distributed": (
+        "High-cardinality Kaplan-Meier (r10): risk sets / ln-survival over "
+        "subject-sized microsecond time frames with NO single-task window — "
+        "two distributed-prefix passes, windows only on the offset ladder."
+    ),
+    "value_p95_sliding": (
+        "Sliding sketch quantiles (r10): trailing sums over a (hour × "
+        "sketch-bucket) grid — per-bucket RANGE-frame windows on grid-sized "
+        "frames; rank scan partitions by the hour. Sketch-sized everywhere "
+        "after the first map-side-combined groupBy."
+    ),
+    "ar_forecast7": (
+        "AR(2)+bands (r10): one calendar aggregate + one lag equi-join onto "
+        "p·days pairs; Durbin-Levinson and the recursive forecasts are scalar "
+        "projections over 1-row broadcast frames; band quantiles over the "
+        "fitted-residual calendar frame."
+    ),
+    "survival_cindex": (
+        "Concordance index (r10): every window operates on the (time-bucket × "
+        "score-bucket) grid — suffix counts partitioned by sb, score splits "
+        "partitioned by tb; integer-exact counts, no unpartitioned window "
+        "over data."
+    ),
+    "bootstrap_value_ci": (
+        "Poisson bootstrap (r10): ONE scan with 2b+2 map-side-combined sums "
+        "(hash-derived replicate weights are pure projection); replicate means "
+        "explode to a groups×b frame for the percentile — no joins, no "
+        "windows, no Python."
+    ),
 }
 
 
