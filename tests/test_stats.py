@@ -653,3 +653,53 @@ def test_poisson_bootstrap_lift_detects_and_covers(spark):
     )
     rn = S.poisson_bootstrap_lift(null, "arm", "v", "id", "a", "b", b=32).collect()[0]
     assert rn.lo < 0.0 < rn.hi
+
+
+def test_bootstrap_ci_stream_maintained_live(spark, tmp_path):
+    """Live experiment monitoring by composition: bootstrap partial
+    sums are plain sums, so the generic streaming rollup maintains the
+    bootstrap state with ZERO bootstrap-specific streaming code —
+    CIs read BETWEEN micro-batches equal the batch computation over
+    the data seen so far (the sliding-HLL/quantile pattern)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        incremental as INC,
+    )
+
+    src, roll, ckpt = (str(tmp_path / p) for p in ("bs", "br", "bc"))
+    B = 16
+    schema = "g string, n long, sv double, " + ", ".join(
+        f"wv{r} double, w{r} double" for r in range(B)
+    )
+
+    def batch_rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, "g" + str(i % 2), float(i % 23)) for i in range(lo, hi)],
+            "id long, g string, v double",
+        )
+
+    b1, b2 = batch_rows(0, 1500), batch_rows(1500, 4000)
+    S.bootstrap_updates(b1, ["g"], "v", "id", b=B).write.mode("append").parquet(src)
+    q = INC.stream_rollup_maintenance(
+        spark, src, roll, ckpt, ["g"], S.bootstrap_measures(B), schema
+    )
+    q.processAllAvailable()
+
+    def live():
+        return sorted(
+            (r.g, r.n, round(r.mean, 9), round(r.lo, 9), round(r.hi, 9))
+            for r in S.bootstrap_ci_from_state(
+                spark.read.parquet(roll), ["g"], b=B
+            ).collect()
+        )
+
+    def batch(df):
+        return sorted(
+            (r.g, r.n, round(r.mean, 9), round(r.lo, 9), round(r.hi, 9))
+            for r in S.poisson_bootstrap_ci(df, ["g"], "v", "id", b=B).collect()
+        )
+
+    assert live() == batch(b1)  # read BETWEEN micro-batches
+    S.bootstrap_updates(b2, ["g"], "v", "id", b=B).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert live() == batch(b1.unionByName(b2))

@@ -66,6 +66,9 @@ __all__ = [
     "concordance_index",
     "poisson_bootstrap_ci",
     "poisson_bootstrap_lift",
+    "bootstrap_updates",
+    "bootstrap_measures",
+    "bootstrap_ci_from_state",
 ]
 
 
@@ -1372,6 +1375,96 @@ POISSON1_CDF = [
 ]
 
 
+def _bootstrap_weight(id_col: str, r: int, seed: int) -> Column:
+    """Poisson(1) replicate weight of replicate ``r`` for a row id —
+    the hash-derived inverse-CDF chain shared by every bootstrap
+    entry point (one-shot, lift, streaming)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        text as TXF,
+    )
+
+    mod = 1_000_000
+    u = (
+        F.pmod(
+            TXF.portable_token_hash(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{r}:{seed}"))
+            ),
+            F.lit(mod),
+        )
+        + 1
+    ).cast("double") / F.lit(float(mod + 1))
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("double")
+
+
+def bootstrap_measures(b: int = 64) -> dict:
+    """The ``stream_rollup_maintenance`` measure map for a maintained
+    bootstrap state table — every column is a plain sum, i.e. a
+    commutative monoid, so live bootstrap CIs need ZERO
+    bootstrap-specific streaming code (the sliding-HLL / sliding-
+    quantile composition rule): feed :func:`bootstrap_updates` batches
+    through the generic rollup with these measures and read
+    :func:`bootstrap_ci_from_state` between micro-batches."""
+    out = {"n": ("sum", "n"), "sv": ("sum", "sv")}
+    for r in range(b):
+        out[f"wv{r}"] = ("sum", f"wv{r}")
+        out[f"w{r}"] = ("sum", f"w{r}")
+    return out
+
+
+def bootstrap_updates(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    b: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group bootstrap partial sums ``(*keys, n, sv, wv_r, w_r…)``
+    — the mergeable half of :func:`poisson_bootstrap_ci` (the
+    qsketch_updates / hll_register_updates split): sums fold by
+    addition, so batches stream through the generic rollup and the
+    one-shot path is exactly ``updates → bootstrap_ci_from_state``."""
+    v = F.col(value_col).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(v).alias("sv")]
+    for r in range(b):
+        w = _bootstrap_weight(id_col, r, seed)
+        aggs.append(F.sum(w * v).alias(f"wv{r}"))
+        aggs.append(F.sum(w).alias(f"w{r}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def bootstrap_ci_from_state(
+    state: DataFrame,
+    keys: list[str],
+    b: int = 64,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+) -> DataFrame:
+    """CI extraction from a (maintained or one-shot) bootstrap state
+    table — replicate means + the percentile interval; group-bounded
+    work only.  Returns ``(*keys, n, mean, lo, hi, b)``."""
+    means = F.array(
+        *[
+            F.col(f"wv{r}") / F.when(F.col(f"w{r}") > 0, F.col(f"w{r}"))
+            for r in range(b)
+        ]
+    )
+    reps = state.select(
+        *keys,
+        F.col("n").alias("n"),
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.explode(means).alias("__m"),
+    )
+    out = reps.groupBy(*keys, "n", "mean").agg(
+        F.expr(f"percentile(__m, {lo_q!r})").alias("lo"),
+        F.expr(f"percentile(__m, {hi_q!r})").alias("hi"),
+    )
+    return out.select(*keys, "n", "mean", "lo", "hi", F.lit(b).alias("b"))
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     keys: list[str],
@@ -1410,50 +1503,12 @@ def poisson_bootstrap_ci(
     ``(*keys, n, mean, lo, hi, b)``; groups where every replicate
     zeroed out (tiny groups) get NULL bounds.
     """
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
-        text as TXF,
-    )
-
-    mod = 1_000_000
-    v = F.col(value_col).cast("double")
-    aggs = [F.count(F.lit(1)).alias("__n"), F.sum(v).alias("__sv")]
-    for r in range(b):
-        u = (
-            F.pmod(
-                TXF.portable_token_hash(
-                    F.concat(
-                        F.col(id_col).cast("string"), F.lit(f":{r}:{seed}")
-                    )
-                ),
-                F.lit(mod),
-            )
-            + 1
-        ).cast("double") / F.lit(float(mod + 1))
-        w = F.lit(len(POISSON1_CDF))
-        for k in range(len(POISSON1_CDF) - 1, -1, -1):
-            w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-        w = w.cast("double")
-        aggs.append(F.sum(w * v).alias(f"__wv{r}"))
-        aggs.append(F.sum(w).alias(f"__w{r}"))
-    g = df.groupBy(*keys).agg(*aggs)
-    means = F.array(
-        *[
-            F.col(f"__wv{r}") / F.when(F.col(f"__w{r}") > 0, F.col(f"__w{r}"))
-            for r in range(b)
-        ]
-    )
-    reps = g.select(
-        *keys,
-        F.col("__n").alias("n"),
-        (F.col("__sv") / F.col("__n")).alias("mean"),
-        F.explode(means).alias("__m"),
-    )
-    out = reps.groupBy(*keys, "n", "mean").agg(
-        F.expr(f"percentile(__m, {lo_q!r})").alias("lo"),
-        F.expr(f"percentile(__m, {hi_q!r})").alias("hi"),
-    )
-    return out.select(
-        *keys, "n", "mean", "lo", "hi", F.lit(b).alias("b")
+    return bootstrap_ci_from_state(
+        bootstrap_updates(df, keys, value_col, id_col, b, seed),
+        keys,
+        b,
+        lo_q,
+        hi_q,
     )
 
 
@@ -1485,11 +1540,6 @@ def poisson_bootstrap_lift(
     hash-matches SQL.  Returns one row ``(n_a, n_b, mean_a, mean_b,
     lift, lo, hi, b)``.
     """
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
-        text as TXF,
-    )
-
-    mod = 1_000_000
     src = df.filter(F.col(arm_col).isin(group_a, group_b))
     is_a = F.col(arm_col) == group_a
     v = F.col(value_col).cast("double")
@@ -1500,21 +1550,7 @@ def poisson_bootstrap_lift(
         F.sum(F.when(~is_a, v).otherwise(F.lit(0.0))).alias("__svb"),
     ]
     for r in range(b):
-        u = (
-            F.pmod(
-                TXF.portable_token_hash(
-                    F.concat(
-                        F.col(id_col).cast("string"), F.lit(f":{r}:{seed}")
-                    )
-                ),
-                F.lit(mod),
-            )
-            + 1
-        ).cast("double") / F.lit(float(mod + 1))
-        w = F.lit(len(POISSON1_CDF))
-        for k in range(len(POISSON1_CDF) - 1, -1, -1):
-            w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-        w = w.cast("double")
+        w = _bootstrap_weight(id_col, r, seed)
         aggs.append(F.sum(F.when(is_a, w * v).otherwise(F.lit(0.0))).alias(f"__wva{r}"))
         aggs.append(F.sum(F.when(is_a, w).otherwise(F.lit(0.0))).alias(f"__wa{r}"))
         aggs.append(F.sum(F.when(~is_a, w * v).otherwise(F.lit(0.0))).alias(f"__wvb{r}"))
