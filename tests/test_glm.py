@@ -545,3 +545,202 @@ def test_cox_stratified_matches_numpy_and_guards(spark):
     assert abs(pooled["beta"][0] - m["beta"][0]) > 1e-6
     with pytest.raises(ValueError, match="mutually"):
         GLM.cox_fit(df, "t", "event", ["x"], strata_col="site", high_cardinality=True)
+
+
+def _cox_numpy_efron(t, e, X, iters=8, reg=1e-9):
+    """Efron-ties Cox Newton replica of glm.cox_fit(ties='efron')'s
+    exact schedule: per-time at-risk moments (S) + event-only moments
+    (E), inner sum over j = 0..d_t−1 with fraction j/d_t."""
+    import numpy as np
+
+    t = np.asarray(t, dtype=np.float64)
+    e = np.asarray(e, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    d = X.shape[1]
+    beta = np.zeros(d)
+    times = np.unique(t)
+    idx = np.searchsorted(times, t)
+
+    def pass_at(beta):
+        w = np.exp(X @ beta)
+        nt = len(times)
+        a0 = np.zeros(nt); a1 = np.zeros((nt, d)); a2 = np.zeros((nt, d, d))
+        e0 = np.zeros(nt); e1 = np.zeros((nt, d)); e2 = np.zeros((nt, d, d))
+        dt = np.zeros(nt); sx = np.zeros((nt, d))
+        for i in range(len(t)):
+            j = idx[i]
+            a0[j] += w[i]; a1[j] += w[i] * X[i]
+            a2[j] += w[i] * np.outer(X[i], X[i])
+            dt[j] += e[i]; sx[j] += e[i] * X[i]
+            if e[i] > 0:
+                e0[j] += w[i]; e1[j] += w[i] * X[i]
+                e2[j] += w[i] * np.outer(X[i], X[i])
+        s0 = np.cumsum(a0[::-1])[::-1]
+        s1 = np.cumsum(a1[::-1], axis=0)[::-1]
+        s2 = np.cumsum(a2[::-1], axis=0)[::-1]
+        g = np.zeros(d); H = np.zeros((d, d)); ll = 0.0
+        for j in np.nonzero(dt > 0)[0]:
+            m = int(round(dt[j]))
+            ll += sx[j] @ beta
+            g += sx[j]
+            for k in range(m):
+                f = k / dt[j]
+                phi = s0[j] - f * e0[j]
+                mu = (s1[j] - f * e1[j]) / phi
+                ll -= np.log(phi)
+                g -= mu
+                H += (s2[j] - f * e2[j]) / phi - np.outer(mu, mu)
+        return g, H, ll
+
+    for _ in range(iters):
+        g, H, _ = pass_at(beta)
+        beta = beta + np.linalg.solve(H + reg * np.eye(d), g)
+    _, _, ll = pass_at(beta)
+    return beta, ll
+
+
+def _tied_cohort(n_per=60, seed=23):
+    """Discrete (integer-day) durations — heavy event-time ties."""
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n_per):
+        for arm in (0.0, 1.0):
+            x = rng.gauss(0, 1)
+            u = rng.random()
+            tt = -2.0 / math.exp(0.8 * x - 0.4 * arm) * math.log(u)
+            cens = rng.uniform(0, 6.0)
+            # round UP to whole days: many subjects share event times
+            day = float(int(min(tt, cens)) + 1)
+            rows.append((day, 1 if tt <= cens else 0, x, arm))
+    return rows
+
+
+def test_cox_efron_matches_numpy_replica_and_diverges_from_breslow(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rows = _tied_cohort()
+    df = spark.createDataFrame(
+        rows, "t double, event int, x double, arm double"
+    ).repartition(7)
+    m_e = GLM.cox_fit(df, "t", "event", ["x", "arm"], iters=8, ties="efron")
+    ref, ll_ref = _cox_numpy_efron(
+        [r[0] for r in rows],
+        [r[1] for r in rows],
+        [[r[2], r[3]] for r in rows],
+        iters=8,
+    )
+    got = np.array(m_e["beta"])
+    assert np.allclose(got, ref, atol=1e-8), (got, ref)
+    assert abs(m_e["loglik"] - ll_ref) < 1e-7
+    # Breslow on the same tied cohort lands measurably elsewhere —
+    # the documented toward-zero bias under heavy ties
+    m_b = GLM.cox_fit(df, "t", "event", ["x", "arm"], iters=8, ties="breslow")
+    diff = np.abs(np.array(m_b["beta"]) - got)
+    assert diff.max() > 1e-3, (m_b["beta"], got)
+    assert abs(m_b["beta"][0]) < abs(got[0])  # shrunk toward zero
+    # partitioning independence holds for the HOF path too
+    m_e2 = GLM.cox_fit(
+        df.repartition(3), "t", "event", ["x", "arm"], iters=8, ties="efron"
+    )
+    assert np.allclose(np.array(m_e2["beta"]), got, atol=1e-9)
+    import pytest
+
+    with pytest.raises(ValueError, match="ties"):
+        GLM.cox_fit(df, "t", "event", ["x"], ties="exact")
+
+
+def test_cox_efron_equals_breslow_without_ties(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):
+        x = rng.gauss(0, 1)
+        u = rng.random()
+        tt = -1.0 / math.exp(0.5 * x) * math.log(u)
+        cens = rng.uniform(0, 2.5)
+        # unique continuous times: d_t = 1 everywhere
+        rows.append((round(min(tt, cens), 10) + i * 1e-9,
+                     1 if tt <= cens else 0, x))
+    df = spark.createDataFrame(rows, "t double, event int, x double")
+    m_b = GLM.cox_fit(df, "t", "event", ["x"], iters=6, ties="breslow")
+    m_e = GLM.cox_fit(df, "t", "event", ["x"], iters=6, ties="efron")
+    assert np.allclose(m_b["beta"], m_e["beta"], atol=1e-9)
+    assert abs(m_b["loglik"] - m_e["loglik"]) < 1e-8
+
+
+def test_cox_null_rows_excluded_like_explicit_filter(spark):
+    """Round-10 ADVICE: a NULL feature/event/duration row must be
+    excluded entirely (not half-counted in dt but missing from the
+    risk sets) — the fit over data WITH nulls equals the fit over the
+    explicitly pre-filtered frame."""
+    from pyspark.sql import functions as SF
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rows = _tied_cohort(n_per=40, seed=9)
+    df = spark.createDataFrame(
+        rows, "t double, event int, x double, arm double"
+    )
+    polluted = df.unionByName(
+        spark.createDataFrame(
+            [
+                (1.0, 1, None, 0.0),     # NULL feature, observed event
+                (2.0, None, 0.3, 1.0),   # NULL event flag
+                (None, 1, 0.7, 0.0),     # NULL duration
+                (3.0, 1, 0.1, None),     # NULL in the second feature
+            ],
+            "t double, event int, x double, arm double",
+        )
+    )
+    clean = polluted.filter(
+        SF.col("t").isNotNull()
+        & SF.col("event").isNotNull()
+        & SF.col("x").isNotNull()
+        & SF.col("arm").isNotNull()
+    )
+    for ties in ("breslow", "efron"):
+        m_p = GLM.cox_fit(polluted, "t", "event", ["x", "arm"], iters=5, ties=ties)
+        m_c = GLM.cox_fit(clean, "t", "event", ["x", "arm"], iters=5, ties=ties)
+        assert np.allclose(m_p["beta"], m_c["beta"], atol=1e-12)
+        assert m_p["n_events"] == m_c["n_events"]
+
+
+def test_loglik_reported_at_returned_beta(spark):
+    """Round-10 ADVICE: loglik must be evaluated AT the returned β,
+    not the penultimate iterate — fitting with iters=k then asking
+    for a 0-iteration 'fit' seeded nowhere can't replicate that, so
+    check against direct numpy evaluation at the returned β."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rows = _tied_cohort(n_per=30, seed=3)
+    df = spark.createDataFrame(rows, "t double, event int, x double, arm double")
+    m = GLM.cox_fit(df, "t", "event", ["x"], iters=4)
+    # numpy Breslow partial loglik at the RETURNED beta
+    t = np.array([r[0] for r in rows]); e = np.array([float(r[1]) for r in rows])
+    X = np.array([[r[2]] for r in rows]); b = np.array(m["beta"])
+    w = np.exp(X @ b)
+    ll = 0.0
+    for tt in np.unique(t):
+        ev = (t == tt) & (e > 0)
+        if ev.sum() == 0:
+            continue
+        ll += (X[ev] @ b).sum() - ev.sum() * np.log(w[t >= tt].sum())
+    assert abs(m["loglik"] - ll) < 1e-8, (m["loglik"], ll)
+    # poisson: loglik at returned beta too
+    prows = [(float(i % 7), float(np.random.RandomState(i).poisson(2.0))) for i in range(300)]
+    pdf = spark.createDataFrame(prows, "x double, y double")
+    pm = GLM.poisson_fit(pdf, ["x"], "y", iters=4)
+    Xp = np.array([[r[0], 1.0] for r in prows]); yp = np.array([r[1] for r in prows])
+    bp = np.array(pm["beta"])
+    z = Xp @ bp
+    ll_p = float((yp * z - np.exp(z)).sum())
+    assert abs(pm["loglik"] - ll_p) < 1e-6 * max(1.0, abs(ll_p))

@@ -536,3 +536,46 @@ def test_concordance_and_bootstrap_plan_shapes(tables):
     assert summ["joins"] == {}, summ
     assert not summ["has_cartesian"]
     assert "Window" not in physical_plan(boot)
+
+
+def test_stats_auto_high_cardinality_routes_continuous_columns(tables):
+    """r10 verdict #3: high_cardinality defaults to "auto" — a
+    continuous double column routes to the distributed prefix WITHOUT
+    the caller passing the flag (sampled distinct-count heuristic),
+    while a bounded discrete domain keeps the plain window."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import stats as ST
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    spark = tables["orders"].sparkSession
+    # a genuinely continuous column on an above-sample-size frame
+    # (the heuristic deliberately keeps sub-sample inputs windowed —
+    # a frame smaller than one sample split is trivially windowable)
+    cont = spark.range(20000).select(
+        (F.col("id").cast("double") * 1.0000001 + 0.5).alias("v"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    df = ST.ks_test(cont, "v", "g", "a", "b")  # no flag
+    plan = physical_plan(df)
+    assert "__ptot" in plan, plan[:2000]
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and "Window" in seg.splitlines()[0]:
+            assert "__ptot" in seg, seg
+    # a 9-value discrete domain stays on the plain window (no __ptot)
+    disc = spark.range(20000).select(
+        (F.col("id") % 9).cast("double").alias("v"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    plan_d = physical_plan(ST.ks_test(disc, "v", "g", "a", "b"))
+    assert "__ptot" not in plan_d
+    # sub-sample-size input stays windowed even when fully unique
+    tiny = tables["orders"].select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    if tiny.count() < 8192:
+        assert "__ptot" not in physical_plan(
+            ST.ks_test(tiny, "v", "g", "a", "b")
+        )

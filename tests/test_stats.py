@@ -703,3 +703,43 @@ def test_bootstrap_ci_stream_maintained_live(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert live() == batch(b1.unionByName(b2))
+
+
+def test_bootstrap_excludes_null_values(spark):
+    """Round-10 ADVICE: NULL value rows are excluded up front, so n
+    counts non-null measurements and mean == avg(v) semantics —
+    polluting a frame with NULL-value rows changes NOTHING."""
+    rows = [(f"g{i % 2}", i, float(i % 11)) for i in range(400)]
+    clean = spark.createDataFrame(rows, "g string, id long, v double")
+    polluted = clean.unionByName(
+        spark.createDataFrame(
+            [("g0", 10_000, None), ("g1", 10_001, None), ("g0", 10_002, None)],
+            "g string, id long, v double",
+        )
+    )
+    a = {r.g: r for r in S.poisson_bootstrap_ci(clean, ["g"], "v", "id", b=16).collect()}
+    b = {r.g: r for r in S.poisson_bootstrap_ci(polluted, ["g"], "v", "id", b=16).collect()}
+    for g in a:
+        assert b[g].n == a[g].n  # NULL rows not counted
+        assert abs(b[g].mean - a[g].mean) < 1e-12
+        assert abs(b[g].lo - a[g].lo) < 1e-12 and abs(b[g].hi - a[g].hi) < 1e-12
+    # mean equals avg(v) exactly
+    from pyspark.sql import functions as F
+
+    avgs = {r.g: r.m for r in polluted.groupBy("g").agg(F.avg("v").alias("m")).collect()}
+    for g in a:
+        assert abs(b[g].mean - avgs[g]) < 1e-12
+    # lift twin: same rule
+    lrows = [(i, "a" if i % 2 == 0 else "b", 3.0 + (i % 5)) for i in range(600)]
+    lc = spark.createDataFrame(lrows, "id long, arm string, v double")
+    lp = lc.unionByName(
+        spark.createDataFrame(
+            [(20_000, "a", None), (20_001, "b", None)],
+            "id long, arm string, v double",
+        )
+    )
+    ra = S.poisson_bootstrap_lift(lc, "arm", "v", "id", "a", "b", b=16).collect()[0]
+    rb = S.poisson_bootstrap_lift(lp, "arm", "v", "id", "a", "b", b=16).collect()[0]
+    assert (ra.n_a, ra.n_b) == (rb.n_a, rb.n_b)
+    assert abs(ra.lift - rb.lift) < 1e-12
+    assert abs(ra.lo - rb.lo) < 1e-12 and abs(ra.hi - rb.hi) < 1e-12

@@ -633,3 +633,28 @@ def test_ar_forecast_constant_series_null_and_guards(spark):
         temporal.ar_forecast(const, "day", "y", p=0)
     with pytest.raises(ValueError, match="horizon"):
         temporal.ar_forecast(const, "day", "y", horizon=9)
+
+
+def test_ar_forecast_rejects_trailing_gap_and_short_series(spark):
+    """r10 ADVICE: the forecast seed assumes the series ends with p
+    consecutive days; a trailing calendar gap must raise, not silently
+    seed lag-1 with a non-adjacent day."""
+    import datetime
+
+    import pytest
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=d), 10 + d % 3) for d in range(30)]
+    gapped = rows[:-1]  # drop day 29: last days are 27, 28... then 29 missing
+    # drop day 28 instead so the tail is ...27, 29 — a trailing gap at lag 1
+    gapped = [r for r in rows if r[0] != base + datetime.timedelta(days=28)]
+    df = spark.createDataFrame(gapped, "day date, y long")
+    with pytest.raises(ValueError, match="consecutive"):
+        temporal.ar_forecast(df, "day", "y", p=2, horizon=3)
+    # contiguous tail still fine even with interior gaps
+    interior = [r for r in rows if r[0] != base + datetime.timedelta(days=5)]
+    df2 = spark.createDataFrame(interior, "day date, y long")
+    assert len(temporal.ar_forecast(df2, "day", "y", p=2, horizon=3).collect()) == 3
+    short = spark.createDataFrame(rows[:1], "day date, y long")
+    with pytest.raises(ValueError, match="fewer than"):
+        temporal.ar_forecast(short, "day", "y", p=2, horizon=2)

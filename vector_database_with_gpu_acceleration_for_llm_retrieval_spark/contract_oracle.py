@@ -4485,7 +4485,8 @@ def _oracle_bootstrap_value_ci(b: int = 32) -> str:
         f"wv{r} / (CASE WHEN ws{r} > 0 THEN ws{r} END)" for r in range(b)
     )
     return f"""
-WITH base AS (SELECT event_type, value, CAST(event_id AS VARCHAR) AS sid FROM events),
+WITH base AS (SELECT event_type, value, CAST(event_id AS VARCHAR) AS sid
+              FROM events WHERE value IS NOT NULL),
 wts AS (SELECT event_type, value,
              {wcols}
         FROM base),
@@ -4538,7 +4539,7 @@ def _oracle_bootstrap_lift_ci(b: int = 32) -> str:
     return f"""
 WITH base AS (SELECT value, CAST(event_id AS VARCHAR) AS sid,
                      (user_id % 2 = 0) AS is_a
-              FROM events),
+              FROM events WHERE value IS NOT NULL),
 wts AS (SELECT value, is_a,
              {wcols}
         FROM base),

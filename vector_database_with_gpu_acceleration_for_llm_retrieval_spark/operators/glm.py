@@ -335,12 +335,13 @@ def cox_fit(
     feature_cols: list[str],
     iters: int = 8,
     reg: float = 1e-9,
-    high_cardinality: bool = False,
+    high_cardinality: bool | str = "auto",
     n_parts: int | None = None,
     strata_col: str | None = None,
+    ties: str = "breslow",
 ) -> dict:
     """Cox proportional-hazards regression (partial likelihood, Breslow
-    ties) — the covariate-ADJUSTED survival answer: ``kaplan_meier`` /
+    or Efron ties) — the covariate-ADJUSTED survival answer: ``kaplan_meier`` /
     ``logrank_test`` (operators/stats.py) say whether arm B converted
     faster; this says by how much per covariate, holding the others
     fixed, under right censoring.  ``hazard_i(t) = h0(t)·exp(x_i·β)``.
@@ -379,7 +380,21 @@ def cox_fit(
     a single giant stratum should be fit unstratified with
     ``high_cardinality=True``).
 
-    Rows with NULL duration are excluded (the kaplan_meier rule).
+    ``ties="efron"`` applies Efron's tie correction (Efron 1977, the
+    survival-package default): at a time with ``d_t`` tied events the
+    j-th event's denominator is ``S0 − (j/d_t)·E0`` (``E0/E1/E2`` the
+    event-only weight moments AT that time, j = 0..d_t−1), removing
+    the toward-zero β bias Breslow shows under heavy ties.  The
+    inner Σ_j is a JVM higher-order ``aggregate`` over
+    ``sequence(0, d_t−1)`` — Σd_t = n_events total terms, distributed,
+    still zero Python on the data path; with no ties (every d_t = 1)
+    the two estimators coincide exactly (pytest-asserted).
+
+    Rows with a NULL duration, NULL event flag, or NULL in ANY feature
+    column are excluded up front (the kaplan_meier / spearman
+    pairwise-complete rule — without the feature filter a NULL
+    feature would drop the subject from the risk-set sums while
+    ``dt`` still counted its event, silently biasing the score).
     Fixed ``iters`` keeps the result a deterministic function of the
     input up to float partial-sum re-association (parity asserted to
     1e-9 in tests — the ALS tolerance).  No SQL mirror (matrix
@@ -387,23 +402,44 @@ def cox_fit(
     schedule (tests/test_glm.py) — the OPQ/ALS discipline.
 
     Returns ``{"beta": [...], "cols": feature_cols, "iters": n,
-    "loglik": float, "n_events": int}``.
+    "loglik": float, "n_events": int}`` where ``loglik`` is the
+    partial log-likelihood evaluated AT the returned β (one extra
+    ll-only pass after the last Newton step — not the stale
+    penultimate iterate).
     """
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.stats import (
         _cdf_prefix,
+        _resolve_high_cardinality,
     )
 
     d = len(feature_cols)
     if d == 0:
         raise ValueError("cox_fit: need at least one feature column")
-    if strata_col is not None and high_cardinality:
-        raise ValueError(
-            "cox_fit: strata_col and high_cardinality are mutually"
-            " exclusive (per-stratum windows are the scale shape)"
+    if ties not in ("breslow", "efron"):
+        raise ValueError(f"cox_fit: unknown ties rule {ties!r}")
+    if strata_col is not None:
+        if high_cardinality is True:
+            raise ValueError(
+                "cox_fit: strata_col and high_cardinality are mutually"
+                " exclusive (per-stratum windows are the scale shape)"
+            )
+        high_cardinality = False
+    else:
+        high_cardinality = _resolve_high_cardinality(
+            df.filter(F.col(time_col).isNotNull()),
+            [time_col],
+            high_cardinality,
         )
     strat = [F.col(strata_col).alias("__s")] if strata_col else []
+    feat_ok = F.lit(True)
+    for c in feature_cols:
+        feat_ok = feat_ok & F.col(c).isNotNull()
     src = (
-        df.filter(F.col(time_col).isNotNull())
+        df.filter(
+            F.col(time_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & feat_ok
+        )
         .select(
             *strat,
             F.col(time_col).cast("double").alias("__t"),
@@ -415,26 +451,52 @@ def cox_fit(
         )
     )
     pairs = [(k, l) for k in range(d) for l in range(k, d)]
-    beta = np.zeros(d, dtype=np.float64)
-    n_events = None
-    loglik = None
-    for _ in range(iters):
+    efron = ties == "efron"
+
+    def _esum(term):
+        # Efron's inner Σ_{j=0}^{d_t−1} term(j/d_t) as a JVM
+        # higher-order aggregate over sequence(0, d_t−1): Σd_t =
+        # n_events terms total across the frame, distributed, no
+        # Python.  Only evaluated on event times (dt ≥ 1 after the
+        # filter below), so the sequence is never empty/negative.
+        seq = F.sequence(
+            F.lit(0).cast("long"), F.col("dt").cast("long") - F.lit(1)
+        )
+        return F.aggregate(
+            seq,
+            F.lit(0.0),
+            lambda acc, j: acc + term(j.cast("double") / F.col("dt")),
+        )
+
+    def _event_frame(beta_vec):
+        """Per-distinct-time moment frame at β (risk-set suffix sums
+        attached), filtered to event times; returns ``(frame, sfx)``."""
         z = F.lit(0.0)
         for k in range(d):
-            z = z + F.col(f"__x{k}") * F.lit(float(beta[k]))
+            z = z + F.col(f"__x{k}") * F.lit(float(beta_vec[k]))
         w = F.exp(z)
-        aggs = [F.sum(w).alias("a0"), F.sum("__e").alias("dt")]
+        e = F.col("__e")
+        aggs = [F.sum(w).alias("a0"), F.sum(e).alias("dt")]
         for k in range(d):
             aggs.append(F.sum(w * F.col(f"__x{k}")).alias(f"a1_{k}"))
-            aggs.append(
-                F.sum(F.col("__e") * F.col(f"__x{k}")).alias(f"sx_{k}")
-            )
+            aggs.append(F.sum(e * F.col(f"__x{k}")).alias(f"sx_{k}"))
         for k, l in pairs:
             aggs.append(
                 F.sum(w * F.col(f"__x{k}") * F.col(f"__x{l}")).alias(
                     f"a2_{k}_{l}"
                 )
             )
+        if efron:
+            # event-only weight moments AT each time — Efron's E0/E1/E2
+            aggs.append(F.sum(e * w).alias("e0"))
+            for k in range(d):
+                aggs.append(F.sum(e * w * F.col(f"__x{k}")).alias(f"e1_{k}"))
+            for k, l in pairs:
+                aggs.append(
+                    F.sum(e * w * F.col(f"__x{k}") * F.col(f"__x{l}")).alias(
+                        f"e2_{k}_{l}"
+                    )
+                )
         weights = ["a0"] + [f"a1_{k}" for k in range(d)] + [
             f"a2_{k}_{l}" for k, l in pairs
         ]
@@ -464,45 +526,76 @@ def cox_fit(
             # when stratified — the windows above are stratum-keyed)
             return F.col(f"__tot_{c}") - (F.col(f"__cum_{c}") - F.col(c))
 
+        return cum.filter(F.col("dt") > 0), sfx
+
+    def _ll_col(beta_vec, sfx):
         s0 = sfx("a0")
-        out_cols = [
-            F.sum("dt").alias("__nev"),
-            F.sum(
-                sum(
-                    (F.col(f"sx_{k}") * F.lit(float(beta[k])) for k in range(d)),
-                    F.lit(0.0),
-                )
-                - F.col("dt") * F.log(s0)
-            ).alias("__ll"),
-        ]
+        bx = sum(
+            (F.col(f"sx_{k}") * F.lit(float(beta_vec[k])) for k in range(d)),
+            F.lit(0.0),
+        )
+        if not efron:
+            return F.sum(bx - F.col("dt") * F.log(s0)).alias("__ll")
+        return F.sum(
+            bx - _esum(lambda f: F.log(s0 - f * F.col("e0")))
+        ).alias("__ll")
+
+    def _score_cols(sfx):
+        s0 = sfx("a0")
+        out = []
         for k in range(d):
-            out_cols.append(
-                F.sum(F.col(f"sx_{k}") - F.col("dt") * sfx(f"a1_{k}") / s0).alias(
-                    f"g_{k}"
+            if not efron:
+                t = F.col("dt") * sfx(f"a1_{k}") / s0
+            else:
+                t = _esum(
+                    lambda f, k=k: (sfx(f"a1_{k}") - f * F.col(f"e1_{k}"))
+                    / (s0 - f * F.col("e0"))
                 )
-            )
+            out.append(F.sum(F.col(f"sx_{k}") - t).alias(f"g_{k}"))
         for k, l in pairs:
-            out_cols.append(
-                F.sum(
-                    F.col("dt")
-                    * (
-                        sfx(f"a2_{k}_{l}") / s0
-                        - (sfx(f"a1_{k}") / s0) * (sfx(f"a1_{l}") / s0)
+            if not efron:
+                t = F.col("dt") * (
+                    sfx(f"a2_{k}_{l}") / s0
+                    - (sfx(f"a1_{k}") / s0) * (sfx(f"a1_{l}") / s0)
+                )
+            else:
+
+                def term(f, k=k, l=l):
+                    phi = s0 - f * F.col("e0")
+                    u = sfx(f"a1_{k}") - f * F.col(f"e1_{k}")
+                    v = sfx(f"a1_{l}") - f * F.col(f"e1_{l}")
+                    return (
+                        (sfx(f"a2_{k}_{l}") - f * F.col(f"e2_{k}_{l}")) / phi
+                        - u * v / (phi * phi)
                     )
-                ).alias(f"h_{k}_{l}")
-            )
-        row = cum.filter(F.col("dt") > 0).agg(*out_cols).collect()[0]
+
+                t = _esum(term)
+            out.append(F.sum(t).alias(f"h_{k}_{l}"))
+        return out
+
+    beta = np.zeros(d, dtype=np.float64)
+    for _ in range(iters):
+        ev, sfx = _event_frame(beta)
+        out_cols = [F.sum("dt").alias("__nev")] + _score_cols(sfx)
+        row = ev.agg(*out_cols).collect()[0]
         # all-censored input: the event-time filter leaves an empty
         # frame and every sum is NULL — a clear error, not a crash
         if row["__nev"] is None or int(row["__nev"]) == 0:
             raise ValueError("cox_fit: no events observed (all censored)")
-        n_events = int(row["__nev"])
-        loglik = float(row["__ll"])
         g = np.array([row[f"g_{k}"] for k in range(d)], dtype=np.float64)
         H = np.zeros((d, d), dtype=np.float64)
         for k, l in pairs:
             H[k, l] = H[l, k] = row[f"h_{k}_{l}"]
         beta = beta + np.linalg.solve(H + reg * np.eye(d), g)
+    # loglik AT the returned β — one ll-only closing pass, so the
+    # reported likelihood is not one Newton step stale (round-10
+    # ADVICE); also sets n_events for the iters=0 degenerate call
+    ev, sfx = _event_frame(beta)
+    row = ev.agg(F.sum("dt").alias("__nev"), _ll_col(beta, sfx)).collect()[0]
+    if row["__nev"] is None or int(row["__nev"]) == 0:
+        raise ValueError("cox_fit: no events observed (all censored)")
+    n_events = int(row["__nev"])
+    loglik = float(row["__ll"])
     return {
         "beta": beta.tolist(),
         "cols": list(feature_cols),
@@ -529,7 +622,7 @@ def cox_baseline(
     time_col: str,
     event_col: str,
     model: dict,
-    high_cardinality: bool = False,
+    high_cardinality: bool | str = "auto",
     n_parts: int | None = None,
 ) -> DataFrame:
     """Breslow baseline cumulative hazard for a fitted :func:`cox_fit`
@@ -553,8 +646,12 @@ def cox_baseline(
     beta = model["beta"]
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.stats import (
         _cdf_prefix,
+        _resolve_high_cardinality,
     )
 
+    high_cardinality = _resolve_high_cardinality(
+        df.filter(F.col(time_col).isNotNull()), [time_col], high_cardinality
+    )
     z = F.lit(0.0)
     for c, b in zip(cols, beta):
         z = z + F.col(c).cast("double") * F.lit(float(b))
@@ -604,7 +701,9 @@ def poisson_fit(
     Arrow seam because its stable sigmoid needs a branch per row).
     Fixed iterations; ``reg`` ridges the solve.  Returns ``{"beta",
     "cols", "iters", "loglik"}`` (intercept LAST), ``loglik`` the
-    final Poisson log-likelihood up to the ``−Σln(y!)`` constant.
+    Poisson log-likelihood up to the ``−Σln(y!)`` constant evaluated
+    AT the returned β (one ll-only closing aggregate after the last
+    Newton step — not the stale penultimate iterate; round-10 ADVICE).
     Score with :func:`poisson_predict`.
     """
     d = len(feature_cols) + (1 if intercept else 0)
@@ -624,15 +723,17 @@ def poisson_fit(
             raise ValueError("poisson_fit: empty input")
         beta[d - 1] = float(np.log(max(float(mean_y), 1e-12)))
     pairs = [(k, l) for k in range(d) for l in range(k, d)]
-    loglik = None
-    for _ in range(iters):
+
+    def _linear(beta_vec):
         z = F.lit(0.0)
         for k in range(d):
-            z = z + xs[k] * F.lit(float(beta[k]))
+            z = z + xs[k] * F.lit(float(beta_vec[k]))
+        return z
+
+    for _ in range(iters):
+        z = _linear(beta)
         mu = F.exp(z)
-        aggs = [
-            F.sum(F.col("__y") * z - mu).alias("__ll"),
-        ]
+        aggs = []
         for k in range(d):
             aggs.append(F.sum((F.col("__y") - mu) * xs[k]).alias(f"g_{k}"))
         for k, l in pairs:
@@ -640,12 +741,18 @@ def poisson_fit(
         row = src.agg(*aggs).collect()[0]
         if row[f"g_0"] is None:
             raise ValueError("poisson_fit: empty input")
-        loglik = float(row["__ll"])
         g = np.array([row[f"g_{k}"] for k in range(d)], dtype=np.float64)
         H = np.zeros((d, d), dtype=np.float64)
         for k, l in pairs:
             H[k, l] = H[l, k] = row[f"h_{k}_{l}"]
         beta = beta + np.linalg.solve(H + reg * np.eye(d), g)
+    # loglik AT the returned β — one ll-only closing aggregate so the
+    # reported likelihood matches the returned coefficients
+    z = _linear(beta)
+    ll = src.agg(F.sum(F.col("__y") * z - F.exp(z)).alias("__ll")).collect()[0]
+    if ll["__ll"] is None:
+        raise ValueError("poisson_fit: empty input")
+    loglik = float(ll["__ll"])
     cols = list(feature_cols) + (["__intercept"] if intercept else [])
     return {"beta": beta.tolist(), "cols": cols, "iters": iters, "loglik": loglik}
 

@@ -1261,8 +1261,19 @@ def ar_forecast(
     (:func:`pacf_from_acf` diagnoses the order; this fits that order
     and forecasts): Yule-Walker coefficients from the same unrolled
     recursion, ``x̂_{n+h} = μ + Σ_j φ_j (x_{n+h−j} − μ)`` with
-    forecasts substituted recursively for未observed terms — unrolled
-    to ``horizon`` scalar expressions (≤ 7, the holt_forecast budget).
+    forecasts substituted recursively for not-yet-observed terms —
+    unrolled to ``horizon`` scalar expressions (≤ 7, the
+    holt_forecast budget).
+
+    TRAILING-CONTINUITY ASSUMPTION: the recursion is seeded with the
+    last ``p`` rows in day-descending order, taken as the lag-1..p
+    values — i.e. the series is assumed to END with ``p`` consecutive
+    calendar days.  The FIT correctly skips interior gap pairs (the
+    lag equi-join only matches day−j), but a trailing gap would make
+    the seed silently use a non-adjacent day as lag-1, so that shape
+    is rejected with a ValueError (one extra 1-row aggregate over the
+    calendar-sized frame — check the last p days are contiguous before
+    forecasting from them; backfill or truncate the series if not).
 
     Scale shape: one calendar-bounded aggregate + one lag equi-join
     onto p·days pairs + two 1-row broadcast frames; everything after
@@ -1281,8 +1292,32 @@ def ar_forecast(
             *[
                 F.max(F.when(F.col("__rn") == j, F.col("__y"))).alias(f"v{j}")
                 for j in range(1, p + 1)
-            ]
+            ],
+            F.count(F.lit(1)).alias("__k"),
+            F.datediff(
+                F.max(F.when(F.col("__rn") == 1, F.col(day_col))),
+                F.max(F.when(F.col("__rn") == p, F.col(day_col))),
+            ).alias("__span"),
         )
+    )
+    # trailing-continuity check (docstring): the seed takes the last p
+    # rows as lag-1..p, which is only right when the series ends with
+    # p consecutive days — one 1-row collect of the seed frame itself
+    seed = lastv.collect()[0]
+    if int(seed["__k"] or 0) < p:
+        raise ValueError(
+            f"ar_forecast: series has fewer than p={p} observations"
+        )
+    if int(seed["__span"] or 0) != p - 1:
+        raise ValueError(
+            f"ar_forecast: the last {p} observed days span"
+            f" {int(seed['__span'])} days — the recursion seeds lag-1..p"
+            " from them and needs them consecutive; backfill or truncate"
+            " the trailing gap"
+        )
+    lastv = daily.sparkSession.createDataFrame(
+        [tuple(float(seed[f"v{j}"]) for j in range(1, p + 1))],
+        ", ".join(f"v{j} double" for j in range(1, p + 1)),
     )
     one = one.crossJoin(F.broadcast(lastv))
     mu = F.col("mu")
