@@ -397,3 +397,59 @@ def test_delete_then_stream_maintenance_consistent(corpus, spark, tmp_path):
     assert A.validate_index(spark, path)["issues"] == []
     # and a second delete now touches streamed rows too
     assert A.delete_from_index(spark, path, [45])["rows_deleted"] == 1
+
+
+def test_flat_delete_crash_windows_recover(corpus, spark, tmp_path):
+    """r10 verdict #2: every crash state of the flat-table swap is
+    auto-recovered — simulate each window by reproducing the swap's
+    directory states by hand, then assert recover_index (and a plain
+    delete_from_index call, which runs it first) sees a complete table
+    at `path` with the sidecar intact."""
+    import shutil
+    import os
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        bq as BQ,
+    )
+
+    path = str(tmp_path / "bqcrash")
+    thr = BQ.train_bq_thresholds(corpus, dim=64)
+    BQ.write_bq_index(corpus, path, thr)
+    n = corpus.count()
+    tmp, old = path + "__del_tmp", path + "__del_old"
+
+    # --- window A: crash AFTER stage write, BEFORE the aside-rename
+    # (live intact, orphan stage present) → stage dropped, live served
+    shutil.copytree(path, tmp)
+    assert A.recover_index(spark, path) == "dropped_stage"
+    assert not os.path.exists(tmp)
+    assert spark.read.parquet(path).count() == n
+    assert A.validate_index(spark, path)["issues"] == []
+
+    # --- window B: crash BETWEEN the two renames (no live table; the
+    # complete stage holds the post-delete data + sidecar) → promoted
+    shutil.move(path, tmp)
+    assert A.recover_index(spark, path) == "promoted_stage"
+    assert os.path.exists(path) and not os.path.exists(tmp)
+    assert spark.read.parquet(path).count() == n
+    assert A.validate_index(spark, path)["issues"] == []
+
+    # --- window C: crash AFTER the swap, BEFORE dropping the aside
+    shutil.copytree(path, old)
+    assert A.recover_index(spark, path) == "dropped_aside"
+    assert not os.path.exists(old)
+    assert A.validate_index(spark, path)["issues"] == []
+
+    # --- clean state is a no-op
+    assert A.recover_index(spark, path) == "clean"
+
+    # --- and delete_from_index itself recovers window B en route:
+    # recreate it, then run a real delete — it must promote the stage
+    # first and then delete from the promoted table
+    shutil.move(path, tmp)
+    out = A.delete_from_index(spark, path, [0, 1, 2])
+    assert out["rows_deleted"] == 3
+    after = spark.read.parquet(path)
+    assert after.count() == n - 3
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+    assert A.validate_index(spark, path)["issues"] == []

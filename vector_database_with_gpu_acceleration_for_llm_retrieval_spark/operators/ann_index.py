@@ -42,6 +42,7 @@ __all__ = [
     "ivf_knn_join_indexed",
     "validate_index",
     "delete_from_index",
+    "recover_index",
 ]
 
 #: sidecar subdirectory (underscore prefix → invisible to parquet
@@ -432,8 +433,13 @@ def delete_from_index(
     honestly (8–64 bytes/vector, so the rewrite is compressed-domain
     cheap; partition these layouts by a routing key at write time if
     erasure volume ever dominates).  The rewrite stages through
-    ``<path>__del_tmp`` + rename so a crash never leaves a
-    half-deleted index.
+    ``<path>__del_tmp`` and swaps with the ASIDE-RENAME pattern (live
+    → ``__del_old``, stage → live, drop aside — round-10 verdict #2):
+    data is never lost, and every crash state is auto-recovered by
+    :func:`recover_index`, which also runs at the top of this
+    function.  Readers racing the two renames can transiently miss
+    the table (single-FS rename is not a transaction) — the recovery
+    contract is about durability, not reader isolation.
 
     The sidecar is untouched (thresholds/codebooks/centroids describe
     the SPACE, not the rows).  ``validate_index`` passes afterwards.
@@ -450,6 +456,7 @@ def delete_from_index(
     the log over only its own new files, reintroducing the shadow);
     the delete-then-resume flow is pytest-asserted.
     """
+    recover_index(spark, path)
     meta = _read_meta(spark, path)
     kind = meta.get("kind")
     if kind == "bm25":
@@ -503,16 +510,75 @@ def delete_from_index(
     keep = df.join(id_frame, id_col, "left_anti").localCheckpoint(eager=True)
     after = keep.count()
     tmp = path + "__del_tmp"
+    old = path + "__del_old"
     keep.write.mode("overwrite").parquet(tmp)
+    # keep the sidecar: COPY it into the staged table, so the live
+    # table stays complete until the swap (a crash here leaves both
+    # intact; recover_index drops the orphan stage)
+    if fs.exists(path_cls(f"{path}/{_META}")):
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs,
+            path_cls(f"{path}/{_META}"),
+            fs,
+            path_cls(f"{tmp}/{_META}"),
+            False,
+            spark.sparkContext._jsc.hadoopConfiguration(),
+        )
+    # aside-rename swap (live → __del_old, stage → live, drop aside):
+    # there is never a point where the data exists only in a temp dir
+    # a reader wouldn't look at — a crash between the renames leaves a
+    # COMPLETE staged table at <path>__del_tmp that recover_index (or
+    # the next delete_from_index call) promotes automatically
+    if fs.exists(path_cls(old)):
+        fs.delete(path_cls(old), True)
+    fs.rename(path_cls(path), path_cls(old))
+    fs.rename(path_cls(tmp), path_cls(path))
+    fs.delete(path_cls(old), True)
+    return {"kind": kind, "touched_partitions": [], "rows_deleted": before - after}
+
+
+def recover_index(spark: SparkSession, path: str) -> str:
+    """Finish (or discard) a :func:`delete_from_index` flat-table swap
+    interrupted by a crash — called automatically at the top of
+    ``delete_from_index``; callable directly after an unclean shutdown.
+
+    The swap is ``write stage → copy sidecar → rename live aside →
+    rename stage live → drop aside``, so only three crash states
+    exist, each unambiguous from which directories are present:
+
+    - live MISSING, stage present (crashed between the renames): the
+      stage is a COMPLETE table with its sidecar — promote it
+      (``"promoted_stage"``), then drop any aside.
+    - live present, stage present (crashed before the aside-rename):
+      the delete was never acknowledged — drop the orphan stage
+      (``"dropped_stage"``); the caller simply retries.
+    - live present, aside present (crashed before the final cleanup):
+      the swap completed — drop the aside (``"dropped_aside"``).
+
+    Returns the action taken, or ``"clean"``.  Never loses the live
+    table: at every step either ``path`` or a complete
+    ``<path>__del_tmp`` exists.
+    """
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
         _fs_and_path,
     )
 
     fs, _, jvm = _fs_and_path(spark, path)
     path_cls = jvm.org.apache.hadoop.fs.Path
-    # keep the sidecar: move it into the staged table before the swap
-    if fs.exists(path_cls(f"{path}/{_META}")):
-        fs.rename(path_cls(f"{path}/{_META}"), path_cls(f"{tmp}/{_META}"))
-    fs.delete(path_cls(path), True)
-    fs.rename(path_cls(tmp), path_cls(path))
-    return {"kind": kind, "touched_partitions": [], "rows_deleted": before - after}
+    tmp, old = path + "__del_tmp", path + "__del_old"
+    has_live = fs.exists(path_cls(path))
+    has_tmp = fs.exists(path_cls(tmp))
+    has_old = fs.exists(path_cls(old))
+    if not has_live and has_tmp:
+        fs.rename(path_cls(tmp), path_cls(path))
+        if has_old:
+            fs.delete(path_cls(old), True)
+        return "promoted_stage"
+    action = "clean"
+    if has_live and has_tmp:
+        fs.delete(path_cls(tmp), True)
+        action = "dropped_stage"
+    if has_live and has_old:
+        fs.delete(path_cls(old), True)
+        action = "dropped_aside" if action == "clean" else action
+    return action
