@@ -744,3 +744,121 @@ def test_loglik_reported_at_returned_beta(spark):
     z = Xp @ bp
     ll_p = float((yp * z - np.exp(z)).sum())
     assert abs(pm["loglik"] - ll_p) < 1e-6 * max(1.0, abs(ll_p))
+
+
+def test_ols_fit_matches_numpy_lstsq_and_two_feature_closed_form(spark):
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(500):
+        x1, x2, x3 = rng.gauss(0, 1), rng.gauss(2, 3), rng.uniform(-1, 1)
+        y = 1.2 * x1 - 0.7 * x2 + 3.0 * x3 + 5.0 + rng.gauss(0, 0.5)
+        rows.append((x1, x2, x3, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, y double").repartition(9)
+    m = GLM.ols_fit(df, ["x1", "x2", "x3"], "y")
+    X = np.array([[r[0], r[1], r[2], 1.0] for r in rows])
+    yv = np.array([r[3] for r in rows])
+    want, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert np.allclose(m["beta"], want, atol=1e-8), (m["beta"], want)
+    assert m["n"] == 500 and 0.9 < m["r2"] <= 1.0
+    # partitioning independence (the ALS tolerance)
+    m2 = GLM.ols_fit(df.repartition(3), ["x1", "x2", "x3"], "y")
+    assert np.allclose(m2["beta"], m["beta"], atol=1e-9)
+    # exact agreement with the oracle-checked closed form at d=2
+    two = GLM.ols_two_features(df, "x1", "x2", "y").collect()[0]
+    m22 = GLM.ols_fit(df, ["x1", "x2"], "y")
+    assert abs(m22["beta"][0] - two.beta_u) < 1e-8
+    assert abs(m22["beta"][1] - two.beta_v) < 1e-8
+    assert abs(m22["beta"][2] - two.beta0) < 1e-8
+    assert abs(m22["r2"] - two.r2) < 1e-10
+    # ridge replica: (G + reg*P)^-1 X'y with unpenalized intercept
+    reg = 2.5
+    mr = GLM.ols_fit(df, ["x1", "x2", "x3"], "y", reg=reg)
+    P = np.eye(4); P[3, 3] = 0.0
+    want_r = np.linalg.solve(X.T @ X + reg * P, X.T @ yv)
+    assert np.allclose(mr["beta"], want_r, atol=1e-8)
+    # serving is a pure expression
+    scored = GLM.ols_predict(df, m).collect()
+    for r in scored[:20]:
+        want_y = m["beta"][0] * r.x1 + m["beta"][1] * r.x2 + m["beta"][2] * r.x3 + m["beta"][3]
+        assert abs(r.yhat - want_y) < 1e-10
+
+
+def test_ols_fit_null_rows_singularity_and_no_intercept(spark):
+    import pytest
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rows = [(float(i), float(2 * i % 7), 3.0 * i + 1.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    polluted = df.unionByName(
+        spark.createDataFrame(
+            [(None, 1.0, 5.0), (1.0, None, 5.0), (1.0, 1.0, None)],
+            "x1 double, x2 double, y double",
+        )
+    )
+    m = GLM.ols_fit(df, ["x1", "x2"], "y")
+    mp = GLM.ols_fit(polluted, ["x1", "x2"], "y")
+    assert np.allclose(m["beta"], mp["beta"], atol=1e-12) and mp["n"] == 60
+    # collinear features: raises unless ridged
+    colin = df.withColumn("x3", 2 * df.x1)
+    with pytest.raises(ValueError, match="singular"):
+        GLM.ols_fit(colin, ["x1", "x3"], "y")
+    mr = GLM.ols_fit(colin, ["x1", "x3"], "y", reg=1.0)
+    assert all(np.isfinite(mr["beta"]))
+    # no intercept: replica without the ones column
+    mni = GLM.ols_fit(df, ["x1", "x2"], "y", intercept=False)
+    X = np.array([[r[0], r[1]] for r in rows]); yv = np.array([r[2] for r in rows])
+    want, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert np.allclose(mni["beta"], want, atol=1e-8)
+    with pytest.raises(ValueError, match="no complete rows"):
+        GLM.ols_fit(df.filter("x1 < 0"), ["x1"], "y")
+
+
+def test_glm_scoring_streams_by_composition(spark, tmp_path):
+    """r10 verdict #9: cox_predict / poisson_predict / ols_predict are
+    pure expressions, so they apply UNCHANGED to a streaming
+    DataFrame — frozen model, live data, zero new scoring code.
+    Stream scores must equal batch scores row-for-row."""
+    from pyspark.sql import functions as SF
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rows = [(i, float(i % 13) / 3.0, float((i * 7) % 11)) for i in range(300)]
+    batch = spark.createDataFrame(rows, "id long, x1 double, x2 double")
+    cox = {"beta": [0.4, -0.2], "cols": ["x1", "x2"], "iters": 8}
+    pois = {"beta": [0.1, 0.05, 1.0], "cols": ["x1", "x2", "__intercept"], "iters": 8}
+    ols = {"beta": [2.0, -1.0, 0.5], "cols": ["x1", "x2", "__intercept"], "n": 300, "r2": 1.0, "reg": 0.0}
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id long, x1 double, x2 double").parquet(src)
+    scored = GLM.ols_predict(
+        GLM.poisson_predict(GLM.cox_predict(stream, cox), pois), ols
+    )
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = {
+        r.id: (r.hazard_ratio, r.mu, r.yhat)
+        for r in GLM.ols_predict(
+            GLM.poisson_predict(GLM.cox_predict(batch, cox), pois), ols
+        ).collect()
+    }
+    got = {r.id: (r.hazard_ratio, r.mu, r.yhat) for r in spark.read.parquet(out).collect()}
+    assert got.keys() == want.keys()
+    for i in got:
+        for a, b in zip(got[i], want[i]):
+            assert abs(a - b) < 1e-12

@@ -3959,6 +3959,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
         "assoc_rules": q_assoc_rules,
+        "ols_fit_price": q_ols_fit_price,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
@@ -6072,6 +6073,37 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         _round6(F.col("beta_u"), "beta_qty"),
         _round6(F.col("beta_v"), "beta_disc"),
+        _round6(F.col("beta0"), "beta0"),
+        _round6(F.col("r2"), "r2"),
+    )
+
+
+def q_ols_fit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general-d Gram-solve OLS (operators/glm.ols_fit) at d=2 on
+    the SAME model as ols_price_model, value-checked against the SAME
+    Cramer closed-form mirror — proving the (XᵀX, Xᵀy) one-scan +
+    driver-solve path agrees with the oracle-checked closed form on
+    real data to round-6 (the two solve identical normal equations)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import glm as GL
+
+    t = load_tables(spark, sf_dir)
+    m = GL.ols_fit(
+        t["lineitem"], ["l_quantity", "l_discount"], "l_extendedprice"
+    )
+    res = spark.createDataFrame(
+        [(
+            int(m["n"]),
+            float(m["beta"][0]),
+            float(m["beta"][1]),
+            float(m["beta"][2]),
+            float(m["r2"]),
+        )],
+        "n long, beta_qty double, beta_disc double, beta0 double, r2 double",
+    )
+    return res.select(
+        "n",
+        _round6(F.col("beta_qty"), "beta_qty"),
+        _round6(F.col("beta_disc"), "beta_disc"),
         _round6(F.col("beta0"), "beta0"),
         _round6(F.col("r2"), "r2"),
     )

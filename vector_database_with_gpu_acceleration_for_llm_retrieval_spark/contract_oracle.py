@@ -5022,6 +5022,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped_engagement": _ORACLE_CUPED_ENGAGEMENT,
         "woe_iv": _ORACLE_WOE_IV,
         "ols_price_model": _ORACLE_OLS_PRICE_MODEL,
+        "ols_fit_price": _ORACLE_OLS_PRICE_MODEL,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,

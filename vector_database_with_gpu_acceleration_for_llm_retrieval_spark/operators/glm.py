@@ -202,6 +202,118 @@ def ols_two_features(
     )
 
 
+def ols_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    intercept: bool = True,
+    reg: float = 0.0,
+) -> dict:
+    """General d-feature linear regression (+ optional ridge) — the
+    gaussian member completing the GLM family next to
+    :func:`logistic_fit` / :func:`poisson_fit` / :func:`cox_fit`, and
+    the general-d extension of :func:`ols_two_features`'s closed form.
+
+    ONE scan computes the normal-equation sufficient statistics as
+    pure JVM column aggregates — the Gram matrix ``XᵀX`` (d(d+1)/2
+    sums), ``Xᵀy`` (d sums), plus n and Σy² — followed by a single
+    (d²+d+3)-double driver solve ``(XᵀX + reg·P) β = Xᵀy`` (``P`` the
+    identity with a ZERO at the intercept position — standard ridge
+    does not penalize the intercept).  No mapInPandas needed: unlike
+    logistic's per-row stable sigmoid, every moment here is plain
+    column algebra, so the whole data path stays inside whole-stage
+    codegen (the poisson_fit/cox_fit discipline) and the result is
+    independent of partitioning up to float re-association (the ALS
+    tolerance, pytest-asserted).
+
+    Rows with a NULL label or NULL in ANY feature are excluded up
+    front (the cox_fit rule).  A singular system (collinear features
+    with ``reg=0``) raises ValueError rather than returning garbage —
+    pass ``reg > 0`` to shrink through the collinearity.
+
+    ``r2`` comes from the same sums (``SSE = Σy² − 2βᵀXᵀy + βᵀXᵀXβ``,
+    no second pass; for ``reg > 0`` it is the R² of the *ridge*
+    coefficients, reported against the centered total sum of squares).
+    No SQL mirror (matrix solve — the ALS/IRLS precedent); verification
+    is a numpy ``lstsq`` replica to 1e-8 and exact agreement with the
+    oracle-checked :func:`ols_two_features` at d=2
+    (tests/test_glm.py).  Returns ``{"beta", "cols", "n", "r2",
+    "reg"}`` (intercept LAST as ``__intercept``); score with
+    :func:`ols_predict`.
+    """
+    d = len(feature_cols) + (1 if intercept else 0)
+    if not feature_cols:
+        raise ValueError("ols_fit: need at least one feature column")
+    ok = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        ok = ok & F.col(c).isNotNull()
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    if intercept:
+        xs = xs + [F.lit(1.0)]
+    y = F.col(label_col).cast("double")
+    src = df.filter(ok).select(
+        *[x.alias(f"__x{k}") for k, x in enumerate(xs)], y.alias("__y")
+    )
+    xs = [F.col(f"__x{k}") for k in range(d)]
+    yy = F.col("__y")
+    pairs = [(k, l) for k in range(d) for l in range(k, d)]
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(yy * yy).alias("syy"),
+            F.sum(yy).alias("sy")]
+    for k in range(d):
+        aggs.append(F.sum(xs[k] * yy).alias(f"xy_{k}"))
+    for k, l in pairs:
+        aggs.append(F.sum(xs[k] * xs[l]).alias(f"g_{k}_{l}"))
+    row = src.agg(*aggs).collect()[0]
+    n = int(row["n"] or 0)
+    if n == 0:
+        raise ValueError("ols_fit: no complete rows (empty or all-NULL)")
+    G = np.zeros((d, d), dtype=np.float64)
+    for k, l in pairs:
+        G[k, l] = G[l, k] = row[f"g_{k}_{l}"]
+    xy = np.array([row[f"xy_{k}"] for k in range(d)], dtype=np.float64)
+    P = np.eye(d)
+    if intercept:
+        P[d - 1, d - 1] = 0.0
+    try:
+        beta = np.linalg.solve(G + reg * P, xy)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "ols_fit: singular normal equations (collinear features) -"
+            " pass reg > 0"
+        ) from exc
+    cond = np.linalg.cond(G + reg * P)
+    if not np.isfinite(cond) or cond > 1e14:
+        raise ValueError(
+            "ols_fit: singular normal equations (collinear features) -"
+            " pass reg > 0"
+        )
+    syy = float(row["syy"])
+    sy = float(row["sy"])
+    sse = syy - 2.0 * float(beta @ xy) + float(beta @ G @ beta)
+    sst = syy - sy * sy / n
+    r2 = 1.0 - sse / sst if sst != 0 else None
+    cols = list(feature_cols) + (["__intercept"] if intercept else [])
+    return {
+        "beta": beta.tolist(),
+        "cols": cols,
+        "n": n,
+        "r2": r2,
+        "reg": float(reg),
+    }
+
+
+def ols_predict(df: DataFrame, model: dict, out_col: str = "yhat") -> DataFrame:
+    """Linear score ``x·β`` per row — pure JVM expression (the
+    cox_predict/poisson_predict serving rule); appends ``out_col``."""
+    z = F.lit(0.0)
+    for c, w in zip(model["cols"], model["beta"]):
+        if c == "__intercept":
+            z = z + F.lit(float(w))
+        else:
+            z = z + F.col(c).cast("double") * F.lit(float(w))
+    return df.withColumn(out_col, z)
+
+
 def _pava(rates: np.ndarray, weights: np.ndarray) -> np.ndarray:
     """Pool-adjacent-violators over ordered bins: the unique
     non-decreasing weighted-least-squares fit. Stack of
