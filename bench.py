@@ -390,12 +390,16 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
         # carries no information and round-over-round deltas are noise.
         # The Spark-side conjunct is dropped (r9 verdict #4: bq_topk at
         # duck 0.117 s / spark 1.4 s escaped the flag while being the
-        # row that most needed it): whenever the yardstick does <0.15 s
+        # row that most needed it): whenever the yardstick does <0.2 s
         # of work the ratio is floor-dominated regardless of Spark's
-        # absolute time. Flag those families so readers exclude them
-        # from ratio claims.
+        # absolute time (threshold widened 0.15 → 0.2 per r10 verdict
+        # #5: exact_dedup_docs at duck 0.164 s was the one remaining
+        # floor miss — and its scale behavior is now carried by a
+        # measured 500k-doc crossover in tools/crossover_probe.py /
+        # BASELINE.md instead of a sub-200 ms ratio). Flag those
+        # families so readers exclude them from ratio claims.
         floor = sorted(
-            n for n in spark_times if n in duck and duck[n] < 0.15
+            n for n in spark_times if n in duck and duck[n] < 0.2
         )
         return {
             "emb_rows": SCALE_EMB_N,

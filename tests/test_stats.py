@@ -743,3 +743,95 @@ def test_bootstrap_excludes_null_values(spark):
     assert (ra.n_a, ra.n_b) == (rb.n_a, rb.n_b)
     assert abs(ra.lift - rb.lift) < 1e-12
     assert abs(ra.lo - rb.lo) < 1e-12 and abs(ra.hi - rb.hi) < 1e-12
+
+
+def test_roc_auc_matches_rank_replica_and_ties(spark):
+    """AUC == tie-aware rank statistic: numpy midrank replica, exact
+    tie handling, HC-path bit identity, and the degenerate guards."""
+    import numpy as np
+
+    rng = __import__("random").Random(31)
+    rows = [(round(rng.gauss(1.0 if rng.random() < 0.4 else 0.0, 1.0), 2),
+             0) for _ in range(600)]
+    # labels correlated with score: re-draw with the truth attached
+    rows = []
+    for _ in range(600):
+        y = 1 if rng.random() < 0.4 else 0
+        s = round(rng.gauss(0.8 * y, 1.0), 1)  # coarse: many ties
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = S.roc_auc(df, "score", "y").collect()[0]
+    scores = np.array([r[0] for r in rows]); ys = np.array([r[1] for r in rows])
+    # midrank replica
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores))
+    sorted_s = scores[order]
+    i = 0
+    while i < len(sorted_s):
+        j = i
+        while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n_pos = int(ys.sum()); n_neg = len(ys) - n_pos
+    want = (ranks[ys == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert got.n_pos == n_pos and got.n_neg == n_neg
+    assert abs(got.auc - want) < 1e-12, (got.auc, want)
+    assert abs(got.gini - (2 * want - 1)) < 1e-12
+    # separable scores -> AUC 1; anti-separable -> 0; constant -> 0.5
+    sep = spark.createDataFrame([(float(y), y) for y in (0, 1) for _ in range(10)], "score double, y int")
+    assert abs(S.roc_auc(sep, "score", "y").collect()[0].auc - 1.0) < 1e-12
+    const = spark.createDataFrame([(5.0, y) for y in (0, 1) for _ in range(10)], "score double, y int")
+    assert abs(S.roc_auc(const, "score", "y").collect()[0].auc - 0.5) < 1e-12
+    # single class -> NULL
+    onec = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y int")
+    assert S.roc_auc(onec, "score", "y").collect()[0].auc is None
+    # NULL rows excluded
+    polluted = df.unionByName(spark.createDataFrame(
+        [(None, 1), (3.0, None)], "score double, y int"))
+    g2 = S.roc_auc(polluted, "score", "y").collect()[0]
+    assert (g2.n_pos, g2.n_neg) == (n_pos, n_neg) and abs(g2.auc - got.auc) < 1e-15
+    # HC path bit-identical (DECIMAL-exact rank sum)
+    hc = S.roc_auc(df, "score", "y", high_cardinality=True).collect()[0]
+    lo = S.roc_auc(df, "score", "y", high_cardinality=False).collect()[0]
+    assert hc.auc == lo.auc == got.auc
+    # grouped == per-group single calls
+    gdf = df.withColumn("seg", (F.col("score") > 0).cast("string"))
+    per = {r.group: r for r in S.roc_auc_grouped(gdf, "seg", "score", "y").collect()}
+    for seg in per:
+        one = S.roc_auc(gdf.filter(F.col("seg") == seg), "score", "y").collect()[0]
+        assert per[seg].n_pos == one.n_pos and per[seg].n_neg == one.n_neg
+        if one.auc is None:
+            assert per[seg].auc is None
+        else:
+            assert abs(per[seg].auc - one.auc) < 1e-15
+
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    # independent uniform 2x2 -> mi 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(25)], "x string, y string"
+    )
+    r = S.mutual_information(ind, "x", "y").collect()[0]
+    assert r.n == 100 and abs(r.mi) < 1e-12 and abs(r.nmi) < 1e-12
+    assert abs(r.h_x - math.log(2)) < 1e-12 and abs(r.h_y - math.log(2)) < 1e-12
+    # identical columns -> mi == h == ln(k), nmi == 1
+    ident = spark.createDataFrame([(c, c) for c in "abcd" for _ in range(10)], "x string, y string")
+    r = S.mutual_information(ident, "x", "y").collect()[0]
+    assert abs(r.mi - math.log(4)) < 1e-12 and abs(r.nmi - 1.0) < 1e-12
+    # constant column -> zero entropy -> NULL nmi, mi 0
+    const = spark.createDataFrame([("a", c) for c in "xyxy"], "x string, y string")
+    r = S.mutual_information(const, "x", "y").collect()[0]
+    assert abs(r.mi) < 1e-12 and r.nmi is None and abs(r.h_x) < 1e-12
+    # NULL rows excluded; skewed joint has known MI
+    rows = [("a", "c")] * 30 + [("a", "d")] * 10 + [("b", "c")] * 10 + [("b", "d")] * 30
+    df = spark.createDataFrame(rows + [(None, "c"), ("a", None)], "x string, y string")
+    r = S.mutual_information(df, "x", "y").collect()[0]
+    n = 80.0
+    want = sum(
+        (c / n) * math.log((c / n) / (0.5 * 0.5))
+        for c in (30, 10, 10, 30)
+    )
+    assert r.n == 80 and abs(r.mi - want) < 1e-12

@@ -26,7 +26,8 @@ way real data scales:
   permutation only grows edge weights — the vetted r9 failure).
 
 Usage:  python tools/crossover_probe.py <family> <scale> [<scale> ...]
-        family in {dedup_recall, containment_pairs, part_kcore}
+        family = any documents-table entry (dedup_recall,
+        containment_pairs, exact_dedup_docs, ...) or part_kcore
         scale = doc count (documents families) or rep count (kcore)
 
 Prints one JSON line per scale: spark median (3 reps, warm excluded)

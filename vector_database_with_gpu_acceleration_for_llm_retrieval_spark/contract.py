@@ -3960,6 +3960,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_hot_keys": q_sql_hot_keys,
         "assoc_rules": q_assoc_rules,
         "ols_fit_price": q_ols_fit_price,
+        "model_auc": q_model_auc,
+        "model_auc_by_arm": q_model_auc_by_arm,
+        "feature_mi": q_feature_mi,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
@@ -6464,3 +6467,72 @@ def q_km_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("hazard"), "hazard"),
         _round6(F.col("survival"), "survival"),
     ).orderBy("arm", "t")
+
+
+def q_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the event value as a purchase score — the
+    ranking-quality readout (normalized Mann-Whitney U with exact
+    midrank tie handling, DECIMAL-exact rank sum; the continuous score
+    auto-routes through the distributed prefix)
+    (operators/stats.roc_auc)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    res = ST.roc_auc(ev, "score", "y")
+    return res.select(
+        "n_pos",
+        "n_neg",
+        _round6(F.col("auc"), "auc"),
+        _round6(F.col("gini"), "gini"),
+    )
+
+
+def q_model_auc_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm ROC-AUC (the fairness/debugging view: is the score only
+    good on one segment?) — the roc_auc midrank identity with every
+    window partitioned by the user-parity arm
+    (operators/stats.roc_auc_grouped)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    res = ST.roc_auc_grouped(ev, "arm", "score", "y")
+    return res.select(
+        F.col("group").alias("arm"),
+        "n_pos",
+        "n_neg",
+        _round6(F.col("auc"), "auc"),
+        _round6(F.col("gini"), "gini"),
+    ).orderBy("arm")
+
+
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (+ entropies + sqrt-normalized NMI) between
+    order priority and order status — the feature-redundancy /
+    label-leakage detector next to the chi² independence entry
+    (operators/stats.mutual_information)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.mutual_information(t["orders"], "o_orderpriority", "o_orderstatus")
+    return res.select(
+        "n",
+        _round6(F.col("mi"), "mi"),
+        _round6(F.col("h_x"), "h_x"),
+        _round6(F.col("h_y"), "h_y"),
+        _round6(F.col("nmi"), "nmi"),
+    )

@@ -5023,6 +5023,9 @@ def oracle_sql() -> dict[str, str]:
         "woe_iv": _ORACLE_WOE_IV,
         "ols_price_model": _ORACLE_OLS_PRICE_MODEL,
         "ols_fit_price": _ORACLE_OLS_PRICE_MODEL,
+        "model_auc": _ORACLE_MODEL_AUC,
+        "model_auc_by_arm": _ORACLE_MODEL_AUC_BY_ARM,
+        "feature_mi": _ORACLE_FEATURE_MI,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
@@ -6046,4 +6049,75 @@ SELECT g AS arm, t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
        CAST(c AS BIGINT) AS censored, {_r6('hazard', 'hazard')},
        {_r6('CASE WHEN zero_seen = 1 THEN 0.0 ELSE exp(lnS) END', 'survival')}
 FROM st ORDER BY arm, t
+"""
+
+
+_ORACLE_MODEL_AUC = f"""
+WITH src AS (SELECT value AS v,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events WHERE value IS NOT NULL),
+cnt AS (SELECT v, sum(y) AS dp, count(*) AS c FROM src GROUP BY 1),
+rk AS (SELECT v, dp, c,
+              sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM cnt),
+agg AS (SELECT CAST(sum(dp) AS BIGINT) AS np,
+               CAST(sum(c) - sum(dp) AS BIGINT) AS nn,
+               CAST(sum(CAST(dp AS DECIMAL(19,0))
+                        * (2 * CAST(cum AS DECIMAL(19,0))
+                           - CAST(c - 1 AS DECIMAL(19,0)))) AS DOUBLE) AS r2
+        FROM rk),
+res AS (SELECT np, nn,
+               (r2 / 2.0 - np * (np + 1.0) / 2.0)
+                 / (CASE WHEN np > 0 AND nn > 0
+                         THEN CAST(np AS DOUBLE) * nn END) AS auc
+        FROM agg)
+SELECT np AS n_pos, nn AS n_neg, {_r6('auc', 'auc')},
+       {_r6('2.0 * auc - 1.0', 'gini')}
+FROM res
+"""
+
+
+_ORACLE_MODEL_AUC_BY_ARM = f"""
+WITH src AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                    value AS v,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events WHERE value IS NOT NULL),
+cnt AS (SELECT arm, v, sum(y) AS dp, count(*) AS c FROM src GROUP BY 1, 2),
+rk AS (SELECT arm, v, dp, c,
+              sum(c) OVER (PARTITION BY arm ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM cnt),
+agg AS (SELECT arm, CAST(sum(dp) AS BIGINT) AS np,
+               CAST(sum(c) - sum(dp) AS BIGINT) AS nn,
+               CAST(sum(CAST(dp AS DECIMAL(19,0))
+                        * (2 * CAST(cum AS DECIMAL(19,0))
+                           - CAST(c - 1 AS DECIMAL(19,0)))) AS DOUBLE) AS r2
+        FROM rk GROUP BY arm),
+res AS (SELECT arm, np, nn,
+               (r2 / 2.0 - np * (np + 1.0) / 2.0)
+                 / (CASE WHEN np > 0 AND nn > 0
+                         THEN CAST(np AS DOUBLE) * nn END) AS auc
+        FROM agg)
+SELECT arm, np AS n_pos, nn AS n_neg, {_r6('auc', 'auc')},
+       {_r6('2.0 * auc - 1.0', 'gini')}
+FROM res ORDER BY arm
+"""
+
+
+_ORACLE_FEATURE_MI = f"""
+WITH src AS (SELECT o_orderpriority AS x, o_orderstatus AS y
+             FROM orders
+             WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+cells AS (SELECT x, y, count(*) AS c FROM src GROUP BY 1, 2),
+mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
+my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+mi AS (SELECT CAST(max(tot.n) AS BIGINT) AS n,
+              sum((c / tot.n) * ln(c * tot.n / (CAST(cx AS DOUBLE) * cy))) AS mi
+       FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+hx AS (SELECT -sum((cx / tot.n) * ln(cx / tot.n)) AS h_x FROM mx CROSS JOIN tot),
+hy AS (SELECT -sum((cy / tot.n) * ln(cy / tot.n)) AS h_y FROM my CROSS JOIN tot)
+SELECT n, {_r6('mi', 'mi')}, {_r6('h_x', 'h_x')}, {_r6('h_y', 'h_y')},
+       {_r6('mi / (CASE WHEN sqrt(h_x * h_y) > 0 THEN sqrt(h_x * h_y) END)', 'nmi')}
+FROM mi CROSS JOIN hx CROSS JOIN hy
 """

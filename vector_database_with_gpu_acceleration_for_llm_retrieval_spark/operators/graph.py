@@ -232,6 +232,8 @@ def pagerank(
     damping: float = 0.85,
     directed: bool = False,
     weight_col: str | None = None,
+    _pin_every: int = 1,
+    _coalesce: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank power method. ``directed=False``
     (default) symmetrizes the canonical edge frame first, so every
@@ -316,9 +318,24 @@ def pagerank(
     # the emitting-node set is iteration-invariant, so "no dangling
     # nodes" is decidable once: every node has a degree row.
     has_dangling = deg.count() < n_nodes
+    # _pin_every / _coalesce: the round-10 verdict #8 measurement
+    # (tools/idle_pagerank_probe.py, interleaved 10x probe, BASELINE
+    # r11): pin-every-other (`_pin_every=2`) is a WASH (7.54 vs
+    # 7.58 s) — keep the audited every-round pin; coalescing the
+    # node-sized rank frame before the pin is a consistent ~10% win
+    # (6.86 vs 7.58 s — 32 µs-tasks collapsed to a few). The default
+    # derives the partition count from n_nodes (~500k rows/task), so
+    # at probe scale it coalesces hard while a billion-node graph
+    # keeps full parallelism — scale-correct, not a local[32] tune.
+    # `_coalesce=0` disables; an explicit int overrides.
+    if _coalesce is None:
+        _coalesce = max(1, -(-n_nodes // 500_000))
+    ncur = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iters):
+    for _it in range(iters):
         contrib = (
             ranks.join(em, "src")
             .join(deg, "src")
@@ -353,7 +370,12 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
                 ).alias("rank"),
             )
-        ranks = new_ranks.localCheckpoint(eager=True)
+        if _coalesce and _coalesce < ncur:
+            new_ranks = new_ranks.coalesce(_coalesce)
+        if (_it + 1) % max(_pin_every, 1) == 0 or _it == iters - 1:
+            ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            ranks = new_ranks
     out = ranks.select(F.col("src").alias("node"), "rank")
     em.unpersist()
     nodes.unpersist()

@@ -63,6 +63,9 @@ __all__ = [
     "cuped_adjust",
     "mann_whitney_u",
     "spearman_corr",
+    "roc_auc",
+    "roc_auc_grouped",
+    "mutual_information",
     "kaplan_meier",
     "kaplan_meier_grouped",
     "logrank_test",
@@ -974,6 +977,188 @@ def mann_whitney_u(
         "n_b",
         u.alias("u_a"),
         F.when((na > 0) & (nb > 0) & (n > 1), z).alias("z"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    high_cardinality: bool | str = "auto",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """ROC-AUC of a score column against binary labels — the standard
+    ranking-quality readout for any model score (AUC = P(score⁺ >
+    score⁻) + ½·P(tie), which is exactly the normalized Mann-Whitney
+    U statistic), so this reuses :func:`mann_whitney_u`'s skeleton
+    verbatim: one groupBy onto the distinct-score frame with per-value
+    positive counts, mid-ranks from ONE ordered cumulative over that
+    domain-bounded frame (``high_cardinality``/"auto" routes a
+    continuous score through the distributed prefix — a model score
+    usually IS continuous, which is why the auto default matters
+    here), and the exact tie-handling midrank identity
+    ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)``.
+
+    The rank sum accumulates as DECIMAL(38,0) of integer terms
+    (``2R⁺ = Σ d⁺·(2·cum − (c−1))``) — exact, order-independent, no
+    int64 overflow at web scale, so AUC is bit-identical across
+    partitionings and between the windowed / distributed-prefix paths.
+
+    Rows with a NULL score or NULL label are excluded (the family NULL
+    rule); label > 0 is positive, anything else negative.  A single
+    class present → NULL auc (undefined, not 0.5).  Returns one row
+    ``(n_pos, n_neg, auc, gini)`` with ``gini = 2·AUC − 1``.
+    """
+    high_cardinality = _resolve_high_cardinality(
+        df, [score_col], high_cardinality
+    )
+    pos = F.col(label_col).cast("double") > 0
+    cnt = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("v"))
+        .agg(
+            F.sum(pos.cast("long")).alias("dp"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    ranked = _cdf_prefix(cnt, "v", ["c"], high_cardinality, n_parts)
+    d19 = "decimal(19,0)"
+    agg = ranked.agg(
+        F.sum("dp").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("dp")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("dp").cast(d19)
+            * (
+                F.lit(2).cast(d19) * F.col("__cum_c").cast(d19)
+                - (F.col("c") - 1).cast(d19)
+            )
+        ).alias("__r2"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    r_pos = F.col("__r2").cast("double") / 2.0
+    auc = (r_pos - np_ * (np_ + 1.0) / 2.0) / F.when(
+        (np_ > 0) & (nn > 0), np_ * nn
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - 1.0).alias("gini"),
+    )
+
+
+def roc_auc_grouped(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-segment ROC-AUC — the fairness/debugging view (is the model
+    only good on the majority segment?): the :func:`roc_auc` midrank
+    identity with every window and aggregate partitioned by the group
+    (the kaplan_meier_grouped design), so group count scales freely
+    and each group's distinct-score frame stays bounded by ITS values.
+    Same DECIMAL-exact rank sum, same NULL rule.  Returns
+    ``(group, n_pos, n_neg, auc, gini)``.
+    """
+    pos = F.col(label_col).cast("double") > 0
+    cnt = (
+        df.filter(
+            F.col(score_col).isNotNull()
+            & F.col(label_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("group"), F.col(score_col).alias("v"))
+        .agg(
+            F.sum(pos.cast("long")).alias("dp"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = cnt.withColumn("__cum_c", F.sum("c").over(w))
+    d19 = "decimal(19,0)"
+    agg = ranked.groupBy("group").agg(
+        F.sum("dp").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("dp")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("dp").cast(d19)
+            * (
+                F.lit(2).cast(d19) * F.col("__cum_c").cast(d19)
+                - (F.col("c") - 1).cast(d19)
+            )
+        ).alias("__r2"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    r_pos = F.col("__r2").cast("double") / 2.0
+    auc = (r_pos - np_ * (np_ + 1.0) / 2.0) / F.when(
+        (np_ > 0) & (nn > 0), np_ * nn
+    )
+    return agg.select(
+        "group",
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - 1.0).alias("gini"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    entropies and the sqrt-normalized NMI — the feature-redundancy /
+    label-leakage detector next to :func:`chi2_independence` (χ² says
+    IF they're dependent; MI says how many nats of one the other
+    carries):  ``I(X;Y) = Σ_xy p(xy)·ln( p(xy) / (p(x)p(y)) )``.
+
+    One scan builds the ``r×c`` contingency frame (groupBy on the
+    pair, map-side combined, key cardinality = the value domains);
+    marginals come from two vocab-sized re-aggregations of THAT frame
+    (no second corpus pass) broadcast back in, and everything after
+    the first aggregation is domain-bounded — the chi2/KS scale
+    skeleton.  Natural log; rows with a NULL in either column are
+    excluded (the family rule).  ``nmi = I / sqrt(H(X)·H(Y))`` — NULL
+    when either variable is constant (zero entropy), rather than a
+    divide error.  Returns one row ``(n, mi, h_x, h_y, nmi)``.
+    """
+    src = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    cells = src.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    n1 = cells.agg(F.sum("c").alias("__n"))
+    joined = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n1))
+    )
+    nd = F.col("__n").cast("double")
+    mi = joined.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(
+            (F.col("c") / nd)
+            * F.log(F.col("c") * nd / (F.col("cx") * F.col("cy")))
+        ).alias("mi"),
+    )
+    hx = mx.crossJoin(F.broadcast(n1)).agg(
+        (-F.sum((F.col("cx") / nd) * F.log(F.col("cx") / nd))).alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(n1)).agg(
+        (-F.sum((F.col("cy") / nd) * F.log(F.col("cy") / nd))).alias("h_y")
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    denom = F.sqrt(F.col("h_x") * F.col("h_y"))
+    return out.select(
+        "n",
+        "mi",
+        "h_x",
+        "h_y",
+        (F.col("mi") / F.when(denom > 0, denom)).alias("nmi"),
     )
 
 
