@@ -835,3 +835,127 @@ def test_mutual_information_known_values(spark):
         for c in (30, 10, 10, 30)
     )
     assert r.n == 80 and abs(r.mi - want) < 1e-12
+
+
+def test_p_adjust_matches_r_reference(spark):
+    """R p.adjust reference values (computed by the textbook
+    definitions) across bh / holm / bonferroni, with ties and NULLs."""
+    ps = [0.01, 0.02, 0.02, 0.04, 0.2, 0.5, 1.0]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "test_id int, p double"
+    )
+    m = len(ps)
+    # reference BH: cummin from worst rank of p*m/i, ties share values
+    import numpy as np
+
+    order = np.argsort(ps, kind="mergesort")
+    raw = np.array([ps[order[i]] * m / (i + 1) for i in range(m)])
+    bh_sorted = np.minimum.accumulate(raw[::-1])[::-1]
+    bh = np.minimum(1.0, bh_sorted)
+    want_bh = {}
+    # map back, and tied p must give identical adjusted values
+    for rank, idx in enumerate(order):
+        want_bh[idx] = bh[rank]
+    # tie fix: equal p -> equal adjusted
+    for i in range(m):
+        for j in range(m):
+            if ps[i] == ps[j]:
+                want_bh[i] = min(want_bh[i], want_bh[j])
+    got = {r.test_id: r.p_adj for r in S.p_adjust(df, "p", "bh").collect()}
+    for i in range(m):
+        assert abs(got[i] - want_bh[i]) < 1e-12, (i, got[i], want_bh[i])
+    # ties identical
+    assert got[1] == got[2]
+    # holm reference
+    raw_h = np.array([ps[order[i]] * (m - i) for i in range(m)])
+    holm_sorted = np.minimum(1.0, np.maximum.accumulate(raw_h))
+    want_h = {idx: holm_sorted[rank] for rank, idx in enumerate(order)}
+    for i in range(m):
+        for j in range(m):
+            if ps[i] == ps[j]:
+                want_h[i] = max(want_h[i], want_h[j])
+    got_h = {r.test_id: r.p_adj for r in S.p_adjust(df, "p", "holm").collect()}
+    for i in range(m):
+        assert abs(got_h[i] - want_h[i]) < 1e-12, (i, got_h[i], want_h[i])
+    # bonferroni
+    got_b = {r.test_id: r.p_adj for r in S.p_adjust(df, "p", "bonferroni").collect()}
+    for i in range(m):
+        assert abs(got_b[i] - min(1.0, ps[i] * m)) < 1e-12
+    # NULL p passes through NULL and doesn't count toward m
+    withnull = df.unionByName(
+        spark.createDataFrame([(99, None)], "test_id int, p double")
+    )
+    gn = {r.test_id: r.p_adj for r in S.p_adjust(withnull, "p", "bh").collect()}
+    assert gn[99] is None
+    for i in range(m):
+        assert abs(gn[i] - want_bh[i]) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown method"):
+        S.p_adjust(df, "p", "fdr_by")
+
+
+def test_kaplan_meier_ci_and_rmst_replicas(spark):
+    """Greenwood bands + RMST against a hand/numpy replica on a small
+    censored cohort, including the d=n absorbing state."""
+    import math
+
+    # cohort: times 1..5; at t=5 everyone remaining dies (absorbing)
+    rows = (
+        [(1.0, 1)] * 2 + [(1.0, 0)] * 1 + [(2.0, 1)] * 1 + [(3.0, 0)] * 2
+        + [(4.0, 1)] * 2 + [(5.0, 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "t double, event int")
+    got = {r.t: r for r in S.kaplan_meier_ci(df).collect()}
+    # replica
+    n = len(rows)
+    S_run, G = 1.0, 0.0
+    at_risk = n
+    z = 1.959964
+    for t in (1.0, 2.0, 3.0, 4.0, 5.0):
+        d = sum(1 for tt, e in rows if tt == t and e == 1)
+        c = sum(1 for tt, e in rows if tt == t and e == 0)
+        r = got[t]
+        assert r.n_risk == at_risk and r.d == d and r.censored == c
+        if d == at_risk and d > 0:
+            S_run = 0.0
+        elif d > 0:
+            S_run *= 1 - d / at_risk
+        if d < at_risk:
+            G += d / (at_risk * (at_risk - d))
+        assert abs(r.survival - S_run) < 1e-12
+        if S_run == 0:
+            assert r.se == 0.0 and r.lo == 0.0 and r.hi == 0.0
+        elif S_run == 1:
+            assert r.lo is None and r.hi is None
+        else:
+            se = S_run * math.sqrt(G)
+            sell = math.sqrt(G) / abs(math.log(S_run))
+            assert abs(r.se - se) < 1e-12
+            assert abs(r.lo - S_run ** math.exp(z * sell)) < 1e-12
+            assert abs(r.hi - S_run ** math.exp(-z * sell)) < 1e-12
+            assert 0 <= r.lo <= r.survival <= r.hi <= 1
+        at_risk -= d + c
+    # plain method stays clipped and ordered
+    for r in S.kaplan_meier_ci(df, method="plain").collect():
+        if r.survival not in (0.0,):
+            assert 0 <= r.lo <= r.survival <= r.hi <= 1
+    # RMST: integral of the step curve, tau inside and beyond the data
+    km = sorted((r.t, r.survival) for r in S.kaplan_meier(df).collect())
+
+    def ref_rmst(tau):
+        area, prev_t, prev_s = 0.0, 0.0, 1.0
+        for t, s in km:
+            area += prev_s * (min(t, tau) - min(prev_t, tau))
+            prev_t, prev_s = t, s
+        area += prev_s * max(0.0, tau - prev_t)
+        return area
+
+    for tau in (2.5, 4.0, 10.0):
+        r = S.rmst(df, tau=tau).collect()[0]
+        assert abs(r.rmst - ref_rmst(tau)) < 1e-12, (tau, r.rmst, ref_rmst(tau))
+        assert r.n == n and r.n_events == 7
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        S.rmst(df, tau=0.0)

@@ -3963,6 +3963,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_auc": q_model_auc,
         "model_auc_by_arm": q_model_auc_by_arm,
         "feature_mi": q_feature_mi,
+        "km_ci": q_km_ci,
+        "rmst_conversion": q_rmst_conversion,
+        "ks_drift_adjusted": q_ks_drift_adjusted,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
@@ -6536,3 +6539,91 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("h_y"), "h_y"),
         _round6(F.col("nmi"), "nmi"),
     )
+
+
+def _conversion_durations(t) -> DataFrame:
+    """The km_conversion duration frame (per-user µs to first
+    high-value purchase, right-censored at last event) — shared by the
+    KM curve, the Greenwood-CI, and the RMST entries."""
+    ev = t["events"]
+    hit = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(hit, F.col("ts"))).alias("t_evt"),
+    )
+    return per.select(
+        (
+            F.unix_micros(F.coalesce(F.col("t_evt"), F.col("t_last")))
+            - F.unix_micros(F.col("t0"))
+        ).alias("t"),
+        F.col("t_evt").isNotNull().cast("int").alias("event"),
+    )
+
+
+RMST_TAU = 1_500_000_000_000  # µs — between the median and p75 duration
+
+
+def q_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The km_conversion curve with Greenwood standard errors and
+    log-log 95% confidence bands — the per-time uncertainty the bare
+    curve lacks (operators/stats.kaplan_meier_ci; one more
+    domain-bounded prefix over the KM frame)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.kaplan_meier_ci(_conversion_durations(t))
+    return res.select(
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        "d",
+        "censored",
+        _round6(F.col("survival"), "survival"),
+        _round6(F.col("se"), "se"),
+        _round6(F.col("lo"), "lo"),
+        _round6(F.col("hi"), "hi"),
+    ).orderBy("t")
+
+
+def q_rmst_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ=1.5e12 µs over the
+    km_conversion cohort — the censoring-safe "average time to
+    convert within τ" effect size (operators/stats.rmst; step
+    integral of the KM curve)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = ST.rmst(_conversion_durations(t), tau=float(RMST_TAU))
+    return res.select(
+        F.col("tau").cast("long").alias("tau"),
+        _round6(F.col("rmst") / 1e12, "rmst_e12"),
+        "n",
+        "n_events",
+    )
+
+
+def q_ks_drift_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ks_source_matrix drift report with Benjamini-Hochberg FDR
+    adjustment over all G²/2 pair tests — the step that turns a
+    p-value matrix into a shippable alarm list
+    (operators/stats.ks_matrix → operators/stats.p_adjust)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    mat = ST.ks_matrix(t["documents"], "n_chars", "source")
+    res = ST.p_adjust(mat, "p_approx", method="bh")
+    return res.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        _round6(F.col("d_stat"), "d_stat"),
+        _round6(F.col("p_approx"), "p_approx"),
+        _round6(F.col("p_adj"), "p_adj"),
+    ).orderBy("group_a", "group_b")

@@ -5026,6 +5026,9 @@ def oracle_sql() -> dict[str, str]:
         "model_auc": _ORACLE_MODEL_AUC,
         "model_auc_by_arm": _ORACLE_MODEL_AUC_BY_ARM,
         "feature_mi": _ORACLE_FEATURE_MI,
+        "km_ci": _ORACLE_KM_CI,
+        "rmst_conversion": _oracle_rmst(1_500_000_000_000),
+        "ks_drift_adjusted": _ORACLE_KS_DRIFT_ADJUSTED,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
@@ -6120,4 +6123,114 @@ hy AS (SELECT -sum((cy / tot.n) * ln(cy / tot.n)) AS h_y FROM my CROSS JOIN tot)
 SELECT n, {_r6('mi', 'mi')}, {_r6('h_x', 'h_x')}, {_r6('h_y', 'h_y')},
        {_r6('mi / (CASE WHEN sqrt(h_x * h_y) > 0 THEN sqrt(h_x * h_y) END)', 'nmi')}
 FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+_ORACLE_KM_CI = f"""
+WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+                    min(CASE WHEN event_type = 'purchase' AND value > 90 THEN ts END) AS t_evt
+             FROM events GROUP BY 1),
+dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
+               CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per),
+pt AS (SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM dur WHERE t IS NOT NULL GROUP BY 1),
+rk AS (SELECT t, d, c,
+              sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       FROM pt),
+st AS (SELECT t, d, c, n_risk,
+              sum(CASE WHEN d > 0 AND d < n_risk
+                       THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END) OVER w AS lnS,
+              max(CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END) OVER w AS zero_seen,
+              sum(CASE WHEN d < n_risk
+                       THEN CAST(d AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE))
+                       ELSE 0.0 END) OVER w AS g
+       FROM rk
+       WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+sv AS (SELECT t, d, c, n_risk, g,
+              CASE WHEN zero_seen = 1 THEN 0.0 ELSE exp(lnS) END AS s
+       FROM st),
+ci AS (SELECT sv.*,
+              CASE WHEN s = 0 THEN 0.0 ELSE s * sqrt(g) END AS se,
+              CASE WHEN s > 0 AND s < 1 THEN sqrt(g) / abs(ln(s)) END AS sell
+       FROM sv)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CAST(c AS BIGINT) AS censored, {_r6('s', 'survival')}, {_r6('se', 'se')},
+       {_r6("CASE WHEN s = 0 THEN 0.0 ELSE pow(s, exp(1.959964 * sell)) END", 'lo')},
+       {_r6("CASE WHEN s = 0 THEN 0.0 ELSE pow(s, exp(-1.959964 * sell)) END", 'hi')}
+FROM ci ORDER BY t
+"""
+
+
+def _oracle_rmst(tau: int) -> str:
+    return f"""
+WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+                    min(CASE WHEN event_type = 'purchase' AND value > 90 THEN ts END) AS t_evt
+             FROM events GROUP BY 1),
+dur AS (SELECT epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0) AS t,
+               CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per),
+pt AS (SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM dur WHERE t IS NOT NULL GROUP BY 1),
+rk AS (SELECT t, d, c,
+              sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       FROM pt),
+st AS (SELECT t, d, n_risk,
+              sum(CASE WHEN d > 0 AND d < n_risk
+                       THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END) OVER w AS lnS,
+              max(CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END) OVER w AS zero_seen,
+              row_number() OVER (ORDER BY t) AS rn
+       FROM rk
+       WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+step AS (SELECT rn, d, n_risk,
+                CASE WHEN zero_seen = 1 THEN 0.0 ELSE exp(lnS) END AS s,
+                least(t, {tau}) AS ct,
+                coalesce(least(lead(t) OVER (ORDER BY t), {tau}), {tau}) AS nxt
+         FROM st),
+agg AS (SELECT sum(CASE WHEN rn = 1 THEN CAST(ct AS DOUBLE) ELSE 0.0 END
+                  + s * greatest(CAST(0.0 AS DOUBLE), CAST(nxt AS DOUBLE) - ct)) AS rmst,
+               CAST(sum(CASE WHEN rn = 1 THEN n_risk ELSE 0 END) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS n_events
+        FROM step)
+SELECT CAST({tau} AS BIGINT) AS tau, {_r6('rmst / 1e12', 'rmst_e12')}, n, n_events
+FROM agg
+"""
+
+
+_ORACLE_KS_DRIFT_ADJUSTED = f"""
+WITH cnt AS (SELECT n_chars AS v, source AS g, count(*) AS c FROM documents
+             WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM cnt),
+grps AS (SELECT DISTINCT g FROM cnt),
+spine AS (SELECT v, g FROM vals, grps),
+cdf0 AS (SELECT s.v, s.g,
+                sum(coalesce(c.c, 0)) OVER (PARTITION BY s.g ORDER BY s.v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM spine s LEFT JOIN cnt c ON c.v = s.v AND c.g = s.g),
+cdf AS (SELECT v, g, cum, max(cum) OVER (PARTITION BY g) AS n FROM cdf0),
+agg AS (SELECT a.g AS group_a, b.g AS group_b,
+               CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+               max(abs(a.cum / (CASE WHEN a.n > 0 THEN a.n END)
+                       - b.cum / (CASE WHEN b.n > 0 THEN b.n END))) AS d_stat
+        FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+        GROUP BY 1, 2),
+z AS (SELECT agg.*, d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (n_a + n_b)) AS ks_z
+      FROM agg),
+pv AS (SELECT group_a, group_b, n_a, n_b, d_stat,
+              least(CAST(1.0 AS DOUBLE), 2.0 * exp(-2.0 * ks_z * ks_z)) AS p
+       FROM z),
+bh AS (SELECT pv.*, count(*) OVER () AS m,
+              row_number() OVER (ORDER BY p) AS i
+       FROM pv),
+adj AS (SELECT bh.*,
+               least(CAST(1.0 AS DOUBLE),
+                     min(p * m / i) OVER (ORDER BY p DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+        FROM bh)
+SELECT group_a, group_b, n_a, n_b, {_r6('d_stat', 'd_stat')},
+       {_r6('p', 'p_approx')}, {_r6('p_adj', 'p_adj')}
+FROM adj ORDER BY group_a, group_b
 """

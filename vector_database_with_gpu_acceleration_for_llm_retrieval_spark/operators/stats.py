@@ -66,6 +66,9 @@ __all__ = [
     "roc_auc",
     "roc_auc_grouped",
     "mutual_information",
+    "p_adjust",
+    "kaplan_meier_ci",
+    "rmst",
     "kaplan_meier",
     "kaplan_meier_grouped",
     "logrank_test",
@@ -1159,6 +1162,197 @@ def mutual_information(
         "h_x",
         "h_y",
         (F.col("mi") / F.when(denom > 0, denom)).alias("nmi"),
+    )
+
+
+def p_adjust(
+    df: DataFrame, p_col: str, method: str = "bh", out_col: str = "p_adj"
+) -> DataFrame:
+    """Multiple-testing correction over a FRAME OF TESTS — the missing
+    step between :func:`ks_matrix` (G²/2 p-values in one scan) and a
+    shippable drift report: at 100 sources the matrix runs 4,950
+    tests and p<0.05 alone hands you ~250 false alarms.
+
+    Methods (all monotone, all clip at 1):
+
+    - ``"bh"`` Benjamini-Hochberg FDR (the default): sort p ascending,
+      ``adj_i = min_{j≥i}( p_j · m / j )`` — the running min from the
+      worst rank backward.
+    - ``"holm"`` step-down FWER: ``adj_i = max_{j≤i}( (m−j+1)·p_j )``.
+    - ``"bonferroni"``: ``min(1, m·p)``.
+
+    The input is one row per TEST, so the frame is bounded by the test
+    count, not the data — the unpartitioned rank window is fine by
+    construction (the operator that PRODUCED the p-values did the
+    100 TB scan).  NULL p-values pass through with NULL ``p_adj`` and
+    do not count toward ``m``.  Ties in p get identical adjusted
+    values (the running min/max absorbs the arbitrary within-tie
+    order).  Appends ``out_col``, preserving all input columns.
+    """
+    if method not in ("bh", "holm", "bonferroni"):
+        raise ValueError(f"p_adjust: unknown method {method!r}")
+    p = F.col(p_col).cast("double")
+    m = F.sum(p.isNotNull().cast("long")).over(Window.partitionBy())
+    if method == "bonferroni":
+        return df.withColumn(
+            out_col, F.when(p.isNotNull(), F.least(F.lit(1.0), p * m))
+        )
+    # rank among non-null p ascending; NULLs sort last and get NULL out
+    w_rank = Window.orderBy(F.col(p_col).asc_nulls_last())
+    ranked = df.withColumn("__m", m).withColumn(
+        "__i", F.row_number().over(w_rank)
+    )
+    # RANGE frames (not ROWS): a tie block of equal p carries several
+    # row_number ranks and therefore several raw values — the running
+    # min/max must absorb the WHOLE block so tied p get identical
+    # adjusted values regardless of within-tie order (this reproduces
+    # R's p.adjust cummin/cummax semantics exactly).
+    if method == "bh":
+        raw = p * F.col("__m") / F.col("__i")
+        w_back = Window.orderBy(F.col(p_col).desc_nulls_first()).rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        adj = F.least(F.lit(1.0), F.min(raw).over(w_back))
+    else:  # holm
+        raw = p * (F.col("__m") - F.col("__i") + 1)
+        w_fwd = Window.orderBy(F.col(p_col).asc_nulls_last()).rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        adj = F.least(F.lit(1.0), F.max(raw).over(w_fwd))
+    return ranked.withColumn(
+        out_col, F.when(p.isNotNull(), adj)
+    ).drop("__m", "__i")
+
+
+def kaplan_meier_ci(
+    durations: DataFrame,
+    time_col: str = "t",
+    event_col: str = "event",
+    z: float = 1.959964,
+    method: str = "loglog",
+    high_cardinality: bool | str = "auto",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """:func:`kaplan_meier` with Greenwood standard errors and
+    pointwise confidence bands — the curve alone answers "what
+    fraction survived"; the bands answer whether a gap between two
+    curves is real at each time.
+
+    Greenwood's formula on the SAME per-time frame (one more
+    domain-bounded prefix over the KM output — the cumulative
+    ``G(t) = Σ_{t_i ≤ t} d_i / (n_i (n_i − d_i))``):
+    ``se = S·sqrt(G)``, and the band on the ``method`` scale:
+
+    - ``"loglog"`` (default — the survival-package convention, bands
+      stay inside (0,1) by construction): ``S^exp(±z·sqrt(G)/ln S)``;
+      NULL where S is 0 or 1 (the transform is undefined there —
+      documented, not invented).
+    - ``"plain"``: ``S ∓ z·se`` clipped to [0,1].
+
+    The ``d = n`` absorbing state pins the band to [0,0] (survival is
+    EXACTLY 0 from that time, no sampling uncertainty about being
+    dead).  ``z`` defaults to the 95% two-sided normal quantile,
+    inlined as a literal so both engines run identical arithmetic.
+    Returns the :func:`kaplan_meier` columns + ``(se, lo, hi)``.
+    """
+    if method not in ("loglog", "plain"):
+        raise ValueError(f"kaplan_meier_ci: unknown method {method!r}")
+    high_cardinality = _resolve_high_cardinality(
+        durations, [time_col], high_cardinality
+    )
+    km = kaplan_meier(durations, time_col, event_col, high_cardinality, n_parts)
+    g = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.col("d").cast("double")
+        / (
+            F.col("n_risk").cast("double")
+            * (F.col("n_risk") - F.col("d")).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    cum = _cdf_prefix(
+        km.withColumn("__g", g), "t", ["__g"], high_cardinality, n_parts
+    )
+    S = F.col("survival")
+    G = F.col("__cum___g")
+    se = F.when(S == 0, F.lit(0.0)).otherwise(S * F.sqrt(G))
+    if method == "plain":
+        lo = F.greatest(F.lit(0.0), S - F.lit(z) * se)
+        hi = F.least(F.lit(1.0), S + F.lit(z) * se)
+    else:
+        sell = F.sqrt(G) / F.abs(F.log(F.when((S > 0) & (S < 1), S)))
+        lo = F.when(S == 0, F.lit(0.0)).otherwise(
+            F.pow(S, F.exp(F.lit(z) * sell))
+        )
+        hi = F.when(S == 0, F.lit(0.0)).otherwise(
+            F.pow(S, F.exp(-F.lit(z) * sell))
+        )
+    return cum.select(
+        "t",
+        "n_risk",
+        "d",
+        "censored",
+        "hazard",
+        "survival",
+        se.alias("se"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+    ).orderBy("t")
+
+
+def rmst(
+    durations: DataFrame,
+    tau: float,
+    time_col: str = "t",
+    event_col: str = "event",
+    high_cardinality: bool | str = "auto",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Restricted mean survival time — the area under the KM curve up
+    to ``tau``: the "average survival time in the first τ" number that
+    stays well-defined under censoring (a plain mean of durations is
+    biased by censoring; the median may never be reached).  The
+    standard effect-size companion when proportional hazards is in
+    doubt and a Cox hazard ratio would mislead.
+
+    Step-function integral over the KM frame: with times clipped at τ
+    (``ct = min(t, τ)``), ``RMST = min(t₁, τ) + Σ_i S(t_i) ·
+    (next_ct_i − ct_i)`` where ``next_ct`` is the following row's
+    clipped time (τ for the last row) — rows past τ contribute 0 by
+    construction.  The lead/first window runs on the KM output frame
+    (distinct-times-sized; the KM cumulatives themselves route through
+    the distributed prefix under ``high_cardinality``).  Returns one
+    row ``(tau, rmst, n, n_events)``.
+    """
+    if tau <= 0:
+        raise ValueError(f"rmst: tau must be positive, got {tau}")
+    km = kaplan_meier(durations, time_col, event_col, high_cardinality, n_parts)
+    w = Window.orderBy("t")
+    ct = F.least(F.col("t"), F.lit(float(tau)))
+    stepped = km.select(
+        "t",
+        "d",
+        "n_risk",
+        "survival",
+        ct.alias("__ct"),
+        F.coalesce(
+            F.least(F.lead("t").over(w), F.lit(float(tau))),
+            F.lit(float(tau)),
+        ).alias("__next"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    out = stepped.agg(
+        F.sum(
+            F.when(F.col("__rn") == 1, F.col("__ct")).otherwise(F.lit(0.0))
+            + F.col("survival")
+            * F.greatest(F.lit(0.0), F.col("__next") - F.col("__ct"))
+        ).alias("rmst"),
+        F.sum(F.col("n_risk") * F.when(F.col("__rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum("d").cast("long").alias("n_events"),
+    )
+    return out.select(
+        F.lit(float(tau)).alias("tau"), "rmst", "n", "n_events"
     )
 
 
