@@ -959,3 +959,46 @@ def test_kaplan_meier_ci_and_rmst_replicas(spark):
 
     with pytest.raises(ValueError, match="positive"):
         S.rmst(df, tau=0.0)
+
+
+def test_pr_auc_matches_sklearn_style_replica(spark):
+    """Average precision vs a numpy replica of the step definition
+    (sklearn average_precision_score semantics incl. tie groups)."""
+    import numpy as np
+
+    rng = __import__("random").Random(13)
+    rows = []
+    for _ in range(500):
+        y = 1 if rng.random() < 0.15 else 0  # imbalanced
+        s = round(rng.gauss(1.0 * y, 1.0), 1)  # coarse: tie groups
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = S.pr_auc(df, "score", "y").collect()[0]
+    scores = np.array([r[0] for r in rows]); ys = np.array([r[1] for r in rows])
+    n_pos = int(ys.sum())
+
+    def ref_ap():
+        ap, prev_tp = 0.0, 0
+        for v in sorted(set(scores), reverse=True):
+            at = scores >= v
+            tp = int(ys[at].sum()); pp = int(at.sum())
+            ap += (tp - prev_tp) / n_pos * (tp / pp)
+            prev_tp = tp
+        return ap
+
+    assert got.n_pos == n_pos and got.n_neg == len(rows) - n_pos
+    assert abs(got.ap - ref_ap()) < 1e-12, (got.ap, ref_ap())
+    assert abs(got.baseline - n_pos / len(rows)) < 1e-12
+    # perfect separation -> AP 1; random constant score -> AP == baseline
+    sep = spark.createDataFrame([(float(y), y) for y in (0, 1) for _ in range(10)], "score double, y int")
+    assert abs(S.pr_auc(sep, "score", "y").collect()[0].ap - 1.0) < 1e-12
+    const = spark.createDataFrame([(5.0, y % 4 == 0) for y in range(40)], "score double, y boolean") \
+        .selectExpr("score", "cast(y as int) as y")
+    r = S.pr_auc(const, "score", "y").collect()[0]
+    assert abs(r.ap - r.baseline) < 1e-12
+    # no positives -> NULL
+    nop = spark.createDataFrame([(1.0, 0), (2.0, 0)], "score double, y int")
+    assert S.pr_auc(nop, "score", "y").collect()[0].ap is None
+    # HC path identical (integer suffix sums)
+    hi = S.pr_auc(df, "score", "y", high_cardinality=True).collect()[0]
+    assert abs(hi.ap - got.ap) < 1e-15

@@ -419,6 +419,41 @@ AUDITED = {
         "explode to a groups×b frame for the percentile — no joins, no "
         "windows, no Python."
     ),
+    "model_auc": (
+        "ROC-AUC (r11): the Mann-Whitney skeleton on the distinct-score frame; "
+        "the continuous score AUTO-routes the rank cumsum through the "
+        "distributed prefix (sampled heuristic — no caller flag), so the only "
+        "Window nodes ride the P-row __ptot ladder; DECIMAL-exact rank sum."
+    ),
+    "model_pr_auc": (
+        "Average precision (r11): same distinct-score groupBy; descending "
+        "TP/PP cumulatives are SUFFIX sums over the ascending prefix machinery "
+        "— auto-routed, integer counts, one closing sum."
+    ),
+    "feature_mi": (
+        "Mutual information (r11): one map-side-combined groupBy to the r×c "
+        "contingency frame; marginals re-aggregate THAT frame and broadcast "
+        "back — everything after the first Exchange is domain-bounded."
+    ),
+    "ks_drift_adjusted": (
+        "ks_matrix → BH (r11): the all-pairs drift grid from ONE scan, then "
+        "the FDR windows run on the G²/2-row TEST frame — the unpartitioned "
+        "rank window is bounded by the test count, not the data."
+    ),
+    "km_ci": (
+        "Greenwood bands (r11): one more domain-bounded prefix over the KM "
+        "frame for the variance cumsum; band math is pure projection."
+    ),
+    "rmst_conversion": (
+        "RMST (r11): clipped-time lead integral over the KM output frame "
+        "(distinct-times-sized); the subject-scale scan work all happened in "
+        "the KM cumulatives."
+    ),
+    "ols_fit_price": (
+        "General OLS (r11): the collected model is re-emitted as a 1-row "
+        "literal frame — the data-path plan is the one-scan Gram aggregate "
+        "(d(d+1)/2+d+3 map-side-combined sums, no Python, no window)."
+    ),
 }
 
 

@@ -3966,6 +3966,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_ci": q_km_ci,
         "rmst_conversion": q_rmst_conversion,
         "ks_drift_adjusted": q_ks_drift_adjusted,
+        "model_pr_auc": q_model_pr_auc,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
@@ -6627,3 +6628,26 @@ def q_ks_drift_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("p_approx"), "p_approx"),
         _round6(F.col("p_adj"), "p_adj"),
     ).orderBy("group_a", "group_b")
+
+
+def q_model_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the event value as a purchase score — the
+    class-imbalance-honest companion to model_auc (step-interpolated
+    PR area, exact tie handling via whole-threshold groups)
+    (operators/stats.pr_auc)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    res = ST.pr_auc(ev, "score", "y")
+    return res.select(
+        "n_pos",
+        "n_neg",
+        _round6(F.col("ap"), "ap"),
+        _round6(F.col("baseline"), "baseline"),
+    )

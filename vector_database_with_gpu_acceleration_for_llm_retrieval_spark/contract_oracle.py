@@ -5029,6 +5029,7 @@ def oracle_sql() -> dict[str, str]:
         "km_ci": _ORACLE_KM_CI,
         "rmst_conversion": _oracle_rmst(1_500_000_000_000),
         "ks_drift_adjusted": _ORACLE_KS_DRIFT_ADJUSTED,
+        "model_pr_auc": _ORACLE_MODEL_PR_AUC,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
@@ -6233,4 +6234,26 @@ adj AS (SELECT bh.*,
 SELECT group_a, group_b, n_a, n_b, {_r6('d_stat', 'd_stat')},
        {_r6('p', 'p_approx')}, {_r6('p_adj', 'p_adj')}
 FROM adj ORDER BY group_a, group_b
+"""
+
+
+_ORACLE_MODEL_PR_AUC = f"""
+WITH src AS (SELECT value AS v,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events WHERE value IS NOT NULL),
+cnt AS (SELECT v, sum(y) AS dp, count(*) AS c FROM src GROUP BY 1),
+rk AS (SELECT v, dp, c,
+              sum(dp) OVER () - (sum(dp) OVER w - dp) AS tp,
+              sum(c) OVER () - (sum(c) OVER w - c) AS pp,
+              sum(dp) OVER () AS np, sum(c) OVER () AS nt
+       FROM cnt
+       WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+agg AS (SELECT CAST(max(np) AS BIGINT) AS n_pos,
+               CAST(max(nt) - max(np) AS BIGINT) AS n_neg,
+               sum(CAST(dp AS DOUBLE) * CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)) AS s
+        FROM rk)
+SELECT n_pos, n_neg,
+       {_r6('s / (CASE WHEN n_pos > 0 THEN CAST(n_pos AS DOUBLE) END)', 'ap')},
+       {_r6('CAST(n_pos AS DOUBLE) / (CASE WHEN n_pos + n_neg > 0 THEN CAST(n_pos + n_neg AS DOUBLE) END)', 'baseline')}
+FROM agg
 """

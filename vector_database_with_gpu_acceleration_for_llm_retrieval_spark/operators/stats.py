@@ -65,6 +65,7 @@ __all__ = [
     "spearman_corr",
     "roc_auc",
     "roc_auc_grouped",
+    "pr_auc",
     "mutual_information",
     "p_adjust",
     "kaplan_meier_ci",
@@ -1106,6 +1107,74 @@ def roc_auc_grouped(
         "n_neg",
         auc.alias("auc"),
         (F.lit(2.0) * auc - 1.0).alias("gini"),
+    )
+
+
+def pr_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    high_cardinality: bool | str = "auto",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Average precision (step-interpolated area under the
+    precision-recall curve) — the ranking metric that stays honest
+    under class imbalance where :func:`roc_auc` flatters (1:10,000
+    positives: ROC barely moves when the top of the ranking fills
+    with false positives; precision collapses).
+
+    ``AP = Σ_k (R_k − R_{k−1}) · P_k`` over distinct score thresholds
+    DESCENDING (the step definition — no 11-point or trapezoid
+    interpolation), with ties handled exactly by thresholding whole
+    tie groups at once: one groupBy onto the distinct-score frame
+    (per-value positive counts), the descending cumulatives as
+    SUFFIX sums over the same ascending prefix machinery as
+    :func:`roc_auc` (``suffix = total − (cum − own)``, so
+    ``high_cardinality``/"auto" scale routing carries over), and
+    ``AP = Σ_v (dp_v / n⁺) · (TP_v / PP_v)`` where ``TP_v``/``PP_v``
+    are positives/predictions at-or-above v.  All counts integer →
+    the sum of per-value float terms is the only float work.
+
+    NULL score/label rows excluded (the family rule); label > 0 is
+    positive.  No positives → NULL ``ap``.  Returns one row
+    ``(n_pos, n_neg, ap, baseline)`` — ``baseline`` the positive
+    prevalence, i.e. the AP of a random ranking, the number to beat.
+    """
+    high_cardinality = _resolve_high_cardinality(
+        df, [score_col], high_cardinality
+    )
+    pos = F.col(label_col).cast("double") > 0
+    cnt = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("v"))
+        .agg(
+            F.sum(pos.cast("long")).alias("dp"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    ranked = _cdf_prefix(cnt, "v", ["dp", "c"], high_cardinality, n_parts)
+    tp = F.col("__tot_dp") - (F.col("__cum_dp") - F.col("dp"))
+    pp = F.col("__tot_c") - (F.col("__cum_c") - F.col("c"))
+    agg = ranked.agg(
+        F.max("__tot_dp").cast("long").alias("n_pos"),
+        (F.max("__tot_c") - F.max("__tot_dp")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("dp").cast("double")
+            * tp.cast("double")
+            / pp.cast("double")
+        ).alias("__s"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("__s") / F.when(np_ > 0, np_)).alias("ap"),
+        (
+            np_
+            / F.when(
+                np_ + F.col("n_neg") > 0, np_ + F.col("n_neg").cast("double")
+            )
+        ).alias("baseline"),
     )
 
 
