@@ -862,3 +862,56 @@ def test_glm_scoring_streams_by_composition(spark, tmp_path):
     for i in got:
         for a, b in zip(got[i], want[i]):
             assert abs(a - b) < 1e-12
+
+
+def test_negbin_fit_matches_numpy_and_reduces_to_poisson(spark):
+    import pytest
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rng = np.random.RandomState(29)
+    rows = []
+    true_b = np.array([0.5, -0.3, 1.2])  # x1, x2, intercept
+    alpha = 0.6
+    for _ in range(800):
+        x1, x2 = rng.normal(0, 1), rng.normal(0, 1)
+        mu = np.exp(true_b[0] * x1 + true_b[1] * x2 + true_b[2])
+        # NB2 via gamma-poisson mixture
+        lam = rng.gamma(shape=1 / alpha, scale=alpha * mu)
+        yv = rng.poisson(lam)
+        rows.append((float(x1), float(x2), float(yv)))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double").repartition(7)
+    m = GLM.negbin_fit(df, ["x1", "x2"], "y", alpha=alpha, iters=8)
+
+    # numpy Fisher-scoring replica of the exact schedule
+    X = np.array([[r[0], r[1], 1.0] for r in rows])
+    yv = np.array([r[2] for r in rows])
+    beta = np.zeros(3); beta[2] = np.log(yv.mean())
+    for _ in range(8):
+        mu = np.exp(X @ beta)
+        w = mu / (1 + alpha * mu)
+        g = X.T @ ((yv - mu) / (1 + alpha * mu))
+        H = (X.T * w) @ X
+        beta = beta + np.linalg.solve(H + 1e-9 * np.eye(3), g)
+    assert np.allclose(m["beta"], beta, atol=1e-8), (m["beta"], beta)
+    # recovers the planted effects roughly
+    assert 0.3 < m["beta"][0] < 0.7 and -0.5 < m["beta"][1] < -0.1
+    # loglik at returned beta (beta-dependent part)
+    mu = np.exp(X @ np.array(m["beta"]))
+    ll = float((yv * (X @ np.array(m["beta"])) - (yv + 1 / alpha) * np.log(1 + alpha * mu)).sum())
+    assert abs(m["loglik"] - ll) < 1e-6 * max(1.0, abs(ll))
+    # alpha=0 recovers poisson_fit exactly
+    m0 = GLM.negbin_fit(df, ["x1", "x2"], "y", alpha=0.0, iters=6)
+    mp = GLM.poisson_fit(df, ["x1", "x2"], "y", iters=6)
+    assert np.allclose(m0["beta"], mp["beta"], atol=1e-10)
+    assert abs(m0["loglik"] - mp["loglik"]) < 1e-8
+    # partitioning independence
+    m2 = GLM.negbin_fit(df.repartition(3), ["x1", "x2"], "y", alpha=alpha, iters=8)
+    assert np.allclose(m2["beta"], m["beta"], atol=1e-9)
+    with pytest.raises(ValueError, match="alpha"):
+        GLM.negbin_fit(df, ["x1"], "y", alpha=-1.0)
+    # overdispersion shrinks the information: NB chi-like weights < poisson
+    # (sanity: betas differ from poisson on overdispersed data)
+    assert not np.allclose(m["beta"], mp["beta"], atol=1e-3)

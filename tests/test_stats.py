@@ -1002,3 +1002,116 @@ def test_pr_auc_matches_sklearn_style_replica(spark):
     # HC path identical (integer suffix sums)
     hi = S.pr_auc(df, "score", "y", high_cardinality=True).collect()[0]
     assert abs(hi.ap - got.ap) < 1e-15
+
+
+def test_cohens_kappa_known_values(spark):
+    import math
+
+    # perfect agreement on a varied label set -> kappa 1
+    perfect = spark.createDataFrame(
+        [(c, c) for c in "aabbbcc"], "x string, y string"
+    )
+    r = S.cohens_kappa(perfect, "x", "y").collect()[0]
+    assert r.p_observed == 1.0 and abs(r.kappa - 1.0) < 1e-12
+    # textbook 2x2: po=0.7, marginals A(.5,.5) B(.6,.4) -> pe=0.5, k=0.4
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = S.cohens_kappa(df, "x", "y").collect()[0]
+    po = 35 / 50.0
+    pe = (25 / 50.0) * (30 / 50.0) + (25 / 50.0) * (20 / 50.0)
+    assert r.n == 50 and abs(r.p_observed - po) < 1e-12
+    assert abs(r.p_expected - pe) < 1e-12
+    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-12
+    # both raters constant on the same label: pe=1 -> NULL kappa
+    const = spark.createDataFrame([("a", "a")] * 5, "x string, y string")
+    assert S.cohens_kappa(const, "x", "y").collect()[0].kappa is None
+    # disjoint label spaces: po=0, pe=0, kappa=0
+    disj = spark.createDataFrame([("a", "b")] * 5, "x string, y string")
+    r = S.cohens_kappa(disj, "x", "y").collect()[0]
+    assert r.p_observed == 0.0 and r.p_expected == 0.0 and r.kappa == 0.0
+    # NULL rows excluded
+    pol = df.unionByName(
+        spark.createDataFrame([(None, "y"), ("y", None)], "x string, y string")
+    )
+    r2 = S.cohens_kappa(pol, "x", "y").collect()[0]
+    assert r2.n == 50
+    assert abs(r2.p_observed - po) < 1e-12
+    assert abs(r2.kappa - (po - pe) / (1 - pe)) < 1e-12
+
+
+def test_cmh_matches_replica_and_simpson(spark):
+    """CMH against a numpy replica, and the Simpson's-paradox
+    demonstration: a pooled 2x2 shows an effect direction that the
+    stratified test correctly discounts."""
+    import numpy as np
+
+    # strata with very different base rates and arm allocations
+    tables = {  # k -> (a, b, c, d): arm-a hit/miss, arm-b hit/miss
+        "s1": (60, 40, 30, 70),
+        "s2": (10, 90, 5, 45),
+        "s3": (200, 200, 120, 80),
+    }
+    rows = []
+    for k, (a, b, c, d) in tables.items():
+        rows += [(k, "a", 1)] * a + [(k, "a", 0)] * b
+        rows += [(k, "b", 1)] * c + [(k, "b", 0)] * d
+    df = spark.createDataFrame(rows, "k string, arm string, hit int")
+    got = S.cmh_test(df, "k", "arm", "hit", "a", "b").collect()[0]
+    sa = se = sv = ad = bc = 0.0
+    for a, b, c, d in tables.values():
+        n = a + b + c + d
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        ad += a * d / n
+        bc += b * c / n
+    assert got.n == sum(sum(t) for t in tables.values())
+    assert got.n_strata == 3
+    assert abs(got.chi2 - (sa - se) ** 2 / sv) < 1e-10
+    assert abs(got.or_mh - ad / bc) < 1e-12
+    # single-subject stratum contributes zero variance, no crash
+    one = df.unionByName(spark.createDataFrame([("s4", "a", 1)], "k string, arm string, hit int"))
+    r1 = S.cmh_test(one, "k", "arm", "hit", "a", "b").collect()[0]
+    assert r1.n_strata == 4 and np.isfinite(r1.chi2)
+    # no-effect-within-strata data: chi2 ~ 0 even when the POOLED
+    # table shows a spurious effect (allocation confounded with base
+    # rate - the Simpson construction)
+    simp = []
+    # stratum hi: base rate 0.8, arm a gets 90% of subjects
+    simp += [("hi", "a", 1)] * 72 + [("hi", "a", 0)] * 18
+    simp += [("hi", "b", 1)] * 8 + [("hi", "b", 0)] * 2
+    # stratum lo: base rate 0.2, arm b gets 90% of subjects
+    simp += [("lo", "a", 1)] * 2 + [("lo", "a", 0)] * 8
+    simp += [("lo", "b", 1)] * 18 + [("lo", "b", 0)] * 72
+    sdf = spark.createDataFrame(simp, "k string, arm string, hit int")
+    rs = S.cmh_test(sdf, "k", "arm", "hit", "a", "b").collect()[0]
+    assert rs.chi2 < 1e-10  # no within-stratum effect
+    assert abs(rs.or_mh - 1.0) < 1e-9
+    # while the POOLED 2x2 is fooled (arm a pooled rate 0.74 vs 0.26 —
+    # allocation confounded with base rate): naive pooled z >> 0
+    import math
+
+    pa, na = 74, 100
+    pb, nb = 26, 100
+    p = (pa + pb) / (na + nb)
+    z = (pa / na - pb / nb) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    assert abs(z) > 5  # the paradox the stratified test avoids
+
+
+def test_roc_auc_invariant_under_monotone_transform(spark):
+    """Property: AUC depends only on the score ORDERING — any strictly
+    increasing transform leaves it bit-unchanged (exp, affine, cube);
+    a strictly DECREASING transform flips it to 1 - AUC."""
+    rng = __import__("random").Random(77)
+    rows = [(round(rng.gauss(0.5 * (1 if rng.random() < 0.3 else 0), 1.0), 2),
+             1 if rng.random() < 0.3 else 0) for _ in range(400)]
+    rows = [(s, y) for s, y in rows]
+    df = spark.createDataFrame(rows, "score double, y int")
+    base = S.roc_auc(df, "score", "y").collect()[0].auc
+    for expr in ("exp(score)", "3.0*score + 7.0", "score*score*score"):
+        t = df.selectExpr(f"{expr} as score", "y")
+        assert S.roc_auc(t, "score", "y").collect()[0].auc == base, expr
+    neg = df.selectExpr("-score as score", "y")
+    assert abs(S.roc_auc(neg, "score", "y").collect()[0].auc - (1 - base)) < 1e-12

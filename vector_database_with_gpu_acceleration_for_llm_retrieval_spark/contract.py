@@ -3967,6 +3967,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmst_conversion": q_rmst_conversion,
         "ks_drift_adjusted": q_ks_drift_adjusted,
         "model_pr_auc": q_model_pr_auc,
+        "rater_kappa": q_rater_kappa,
+        "cmh_strata": q_cmh_strata,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
@@ -6650,4 +6652,49 @@ def q_model_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         _round6(F.col("ap"), "ap"),
         _round6(F.col("baseline"), "baseline"),
+    )
+
+
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stored gold language label and the
+    stopword-profile lang_id prediction — the label-quality /
+    inter-annotator-agreement audit, composed from two already-green
+    entries (operators/stats.cohens_kappa over operators/textstats
+    .lang_id)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pred = T.lang_id(t["documents"]).select("doc_id", "pred_lang")
+    joined = t["documents"].select("doc_id", "lang").join(pred, "doc_id")
+    res = ST.cohens_kappa(joined, "lang", "pred_lang")
+    return res.select(
+        "n",
+        _round6(F.col("p_observed"), "p_observed"),
+        _round6(F.col("p_expected"), "p_expected"),
+        _round6(F.col("kappa"), "kappa"),
+    )
+
+
+def q_cmh_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel arm→high-value effect stratified by
+    event type — the Simpson's-paradox-proof experiment readout next
+    to the pooled two-proportion z-test (operators/stats.cmh_test)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.col("event_type").alias("k"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") > 50).cast("int").alias("hit"),
+    )
+    res = ST.cmh_test(ev, "k", "arm", "hit", "a", "b")
+    return res.select(
+        "n",
+        "n_strata",
+        _round6(F.col("chi2"), "chi2"),
+        _round6(F.col("or_mh"), "or_mh"),
     )

@@ -5030,6 +5030,8 @@ def oracle_sql() -> dict[str, str]:
         "rmst_conversion": _oracle_rmst(1_500_000_000_000),
         "ks_drift_adjusted": _ORACLE_KS_DRIFT_ADJUSTED,
         "model_pr_auc": _ORACLE_MODEL_PR_AUC,
+        "rater_kappa": _oracle_rater_kappa(),
+        "cmh_strata": _ORACLE_CMH_STRATA,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
@@ -6255,5 +6257,60 @@ agg AS (SELECT CAST(max(np) AS BIGINT) AS n_pos,
 SELECT n_pos, n_neg,
        {_r6('s / (CASE WHEN n_pos > 0 THEN CAST(n_pos AS DOUBLE) END)', 'ap')},
        {_r6('CAST(n_pos AS DOUBLE) / (CASE WHEN n_pos + n_neg > 0 THEN CAST(n_pos + n_neg AS DOUBLE) END)', 'baseline')}
+FROM agg
+"""
+
+
+def _oracle_rater_kappa() -> str:
+    """Kappa over the SAME lang_id prediction SQL (nested CTE), joined
+    to the stored gold label — the mutual_information cell/marginal
+    skeleton with the diagonal/chance-agreement arithmetic."""
+    return f"""
+WITH pred AS ({_oracle_lang_id()}),
+src AS (SELECT d.lang AS a, p.pred_lang AS b
+        FROM documents d JOIN pred p USING (doc_id)
+        WHERE d.lang IS NOT NULL AND p.pred_lang IS NOT NULL),
+cells AS (SELECT a, b, count(*) AS c FROM src GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+po AS (SELECT CAST(max(tot.n) AS BIGINT) AS n,
+              sum(CASE WHEN a = b THEN c ELSE 0 END) / max(tot.n) AS p_observed
+       FROM cells CROSS JOIN tot),
+ma AS (SELECT a, sum(c) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+pe AS (SELECT coalesce(sum((ca / tot.n) * (cb / tot.n)), 0.0) AS p_expected
+       FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN tot)
+SELECT n, {_r6('p_observed', 'p_observed')}, {_r6('p_expected', 'p_expected')},
+       {_r6('(p_observed - p_expected) / (CASE WHEN p_expected <> 1.0 THEN 1.0 - p_expected END)', 'kappa')}
+FROM po CROSS JOIN pe
+"""
+
+
+_ORACLE_CMH_STRATA = f"""
+WITH src AS (SELECT event_type AS k,
+                    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                    CASE WHEN value > 50 THEN 1 ELSE 0 END AS hit
+             FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL),
+per AS (SELECT k,
+               CAST(sum(CASE WHEN arm = 'a' THEN hit ELSE 0 END) AS DOUBLE) AS a,
+               CAST(sum(CASE WHEN arm = 'a' THEN 1 - hit ELSE 0 END) AS DOUBLE) AS b,
+               CAST(sum(CASE WHEN arm = 'b' THEN hit ELSE 0 END) AS DOUBLE) AS c,
+               CAST(sum(CASE WHEN arm = 'b' THEN 1 - hit ELSE 0 END) AS DOUBLE) AS d
+        FROM src GROUP BY 1),
+terms AS (SELECT a, b, c, d, a + b + c + d AS n,
+                 (a + b) * (a + c) / (a + b + c + d) AS e,
+                 CASE WHEN a + b + c + d > 1
+                      THEN (a + b) * (c + d) * (a + c) * (b + d)
+                           / ((a + b + c + d) * (a + b + c + d) * (a + b + c + d - 1))
+                      ELSE 0.0 END AS v
+          FROM per),
+agg AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_strata,
+               sum(a) AS sa, sum(e) AS se, sum(v) AS sv,
+               sum(a * d / n) AS ad, sum(b * c / n) AS bc
+        FROM terms)
+SELECT n, n_strata,
+       {_r6('(sa - se) * (sa - se) / (CASE WHEN sv > 0 THEN sv END)', 'chi2')},
+       {_r6('ad / (CASE WHEN bc > 0 THEN bc END)', 'or_mh')}
 FROM agg
 """

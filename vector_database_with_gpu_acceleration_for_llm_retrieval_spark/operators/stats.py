@@ -67,6 +67,8 @@ __all__ = [
     "roc_auc_grouped",
     "pr_auc",
     "mutual_information",
+    "cohens_kappa",
+    "cmh_test",
     "p_adjust",
     "kaplan_meier_ci",
     "rmst",
@@ -1231,6 +1233,133 @@ def mutual_information(
         "h_x",
         "h_y",
         (F.col("mi") / F.when(denom > 0, denom)).alias("nmi"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical raters — the
+    inter-annotator-agreement staple for label-quality audits (LLM
+    judge vs human, two labeling vendors, model vs gold): observed
+    agreement corrected for the agreement two independent raters with
+    these marginals would reach by chance,
+    ``κ = (p_o − p_e) / (1 − p_e)``.
+
+    One scan to the r×c confusion frame (the
+    :func:`mutual_information` skeleton): ``p_o`` from the diagonal
+    cells, ``p_e = Σ_k p_a(k)·p_b(k)`` from the two marginal
+    re-aggregations of that frame — everything after the first
+    map-side-combined groupBy is domain-bounded.  Rows with a NULL in
+    either column are excluded (the family rule).  Perfect chance
+    agreement (``p_e = 1`` — both raters constant on the same label)
+    leaves κ undefined → NULL.  Returns one row
+    ``(n, p_observed, p_expected, kappa)``.
+    """
+    src = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cells = src.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ma = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    n1 = cells.agg(F.sum("c").alias("__n"))
+    nd = F.col("__n").cast("double")
+    po = cells.crossJoin(F.broadcast(n1)).agg(
+        F.max("__n").cast("long").alias("n"),
+        (
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+            / F.max(nd)
+        ).alias("p_observed"),
+    )
+    pe = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .crossJoin(F.broadcast(n1))
+        .agg(
+            F.sum((F.col("ca") / nd) * (F.col("cb") / nd)).alias("p_expected")
+        )
+    )
+    out = po.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "p_observed",
+        F.coalesce(F.col("p_expected"), F.lit(0.0)).alias("p_expected"),
+    )
+    pe_c = F.col("p_expected")
+    return out.select(
+        "n",
+        "p_observed",
+        "p_expected",
+        (
+            (F.col("p_observed") - pe_c)
+            / F.when(pe_c != 1.0, F.lit(1.0) - pe_c)
+        ).alias("kappa"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    strata_col: str,
+    arm_col: str,
+    outcome_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of a binary arm→outcome effect
+    ACROSS strata — the Simpson's-paradox-proof experiment readout
+    (pooling a 2×2 over heterogeneous segments can invert the sign;
+    CMH tests the common odds ratio within strata): per stratum k
+    with table ``(a_k=exposed-success, row/col margins, n_k)``,
+
+    ``χ² = (Σ_k a_k − Σ_k E_k)² / Σ_k V_k`` with
+    ``E = r1·c1/n`` and hypergeometric
+    ``V = r1·r2·c1·c2 / (n²(n−1))``, plus the Mantel-Haenszel pooled
+    odds-ratio estimate ``OR = Σ(a·d/n) / Σ(b·c/n)``.
+
+    One scan to the (stratum × arm × outcome) count frame, one
+    stratum-level regroup, one closing 1-row aggregate — all
+    domain-bounded after the first map-side combine (the chi2/KS
+    skeleton; no continuity correction — documented, identical both
+    engines).  ``outcome_col`` is truthy (>0 = success); rows with
+    NULL stratum/arm/outcome are excluded.  Single-subject strata
+    contribute zero variance (the n−1 guard); zero total variance →
+    NULL χ².  Returns one row
+    ``(n, n_strata, chi2, or_mh)``.
+    """
+    src = df.filter(
+        F.col(strata_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(arm_col).isin(group_a, group_b)
+    )
+    is_a = F.col(arm_col) == group_a
+    y = (F.col(outcome_col).cast("double") > 0).cast("long")
+    per = src.groupBy(F.col(strata_col).alias("k")).agg(
+        F.sum(F.when(is_a, y).otherwise(0)).alias("a"),
+        F.sum(F.when(is_a, 1 - y).otherwise(0)).alias("b"),
+        F.sum(F.when(~is_a, y).otherwise(0)).alias("c"),
+        F.sum(F.when(~is_a, 1 - y).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    n = a + b + c + d
+    e = (a + b) * (a + c) / n
+    v = F.when(
+        n > 1,
+        (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    agg = per.agg(
+        F.sum(a + b + c + d).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(a).alias("__sa"),
+        F.sum(e).alias("__se"),
+        F.sum(v).alias("__sv"),
+        F.sum(a * d / n).alias("__ad"),
+        F.sum(b * c / n).alias("__bc"),
+    )
+    dev = F.col("__sa") - F.col("__se")
+    chi2 = dev * dev / F.when(F.col("__sv") > 0, F.col("__sv"))
+    return agg.select(
+        "n",
+        "n_strata",
+        chi2.alias("chi2"),
+        (F.col("__ad") / F.when(F.col("__bc") > 0, F.col("__bc"))).alias(
+            "or_mh"
+        ),
     )
 
 
