@@ -1115,3 +1115,147 @@ def test_roc_auc_invariant_under_monotone_transform(spark):
         assert S.roc_auc(t, "score", "y").collect()[0].auc == base, expr
     neg = df.selectExpr("-score as score", "y")
     assert abs(S.roc_auc(neg, "score", "y").collect()[0].auc - (1 - base)) < 1e-12
+
+
+def test_wasserstein_1d_replicas_and_shift(spark):
+    import numpy as np
+
+    rng = __import__("random").Random(3)
+    a = [round(rng.gauss(0, 1), 2) for _ in range(400)]
+    b = [round(rng.gauss(0.5, 1), 2) for _ in range(300)]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = S.wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+
+    def ref_w1(xs, ys):
+        vals = np.array(sorted(set(xs) | set(ys)))
+        fa = np.searchsorted(np.sort(xs), vals, side="right") / len(xs)
+        fb = np.searchsorted(np.sort(ys), vals, side="right") / len(ys)
+        return float((np.abs(fa - fb)[:-1] * np.diff(vals)).sum())
+
+    want = ref_w1(a, b)
+    assert got.n_a == 400 and got.n_b == 300
+    assert abs(got.w1 - want) < 1e-12, (got.w1, want)
+    # a pure +c shift of identical samples has W1 == c exactly
+    shift = spark.createDataFrame(
+        [(float(v), "a") for v in range(100)]
+        + [(float(v) + 2.5, "b") for v in range(100)],
+        "v double, g string",
+    )
+    r = S.wasserstein_1d(shift, "v", "g", "a", "b").collect()[0]
+    assert abs(r.w1 - 2.5) < 1e-9
+    # identical samples -> 0; HC path identical
+    same = spark.createDataFrame([(float(v % 13), g) for v in range(200) for g in "ab"], "v double, g string")
+    assert S.wasserstein_1d(same, "v", "g", "a", "b").collect()[0].w1 == 0.0
+    hc = S.wasserstein_1d(df, "v", "g", "a", "b", high_cardinality=True).collect()[0]
+    assert abs(hc.w1 - got.w1) < 1e-12
+    # and the plan never global-sorts in the HC path (no non-__ptot window)
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    plan = physical_plan(S.wasserstein_1d(df, "v", "g", "a", "b", high_cardinality=True))
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and "Window" in seg.splitlines()[0]:
+            assert "__ptot" in seg, seg
+
+
+def test_psi_known_values_and_null_bucket(spark):
+    import math
+
+    ref = spark.createDataFrame([(b,) for b in [0] * 50 + [1] * 30 + [2] * 20], "bucket int")
+    liv = spark.createDataFrame([(b,) for b in [0] * 20 + [1] * 30 + [2] * 50], "bucket int")
+    r = S.psi(ref, liv, "bucket").collect()[0]
+    want = (0.5 - 0.2) * math.log(0.5 / 0.2) + 0.0 + (0.2 - 0.5) * math.log(0.2 / 0.5)
+    assert r.n_ref == 100 and r.n_live == 100
+    assert abs(r.psi_value - want) < 1e-12
+    # identical -> 0
+    r0 = S.psi(ref, ref, "bucket").collect()[0]
+    assert abs(r0.psi_value) < 1e-12
+    # a bucket present on one side only: eps floor, large contribution
+    only = spark.createDataFrame([(9,)] * 10, "bucket int")
+    r1 = S.psi(ref.unionByName(only), ref, "bucket").collect()[0]
+    assert r1.psi_value > 0.5
+    # NULL bucket is ONE shared "missing" cell
+    refn = ref.unionByName(spark.createDataFrame([(None,)] * 10, "bucket int"))
+    livn = liv.unionByName(spark.createDataFrame([(None,)] * 10, "bucket int"))
+    rn = S.psi(refn, livn, "bucket").collect()[0]
+    # the NULL cell has p=10/110, q=10/110 -> contributes ~0; remaining
+    # buckets shrink proportionally on both sides
+    assert rn.n_ref == 110 and rn.n_live == 110
+    assert rn.psi_value < r.psi_value + 1e-9
+
+
+def test_js_divergence_known_values(spark):
+    import math
+
+    # disjoint supports -> ln 2 exactly (js_norm 1)
+    dis = spark.createDataFrame(
+        [("x", "a")] * 10 + [("y", "b")] * 20, "i string, g string"
+    )
+    r = S.js_divergence(dis, "i", "g", "a", "b").collect()[0]
+    assert abs(r.js - math.log(2)) < 1e-12 and abs(r.js_norm - 1.0) < 1e-12
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [(c, g) for c in "xxyz" for g in "ab"], "i string, g string"
+    )
+    r0 = S.js_divergence(same, "i", "g", "a", "b").collect()[0]
+    assert abs(r0.js) < 1e-12
+    # hand-computed asymmetric case
+    rows = [("x", "a")] * 3 + [("y", "a")] * 1 + [("x", "b")] * 1 + [("y", "b")] * 3
+    df = spark.createDataFrame(rows, "i string, g string")
+    r2 = S.js_divergence(df, "i", "g", "a", "b").collect()[0]
+    p = {"x": 0.75, "y": 0.25}
+    q = {"x": 0.25, "y": 0.75}
+    want = sum(
+        p[i] * math.log(p[i] / ((p[i] + q[i]) / 2)) / 2
+        + q[i] * math.log(q[i] / ((p[i] + q[i]) / 2)) / 2
+        for i in "xy"
+    )
+    assert abs(r2.js - want) < 1e-12
+    assert r2.n_items == 2 and r2.n_a == 4 and r2.n_b == 4
+    # bounded by ln 2
+    assert 0 <= r2.js <= math.log(2) + 1e-12
+
+
+def test_psi_stream_maintained_by_composition(spark, tmp_path):
+    """PSI is a function of two bucket-count tables, and bucket counts
+    are plain sums — so a LIVE drift monitor needs ZERO psi-specific
+    streaming code: stream bucket counts through the generic rollup,
+    read psi-from-counts between micro-batches (the sliding-HLL /
+    bootstrap composition rule)."""
+    import math
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.incremental import (
+        read_snapshot,
+        stream_rollup_maintenance,
+    )
+
+    ref = spark.createDataFrame([(b,) for b in [0] * 50 + [1] * 50], "bucket int")
+    # live arrives in two micro-batches with drift
+    b1 = [(0,)] * 10 + [(1,)] * 30
+    b2 = [(0,)] * 5 + [(1,)] * 55
+    src, roll, ck = str(tmp_path / "src"), str(tmp_path / "roll"), str(tmp_path / "ck")
+    spark.createDataFrame(b1, "bucket int").write.mode("append").parquet(src)
+    q = stream_rollup_maintenance(
+        spark,
+        src,
+        roll,
+        ck,
+        keys=["bucket"],
+        measures={"cl": ("count", "bucket")},
+        schema="bucket int",
+    )
+    q.processAllAvailable()
+    live1 = read_snapshot(spark, roll).select("bucket", F.col("cl").alias("n"))
+    r1 = S.psi(ref, live1.selectExpr("explode(array_repeat(bucket, cast(n as int))) as bucket"), "bucket").collect()[0]
+    batch1 = S.psi(ref, spark.createDataFrame(b1, "bucket int"), "bucket").collect()[0]
+    assert abs(r1.psi_value - batch1.psi_value) < 1e-12
+    spark.createDataFrame(b2, "bucket int").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    live2 = read_snapshot(spark, roll)
+    r2 = S.psi(ref, live2.selectExpr("explode(array_repeat(bucket, cast(cl as int))) as bucket"), "bucket").collect()[0]
+    batch2 = S.psi(ref, spark.createDataFrame(b1 + b2, "bucket int"), "bucket").collect()[0]
+    assert abs(r2.psi_value - batch2.psi_value) < 1e-12
+    assert r2.psi_value != r1.psi_value  # the drift moved the needle

@@ -3969,6 +3969,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_pr_auc": q_model_pr_auc,
         "rater_kappa": q_rater_kappa,
         "cmh_strata": q_cmh_strata,
+        "value_wasserstein": q_value_wasserstein,
+        "score_psi": q_score_psi,
+        "source_token_js": q_source_token_js,
         "incremental_rollup": q_incremental_rollup,
         "pii_cards": q_pii_cards,
         "grep_corpus_indexed": q_grep_corpus_indexed,
@@ -6697,4 +6700,76 @@ def q_cmh_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_strata",
         _round6(F.col("chi2"), "chi2"),
         _round6(F.col("or_mh"), "or_mh"),
+    )
+
+
+def q_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein distance between the hi/lo-priority order-price
+    distributions — how far mass moved, where the KS entry reports
+    only the worst single CDF gap; gap widths by rank equi-join, no
+    global lead window (operators/stats.wasserstein_1d)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    src = t["orders"].select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+        ).otherwise("lo").alias("arm"),
+    )
+    res = ST.wasserstein_1d(src, "v", "arm", "hi", "lo")
+    return res.select("n_a", "n_b", _round6(F.col("w1"), "w1"))
+
+
+def q_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution,
+    even-user reference vs odd-user live halves over fixed value
+    buckets — the industry score-drift monitor
+    (operators/stats.psi)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("int")).alias(
+            "bucket"
+        ),
+    )
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    live = ev.filter(F.col("user_id") % 2 == 1)
+    res = ST.psi(ref, live, "bucket")
+    return res.select(
+        "n_ref", "n_live", _round6(F.col("psi_value"), "psi_value")
+    )
+
+
+def q_source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of
+    two document sources — the symmetric always-finite corpus-drift
+    readout, one explode + one (token, source) count
+    (operators/stats.js_divergence)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        text as TXF,
+    )
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .filter(F.col("source").isin("src2", "src3"))
+        .select("source", F.explode(TXF.tokens("text")).alias("tok"))
+    )
+    res = ST.js_divergence(toks, "tok", "source", "src2", "src3")
+    return res.select(
+        "n_a",
+        "n_b",
+        "n_items",
+        _round6(F.col("js"), "js"),
+        _round6(F.col("js_norm"), "js_norm"),
     )

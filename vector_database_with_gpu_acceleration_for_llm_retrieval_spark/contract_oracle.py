@@ -5032,6 +5032,9 @@ def oracle_sql() -> dict[str, str]:
         "model_pr_auc": _ORACLE_MODEL_PR_AUC,
         "rater_kappa": _oracle_rater_kappa(),
         "cmh_strata": _ORACLE_CMH_STRATA,
+        "value_wasserstein": _ORACLE_VALUE_WASSERSTEIN,
+        "score_psi": _ORACLE_SCORE_PSI,
+        "source_token_js": _ORACLE_SOURCE_TOKEN_JS,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
         "rank_sum_test": _ORACLE_RANK_SUM_TEST,
         "spearman_qty_price": _ORACLE_SPEARMAN_QTY_PRICE,
@@ -6312,5 +6315,65 @@ agg AS (SELECT CAST(sum(n) AS BIGINT) AS n,
 SELECT n, n_strata,
        {_r6('(sa - se) * (sa - se) / (CASE WHEN sv > 0 THEN sv END)', 'chi2')},
        {_r6('ad / (CASE WHEN bc > 0 THEN bc END)', 'or_mh')}
+FROM agg
+"""
+
+
+_ORACLE_VALUE_WASSERSTEIN = f"""
+WITH src AS (SELECT o_totalprice AS v,
+                    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hi' ELSE 'lo' END AS arm
+             FROM orders WHERE o_totalprice IS NOT NULL),
+cnt AS (SELECT CAST(v AS DOUBLE) AS v,
+               sum(CASE WHEN arm = 'hi' THEN 1 ELSE 0 END) AS da,
+               sum(CASE WHEN arm = 'lo' THEN 1 ELSE 0 END) AS db
+        FROM src GROUP BY 1),
+c AS (SELECT v, sum(da) OVER w AS cda, sum(db) OVER w AS cdb,
+             sum(da) OVER () AS ta, sum(db) OVER () AS tb,
+             lead(v) OVER (ORDER BY v) AS nv
+      FROM cnt
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+       {_r6("sum(abs(cda * 1.0 / (CASE WHEN ta > 0 THEN ta END) - cdb * 1.0 / (CASE WHEN tb > 0 THEN tb END)) * (nv - v))", 'w1')}
+FROM c
+"""
+
+
+_ORACLE_SCORE_PSI = f"""
+WITH ev AS (SELECT user_id,
+                   least(9, CAST(floor(value / 50) AS INT)) AS bucket
+            FROM events),
+rc AS (SELECT bucket AS b, count(*) AS cr FROM ev WHERE user_id % 2 = 0 GROUP BY 1),
+lc AS (SELECT bucket AS b, count(*) AS cl FROM ev WHERE user_id % 2 = 1 GROUP BY 1),
+j AS (SELECT coalesce(cr, 0) AS cr, coalesce(cl, 0) AS cl
+      FROM rc FULL OUTER JOIN lc ON rc.b IS NOT DISTINCT FROM lc.b),
+tot AS (SELECT sum(cr) AS nr, sum(cl) AS nl FROM j),
+terms AS (SELECT greatest(cr * 1.0 / tot.nr, 1e-6) AS p,
+                 greatest(cl * 1.0 / tot.nl, 1e-6) AS q,
+                 tot.nr, tot.nl
+          FROM j CROSS JOIN tot)
+SELECT CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nl) AS BIGINT) AS n_live,
+       {_r6('sum((p - q) * ln(p / q))', 'psi_value')}
+FROM terms
+"""
+
+
+_ORACLE_SOURCE_TOKEN_JS = f"""
+WITH toks AS (SELECT source, unnest({_SQ_TOKS}) AS tok
+              FROM documents WHERE source IN ('src2', 'src3')),
+cnt AS (SELECT tok,
+               sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS cb
+        FROM toks WHERE tok IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt),
+terms AS (SELECT ca * 1.0 / (CASE WHEN tot.na > 0 THEN tot.na END) AS p,
+                 cb * 1.0 / (CASE WHEN tot.nb > 0 THEN tot.nb END) AS q,
+                 tot.na, tot.nb
+          FROM cnt CROSS JOIN tot),
+agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS n_items,
+               sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0.0 END
+                   + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0.0 END) AS js
+        FROM terms)
+SELECT n_a, n_b, n_items, {_r6('js', 'js')}, {_r6('js / ln(2)', 'js_norm')}
 FROM agg
 """

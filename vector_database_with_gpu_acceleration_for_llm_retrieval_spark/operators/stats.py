@@ -69,6 +69,9 @@ __all__ = [
     "mutual_information",
     "cohens_kappa",
     "cmh_test",
+    "wasserstein_1d",
+    "psi",
+    "js_divergence",
     "p_adjust",
     "kaplan_meier_ci",
     "rmst",
@@ -1233,6 +1236,176 @@ def mutual_information(
         "h_x",
         "h_y",
         (F.col("mi") / F.when(denom > 0, denom)).alias("nmi"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    high_cardinality: bool | str = "auto",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """1-Wasserstein (earth-mover's) distance between two empirical
+    distributions — the drift metric that reports HOW FAR mass moved
+    where :func:`ks_test` reports only the worst single gap (a uniform
+    +1% shift and a narrow spike can have the same D; their W₁ differ
+    by orders of magnitude):
+    ``W₁ = ∫ |F_a(x) − F_b(x)| dx = Σ_v |F_a(v) − F_b(v)|·(v_next − v)``.
+
+    The exact :func:`ks_test` skeleton — one (value, group) count
+    aggregate onto the distinct-value frame, both CDFs from one
+    ordered cumulative (``high_cardinality``/"auto" routes continuous
+    domains through the distributed prefix).  The gap width
+    ``v_next − v`` deliberately does NOT use a global ``lead`` window
+    (that would reintroduce the single-task sort the prefix path
+    exists to avoid): the same prefix machinery also cumulates a ones
+    column into each distinct value's RANK, and the next value arrives
+    by an EQUI-JOIN on rank+1 — shuffle-by-rank, fully distributed on
+    both paths (integer ranks, so the pairing is exact).  NULL values
+    excluded; an empty side → NULL w1.  Returns one row
+    ``(n_a, n_b, w1)``.
+    """
+    high_cardinality = _resolve_high_cardinality(
+        df, [value_col], high_cardinality
+    )
+    cnt = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("da"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("db"),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    stepped = _cdf_prefix(
+        cnt, "v", ["da", "db", "__one"], high_cardinality, n_parts
+    )
+    ranked = stepped.withColumn("__r", F.col("__cum___one"))
+    nxt = ranked.select(
+        (F.col("__r") - 1).alias("__r"), F.col("v").alias("__next_v")
+    )
+    w = ranked.join(nxt, "__r", "left")
+    term = (
+        F.abs(
+            F.col("__cum_da") / F.when(F.col("__tot_da") > 0, F.col("__tot_da"))
+            - F.col("__cum_db") / F.when(F.col("__tot_db") > 0, F.col("__tot_db"))
+        )
+        * (F.col("__next_v") - F.col("v"))
+    )
+    return w.agg(
+        F.max("__tot_da").cast("long").alias("n_a"),
+        F.max("__tot_db").cast("long").alias("n_b"),
+        F.sum(term).alias("w1"),
+    )
+
+
+def psi(
+    ref: DataFrame,
+    live: DataFrame,
+    bucket_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population stability index between a reference and a live
+    distribution over a SHARED bucket column — the industry
+    score-drift monitor (rule of thumb: <0.1 stable, 0.1–0.25 watch,
+    >0.25 shifted):
+    ``PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)``.
+
+    Caller provides the bucketing (a categorical column, or
+    ``sketches.qsketch_bucket`` over a continuous score — the
+    ks_sketch_drift pattern), so both sides reduce to one
+    domain-bounded count aggregate joined FULL OUTER on the bucket;
+    empty cells are floored at ``eps`` (the standard guard — PSI is
+    undefined on zero cells, and a bucket present on one side only is
+    exactly the drift signal, not an error).  NULL buckets are a real
+    category ("missing") and are kept, as a NULL-keyed cell.  The
+    bucket frame is domain-bounded, everything after the two
+    map-side-combined counts is tiny.  Returns one row
+    ``(n_ref, n_live, psi_value)`` — ``psi`` the per-bucket breakdown
+    is available by composing the same counts; this entry reports the
+    headline scalar.
+    """
+    rc = ref.groupBy(F.col(bucket_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    lc = live.groupBy(F.col(bucket_col).alias("br")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    # null-safe join: the NULL ("missing") bucket is ONE shared cell,
+    # not two disjoint unmatched rows
+    joined = rc.join(
+        lc, rc["b"].eqNullSafe(lc["br"]), "full_outer"
+    ).select(
+        F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        F.coalesce(F.col("cl"), F.lit(0)).alias("cl"),
+    )
+    tot = joined.agg(
+        F.sum("cr").alias("nr"), F.sum("cl").alias("nl")
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    p = F.greatest(F.col("cr") / F.col("nr"), F.lit(float(eps)))
+    q = F.greatest(F.col("cl") / F.col("nl"), F.lit(float(eps)))
+    return j.agg(
+        F.max("nr").cast("long").alias("n_ref"),
+        F.max("nl").cast("long").alias("n_live"),
+        F.sum((p - q) * F.log(p / q)).alias("psi_value"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two categorical/item
+    distributions (natural log, so JS ∈ [0, ln 2]) — the symmetric,
+    always-finite corpus-drift measure (KL blows up on unseen items;
+    JS's mixture midpoint ``m = (p+q)/2`` is nonzero wherever either
+    side is):  ``JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)``.
+
+    One (item, group) count aggregate onto the shared item frame (the
+    ks skeleton on a categorical domain — compose with an explode for
+    token distributions between corpora), items missing on one side
+    contribute their full weight to the other side's term — no
+    smoothing needed, by construction.  NULL items excluded.  Returns
+    one row ``(n_a, n_b, n_items, js)`` plus the normalized
+    ``js_norm = js / ln 2``.
+    """
+    cnt = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).alias("i"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+        )
+    )
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    p = F.col("ca") / F.when(F.col("na") > 0, F.col("na"))
+    q = F.col("cb") / F.when(F.col("nb") > 0, F.col("nb"))
+    m = (p + q) / 2
+    term = F.when(p > 0, p * F.log(p / m) / 2).otherwise(F.lit(0.0)) + F.when(
+        q > 0, q * F.log(q / m) / 2
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(term).alias("js"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_items",
+        "js",
+        (F.col("js") / float(__import__("math").log(2))).alias("js_norm"),
     )
 
 
