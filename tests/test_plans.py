@@ -579,3 +579,20 @@ def test_stats_auto_high_cardinality_routes_continuous_columns(tables):
         assert "__ptot" not in physical_plan(
             ST.ks_test(tiny, "v", "g", "a", "b")
         )
+
+
+def test_nn_descent_final_plan_is_pinned(tables):
+    """nn_descent joins the iterative family: every round pins, so the
+    final plan reads materialized RDDs — no parquet re-scan of the
+    vector source, no cartesian, no global Window."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S2
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    g = S2.nn_descent(tables["embeddings"].select("vec_id", "embedding"), k=5, rounds=1)
+    plan = physical_plan(g)
+    assert "Scan parquet" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan

@@ -555,3 +555,64 @@ def test_mutual_knn_cuts_one_way_edges(spark):
     assert out == {(1, 2), (3, 4)}
     # k=4 over 5 points: every non-self pair is mutual -> C(5,2) edges
     assert mutual_knn(df, k=4).count() == 10
+
+
+def test_nn_descent_recall_improves_and_deterministic(spark, tables):
+    """NN-descent (r11): recall@k vs the exact brute-force graph
+    improves monotonically with rounds and reaches a high plateau;
+    the graph is a pure function of the input (partitioning-
+    independent), self-free, exactly k rows per node."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    n = emb.count()
+    k = 10
+    # exact graph via the oracle-checked knn_join machinery
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = (
+        S.knn_join(q, emb, k=k + 1, query_vec="qvec")
+        .filter(F.col("qid") != F.col("neighbor_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    exact_edges = {
+        (r.qid, r.neighbor_id)
+        for r in exact.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .collect()
+    }
+
+    recalls = []
+    for rounds in (0, 1, 2):
+        g = S.nn_descent(emb, k=k, rounds=rounds).collect()  # k_build=2k default
+        got = {(r.node, r.nbr) for r in g}
+        # structure: k rows per node, self-free, ranks 1..k
+        per_node = {}
+        for r in g:
+            assert r.node != r.nbr
+            per_node.setdefault(r.node, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, k + 1)) for v in per_node.values())
+        assert len(per_node) == n
+        recalls.append(len(got & exact_edges) / len(exact_edges))
+    assert recalls[0] < recalls[1] <= recalls[2] + 1e-9, recalls
+    assert recalls[2] > 0.9, recalls  # widened-build plateau at 2 rounds
+    assert recalls[0] < 0.6  # init blocking alone is far from exact
+    # determinism across partitionings
+    g2 = {
+        (r.node, r.nbr, round(r.score, 9))
+        for r in S.nn_descent(emb.repartition(7), k=k, rounds=2).collect()
+    }
+    g1 = {
+        (r.node, r.nbr, round(r.score, 9))
+        for r in S.nn_descent(emb, k=k, rounds=2).collect()
+    }
+    assert g1 == g2
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        S.nn_descent(emb, k=0)
+    with pytest.raises(ValueError, match="metric"):
+        S.nn_descent(emb, metric="hamming")
