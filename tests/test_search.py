@@ -616,3 +616,42 @@ def test_nn_descent_recall_improves_and_deterministic(spark, tables):
         S.nn_descent(emb, k=0)
     with pytest.raises(ValueError, match="metric"):
         S.nn_descent(emb, metric="hamming")
+
+
+def test_nn_descent_near_dup_composition(spark, tables):
+    """The kNN graph IS the scale path for embedding near-dup: filter
+    the nn_descent edges at the cosine threshold and canonicalize —
+    recall vs the exact brute-force pair set is high and measured
+    (the dedup_recall self-audit pattern applied to the graph tier)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    # plant near-duplicates: 20 vectors re-appear with tiny jitter
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(dup)
+    tau = 0.999
+    g = S.nn_descent(corpus, k=5, rounds=2)
+    got = {
+        (min(r.node, r.nbr), max(r.node, r.nbr))
+        for r in g.filter(F.col("score") >= tau).collect()
+    }
+    # exact pair set via the oracle-checked brute-force machinery
+    q = corpus.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = {
+        (min(r.qid, r.neighbor_id), max(r.qid, r.neighbor_id))
+        for r in S.knn_join(q, corpus, k=6, query_vec="qvec")
+        .filter((F.col("qid") != F.col("neighbor_id")) & (F.col("score") >= tau))
+        .collect()
+    }
+    planted = {(i, i + 100_000) for i in range(20)}
+    assert planted <= exact  # sanity: the plant is above threshold
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, (recall, len(exact))
+    assert got <= exact  # no false positives: scores are exact cosines

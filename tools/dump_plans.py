@@ -454,6 +454,31 @@ AUDITED = {
         "literal frame — the data-path plan is the one-scan Gram aggregate "
         "(d(d+1)/2+d+3 map-side-combined sums, no Python, no window)."
     ),
+    "rater_kappa": (
+        "Cohen's kappa (r11): the lang_id projection feeds one r×c "
+        "confusion groupBy; diagonal + marginal re-aggregations broadcast "
+        "back — domain-bounded after the first Exchange."
+    ),
+    "cmh_strata": (
+        "CMH (r11): one (stratum×arm×outcome) map-side-combined count, one "
+        "stratum regroup, one closing 1-row aggregate — no windows, no "
+        "joins beyond the broadcast closes."
+    ),
+    "value_wasserstein": (
+        "W1 drift (r11): the ks skeleton plus gap widths via RANK "
+        "EQUI-JOIN (shuffle-by-rank) — deliberately no global lead window, "
+        "so the auto/high-cardinality path stays single-task-free."
+    ),
+    "score_psi": (
+        "PSI (r11): two domain-bounded bucket counts, null-safe full-outer "
+        "join, eps-floored closing sum — and the counts are plain sums, so "
+        "the live monitor streams through the generic rollup."
+    ),
+    "source_token_js": (
+        "JS divergence (r11): one explode + one (token, source) "
+        "map-side-combined count; mixture-midpoint terms close in a 1-row "
+        "aggregate over the vocab-sized frame."
+    ),
 }
 
 
