@@ -489,6 +489,19 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(summary))
+    # third compact line (~400 chars): the 15 headline per-query medians
+    # plus their DuckDB mirrors, AFTER the summary so the driver's
+    # 2000-char tail always carries them — the r11 headline regression
+    # was unattributable because the tail window landed inside
+    # scale_probe and truncated result["queries"] away (r11 verdict #1)
+    print(
+        json.dumps(
+            {
+                "headline_queries": per_query,
+                "headline_duckdb": duck if duck else None,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -915,3 +915,36 @@ def test_negbin_fit_matches_numpy_and_reduces_to_poisson(spark):
     # overdispersion shrinks the information: NB chi-like weights < poisson
     # (sanity: betas differ from poisson on overdispersed data)
     assert not np.allclose(m["beta"], mp["beta"], atol=1e-3)
+
+
+def test_count_glm_null_label_rows_filtered(spark):
+    """NULL-label rows must be filtered UP FRONT in poisson/negbin: the
+    information term involves no y, so a NULL-label row would inflate H
+    while dropping out of g, shrinking every Newton step (r11 ADVICE).
+    Fit on clean data must equal fit on data + NULL-label noise rows."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        glm as GLM,
+    )
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for _ in range(300):
+        x1 = float(rng.normal(0, 1))
+        mu = np.exp(0.4 * x1 + 0.8)
+        rows.append((x1, float(rng.poisson(mu))))
+    clean = spark.createDataFrame(rows, "x1 double, y double")
+    # the same rows PLUS junk: NULL labels (huge x to magnify any H
+    # contamination) and a NULL feature row
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(50.0, None), (-40.0, None), (None, 3.0)],
+            "x1 double, y double",
+        )
+    )
+    for fit in (
+        lambda d: GLM.poisson_fit(d, ["x1"], "y", iters=6),
+        lambda d: GLM.negbin_fit(d, ["x1"], "y", alpha=0.5, iters=6),
+    ):
+        a, b = fit(clean), fit(noisy)
+        assert np.allclose(a["beta"], b["beta"], atol=1e-12), (a["beta"], b["beta"])
+        assert abs(a["loglik"] - b["loglik"]) < 1e-9

@@ -655,3 +655,26 @@ def test_nn_descent_near_dup_composition(spark, tables):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.95, (recall, len(exact))
     assert got <= exact  # no false positives: scores are exact cosines
+
+
+def test_nn_descent_empty_input_schema_matches_id_type(spark):
+    """Empty input must return a frame whose node/nbr types mirror the
+    caller's id column (string here), so it unions with a non-empty
+    run's output instead of long-vs-string clashing (r11 ADVICE)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S,
+    )
+
+    schema = "doc_id string, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    g0 = S.nn_descent(empty, k=3, id_col="doc_id", vec_col="embedding")
+    assert g0.count() == 0
+    assert dict(g0.dtypes)["node"] == "string"
+    assert dict(g0.dtypes)["nbr"] == "string"
+    full = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]), ("d", [0.1, 1.0])],
+        schema,
+    )
+    g1 = S.nn_descent(full, k=2, id_col="doc_id", vec_col="embedding")
+    # the union is the contract: same column names AND types
+    assert g0.unionByName(g1).count() == g1.count() == 8

@@ -1259,3 +1259,19 @@ def test_psi_stream_maintained_by_composition(spark, tmp_path):
     batch2 = S.psi(ref, spark.createDataFrame(b1 + b2, "bucket int"), "bucket").collect()[0]
     assert abs(r2.psi_value - batch2.psi_value) < 1e-12
     assert r2.psi_value != r1.psi_value  # the drift moved the needle
+
+
+def test_psi_empty_side_returns_null(spark):
+    """An entirely empty reference (or live) side is a caller bug, not
+    drift: psi_value must come back NULL, not a fabricated all-eps
+    number (r11 ADVICE — greatest() skips NULLs in Spark, so the guard
+    must wrap the whole ratio expression)."""
+    ref = spark.createDataFrame([(b,) for b in [0] * 5 + [1] * 5], "bucket int")
+    empty = spark.createDataFrame([], "bucket int")
+    r = S.psi(empty, ref, "bucket").collect()[0]
+    assert r.psi_value is None
+    r2 = S.psi(ref, empty, "bucket").collect()[0]
+    assert r2.psi_value is None
+    # non-empty sides still finite
+    r3 = S.psi(ref, ref, "bucket").collect()[0]
+    assert r3.psi_value is not None and abs(r3.psi_value) < 1e-12

@@ -6489,7 +6489,11 @@ def q_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select(
+    # event_type IS NOT NULL in BOTH engine and oracle: the SQL CASE
+    # would count a NULL type as a negative while Spark's == yields a
+    # NULL label that roc_auc drops — make the semantics explicit
+    # rather than fixture-dependent (round-11 ADVICE)
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
@@ -6512,7 +6516,7 @@ def q_model_auc_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select(
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
         F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
@@ -6645,7 +6649,11 @@ def q_model_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select(
+    # event_type IS NOT NULL in BOTH engine and oracle: the SQL CASE
+    # would count a NULL type as a negative while Spark's == yields a
+    # NULL label that roc_auc drops — make the semantics explicit
+    # rather than fixture-dependent (round-11 ADVICE)
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )

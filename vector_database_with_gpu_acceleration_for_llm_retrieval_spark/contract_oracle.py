@@ -6064,7 +6064,8 @@ FROM st ORDER BY arm, t
 _ORACLE_MODEL_AUC = f"""
 WITH src AS (SELECT value AS v,
                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-             FROM events WHERE value IS NOT NULL),
+             FROM events WHERE value IS NOT NULL
+               AND event_type IS NOT NULL),
 cnt AS (SELECT v, sum(y) AS dp, count(*) AS c FROM src GROUP BY 1),
 rk AS (SELECT v, dp, c,
               sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -6090,7 +6091,8 @@ _ORACLE_MODEL_AUC_BY_ARM = f"""
 WITH src AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
                     value AS v,
                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-             FROM events WHERE value IS NOT NULL),
+             FROM events WHERE value IS NOT NULL
+               AND event_type IS NOT NULL),
 cnt AS (SELECT arm, v, sum(y) AS dp, count(*) AS c FROM src GROUP BY 1, 2),
 rk AS (SELECT arm, v, dp, c,
               sum(c) OVER (PARTITION BY arm ORDER BY v
@@ -6245,7 +6247,8 @@ FROM adj ORDER BY group_a, group_b
 _ORACLE_MODEL_PR_AUC = f"""
 WITH src AS (SELECT value AS v,
                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-             FROM events WHERE value IS NOT NULL),
+             FROM events WHERE value IS NOT NULL
+               AND event_type IS NOT NULL),
 cnt AS (SELECT v, sum(y) AS dp, count(*) AS c FROM src GROUP BY 1),
 rk AS (SELECT v, dp, c,
               sum(dp) OVER () - (sum(dp) OVER w - dp) AS tp,
@@ -6347,8 +6350,10 @@ lc AS (SELECT bucket AS b, count(*) AS cl FROM ev WHERE user_id % 2 = 1 GROUP BY
 j AS (SELECT coalesce(cr, 0) AS cr, coalesce(cl, 0) AS cl
       FROM rc FULL OUTER JOIN lc ON rc.b IS NOT DISTINCT FROM lc.b),
 tot AS (SELECT sum(cr) AS nr, sum(cl) AS nl FROM j),
-terms AS (SELECT greatest(cr * 1.0 / tot.nr, 1e-6) AS p,
-                 greatest(cl * 1.0 / tot.nl, 1e-6) AS q,
+terms AS (SELECT CASE WHEN tot.nr > 0
+                      THEN greatest(cr * 1.0 / tot.nr, 1e-6) END AS p,
+                 CASE WHEN tot.nl > 0
+                      THEN greatest(cl * 1.0 / tot.nl, 1e-6) END AS q,
                  tot.nr, tot.nl
           FROM j CROSS JOIN tot)
 SELECT CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nl) AS BIGINT) AS n_live,

@@ -819,11 +819,16 @@ def poisson_fit(
     Score with :func:`poisson_predict`.
     """
     d = len(feature_cols) + (1 if intercept else 0)
+    ok = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        ok = ok & F.col(c).isNotNull()
     xs = [F.col(c).cast("double") for c in feature_cols]
     if intercept:
         xs = xs + [F.lit(1.0)]
     y = F.col(label_col).cast("double")
-    src = df.select(*[x.alias(f"__x{k}") for k, x in enumerate(xs)], y.alias("__y"))
+    src = df.filter(ok).select(
+        *[x.alias(f"__x{k}") for k, x in enumerate(xs)], y.alias("__y")
+    )
     xs = [F.col(f"__x{k}") for k in range(d)]
     beta = np.zeros(d, dtype=np.float64)
     if intercept:
@@ -894,19 +899,26 @@ def negbin_fit(
     AT the returned β (the Γ terms are β-free constants — no lgamma
     needed, which Spark SQL lacks); same warm start (intercept =
     ln ȳ) and ridge as Poisson.  Rows where any feature or the label
-    is NULL drop out of every aggregate (NULL propagation through μ —
-    the poisson_fit behavior).  Returns ``{"beta", "cols", "iters",
+    is NULL are filtered up front (the ols_fit/cox_fit rule): the
+    information term ``μ/(1+αμ)·x_k·x_l`` involves no y, so a
+    NULL-label row would inflate H while dropping out of g, biasing
+    every Newton step toward the warm start (round-11 ADVICE).  Returns ``{"beta", "cols", "iters",
     "alpha", "loglik"}`` (intercept LAST); score with
     :func:`poisson_predict` (the mean function is the same exp(x·β)).
     """
     if alpha < 0:
         raise ValueError(f"negbin_fit: alpha must be >= 0, got {alpha}")
     d = len(feature_cols) + (1 if intercept else 0)
+    ok = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        ok = ok & F.col(c).isNotNull()
     xs = [F.col(c).cast("double") for c in feature_cols]
     if intercept:
         xs = xs + [F.lit(1.0)]
     y = F.col(label_col).cast("double")
-    src = df.select(*[x.alias(f"__x{k}") for k, x in enumerate(xs)], y.alias("__y"))
+    src = df.filter(ok).select(
+        *[x.alias(f"__x{k}") for k, x in enumerate(xs)], y.alias("__y")
+    )
     xs = [F.col(f"__x{k}") for k in range(d)]
     beta = np.zeros(d, dtype=np.float64)
     if intercept:

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
 
@@ -1129,8 +1130,20 @@ def nn_descent(
     n = vecs.count()
     if n == 0:
         vecs.unpersist()
+        # build the empty frame from the INPUT id type — id_col may be
+        # string/int; hardcoding long would return a schema that can't
+        # union with a non-empty run's output (round-11 ADVICE)
+        id_type = vectors.schema[id_col].dataType
         return vectors.sparkSession.createDataFrame(
-            [], f"node long, nbr long, score double, rank int"
+            [],
+            T.StructType(
+                [
+                    T.StructField("node", id_type),
+                    T.StructField("nbr", id_type),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
         )
     n_buckets = max(1, n // max(2 * k, 4))
     cands = None

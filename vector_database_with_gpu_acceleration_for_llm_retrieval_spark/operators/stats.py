@@ -189,6 +189,16 @@ def _resolve_high_cardinality(
     :func:`_cdf_prefix`'s two paths are bit-identical for integer
     weights and last-ulp for float ones (documented there), so a wrong
     guess costs a little overhead, never correctness.
+
+    NOTE (round-11 ADVICE, acceptable-as-designed): under ``"auto"``
+    this is an EAGER Spark job (limit + agg + collect) at plan-BUILD
+    time — the one place the rank/CDF family departs from lazy plan
+    building.  Callers composing many operators over the same frame
+    can pass an explicit ``high_cardinality=True/False`` to skip the
+    probe entirely.  The ``limit(sample_rows)`` slice also draws from
+    whichever partitions answer first (typically the first input
+    split), so a layout sorted on the order column can misestimate
+    uniqueness — again perf-only by the bit-identical-paths argument.
     """
     if high_cardinality != "auto":
         return bool(high_cardinality)
@@ -1321,7 +1331,9 @@ def psi(
     domain-bounded count aggregate joined FULL OUTER on the bucket;
     empty cells are floored at ``eps`` (the standard guard — PSI is
     undefined on zero cells, and a bucket present on one side only is
-    exactly the drift signal, not an error).  NULL buckets are a real
+    exactly the drift signal, not an error).  An entirely EMPTY side,
+    by contrast, IS a caller bug: ``psi_value`` comes back NULL rather
+    than a fabricated all-eps drift number.  NULL buckets are a real
     category ("missing") and are kept, as a NULL-keyed cell.  The
     bucket frame is domain-bounded, everything after the two
     map-side-combined counts is tiny.  Returns one row
@@ -1347,8 +1359,20 @@ def psi(
         F.sum("cr").alias("nr"), F.sum("cl").alias("nl")
     )
     j = joined.crossJoin(F.broadcast(tot))
-    p = F.greatest(F.col("cr") / F.col("nr"), F.lit(float(eps)))
-    q = F.greatest(F.col("cl") / F.col("nl"), F.lit(float(eps)))
+    # guard the ratio: an EMPTY side is a caller bug, not drift — p must
+    # go NULL (propagating NULL into psi_value), not silently floor
+    # every bucket at eps so a finite Σ(eps−q)·ln(eps/q) masquerades as
+    # a measurement (round-11 ADVICE).  NOTE greatest() SKIPS NULLs in
+    # Spark, so the when() must wrap the whole expression, not just the
+    # denominator — greatest(NULL, eps) would still return eps.
+    p = F.when(
+        F.col("nr") > 0,
+        F.greatest(F.col("cr") / F.col("nr"), F.lit(float(eps))),
+    )
+    q = F.when(
+        F.col("nl") > 0,
+        F.greatest(F.col("cl") / F.col("nl"), F.lit(float(eps))),
+    )
     return j.agg(
         F.max("nr").cast("long").alias("n_ref"),
         F.max("nl").cast("long").alias("n_live"),
