@@ -1,0 +1,303 @@
+"""Graph-ANN serving tier (r12): query-time beam search over the
+NN-descent kNN graph, incremental insert, and delete maintenance.
+
+Recall is measured against the exact knn_join ground truth and
+compared to multiprobe LSH at MATCHED candidate counts — the verdict's
+"comparable candidate counts" bar, with the LSH side computed by the
+package's own lsh_probe_buckets bucket order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    graph_ann as GA,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    search as S,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+    vector as V,
+)
+
+
+def _exact_topk_sets(ids, X, k):
+    """Exact cosine top-k (self included) per id, numpy oracle."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    sims = Xn @ Xn.T
+    out = {}
+    for i, qid in enumerate(ids):
+        # score desc, id asc — the engine's tie-break
+        order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))
+        out[qid] = {ids[j] for j in order[:k]}
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_np(tables):
+    rows = (
+        tables["embeddings"]
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_beam_search_recall_beats_lsh_at_matched_candidates(
+    spark, tables, emb_np
+):
+    """The verdict bar: recall@10 vs exact >= multiprobe LSH recall at
+    comparable (here: LSH gets AT LEAST as many) candidate counts."""
+    ids, X = emb_np
+    n, d = X.shape
+    k = 10
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    graph = S.nn_descent(emb, k=k, rounds=2)
+    q = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    stats: dict = {}
+    res = GA.graph_beam_search(
+        q, emb, graph, k=k, beam=10, rounds=4, n_entry=4, stats=stats
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, set()).add(r.neighbor_id)
+    exact = _exact_topk_sets(ids, X, k)
+    assert set(got) == set(ids)  # every query answered
+    beam_recall = np.mean([len(got[i] & exact[i]) / k for i in ids])
+    beam_cands = stats["n_scored"] / n
+
+    # LSH multiprobe yardstick at >= the beam's per-query candidate
+    # count, using the engine's own bucket order (numpy sign buckets
+    # for the corpus — yardstick only)
+    planes = S.random_hyperplanes(6, d, seed=7)
+    P = np.array(planes, dtype=np.float64)
+    corpus_bucket = ((X @ P.T) > 0).astype(np.int64) @ (
+        1 << np.arange(len(planes), dtype=np.int64)
+    )
+    bucket_rows: dict[int, list[int]] = {}
+    for j, b in enumerate(corpus_bucket):
+        bucket_rows.setdefault(int(b), []).append(j)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    n_probe = 1
+    lsh_recall, lsh_cands = 0.0, 0.0
+    while n_probe <= 2 ** len(planes):
+        recalls, cands = [], []
+        for i, qid in enumerate(ids):
+            probes = S.lsh_probe_buckets(X[i], planes, n_probe)
+            rows = [j for b in probes for j in bucket_rows.get(int(b), [])]
+            cands.append(len(rows))
+            if rows:
+                sims = Xn[rows] @ Xn[i]
+                order = sorted(
+                    range(len(rows)), key=lambda t: (-sims[t], ids[rows[t]])
+                )
+                found = {ids[rows[t]] for t in order[:k]}
+            else:
+                found = set()
+            recalls.append(len(found & exact[qid]) / k)
+        lsh_recall, lsh_cands = float(np.mean(recalls)), float(np.mean(cands))
+        if lsh_cands >= beam_cands:
+            break
+        n_probe += 1
+    # LSH examined at least as many candidates, beam must still match+
+    assert lsh_cands >= beam_cands or n_probe > 2 ** len(planes)
+    assert beam_recall >= lsh_recall - 1e-9, (
+        beam_recall,
+        lsh_recall,
+        beam_cands,
+        lsh_cands,
+        n_probe,
+    )
+    assert beam_recall > 0.9, (beam_recall, beam_cands)
+
+
+def test_beam_search_deterministic_structured_and_validated(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    graph = S.nn_descent(emb, k=5, rounds=1)
+    q = emb.limit(40).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = {
+        (r.qid, r.neighbor_id, r.rank, round(r.score, 9))
+        for r in GA.graph_beam_search(
+            q, emb, graph, k=5, beam=8, rounds=2, n_entry=3
+        ).collect()
+    }
+    b = {
+        (r.qid, r.neighbor_id, r.rank, round(r.score, 9))
+        for r in GA.graph_beam_search(
+            q.repartition(7), emb.repartition(5), graph, k=5, beam=8, rounds=2, n_entry=3
+        ).collect()
+    }
+    assert a == b and len(a) == 40 * 5
+    # ranks contiguous per query
+    per_q: dict = {}
+    for qid, _, rank, _ in a:
+        per_q.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+    with pytest.raises(ValueError, match="beam"):
+        GA.graph_beam_search(q, emb, graph, k=10, beam=5)
+    with pytest.raises(ValueError, match="metric"):
+        GA.graph_beam_search(q, emb, graph, metric="hamming")
+    with pytest.raises(ValueError, match="n_entry"):
+        GA.graph_beam_search(q, emb, graph, n_entry=0)
+
+
+def test_beam_search_scores_are_true_cosines(spark, tables):
+    """Every returned score must equal the exact cosine of (query,
+    neighbor) — the graph only steers WHICH candidates get scored, the
+    scoring itself is exact."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    graph = S.nn_descent(emb, k=5, rounds=1)
+    q = emb.limit(25).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = GA.graph_beam_search(q, emb, graph, k=5, beam=8, rounds=1)
+    chk = (
+        res.join(q, res["qid"] == q["qid"])
+        .join(emb, res["neighbor_id"] == emb["vec_id"])
+        .select(
+            (res["score"] - V.cosine_sim("qvec", "embedding")).alias("diff")
+        )
+        .agg(F.max(F.abs("diff")).alias("m"))
+        .collect()[0]
+    )
+    assert chk.m < 1e-9
+
+
+def test_beam_search_plan_pinned_and_equi_joins_only(spark, tables, monkeypatch):
+    """Per-round joins are equi-key: with checkpoint pinning disabled
+    (identity monkeypatch) the FULL multi-round plan is visible — it
+    must contain zero CartesianProducts and exactly ONE
+    BroadcastNestedLoopJoin (the intentional n_entry-row entry
+    fan-out).  With pinning on, the final plan reads materialized RDDs
+    (the iterative-family rule)."""
+    # pyspark 4: concrete sessions hand out classic.dataframe.DataFrame,
+    # which overrides localCheckpoint — patch the concrete class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    graph = S.nn_descent(emb, k=5, rounds=0)
+    q = emb.limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # pinned (production) shape
+    pinned = GA.graph_beam_search(q, emb, graph, k=5, beam=8, rounds=1)
+    plan = physical_plan(pinned)
+    assert "Scan parquet" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    # unpinned X-ray of every round's joins
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    xray = GA.graph_beam_search(q, emb, graph, k=5, beam=8, rounds=2)
+    xplan = physical_plan(xray)
+    assert "CartesianProduct" not in xplan
+    # the per-round expand/score/anti joins must all be equi-key
+    # (hash/sort-merge); the ONLY nested-loop joins allowed are the
+    # conditionless Cross entry fan-outs (the init subtree, duplicated
+    # across unpinned round branches by the formatted printer)
+    xlines = xplan.splitlines()
+    n_bnlj = 0
+    for i, ln in enumerate(xlines):
+        if "BroadcastNestedLoopJoin" in ln:
+            n_bnlj += 1
+            # tree lines carry the type inline; detail headers carry it
+            # on the following Arguments: line
+            ctx = ln + " " + (xlines[i + 1] if i + 1 < len(xlines) else "")
+            assert "Cross" in ctx, ln
+    assert n_bnlj, "entry fan-out missing from unpinned plan"
+    assert "BroadcastHashJoin" in xplan or "SortMergeJoin" in xplan
+
+
+def test_graph_insert_matches_batch_build_quality(spark, tables, emb_np):
+    """Incrementally-grown graph (400 batch + 100 arrivals) must match
+    a from-scratch nn_descent on the union corpus to within a few
+    recall points, with exact structure (k rows/node, self-free)."""
+    ids, X = emb_np
+    k = 10
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    g_old = S.nn_descent(old, k=k, rounds=2)
+    g_inc = GA.graph_insert(old, g_old, new, k=k).persist()
+    rows = g_inc.collect()
+    per_node: dict = {}
+    for r in rows:
+        assert r.node != r.nbr
+        per_node.setdefault(r.node, set()).add(r.nbr)
+    assert set(per_node) == set(ids)
+    assert all(len(v) == k for v in per_node.values())
+    # neighbor recall vs exact (self excluded: graph edges are self-free)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    sims = Xn @ Xn.T
+    exact = {}
+    for i, qid in enumerate(ids):
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-sims[i, j], ids[j]),
+        )
+        exact[qid] = {ids[j] for j in order[:k]}
+    inc_recall = np.mean(
+        [len(per_node[i] & exact[i]) / k for i in ids]
+    )
+    g_batch = S.nn_descent(emb, k=k, rounds=2)
+    batch_edges: dict = {}
+    for r in g_batch.collect():
+        batch_edges.setdefault(r.node, set()).add(r.nbr)
+    batch_recall = np.mean(
+        [len(batch_edges[i] & exact[i]) / k for i in ids]
+    )
+    assert inc_recall >= batch_recall - 0.05, (inc_recall, batch_recall)
+    assert inc_recall > 0.85, inc_recall
+    # inserting an empty batch is the identity
+    empty = new.limit(0)
+    same = GA.graph_insert(old, g_old, empty, k=k)
+    assert same is g_old
+    g_inc.unpersist()
+
+
+def test_graph_delete_removes_all_doomed_edges_and_repairs(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    k = 8
+    graph = S.nn_descent(emb, k=k, rounds=1).persist()
+    doomed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+
+    # subtractive-only: no doomed id on either edge end, ranks contiguous
+    cut = GA.graph_delete(graph, doomed).persist()
+    rows = cut.collect()
+    per_node: dict = {}
+    for r in rows:
+        assert r.node not in doomed_ids and r.nbr not in doomed_ids
+        per_node.setdefault(r.node, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_node.values())
+    # at least one node actually lost an edge (the repair target set)
+    assert any(len(v) < k for v in per_node.values())
+
+    # with repair: degrees restored toward k, still doomed-free
+    repaired = GA.graph_delete(graph, doomed, vectors=emb, k=k)
+    rrows = repaired.collect()
+    rper: dict = {}
+    for r in rrows:
+        assert r.node not in doomed_ids and r.nbr not in doomed_ids
+        rper.setdefault(r.node, []).append(r.rank)
+    n_short_cut = sum(1 for v in per_node.values() if len(v) < k)
+    n_short_rep = sum(1 for v in rper.values() if len(v) < k)
+    assert n_short_rep < n_short_cut, (n_short_rep, n_short_cut)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in rper.values())
+    cut.unpersist()
+    graph.unpersist()

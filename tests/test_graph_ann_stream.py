@@ -1,0 +1,105 @@
+"""Streaming kNN-graph maintenance (r12): the stream-built snapshot is
+IDENTICAL to folding the same micro-batches through graph_insert
+sequentially in batch mode — the stream_*_index_ingest parity pattern
+applied to the graph tier — and retention prunes old snapshots."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+    graph_ann as GA,
+    search as S,
+)
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+    pipeline as P,
+)
+
+
+def _edge_set(df):
+    return {
+        (r.node, r.nbr, r.rank, round(r.score, 12)) for r in df.collect()
+    }
+
+
+def test_stream_graph_ingest_equals_sequential_batch_folds(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 < 3)
+    batch_a = emb.filter(F.col("vec_id") % 5 == 3)
+    batch_b = emb.filter(F.col("vec_id") % 5 == 4)
+    k = 6
+    g0 = S.nn_descent(base, k=k, rounds=1).persist()
+    g0.count()
+
+    tmp = tempfile.mkdtemp(prefix="stream_graph_")
+    try:
+        src, idx, ckpt = tmp + "/src", tmp + "/idx", tmp + "/ckpt"
+        P.write_graph_snapshot(base, g0, idx + "/version=-1")
+        # micro-batch 0
+        batch_a.write.mode("append").parquet(src)
+        q = P.stream_graph_index_ingest(
+            spark, src, idx, ckpt, k=k, rounds=2, keep_versions=2
+        )
+        q.processAllAvailable()
+        # micro-batch 1
+        batch_b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        # batch-mode replay of the same folds
+        g1 = GA.graph_insert(base, g0, batch_a, k=k, rounds=2)
+        g2 = GA.graph_insert(
+            base.unionByName(batch_a), g1, batch_b, k=k, rounds=2
+        )
+
+        snap = spark.read.parquet(idx)
+        latest = snap.agg(F.max("version")).collect()[0][0]
+        assert latest == 1
+        final = snap.filter(F.col("version") == 1)
+        got_edges = _edge_set(
+            final.filter(F.col("kind") == "edge").select(
+                "node", "nbr", "score", "rank"
+            )
+        )
+        assert got_edges == _edge_set(g2)
+        # the snapshot's corpus is the full union
+        got_ids = {
+            r.node for r in final.filter(F.col("kind") == "vec").collect()
+        }
+        assert got_ids == {r.vec_id for r in emb.collect()}
+        # retention: keep_versions=2 -> the seed version=-1 was pruned
+        vers = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(idx)
+            if d.startswith("version=")
+        )
+        assert vers == [0, 1], vers
+
+        # the maintained graph serves queries: beam search over the
+        # live snapshot finds the batch-b vectors' own neighborhoods
+        corpus = final.filter(F.col("kind") == "vec").select(
+            F.col("node").alias("vec_id"), F.col("vec").alias("embedding")
+        )
+        graph = final.filter(F.col("kind") == "edge").select(
+            "node", "nbr", "score", "rank"
+        )
+        queries = batch_b.limit(5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        res = GA.graph_beam_search(queries, corpus, graph, k=3, beam=12, rounds=5)
+        rows = res.collect()
+        assert len(rows) == 15
+        # most queries' best hit is themselves (they are in the corpus);
+        # directed-kNN in-degree skew makes a minority of nodes hard to
+        # reach on RANDOM vectors (the batch nn_descent graph has the
+        # same property — 5 of 500 nodes have zero in-degree), so the
+        # recall bar lives in test_graph_ann.py, not this serving smoke
+        best = {r.qid: r.neighbor_id for r in rows if r.rank == 1}
+        assert sum(qid == nid for qid, nid in best.items()) >= 3, best
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        g0.unpersist()

@@ -1,5 +1,6 @@
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
     dedup,
+    graph_ann,
     ingest,
     multimodal,
     relational,
@@ -7,4 +8,12 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
     textstats,
 )
 
-__all__ = ["search", "ingest", "dedup", "textstats", "relational", "multimodal"]
+__all__ = [
+    "search",
+    "ingest",
+    "dedup",
+    "textstats",
+    "relational",
+    "multimodal",
+    "graph_ann",
+]

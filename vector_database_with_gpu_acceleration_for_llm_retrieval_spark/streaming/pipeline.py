@@ -1101,3 +1101,148 @@ def stream_enrich(
     stream = spark.readStream.schema(schema).parquet(source_dir)
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, "left")
+
+
+def stream_graph_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    graph_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    metric: str = "cosine",
+    schema: str = "vec_id long, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_versions: int = 2,
+    **insert_kwargs,
+):
+    """Streaming maintenance of the NN-descent kNN graph
+    (operators/graph_ann.py): each arriving vector micro-batch is
+    folded into the live graph with :func:`~..operators.graph_ann
+    .graph_insert` — placed by beam search against the FROZEN previous
+    snapshot, one descent round over the touched neighborhood, spliced
+    — so :func:`~..operators.graph_ann.graph_beam_search` stays
+    query-fresh under continuous ingest with no rebuild (the
+    stream_lsh/ivf/bq_index_ingest discipline for the graph tier;
+    contrast the reference GPU path re-uploading the whole matrix per
+    insert batch, shard_binding.cpp:40-49).
+
+    Layout and idempotency: unlike the bucketed families, a graph
+    update REWRITES adjacency (touched old nodes re-rank), so the sink
+    is versioned snapshots, not partition appends::
+
+        graph_path/version=<batch_id>/   # graph AND corpus rows
+
+    ``handle(batch, bid)`` reads the LATEST version < bid, folds the
+    batch in, and overwrites ``version=bid`` — a foreachBatch retry
+    re-reads the same predecessor and re-writes the same directory, so
+    at-least-once delivery yields exactly-once state (the
+    stream_neardup_gate batch_id=<n> rationale).  Corpus vectors ride
+    in the same snapshot (``kind`` discriminator column) so the fold
+    needs no second table, and readers get an atomic (graph, corpus)
+    pair.  Snapshots older than ``keep_versions`` are pruned
+    best-effort after each successful write — each retained version is
+    also the crash-recovery story.
+
+    Seed ``version=-1`` with :func:`write_graph_snapshot` before
+    starting (empty corpus works too).  Parity contract
+    (tests/test_graph_ann_stream.py): the stream-built final snapshot
+    is IDENTICAL to folding the same batches through
+    ``graph_insert`` sequentially in batch mode, and within a few
+    recall points of a from-scratch ``nn_descent`` on the union corpus
+    (the graph_insert quality test).  Returns the started query.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph_ann as GA,
+    )
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        snap = spark.read.parquet(graph_path)
+        versions = [
+            r.version
+            for r in snap.select("version")
+            .distinct()
+            .filter(F.col("version") < bid)
+            .collect()
+        ]
+        if not versions:
+            raise ValueError(
+                f"stream_graph_index_ingest: no snapshot at version < {bid} "
+                f"under {graph_path}; seed with write_graph_snapshot"
+            )
+        prev = snap.filter(F.col("version") == max(versions))
+        graph = prev.filter(F.col("kind") == "edge").select(
+            F.col("node"), F.col("nbr"), F.col("score"), F.col("rank")
+        )
+        corpus = prev.filter(F.col("kind") == "vec").select(
+            F.col("node").alias(id_col), F.col("vec").alias(vec_col)
+        )
+        new_vecs = batch_df.select(id_col, vec_col)
+        updated = GA.graph_insert(
+            corpus,
+            graph,
+            new_vecs,
+            k=k,
+            metric=metric,
+            id_col=id_col,
+            vec_col=vec_col,
+            **insert_kwargs,
+        )
+        write_graph_snapshot(
+            corpus.unionByName(new_vecs),
+            updated,
+            f"{graph_path}/version={bid}",
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        # best-effort retention: prune snapshots older than the newest
+        # keep_versions (never the one just written or its predecessor)
+        try:
+            doomed = sorted(versions)[: max(0, len(versions) - (keep_versions - 1))]
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            for v in doomed:
+                path = jvm.org.apache.hadoop.fs.Path(f"{graph_path}/version={v}")
+                fs = path.getFileSystem(conf)
+                fs.delete(path, True)
+        except Exception:
+            pass
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def write_graph_snapshot(
+    vectors: DataFrame,
+    graph: DataFrame,
+    version_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write one (corpus, graph) snapshot version for
+    :func:`stream_graph_index_ingest`: edge rows and vector rows in
+    one parquet directory, discriminated by ``kind`` — ``node`` holds
+    the id on both, ``vec`` the embedding on vector rows, and
+    ``nbr/score/rank`` the adjacency on edge rows.  ``mode(overwrite)``
+    so a foreachBatch retry replaces its own directory (idempotent)."""
+    edges = graph.select(
+        F.lit("edge").alias("kind"),
+        F.col("node"),
+        F.col("nbr"),
+        F.col("score"),
+        F.col("rank"),
+        F.lit(None).cast("array<float>").alias("vec"),
+    )
+    vecs = vectors.select(
+        F.lit("vec").alias("kind"),
+        F.col(id_col).alias("node"),
+        F.lit(None).cast(dict(graph.dtypes)["nbr"]).alias("nbr"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
+        F.col(vec_col).cast("array<float>").alias("vec"),
+    )
+    edges.unionByName(vecs).write.mode("overwrite").parquet(version_dir)
