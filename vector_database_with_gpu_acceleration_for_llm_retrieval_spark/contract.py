@@ -3379,6 +3379,113 @@ def q_ppm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
 
 
+#: synthetic PNG geometry for the REAL-decode check — same analytic
+#: pixel formula as the PPM entry but different dimensions, pushed
+#: through a genuine zlib-compressed, per-row-FILTERED PNG (filter
+#: type y % 5 — every reconstruction path: None/Sub/Up/Average/Paeth)
+PNG_W, PNG_H = 8, 6
+
+
+def _make_png_udf():
+    import struct
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w, h = PNG_W, PNG_H
+
+    def _make(ids):
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        def one(doc_id: int) -> bytes:
+            base = int(doc_id) * 31
+            raw = bytearray()
+            prev = bytes(w * 3)
+            for y in range(h):
+                row = bytes(
+                    (base + y * w + x + 7 * c) % 256
+                    for x in range(w)
+                    for c in range(3)
+                )
+                ft = y % 5
+                raw.append(ft)
+                if ft == 0:
+                    f = row
+                elif ft == 1:
+                    f = bytes(
+                        (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                        for i in range(len(row))
+                    )
+                elif ft == 2:
+                    f = bytes(
+                        (row[i] - prev[i]) & 0xFF for i in range(len(row))
+                    )
+                elif ft == 3:
+                    f = bytes(
+                        (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
+                        for i in range(len(row))
+                    )
+                else:
+                    f = bytes(
+                        (
+                            row[i]
+                            - paeth(
+                                row[i - 3] if i >= 3 else 0,
+                                prev[i],
+                                prev[i - 3] if i >= 3 else 0,
+                            )
+                        )
+                        & 0xFF
+                        for i in range(len(row))
+                    )
+                raw += f
+                prev = row
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        return ids.map(one)
+
+    _make.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(_make)
+
+
+def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, value-checked (r11 verdict #5): build a genuine
+    zlib-compressed PNG per document whose rows cycle through ALL five
+    filter types, inflate + reconstruct it with the pure-Python decoder
+    (operators/multimodal.decode_png), and emit the shared
+    pixel-statistics features.  The oracle recomputes the expected
+    features analytically from the pixel formula — it never touches
+    zlib — so any reconstruction bug (Paeth tie-break, Average floor,
+    Sub offset) breaks the hash match.  ``n_bytes`` is excluded: it
+    depends on the deflate encoding, not on the decode contract."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id").withColumn(
+        "payload", _make_png_udf()("doc_id")
+    )
+    feats = M.decode_image_features(docs, bin_col="payload", dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("pos", "val")
+    ).select("doc_id", "pos", _round6(F.col("val"), "val"))
+
+
 #: synthetic 16-bit PCM WAV geometry for the REAL-decode check; sample
 #: (frame i, channel c) = (doc_id*13 + i*5 + 911*c + 17) mod 60001
 #: − 30000 — analytic, so the oracle computes expected features
@@ -4015,6 +4122,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mean_pool": q_doc_mean_pool,
         "model_lang_id": q_model_lang_id,
         "ppm_image_features": q_ppm_image_features,
+        "png_image_features": q_png_image_features,
         "wav_audio_features": q_wav_audio_features,
         "dup_span_stats": q_dup_span_stats,
         "remove_dup_spans": q_remove_dup_spans,

@@ -311,6 +311,68 @@ SELECT doc_id, {n_bytes} AS n_bytes, CAST(j AS INT) AS pos,
 FROM fv, range(0, 16) tj(j)
 """
 
+def _oracle_png_image_features() -> str:
+    """Analytic mirror of the PNG REAL-decode entry: the SAME pixel
+    formula as the PPM oracle at the PNG geometry — the oracle never
+    inflates the payload, so the decoder's zlib + filter
+    reconstruction is independently checked; n_bytes excluded (deflate
+    encoding detail, not decode contract)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        PNG_H,
+        PNG_W,
+    )
+
+    w, h = PNG_W, PNG_H
+    pix = f"CAST((doc_id * 31 + y * {w} + x + 7 * c) % 256 AS DOUBLE)"
+    lum_c = lambda c: f"CAST((doc_id * 31 + y * {w} + x + {7 * c}) % 256 AS DOUBLE)"  # noqa: E731
+    luma = f"((0.299 * {lum_c(0)} + 0.587 * {lum_c(1)}) + 0.114 * {lum_c(2)})"
+    return f"""
+WITH px AS (
+  SELECT doc_id, x, y, c, {pix} AS v
+  FROM documents, range(0, {w}) tx(x), range(0, {h}) ty(y), range(0, 3) tc(c)
+),
+chan AS (SELECT doc_id, c, avg(v) AS m FROM px GROUP BY 1, 2),
+chansd AS (
+  SELECT px.doc_id, px.c, sqrt(avg(pow(px.v - chan.m, 2))) AS sd
+  FROM px JOIN chan ON px.doc_id = chan.doc_id AND px.c = chan.c
+  GROUP BY 1, 2
+),
+lum AS (
+  SELECT doc_id, x, y, {luma} AS l
+  FROM documents, range(0, {w}) tx(x), range(0, {h}) ty(y)
+),
+lstats AS (
+  SELECT doc_id, avg(l) AS ml,
+         avg(CASE WHEN floor(l / 64.0) = 0 THEN 1.0 ELSE 0.0 END) AS h0,
+         avg(CASE WHEN floor(l / 64.0) = 1 THEN 1.0 ELSE 0.0 END) AS h1,
+         avg(CASE WHEN floor(l / 64.0) = 2 THEN 1.0 ELSE 0.0 END) AS h2,
+         avg(CASE WHEN floor(l / 64.0) = 3 THEN 1.0 ELSE 0.0 END) AS h3
+  FROM lum GROUP BY 1
+),
+mm AS (SELECT doc_id, min(v) AS mn, max(v) AS mx FROM px GROUP BY 1),
+fv AS (
+  SELECT c0.doc_id, [
+    {float(w)!r}, {float(h)!r}, {float(w) / float(h)!r},
+    c0.m / 255.0, c1.m / 255.0, c2.m / 255.0,
+    s0.sd / 255.0, s1.sd / 255.0, s2.sd / 255.0,
+    l.ml / 255.0, l.h0, l.h1, l.h2, l.h3,
+    mm.mn / 255.0, mm.mx / 255.0
+  ]::DOUBLE[] AS f
+  FROM chan c0
+  JOIN chan c1 ON c0.doc_id = c1.doc_id AND c1.c = 1
+  JOIN chan c2 ON c0.doc_id = c2.doc_id AND c2.c = 2
+  JOIN chansd s0 ON c0.doc_id = s0.doc_id AND s0.c = 0
+  JOIN chansd s1 ON c0.doc_id = s1.doc_id AND s1.c = 1
+  JOIN chansd s2 ON c0.doc_id = s2.doc_id AND s2.c = 2
+  JOIN lstats l ON c0.doc_id = l.doc_id
+  JOIN mm ON c0.doc_id = mm.doc_id
+  WHERE c0.c = 0
+)
+SELECT doc_id, CAST(j AS INT) AS pos,
+       {_r6('f[CAST(j + 1 AS BIGINT)]', 'val')}
+FROM fv, range(0, 16) tj(j)
+"""
+
 def _oracle_wav_audio_features() -> str:
     frames, rate, ch = WAV_FRAMES, WAV_RATE, WAV_CH
     n_bytes = 44 + frames * ch * 2
@@ -4777,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mean_pool": _oracle_doc_mean_pool(),
         "model_lang_id": _oracle_model_lang_id(),
         "ppm_image_features": _oracle_ppm_image_features(),
+        "png_image_features": _oracle_png_image_features(),
         "wav_audio_features": _oracle_wav_audio_features(),
         "dup_span_stats": _oracle_dup_span_stats(),
         "remove_dup_spans": _oracle_remove_dup_spans(),

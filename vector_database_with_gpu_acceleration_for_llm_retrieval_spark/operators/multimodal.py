@@ -12,7 +12,12 @@ Decode paths, by format:
   samples; no codec library needed). Features are genuine signal
   statistics (duration, RMS, peak, zero-crossing rate, amplitude
   histogram) — see :func:`wav_features`.
-* **everything else** (JPEG/PNG/MP3/video) — the container ships no
+* **PNG (8-bit, non-interlaced; gray / RGB / palette / gray+alpha /
+  RGBA)** — REALLY decoded with stdlib ``zlib`` + pure-Python filter
+  reconstruction (None/Sub/Up/Average/Paeth per the PNG spec §9);
+  converted to RGB and featurized by the SAME pixel-statistics layout
+  as PPM — see :func:`decode_png` / :func:`png_features`.
+* **everything else** (JPEG/MP3/video) — the container ships no
   codec libraries, so those fall back to a clearly-marked stub
   (deterministic fake features keyed on the content hash). The
   Spark-side plumbing — schema, Arrow batching, partitioning — is
@@ -38,6 +43,8 @@ __all__ = [
     "attach_binary_meta",
     "decode_ppm",
     "ppm_features",
+    "decode_png",
+    "png_features",
     "decode_image_features",
     "decode_wav",
     "wav_features",
@@ -45,7 +52,7 @@ __all__ = [
     "sample_video_frames",
 ]
 
-HAS_CODECS = False  # no PIL/libav in this container; non-PPM formats use the digest stub
+HAS_CODECS = False  # no PIL/libav in this container; non-PPM/PNG/WAV formats use the digest stub
 
 
 def attach_binary_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
@@ -118,6 +125,14 @@ def ppm_features(payload: bytes, dim: int) -> np.ndarray | None:
     if parsed is None:
         return None
     w, h, px = parsed
+    return _rgb_features(w, h, px, dim)
+
+
+def _rgb_features(w: int, h: int, px: np.ndarray, dim: int) -> np.ndarray:
+    """The shared 16-slot pixel-statistics layout over an ``(h, w, 3)``
+    uint8 raster — one arithmetic body for every REAL image decode
+    (PPM, PNG), so the analytic DuckDB oracles apply unchanged to any
+    format that yields the same pixels."""
     pxf = px.astype(np.float64)
     r, g, b = pxf[..., 0], pxf[..., 1], pxf[..., 2]
     luma = (0.299 * r + 0.587 * g) + 0.114 * b
@@ -144,6 +159,146 @@ def ppm_features(payload: bytes, dim: int) -> np.ndarray | None:
     k = min(dim, len(feats))
     out[:k] = feats[:k]
     return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor, PNG spec §9.4 — tie-breaks EXACTLY per
+    spec (a, then b, then c) or real encoders' output misdecodes."""
+    pp = a + b - c
+    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL image decode for PNG — stdlib ``zlib`` inflate plus
+    pure-Python per-row filter reconstruction (None/Sub/Up/Average/
+    Paeth, spec §9), no codec library needed (the PPM/WAV
+    zero-dependency discipline; r11 verdict #5).
+
+    Supports bit depth 8, interlace 0 (the overwhelming majority of
+    real-world PNGs), all five color types — grayscale (0), RGB (2),
+    palette (3, via PLTE lookup), gray+alpha (4), RGBA (6) — and
+    multiple concatenated IDAT chunks.  Output is normalized to an
+    ``(h, w, 3)`` uint8 RGB raster (alpha dropped, gray broadcast,
+    palette resolved) so :func:`_rgb_features` and its analytic
+    oracles apply unchanged.  Returns ``None`` for anything else
+    (16-bit, Adam7, truncated, bad zlib stream, wrong magic) — the
+    caller falls through to the digest stub.  CRCs are NOT verified:
+    corrupt-but-inflatable data is the storage layer's problem, and
+    skipping the check keeps the per-row cost at the filter math.
+    """
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    i, n = len(_PNG_SIG), len(payload)
+    w = h = bitdepth = color = interlace = None
+    plte = None
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            return None
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitdepth, color = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + tag + data + crc
+    if (
+        w is None
+        or not w
+        or not h
+        or bitdepth != 8
+        or interlace != 0
+        or color not in _PNG_CHANNELS
+        or not idat
+    ):
+        return None
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                row[x] = (row[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, ch)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[..., :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:  # palette
+        if plte is None or len(plte) % 3:
+            return None
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idxs = px[..., 0]
+        if int(idxs.max(initial=0)) >= len(table):
+            return None
+        rgb = table[idxs]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def png_features(payload: bytes, dim: int) -> np.ndarray | None:
+    """Real pixel-statistics features from a decoded PNG (``None`` if
+    the payload isn't one) — same 16-slot layout and arithmetic as
+    :func:`ppm_features` via the shared :func:`_rgb_features` body, so
+    the analytic oracle formula is format-independent."""
+    parsed = decode_png(payload)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    return _rgb_features(w, h, px, dim)
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -268,7 +423,8 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     — feature j is sha256 digest byte j scaled to [-1, 1].
 
     Raises nothing — a real deployment replaces this with
-    `PIL.Image.open` / `torchaudio.load`; it is isolated so that swap
+    `PIL.Image.open` / `torchaudio.load` (PPM, PNG and PCM WAV
+    already decode for real above); it is isolated so that swap
     touches one function. Marked fake so no one mistakes the features
     for real embeddings. Chosen over an RNG fake because any engine can
     reproduce it (the DuckDB oracle value-checks the whole decode
@@ -289,8 +445,10 @@ def decode_image_features(
 
     Real plumbing: Arrow batches in, one vectorized pass per batch,
     schema ``(id, feature: array<float>, n_bytes: int)``. Payloads that
-    parse as binary PPM (P6) get REAL pixel-statistics features
-    (:func:`ppm_features`); other formats fall back to the
+    parse as binary PPM (P6) or as 8-bit non-interlaced PNG get REAL
+    pixel-statistics features (:func:`ppm_features` /
+    :func:`png_features` — one shared arithmetic body, so the feature
+    contract is format-independent); other formats fall back to the
     deterministic digest stub. ``spark.sql.execution.arrow.
     maxRecordsPerBatch`` bounds batch memory when payloads are MBs each
     (set ``batch_limit`` accordingly on a real cluster)."""
@@ -299,6 +457,8 @@ def decode_image_features(
 
     def _decode(p: bytes) -> list[float]:
         real = ppm_features(p, dim)
+        if real is None:
+            real = png_features(p, dim)
         return (real if real is not None else _fake_decode(p, dim)).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
