@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import sampling
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import sampling as SA
 
 
 def test_stratified_sample_deterministic_and_rate(tables):
@@ -358,3 +359,94 @@ def test_sampled_aggregate_estimates(spark):
     # unit values: Var = (1-p)/p^2 * n_sample
     import math
     assert abs(r.se_sum - math.sqrt((1 - 0.125) / 0.125**2 * r.n_sample)) < 1e-9
+
+
+def test_budget_select_token_count_bpe_matches_python_replay(spark, tables):
+    """Tokenizer-true budgeting (r11 verdict #7): budget_select over a
+    joined-on bpe_encode count column must equal a pure-Python replay
+    (sort by order desc/id asc, cumsum of replayed BPE token counts,
+    cut at the budget) — the no-SQL-mirror precedent for BPE."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        bpe as B,
+    )
+
+    docs = tables["documents"].filter(F.col("doc_id") < 150).select(
+        "doc_id", "text", "n_chars"
+    )
+    merges = B.train_bpe(docs, n_merges=40)
+    enc = B.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+    base = docs.join(enc, "doc_id")
+    budget = 9000
+    res = SA.budget_select(
+        base, budget, order_col="n_chars", token_count="n_bpe_tokens"
+    )
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens) for r in res.collect()
+    )
+
+    # python replay with an independent greedy-merge encoder
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    rows = docs.collect()
+
+    def count_tokens(text: str) -> int:
+        total = 0
+        for w in (text or "").split():
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                cands = [
+                    (ranks[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in ranks
+                ]
+                if not cands:
+                    break
+                _, i = min(cands)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            total += len(syms)
+        return total
+
+    replay = sorted(
+        ((r.doc_id, r.n_chars, count_tokens(r.text)) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want, cum = [], 0
+    for doc_id, _, n in replay:
+        cum += n
+        if cum > budget:
+            break
+        want.append((doc_id, n, cum))
+    assert got == sorted(want)
+
+
+def test_budget_select_and_pack_whitespace_mode_unchanged(spark, tables):
+    """token_count=None must stay bit-identical to the pre-seam
+    behavior, and a precomputed whitespace count through the seam must
+    reproduce the default path exactly."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables["documents"].filter(F.col("doc_id") < 200).select(
+        "doc_id", "text", "n_chars"
+    )
+    a = {
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in SA.budget_select(docs, 5000, order_col="n_chars").collect()
+    }
+    pre = docs.withColumn("tc", TX.n_tokens(F.col("text")))
+    b = {
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in SA.budget_select(
+            pre, 5000, order_col="n_chars", token_count="tc"
+        ).collect()
+    }
+    assert a == b and a
+    pa = {
+        (r.doc_id, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in SA.pack_sequences(docs, seq_len=512).collect()
+    }
+    pb = {
+        (r.doc_id, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in SA.pack_sequences(pre, seq_len=512, token_count="tc").collect()
+    }
+    assert pa == pb and pa

@@ -1809,6 +1809,37 @@ SELECT doc_id, quality + 0.0 AS quality, CAST(ntk AS BIGINT) AS n_tokens,
 FROM c WHERE cum <= {BUDGET_TOKENS}
 """
 
+def _oracle_budget_select_tokencol() -> str:
+    """budget_select with the token_count seam: the cumsum runs over
+    the surrogate count column (length(text) %% 97 + 1), never the
+    tokenizer — mirrors q_budget_select_tokencol exactly."""
+    quality = (
+        "round(CASE WHEN n_tok BETWEEN 20 AND 10000 THEN 0.25 ELSE 0.0 END"
+        " + CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END"
+        " + 0.25 * alpha_ratio + 0.25 * distinct_ratio, 6)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_SQ_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(list_filter(toks, tk -> list_contains({_SQ_SW}, lower(tk)))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+             len(toks) AS n_tok
+      FROM t),
+j AS (SELECT d.doc_id, {quality} AS quality,
+             length(d.text) % 97 + 1 AS ntk
+      FROM documents d JOIN m USING (doc_id)),
+c AS (SELECT doc_id, quality, ntk,
+             sum(ntk) OVER (ORDER BY quality DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM j)
+SELECT doc_id, quality + 0.0 AS quality, CAST(ntk AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {BUDGET_TOKENS}
+"""
+
 def _oracle_knn_classify() -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
@@ -4935,6 +4966,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_full": _oracle_curate_corpus_full(),
         "stratified_sample": _oracle_stratified_sample(),
         "budget_select": _oracle_budget_select(),
+        "budget_select_tokencol": _oracle_budget_select_tokencol(),
         "knn_classify": _oracle_knn_classify(),
         "pack_sequences": _oracle_pack_sequences(),
         "near_dup_pairs_minhash": _oracle_near_dup_pairs(),

@@ -130,6 +130,7 @@ def budget_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_parts: int | None = None,
+    token_count: str | Column | None = None,
 ) -> DataFrame:
     """Token-budget data selection: take documents in descending
     ``order_col`` order (ties: ``id_col`` asc) until the cumulative
@@ -142,11 +143,24 @@ def budget_select(
     :func:`_distributed_prefix` instead (one range shuffle + a P-row
     aggregate — exact, no single-partition stage over the corpus).
 
+    ``token_count`` (optional column name / expression): budget in
+    MODEL-TOKENIZER units instead of whitespace words — what a real
+    pretraining pipeline budgets in (r11 verdict #7).  Compose with
+    :func:`..functions.bpe.bpe_encode`'s ``n_bpe_tokens`` (join the
+    count on, pass ``token_count="n_bpe_tokens"``), or any precomputed
+    count column; ``text_col`` is then never touched.  Default keeps
+    the whitespace-word semantics bit-identical (pytest-asserted).
+
     Returns the selected rows with ``n_tokens`` and ``cum_tokens``
     (inclusive) columns.
     """
     key = [F.col(order_col).desc(), F.col(id_col).asc()]
-    base = docs.withColumn("__tok", TX.n_tokens(F.col(text_col)).cast("long"))
+    tok = (
+        TX.n_tokens(F.col(text_col))
+        if token_count is None
+        else (F.col(token_count) if isinstance(token_count, str) else token_count)
+    )
+    base = docs.withColumn("__tok", tok.cast("long"))
     out = _distributed_prefix(base, key, F.col("__tok"), n_parts).withColumn(
         "cum_tokens", F.col("__run") + F.col("__off")
     )
@@ -164,6 +178,7 @@ def pack_sequences(
     text_col: str = "text",
     by: str | None = None,
     n_parts: int | None = None,
+    token_count: str | Column | None = None,
 ) -> DataFrame:
     """Assign each document to a training-sequence bin of ``seq_len``
     tokens (greedy, id order, no doc splitting). Returns
@@ -202,10 +217,18 @@ def pack_sequences(
     overheads that amortize away at real scale, not plan defects.
     """
     part_cols = [F.col(by)] if by else []
+    # token_count (optional): bin in MODEL-TOKENIZER units (e.g. a
+    # joined-on bpe_encode n_bpe_tokens column) instead of whitespace
+    # words — same plumbing, text never touched (r11 verdict #7)
+    tok = (
+        TX.n_tokens(F.col(text_col))
+        if token_count is None
+        else (F.col(token_count) if isinstance(token_count, str) else token_count)
+    )
     with_counts = docs.select(
         *part_cols,
         F.col(id_col),
-        TX.n_tokens(F.col(text_col)).alias("n_tokens"),
+        tok.alias("n_tokens"),
     )
     if n_parts is None:
         n_parts = int(
