@@ -105,6 +105,46 @@ def synth_documents(n: int, out: str) -> None:
     docs.write.mode("overwrite").parquet(out)
 
 
+def synth_embeddings(n: int, out: str) -> None:
+    """The real vector corpus + (n - |corpus|) deterministic fresh
+    vectors (hash-derived components in [-1, 1]) — corpus growth the
+    way a vector store grows: new ids, same dimensionality and
+    distribution family; the fixed query set's exact-kNN work (both
+    engines) scales linearly with N."""
+    real = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base_n = real.count()
+    dim = len(real.first().embedding)
+    gen = spark.range(base_n, max(n, base_n)).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("id") * 97 + j), F.lit(2_000_001)
+                    )
+                    / F.lit(1_000_000.0)
+                    - 1.0
+                ).cast("float")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    real.select("vec_id", "embedding", "label").unionByName(gen).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+
+#: families whose input table is not documents
+EMBEDDING_FAMILIES = {
+    "knn_join",
+    "knn_join_expr",
+    "topk_cosine",
+    "topk_l2",
+    "mmr_knn_join",
+}
+
+
 def synth_lineitem(reps: int, out: str) -> None:
     """reps x sf0.1 lineitem with fresh orders + permuted parts."""
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -135,6 +175,9 @@ for scale in SCALES:
         if FAMILY == "part_kcore":
             synth_lineitem(scale, f"{tmp}/lineitem.parquet")
             tables = ["lineitem"]
+        elif FAMILY in EMBEDDING_FAMILIES:
+            synth_embeddings(scale, f"{tmp}/embeddings.parquet")
+            tables = ["embeddings"]
         else:
             synth_documents(scale, f"{tmp}/documents.parquet")
             tables = ["documents"]
