@@ -142,6 +142,7 @@ EMBEDDING_FAMILIES = {
     "topk_cosine",
     "topk_l2",
     "mmr_knn_join",
+    "bq_topk",
 }
 
 
