@@ -103,3 +103,50 @@ def test_stream_graph_ingest_equals_sequential_batch_folds(spark, tables):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         g0.unpersist()
+
+
+def test_snapshot_delete_and_validate(spark, tables):
+    """delete_from_graph_snapshot writes version+1 with no doomed ids
+    on either edge end and the corpus rows dropped; the predecessor
+    version is untouched (crash story); validate_graph_snapshot
+    reports a clean structure before and flags nothing after."""
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph_ann as GA2,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding").filter(
+        F.col("vec_id") < 300
+    )
+    g = S.nn_descent(emb, k=6, rounds=1)
+    tmp = tempfile.mkdtemp(prefix="graph_snap_")
+    try:
+        P.write_graph_snapshot(emb, g, tmp + "/version=0")
+        rep = GA2.validate_graph_snapshot(spark, tmp)
+        assert rep["ok"] and rep["version"] == 0
+        assert rep["n_nodes"] == rep["n_vectors"] == emb.count()
+        assert rep["self_edges"] == rep["dangling_edges"] == 0
+
+        doomed = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+        doomed_ids = {r.vec_id for r in doomed.collect()}
+        v = GA2.delete_from_graph_snapshot(spark, tmp, doomed, k=6)
+        assert v == 1
+        rep2 = GA2.validate_graph_snapshot(spark, tmp)
+        assert rep2["version"] == 1 and rep2["ok"], rep2
+        assert rep2["n_vectors"] == emb.count() - len(doomed_ids)
+        snap = spark.read.parquet(tmp)
+        new_edges = snap.filter(
+            (F.col("version") == 1) & (F.col("kind") == "edge")
+        )
+        for r in new_edges.collect():
+            assert r.node not in doomed_ids and r.nbr not in doomed_ids
+        # predecessor untouched
+        old_edges = snap.filter(
+            (F.col("version") == 0) & (F.col("kind") == "edge")
+        )
+        assert old_edges.count() == g.count()
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

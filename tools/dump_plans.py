@@ -558,6 +558,40 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # graph-ANN serving tier (r12): the pinned beam-search final plan
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph_ann as GA,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        search as S2,
+    )
+
+    g = S2.nn_descent(
+        t["embeddings"].select("vec_id", "embedding"), k=5, rounds=1
+    )
+    gq = t["embeddings"].limit(50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    df = GA.graph_beam_search(gq, t["embeddings"], g, k=5, beam=8, rounds=2)
+    out += [
+        "## graph_beam_search",
+        "",
+        "Graph-ANN serving: every round is localCheckpoint-pinned, so the final "
+        "plan is the top-k window over the LAST materialized beam (Scan "
+        "ExistingRDD — no parquet re-scan, no cartesian, plan size independent "
+        "of round count). The per-round joins (frontier x edges, seen anti-join, "
+        "scoring joins) are equi-key — asserted by the unpinned plan X-ray in "
+        "tests/test_graph_ann.py; the only nested-loop join anywhere is the "
+        "conditionless n_entry-row broadcast entry fan-out at init.",
+        "",
+        "```",
+        physical_plan(df).strip(),
+        "```",
+        "",
+    ]
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")

@@ -509,3 +509,131 @@ def graph_delete(
     )
     d.unpersist()
     return out
+
+
+def delete_from_graph_snapshot(
+    spark,
+    graph_path: str,
+    doomed: DataFrame,
+    id_col: str = "vec_id",
+    repair: bool = True,
+    k: int | None = None,
+    metric: str = "cosine",
+) -> int:
+    """Delete maintenance against a VERSIONED graph snapshot store
+    (:func:`~..streaming.pipeline.stream_graph_index_ingest` layout):
+    read the latest ``version=<v>``, apply :func:`graph_delete` (with
+    2-hop repair off the snapshot's own corpus unless ``repair=False``),
+    drop the doomed vectors from the corpus rows, and write
+    ``version=<v+1>`` — the ann_index ``delete_from_index`` contract
+    for the graph tier, with the snapshot scheme's crash story: the
+    old version is never touched, a crashed delete leaves a readable
+    predecessor, a re-run overwrites its own target directory
+    (idempotent).  Returns the new version number.
+
+    Scale: one partition-pruned read of the latest version, the
+    graph_delete equi-joins (repair cost ~ damaged-node count), one
+    snapshot write.  The doomed frame is domain-bounded (ids only).
+    """
+    from pyspark.sql import functions as F2
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming.pipeline import (
+        write_graph_snapshot,
+    )
+
+    snap = spark.read.parquet(graph_path)
+    versions = [
+        r.version for r in snap.select("version").distinct().collect()
+    ]
+    if not versions:
+        raise ValueError(f"no snapshot versions under {graph_path}")
+    latest = max(versions)
+    cur = snap.filter(F2.col("version") == latest)
+    graph = cur.filter(F2.col("kind") == "edge").select(
+        "node", "nbr", "score", "rank"
+    )
+    corpus = cur.filter(F2.col("kind") == "vec").select(
+        F2.col("node").alias(id_col), F2.col("vec").alias("embedding")
+    )
+    d = doomed.select(F2.col(id_col))
+    kept_vecs = corpus.join(d, id_col, "left_anti")
+    cut = graph_delete(
+        graph,
+        d,
+        id_col=id_col,
+        vectors=kept_vecs if repair else None,
+        k=k,
+        metric=metric,
+        vec_col="embedding",
+    )
+    # pin before writing INTO the directory being read: the fold must
+    # not re-read version=<latest> mid-overwrite of version=<latest+1>
+    # (different directories, but the localCheckpoint also cuts the
+    # graph_insert-style lineage for the writer)
+    cut = cut.localCheckpoint(eager=True)
+    kept_vecs = kept_vecs.localCheckpoint(eager=True)
+    write_graph_snapshot(
+        kept_vecs, cut, f"{graph_path}/version={latest + 1}", id_col=id_col
+    )
+    return latest + 1
+
+
+def validate_graph_snapshot(spark, graph_path: str) -> dict:
+    """Structural audit of the latest graph snapshot — the
+    ``validate_index`` contract for the graph tier, one pass over the
+    version's rows plus two domain-bounded anti-joins:
+
+    - ``n_nodes`` / ``n_edges`` / ``version``
+    - ``max_rank`` and ``rank_violations`` (per-node ranks must be
+      contiguous 1..deg — a broken re-rank shows here)
+    - ``self_edges`` (must be 0)
+    - ``dangling_edges``: edges whose ``nbr`` is not a corpus vector
+      (a delete that skipped the reverse direction shows here)
+    - ``orphan_nodes``: corpus vectors with no out-edges (expected 0
+      after any insert fold; >0 means a splice dropped adjacency)
+    """
+    from pyspark.sql import functions as F2
+
+    snap = spark.read.parquet(graph_path)
+    latest = snap.agg(F2.max("version")).collect()[0][0]
+    if latest is None:
+        raise ValueError(f"no snapshot versions under {graph_path}")
+    cur = snap.filter(F2.col("version") == latest).persist()
+    edges = cur.filter(F2.col("kind") == "edge")
+    vecs = cur.filter(F2.col("kind") == "vec").select(
+        F2.col("node").alias("__vid")
+    )
+    deg = edges.groupBy("node").agg(
+        F2.count(F2.lit(1)).alias("__deg"),
+        F2.max("rank").alias("__maxr"),
+        F2.min("rank").alias("__minr"),
+    )
+    rank_violations = deg.filter(
+        (F2.col("__maxr") != F2.col("__deg")) | (F2.col("__minr") != 1)
+    ).count()
+    self_edges = edges.filter(F2.col("node") == F2.col("nbr")).count()
+    dangling = (
+        edges.select(F2.col("nbr").alias("__vid"))
+        .distinct()
+        .join(vecs, "__vid", "left_anti")
+        .count()
+    )
+    orphans = vecs.join(
+        edges.select(F2.col("node").alias("__vid")).distinct(),
+        "__vid",
+        "left_anti",
+    ).count()
+    out = {
+        "version": int(latest),
+        "n_nodes": deg.count(),
+        "n_vectors": vecs.count(),
+        "n_edges": edges.count(),
+        "max_rank": edges.agg(F2.max("rank")).collect()[0][0],
+        "rank_violations": rank_violations,
+        "self_edges": self_edges,
+        "dangling_edges": dangling,
+        "orphan_nodes": orphans,
+        "ok": rank_violations == 0 and self_edges == 0 and dangling == 0,
+    }
+    cur.unpersist()
+    return out
