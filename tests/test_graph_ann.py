@@ -301,3 +301,24 @@ def test_graph_delete_removes_all_doomed_edges_and_repairs(spark, tables):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in rper.values())
     cut.unpersist()
     graph.unpersist()
+
+
+def test_graph_insert_rejects_id_collisions(spark, tables):
+    """Re-inserting an existing id must raise (silent corpus-row
+    duplication would double-score and break the splice); upsert is
+    delete-then-insert by contract."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") < 400)
+    g = S.nn_descent(old, k=5, rounds=0)
+    dup_batch = emb.filter(
+        (F.col("vec_id") >= 395) & (F.col("vec_id") < 405)
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        GA.graph_insert(old, g, dup_batch, k=5)
+    # delete-then-insert works
+    doomed = old.filter(F.col("vec_id") >= 395).select("vec_id")
+    cut = GA.graph_delete(g, doomed)
+    shrunk = old.filter(F.col("vec_id") < 395)
+    merged = GA.graph_insert(shrunk, cut, dup_batch, k=5, rounds=1)
+    nodes = {r.node for r in merged.select("node").distinct().collect()}
+    assert {r.vec_id for r in emb.filter(F.col("vec_id") < 405).collect()} == nodes

@@ -330,3 +330,77 @@ def test_decode_image_features_png_real_path(spark):
     assert np.allclose(
         out[2], M._fake_decode(b"\xff\xd8\xffJPEGISH", 16), atol=0
     )
+
+
+def _encode_y4m(frames, w, h, cs=b"mono", fps=(25, 1)):
+    out = bytearray(b"YUV4MPEG2 W%d H%d F%d:%d C%s\n" % (w, h, fps[0], fps[1], cs))
+    for f in frames:
+        out += b"FRAME\n" + bytes(f.reshape(-1))
+        if cs.startswith(b"420"):
+            out += bytes((w // 2) * (h // 2) * 2)
+        elif cs == b"444":
+            out += bytes(2 * w * h)
+    return bytes(out)
+
+
+def test_decode_y4m_chroma_variants_and_malformed():
+    """REAL Y4M decode (r12): luma planes reconstruct exactly under
+    mono/420/444 chroma; malformed streams return None."""
+    rng = np.random.RandomState(21)
+    fr = [rng.randint(0, 256, (6, 8), dtype=np.uint8) for _ in range(4)]
+    for cs in (b"mono", b"420", b"420jpeg", b"444"):
+        enc = _encode_y4m(fr, 8, 6, b"420" if cs == b"420jpeg" else cs)
+        if cs == b"420jpeg":
+            enc = enc.replace(b"C420\n", b"C420jpeg\n", 1)
+        w, h, (fn, fd), Y = M.decode_y4m(enc)
+        assert (w, h, fn, fd) == (8, 6, 25, 1)
+        assert Y.shape == (4, 6, 8)
+        assert all((Y[i] == fr[i]).all() for i in range(4)), cs
+    assert M.decode_y4m(b"") is None
+    assert M.decode_y4m(b"RIFFnope") is None
+    assert M.decode_y4m(_encode_y4m(fr, 8, 6)[:40]) is None  # truncated
+    assert M.decode_y4m(b"YUV4MPEG2 W8 H6 C422\n") is None  # unsupported
+    assert M.decode_y4m(b"YUV4MPEG2 H6 Cmono\nFRAME\n") is None  # no W
+    # stream with junk between frames
+    broken = _encode_y4m(fr[:1], 8, 6) + b"JUNK"
+    assert M.decode_y4m(broken) is None
+
+
+def test_y4m_features_match_numpy():
+    rng = np.random.RandomState(22)
+    fr = [rng.randint(0, 256, (4, 4), dtype=np.uint8) for _ in range(3)]
+    f = M.y4m_features(_encode_y4m(fr, 4, 4, fps=(30, 1)))
+    Y = np.stack(fr).astype(np.float64)
+    assert f["width"] == 4 and f["n_frames"] == 3 and f["fps_num"] == 30
+    assert abs(f["mean_luma"] - Y.mean()) < 1e-12
+    assert abs(f["motion"] - np.abs(np.diff(Y, axis=0)).mean()) < 1e-12
+    # single frame -> motion 0.0
+    f1 = M.y4m_features(_encode_y4m(fr[:1], 4, 4))
+    assert f1["motion"] == 0.0 and f1["n_frames"] == 1
+    assert M.y4m_features(b"not video") is None
+
+
+def test_sample_video_frames_real_y4m_path(spark):
+    """Y4M payloads emit ACTUAL every_n-th luma planes (frame_idx =
+    source index, payload = raw plane bytes); non-Y4M payloads keep the
+    stub slicing contract unchanged."""
+    rng = np.random.RandomState(23)
+    fr = [rng.randint(0, 256, (4, 6), dtype=np.uint8) for _ in range(7)]
+    vid = _encode_y4m(fr, 6, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(vid)), (2, bytearray(b"q" * 100))],
+        "doc_id long, payload binary",
+    )
+    rows = M.sample_video_frames(df, every_n=3, frame_bytes=16).collect()
+    real = sorted(
+        ((r.frame_idx, bytes(r.frame_payload)) for r in rows if r.doc_id == 1)
+    )
+    assert [i for i, _ in real] == [0, 3, 6]
+    for i, payload in real:
+        assert payload == fr[i].tobytes()
+    stub = [r for r in rows if r.doc_id == 2]
+    assert len(stub) == 3  # 100 bytes / (16*3)-stride slices
+    # video_features flags real vs opaque
+    vf = {r.doc_id: r for r in M.video_features(df).collect()}
+    assert vf[1].is_real and vf[1].n_frames == 7
+    assert not vf[2].is_real and vf[2].mean_luma is None

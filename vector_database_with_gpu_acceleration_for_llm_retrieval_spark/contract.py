@@ -3516,6 +3516,68 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pos", _round6(F.col("val"), "val"))
 
 
+#: synthetic Y4M (YUV4MPEG2) geometry for the REAL video-decode check;
+#: luma(frame i, y, x) = (doc_id*7 + i*13 + y*W + x) mod 256, mono
+#: chroma — analytic, so the oracle computes every statistic without
+#: parsing binary while the Spark side genuinely walks the stream
+#: header and FRAME markers
+Y4M_W, Y4M_H, Y4M_FRAMES = 8, 6, 5
+
+
+def _make_y4m_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w, h, nf = Y4M_W, Y4M_H, Y4M_FRAMES
+
+    def _make(ids):
+        hdr = b"YUV4MPEG2 W%d H%d F25:1 Cmono\n" % (w, h)
+
+        def one(doc_id: int) -> bytes:
+            base = int(doc_id) * 7
+            out = bytearray(hdr)
+            for i in range(nf):
+                out += b"FRAME\n"
+                out += bytes(
+                    (base + i * 13 + y * w + x) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+            return bytes(out)
+
+        return ids.map(one)
+
+    _make.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(_make)
+
+
+def q_y4m_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, value-checked: build a genuine Y4M stream per
+    document (text header + FRAME markers + raw luma planes), walk it
+    back with the pure-Python decoder (operators/multimodal.decode_y4m)
+    and emit real signal statistics — dimensions, frame rate, luma
+    moments, temporal motion.  The oracle recomputes every value
+    analytically from the luma formula; it never sees the binary."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id").withColumn(
+        "payload", _make_y4m_udf()("doc_id")
+    )
+    feats = M.video_features(docs, bin_col="payload")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "fps_num",
+        "fps_den",
+        _round6(F.col("mean_luma"), "mean_luma"),
+        _round6(F.col("std_luma"), "std_luma"),
+        _round6(F.col("motion"), "motion"),
+        "n_bytes",
+        "is_real",
+    )
+
+
 #: synthetic 16-bit PCM WAV geometry for the REAL-decode check; sample
 #: (frame i, channel c) = (doc_id*13 + i*5 + 911*c + 17) mod 60001
 #: − 30000 — analytic, so the oracle computes expected features
@@ -4154,6 +4216,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_lang_id": q_model_lang_id,
         "ppm_image_features": q_ppm_image_features,
         "png_image_features": q_png_image_features,
+        "y4m_video_features": q_y4m_video_features,
         "wav_audio_features": q_wav_audio_features,
         "dup_span_stats": q_dup_span_stats,
         "remove_dup_spans": q_remove_dup_spans,

@@ -373,6 +373,42 @@ SELECT doc_id, CAST(j AS INT) AS pos,
 FROM fv, range(0, 16) tj(j)
 """
 
+def _oracle_y4m_video_features() -> str:
+    """Analytic mirror of the Y4M REAL-decode entry: every statistic
+    recomputed from the luma formula (doc_id*7 + i*13 + y*W + x) mod
+    256 over DuckDB ranges — the oracle never parses the stream."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        Y4M_FRAMES,
+        Y4M_H,
+        Y4M_W,
+    )
+
+    w, h, nf = Y4M_W, Y4M_H, Y4M_FRAMES
+    hdr_len = len(b"YUV4MPEG2 W%d H%d F25:1 Cmono\n" % (w, h))
+    n_bytes = hdr_len + nf * (6 + w * h)
+    lum = f"CAST((doc_id * 7 + i * 13 + y * {w} + x) % 256 AS DOUBLE)"
+    lum_prev = f"CAST((doc_id * 7 + (i - 1) * 13 + y * {w} + x) % 256 AS DOUBLE)"
+    return f"""
+WITH px AS (
+  SELECT doc_id, i, y, x, {lum} AS v
+  FROM documents, range(0, {nf}) ti(i), range(0, {h}) ty(y), range(0, {w}) tx(x)
+),
+m AS (SELECT doc_id, avg(v) AS mean_l, sqrt(avg(v * v) - avg(v) * avg(v)) AS std_l
+      FROM px GROUP BY 1),
+mo AS (
+  SELECT doc_id, avg(abs({lum} - {lum_prev})) AS motion
+  FROM documents, range(1, {nf}) ti(i), range(0, {h}) ty(y), range(0, {w}) tx(x)
+  GROUP BY 1
+)
+SELECT m.doc_id, {w} AS width, {h} AS height, {nf} AS n_frames,
+       25 AS fps_num, 1 AS fps_den,
+       {_r6('m.mean_l', 'mean_luma')}, {_r6('m.std_l', 'std_luma')},
+       {_r6('mo.motion', 'motion')},
+       {n_bytes} AS n_bytes, TRUE AS is_real
+FROM m JOIN mo ON m.doc_id = mo.doc_id
+"""
+
+
 def _oracle_wav_audio_features() -> str:
     frames, rate, ch = WAV_FRAMES, WAV_RATE, WAV_CH
     n_bytes = 44 + frames * ch * 2
@@ -4871,6 +4907,7 @@ def oracle_sql() -> dict[str, str]:
         "model_lang_id": _oracle_model_lang_id(),
         "ppm_image_features": _oracle_ppm_image_features(),
         "png_image_features": _oracle_png_image_features(),
+        "y4m_video_features": _oracle_y4m_video_features(),
         "wav_audio_features": _oracle_wav_audio_features(),
         "dup_span_stats": _oracle_dup_span_stats(),
         "remove_dup_spans": _oracle_remove_dup_spans(),

@@ -286,6 +286,21 @@ def graph_insert(
     if n_new == 0:
         new_v.unpersist()
         return graph
+    # id-collision guard: a re-inserted existing id would silently
+    # duplicate its corpus row (two vectors under one id -> double
+    # scoring, broken splice). Upserts are delete-then-insert
+    # (graph_delete / delete_from_graph_snapshot first); the check is
+    # one domain-bounded equi-join count, trivial next to the fold.
+    n_dup = new_v.select("__node").join(
+        old_v.select("__node"), "__node"
+    ).count()
+    if n_dup:
+        new_v.unpersist()
+        raise ValueError(
+            f"graph_insert: {n_dup} arriving id(s) already exist in the "
+            "corpus — delete them first (graph_delete) or fix the id "
+            "assignment; in-place upsert is not supported"
+        )
 
     # 1. place each new vector in the frozen graph
     placed = graph_beam_search(

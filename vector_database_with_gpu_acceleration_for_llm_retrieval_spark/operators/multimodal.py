@@ -17,8 +17,14 @@ Decode paths, by format:
   reconstruction (None/Sub/Up/Average/Paeth per the PNG spec §9);
   converted to RGB and featurized by the SAME pixel-statistics layout
   as PPM — see :func:`decode_png` / :func:`png_features`.
-* **everything else** (JPEG/MP3/video) — the container ships no
-  codec libraries, so those fall back to a clearly-marked stub
+* **Y4M video (YUV4MPEG2)** — REALLY decoded, pure Python/numpy (the
+  format is a plain-text header + uncompressed per-frame YUV planes;
+  the raw interchange format ffmpeg pipelines emit).  Frame sampling
+  emits ACTUAL luma planes and features are genuine signal statistics
+  (dimensions, frame rate, luma moments, temporal motion) — see
+  :func:`decode_y4m` / :func:`y4m_features`.
+* **everything else** (JPEG/MP3/compressed video) — the container
+  ships no codec libraries, so those fall back to a clearly-marked stub
   (deterministic fake features keyed on the content hash). The
   Spark-side plumbing — schema, Arrow batching, partitioning — is
   identical for both paths; a real cluster swaps the fallback for
@@ -49,6 +55,9 @@ __all__ = [
     "decode_wav",
     "wav_features",
     "decode_audio_features",
+    "decode_y4m",
+    "y4m_features",
+    "video_features",
     "sample_video_frames",
 ]
 
@@ -477,6 +486,143 @@ def decode_image_features(
     return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
 
 
+def decode_y4m(payload: bytes) -> tuple[int, int, tuple[int, int], np.ndarray] | None:
+    """REAL video decode for Y4M (YUV4MPEG2) — no codec library
+    needed: a plain-text stream header (``YUV4MPEG2 W<w> H<h>
+    F<num>:<den> ... [C<cs>]``) followed by ``FRAME`` markers and raw
+    uncompressed planes.  This is the raw interchange format ffmpeg
+    pipelines read/write (``-f yuv4mpegpipe``), so at 100 TB the
+    decode step upstream is a transcode INTO this shape, and the
+    Spark-side featurization is real, not stubbed.
+
+    Supports 8-bit ``C420`` (+jpeg/mpeg2/paldv tags), ``C444`` and
+    ``Cmono``; returns ``(width, height, (fps_num, fps_den),
+    frames)`` with ``frames`` an ``(n, h, w)`` uint8 array of LUMA
+    planes (the Y channel — chroma is parsed past, not returned:
+    every downstream feature here is luma-based, the standard
+    video-statistics practice).  ``None`` for anything malformed
+    (wrong magic, truncated frame, unknown chroma, missing W/H).
+    """
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fn, fd = 30, 1
+    cs = b"420"
+    for p in payload[9:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F" and b":" in val:
+            a, b = val.split(b":", 1)
+            fn, fd = int(a), int(b)
+        elif tag == b"C":
+            cs = val
+    if not w or not h or fd <= 0:
+        return None
+    if cs.startswith(b"420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs == b"444":
+        fsize = 3 * w * h
+    elif cs == b"mono":
+        fsize = w * h
+    else:
+        return None
+    frames = []
+    i, n = nl + 1, len(payload)
+    while i < n:
+        if payload[i : i + 5] != b"FRAME":
+            return None
+        nl2 = payload.find(b"\n", i)
+        if nl2 < 0:
+            return None
+        data = payload[nl2 + 1 : nl2 + 1 + fsize]
+        if len(data) < fsize:
+            return None
+        frames.append(
+            np.frombuffer(data, dtype=np.uint8, count=w * h).reshape(h, w)
+        )
+        i = nl2 + 1 + fsize
+    if not frames:
+        return None
+    return w, h, (fn, fd), np.stack(frames)
+
+
+def y4m_features(payload: bytes) -> dict | None:
+    """Real video-signal statistics from a decoded Y4M stream
+    (``None`` if the payload isn't one): dimensions, frame count,
+    frame rate, luma mean/std over ALL frames' pixels, and ``motion``
+    — the mean absolute luma difference between consecutive frames
+    (0.0 for a single frame), the standard cheap temporal-activity
+    readout.  Plain IEEE arithmetic in a fixed order, so an analytic
+    oracle that knows the luma formula reproduces every value."""
+    parsed = decode_y4m(payload)
+    if parsed is None:
+        return None
+    w, h, (fn, fd), Y = parsed
+    Yf = Y.astype(np.float64)
+    feats = {
+        "width": w,
+        "height": h,
+        "n_frames": int(Y.shape[0]),
+        "fps_num": fn,
+        "fps_den": fd,
+        "mean_luma": float(Yf.mean()),
+        "std_luma": _popstd(Yf),
+        "motion": float(np.abs(np.diff(Yf, axis=0)).mean())
+        if Y.shape[0] > 1
+        else 0.0,
+    }
+    return feats
+
+
+def video_features(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode + featurize binary video via ``mapInPandas`` — the video
+    member of the decode family (images: :func:`decode_image_features`,
+    audio: :func:`decode_audio_features`).  Y4M payloads get REAL
+    signal statistics (:func:`y4m_features`); other formats yield NULL
+    feature columns with ``is_real=false`` (videos are opaque without
+    codecs — a NULL row is honest where the digest stub would
+    masquerade as measurement; filter on ``is_real`` downstream).
+    Schema: ``(id, width, height, n_frames, fps_num, fps_den,
+    mean_luma, std_luma, motion, n_bytes, is_real)``."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, width int, height int, n_frames int, "
+        "fps_num int, fps_den int, mean_luma double, std_luma double, "
+        "motion double, n_bytes int, is_real boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "width", "height", "n_frames", "fps_num", "fps_den",
+            "mean_luma", "std_luma", "motion",
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                f = y4m_features(payload)
+                base = {id_col: rid, "n_bytes": len(payload or b"")}
+                if f is None:
+                    base.update({c: None for c in cols})
+                    base["is_real"] = False
+                else:
+                    base.update(f)
+                    base["is_real"] = True
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     bin_col: str = "payload",
@@ -484,10 +630,16 @@ def sample_video_frames(
     every_n: int = 10,
     frame_bytes: int = 64,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emit one row per
-    sampled "frame" (stub slices the byte stream at fixed strides — a
-    real decoder emits actual frames at the same row shape
-    ``(id, frame_idx, frame_payload)``)."""
+    """Frame sampling for video payloads, row shape
+    ``(id, frame_idx, frame_payload)``.
+
+    Y4M payloads (:func:`decode_y4m`) take the REAL path: every
+    ``every_n``-th ACTUAL frame is emitted with ``frame_idx`` = its
+    source frame index and ``frame_payload`` = the raw luma plane
+    bytes (r12 — the stub retired for the format the decode family
+    supports).  Other payloads keep the documented stub (byte-stream
+    slices at fixed strides — a codec-equipped deployment swaps the
+    slice for its decoder at the same row shape)."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, frame_idx int, frame_payload binary"
 
@@ -498,6 +650,14 @@ def sample_video_frames(
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 payload = payload or b""
+                parsed = decode_y4m(payload)
+                if parsed is not None:
+                    _, _, _, Y = parsed
+                    for i in range(0, Y.shape[0], max(every_n, 1)):
+                        ids.append(rid)
+                        idxs.append(i)
+                        frames.append(Y[i].tobytes())
+                    continue
                 stride = frame_bytes * every_n
                 for i, off in enumerate(range(0, max(len(payload), 1), max(stride, 1))):
                     ids.append(rid)
