@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import stats as S
@@ -1275,3 +1276,82 @@ def test_psi_empty_side_returns_null(spark):
     # non-empty sides still finite
     r3 = S.psi(ref, ref, "bucket").collect()[0]
     assert r3.psi_value is not None and abs(r3.psi_value) < 1e-12
+
+
+def test_conformal_quantile_exact_order_statistic(spark):
+    """qhat must be the EXACT k-th smallest with k=ceil((n+1)(1-a)) —
+    replicated in numpy with the same IEEE k formula; the HC and
+    windowed paths are bit-identical (integer counts)."""
+    import math
+
+    rng = np.random.RandomState(41)
+    vals = rng.normal(0, 1, 200).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    for alpha in (0.1, 0.25, 0.5):
+        r = S.conformal_quantile(df, "score", alpha=alpha).collect()[0]
+        k = math.ceil((200 + 1) * (1.0 - alpha))
+        want = sorted(vals)[k - 1]
+        assert r.n == 200 and r.k == k
+        assert r.qhat == want, (alpha, r.qhat, want)
+        # both cumsum paths agree exactly
+        r2 = S.conformal_quantile(
+            df, "score", alpha=alpha, high_cardinality=True
+        ).collect()[0]
+        r3 = S.conformal_quantile(
+            df, "score", alpha=alpha, high_cardinality=False
+        ).collect()[0]
+        assert r2.qhat == r3.qhat == r.qhat
+    # ties: duplicate scores still give the k-th order statistic
+    dup = spark.createDataFrame([(1.0,)] * 7 + [(2.0,)] * 3, "score double")
+    rd = S.conformal_quantile(dup, "score", alpha=0.2).collect()[0]
+    assert rd.k == math.ceil(11 * 0.8) and rd.qhat == sorted([1.0] * 7 + [2.0] * 3)[rd.k - 1]
+    # alpha < 1/(n+1): no finite score covers -> NULL (never a clamp)
+    tiny = spark.createDataFrame([(1.0,), (2.0,)], "score double")
+    rt = S.conformal_quantile(tiny, "score", alpha=0.05).collect()[0]
+    assert rt.qhat is None and rt.k == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        S.conformal_quantile(df, "score", alpha=1.5)
+
+
+def test_conformal_coverage_guarantee_and_infinite_set(spark):
+    """On exchangeable data, empirical test coverage >= 1-alpha (up to
+    sampling noise); NULL qhat reports coverage 1.0."""
+    rng = np.random.RandomState(42)
+    cal = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 400)], "score double"
+    )
+    test = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 400)], "score double"
+    )
+    r = S.conformal_coverage(cal, test, "score", alpha=0.1).collect()[0]
+    assert r.n_cal == 400 and r.n_test == 400
+    assert abs(r.target - 0.9) < 1e-12
+    assert r.coverage >= 0.85, r.coverage  # guarantee minus noise
+    tiny = spark.createDataFrame([(1.0,)], "score double")
+    r2 = S.conformal_coverage(tiny, test, "score", alpha=0.1).collect()[0]
+    assert r2.qhat is None and r2.coverage == 1.0
+
+
+def test_conformal_grouped_matches_per_group_replica(spark):
+    import math
+
+    rng = np.random.RandomState(43)
+    rows = []
+    for g, n in (("a", 50), ("b", 120), (None, 30), ("tiny", 2)):
+        for v in rng.normal(0, 1, n):
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, "seg string, score double")
+    got = {
+        r.group: (r.n, r.k, r.qhat)
+        for r in S.conformal_quantile_grouped(df, "seg", "score", alpha=0.2).collect()
+    }
+    for g in ("a", "b", None, "tiny"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        k = math.ceil((n + 1) * 0.8)
+        want = vals[k - 1] if k <= n else None
+        assert got[g] == (n, k, want), g
+    # the tiny group honestly reports NULL (no finite score covers)
+    assert got["tiny"][2] is None

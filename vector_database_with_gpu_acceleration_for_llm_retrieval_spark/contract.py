@@ -4169,6 +4169,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rater_kappa": q_rater_kappa,
         "cmh_strata": q_cmh_strata,
         "value_wasserstein": q_value_wasserstein,
+        "conformal_qhat": q_conformal_qhat,
+        "conformal_coverage": q_conformal_coverage,
+        "conformal_group_qhat": q_conformal_group_qhat,
         "score_psi": q_score_psi,
         "source_token_js": q_source_token_js,
         "incremental_rollup": q_incremental_rollup,
@@ -6911,6 +6914,74 @@ def q_cmh_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("chi2"), "chi2"),
         _round6(F.col("or_mh"), "or_mh"),
     )
+
+
+def q_conformal_qhat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration quantile (r12): the EXACT k-th
+    smallest calibration score with k = ceil((n+1)(1-alpha)) — the
+    distribution-free coverage guarantee's order statistic, through
+    the shared rank/CDF skeleton (continuous score auto-routes to the
+    distributed prefix; an approximate quantile would void the
+    guarantee) (operators/stats.conformal_quantile)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cal = t["events"].filter(F.col("user_id") % 2 == 0).select(
+        F.col("value").alias("score")
+    )
+    res = ST.conformal_quantile(cal, "score", alpha=0.1)
+    return res.select(
+        "n", "k", _round6(F.col("alpha"), "alpha"), _round6(F.col("qhat"), "qhat")
+    )
+
+
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit: qhat calibrated on even-user
+    events, empirical coverage measured on odd-user events — the
+    deployed-conformal drift alarm (coverage must concentrate at
+    >= 1-alpha under exchangeability)
+    (operators/stats.conformal_coverage)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", F.col("value").alias("score"))
+    cal = ev.filter(F.col("user_id") % 2 == 0)
+    test = ev.filter(F.col("user_id") % 2 == 1)
+    res = ST.conformal_coverage(cal, test, "score", alpha=0.1)
+    return res.select(
+        "n_cal",
+        "n_test",
+        _round6(F.col("alpha"), "alpha"),
+        _round6(F.col("qhat"), "qhat"),
+        _round6(F.col("coverage"), "coverage"),
+        _round6(F.col("target"), "target"),
+    )
+
+
+def q_conformal_group_qhat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (group-conditional) conformal calibration: exact
+    per-event-type qhat so coverage holds WITHIN each segment — the
+    fairness form of the guarantee; tiny groups honestly report NULL
+    (no finite score covers) instead of borrowing the marginal
+    quantile (operators/stats.conformal_quantile_grouped)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", F.col("value").alias("score"))
+    res = ST.conformal_quantile_grouped(ev, "event_type", "score", alpha=0.2)
+    return res.select(
+        "group",
+        "n",
+        "k",
+        _round6(F.col("alpha"), "alpha"),
+        _round6(F.col("qhat"), "qhat"),
+    ).orderBy("group")
 
 
 def q_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5165,6 +5165,9 @@ def oracle_sql() -> dict[str, str]:
         "rater_kappa": _oracle_rater_kappa(),
         "cmh_strata": _ORACLE_CMH_STRATA,
         "value_wasserstein": _ORACLE_VALUE_WASSERSTEIN,
+        "conformal_qhat": _ORACLE_CONFORMAL_QHAT,
+        "conformal_coverage": _ORACLE_CONFORMAL_COVERAGE,
+        "conformal_group_qhat": _ORACLE_CONFORMAL_GROUP_QHAT,
         "score_psi": _ORACLE_SCORE_PSI,
         "source_token_js": _ORACLE_SOURCE_TOKEN_JS,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
@@ -6472,6 +6475,50 @@ SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
 FROM c
 """
 
+
+_ORACLE_CONFORMAL_QHAT = f"""
+WITH s AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND user_id %% 2 = 0),
+nn AS (SELECT count(*) AS n FROM s),
+kk AS (SELECT n, CAST(ceil((n + 1) * (1 - CAST(0.1 AS DOUBLE))) AS BIGINT) AS k
+       FROM nn),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+SELECT kk.n, kk.k, {_r6('CAST(0.1 AS DOUBLE)', 'alpha')},
+       {_r6('min(CASE WHEN r.rn >= kk.k THEN r.v END)', 'qhat')}
+FROM r CROSS JOIN kk GROUP BY kk.n, kk.k
+""".replace("%%", "%")
+
+_ORACLE_CONFORMAL_COVERAGE = f"""
+WITH cal AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             WHERE value IS NOT NULL AND user_id %% 2 = 0),
+nn AS (SELECT count(*) AS n FROM cal),
+kk AS (SELECT n, CAST(ceil((n + 1) * (1 - CAST(0.1 AS DOUBLE))) AS BIGINT) AS k
+       FROM nn),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cal),
+q AS (SELECT kk.n AS n_cal, min(CASE WHEN r.rn >= kk.k THEN r.v END) AS qhat
+      FROM r CROSS JOIN kk GROUP BY kk.n),
+t AS (SELECT CAST(value AS DOUBLE) AS tv FROM events
+      WHERE value IS NOT NULL AND user_id %% 2 = 1)
+SELECT q.n_cal, count(*) AS n_test, {_r6('CAST(0.1 AS DOUBLE)', 'alpha')},
+       {_r6('q.qhat', 'qhat')},
+       {_r6("avg(CASE WHEN q.qhat IS NULL THEN 1 WHEN t.tv <= q.qhat THEN 1 ELSE 0 END)", 'coverage')},
+       {_r6('1 - CAST(0.1 AS DOUBLE)', 'target')}
+FROM t CROSS JOIN q GROUP BY q.n_cal, q.qhat
+""".replace("%%", "%")
+
+_ORACLE_CONFORMAL_GROUP_QHAT = f"""
+WITH s AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL),
+r AS (SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM s)
+SELECT g AS "group", CAST(max(n) AS BIGINT) AS n,
+       CAST(max(ceil((n + 1) * (1 - CAST(0.2 AS DOUBLE)))) AS BIGINT) AS k,
+       {_r6('CAST(0.2 AS DOUBLE)', 'alpha')},
+       {_r6('min(CASE WHEN rn >= CAST(ceil((n + 1) * (1 - CAST(0.2 AS DOUBLE))) AS BIGINT) THEN v END)', 'qhat')}
+FROM r GROUP BY g
+"""
 
 _ORACLE_SCORE_PSI = f"""
 WITH ev AS (SELECT user_id,

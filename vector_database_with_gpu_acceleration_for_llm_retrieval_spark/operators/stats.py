@@ -2429,3 +2429,155 @@ def poisson_bootstrap_lift(
         "hi",
         F.lit(b).alias("b"),
     )
+
+
+def conformal_quantile(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 0.1,
+    high_cardinality: bool | str = "auto",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Split-conformal calibration quantile (Vovk et al.; the
+    Angelopoulos-Bates recipe): ``qhat`` = the k-th smallest
+    calibration nonconformity score with ``k = ceil((n+1)(1-alpha))``,
+    so the prediction set ``{y : s(x, y) <= qhat}`` covers with
+    probability >= 1-alpha on exchangeable data — finite-sample,
+    distribution-free, the modern uncertainty wrapper around ANY
+    scoring model (the serving-side companion to the GLM/AUC family:
+    those evaluate a model, this calibrates its guarantees).
+
+    The order statistic is EXACT, via the shared rank/CDF skeleton
+    (:func:`_cdf_prefix`): one count-per-distinct-score aggregate,
+    cumulative counts (``high_cardinality`` routes the continuous case
+    through the distributed prefix — no single-task global sort), then
+    ``qhat = min{v : cum(v) >= k}`` as one closing aggregate.
+    Approximate-quantile shortcuts would silently void the coverage
+    guarantee, which is the entire point of the method.
+
+    ``k`` is evaluated in IEEE doubles identically on both engines
+    (``ceil((n+1)*(1-alpha))`` — on exact binary boundaries the double
+    product can round up, e.g. ``10*0.9 -> 9.000000000000002 ->
+    ceil 10``; both Spark and the oracle compute the same double, and
+    the off-by-one is in the CONSERVATIVE direction).  ``alpha <
+    1/(n+1)`` makes ``k > n``: no finite score guarantees coverage and
+    ``qhat`` comes back NULL (the infinite prediction set), never a
+    silently-clamped max.  NULL scores are excluded (they carry no
+    rank information).  Returns one row ``(n, k, alpha, qhat)``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    src = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("v")
+    )
+    hc = _resolve_high_cardinality(src, ["v"], high_cardinality)
+    cnt = src.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    stepped = _cdf_prefix(cnt, "v", ["c"], hc, n_parts)
+    k = F.ceil((F.col("__tot_c") + 1) * F.lit(1.0 - float(alpha))).cast(
+        "long"
+    )
+    return stepped.agg(
+        F.max("__tot_c").cast("long").alias("n"),
+        F.max(
+            F.ceil((F.col("__tot_c") + 1) * F.lit(1.0 - float(alpha)))
+        )
+        .cast("long")
+        .alias("k"),
+        F.lit(float(alpha)).alias("alpha"),
+        F.min(F.when(F.col("__cum_c") >= k, F.col("v"))).alias("qhat"),
+    )
+
+
+def conformal_coverage(
+    cal: DataFrame,
+    test: DataFrame,
+    score_col: str,
+    alpha: float = 0.1,
+    high_cardinality: bool | str = "auto",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Empirical coverage audit for split conformal: calibrate ``qhat``
+    on ``cal`` (:func:`conformal_quantile`), then measure the fraction
+    of ``test`` scores ``<= qhat`` — on exchangeable data this
+    concentrates near (and at least) ``1-alpha``; a material shortfall
+    is the standard drift/violated-exchangeability alarm for deployed
+    conformal systems.
+
+    One broadcast of the 1-row calibration frame onto a single test
+    aggregate — the coverage pass adds no shuffle.  A NULL ``qhat``
+    (alpha < 1/(n+1)) means the infinite prediction set: coverage is
+    1.0 by definition, reported as such.  Returns one row
+    ``(n_cal, n_test, alpha, qhat, coverage, target)``.
+    """
+    q = conformal_quantile(
+        cal, score_col, alpha, high_cardinality, n_parts
+    ).select(
+        F.col("n").alias("n_cal"), F.col("k"), F.col("qhat")
+    )
+    t = test.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("__tv")
+    )
+    j = t.crossJoin(F.broadcast(q))
+    covered = F.when(F.col("qhat").isNull(), F.lit(1)).otherwise(
+        (F.col("__tv") <= F.col("qhat")).cast("int")
+    )
+    return j.agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.lit(float(alpha)).alias("alpha"),
+        F.max("qhat").alias("qhat"),
+        F.avg(covered).alias("coverage"),
+        F.lit(1.0 - float(alpha)).alias("target"),
+    )
+
+
+def conformal_quantile_grouped(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Mondrian (group-conditional) conformal calibration: an exact
+    per-group ``qhat`` so coverage holds WITHIN each group (language,
+    tenant, difficulty band ...), not just marginally — the fairness
+    form of the guarantee (marginal conformal can under-cover a
+    minority segment while over-covering the rest).
+
+    Per-group order statistics via one window partitioned by the group
+    (each window task is bounded by its group's rows — the grouped
+    rank family's standard shape; a skewed giant group is the caller's
+    salting decision).  NULL groups form their own segment, NULL
+    scores are excluded.  Returns one row per group
+    ``(group, n, k, alpha, qhat)`` — NULL ``qhat`` again meaning "no
+    finite score guarantees 1-alpha here" (tiny groups: n < 1/alpha -
+    1), the honest answer small segments must surface rather than
+    borrowing the marginal quantile silently.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    src = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.col(score_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("group").orderBy(F.asc("v"))
+    wn = Window.partitionBy("group")
+    ranked = src.select(
+        "group",
+        "v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    k = F.ceil((F.col("__n") + 1) * F.lit(1.0 - float(alpha))).cast("long")
+    return (
+        ranked.groupBy("group")
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.max(
+                F.ceil((F.col("__n") + 1) * F.lit(1.0 - float(alpha)))
+            )
+            .cast("long")
+            .alias("k"),
+            F.lit(float(alpha)).alias("alpha"),
+            F.min(F.when(F.col("__rn") >= k, F.col("v"))).alias("qhat"),
+        )
+    )
