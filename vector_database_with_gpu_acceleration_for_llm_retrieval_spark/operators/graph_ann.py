@@ -29,6 +29,8 @@ Design notes (the 100 TB shape):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,20 +159,37 @@ def graph_beam_search(
         F.desc("score"), F.asc("__node")
     )
 
+    # the per-round state frames are |Q|-sized (beam = |Q|*beam rows,
+    # seen a small multiple) — at probe scale that is thousands of rows
+    # spread over 32 shuffle partitions, and each round's TWO eager
+    # checkpoints pay the empty-task floor 32x. Coalesce to a
+    # row-count-derived partition count before every pin (the
+    # part_pagerank r11 lesson, applied scale-correctly: a million-query
+    # batch keeps full parallelism, a 200-query batch pins 1 task).
+    # Measured on 20k corpus / 200 queries / rounds=4: 32.3 -> 23.2 s
+    # (the residual is ~10 action barriers of local[32] job floor, which
+    # a million-query batch amortizes over the same ~10 jobs).
+    n_q = q.count()
+    parts = max(1, math.ceil(n_q * beam / 500_000))
     init = q.select("__qid").crossJoin(F.broadcast(entries))
     beam_df = (
         _score(init)
         .withColumn("__r", F.row_number().over(w_beam))
         .filter(F.col("__r") <= beam)
         .select("__qid", "__node", "score", F.lit(False).alias("__exp"))
+        .coalesce(parts)
         .localCheckpoint(eager=True)
     )
     # seen must hold EVERY scored (qid, node) — including entry nodes
     # truncated out of the beam — or a far entry point gets rescored
-    seen = init.localCheckpoint(eager=True)
+    seen = init.coalesce(parts).localCheckpoint(eager=True)
     n_scored = seen.count() if stats is not None else None
 
+    # seen grows ~out-degree per round; keep its partition count in the
+    # same 500k-rows/partition regime without an extra count job
+    deg_mult = 1.0
     for _ in range(rounds):
+        deg_mult += 1.0
         frontier = beam_df.filter(~F.col("__exp")).select("__qid", "__node")
         nbrs = (
             frontier.join(edges, "__node")
@@ -192,10 +211,12 @@ def graph_beam_search(
             merged.withColumn("__r", F.row_number().over(w_beam))
             .filter(F.col("__r") <= beam)
             .select("__qid", "__node", "score", "__exp")
+            .coalesce(parts)
             .localCheckpoint(eager=True)
         )
         seen = (
             seen.unionByName(scored.select("__qid", "__node"))
+            .coalesce(max(parts, math.ceil(parts * deg_mult)))
             .localCheckpoint(eager=True)
         )
         if stats is not None:
