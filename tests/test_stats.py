@@ -1355,3 +1355,39 @@ def test_conformal_grouped_matches_per_group_replica(spark):
         assert got[g] == (n, k, want), g
     # the tiny group honestly reports NULL (no finite score covers)
     assert got["tiny"][2] is None
+
+
+def test_conformal_coverage_grouped_segments_and_null_semantics(spark):
+    """Per-group coverage matches a per-group python replica; a test
+    group with NO calibration rows reports NULL (never borrows another
+    group's threshold); a too-small calibrated group covers 1.0."""
+    import math
+
+    rng = np.random.RandomState(44)
+    cal_rows, test_rows = [], []
+    for g, n in (("a", 60), ("b", 100), ("tiny", 2)):
+        for v in rng.normal(0, 1, n):
+            cal_rows.append((g, float(v)))
+    for g, n in (("a", 50), ("b", 50), ("tiny", 10), ("newgrp", 8)):
+        for v in rng.normal(0, 1, n):
+            test_rows.append((g, float(v)))
+    cal = spark.createDataFrame(cal_rows, "seg string, score double")
+    test = spark.createDataFrame(test_rows, "seg string, score double")
+    got = {
+        r.group: r
+        for r in S.conformal_coverage_grouped(
+            cal, test, "seg", "score", alpha=0.2
+        ).collect()
+    }
+    for g in ("a", "b"):
+        vals = sorted(v for gg, v in cal_rows if gg == g)
+        k = math.ceil((len(vals) + 1) * 0.8)
+        qhat = vals[k - 1]
+        tv = [v for gg, v in test_rows if gg == g]
+        want = sum(v <= qhat for v in tv) / len(tv)
+        assert abs(got[g].coverage - want) < 1e-12 and got[g].qhat == qhat
+    # tiny calibrated group: k > n -> infinite set -> coverage 1.0
+    assert got["tiny"].qhat is None and got["tiny"].coverage == 1.0
+    # uncalibrated group: cannot certify -> NULLs
+    assert got["newgrp"].n_cal is None and got["newgrp"].coverage is None
+    assert got["newgrp"].n_test == 8

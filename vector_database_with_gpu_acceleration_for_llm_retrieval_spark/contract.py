@@ -4172,6 +4172,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_qhat": q_conformal_qhat,
         "conformal_coverage": q_conformal_coverage,
         "conformal_group_qhat": q_conformal_group_qhat,
+        "conformal_group_coverage": q_conformal_group_coverage,
         "score_psi": q_score_psi,
         "source_token_js": q_source_token_js,
         "incremental_rollup": q_incremental_rollup,
@@ -6981,6 +6982,34 @@ def q_conformal_group_qhat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         _round6(F.col("alpha"), "alpha"),
         _round6(F.col("qhat"), "qhat"),
+    ).orderBy("group")
+
+
+def q_conformal_group_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Mondrian coverage audit: per-event-type qhat from
+    even-user events, per-event-type empirical coverage on odd-user
+    events — surfaces exactly the under-covering segment a marginal
+    audit averages away
+    (operators/stats.conformal_coverage_grouped)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        stats as ST,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type", "user_id", F.col("value").alias("score")
+    )
+    cal = ev.filter(F.col("user_id") % 2 == 0)
+    test = ev.filter(F.col("user_id") % 2 == 1)
+    res = ST.conformal_coverage_grouped(cal, test, "event_type", "score", alpha=0.2)
+    return res.select(
+        "group",
+        "n_cal",
+        "n_test",
+        _round6(F.col("alpha"), "alpha"),
+        _round6(F.col("qhat"), "qhat"),
+        _round6(F.col("coverage"), "coverage"),
+        _round6(F.col("target"), "target"),
     ).orderBy("group")
 
 

@@ -5168,6 +5168,7 @@ def oracle_sql() -> dict[str, str]:
         "conformal_qhat": _ORACLE_CONFORMAL_QHAT,
         "conformal_coverage": _ORACLE_CONFORMAL_COVERAGE,
         "conformal_group_qhat": _ORACLE_CONFORMAL_GROUP_QHAT,
+        "conformal_group_coverage": _ORACLE_CONFORMAL_GROUP_COVERAGE,
         "score_psi": _ORACLE_SCORE_PSI,
         "source_token_js": _ORACLE_SOURCE_TOKEN_JS,
         "calibration_error": _ORACLE_CALIBRATION_ERROR,
@@ -6519,6 +6520,28 @@ SELECT g AS "group", CAST(max(n) AS BIGINT) AS n,
        {_r6('min(CASE WHEN rn >= CAST(ceil((n + 1) * (1 - CAST(0.2 AS DOUBLE))) AS BIGINT) THEN v END)', 'qhat')}
 FROM r GROUP BY g
 """
+
+_ORACLE_CONFORMAL_GROUP_COVERAGE = f"""
+WITH cal AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+             WHERE value IS NOT NULL AND user_id %% 2 = 0),
+r AS (SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM cal),
+q AS (SELECT g, CAST(max(n) AS BIGINT) AS n_cal,
+             min(CASE WHEN rn >= CAST(ceil((n + 1) * (1 - CAST(0.2 AS DOUBLE))) AS BIGINT)
+                      THEN v END) AS qhat
+      FROM r GROUP BY g),
+t AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS tv FROM events
+      WHERE value IS NOT NULL AND user_id %% 2 = 1)
+SELECT t.g AS "group", max(q.n_cal) AS n_cal, count(*) AS n_test,
+       {_r6('CAST(0.2 AS DOUBLE)', 'alpha')},
+       {_r6('max(q.qhat)', 'qhat')},
+       {_r6("avg(CASE WHEN q.n_cal IS NULL THEN NULL WHEN q.qhat IS NULL THEN 1 WHEN t.tv <= q.qhat THEN 1 ELSE 0 END)", 'coverage')},
+       {_r6('1 - CAST(0.2 AS DOUBLE)', 'target')}
+FROM t LEFT JOIN q ON t.g IS NOT DISTINCT FROM q.g
+GROUP BY t.g
+""".replace("%%", "%")
 
 _ORACLE_SCORE_PSI = f"""
 WITH ev AS (SELECT user_id,

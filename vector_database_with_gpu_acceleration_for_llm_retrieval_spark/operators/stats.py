@@ -2581,3 +2581,53 @@ def conformal_quantile_grouped(
             F.min(F.when(F.col("__rn") >= k, F.col("v"))).alias("qhat"),
         )
     )
+
+
+def conformal_coverage_grouped(
+    cal: DataFrame,
+    test: DataFrame,
+    group_col: str,
+    score_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-segment coverage audit for Mondrian conformal — the
+    monitoring half of :func:`conformal_quantile_grouped`: calibrate a
+    per-group ``qhat`` on ``cal``, measure each group's empirical test
+    coverage, and surface exactly the under-covering segments a
+    marginal audit averages away.
+
+    One broadcast of the group-count-sized calibration frame onto a
+    single grouped test aggregate (LEFT join: a test group with no
+    calibration rows reports NULL qhat/coverage — "we cannot certify
+    this segment", never a silent borrow of another group's
+    threshold; a calibrated group whose qhat is NULL — too few rows
+    for 1-alpha — reports coverage 1.0, the infinite set).  Returns
+    one row per test group ``(group, n_cal, n_test, alpha, qhat,
+    coverage, target)``.
+    """
+    q = conformal_quantile_grouped(cal, group_col, score_col, alpha).select(
+        F.col("group").alias("__g"),
+        F.col("n").alias("n_cal"),
+        F.col("qhat"),
+    )
+    t = test.filter(F.col(score_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.col(score_col).cast("double").alias("__tv"),
+    )
+    j = t.join(
+        F.broadcast(q), t["group"].eqNullSafe(q["__g"]), "left"
+    ).drop("__g")
+    covered = F.when(F.col("n_cal").isNull(), F.lit(None).cast("int")).when(
+        F.col("qhat").isNull(), F.lit(1)
+    ).otherwise((F.col("__tv") <= F.col("qhat")).cast("int"))
+    return (
+        j.groupBy("group")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.lit(float(alpha)).alias("alpha"),
+            F.max("qhat").alias("qhat"),
+            F.avg(covered).alias("coverage"),
+            F.lit(1.0 - float(alpha)).alias("target"),
+        )
+    )
