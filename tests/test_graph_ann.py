@@ -322,3 +322,45 @@ def test_graph_insert_rejects_id_collisions(spark, tables):
     merged = GA.graph_insert(shrunk, cut, dup_batch, k=5, rounds=1)
     nodes = {r.node for r in merged.select("node").distinct().collect()}
     assert {r.vec_id for r in emb.filter(F.col("vec_id") < 405).collect()} == nodes
+
+
+def test_graph_delete_repairs_fully_orphaned_survivor(spark):
+    """A survivor whose ENTIRE adjacency list pointed at doomed ids —
+    zero surviving rows, zero reverse edges — must still be classified
+    as damaged (corpus-derived damaged set) and re-seeded from the
+    hash-sample fallback, never silently left edgeless (ADVICE r12)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(1, 8)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    edges = [
+        (1, 2, 0.9, 1),
+        (1, 3, 0.8, 2),  # node 1 -> only doomed ids, nobody points at 1
+        (4, 5, 0.9, 1),
+        (4, 6, 0.8, 2),
+        (5, 4, 0.9, 1),
+        (5, 6, 0.8, 2),
+        (6, 4, 0.9, 1),
+        (6, 5, 0.8, 2),
+        (7, 4, 0.9, 1),
+        (7, 5, 0.8, 2),
+        (2, 3, 0.9, 1),
+        (3, 2, 0.9, 1),
+    ]
+    g = spark.createDataFrame(
+        edges, "node long, nbr long, score double, rank int"
+    )
+    doomed = spark.createDataFrame([(2,), (3,)], "vec_id long")
+    out = GA.graph_delete(g, doomed, vectors=emb, k=2)
+    by_node: dict = {}
+    for r in out.collect():
+        assert r.node not in (2, 3) and r.nbr not in (2, 3)
+        by_node.setdefault(r.node, []).append(r.nbr)
+    # the fully-orphaned survivor was re-seeded back to full degree
+    assert 1 in by_node, by_node
+    assert len(by_node[1]) == 2, by_node[1]
+    # untouched full-degree nodes keep their lists
+    assert sorted(by_node[4]) == [5, 6]

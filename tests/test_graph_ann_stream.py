@@ -150,3 +150,43 @@ def test_snapshot_delete_and_validate(spark, tables):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_graph_retention_keeps_predecessor_at_keep_versions_1(
+    spark, tables
+):
+    """keep_versions=1 is clamped so the just-read predecessor always
+    survives the prune: a foreachBatch retry of the latest batch
+    (crash between handle() returning and the checkpoint commit)
+    re-reads max(versions) — deleting it would permanently wedge the
+    stream on the "no snapshot at version < bid" guard (ADVICE r12)."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 100)
+    k = 4
+    g0 = S.nn_descent(base, k=k, rounds=0)
+    tmp = tempfile.mkdtemp(prefix="stream_graph_kv1_")
+    try:
+        src, idx, ckpt = tmp + "/src", tmp + "/idx", tmp + "/ckpt"
+        P.write_graph_snapshot(base, g0, idx + "/version=-1")
+        for lo, hi in ((100, 120), (120, 140), (140, 160)):
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).write.mode("append").parquet(src)
+        q = P.stream_graph_index_ingest(
+            spark, src, idx, ckpt, k=k, rounds=1, keep_versions=1
+        )
+        q.processAllAvailable()
+        q.stop()
+        vers = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(idx)
+            if d.startswith("version=")
+        )
+        # the latest write's direct predecessor must survive; everything
+        # older is pruned
+        assert vers[-2:] == [max(vers) - 1, max(vers)], vers
+        assert len(vers) == 2, vers
+        snap = spark.read.parquet(idx)
+        assert snap.filter(F.col("version") == max(vers) - 1).count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

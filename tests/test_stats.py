@@ -1391,3 +1391,25 @@ def test_conformal_coverage_grouped_segments_and_null_semantics(spark):
     # uncalibrated group: cannot certify -> NULLs
     assert got["newgrp"].n_cal is None and got["newgrp"].coverage is None
     assert got["newgrp"].n_test == 8
+
+
+def test_conformal_empty_calibration_surfaces_not_masks(spark):
+    """Empty / all-NULL calibration is a caller bug the psi treatment
+    surfaces: n=0 with NULL qhat from the quantile, and a NULL (never
+    a vacuous 1.0) coverage from the audit (ADVICE r12).  An empty
+    TEST side likewise reports NULL coverage while preserving the
+    calibration columns."""
+    empty = spark.createDataFrame([], "score double")
+    r = S.conformal_quantile(empty, "score", alpha=0.1).collect()[0]
+    assert r.n == 0 and r.k == 1 and r.qhat is None
+    allnull = spark.createDataFrame([(None,), (None,)], "score double")
+    r2 = S.conformal_quantile(allnull, "score", alpha=0.1).collect()[0]
+    assert r2.n == 0 and r2.qhat is None
+    test = spark.createDataFrame([(1.0,), (2.0,)], "score double")
+    c = S.conformal_coverage(empty, test, "score", alpha=0.1).collect()[0]
+    assert c.n_cal == 0 and c.n_test == 2
+    assert c.coverage is None, c.coverage
+    # empty test side: n_cal/qhat survive, coverage NULL with n_test=0
+    c2 = S.conformal_coverage(test, empty, "score", alpha=0.5).collect()[0]
+    assert c2.n_cal == 2 and c2.n_test == 0
+    assert c2.qhat == 2.0 and c2.coverage is None

@@ -6486,7 +6486,7 @@ kk AS (SELECT n, CAST(ceil((n + 1) * (1 - CAST(0.1 AS DOUBLE))) AS BIGINT) AS k
 r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
 SELECT kk.n, kk.k, {_r6('CAST(0.1 AS DOUBLE)', 'alpha')},
        {_r6('min(CASE WHEN r.rn >= kk.k THEN r.v END)', 'qhat')}
-FROM r CROSS JOIN kk GROUP BY kk.n, kk.k
+FROM kk LEFT JOIN r ON TRUE GROUP BY kk.n, kk.k
 """.replace("%%", "%")
 
 _ORACLE_CONFORMAL_COVERAGE = f"""
@@ -6497,14 +6497,18 @@ kk AS (SELECT n, CAST(ceil((n + 1) * (1 - CAST(0.1 AS DOUBLE))) AS BIGINT) AS k
        FROM nn),
 r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cal),
 q AS (SELECT kk.n AS n_cal, min(CASE WHEN r.rn >= kk.k THEN r.v END) AS qhat
-      FROM r CROSS JOIN kk GROUP BY kk.n),
+      FROM kk LEFT JOIN r ON TRUE GROUP BY kk.n),
 t AS (SELECT CAST(value AS DOUBLE) AS tv FROM events
-      WHERE value IS NOT NULL AND user_id %% 2 = 1)
-SELECT q.n_cal, count(*) AS n_test, {_r6('CAST(0.1 AS DOUBLE)', 'alpha')},
+      WHERE value IS NOT NULL AND user_id %% 2 = 1),
+a AS (SELECT count(*) AS n_test,
+             avg(CASE WHEN q.qhat IS NULL THEN 1
+                      WHEN t.tv <= q.qhat THEN 1 ELSE 0 END) AS cov
+      FROM t CROSS JOIN q)
+SELECT q.n_cal, a.n_test, {_r6('CAST(0.1 AS DOUBLE)', 'alpha')},
        {_r6('q.qhat', 'qhat')},
-       {_r6("avg(CASE WHEN q.qhat IS NULL THEN 1 WHEN t.tv <= q.qhat THEN 1 ELSE 0 END)", 'coverage')},
+       {_r6('CASE WHEN q.n_cal = 0 THEN NULL ELSE a.cov END', 'coverage')},
        {_r6('1 - CAST(0.1 AS DOUBLE)', 'target')}
-FROM t CROSS JOIN q GROUP BY q.n_cal, q.qhat
+FROM a CROSS JOIN q
 """.replace("%%", "%")
 
 _ORACLE_CONFORMAL_GROUP_QHAT = f"""

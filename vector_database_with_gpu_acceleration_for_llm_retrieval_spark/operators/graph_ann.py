@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import vector as V
 
-__all__ = ["graph_beam_search", "graph_insert", "graph_delete"]
+__all__ = [
+    "graph_beam_search",
+    "graph_insert",
+    "graph_delete",
+    "delete_from_graph_snapshot",
+    "validate_graph_snapshot",
+]
 
 _HASH_MOD = 1_000_003
 
@@ -475,6 +481,13 @@ def graph_delete(
     back toward ``k`` — the DiskANN-style local patch, never a
     rebuild.  Repair cost scales with the number of damaged nodes
     (each doomed id appears in at most ~k reverse lists), not with N.
+
+    Damaged nodes are derived from the LIVE corpus (left join against
+    the surviving degrees, 0 default), so a survivor whose whole list
+    pointed at doomed ids — zero surviving rows — is still repaired;
+    if it also has no reverse/2-hop neighborhood left, it is re-seeded
+    from a deterministic 4k-id hash-sample of the corpus (bounded
+    broadcast) rather than silently left edgeless and unreachable.
     """
     d = doomed.select(F.col(id_col).alias("__doomed")).distinct().persist()
     kept = (
@@ -494,9 +507,19 @@ def graph_delete(
         max_candidates = 4 * k * k
     score_fn = _metric_fn(metric)
     reranked = reranked.localCheckpoint(eager=True)
-    # damaged = nodes whose list shrank below k (lost at least one edge)
+    live = vectors.join(d, F.col(id_col) == F.col("__doomed"), "left_anti")
+    live_ids = live.select(F.col(id_col).alias("node"))
+    # damaged = LIVE nodes whose surviving list is below k — derived from
+    # the corpus (left join, degree-0 default), NOT from the kept edges
+    # alone: a survivor whose ENTIRE adjacency list pointed at doomed ids
+    # has zero rows in `reranked`, so a deg-only derivation would never
+    # classify it as damaged and it would silently lose all out-edges.
     deg = reranked.groupBy("node").agg(F.max("rank").alias("__deg"))
-    damaged = deg.filter(F.col("__deg") < k).select("node")
+    damaged = (
+        live_ids.join(deg, "node", "left")
+        .filter(F.coalesce(F.col("__deg"), F.lit(0)) < k)
+        .select("node")
+    )
     ed = reranked.select("node", "nbr")
     both = ed.unionByName(
         ed.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
@@ -525,7 +548,25 @@ def graph_delete(
         .filter(F.col("__cr") <= max_candidates)
         .select("node", "nbr")
     )
-    live = vectors.join(d, F.col(id_col) == F.col("__doomed"), "left_anti")
+    # fully-isolated fallback: a damaged node with no surviving forward OR
+    # reverse edges yields zero 2-hop candidates above.  Seed such nodes
+    # with a deterministic hash-sample of the live corpus so repair can
+    # never leave a survivor edgeless.  Bounded: the sample is 4k ids
+    # (TakeOrdered + broadcast) and orphans number at most ~k*|doomed|,
+    # so the crossJoin is (few orphans) x (4k broadcast rows), never NxN.
+    orphan = damaged.join(capped.select("node").distinct(), "node", "left_anti")
+    entry = (
+        live_ids.orderBy(
+            F.pmod(F.xxhash64(F.col("node"), F.lit(int(seed))), F.lit(_HASH_MOD)),
+            F.asc("node"),
+        )
+        .limit(4 * k)
+        .select(F.col("node").alias("nbr"))
+    )
+    orphan_cand = orphan.crossJoin(F.broadcast(entry)).filter(
+        F.col("node") != F.col("nbr")
+    )
+    capped = capped.unionByName(orphan_cand)
     va = live.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("__va")
     )

@@ -2464,6 +2464,15 @@ def conformal_quantile(
     ``qhat`` comes back NULL (the infinite prediction set), never a
     silently-clamped max.  NULL scores are excluded (they carry no
     rank information).  Returns one row ``(n, k, alpha, qhat)``.
+
+    An EMPTY (or all-NULL-score) calibration frame is a caller bug the
+    psi treatment surfaces rather than masks: the row comes back
+    ``(n=0, k=1, alpha, qhat=NULL)`` — ``n=0`` is the explicit
+    "uncalibrated" marker (:func:`conformal_coverage` turns it into a
+    NULL coverage, never a vacuous 1.0), and ``k`` is derived from
+    ``n`` AFTER the aggregate so the documented 1-row shape holds on
+    empty input too (the DuckDB mirror's ``kk LEFT JOIN r`` mirrors
+    this exactly).
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
@@ -2476,15 +2485,20 @@ def conformal_quantile(
     k = F.ceil((F.col("__tot_c") + 1) * F.lit(1.0 - float(alpha))).cast(
         "long"
     )
-    return stepped.agg(
-        F.max("__tot_c").cast("long").alias("n"),
-        F.max(
-            F.ceil((F.col("__tot_c") + 1) * F.lit(1.0 - float(alpha)))
-        )
+    base = stepped.agg(
+        F.coalesce(F.max("__tot_c"), F.lit(0)).cast("long").alias("n"),
+        F.min(F.when(F.col("__cum_c") >= k, F.col("v"))).alias("qhat"),
+    )
+    # k derived from n AFTER the aggregate (identical double arithmetic
+    # when n > 0; defined as ceil(1*(1-alpha)) = 1 when n = 0, matching
+    # the mirror's kk CTE) so the empty-calibration row is fully shaped.
+    return base.select(
+        F.col("n"),
+        F.ceil((F.col("n") + 1) * F.lit(1.0 - float(alpha)))
         .cast("long")
         .alias("k"),
         F.lit(float(alpha)).alias("alpha"),
-        F.min(F.when(F.col("__cum_c") >= k, F.col("v"))).alias("qhat"),
+        F.col("qhat"),
     )
 
 
@@ -2503,10 +2517,17 @@ def conformal_coverage(
     is the standard drift/violated-exchangeability alarm for deployed
     conformal systems.
 
-    One broadcast of the 1-row calibration frame onto a single test
-    aggregate — the coverage pass adds no shuffle.  A NULL ``qhat``
-    (alpha < 1/(n+1)) means the infinite prediction set: coverage is
-    1.0 by definition, reported as such.  Returns one row
+    Two broadcasts of the 1-row calibration frame (onto the test rows,
+    then onto the 1-row test aggregate) — the coverage pass adds no
+    shuffle.  A NULL ``qhat`` with ``n_cal > 0`` (alpha < 1/(n+1))
+    means the infinite prediction set: coverage is 1.0 by definition,
+    reported as such.  An EMPTY calibration frame (``n_cal = 0``) is
+    an UNCALIBRATED model, not an infinite set: coverage comes back
+    NULL rather than a vacuous 1.0 (the psi caller-bug treatment —
+    masking it as perfect coverage is exactly the silent failure a
+    coverage audit exists to catch).  An empty test frame likewise
+    yields ``coverage = NULL`` with ``n_test = 0`` while preserving
+    the calibration columns.  Returns one row
     ``(n_cal, n_test, alpha, qhat, coverage, target)``.
     """
     q = conformal_quantile(
@@ -2521,12 +2542,21 @@ def conformal_coverage(
     covered = F.when(F.col("qhat").isNull(), F.lit(1)).otherwise(
         (F.col("__tv") <= F.col("qhat")).cast("int")
     )
-    return j.agg(
-        F.max("n_cal").alias("n_cal"),
+    a = j.agg(
         F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.avg(covered).alias("__cov"),
+    )
+    # join the calibration row back onto the test aggregate so n_cal /
+    # qhat survive an empty test side, and gate coverage on n_cal = 0
+    # (uncalibrated -> NULL, never 1.0).
+    return a.crossJoin(F.broadcast(q)).select(
+        F.col("n_cal"),
+        F.col("n_test"),
         F.lit(float(alpha)).alias("alpha"),
-        F.max("qhat").alias("qhat"),
-        F.avg(covered).alias("coverage"),
+        F.col("qhat"),
+        F.when(F.col("n_cal") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("__cov"))
+        .alias("coverage"),
         F.lit(1.0 - float(alpha)).alias("target"),
     )
 

@@ -1196,9 +1196,15 @@ def stream_graph_index_ingest(
             vec_col=vec_col,
         )
         # best-effort retention: prune snapshots older than the newest
-        # keep_versions (never the one just written or its predecessor)
+        # keep_versions (never the one just written or its predecessor).
+        # keep_versions is clamped so the direct predecessor max(versions)
+        # always survives: a foreachBatch retry of batch ``bid`` (crash
+        # between handle() returning and the checkpoint commit) re-reads
+        # max(versions) — with keep_versions=1 the unclamped slice would
+        # have deleted it and permanently wedged the stream on the
+        # "no snapshot at version < bid" ValueError above.
         try:
-            doomed = sorted(versions)[: max(0, len(versions) - (keep_versions - 1))]
+            doomed = sorted(versions)[: max(0, len(versions) - max(keep_versions - 1, 1))]
             jvm = spark.sparkContext._jvm
             conf = spark.sparkContext._jsc.hadoopConfiguration()
             for v in doomed:
