@@ -62,6 +62,19 @@ RP_OUT = 16
 KNN_QUERIES = 8
 KNN_K = 5
 N_SHARDS = 8
+#: graph-ANN serving oracle pair (r13): the beam search's fixed rounds
+#: unroll into MATERIALIZED CTEs (the part_pagerank precedent), over a
+#: graph BOTH engines derive identically — the exact deg-GRAPH_DEG
+#: cosine kNN graph (self excluded) — with explicit lowest-id entry
+#: nodes (the DiskANN medoid form) instead of the engine-private
+#: xxhash64 entry hash.  Production serving graphs come from
+#: nn_descent (iterative, pytest-only by the documented precedent);
+#: this pair hash-checks the QUERY path end to end.
+GRAPH_DEG = 8
+GRAPH_BEAM = 12
+GRAPH_ROUNDS = 3
+GRAPH_K = 5
+GRAPH_ENTRIES = 4
 LSH_PLANES = S.random_hyperplanes(n_planes=6, dim=64, seed=7)
 IVF_N_CENTROIDS = 4
 IVF_NPROBE = 2
@@ -419,6 +432,72 @@ def q_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"], qv, LSH_PLANES, k=TOPK_K, n_probe_buckets=MULTIPROBE_BUCKETS
     )
     return S.recall_at_k(exact, approx, k=TOPK_K, by=["vec_id"])
+
+
+def _exact_knn_graph(emb: DataFrame) -> DataFrame:
+    """Exact deg-``GRAPH_DEG`` cosine kNN graph (self excluded before
+    ranking) — the SQL-derivable serving-graph stand-in for the
+    beam-search oracle pair.  Deliberately the JVM-fold scoring path
+    (:func:`functions.vector.cosine_sim`, bit-identical to the
+    mirror's sequential double fold), NOT knn_join's BLAS matmul whose
+    last-ulp drift across matrix shapes could flip edge tie-breaks.
+    The |corpus|² pair frame is a contract-fixture shape (500/2000
+    rows); production graphs come from search.nn_descent."""
+    from pyspark.sql import Window
+
+    a = emb.select(F.col("vec_id").alias("node"), F.col("embedding").alias("__av"))
+    b = emb.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("__bv"))
+    scored = a.join(F.broadcast(b), F.col("node") != F.col("nbr")).select(
+        "node", "nbr", V.cosine_sim("__av", "__bv").alias("score")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("nbr"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= GRAPH_DEG
+    )
+
+
+def _graph_beam_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph_ann as GA
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = emb.filter(F.col("vec_id") < GRAPH_ENTRIES).select("vec_id")
+    return GA.graph_beam_search(
+        qs,
+        emb,
+        _exact_knn_graph(emb),
+        k=GRAPH_K,
+        beam=GRAPH_BEAM,
+        rounds=GRAPH_ROUNDS,
+        entries=entries,
+    )
+
+
+def q_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-tier serving loop (the reference's core /search loop,
+    coordinator/main.py:58-73, answered by the DiskANN-style batched
+    beam search): GRAPH_ROUNDS fixed expansion rounds over the exact
+    deg-GRAPH_DEG kNN graph from GRAPH_ENTRIES lowest-id entry nodes —
+    the one ANN tier that was pytest-only until r13; the mirror
+    unrolls every round as a MATERIALIZED CTE
+    (operators/graph_ann.graph_beam_search)."""
+    res = _graph_beam_result(spark, sf_dir)
+    return res.select(
+        "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+    )
+
+
+def q_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@GRAPH_K of the graph beam search vs the exact kNN join —
+    the recall_lsh shape on the graph tier, quantifying the serving
+    tier like every other approximate index family."""
+    t = load_tables(spark, sf_dir)
+    exact = S.knn_join(_knn_queries(t), t["embeddings"], k=GRAPH_K)
+    approx = _graph_beam_result(spark, sf_dir)
+    return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
 
 
 #: product quantization: 64 dims → PQ_M subspaces of 8 dims, PQ_KSUB
@@ -3235,6 +3314,46 @@ ORDER BY o_orderpriority
 """
 
 
+#: the flagship vector query (O5 cosine + O7 top-k) through the SQL
+#: front door: ONE verbatim ANSI text for both engines.  Neither
+#: engine's list higher-order functions are portable (Spark
+#: ``transform``/``aggregate`` vs DuckDB ``list_transform``/
+#: ``list_sum``, incompatible ``reduce`` arities), so the fold is a
+#: GROUP BY over a shared ``range(64)`` index table — and the ONE
+#: genuine dialect gap, subscript base (Spark 0-based, DuckDB
+#: 1-based), is detected IN the text itself: ``qv[0]`` is the first
+#: element in Spark but out-of-bounds NULL in DuckDB, so ``o`` comes
+#: back 0 / 1 respectively and ``x[i + o]`` addresses the same
+#: element everywhere.  Ordering is by the raw score (rounding only
+#: in the outer projection, the family convention).
+PORTABLE_SQL_TOPK_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT CASE WHEN qv[0] IS NULL THEN 1 ELSE 0 END AS o FROM q),
+d AS (SELECT e.vec_id,
+             sum(CAST(e.embedding[t.i + b.o] AS DOUBLE) * CAST(q.qv[t.i + b.o] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[t.i + b.o] AS DOUBLE) * CAST(e.embedding[t.i + b.o] AS DOUBLE)) AS na2,
+             sum(CAST(q.qv[t.i + b.o] AS DOUBLE) * CAST(q.qv[t.i + b.o] AS DOUBLE)) AS nq2
+      FROM embeddings e, q, b, range(64) AS t(i)
+      GROUP BY e.vec_id)
+SELECT vec_id, round(dp / (sqrt(na2) * sqrt(nq2)), 6) + 0.0 AS score
+FROM d ORDER BY dp / (sqrt(na2) * sqrt(nq2)) DESC, vec_id LIMIT 10
+"""
+
+
+def q_sql_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship cosine top-k through the SQL front door: the SAME
+    portable ANSI text runs verbatim in Spark SQL and the DuckDB
+    oracle — the Q6/Q4/hot-keys front-door-parity pattern applied to
+    the vector query the reference serves over its API
+    (coordinator/main.py:58-73; DataFrame twin: `topk_cosine`)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=["embeddings"])
+    return spark.sql(PORTABLE_SQL_TOPK_COSINE)
+
+
 PORTABLE_SQL_HOT_KEYS = """
 WITH c AS (SELECT CAST(user_id AS STRING) AS key, count(*) AS n_rows
            FROM events GROUP BY key),
@@ -4157,6 +4276,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank_weighted": q_part_pagerank_weighted,
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
+        "sql_topk_cosine": q_sql_topk_cosine,
         "assoc_rules": q_assoc_rules,
         "ols_fit_price": q_ols_fit_price,
         "model_auc": q_model_auc,
@@ -4199,6 +4319,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,
+        "graph_beam_topk": q_graph_beam_topk,
+        "recall_graph": q_recall_graph,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,

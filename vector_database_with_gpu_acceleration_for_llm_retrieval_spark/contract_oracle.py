@@ -47,6 +47,11 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     DUP_SPAN_N,
     EMB_NEAR_DUP_TAU,
     FILTER_LABEL,
+    GRAPH_BEAM,
+    GRAPH_DEG,
+    GRAPH_ENTRIES,
+    GRAPH_K,
+    GRAPH_ROUNDS,
     GROUP_TOPK_K,
     HYBRID_K_EACH,
     HYBRID_W_DENSE,
@@ -59,6 +64,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     KFOLD_K,
     PORTABLE_SQL_FORECAST_REVENUE,
     PORTABLE_SQL_HOT_KEYS,
+    PORTABLE_SQL_TOPK_COSINE,
     PORTABLE_SQL_PRIORITY_ORDERS,
     LANG_HEAD_DIM,
     LM_ALPHA,
@@ -820,6 +826,80 @@ approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS
            ORDER BY s DESC, vec_id LIMIT {TOPK_K})
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
+
+def _sq_graph_beam_ctes() -> str:
+    """Graph-ANN serving mirror (operators/graph_ann.graph_beam_search
+    with explicit entries): the exact deg-GRAPH_DEG cosine kNN graph
+    (self excluded before ranking — same pair frame both engines),
+    then every fixed beam round unrolled as MATERIALIZED CTEs (the
+    part_pagerank/part_communities precedent — DuckDB inlines CTEs by
+    default and an un-pinned unrolled iteration goes combinatorial).
+    Per round, exactly the Spark dataflow: frontier = unexpanded beam
+    rows, neighbor expansion via the edge equi-join (DISTINCT), the
+    seen anti-join (NOT EXISTS), the sequential-double-fold cosine
+    score, then the (score DESC, node ASC) top-GRAPH_BEAM window with
+    all prior beam rows flipped to expanded.  Exposes ``bfin(qid,
+    node, s)`` = the final beam."""
+    head = f"""gq AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       WHERE vec_id < {KNN_QUERIES}),
+gpair AS MATERIALIZED (SELECT a.vec_id AS node, b.vec_id AS nbr,
+         {_sq_cosine('a.embedding', 'b.embedding')} AS gs
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+gedges AS MATERIALIZED (SELECT node, nbr FROM (
+         SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY gs DESC, nbr) AS rn
+         FROM gpair) WHERE rn <= {GRAPH_DEG}),
+gent AS (SELECT vec_id AS node FROM embeddings WHERE vec_id < {GRAPH_ENTRIES}),
+sc0 AS MATERIALIZED (SELECT gq.qid, gent.node, {_sq_cosine('gq.qv', 'e.embedding')} AS s
+      FROM gq CROSS JOIN gent JOIN embeddings e ON e.vec_id = gent.node),
+b0 AS MATERIALIZED (SELECT qid, node, s, FALSE AS exp FROM (
+      SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM sc0) WHERE rn <= {GRAPH_BEAM}),
+seen0 AS MATERIALIZED (SELECT qid, node FROM sc0)"""
+    rounds = [head]
+    for i in range(1, GRAPH_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""n{i} AS (SELECT DISTINCT f.qid, g.nbr AS node
+      FROM (SELECT qid, node FROM b{p} WHERE NOT exp) f
+      JOIN gedges g ON g.node = f.node),
+sc{i} AS MATERIALIZED (SELECT n.qid, n.node, {_sq_cosine('gq.qv', 'e.embedding')} AS s
+      FROM n{i} n JOIN embeddings e ON e.vec_id = n.node JOIN gq ON gq.qid = n.qid
+      WHERE NOT EXISTS (SELECT 1 FROM seen{p} sn WHERE sn.qid = n.qid AND sn.node = n.node)),
+b{i} AS MATERIALIZED (SELECT qid, node, s, exp FROM (
+      SELECT qid, node, s, exp, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM (SELECT qid, node, s, TRUE AS exp FROM b{p}
+            UNION ALL SELECT qid, node, s, FALSE AS exp FROM sc{i})) WHERE rn <= {GRAPH_BEAM}),
+seen{i} AS MATERIALIZED (SELECT qid, node FROM seen{p}
+      UNION ALL SELECT qid, node FROM sc{i})""")
+    body = ",\n".join(rounds)
+    return f"""{body},
+bfin AS (SELECT qid, node, s FROM b{GRAPH_ROUNDS})"""
+
+
+def _oracle_graph_beam_topk() -> str:
+    return f"""
+WITH {_sq_graph_beam_ctes()}
+SELECT qid, node AS neighbor_id, {_r6('s', 'score')},
+       CAST(rn AS INT) AS rank
+FROM (SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM bfin)
+WHERE rn <= {GRAPH_K}
+"""
+
+
+def _oracle_recall_graph() -> str:
+    return f"""
+WITH {_sq_graph_beam_ctes()},
+approx AS (SELECT qid, node AS neighbor_id FROM (
+      SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM bfin) WHERE rn <= {GRAPH_K}),
+exact AS (SELECT qid, neighbor_id FROM (
+      SELECT gq.qid, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY gq.qid ORDER BY {_sq_cosine('e.embedding', 'gq.qv')} DESC, e.vec_id) AS rn
+      FROM embeddings e, gq) WHERE rn <= {GRAPH_K})
+SELECT qid, count(*) / {float(GRAPH_K)} AS recall
+FROM approx JOIN exact USING (qid, neighbor_id) GROUP BY qid
+"""
+
 
 def _sq_pq_ctes(src: str = "embeddings") -> str:
     """PQ CTEs mirroring operators.pq: codebooks = subspace slices of
@@ -4902,6 +4982,8 @@ def oracle_sql() -> dict[str, str]:
         "rp_knn_join": _oracle_rp_knn_join(),
         "recall_ivf": _oracle_recall_ivf(),
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
+        "graph_beam_topk": _oracle_graph_beam_topk(),
+        "recall_graph": _oracle_recall_graph(),
         "topk_per_label": _oracle_topk_per_label(),
         "doc_mean_pool": _oracle_doc_mean_pool(),
         "model_lang_id": _oracle_model_lang_id(),
@@ -4979,6 +5061,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_percentile": _ORACLE_DOMAIN_PERCENTILE,
         "similar_series": _ORACLE_SIMILAR_SERIES,
         "sql_hot_keys": PORTABLE_SQL_HOT_KEYS,
+        "sql_topk_cosine": PORTABLE_SQL_TOPK_COSINE,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
         "sql_priority_orders": PORTABLE_SQL_PRIORITY_ORDERS,

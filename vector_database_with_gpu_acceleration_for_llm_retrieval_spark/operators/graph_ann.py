@@ -70,6 +70,7 @@ def graph_beam_search(
     vec_col: str = "embedding",
     seed: int = 0,
     stats: dict | None = None,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Batch best-first beam search over a prebuilt kNN graph — the
     query-time completion of :func:`..search.nn_descent` and the
@@ -83,7 +84,13 @@ def graph_beam_search(
        minimal ``xxhash64(id, seed)`` — hash-selected medoid stand-ins
        (no RNG: the whole search is a pure function of its inputs, the
        nn_descent init rationale).  Every query starts from the same
-       entry set, shipped as one tiny broadcast.
+       entry set, shipped as one tiny broadcast.  Callers may instead
+       pass ``entries`` (a frame with ``id_col``) to pin the entry set
+       explicitly — the DiskANN explicit-medoid form; ``n_entry`` is
+       then ignored.  This is also what makes the serving loop
+       SQL-mirrorable: the contract's oracle pair selects entries by a
+       rule both engines can express (lowest ids), sidestepping the
+       engine-private xxhash64.
     2. ROUND (x ``rounds``, fixed): expand EVERY not-yet-expanded beam
        node through the graph's out-edges (one equi-join frontier x
        edges), drop already-scored candidates per query (anti-join
@@ -142,15 +149,19 @@ def graph_beam_search(
     ).persist()
 
     # deterministic entry points: minimal-hash nodes (constant-size
-    # TakeOrderedAndProject, then a broadcast)
-    entries = (
-        v.select("__node")
-        .orderBy(
-            F.pmod(F.xxhash64("__node", F.lit(int(seed))), F.lit(_HASH_MOD)),
-            F.asc("__node"),
+    # TakeOrderedAndProject, then a broadcast) — or the caller's
+    # explicit entry frame (still a tiny broadcast).
+    if entries is None:
+        entries = (
+            v.select("__node")
+            .orderBy(
+                F.pmod(F.xxhash64("__node", F.lit(int(seed))), F.lit(_HASH_MOD)),
+                F.asc("__node"),
+            )
+            .limit(n_entry)
         )
-        .limit(n_entry)
-    )
+    else:
+        entries = entries.select(F.col(id_col).alias("__node")).distinct()
 
     def _score(cands: DataFrame) -> DataFrame:
         return (
