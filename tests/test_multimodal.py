@@ -404,3 +404,324 @@ def test_sample_video_frames_real_y4m_path(spark):
     vf = {r.doc_id: r for r in M.video_features(df).collect()}
     assert vf[1].is_real and vf[1].n_frames == 7
     assert not vf[2].is_real and vf[2].mean_luma is None
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG: spec-following test encoder (T.81 Annex B/C/F) + decode
+# --------------------------------------------------------------------------
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+def _jpeg_canon_codes(symbols):
+    """One-length canonical table: all symbols at length L with
+    2^L > len(symbols), so the all-ones code stays unused. Returns
+    (bits16, huffval, {sym: (code, L)})."""
+    syms = sorted(set(symbols))
+    L = max(2, (len(syms) + 1).bit_length())
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    codes = {s: (i << 0, L) for i, s in enumerate(syms)}
+    return bytes(bits), bytes(syms), codes
+
+
+def _jpeg_cat(v: int):
+    """DC/AC magnitude category + appended bits (T.81 F.1.2.1/F.1.4)."""
+    s = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_jpeg(comps, w, h, qts, restart=0, sof=0xC0):
+    """Minimal spec-following baseline encoder for the decode tests:
+    ``comps`` = list of dicts {id, hs, vs, tq, blocks} with ``blocks``
+    a [rows][cols] grid of 64-int QUANTIZED coefficient lists in
+    zigzag order (rows = my*vs, cols = mx*hs); ``qts`` = {tid: 64
+    ints, zigzag}. Emits SOI/DQT/SOF/DHT/SOS + entropy-coded MCUs
+    (+DRI/RSTn when ``restart``) with DC prediction and 0xFF00
+    stuffing — everything decode_jpeg must undo."""
+    import struct
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    dc_syms, ac_syms = set(), {0x00}
+
+    def ac_symbols(blk):
+        run = 0
+        for k in range(1, 64):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                yield (0xF0, 0, 0)
+                run -= 16
+            s, bits = _jpeg_cat(v)
+            yield ((run << 4) | s, s, bits)
+            run = 0
+        if run:
+            yield (0x00, 0, 0)  # EOB
+        else:
+            yield (0x00, 0, 0)
+
+    # pass 1: symbols (restart resets DC pred, MCU-interleaved order)
+    sim_pred = {c["id"]: 0 for c in comps}
+    mcu_i = 0
+    for yy in range(my):
+        for xx in range(mx):
+            if restart and mcu_i and mcu_i % restart == 0:
+                sim_pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        blk = c["blocks"][yy * c["vs"] + by][xx * c["hs"] + bx]
+                        s, _ = _jpeg_cat(blk[0] - sim_pred[c["id"]])
+                        sim_pred[c["id"]] = blk[0]
+                        dc_syms.add(s)
+                        for sym, _, _ in ac_symbols(blk):
+                            ac_syms.add(sym)
+            mcu_i += 1
+    dc_bits, dc_vals, dc_codes = _jpeg_canon_codes(dc_syms)
+    ac_bits, ac_vals, ac_codes = _jpeg_canon_codes(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in sorted(qts.items()):
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([tid]) + bytes(q)
+    sofdat = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sofdat += bytes([c["id"], (c["hs"] << 4) | c["vs"], c["tq"]])
+    out += bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sofdat)) + sofdat
+    for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        dat = bytes([cls << 4]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dat)) + dat
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sosdat = bytes([len(comps)])
+    for c in comps:
+        sosdat += bytes([c["id"], 0x00])  # DC table 0, AC table 0
+    sosdat += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sosdat)) + sosdat
+
+    bw = _JBitWriter()
+    pred = {c["id"]: 0 for c in comps}
+    mcu_i = 0
+    for yy in range(my):
+        for xx in range(mx):
+            if restart and mcu_i and mcu_i % restart == 0:
+                bw.pad()
+                out += bw.out
+                bw = _JBitWriter()
+                out += bytes([0xFF, 0xD0 + ((mcu_i // restart - 1) % 8)])
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        blk = c["blocks"][yy * c["vs"] + by][xx * c["hs"] + bx]
+                        s, bits = _jpeg_cat(blk[0] - pred[c["id"]])
+                        pred[c["id"]] = blk[0]
+                        code, L = dc_codes[s]
+                        bw.write(code, L)
+                        if s:
+                            bw.write(bits, s)
+                        for sym, sz, vbits in ac_symbols(blk):
+                            code, L = ac_codes[sym]
+                            bw.write(code, L)
+                            if sz:
+                                bw.write(vbits, sz)
+            mcu_i += 1
+    bw.pad()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _const_block(dc_quantized: int):
+    return [dc_quantized] + [0] * 63
+
+
+def test_decode_jpeg_block_constant_gray_roundtrip_and_crop():
+    """Constant 8x8 blocks with DC quant 8 survive the DCT EXACTLY
+    (DC = 8*(v-128), quantized by 8 -> integer, IDCT -> v), so the
+    decode is value-checkable without a reference codec. Odd geometry
+    (12x10) exercises the MCU-padding crop."""
+    q = [8] + [16] * 63
+    vals = [[17, 203], [128, 64]]  # [row][col] block constants
+    blocks = [[_const_block(v - 128) for v in row] for row in vals]
+    payload = _encode_jpeg(
+        [{"id": 1, "hs": 1, "vs": 1, "tq": 0, "blocks": blocks}],
+        12, 10, {0: q},
+    )
+    got = M.decode_jpeg(payload)
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (12, 10) and px.shape == (10, 12, 3)
+    for by in range(2):
+        for bx in range(2):
+            y0, x0 = by * 8, bx * 8
+            sub = px[y0 : min(y0 + 8, 10), x0 : min(x0 + 8, 12)]
+            assert (sub == vals[by][bx]).all(), (by, bx, np.unique(sub))
+    # gray broadcast: all three channels equal
+    assert (px[..., 0] == px[..., 1]).all() and (px[..., 1] == px[..., 2]).all()
+
+
+def test_decode_jpeg_420_color_matches_analytic_ycc():
+    """4:2:0 color with block-constant planes: two MCUs wide, DC
+    prediction crossing MCU boundaries, chroma replicated 2x2 by the
+    upsample; RGB must equal the analytic JFIF conversion of the
+    encoded constants (floor(x+0.5), clamp)."""
+    qy = [8] + [11] * 63
+    qc = [8] + [13] * 63
+    yv = [[30, 99, 160, 255], [7, 128, 64, 201]]  # 4 wide x 2 tall blocks
+    cbv, crv = [90, 180], [210, 40]  # per MCU (2 MCUs)
+    comps = [
+        {
+            "id": 1, "hs": 2, "vs": 2, "tq": 0,
+            "blocks": [[_const_block(v - 128) for v in row] for row in yv],
+        },
+        {
+            "id": 2, "hs": 1, "vs": 1, "tq": 1,
+            "blocks": [[_const_block(v - 128) for v in cbv]],
+        },
+        {
+            "id": 3, "hs": 1, "vs": 1, "tq": 1,
+            "blocks": [[_const_block(v - 128) for v in crv]],
+        },
+    ]
+    payload = _encode_jpeg(comps, 32, 16, {0: qy, 1: qc})
+    got = M.decode_jpeg(payload)
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (32, 16)
+
+    def rgb_of(y, cb, cr):
+        r = np.floor(y + 1.402 * (cb * 0 + cr - 128) + 0.5)
+        g = np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+        b = np.floor(y + 1.772 * (cb - 128) + 0.5)
+        return [int(np.clip(v, 0, 255)) for v in (r, g, b)]
+
+    for yy in range(16):
+        for xx in range(32):
+            yb = yv[yy // 8][xx // 8]
+            mcu = xx // 16
+            want = rgb_of(float(yb), float(cbv[mcu]), float(crv[mcu]))
+            assert list(px[yy, xx]) == want, (yy, xx, list(px[yy, xx]), want)
+
+
+def test_decode_jpeg_arbitrary_coefficients_match_reference_idct():
+    """Non-constant blocks: random quantized coefficients (long zero
+    runs, ZRL, negative values) must reproduce an INDEPENDENT naive
+    O(N^4) IDCT computed here from the same dequantized matrix — the
+    entropy decode, dezigzag, dequant and IDCT are all on the hook."""
+    rng = np.random.RandomState(11)
+    q = [8] + list(rng.randint(1, 30, 63))
+    blk = [0] * 64
+    blk[0] = 35
+    for k in (1, 2, 5, 17, 40, 62, 63):  # includes a >15 zero run
+        blk[k] = int(rng.randint(-40, 40)) or 3
+    payload = _encode_jpeg(
+        [{"id": 1, "hs": 1, "vs": 1, "tq": 0, "blocks": [[blk]]}],
+        8, 8, {0: q},
+    )
+    got = M.decode_jpeg(payload)
+    assert got is not None
+    _, _, px = got
+    # naive reference IDCT (T.81 A.3.3 definition, no matrix tricks)
+    zz = M._JPEG_ZIGZAG
+    S = np.zeros(64)
+    for k in range(64):
+        S[zz[k]] = blk[k] * q[k]
+    S = S.reshape(8, 8)
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.5) if u == 0 else 1.0
+                    cv = np.sqrt(0.5) if v == 0 else 1.0
+                    acc += (
+                        cu * cv / 4.0 * S[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            ref[x, y] = acc
+    want = np.clip(np.floor(ref + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    assert (px[..., 0] == want).all(), (px[..., 0], want)
+
+
+def test_decode_jpeg_restart_intervals_reset_dc():
+    """DRI/RSTn: predictor resets at each restart marker — encode with
+    restart=1 so EVERY MCU boundary carries a marker and absolute (not
+    cumulative) DC values decode correctly."""
+    q = [8] + [16] * 63
+    vals = [[10, 250, 130, 66]]
+    blocks = [[_const_block(v - 128) for v in vals[0]]]
+    payload = _encode_jpeg(
+        [{"id": 1, "hs": 1, "vs": 1, "tq": 0, "blocks": blocks}],
+        32, 8, {0: q}, restart=1,
+    )
+    got = M.decode_jpeg(payload)
+    assert got is not None
+    _, _, px = got
+    for bx, v in enumerate(vals[0]):
+        assert (px[:, bx * 8 : bx * 8 + 8, 0] == v).all(), (bx, v)
+
+
+def test_decode_jpeg_rejects_malformed_and_nonbaseline():
+    q = [8] + [16] * 63
+    blocks = [[_const_block(0)]]
+    ok = _encode_jpeg(
+        [{"id": 1, "hs": 1, "vs": 1, "tq": 0, "blocks": blocks}], 8, 8, {0: q}
+    )
+    assert M.decode_jpeg(ok) is not None
+    # progressive SOF2 -> None (stub fallback)
+    prog = ok.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert M.decode_jpeg(prog) is None
+    # truncated entropy stream -> None
+    assert M.decode_jpeg(ok[:-6]) is None
+    # wrong magic / empty -> None
+    assert M.decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+    assert M.decode_jpeg(b"") is None
+    assert M.jpeg_features(b"\xff\xd8\xff\xd9", 16) is None
+
+
+def test_jpeg_features_match_ppm_features_on_same_pixels():
+    """Same decoded pixels through the shared _rgb_features body: a
+    block-constant JPEG and a PPM with identical pixels featurize
+    bit-identically — the format-independence contract that lets the
+    analytic oracle apply to JPEG unchanged."""
+    q = [8] + [16] * 63
+    vals = [[40, 220], [5, 129]]
+    blocks = [[_const_block(v - 128) for v in row] for row in vals]
+    payload = _encode_jpeg(
+        [{"id": 1, "hs": 1, "vs": 1, "tq": 0, "blocks": blocks}],
+        16, 16, {0: q},
+    )
+    _, _, px = M.decode_jpeg(payload)
+    ppm = b"P6 16 16 255\n" + px.tobytes()
+    jf = M.jpeg_features(payload, 16)
+    pf = M.ppm_features(ppm, 16)
+    assert jf is not None and pf is not None
+    assert (jf == pf).all()

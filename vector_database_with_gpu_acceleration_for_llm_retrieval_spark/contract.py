@@ -2701,7 +2701,10 @@ def q_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    scored = t["events"].select(
+    # event_type IS NOT NULL pinned on BOTH engines (the model_auc r12
+    # precedent): a NULL type would make a NULL label here (avg skips
+    # it) but 0.0 in a CASE-ELSE mirror — fixture-dependent divergence
+    scored = t["events"].filter(F.col("event_type").isNotNull()).select(
         "event_id",
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").cast("double").alias("label"),
@@ -3670,6 +3673,124 @@ def _make_y4m_udf():
     return pandas_udf("binary")(_make)
 
 
+#: synthetic baseline-JPEG geometry for the REAL-decode check (r12
+#: verdict #4): 4:2:0, two MCUs, every 8x8 block CONSTANT — a constant
+#: block's only nonzero DCT coefficient is DC = 8*(v-128), and with DC
+#: quant 8 the code round-trips EXACTLY (round((8(v-128))/8)*8/8 =
+#: v-128), so the lossy format becomes value-checkable without a
+#: reference codec while the decoder still runs the FULL pipeline:
+#: canonical Huffman, DC prediction across blocks, dequant, IDCT,
+#: chroma upsample, JFIF YCbCr->RGB.  Pixel formulas (the oracle's):
+#: Y(block gx,gy) = (doc*37 + gy*59 + gx*17) % 256;
+#: Cb(MCU m) = (doc*7 + m*29 + 64) % 256;
+#: Cr(MCU m) = (doc*13 + m*53 + 192) % 256.
+JPEG_W, JPEG_H = 32, 16
+
+
+def _make_jpeg_udf():
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w, h = JPEG_W, JPEG_H
+
+    def _make(ids):
+        q = bytes([8] + [16] * 63)  # DC quant 8 -> exact round-trip
+
+        def canon(symbols):
+            syms = sorted(set(symbols))
+            ln = max(2, (len(syms) + 1).bit_length())
+            bits = [0] * 16
+            bits[ln - 1] = len(syms)
+            return bytes(bits), bytes(syms), {s: (i, ln) for i, s in enumerate(syms)}
+
+        def one(doc_id: int) -> bytes:
+            d = int(doc_id)
+            yv = [[(d * 37 + gy * 59 + gx * 17) % 256 for gx in range(4)] for gy in range(2)]
+            cbv = [(d * 7 + m * 29 + 64) % 256 for m in range(2)]
+            crv = [(d * 13 + m * 53 + 192) % 256 for m in range(2)]
+            # MCU-interleaved DC sequence: per MCU, 4 Y blocks then Cb, Cr
+            seq: list[tuple[int, int]] = []  # (component id, DC value)
+            for m in range(2):
+                for by in range(2):
+                    for bx in range(2):
+                        seq.append((1, yv[by][m * 2 + bx] - 128))
+                seq.append((2, cbv[m] - 128))
+                seq.append((3, crv[m] - 128))
+            pred = {1: 0, 2: 0, 3: 0}
+            cats = set()
+            diffs = []
+            for cid, dc in seq:
+                diff = dc - pred[cid]
+                pred[cid] = dc
+                s = abs(diff).bit_length()
+                cats.add(s)
+                diffs.append((diff, s))
+            dc_bits, dc_vals, dc_codes = canon(cats)
+            ac_bits, ac_vals, ac_codes = canon({0x00})
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+            sof = struct.pack(">BHHB", 8, h, w, 3)
+            sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+            out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+                dat = bytes([cls << 4]) + bits + vals
+                out += b"\xff\xc4" + struct.pack(">H", 2 + len(dat)) + dat
+            sos = bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            acc, nb = 0, 0
+            ent = bytearray()
+
+            def put(code, ln):
+                nonlocal acc, nb
+                for i in range(ln - 1, -1, -1):
+                    acc = (acc << 1) | ((code >> i) & 1)
+                    nb += 1
+                    if nb == 8:
+                        ent.append(acc)
+                        if acc == 0xFF:
+                            ent.append(0x00)
+                        acc, nb = 0, 0
+
+            eob_code, eob_len = ac_codes[0x00]
+            for diff, s in diffs:
+                code, ln = dc_codes[s]
+                put(code, ln)
+                if s:
+                    put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                put(eob_code, eob_len)
+            while nb:
+                put(1, 1)
+            return bytes(out) + bytes(ent) + b"\xff\xd9"
+
+        return ids.map(one)
+
+    _make.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(_make)
+
+
+def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, value-checked (r12 verdict #4): build
+    a genuine entropy-coded 4:2:0 JPEG per document (constant 8x8
+    blocks with DC quant 8 — the lossless corner of the lossy format,
+    see the JPEG_W note), decode it with the pure-Python T.81 pipeline
+    (operators/multimodal.decode_jpeg: Huffman, DC prediction, dequant,
+    IDCT, chroma upsample, YCbCr->RGB) and emit the shared
+    pixel-statistics features.  The oracle recomputes the expected
+    features analytically from the block formulas — it never parses a
+    bit — so any entropy/IDCT/upsample/color bug breaks the hash.
+    ``n_bytes`` excluded (entropy-encoding detail, the PNG rule)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id").withColumn(
+        "payload", _make_jpeg_udf()("doc_id")
+    )
+    feats = M.decode_image_features(docs, bin_col="payload", dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("pos", "val")
+    ).select("doc_id", "pos", _round6(F.col("val"), "val"))
+
+
 def q_y4m_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode, value-checked: build a genuine Y4M stream per
     document (text header + FRAME markers + raw luma planes), walk it
@@ -4342,6 +4463,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_lang_id": q_model_lang_id,
         "ppm_image_features": q_ppm_image_features,
         "png_image_features": q_png_image_features,
+        "jpeg_image_features": q_jpeg_image_features,
         "y4m_video_features": q_y4m_video_features,
         "wav_audio_features": q_wav_audio_features,
         "dup_span_stats": q_dup_span_stats,
@@ -5452,7 +5574,9 @@ def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     day = F.to_date("ts")
-    ev = t["events"].select(
+    # event_type IS NOT NULL pinned on BOTH engines (model_auc r12
+    # precedent) so a fixture change can't diverge NULL-conv semantics
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
         F.concat_ws("#", F.col("user_id"), day).alias("unit"),
         F.when(
             (F.col("user_id") + F.datediff(day, F.lit("2024-01-01"))) % 2
@@ -6330,7 +6454,9 @@ def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     day = F.to_date("ts")
-    ev = t["events"].select(
+    # event_type IS NOT NULL pinned on BOTH engines (model_auc r12
+    # precedent — see q_ab_conversion)
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
         F.concat_ws("#", F.col("user_id"), day).alias("unit"),
         (F.col("event_type") == "purchase").alias("conv"),
     )
@@ -6380,7 +6506,10 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select(
+    # event_type IS NOT NULL pinned on BOTH engines (model_auc r12
+    # precedent): the mirror's CASE-ELSE would count a NULL type as
+    # bad=1 while a NULL Spark label drops from both counts
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
         F.when(F.col("value") < 5, "lo")
         .when(F.col("value") < 20, "mid")
         .otherwise("hi")
@@ -6457,7 +6586,9 @@ def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import glm as GL
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select(
+    # event_type IS NOT NULL pinned on BOTH engines (model_auc r12
+    # precedent — see q_woe_iv for the CASE-ELSE divergence shape)
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
         F.least(F.lit(0.999), F.greatest(F.lit(0.0), F.col("value") / 100.0)).alias("p"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )

@@ -317,6 +317,83 @@ SELECT doc_id, {n_bytes} AS n_bytes, CAST(j AS INT) AS pos,
 FROM fv, range(0, 16) tj(j)
 """
 
+def _oracle_jpeg_image_features() -> str:
+    """Analytic mirror of the baseline-JPEG REAL-decode entry: the
+    constant-block fixture round-trips the DCT exactly (DC quant 8 —
+    see contract.JPEG_W), so the expected pixels are pure formulas of
+    (doc_id, x, y): per-8x8-block luma, per-MCU chroma, then the SAME
+    JFIF YCbCr->RGB arithmetic the decoder runs (floor(x+0.5), clamp)
+    — the oracle never parses a single entropy-coded bit, so Huffman /
+    DC-prediction / IDCT / upsample / color bugs all break the hash."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        JPEG_H,
+        JPEG_W,
+    )
+
+    w, h = JPEG_W, JPEG_H
+    yv = "CAST((doc_id * 37 + (y // 8) * 59 + (x // 8) * 17) % 256 AS DOUBLE)"
+    cb = "CAST((doc_id * 7 + (x // 16) * 29 + 64) % 256 AS DOUBLE)"
+    cr = "CAST((doc_id * 13 + (x // 16) * 53 + 192) % 256 AS DOUBLE)"
+    clamp = lambda e: f"least(255.0, greatest(0.0, floor({e} + 0.5)))"  # noqa: E731
+    return f"""
+WITH ycc AS (
+  SELECT doc_id, x, y, {yv} AS yv, {cb} AS cbv, {cr} AS crv
+  FROM documents, range(0, {w}) tx(x), range(0, {h}) ty(y)
+),
+rgbpx AS (
+  SELECT doc_id, x, y,
+         {clamp('yv + 1.402 * (crv - 128)')} AS r,
+         {clamp('yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)')} AS g,
+         {clamp('yv + 1.772 * (cbv - 128)')} AS b
+  FROM ycc
+),
+px AS (
+  SELECT doc_id, x, y, c,
+         CASE WHEN c = 0 THEN r WHEN c = 1 THEN g ELSE b END AS v
+  FROM rgbpx, range(0, 3) tc(c)
+),
+chan AS (SELECT doc_id, c, avg(v) AS m FROM px GROUP BY 1, 2),
+chansd AS (
+  SELECT px.doc_id, px.c, sqrt(avg(pow(px.v - chan.m, 2))) AS sd
+  FROM px JOIN chan ON px.doc_id = chan.doc_id AND px.c = chan.c
+  GROUP BY 1, 2
+),
+lum AS (
+  SELECT doc_id, x, y, ((0.299 * r + 0.587 * g) + 0.114 * b) AS l
+  FROM rgbpx
+),
+lstats AS (
+  SELECT doc_id, avg(l) AS ml,
+         avg(CASE WHEN floor(l / 64.0) = 0 THEN 1.0 ELSE 0.0 END) AS h0,
+         avg(CASE WHEN floor(l / 64.0) = 1 THEN 1.0 ELSE 0.0 END) AS h1,
+         avg(CASE WHEN floor(l / 64.0) = 2 THEN 1.0 ELSE 0.0 END) AS h2,
+         avg(CASE WHEN floor(l / 64.0) = 3 THEN 1.0 ELSE 0.0 END) AS h3
+  FROM lum GROUP BY 1
+),
+mm AS (SELECT doc_id, min(v) AS mn, max(v) AS mx FROM px GROUP BY 1),
+fv AS (
+  SELECT c0.doc_id, [
+    {float(w)!r}, {float(h)!r}, {float(w) / float(h)!r},
+    c0.m / 255.0, c1.m / 255.0, c2.m / 255.0,
+    s0.sd / 255.0, s1.sd / 255.0, s2.sd / 255.0,
+    l.ml / 255.0, l.h0, l.h1, l.h2, l.h3,
+    mm.mn / 255.0, mm.mx / 255.0
+  ]::DOUBLE[] AS f
+  FROM chan c0
+  JOIN chan c1 ON c0.doc_id = c1.doc_id AND c1.c = 1
+  JOIN chan c2 ON c0.doc_id = c2.doc_id AND c2.c = 2
+  JOIN chansd s0 ON c0.doc_id = s0.doc_id AND s0.c = 0
+  JOIN chansd s1 ON c0.doc_id = s1.doc_id AND s1.c = 1
+  JOIN chansd s2 ON c0.doc_id = s2.doc_id AND s2.c = 2
+  JOIN lstats l ON c0.doc_id = l.doc_id
+  JOIN mm ON c0.doc_id = mm.doc_id
+  WHERE c0.c = 0
+)
+SELECT doc_id, CAST(j AS INT) AS pos, {_r6('f[CAST(j + 1 AS BIGINT)]', 'val')}
+FROM fv, range(0, 16) tj(j)
+"""
+
+
 def _oracle_png_image_features() -> str:
     """Analytic mirror of the PNG REAL-decode entry: the SAME pixel
     formula as the PPM oracle at the PNG geometry — the oracle never
@@ -4989,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
         "model_lang_id": _oracle_model_lang_id(),
         "ppm_image_features": _oracle_ppm_image_features(),
         "png_image_features": _oracle_png_image_features(),
+        "jpeg_image_features": _oracle_jpeg_image_features(),
         "y4m_video_features": _oracle_y4m_video_features(),
         "wav_audio_features": _oracle_wav_audio_features(),
         "dup_span_stats": _oracle_dup_span_stats(),
@@ -5324,7 +5402,7 @@ WITH src AS (SELECT CAST(user_id AS VARCHAR) || '#' || CAST(CAST(ts AS DATE) AS 
                     CASE WHEN (user_id + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) % 2 = 0
                          THEN 'a' ELSE 'b' END AS arm,
                     event_type = 'purchase' AS conv
-             FROM events),
+             FROM events WHERE event_type IS NOT NULL),
 units AS (SELECT unit, max(arm) AS g, max(CAST(conv AS INT)) AS s FROM src GROUP BY 1),
 arms AS (SELECT g, count(*) AS n, sum(s) AS x FROM units GROUP BY 1),
 lo AS (SELECT min(g) AS g_lo FROM arms),
@@ -6011,7 +6089,8 @@ def _oracle_power_sample_size(
 ) -> str:
     return f"""
 WITH src AS (SELECT CAST(user_id AS VARCHAR) || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS unit,
-                    event_type = 'purchase' AS conv FROM events),
+                    event_type = 'purchase' AS conv FROM events
+             WHERE event_type IS NOT NULL),
 units AS (SELECT unit, max(CAST(conv AS INT)) AS s FROM src GROUP BY 1),
 base AS (SELECT CAST(count(*) AS BIGINT) AS n_units, sum(s) / count(*) AS p1 FROM units),
 lifts AS (SELECT unnest([0.05, 0.10, 0.20]) AS rel_lift),
@@ -6056,7 +6135,7 @@ FROM pu, s ORDER BY u
 _ORACLE_WOE_IV = f"""
 WITH src AS (SELECT CASE WHEN value < 5 THEN 'lo' WHEN value < 20 THEN 'mid' ELSE 'hi' END AS bin,
                     CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS lbl
-             FROM events),
+             FROM events WHERE event_type IS NOT NULL),
 cells AS (SELECT bin, count(*) AS n, sum(lbl) AS g0, sum(1.0 - lbl) AS b0 FROM src GROUP BY 1),
 t AS (SELECT bin, n, g0, b0, g0 + 0.5 AS g, b0 + 0.5 AS b,
              sum(g0 + 0.5) OVER () AS tg, sum(b0 + 0.5) OVER () AS tb
@@ -6102,7 +6181,7 @@ FROM b
 _ORACLE_CALIBRATION_ERROR = f"""
 WITH src AS (SELECT least(0.999, greatest(0.0, value / 100.0)) AS p,
                     CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
-             FROM events),
+             FROM events WHERE event_type IS NOT NULL),
 per AS (SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
                count(*) AS nb, avg(p) AS conf, avg(y) AS rate,
                sum((p - y) * (p - y)) AS sq

@@ -23,12 +23,19 @@ Decode paths, by format:
   emits ACTUAL luma planes and features are genuine signal statistics
   (dimensions, frame rate, luma moments, temporal motion) — see
   :func:`decode_y4m` / :func:`y4m_features`.
-* **everything else** (JPEG/MP3/compressed video) — the container
-  ships no codec libraries, so those fall back to a clearly-marked stub
-  (deterministic fake features keyed on the content hash). The
-  Spark-side plumbing — schema, Arrow batching, partitioning — is
-  identical for both paths; a real cluster swaps the fallback for
-  PIL/torchaudio inside ``_fake_decode`` and nothing else changes.
+* **baseline JPEG (ITU-T T.81 sequential DCT, Huffman, 8-bit; 4:4:4 /
+  4:2:2 / 4:2:0, restart intervals)** — REALLY decoded, pure
+  Python/numpy (canonical Huffman entropy decode, dequant, exact
+  float64 IDCT, JFIF YCbCr→RGB); the dominant web image format no
+  longer routes to the stub — see :func:`decode_jpeg` /
+  :func:`jpeg_features`.
+* **everything else** (progressive JPEG/MP3/compressed video) — the
+  container ships no codec libraries, so those fall back to a
+  clearly-marked stub (deterministic fake features keyed on the
+  content hash). The Spark-side plumbing — schema, Arrow batching,
+  partitioning — is identical for both paths; a real cluster swaps the
+  fallback for PIL/torchaudio inside ``_fake_decode`` and nothing else
+  changes.
 
 Pattern per the north-star spec: binary payload stays opaque to
 Catalyst; metadata columns (mime, width/height, duration) are real
@@ -51,6 +58,8 @@ __all__ = [
     "ppm_features",
     "decode_png",
     "png_features",
+    "decode_jpeg",
+    "jpeg_features",
     "decode_image_features",
     "decode_wav",
     "wav_features",
@@ -61,7 +70,7 @@ __all__ = [
     "sample_video_frames",
 ]
 
-HAS_CODECS = False  # no PIL/libav in this container; non-PPM/PNG/WAV formats use the digest stub
+HAS_CODECS = False  # no PIL/libav in this container; formats beyond PPM/PNG/baseline-JPEG/WAV/Y4M use the digest stub
 
 
 def attach_binary_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
@@ -310,6 +319,334 @@ def png_features(payload: bytes, dim: int) -> np.ndarray | None:
     return _rgb_features(w, h, px, dim)
 
 
+# --------------------------------------------------------------------------
+# baseline JPEG (ITU-T T.81): pure-Python Huffman + dequant + IDCT + YCbCr
+# --------------------------------------------------------------------------
+
+#: zigzag scan order (T.81 Figure 5): position k in the entropy stream
+#: -> linear index row*8+col in the 8x8 block
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: 8x8 DCT-II basis M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); the
+#: 2-D inverse transform is M.T @ S @ M — one float64 matmul pair per
+#: block, the exact T.81 A.3.3 definition (no integer fast-IDCT
+#: approximation: the oracle replays the same arithmetic)
+_JPEG_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+class _JpegErr(Exception):
+    pass
+
+
+def _jpeg_canonical(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman assignment (T.81 Annex C): BITS[1..16] code
+    counts + HUFFVAL -> {(length, code): symbol}."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise _JpegErr
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: MSB-first, 0xFF00 byte unstuffing;
+    any other 0xFF-marker mid-read raises (truncated/invalid scan)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        try:
+            b = self.buf[self.pos]
+            if b == 0xFF and self.buf[self.pos + 1] != 0x00:
+                raise _JpegErr
+        except IndexError:
+            raise _JpegErr from None
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1
+        return v
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.buf[self.pos] == 0xFF else 1
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise _JpegErr
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s received magnitude bits to the
+    signed coefficient value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL image decode for baseline JPEG (ITU-T T.81 sequential DCT,
+    Huffman, 8-bit) — pure Python/numpy, no codec library (the PNG
+    recipe applied to the dominant web image format; r12 verdict
+    next-round #4, retiring the digest stub for JPEG).
+
+    Supports SOF0/SOF1 frames with 1 or 3 components, sampling factors
+    1-2 (4:4:4 / 4:2:2 / 4:2:0), 8- and 16-bit DQT precision, multiple
+    DQT/DHT tables per segment, restart intervals (DRI + RSTn with DC
+    predictor reset), and 0xFF00 byte stuffing.  The pipeline is the
+    spec's: canonical-Huffman entropy decode (DC category+EXTEND
+    diffs, AC run/size with ZRL and EOB), dequantize in zigzag order,
+    float64 separable IDCT (the exact A.3.3 basis — no fast-IDCT
+    integer approximation, so the test encoder's analytic expectations
+    hold to fp epsilon), +128 level shift with floor(x+0.5) rounding
+    and [0,255] clamp, per-plane nearest-neighbor chroma upsample, and
+    the JFIF YCbCr->RGB matrix with the same rounding.  Returns
+    ``(w, h, (h,w,3) uint8 RGB)`` or ``None`` for anything non-baseline
+    (progressive SOF2, arithmetic coding, 12-bit, >3 components,
+    truncated streams) — the caller falls through to the digest stub.
+
+    Per-bit Python entropy decode is the honest zero-dependency cost
+    (same discipline as the PNG per-pixel filter loops); at 100 TB the
+    decode is embarrassingly per-row inside the Arrow batches and the
+    swap-in point for a C codec is this one function."""
+    if not payload or not payload.startswith(b"\xff\xd8"):
+        return None
+    try:
+        return _decode_jpeg_inner(payload)
+    except (_JpegErr, IndexError, ValueError):
+        return None
+
+
+def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    n = len(payload)
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart = 0
+    rgb = None
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        m = payload[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:  # standalone
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        data = payload[i + 4 : i + 2 + seglen]
+        if len(data) != seglen - 2:
+            return None
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                prec, tid = data[p] >> 4, data[p] & 15
+                p += 1
+                if prec == 0:
+                    q = np.frombuffer(data, np.uint8, 64, p).astype(np.float64)
+                    p += 64
+                else:
+                    q = np.frombuffer(data, ">u2", 64, p).astype(np.float64)
+                    p += 128
+                qt[tid] = q
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                cls, tid = data[p] >> 4, data[p] & 15
+                bits = data[p + 1 : p + 17]
+                nv = sum(bits)
+                vals = data[p + 17 : p + 17 + nv]
+                huff[(cls, tid)] = _jpeg_canonical(bits, vals)
+                p += 17 + nv
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1 (both baseline-Huffman)
+            if data[0] != 8:
+                return None  # 12-bit
+            fh = int.from_bytes(data[1:3], "big")
+            fw = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            if nc not in (1, 3) or not fh or not fw:
+                return None
+            comps = []
+            for c in range(nc):
+                o = 6 + 3 * c
+                comps.append(
+                    (data[o], data[o + 1] >> 4, data[o + 1] & 15, data[o + 2])
+                )
+            if any(hs not in (1, 2) or vs not in (1, 2) for _, hs, vs, _ in comps):
+                return None
+            frame = (fh, fw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(data[0:2], "big")
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                return None
+            rgb, i = _jpeg_scan(payload, i + 2 + seglen, data, frame, qt, huff, restart)
+            continue
+        i += 2 + seglen
+    if rgb is None or frame is None:
+        return None
+    fh, fw = frame[0], frame[1]
+    return fw, fh, rgb
+
+
+def _jpeg_scan(payload, pos, sos, frame, qt, huff, restart):
+    fh, fw, comps = frame
+    ns = sos[0]
+    if ns != len(comps):
+        return None, pos  # partial scans (progressive-style) unsupported
+    tabsel = {}
+    for c in range(ns):
+        cid, tt = sos[1 + 2 * c], sos[2 + 2 * c]
+        tabsel[cid] = (tt >> 4, tt & 15)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mx = -(-fw // (8 * hmax))
+    my = -(-fh // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        planes[cid] = np.zeros((my * vs * 8, mx * hs * 8), dtype=np.float64)
+        if tq not in qt:
+            raise _JpegErr
+    bits = _JpegBits(payload, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for yy in range(my):
+        for xx in range(mx):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bits.align()
+                if not (
+                    payload[bits.pos] == 0xFF
+                    and 0xD0 <= payload[bits.pos + 1] <= 0xD7
+                ):
+                    raise _JpegErr
+                bits.pos += 2
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hs, vs, tq in comps:
+                dc_t, ac_t = tabsel[cid]
+                try:
+                    dct = huff[(0, dc_t)]
+                    act = huff[(1, ac_t)]
+                except KeyError:
+                    raise _JpegErr from None
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = bits.huff(dct)
+                        if s > 11:
+                            raise _JpegErr
+                        diff = _jpeg_extend(bits.receive(s), s)
+                        pred[cid] += diff
+                        coef[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(act)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise _JpegErr
+                            coef[k] = _jpeg_extend(bits.receive(sz), sz) * q[k]
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_JPEG_ZIGZAG] = coef
+                        sblk = block.reshape(8, 8)
+                        pix = _JPEG_IDCT_M.T @ sblk @ _JPEG_IDCT_M + 128.0
+                        py0 = (yy * vs + by) * 8
+                        px0 = (xx * hs + bx) * 8
+                        planes[cid][py0 : py0 + 8, px0 : px0 + 8] = pix
+            mcu_count += 1
+    bits.align()
+    end = bits.pos
+    # clamp + round each plane, upsample to full geometry, crop
+    full = {}
+    for cid, hs, vs, tq in comps:
+        p = np.clip(np.floor(planes[cid] + 0.5), 0.0, 255.0)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[:fh, :fw]
+    if len(comps) == 1:
+        g = full[comps[0][0]].astype(np.uint8)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        y = full[comps[0][0]]
+        cb = full[comps[1][0]] - 128.0
+        cr = full[comps[2][0]] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack(
+            [
+                np.clip(np.floor(ch + 0.5), 0.0, 255.0).astype(np.uint8)
+                for ch in (r, g, b)
+            ],
+            axis=2,
+        )
+    return rgb, end
+
+
+def jpeg_features(payload: bytes, dim: int) -> np.ndarray | None:
+    """Real pixel-statistics features from a decoded baseline JPEG
+    (``None`` if the payload isn't one) — the shared
+    :func:`_rgb_features` body, so the analytic oracle layout is
+    format-independent across PPM/PNG/JPEG."""
+    parsed = decode_jpeg(payload)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    return _rgb_features(w, h, px, dim)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL audio decode for RIFF WAV, 16-bit PCM — no codec library
     needed (the format is public: RIFF container, ``fmt `` chunk with
@@ -454,11 +791,11 @@ def decode_image_features(
 
     Real plumbing: Arrow batches in, one vectorized pass per batch,
     schema ``(id, feature: array<float>, n_bytes: int)``. Payloads that
-    parse as binary PPM (P6) or as 8-bit non-interlaced PNG get REAL
-    pixel-statistics features (:func:`ppm_features` /
-    :func:`png_features` — one shared arithmetic body, so the feature
-    contract is format-independent); other formats fall back to the
-    deterministic digest stub. ``spark.sql.execution.arrow.
+    parse as binary PPM (P6), 8-bit non-interlaced PNG, or baseline
+    JPEG get REAL pixel-statistics features (:func:`ppm_features` /
+    :func:`png_features` / :func:`jpeg_features` — one shared
+    arithmetic body, so the feature contract is format-independent);
+    other formats fall back to the deterministic digest stub. ``spark.sql.execution.arrow.
     maxRecordsPerBatch`` bounds batch memory when payloads are MBs each
     (set ``batch_limit`` accordingly on a real cluster)."""
     id_type = dict(df.dtypes)[id_col]
@@ -468,6 +805,8 @@ def decode_image_features(
         real = ppm_features(p, dim)
         if real is None:
             real = png_features(p, dim)
+        if real is None:
+            real = jpeg_features(p, dim)
         return (real if real is not None else _fake_decode(p, dim)).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
