@@ -190,3 +190,87 @@ def test_stream_graph_retention_keeps_predecessor_at_keep_versions_1(
         assert snap.filter(F.col("version") == max(vers) - 1).count() > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_graph_search_serves_latest_committed_snapshot(spark, tables):
+    """Continuous graph-tier serving (r13): a query stream answered by
+    graph_beam_search over the newest _SUCCESS-committed snapshot of a
+    LIVE ingest store.  Parity contract: each served answer set is
+    IDENTICAL to a batch-mode replay of graph_beam_search over the
+    snapshot version stamped on it — and the stamped version advances
+    across an interleaved insert, proving the reader tracks commits."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        serving as SV,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    batch_a = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 380))
+    k_g = 6
+    g0 = S.nn_descent(base, k=k_g, rounds=1)
+    tmp = tempfile.mkdtemp(prefix="stream_graph_serve_")
+    try:
+        src_i, idx, ck_i = tmp + "/src_i", tmp + "/idx", tmp + "/ck_i"
+        src_q, ck_q = tmp + "/src_q", tmp + "/ck_q"
+        P.write_graph_snapshot(base, g0, idx + "/version=-1")
+        assert SV.latest_committed_version(spark, idx) == -1
+        q1 = emb.filter(F.col("vec_id") % 97 == 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        # the file source needs the dir to exist before the stream starts
+        q1.write.mode("append").parquet(src_q)
+        served: list = []
+        serve = SV.stream_graph_search(
+            spark,
+            src_q,
+            idx,
+            lambda df, bid: served.append(df.collect()),
+            k=4,
+            beam=10,
+            rounds=3,
+        )
+        serve.processAllAvailable()
+        # live insert commits version=0, then a second query wave
+        # (file-source dirs must exist before their stream starts, so
+        # the ingest stream starts at its first batch — the serve
+        # stream stays live across the commit, which is the contract
+        # under test)
+        batch_a.write.mode("append").parquet(src_i)
+        ingest = P.stream_graph_index_ingest(
+            spark, src_i, idx, ck_i, k=k_g, rounds=1
+        )
+        ingest.processAllAvailable()
+        assert SV.latest_committed_version(spark, idx) == 0
+        q2 = emb.filter(F.col("vec_id") % 89 == 7).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        q2.write.mode("append").parquet(src_q)
+        serve.processAllAvailable()
+        ingest.stop()
+        serve.stop()
+
+        assert len(served) == 2, [len(s) for s in served]
+        vers = [sorted({r.version for r in rows}) for rows in served]
+        assert vers == [[-1], [0]], vers  # freshness advanced mid-stream
+
+        # batch-mode replay parity, per stamped version
+        for rows, qdf in ((served[0], q1), (served[1], q2)):
+            v = rows[0].version
+            snap = spark.read.parquet(f"{idx}/version={v}")
+            graph = snap.filter(F.col("kind") == "edge").select(
+                "node", "nbr", "score", "rank"
+            )
+            corpus = snap.filter(F.col("kind") == "vec").select(
+                F.col("node").alias("vec_id"), F.col("vec").alias("embedding")
+            )
+            replay = GA.graph_beam_search(
+                qdf, corpus, graph, k=4, beam=10, rounds=3
+            ).collect()
+            got = {(r.qid, r.neighbor_id, r.rank, round(r.score, 12)) for r in rows}
+            want = {
+                (r.qid, r.neighbor_id, r.rank, round(r.score, 12)) for r in replay
+            }
+            assert got == want, (v, got ^ want)
+            assert got, v  # non-trivial answer sets
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -39,7 +39,127 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sea
     knn_join,
 )
 
-__all__ = ["stream_search", "stream_search_to_parquet"]
+__all__ = ["stream_search", "stream_search_to_parquet", "stream_graph_search"]
+
+
+def latest_committed_version(spark: SparkSession, graph_path: str) -> int | None:
+    """Largest ``version=N`` subdirectory of a versioned snapshot store
+    (:func:`.pipeline.stream_graph_index_ingest` layout) that carries a
+    ``_SUCCESS`` marker — i.e. the newest FULLY-COMMITTED snapshot.
+
+    Readers must never list the base path with partition discovery
+    while the ingest stream is live: a concurrently-writing
+    ``version=N+1`` directory would be picked up half-written.  The
+    ``_SUCCESS`` gate is the standard Hadoop commit protocol — the
+    marker lands only after every task file is moved into place — so
+    pinning to the max SUCCESS-marked version gives a consistent
+    (corpus, graph) pair under concurrent inserts, at any scale."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(graph_path)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return None
+    best = None
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith("version="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")) and (
+            best is None or v > best
+        ):
+            best = v
+    return best
+
+
+def stream_graph_search(
+    spark: SparkSession,
+    source_dir: str,
+    graph_path: str,
+    on_batch: Callable[[DataFrame, int], None],
+    k: int = 10,
+    beam: int = 32,
+    rounds: int = 4,
+    n_entry: int = 8,
+    metric: str = "cosine",
+    schema: str = "qid long, qvec array<float>",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reader_options: dict | None = None,
+):
+    """Graph-tier continuous serving: answer a stream of query vectors
+    with :func:`..operators.graph_ann.graph_beam_search` over the
+    NEWEST committed snapshot of a live
+    :func:`.pipeline.stream_graph_index_ingest` store — the reference's
+    long-lived ``/search`` loop (coordinator/main.py:58-86) composed
+    with its insert path, on the serving tier whose per-query cost is
+    independent of corpus size.
+
+    Per micro-batch: resolve the latest ``_SUCCESS``-committed
+    ``version=N`` (never partition-discover the base path under a
+    concurrent writer — see :func:`latest_committed_version`), load
+    that one directory (a partition-pruned read: exactly one version's
+    files), split it into the (corpus, graph) pair on the ``kind``
+    discriminator, run the batched beam search, and hand
+    ``(qid, neighbor_id, score, rank, version)`` to ``on_batch`` — the
+    ``version`` column is freshness provenance, so downstream can
+    audit exactly which index state served each answer (and the parity
+    test can replay it in batch mode bit-for-bit).
+
+    Queries arriving between ingest commits are served from the
+    previous snapshot — the same read-your-latest-commit semantics the
+    reference's in-memory shard gives between inserts.  Empty
+    micro-batches skip the snapshot read entirely.
+    """
+    from pyspark.sql import functions as F
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        graph_ann as GA,
+    )
+
+    def answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = latest_committed_version(spark, graph_path)
+        if latest is None:
+            raise ValueError(
+                f"stream_graph_search: no committed version=N snapshot under "
+                f"{graph_path}; seed with write_graph_snapshot"
+            )
+        snap = spark.read.parquet(f"{graph_path}/version={latest}")
+        graph = snap.filter(F.col("kind") == "edge").select(
+            "node", "nbr", "score", "rank"
+        )
+        corpus = snap.filter(F.col("kind") == "vec").select(
+            F.col("node").alias(id_col), F.col("vec").alias(vec_col)
+        )
+        hits = GA.graph_beam_search(
+            batch_df,
+            corpus,
+            graph,
+            k=k,
+            beam=beam,
+            rounds=rounds,
+            n_entry=n_entry,
+            metric=metric,
+            query_id=query_id,
+            query_vec=query_vec,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        on_batch(hits.withColumn("version", F.lit(latest)), batch_id)
+
+    reader = spark.readStream.schema(schema)
+    for key, val in (reader_options or {}).items():
+        reader = reader.option(key, val)
+    stream = reader.parquet(source_dir)
+    return stream.writeStream.foreachBatch(answer).outputMode("append").start()
 
 
 def stream_search(
