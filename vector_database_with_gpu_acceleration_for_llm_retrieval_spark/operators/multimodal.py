@@ -267,22 +267,49 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         ft = raw[pos]
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
         pos += stride + 1
+        # filter reconstruction cost probed on 256x256 RGB (BASELINE.md
+        # r13): the original np-scalar loops ran Sub 80 ms / Average
+        # 324 ms / Paeth 283 ms per image. Sub is a per-channel prefix
+        # sum mod 256 — exactly vectorizable. Average/Paeth carry a
+        # left-pixel dependency through a nonlinear >>1 / predictor, so
+        # they stay sequential — but over bytearray ints (no numpy
+        # scalar boxing), which is ~15-20x faster. Bit-identical by the
+        # existing encoder round-trip tests.
         if ft == 0:
             pass
-        elif ft == 1:  # Sub
-            for x in range(ch, stride):
-                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ft == 1:  # Sub: row[x] = raw[x] + row[x-ch] == channel cumsum
+            row = (
+                (row.reshape(-1, ch).cumsum(axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
         elif ft == 2:  # Up
             row += prev
         elif ft == 3:  # Average
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            r = bytearray(row.tobytes())
+            p = prev.tobytes()
+            for x in range(ch):
+                r[x] = (r[x] + (p[x] >> 1)) & 0xFF
+            for x in range(ch, stride):
+                r[x] = (r[x] + ((r[x - ch] + p[x]) >> 1)) & 0xFF
+            row = np.frombuffer(bytes(r), dtype=np.uint8)
         elif ft == 4:  # Paeth
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                ul = int(prev[x - ch]) if x >= ch else 0
-                row[x] = (row[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+            r = bytearray(row.tobytes())
+            p = prev.tobytes()
+            for x in range(ch):
+                # left = ul = 0 -> the spec predictor reduces to up
+                r[x] = (r[x] + p[x]) & 0xFF
+            for x in range(ch, stride):
+                a = r[x - ch]
+                b = p[x]
+                c = p[x - ch]
+                pp = a + b - c
+                pa = pp - a if pp >= a else a - pp
+                pb = pp - b if pp >= b else b - pp
+                pc = pp - c if pp >= c else c - pp
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[x] = (r[x] + pred) & 0xFF
+            row = np.frombuffer(bytes(r), dtype=np.uint8)
         else:
             return None
         out[y] = row
