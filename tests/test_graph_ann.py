@@ -364,3 +364,49 @@ def test_graph_delete_repairs_fully_orphaned_survivor(spark):
     assert len(by_node[1]) == 2, by_node[1]
     # untouched full-degree nodes keep their lists
     assert sorted(by_node[4]) == [5, 6]
+
+
+def test_graph_beam_search_early_exit_exact_and_cheaper(spark, tables):
+    """r13: a round that scores zero fresh candidates ends the search.
+    With beam >= N the search is breadth-first from the entry set, so
+    on a 50-node deg-8 graph it converges within a handful of rounds:
+    rounds=60 must return EXACTLY the rounds=6 answer and the same
+    n_scored, while pinning far fewer frames than 60 un-exited rounds
+    would (the localCheckpoint-count X-ray, the pinned-plan test
+    pattern)."""
+    emb = tables["embeddings"].select("vec_id", "embedding").filter(
+        F.col("vec_id") < 50
+    )
+    g = S.nn_descent(emb, k=8, rounds=1)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    s6, s60 = {}, {}
+    r6 = GA.graph_beam_search(
+        q, emb, g, k=5, beam=50, rounds=6, n_entry=8, stats=s6
+    ).collect()
+    import pyspark.sql.classic.dataframe as cdf
+
+    calls = {"n": 0}
+    orig = cdf.DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return orig(self, eager=eager)
+
+    cdf.DataFrame.localCheckpoint = counting
+    try:
+        r60 = GA.graph_beam_search(
+            q, emb, g, k=5, beam=50, rounds=60, n_entry=8, stats=s60
+        ).collect()
+    finally:
+        cdf.DataFrame.localCheckpoint = orig
+
+    def key(rows):
+        return {(r.qid, r.neighbor_id, r.rank, round(r.score, 12)) for r in rows}
+
+    assert key(r6) == key(r60)
+    assert s6["n_scored"] == s60["n_scored"]
+    # 60 un-exited rounds would pin 2 + 3*60 frames; BFS depth on this
+    # graph is single-digit
+    assert calls["n"] < 62, calls["n"]

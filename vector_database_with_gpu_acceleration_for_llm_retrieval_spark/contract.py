@@ -3357,6 +3357,41 @@ def q_sql_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PORTABLE_SQL_TOPK_COSINE)
 
 
+#: the batch kNN join (X1) through the same portable-SQL front door —
+#: the `sql_topk_cosine` subscript-base trick at query-table scale
+#: (per-qid row_number instead of the global LIMIT).  The `b` CTE pins
+#: one row (qid 0) so the offset cross join cannot multiply.
+PORTABLE_SQL_KNN_JOIN = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+b AS (SELECT CASE WHEN qv[0] IS NULL THEN 1 ELSE 0 END AS o FROM q WHERE qid = 0),
+d AS (SELECT q.qid, e.vec_id AS neighbor_id,
+             sum(CAST(e.embedding[t.i + b.o] AS DOUBLE) * CAST(q.qv[t.i + b.o] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[t.i + b.o] AS DOUBLE) * CAST(e.embedding[t.i + b.o] AS DOUBLE)) AS na2,
+             sum(CAST(q.qv[t.i + b.o] AS DOUBLE) * CAST(q.qv[t.i + b.o] AS DOUBLE)) AS nq2
+      FROM embeddings e, q, b, range(64) AS t(i)
+      GROUP BY q.qid, e.vec_id),
+r AS (SELECT qid, neighbor_id,
+             dp / (sqrt(na2) * sqrt(nq2)) AS s,
+             row_number() OVER (PARTITION BY qid ORDER BY dp / (sqrt(na2) * sqrt(nq2)) DESC, neighbor_id) AS rn
+      FROM d)
+SELECT qid, neighbor_id, round(s, 6) + 0.0 AS score, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+"""
+
+
+def q_sql_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join through the SQL front door: the SAME portable
+    ANSI text runs verbatim in Spark SQL and the DuckDB oracle — the
+    `sql_topk_cosine` pattern extended to the query-table form
+    (DataFrame twin: `knn_join`, same 8-query/k=5 shape)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=["embeddings"])
+    return spark.sql(PORTABLE_SQL_KNN_JOIN)
+
+
 PORTABLE_SQL_HOT_KEYS = """
 WITH c AS (SELECT CAST(user_id AS STRING) AS key, count(*) AS n_rows
            FROM events GROUP BY key),
@@ -4398,6 +4433,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
         "sql_topk_cosine": q_sql_topk_cosine,
+        "sql_knn_join": q_sql_knn_join,
         "assoc_rules": q_assoc_rules,
         "ols_fit_price": q_ols_fit_price,
         "model_auc": q_model_auc,

@@ -98,8 +98,13 @@ def graph_beam_search(
        score survivors (equi-join to the vector table on node id, then
        to the query table on query id), merge into the beam and keep
        the top ``beam`` per query (window, score desc / id asc).
-       Both the beam and the seen set are localCheckpoint-pinned per
-       round.
+       The scored frame, the beam, and the seen set are each
+       localCheckpoint-pinned per round (scored feeds both the beam
+       merge and the seen union — pinning it once halves the scoring
+       work); a round that scores ZERO fresh candidates ends the
+       search early with bit-identical results (every later round
+       would expand nothing), so clustered corpora pay only the
+       rounds they need, not the fixed budget.
     3. ANSWER: top ``k`` of the final beam per query,
        ``(qid, neighbor_id, score, rank)`` — the :func:`..search
        .knn_join` output contract, so recall tooling and rerankers
@@ -214,7 +219,26 @@ def graph_beam_search(
             .distinct()
         )
         fresh = nbrs.join(seen, ["__qid", "__node"], "left_anti")
-        scored = _score(fresh)
+        # pin the scored frame ONCE: it feeds BOTH the beam merge and
+        # the seen union below, whose two eager checkpoints otherwise
+        # re-evaluate its three-join scoring plan (frontier x edges x
+        # vectors x queries) twice per round.  Interleaved A/B
+        # (tools/idle_beam_pin_probe.py, 200 queries / 20k corpus /
+        # rounds=4): a WASH at probe scale (17.49 vs 17.56 s medians —
+        # the saved recompute offsets the extra pin job at the
+        # local[32] job floor); ADOPTED for what the pinned count buys:
+        # EXACT early termination.  Zero fresh candidates means every
+        # later round would expand nothing (the frontier's neighbors
+        # are all seen), so the answer is already final — measured on
+        # over-provisioned rounds (2k corpus / 200 queries / rounds=16,
+        # convergence ~round 8): 23.09 -> 11.43 s medians, results
+        # bit-identical (tests/test_graph_ann.py early-exit X-ray).
+        scored = _score(fresh).coalesce(parts).localCheckpoint(eager=True)
+        n_fresh = scored.count()
+        if stats is not None:
+            n_scored += n_fresh
+        if n_fresh == 0:
+            break
         # after this round every current beam row has been expanded
         # (the frontier was exactly the unexpanded ones)
         merged = beam_df.select(
@@ -236,8 +260,6 @@ def graph_beam_search(
             .coalesce(max(parts, math.ceil(parts * deg_mult)))
             .localCheckpoint(eager=True)
         )
-        if stats is not None:
-            n_scored += scored.count()
 
     if stats is not None:
         stats["n_scored"] = int(n_scored)
