@@ -500,6 +500,50 @@ def q_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
 
 
+#: radius search thresholds: cosine >= 0.25 keeps ~3% of the corpus
+#: per query on the unit-norm random testdata; l2 radius 1.2 is the
+#: equivalent band (d² = 2−2·cos on unit vectors → cos >= 0.28).  The
+#: nearest score to either cutoff is >= 3e-4 away at both sf0.001 and
+#: sf0.01 (measured), so fold-vs-matmul membership can never flip.
+RANGE_COS_T = 0.25
+RANGE_L2_RADIUS = 1.2
+
+
+def q_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query radius search (Faiss ``range_search`` — the
+    reference's top-k read path shard/server.py:70-84 with the heap
+    replaced by a predicate): every corpus row with cosine >=
+    RANGE_COS_T.  Plan is scan → score → filter: zero shuffles
+    (plan-asserted in tests/test_range_search.py)."""
+    t = load_tables(spark, sf_dir)
+    res = S.range_search(t["embeddings"], _query_vec(spark, sf_dir), RANGE_COS_T)
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_range_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch radius join, metric-native l2 radius, pure-expression
+    scoring (the sequential fold, bit-identical to the mirror — the
+    graph-tier scoring precedent)."""
+    t = load_tables(spark, sf_dir)
+    res = S.range_join(
+        _knn_queries(t), t["embeddings"], RANGE_L2_RADIUS, metric="l2",
+        query_vec="embedding", use_matmul=False,
+    )
+    return res.select("qid", "neighbor_id", _round6(F.col("score"), "score"))
+
+
+def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query in-range cardinality through the PRODUCTION matmul
+    path (one mapInPandas corpus scan, no shuffle before the tiny
+    count agg) — membership equals the fold's because the nearest
+    score sits >= 3e-4 from the cutoff (measured, both SFs)."""
+    t = load_tables(spark, sf_dir)
+    res = S.range_join(
+        _knn_queries(t), t["embeddings"], RANGE_COS_T, query_vec="embedding"
+    )
+    return res.groupBy("qid").agg(F.count("*").alias("n_in_range"))
+
+
 #: product quantization: 64 dims → PQ_M subspaces of 8 dims, PQ_KSUB
 #: centroids per subspace (codebooks = sub-slices of the first PQ_KSUB
 #: corpus rows — the oracle-expressible trainer; production uses
@@ -4478,6 +4522,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,
         "graph_beam_topk": q_graph_beam_topk,
         "recall_graph": q_recall_graph,
+        "range_search_cosine": q_range_search_cosine,
+        "range_join_l2": q_range_join_l2,
+        "range_count": q_range_count,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,

@@ -67,6 +67,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     PORTABLE_SQL_KNN_JOIN,
     PORTABLE_SQL_TOPK_COSINE,
     PORTABLE_SQL_PRIORITY_ORDERS,
+    RANGE_COS_T,
+    RANGE_L2_RADIUS,
     LANG_HEAD_DIM,
     LM_ALPHA,
     MAXSIM_K,
@@ -951,6 +953,39 @@ seen{i} AS MATERIALIZED (SELECT qid, node FROM seen{p}
     body = ",\n".join(rounds)
     return f"""{body},
 bfin AS (SELECT qid, node, s FROM b{GRAPH_ROUNDS})"""
+
+
+def _oracle_range_search_cosine() -> str:
+    """Radius search mirror: the same sequential-fold cosine, a WHERE
+    instead of a LIMIT — nearest corpus score sits >= 3e-4 from the
+    cutoff (measured at both SFs), so membership is float-safe."""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_r6('s', 'score')} FROM (
+  SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
+WHERE s >= {RANGE_COS_T}
+"""
+
+
+def _oracle_range_join_l2() -> str:
+    cut = -(RANGE_L2_RADIUS * RANGE_L2_RADIUS)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES})
+SELECT qid, neighbor_id, {_r6('s', 'score')} FROM (
+  SELECT q.qid, e.vec_id AS neighbor_id, -({_sq_l2sq('e.embedding', 'q.qv')}) AS s
+  FROM embeddings e, q)
+WHERE s >= {cut!r}
+"""
+
+
+def _oracle_range_count() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES})
+SELECT qid, count(*) AS n_in_range FROM (
+  SELECT q.qid, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM embeddings e, q)
+WHERE s >= {RANGE_COS_T}
+GROUP BY qid
+"""
 
 
 def _oracle_graph_beam_topk() -> str:
@@ -5062,6 +5097,9 @@ def oracle_sql() -> dict[str, str]:
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
         "graph_beam_topk": _oracle_graph_beam_topk(),
         "recall_graph": _oracle_recall_graph(),
+        "range_search_cosine": _oracle_range_search_cosine(),
+        "range_join_l2": _oracle_range_join_l2(),
+        "range_count": _oracle_range_count(),
         "topk_per_label": _oracle_topk_per_label(),
         "doc_mean_pool": _oracle_doc_mean_pool(),
         "model_lang_id": _oracle_model_lang_id(),

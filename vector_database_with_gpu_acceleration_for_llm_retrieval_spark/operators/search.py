@@ -46,6 +46,8 @@ __all__ = [
     "knn_join_expr",
     "knn_join_grouped",
     "knn_classify",
+    "range_search",
+    "range_join",
     "lsh_bucket",
     "random_hyperplanes",
     "lsh_probe_buckets",
@@ -518,6 +520,182 @@ def knn_classify(
             "vote_score",
         )
     )
+
+
+def _range_cutoff(threshold: float, metric: str) -> float:
+    """Metric-native threshold → internal higher-is-better score cutoff.
+
+    ``cosine``: keep similarity >= threshold (Faiss IP/cosine
+    range-search orientation).  ``l2``: threshold is a EUCLIDEAN
+    RADIUS — keep distance <= threshold, i.e. the neg-l2sq score
+    >= -threshold² (the engine's score orientation, reference
+    coordinator/main.py:75)."""
+    if metric == "cosine":
+        return float(threshold)
+    if threshold < 0:
+        raise ValueError(f"l2 radius must be >= 0, got {threshold}")
+    return -float(threshold) * float(threshold)
+
+
+def range_search(
+    corpus: DataFrame,
+    query_vec,
+    threshold: float,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query radius search: EVERY corpus row within the
+    metric-native threshold of the query (Faiss ``range_search`` /
+    Milvus radius search — the reference's top-k read path
+    (shard/server.py:70-84) with the bounded heap replaced by a
+    predicate, SURVEY.md §2.2's "range variant" gap).
+
+    ``threshold`` is metric-native: cosine similarity >= threshold, or
+    Euclidean distance <= threshold for ``metric='l2'`` (the returned
+    ``score`` column stays higher-is-better neg-l2sq, like every other
+    search operator, so rerankers compose unchanged).
+
+    Physical shape — STRICTLY cheaper than top-k: one corpus scan with
+    a codegen'd score-and-filter; no window, no TakeOrdered heap, no
+    shuffle AT ALL (the plan is scan → project → filter).  At 100 TB
+    the result size is data-dependent (selectivity · N), which is the
+    caller's contract: a radius search that matches everything
+    produces everything.  Empty corpus / nothing-in-range → empty
+    frame (reference O11 semantics).
+    """
+    q = V.vec_lit(query_vec)
+    cutoff = _range_cutoff(threshold, metric)
+    return corpus.select(
+        F.col(id_col),
+        V.score(F.col(vec_col), q, metric).alias("score"),
+    ).filter(F.col("score") >= cutoff)
+
+
+def range_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    metric: str = "cosine",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_matmul: bool = True,
+    query_chunk: int = KNN_JOIN_QUERY_CHUNK,
+    max_broadcast_rows: int = KNN_JOIN_MAX_BROADCAST_ROWS,
+    _depth: int = 0,
+) -> DataFrame:
+    """Batch radius join: for every query row, ALL corpus rows within
+    the metric-native ``threshold`` (see :func:`range_search`) — the
+    set-returning sibling of :func:`knn_join` (SURVEY.md X1), e.g.
+    "every document whose embedding is within cosine 0.8 of any
+    flagged query" for policy sweeps and near-dup radius audits.
+
+    Physical shape (``use_matmul=True``): the query matrix broadcasts
+    in :func:`knn_join`'s chunked form, one ``mapInPandas`` corpus scan
+    scores each Arrow batch with a float64 matmul and emits ONLY the
+    pairs passing the cutoff — and that is the WHOLE plan.  No window,
+    no rank, no shuffle: unlike kNN there is no cross-partition
+    interaction (the predicate is per-pair), so the output goes
+    straight from the scan to the consumer.  Over-budget query batches
+    hash-split exactly like knn_join (disjoint qid splits; the union
+    is exact; driver holds one split's vectors at a time).
+
+    ``use_matmul=False`` is the pure-expression form (broadcast join +
+    the sequential-fold score + filter): all whole-stage-codegen,
+    bit-identical to the DuckDB mirror's fold — the oracle-parity path
+    (the graph-tier scoring precedent), and the boundary-safe one when
+    a score sits within an ulp of the cutoff.
+
+    Returns ``(qid, neighbor_id, score)``.
+    """
+    cutoff = _range_cutoff(threshold, metric)
+    if not use_matmul:
+        q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qvec"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        return (
+            c.join(F.broadcast(q))
+            .select(
+                "qid",
+                "neighbor_id",
+                V.score(F.col("__cvec"), F.col("__qvec"), metric).alias("score"),
+            )
+            .filter(F.col("score") >= cutoff)
+        )
+
+    qid_type = dict(queries.dtypes)[query_id]
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"qid {qid_type}, neighbor_id {id_type}, score double"
+    corpus_slim = corpus.select(id_col, vec_col)
+
+    # same driver-memory discipline as knn_join: count first (cheap),
+    # carve over-budget batches into disjoint xxhash64 splits, and
+    # materialize ONE split's vectors at a time.  Per-pair results are
+    # independent, so the split union is exact.
+    _we_cached = _depth == 0 and not queries.is_cached
+    if _we_cached:
+        queries = queries.persist()
+    n_q = queries.count()
+    if n_q > max_broadcast_rows and _depth < 4:
+        n_splits = -(-n_q * 10 // (9 * max_broadcast_rows))
+        out = None
+        for i in range(n_splits):
+            split = queries.filter(
+                F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_splits)) == i
+            )
+            part = range_join(
+                split, corpus, threshold, metric=metric, query_id=query_id,
+                query_vec=query_vec, id_col=id_col, vec_col=vec_col,
+                use_matmul=True, query_chunk=query_chunk,
+                max_broadcast_rows=max_broadcast_rows, _depth=_depth + 1,
+            )
+            out = part if out is None else out.unionByName(part)
+        if _we_cached:
+            queries.unpersist()
+        return out
+
+    qpdf = queries.select(query_id, query_vec).toPandas()
+    if _we_cached:
+        queries.unpersist()
+    chunks: list[tuple[list, np.ndarray, np.ndarray]] = []
+    for lo in range(0, len(qpdf), query_chunk):
+        part = qpdf.iloc[lo : lo + query_chunk]
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in part[query_vec]])
+        Qs = _normalize_rows(Q) if metric == "cosine" else Q
+        chunks.append((part[query_id].tolist(), Qs, (Qs * Qs).sum(axis=1)))
+
+    if not chunks:
+        return queries.sparkSession.createDataFrame([], out_schema)
+
+    bc = corpus_slim.sparkSession.sparkContext.broadcast(chunks)
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            if metric == "cosine":
+                Xc = _normalize_rows(X)
+                x_sq = None
+            else:
+                Xc = X
+                x_sq = (X * X).sum(axis=1)
+            for c_qids, Qs, q_sq in bc.value:
+                if metric == "cosine":
+                    S = Qs @ Xc.T  # |chunk| x B
+                else:
+                    S = 2.0 * (Qs @ Xc.T) - q_sq[:, None] - x_sq[None, :]
+                qi, ci = np.nonzero(S >= cutoff)
+                if len(qi) == 0:
+                    continue
+                qarr = np.asarray(c_qids)
+                yield pd.DataFrame(
+                    {"qid": qarr[qi], "neighbor_id": ids[ci], "score": S[qi, ci]}
+                )
+
+    return corpus_slim.mapInPandas(score_partition, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
