@@ -410,3 +410,136 @@ def test_graph_beam_search_early_exit_exact_and_cheaper(spark, tables):
     # 60 un-exited rounds would pin 2 + 3*60 frames; BFS depth on this
     # graph is single-digit
     assert calls["n"] < 62, calls["n"]
+
+
+def test_filtered_beam_search_answers_allowed_only_and_beats_postfilter(
+    spark, tables, emb_np
+):
+    """r13 filtered search (the ACORN/filtered-DiskANN form): answers
+    come only from ``allowed``; recall vs the exact FILTERED ground
+    truth is >= post-filtering the unfiltered search at the same
+    budget (the accumulator sees every scored-and-allowed candidate,
+    the post-filter only those surviving the routing beam's top-k)."""
+    ids, X = emb_np
+    k = 10
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    graph = S.nn_descent(emb, k=10, rounds=2)
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    filt = GA.graph_beam_search(
+        q, emb, graph, k=k, beam=10, rounds=4, n_entry=4, allowed=allowed
+    )
+    plain = GA.graph_beam_search(q, emb, graph, k=k, beam=10, rounds=4, n_entry=4)
+
+    got_f: dict[int, set] = {}
+    for r in filt.collect():
+        assert r.neighbor_id % 3 == 0
+        got_f.setdefault(r.qid, set()).add(r.neighbor_id)
+    got_post: dict[int, set] = {}
+    for r in plain.collect():
+        if r.neighbor_id % 3 == 0:
+            got_post.setdefault(r.qid, set()).add(r.neighbor_id)
+
+    # exact filtered ground truth (numpy)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    sims = Xn @ Xn.T
+    rec_f, rec_post = [], []
+    for i in range(30):
+        order = sorted(
+            (j for j in range(len(ids)) if ids[j] % 3 == 0),
+            key=lambda j: (-sims[i, j], ids[j]),
+        )
+        exact = {ids[j] for j in order[:k]}
+        rec_f.append(len(got_f.get(ids[i], set()) & exact) / k)
+        rec_post.append(len(got_post.get(ids[i], set()) & exact) / k)
+    assert np.mean(rec_f) >= np.mean(rec_post)
+    assert np.mean(rec_f) > 0.5  # the filter is 1/3-selective, not adversarial
+
+    # deterministic: a second run is bit-identical
+    again = GA.graph_beam_search(
+        q, emb, graph, k=k, beam=10, rounds=4, n_entry=4, allowed=allowed
+    )
+    a = {(r.qid, r.neighbor_id, r.rank, r.score) for r in filt.collect()}
+    b = {(r.qid, r.neighbor_id, r.rank, r.score) for r in again.collect()}
+    assert a == b
+
+
+def test_filtered_beam_search_rounds0_is_filtered_entry_topk(spark, tables):
+    """rounds=0 + allowed: answers are the top-k of the ALLOWED entry
+    scores only (the accumulator's base case)."""
+    emb = tables["embeddings"].select("vec_id", "embedding").filter(
+        F.col("vec_id") < 40
+    )
+    g = S.nn_descent(emb, k=4, rounds=1)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    res = GA.graph_beam_search(
+        q, emb, g, k=3, beam=8, rounds=0, entries=entries, allowed=allowed
+    ).collect()
+    got = {}
+    for r in res:
+        assert r.neighbor_id % 2 == 0 and r.neighbor_id < 8
+        got.setdefault(r.qid, []).append(r.neighbor_id)
+    # entries 0..7, allowed = evens -> exactly 4 eligible; top-3 each
+    assert all(len(v) == 3 for v in got.values())
+
+
+def test_graph_beam_search_pq_parity_rerank_and_guards(spark, tables):
+    """r13 DiskANN-proper tier: (a) ADC beam scores are bit-identical
+    to pq_adc_topk's LUT fold wherever evaluated, (b) the exact rerank
+    over the true vectors never lowers recall vs pure ADC at the same
+    traversal, (c) parameter guards."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import pq as PQ
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    books = PQ.codebooks_from_rows([list(r["embedding"]) for r in rows], 8)
+    codes = PQ.pq_encode(emb, books)
+    graph = S.nn_descent(emb, k=8, rounds=2)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    adc = GA.graph_beam_search_pq(
+        q, codes, books, graph, k=5, beam=12, rounds=3, n_entry=4
+    ).collect()
+    assert len(adc) == 25
+
+    # (a) score parity with the flat ADC scan, per query
+    qrows = q.orderBy("qid").collect()
+    for qi, qrow in enumerate(qrows):
+        flat = {
+            r.vec_id: r.score
+            for r in PQ.pq_adc_topk(codes, books, qrow["qvec"], k=10**6).collect()
+        }
+        for r in adc:
+            if r.qid == qrow["qid"]:
+                assert abs(flat[r.neighbor_id] - r.score) < 1e-12
+
+    # (b) rerank recall >= ADC recall vs exact
+    rr = GA.graph_beam_search_pq(
+        q, codes, books, graph, k=5, beam=12, rounds=3, n_entry=4,
+        rerank=10, vectors=emb,
+    ).collect()
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in S.knn_join(q, emb, k=5, query_vec="qvec").collect()
+    }
+    adc_hits = len({(r.qid, r.neighbor_id) for r in adc} & exact)
+    rr_hits = len({(r.qid, r.neighbor_id) for r in rr} & exact)
+    assert rr_hits >= adc_hits
+    # rerank scores are TRUE cosines on unit-norm data: bounded by 1
+    assert all(-1.000001 <= r.score <= 1.000001 for r in rr)
+
+    # (c) guards
+    with pytest.raises(ValueError):
+        GA.graph_beam_search_pq(q, codes, books, graph, k=5, beam=12, rerank=10)
+    with pytest.raises(ValueError):
+        GA.graph_beam_search_pq(
+            q, codes, books, graph, k=5, beam=8, rerank=10, vectors=emb
+        )

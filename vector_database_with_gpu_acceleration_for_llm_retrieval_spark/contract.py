@@ -500,6 +500,97 @@ def q_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
 
 
+#: exact-rerank budget for the graph-PQ serving entry: top-8 ADC
+#: answers per query rescored over the true vectors (beam 12 >= 8)
+PQ_BEAM_RERANK = 8
+
+
+def _graph_beam_pq_result(
+    spark: SparkSession, sf_dir: str, rerank: int | None = None
+) -> DataFrame:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph_ann as GA
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    books = _pq_codebooks(spark, sf_dir)
+    codes = PQ.pq_encode(emb, books)
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = emb.filter(F.col("vec_id") < GRAPH_ENTRIES).select("vec_id")
+    return GA.graph_beam_search_pq(
+        qs, codes, books, _exact_knn_graph(emb), k=GRAPH_K, beam=GRAPH_BEAM,
+        rounds=GRAPH_ROUNDS, entries=entries, rerank=rerank,
+        vectors=emb if rerank is not None else None,
+    )
+
+
+def q_graph_beam_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiskANN-proper serving (graph traversal + PQ compressed-domain
+    scoring): the beam rounds of graph_beam_topk scored by per-query
+    ADC lookups over the m-bytes/row codes table — the mirror feeds
+    the same unrolled rounds from a materialized all-pairs ADC CTE."""
+    res = _graph_beam_pq_result(spark, sf_dir)
+    return res.select(
+        "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+    )
+
+
+def q_recall_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@GRAPH_K of the graph-PQ read path WITH its exact rerank
+    (top-PQ_BEAM_RERANK ADC answers rescored over the true vectors) vs
+    the exact kNN join — the production path quantified like every
+    other approximate tier."""
+    t = load_tables(spark, sf_dir)
+    exact = S.knn_join(_knn_queries(t), t["embeddings"], k=GRAPH_K)
+    approx = _graph_beam_pq_result(spark, sf_dir, rerank=PQ_BEAM_RERANK)
+    return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
+
+
+def q_graph_beam_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED graph serving (the ACORN/filtered-DiskANN form): the
+    routing beam traverses the full graph, answers accumulate from
+    every scored candidate passing the metadata predicate (here
+    vec_id % 3 = 0) — the mirror windows the union of the unrolled
+    rounds' scored CTEs under the same filter."""
+    t = load_tables(spark, sf_dir)
+    allowed = t["embeddings"].filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = emb.filter(F.col("vec_id") < GRAPH_ENTRIES).select("vec_id")
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph_ann as GA
+
+    res = GA.graph_beam_search(
+        qs, emb, _exact_knn_graph(emb), k=GRAPH_K, beam=GRAPH_BEAM,
+        rounds=GRAPH_ROUNDS, entries=entries, allowed=allowed,
+    )
+    return res.select("qid", "neighbor_id", _round6(F.col("score"), "score"), "rank")
+
+
+def q_recall_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@GRAPH_K of the filtered beam search vs the exact kNN
+    join over the FILTERED corpus — quantifying what the predicate
+    costs the serving tier at a fixed traversal budget."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    allowed_corpus = emb.filter(F.col("vec_id") % 3 == 0)
+    exact = S.knn_join(_knn_queries(t), allowed_corpus, k=GRAPH_K)
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = emb.filter(F.col("vec_id") < GRAPH_ENTRIES).select("vec_id")
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph_ann as GA
+
+    approx = GA.graph_beam_search(
+        qs, emb, _exact_knn_graph(emb), k=GRAPH_K, beam=GRAPH_BEAM,
+        rounds=GRAPH_ROUNDS, entries=entries,
+        allowed=allowed_corpus.select("vec_id"),
+    )
+    return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
+
+
 #: radius search thresholds: cosine >= 0.25 keeps ~3% of the corpus
 #: per query on the unit-norm random testdata; l2 radius 1.2 is the
 #: equivalent band (d² = 2−2·cos on unit vectors → cos >= 0.28).  The
@@ -4522,6 +4613,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,
         "graph_beam_topk": q_graph_beam_topk,
         "recall_graph": q_recall_graph,
+        "graph_beam_pq_topk": q_graph_beam_pq_topk,
+        "recall_graph_pq": q_recall_graph_pq,
+        "graph_beam_filtered_topk": q_graph_beam_filtered_topk,
+        "recall_graph_filtered": q_recall_graph_filtered,
         "range_search_cosine": q_range_search_cosine,
         "range_join_l2": q_range_join_l2,
         "range_count": q_range_count,

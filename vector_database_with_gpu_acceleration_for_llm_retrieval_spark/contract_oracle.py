@@ -67,6 +67,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     PORTABLE_SQL_KNN_JOIN,
     PORTABLE_SQL_TOPK_COSINE,
     PORTABLE_SQL_PRIORITY_ORDERS,
+    PQ_BEAM_RERANK,
     RANGE_COS_T,
     RANGE_L2_RADIUS,
     LANG_HEAD_DIM,
@@ -907,7 +908,39 @@ approx AS (SELECT vec_id FROM (SELECT vec_id, {_sq_cosine('embedding', 'qv')} AS
 SELECT count(*) / {float(TOPK_K)} AS recall FROM approx JOIN exact USING (vec_id)
 """
 
-def _sq_graph_beam_ctes() -> str:
+def _sq_graph_beam_adc_ctes() -> str:
+    """Compressed-domain scoring feed for the beam mirror: the PQ
+    encode CTEs (the _sq_pq_ctes recipe: codebooks = subspace slices
+    of the first PQ_KSUB rows, per-subspace argmin codes), a LUT PER
+    QUERY (gq instead of the single-query q), and ``adcall(qid, node,
+    s)`` MATERIALIZED — every (query, node) ADC score, which the
+    unrolled rounds then just equi-join (the Spark side computes ADC
+    only for traversed candidates; values agree wherever evaluated
+    because both are the same list_sum/aggregate fold over the same
+    LUT doubles, the hash-green pq_topk precedent)."""
+    dsub = 64 // PQ_M
+    sl_e = f"list_slice(e.embedding, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    sl_c = f"list_slice(c.cv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    sl_q = f"list_slice(gq.qv, s.j * {dsub} + 1, (s.j + 1) * {dsub})"
+    return f"""
+gcb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {PQ_KSUB}),
+gsub AS (SELECT unnest(range(0, {PQ_M})) AS j),
+__gpqd AS (SELECT e.vec_id, s.j, c.cid, {_sq_l2sq(sl_e, sl_c)} AS d
+          FROM embeddings e, gsub s, gcb c),
+__gpqc AS (SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+            FROM __gpqd) WHERE rn = 1),
+__gpqcode AS (SELECT vec_id, list(cid ORDER BY j) AS code FROM __gpqc GROUP BY vec_id),
+__glutv AS (SELECT gq.qid, s.j, c.cid, {_sq_dot(sl_q, sl_c)} AS v FROM gsub s, gcb c, gq),
+__glut AS (SELECT qid, list(l ORDER BY j) AS lut FROM (
+              SELECT qid, j, list(v ORDER BY cid) AS l FROM __glutv GROUP BY qid, j) GROUP BY qid),
+adcall AS MATERIALIZED (SELECT q.qid, e.vec_id AS node,
+                     list_sum(list_transform(range(0, {PQ_M}),
+                              j -> q.lut[j + 1][e.code[j + 1] + 1])) AS s
+              FROM __gpqcode e, __glut q)"""
+
+
+def _sq_graph_beam_ctes(score: str = "cosine") -> str:
     """Graph-ANN serving mirror (operators/graph_ann.graph_beam_search
     with explicit entries): the exact deg-GRAPH_DEG cosine kNN graph
     (self excluded before ranking — same pair frame both engines),
@@ -919,7 +952,20 @@ def _sq_graph_beam_ctes() -> str:
     seen anti-join (NOT EXISTS), the sequential-double-fold cosine
     score, then the (score DESC, node ASC) top-GRAPH_BEAM window with
     all prior beam rows flipped to expanded.  Exposes ``bfin(qid,
-    node, s)`` = the final beam."""
+    node, s)`` = the final beam and ``scall`` = every scored pair.
+
+    ``score='adc'`` swaps the cosine for the compressed-domain PQ
+    lookup (the graph_beam_search_pq tier): the materialized
+    ``adcall`` all-pairs feed (:func:`_sq_graph_beam_adc_ctes`)
+    replaces the inline fold, every other CTE identical."""
+    if score == "adc":
+        adc = _sq_graph_beam_adc_ctes() + ","
+        sc0 = f"""sc0 AS MATERIALIZED (SELECT a.qid, a.node, a.s
+      FROM adcall a JOIN gent ON gent.node = a.node)"""
+    else:
+        adc = ""
+        sc0 = f"""sc0 AS MATERIALIZED (SELECT gq.qid, gent.node, {_sq_cosine('gq.qv', 'e.embedding')} AS s
+      FROM gq CROSS JOIN gent JOIN embeddings e ON e.vec_id = gent.node)"""
     head = f"""gq AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        WHERE vec_id < {KNN_QUERIES}),
 gpair AS MATERIALIZED (SELECT a.vec_id AS node, b.vec_id AS nbr,
@@ -929,20 +975,29 @@ gedges AS MATERIALIZED (SELECT node, nbr FROM (
          SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY gs DESC, nbr) AS rn
          FROM gpair) WHERE rn <= {GRAPH_DEG}),
 gent AS (SELECT vec_id AS node FROM embeddings WHERE vec_id < {GRAPH_ENTRIES}),
-sc0 AS MATERIALIZED (SELECT gq.qid, gent.node, {_sq_cosine('gq.qv', 'e.embedding')} AS s
-      FROM gq CROSS JOIN gent JOIN embeddings e ON e.vec_id = gent.node),
+{adc}
+{sc0},
 b0 AS MATERIALIZED (SELECT qid, node, s, FALSE AS exp FROM (
       SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
       FROM sc0) WHERE rn <= {GRAPH_BEAM}),
 seen0 AS MATERIALIZED (SELECT qid, node FROM sc0)"""
+    if score == "adc":
+        sci = """SELECT n.qid, n.node, a.s
+      FROM n{i} n JOIN adcall a ON a.qid = n.qid AND a.node = n.node"""
+    else:
+        sci = (
+            "SELECT n.qid, n.node, "
+            + _sq_cosine("gq.qv", "e.embedding")
+            + """ AS s
+      FROM n{i} n JOIN embeddings e ON e.vec_id = n.node JOIN gq ON gq.qid = n.qid"""
+        )
     rounds = [head]
     for i in range(1, GRAPH_ROUNDS + 1):
         p = i - 1
         rounds.append(f"""n{i} AS (SELECT DISTINCT f.qid, g.nbr AS node
       FROM (SELECT qid, node FROM b{p} WHERE NOT exp) f
       JOIN gedges g ON g.node = f.node),
-sc{i} AS MATERIALIZED (SELECT n.qid, n.node, {_sq_cosine('gq.qv', 'e.embedding')} AS s
-      FROM n{i} n JOIN embeddings e ON e.vec_id = n.node JOIN gq ON gq.qid = n.qid
+sc{i} AS MATERIALIZED ({sci.format(i=i)}
       WHERE NOT EXISTS (SELECT 1 FROM seen{p} sn WHERE sn.qid = n.qid AND sn.node = n.node)),
 b{i} AS MATERIALIZED (SELECT qid, node, s, exp FROM (
       SELECT qid, node, s, exp, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
@@ -951,8 +1006,79 @@ b{i} AS MATERIALIZED (SELECT qid, node, s, exp FROM (
 seen{i} AS MATERIALIZED (SELECT qid, node FROM seen{p}
       UNION ALL SELECT qid, node FROM sc{i})""")
     body = ",\n".join(rounds)
+    scall = " UNION ALL ".join(
+        f"SELECT qid, node, s FROM sc{i}" for i in range(GRAPH_ROUNDS + 1)
+    )
     return f"""{body},
-bfin AS (SELECT qid, node, s FROM b{GRAPH_ROUNDS})"""
+bfin AS (SELECT qid, node, s FROM b{GRAPH_ROUNDS}),
+scall AS ({scall})"""
+
+
+def _oracle_graph_beam_pq_topk() -> str:
+    """DiskANN-proper mirror: the unrolled beam rounds fed by the
+    materialized all-pairs ADC CTE instead of the inline cosine —
+    same traversal, compressed-domain scores."""
+    return f"""
+WITH {_sq_graph_beam_ctes(score='adc')}
+SELECT qid, node AS neighbor_id, {_r6('s', 'score')}, CAST(rn AS INT) AS rank
+FROM (SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM bfin)
+WHERE rn <= {GRAPH_K}
+"""
+
+
+def _oracle_recall_graph_pq() -> str:
+    """Production graph-PQ read path quantified: top-PQ_BEAM_RERANK of
+    the ADC beam exactly rescored (cosine over the full vectors),
+    top-GRAPH_K, recall vs the exact kNN."""
+    return f"""
+WITH {_sq_graph_beam_ctes(score='adc')},
+rr AS (SELECT qid, node FROM (
+      SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn FROM bfin)
+      WHERE rn <= {PQ_BEAM_RERANK}),
+rscored AS (SELECT rr.qid, rr.node, {_sq_cosine('e.embedding', 'gq.qv')} AS s
+      FROM rr JOIN embeddings e ON e.vec_id = rr.node JOIN gq ON gq.qid = rr.qid),
+approx AS (SELECT qid, node AS neighbor_id FROM (
+      SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn FROM rscored)
+      WHERE rn <= {GRAPH_K}),
+exact AS (SELECT qid, neighbor_id FROM (
+      SELECT gq.qid, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY gq.qid ORDER BY {_sq_cosine('e.embedding', 'gq.qv')} DESC, e.vec_id) AS rn
+      FROM embeddings e, gq) WHERE rn <= {GRAPH_K})
+SELECT qid, count(*) / {float(GRAPH_K)} AS recall
+FROM approx JOIN exact USING (qid, neighbor_id) GROUP BY qid
+"""
+
+
+def _oracle_graph_beam_filtered_topk() -> str:
+    """Filtered beam search mirror: the SAME unrolled traversal (the
+    routing beam ignores the predicate), answers = top-GRAPH_K of the
+    union of every round's scored frame restricted to the allowed set
+    (node % 3 = 0) — each (qid, node) is scored at most once (the seen
+    anti-join), so the union needs no dedup, and a per-round running
+    top-k equals this global window."""
+    return f"""
+WITH {_sq_graph_beam_ctes()}
+SELECT qid, node AS neighbor_id, {_r6('s', 'score')}, CAST(rn AS INT) AS rank
+FROM (SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM scall WHERE node % 3 = 0)
+WHERE rn <= {GRAPH_K}
+"""
+
+
+def _oracle_recall_graph_filtered() -> str:
+    return f"""
+WITH {_sq_graph_beam_ctes()},
+approx AS (SELECT qid, node AS neighbor_id FROM (
+      SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM scall WHERE node % 3 = 0) WHERE rn <= {GRAPH_K}),
+exact AS (SELECT qid, neighbor_id FROM (
+      SELECT gq.qid, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY gq.qid ORDER BY {_sq_cosine('e.embedding', 'gq.qv')} DESC, e.vec_id) AS rn
+      FROM embeddings e, gq WHERE e.vec_id % 3 = 0) WHERE rn <= {GRAPH_K})
+SELECT qid, count(*) / {float(GRAPH_K)} AS recall
+FROM approx JOIN exact USING (qid, neighbor_id) GROUP BY qid
+"""
 
 
 def _oracle_range_search_cosine() -> str:
@@ -5097,6 +5223,10 @@ def oracle_sql() -> dict[str, str]:
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
         "graph_beam_topk": _oracle_graph_beam_topk(),
         "recall_graph": _oracle_recall_graph(),
+        "graph_beam_pq_topk": _oracle_graph_beam_pq_topk(),
+        "recall_graph_pq": _oracle_recall_graph_pq(),
+        "graph_beam_filtered_topk": _oracle_graph_beam_filtered_topk(),
+        "recall_graph_filtered": _oracle_recall_graph_filtered(),
         "range_search_cosine": _oracle_range_search_cosine(),
         "range_join_l2": _oracle_range_join_l2(),
         "range_count": _oracle_range_count(),

@@ -38,6 +38,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 
 __all__ = [
     "graph_beam_search",
+    "graph_beam_search_pq",
     "graph_insert",
     "graph_delete",
     "delete_from_graph_snapshot",
@@ -47,7 +48,11 @@ __all__ = [
 _HASH_MOD = 1_000_003
 
 
-def _metric_fn(metric: str):
+def _metric_fn(metric):
+    if callable(metric):
+        # pluggable scoring seam: callable(query_side_col, node_side_col)
+        # → score Column (the graph-PQ tier's ADC fold plugs in here)
+        return metric
     if metric == "cosine":
         return V.cosine_sim
     if metric == "l2":
@@ -71,6 +76,7 @@ def graph_beam_search(
     seed: int = 0,
     stats: dict | None = None,
     entries: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Batch best-first beam search over a prebuilt kNN graph — the
     query-time completion of :func:`..search.nn_descent` and the
@@ -121,6 +127,23 @@ def graph_beam_search(
     the total number of (query, node) score evaluations — the honest
     candidate-count yardstick the recall tests compare against LSH
     multiprobe at equal work.
+
+    ``allowed`` (optional frame with ``id_col``): FILTERED search, the
+    ACORN / filtered-DiskANN form every production vector store pairs
+    with metadata predicates.  The TRAVERSAL is unchanged — the beam
+    routes through the FULL graph, disallowed nodes included, because
+    pruning edges by the predicate fragments the graph exactly when
+    the filter is selective (the failure mode of post-filter-the-
+    graph) — but the ANSWER is the per-query top ``k`` of every scored
+    candidate that IS in ``allowed``, accumulated across rounds (a
+    bounded |Q|·k frame merged per round, same discipline as the
+    beam).  Disallowed nodes still navigate; they just can't be
+    returned.  Answers may hold fewer than k rows for very selective
+    filters (LIMIT semantics) — raise ``rounds``/``beam`` to widen the
+    explored region, and measure with the recall entry (a post-filter
+    of the unfiltered search at the same budget is a strict subset of
+    this: every allowed node the plain search scores is in the
+    accumulator by construction).
 
     Recall is pytest-measured vs exact :func:`..search.knn_join`
     (tests/test_graph_ann.py — the iterative no-SQL-mirror precedent).
@@ -194,8 +217,27 @@ def graph_beam_search(
     n_q = q.count()
     parts = max(1, math.ceil(n_q * beam / 500_000))
     init = q.select("__qid").crossJoin(F.broadcast(entries))
+    alw = None
+    ans = None
+    if allowed is not None:
+        alw = allowed.select(F.col(id_col).alias("__node")).distinct().persist()
+        # filtered mode pins the initial scored frame once: it feeds
+        # the beam AND the answer accumulator (the per-round `scored`
+        # pin rationale, applied to round 0)
+        sc0 = _score(init).coalesce(parts).localCheckpoint(eager=True)
+        ans = (
+            sc0.join(alw, "__node", "left_semi")
+            .withColumn("__r", F.row_number().over(w_beam))
+            .filter(F.col("__r") <= k)
+            .select("__qid", "__node", "score")
+            .coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
+        init_scored = sc0
+    else:
+        init_scored = _score(init)
     beam_df = (
-        _score(init)
+        init_scored
         .withColumn("__r", F.row_number().over(w_beam))
         .filter(F.col("__r") <= beam)
         .select("__qid", "__node", "score", F.lit(False).alias("__exp"))
@@ -239,6 +281,24 @@ def graph_beam_search(
             n_scored += n_fresh
         if n_fresh == 0:
             break
+        if alw is not None:
+            # answers = running top-k of every scored-and-allowed
+            # candidate — a bounded |Q|·k merge per round, pinned like
+            # the beam.  Pre-truncation `scored` (not the beam) so a
+            # good allowed node truncated out of the routing beam is
+            # still answerable (== the mirror's union over sc CTEs).
+            ans = (
+                ans.unionByName(
+                    scored.join(alw, "__node", "left_semi").select(
+                        "__qid", "__node", "score"
+                    )
+                )
+                .withColumn("__r", F.row_number().over(w_beam))
+                .filter(F.col("__r") <= k)
+                .select("__qid", "__node", "score")
+                .coalesce(parts)
+                .localCheckpoint(eager=True)
+            )
         # after this round every current beam row has been expanded
         # (the frontier was exactly the unexpanded ones)
         merged = beam_df.select(
@@ -266,8 +326,11 @@ def graph_beam_search(
     q.unpersist()
     v.unpersist()
     edges.unpersist()
+    if alw is not None:
+        alw.unpersist()
+    final = ans if ans is not None else beam_df
     return (
-        beam_df.withColumn("rank", F.row_number().over(w_beam))
+        final.withColumn("rank", F.row_number().over(w_beam))
         .filter(F.col("rank") <= k)
         .select(
             F.col("__qid").alias("qid"),
@@ -275,6 +338,114 @@ def graph_beam_search(
             "score",
             "rank",
         )
+    )
+
+
+def graph_beam_search_pq(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    graph: DataFrame,
+    k: int = 10,
+    beam: int = 32,
+    rounds: int = 4,
+    n_entry: int = 8,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    rerank_metric: str = "cosine",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    stats: dict | None = None,
+    entries: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """DiskANN-proper serving: beam search over the kNN graph scored
+    ENTIRELY in the compressed domain (PQ asymmetric-distance lookups
+    over the m-bytes/row ``codes`` table), with an optional exact
+    rerank of the final beam against the full vectors.
+
+    This composes the engine's two scale tiers into the canonical
+    100 TB layout: the GRAPH bounds work per query (``n_entry +
+    rounds·beam·deg`` scorings, corpus-size-independent — module
+    docstring), and PQ bounds the BYTES each scoring touches (m code
+    bytes instead of 4·D vector bytes), so the traversal state that
+    must be hot is |corpus|·m bytes — the DiskANN split of
+    memory-resident codes + on-disk full vectors touched only by the
+    final rerank's id equi-join on ≤ rerank rows per query.
+
+    Mechanics: each query row gets its own ADC lookup table as a
+    column (:func:`..pq.adc_lut_expr` — one codegen projection, no
+    join), the beam's scoring join reads ``codes`` instead of vectors,
+    and the fold ``Σ_j LUT[j][code_j]`` (:func:`..pq.adc_score_fn`)
+    replaces the cosine — everything else (pinned rounds, exact early
+    exit, ``allowed`` filtering, ``stats``) is :func:`graph_beam_search`
+    unchanged, via its pluggable-metric seam.
+
+    ``rerank``: when set (requires ``vectors`` and ``beam >= rerank``),
+    the top-``rerank`` ADC answers per query are exactly rescored
+    (``rerank_metric`` over the true vectors, sequential fold) and the
+    top ``k`` returned — recall ≥ the pure-ADC answer by construction
+    on the candidate superset (asserted in tests).  Scores are then
+    TRUE similarities; without rerank they are ADC approximations of
+    the inner product (L2-normalize upstream for cosine semantics,
+    the reference's normalize-on-insert rule fallback_numpy_index.py:22-24).
+
+    Oracle pair: extras ``graph_beam_pq_topk`` / ``recall_graph_pq``
+    mirror the traversal with a materialized all-pairs ADC CTE feeding
+    the same unrolled rounds (contract_oracle._sq_graph_beam_ctes).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import pq as PQ
+
+    if rerank is not None:
+        if vectors is None:
+            raise ValueError("rerank requires the full `vectors` frame")
+        if beam < rerank:
+            raise ValueError(f"beam must be >= rerank, got {beam} < {rerank}")
+    m = len(codebooks)
+    lut_q = queries.select(
+        F.col(query_id).alias(query_id),
+        PQ.adc_lut_expr(query_vec, codebooks).alias("__lut"),
+    )
+    res = graph_beam_search(
+        lut_q,
+        codes,
+        graph,
+        k=rerank if rerank is not None else k,
+        beam=beam,
+        rounds=rounds,
+        n_entry=n_entry,
+        metric=PQ.adc_score_fn(m),
+        query_id=query_id,
+        query_vec="__lut",
+        id_col=id_col,
+        vec_col=code_col,
+        seed=seed,
+        stats=stats,
+        entries=entries,
+        allowed=allowed,
+    )
+    if rerank is None:
+        return res
+    # exact rerank: ≤ rerank ids per query join back to the full
+    # vectors (broadcast — the shortlist is |Q|·rerank rows), scored by
+    # the deterministic sequential fold, top-k per query
+    shortlist = res.select("qid", "neighbor_id")
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__fv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    qv = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv"))
+    rescored = cand.join(F.broadcast(qv), "qid").select(
+        "qid", "neighbor_id", _metric_fn(rerank_metric)("__qv", "__fv").alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", "rank")
     )
 
 

@@ -52,6 +52,8 @@ __all__ = [
     "pq_encode",
     "pq_encode_expr",
     "adc_lut",
+    "adc_lut_expr",
+    "adc_score_fn",
     "pq_adc_topk",
     "pq_rerank_topk",
     "write_pq_index",
@@ -234,6 +236,54 @@ def adc_lut(codebooks: list[list[list[float]]], query_vec) -> list[list[float]]:
             row.append(s)
         lut.append(row)
     return lut
+
+
+def adc_lut_expr(vec_col, codebooks: list[list[list[float]]]) -> Column:
+    """Per-ROW ADC lookup table as a column: ``LUT[j][c] = <v_j,
+    C[j][c]>`` over the row's vector — the batched form of
+    :func:`adc_lut` (which folds one driver-side query).  The
+    codebooks ride in as literals; each of the m·ksub cells is the
+    same ascending-i sequential fold ``Σ_i v[j·dsub+i]·C[j][c][i]``
+    as the driver version, so a SQL mirror recomputing the LUT
+    per-query gets bit-identical doubles.  Used by the graph-PQ
+    serving tier to give every query row its own LUT in one
+    whole-stage-codegen projection (no join, no Python)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def _cell(j: int, cent: list[float]) -> Column:
+        cent_lit = F.array(*[F.lit(float(x)) for x in cent])
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dsub - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + v[F.lit(j * dsub) + i].cast("double") * F.element_at(cent_lit, i + 1),
+        )
+
+    return F.array(
+        *[F.array(*[_cell(j, cent) for cent in codebooks[j]]) for j in range(m)]
+    )
+
+
+def adc_score_fn(m: int):
+    """Score callable ``(lut_col, code_col) → Σ_j LUT[j][code_j]`` for
+    :func:`..graph_ann.graph_beam_search`'s pluggable-metric seam —
+    the same 1-based ``element_at`` fold as :func:`pq_adc_topk`, but
+    reading the LUT from the query side of the join instead of a
+    literal."""
+
+    def _fn(lut_col, code_col) -> Column:
+        lut = F.col(lut_col) if isinstance(lut_col, str) else lut_col
+        code = F.col(code_col) if isinstance(code_col, str) else code_col
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(F.element_at(lut, j + 1), code[j] + 1),
+        )
+
+    return _fn
 
 
 def pq_adc_topk(
