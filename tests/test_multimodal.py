@@ -725,3 +725,80 @@ def test_jpeg_features_match_ppm_features_on_same_pixels():
     pf = M.ppm_features(ppm, 16)
     assert jf is not None and pf is not None
     assert (jf == pf).all()
+
+
+def test_wav_spectral_frames_pure_tone_and_paths():
+    """r13 frequency-domain features: (a) a pure tone at an exact DFT
+    bin puts the spectral centroid AT that bin's frequency (and the
+    4-band energy entirely in its band), (b) the rfft production path
+    and the matmul oracle-parity path agree to ~1e-9, (c) non-WAV →
+    None, short payload → zero frames, tail dropped."""
+    import struct
+
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.multimodal import (
+        wav_spectral_frames,
+    )
+
+    # mono 8 kHz, 64 samples = 1 frame at frame_len=64; tone at bin 8
+    # -> f0 = 8 * 8000 / 64 = 1000 Hz
+    n = np.arange(64)
+    tone = np.round(20000 * np.sin(2 * np.pi * 8 * n / 64)).astype(np.int64)
+    samples = struct.pack("<64h", *tone.tolist())
+    payload = _make_wav(64, 8000, 1, samples)
+
+    frames = wav_spectral_frames(payload, frame_len=64)
+    assert len(frames) == 1
+    (fi, rms, dc, zcr, cen, bw, roll, flat, bands) = frames[0]
+    assert fi == 0
+    assert abs(cen - 1000.0) < 1.0          # centroid at the tone
+    assert abs(roll - 1000.0) < 1e-9        # rolloff = the tone bin
+    assert bw < 30.0                        # near-pure line spectrum
+    assert flat < 0.01                      # peaky, not flat
+    # bin 8 lies in band 1 (K=33 bins, 8-bin bands): ~all energy there
+    assert bands[1] > 0.99 and sum(bands) == pytest.approx(1.0, abs=1e-9)
+    # strict sign flips only — the bin-8 tone passes through EXACT
+    # zeros every 4 samples (sin(pi n/4) = 0), so products touch 0 and
+    # strict zcr counts none; verify against the samples directly
+    assert zcr == pytest.approx(float((tone[1:] * tone[:-1] < 0).mean()), abs=1e-12)
+    assert abs(rms - 20000 / 32768 / np.sqrt(2)) < 0.01
+
+    # (b) fft vs matmul parity
+    f_fft = wav_spectral_frames(payload, frame_len=64, use_fft=True)[0]
+    f_mm = wav_spectral_frames(payload, frame_len=64, use_fft=False)[0]
+    for a, b in zip(f_fft[:8], f_mm[:8]):
+        assert a == pytest.approx(b, abs=1e-6)
+    assert f_fft[8] == pytest.approx(f_mm[8], abs=1e-9)
+
+    # (c) edges
+    assert wav_spectral_frames(b"not a wav") is None
+    assert wav_spectral_frames(payload, frame_len=100) == []   # shorter than one frame
+    assert len(wav_spectral_frames(payload, frame_len=40)) == 1  # 64 -> 1 frame + dropped tail
+
+
+def test_decode_audio_spectral_skips_non_wav_rows(spark):
+    """The frame-per-row operator: WAV payloads yield frame rows,
+    non-WAV payloads yield nothing (featurize what decodes)."""
+    import struct
+
+    import numpy as np
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.multimodal import (
+        decode_audio_spectral,
+    )
+
+    n = np.arange(60)
+    tone = np.round(10000 * np.sin(2 * np.pi * 5 * n / 30)).astype(np.int64)
+    samples = struct.pack("<60h", *tone.tolist())
+    payload = _make_wav(60, 8000, 1, samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"whatever"))],
+        "doc_id long, payload binary",
+    )
+    rows = decode_audio_spectral(df, frame_len=30, use_fft=False).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert sorted(r.frame_idx for r in rows) == [0, 1]
+    for r in rows:
+        assert abs(r.centroid_hz - 5 * 8000 / 30) < 1.0
+        assert len(r.band_frac) == 4

@@ -4045,6 +4045,47 @@ def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bytes", "pos", _round6(F.col("val"), "val"))
 
 
+#: spectral fixture geometry: 30-sample frames over the 120-frame WAV
+#: fixture → 4 frames, K = 16 bins, 4-bin bands
+WAV_SPEC_FRAME = 30
+
+
+def q_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio features, value-checked: per
+    30-sample frame of channel 0, the DFT-derived spectral centroid /
+    bandwidth / rolloff(0.85) / flatness and 4-band power fractions
+    plus time-domain rms/dc/zcr (multimodal.wav_spectral_frames).  The
+    Spark side decodes genuine RIFF bytes and runs the cos/sin-matmul
+    DFT (use_fft=False — operand order matches the mirror's
+    ``(2·pi())·(k·n)/N`` exactly); the oracle restates the whole DSP
+    chain in SQL from the analytic sample formula: an unrolled-by-join
+    DFT (GROUP BY over a range(K) × range(N) lattice), window-cumsum
+    rolloff, log-mean flatness.  Audio twin of the PNG analytic-pixel
+    recipe, one layer deeper than wav_audio_features' time stats."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id").withColumn(
+        "payload", _make_wav_udf()("doc_id")
+    )
+    feats = M.decode_audio_spectral(
+        docs, bin_col="payload", frame_len=WAV_SPEC_FRAME, use_fft=False
+    )
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        _round6(F.col("rms"), "rms"),
+        _round6(F.col("dc"), "dc"),
+        _round6(F.col("zcr"), "zcr"),
+        _round6(F.col("centroid_hz"), "centroid_hz"),
+        _round6(F.col("bandwidth_hz"), "bandwidth_hz"),
+        _round6(F.col("rolloff_hz"), "rolloff_hz"),
+        _round6(F.col("flatness"), "flatness"),
+        _round6(F.element_at("band_frac", 1), "b0"),
+        _round6(F.element_at("band_frac", 2), "b1"),
+        _round6(F.element_at("band_frac", 3), "b2"),
+        _round6(F.element_at("band_frac", 4), "b3"),
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing, value-checked: the binary frames
     produced by the ``mapInPandas`` stub are projected to (length, md5)
@@ -4613,6 +4654,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,
         "graph_beam_topk": q_graph_beam_topk,
         "recall_graph": q_recall_graph,
+        "wav_spectral_features": q_wav_spectral_features,
         "graph_beam_pq_topk": q_graph_beam_pq_topk,
         "recall_graph_pq": q_recall_graph_pq,
         "graph_beam_filtered_topk": q_graph_beam_filtered_topk,

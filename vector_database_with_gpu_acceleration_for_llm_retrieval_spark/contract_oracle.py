@@ -116,6 +116,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     WAV_CH,
     WAV_FRAMES,
     WAV_RATE,
+    WAV_SPEC_FRAME,
     _PERMS,
     _lang_head_artifact,
 )
@@ -538,6 +539,94 @@ fv AS (
 SELECT doc_id, {n_bytes} AS n_bytes, CAST(j AS INT) AS pos,
        {_r6('f[CAST(j + 1 AS BIGINT)]', 'val')}
 FROM fv, range(0, 16) tj(j)
+"""
+
+
+def _oracle_wav_spectral_features() -> str:
+    """Whole DSP chain restated in SQL from the analytic sample
+    formula (never parsing a byte): DFT by GROUP BY over a
+    range(K)·range(N) lattice with the float sequence
+    ``(2·pi())·(k·n)/N`` matching the Spark matmul's operand order,
+    then centroid/bandwidth/rolloff/flatness/band fractions.  Sum
+    ORDER differs from numpy only at ~1e-15 relative (pairwise vs
+    sequential) — absorbed by round(6); the one threshold compare
+    (rolloff's cum >= 0.85·total) has margins ~15 orders above the
+    drift."""
+    n_fr = WAV_FRAMES // WAV_SPEC_FRAME
+    N = WAV_SPEC_FRAME
+    K = N // 2 + 1
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST(i // {N} AS INT) AS f, i % {N} AS n,
+         CAST((doc_id * 13 + i * 5 + 17) % 60001 - 30000 AS DOUBLE) AS v
+  FROM documents, range(0, {n_fr * N}) ti(i)
+),
+kt AS (SELECT unnest(range(0, {K})) AS k),
+spec AS (
+  SELECT doc_id, f, k,
+         sum(v * cos((2 * pi()) * (k * n) / {float(N)!r})) AS re,
+         sum(-(v * sin((2 * pi()) * (k * n) / {float(N)!r}))) AS im
+  FROM s, kt GROUP BY 1, 2, 3
+),
+pw AS (SELECT doc_id, f, k, re * re + im * im AS p,
+              sqrt(re * re + im * im) AS m,
+              k * {float(WAV_RATE)!r} / {float(N)!r} AS fk
+       FROM spec),
+agg AS (SELECT doc_id, f, sum(m) AS msum, sum(p) AS psum, sum(m * fk) AS mfk
+        FROM pw GROUP BY 1, 2),
+cen AS (SELECT doc_id, f, msum, psum,
+               CASE WHEN msum > 0 THEN mfk / msum ELSE 0.0 END AS c
+        FROM agg),
+bw AS (SELECT p.doc_id, p.f,
+              CASE WHEN c.msum > 0
+                   THEN sqrt(sum(p.m * (p.fk - c.c) * (p.fk - c.c)) / c.msum)
+                   ELSE 0.0 END AS bwv
+       FROM pw p JOIN cen c ON p.doc_id = c.doc_id AND p.f = c.f
+       GROUP BY p.doc_id, p.f, c.msum, c.c),
+flat AS (SELECT doc_id, f,
+                exp(avg(ln(p + 1e-12))) / (avg(p) + 1e-12) AS fl
+         FROM pw WHERE k >= 1 GROUP BY 1, 2),
+roll AS (
+  SELECT doc_id, f, min(fk) AS rl FROM (
+    SELECT doc_id, f, fk,
+           sum(p) OVER (PARTITION BY doc_id, f ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(p) OVER (PARTITION BY doc_id, f) AS tot
+    FROM pw) t
+  WHERE cum >= 0.85 * tot GROUP BY 1, 2),
+bd AS (SELECT doc_id, f, least(k // 4, 3) AS b, sum(p) AS pb
+       FROM pw GROUP BY 1, 2, 3),
+bfr AS (SELECT doc_id, f,
+               sum(CASE WHEN b = 0 THEN pb END) AS e0,
+               sum(CASE WHEN b = 1 THEN pb END) AS e1,
+               sum(CASE WHEN b = 2 THEN pb END) AS e2,
+               sum(CASE WHEN b = 3 THEN pb END) AS e3
+        FROM bd GROUP BY 1, 2),
+tstats AS (SELECT doc_id, f, sqrt(avg(v * v)) / 32768.0 AS rms,
+                  avg(v) / 32768.0 AS dc
+           FROM s GROUP BY 1, 2),
+z AS (SELECT doc_id, f,
+             avg(CASE WHEN v * pv < 0 THEN 1.0 ELSE 0.0 END) AS zcr
+      FROM (SELECT doc_id, f, v,
+                   lag(v) OVER (PARTITION BY doc_id, f ORDER BY n) AS pv
+            FROM s) t
+      WHERE pv IS NOT NULL GROUP BY 1, 2)
+SELECT t.doc_id, t.f AS frame_idx,
+       {_r6('t.rms', 'rms')}, {_r6('t.dc', 'dc')}, {_r6('z.zcr', 'zcr')},
+       {_r6('c.c', 'centroid_hz')}, {_r6('bw.bwv', 'bandwidth_hz')},
+       {_r6('CASE WHEN c.psum > 0 THEN roll.rl ELSE 0.0 END', 'rolloff_hz')},
+       {_r6('flat.fl', 'flatness')},
+       {_r6('CASE WHEN c.psum > 0 THEN bfr.e0 / c.psum ELSE 0.0 END', 'b0')},
+       {_r6('CASE WHEN c.psum > 0 THEN bfr.e1 / c.psum ELSE 0.0 END', 'b1')},
+       {_r6('CASE WHEN c.psum > 0 THEN bfr.e2 / c.psum ELSE 0.0 END', 'b2')},
+       {_r6('CASE WHEN c.psum > 0 THEN bfr.e3 / c.psum ELSE 0.0 END', 'b3')}
+FROM tstats t
+JOIN z ON t.doc_id = z.doc_id AND t.f = z.f
+JOIN cen c ON t.doc_id = c.doc_id AND t.f = c.f
+JOIN bw ON t.doc_id = bw.doc_id AND t.f = bw.f
+JOIN flat ON t.doc_id = flat.doc_id AND t.f = flat.f
+JOIN roll ON t.doc_id = roll.doc_id AND t.f = roll.f
+JOIN bfr ON t.doc_id = bfr.doc_id AND t.f = bfr.f
 """
 
 
@@ -5238,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_image_features": _oracle_jpeg_image_features(),
         "y4m_video_features": _oracle_y4m_video_features(),
         "wav_audio_features": _oracle_wav_audio_features(),
+        "wav_spectral_features": _oracle_wav_spectral_features(),
         "dup_span_stats": _oracle_dup_span_stats(),
         "remove_dup_spans": _oracle_remove_dup_spans(),
         "ranking_quality": _oracle_ranking_quality(),
