@@ -5,6 +5,7 @@ path value-for-value."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import embed as E
@@ -50,7 +51,12 @@ def test_model_embedding_is_deterministic_and_unit_norm(spark, tables):
     texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     for doc_id, emb in a.items():
         expect = local.encode([texts[doc_id]])[0]
-        assert emb == expect  # executor-side == driver-side, bit-for-bit
+        # executor-side == driver-side up to BLAS kernel choice: the
+        # executor encodes the whole Arrow batch (n x 64 GEMM), this
+        # loop encodes one text (GEMV) — different reduction order,
+        # last-ulp drift (the repo's documented matmul-shape gotcha).
+        # Bit-for-bit holds only at EQUAL shapes (asserted via a == b).
+        assert emb == pytest.approx(expect, abs=1e-12)
         norm = sum(x * x for x in emb)
         assert abs(norm - 1.0) < 1e-9
 
