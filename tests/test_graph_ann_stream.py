@@ -274,3 +274,79 @@ def test_stream_graph_search_serves_latest_committed_snapshot(spark, tables):
             assert got, v  # non-trivial answer sets
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_graph_search_filtered_and_pq_variants(spark, tables):
+    """r13 serving pass-throughs: the filtered (allowed=) and
+    compressed-domain (codebooks + rerank) forms of stream_graph_search
+    each replay bit-for-bit as their batch operator over the served
+    snapshot."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import pq as PQ
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        serving as SV,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 250)
+    g0 = S.nn_descent(base, k=6, rounds=1)
+    rows = base.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    books = PQ.codebooks_from_rows([list(r["embedding"]) for r in rows], 8)
+    allowed = base.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    qdf = emb.filter(F.col("vec_id") % 83 == 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_graph_variants_")
+    try:
+        idx = tmp + "/idx"
+        P.write_graph_snapshot(base, g0, idx + "/version=-1")
+        snap = spark.read.parquet(f"{idx}/version=-1")
+        graph = snap.filter(F.col("kind") == "edge").select(
+            "node", "nbr", "score", "rank"
+        )
+        corpus = snap.filter(F.col("kind") == "vec").select(
+            F.col("node").alias("vec_id"), F.col("vec").alias("embedding")
+        )
+
+        for variant, kwargs, replay_fn in (
+            (
+                "filtered",
+                {"allowed": allowed},
+                lambda: GA.graph_beam_search(
+                    qdf, corpus, graph, k=4, beam=10, rounds=3, allowed=allowed
+                ),
+            ),
+            (
+                "pq_rerank",
+                {"codebooks": books, "rerank": 8},
+                lambda: GA.graph_beam_search_pq(
+                    qdf, PQ.pq_encode(corpus, books), books, graph,
+                    k=4, beam=10, rounds=3, rerank=8, vectors=corpus,
+                ),
+            ),
+        ):
+            src_q = f"{tmp}/src_q_{variant}"
+            qdf.write.mode("append").parquet(src_q)
+            served: list = []
+            serve = SV.stream_graph_search(
+                spark, src_q, idx,
+                lambda df, bid: served.append(df.collect()),
+                k=4, beam=10, rounds=3, **kwargs,
+            )
+            serve.processAllAvailable()
+            serve.stop()
+            assert len(served) == 1, variant
+            got = {
+                (r.qid, r.neighbor_id, r.rank, round(r.score, 12))
+                for r in served[0]
+            }
+            want = {
+                (r.qid, r.neighbor_id, r.rank, round(r.score, 12))
+                for r in replay_fn().collect()
+            }
+            assert got == want, (variant, got ^ want)
+            assert got, variant
+            if variant == "filtered":
+                assert all(r.neighbor_id % 3 == 0 for r in served[0])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

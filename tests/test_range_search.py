@@ -145,3 +145,21 @@ def test_range_join_matmul_plan_has_no_shuffle(queries, corpus):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_range_search_subset_precision_and_full_probe(corpus, np_corpus):
+    """IVF-pruned radius search: (a) results ⊆ exact (precision 1 — a
+    returned row is truly in range), (b) probing EVERY cell recovers
+    the exact result, (c) scores match the exact path bit-for-bit on
+    the shared rows (same fold)."""
+    ids, X = np_corpus
+    q = list(X[0])
+    t = 0.25
+    cents = [(int(ids[i]), list(X[i])) for i in range(4)]
+    exact = {r.vec_id: r.score for r in S.range_search(corpus, q, t).collect()}
+    pruned = {r.vec_id: r.score for r in S.ivf_range_search(corpus, q, t, cents, nprobe=2).collect()}
+    assert set(pruned) <= set(exact)
+    for vid, s in pruned.items():
+        assert s == exact[vid]
+    full = {r.vec_id for r in S.ivf_range_search(corpus, q, t, cents, nprobe=4).collect()}
+    assert full == set(exact)

@@ -611,6 +611,37 @@ def q_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", _round6(F.col("score"), "score"))
 
 
+def q_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search through the IVF pruning path (the 100 TB shape:
+    only the IVF_NPROBE nearest cells are scanned) — every returned
+    row is truly in range; missed-cell rows are quantified by
+    range_recall_ivf."""
+    t = load_tables(spark, sf_dir)
+    res = S.ivf_range_search(
+        t["embeddings"], _query_vec(spark, sf_dir), RANGE_COS_T,
+        _ivf_centroids(spark, sf_dir), nprobe=IVF_NPROBE,
+    )
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
+def q_range_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-level recall of the IVF-pruned radius search vs the exact
+    one: |found ∩ true| / |true| — the range-family analogue of the
+    recall@k entries every approximate tier carries."""
+    t = load_tables(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.range_search(t["embeddings"], qv, RANGE_COS_T).select("vec_id")
+    approx = S.ivf_range_search(
+        t["embeddings"], qv, RANGE_COS_T,
+        _ivf_centroids(spark, sf_dir), nprobe=IVF_NPROBE,
+    ).select("vec_id")
+    hits = approx.join(exact, "vec_id").agg(F.count("*").alias("__h"))
+    total = exact.agg(F.count("*").alias("__t"))
+    return hits.crossJoin(total).select(
+        (F.col("__h") / F.col("__t")).alias("recall")
+    )
+
+
 def q_range_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch radius join, metric-native l2 radius, pure-expression
     scoring (the sequential fold, bit-identical to the mirror — the
@@ -4662,6 +4693,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search_cosine": q_range_search_cosine,
         "range_join_l2": q_range_join_l2,
         "range_count": q_range_count,
+        "ivf_range_search": q_ivf_range_search,
+        "range_recall_ivf": q_range_recall_ivf,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,

@@ -1193,6 +1193,41 @@ WHERE s >= {cut!r}
 """
 
 
+def _sq_ivf_range_cand() -> str:
+    """IVF assign + probe (the _oracle_ivfpq_topk mirror pattern)
+    exposing ``rcand(vec_id, embedding)`` = rows in the probed cells,
+    and ``q(qv)``."""
+    return f"""
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+__iassign AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sq_l2sq('e.embedding', 'c.cv')}, c.cid) AS rn
+           FROM embeddings e, cent c),
+__icells AS (SELECT vec_id, embedding, cid AS ivf_cell FROM __iassign WHERE rn = 1),
+__iprobe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY {_sq_l2sq('qv', 'c.cv')}, c.cid) AS rn
+                           FROM cent c, q) WHERE rn <= {IVF_NPROBE}),
+rcand AS (SELECT vec_id, embedding FROM __icells WHERE ivf_cell IN (SELECT cid FROM __iprobe))"""
+
+
+def _oracle_ivf_range_search() -> str:
+    return f"""
+WITH {_sq_ivf_range_cand()}
+SELECT vec_id, {_r6('s', 'score')} FROM (
+  SELECT e.vec_id, {_sq_cosine('e.embedding', 'q.qv')} AS s FROM rcand e, q)
+WHERE s >= {RANGE_COS_T}
+"""
+
+
+def _oracle_range_recall_ivf() -> str:
+    return f"""
+WITH {_sq_ivf_range_cand()},
+truth AS (SELECT e.vec_id FROM embeddings e, q WHERE {_sq_cosine('e.embedding', 'q.qv')} >= {RANGE_COS_T}),
+found AS (SELECT e.vec_id FROM rcand e, q WHERE {_sq_cosine('e.embedding', 'q.qv')} >= {RANGE_COS_T})
+SELECT (SELECT count(*) FROM found JOIN truth USING (vec_id)) * 1.0
+       / (SELECT count(*) FROM truth) AS recall
+"""
+
+
 def _oracle_range_count() -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES})
@@ -5319,6 +5354,8 @@ def oracle_sql() -> dict[str, str]:
         "range_search_cosine": _oracle_range_search_cosine(),
         "range_join_l2": _oracle_range_join_l2(),
         "range_count": _oracle_range_count(),
+        "ivf_range_search": _oracle_ivf_range_search(),
+        "range_recall_ivf": _oracle_range_recall_ivf(),
         "topk_per_label": _oracle_topk_per_label(),
         "doc_mean_pool": _oracle_doc_mean_pool(),
         "model_lang_id": _oracle_model_lang_id(),

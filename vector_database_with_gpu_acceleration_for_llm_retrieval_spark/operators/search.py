@@ -48,6 +48,7 @@ __all__ = [
     "knn_classify",
     "range_search",
     "range_join",
+    "ivf_range_search",
     "lsh_bucket",
     "random_hyperplanes",
     "lsh_probe_buckets",
@@ -842,6 +843,38 @@ def ivf_topk(
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
     candidates = assigned.filter(F.col("ivf_cell").isin(probe))
     return topk(candidates, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_range_search(
+    corpus: DataFrame,
+    query_vec,
+    threshold: float,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned radius search — the 100 TB shape of
+    :func:`range_search`: scan only the ``nprobe`` nearest cells
+    instead of the whole corpus (with the corpus written partitioned
+    by ``ivf_cell``, unprobed cells prune at the SCAN, the
+    ivf_topk_indexed PartitionFilters story).  Approximate BY DESIGN:
+    an in-range row living in an unprobed cell is missed — quantify
+    with the range_recall entry (found/true set ratio, the set-level
+    analogue of recall@k); every returned row IS truly in range
+    (candidates ⊆ corpus under the same predicate), so precision is 1
+    by construction."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        centroids, key=lambda c: (float(((q - np.asarray(c[1])) ** 2).sum()), c[0])
+    )
+    probe = [int(cid) for cid, _ in order[:nprobe]]
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    candidates = assigned.filter(F.col("ivf_cell").isin(probe))
+    return range_search(
+        candidates, query_vec, threshold, metric=metric, id_col=id_col, vec_col=vec_col
+    )
 
 
 def more_like_these(

@@ -92,6 +92,9 @@ def stream_graph_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     reader_options: dict | None = None,
+    allowed: DataFrame | None = None,
+    codebooks: list | None = None,
+    rerank: int | None = None,
 ):
     """Graph-tier continuous serving: answer a stream of query vectors
     with :func:`..operators.graph_ann.graph_beam_search` over the
@@ -116,6 +119,18 @@ def stream_graph_search(
     previous snapshot — the same read-your-latest-commit semantics the
     reference's in-memory shard gives between inserts.  Empty
     micro-batches skip the snapshot read entirely.
+
+    ``allowed`` (frame of ``id_col``) serves every micro-batch through
+    the FILTERED beam search (answers restricted to the allowed set,
+    traversal unfiltered — graph_ann.graph_beam_search's ACORN form).
+    ``codebooks`` switches scoring to the compressed domain
+    (:func:`..operators.graph_ann.graph_beam_search_pq`): each batch's
+    snapshot corpus is PQ-encoded once and traversed by ADC, with
+    ``rerank`` top answers exactly rescored against the snapshot's
+    full vectors — at scale, materialize the codes alongside the
+    snapshot instead of re-encoding (the write_pq_index layout); the
+    per-batch encode here keeps the serving composition testable
+    without a second store.
     """
     from pyspark.sql import functions as F
 
@@ -139,20 +154,45 @@ def stream_graph_search(
         corpus = snap.filter(F.col("kind") == "vec").select(
             F.col("node").alias(id_col), F.col("vec").alias(vec_col)
         )
-        hits = GA.graph_beam_search(
-            batch_df,
-            corpus,
-            graph,
-            k=k,
-            beam=beam,
-            rounds=rounds,
-            n_entry=n_entry,
-            metric=metric,
-            query_id=query_id,
-            query_vec=query_vec,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
+        if codebooks is not None:
+            from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import pq as PQ
+
+            codes = PQ.pq_encode(
+                corpus, codebooks, id_col=id_col, vec_col=vec_col
+            )
+            hits = GA.graph_beam_search_pq(
+                batch_df,
+                codes,
+                codebooks,
+                graph,
+                k=k,
+                beam=beam,
+                rounds=rounds,
+                n_entry=n_entry,
+                rerank=rerank,
+                vectors=corpus if rerank is not None else None,
+                query_id=query_id,
+                query_vec=query_vec,
+                id_col=id_col,
+                vec_col=vec_col,
+                allowed=allowed,
+            )
+        else:
+            hits = GA.graph_beam_search(
+                batch_df,
+                corpus,
+                graph,
+                k=k,
+                beam=beam,
+                rounds=rounds,
+                n_entry=n_entry,
+                metric=metric,
+                query_id=query_id,
+                query_vec=query_vec,
+                id_col=id_col,
+                vec_col=vec_col,
+                allowed=allowed,
+            )
         on_batch(hits.withColumn("version", F.lit(latest)), batch_id)
 
     reader = spark.readStream.schema(schema)
