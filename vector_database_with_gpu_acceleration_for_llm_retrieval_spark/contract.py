@@ -547,6 +547,31 @@ def q_recall_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
 
 
+def q_graph_beam_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two r13 serving modes COMPOSED: compressed-domain (ADC)
+    traversal with answers restricted to the metadata predicate —
+    mirror = the ADC-fed unrolled rounds' scored union under the same
+    filter (both seams exercised through one entry)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph_ann as GA
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    books = _pq_codebooks(spark, sf_dir)
+    codes = PQ.pq_encode(emb, books)
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = emb.filter(F.col("vec_id") < GRAPH_ENTRIES).select("vec_id")
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    res = GA.graph_beam_search_pq(
+        qs, codes, books, _exact_knn_graph(emb), k=GRAPH_K, beam=GRAPH_BEAM,
+        rounds=GRAPH_ROUNDS, entries=entries, allowed=allowed,
+    )
+    return res.select(
+        "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+    )
+
+
 def q_graph_beam_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED graph serving (the ACORN/filtered-DiskANN form): the
     routing beam traverses the full graph, answers accumulate from
@@ -4688,6 +4713,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_spectral_features": q_wav_spectral_features,
         "graph_beam_pq_topk": q_graph_beam_pq_topk,
         "recall_graph_pq": q_recall_graph_pq,
+        "graph_beam_pq_filtered_topk": q_graph_beam_pq_filtered_topk,
         "graph_beam_filtered_topk": q_graph_beam_filtered_topk,
         "recall_graph_filtered": q_recall_graph_filtered,
         "range_search_cosine": q_range_search_cosine,

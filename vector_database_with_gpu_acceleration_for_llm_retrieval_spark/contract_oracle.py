@@ -1139,6 +1139,18 @@ FROM approx JOIN exact USING (qid, neighbor_id) GROUP BY qid
 """
 
 
+def _oracle_graph_beam_pq_filtered_topk() -> str:
+    """ADC traversal + answer predicate composed: the adc-fed rounds'
+    scored union windowed under node % 3 = 0."""
+    return f"""
+WITH {_sq_graph_beam_ctes(score='adc')}
+SELECT qid, node AS neighbor_id, {_r6('s', 'score')}, CAST(rn AS INT) AS rank
+FROM (SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM scall WHERE node % 3 = 0)
+WHERE rn <= {GRAPH_K}
+"""
+
+
 def _oracle_graph_beam_filtered_topk() -> str:
     """Filtered beam search mirror: the SAME unrolled traversal (the
     routing beam ignores the predicate), answers = top-GRAPH_K of the
@@ -5349,6 +5361,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_graph": _oracle_recall_graph(),
         "graph_beam_pq_topk": _oracle_graph_beam_pq_topk(),
         "recall_graph_pq": _oracle_recall_graph_pq(),
+        "graph_beam_pq_filtered_topk": _oracle_graph_beam_pq_filtered_topk(),
         "graph_beam_filtered_topk": _oracle_graph_beam_filtered_topk(),
         "recall_graph_filtered": _oracle_recall_graph_filtered(),
         "range_search_cosine": _oracle_range_search_cosine(),
