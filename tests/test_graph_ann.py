@@ -543,3 +543,44 @@ def test_graph_beam_search_pq_parity_rerank_and_guards(spark, tables):
         GA.graph_beam_search_pq(
             q, codes, books, graph, k=5, beam=8, rerank=10, vectors=emb
         )
+
+
+def test_graph_pq_index_roundtrip_bit_identical(spark, tables, tmp_path):
+    """r13 materialized DiskANN store: serving from the persisted
+    codes/edges/vectors equals the in-memory graph_beam_search_pq
+    bit-for-bit (codes are ints, edges ids — exact through parquet),
+    for both the pure-ADC and the reranked read paths."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import pq as PQ
+
+    emb = tables["embeddings"].select("vec_id", "embedding").filter(
+        F.col("vec_id") < 200
+    )
+    rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    books = PQ.codebooks_from_rows([list(r["embedding"]) for r in rows], 8)
+    graph = S.nn_descent(emb, k=6, rounds=1)
+    codes = PQ.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") % 41 == 1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    path = str(tmp_path / "gpq")
+    GA.write_graph_pq_index(emb, graph, path, books)
+
+    def key(df):
+        return {(r.qid, r.neighbor_id, r.rank, r.score) for r in df.collect()}
+
+    mem = GA.graph_beam_search_pq(
+        q, codes, books, graph, k=5, beam=12, rounds=3, n_entry=4
+    )
+    idx = GA.graph_pq_topk_indexed(
+        spark, path, q, k=5, beam=12, rounds=3, n_entry=4
+    )
+    assert key(mem) == key(idx)
+
+    mem_rr = GA.graph_beam_search_pq(
+        q, codes, books, graph, k=5, beam=12, rounds=3, n_entry=4,
+        rerank=8, vectors=emb,
+    )
+    idx_rr = GA.graph_pq_topk_indexed(
+        spark, path, q, k=5, beam=12, rounds=3, n_entry=4, rerank=8
+    )
+    assert key(mem_rr) == key(idx_rr)

@@ -547,6 +547,42 @@ def q_recall_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
 
 
+def q_graph_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized DiskANN read path: the graph_beam_pq_topk traversal
+    served from a persisted codes/edges/vectors store (codes are ints
+    and edges ids — exact through the parquet round trip, so this is
+    provably identical to the in-memory entry and shares its oracle,
+    the pq_topk_indexed precedent)."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph_ann as GA
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    books = _pq_codebooks(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = emb.filter(F.col("vec_id") < GRAPH_ENTRIES).select("vec_id")
+    tmp = tempfile.mkdtemp(prefix="graphpq_idx_contract_")
+    try:
+        GA.write_graph_pq_index(
+            emb.select("vec_id", "embedding"), _exact_knn_graph(emb), tmp, books
+        )
+        res = GA.graph_pq_topk_indexed(
+            spark, tmp, qs, k=GRAPH_K, beam=GRAPH_BEAM, rounds=GRAPH_ROUNDS,
+            entries=entries,
+        )
+        out = res.select(
+            "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+        )
+        # materialize before rmtree (the pq_topk_indexed pattern)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_graph_beam_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two r13 serving modes COMPOSED: compressed-domain (ADC)
     traversal with answers restricted to the metadata predicate —
@@ -4714,6 +4750,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_beam_pq_topk": q_graph_beam_pq_topk,
         "recall_graph_pq": q_recall_graph_pq,
         "graph_beam_pq_filtered_topk": q_graph_beam_pq_filtered_topk,
+        "graph_pq_topk_indexed": q_graph_pq_topk_indexed,
         "graph_beam_filtered_topk": q_graph_beam_filtered_topk,
         "recall_graph_filtered": q_recall_graph_filtered,
         "range_search_cosine": q_range_search_cosine,

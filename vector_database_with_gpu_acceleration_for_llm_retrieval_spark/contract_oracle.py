@@ -5362,6 +5362,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_beam_pq_topk": _oracle_graph_beam_pq_topk(),
         "recall_graph_pq": _oracle_recall_graph_pq(),
         "graph_beam_pq_filtered_topk": _oracle_graph_beam_pq_filtered_topk(),
+        # provably identical to the in-memory entry (codes/edges exact
+        # through parquet) — shares its mirror, the pq_topk_indexed rule
+        "graph_pq_topk_indexed": _oracle_graph_beam_pq_topk(),
         "graph_beam_filtered_topk": _oracle_graph_beam_filtered_topk(),
         "recall_graph_filtered": _oracle_recall_graph_filtered(),
         "range_search_cosine": _oracle_range_search_cosine(),

@@ -39,6 +39,8 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 __all__ = [
     "graph_beam_search",
     "graph_beam_search_pq",
+    "write_graph_pq_index",
+    "graph_pq_topk_indexed",
     "graph_insert",
     "graph_delete",
     "delete_from_graph_snapshot",
@@ -446,6 +448,108 @@ def graph_beam_search_pq(
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "score", "rank")
+    )
+
+
+def write_graph_pq_index(
+    vectors: DataFrame,
+    graph: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the DiskANN serving artifact as three co-located tables
+    under one root — the storage split :func:`graph_beam_search_pq`
+    assumes:
+
+    * ``codes/``   — m-bytes/row PQ codes (the memory-resident tier
+      every traversal scoring touches),
+    * ``edges/``   — the kNN graph's (node, nbr) adjacency,
+    * ``vectors/`` — the full 4·D-byte vectors (the disk tier, touched
+      only by the final rerank's id equi-join on ≤ rerank·|Q| rows),
+
+    plus the codebooks sidecar (the write_pq_index convention, so
+    hdfs:///s3:// paths work).  Separate directories, not a ``kind=``
+    partition column: the three schemas differ and a traversal-only
+    reader must be able to open codes+edges without ever listing the
+    vector files."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import pq as PQ
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+
+    PQ.pq_encode(vectors, codebooks, vec_col=vec_col, id_col=id_col).write.mode(
+        mode
+    ).parquet(f"{path}/codes")
+    graph.select("node", "nbr").write.mode(mode).parquet(f"{path}/edges")
+    vectors.select(id_col, vec_col).write.mode(mode).parquet(f"{path}/vectors")
+    _write_meta(
+        vectors.sparkSession,
+        path,
+        {"kind": "graphpq", "codebooks": codebooks, "vec_col": vec_col},
+    )
+
+
+def graph_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 32,
+    rounds: int = 4,
+    n_entry: int = 8,
+    rerank: int | None = None,
+    rerank_metric: str = "cosine",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    seed: int = 0,
+    stats: dict | None = None,
+    entries: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve from a :func:`write_graph_pq_index` store: beam traversal
+    over the persisted codes+edges (ADC scoring), optional exact
+    rerank reading the vectors/ table only through the shortlist's id
+    equi-join — the full materialized read path; provably identical to
+    the in-memory :func:`graph_beam_search_pq` on the same inputs
+    (codes are ints and edges ids — exact through the parquet round
+    trip; pytest-asserted bit-for-bit, and the contract entry shares
+    the in-memory oracle, the pq_topk_indexed precedent)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _read_meta,
+    )
+
+    meta = _read_meta(spark, path)
+    codebooks = meta["codebooks"]
+    vec_col = meta.get("vec_col", "embedding")
+    codes = spark.read.parquet(f"{path}/codes")
+    graph = spark.read.parquet(f"{path}/edges")
+    vectors = (
+        spark.read.parquet(f"{path}/vectors") if rerank is not None else None
+    )
+    return graph_beam_search_pq(
+        queries,
+        codes,
+        codebooks,
+        graph,
+        k=k,
+        beam=beam,
+        rounds=rounds,
+        n_entry=n_entry,
+        rerank=rerank,
+        vectors=vectors,
+        rerank_metric=rerank_metric,
+        query_id=query_id,
+        query_vec=query_vec,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        stats=stats,
+        entries=entries,
+        allowed=allowed,
     )
 
 
