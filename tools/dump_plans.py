@@ -592,6 +592,66 @@ def main() -> None:
         "",
     ]
 
+    # radius search (r13): the strictly-cheaper-than-top-k plan shapes
+    qv = t["embeddings"].filter(F.col("vec_id") == 0).head()["embedding"]
+    df = S2.range_search(t["embeddings"], qv, 0.25)
+    out += [
+        "## range_search",
+        "",
+        "Radius search: scan → score → filter, ZERO Exchanges — no window, "
+        "no TakeOrdered heap (there is no k to rank toward); output size is "
+        "selectivity-bound, the caller's contract. Scan prunes to 2 columns.",
+        "",
+        "```",
+        physical_plan(df).strip(),
+        "```",
+        "",
+    ]
+    df = S2.range_join(gq, t["embeddings"], 0.25)
+    out += [
+        "## range_join (matmul path)",
+        "",
+        "Batch radius join: ONE mapInPandas corpus scan scores every Arrow "
+        "batch against the broadcast query chunks and emits only in-range "
+        "pairs — and that is the whole plan: unlike kNN there is no global "
+        "window stage, because the predicate is per-pair (no cross-partition "
+        "interaction). Zero Exchanges.",
+        "",
+        "```",
+        physical_plan(df).strip(),
+        "```",
+        "",
+    ]
+
+    # graph+PQ serving (r13): compressed-domain traversal final plan
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        pq as PQ2,
+    )
+
+    rows = t["embeddings"].filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    books = PQ2.codebooks_from_rows([list(r["embedding"]) for r in rows], 8)
+    codes = PQ2.pq_encode(t["embeddings"], books)
+    df = GA.graph_beam_search_pq(
+        gq, codes, books, g, k=5, beam=8, rounds=2, rerank=8,
+        vectors=t["embeddings"],
+    )
+    out += [
+        "## graph_beam_search_pq (+ exact rerank)",
+        "",
+        "DiskANN-proper read path: the traversal's scoring joins read the "
+        "m-bytes/row codes table (ADC fold against the per-query LUT column — "
+        "one codegen projection, no Python on the scoring path), rounds pinned "
+        "as in graph_beam_search; this final plan is the rerank stage — the "
+        "|Q|·rerank shortlist BROADCAST onto the full-vector table (the only "
+        "touch of 4·D-byte rows anywhere), exact fold rescore, per-query "
+        "window over ≤ rerank rows.",
+        "",
+        "```",
+        physical_plan(df).strip(),
+        "```",
+        "",
+    ]
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
