@@ -584,3 +584,39 @@ def test_graph_pq_index_roundtrip_bit_identical(spark, tables, tmp_path):
         spark, path, q, k=5, beam=12, rounds=3, n_entry=4, rerank=8
     )
     assert key(mem_rr) == key(idx_rr)
+
+
+def test_calibrate_beam_finds_minimal_meeting_target(spark, tables):
+    """r13 tuner: sweeps beams ascending, stops at the first meeting
+    the target; frontier carries the measured recall/cost curve with
+    cost (scored/query) strictly increasing in beam."""
+    emb = tables["embeddings"].select("vec_id", "embedding").filter(
+        F.col("vec_id") < 200
+    )
+    graph = S.nn_descent(emb, k=8, rounds=2)
+    q = emb.filter(F.col("vec_id") % 37 == 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    chosen, frontier = GA.calibrate_beam(
+        q, emb, graph, k=5, target_recall=0.5, beams=(5, 10, 20), rounds=3,
+        n_entry=4,
+    )
+    assert frontier, "at least one beam tried"
+    costs = [f["scored_per_query"] for f in frontier]
+    assert costs == sorted(costs)
+    if chosen is not None:
+        assert frontier[-1]["recall"] >= 0.5
+        assert frontier[-1]["beam"] == chosen
+        # minimality: every earlier tried beam missed the target
+        for f in frontier[:-1]:
+            assert f["recall"] < 0.5
+    # an unreachable target sweeps everything and chooses None
+    chosen_hi, frontier_hi = GA.calibrate_beam(
+        q, emb, graph, k=5, target_recall=1.01, beams=(5, 10), rounds=2,
+        n_entry=4,
+    )
+    assert chosen_hi is None and len(frontier_hi) == 2
+    # beams below k are skipped; empty query sample short-circuits
+    assert GA.calibrate_beam(
+        q.filter("qid < 0"), emb, graph, k=5, beams=(8,)
+    ) == (None, [])
