@@ -409,10 +409,17 @@ def graph_beam_search_pq(
         if beam < rerank:
             raise ValueError(f"beam must be >= rerank, got {beam} < {rerank}")
     m = len(codebooks)
+    # pin the LUT frame: adc_lut_expr is an m·ksub·dsub expression tree
+    # (~1k nodes at m=8/ksub=16) — left in the lineage it re-enters
+    # EVERY round's scoring plan and each round pays its analysis +
+    # codegen again (measured: 18.8 s median and monotonically growing
+    # reps at the 20k-corpus probe vs 7.3 s for the plain beam; pinned,
+    # the rounds see a compact ExistingRDD scan).  eager=True so the
+    # one materialization job happens here, not inside round 0.
     lut_q = queries.select(
         F.col(query_id).alias(query_id),
         PQ.adc_lut_expr(query_vec, codebooks).alias("__lut"),
-    )
+    ).localCheckpoint(eager=True)
     res = graph_beam_search(
         lut_q,
         codes,
