@@ -3584,6 +3584,39 @@ def q_sql_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PORTABLE_SQL_TOPK_COSINE)
 
 
+#: radius search through the same portable-SQL front door — the
+#: sql_topk_cosine text with the ORDER BY/LIMIT coordinator cut
+#: replaced by the WHERE predicate (the r13 range family's flagship
+#: shape).  Threshold literal = RANGE_COS_T; the nearest score sits
+#: >= 3e-4 from it (measured, both SFs), so the engines' GROUP BY sum
+#: orders cannot flip membership.
+PORTABLE_SQL_RANGE_SEARCH = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT CASE WHEN qv[0] IS NULL THEN 1 ELSE 0 END AS o FROM q),
+d AS (SELECT e.vec_id,
+             sum(CAST(e.embedding[t.i + b.o] AS DOUBLE) * CAST(q.qv[t.i + b.o] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[t.i + b.o] AS DOUBLE) * CAST(e.embedding[t.i + b.o] AS DOUBLE)) AS na2,
+             sum(CAST(q.qv[t.i + b.o] AS DOUBLE) * CAST(q.qv[t.i + b.o] AS DOUBLE)) AS nq2
+      FROM embeddings e, q, b, range(64) AS t(i)
+      GROUP BY e.vec_id)
+SELECT vec_id, round(dp / (sqrt(na2) * sqrt(nq2)), 6) + 0.0 AS score
+FROM d WHERE dp / (sqrt(na2) * sqrt(nq2)) >= 0.25
+"""
+
+
+def q_sql_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search through the SQL front door: the SAME portable
+    ANSI text runs verbatim in Spark SQL and the DuckDB oracle — the
+    sql_topk_cosine pattern with the predicate cut instead of the
+    top-k cut (DataFrame twin: `range_search_cosine`)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, names=["embeddings"])
+    return spark.sql(PORTABLE_SQL_RANGE_SEARCH)
+
+
 #: the batch kNN join (X1) through the same portable-SQL front door —
 #: the `sql_topk_cosine` subscript-base trick at query-table scale
 #: (per-qid row_number instead of the global LIMIT).  The `b` CTE pins
@@ -4701,6 +4734,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_series": q_similar_series,
         "sql_hot_keys": q_sql_hot_keys,
         "sql_topk_cosine": q_sql_topk_cosine,
+        "sql_range_search": q_sql_range_search,
         "sql_knn_join": q_sql_knn_join,
         "assoc_rules": q_assoc_rules,
         "ols_fit_price": q_ols_fit_price,

@@ -65,6 +65,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract impo
     PORTABLE_SQL_FORECAST_REVENUE,
     PORTABLE_SQL_HOT_KEYS,
     PORTABLE_SQL_KNN_JOIN,
+    PORTABLE_SQL_RANGE_SEARCH,
     PORTABLE_SQL_TOPK_COSINE,
     PORTABLE_SQL_PRIORITY_ORDERS,
     PQ_BEAM_RERANK,
@@ -5452,6 +5453,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_series": _ORACLE_SIMILAR_SERIES,
         "sql_hot_keys": PORTABLE_SQL_HOT_KEYS,
         "sql_topk_cosine": PORTABLE_SQL_TOPK_COSINE,
+        "sql_range_search": PORTABLE_SQL_RANGE_SEARCH,
         "sql_knn_join": PORTABLE_SQL_KNN_JOIN,
         "promo_orders": _ORACLE_PROMO_ORDERS,
         "sql_forecast_revenue": PORTABLE_SQL_FORECAST_REVENUE,
