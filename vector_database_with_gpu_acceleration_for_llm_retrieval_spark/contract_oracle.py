@@ -551,7 +551,10 @@ def _oracle_wav_spectral_features() -> str:
     then centroid/bandwidth/rolloff/flatness/band fractions.  Sum
     ORDER differs from numpy only at ~1e-15 relative (pairwise vs
     sequential) — absorbed by round(6); the one threshold compare
-    (rolloff's cum >= 0.85·total) has margins ~15 orders above the
+    (rolloff's cum >= 0.85·total) has a MEASURED minimum relative
+    margin of 0.15·total on the sf0.01 fixture (the DFT of the
+    near-sawtooth sample formula concentrates power, so the crossing
+    bin jumps past the threshold) — ~14 orders above any sum-order
     drift."""
     n_fr = WAV_FRAMES // WAV_SPEC_FRAME
     N = WAV_SPEC_FRAME
