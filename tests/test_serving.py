@@ -126,3 +126,42 @@ def test_stream_search_to_parquet_smoke(spark, tables):
         assert set(out.columns) == {"qid", "neighbor_id", "score", "rank"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_search_range_join_serving(spark, tables):
+    """r13: continuous RADIUS serving through the existing search_fn
+    seam — each micro-batch answered by range_join; the streamed union
+    equals the one-shot batch result (per-pair predicate, no
+    cross-batch interaction by construction)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import (
+        range_join,
+    )
+
+    corpus = tables["embeddings"].select("vec_id", "embedding").persist()
+    q = corpus.filter(F.col("vec_id") % 61 == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    t = 0.25
+    tmp = tempfile.mkdtemp(prefix="stream_range_")
+    try:
+        src = tmp + "/src"
+        q.write.mode("append").parquet(src)
+        got: list = []
+        stream = S.stream_search(
+            spark, src, corpus,
+            lambda df, bid: got.extend(df.collect()),
+            search_fn=lambda batch: range_join(
+                batch, corpus, t, query_vec="embedding"
+            ),
+        )
+        stream.processAllAvailable()
+        stream.stop()
+        want = {
+            (r.qid, r.neighbor_id, round(r.score, 6))
+            for r in range_join(q, corpus, t, query_vec="embedding").collect()
+        }
+        assert {(r.qid, r.neighbor_id, round(r.score, 6)) for r in got} == want
+        assert want  # non-trivial
+    finally:
+        corpus.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
