@@ -620,3 +620,71 @@ def test_calibrate_beam_finds_minimal_meeting_target(spark, tables):
     assert GA.calibrate_beam(
         q.filter("qid < 0"), emb, graph, k=5, beams=(8,)
     ) == (None, [])
+
+
+def test_medoid_entries_cover_clusters_and_lift_recall(spark):
+    """r13 entry selection: on a planted-cluster corpus the k-means
+    medoids land one per cluster, and beam search from them beats the
+    same budget started from single-cluster (adversarial) entries —
+    the entry-point coverage argument, made measurable."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    means = np.kron(np.eye(4), np.ones(2)) * 10.0  # 4 well-separated means in 8-d
+    rows = []
+    for j in range(50):
+        for c in range(4):
+            v = means[c] + rng.normal(0, 0.5, 8)
+            rows.append((c + 4 * j, [float(x) for x in v]))  # ids interleave clusters
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ents = GA.medoid_entries(emb, n_entry=4, kmeans_iters=5)
+    ids = [r.vec_id for r in ents.collect()]
+    assert len(ids) == 4
+    assert {i % 4 for i in ids} == {0, 1, 2, 3}  # one medoid per planted cluster
+
+    graph = S.nn_descent(emb, k=6, rounds=2)
+    q = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = S.knn_join(q, emb, k=5, query_vec="qvec")
+    bad_entries = emb.filter(F.col("vec_id") % 4 == 0).limit(4).select("vec_id")
+
+    def recall(entries):
+        approx = GA.graph_beam_search(
+            q, emb, graph, k=5, beam=8, rounds=3, entries=entries
+        )
+        r = S.recall_at_k(exact, approx, k=5, by=["qid", "neighbor_id"])
+        per = {x.qid: x.recall for x in r.collect()}
+        # recall_at_k inner-joins, so a query with ZERO hits has no row
+        # — zero-fill over ALL queries or the mean silently drops the
+        # unreachable ones (exactly the failure mode this test plants:
+        # the nn_descent graph here has 0 cross-cluster edges, so
+        # single-cluster entries can never answer 30 of 40 queries)
+        return sum(per.get(i, 0.0) for i in range(40)) / 40.0
+
+    rec_medoid = recall(ents)
+    rec_bad = recall(bad_entries)
+    assert rec_medoid > rec_bad
+    assert rec_medoid > 0.6  # every cluster seeded -> most queries answerable
+    assert rec_bad < 0.5  # 3 of 4 clusters unreachable from cluster-0 entries
+
+
+def test_recall_at_k_fill_missing_zero_fills_unanswerable_queries(spark):
+    """fill_missing=True emits recall 0.0 for qids the approx result
+    never matched (the inner join's silent-dropout caveat)."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "qid long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)], "qid long, neighbor_id long"
+    )
+    dropped = S.recall_at_k(exact, approx, k=2, by=["qid", "neighbor_id"])
+    assert {r.qid for r in dropped.collect()} == {1}
+    filled = {
+        r.qid: r.recall
+        for r in S.recall_at_k(
+            exact, approx, k=2, by=["qid", "neighbor_id"], fill_missing=True
+        ).collect()
+    }
+    assert filled == {1: 0.5, 2: 0.0}

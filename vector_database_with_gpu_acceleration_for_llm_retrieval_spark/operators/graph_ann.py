@@ -39,6 +39,7 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions imp
 __all__ = [
     "graph_beam_search",
     "graph_beam_search_pq",
+    "medoid_entries",
     "calibrate_beam",
     "write_graph_pq_index",
     "graph_pq_topk_indexed",
@@ -456,6 +457,44 @@ def graph_beam_search_pq(
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "score", "rank")
+    )
+
+
+def medoid_entries(
+    vectors: DataFrame,
+    n_entry: int = 8,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Data-aware entry points for :func:`graph_beam_search`: k-means
+    the corpus into ``n_entry`` cells and return the MEDOID of each —
+    the real corpus row nearest its centroid (ties to lowest id) —
+    the DiskANN entry-selection practice, vs the default
+    hash-selected entries which are distribution-blind.
+
+    Entry points that sit in distinct dense regions shorten the greedy
+    walk for queries landing anywhere near those regions; on clustered
+    corpora this buys recall at a FIXED beam/rounds budget (measured
+    in tests/test_graph_ann.py on a planted-cluster corpus).  Cost:
+    ``kmeans_iters`` passes of one-projection assign + k-row shuffle
+    (operators.clustering.kmeans_fit) and one window over the final
+    assignment — run once per index build, reused for every query
+    batch (pass the result as ``entries=``).
+
+    Returns an ``(id_col)`` frame of n_entry rows (fewer if the corpus
+    has fewer rows)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import clustering as C
+
+    cents, _hist = C.kmeans_fit(
+        vectors, n_entry, n_iter=kmeans_iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = C.assign_clusters(vectors, cents, vec_col=vec_col, id_col=id_col)
+    w = Window.partitionBy("cluster").orderBy(F.asc("dist"), F.asc(id_col))
+    return (
+        assigned.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col)
     )
 
 
