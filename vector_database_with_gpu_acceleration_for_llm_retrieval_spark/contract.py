@@ -525,6 +525,28 @@ def _graph_beam_pq_result(
     )
 
 
+def q_graph_beam_medoid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search seeded by medoid_entries (one Lloyd iteration,
+    KMEANS_K medoids) — entry SELECTION and traversal oracle-paired in
+    one hash; the mirror recomputes seed E-step → per-dim-mean M-step
+    (empty clusters keep seeds) → second E-step → per-cluster argmin."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import graph_ann as GA
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    entries = GA.medoid_entries(emb, n_entry=KMEANS_K, kmeans_iters=1)
+    res = GA.graph_beam_search(
+        qs, emb, _exact_knn_graph(emb), k=GRAPH_K, beam=GRAPH_BEAM,
+        rounds=GRAPH_ROUNDS, entries=entries,
+    )
+    return res.select(
+        "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+    )
+
+
 def q_graph_beam_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DiskANN-proper serving (graph traversal + PQ compressed-domain
     scoring): the beam rounds of graph_beam_topk scored by per-query
@@ -4781,6 +4803,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_beam_topk": q_graph_beam_topk,
         "recall_graph": q_recall_graph,
         "wav_spectral_features": q_wav_spectral_features,
+        "graph_beam_medoid_topk": q_graph_beam_medoid_topk,
         "graph_beam_pq_topk": q_graph_beam_pq_topk,
         "recall_graph_pq": q_recall_graph_pq,
         "graph_beam_pq_filtered_topk": q_graph_beam_pq_filtered_topk,

@@ -1033,7 +1033,7 @@ adcall AS MATERIALIZED (SELECT q.qid, e.vec_id AS node,
               FROM __gpqcode e, __glut q)"""
 
 
-def _sq_graph_beam_ctes(score: str = "cosine") -> str:
+def _sq_graph_beam_ctes(score: str = "cosine", entries_sql: str | None = None) -> str:
     """Graph-ANN serving mirror (operators/graph_ann.graph_beam_search
     with explicit entries): the exact deg-GRAPH_DEG cosine kNN graph
     (self excluded before ranking — same pair frame both engines),
@@ -1067,7 +1067,7 @@ gpair AS MATERIALIZED (SELECT a.vec_id AS node, b.vec_id AS nbr,
 gedges AS MATERIALIZED (SELECT node, nbr FROM (
          SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY gs DESC, nbr) AS rn
          FROM gpair) WHERE rn <= {GRAPH_DEG}),
-gent AS (SELECT vec_id AS node FROM embeddings WHERE vec_id < {GRAPH_ENTRIES}),
+{entries_sql or f"gent AS (SELECT vec_id AS node FROM embeddings WHERE vec_id < {GRAPH_ENTRIES})"},
 {adc}
 {sc0},
 b0 AS MATERIALIZED (SELECT qid, node, s, FALSE AS exp FROM (
@@ -1105,6 +1105,66 @@ seen{i} AS MATERIALIZED (SELECT qid, node FROM seen{p}
     return f"""{body},
 bfin AS (SELECT qid, node, s FROM b{GRAPH_ROUNDS}),
 scall AS ({scall})"""
+
+
+def _sq_medoid_entries_ctes() -> str:
+    """One-Lloyd-iteration medoid entries (graph_ann.medoid_entries
+    with kmeans_iters=1): seed E-step (the _sq_kmeans_ctes fold), M-step
+    per-dim means with empty-cluster fallback to the seed
+    (clustering.kmeans_update's keep-previous rule), second E-step
+    against the updated centroids, per-cluster argmin (dist asc, id
+    asc).  Ends defining ``gent`` for the beam CTEs.  Centroid means
+    differ from Spark's partial-agg sums at ~1 ulp — argmin decisions
+    ride gaps 6+ orders larger on the testdata (the kmeans_assign /
+    kmeans_one_iter hash-green precedent)."""
+    dim = 64
+    fold = (
+        "list_sum(list_transform(e.embedding, (x, i) -> "
+        "(CAST(x AS DOUBLE) - CAST(c[i] AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(c[i] AS DOUBLE))))"
+    )
+    return f"""mseed AS (SELECT list(embedding ORDER BY vec_id) AS cs
+          FROM embeddings WHERE vec_id < {KMEANS_K}),
+me1 AS (SELECT e.vec_id, e.embedding,
+               list_transform(mseed.cs, c -> {fold}) AS ds
+        FROM embeddings e, mseed),
+ma1 AS (SELECT vec_id, embedding,
+               CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cluster
+        FROM me1),
+mex AS (SELECT cluster, unnest(range(1, {dim + 1})) AS i, embedding FROM ma1),
+mg AS (SELECT cluster, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+       FROM mex GROUP BY 1, 2),
+mkk AS (SELECT unnest(range(0, {KMEANS_K})) AS cl),
+mnc AS (SELECT mkk.cl,
+               COALESCE((SELECT list(v ORDER BY i) FROM mg WHERE mg.cluster = mkk.cl),
+                        list_transform(mseed.cs[mkk.cl + 1], x -> CAST(x AS DOUBLE))) AS cv
+        FROM mkk, mseed),
+mcs AS (SELECT list(cv ORDER BY cl) AS cs2 FROM mnc),
+me2 AS (SELECT e.vec_id,
+               list_transform(mcs.cs2, c -> list_sum(list_transform(e.embedding,
+                 (x, i) -> (CAST(x AS DOUBLE) - c[i]) * (CAST(x AS DOUBLE) - c[i])))) AS ds
+        FROM embeddings e, mcs),
+ma2 AS (SELECT vec_id,
+               CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cluster,
+               list_min(ds) AS dist
+        FROM me2),
+gent AS (SELECT vec_id AS node FROM (
+          SELECT vec_id, cluster, dist,
+                 row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rn
+          FROM ma2) WHERE rn = 1)"""
+
+
+def _oracle_graph_beam_medoid_topk() -> str:
+    """Beam search seeded by the one-iteration k-means MEDOIDS — the
+    data-aware entry selection oracle-paired end-to-end (selection +
+    traversal in one hash)."""
+    return f"""
+WITH {_sq_graph_beam_ctes(entries_sql=_sq_medoid_entries_ctes())}
+SELECT qid, node AS neighbor_id, {_r6('s', 'score')}, CAST(rn AS INT) AS rank
+FROM (SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM bfin)
+WHERE rn <= {GRAPH_K}
+"""
 
 
 def _oracle_graph_beam_pq_topk() -> str:
@@ -5363,6 +5423,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_lsh_multiprobe": _oracle_recall_lsh_multiprobe(),
         "graph_beam_topk": _oracle_graph_beam_topk(),
         "recall_graph": _oracle_recall_graph(),
+        "graph_beam_medoid_topk": _oracle_graph_beam_medoid_topk(),
         "graph_beam_pq_topk": _oracle_graph_beam_pq_topk(),
         "recall_graph_pq": _oracle_recall_graph_pq(),
         "graph_beam_pq_filtered_topk": _oracle_graph_beam_pq_filtered_topk(),
