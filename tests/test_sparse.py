@@ -1,0 +1,140 @@
+"""Sparse-vector (SPLADE-shape) retrieval semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import sparse as SP
+
+
+def _hand_sparse(text: str) -> dict[int, float]:
+    idx, vals = SP.sparse_query_py(text)
+    return dict(zip(idx, vals))
+
+
+def test_sparse_from_text_shape_and_weights(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b"), (3, "d d d d")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in SP.sparse_from_text(docs).collect()}
+    # indices strictly ascending, parallel to values
+    for r in rows.values():
+        assert list(r.indices) == sorted(r.indices)
+        assert len(r.indices) == len(set(r.indices)) == len(r.values)
+    # doc 1: a(tf2), b(1), c(1) → weights sqrt(tf)
+    d1 = dict(zip(rows[1].indices, rows[1].values))
+    assert sorted(d1.values()) == sorted([math.sqrt(2.0), 1.0, 1.0])
+    assert rows[3].values == [2.0]  # sqrt(4)
+    # matches the driver-side encoder exactly
+    assert d1 == _hand_sparse("a b a c")
+
+
+def test_sparse_topk_dot_product_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y"),       # q={x,y}: sqrt(2)*1 + 1*1
+            (2, "x"),           # 1
+            (3, "y y y y"),     # sqrt(4)=2
+            (4, "z z"),         # no overlap → absent
+        ],
+        "doc_id long, text string",
+    )
+    sv = SP.sparse_from_text(docs)
+    qi, qv = SP.sparse_query_py("x y")
+    out = {r.doc_id: r.score for r in SP.sparse_topk(sv, qi, qv, k=10).collect()}
+    assert set(out) == {1, 2, 3}
+    assert abs(out[1] - (math.sqrt(2.0) + 1.0)) < 1e-12
+    assert abs(out[2] - 1.0) < 1e-12
+    assert abs(out[3] - 2.0) < 1e-12
+    # empty query short-circuits
+    assert SP.sparse_topk(sv, [], [], k=5).count() == 0
+
+
+def test_sparse_knn_join_matches_single_query(spark, tables):
+    """Batch result for one query == the single-query operator."""
+    docs = tables["documents"].limit(300).cache()
+    sv = SP.sparse_from_text(docs)
+    qtext = "spark window join performance"
+    qi, qv = SP.sparse_query_py(qtext)
+    single = [(r.doc_id, round(r.score, 10)) for r in SP.sparse_topk(sv, qi, qv, k=5).collect()]
+    qdf = spark.createDataFrame([(0, qtext)], "qid long, text string")
+    qsv = SP.sparse_from_text(qdf, id_col="qid")
+    batch = SP.sparse_knn_join(qsv, sv, k=5).orderBy("rank").collect()
+    assert [(r.doc_id, round(r.score, 10)) for r in batch] == single
+    assert [r.rank for r in batch] == list(range(1, len(batch) + 1))
+
+
+def test_sparse_knn_join_max_df_drops_hot_terms(spark):
+    docs = spark.createDataFrame(
+        [(i, "common rare" if i == 0 else "common") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sv = SP.sparse_from_text(docs)
+    q = SP.sparse_from_text(
+        spark.createDataFrame([(0, "common rare")], "qid long, text string"),
+        id_col="qid",
+    )
+    exact = SP.sparse_knn_join(q, sv, k=20).collect()
+    assert len(exact) == 10  # every doc matches 'common'
+    capped = SP.sparse_knn_join(q, sv, k=20, max_df=5).collect()
+    # 'common' (df=10) postings dropped → only doc 0 matches via 'rare'
+    assert [(r.doc_id) for r in capped] == [0]
+    assert abs(capped[0].score - 1.0) < 1e-12
+
+
+def test_sparse_index_matches_query_time_and_prunes(spark, tables):
+    """Materialized inverted index must score identically to the
+    query-time path, prune the postings read to the query's term
+    buckets at planning time, and support per-bucket deletes."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    docs = tables["documents"].limit(400)
+    sv = SP.sparse_from_text(docs)
+    qi, qv = SP.sparse_query_py("spark join window performance")
+    tmp = tempfile.mkdtemp(prefix="sparse_idx_")
+    try:
+        SP.write_sparse_index(sv, tmp)
+        want = [(r.doc_id, round(r.score, 10)) for r in SP.sparse_topk(sv, qi, qv, k=10).collect()]
+        got_df = SP.sparse_topk_indexed(spark, tmp, qi, qv, k=10)
+        got = [(r.doc_id, round(r.score, 10)) for r in got_df.collect()]
+        assert got == want and len(got) == 10
+        plan = physical_plan(SP.sparse_topk_indexed(spark, tmp, qi, qv, k=10))
+        part = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "term_bucket" in part and " IN " in part
+        # empty query degrades cleanly
+        assert SP.sparse_topk_indexed(spark, tmp, [], [], k=5).count() == 0
+
+        # delete the current top doc → it vanishes, scores of the rest hold
+        top_id = got[0][0]
+        res = SP.delete_from_sparse_index(spark, tmp, [top_id])
+        assert res["docs_deleted"] == 1 and res["rows_deleted"] > 0
+        after = [
+            (r.doc_id, round(r.score, 10))
+            for r in SP.sparse_topk_indexed(spark, tmp, qi, qv, k=10).collect()
+        ]
+        assert all(d != top_id for d, _ in after)
+        survivors = [x for x in want if x[0] != top_id]
+        assert after[: len(survivors)] == survivors[: len(after)]
+        # idempotent / missing ids
+        res2 = SP.delete_from_sparse_index(spark, tmp, [top_id])
+        assert res2 == {"rows_deleted": 0, "docs_deleted": 0, "touched_buckets": []}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sparse_postings_roundtrip(spark):
+    docs = spark.createDataFrame([(7, "p q p")], "doc_id long, text string")
+    sv = SP.sparse_from_text(docs)
+    post = SP.sparse_postings(sv).orderBy("term").collect()
+    assert len(post) == 2
+    assert {r.doc_id for r in post} == {7}
+    hand = _hand_sparse("p q p")
+    assert {r.term: r.w for r in post} == hand

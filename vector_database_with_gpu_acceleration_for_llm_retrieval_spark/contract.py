@@ -1448,6 +1448,70 @@ def q_bm25_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "doc_id", _round6(F.col("score"), "score"), "rank")
 
 
+def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector (SPLADE-shape) retrieval: documents encoded as
+    ``(indices, values)`` sqrt-TF sparse vectors over 60-bit portable
+    term hashes, scored by sparse dot product against the fixed RAG
+    question's sparse encoding — the inverted-index serving tier next
+    to dense (`topk_cosine`) and lexical (`bm25_topk`)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    qi, qv = SP.sparse_query_py(RAG_QUESTION)
+    sv = SP.sparse_from_text(t["documents"])
+    out = SP.sparse_topk(sv, qi, qv, k=TOPK_K)
+    return out.select("doc_id", _round6(F.col("score"), "score"))
+
+
+def q_sparse_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-inverted-index variant: write the term-bucket-
+    partitioned sparse postings to a scratch dir and answer from the
+    bucket-pruned read — provably identical scores to the query-time
+    path (same weights, same term-ordered fold), so it shares
+    sparse_topk's oracle (the bm25_topk_indexed precedent)."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    qi, qv = SP.sparse_query_py(RAG_QUESTION)
+    tmp = tempfile.mkdtemp(prefix="sparse_idx_contract_")
+    try:
+        SP.write_sparse_index(SP.sparse_from_text(t["documents"]), tmp)
+        res = SP.sparse_topk_indexed(spark, tmp, qi, qv, k=TOPK_K)
+        out = res.select("doc_id", _round6(F.col("score"), "score"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_sparse_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sparse retrieval: every BM25Q_MOD-th doc's first tokens
+    become a query sparse vector; one corpus encoding answers the
+    whole set via the broadcast-query-postings inverted join."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    qs = docs.filter(F.col("doc_id") % BM25Q_MOD == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(TX.tokens(F.col("text")), 1, BM25Q_TOKENS).alias("__qt"),
+    )
+    res = SP.sparse_knn_join(
+        SP.sparse_from_tokens(qs, "__qt", id_col="qid"),
+        SP.sparse_from_text(docs),
+        k=KNN_K,
+    )
+    return res.select("qid", "doc_id", _round6(F.col("score"), "score"), "rank")
+
+
 def q_hybrid_topk_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval, weighted-sum variant: the same dense + BM25
     top-20 lists as q_hybrid_topk_rrf, min-max normalized per list and
@@ -4797,6 +4861,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_indexed": q_lsh_topk_indexed,
         "lsh_topk_filtered_indexed": q_lsh_topk_filtered_indexed,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "sparse_topk": q_sparse_topk,
+        "sparse_topk_indexed": q_sparse_topk_indexed,
+        "sparse_knn_join": q_sparse_knn_join,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,

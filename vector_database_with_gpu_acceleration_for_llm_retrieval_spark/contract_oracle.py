@@ -1937,6 +1937,55 @@ ranked AS (SELECT qid, doc_id, score,
 SELECT qid, doc_id, {_r6('score', 'score')}, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
+def _sq_sparse_ctes(src: str = "documents") -> str:
+    """Sparse sqrt-TF postings over ``src``; exposes
+    ``__sppost(doc_id, term, w)``. Mirrors operators.sparse
+    (sparse_from_text → sparse_postings): portable 60-bit term hash,
+    hash-then-group (so 60-bit collisions merge identically),
+    ``w = sqrt(tf)`` (IEEE-exact cross-engine, unlike ln)."""
+    th = _sq_tok_hash("t")
+    return f"""
+__sptoks AS (SELECT doc_id, unnest({_SQ_TOKS}) AS t FROM {src}),
+__sptf AS (SELECT doc_id, {th} AS term, count(*) AS tf FROM __sptoks GROUP BY 1, 2),
+__sppost AS (SELECT doc_id, term, sqrt(CAST(tf AS DOUBLE)) AS w FROM __sptf)
+"""
+
+def _oracle_sparse_topk() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sparse import (
+        sparse_query_py,
+    )
+
+    qi, qv = sparse_query_py(RAG_QUESTION)
+    qvals = ", ".join(f"({h}, {w!r})" for h, w in zip(qi, qv))
+    return f"""
+WITH {_sq_sparse_ctes().strip()},
+__spq(term, qw) AS (VALUES {qvals}),
+__spsc AS (SELECT p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sppost p JOIN __spq q USING (term)),
+__spsum AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __spsc GROUP BY doc_id)
+SELECT doc_id, {_r6('score', 'score')} FROM __spsum
+ORDER BY score DESC, doc_id LIMIT {TOPK_K}
+"""
+
+def _oracle_sparse_knn_join() -> str:
+    th = _sq_tok_hash("t")
+    return f"""
+WITH {_sq_sparse_ctes().strip()},
+__spqs AS (SELECT doc_id AS qid, unnest(list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS})) AS t
+           FROM documents WHERE doc_id % {BM25Q_MOD} = 0),
+__spqtf AS (SELECT qid, {th} AS term, count(*) AS tf FROM __spqs GROUP BY 1, 2),
+__spqpost AS (SELECT qid, term, sqrt(CAST(tf AS DOUBLE)) AS qw FROM __spqtf),
+__spsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sppost p JOIN __spqpost q USING (term)),
+__spsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __spsc GROUP BY 1, 2),
+__spranked AS (SELECT qid, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+       FROM __spsum)
+SELECT qid, doc_id, {_r6('score', 'score')}, rank FROM __spranked WHERE rank <= {KNN_K}
+"""
+
 def _oracle_hybrid_topk_rrf() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
         hash_embed_py,
@@ -5537,6 +5586,9 @@ def oracle_sql() -> dict[str, str]:
         "rag_context": _oracle_rag_context(),
         "bm25_topk": _oracle_bm25_topk(),
         "bm25_topk_indexed": _oracle_bm25_topk(),
+        "sparse_topk": _oracle_sparse_topk(),
+        "sparse_topk_indexed": _oracle_sparse_topk(),
+        "sparse_knn_join": _oracle_sparse_knn_join(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),

@@ -1,0 +1,363 @@
+"""Sparse-vector (learned-sparse / SPLADE-style) retrieval.
+
+The reference retrieves by dense embedding only (shard/search.py:24
+scores a dense matrix; rag_demo/ask.py:31 embeds the question densely).
+Modern vector stores additionally serve *sparse* vectors — huge-
+dimensional, mostly-zero term-weight vectors (SPLADE, uniCOIL, TF-IDF)
+stored as parallel ``(indices, values)`` arrays and scored by dot
+product over the few shared nonzero coordinates. This module adds that
+representation and its serving tier, Spark-first:
+
+* **Representation** — ``(id, indices: array<long> ASC, values:
+  array<double>)``: the Pinecone/Milvus sparse-vector shape. Indices
+  are 60-bit portable term hashes (functions/text.py
+  ``portable_token_hash``), so the conceptual dimensionality is 2^60
+  and no vocabulary table is needed.
+* **Execution** — the inverted index, which is *relational*: explode
+  each vector into postings ``(id, term, weight)``; a query touches
+  only the postings of ITS terms, so per-query cost is
+  ``O(Σ_t df(t))`` — independent of corpus dimensionality and, with
+  the materialized index, independent of corpus *size* off the
+  matched postings. Scoring folds per-term products IN TERM ORDER
+  (``sort_array + F.aggregate`` ≡ the SQL mirror's
+  ``list_sum(list(s ORDER BY term))``) so float addition order can
+  never differ between engines.
+* **Scale shape** — ``sparse_knn_join`` broadcasts the *query*
+  postings (|Q|·avg_nnz rows — tiny) and streams the corpus postings
+  past them: one corpus scan, no corpus shuffle before the
+  ``(qid, id)`` partial-aggregated groupBy, whose width is the number
+  of MATCHED pairs, not |Q|·|C|. ``write_sparse_index`` persists
+  postings partitioned by ``term_bucket`` so a query's terms prune to
+  ≤ nnz(q) partitions before any file opens (the write_bm25_index
+  layout, lexical.py:99). Hot/stop terms are the skew axis: the
+  optional ``max_df`` knob drops postings of terms whose document
+  frequency exceeds the cap (the classic stop-posting cut — documented
+  approximation, default off = exact).
+
+Weighting: ``w(term) = sqrt(tf)`` on both documents and queries — the
+Lucene-classic sublinear TF, chosen over ``ln(1+tf)`` because IEEE
+requires sqrt (unlike ln) to be correctly rounded, making weights
+bit-identical across engines. Learned weights (SPLADE) would
+arrive as model outputs through the same ``(indices, values)`` shape;
+every operator below takes the representation, not the text, so a
+learned encoder drops in without touching the serving tier (the
+functions/embed.py model-seam pattern).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+__all__ = [
+    "sparse_from_text",
+    "sparse_from_tokens",
+    "sparse_postings",
+    "sparse_query_py",
+    "sparse_topk",
+    "sparse_knn_join",
+    "write_sparse_index",
+    "sparse_topk_indexed",
+    "delete_from_sparse_index",
+]
+
+#: term-hash partition fan-out for the postings table — a query's terms
+#: prune to ≤ nnz(q) of these partitions before any file opens.
+SPARSE_TERM_BUCKETS = 64
+
+
+def _tf_weight(tf_col):
+    # sqrt-TF (Lucene-classic sublinear TF) rather than ln(1+tf):
+    # IEEE 754 requires sqrt to be correctly rounded, so JVM and any
+    # libm produce the SAME double — ln is not (measured: ln(3.0)
+    # differs in the last ulp between Spark's Math.log and DuckDB),
+    # which would flip rounded ties at top-k boundaries.
+    return F.sqrt(tf_col.cast("double"))
+
+
+def sparse_from_tokens(
+    df: DataFrame, toks_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-array column → sparse vector ``(id, indices, values)``.
+
+    ``indices`` = distinct 60-bit portable term hashes, strictly
+    ascending; ``values[i] = sqrt(tf(indices[i]))``. Distinct tokens
+    that collide in the 60-bit space merge their counts (both engines
+    hash before grouping, so the mirror merges identically).
+    One explode + one ``(id, term)`` partial-aggregated groupBy + one
+    per-id groupBy — never wider than the token stream.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(F.col(toks_col)).alias("__tok"))
+        .select(id_col, TX.portable_token_hash(F.col("__tok")).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    pairs = tf.select(
+        id_col, F.struct(F.col("term"), _tf_weight(F.col("tf")).alias("w")).alias("p")
+    )
+    return pairs.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("p")).alias("__sp")
+    ).select(
+        id_col,
+        F.col("__sp.term").alias("indices"),
+        F.col("__sp.w").alias("values"),
+    )
+
+
+def sparse_from_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Text column → sparse vectors (whitespace tokens, sqrt-TF weights).
+
+    The deterministic stand-in for a learned sparse encoder: same
+    output shape a SPLADE head would produce, derived with the
+    engine-portable tokenizer + hash so the DuckDB mirror re-derives it
+    bit-identically.
+    """
+    return sparse_from_tokens(
+        docs.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")),
+        "__toks",
+        id_col=id_col,
+    )
+
+
+def sparse_postings(sv: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sparse vectors → inverted postings ``(id, term, w)``.
+
+    ``arrays_zip`` keeps index/value pairs aligned; one narrow explode,
+    no shuffle.
+    """
+    z = F.arrays_zip(F.col("indices").alias("term"), F.col("values").alias("w"))
+    return sv.select(F.col(id_col), F.explode(z).alias("__p")).select(
+        id_col, F.col("__p.term").alias("term"), F.col("__p.w").alias("w")
+    )
+
+
+def sparse_query_py(text: str) -> tuple[list[int], list[float]]:
+    """Driver-side sparse encoding of one query string — the same
+    tokenizer/hash/weighting as :func:`sparse_from_text`, computed in
+    Python so single-query search can inline the (tiny) query vector
+    as literals (the `_query_vec` pattern). Returns ``(indices,
+    values)`` with indices strictly ascending."""
+    toks = text.split()
+    tf: dict[int, int] = {}
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        tf[h] = tf.get(h, 0) + 1
+    idx = sorted(tf)
+    return idx, [math.sqrt(float(tf[h])) for h in idx]
+
+
+def _fold_by_term(per_term: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-(keys) score = term-ordered sequential double fold of ``s``."""
+    return per_term.groupBy(*keys).agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("term", "s"))), lambda x: x["s"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+
+
+def _score_postings(
+    postings: DataFrame, q_indices: list[int], q_values: list[float], id_col: str
+) -> DataFrame:
+    qmap = F.create_map(
+        *[F.lit(v) for pair in zip(q_indices, q_values) for v in pair]
+    )
+    per_term = (
+        postings.filter(F.col("term").isin(q_indices))
+        .select(id_col, "term", (F.col("w") * qmap[F.col("term")]).alias("s"))
+    )
+    return _fold_by_term(per_term, [id_col])
+
+
+def sparse_topk(
+    corpus_sv: DataFrame,
+    q_indices: list[int],
+    q_values: list[float],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-query sparse dot-product top-k → ``(id, score)``,
+    score desc / id asc.
+
+    One corpus pass: explode to postings, keep only the query's terms
+    (a literal IN-list Catalyst pushes into the scan when the corpus is
+    a postings read), multiply by the query weight via a literal map
+    lookup, fold per doc. The only wide op is the per-doc groupBy over
+    MATCHED postings — ``Σ_t df(t)`` rows, never the corpus.
+    """
+    if not q_indices:
+        return corpus_sv.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double"
+        )
+    scored = _score_postings(sparse_postings(corpus_sv, id_col), q_indices, q_values, id_col)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def sparse_knn_join(
+    queries_sv: DataFrame,
+    corpus_sv: DataFrame,
+    k: int = 5,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Batch sparse top-k: for each query sparse vector, the k corpus
+    docs with the largest sparse dot product → ``(qid, id, score,
+    rank)``, rank 1-based by score desc / id asc.
+
+    Execution: broadcast the exploded QUERY postings (|Q|·avg_nnz rows)
+    and stream the corpus postings past them — one corpus scan, the
+    equi-join on ``term`` is map-side, and the ``(qid, id)`` groupBy
+    shuffles only MATCHED pairs (partial-aggregated map-side first).
+    Docs sharing no term with a query never materialize — the
+    sparse-model contract (score 0), same as the reference returning
+    only scored candidates.
+
+    ``max_df``: optional stop-posting cut — corpus terms whose document
+    frequency exceeds the cap are dropped BEFORE the join (one tiny
+    ``(term, df)`` aggregate, broadcast anti-join). Hot terms are the
+    skew axis of any inverted index at 100 TB; the cap bounds the
+    per-term match width at a documented, quantifiable recall cost
+    (score loses only near-ubiquitous terms, which carry the least
+    idf-style information). Default ``None`` = exact.
+    """
+    qpost = sparse_postings(queries_sv, qid_col).withColumnRenamed("w", "qw")
+    cpost = sparse_postings(corpus_sv, id_col)
+    if max_df is not None:
+        hot = (
+            cpost.groupBy("term")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("term")
+        )
+        cpost = cpost.join(F.broadcast(hot), "term", "left_anti")
+    per_term = cpost.join(F.broadcast(qpost), "term").select(
+        qid_col, id_col, "term", (F.col("w") * F.col("qw")).alias("s")
+    )
+    summed = _fold_by_term(per_term, [qid_col, id_col])
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        summed.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def write_sparse_index(
+    corpus_sv: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = SPARSE_TERM_BUCKETS,
+) -> None:
+    """Materialize the inverted index: postings ``(id, term, w)``
+    partitioned by ``term_bucket = term mod n_buckets`` (term hashes
+    are md5-uniform, so buckets balance), plus the usual sidecar meta.
+    A query's terms then prune to ≤ nnz(q) partitions before any file
+    opens — per-query read cost is the matched postings, independent
+    of corpus size (the write_bm25_index layout, lexical.py:99).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+
+    postings = sparse_postings(corpus_sv, id_col).withColumn(
+        "term_bucket", F.pmod(F.col("term"), F.lit(n_buckets))
+    )
+    postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(path + "/postings")
+    _write_meta(
+        corpus_sv.sparkSession,
+        path,
+        {"kind": "sparse", "n_buckets": n_buckets, "id_col": id_col},
+    )
+
+
+def sparse_topk_indexed(
+    spark,
+    path: str,
+    q_indices: list[int],
+    q_values: list[float],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse top-k over a materialized :func:`write_sparse_index` —
+    scores identical to :func:`sparse_topk` on the indexed corpus
+    (same weights, same term-ordered fold), but the per-query cost is
+    a term-bucket-PRUNED postings read: the bucket IN-list is computed
+    from the literal query terms, so partition pruning happens at
+    planning time (PartitionFilters, plan-asserted in tests)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _read_meta,
+    )
+
+    if not q_indices:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    meta = _read_meta(spark, path)
+    n_buckets = int(meta["n_buckets"])
+    buckets = sorted({h % n_buckets for h in q_indices})
+    postings = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(q_indices))
+    )
+    scored = _score_postings(postings, q_indices, q_values, id_col)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def delete_from_sparse_index(spark, path: str, ids: list, id_col: str = "doc_id") -> dict:
+    """Right-to-erasure maintenance for a materialized sparse index:
+    one column-pruned pass locates the doomed postings, and ONLY their
+    term buckets rewrite (dynamic partition overwrite via the shared
+    ``_dynamic_partition_overwrite``, which also drops fully-emptied
+    bucket directories). Like the BM25 sibling, erasure locality is
+    per-TERM, not per-doc — a doc's postings spread across buckets.
+    No corpus statistics ride in this index (weights are per-doc
+    sqrt-TF), so the sidecar never goes stale. Returns
+    ``{"rows_deleted", "docs_deleted", "touched_buckets"}``."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _dynamic_partition_overwrite,
+        _read_meta,
+    )
+
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "sparse":
+        raise ValueError(f"not a sparse index: kind={meta.get('kind')!r}")
+    if not ids:
+        return {"rows_deleted": 0, "docs_deleted": 0, "touched_buckets": []}
+    id_frame = F.broadcast(
+        spark.createDataFrame([(i,) for i in ids], [id_col]).distinct()
+    )
+    postings = spark.read.parquet(path + "/postings")
+    doomed = postings.join(id_frame, id_col, "left_semi").localCheckpoint(eager=True)
+    stats = doomed.agg(
+        F.count(F.lit(1)).alias("rows"), F.count_distinct(id_col).alias("docs")
+    ).collect()[0]
+    if int(stats["rows"]) == 0:
+        return {"rows_deleted": 0, "docs_deleted": 0, "touched_buckets": []}
+    touched = sorted(
+        r["term_bucket"] for r in doomed.select("term_bucket").distinct().collect()
+    )
+    keep = (
+        postings.filter(F.col("term_bucket").isin(touched))
+        .join(id_frame, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    _dynamic_partition_overwrite(keep, path + "/postings", "term_bucket", touched)
+    return {
+        "rows_deleted": int(stats["rows"]),
+        "docs_deleted": int(stats["docs"]),
+        "touched_buckets": touched,
+    }
