@@ -1385,6 +1385,69 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("doc_id", _round6(F.col("rrf_score"), "rrf_score"))
 
 
+def q_hybrid_tri_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-hybrid retrieval: dense (hash-embedding cosine), lexical
+    (BM25) and sparse (sqrt-TF dot product) top-20 lists fused by
+    reciprocal rank — the production retrieval stack's three recall
+    paths in one rank-only fusion (each list's ranks are engine-exact,
+    so the fused scores are sums of exact rationals)."""
+    from pyspark.sql import Window as W
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+        hash_embedding_udf,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        lexical,
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    qv = hash_embed_py(RAG_QUESTION, dim=RAG_DIM)
+    dense = docs.select("doc_id", hash_embedding_udf(dim=RAG_DIM)("text").alias("e"))
+    dense_ranked = (
+        S.topk(dense, qv, k=HYBRID_K_EACH, id_col="doc_id", vec_col="e")
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    lex_ranked = (
+        lexical.bm25_topk(docs, RAG_QUESTION, k=HYBRID_K_EACH, k1=BM25_K1, b=BM25_B)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    qi, qsv = SP.sparse_query_py(RAG_QUESTION)
+    sparse_ranked = (
+        SP.sparse_topk(SP.sparse_from_text(docs), qi, qsv, k=HYBRID_K_EACH)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    # rrf_fuse sums 1/(c+rank) over exactly two rank lists; the third
+    # list joins in by the same formula (every term is an exact
+    # rational 1/(c+r), so addition order cannot matter at 6 decimals)
+    ab = (
+        lexical.rrf_fuse(dense_ranked, lex_ranked, k=10**9, c=RRF_C)
+        .select("doc_id", F.col("rrf_score").alias("__ab"))
+    )
+    sp = sparse_ranked.select(
+        "doc_id", (F.lit(1.0) / (F.lit(RRF_C) + F.col("rank"))).alias("__sp")
+    )
+    fused = (
+        ab.join(sp, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("__ab"), F.lit(0.0))
+                + F.coalesce(F.col("__sp"), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(TOPK_K)
+    )
+    return fused.select("doc_id", _round6(F.col("rrf_score"), "rrf_score"))
+
+
 HYBRID_W_DENSE = 0.6
 BM25Q_MOD = 97
 BM25Q_TOKENS = 6
@@ -4864,6 +4927,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_topk": q_sparse_topk,
         "sparse_topk_indexed": q_sparse_topk_indexed,
         "sparse_knn_join": q_sparse_knn_join,
+        "hybrid_tri_rrf": q_hybrid_tri_rrf,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,

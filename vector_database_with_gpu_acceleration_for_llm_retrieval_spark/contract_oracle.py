@@ -2019,6 +2019,55 @@ SELECT doc_id, {_r6('rrf_score', 'rrf_score')} FROM __fused
 ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_K}
 """
 
+def _oracle_hybrid_tri_rrf() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
+        hash_embed_py,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sparse import (
+        sparse_query_py,
+    )
+
+    d = RAG_DIM
+    qv = _sq_vec(hash_embed_py(RAG_QUESTION, dim=d))
+    th = _sq_tok_hash("t")
+    qi, qsv = sparse_query_py(RAG_QUESTION)
+    qvals = ", ".join(f"({h}, {w!r})" for h, w in zip(qi, qsv))
+    return f"""
+WITH {_sq_bm25_ctes().strip()},
+{_sq_sparse_ctes().strip()},
+__w AS (SELECT doc_id, {_SQ_TOKS} AS w FROM documents),
+__raw AS (SELECT doc_id,
+  list_transform(range(0, {d}), j -> CAST(coalesce(list_sum(
+    list_transform(w, t -> CASE WHEN {th} % {d} = j
+      THEN (CASE WHEN {th} % {2 * d} >= {d} THEN 1.0 ELSE -1.0 END)
+      ELSE 0.0 END)), 0.0) AS DOUBLE)) AS rawv
+  FROM __w),
+__emb AS (SELECT doc_id,
+  list_transform(rawv, x -> x / coalesce(nullif({_sq_norm('rawv')}, 0), 1e-12)) AS e
+  FROM __raw),
+__dense AS (SELECT doc_id, {_sq_cosine('e', qv)} AS score FROM __emb
+            ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
+__dr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM __dense),
+__lex AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
+__lr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM __lex),
+__spq(term, qw) AS (VALUES {qvals}),
+__spsc AS (SELECT p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sppost p JOIN __spq q USING (term)),
+__spsum AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __spsc GROUP BY doc_id),
+__sparse AS (SELECT doc_id, score FROM __spsum ORDER BY score DESC, doc_id LIMIT {HYBRID_K_EACH}),
+__sr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM __sparse),
+__ab AS (SELECT coalesce(__dr.doc_id, __lr.doc_id) AS doc_id,
+           coalesce(1.0 / ({RRF_C} + __dr.r), 0.0)
+           + coalesce(1.0 / ({RRF_C} + __lr.r), 0.0) AS ab
+         FROM __dr FULL OUTER JOIN __lr ON __dr.doc_id = __lr.doc_id),
+__tri AS (SELECT coalesce(__ab.doc_id, __sr.doc_id) AS doc_id,
+            coalesce(ab, 0.0) + coalesce(1.0 / ({RRF_C} + __sr.r), 0.0) AS rrf_score
+          FROM __ab FULL OUTER JOIN __sr ON __ab.doc_id = __sr.doc_id)
+SELECT doc_id, {_r6('rrf_score', 'rrf_score')} FROM __tri
+ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_K}
+"""
+
 def _oracle_hybrid_topk_linear() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
         hash_embed_py,
@@ -5589,6 +5638,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_topk": _oracle_sparse_topk(),
         "sparse_topk_indexed": _oracle_sparse_topk(),
         "sparse_knn_join": _oracle_sparse_knn_join(),
+        "hybrid_tri_rrf": _oracle_hybrid_tri_rrf(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),
