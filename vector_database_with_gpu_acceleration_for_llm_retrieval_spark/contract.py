@@ -71,6 +71,17 @@ N_SHARDS = 8
 #: nn_descent (iterative, pytest-only by the documented precedent);
 #: this pair hash-checks the QUERY path end to end.
 GRAPH_DEG = 8
+#: HNSW oracle pair (r13): integer-geometric portable layer assignment
+#: (scale 8 so the 500-row fixture has a real 2-level hierarchy), exact
+#: deg-HNSW_DEG upper-layer graphs, width-HNSW_WIDTH fixed-hop descent,
+#: then the unrolled base beam seeded per query from the descent — the
+#: full coarse-to-fine serving stack in one hash (operators/hnsw.py).
+HNSW_SCALE_C = 8
+HNSW_MAX_LAYER = 2
+HNSW_DEG = 4
+HNSW_HOPS = 2
+HNSW_WIDTH = 2
+HNSW_ENTRY_CAP = 4
 GRAPH_BEAM = 12
 GRAPH_ROUNDS = 3
 GRAPH_K = 5
@@ -497,6 +508,56 @@ def q_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     exact = S.knn_join(_knn_queries(t), t["embeddings"], k=GRAPH_K)
     approx = _graph_beam_result(spark, sf_dir)
+    return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
+
+
+def _hnsw_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import hnsw as HN
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    layers = HN.build_hnsw_layers(
+        emb, deg=HNSW_DEG, scale=HNSW_SCALE_C, max_layer=HNSW_MAX_LAYER
+    )
+    return HN.hnsw_search(
+        qs,
+        emb,
+        _exact_knn_graph(emb).select("node", "nbr"),
+        layers,
+        k=GRAPH_K,
+        beam=GRAPH_BEAM,
+        rounds=GRAPH_ROUNDS,
+        hops=HNSW_HOPS,
+        max_layer=HNSW_MAX_LAYER,
+        width=HNSW_WIDTH,
+        scale=HNSW_SCALE_C,
+        entry_cap=HNSW_ENTRY_CAP,
+    )
+
+
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (HNSW-style) graph serving, oracle-paired end to
+    end: portable integer-geometric layer assignment, exact upper-layer
+    kNN graphs, width-HNSW_WIDTH fixed-hop greedy descent to per-query
+    entries, then the unrolled base-layer beam — the mirror restates
+    every tier (layers, layer graphs, entry fallback chain, each
+    descent hop, each beam round) as MATERIALIZED CTEs."""
+    res = _hnsw_result(spark, sf_dir)
+    return res.select(
+        "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+    )
+
+
+def q_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@GRAPH_K of the hierarchical serving stack vs the exact
+    kNN join — quantifies the descent-seeded tier like recall_graph
+    does the flat-entry tier."""
+    t = load_tables(spark, sf_dir)
+    exact = S.knn_join(_knn_queries(t), t["embeddings"], k=GRAPH_K)
+    approx = _hnsw_result(spark, sf_dir)
     return S.recall_at_k(exact, approx, k=GRAPH_K, by=["qid", "neighbor_id"])
 
 
@@ -4928,6 +4989,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_topk_indexed": q_sparse_topk_indexed,
         "sparse_knn_join": q_sparse_knn_join,
         "hybrid_tri_rrf": q_hybrid_tri_rrf,
+        "hnsw_topk": q_hnsw_topk,
+        "recall_hnsw": q_recall_hnsw,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,

@@ -1033,7 +1033,12 @@ adcall AS MATERIALIZED (SELECT q.qid, e.vec_id AS node,
               FROM __gpqcode e, __glut q)"""
 
 
-def _sq_graph_beam_ctes(score: str = "cosine", entries_sql: str | None = None) -> str:
+def _sq_graph_beam_ctes(
+    score: str = "cosine",
+    entries_sql: str | None = None,
+    pre_sql: str | None = None,
+    sc0_sql: str | None = None,
+) -> str:
     """Graph-ANN serving mirror (operators/graph_ann.graph_beam_search
     with explicit entries): the exact deg-GRAPH_DEG cosine kNN graph
     (self excluded before ranking — same pair frame both engines),
@@ -1059,6 +1064,10 @@ def _sq_graph_beam_ctes(score: str = "cosine", entries_sql: str | None = None) -
         adc = ""
         sc0 = f"""sc0 AS MATERIALIZED (SELECT gq.qid, gent.node, {_sq_cosine('gq.qv', 'e.embedding')} AS s
       FROM gq CROSS JOIN gent JOIN embeddings e ON e.vec_id = gent.node)"""
+    if sc0_sql is not None:
+        # per-query entry feed (the hnsw descent): sc0 comes from the
+        # caller's CTE chain (inserted via pre_sql); gent goes unused
+        sc0 = f"sc0 AS MATERIALIZED ({sc0_sql})"
     head = f"""gq AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        WHERE vec_id < {KNN_QUERIES}),
 gpair AS MATERIALIZED (SELECT a.vec_id AS node, b.vec_id AS nbr,
@@ -1068,6 +1077,7 @@ gedges AS MATERIALIZED (SELECT node, nbr FROM (
          SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY gs DESC, nbr) AS rn
          FROM gpair) WHERE rn <= {GRAPH_DEG}),
 {entries_sql or f"gent AS (SELECT vec_id AS node FROM embeddings WHERE vec_id < {GRAPH_ENTRIES})"},
+{(pre_sql.strip() + ",") if pre_sql else ""}
 {adc}
 {sc0},
 b0 AS MATERIALIZED (SELECT qid, node, s, FALSE AS exp FROM (
@@ -1105,6 +1115,123 @@ seen{i} AS MATERIALIZED (SELECT qid, node FROM seen{p}
     return f"""{body},
 bfin AS (SELECT qid, node, s FROM b{GRAPH_ROUNDS}),
 scall AS ({scall})"""
+
+
+def _sq_hnsw_ctes() -> tuple[str, str]:
+    """HNSW coarse-to-fine mirror (operators/hnsw.py): portable
+    integer-geometric layer assignment over the 60-bit hash of the id
+    STRING, exact deg-HNSW_DEG kNN graph per upper layer, the static
+    entry fallback chain (highest occupied layer's lowest ids), then
+    every fixed descent hop unrolled — entry scoring → per-hop
+    neighbor expansion → DISTINCT-deduped top-HNSW_WIDTH merge (a
+    re-reached node re-scores to the identical value, so DISTINCT on
+    (qid, node, s) is exact). Returns ``(cte_block, final_cte_name)``;
+    the final CTE holds the per-query base-layer entries and plugs
+    into :func:`_sq_graph_beam_ctes` as ``sc0_sql``. Requires ``gq``
+    (defined by the beam head before this block is inserted)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        HNSW_DEG,
+        HNSW_ENTRY_CAP,
+        HNSW_HOPS,
+        HNSW_MAX_LAYER,
+        HNSW_SCALE_C,
+        HNSW_WIDTH,
+    )
+
+    cosab = _sq_cosine("a.embedding", "b.embedding")
+    th = _sq_tok_hash("CAST(vec_id AS VARCHAR)")
+    lvl = " + ".join(
+        f"(CASE WHEN ({th}) % {HNSW_SCALE_C**l} = 0 THEN 1 ELSE 0 END)"
+        for l in range(1, HNSW_MAX_LAYER + 1)
+    )
+    parts = [f"hlv AS MATERIALIZED (SELECT vec_id, {lvl} AS lvl FROM embeddings)"]
+    for l in range(1, HNSW_MAX_LAYER + 1):
+        parts.append(
+            f"""hp{l} AS MATERIALIZED (SELECT a.vec_id AS node, b.vec_id AS nbr, {cosab} AS gs
+      FROM embeddings a JOIN hlv xa ON xa.vec_id = a.vec_id AND xa.lvl >= {l}
+      JOIN embeddings b ON b.vec_id <> a.vec_id
+      JOIN hlv xb ON xb.vec_id = b.vec_id AND xb.lvl >= {l})"""
+        )
+        parts.append(
+            f"""he{l} AS MATERIALIZED (SELECT node, nbr FROM (
+      SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY gs DESC, nbr) AS rn
+      FROM hp{l}) WHERE rn <= {HNSW_DEG})"""
+        )
+    tiers = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS tier FROM (SELECT vec_id FROM hlv WHERE lvl >= {l}"
+        f" ORDER BY vec_id LIMIT {HNSW_ENTRY_CAP})"
+        for i, l in enumerate(range(HNSW_MAX_LAYER, -1, -1))
+    )
+    parts.append(f"htier AS ({tiers})")
+    parts.append(
+        "hent AS (SELECT vec_id AS node FROM htier"
+        " WHERE tier = (SELECT min(tier) FROM htier))"
+    )
+    cosq = _sq_cosine("gq.qv", "e.embedding")
+    parts.append(
+        f"""hs0 AS MATERIALIZED (SELECT gq.qid, hent.node, {cosq} AS s
+      FROM gq CROSS JOIN hent JOIN embeddings e ON e.vec_id = hent.node)"""
+    )
+    parts.append(
+        f"""hc0 AS MATERIALIZED (SELECT qid, node, s FROM (
+      SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM hs0) WHERE rn <= {HNSW_WIDTH})"""
+    )
+    step, prev = 0, "hc0"
+    for l in range(HNSW_MAX_LAYER, 0, -1):
+        for _ in range(HNSW_HOPS):
+            step += 1
+            parts.append(
+                f"""hn{step} AS (SELECT DISTINCT c.qid, g.nbr AS node
+      FROM {prev} c JOIN he{l} g ON g.node = c.node)"""
+            )
+            parts.append(
+                f"""hs{step} AS MATERIALIZED (SELECT n.qid, n.node, {cosq} AS s
+      FROM hn{step} n JOIN embeddings e ON e.vec_id = n.node JOIN gq ON gq.qid = n.qid)"""
+            )
+            parts.append(
+                f"""hc{step} AS MATERIALIZED (SELECT qid, node, s FROM (
+      SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM (SELECT DISTINCT qid, node, s FROM (
+            SELECT qid, node, s FROM {prev}
+            UNION ALL SELECT qid, node, s FROM hs{step}))) WHERE rn <= {HNSW_WIDTH})"""
+            )
+            prev = f"hc{step}"
+    return ",\n".join(parts), prev
+
+
+def _oracle_hnsw_topk() -> str:
+    pre, fin = _sq_hnsw_ctes()
+    beam = _sq_graph_beam_ctes(
+        pre_sql=pre, sc0_sql=f"SELECT qid, node, s FROM {fin}"
+    )
+    return f"""
+WITH {beam}
+SELECT qid, node AS neighbor_id, {_r6('s', 'score')},
+       CAST(rn AS INT) AS rank
+FROM (SELECT qid, node, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM bfin)
+WHERE rn <= {GRAPH_K}
+"""
+
+
+def _oracle_recall_hnsw() -> str:
+    pre, fin = _sq_hnsw_ctes()
+    beam = _sq_graph_beam_ctes(
+        pre_sql=pre, sc0_sql=f"SELECT qid, node, s FROM {fin}"
+    )
+    return f"""
+WITH {beam},
+approx AS (SELECT qid, node AS neighbor_id FROM (
+      SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY s DESC, node) AS rn
+      FROM bfin) WHERE rn <= {GRAPH_K}),
+exact AS (SELECT qid, neighbor_id FROM (
+      SELECT gq.qid, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY gq.qid ORDER BY {_sq_cosine('e.embedding', 'gq.qv')} DESC, e.vec_id) AS rn
+      FROM embeddings e, gq) WHERE rn <= {GRAPH_K})
+SELECT qid, count(*) / {float(GRAPH_K)} AS recall
+FROM approx JOIN exact USING (qid, neighbor_id) GROUP BY qid
+"""
 
 
 def _sq_medoid_entries_ctes() -> str:
@@ -5639,6 +5766,8 @@ def oracle_sql() -> dict[str, str]:
         "sparse_topk_indexed": _oracle_sparse_topk(),
         "sparse_knn_join": _oracle_sparse_knn_join(),
         "hybrid_tri_rrf": _oracle_hybrid_tri_rrf(),
+        "hnsw_topk": _oracle_hnsw_topk(),
+        "recall_hnsw": _oracle_recall_hnsw(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),

@@ -81,6 +81,7 @@ def graph_beam_search(
     stats: dict | None = None,
     entries: DataFrame | None = None,
     allowed: DataFrame | None = None,
+    entries_per_query: DataFrame | None = None,
 ) -> DataFrame:
     """Batch best-first beam search over a prebuilt kNN graph — the
     query-time completion of :func:`..search.nn_descent` and the
@@ -182,8 +183,13 @@ def graph_beam_search(
 
     # deterministic entry points: minimal-hash nodes (constant-size
     # TakeOrderedAndProject, then a broadcast) — or the caller's
-    # explicit entry frame (still a tiny broadcast).
-    if entries is None:
+    # explicit entry frame (still a tiny broadcast) — or, for
+    # coarse-to-fine tiers (operators/hnsw.py descent), a PER-QUERY
+    # entry frame (query_id, id_col): each query's beam then starts at
+    # its own descended node instead of a shared global set.
+    if entries_per_query is not None:
+        entries = None
+    elif entries is None:
         entries = (
             v.select("__node")
             .orderBy(
@@ -220,7 +226,12 @@ def graph_beam_search(
     # a million-query batch amortizes over the same ~10 jobs).
     n_q = q.count()
     parts = max(1, math.ceil(n_q * beam / 500_000))
-    init = q.select("__qid").crossJoin(F.broadcast(entries))
+    if entries_per_query is not None:
+        init = entries_per_query.select(
+            F.col(query_id).alias("__qid"), F.col(id_col).alias("__node")
+        ).distinct()
+    else:
+        init = q.select("__qid").crossJoin(F.broadcast(entries))
     alw = None
     ans = None
     if allowed is not None:
@@ -326,7 +337,9 @@ def graph_beam_search(
         )
 
     if stats is not None:
-        stats["n_scored"] = int(n_scored)
+        # additive, so upstream tiers (hnsw descent) can pre-charge
+        # their own scorings into the same honest budget counter
+        stats["n_scored"] = stats.get("n_scored", 0) + int(n_scored)
     q.unpersist()
     v.unpersist()
     edges.unpersist()
