@@ -60,6 +60,11 @@ HEADLINE = [
     # bq_inline_duckdb_1m — 8-byte codes read + broadcast rerank,
     # measured 0.61 s vs 1.11 s exact at 1M, BASELINE.md 2026-08-15).
     "lm_doc_scores",
+    # r13 session-2 addition: the sparse-vector (SPLADE-shape) serving
+    # family — inverted-index dot-product top-k (operators/sparse.py),
+    # the third retrieval pillar next to dense and lexical. New family
+    # → extends the headline total; per-query history stays comparable.
+    "sparse_topk",
 ]
 
 
