@@ -407,6 +407,37 @@ def q_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", _round6(F.col("score"), "score"))
 
 
+def q_planned_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based filtered search (operators/planner.py): selectivity
+    of ``label = FILTER_LABEL`` is ~0.1 (10 uniform labels), under the
+    pinned ``low=0.2`` threshold, so the planner must choose the
+    pre-filter-exact branch — whose result is provably the exact
+    filtered top-k, hence shares topk_filtered's oracle. The graph is
+    supplied, so the DECISION is real (three strategies available);
+    branch selection across the whole threshold range is pytest-
+    checked (tests/test_planner.py)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        planner as PL,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    allowed = emb.filter(F.col("label") == FILTER_LABEL).select("vec_id")
+    st: dict = {}
+    res = PL.filtered_topk_auto(
+        emb,
+        _query_vec(spark, sf_dir),
+        allowed,
+        k=TOPK_K,
+        graph=_exact_knn_graph(emb).select("node", "nbr"),
+        low=0.2,
+        high=0.6,
+        stats=st,
+    )
+    assert st["strategy"] == "pre_filter_exact", st
+    return res.select("vec_id", _round6(F.col("score"), "score"))
+
+
 def q_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
@@ -4991,6 +5022,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_tri_rrf": q_hybrid_tri_rrf,
         "hnsw_topk": q_hnsw_topk,
         "recall_hnsw": q_recall_hnsw,
+        "planned_filtered_topk": q_planned_filtered_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,

@@ -5768,6 +5768,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_tri_rrf": _oracle_hybrid_tri_rrf(),
         "hnsw_topk": _oracle_hnsw_topk(),
         "recall_hnsw": _oracle_recall_hnsw(),
+        "planned_filtered_topk": _oracle_topk_filtered(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),
