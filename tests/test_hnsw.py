@@ -174,3 +174,51 @@ def test_hnsw_beats_flat_entries_on_clustered_corpus(spark):
     assert r_flat <= 0.45
     assert r_hier >= 0.6
     assert r_hier >= r_flat + 0.3
+
+
+def test_hnsw_index_roundtrip_matches_in_memory(spark, tables):
+    """Serving from the materialized store must be bit-identical to
+    the in-memory path on the same corpus (same layer rule, frozen
+    entries == the rule's output, same folds)."""
+    import shutil
+    import tempfile
+
+    emb = tables["embeddings"]
+    base = H._exact_layer_graph(emb, 8, "cosine", "vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_idx_")
+    try:
+        H.write_hnsw_index(
+            emb, base, tmp, deg=4, scale=8, max_layer=2, entry_cap=4
+        )
+        layers = H.build_hnsw_layers(emb, deg=4, scale=8, max_layer=2)
+        want = {
+            (r.qid, r.neighbor_id, r.rank, round(r.score, 12))
+            for r in H.hnsw_search(
+                qs, emb, base, layers, k=5, beam=12, rounds=3, hops=2,
+                max_layer=2, width=2, scale=8, entry_cap=4,
+            ).collect()
+        }
+        got = {
+            (r.qid, r.neighbor_id, r.rank, round(r.score, 12))
+            for r in H.hnsw_topk_indexed(
+                spark, tmp, qs, k=5, beam=12, rounds=3, hops=2, width=2
+            ).collect()
+        }
+        assert got == want and len(got) == 30
+        # wrong-kind store raises
+        import pytest
+
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+            _write_meta,
+        )
+
+        tmp2 = tempfile.mkdtemp(prefix="notann_")
+        _write_meta(spark, tmp2, {"kind": "bm25"})
+        with pytest.raises(ValueError, match="not an hnsw index"):
+            H.hnsw_topk_indexed(spark, tmp2, qs)
+        shutil.rmtree(tmp2, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -138,3 +138,65 @@ def test_sparse_postings_roundtrip(spark):
     assert {r.doc_id for r in post} == {7}
     hand = _hand_sparse("p q p")
     assert {r.term: r.w for r in post} == hand
+
+
+def test_stream_sparse_serving_matches_batch(spark, tables):
+    """Continuous sparse serving through stream_search's search_fn
+    seam: sparse query vectors arriving across micro-batches get
+    exactly the batch sparse_knn_join answers (per-qid results are
+    query-independent, so the micro-batch union must equal one batch
+    join)."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        serving as SV,
+    )
+
+    docs = tables["documents"].limit(300)
+    corpus_sv = SP.sparse_from_text(docs).persist()
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text")
+    )
+    qsv = SP.sparse_from_text(queries, id_col="qid", text_col="text").persist()
+
+    tmp = tempfile.mkdtemp(prefix="stream_sparse_")
+    try:
+        src, sink = tmp + "/src", tmp + "/sink"
+        qids = sorted(r.qid for r in qsv.select("qid").collect())
+        mid = qids[len(qids) // 2]
+        qsv.filter(F.col("qid") < mid).coalesce(1).write.mode("append").parquet(src)
+        qsv.filter(F.col("qid") >= mid).coalesce(1).write.mode("append").parquet(src)
+
+        batches: list[int] = []
+
+        def sink_fn(hits, batch_id):
+            batches.append(batch_id)
+            hits.write.mode("append").parquet(sink)
+
+        q = SV.stream_search(
+            spark,
+            src,
+            corpus_sv,
+            sink_fn,
+            schema="qid long, indices array<bigint>, values array<double>",
+            reader_options={"maxFilesPerTrigger": 1},
+            search_fn=lambda batch: SP.sparse_knn_join(batch, corpus_sv, k=5),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        assert len(batches) >= 2
+        got = {
+            (r.qid, r.doc_id, r.rank, round(r.score, 6))
+            for r in spark.read.parquet(sink).collect()
+        }
+        expect = {
+            (r.qid, r.doc_id, r.rank, round(r.score, 6))
+            for r in SP.sparse_knn_join(qsv, corpus_sv, k=5).collect()
+        }
+        assert got == expect
+    finally:
+        corpus_sv.unpersist()
+        qsv.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -62,6 +62,8 @@ __all__ = [
     "top_entries",
     "hnsw_descend",
     "hnsw_search",
+    "write_hnsw_index",
+    "hnsw_topk_indexed",
 ]
 
 #: geometric thinning factor between layers (expected |layer l| =
@@ -379,4 +381,124 @@ def hnsw_search(
         stats=stats,
         allowed=allowed,
         entries_per_query=descended.select(query_id, id_col),
+    )
+
+
+def write_hnsw_index(
+    vectors: DataFrame,
+    base_graph: DataFrame,
+    path: str,
+    deg: int = 8,
+    scale: int = HNSW_SCALE,
+    max_layer: int = 2,
+    entry_cap: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the hierarchical serving artifact as three co-located
+    tables under one root (the ``write_graph_pq_index`` storage
+    convention — separate directories, not a ``kind=`` column, so a
+    descent-only reader opens ``layers/`` without listing the base
+    graph or vector files):
+
+    * ``layers/``  — the upper-layer adjacency ``(layer, node, nbr)``
+      (~N/(scale-1) rows total — a rounding error next to the base),
+    * ``base/``    — the layer-0 kNN graph ``(node, nbr)``,
+    * ``vectors/`` — the full vectors (scored during descent + beam),
+
+    plus a sidecar with the build parameters AND the frozen entry
+    list (:func:`top_entries` evaluated once at build — query time
+    never re-derives it). Mutations: the base graph evolves through
+    the existing ``graph_insert``/``graph_delete`` snapshot machinery;
+    the upper layers are cheap enough (geometric series over shrinking
+    subsets) that the documented maintenance is a layer REBUILD, which
+    this writer makes idempotent via ``mode=overwrite``."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _write_meta,
+    )
+
+    layers = build_hnsw_layers(
+        vectors, deg=deg, scale=scale, max_layer=max_layer, metric=metric,
+        id_col=id_col, vec_col=vec_col,
+    )
+    layers.write.mode(mode).parquet(f"{path}/layers")
+    base_graph.select("node", "nbr").write.mode(mode).parquet(f"{path}/base")
+    vectors.select(id_col, vec_col).write.mode(mode).parquet(f"{path}/vectors")
+    ents = [
+        r[id_col]
+        for r in top_entries(
+            vectors, id_col=id_col, scale=scale, max_layer=max_layer, cap=entry_cap
+        ).collect()
+    ]
+    _write_meta(
+        vectors.sparkSession,
+        path,
+        {
+            "kind": "hnsw",
+            "scale": scale,
+            "max_layer": max_layer,
+            "deg": deg,
+            "metric": metric,
+            "entries": sorted(ents),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+
+
+def hnsw_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 32,
+    rounds: int = 4,
+    hops: int = 2,
+    width: int = 1,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    stats: dict | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve from a :func:`write_hnsw_index` store — bit-identical to
+    the in-memory :func:`hnsw_search` on the same corpus (same layer
+    rule, same frozen entries, same folds) through the parquet round
+    trip (parity pytest). Per query the store reads the tiny layers
+    table, the base adjacency, and the vectors it actually scores."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _read_meta,
+    )
+
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "hnsw":
+        raise ValueError(f"not an hnsw index: kind={meta.get('kind')!r}")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    base = spark.read.parquet(f"{path}/base")
+    layers = spark.read.parquet(f"{path}/layers")
+    entries = spark.createDataFrame(
+        [(int(e),) for e in meta["entries"]], f"{id_col} long"
+    )
+    return hnsw_search(
+        queries,
+        vectors,
+        base,
+        layers,
+        k=k,
+        beam=beam,
+        rounds=rounds,
+        hops=hops,
+        max_layer=int(meta["max_layer"]),
+        width=width,
+        entries=entries,
+        scale=int(meta["scale"]),
+        metric=meta["metric"],
+        query_id=query_id,
+        query_vec=query_vec,
+        id_col=id_col,
+        vec_col=vec_col,
+        stats=stats,
+        allowed=allowed,
     )
