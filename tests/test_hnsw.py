@@ -222,3 +222,34 @@ def test_hnsw_index_roundtrip_matches_in_memory(spark, tables):
         shutil.rmtree(tmp2, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_hnsw_insert_upper_layers_match_rebuild(spark, tables):
+    """The upper-layer claim is EXACT: folding a batch into the
+    hierarchy must produce edge-for-edge the same layer graphs as a
+    from-scratch build over the union corpus (merge-and-rerank over
+    old-top-deg ∪ new pairs == top-deg over all pairs)."""
+    emb = tables["embeddings"]
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    base_old = S.nn_descent(old, k=8)
+    layers_old = H.build_hnsw_layers(old, deg=4, scale=8, max_layer=2)
+    new_base, new_layers = H.hnsw_insert(
+        old, base_old, layers_old, new, base_k=8, deg=4, scale=8, max_layer=2
+    )
+    want = {
+        (r.layer, r.node, r.nbr)
+        for r in H.build_hnsw_layers(emb, deg=4, scale=8, max_layer=2).collect()
+    }
+    got = {(r.layer, r.node, r.nbr) for r in new_layers.collect()}
+    assert got == want
+    # base graph: every node (old + new) has edges
+    nodes = {r.node for r in new_base.select("node").distinct().collect()}
+    assert len(nodes) == emb.count()
+    # no-op insert keeps layers identical
+    empty = new.filter(F.col("vec_id") < 0)
+    _, same = H.hnsw_insert(
+        emb, S.nn_descent(emb, k=8), H.build_hnsw_layers(emb, deg=4, scale=8, max_layer=2),
+        empty, deg=4, scale=8, max_layer=2,
+    )
+    assert {(r.layer, r.node, r.nbr) for r in same.collect()} == want

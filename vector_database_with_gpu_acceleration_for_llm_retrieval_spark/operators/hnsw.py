@@ -64,6 +64,7 @@ __all__ = [
     "hnsw_search",
     "write_hnsw_index",
     "hnsw_topk_indexed",
+    "hnsw_insert",
 ]
 
 #: geometric thinning factor between layers (expected |layer l| =
@@ -502,3 +503,102 @@ def hnsw_topk_indexed(
         stats=stats,
         allowed=allowed,
     )
+
+
+def hnsw_insert(
+    vectors: DataFrame,
+    base_graph: DataFrame,
+    layer_edges: DataFrame,
+    new_vectors: DataFrame,
+    base_k: int = 10,
+    deg: int = 8,
+    scale: int = HNSW_SCALE,
+    max_layer: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **graph_insert_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental HNSW maintenance: fold a batch of new vectors into
+    the hierarchy without rebuilding. Returns ``(base_graph',
+    layer_edges')``.
+
+    * **Base layer** delegates to :func:`..graph_ann.graph_insert`
+      (placement by beam search + touched-neighborhood repair —
+      approximate, recall-audited there). ``base_graph`` must carry
+      scores (the nn_descent output shape), as graph_insert re-ranks.
+    * **Upper layers** are EXACTLY rebuild-equivalent: a new node's
+      level comes from the same deterministic hash rule, its adjacency
+      is its top-``deg`` among the layer's nodes, and each existing
+      layer node's adjacency is re-ranked over (its current top-deg ∪
+      its pairs with the new nodes) — which equals the top-deg over
+      ALL pairs, because any pair absent from the old top-deg is
+      dominated by ``deg`` better pairs that are all present in the
+      union. Asserted set-equal to a from-scratch build in
+      tests/test_hnsw.py. Cost: ``|new_layer_nodes| · |layer|``
+      scorings per layer — and layer populations shrink by
+      ``scale^l``, so the expected upper-tier work per inserted row
+      is ``N/(scale-1) / N ≈ 1/scale`` of one corpus scan.
+
+    Existing-edge scores are recomputed from the vector table (the
+    stored layer adjacency is (layer, node, nbr) only); scoring is the
+    JVM fold, so re-ranking reproduces build-time tie-breaks exactly.
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.graph_ann import (
+        graph_insert,
+    )
+
+    score_fn = _metric_fn(metric)
+    new_base = graph_insert(
+        vectors, base_graph, new_vectors, k=base_k, metric=metric,
+        id_col=id_col, vec_col=vec_col, **graph_insert_kwargs,
+    )
+
+    union = vectors.select(id_col, vec_col).unionByName(
+        new_vectors.select(id_col, vec_col)
+    )
+    lv_new = assign_layers(new_vectors, id_col=id_col, scale=scale, max_layer=max_layer)
+    lv_all = assign_layers(union, id_col=id_col, scale=scale, max_layer=max_layer)
+    out = None
+    for layer in range(1, max_layer + 1):
+        ln = lv_new.filter(F.col("lvl") >= layer).select(id_col)
+        n_new = ln.count()
+        old_edges = layer_edges.filter(F.col("layer") == layer).select("node", "nbr")
+        if n_new == 0:
+            keep = old_edges.select(
+                F.lit(layer).alias("layer"), "node", "nbr"
+            )
+            out = keep if out is None else out.unionByName(keep)
+            continue
+        la = lv_all.filter(F.col("lvl") >= layer).select(id_col)
+        members = union.join(F.broadcast(la), id_col, "left_semi")
+        newv = new_vectors.join(F.broadcast(ln), id_col, "left_semi")
+        a = members.select(F.col(id_col).alias("node"), F.col(vec_col).alias("__av"))
+        b = newv.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("__bv"))
+        # all pairs touching a new node, BOTH directions, self excluded
+        fwd = a.join(F.broadcast(b), F.col("node") != F.col("nbr")).select(
+            "node", "nbr", score_fn("__av", "__bv").alias("__s")
+        )
+        rev = fwd.select(
+            F.col("nbr").alias("node"), F.col("node").alias("nbr"), "__s"
+        )
+        # existing edges re-scored from the vectors (same fold as build)
+        va = union.select(F.col(id_col).alias("node"), F.col(vec_col).alias("__av"))
+        vb = union.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("__bv"))
+        old_scored = (
+            old_edges.join(va, "node").join(vb, "nbr")
+            .select("node", "nbr", score_fn("__av", "__bv").alias("__s"))
+        )
+        merged = old_scored.unionByName(fwd).unionByName(rev).dropDuplicates(
+            ["node", "nbr"]
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("__s"), F.asc("nbr"))
+        upd = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= deg)
+            .select(F.lit(layer).alias("layer"), "node", "nbr")
+        )
+        out = upd if out is None else out.unionByName(upd)
+    if out is None:
+        out = layer_edges.select("layer", "node", "nbr")
+    return new_base, out
