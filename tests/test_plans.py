@@ -596,3 +596,46 @@ def test_nn_descent_final_plan_is_pinned(tables):
     assert "Scan parquet" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_sparse_retrieval_plan_shapes(spark, tables):
+    """Sparse tier scale contracts: single-query top-k ends in
+    TakeOrderedAndProject with no cartesian; the batch join BROADCASTS
+    the query postings (corpus side never shuffles before the matched-
+    pair groupBy)."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import sparse as SP
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    docs = tables["documents"].limit(200)
+    sv = SP.sparse_from_text(docs)
+    qi, qv = SP.sparse_query_py("spark join window")
+    plan = physical_plan(SP.sparse_topk(sv, qi, qv, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    qsv = sv.limit(3).withColumnRenamed("doc_id", "qid")
+    plan2 = physical_plan(SP.sparse_knn_join(qsv, sv, k=3))
+    assert "BroadcastHashJoin" in plan2
+    assert "CartesianProduct" not in plan2
+
+
+def test_planner_exact_branch_pushes_filter(spark, tables):
+    """The planner's pre-filter-exact branch must keep the flagship
+    TakeOrderedAndProject and read the corpus once (broadcast semi-join
+    on the allowed ids, no cartesian)."""
+    from pyspark.sql import functions as F
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import planner as PL
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+
+    emb = tables["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    allowed = emb.filter(F.col("label") == 1).select("vec_id")
+    df = PL.filtered_topk_auto(emb, qv, allowed, k=5, graph=None)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -479,6 +479,34 @@ AUDITED = {
         "map-side-combined count; mixture-midpoint terms close in a 1-row "
         "aggregate over the vocab-sized frame."
     ),
+    "sparse_topk": (
+        "Sparse (SPLADE-shape) retrieval (r13-s2): inverted postings via one "
+        "explode, literal IN-list on the query's terms, per-doc term-ordered "
+        "fold; the only wide op is the per-doc groupBy over MATCHED postings, "
+        "then TakeOrderedAndProject."
+    ),
+    "sparse_knn_join": (
+        "Batch sparse (r13-s2): BROADCAST query postings joined to the corpus "
+        "postings stream on term — one corpus pass, no corpus-side shuffle "
+        "before the partial-aggregated (qid, doc) groupBy of matched pairs."
+    ),
+    "hybrid_tri_rrf": (
+        "Tri-hybrid fusion (r13-s2): three independent top-20 subtrees (dense "
+        "TakeOrdered, BM25, sparse) meet in rank-only full-outer joins over "
+        "≤60 rows — fusion cost is constant, never corpus-shaped."
+    ),
+    "hnsw_topk": (
+        "HNSW serving (r13-s2): layer assignment is a pure projection "
+        "(integer mods of the portable hash); each descent hop is an "
+        "edge equi-join + per-query top-width window over |Q|-sized frames; "
+        "the base beam inherits the graph tier's pinned-round discipline."
+    ),
+    "planned_filtered_topk": (
+        "Cost-based filtered search (r13-s2): the planner's chosen branch "
+        "here is pre-filter-exact — label predicate PUSHED to the scan, "
+        "broadcast semi-join on the allowed ids, then the flagship "
+        "TakeOrderedAndProject over the surviving rows only."
+    ),
 }
 
 
