@@ -253,3 +253,63 @@ def test_hnsw_insert_upper_layers_match_rebuild(spark, tables):
         empty, deg=4, scale=8, max_layer=2,
     )
     assert {(r.layer, r.node, r.nbr) for r in same.collect()} == want
+
+
+def test_stream_hnsw_serving_matches_batch(spark, tables):
+    """Continuous hierarchical serving through stream_search's
+    search_fn seam against a materialized HNSW store: query vectors
+    arriving across micro-batches replay the batch hnsw_topk_indexed
+    answers exactly."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        serving as SV,
+    )
+
+    emb = tables["embeddings"]
+    base = H._exact_layer_graph(emb, 8, "cosine", "vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_stream_")
+    try:
+        H.write_hnsw_index(emb, base, tmp + "/idx", deg=4, scale=8, max_layer=2)
+        src, sink = tmp + "/src", tmp + "/sink"
+        qs.filter(F.col("qid") < 3).coalesce(1).write.mode("append").parquet(src)
+        qs.filter(F.col("qid") >= 3).coalesce(1).write.mode("append").parquet(src)
+
+        batches: list[int] = []
+
+        def sink_fn(hits, batch_id):
+            batches.append(batch_id)
+            hits.write.mode("append").parquet(sink)
+
+        q = SV.stream_search(
+            spark,
+            src,
+            emb,
+            sink_fn,
+            schema="qid long, qvec array<float>",
+            reader_options={"maxFilesPerTrigger": 1},
+            search_fn=lambda batch: H.hnsw_topk_indexed(
+                spark, tmp + "/idx", batch, k=5, beam=12, rounds=3, hops=2, width=2
+            ),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        assert len(batches) >= 2
+        got = {
+            (r.qid, r.neighbor_id, r.rank, round(r.score, 10))
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r.qid, r.neighbor_id, r.rank, round(r.score, 10))
+            for r in H.hnsw_topk_indexed(
+                spark, tmp + "/idx", qs, k=5, beam=12, rounds=3, hops=2, width=2
+            ).collect()
+        }
+        assert got == want and len(want) == 30
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
