@@ -2072,7 +2072,7 @@ def _sq_sparse_ctes(src: str = "documents") -> str:
     ``w = sqrt(tf)`` (IEEE-exact cross-engine, unlike ln)."""
     th = _sq_tok_hash("t")
     return f"""
-__sptoks AS (SELECT doc_id, unnest({_SQ_TOKS}) AS t FROM {src}),
+__sptoks AS (SELECT doc_id, t FROM (SELECT doc_id, unnest({_SQ_TOKS}) AS t FROM {src}) WHERE t <> ''),
 __sptf AS (SELECT doc_id, {th} AS term, count(*) AS tf FROM __sptoks GROUP BY 1, 2),
 __sppost AS (SELECT doc_id, term, sqrt(CAST(tf AS DOUBLE)) AS w FROM __sptf)
 """
@@ -2099,8 +2099,9 @@ def _oracle_sparse_knn_join() -> str:
     th = _sq_tok_hash("t")
     return f"""
 WITH {_sq_sparse_ctes().strip()},
-__spqs AS (SELECT doc_id AS qid, unnest(list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS})) AS t
-           FROM documents WHERE doc_id % {BM25Q_MOD} = 0),
+__spqs AS (SELECT qid, t FROM (
+           SELECT doc_id AS qid, unnest(list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS})) AS t
+           FROM documents WHERE doc_id % {BM25Q_MOD} = 0) WHERE t <> ''),
 __spqtf AS (SELECT qid, {th} AS term, count(*) AS tf FROM __spqs GROUP BY 1, 2),
 __spqpost AS (SELECT qid, term, sqrt(CAST(tf AS DOUBLE)) AS qw FROM __spqtf),
 __spsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s

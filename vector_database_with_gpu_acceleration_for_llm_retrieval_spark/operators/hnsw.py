@@ -173,9 +173,20 @@ def build_hnsw_layers(
         edges = edges.select(F.lit(layer).alias("layer"), "node", "nbr")
         out = edges if out is None else out.unionByName(edges)
     if out is None:
-        # degenerate corpus (≤1 upper node everywhere): empty edge frame
+        # degenerate corpus (≤1 upper node everywhere): empty edge
+        # frame, node/nbr typed like the id column
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        id_type = vectors.schema[id_col].dataType
         spark = vectors.sparkSession
-        return spark.createDataFrame([], "layer int, node long, nbr long")
+        return spark.createDataFrame(
+            [],
+            StructType([
+                StructField("layer", IntegerType()),
+                StructField("node", id_type),
+                StructField("nbr", id_type),
+            ]),
+        )
     return out
 
 
@@ -310,6 +321,11 @@ def hnsw_descend(
             )
     if stats is not None:
         stats["n_scored"] = stats.get("n_scored", 0) + n_scored
+    # cur is localCheckpoint-pinned, so the inputs can release their
+    # storage now (a long-running serving stream calls this per
+    # micro-batch — leaked persists would accumulate until eviction)
+    q.unpersist()
+    v.unpersist()
     return cur.select(
         F.col("__qid").alias(query_id),
         F.col("__node").alias(id_col),
@@ -479,8 +495,12 @@ def hnsw_topk_indexed(
     vectors = spark.read.parquet(f"{path}/vectors")
     base = spark.read.parquet(f"{path}/base")
     layers = spark.read.parquet(f"{path}/layers")
+    # entries typed from the stored id column — ids need not be ints
+    from pyspark.sql.types import StructField, StructType
+
     entries = spark.createDataFrame(
-        [(int(e),) for e in meta["entries"]], f"{id_col} long"
+        [(e,) for e in meta["entries"]],
+        StructType([StructField(id_col, vectors.schema[id_col].dataType)]),
     )
     return hnsw_search(
         queries,
@@ -527,15 +547,21 @@ def hnsw_insert(
       (placement by beam search + touched-neighborhood repair —
       approximate, recall-audited there). ``base_graph`` must carry
       scores (the nn_descent output shape), as graph_insert re-ranks.
-    * **Upper layers** are EXACTLY rebuild-equivalent: a new node's
-      level comes from the same deterministic hash rule, its adjacency
-      is its top-``deg`` among the layer's nodes, and each existing
-      layer node's adjacency is re-ranked over (its current top-deg ∪
-      its pairs with the new nodes) — which equals the top-deg over
-      ALL pairs, because any pair absent from the old top-deg is
-      dominated by ``deg`` better pairs that are all present in the
-      union. Asserted set-equal to a from-scratch build in
-      tests/test_hnsw.py. Cost: ``|new_layer_nodes| · |layer|``
+    * **Upper layers** are rebuild-equivalent WHEN the existing layer
+      graphs are exact (built at or under ``EXACT_BUILD_THRESHOLD``,
+      the common case — upper layers shrink geometrically): a new
+      node's level comes from the same deterministic hash rule, its
+      adjacency is its top-``deg`` among the layer's nodes, and each
+      existing layer node's adjacency is re-ranked over (its current
+      top-deg ∪ its pairs with the new nodes) — which equals the
+      top-deg over ALL pairs, because any pair absent from the old
+      top-deg is dominated by ``deg`` better pairs that are all
+      present in the union. Asserted set-equal to a from-scratch
+      build in tests/test_hnsw.py. For a layer that was built with
+      nn_descent (above the threshold), the same merge is a MONOTONE
+      IMPROVEMENT of that approximate graph (edges only ever get
+      better), not exact rebuild parity — the base tier's
+      graph_insert recall-audit posture applies there. Cost: ``|new_layer_nodes| · |layer|``
       scorings per layer — and layer populations shrink by
       ``scale^l``, so the expected upper-tier work per inserted row
       is ``N/(scale-1) / N ≈ 1/scale`` of one corpus scan.

@@ -99,15 +99,31 @@ def filtered_topk_auto(
     is present; pass it explicitly to pin planning behavior.
     """
     alw = allowed.select(F.col(id_col)).distinct()
+    measured_n = None
     if selectivity is None:
-        selectivity = estimate_selectivity(corpus, alw, id_col=id_col)
+        measured_n = corpus.select(id_col).count()
+        if measured_n == 0:
+            selectivity = 0.0
+        else:
+            selectivity = (
+                corpus.select(id_col)
+                .join(alw, id_col, "left_semi")
+                .count()
+                / measured_n
+            )
     if graph is None:
         strategy = "pre_filter_exact"
     else:
         if low is None:
-            n = corpus.select(id_col).count()
-            budget = n_entry + rounds * beam * 8
-            low = min(0.25, budget / max(n, 1))
+            if measured_n is not None:
+                budget = n_entry + rounds * beam * 8
+                low = min(0.25, budget / max(measured_n, 1))
+            else:
+                # selectivity came from the catalog — do NOT pay a
+                # corpus count just to derive a threshold; callers
+                # with stats should pass `low` too, else this static
+                # conservative default applies
+                low = 0.01
         if selectivity <= low:
             strategy = "pre_filter_exact"
         elif selectivity < high:

@@ -94,6 +94,11 @@ def sparse_from_tokens(
     """
     tf = (
         df.select(F.col(id_col), F.explode(F.col(toks_col)).alias("__tok"))
+        # blank text (and leading-whitespace splits) produce '' tokens;
+        # a phantom term=hash('') posting would inflate the index and
+        # every df statistic, so drop them before hashing (the mirror
+        # filters t <> '' at the same point)
+        .filter(F.col("__tok") != "")
         .select(id_col, TX.portable_token_hash(F.col("__tok")).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
@@ -144,8 +149,16 @@ def sparse_query_py(text: str) -> tuple[list[int], list[float]]:
     tokenizer/hash/weighting as :func:`sparse_from_text`, computed in
     Python so single-query search can inline the (tiny) query vector
     as literals (the `_query_vec` pattern). Returns ``(indices,
-    values)`` with indices strictly ascending."""
-    toks = text.split()
+    values)`` with indices strictly ascending.
+
+    Tokenization mirrors the engine EXACTLY: split on the ASCII
+    whitespace class Java's ``\s`` matches (``str.split()`` would
+    also split on Unicode whitespace like U+00A0, silently diverging
+    from the JVM regex), empty tokens dropped (as the engine and the
+    SQL mirror both drop them)."""
+    import re
+
+    toks = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text) if t]
     tf: dict[int, int] = {}
     for t in toks:
         h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
