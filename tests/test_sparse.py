@@ -200,3 +200,29 @@ def test_stream_sparse_serving_matches_batch(spark, tables):
         corpus_sv.unpersist()
         qsv.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sparse_truncate_keeps_top_m(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d")],  # weights: a=sqrt3, b=sqrt2, c=1, d=1
+        "doc_id long, text string",
+    )
+    sv = SP.sparse_from_text(docs)
+    t2 = SP.sparse_truncate(sv, 2).collect()[0]
+    assert len(t2.indices) == 2 and list(t2.indices) == sorted(t2.indices)
+    assert sorted(t2.values, reverse=True) == sorted(
+        [math.sqrt(3.0), math.sqrt(2.0)], reverse=True
+    )
+    # ties at the boundary break on term asc (deterministic): m=3 keeps
+    # exactly one of the two weight-1.0 terms — the smaller hash
+    t3 = SP.sparse_truncate(sv, 3).collect()[0]
+    ones = [h for h, w in zip(t3.indices, t3.values) if w == 1.0]
+    all_ones = sorted(h for h, w in _hand_sparse("a a a b b c d").items() if w == 1.0)
+    assert ones == [all_ones[0]]
+    # m >= nnz is the identity
+    t9 = SP.sparse_truncate(sv, 9).collect()[0]
+    assert list(t9.indices) == list(sv.collect()[0].indices)
+    import pytest
+
+    with pytest.raises(ValueError):
+        SP.sparse_truncate(sv, 0)

@@ -1667,6 +1667,46 @@ def q_sparse_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "doc_id", _round6(F.col("score"), "score"), "rank")
 
 
+SPARSE_TRUNC_M = 8
+
+
+def q_sparse_topk_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-sparse retrieval: each document keeps only its top
+    SPARSE_TRUNC_M coordinates (the SPLADE nnz bound — postings
+    storage and match width scale with m, not document length);
+    scoring is otherwise identical to sparse_topk."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    qi, qv = SP.sparse_query_py(RAG_QUESTION)
+    sv = SP.sparse_truncate(SP.sparse_from_text(t["documents"]), SPARSE_TRUNC_M)
+    out = SP.sparse_topk(sv, qi, qv, k=TOPK_K)
+    return out.select("doc_id", _round6(F.col("score"), "score"))
+
+
+def q_recall_sparse_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@KNN_K of truncated-sparse batch retrieval vs the exact
+    sparse join on the same query set — the family discipline: every
+    approximate tier ships with its measured recall."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    qs = docs.filter(F.col("doc_id") % BM25Q_MOD == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(TX.tokens(F.col("text")), 1, BM25Q_TOKENS).alias("__qt"),
+    )
+    qsv = SP.sparse_from_tokens(qs, "__qt", id_col="qid")
+    sv = SP.sparse_from_text(docs)
+    exact = SP.sparse_knn_join(qsv, sv, k=KNN_K)
+    approx = SP.sparse_knn_join(qsv, SP.sparse_truncate(sv, SPARSE_TRUNC_M), k=KNN_K)
+    return S.recall_at_k(exact, approx, k=KNN_K, by=["qid", "doc_id"])
+
+
 def q_hybrid_topk_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval, weighted-sum variant: the same dense + BM25
     top-20 lists as q_hybrid_topk_rrf, min-max normalized per list and
@@ -5023,6 +5063,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_topk": q_hnsw_topk,
         "recall_hnsw": q_recall_hnsw,
         "planned_filtered_topk": q_planned_filtered_topk,
+        "sparse_topk_trunc": q_sparse_topk_trunc,
+        "recall_sparse_trunc": q_recall_sparse_trunc,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,
         "recall_lsh_multiprobe": q_recall_lsh_multiprobe,

@@ -2147,6 +2147,67 @@ SELECT doc_id, {_r6('rrf_score', 'rrf_score')} FROM __fused
 ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_K}
 """
 
+def _sq_sparse_trunc_cte() -> str:
+    """Per-doc top-SPARSE_TRUNC_M truncation of ``__sppost`` (weight
+    desc, term asc — mirrors operators.sparse.sparse_truncate);
+    exposes ``__sptr(doc_id, term, w)``."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        SPARSE_TRUNC_M,
+    )
+
+    return f"""
+__sptr AS (SELECT doc_id, term, w FROM (
+      SELECT doc_id, term, w, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+      FROM __sppost) WHERE rn <= {SPARSE_TRUNC_M})
+"""
+
+def _oracle_sparse_topk_trunc() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sparse import (
+        sparse_query_py,
+    )
+
+    qi, qv = sparse_query_py(RAG_QUESTION)
+    qvals = ", ".join(f"({h}, {w!r})" for h, w in zip(qi, qv))
+    return f"""
+WITH {_sq_sparse_ctes().strip()},
+{_sq_sparse_trunc_cte().strip()},
+__spq(term, qw) AS (VALUES {qvals}),
+__spsc AS (SELECT p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sptr p JOIN __spq q USING (term)),
+__spsum AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __spsc GROUP BY doc_id)
+SELECT doc_id, {_r6('score', 'score')} FROM __spsum
+ORDER BY score DESC, doc_id LIMIT {TOPK_K}
+"""
+
+def _oracle_recall_sparse_trunc() -> str:
+    th = _sq_tok_hash("t")
+    return f"""
+WITH {_sq_sparse_ctes().strip()},
+{_sq_sparse_trunc_cte().strip()},
+__spqs AS (SELECT qid, t FROM (
+           SELECT doc_id AS qid, unnest(list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS})) AS t
+           FROM documents WHERE doc_id % {BM25Q_MOD} = 0) WHERE t <> ''),
+__spqtf AS (SELECT qid, {th} AS term, count(*) AS tf FROM __spqs GROUP BY 1, 2),
+__spqpost AS (SELECT qid, term, sqrt(CAST(tf AS DOUBLE)) AS qw FROM __spqtf),
+__exsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sppost p JOIN __spqpost q USING (term)),
+__exsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __exsc GROUP BY 1, 2),
+__exk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+          FROM __exsum) WHERE rn <= {KNN_K}),
+__trsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sptr p JOIN __spqpost q USING (term)),
+__trsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __trsc GROUP BY 1, 2),
+__trk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+          FROM __trsum) WHERE rn <= {KNN_K})
+SELECT qid, count(*) / {float(KNN_K)} AS recall
+FROM __trk JOIN __exk USING (qid, doc_id) GROUP BY qid
+"""
+
 def _oracle_hybrid_tri_rrf() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
         hash_embed_py,
@@ -5770,6 +5831,8 @@ def oracle_sql() -> dict[str, str]:
         "hnsw_topk": _oracle_hnsw_topk(),
         "recall_hnsw": _oracle_recall_hnsw(),
         "planned_filtered_topk": _oracle_topk_filtered(),
+        "sparse_topk_trunc": _oracle_sparse_topk_trunc(),
+        "recall_sparse_trunc": _oracle_recall_sparse_trunc(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
         "curate_corpus": _oracle_curate_corpus(),

@@ -49,7 +49,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
@@ -61,6 +61,7 @@ __all__ = [
     "sparse_query_py",
     "sparse_topk",
     "sparse_knn_join",
+    "sparse_truncate",
     "write_sparse_index",
     "sparse_topk_indexed",
     "delete_from_sparse_index",
@@ -259,8 +260,6 @@ def sparse_knn_join(
         qid_col, id_col, "term", (F.col("w") * F.col("qw")).alias("s")
     )
     summed = _fold_by_term(per_term, [qid_col, id_col])
-    from pyspark.sql import Window
-
     win = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         summed.withColumn("rank", F.row_number().over(win).cast("int"))
@@ -374,3 +373,31 @@ def delete_from_sparse_index(spark, path: str, ids: list, id_col: str = "doc_id"
         "docs_deleted": int(stats["docs"]),
         "touched_buckets": touched,
     }
+
+
+def sparse_truncate(sv: DataFrame, m: int, id_col: str = "doc_id") -> DataFrame:
+    """SPLADE-style per-document truncation: keep each vector's top
+    ``m`` coordinates by weight (weight desc, term asc — fully
+    deterministic), re-sorted by term. THE memory knob of a sparse
+    index at 100 TB — nnz per document becomes a hard bound, so
+    postings storage and every per-term match width scale with ``m``,
+    not document length. Approximation quality is quantified by the
+    recall entry (the family discipline: every approximate tier gets
+    a measured recall next to its exact sibling)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    post = sparse_postings(sv, id_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("w"), F.asc("term"))
+    kept = post.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= m
+    )
+    pairs = kept.select(
+        id_col, F.struct(F.col("term"), F.col("w")).alias("p")
+    )
+    return pairs.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("p")).alias("__sp")
+    ).select(
+        id_col,
+        F.col("__sp.term").alias("indices"),
+        F.col("__sp.w").alias("values"),
+    )
