@@ -582,6 +582,46 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnsw_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-store variant of the hierarchical serving entry:
+    write layers/base/vectors + frozen entries to a scratch dir and
+    serve from the parquet round trip — provably identical to
+    hnsw_topk (the frozen entries ARE the top_entries rule's output,
+    every fold unchanged), so it shares its oracle (the
+    pq_topk_indexed rule)."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import hnsw as HN
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_idx_contract_")
+    try:
+        HN.write_hnsw_index(
+            emb,
+            _exact_knn_graph(emb).select("node", "nbr"),
+            tmp,
+            deg=HNSW_DEG,
+            scale=HNSW_SCALE_C,
+            max_layer=HNSW_MAX_LAYER,
+            entry_cap=HNSW_ENTRY_CAP,
+        )
+        res = HN.hnsw_topk_indexed(
+            spark, tmp, qs, k=GRAPH_K, beam=GRAPH_BEAM, rounds=GRAPH_ROUNDS,
+            hops=HNSW_HOPS, width=HNSW_WIDTH,
+        )
+        out = res.select(
+            "qid", "neighbor_id", _round6(F.col("score"), "score"), "rank"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@GRAPH_K of the hierarchical serving stack vs the exact
     kNN join — quantifies the descent-seeded tier like recall_graph
@@ -5064,6 +5104,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_hnsw": q_recall_hnsw,
         "planned_filtered_topk": q_planned_filtered_topk,
         "sparse_topk_trunc": q_sparse_topk_trunc,
+        "hnsw_topk_indexed": q_hnsw_topk_indexed,
         "recall_sparse_trunc": q_recall_sparse_trunc,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,

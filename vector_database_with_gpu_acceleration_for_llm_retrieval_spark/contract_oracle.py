@@ -5832,6 +5832,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_hnsw": _oracle_recall_hnsw(),
         "planned_filtered_topk": _oracle_topk_filtered(),
         "sparse_topk_trunc": _oracle_sparse_topk_trunc(),
+        "hnsw_topk_indexed": _oracle_hnsw_topk(),
         "recall_sparse_trunc": _oracle_recall_sparse_trunc(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),
