@@ -226,3 +226,61 @@ def test_sparse_truncate_keeps_top_m(spark):
 
     with pytest.raises(ValueError):
         SP.sparse_truncate(sv, 0)
+
+
+def test_sparse_postings_expr_matches_groupby_path(spark, tables):
+    """The row-local array-expression encoding (the streaming-safe
+    form) must be value-identical to the groupBy form."""
+    docs = tables["documents"].limit(100)
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+
+    via_expr = docs.select(
+        "doc_id", F.explode(SP.sparse_postings_expr(TX.tokens(F.col("text")))).alias("p")
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.w").alias("w"))
+    via_group = SP.sparse_postings(SP.sparse_from_text(docs))
+    a = {(r.doc_id, r.term, round(r.w, 12)) for r in via_expr.collect()}
+    b = {(r.doc_id, r.term, round(r.w, 12)) for r in via_group.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_sparse_index_matches_batch(spark, tables):
+    """Documents streamed through stream_sparse_index_ingest must
+    yield an index whose sparse_topk_indexed answers are identical to
+    the query-time sparse_topk over the same corpus — bucket pruning
+    surviving the streaming file-sink log."""
+    import shutil
+    import tempfile
+
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import (
+        physical_plan,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.streaming import (
+        pipeline as P,
+    )
+
+    docs = tables["documents"].limit(400).select("doc_id", "text")
+    qi, qv = SP.sparse_query_py("spark join window performance")
+    tmp = tempfile.mkdtemp(prefix="stream_sparse_idx_")
+    try:
+        src, idx, ckpt = tmp + "/src", tmp + "/idx", tmp + "/ckpt"
+        docs.filter(F.col("doc_id") < 200).write.mode("append").parquet(src)
+        docs.filter(F.col("doc_id") >= 200).write.mode("append").parquet(src)
+
+        q = P.stream_sparse_index_ingest(spark, src, idx, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+        expect = [
+            (r.doc_id, round(r.score, 10))
+            for r in SP.sparse_topk(SP.sparse_from_text(docs), qi, qv, k=10).collect()
+        ]
+        got = [
+            (r.doc_id, round(r.score, 10))
+            for r in SP.sparse_topk_indexed(spark, idx, qi, qv, k=10).collect()
+        ]
+        assert got == expect and len(got) == 10
+        plan = physical_plan(SP.sparse_topk_indexed(spark, idx, qi, qv, k=10))
+        part = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "term_bucket" in part
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

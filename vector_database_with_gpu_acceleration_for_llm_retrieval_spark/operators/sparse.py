@@ -62,6 +62,7 @@ __all__ = [
     "sparse_topk",
     "sparse_knn_join",
     "sparse_truncate",
+    "sparse_postings_expr",
     "write_sparse_index",
     "sparse_topk_indexed",
     "delete_from_sparse_index",
@@ -400,4 +401,28 @@ def sparse_truncate(sv: DataFrame, m: int, id_col: str = "doc_id") -> DataFrame:
         id_col,
         F.col("__sp.term").alias("indices"),
         F.col("__sp.w").alias("values"),
+    )
+
+
+def sparse_postings_expr(toks) -> "F.Column":
+    """Row-LOCAL sparse encoding of a token-array column: returns an
+    ``array<struct<term, w>>`` (terms ascending, ``w = sqrt(tf)``)
+    computed entirely inside array expressions — no groupBy, so it is
+    legal in an append-mode STREAM projection (the
+    ``stream_sparse_index_ingest`` path) and mathematically identical
+    to :func:`sparse_from_tokens` (asserted in tests). Cost is
+    O(nnz²) comparisons per document in the tf counting — fine for
+    natural documents (nnz bounded by vocabulary per doc), and the
+    batch path remains the groupBy form."""
+    clean = F.filter(toks, lambda t: t != F.lit(""))
+    hashes = F.transform(clean, lambda t: TX.portable_token_hash(t))
+    dist = F.array_sort(F.array_distinct(hashes))
+    return F.transform(
+        dist,
+        lambda h: F.struct(
+            h.alias("term"),
+            F.sqrt(
+                F.size(F.filter(hashes, lambda x: x == h)).cast("double")
+            ).alias("w"),
+        ),
     )

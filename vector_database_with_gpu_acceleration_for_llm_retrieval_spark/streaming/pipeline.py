@@ -45,6 +45,7 @@ __all__ = [
     "stream_ivfpq_index_ingest",
     "stream_model_inference",
     "stream_bq_index_ingest",
+    "stream_sparse_index_ingest",
     "stream_lm_score",
     "stream_semantic_route",
     "stream_event_window_counts",
@@ -842,6 +843,65 @@ def stream_trigram_index_ingest(
     )
     return _start_index_append_sink(
         postings, index_path, checkpoint_dir, "tg_bucket", log_free
+    )
+
+
+def stream_sparse_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+    schema: str = "doc_id long, text string",
+    log_free: bool = False,
+):
+    """Streaming maintenance of the materialized sparse (inverted)
+    index (operators/sparse.py): arriving documents encode to their
+    sqrt-TF postings ROW-LOCALLY (``sparse_postings_expr`` — pure
+    array expressions, no aggregation, so the projection is legal in
+    append mode), bucket by the frozen ``term mod n_buckets`` rule,
+    and append directly into their term-bucket partitions —
+    ``sparse_topk_indexed`` reads the live index unchanged, bucket
+    pruning intact under continuous ingest.
+
+    The sidecar is written up front so readers can probe from the
+    first micro-batch; ``n_buckets`` is frozen for the index's
+    lifetime (pass None to reuse an existing sidecar's value, the
+    resume-after-init case). Returns the started StreamingQuery
+    (exactly-once via checkpoint)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _read_meta,
+        _write_meta,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sparse import (
+        SPARSE_TERM_BUCKETS,
+        sparse_postings_expr,
+    )
+
+    if n_buckets is None:
+        try:
+            n_buckets = int(_read_meta(spark, index_path)["n_buckets"])
+        except Exception:
+            n_buckets = SPARSE_TERM_BUCKETS
+    _write_meta(
+        spark,
+        index_path,
+        {"kind": "sparse", "n_buckets": n_buckets, "id_col": "doc_id"},
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    postings = (
+        stream.select(
+            "doc_id",
+            F.explode(sparse_postings_expr(TX.tokens(F.col("text")))).alias("__p"),
+        )
+        .select(
+            "doc_id", F.col("__p.term").alias("term"), F.col("__p.w").alias("w")
+        )
+        .withColumn("term_bucket", F.pmod(F.col("term"), F.lit(n_buckets)))
+    )
+    return _start_index_append_sink(
+        postings, index_path + "/postings", checkpoint_dir, "term_bucket", log_free
     )
 
 
