@@ -313,3 +313,28 @@ def test_stream_hnsw_serving_matches_batch(spark, tables):
         assert got == want and len(want) == 30
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_hnsw_delete_layers_match_rebuild(spark, tables):
+    """Deleting a batch must leave layer graphs edge-for-edge equal to
+    a from-scratch build over the survivors (exact repair), and the
+    base graph must never reference a doomed id."""
+    emb = tables["embeddings"]
+    doomed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    survivors = emb.join(doomed, "vec_id", "left_anti")
+    base = S.nn_descent(emb, k=8)
+    layers = H.build_hnsw_layers(emb, deg=4, scale=8, max_layer=2)
+    new_base, new_layers = H.hnsw_delete(
+        emb, base, layers, doomed, deg=4, scale=8, max_layer=2
+    )
+    want = {
+        (r.layer, r.node, r.nbr)
+        for r in H.build_hnsw_layers(survivors, deg=4, scale=8, max_layer=2).collect()
+    }
+    got = {(r.layer, r.node, r.nbr) for r in new_layers.collect()}
+    assert got == want
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    touched = {r.node for r in new_base.collect()} | {
+        r.nbr for r in new_base.collect()
+    }
+    assert not (touched & doomed_ids)

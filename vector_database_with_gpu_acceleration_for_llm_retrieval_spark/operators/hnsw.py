@@ -65,6 +65,7 @@ __all__ = [
     "write_hnsw_index",
     "hnsw_topk_indexed",
     "hnsw_insert",
+    "hnsw_delete",
 ]
 
 #: geometric thinning factor between layers (expected |layer l| =
@@ -622,6 +623,97 @@ def hnsw_insert(
         upd = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= deg)
+            .select(F.lit(layer).alias("layer"), "node", "nbr")
+        )
+        out = upd if out is None else out.unionByName(upd)
+    if out is None:
+        out = layer_edges.select("layer", "node", "nbr")
+    return new_base, out
+
+
+def hnsw_delete(
+    vectors: DataFrame,
+    base_graph: DataFrame,
+    layer_edges: DataFrame,
+    doomed: DataFrame,
+    base_k: int | None = None,
+    deg: int = 8,
+    scale: int = HNSW_SCALE,
+    max_layer: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Delete maintenance for the hierarchy: remove a set of ids so no
+    tier can ever surface them. Returns ``(base_graph',
+    layer_edges')`` over the surviving corpus.
+
+    * **Base layer** delegates to :func:`..graph_ann.graph_delete`
+      (edge removal + 2-hop repair against the live corpus).
+    * **Upper layers** repair EXACTLY (the :func:`hnsw_insert`
+      symmetry, same exact-built caveat): edges touching a doomed id
+      drop; each node that LOST an out-edge re-ranks over (its
+      surviving edges ∪ its pairs with the whole surviving layer) —
+      i.e. its true top-``deg``, recomputed from ``|damaged| · |layer|``
+      scorings, never a layer rebuild. Layer membership of survivors
+      is hash-derived, so it never changes under deletes.
+
+    The caller owns entry refresh: :func:`top_entries` is rule-based
+    over the surviving corpus (a persisted store would rewrite its
+    frozen entry list the same way).
+    """
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.graph_ann import (
+        graph_delete,
+    )
+
+    score_fn = _metric_fn(metric)
+    dd = F.broadcast(doomed.select(id_col).distinct())
+    survivors = vectors.join(dd, id_col, "left_anti")
+    new_base = graph_delete(
+        base_graph, doomed.select(id_col), id_col=id_col, vectors=survivors,
+        k=base_k, metric=metric, vec_col=vec_col,
+    )
+
+    lv = assign_layers(survivors, id_col=id_col, scale=scale, max_layer=max_layer)
+    dnode = dd.withColumnRenamed(id_col, "node")
+    dnbr = doomed.select(F.col(id_col).alias("nbr")).distinct()
+    out = None
+    for layer in range(1, max_layer + 1):
+        edges = layer_edges.filter(F.col("layer") == layer).select("node", "nbr")
+        # damaged = surviving nodes that lose at least one out-edge
+        damaged = (
+            edges.join(F.broadcast(dnbr), "nbr", "left_semi")
+            .select("node").distinct()
+            .join(dnode, "node", "left_anti")
+        )
+        kept = (
+            edges.join(dnode, "node", "left_anti")
+            .join(F.broadcast(dnbr), "nbr", "left_anti")
+        )
+        members = survivors.join(
+            F.broadcast(
+                lv.filter(F.col("lvl") >= layer).select(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        a = members.join(
+            F.broadcast(damaged.withColumnRenamed("node", id_col)), id_col, "left_semi"
+        ).select(F.col(id_col).alias("node"), F.col(vec_col).alias("__av"))
+        b = members.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("__bv"))
+        repaired = (
+            a.join(b, F.col("node") != F.col("nbr"))
+            .select("node", "nbr", score_fn("__av", "__bv").alias("__s"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("__s"), F.asc("nbr"))
+        fixed = (
+            repaired.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= deg)
+            .select("node", "nbr")
+        )
+        upd = (
+            kept.join(damaged, "node", "left_anti")
+            .unionByName(fixed)
             .select(F.lit(layer).alias("layer"), "node", "nbr")
         )
         out = upd if out is None else out.unionByName(upd)
