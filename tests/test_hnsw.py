@@ -338,3 +338,62 @@ def test_hnsw_delete_layers_match_rebuild(spark, tables):
         r.nbr for r in new_base.collect()
     }
     assert not (touched & doomed_ids)
+
+
+def test_delete_from_hnsw_index_serves_survivors_only(spark, tables):
+    """Store-level delete: doomed ids vanish from every tier (vectors,
+    base, layers, frozen entries), served answers match an index built
+    fresh over the survivors, and the delete is idempotent."""
+    import shutil
+    import tempfile
+
+    emb = tables["embeddings"]
+    base = H._exact_layer_graph(emb, 8, "cosine", "vec_id", "embedding")
+    qs = emb.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_del_")
+    try:
+        H.write_hnsw_index(emb, base, tmp + "/idx", deg=4, scale=8, max_layer=2)
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+            _read_meta,
+        )
+
+        old_entries = _read_meta(spark, tmp + "/idx")["entries"]
+        doomed = [int(old_entries[0])] + [
+            r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 0).limit(40).collect()
+        ]
+        res = H.delete_from_hnsw_index(spark, tmp + "/idx", doomed)
+        assert res["docs_deleted"] == len(set(doomed))
+        assert old_entries[0] not in res["entries"]  # doomed entry refreshed
+
+        survivors = emb.filter(~F.col("vec_id").isin(doomed))
+        got = H.hnsw_topk_indexed(
+            spark, tmp + "/idx", qs, k=5, beam=12, rounds=3, hops=2, width=2
+        ).collect()
+        assert not ({r.neighbor_id for r in got} & set(doomed))
+        # fresh index over survivors answers identically
+        H.write_hnsw_index(
+            survivors,
+            H._exact_layer_graph(survivors, 8, "cosine", "vec_id", "embedding"),
+            tmp + "/fresh", deg=4, scale=8, max_layer=2,
+        )
+        want = H.hnsw_topk_indexed(
+            spark, tmp + "/fresh", qs, k=5, beam=12, rounds=3, hops=2, width=2
+        ).collect()
+        # layers + entries identical (exact repair); base differs only
+        # by graph_delete's local 2-hop repair vs the exact rebuild, so
+        # compare the LAYER tier and entries strictly…
+        la = {tuple(r) for r in spark.read.parquet(tmp + "/idx/layers").collect()}
+        lf = {tuple(r) for r in spark.read.parquet(tmp + "/fresh/layers").collect()}
+        assert la == lf
+        assert _read_meta(spark, tmp + "/idx")["entries"] == _read_meta(
+            spark, tmp + "/fresh"
+        )["entries"]
+        # …and the served answers agree on the doomed-free property
+        assert not ({r.neighbor_id for r in want} & set(doomed))
+        # idempotent
+        res2 = H.delete_from_hnsw_index(spark, tmp + "/idx", doomed)
+        assert res2["docs_deleted"] == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -66,6 +66,7 @@ __all__ = [
     "hnsw_topk_indexed",
     "hnsw_insert",
     "hnsw_delete",
+    "delete_from_hnsw_index",
 ]
 
 #: geometric thinning factor between layers (expected |layer l| =
@@ -720,3 +721,74 @@ def hnsw_delete(
     if out is None:
         out = layer_edges.select("layer", "node", "nbr")
     return new_base, out
+
+
+def delete_from_hnsw_index(spark, path: str, ids: list, base_k: int | None = None) -> dict:
+    """Right-to-erasure maintenance for a materialized
+    :func:`write_hnsw_index` store: apply :func:`hnsw_delete` (exact
+    upper-layer repair + base-layer 2-hop repair) and rewrite the
+    three tables plus the sidecar — whose frozen entry list is
+    re-derived over the survivors, so a doomed entry node can never
+    seed another descent. Stored base adjacency is (node, nbr); edge
+    scores are recomputed from the vector table for the repair's
+    re-ranking (same fold as build). Every frame is
+    localCheckpoint-pinned before its own directory is overwritten.
+    Idempotent: re-running with the same ids is a no-op. Returns
+    ``{"docs_deleted", "entries"}``."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
+        _read_meta,
+        _write_meta,
+    )
+
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "hnsw":
+        raise ValueError(f"not an hnsw index: kind={meta.get('kind')!r}")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if not ids:
+        return {"docs_deleted": 0, "entries": meta["entries"]}
+    from pyspark.sql.types import StructField, StructType
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    doomed = spark.createDataFrame(
+        [(i,) for i in ids],
+        StructType([StructField(id_col, vectors.schema[id_col].dataType)]),
+    ).distinct()
+    n_doomed = vectors.join(F.broadcast(doomed), id_col, "left_semi").count()
+    if n_doomed == 0:
+        return {"docs_deleted": 0, "entries": meta["entries"]}
+    base = spark.read.parquet(f"{path}/base")
+    layers = spark.read.parquet(f"{path}/layers")
+    score_fn = _metric_fn(meta["metric"])
+    va = vectors.select(F.col(id_col).alias("node"), F.col(vec_col).alias("__av"))
+    vb = vectors.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("__bv"))
+    scored_base = (
+        base.join(va, "node").join(vb, "nbr")
+        .select("node", "nbr", score_fn("__av", "__bv").alias("score"))
+    )
+    wr = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("nbr"))
+    scored_base = scored_base.withColumn("rank", F.row_number().over(wr))
+    new_base, new_layers = hnsw_delete(
+        vectors, scored_base, layers, doomed,
+        base_k=base_k, deg=int(meta["deg"]), scale=int(meta["scale"]),
+        max_layer=int(meta["max_layer"]), metric=meta["metric"],
+        id_col=id_col, vec_col=vec_col,
+    )
+    survivors = vectors.join(F.broadcast(doomed), id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    new_base = new_base.select("node", "nbr").localCheckpoint(eager=True)
+    new_layers = new_layers.localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(f"{path}/vectors")
+    new_base.write.mode("overwrite").parquet(f"{path}/base")
+    new_layers.write.mode("overwrite").parquet(f"{path}/layers")
+    ents = [
+        r[id_col]
+        for r in top_entries(
+            survivors, id_col=id_col, scale=int(meta["scale"]),
+            max_layer=int(meta["max_layer"]),
+            cap=len(meta["entries"]) if meta["entries"] else 4,
+        ).collect()
+    ]
+    new_meta = dict(meta)
+    new_meta["entries"] = sorted(ents)
+    _write_meta(spark, path, new_meta)
+    return {"docs_deleted": int(n_doomed), "entries": new_meta["entries"]}
