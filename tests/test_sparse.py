@@ -284,3 +284,24 @@ def test_stream_sparse_index_matches_batch(spark, tables):
         assert "term_bucket" in part
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sparse_quantize_roundtrip_and_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b c"), (2, "z")], "doc_id long, text string"
+    )
+    sv = SP.sparse_from_text(docs)
+    sq = SP.sparse_quantize(sv)
+    rows = {r.doc_id: r for r in sq.collect()}
+    assert all(0 <= c <= 255 for r in rows.values() for c in r.codes)
+    # the max coordinate always quantizes to exactly 255 → survives
+    assert 255 in rows[1].codes
+    dq = {r.doc_id: r for r in SP.sparse_dequantize(sq).collect()}
+    orig = {r.doc_id: r for r in sv.collect()}
+    for d in orig:
+        assert dq[d].indices == orig[d].indices
+        for w, w2 in zip(orig[d].values, dq[d].values):
+            # quantization error bounded by max_w/510 (half a code step)
+            assert abs(w - w2) <= max(orig[d].values) / 510 + 1e-12
+    # single-term doc: code 255, exact reconstruction
+    assert dq[2].values == orig[2].values

@@ -1747,6 +1747,45 @@ def q_recall_sparse_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recall_at_k(exact, approx, k=KNN_K, by=["qid", "doc_id"])
 
 
+def q_sparse_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-sparse retrieval: weights stored as 1-byte codes per
+    posting (8x smaller postings than float64), scored after exact
+    dequantization — arithmetic chosen engine-portable (floor, never a
+    dialect round), so the mirror re-derives every code."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    qi, qv = SP.sparse_query_py(RAG_QUESTION)
+    sv = SP.sparse_dequantize(SP.sparse_quantize(SP.sparse_from_text(t["documents"])))
+    out = SP.sparse_topk(sv, qi, qv, k=TOPK_K)
+    return out.select("doc_id", _round6(F.col("score"), "score"))
+
+
+def q_recall_sparse_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@KNN_K of 8-bit-quantized sparse batch retrieval vs the
+    exact sparse join — quantifying the byte-budget tier like
+    recall_sparse_trunc does the nnz-budget tier."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    qs = docs.filter(F.col("doc_id") % BM25Q_MOD == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(TX.tokens(F.col("text")), 1, BM25Q_TOKENS).alias("__qt"),
+    )
+    qsv = SP.sparse_from_tokens(qs, "__qt", id_col="qid")
+    sv = SP.sparse_from_text(docs)
+    exact = SP.sparse_knn_join(qsv, sv, k=KNN_K)
+    approx = SP.sparse_knn_join(
+        qsv, SP.sparse_dequantize(SP.sparse_quantize(sv)), k=KNN_K
+    )
+    return S.recall_at_k(exact, approx, k=KNN_K, by=["qid", "doc_id"])
+
+
 def q_hybrid_topk_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval, weighted-sum variant: the same dense + BM25
     top-20 lists as q_hybrid_topk_rrf, min-max normalized per list and
@@ -5105,6 +5144,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "planned_filtered_topk": q_planned_filtered_topk,
         "sparse_topk_trunc": q_sparse_topk_trunc,
         "hnsw_topk_indexed": q_hnsw_topk_indexed,
+        "sparse_topk_sq8": q_sparse_topk_sq8,
+        "recall_sparse_sq8": q_recall_sparse_sq8,
         "recall_sparse_trunc": q_recall_sparse_trunc,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "recall_ivf": q_recall_ivf,

@@ -2208,6 +2208,65 @@ SELECT qid, count(*) / {float(KNN_K)} AS recall
 FROM __trk JOIN __exk USING (qid, doc_id) GROUP BY qid
 """
 
+def _sq_sparse_sq8_cte() -> str:
+    """8-bit quantize→dequantize of ``__sppost`` (mirrors
+    operators.sparse.sparse_quantize/sparse_dequantize: per-doc max,
+    ``floor(w/max·255 + 0.5)·max/255`` — floor, never a
+    dialect-divergent round); exposes ``__spq8(doc_id, term, w)``."""
+    return """
+__spmax AS (SELECT doc_id, max(w) AS mw FROM __sppost GROUP BY 1),
+__spq8 AS (SELECT p.doc_id, p.term,
+             floor(p.w / m.mw * 255.0 + 0.5) * m.mw / 255.0 AS w
+           FROM __sppost p JOIN __spmax m USING (doc_id))
+"""
+
+def _oracle_sparse_topk_sq8() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sparse import (
+        sparse_query_py,
+    )
+
+    qi, qv = sparse_query_py(RAG_QUESTION)
+    qvals = ", ".join(f"({h}, {w!r})" for h, w in zip(qi, qv))
+    return f"""
+WITH {_sq_sparse_ctes().strip()},
+{_sq_sparse_sq8_cte().strip()},
+__spq(term, qw) AS (VALUES {qvals}),
+__spsc AS (SELECT p.doc_id, p.term, p.w * q.qw AS s
+           FROM __spq8 p JOIN __spq q USING (term)),
+__spsum AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __spsc GROUP BY doc_id)
+SELECT doc_id, {_r6('score', 'score')} FROM __spsum
+ORDER BY score DESC, doc_id LIMIT {TOPK_K}
+"""
+
+def _oracle_recall_sparse_sq8() -> str:
+    th = _sq_tok_hash("t")
+    return f"""
+WITH {_sq_sparse_ctes().strip()},
+{_sq_sparse_sq8_cte().strip()},
+__spqs AS (SELECT qid, t FROM (
+           SELECT doc_id AS qid, unnest(list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS})) AS t
+           FROM documents WHERE doc_id % {BM25Q_MOD} = 0) WHERE t <> ''),
+__spqtf AS (SELECT qid, {th} AS term, count(*) AS tf FROM __spqs GROUP BY 1, 2),
+__spqpost AS (SELECT qid, term, sqrt(CAST(tf AS DOUBLE)) AS qw FROM __spqtf),
+__exsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sppost p JOIN __spqpost q USING (term)),
+__exsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __exsc GROUP BY 1, 2),
+__exk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+          FROM __exsum) WHERE rn <= {KNN_K}),
+__qsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
+           FROM __spq8 p JOIN __spqpost q USING (term)),
+__qsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __qsc GROUP BY 1, 2),
+__qk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+          FROM __qsum) WHERE rn <= {KNN_K})
+SELECT qid, count(*) / {float(KNN_K)} AS recall
+FROM __qk JOIN __exk USING (qid, doc_id) GROUP BY qid
+"""
+
 def _oracle_hybrid_tri_rrf() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (
         hash_embed_py,
@@ -5833,6 +5892,8 @@ def oracle_sql() -> dict[str, str]:
         "planned_filtered_topk": _oracle_topk_filtered(),
         "sparse_topk_trunc": _oracle_sparse_topk_trunc(),
         "hnsw_topk_indexed": _oracle_hnsw_topk(),
+        "sparse_topk_sq8": _oracle_sparse_topk_sq8(),
+        "recall_sparse_sq8": _oracle_recall_sparse_sq8(),
         "recall_sparse_trunc": _oracle_recall_sparse_trunc(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
         "exact_dedup_docs": _oracle_exact_dedup(),

@@ -63,6 +63,8 @@ __all__ = [
     "sparse_knn_join",
     "sparse_truncate",
     "sparse_postings_expr",
+    "sparse_quantize",
+    "sparse_dequantize",
     "write_sparse_index",
     "sparse_topk_indexed",
     "delete_from_sparse_index",
@@ -426,3 +428,36 @@ def sparse_postings_expr(toks) -> "F.Column":
             ).alias("w"),
         ),
     )
+
+
+def sparse_quantize(sv: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """8-bit scalar quantization of sparse weights — the postings-size
+    knob orthogonal to :func:`sparse_truncate`'s nnz bound: each
+    document's weights store as uint8 codes against its own max
+    (``code = floor(w/max·255 + 0.5)``), 1 byte per posting instead
+    of 8. Returns ``(id, indices, codes, max_w)``; reconstruct with
+    :func:`sparse_dequantize`. All arithmetic is IEEE-exact and
+    engine-portable (floor — never a dialect-divergent ``round``
+    half-mode), so a SQL mirror re-derives codes bit-identically.
+    Quality is quantified by the recall entry (the family
+    discipline)."""
+    dq = F.transform(
+        F.col("values"),
+        lambda w: F.floor(w / F.array_max(F.col("values")) * 255.0 + 0.5).cast("int"),
+    )
+    return sv.select(
+        F.col(id_col),
+        "indices",
+        dq.alias("codes"),
+        F.array_max(F.col("values")).alias("max_w"),
+    )
+
+
+def sparse_dequantize(sq: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Inverse of :func:`sparse_quantize`: ``w' = code·max_w/255`` —
+    the ``(id, indices, values)`` frame every sparse operator accepts,
+    so the quantized tier composes with top-k/join/index unchanged."""
+    vals = F.transform(
+        F.col("codes"), lambda c: c.cast("double") * F.col("max_w") / F.lit(255.0)
+    )
+    return sq.select(F.col(id_col), "indices", vals.alias("values"))
