@@ -104,3 +104,38 @@ def test_selectivity_passthrough_skips_count(spark, tables):
     ).collect()
     # the passed-in figure is used verbatim (catalog-stats seam)
     assert st["selectivity"] == 0.03 and st["strategy"] == "pre_filter_exact"
+
+
+def test_layers_route_through_hierarchy(spark, tables):
+    """With layers supplied, the planner's graph branches run the
+    hierarchical search — result equals calling hnsw_search directly
+    with the same parameters (post-filtered to the allowed set)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        hnsw as H,
+    )
+
+    emb = tables["embeddings"]
+    qv = _qvec(tables)
+    g = _graph(tables)
+    layers = H.build_hnsw_layers(emb, deg=4, scale=8, max_layer=2)
+    allowed = emb.filter(F.col("label") != 1).select("vec_id")
+    st: dict = {}
+    got = PL.filtered_topk_auto(
+        emb, qv, allowed, k=5, graph=g, layers=layers, hnsw_scale=8,
+        low=0.05, high=0.95, hops=2, width=2, beam=12, rounds=3, stats=st,
+    ).collect()
+    assert st["strategy"] == "graph_filtered"
+    q = spark.createDataFrame([(0, list(qv))], "qid long, qvec array<float>")
+    want = (
+        H.hnsw_search(
+            emb.sparkSession.createDataFrame(q.collect(), q.schema), emb, g, layers,
+            k=5, beam=12, rounds=3, hops=2, max_layer=2, width=2, scale=8,
+            allowed=allowed,
+        )
+        .orderBy(F.desc("score"), F.asc("neighbor_id"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r.vec_id, round(r.score, 10)) for r in got] == [
+        (r.neighbor_id, round(r.score, 10)) for r in want
+    ]

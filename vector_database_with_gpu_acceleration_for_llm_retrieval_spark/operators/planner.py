@@ -81,6 +81,11 @@ def filtered_topk_auto(
     beam: int = 32,
     rounds: int = 4,
     n_entry: int = 8,
+    layers: DataFrame | None = None,
+    hops: int = 2,
+    width: int = 1,
+    hnsw_scale: int | None = None,
+    hnsw_max_layer: int = 2,
     selectivity: float | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -139,16 +144,36 @@ def filtered_topk_auto(
         return S.topk(sub, qvec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
 
     q = corpus.sparkSession.createDataFrame([(0, list(qvec))], f"qid long, qvec {_vec_type(corpus, vec_col)}")
-    if strategy == "graph_filtered":
-        res = graph_beam_search(
-            q, corpus, graph, k=k, beam=beam, rounds=rounds, n_entry=n_entry,
-            metric=metric, id_col=id_col, vec_col=vec_col, allowed=alw,
+    if layers is not None:
+        # hierarchy-aware traversal: the same strategy decision, but
+        # both graph branches descend the upper layers to a per-query
+        # entry first (operators/hnsw.py)
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.hnsw import (
+            HNSW_SCALE,
+            hnsw_search,
         )
+
+        def _beam(allowed_arg):
+            return hnsw_search(
+                q, corpus, graph, layers, k=k, beam=beam, rounds=rounds,
+                hops=hops, max_layer=hnsw_max_layer, width=width,
+                scale=hnsw_scale if hnsw_scale is not None else HNSW_SCALE,
+                metric=metric, id_col=id_col, vec_col=vec_col,
+                allowed=allowed_arg,
+            )
     else:
-        res = graph_beam_search(
-            q, corpus, graph, k=k, beam=beam, rounds=rounds, n_entry=n_entry,
-            metric=metric, id_col=id_col, vec_col=vec_col,
-        ).join(F.broadcast(alw), F.col("neighbor_id") == F.col(id_col), "left_semi")
+        def _beam(allowed_arg):
+            return graph_beam_search(
+                q, corpus, graph, k=k, beam=beam, rounds=rounds,
+                n_entry=n_entry, metric=metric, id_col=id_col,
+                vec_col=vec_col, allowed=allowed_arg,
+            )
+    if strategy == "graph_filtered":
+        res = _beam(alw)
+    else:
+        res = _beam(None).join(
+            F.broadcast(alw), F.col("neighbor_id") == F.col(id_col), "left_semi"
+        )
     out = res.select(F.col("neighbor_id").alias(id_col), "score")
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
