@@ -305,3 +305,26 @@ def test_sparse_quantize_roundtrip_and_bounds(spark):
             assert abs(w - w2) <= max(orig[d].values) / 510 + 1e-12
     # single-term doc: code 255, exact reconstruction
     assert dq[2].values == orig[2].values
+
+
+def test_fast_hash_space_self_consistent(spark):
+    """hash='fast' (xxhash64) gives the same tf structure in its own
+    space: corpus and queries encoded with the same setting retrieve
+    identically to the portable space on collision-free vocab."""
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x"), (3, "y y")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(0, "x y")], "qid long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        SP.sparse_from_text(docs, hash="bogus")
+    res = {}
+    for h in ("portable", "fast"):
+        sv = SP.sparse_from_text(docs, hash=h)
+        qsv = SP.sparse_from_text(q, id_col="qid", hash=h)
+        res[h] = {
+            (r.qid, r.doc_id, round(r.score, 10), r.rank)
+            for r in SP.sparse_knn_join(qsv, sv, k=3).collect()
+        }
+    assert res["portable"] == res["fast"]

@@ -85,17 +85,32 @@ def _tf_weight(tf_col):
 
 
 def sparse_from_tokens(
-    df: DataFrame, toks_col: str, id_col: str = "doc_id"
+    df: DataFrame, toks_col: str, id_col: str = "doc_id", hash: str = "portable"
 ) -> DataFrame:
     """Token-array column → sparse vector ``(id, indices, values)``.
 
-    ``indices`` = distinct 60-bit portable term hashes, strictly
-    ascending; ``values[i] = sqrt(tf(indices[i]))``. Distinct tokens
-    that collide in the 60-bit space merge their counts (both engines
-    hash before grouping, so the mirror merges identically).
-    One explode + one ``(id, term)`` partial-aggregated groupBy + one
-    per-id groupBy — never wider than the token stream.
+    ``indices`` = distinct 60-bit term hashes, strictly ascending;
+    ``values[i] = sqrt(tf(indices[i]))``. Distinct tokens that collide
+    in the hash space merge their counts (both engines hash before
+    grouping, so the mirror merges identically). One explode + one
+    ``(id, term)`` partial-aggregated groupBy + one per-id groupBy —
+    never wider than the token stream.
+
+    ``hash``: ``"portable"`` (default) is the md5-derived 60-bit hash
+    any engine reproduces — required wherever a SQL mirror or an
+    external reader re-derives terms. ``"fast"`` swaps in xxhash64 for
+    hot production paths with no cross-engine contract (measured at
+    the 10x-docs probe: hashing 2M tokens costs 0.56 s vs 2.7 s — the
+    documented portable-hash tax, functions/text.py). The two spaces
+    are INCOMPATIBLE: corpus and queries must use the same setting
+    (``sparse_query_py`` is portable-only).
     """
+    if hash == "portable":
+        hash_fn = TX.portable_token_hash
+    elif hash == "fast":
+        hash_fn = F.xxhash64
+    else:
+        raise ValueError(f"hash must be 'portable' or 'fast', got {hash!r}")
     tf = (
         df.select(F.col(id_col), F.explode(F.col(toks_col)).alias("__tok"))
         # blank text (and leading-whitespace splits) produce '' tokens;
@@ -103,7 +118,7 @@ def sparse_from_tokens(
         # every df statistic, so drop them before hashing (the mirror
         # filters t <> '' at the same point)
         .filter(F.col("__tok") != "")
-        .select(id_col, TX.portable_token_hash(F.col("__tok")).alias("term"))
+        .select(id_col, hash_fn(F.col("__tok")).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -120,7 +135,8 @@ def sparse_from_tokens(
 
 
 def sparse_from_text(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash: str = "portable",
 ) -> DataFrame:
     """Text column → sparse vectors (whitespace tokens, sqrt-TF weights).
 
@@ -133,6 +149,7 @@ def sparse_from_text(
         docs.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")),
         "__toks",
         id_col=id_col,
+        hash=hash,
     )
 
 
