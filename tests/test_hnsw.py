@@ -397,3 +397,34 @@ def test_delete_from_hnsw_index_serves_survivors_only(spark, tables):
         assert res2["docs_deleted"] == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_calibrate_hnsw_frontier_and_choice(spark, tables):
+    emb = tables["embeddings"]
+    base = H._exact_layer_graph(emb, 8, "cosine", "vec_id", "embedding")
+    layers = H.build_hnsw_layers(emb, deg=4, scale=8, max_layer=2)
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    chosen, frontier = H.calibrate_hnsw(
+        qs, emb, base, layers, k=5, target_recall=0.5,
+        configs=((1, 1), (2, 2)), beam=12, rounds=3, scale=8,
+    )
+    assert frontier and all(
+        set(f) == {"width", "hops", "recall", "n_scored", "scored_per_query"}
+        for f in frontier
+    )
+    # frontier is cost-ascending; choice (if any) met the target
+    costs = [f["width"] * f["hops"] for f in frontier]
+    assert costs == sorted(costs)
+    if chosen is not None:
+        assert frontier[-1]["recall"] >= 0.5
+    # unreachable target tries everything, returns None
+    none_chosen, full = H.calibrate_hnsw(
+        qs, emb, base, layers, k=5, target_recall=1.01,
+        configs=((1, 1), (2, 2)), beam=12, rounds=3, scale=8,
+    )
+    assert none_chosen is None and len(full) == 2
+    # empty query frame short-circuits
+    empty = qs.filter(F.col("qid") < 0)
+    assert H.calibrate_hnsw(empty, emb, base, layers, k=5) == (None, [])

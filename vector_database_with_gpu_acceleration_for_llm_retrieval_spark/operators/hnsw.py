@@ -67,6 +67,7 @@ __all__ = [
     "hnsw_insert",
     "hnsw_delete",
     "delete_from_hnsw_index",
+    "calibrate_hnsw",
 ]
 
 #: geometric thinning factor between layers (expected |layer l| =
@@ -792,3 +793,87 @@ def delete_from_hnsw_index(spark, path: str, ids: list, base_k: int | None = Non
     new_meta["entries"] = sorted(ents)
     _write_meta(spark, path, new_meta)
     return {"docs_deleted": int(n_doomed), "entries": new_meta["entries"]}
+
+
+def calibrate_hnsw(
+    queries: DataFrame,
+    vectors: DataFrame,
+    base_graph: DataFrame,
+    layer_edges: DataFrame,
+    k: int = 10,
+    target_recall: float = 0.95,
+    configs: tuple = ((1, 1), (1, 2), (2, 2), (4, 2), (4, 3)),
+    beam: int = 32,
+    rounds: int = 4,
+    max_layer: int = 2,
+    scale: int = HNSW_SCALE,
+    entry_cap: int = 4,
+    metric: str = "cosine",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[tuple[int, int] | None, list[dict]]:
+    """Offline descent calibration — the :func:`..graph_ann
+    .calibrate_beam` harness applied to the hierarchy's own knobs:
+    sweep ``(width, hops)`` configs ascending by descent cost
+    (``width·hops``) until recall@k of :func:`hnsw_search` against the
+    exact ground truth meets ``target_recall``. The exact kNN is
+    computed ONCE and reused across the sweep; each step is one
+    batched hierarchical search with the honest two-tier scoring
+    count. Returns ``(chosen_config, frontier)`` with one
+    ``{"width", "hops", "recall", "n_scored", "scored_per_query"}``
+    dict per tried config. Iterative + driver-ranged: pytest-checked,
+    no SQL mirror (the documented harness-class precedent)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import search as S
+
+    q = queries.persist()
+    n_q = q.count()
+    if n_q == 0:
+        q.unpersist()
+        return None, []
+    exact = S.knn_join(
+        q.select(F.col(query_id).alias("qid"), F.col(query_vec).alias(vec_col)),
+        vectors, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+    ).persist()
+    exact.count()
+    ent = top_entries(
+        vectors, id_col=id_col, scale=scale, max_layer=max_layer, cap=entry_cap
+    )
+    frontier: list[dict] = []
+    chosen = None
+    try:
+        for width, hops in sorted(set(configs), key=lambda c: (c[0] * c[1], c)):
+            stats: dict = {}
+            approx = hnsw_search(
+                q, vectors, base_graph, layer_edges, k=k, beam=beam,
+                rounds=rounds, hops=hops, max_layer=max_layer, width=width,
+                entries=ent, scale=scale, metric=metric, query_id=query_id,
+                query_vec=query_vec, id_col=id_col, vec_col=vec_col,
+                stats=stats,
+            )
+            rec = (
+                S.recall_at_k(
+                    exact, approx, k=k, by=["qid", "neighbor_id"],
+                    fill_missing=True,
+                )
+                .agg(F.avg("recall"))
+                .collect()[0][0]
+            )
+            rec = float(rec) if rec is not None else 0.0
+            frontier.append(
+                {
+                    "width": width,
+                    "hops": hops,
+                    "recall": rec,
+                    "n_scored": stats["n_scored"],
+                    "scored_per_query": stats["n_scored"] / n_q,
+                }
+            )
+            if rec >= target_recall:
+                chosen = (width, hops)
+                break
+    finally:
+        q.unpersist()
+        exact.unpersist()
+    return chosen, frontier
