@@ -1,10 +1,13 @@
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
     dedup,
     graph_ann,
+    hnsw,
     ingest,
     multimodal,
+    planner,
     relational,
     search,
+    sparse,
     textstats,
 )
 
@@ -16,4 +19,7 @@ __all__ = [
     "relational",
     "multimodal",
     "graph_ann",
+    "hnsw",
+    "sparse",
+    "planner",
 ]
