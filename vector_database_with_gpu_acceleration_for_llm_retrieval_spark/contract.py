@@ -1660,6 +1660,25 @@ def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _round6(F.col("score"), "score"))
 
 
+SPARSE_FILTER_LANG = "en"
+
+
+def q_sparse_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered sparse retrieval (the capability the
+    reference drops for DENSE search too): the language predicate
+    prunes BEFORE encoding, so tokenization/hashing touch only
+    matching rows — the sparse sibling of topk_filtered."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("lang") == SPARSE_FILTER_LANG)
+    qi, qv = SP.sparse_query_py(RAG_QUESTION)
+    out = SP.sparse_topk(SP.sparse_from_text(docs), qi, qv, k=TOPK_K)
+    return out.select("doc_id", _round6(F.col("score"), "score"))
+
+
 def q_sparse_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-inverted-index variant: write the term-bucket-
     partitioned sparse postings to a scratch dir and answer from the
@@ -5145,6 +5164,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_topk_trunc": q_sparse_topk_trunc,
         "hnsw_topk_indexed": q_hnsw_topk_indexed,
         "sparse_topk_sq8": q_sparse_topk_sq8,
+        "sparse_topk_filtered": q_sparse_topk_filtered,
         "recall_sparse_sq8": q_recall_sparse_sq8,
         "recall_sparse_trunc": q_recall_sparse_trunc,
         "ivf_topk_indexed": q_ivf_topk_indexed,

@@ -2095,6 +2095,28 @@ SELECT doc_id, {_r6('score', 'score')} FROM __spsum
 ORDER BY score DESC, doc_id LIMIT {TOPK_K}
 """
 
+def _oracle_sparse_topk_filtered() -> str:
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.contract import (
+        SPARSE_FILTER_LANG,
+    )
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.sparse import (
+        sparse_query_py,
+    )
+
+    qi, qv = sparse_query_py(RAG_QUESTION)
+    qvals = ", ".join(f"({h}, {w!r})" for h, w in zip(qi, qv))
+    src = f"(SELECT * FROM documents WHERE lang = '{SPARSE_FILTER_LANG}')"
+    return f"""
+WITH {_sq_sparse_ctes(src).strip()},
+__spq(term, qw) AS (VALUES {qvals}),
+__spsc AS (SELECT p.doc_id, p.term, p.w * q.qw AS s
+           FROM __sppost p JOIN __spq q USING (term)),
+__spsum AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __spsc GROUP BY doc_id)
+SELECT doc_id, {_r6('score', 'score')} FROM __spsum
+ORDER BY score DESC, doc_id LIMIT {TOPK_K}
+"""
+
 def _oracle_sparse_knn_join() -> str:
     th = _sq_tok_hash("t")
     return f"""
@@ -5893,6 +5915,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_topk_trunc": _oracle_sparse_topk_trunc(),
         "hnsw_topk_indexed": _oracle_hnsw_topk(),
         "sparse_topk_sq8": _oracle_sparse_topk_sq8(),
+        "sparse_topk_filtered": _oracle_sparse_topk_filtered(),
         "recall_sparse_sq8": _oracle_recall_sparse_sq8(),
         "recall_sparse_trunc": _oracle_recall_sparse_trunc(),
         "hybrid_topk_rrf": _oracle_hybrid_topk_rrf(),
