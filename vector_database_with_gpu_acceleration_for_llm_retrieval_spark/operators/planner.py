@@ -1,7 +1,8 @@
 """Cost-based filtered-search planning: pick the filtered-top-k
 strategy from predicate selectivity.
 
-The reference drops ``meta`` at ingest and offers no filtered search
+The reference drops ``meta`` at ingest (coordinator/main.py:43-45
+accepts it, shard storage discards it) and offers no filtered search
 at all (SURVEY §2.2); this engine has three filtered strategies with
 different cost/recall envelopes, and production vector stores
 (Qdrant/Weaviate/Vespa all document this exact decision) pick between
