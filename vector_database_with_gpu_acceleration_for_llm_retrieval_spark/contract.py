@@ -1745,10 +1745,11 @@ def q_sparse_topk_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _round6(F.col("score"), "score"))
 
 
-def q_recall_sparse_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@KNN_K of truncated-sparse batch retrieval vs the exact
-    sparse join on the same query set — the family discipline: every
-    approximate tier ships with its measured recall."""
+def _sparse_recall(spark: SparkSession, sf_dir: str, approx_of) -> DataFrame:
+    """Shared recall@KNN_K harness for the sparse approximate tiers:
+    BM25Q-set queries, exact sparse join vs ``approx_of(corpus_sv)``'s
+    join — one source of truth, mirrored by the oracle-side
+    ``_sq_sparse_recall_sql``."""
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
         sparse as SP,
     )
@@ -1762,8 +1763,21 @@ def q_recall_sparse_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsv = SP.sparse_from_tokens(qs, "__qt", id_col="qid")
     sv = SP.sparse_from_text(docs)
     exact = SP.sparse_knn_join(qsv, sv, k=KNN_K)
-    approx = SP.sparse_knn_join(qsv, SP.sparse_truncate(sv, SPARSE_TRUNC_M), k=KNN_K)
+    approx = SP.sparse_knn_join(qsv, approx_of(sv), k=KNN_K)
     return S.recall_at_k(exact, approx, k=KNN_K, by=["qid", "doc_id"])
+
+
+def q_recall_sparse_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@KNN_K of truncated-sparse batch retrieval vs the exact
+    sparse join on the same query set — the family discipline: every
+    approximate tier ships with its measured recall."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
+        sparse as SP,
+    )
+
+    return _sparse_recall(
+        spark, sf_dir, lambda sv: SP.sparse_truncate(sv, SPARSE_TRUNC_M)
+    )
 
 
 def q_sparse_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,19 +1804,9 @@ def q_recall_sparse_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sparse as SP,
     )
 
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    qs = docs.filter(F.col("doc_id") % BM25Q_MOD == 0).select(
-        F.col("doc_id").alias("qid"),
-        F.slice(TX.tokens(F.col("text")), 1, BM25Q_TOKENS).alias("__qt"),
+    return _sparse_recall(
+        spark, sf_dir, lambda sv: SP.sparse_dequantize(SP.sparse_quantize(sv))
     )
-    qsv = SP.sparse_from_tokens(qs, "__qt", id_col="qid")
-    sv = SP.sparse_from_text(docs)
-    exact = SP.sparse_knn_join(qsv, sv, k=KNN_K)
-    approx = SP.sparse_knn_join(
-        qsv, SP.sparse_dequantize(SP.sparse_quantize(sv)), k=KNN_K
-    )
-    return S.recall_at_k(exact, approx, k=KNN_K, by=["qid", "doc_id"])
 
 
 def q_hybrid_topk_linear(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2202,34 +2202,6 @@ SELECT doc_id, {_r6('score', 'score')} FROM __spsum
 ORDER BY score DESC, doc_id LIMIT {TOPK_K}
 """
 
-def _oracle_recall_sparse_trunc() -> str:
-    th = _sq_tok_hash("t")
-    return f"""
-WITH {_sq_sparse_ctes().strip()},
-{_sq_sparse_trunc_cte().strip()},
-__spqs AS (SELECT qid, t FROM (
-           SELECT doc_id AS qid, unnest(list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS})) AS t
-           FROM documents WHERE doc_id % {BM25Q_MOD} = 0) WHERE t <> ''),
-__spqtf AS (SELECT qid, {th} AS term, count(*) AS tf FROM __spqs GROUP BY 1, 2),
-__spqpost AS (SELECT qid, term, sqrt(CAST(tf AS DOUBLE)) AS qw FROM __spqtf),
-__exsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
-           FROM __sppost p JOIN __spqpost q USING (term)),
-__exsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
-            FROM __exsc GROUP BY 1, 2),
-__exk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
-            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
-          FROM __exsum) WHERE rn <= {KNN_K}),
-__trsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
-           FROM __sptr p JOIN __spqpost q USING (term)),
-__trsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
-            FROM __trsc GROUP BY 1, 2),
-__trk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
-            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
-          FROM __trsum) WHERE rn <= {KNN_K})
-SELECT qid, count(*) / {float(KNN_K)} AS recall
-FROM __trk JOIN __exk USING (qid, doc_id) GROUP BY qid
-"""
-
 def _sq_sparse_sq8_cte() -> str:
     """8-bit quantize→dequantize of ``__sppost`` (mirrors
     operators.sparse.sparse_quantize/sparse_dequantize: per-doc max,
@@ -2261,14 +2233,19 @@ SELECT doc_id, {_r6('score', 'score')} FROM __spsum
 ORDER BY score DESC, doc_id LIMIT {TOPK_K}
 """
 
-def _oracle_recall_sparse_sq8() -> str:
+def _sq_sparse_recall_sql(extra_cte: str, approx_post: str) -> str:
+    """Shared recall@KNN_K mirror for the sparse approximate tiers:
+    BM25Q-set query encoding + the exact branch from ``__sppost`` +
+    the approx branch from ``approx_post`` (a CTE provided via
+    ``extra_cte``), inner-joined per query — one source of truth so
+    the query rule can never drift between the tiers' oracles."""
     th = _sq_tok_hash("t")
     return f"""
 WITH {_sq_sparse_ctes().strip()},
-{_sq_sparse_sq8_cte().strip()},
+{extra_cte.strip()},
 __spqs AS (SELECT qid, t FROM (
            SELECT doc_id AS qid, unnest(list_slice({_SQ_TOKS}, 1, {BM25Q_TOKENS})) AS t
-           FROM documents WHERE doc_id % {BM25Q_MOD} = 0) WHERE t <> ''),
+           FROM documents WHERE doc_id % {BM25Q_MOD} = 0) WHERE t <> \'\'),
 __spqtf AS (SELECT qid, {th} AS term, count(*) AS tf FROM __spqs GROUP BY 1, 2),
 __spqpost AS (SELECT qid, term, sqrt(CAST(tf AS DOUBLE)) AS qw FROM __spqtf),
 __exsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
@@ -2278,16 +2255,22 @@ __exsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
 __exk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
           FROM __exsum) WHERE rn <= {KNN_K}),
-__qsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
-           FROM __spq8 p JOIN __spqpost q USING (term)),
-__qsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
-            FROM __qsc GROUP BY 1, 2),
-__qk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+__apsc AS (SELECT q.qid, p.doc_id, p.term, p.w * q.qw AS s
+           FROM {approx_post} p JOIN __spqpost q USING (term)),
+__apsum AS (SELECT qid, doc_id, list_sum(list(s ORDER BY term)) AS score
+            FROM __apsc GROUP BY 1, 2),
+__apk AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
-          FROM __qsum) WHERE rn <= {KNN_K})
+          FROM __apsum) WHERE rn <= {KNN_K})
 SELECT qid, count(*) / {float(KNN_K)} AS recall
-FROM __qk JOIN __exk USING (qid, doc_id) GROUP BY qid
+FROM __apk JOIN __exk USING (qid, doc_id) GROUP BY qid
 """
+
+def _oracle_recall_sparse_trunc() -> str:
+    return _sq_sparse_recall_sql(_sq_sparse_trunc_cte(), "__sptr")
+
+def _oracle_recall_sparse_sq8() -> str:
+    return _sq_sparse_recall_sql(_sq_sparse_sq8_cte(), "__spq8")
 
 def _oracle_hybrid_tri_rrf() -> str:
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.embed import (

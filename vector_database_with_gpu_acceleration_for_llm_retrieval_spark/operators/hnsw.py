@@ -462,6 +462,7 @@ def write_hnsw_index(
             "deg": deg,
             "metric": metric,
             "entries": sorted(ents),
+            "entry_cap": entry_cap,
             "id_col": id_col,
             "vec_col": vec_col,
         },
@@ -786,7 +787,10 @@ def delete_from_hnsw_index(spark, path: str, ids: list, base_k: int | None = Non
         for r in top_entries(
             survivors, id_col=id_col, scale=int(meta["scale"]),
             max_layer=int(meta["max_layer"]),
-            cap=len(meta["entries"]) if meta["entries"] else 4,
+            # the BUILD-TIME cap, not len(entries): a sparsely-occupied
+            # top layer (fewer entries than cap) must not permanently
+            # shrink the refresh budget (older sidecars lack the key)
+            cap=int(meta.get("entry_cap", max(len(meta["entries"]), 4))),
         ).collect()
     ]
     new_meta = dict(meta)
@@ -834,7 +838,8 @@ def calibrate_hnsw(
         return None, []
     exact = S.knn_join(
         q.select(F.col(query_id).alias("qid"), F.col(query_vec).alias(vec_col)),
-        vectors, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+        vectors, k=k, metric=metric, query_id="qid", query_vec=vec_col,
+        id_col=id_col, vec_col=vec_col,
     ).persist()
     exact.count()
     ent = top_entries(

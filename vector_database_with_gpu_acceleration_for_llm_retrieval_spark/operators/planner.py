@@ -148,9 +148,16 @@ def filtered_topk_auto(
     if layers is not None:
         # hierarchy-aware traversal: the same strategy decision, but
         # both graph branches descend the upper layers to a per-query
-        # entry first (operators/hnsw.py)
+        # entry first (operators/hnsw.py). The scale MUST match the
+        # layers' build rule — a silent default would derive entries
+        # under a DIFFERENT layer assignment (typically lvl-0 nodes
+        # with no layer edges: every hop a no-op, recall silently
+        # degraded), so it is required, never guessed.
+        if hnsw_scale is None:
+            raise ValueError(
+                "layers= requires hnsw_scale= (the scale the layers were built with)"
+            )
         from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.hnsw import (
-            HNSW_SCALE,
             hnsw_search,
         )
 
@@ -158,7 +165,7 @@ def filtered_topk_auto(
             return hnsw_search(
                 q, corpus, graph, layers, k=k, beam=beam, rounds=rounds,
                 hops=hops, max_layer=hnsw_max_layer, width=width,
-                scale=hnsw_scale if hnsw_scale is not None else HNSW_SCALE,
+                scale=hnsw_scale,
                 metric=metric, id_col=id_col, vec_col=vec_col,
                 allowed=allowed_arg,
             )

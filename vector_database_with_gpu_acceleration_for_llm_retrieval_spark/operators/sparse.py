@@ -458,15 +458,16 @@ def sparse_quantize(sv: DataFrame, id_col: str = "doc_id") -> DataFrame:
     half-mode), so a SQL mirror re-derives codes bit-identically.
     Quality is quantified by the recall entry (the family
     discipline)."""
+    # hoist the per-row max into a column FIRST: referenced inside the
+    # per-element lambda, array_max would re-scan the array per element
+    # (O(nnz²) per document)
+    with_max = sv.withColumn("max_w", F.array_max(F.col("values")))
     dq = F.transform(
         F.col("values"),
-        lambda w: F.floor(w / F.array_max(F.col("values")) * 255.0 + 0.5).cast("int"),
+        lambda w: F.floor(w / F.col("max_w") * 255.0 + 0.5).cast("int"),
     )
-    return sv.select(
-        F.col(id_col),
-        "indices",
-        dq.alias("codes"),
-        F.array_max(F.col("values")).alias("max_w"),
+    return with_max.select(
+        F.col(id_col), "indices", dq.alias("codes"), "max_w"
     )
 
 

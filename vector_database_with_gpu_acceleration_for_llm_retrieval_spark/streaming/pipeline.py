@@ -867,8 +867,16 @@ def stream_sparse_index_ingest(
     The sidecar is written up front so readers can probe from the
     first micro-batch; ``n_buckets`` is frozen for the index's
     lifetime (pass None to reuse an existing sidecar's value, the
-    resume-after-init case). Returns the started StreamingQuery
-    (exactly-once via checkpoint)."""
+    resume-after-init case). APPEND MODE SAFETY: the default file
+    sink writes a ``_spark_metadata`` log under ``postings/``, and
+    batch readers then see ONLY sink-written files — which would
+    silently hide postings from a prior batch ``write_sparse_index``
+    or a ``delete_from_sparse_index`` rewrite. If ``postings/``
+    already holds non-sink files, this wrapper therefore FORCES the
+    ``log_free`` append path (idempotent foreachBatch renames — see
+    ``_start_index_append_sink``) so existing and streamed postings
+    coexist. Returns the started StreamingQuery (exactly-once via
+    checkpoint)."""
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import text as TX
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ann_index import (
         _read_meta,
@@ -889,6 +897,21 @@ def stream_sparse_index_ingest(
         index_path,
         {"kind": "sparse", "n_buckets": n_buckets, "id_col": "doc_id"},
     )
+    if not log_free:
+        # batch-built postings present without a sink log → the file
+        # sink's _spark_metadata would shadow them for every reader
+        from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.sources.maintenance import (
+            _fs_and_path,
+        )
+
+        fs, _, jvm = _fs_and_path(spark, index_path)
+        pdir = jvm.org.apache.hadoop.fs.Path(index_path + "/postings")
+        logdir = jvm.org.apache.hadoop.fs.Path(
+            index_path + "/postings/_spark_metadata"
+        )
+        if fs.exists(pdir) and not fs.exists(logdir):
+            if len(fs.listStatus(pdir)) > 0:
+                log_free = True
     stream = spark.readStream.schema(schema).parquet(source_dir)
     postings = (
         stream.select(
