@@ -41,6 +41,16 @@ def test_bm25_empty_query_and_k_clamp(spark, tables):
     assert lexical.bm25_topk(docs, "   ", k=5).count() == 0
     assert lexical.bm25_topk(docs, "zzz_not_a_word_zzz", k=5).count() == 0
     assert lexical.bm25_topk(docs, "the", k=10**6).count() <= docs.count()
+    # empty corpus: the r13 single-plan rewrite dropped the driver-side
+    # n_docs==0 early return — the natural path must still yield an
+    # empty frame with the right schema (avgdl NULL never divides rows)
+    empty = docs.filter(F.lit(False))
+    out = lexical.bm25_topk(empty, "the spark", k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score"]
+    assert lexical.bm25_knn_join(
+        empty, spark.createDataFrame([(0, "the spark")], "qid long, qtext string"), k=3
+    ).count() == 0
 
 
 def test_rrf_fuse_prefers_doubly_ranked(spark):

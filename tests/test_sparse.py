@@ -53,6 +53,27 @@ def test_sparse_topk_dot_product_exact(spark):
     assert SP.sparse_topk(sv, [], [], k=5).count() == 0
 
 
+def test_sparse_topk_text_matches_composed_path(spark, tables):
+    """The fused rebuild-and-search plan (r13 optimization) returns the
+    EXACT rows of sparse_topk(sparse_from_text(docs), ...) — bit-equal
+    scores, same ids, same order — including on real-table text and on
+    edge docs (blank text, no query overlap)."""
+    docs = tables["documents"].limit(300)
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, "zz zz qq")],
+        "doc_id long, text string",
+    ).select("doc_id", F.col("text"))
+    corpus = docs.select("doc_id", "text").unionByName(edge)
+    qi, qv = SP.sparse_query_py("spark window join performance zz")
+    composed = SP.sparse_topk(SP.sparse_from_text(corpus), qi, qv, k=8).collect()
+    fused = SP.sparse_topk_text(corpus, qi, qv, k=8).collect()
+    assert [(r.doc_id, r.score) for r in fused] == [
+        (r.doc_id, r.score) for r in composed
+    ]
+    # empty query short-circuits identically
+    assert SP.sparse_topk_text(corpus, [], [], k=5).count() == 0
+
+
 def test_sparse_knn_join_matches_single_query(spark, tables):
     """Batch result for one query == the single-query operator."""
     docs = tables["documents"].limit(300).cache()

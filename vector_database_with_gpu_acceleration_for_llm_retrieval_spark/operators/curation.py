@@ -33,6 +33,30 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators imp
 __all__ = ["curate_corpus", "curate_corpus_full", "curation_report", "doc_signals", "c4_clean"]
 
 
+def _attach_quality_lang(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach ``quality`` + ``pred_lang`` with the token arrays
+    projected ONCE per row (r13 optimization): the signal expressions
+    reference the token array ~4× each and per-language, and inlined
+    ``tokens(text)`` re-runs the regex split per reference —
+    higher-order-function expressions evaluate interpreted with no CSE
+    (the dedup.shingle_tids_hash lesson; measured on the curation
+    composite in OPTIMIZATION_r13.md). Values are identical: the
+    pre-projected columns hold exactly the subexpressions the inline
+    forms computed."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions import (
+        text as TX,
+    )
+
+    base = df.select("*", TX.tokens(F.col(text_col)).alias("__toks"))
+    base = base.select(
+        "*",
+        F.array_distinct(F.transform(F.col("__toks"), F.lower)).alias("__ltoks"),
+    )
+    quality = T.quality_columns(text_col, toks_col="__toks")[-1]
+    pred_lang = T.lang_columns(text_col, ltoks_col="__ltoks")[0]
+    return base.select("*", quality, pred_lang).drop("__toks", "__ltoks")
+
+
 def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,
@@ -58,11 +82,10 @@ def curate_corpus(
     dedup runs BEFORE near-dup here, so identical boilerplate already
     collapsed — the cap matters for *near*-identical template families.
     """
-    # quality + lang are pure per-row expressions: attach them in ONE
-    # projection on the scan — no enrichment joins, no shuffle
-    quality = T.quality_columns(text_col)[-1]
-    pred_lang = T.lang_columns(text_col)[0]
-    enriched = docs.select("*", quality, pred_lang)
+    # quality + lang are pure per-row expressions: attach them on the
+    # scan — no enrichment joins, no shuffle (token arrays projected
+    # once, see _attach_quality_lang)
+    enriched = _attach_quality_lang(docs, text_col)
     gated = enriched.filter(F.col("quality") >= min_quality)
     if langs:
         gated = gated.filter(F.col("pred_lang").isin(list(langs)))
@@ -118,10 +141,9 @@ def curate_corpus_full(
     Returns survivors with audit columns ``(quality, pred_lang,
     dup_ngram_ratio)`` and ``text_col`` holding the REDACTED text.
     """
-    # quality + lang attach as pure expressions (one projection); only
-    # the repetition signal needs its aggregation, so only IT joins back
-    quality = T.quality_columns(text_col)[-1]
-    pred_lang = T.lang_columns(text_col)[0]
+    # quality + lang attach as pure expressions (token arrays projected
+    # once, see _attach_quality_lang); only the repetition signal needs
+    # its aggregation, so only IT joins back
     rep = T.repetition_stats(docs, n=repeat_n, id_col=id_col, text_col=text_col).select(
         id_col, "dup_ngram_ratio"
     )
@@ -131,7 +153,7 @@ def curate_corpus_full(
     # inner join would silently drop it here instead of letting the
     # quality gate count/reject it like every other gate does.
     enriched = (
-        docs.select("*", quality, pred_lang)
+        _attach_quality_lang(docs, text_col)
         .join(rep, id_col, "left")
         .withColumn("dup_ngram_ratio", F.coalesce(F.col("dup_ngram_ratio"), F.lit(0.0)))
     )
@@ -211,9 +233,9 @@ def doc_signals(
         lm as LM,
     )
 
-    quality = T.quality_columns(text_col)[-1]
-    pred_lang = T.lang_columns(text_col)[0]
-    base = docs.select(F.col(id_col), quality, pred_lang)
+    base = _attach_quality_lang(docs, text_col).select(
+        F.col(id_col), "quality", "pred_lang"
+    )
     rep = T.repetition_stats(docs, n=repeat_n, id_col=id_col, text_col=text_col).select(
         id_col, "dup_ngram_ratio"
     )

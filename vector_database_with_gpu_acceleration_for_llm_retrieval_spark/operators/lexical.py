@@ -50,38 +50,44 @@ def bm25_topk(
     summed over the query's distinct terms, ``idf = ln(1 + (N-df+0.5)/
     (df+0.5))``. Returns ``(id, score)``, score desc / id asc.
 
-    N and avgdl are corpus constants fetched in one tiny aggregate job
-    (like the query vector in dense search — workload constants, not
-    per-row state)."""
+    N and avgdl are corpus constants — carried as a broadcast 1-row
+    frame inside the SAME plan (r13 optimization): the previous
+    ``collect()`` ran a synchronous extra job with its own full
+    tokenize pass per invocation (guide §5: the driver should do no
+    data work on a query path). ``avgdl = sdl/n`` is the identical
+    double division either way (two int64 operands, one IEEE divide),
+    so scores are bit-unchanged."""
     q_terms = sorted(set(query.split()))
     if not q_terms:
         return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    # token array projected once (size() + explode both reference it;
+    # interpreted HOF eval has no CSE — the shingle-pipeline lesson)
     base = docs.select(
-        F.col(id_col), F.size(TX.tokens(F.col(text_col))).alias("dl"),
-        TX.tokens(F.col(text_col)).alias("__toks"),
-    )
-    row = base.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
-    n_docs = int(row["n"])
-    if n_docs == 0:
-        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
-    avgdl = int(row["sdl"]) / n_docs
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.size("__toks").alias("dl"), F.col("__toks"))
+    consts = base.agg(F.count("*").alias("__n"), F.sum("dl").alias("__sdl"))
+    n_col = F.col("__n").cast("double")
+    avgdl_col = F.col("__sdl").cast("double") / n_col
 
     terms = base.select(id_col, "dl", F.explode("__toks").alias("term")).filter(
         F.col("term").isin(q_terms)
     )
     tf = terms.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    per_term = tf.join(F.broadcast(dfreq), "term").select(
-        id_col,
-        "term",
-        (
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-        ).alias("s"),
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            id_col,
+            "term",
+            (
+                F.log(
+                    F.lit(1.0) + (n_col - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_col))
+            ).alias("s"),
+        )
     )
     # fold per-term scores in term order — deterministic double addition
     summed = per_term.groupBy(id_col).agg(
@@ -216,15 +222,30 @@ def rrf_fuse(
 ) -> DataFrame:
     """Reciprocal-rank fusion of two ranked lists (``(id, rank)`` with
     1-based ranks): ``score = Σ_lists 1/(c + rank)``, absent list
-    contributes 0. Returns ``(id, rrf_score)`` top-k, ties to id asc."""
-    fa = a.select(F.col(id_col), F.col(rank_col).alias("__ra"))
-    fb = b.select(F.col(id_col), F.col(rank_col).alias("__rb"))
-    joined = fa.join(fb, id_col, "full_outer")
+    contributes 0. Returns ``(id, rrf_score)`` top-k, ties to id asc.
+
+    Executed as a tagged union + one k-row groupBy rather than a
+    full-outer join (r13 optimization): FullOuter cannot broadcast, so
+    the join form paid two exchanges + two sorts + a SortMergeJoin for
+    a ≤2k-row fusion. The aggregate reconstructs each list's rank
+    (``max`` over a single-element group side) and applies the SAME
+    score expression in the same term order, so every double is
+    bit-identical to the join form."""
+    fa = a.select(F.col(id_col), F.col(rank_col).alias("__r"), F.lit(0).alias("__side"))
+    fb = b.select(F.col(id_col), F.col(rank_col).alias("__r"), F.lit(1).alias("__side"))
+    agg = (
+        fa.unionByName(fb)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("__side") == 0, F.col("__r"))).alias("__ra"),
+            F.max(F.when(F.col("__side") == 1, F.col("__r"))).alias("__rb"),
+        )
+    )
     score = F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__ra")), F.lit(0.0)) + F.coalesce(
         F.lit(1.0) / (F.lit(c) + F.col("__rb")), F.lit(0.0)
     )
     return (
-        joined.select(F.col(id_col), score.alias("rrf_score"))
+        agg.select(F.col(id_col), score.alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
@@ -317,39 +338,38 @@ def bm25_knn_join(
         F.explode(F.array_distinct(TX.tokens(F.col(qtext_col)))).alias("term"),
     )
     union_terms = qterms.select("term").distinct()
+    # token array projected once; corpus constants ride as a broadcast
+    # 1-row frame instead of a driver collect()'s extra tokenize job —
+    # same r13 rewrite (and bit-identical arithmetic) as bm25_topk
     base = docs.select(
-        F.col(id_col),
-        F.size(TX.tokens(F.col(text_col))).alias("dl"),
-        TX.tokens(F.col(text_col)).alias("__toks"),
-    )
-    row = base.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
-    n_docs = int(row["n"])
-    if n_docs == 0:
-        return docs.sparkSession.createDataFrame(
-            [], f"{qid_col} long, {id_col} long, score double, rank int"
-        )
-    avgdl = int(row["sdl"]) / n_docs
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.size("__toks").alias("dl"), F.col("__toks"))
+    consts = base.agg(F.count("*").alias("__n"), F.sum("dl").alias("__sdl"))
+    n_col = F.col("__n").cast("double")
+    avgdl_col = F.col("__sdl").cast("double") / n_col
     terms = base.select(id_col, "dl", F.explode("__toks").alias("term")).join(
         F.broadcast(union_terms), "term"
     )
     tf = terms.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     if max_df_ratio is not None:
-        dfreq = dfreq.filter(F.col("df") <= float(max_df_ratio) * n_docs)
+        dfreq = dfreq.crossJoin(F.broadcast(consts)).filter(
+            F.col("df") <= float(max_df_ratio) * F.col("__n")
+        ).select("term", "df")
     per_term = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(consts))
         .select(
             qid_col,
             id_col,
             "term",
             (
                 F.log(
-                    F.lit(1.0)
-                    + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    F.lit(1.0) + (n_col - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 )
                 * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_col))
             ).alias("s"),
         )
     )

@@ -27,7 +27,6 @@ from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.functions.emb
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.ingest import (
     assemble_context,
     chunk_documents,
-    join_back,
 )
 from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.search import topk
 
@@ -57,11 +56,20 @@ def rag_context(
     tie-break (score desc, chunk_id asc), joined back to text and
     assembled score-ordered.
 
-    Scale: chunks+embeddings is a narrow projection (no shuffle);
-    the top-k is TakeOrderedAndProject over the chunk scan; join-back
-    broadcasts only the k surviving chunk ids. At 100 TB the embedded
-    chunk table would be written once at ingest (write_collection) and
-    this becomes a scan of that table instead of re-embedding.
+    Scale: chunks+embeddings is a narrow projection (no shuffle); the
+    top-k is TakeOrderedAndProject over the chunk scan, carrying the
+    chunk text through the k-row heap (r13 optimization: the previous
+    join-back branch re-scanned and re-chunked the corpus just to
+    recover the k surviving texts — measured ~25 % of the row; the
+    heap compares only (score, id), so payload carriage is free at
+    k=4 and the second scan + broadcast join disappear — 2 scans → 1.
+    ``ingest.join_back`` remains the O17 operator for hits that arrive
+    without payloads, e.g. from a materialized index). Results are
+    identical: chunk_id → chunk_text is functional, so attaching text
+    before or after the top-k yields the same k rows. At 100 TB the
+    embedded chunk table would be written once at ingest
+    (write_collection) and this becomes a scan of that table instead
+    of re-embedding.
     """
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.partitioning import (
         fan_out,
@@ -74,10 +82,9 @@ def rag_context(
         "chunk_id", "chunk_text", hash_embedding_udf(dim=dim)("chunk_text").alias("emb")
     )
     qvec = hash_embed_py(question, dim=dim)
-    hits = topk(embedded, qvec, k=k, id_col="chunk_id", vec_col="emb").withColumn(
-        "qid", F.lit(0)
-    )
-    with_text = join_back(hits, embedded.select("chunk_id", "chunk_text"), on="chunk_id")
+    with_text = topk(
+        embedded, qvec, k=k, id_col="chunk_id", vec_col="emb", keep_cols=["chunk_text"]
+    ).withColumn("qid", F.lit(0))
     ctx = assemble_context(with_text, group_col="qid", text_col="chunk_text", order_col="score")
     return ctx.select(
         "qid",

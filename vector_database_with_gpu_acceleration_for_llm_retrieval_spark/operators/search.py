@@ -70,6 +70,7 @@ def topk(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Single-query exact top-k — the reference's ``POST /search``
     (coordinator/main.py:58-86 + shard/server.py:70-84) as one Catalyst
@@ -80,10 +81,18 @@ def topk(
     and the driver merges (the coordinator's heap, main.py:77-84). Score
     is higher-is-better for both metrics; k is clamped by LIMIT
     semantics (reference O12); empty corpus → empty result (O11).
+
+    ``keep_cols`` carries payload columns through the top-k heap
+    (k rows hold them, the heap compares only (score, id)) — the
+    reference returns payloads with its hits the same way
+    (shard/server.py returns ids+scores, coordinator re-attaches); for
+    small payloads this fuses the O17 join-back away entirely (r13
+    optimization, see rag.rag_context).
     """
     q = V.vec_lit(query_vec)
     scored = corpus.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         V.score(F.col(vec_col), q, metric).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

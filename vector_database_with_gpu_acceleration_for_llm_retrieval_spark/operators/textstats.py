@@ -56,10 +56,18 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_columns(text_col: str = "text") -> list[Column]:
+def quality_columns(text_col: str = "text", toks_col: str | None = None) -> list[Column]:
     """The quality-signal expressions as named columns — composable
-    into any projection (no join needed to attach them to a row)."""
-    toks = TX.tokens(F.col(text_col))
+    into any projection (no join needed to attach them to a row).
+
+    ``toks_col`` (optional) names an already-projected token-array
+    column (``TX.tokens(text_col)``): the signals below reference the
+    token array ~4×, and inlined ``tokens(text)`` re-runs the regex
+    split per reference — higher-order-function expressions evaluate
+    interpreted with no CSE (the shingle-pipeline lesson,
+    dedup.shingle_tids_hash). Same expressions, same values either
+    way; pre-projecting just evaluates the split once per row."""
+    toks = F.col(toks_col) if toks_col else TX.tokens(F.col(text_col))
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     alpha_ratio = (
         F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", ""))
@@ -87,7 +95,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     stopword presence, alphabetic ratio, and repetition (distinct-token
     ratio) — the standard cheap pre-filter signals for LLM training
     corpora (C4/Gopher-style rules, public literature)."""
-    return fan_out(docs).select(F.col(id_col), *quality_columns(text_col))
+    base = fan_out(docs).select(
+        F.col(id_col), F.col(text_col), TX.tokens(F.col(text_col)).alias("__toks")
+    )
+    return base.select(F.col(id_col), *quality_columns(text_col, toks_col="__toks"))
 
 
 _LANG_WORDLISTS = {
@@ -98,13 +109,24 @@ _LANG_WORDLISTS = {
 }
 
 
-def lang_columns(text_col: str = "text") -> list[Column]:
+def lang_columns(text_col: str = "text", ltoks_col: str | None = None) -> list[Column]:
     """Language-ID expressions as named columns — composable into any
-    projection (no join needed to attach them to a row)."""
-    toks = F.transform(TX.tokens(F.col(text_col)), F.lower)
+    projection (no join needed to attach them to a row).
+
+    ``ltoks_col`` (optional) names an already-projected column holding
+    ``array_distinct(transform(tokens(text), lower))``: the per-language
+    structs below otherwise re-run split+lower+distinct once PER
+    LANGUAGE per row (interpreted HOF evaluation has no CSE — see
+    quality_columns). Identical values either way."""
+    if ltoks_col:
+        distinct_toks = F.col(ltoks_col)
+    else:
+        distinct_toks = F.array_distinct(
+            F.transform(TX.tokens(F.col(text_col)), F.lower)
+        )
     scores = [
         F.struct(
-            F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.size(F.array_intersect(distinct_toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, words in _LANG_WORDLISTS.items()
@@ -121,7 +143,11 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     argmax wins (n-gram-free variant of the classic stopword profile
     method; 'und' when nothing matches). Wordlists are tiny broadcast
     literals — the scan stays one narrow projection."""
-    return fan_out(docs).select(F.col(id_col), *lang_columns(text_col))
+    base = fan_out(docs).select(
+        F.col(id_col),
+        F.array_distinct(F.transform(TX.tokens(F.col(text_col)), F.lower)).alias("__ltoks"),
+    )
+    return base.select(F.col(id_col), *lang_columns(text_col, ltoks_col="__ltoks"))
 
 
 def rolling_fingerprint(

@@ -759,9 +759,13 @@ def stream_curate_ingest(
     )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    quality = T.quality_columns(text_col)[-1]
-    pred_lang = T.lang_columns(text_col)[0]
-    out = stream.select("*", quality, pred_lang).filter(
+    # token arrays projected once per row (same values) — the stateless
+    # r13 projection split, see curation._attach_quality_lang
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.curation import (
+        _attach_quality_lang,
+    )
+
+    out = _attach_quality_lang(stream, text_col).filter(
         F.col("quality") >= min_quality
     )
     if langs:
