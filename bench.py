@@ -265,6 +265,15 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
         # accumulated stages inflated them ~2x from listener/GC
         # overhead that grew every time the scale list grew
         # (r7/r8 lesson: the 'contaminated' r7 drift was this).
+        # r13 measurement fix (documented in OPTIMIZATION_r13.md): probe
+        # reps 2 → 4. Instrumented this round: the FIRST heavy
+        # Python-boundary job after a context switch pays a stochastic
+        # multi-second re-warm spike (measured 4-22 s on a plan whose
+        # steady-state is 1-2 s; NOT GC — collector counters flat; NOT
+        # JIT code cache — 106/512 MB used, compilation enabled), so a
+        # median of 2 lets one spike own the row — the r11/r12 "drift"
+        # signature. Median of 4 bounds the spike's influence; the
+        # timed action and metric are unchanged.
         # --- shape probes: Spark-only timings for the two claims that
         # needed numbers, not assertions (VERDICT r4 #6/#7). No DuckDB
         # mirror — these measure plan shapes, not engine ratios.
@@ -280,7 +289,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
                 F.col("vec_id").alias("qid"), "embedding"
             )  # 2,000 queries
 
-            def _probe(fn, reps=2):
+            def _probe(fn, reps=4):
                 def go():
                     t0 = time.perf_counter()
                     fn().write.mode("overwrite").format("noop").save()
