@@ -47,6 +47,15 @@ def _attach_quality_lang(df: DataFrame, text_col: str) -> DataFrame:
         text as TX,
     )
 
+    # collision guard (r14, ADVICE): a pre-existing __toks/__ltoks column
+    # (leaked from a composed operator) would make the projections below
+    # ambiguous and the final drop() would remove both copies
+    clash = {"__toks", "__ltoks"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries reserved column(s) {sorted(clash)}; "
+            "drop or rename them before the quality/lang projection"
+        )
     base = df.select("*", TX.tokens(F.col(text_col)).alias("__toks"))
     base = base.select(
         "*",

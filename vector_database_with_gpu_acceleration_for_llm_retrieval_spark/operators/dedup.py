@@ -345,6 +345,25 @@ _SIG_GENERATIONS: list[DataFrame] = []
 _SIG_CACHE_CAP = 3
 
 
+def clear_signature_cache() -> None:
+    """Unpersist and forget every cached signature generation.
+
+    Exists for HONEST BENCHMARKING (r13 verdict "what's wrong" #2): the
+    LRU keeps a signature frame warm across repeated invocations over
+    the same corpus, so a timed rep after a warm-up rep would skip the
+    shingle→hash→min-fold subtree — the most expensive part — while a
+    competing engine recomputes it every rep. bench.py calls this
+    before every timed rep so each measurement pays the full plan; the
+    within-plan branch reuse (the legitimate §5 persist) still applies
+    inside each rep. Production pipelines should NOT call this — the
+    cross-call reuse is the point of the cache there."""
+    while _SIG_GENERATIONS:
+        try:
+            _SIG_GENERATIONS.pop().unpersist(False)
+        except Exception:  # pragma: no cover - session already gone
+            pass
+
+
 def _persist_signature(sig: DataFrame) -> DataFrame:
     new_plan = sig._jdf.queryExecution().analyzed()
     for i, prev in enumerate(_SIG_GENERATIONS):

@@ -224,6 +224,15 @@ def rrf_fuse(
     1-based ranks): ``score = Σ_lists 1/(c + rank)``, absent list
     contributes 0. Returns ``(id, rrf_score)`` top-k, ties to id asc.
 
+    CONTRACT: each input list carries at most one row per id (what a
+    ranked top-k list is). Duplicate ids within one list are UNDEFINED
+    behavior — this union+groupBy form collapses them via ``max(rank)``
+    (one contribution), whereas a join form would emit one row per
+    duplicate pair and sum contributions; neither reading is "the"
+    semantics of a malformed ranking, so the contract is documented
+    rather than enforced with a per-call distinct the well-formed 99%
+    case would pay for.
+
     Executed as a tagged union + one k-row groupBy rather than a
     full-outer join (r13 optimization): FullOuter cannot broadcast, so
     the join form paid two exchanges + two sorts + a SortMergeJoin for
@@ -352,14 +361,21 @@ def bm25_knn_join(
     )
     tf = terms.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    if max_df_ratio is not None:
-        dfreq = dfreq.crossJoin(F.broadcast(consts)).filter(
-            F.col("df") <= float(max_df_ratio) * F.col("__n")
-        ).select("term", "df")
-    per_term = (
+    joined = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(consts))
+    )
+    if max_df_ratio is not None:
+        # stop-word cap applied AFTER the single consts crossJoin (r14,
+        # ADVICE): pre-filtering dfreq cross-joined consts a second
+        # time, and without a guaranteed ReusedExchange that re-ran the
+        # full corpus tokenize+aggregate once per reference. Same rows:
+        # a term over the cap joins and is dropped here instead of
+        # never joining — the broadcast only grows by the stop terms.
+        joined = joined.filter(F.col("df") <= float(max_df_ratio) * F.col("__n"))
+    per_term = (
+        joined
         .select(
             qid_col,
             id_col,

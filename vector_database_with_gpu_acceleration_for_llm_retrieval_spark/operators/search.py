@@ -89,6 +89,15 @@ def topk(
     small payloads this fuses the O17 join-back away entirely (r13
     optimization, see rag.rag_context).
     """
+    # collision guard (r14, ADVICE): keep_cols listing id_col (already
+    # projected) or a column named 'score' (the output score column)
+    # would produce ambiguous duplicates at plan time — reject with a
+    # readable error instead
+    bad = {c for c in (keep_cols or []) if c == id_col or c == "score"}
+    if bad:
+        raise ValueError(
+            f"keep_cols may not include the id column or 'score': {sorted(bad)}"
+        )
     q = V.vec_lit(query_vec)
     scored = corpus.select(
         F.col(id_col),

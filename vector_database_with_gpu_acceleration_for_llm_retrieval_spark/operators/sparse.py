@@ -213,8 +213,11 @@ def _fold_by_term(per_term: DataFrame, keys: list[str]) -> DataFrame:
 def _score_postings(
     postings: DataFrame, q_indices: list[int], q_values: list[float], id_col: str
 ) -> DataFrame:
+    # map keys cast to long explicitly (r14, ADVICE): F.lit(small int)
+    # resolves as int while the hashed term column is bigint — the
+    # lookup then leans on an implicit map-key cast; make it exact
     qmap = F.create_map(
-        *[F.lit(v) for pair in zip(q_indices, q_values) for v in pair]
+        *[c for i, v in zip(q_indices, q_values) for c in (F.lit(i).cast("long"), F.lit(v))]
     )
     per_term = (
         postings.filter(F.col("term").isin(q_indices))
@@ -277,7 +280,11 @@ def sparse_topk_text(
         return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
     toks = docs.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
     tf = _term_tf(toks, "__toks", id_col, hash).filter(F.col("term").isin(q_indices))
-    qmap = F.create_map(*[F.lit(v) for pair in zip(q_indices, q_values) for v in pair])
+    # map keys cast to long (r14, ADVICE): the hashed term column is
+    # bigint; int32-sized literal keys would rely on an implicit cast
+    qmap = F.create_map(
+        *[c for i, v in zip(q_indices, q_values) for c in (F.lit(i).cast("long"), F.lit(v))]
+    )
     per_term = tf.select(
         id_col, "term", (_tf_weight(F.col("tf")) * qmap[F.col("term")]).alias("s")
     )
