@@ -431,3 +431,34 @@ def test_sorted_neighborhood_partitioning_independent(spark):
         for r in sorted_neighborhood_pairs(df.repartition(13), "name", "doc_id", 2).collect()
     }
     assert a == b and len(a) == 59 + 58
+
+
+def test_dup_span_stats_single_per_doc_aggregate_plan(spark):
+    """r14 internals: totals + shared sums fused into ONE per-doc
+    aggregate behind a LEFT join against the shared hashes — the plan
+    must carry exactly one join (the doc-freq attach), not the old
+    totals-vs-shared SortMergeJoin on top of it."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import dedup as D
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import plan_summary
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("x" * (i % 3))) for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    s = plan_summary(D.dup_span_stats(docs, n=3))
+    assert sum(s["joins"].values()) == 1, s["joins"]
+
+
+def test_remove_dup_spans_no_argmin_join_plan(spark):
+    """r14 internals: the kept occurrence comes straight out of the
+    min(struct) aggregate; the only join left is the keeps->doc
+    join-back (1 join total, and occ is never shuffled twice)."""
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import dedup as D
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.plans.explain import plan_summary
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven " + ("pad " * (i % 2))) for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    s = plan_summary(D.remove_dup_spans(docs, n=3))
+    assert sum(s["joins"].values()) == 1, s["joins"]

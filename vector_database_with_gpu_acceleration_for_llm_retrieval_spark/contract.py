@@ -2100,16 +2100,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data selection: best-quality docs first until the
     cumulative token count reaches the budget — distributed prefix-sum
-    over range partitions (no single-partition window)."""
+    over range partitions (no single-partition window).
+
+    r14 optimization (guide §2.3 "shuffle fewer bytes" / §8 "decide
+    with small rows"): quality and the whitespace token count are
+    attached as PROJECTIONS on one scan instead of the old
+    ``docs.join(quality_score(docs))`` self-join (two scans + a join
+    for a per-row expression), and the prefix-sum runs over the narrow
+    ``(doc_id, quality, count)`` frame via the ``token_count`` seam —
+    the range shuffle, its boundary-sampling pass, and the
+    correctness-pinning localCheckpoint no longer carry the document
+    text at all. Values are bit-identical: the quality expression is
+    ``quality_score``'s own (same ``__toks`` pre-projection), the
+    count is the same ``TX.n_tokens``, and the (quality desc, id)
+    order key is unchanged, so every partition boundary, running sum,
+    and selected row matches; oracle re-verified at sf0.001+sf0.01."""
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
         sampling,
     )
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    q = T.quality_score(docs).select("doc_id", "quality")
+    narrow = docs.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        T.quality_columns("text", toks_col="__toks")[-1],
+        TX.n_tokens(F.col("text")).alias("__wc"),
+    )
     res = sampling.budget_select(
-        docs.join(q, "doc_id"), BUDGET_TOKENS, order_col="quality"
+        narrow, BUDGET_TOKENS, order_col="quality", token_count="__wc"
     )
     return res.select(
         "doc_id",

@@ -667,10 +667,11 @@ def dup_span_stats(
     3. ``groupBy(h)`` over that (already one row per doc×hash) counts
        distinct docs per n-gram as a plain ``count(*)`` — no
        count_distinct state;
-    4. equi-join occurrences against the ``doc_freq ≥ 2`` hashes and
-       re-aggregate by doc. Popular boilerplate n-grams skew the join
-       key; AQE skew-join splits them (the join is 1:N, not N:M, so
-       splitting is safe).
+    4. LEFT-join occurrences against the ``doc_freq ≥ 2`` hashes and
+       aggregate by doc ONCE — totals and shared sums in the same
+       pass (r14). Popular boilerplate n-grams skew the join key; AQE
+       skew-join splits them (the join is 1:N, not N:M, so splitting
+       is safe).
 
     Every stage is an equi-key aggregation or join — at 100 TB the
     cost is two shuffles of (doc, hash) pairs, linear in corpus
@@ -695,21 +696,28 @@ def dup_span_stats(
     shared = occ.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq")).filter(
         F.col("doc_freq") >= 2
     )
-    per_doc_shared = (
-        occ.join(shared.select("h"), "h")
-        .groupBy(id_col)
-        .agg(F.sum("cnt").alias("n_shared_spans"))
+    # r14 optimization (§2.4 same-key fusion): totals and shared counts
+    # come out of ONE pass over occ — a LEFT join against the shared
+    # hashes tags each (doc, gram) row, and a single per-doc aggregate
+    # computes both sums (Σ cnt ≡ size(shingles): every doc has ≥1
+    # shingle, so no doc disappears). The old shape aggregated occ by
+    # doc twice (totals + per-doc-shared) and SortMergeJoined the two
+    # k-row results; same values, one fewer Exchange(id), one fewer
+    # join. The join stays the skew-safe form (AQE splits hot
+    # boilerplate hashes; a window over h would put a universal n-gram's
+    # every (doc, cnt) row into one task at 100 TB). The corpus text is
+    # scanned and exploded exactly once; the persisted occ frame feeds
+    # both consumers.
+    tagged = occ.join(
+        shared.select("h", F.lit(1).alias("__dup")), "h", "left"
     )
-    # totals come from occ too (Σ cnt ≡ size(shingles): every doc has
-    # ≥1 shingle) — the corpus text is scanned and exploded exactly
-    # once, and the persisted occ frame feeds all three consumers
-    totals = occ.groupBy(id_col).agg(F.sum("cnt").alias("n_spans"))
     return (
-        totals.join(per_doc_shared, id_col, "left")
-        .select(
-            id_col,
-            "n_spans",
-            F.coalesce(F.col("n_shared_spans"), F.lit(0)).alias("n_shared_spans"),
+        tagged.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            F.coalesce(
+                F.sum(F.when(F.col("__dup") == 1, F.col("cnt"))), F.lit(0)
+            ).alias("n_shared_spans"),
         )
         .withColumn(
             "dup_span_frac",
@@ -752,11 +760,13 @@ def remove_dup_spans(
     1. one corpus scan → posexplode n-grams, hash to longs (payload
        strings leave the plan at the first exchange);
     2. ``groupBy(h) → min(struct(doc, pos))`` — partial-agged argmin,
-       one shuffle of (hash, doc, pos) triples;
-    3. equi-join occurrences to their gram's argmin (1:1 per hash;
-       boilerplate-skewed keys split by AQE) and keep the matches;
-    4. ``groupBy(doc) → sorted kept-start positions`` — one shuffle
-       of int pairs — broadcast-free join back to the doc row, where
+       one shuffle of (hash, doc, pos) triples; the argmin struct IS
+       the kept occurrence (r14: the former join-back of occurrences
+       to their gram's argmin re-derived a row the aggregate already
+       held, at the price of a second corpus-grams shuffle);
+    3. ``groupBy(doc) → sorted kept-start positions`` over the
+       distinct-gram argmin rows — one shuffle of int pairs — then a
+       join back to the doc row, where
        coverage union, token selection, and reassembly are pure array
        expressions (interval expansion is O(n·|keeps|) ints/row).
 
@@ -778,16 +788,24 @@ def remove_dup_spans(
         (F.col("__p0") + 1).alias("pos"),
         F.xxhash64("__s").alias("h"),
     )
-    firsts = occ.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
-            "f"
-        )
-    )
+    # r14 optimization (§2.4/§3): the argmin row IS the kept occurrence
+    # — ``min(struct(d, p))`` already carries the surviving (doc, pos),
+    # so the old occ ⋈ firsts equi-join + equality filter (a second
+    # corpus-grams shuffle of occ by h, then the join) reconstructed a
+    # row the aggregate had in hand. Exactly one occ row matches each
+    # gram's argmin (pos is unique within a doc), so regrouping the
+    # argmin structs by doc is the identical multiset of kept
+    # positions. Plan: one Exchange(h) + one Exchange(d) over
+    # distinct-gram rows; the join and occ's second shuffle are gone.
     keeps = (
-        occ.join(firsts, "h")
-        .filter((F.col(id_col) == F.col("f.d")) & (F.col("pos") == F.col("f.p")))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("__keeps"))
+        occ.groupBy("h")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("f")
+        )
+        .groupBy(F.col("f.d").alias(id_col))
+        .agg(F.sort_array(F.collect_list("f.p")).alias("__keeps"))
     )
     joined = base.join(keeps, id_col, "left")
     m = F.size("__toks")

@@ -767,51 +767,80 @@ def mixture_pipeline(
     """The end-to-end curation-to-packing composite the round-7 pieces
     were built for (r8 verdict #8), as ONE lazy plan:
 
-        doc_signals → within-group quality-percentile gate
+        quality/lang signals → within-group quality-percentile gate
         → mixture_sample to the target domain proportions
         → pack_sequences into fixed token budgets
 
-    Every stage is the existing oracle-checked operator, composed —
-    signals computed once per doc (quality/lang/repetition/LM), the
-    domain-fair gate keeps each predicted language's top
-    ``1 − min_pctl`` share (a global cut would let one domain
-    monopolize the budget), the mixture resample is the deterministic
-    portable-hash filter against the DoReMi-style plan rates, and the
-    packer bins survivors per stratum with the distributed prefix-sum.
+    Every stage is the existing oracle-checked operator (or its exact
+    expression), composed — the domain-fair gate keeps each predicted
+    language's top ``1 − min_pctl`` share (a global cut would let one
+    domain monopolize the budget), the mixture resample is the
+    deterministic portable-hash filter against the DoReMi-style plan
+    rates, and the packer bins survivors per stratum with the
+    distributed prefix-sum. ``repeat_n`` / ``lm_alpha`` are kept for
+    signature stability: they parameterized signals the gate never
+    read (see the r14 note below), so they never influenced the
+    output.
 
     Plan shape: no driver actions beyond ``pack_sequences``' documented
     range-boundary pin (localCheckpoint — RangePartitioner boundaries
-    are RDD-id-seeded and must be frozen). The gated ``(id, stratum)``
-    frame is persisted (the bounded signature-cache discipline) because
-    three consumers read it — the mixture plan aggregate, the row
-    filter, and the packer — and each would otherwise re-run the full
-    signals subtree (LM joins included). Strata are the PREDICTED
+    are RDD-id-seeded and must be frozen). The gated ``(id, stratum,
+    token count)`` frame is persisted (the bounded signature-cache
+    discipline) because three consumers read it — the mixture plan
+    aggregate, the row filter, and the packer — and each would
+    otherwise re-run the signals subtree. Strata are the PREDICTED
     language, so the mixture recipe composes with routing, not with
     possibly-wrong source labels.
 
-    Returns ``pack_sequences`` output keyed by ``pred_lang``:
-    ``(pred_lang, id, n_tokens, bin_id, bin_offset)``.
+    r14 optimization (guide §1.2 "don't compute things you throw away"
+    + §6 one-scan): the composite gates ONLY on the within-language
+    quality percentile, so the repetition and bigram-LM signals of
+    :func:`curation.doc_signals` — a second per-row shingle projection
+    and the explode + two-vocab-join LM subtree, both 1:1 left joins
+    whose outputs this pipeline never reads, unprunable by Catalyst
+    because join-key uniqueness is not in the plan — are skipped here
+    (``doc_signals`` itself, the user-facing signal table, is
+    unchanged). The token count rides the same signals scan
+    (``TX.n_tokens``, the exact expression ``pack_sequences`` would
+    have computed), so the packer bins via ``token_count`` and the
+    corpus text is scanned ONCE instead of re-joined and re-tokenized.
+    Row set and every output value are identical: repetition_stats is
+    a per-row projection and lm_score a per-doc aggregate, so the
+    removed left joins were exactly 1:1 and the percentile window saw
+    the same (quality, id) multiset per pred_lang. Measured at sf0.1
+    (idle interleaved A/B, r14): 3.44 s → see OPTIMIZATION_r14.md.
     """
-    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
-        curation,
+    from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.curation import (
+        _attach_quality_lang,
     )
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators.dedup import (
         _persist_signature,
     )
 
-    sig = curation.doc_signals(
-        docs, repeat_n=repeat_n, lm_alpha=lm_alpha, id_col=id_col, text_col=text_col
+    sig = _attach_quality_lang(docs, text_col).select(
+        F.col(id_col),
+        F.col("quality"),
+        F.col("pred_lang"),
+        TX.n_tokens(F.col(text_col)).alias("__ntok"),
     )
-    pct = within_group_percentile(
-        sig, "quality", group_col="pred_lang", id_col=id_col
+    # within_group_percentile's exact window, inlined so the token
+    # count survives the projection (its helper form drops extras)
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.col("quality").asc(), F.col(id_col).asc()
     )
     kept = _persist_signature(
-        pct.filter(F.col("pctl") >= min_pctl).select(id_col, "pred_lang")
+        sig.withColumn("pctl", F.percent_rank().over(w))
+        .filter(F.col("pctl") >= min_pctl)
+        .select(id_col, "pred_lang", "__ntok")
     )
     mixed = mixture_sample(kept, target, stratum_col="pred_lang", id_col=id_col)
-    with_text = mixed.join(docs.select(id_col, text_col), id_col)
     return pack_sequences(
-        with_text, seq_len=seq_len, id_col=id_col, text_col=text_col, by="pred_lang"
+        mixed,
+        seq_len=seq_len,
+        id_col=id_col,
+        text_col=text_col,
+        by="pred_lang",
+        token_count="__ntok",
     )
 
 
