@@ -54,21 +54,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "0")) or None
+#: default wall budget 1500 s (r14): the r13 8-core companion run was
+#: killed at the driver's window (rc=124) and a full honest-rep 32-core
+#: run measured ~27 min — without a ceiling one contended run loses the
+#: round's whole bench artifact. Everything dropped under the budget is
+#: RECORDED (detail "skipped" lists), never silently truncated.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
 _T_START = time.perf_counter()
 
 
+def _elapsed() -> float:
+    return time.perf_counter() - _T_START
+
+
 def _extras_allowed(fraction: float = 0.5) -> bool:
     """Extras (DuckDB mirrors, scale probe) run only when (a) the run
     has >= 16 cores — the low-core companion run measures headline
     scaling and must finish inside the driver's window — and (b) the
-    optional wall budget is less than ``fraction`` spent."""
+    wall budget is less than ``fraction`` spent."""
     if int(CPUS) < 16:
         return False
-    if BUDGET_S is not None and (time.perf_counter() - _T_START) > fraction * BUDGET_S:
+    if _elapsed() > fraction * BUDGET_S:
         return False
     return True
 
@@ -126,9 +135,14 @@ def _run_once(fn, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
-def _duckdb_yardstick(names: list[str], oracles: dict[str, str]) -> dict[str, float]:
+def _duckdb_yardstick(
+    names: list[str], oracles: dict[str, str]
+) -> tuple[dict[str, float], list[str]]:
     """BASELINE.md yardstick: DuckDB running the matching oracle SQL on
-    the same parquet, same machine, warm — medians per query."""
+    the same parquet, same machine, warm — medians per query. Returns
+    (medians, skipped-for-budget names) — dropped rows are recorded,
+    never silently truncated."""
+    skipped: list[str] = []
     try:
         import duckdb
 
@@ -145,6 +159,9 @@ def _duckdb_yardstick(names: list[str], oracles: dict[str, str]) -> dict[str, fl
         for n in names:
             if n not in oracles:
                 continue
+            if _elapsed() > 0.65 * BUDGET_S:
+                skipped.append(n)
+                continue
             t0 = time.perf_counter()
             con.execute(oracles[n]).fetchall()  # warm (also a cost probe)
             warm = time.perf_counter() - t0
@@ -157,9 +174,9 @@ def _duckdb_yardstick(names: list[str], oracles: dict[str, str]) -> dict[str, fl
                 con.execute(oracles[n]).fetchall()
                 times.append(time.perf_counter() - t0)
             out[n] = round(statistics.median(times), 4)
-        return out
+        return out, skipped
     except Exception:
-        return {}
+        return {}, skipped
 
 
 #: scale-probe sizing: embeddings 50× / documents 10× over sf0.1. The
@@ -328,7 +345,11 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
         # needed numbers, not assertions (VERDICT r4 #6/#7). No DuckDB
         # mirror — these measure plan shapes, not engine ratios.
         shape: dict[str, float] = {}
+        shape_skipped = False
         try:
+            if _elapsed() > 0.8 * BUDGET_S:
+                shape_skipped = True  # recorded below, not silent
+                raise TimeoutError("shape probes skipped for budget")
             from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
                 dedup as D,
                 search as S,
@@ -447,7 +468,11 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             pass
 
         spark_times: dict[str, float] = {}
+        spark_skipped: list[str] = []
         for n in SCALE_QUERIES:
+            if _elapsed() > 0.85 * BUDGET_S:
+                spark_skipped.append(n)  # recorded, not silently dropped
+                continue
             if n in SCALE_ONCE:
                 spark_times[n] = round(_run_once(qs[n], spark, tmp), 4)
                 continue
@@ -457,6 +482,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
 
 
         duck: dict[str, float] = {}
+        duck_skipped: list[str] = []
         try:
             import duckdb
 
@@ -469,6 +495,9 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet/*.parquet')"
                 )
             for n in SCALE_QUERIES:
+                if _elapsed() > 0.95 * BUDGET_S:
+                    duck_skipped.append(n)  # recorded, not silently dropped
+                    continue
                 try:
                     times = []
                     if n in SCALE_ONCE:
@@ -513,6 +542,11 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             "shape_probes": shape,
             "duckdb_yardstick": duck,
             "duckdb_total": round(sum(duck.values()), 4) if duck else None,
+            "skipped_for_budget": {
+                "spark": spark_skipped,
+                "duckdb": duck_skipped,
+                "shape_probes": shape_skipped,
+            },
         }
     except Exception:
         return None
@@ -573,7 +607,13 @@ def main() -> None:
     # driver contract and always complete; the in-process DuckDB mirrors
     # and the synthetic 10x probe are judge-facing evidence that the
     # low-core scaling run must not pay for (r13: BENCH_r13_c8 rc=124)
-    duck = _duckdb_yardstick(names, contract.oracle_sql()) if _extras_allowed() else {}
+    t_headline_done = round(_elapsed(), 1)
+    duck, duck_skipped = (
+        _duckdb_yardstick(names, contract.oracle_sql())
+        if _extras_allowed()
+        else ({}, [])
+    )
+    t_yardstick_done = round(_elapsed(), 1)
     scale = _scale_probe(spark, qs, contract.oracle_sql()) if _extras_allowed(0.75) else None
     qps = round(len(all_lat) / sum(all_lat), 2) if all_lat else 0.0
 
@@ -591,8 +631,14 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "duckdb_yardstick": duck,
+        "duckdb_skipped_for_budget": duck_skipped,
         "duckdb_total": round(sum(duck.values()), 4) if duck else None,
         "scale_probe": scale,
+        "budget_s": BUDGET_S,
+        "sections_done_at_s": {
+            "headline": t_headline_done,
+            "yardstick": t_yardstick_done,
+        },
         "wall_s": round(time.perf_counter() - _T_START, 1),
     }
     try:
