@@ -140,3 +140,10 @@ def test_bq_index_roundtrip_matches_inline(spark, tmp_path):
     assert ham_only[0]["vec_id"] == 3 and ham_only[0]["score"] == 0.0
     hams = [-r["score"] for r in ham_only]
     assert hams == sorted(hams)
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -77,3 +77,10 @@ def test_bucketed_join_matches_plain_join(spark, tables, bucketed_pair):
     a = {(r.o_custkey, r.rev) for r in bucketed.collect()}
     b = {(r.o_custkey, r.rev) for r in plain.collect()}
     assert a == b and len(a) > 0
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -41,3 +41,10 @@ def test_lazy_catalog_isolates_bad_table(spark, tmp_path):
     # a catalog over real data is unaffected by the failed one
     good = load_tables(spark, "/root/testdata/sf0.001")
     assert good["region"].count() > 0
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -190,3 +190,4 @@ def test_kcenter_missing_seed_raises(tables):
 
     with pytest.raises(ValueError, match="seed_id"):
         kcenter_select(tables["embeddings"], k=3, seed_id=-999)
+

@@ -227,3 +227,10 @@ def test_luhn_card_detection_and_redaction(spark):
     # cards=False keeps legacy behavior byte-stable
     legacy = {r.doc_id: r.redacted for r in PII.pii_redact(docs).collect()}
     assert legacy[1] == "pay 4111-1111-1111-1111 now"
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -150,3 +150,10 @@ def test_c4_clean_line_filter_and_page_gate(spark):
     assert got[2].n_kept_lines == 0 and got[2].keep is False
     # brace marker gates the page though the brace line was dropped
     assert got[3].n_kept_lines == 3 and got[3].keep is False
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -462,3 +462,10 @@ def test_remove_dup_spans_no_argmin_join_plan(spark):
     )
     s = plan_summary(D.remove_dup_spans(docs, n=3))
     assert sum(s["joins"].values()) == 1, s["joins"]
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

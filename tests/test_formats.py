@@ -76,3 +76,10 @@ def test_partitioned_write_prunes(spark, tmp):
     back = FMT.read_any(spark, path).filter("lang = 'en'")
     assert back.count() == 10
     assert_plan_contains(back, "PartitionFilters: [isnotnull(lang")
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

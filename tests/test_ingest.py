@@ -316,3 +316,10 @@ def test_delete_from_collection_string_ids(spark):
         assert spark.read.parquet(path).filter(F.col("vec_id") == "doc-3").count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

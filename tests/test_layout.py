@@ -118,3 +118,10 @@ def test_compaction_plan_no_small_files(spark):
     df = spark.createDataFrame([("p", 1, 900)], "part string, fid long, sz long")
     r = compaction_plan(df, "fid", "sz", ["part"], target_bytes=100).collect()[0]
     assert r.action == "keep" and r.grp is None and r.grp_bytes is None
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -224,3 +224,10 @@ def test_delete_from_bm25_index_scores_match_reduced_corpus(spark, tables, tmp_p
     assert spark.read.parquet(path + "/dfreq").filter("df <= 0").count() == 0
     assert lexical.delete_from_bm25_index(spark, path, [])["docs_deleted"] == 0
     assert lexical.delete_from_bm25_index(spark, path, [10**9])["docs_deleted"] == 0
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -101,3 +101,10 @@ def test_bigram_pmi_hand_computed(spark):
     got2 = {k for k, v in
             {(r.w1, r.w2): r.c12 for r in bigram_pmi(docs, min_count=2).collect()}.items()}
     assert got2 == {("<s>", "a"), ("a", "b")}
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -34,3 +34,10 @@ def test_registry_tracks_contract_query(spark):
     text = reg.render_prometheus()
     assert 'vdb_queries_total{query="pricing_summary"} 2' in text
     assert f'vdb_query_last_rows{{query="pricing_summary"}} {expect_rows}' in text
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

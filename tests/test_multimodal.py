@@ -802,3 +802,10 @@ def test_decode_audio_spectral_skips_non_wav_rows(spark):
     for r in rows:
         assert abs(r.centroid_hz - 5 * 8000 / 30) < 1.0
         assert len(r.band_frac) == 4
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

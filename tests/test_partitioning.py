@@ -67,3 +67,10 @@ def test_skew_report_hand_computed(spark):
     assert abs(got[0].skew_ratio - 3.0) < 1e-12
     assert got[1].n_rows == 10  # the four cold keys tie at 10; key asc picks k0
     assert got[1].k == "k0"
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

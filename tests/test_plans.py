@@ -639,3 +639,10 @@ def test_planner_exact_branch_pushes_filter(spark, tables):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

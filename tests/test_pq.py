@@ -378,3 +378,10 @@ def test_residual_score_decomposition_is_exact_on_codebook_rows(tables, spark):
         for a, b in zip(qv.tolist(), x):
             want += a * b
         assert abs(scored[r.vec_id] - want) < 1e-6, (r.vec_id, scored[r.vec_id], want)
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -138,3 +138,4 @@ def test_rp_knn_join_narrow_shortlist_reasonable_recall(spark):
     rec = S.recall_at_k(exact, two, k=5, by=["qid", "neighbor_id"])
     vals = [r.recall for r in rec.collect()]
     assert len(vals) == 4 and sum(vals) / 4 >= 0.5  # JL at 16 dims: decent
+

@@ -62,3 +62,10 @@ def test_generate_stub_extractive(spark):
     )
     out = rag.generate_stub(prompts).collect()[0]
     assert out.answer == "first hit"
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -163,3 +163,4 @@ def test_ivf_range_search_subset_precision_and_full_probe(corpus, np_corpus):
         assert s == exact[vid]
     full = {r.vec_id for r in S.ivf_range_search(corpus, q, t, cents, nprobe=4).collect()}
     assert full == set(exact)
+

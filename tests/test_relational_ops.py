@@ -88,3 +88,10 @@ def test_pareto_front_ignores_null_coordinates(spark):
     )
     got = {(r.price, r.size) for r in R.pareto_front(df, "price", "size").collect()}
     assert got == {(1.0, 10), (3.0, 12)}
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -56,3 +56,4 @@ def test_mmr_select_deterministic_and_bounded():
     # k > n clamps
     assert len(R.mmr_select(ids[:4], scores[:4], V[:4], k=10)) == 4
     assert R.mmr_select([], [], np.empty((0, 8)), k=5) == []
+

@@ -450,3 +450,10 @@ def test_budget_select_and_pack_whitespace_mode_unchanged(spark, tables):
         for r in SA.pack_sequences(pre, seq_len=512, token_count="tc").collect()
     }
     assert pa == pb and pa
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

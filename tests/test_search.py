@@ -678,3 +678,10 @@ def test_nn_descent_empty_input_schema_matches_id_type(spark):
     g1 = S.nn_descent(full, k=2, id_col="doc_id", vec_col="embedding")
     # the union is the contract: same column names AND types
     assert g0.unionByName(g1).count() == g1.count() == 8
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

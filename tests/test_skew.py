@@ -56,3 +56,10 @@ def test_salted_join_rejects_outer_kinds(spark):
         salted_join(df, df, "k", "k", how="right")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", "k", salts=0)
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

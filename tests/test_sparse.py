@@ -349,3 +349,10 @@ def test_fast_hash_space_self_consistent(spark):
             for r in SP.sparse_knn_join(qsv, sv, k=3).collect()
         }
     assert res["portable"] == res["fast"]
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -110,3 +110,10 @@ def test_sq_constant_dimension_encodes_zero(spark):
     assert ranges[1] == (5.0, 5.0)
     codes = {r.vec_id: list(r.code) for r in SQ.sq_encode(corpus, ranges).collect()}
     assert codes[0] == [0, 0] and codes[2] == [255, 0]
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

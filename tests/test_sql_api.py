@@ -58,3 +58,10 @@ def test_kfold_assign_is_pure_projection(spark):
 def test_portable_hot_keys_shared_verbatim():
     o = contract_oracle.oracle_sql()
     assert o["sql_hot_keys"] is contract.PORTABLE_SQL_HOT_KEYS
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -198,3 +198,10 @@ def test_stream_enrich_attaches_dimension(spark):
         assert rows == {1: "gold", 2: None, 3: "bronze"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

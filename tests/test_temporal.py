@@ -658,3 +658,4 @@ def test_ar_forecast_rejects_trailing_gap_and_short_series(spark):
     short = spark.createDataFrame(rows[:1], "day date, y long")
     with pytest.raises(ValueError, match="fewer than"):
         temporal.ar_forecast(short, "day", "y", p=2, horizon=2)
+

@@ -355,3 +355,10 @@ def test_attribution_last_touch_known_answer(spark):
         20: (None, None, None),
         30: (None, None, None),
     }
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -191,3 +191,10 @@ def test_script_ratios_hand_computed(spark):
     assert abs(r.cyrillic_ratio - 6 / 14) < 1e-12
     assert abs(r.cjk_ratio - 2 / 14) < 1e-12
     assert abs(r.other_ratio - 1 / 14) < 1e-12
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -125,3 +125,10 @@ def test_zscore_anomaly_flat_series_null_z(spark):
     assert len(out) == 3
     for r in out:
         assert r.z is None and r.is_anomaly is False
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

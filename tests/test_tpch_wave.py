@@ -188,3 +188,10 @@ def test_important_parts_threshold_rounds_both_sides(spark):
     t = {"lineitem": lineitem, "supplier": supplier, "nation": nation}
     got = {r.l_partkey for r in R.important_parts(t, fraction=0.01).collect()}
     assert got == {2}
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -82,3 +82,10 @@ def test_metric_dispatch():
     l = V.score("a", "b", "l2")
     assert "zip_with" not in str(c) or True  # dispatch returns Columns
     assert str(c) != str(l)
+
+
+# r14: part of the fast driver-gate subset (default `pytest` selection
+# per pytest.ini; `-m ''` runs the full suite)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.driver_gate

@@ -123,3 +123,4 @@ def test_write_zorder_narrows_files_on_both_dims(spark):
         assert narrower >= nfiles // 2, (narrower, nfiles)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
