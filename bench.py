@@ -283,6 +283,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
     )
 
     tmp = tempfile.mkdtemp(prefix="bench_scale_")
+    sect: dict[str, float] = {"probe_start": round(_elapsed(), 1)}
     try:
         emb = bulk_random_vectors(spark, SCALE_EMB_N, dim=64, seed=42).withColumn(
             "label", (F.col("vec_id") % 5).cast("int")
@@ -344,6 +345,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
         # --- shape probes: Spark-only timings for the two claims that
         # needed numbers, not assertions (VERDICT r4 #6/#7). No DuckDB
         # mirror — these measure plan shapes, not engine ratios.
+        sect["dataset_built"] = round(_elapsed(), 1)
         shape: dict[str, float] = {}
         shape_skipped = False
         try:
@@ -467,6 +469,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
         except Exception:
             pass
 
+        sect["shape_probes_done"] = round(_elapsed(), 1)
         spark_times: dict[str, float] = {}
         spark_skipped: list[str] = []
         for n in SCALE_QUERIES:
@@ -481,6 +484,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
             spark_times[n] = round(statistics.median(times), 4)
 
 
+        sect["spark_queries_done"] = round(_elapsed(), 1)
         duck: dict[str, float] = {}
         duck_skipped: list[str] = []
         try:
@@ -547,6 +551,7 @@ def _scale_probe(spark, qs, oracles) -> dict | None:
                 "duckdb": duck_skipped,
                 "shape_probes": shape_skipped,
             },
+            "sections_done_at_s": sect,
         }
     except Exception:
         return None

@@ -2110,11 +2110,21 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id, quality, count)`` frame via the ``token_count`` seam —
     the range shuffle, its boundary-sampling pass, and the
     correctness-pinning localCheckpoint no longer carry the document
-    text at all. Values are bit-identical: the quality expression is
-    ``quality_score``'s own (same ``__toks`` pre-projection), the
-    count is the same ``TX.n_tokens``, and the (quality desc, id)
-    order key is unchanged, so every partition boundary, running sum,
-    and selected row matches; oracle re-verified at sf0.001+sf0.01."""
+    text at all. The narrow frame is pinned EAGERLY before the range
+    shuffle: a RangePartitioning exchange executes its child twice
+    (boundary-sampling pass + shuffle pass), and the inline quality
+    HOF stack is expensive enough that recomputing it per pass
+    measured SLOWER at the 10x probe than the old broadcast-join form
+    (interleaved medians 6.9 vs 5.3 s — the broadcast side was built
+    once and reused by both passes); pinning ~24 bytes/doc makes every
+    pass read materialized rows and the whole scan+quality+tokenize
+    run exactly once (same-run interleaved 10x medians: pinned-new
+    5.7 s vs old 7.6 s). Values are bit-identical:
+    the quality expression is ``quality_score``'s own (same ``__toks``
+    pre-projection), the count is the same ``TX.n_tokens``, and the
+    (quality desc, id) order key is unchanged, so every partition
+    boundary, running sum, and selected row matches; oracle
+    re-verified at sf0.001+sf0.01."""
     from vector_database_with_gpu_acceleration_for_llm_retrieval_spark.operators import (
         sampling,
     )
@@ -2127,7 +2137,7 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.quality_columns("text", toks_col="__toks")[-1],
         TX.n_tokens(F.col("text")).alias("__wc"),
-    )
+    ).localCheckpoint(eager=True)
     res = sampling.budget_select(
         narrow, BUDGET_TOKENS, order_col="quality", token_count="__wc"
     )

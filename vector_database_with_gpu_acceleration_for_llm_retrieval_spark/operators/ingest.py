@@ -253,6 +253,17 @@ def bulk_random_vectors(spark, n: int, dim: int = 64, seed: int = 42) -> DataFra
     Components are uniform in [-1, 1) then L2-normalized, which is
     distribution-different from the reference's Gaussian but serves the
     same role (random unit vectors for load/bench).
+
+    The raw component array is projected to its OWN column before
+    ``l2_normalize`` (r14): higher-order-function expressions evaluate
+    interpreted with no common-subexpression elimination, so
+    ``l2_normalize(complex_array_expr)`` re-evaluates the argument per
+    reference and per element — for a ``dim``-wide md5-hash array that
+    multiplied the hash work by O(dim) (the exact l2_normalize-over-
+    complex-expression defect measured 11.5 s vs 0.9 s in the r13
+    notes; at the bench's 1M-row probe this single projection split
+    was the difference between minutes and seconds). Values identical:
+    same expression tree, materialized once per row.
     """
     comps = F.array(
         *[
@@ -267,10 +278,11 @@ def bulk_random_vectors(spark, n: int, dim: int = 64, seed: int = 42) -> DataFra
             for j in range(dim)
         ]
     )
-    base = spark.range(n).select(
-        F.col("id").alias("vec_id"), V.l2_normalize(comps).alias("embedding")
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), comps.alias("__raw"))
+        .select("vec_id", V.l2_normalize(F.col("__raw")).alias("embedding"))
     )
-    return base
 
 
 def collection_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
